@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Array-column vector kernels — the engine's scalar function library.
+  *
+  * Re-expresses the reference's similarity metrics
+  * (`/root/reference/aeuc_vector_db/similarity.py:31-74`) as Spark column
+  * expressions over `array<float>` columns. The first four metrics are pure
+  * higher-order-function expressions (`zip_with` + `aggregate`), which stay
+  * inside whole-stage codegen — no UDF boxing on the hot path. Only the
+  * φ-weighted metric (a 23-line numpy kernel in the reference) drops to a
+  * Scala UDF, with float64 math matching `similarity.py:52-74` exactly.
+  *
+  * Accumulation is left-to-right over the array in Double, which makes
+  * per-row scores bit-deterministic (same fold order as a sequential loop)
+  * — required for the DuckDB oracle comparison.
+  */
+object VectorOps {
+
+  /** Golden ratio — `similarity.py:22`. */
+  val Phi: Double = (1.0 + math.sqrt(5.0)) / 2.0
+
+  /** φ^n for n ∈ [-3, 6] — `similarity.py:23`. */
+  val PhiPowers: Array[Double] = (-3 to 6).map(n => math.pow(Phi, n)).toArray
+
+  private def d(c: Column): Column = c.cast("double")
+
+  /** Σ aᵢ·bᵢ in double precision — `similarity.py:47-49`. */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => d(x) * d(y)), lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm ‖a‖. */
+  def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
+
+  /** L2 distance ‖a−b‖ — `similarity.py:37-39`. */
+  def euclideanDistance(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => (d(x) - d(y)) * (d(x) - d(y))),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** cos(a,b) = dot/(‖a‖·‖b‖ + 1e-12), zero-vector-safe — `similarity.py:31-34`. */
+  def cosineSimilarity(a: Column, b: Column): Column =
+    dotProduct(a, b) / (l2Norm(a) * l2Norm(b) + lit(1e-12))
+
+  /** 1/(1+L2) similarity in (0,1] — `similarity.py:42-44`. */
+  def euclideanSimilarity(a: Column, b: Column): Column =
+    lit(1.0) / (lit(1.0) + euclideanDistance(a, b))
+
+  /** φ-harmonic weighted cosine — exact float64 port of `similarity.py:52-74`.
+    * Per-dim weight = 1/(dist of avg-magnitude to nearest φⁿ + 1e-8),
+    * normalized to sum 1 (+1e-12 guard); cosine over the weighted vectors.
+    */
+  def phiWeightedSimilarity(a: Array[Float], b: Array[Float]): Double = {
+    val n = a.length
+    val wRaw = new Array[Double](n)
+    var wSum = 0.0
+    var i = 0
+    while (i < n) {
+      val avgMag = (math.abs(a(i).toDouble) + math.abs(b(i).toDouble)) / 2.0 + 1e-12
+      var minD = Double.MaxValue
+      var p = 0
+      while (p < PhiPowers.length) {
+        val dd = math.abs(avgMag - PhiPowers(p))
+        if (dd < minD) minD = dd
+        p += 1
+      }
+      wRaw(i) = 1.0 / (minD + 1e-8)
+      wSum += wRaw(i)
+      i += 1
+    }
+    val norm = wSum + 1e-12
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    i = 0
+    while (i < n) {
+      val w = wRaw(i) / norm
+      val wa = a(i).toDouble * w
+      val wb = b(i).toDouble * w
+      dot += wa * wb; na += wa * wa; nb += wb * wb
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb) + 1e-12)
+  }
+
+  val phiWeightedUdf =
+    udf((a: Array[Float], b: Array[Float]) => phiWeightedSimilarity(a, b))
+
+  /** Metric dispatch — `similarity.py:82-110`. Higher = more similar for all. */
+  def similarity(metric: String)(a: Column, b: Column): Column = metric match {
+    case "cosine"       => cosineSimilarity(a, b)
+    case "euclidean"    => euclideanSimilarity(a, b)
+    case "dot"          => dotProduct(a, b)
+    case "phi_weighted" => phiWeightedUdf(a, b)
+    case m => throw new IllegalArgumentException(
+      s"Unknown metric '$m'. Valid options: 'cosine', 'euclidean', 'dot', 'phi_weighted'.")
+  }
+
+  /** Squared L2 distance (inertia term) — `clustering.py:32-34`. */
+  def squaredDistance(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (d(x) - d(y)) * (d(x) - d(y))),
+      lit(0.0), (acc, x) => acc + x)
+}

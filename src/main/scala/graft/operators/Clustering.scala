@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** Centroid clustering and φ-band partitioning — the reference's group-by
+  * layer (`/root/reference/aeuc_vector_db/clustering.py`).
+  *
+  * The element-wise vector mean (`clustering.py:25-29`) is the one
+  * genuinely custom aggregate: implemented as a Dataset-native
+  * `Aggregator[Array[Float], (Array[Double], Long), Array[Double]]` doing
+  * element-wise sum + count with map-side partial aggregation — a single
+  * shuffle of one (dim-length array, count) buffer per group, not one row
+  * per (group, dimension). Inertia (`clustering.py:32-34`) is a second
+  * pass against the broadcast centroids, exactly mirroring the reference's
+  * two-pass structure (`clustering.py:66-68`).
+  */
+object Clustering {
+
+  /** Element-wise mean over a group of `array<float>` embeddings.
+    * Buffer = (running element-wise sum in double, row count); merge is
+    * associative+commutative so Spark can partial-aggregate map-side.
+    * Empty group → empty array (reference raises on empty,
+    * `clustering.py:27-28`; the engine enforces that at the call site).
+    */
+  object VecMeanAgg extends Aggregator[Array[Float], (Array[Double], Long), Array[Double]] {
+    def zero: (Array[Double], Long) = (Array.empty[Double], 0L)
+    def reduce(b: (Array[Double], Long), a: Array[Float]): (Array[Double], Long) = {
+      if (a == null) return b
+      if (b._1.isEmpty) {
+        val s = new Array[Double](a.length)
+        var i = 0; while (i < a.length) { s(i) = a(i).toDouble; i += 1 }
+        (s, 1L)
+      } else {
+        val s = b._1
+        var i = 0; while (i < a.length) { s(i) += a(i).toDouble; i += 1 }
+        (s, b._2 + 1L)
+      }
+    }
+    def merge(x: (Array[Double], Long), y: (Array[Double], Long)): (Array[Double], Long) = {
+      if (x._1.isEmpty) y
+      else if (y._1.isEmpty) x
+      else {
+        val s = x._1
+        var i = 0; while (i < s.length) { s(i) += y._1(i); i += 1 }
+        (s, x._2 + y._2)
+      }
+    }
+    def finish(r: (Array[Double], Long)): Array[Double] =
+      if (r._2 == 0L) Array.empty[Double] else r._1.map(_ / r._2)
+    def bufferEncoder: Encoder[(Array[Double], Long)] = ExpressionEncoder()
+    def outputEncoder: Encoder[Array[Double]] = ExpressionEncoder()
+  }
+
+  /** `vec_mean(embedding)` as an untyped aggregate column. */
+  val vecMean = udaf(VecMeanAgg, ExpressionEncoder[Array[Float]]())
+
+  /** Per-group centroids: groupBy(key) → element-wise mean + member list +
+    * count. This is `form_pglyph` (`clustering.py:42-79`) with the group
+    * key playing the role of the caller-selected member set.
+    * `round6` keeps the double centroid hash-stable for the oracle.
+    */
+  def centroids(emb: DataFrame, key: Column, idCol: Column): DataFrame =
+    emb.groupBy(key.as("cluster_key"))
+      .agg(
+        vecMean(col("embedding")).as("centroid_raw"),
+        sort_array(collect_list(idCol)).as("member_ids"),
+        count(lit(1)).as("n_members"))
+      .withColumn("centroid", transform(col("centroid_raw"), x => round(x, 6)))
+      .drop("centroid_raw")
+
+  /** Inertia = Σ‖e − c‖² per group — second pass joining members back to
+    * their (small, broadcastable) centroid table, `clustering.py:32-34` +
+    * `clustering.py:66-68`.
+    */
+  def withInertia(emb: DataFrame, key: Column, idCol: Column): DataFrame = {
+    val cent = centroids(emb, key, idCol)
+    val joined = emb.withColumn("cluster_key", key)
+      .join(broadcast(cent.select(col("cluster_key"), col("centroid"))), "cluster_key")
+    val inertia = joined.groupBy(col("cluster_key"))
+      .agg(round(sum(VectorOps.squaredDistance(col("embedding"), col("centroid"))), 6)
+        .as("inertia"))
+    cent.join(inertia, "cluster_key")
+  }
+
+  /** Per-row L2 norm of the embedding — raw (unrounded): the test
+    * embeddings are L2-normalized, so band assignment lives in the
+    * float noise around 1.0 exactly as in the reference; the same-order
+    * double fold keeps it bit-deterministic across engines.
+    */
+  def normCol: Column = VectorOps.l2Norm(col("embedding"))
+
+  /** φ-band assignment — `clustering.py:87-127`. Band boundaries at
+    * `min + span·(1 − φ^{−k})`, k = 1..levels−1, with span = max−min+1e-12;
+    * half-open bands [bᵢ, bᵢ₊₁), top bound max+1e-9 (inclusive).
+    *
+    * The global min/max is the one genuinely two-pass global step (the
+    * reference scans twice as well, `clustering.py:110-118`). Computed
+    * here as a single-row aggregate cross-joined (broadcast) onto every
+    * row — no driver collect, no window-over-all-rows shuffle.
+    */
+  def withPhiBand(emb: DataFrame, levels: Int = 3): DataFrame = {
+    val withNorm = emb.withColumn("norm", normCol)
+    val bounds = withNorm.agg(
+      min(col("norm")).as("min_n"), max(col("norm")).as("max_n"))
+    val banded = withNorm.crossJoin(broadcast(bounds))
+      .withColumn("span", col("max_n") - col("min_n") + lit(1e-12))
+    // breaks(k) = min + span*(1 - phi^-k); band i covers [breaks(i), breaks(i+1)).
+    // First-match when-chain in increasing k order (clustering.py:122-125).
+    def break_(k: Int): Column =
+      col("min_n") + col("span") * lit(1.0 - 1.0 / math.pow(VectorOps.Phi, k))
+    val first = when(col("norm") < break_(1), lit(0))
+    val bandExpr = (2 until levels)
+      .foldLeft(first)((acc, k) => acc.when(col("norm") < break_(k), lit(k - 1)))
+      .otherwise(lit(levels - 1))
+    banded.withColumn("band", bandExpr)
+      .drop("span", "min_n", "max_n")
+  }
+
+  /** `auto_cluster_phi` — `vector_field.py:351-390`: filter one context,
+    * φ-band, one centroid per non-empty band tagged `phi_band_{i}`.
+    */
+  def autoClusterPhi(emb: DataFrame, ctxCol: Column, ctx: Int, levels: Int = 3): DataFrame = {
+    val inCtx = emb.filter(ctxCol === ctx)
+    val banded = withPhiBand(inCtx, levels)
+    withInertia(banded, col("band"), col("vec_id"))
+      .withColumn("cluster_tag", concat(lit("phi_band_"), col("cluster_key")))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** Brute-force and coarse-to-fine top-k vector search.
+  *
+  * Re-expresses the reference's scan→score→sort→limit query engine
+  * (`/root/reference/aeuc_vector_db/vector_field.py:291-345`) as a
+  * declarative Spark plan: `filter → project(score) → orderBy desc →
+  * limit k`. Catalyst plans this as a parquet scan (with predicate
+  * pushdown for the equality filters) followed by
+  * `TakeOrderedAndProject` — per-partition top-k heaps merged on the
+  * driver, no shuffle, no full sort materialization. This is the shape
+  * that survives a 1000-executor 100 TB scan: each task returns at most
+  * k rows.
+  *
+  * Tie-breaking: the reference relies on Python's stable sort
+  * (`vector_field.py:325`); Spark sorts are not stable, so every query
+  * adds an explicit secondary ascending sort on the id column.
+  */
+object Search {
+
+  /** The query vector: the embedding of `vec_id = queryId`, broadcast as a
+    * one-row dimension to every candidate row. Self-contained per sf dir.
+    */
+  def queryVector(emb: DataFrame, queryId: Long = 0L): DataFrame =
+    emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"))
+
+  /** Top-k most-similar vectors to the query — `vector_field.py:291-326`
+    * with no filters. Output: (vec_id, score) sorted by score desc.
+    */
+  def topK(emb: DataFrame, metric: String, k: Int, queryId: Long = 0L): DataFrame =
+    emb.crossJoin(broadcast(queryVector(emb, queryId)))
+      .select(col("vec_id"),
+        round(VectorOps.similarity(metric)(col("embedding"), col("q_embedding")), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+
+  /** Top-k with the reference's two equality filters
+    * (`vector_field.py:316-322`). The test tables carry no
+    * glyph_id/outer_context_id, so the engine derives the reference's
+    * address space from vec_id: glyph_id = vec_id % 144000, ctx = vec_id
+    * % 10. The filters are plain pushdown-able predicates — at scale they
+    * become partition pruning when the table is partitioned by ctx.
+    */
+  def topKFiltered(emb: DataFrame, metric: String, k: Int,
+                   glyphIdFilter: Option[Long] = None,
+                   ctxFilter: Option[Int] = None,
+                   queryId: Long = 0L): DataFrame = {
+    val withAddr = emb
+      .withColumn("glyph_id", col("vec_id") % 144000L)
+      .withColumn("outer_context_id", (col("vec_id") % 10L).cast("int"))
+    val filtered = Seq(
+      glyphIdFilter.map(g => col("glyph_id") === g),
+      ctxFilter.map(c => col("outer_context_id") === c)
+    ).flatten.foldLeft(withAddr)((df, p) => df.filter(p))
+    filtered.crossJoin(broadcast(queryVector(emb, queryId)))
+      .select(col("vec_id"), col("glyph_id"), col("outer_context_id"),
+        round(VectorOps.similarity(metric)(col("embedding"), col("q_embedding")), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** k-NN join: for each of the `nQueries` lowest-id vectors, its top-k
+    * neighbours among all other vectors. The query side is tiny →
+    * broadcast; the scored pairs are ranked per query with a window.
+    * At scale the probe side streams map-side against the broadcast —
+    * one shuffle only for the per-query top-k (partitionBy query_id).
+    */
+  def knnJoin(emb: DataFrame, metric: String, k: Int, nQueries: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(VectorOps.similarity(metric)(col("embedding"), col("q_embedding")), 6)
+          .as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+}
