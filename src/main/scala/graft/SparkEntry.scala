@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.functions.VectorOps
-import graft.operators.{Clustering, Search}
+import graft.operators.{Ann, Clustering, Dedup, Search, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -105,8 +105,117 @@ object SparkEntry {
           col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
-        .orderBy(col("hour"), col("event_type")))
+        .orderBy(col("hour"), col("event_type"))),
+    // north-star: dedup suite (documents table)
+    "dedup_exact_summary" -> ((s, dir) => Dedup.exactSummary(tbl(s, dir, "documents"))),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), 0.5)),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(tbl(s, dir, "documents"), 0.5)),
+    "dedup_simhash" -> ((s, dir) => Dedup.simhash(tbl(s, dir, "documents"))),
+    "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(tbl(s, dir, "documents"), 1)),
+    "dedup_embedding_pairs" -> ((s, dir) => Dedup.embeddingTopPairs(emb(s, dir), 20)),
+    // north-star: text analysis (documents table)
+    "text_stats" -> ((s, dir) => TextAnalysis.textStats(tbl(s, dir, "documents"))),
+    "lang_id" -> ((s, dir) => TextAnalysis.langId(tbl(s, dir, "documents"))),
+    "token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(tbl(s, dir, "documents"))),
+    "doc_digests" -> ((s, dir) => TextAnalysis.digests(tbl(s, dir, "documents"))),
+    "doc_sketch" -> ((s, dir) => TextAnalysis.minKSketch(tbl(s, dir, "documents"), 4)),
+    // north-star: ANN coarse-to-fine (reference search_pglyphs generalized)
+    "search_centroids_topk" -> ((s, dir) => Ann.searchCentroids(emb(s, dir), "cosine", 5)),
+    "ann_ivf_topk" -> ((s, dir) => Ann.ivfTopK(emb(s, dir), "cosine", 10, 2)),
+    "ann_lsh_pairs" -> ((s, dir) => Ann.lshCosinePairs(emb(s, dir), 0.4)),
+    // §2.9 relational: multi-join, window, semi/anti, json, audit hash
+    "q3_shipping_priority" -> ((s, dir) => {
+      val cust = tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = tbl(s, dir, "orders")
+        .filter(col("o_orderdate").cast("date") < lit("1998-06-01").cast("date"))
+      val li = tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("date") > lit("1998-06-01").cast("date"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(28, 6))).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+    "q5_nation_revenue" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      val ord = tbl(s, dir, "orders")
+        .filter(col("o_orderdate").cast("date") >= lit("1996-01-01").cast("date"))
+        .filter(col("o_orderdate").cast("date") < lit("1999-01-01").cast("date"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(tbl(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(tbl(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(tbl(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(28, 6))).cast("double").as("revenue"),
+          count(lit(1)).as("n_lineitems"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+    "top_orders_per_priority" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      tbl(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .join(broadcast(tbl(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
+          col("o_totalprice"), col("c_name"))
+        .orderBy(col("o_orderpriority"), col("rn"))
+    }),
+    "customer_order_stats" -> ((s, dir) => {
+      val perCust = tbl(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"), max(col("o_totalprice")).as("mx"))
+      tbl(s, dir, "customer")
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+        .agg(
+          count(lit(1)).as("n_customers"),
+          sum(when(col("cnt").isNotNull, 1L).otherwise(0L)).as("n_with_orders"),
+          sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("n_without_orders"),
+          coalesce(sum(col("cnt")), lit(0L)).as("n_orders"),
+          max(col("mx")).as("max_order_price"))
+    }),
+    "events_json_agg" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+        .orderBy(col("event_type"))),
+    "membership_hash" -> ((s, dir) =>
+      emb(s, dir).agg(
+        sha2(concat_ws(",",
+          transform(sort_array(collect_list(col("vec_id"))), x => x.cast("string"))), 256)
+          .as("membership_hash"),
+        count(lit(1)).as("n_members")))
   )
+
+  /** Shared oracle-SQL fragments. */
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)) + 1e-12)"
+
+  // distinct 3-word shingles per document
+  private val shingleCte =
+    """w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                                            for i in range(1, len(ws)-1)])) AS shingle
+      |       FROM w WHERE len(ws) >= 3)""".stripMargin
+
+  // per-label element-wise mean centroids as DOUBLE[] (rounded to 6dp)
+  private val centroidCte =
+    """ex AS (SELECT label, generate_subscripts(embedding, 1) AS i,
+      |              CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+      |cent AS (SELECT label, i, round(sum(x)/count(*), 6) AS c FROM ex GROUP BY label, i),
+      |cl AS (SELECT label, list(c ORDER BY i) AS cv FROM cent GROUP BY label)""".stripMargin
 
   /** DuckDB-runnable oracle SQL, same table names, same column aliases. */
   def oracleSql: Map[String, String] = Map(
@@ -207,6 +316,189 @@ object SparkEntry {
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
          |  count(*) AS n_events,
          |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "dedup_exact_summary" ->
+      s"""WITH g AS (SELECT sha256(text) AS h, count(*) AS c FROM documents GROUP BY 1)
+         |SELECT CAST(sum(c) AS BIGINT) AS n_docs, count(*) AS n_distinct,
+         |  CAST(sum(c) - count(*) AS BIGINT) AS n_dup_docs,
+         |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
+         |FROM g""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH $shingleCte,
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, round(c::DOUBLE/(x.n + y.n - c), 6) AS jaccard
+         |FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+         |WHERE round(c::DOUBLE/(x.n + y.n - c), 6) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH $shingleCte,
+         |seeds AS (SELECT unnest(range(16)) AS seed),
+         |sig AS (SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minhash
+         |        FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+         |banded AS (SELECT doc_id, CAST(floor(seed/4.0) AS INT) AS band,
+         |  md5(string_agg(seed || '=' || minhash, '|' ORDER BY seed || '=' || minhash)) AS band_key
+         |  FROM sig GROUP BY doc_id, CAST(floor(seed/4.0) AS INT)),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM banded x JOIN banded y
+         |           ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS c
+         |          FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+         |                      JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+         |          GROUP BY 1, 2)
+         |SELECT i.doc_a, i.doc_b, round(i.c::DOUBLE/(x.n + y.n - i.c), 6) AS jaccard
+         |FROM inter i JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
+         |WHERE round(i.c::DOUBLE/(x.n + y.n - i.c), 6) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH wrd AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+         |            FROM documents),
+         |wc AS (SELECT doc_id, word, count(*) AS cnt, md5(word) AS h FROM wrd GROUP BY doc_id, word),
+         |bits AS (SELECT doc_id, j,
+         |           sum(CASE WHEN substr(h, CAST(j AS INT)+1, 1) >= '8' THEN cnt ELSE -cnt END) AS weight
+         |         FROM wc CROSS JOIN (SELECT unnest(range(32)) AS j) GROUP BY doc_id, j)
+         |SELECT doc_id,
+         |  CAST(sum(CASE WHEN weight > 0 THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_simhash_pairs" ->
+      s"""WITH wrd AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+         |            FROM documents),
+         |wc AS (SELECT doc_id, word, count(*) AS cnt, md5(word) AS h FROM wrd GROUP BY doc_id, word),
+         |bits AS (SELECT doc_id, j,
+         |           sum(CASE WHEN substr(h, CAST(j AS INT)+1, 1) >= '8' THEN cnt ELSE -cnt END) AS weight
+         |         FROM wc CROSS JOIN (SELECT unnest(range(32)) AS j) GROUP BY doc_id, j),
+         |sh2 AS (SELECT doc_id,
+         |          CAST(sum(CASE WHEN weight > 0 THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+         |        FROM bits GROUP BY doc_id),
+         |nib AS (SELECT doc_id, simhash, q, (simhash >> CAST(q*8 AS INT)) & 255 AS nib
+         |        FROM sh2 CROSS JOIN (SELECT unnest(range(4)) AS q)),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |                x.simhash AS ha, y.simhash AS hb
+         |         FROM nib x JOIN nib y ON x.q = y.q AND x.nib = y.nib AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(ha, hb)) <= 1 ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_embedding_pairs" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round(${cosSql("a.v", "b.v")}, 6) AS score
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |ORDER BY score DESC, vec_a, vec_b LIMIT 20""".stripMargin,
+    "text_stats" ->
+      s"""WITH w AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents)
+         |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_txt,
+         |  CAST(len(ws) AS BIGINT) AS n_words,
+         |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
+         |  round(len(list_distinct(ws))::DOUBLE/len(ws), 6) AS ttr,
+         |  round(list_sum(list_transform(ws, x -> CAST(length(x) AS BIGINT)))::DOUBLE/len(ws), 6) AS avg_word_len,
+         |  round(len(list_filter(ws, x -> length(x) >= 6))::DOUBLE/len(ws), 6) AS long_word_ratio
+         |FROM w ORDER BY doc_id""".stripMargin,
+    "lang_id" -> {
+      val scoreCols = TextAnalysis.langMarkers.map { case (l, m) =>
+        s"CAST(len(list_filter(ws, x -> x IN (${m.map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS score_$l"
+      }.mkString(",\n  ")
+      val langs = TextAnalysis.langMarkers.map(_._1)
+      val m = langs.map(l => s"score_$l").mkString("GREATEST(", ", ", ")")
+      val pred = langs.init.map(l => s"WHEN score_$l = m THEN '$l'").mkString(" ")
+      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+         |s AS (SELECT doc_id,
+         |  $scoreCols
+         |FROM w)
+         |SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
+         |  CASE $pred ELSE '${langs.last}' END AS pred_lang
+         |FROM (SELECT *, $m AS m FROM s) ORDER BY doc_id""".stripMargin
+    },
+    "token_counts" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS re_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_digests" ->
+      s"""SELECT doc_id, sha256(text) AS sha256, md5(text) AS md5
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_sketch" ->
+      s"""WITH g AS (SELECT doc_id,
+         |             unnest(list_distinct([md5(substr(text, i, 8))
+         |                                   for i in range(1, length(text)-6)])) AS h
+         |           FROM documents WHERE length(text) >= 8),
+         |r AS (SELECT doc_id, h, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY h) AS INT) AS rank
+         |      FROM g)
+         |SELECT doc_id, rank, h FROM r WHERE rank <= 4 ORDER BY doc_id, rank""".stripMargin,
+    "search_centroids_topk" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+         |$centroidCte,
+         |sz AS (SELECT label, count(*) AS n_members FROM embeddings GROUP BY label)
+         |SELECT CAST(cl.label AS INT) AS label, sz.n_members,
+         |  round(${cosSql("cl.cv", "q.qe")}, 6) AS score
+         |FROM cl CROSS JOIN q JOIN sz ON cl.label = sz.label
+         |ORDER BY score DESC, label LIMIT 5""".stripMargin,
+    "ann_ivf_topk" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+         |$centroidCte,
+         |pr AS (SELECT CAST(cl.label AS INT) AS label, round(${cosSql("cl.cv", "q.qe")}, 6) AS s
+         |       FROM cl CROSS JOIN q ORDER BY s DESC, label LIMIT 2)
+         |SELECT e.vec_id, CAST(e.label AS INT) AS label,
+         |  round(${cosSql("CAST(e.embedding AS DOUBLE[])", "q.qe")}, 6) AS score
+         |FROM embeddings e JOIN pr ON e.label = pr.label CROSS JOIN q
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+    "ann_lsh_pairs" -> {
+      val bucket = (0 until 8).map(i =>
+        s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
+      s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, $bucket AS bucket
+         |           FROM embeddings)
+         |SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, round(${cosSql("a.v", "c.v")}, 6) AS score
+         |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+         |WHERE round(${cosSql("a.v", "c.v")}, 6) >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin
+    },
+    "q3_shipping_priority" ->
+      s"""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
+         |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND CAST(o_orderdate AS DATE) < DATE '1998-06-01'
+         |  AND CAST(l_shipdate AS DATE) > DATE '1998-06-01'
+         |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q5_nation_revenue" ->
+      s"""SELECT r_name, n_name,
+         |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+         |  count(*) AS n_lineitems
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+         |  AND CAST(o_orderdate AS DATE) < DATE '1999-01-01'
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "top_orders_per_priority" ->
+      s"""WITH r AS (SELECT *, CAST(row_number() OVER
+         |    (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+         |  FROM orders)
+         |SELECT o_orderpriority, rn, o_orderkey, o_totalprice, c_name
+         |FROM r JOIN customer ON o_custkey = c_custkey
+         |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
+    "customer_order_stats" ->
+      s"""WITH pc AS (SELECT o_custkey, count(*) AS cnt, max(o_totalprice) AS mx
+         |            FROM orders GROUP BY o_custkey)
+         |SELECT count(*) AS n_customers,
+         |  CAST(sum(CASE WHEN cnt IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_orders,
+         |  CAST(sum(CASE WHEN cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_without_orders,
+         |  CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_orders,
+         |  max(mx) AS max_order_price
+         |FROM customer LEFT JOIN pc ON c_custkey = o_custkey""".stripMargin,
+    "events_json_agg" ->
+      s"""SELECT event_type, count(*) AS n_events,
+         |  CAST(sum(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "membership_hash" ->
+      s"""SELECT sha256(string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY vec_id)) AS membership_hash,
+         |  count(*) AS n_members
+         |FROM embeddings""".stripMargin
   )
 }

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** Approximate-nearest-neighbour search: coarse-to-fine (IVF-style) over
+  * cluster centroids, generalizing the reference's `search_pglyphs`
+  * coarse navigation (`/root/reference/aeuc_vector_db/vector_field.py:328-345`).
+  *
+  * The scale path for 100 TB: the centroid table is tiny (one row per
+  * cell) and broadcast; probing selects nProbe cells; the fine search
+  * touches only the matching cells' rows — with the base table
+  * partitioned/bucketed by cell id this is partition pruning, so the
+  * fine scan reads nProbe/nCells of the data instead of all of it.
+  * Here the deterministic cell id is the `label` column (a stand-in for
+  * an MLlib-KMeans-assigned cell id, which is the production path).
+  */
+object Ann {
+
+  /** Coarse search: score cell centroids against the query, top-k cells.
+    * Mirrors `search_pglyphs` scan-score-sort-limit on centroids.
+    */
+  def searchCentroids(emb: DataFrame, metric: String, k: Int, queryId: Long = 0L): DataFrame = {
+    val cent = Clustering.centroids(emb, col("label"), col("vec_id"))
+      .select(col("cluster_key").cast("int").as("label"), col("centroid"), col("n_members"))
+    cent.crossJoin(broadcast(Search.queryVector(emb, queryId)))
+      .select(col("label"), col("n_members"),
+        round(VectorOps.similarity(metric)(col("centroid"), col("q_embedding")), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("label").asc)
+      .limit(k)
+  }
+
+  /** IVF top-k: probe the nProbe best cells, then brute-force only their
+    * members. The probe result is tiny → broadcast semi-join prunes the
+    * fine scan.
+    */
+  def ivfTopK(emb: DataFrame, metric: String, k: Int, nProbe: Int,
+              queryId: Long = 0L): DataFrame = {
+    val probes = searchCentroids(emb, metric, nProbe, queryId).select(col("label"))
+    emb.join(broadcast(probes), "label")
+      .crossJoin(broadcast(Search.queryVector(emb, queryId)))
+      .select(col("vec_id"), col("label"),
+        round(VectorOps.similarity(metric)(col("embedding"), col("q_embedding")), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** LSH-bucketed near-dup pairs over embeddings: sign-random-projection
+    * buckets from deterministic hyperplanes (the first `nBits` basis
+    * vectors' signs — i.e., the sign pattern of selected coordinates),
+    * pairs generated only within a bucket, verified by exact cosine.
+    * The scale path for embedding dedup when the O(n²) baseline
+    * (Dedup.embeddingTopPairs) stops fitting.
+    */
+  def lshCosinePairs(emb: DataFrame, threshold: Double, nBits: Int = 8): DataFrame = {
+    // bucket = sign bits of the first nBits coordinates
+    val bucket = (0 until nBits).map(i =>
+      when(element_at(col("embedding"), i + 1) >= 0f, lit(1)).otherwise(lit(0))
+        * lit(1 << i)).reduce(_ + _)
+    val b = emb.withColumn("bucket", bucket)
+    val a = b.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val c = b.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(c, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(VectorOps.cosineSimilarity(col("ea"), col("eb")), 6).as("score"))
+      .filter(col("score") >= threshold)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (north-star
+  * extensions; SURVEY.md §2.9). All expressions are chosen to evaluate
+  * identically in DuckDB for the oracle: whitespace tokenization via
+  * regex split, marker-word language scoring with integer counts,
+  * RE2-compatible token regexes, md5/sha2 fingerprints.
+  */
+object TextAnalysis {
+
+  def words(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Per-document quality stats: token counts, type-token ratio, average
+    * word length, share of "long" words. Integer-derived ratios rounded
+    * once → hash-stable.
+    */
+  def textStats(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws", words(col("text")))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_txt"),
+        size(col("ws")).cast("long").as("n_words"),
+        size(array_distinct(col("ws"))).cast("long").as("n_distinct_words"),
+        round(size(array_distinct(col("ws"))).cast("double") / size(col("ws")), 6).as("ttr"),
+        round(aggregate(transform(col("ws"), w => length(w).cast("long")),
+          lit(0L), (acc, x) => acc + x).cast("double") / size(col("ws")), 6)
+          .as("avg_word_len"),
+        round(size(filter(col("ws"), w => length(w) >= 6)).cast("double") / size(col("ws")), 6)
+          .as("long_word_ratio"))
+      .orderBy(col("doc_id"))
+
+  /** Marker words per language — deterministic, tiny, broadcast as
+    * literals into the scoring expression on both engines.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "slow", "key"),
+    "de" -> Seq("der", "die", "und", "table", "value"),
+    "es" -> Seq("el", "la", "y", "data", "row"),
+    "fr" -> Seq("le", "la", "et", "query", "window"),
+    "zh" -> Seq("的", "是", "了", "join", "merge"))
+
+  /** n-gram-heuristic language ID: score = marker-word hits per language;
+    * prediction = argmax with ties broken by language-name order (strict
+    * `>` fold keeps it deterministic).
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val ws = col("ws")
+    def score(markers: Seq[String]): Column =
+      size(filter(ws, w => markers.map(m => w === m).reduce(_ || _))).cast("long")
+    val scored = docs.withColumn("ws", words(col("text")))
+      .select(col("doc_id") +: langMarkers.map { case (l, m) => score(m).as(s"score_$l") }: _*)
+    val pred = langMarkers.map(_._1).tail.foldLeft(
+      (lit(langMarkers.head._1), col(s"score_${langMarkers.head._1}"))) {
+      case ((bestLang, bestScore), l) =>
+        (when(col(s"score_$l") > bestScore, lit(l)).otherwise(bestLang),
+          when(col(s"score_$l") > bestScore, col(s"score_$l")).otherwise(bestScore))
+    }._1
+    scored.withColumn("pred_lang", pred).orderBy(col("doc_id"))
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish regex tokenizer
+    * (letters | digits | single punctuation) — RE2-compatible pattern.
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(words(col("text"))).cast("long").as("ws_tokens"),
+      regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]")).cast("long")
+        .as("re_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Bottom-k md5 sketch over character 8-grams — a winnowing-style
+    * document fingerprint: the k lexicographically smallest 8-gram
+    * hashes identify near-identical content under local edits.
+    */
+  def minKSketch(docs: DataFrame, k: Int = 4): DataFrame = {
+    val exploded = docs
+      .filter(length(col("text")) >= 8)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), length(col("text")) - 7),
+          i => md5(col("text").substr(i, lit(8)))))).as("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("h"))
+    exploded.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("h"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  /** Full-text digests. */
+  def digests(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), sha2(col("text"), 256).as("sha256"),
+        md5(col("text")).as("md5"))
+      .orderBy(col("doc_id"))
+}
