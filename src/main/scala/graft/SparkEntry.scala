@@ -197,6 +197,25 @@ object SparkEntry {
           transform(sort_array(collect_list(col("vec_id"))), x => x.cast("string"))), 256)
           .as("membership_hash"),
         count(lit(1)).as("n_members"))),
+    // streaming semantics in batch: session windows over events (the
+    // identical plan runs under readStream with the watermark — see
+    // graft.streaming.Streaming + StreamingSpec)
+    "events_sessions" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "1800 seconds"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))),
+    // multimodal plumbing: binary payloads + metadata/decode-stub/chunking
+    "multimodal_meta" -> ((s, dir) =>
+      operators.Multimodal.metaSql(operators.Multimodal.fromDocuments(tbl(s, dir, "documents")))),
+    "multimodal_chunks" -> ((s, dir) =>
+      operators.Multimodal.chunk(operators.Multimodal.fromDocuments(tbl(s, dir, "documents")), 256)
+        .select(col("media_id"), col("chunk_idx"), col("chunk_bytes"))
+        .orderBy(col("media_id"), col("chunk_idx"))),
     // §2.2/§2.3 facade integration: embeddings → VectorFieldDB →
     // autoClusterPhi(ctx=3) → per-band pglyph summary (rows-only check:
     // pglyph UUIDs are generated, but band sizes/tags are deterministic)
@@ -523,6 +542,38 @@ object SparkEntry {
     "membership_hash" ->
       s"""SELECT sha256(string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY vec_id)) AS membership_hash,
          |  count(*) AS n_members
-         |FROM embeddings""".stripMargin
+         |FROM embeddings""".stripMargin,
+    "events_sessions" ->
+      s"""WITH l AS (SELECT user_id, ts, value,
+         |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         |           FROM events),
+         |s AS (SELECT *, sum(CASE WHEN prev IS NULL
+         |                           OR epoch_ms(ts) - epoch_ms(prev) >= 1800000
+         |                         THEN 1 ELSE 0 END)
+         |        OVER (PARTITION BY user_id ORDER BY ts
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+         |      FROM l)
+         |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         |  count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         |FROM s GROUP BY user_id, sess ORDER BY user_id, session_start""".stripMargin,
+    "multimodal_meta" ->
+      s"""WITH m AS (SELECT doc_id AS media_id,
+         |  ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+         |  text, encode(text) AS content, source FROM documents),
+         |h AS (SELECT media_id, modality, CAST(octet_length(content) AS BIGINT) AS n_bytes,
+         |        sha256(text) AS sha256 FROM m)
+         |SELECT media_id, modality, n_bytes, sha256,
+         |  64 + (CAST((strpos('0123456789abcdef', substr(sha256, 1, 1)) - 1) * 16
+         |             + strpos('0123456789abcdef', substr(sha256, 2, 1)) - 1 AS INT) % 32) * 16 AS width,
+         |  64 + (CAST((strpos('0123456789abcdef', substr(sha256, 3, 1)) - 1) * 16
+         |             + strpos('0123456789abcdef', substr(sha256, 4, 1)) - 1 AS INT) % 18) * 16 AS height,
+         |  CASE WHEN modality = 'audio' THEN 1 ELSE 3 END AS channels
+         |FROM h ORDER BY media_id""".stripMargin,
+    "multimodal_chunks" ->
+      s"""WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n FROM documents),
+         |c AS (SELECT media_id, n, unnest(range(CAST(ceil(n/256.0) AS INT))) AS chunk_idx FROM m)
+         |SELECT media_id, CAST(chunk_idx AS INT) AS chunk_idx,
+         |  CAST(least(256, n - chunk_idx*256) AS BIGINT) AS chunk_bytes
+         |FROM c ORDER BY media_id, chunk_idx""".stripMargin
   )
 }

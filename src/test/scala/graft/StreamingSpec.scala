@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streaming
+import graft.streaming.Streaming.{Event, Session}
+
+/** Streaming operators driven end-to-end with MemoryStream sources and
+  * memory sinks; batch/stream parity checks.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = new Timestamp(3600L * 1000 * 10 + min * 60000L)
+
+  private val fixture = Seq(
+    Event(1, ts(0), 1, "click", 1.0),
+    Event(2, ts(10), 1, "click", 2.0),
+    Event(3, ts(70), 1, "view", 3.0),   // > 30 min gap → new session
+    Event(4, ts(5), 2, "click", 4.0))
+
+  test("hourlyAgg: streaming result equals batch result") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(fixture: _*)
+    val q = Streaming.hourlyAgg(mem.toDF()).writeStream
+      .format("memory").queryName("hourly_out").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("hourly_out")
+      .orderBy("hour", "event_type").collect().map(_.toSeq)
+    val batch = Streaming.hourlyAgg(fixture.toDF())
+      .orderBy("hour", "event_type").collect().map(_.toSeq)
+    assert(streamed.toSeq == batch.toSeq && streamed.nonEmpty)
+  }
+
+  test("sessionAgg: 30-min gap splits sessions per user") {
+    val out = Streaming.sessionAgg(fixture.toDF(), gapSeconds = 1800)
+      .orderBy("user_id", "session_start").collect()
+    // user 1: two sessions (0+10 merged, 70 separate); user 2: one
+    assert(out.length == 3)
+    assert(out(0).getAs[Long]("n_events") == 2 && out(0).getAs[Double]("sum_value") == 3.0)
+    assert(out(1).getAs[Long]("n_events") == 1)
+    assert(out(2).getAs[Long]("user_id") == 2)
+  }
+
+  test("sessionAgg works as a streaming query with watermark") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(fixture: _*)
+    val q = Streaming.sessionAgg(mem.toDF()).writeStream
+      .format("memory").queryName("sess_out").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("sess_out").count() == 3)
+  }
+
+  test("statefulSessionize emits closed sessions, keeps open state") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streaming.statefulSessionize(mem.toDS(), gapMillis = 1800000)
+      .writeStream.format("memory").queryName("stateful_out")
+      .outputMode("append").start()
+    mem.addData(fixture: _*)
+    q.processAllAvailable()
+    // only user 1's first session closed (event at +70min arrived after gap)
+    val closed = spark.table("stateful_out").as[Session].collect()
+    assert(closed.length == 1 && closed.head.n_events == 2 &&
+      closed.head.sum_value == 3.0)
+    // a later far-future event closes user 1's second session
+    mem.addData(Event(9, ts(300), 1, "click", 9.0))
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("stateful_out").count() == 2)
+  }
+}
