@@ -1,0 +1,31 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+/** Fast hex digests for the hash-heavy dedup/fingerprint paths.
+  * (`"%02x".format` costs ~10µs per 16-byte digest — a formatter
+  * allocation per byte — which dominates multi-million-hash pipelines.)
+  */
+object HashUtil {
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  def hex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      out(i * 2) = hexChars(b >>> 4)
+      out(i * 2 + 1) = hexChars(b & 15)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Lowercase-hex md5, byte-identical to Spark's `md5()` / DuckDB's
+    * `md5()`. Caller supplies (and reuses) the MessageDigest.
+    */
+  def md5Hex(md: MessageDigest, s: String): String = {
+    md.reset()
+    hex(md.digest(s.getBytes("UTF-8")))
+  }
+}

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftx.VecExpressions
 
 /** Array-column vector kernels — the engine's scalar function library.
   *
@@ -27,17 +28,18 @@ object VectorOps {
 
   private def d(c: Column): Column = c.cast("double")
 
-  /** Σ aᵢ·bᵢ in double precision — `similarity.py:47-49`. */
-  def dotProduct(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => d(x) * d(y)), lit(0.0), (acc, x) => acc + x)
+  /** Σ aᵢ·bᵢ in double precision — `similarity.py:47-49`. Native codegen
+    * expression (same left-to-right double fold as the HOF formulation —
+    * bit-identical results, no per-row allocation).
+    */
+  def dotProduct(a: Column, b: Column): Column = VecExpressions.vecDot(a, b)
 
   /** L2 norm ‖a‖. */
   def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
 
   /** L2 distance ‖a−b‖ — `similarity.py:37-39`. */
   def euclideanDistance(a: Column, b: Column): Column =
-    sqrt(aggregate(zip_with(a, b, (x, y) => (d(x) - d(y)) * (d(x) - d(y))),
-      lit(0.0), (acc, x) => acc + x))
+    sqrt(VecExpressions.vecSqDist(a, b))
 
   /** cos(a,b) = dot/(‖a‖·‖b‖ + 1e-12), zero-vector-safe — `similarity.py:31-34`. */
   def cosineSimilarity(a: Column, b: Column): Column =
@@ -97,6 +99,5 @@ object VectorOps {
 
   /** Squared L2 distance (inertia term) — `clustering.py:32-34`. */
   def squaredDistance(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (d(x) - d(y)) * (d(x) - d(y))),
-      lit(0.0), (acc, x) => acc + x)
+    VecExpressions.vecSqDist(a, b)
 }

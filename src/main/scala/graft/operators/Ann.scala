@@ -61,11 +61,14 @@ object Ann {
       when(element_at(col("embedding"), i + 1) >= 0f, lit(1)).otherwise(lit(0))
         * lit(1 << i)).reduce(_ + _)
     val b = emb.withColumn("bucket", bucket)
-    val a = b.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val c = b.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    val a = b.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      VectorOps.l2Norm(col("embedding")).as("na"))
+    val c = b.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      VectorOps.l2Norm(col("embedding")).as("nb"))
     a.join(c, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(VectorOps.cosineSimilarity(col("ea"), col("eb")), 6).as("score"))
+        round(VectorOps.dotProduct(col("ea"), col("eb"))
+          / (col("na") * col("nb") + lit(1e-12)), 6).as("score"))
       .filter(col("score") >= threshold)
       .orderBy(col("vec_a"), col("vec_b"))
   }

@@ -64,7 +64,8 @@ object Clustering {
     * `round6` keeps the double centroid hash-stable for the oracle.
     */
   def centroids(emb: DataFrame, key: Column, idCol: Column): DataFrame =
-    emb.groupBy(key.as("cluster_key"))
+    emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+      .groupBy(key.as("cluster_key"))
       .agg(
         vecMean(col("embedding")).as("centroid_raw"),
         sort_array(collect_list(idCol)).as("member_ids"),

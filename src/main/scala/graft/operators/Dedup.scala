@@ -30,17 +30,38 @@ object Dedup {
   /** Whitespace tokenization shared by all text operators. */
   def words(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Distinct 3-word shingles per document: (doc_id, shingle). */
-  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
-    val ws = words(col("text"))
-    docs
-      .withColumn("ws", ws)
-      .filter(size(col("ws")) >= n)
-      .withColumn("shingle", explode(array_distinct(
-        transform(sequence(lit(0), size(col("ws")) - n),
-          i => concat_ws(" ", (0 until n).map(o => element_at(col("ws"), i + o + 1)): _*)))))
-      .select(col("doc_id"), col("shingle"))
+  /** Distinct n-word shingle array per document (per-row, no shuffle).
+    * Hash-set dedupe in a UDF: the column-expression `array_distinct` is
+    * O(n²) per row, which dominates at ~500 shingles/doc. Output order is
+    * irrelevant — every consumer (jaccard counts, minhash mins, inverted
+    * index) is set-semantics.
+    */
+  private def shingleUdf(n: Int) = udf { ws: Seq[String] =>
+    val out = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i + n - 1 < ws.length) {
+      sb.setLength(0)
+      var o = 0
+      while (o < n) { if (o > 0) sb.append(' '); sb.append(ws(i + o)); o += 1 }
+      out.add(sb.toString)
+      i += 1
+    }
+    out.toArray(new Array[String](out.size)).toSeq
   }
+
+  def shingleArray(text: Column, n: Int = 3): Column = shingleUdf(n)(words(text))
+
+  /** Distinct 3-word shingles per document: (doc_id, shingle).
+    * Repartitioned first: single-file local sources arrive as one
+    * partition and the explode/join pipeline would otherwise start
+    * single-threaded.
+    */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .filter(size(words(col("text"))) >= n)
+      .select(col("doc_id"), explode(shingleArray(col("text"), n)).as("shingle"))
 
   /** Exact-duplicate summary via content digest groupBy. */
   def exactSummary(docs: DataFrame): DataFrame =
@@ -74,85 +95,108 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** MinHash signatures: sig(seed) = min over shingles of
-    * md5(seed || ':' || shingle), seeds 0..k−1. A string-min minhash —
-    * md5 is available verbatim in DuckDB, making the whole LSH pipeline
-    * oracle-checkable. Output: (doc_id, seed, minhash).
-    */
-  def minhashSignatures(sh: DataFrame, k: Int): DataFrame =
-    sh.crossJoin(broadcast(
-        spark_range_df(sh, k)))
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("shingle"))))
-        .as("minhash"))
+  import graft.functions.HashUtil.md5Hex
 
-  private def spark_range_df(ref: DataFrame, k: Int): DataFrame =
-    ref.sparkSession.range(k).select(col("id").as("seed"))
+  /** Per-document LSH band digests, computed in one pass over the
+    * shingle array (no k× row blowup, no signature shuffle): minhash(j)
+    * = min over shingles of md5(j || ':' || shingle); band digest = md5
+    * of the band's sorted "j=minhash" entries — byte-identical to the
+    * SQL formulation the oracle runs.
+    */
+  private def bandKeysUdf(k: Int, bands: Int) = udf { sh: Seq[String] =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val prefixes = Array.tabulate(k)(j => s"$j:".getBytes("UTF-8"))
+    val mins = new Array[String](k)
+    val it = sh.iterator
+    while (it.hasNext) {
+      val bytes = it.next().getBytes("UTF-8")
+      var j = 0
+      while (j < k) {
+        md.reset(); md.update(prefixes(j)); md.update(bytes)
+        val h = graft.functions.HashUtil.hex(md.digest())
+        if (mins(j) == null || h < mins(j)) mins(j) = h
+        j += 1
+      }
+    }
+    val rows = k / bands
+    (0 until bands).map { b =>
+      val keys = (b * rows until (b + 1) * rows).map(j => s"$j=${mins(j)}").sorted
+      (b, md5Hex(md, keys.mkString("|")))
+    }
+  }
+
+  /** Exact Jaccard over two distinct-shingle arrays. */
+  private val jaccardUdf = udf { (a: Seq[String], b: Seq[String]) =>
+    val sa = a.toSet
+    var inter = 0
+    b.foreach(s => if (sa.contains(s)) inter += 1)
+    inter.toDouble / (a.size + b.size - inter)
+  }
 
   /** MinHash-LSH near-dup pairs: k=16 signature, 4 bands × 4 rows.
-    * Candidates = pairs sharing any band digest; verified with exact
-    * shingle Jaccard. One shuffle to build signatures, one band-key
-    * self-join on tiny (doc, band) rows, one verification join.
+    * Candidates = pairs sharing any band digest (tiny (doc, band, key)
+    * self-join); verified with exact Jaccard over the candidates' shingle
+    * arrays only. Signatures are computed per-row — the only shuffles are
+    * the candidate join and the verification join.
     */
   def minhashLshPairs(docs: DataFrame, threshold: Double,
                       k: Int = 16, bands: Int = 4): DataFrame = {
-    val rows = k / bands
-    val sh = shingles(docs).cache()
-    val sig = minhashSignatures(sh, k)
-    val banded = sig
-      // floor(): Spark double→int cast truncates but DuckDB rounds — make
-      // the band id an explicit floor on both engines
-      .withColumn("band", floor(col("seed") / rows).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      // order within the band is fixed by seed → deterministic digest
-      .agg(md5(concat_ws("|", array_sort(collect_list(
-        concat(col("seed").cast("string"), lit("="), col("minhash")))))).as("band_key"))
+    // small single-file inputs arrive as one partition — spread the
+    // hash-heavy signature computation across cores first
+    val docSh = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), shingleArray(col("text")).as("sh"))
+      .filter(size(col("sh")) >= 1)
+      .cache()
+    val banded = docSh
+      .select(col("doc_id"), explode(bandKeysUdf(k, bands)(col("sh"))).as("bk"))
+      .select(col("doc_id"), col("bk._1").as("band"), col("bk._2").as("band_key"))
     val candidates = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // verify candidates with exact Jaccard
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val inter = candidates
-      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingle", "sa"), "doc_a")
-      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingle", "sb"), "doc_b")
-      .filter(col("sa") === col("sb"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
-      .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6))
+    candidates
+      .join(docSh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(docSh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .withColumn("jaccard", round(jaccardUdf(col("sha"), col("shb")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** 32-bit SimHash per document. Bit j = sign of Σ_words count(word) ·
-    * (±1 by the high bit of the j-th nibble of md5(word) — md5 has
-    * exactly 32 hex nibbles). Pure integer arithmetic → bit-stable
-    * across engines.
+  /** 32-bit SimHash from a word array, one pass per document: bit j =
+    * sign of Σ_words count(word) · (±1 by the high bit of the j-th
+    * nibble of md5(word) — md5 has exactly 32 hex nibbles). Pure integer
+    * arithmetic → bit-stable across engines.
     */
-  def simhash(docs: DataFrame): DataFrame = {
-    val wordCounts = docs
-      .select(col("doc_id"), explode(words(col("text"))).as("w"))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
-      .withColumn("h", md5(col("w")))
-    val bits = wordCounts
-      .crossJoin(broadcast(spark_range_df(docs, 32).withColumnRenamed("seed", "j")))
-      // high bit of the j-th md5 nibble: hex chars '8'..'f' sort >= '8'
-      .withColumn("contrib",
-        when(col("h").substr(col("j").cast("int") + lit(1), lit(1)) >= "8",
-          col("cnt")).otherwise(-col("cnt")))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(col("contrib")).as("weight"))
-    bits
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("weight") > 0, expr("shiftleft(1L, CAST(j AS INT))"))
-        .otherwise(0L)).as("simhash"))
-      .orderBy(col("doc_id"))
+  private val simhashUdf = udf { ws: Seq[String] =>
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    ws.foreach(w => counts.update(w, counts.getOrElse(w, 0L) + 1L))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val weight = new Array[Long](32)
+    counts.foreach { case (w, c) =>
+      val hex = md5Hex(md, w)
+      var j = 0
+      while (j < 32) {
+        // high bit of the j-th nibble: hex chars '8'..'f' sort >= '8'
+        if (hex.charAt(j) >= '8') weight(j) += c else weight(j) -= c
+        j += 1
+      }
+    }
+    var h = 0L
+    var j = 0
+    while (j < 32) { if (weight(j) > 0) h |= (1L << j); j += 1 }
+    h
   }
+
+  /** Per-document 32-bit SimHash (per-row; repartitioned so the hash
+    * work parallelizes even from a single-file source).
+    */
+  def simhash(docs: DataFrame): DataFrame =
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), simhashUdf(words(col("text"))).as("simhash"))
+      .orderBy(col("doc_id"))
 
   /** SimHash near-dup pairs, hamming ≤ maxDist (≤3 with 4-byte
     * blocking: any pair within hamming 3 of a 32-bit hash shares at
@@ -182,11 +226,16 @@ object Dedup {
     * work and the top-N is a TakeOrderedAndProject merge.
     */
   def embeddingTopPairs(emb: DataFrame, topN: Int): DataFrame = {
-    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    // norms once per side (n rows), not once per pair (n² rows); the
+    // score expression is bit-identical to cosineSimilarity
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      VectorOps.l2Norm(col("embedding")).as("na"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      VectorOps.l2Norm(col("embedding")).as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(VectorOps.cosineSimilarity(col("ea"), col("eb")), 6).as("score"))
+        round(VectorOps.dotProduct(col("ea"), col("eb"))
+          / (col("na") * col("nb") + lit(1e-12)), 6).as("score"))
       .orderBy(col("score").desc, col("vec_a").asc, col("vec_b").asc)
       .limit(topN)
   }

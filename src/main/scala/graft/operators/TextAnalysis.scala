@@ -74,23 +74,39 @@ object TextAnalysis {
         .as("re_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Bounded distinct-min-k: the k lexicographically smallest distinct
+    * md5 hashes of the text's 8-grams, in one O(n log k) pass (the
+    * column-expression formulation pays O(n²) in `array_distinct` plus a
+    * full sort).
+    */
+  private def minKUdf(k: Int) = udf { text: String =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val kept = new java.util.TreeSet[String]()
+    var i = 0
+    val last = text.length - 8
+    while (i <= last) {
+      val h = graft.functions.HashUtil.md5Hex(md, text.substring(i, i + 8))
+      if (kept.size < k || h < kept.last()) {
+        kept.add(h)
+        if (kept.size > k) kept.pollLast()
+      }
+      i += 1
+    }
+    kept.toArray(new Array[String](kept.size)).toSeq
+  }
+
   /** Bottom-k md5 sketch over character 8-grams — a winnowing-style
     * document fingerprint: the k lexicographically smallest 8-gram
-    * hashes identify near-identical content under local edits.
+    * hashes identify near-identical content under local edits. Computed
+    * entirely per-row; no explode-then-window shuffle of the gram set.
     */
-  def minKSketch(docs: DataFrame, k: Int = 4): DataFrame = {
-    val exploded = docs
+  def minKSketch(docs: DataFrame, k: Int = 4): DataFrame =
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .filter(length(col("text")) >= 8)
-      .select(col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(1), length(col("text")) - 7),
-          i => md5(col("text").substr(i, lit(8)))))).as("h"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("h"))
-    exploded.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("doc_id"), col("rank"), col("h"))
+      .select(col("doc_id"), posexplode(minKUdf(k)(col("text"))).as(Seq("pos", "h")))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("rank"), col("h"))
       .orderBy(col("doc_id"), col("rank"))
-  }
 
   /** Full-text digests. */
   def digests(docs: DataFrame): DataFrame =

@@ -1,0 +1,95 @@
+package org.apache.spark.sql.graftx
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for graft's vector kernels.
+  *
+  * Lives under `org.apache.spark.sql` because the expression-to-Column
+  * bridge (`classic.ExpressionUtils`) and `TypeCollection` are
+  * `private[sql]` in Spark 4 — the standard extension-library packaging
+  * for custom expressions.
+  *
+  * The higher-order-function formulation (`zip_with` + `aggregate`)
+  * allocates an intermediate array per row; on O(n²) similarity-join
+  * paths that allocation dominates. These expressions evaluate the same
+  * left-to-right double-accumulation loop (bit-identical results — the
+  * DuckDB oracle contract is preserved) inside whole-stage codegen with
+  * zero allocation. Element access adapts to float or double arrays, so
+  * the same expression serves raw embeddings (`array<float>`) and
+  * computed centroids (`array<double>`).
+  */
+abstract class VecFoldExpression extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)),
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+  override def dataType: DataType = DoubleType
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val leftFloat = isFloat(left)
+  @transient private lazy val rightFloat = isFloat(right)
+
+  private def get(fl: Boolean, arr: ArrayData, i: Int): Double =
+    if (fl) arr.getFloat(i).toDouble else arr.getDouble(i)
+
+  protected def getterJava(e: Expression, arr: String, i: String): String =
+    if (isFloat(e)) s"(double)$arr.getFloat($i)" else s"$arr.getDouble($i)"
+
+  /** Per-element accumulation term given element expressions x, y. */
+  protected def combineJava(x: String, y: String): String
+  protected def combine(x: Double, y: Double): Double
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += combine(get(leftFloat, x, i), get(rightFloat, y, i)); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ${combineJava(getterJava(left, a, i), getterJava(right, b, i))};
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+}
+
+/** Σ aᵢ·bᵢ — codegen'd dot product. */
+case class VecDot(left: Expression, right: Expression) extends VecFoldExpression {
+  protected def combineJava(x: String, y: String): String = s"$x * $y"
+  protected def combine(x: Double, y: Double): Double = x * y
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Σ (aᵢ−bᵢ)² — codegen'd squared L2 distance. */
+case class VecSqDist(left: Expression, right: Expression) extends VecFoldExpression {
+  protected def combineJava(x: String, y: String): String = s"($x - $y) * ($x - $y)"
+  protected def combine(x: Double, y: Double): Double = (x - y) * (x - y)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object VecExpressions {
+  def vecDot(a: Column, b: Column): Column =
+    ExpressionUtils.column(VecDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def vecSqDist(a: Column, b: Column): Column =
+    ExpressionUtils.column(VecSqDist(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}
