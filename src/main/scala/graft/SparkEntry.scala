@@ -125,6 +125,15 @@ object SparkEntry {
     "search_centroids_topk" -> ((s, dir) => Ann.searchCentroids(emb(s, dir), "cosine", 5)),
     "ann_ivf_topk" -> ((s, dir) => Ann.ivfTopK(emb(s, dir), "cosine", 10, 2)),
     "ann_lsh_pairs" -> ((s, dir) => Ann.lshCosinePairs(emb(s, dir), 0.4)),
+    // north-star: MLlib batch KMeans index + probe search (rows-only:
+    // kmeans|| init depends on partitioning, not SQL-expressible)
+    "ann_kmeans_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = operators.KMeansIndex.build(e, k = 8)
+      val query = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      operators.KMeansIndex.search(idx, query, topK = 10, nProbe = 3)
+    }),
     // §2.9 relational: multi-join, window, semi/anti, json, audit hash
     "q3_shipping_priority" -> ((s, dir) => {
       val cust = tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")

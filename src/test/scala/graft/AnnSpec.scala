@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.KMeansIndex
+import org.apache.spark.sql.graftx.GraftFunctions
+
+class AnnSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  test("KMeans index: assignments cover all rows, k cells, centroids match dim") {
+    val idx = KMeansIndex.build(emb, k = 8)
+    assert(idx.assigned.count() == emb.count())
+    assert(idx.centroids.count() == 8)
+    assert(idx.assigned.select("cell").distinct().count() <= 8)
+    val c = idx.centroids.head()
+    assert(c.getSeq[Double](1).length == 64)
+  }
+
+  test("KMeans probe search: high recall vs exact top-k with modest probes") {
+    val idx = KMeansIndex.build(emb, k = 8)
+    val query = emb.filter($"vec_id" === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val recallAll = KMeansIndex.recallAtK(idx, emb, query, topK = 10, nProbe = 8)
+    assert(recallAll == 1.0) // probing every cell == exact
+    val recall = KMeansIndex.recallAtK(idx, emb, query, topK = 10, nProbe = 3)
+    assert(recall >= 0.5, s"recall@10 with 3/8 probes was $recall")
+  }
+
+  test("SQL surface: vec_dot / vec_sq_dist registered via GraftFunctions") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      "SELECT vec_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d, " +
+      "vec_sq_dist(array(0.0D, 0.0D), array(3.0D, 4.0D)) AS sq").head()
+    assert(row.getDouble(0) == 11.0 && row.getDouble(1) == 25.0)
+  }
+
+  test("SQL surface: whole search pipeline in pure SQL over a temp view") {
+    GraftFunctions.register(spark)
+    emb.createOrReplaceTempView("emb_sql")
+    val top = spark.sql(
+      """SELECT e.vec_id,
+        |  vec_dot(e.embedding, q.embedding) /
+        |    (sqrt(vec_dot(e.embedding, e.embedding)) * sqrt(vec_dot(q.embedding, q.embedding)) + 1e-12) AS score
+        |FROM emb_sql e CROSS JOIN (SELECT embedding FROM emb_sql WHERE vec_id = 0) q
+        |ORDER BY score DESC, vec_id LIMIT 3""".stripMargin).collect()
+    assert(top.length == 3 && top.head.getLong(0) == 0L)
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-6)
+  }
+}
