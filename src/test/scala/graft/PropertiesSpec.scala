@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** Property-based tests (SURVEY.md §5 plan): metric laws, top-k nesting,
+  * filter/search commutation, import∘export identity, hash-membership
+  * coupling. ScalaCheck properties run through its own runner (the
+  * scalatest bridge artifact is not in the dependency set).
+  */
+class PropertiesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val vecGen: Gen[Array[Float]] =
+    Gen.containerOfN[Array, Float](8, Gen.choose(-2.0f, 2.0f))
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def scalarScore(metric: String, a: Array[Float], b: Array[Float]): Double =
+    Seq((a.toSeq, b.toSeq)).toDF("a", "b")
+      .select(VectorOps.similarity(metric)(col("a"), col("b"))).head().getDouble(0)
+
+  test("property: cosine symmetric, self-similarity ≈ 1 for non-zero vectors") {
+    check(Prop.forAll(vecGen, vecGen) { (a, b) =>
+      val ab = scalarScore("cosine", a, b)
+      val ba = scalarScore("cosine", b, a)
+      val selfOk = !a.exists(v => math.abs(v) > 0.01) ||
+        math.abs(scalarScore("cosine", a, a) - 1.0) < 1e-6
+      math.abs(ab - ba) < 1e-12 && selfOk
+    })
+  }
+
+  test("property: cosine bounded in [-1, 1]; euclidean similarity in (0, 1]") {
+    check(Prop.forAll(vecGen, vecGen) { (a, b) =>
+      val c = scalarScore("cosine", a, b)
+      val e = scalarScore("euclidean", a, b)
+      c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9 && e > 0.0 && e <= 1.0 + 1e-12
+    })
+  }
+
+  private lazy val db10: VectorFieldDB = {
+    val db = new VectorFieldDB(spark, 8)
+    val rnd = new scala.util.Random(11)
+    for (i <- 0 until 30)
+      db.addIGlyph(i, i % 4, Array.fill(8)(rnd.nextFloat() * 2 - 1), id = Some(f"g$i%03d"))
+    db
+  }
+
+  test("property: top-k ids ⊆ top-(k+1) ids") {
+    val q = Array.fill(8)(0.3f)
+    for (k <- 1 until 8) {
+      val topK = db10.search(q, k).select("iglyph_id").as[String].collect().toSet
+      val topK1 = db10.search(q, k + 1).select("iglyph_id").as[String].collect().toSet
+      assert(topK.subsetOf(topK1), s"k=$k")
+    }
+  }
+
+  test("property: search-then-filter == filter-then-search (ctx filter)") {
+    val q = Array.fill(8)(0.3f)
+    for (ctx <- 0 until 4) {
+      val filteredSearch = db10.search(q, 30, ctxFilter = Some(ctx))
+        .select("iglyph_id").as[String].collect().toSeq
+      val searchThenFilter = db10.search(q, 30)
+        .filter(col("outer_context_id") === ctx)
+        .select("iglyph_id").as[String].collect().toSeq
+      assert(filteredSearch == searchThenFilter, s"ctx=$ctx")
+    }
+  }
+
+  test("property: import ∘ export = identity on membership and content") {
+    val jsonl = db10.exportJsonl().collect()
+    val db2 = new VectorFieldDB(spark, 8)
+    assert(db2.importJsonl(spark.createDataset(jsonl.toSeq)) == 30)
+    val orig = db10.iglyphs.select("iglyph_id", "glyph_id", "label")
+      .as[(String, Int, String)].collect().sortBy(_._1).toSeq
+    val back = db2.iglyphs.select("iglyph_id", "glyph_id", "label")
+      .as[(String, Int, String)].collect().sortBy(_._1).toSeq
+    assert(orig == back)
+    assert(db2.currentHash == db10.currentHash) // same membership → same hash
+  }
+
+  test("property: hash changes iff membership changes") {
+    val db = new VectorFieldDB(spark, 8)
+    val h0 = db.currentHash
+    val id = db.addIGlyph(1, 1, Array.fill(8)(1f))
+    val h1 = db.currentHash
+    assert(h1 != h0)
+    db.updateIGlyphEmbedding(id, Array.fill(8)(2f)) // same membership
+    assert(db.currentHash == h1)
+    db.deleteIGlyph(id)
+    assert(db.currentHash != h1 && db.currentHash == h0) // back to empty membership
+  }
+}
