@@ -193,6 +193,13 @@ object SparkEntry {
           coalesce(sum(col("cnt")), lit(0L)).as("n_orders"),
           max(col("mx")).as("max_order_price"))
     }),
+    "skew_salted_join" -> ((s, dir) =>
+      operators.Joins.saltedJoin(tbl(s, dir, "lineitem"),
+          tbl(s, dir, "supplier").withColumnRenamed("s_suppkey", "l_suppkey"), "l_suppkey", 8)
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("n_lineitems"),
+          sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("s_name"))),
     "events_json_agg" -> ((s, dir) =>
       events(s, dir)
         .groupBy(col("event_type"))
@@ -543,6 +550,10 @@ object SparkEntry {
          |  CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_orders,
          |  max(mx) AS max_order_price
          |FROM customer LEFT JOIN pc ON c_custkey = o_custkey""".stripMargin,
+    "skew_salted_join" ->
+      s"""SELECT s_name, count(*) AS n_lineitems, sum(l_quantity) AS sum_qty
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY s_name ORDER BY s_name""".stripMargin,
     "events_json_agg" ->
       s"""SELECT event_type, count(*) AS n_events,
          |  CAST(sum(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
