@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Physical-layout strategies for the 100 TB path: partition pruning on
+  * the context column and bucketed co-located joins (no Exchange).
+  */
+class BucketingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("partitionBy(outer_context_id): ctx filter becomes partition pruning") {
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString + "/iglyphs_part"
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("outer_context_id", (col("vec_id") % 10).cast("int"))
+      .write.partitionBy("outer_context_id").mode("overwrite").parquet(out)
+    val scan = spark.read.parquet(out).filter(col("outer_context_id") === 3)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(outer_context_id"),
+      s"expected partition filter in:\n${plan.take(1500)}")
+    assert(scan.count() == 50) // 500 vectors, 10 contexts
+    // only the ctx=3 directory is read
+    assert(plan.contains("outer_context_id=3") ||
+      !plan.contains("outer_context_id=4"))
+  }
+
+  test("bucketed tables join without a shuffle Exchange") {
+    spark.sql("DROP TABLE IF EXISTS emb_bucketed")
+    spark.sql("DROP TABLE IF EXISTS labels_bucketed")
+    // a previously failed run can leave the managed location behind
+    for (t <- Seq("emb_bucketed", "labels_bucketed")) {
+      val loc = java.nio.file.Paths.get(s"spark-warehouse/$t")
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.write.bucketBy(4, "vec_id").sortBy("vec_id")
+      .mode("overwrite").saveAsTable("emb_bucketed")
+    emb.select(col("vec_id"), (col("label") * 2).as("label2"))
+      .write.bucketBy(4, "vec_id").sortBy("vec_id")
+      .mode("overwrite").saveAsTable("labels_bucketed")
+    val joined = spark.table("emb_bucketed")
+      .join(spark.table("labels_bucketed"), "vec_id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n${plan.take(2000)}")
+    assert(joined.count() == 500)
+  }
+}

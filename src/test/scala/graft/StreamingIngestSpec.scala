@@ -1,0 +1,57 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+/** SURVEY.md §7.6: streaming ingest path — VectorEntry is the natural
+  * streaming record (`types.py:7`); Structured Streaming foreachBatch
+  * validates + appends into the engine with the audit chain intact.
+  */
+class StreamingIngestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("foreachBatch ingest: entries validated, appended, audited") {
+    implicit val sc = spark.sqlContext
+    val db = new VectorFieldDB(spark, 4)
+    val mem = MemoryStream[VectorEntry]
+    // AvailableNow snapshots offsets at start — enqueue first
+    mem.addData(
+      VectorEntry("e1", 1, 1, Array(1f, 2f, 3f, 4f), source_tag = "stream"),
+      VectorEntry("e2", 2, 2, Array(4f, 3f, 2f, 1f), source_tag = "stream"))
+    val q = mem.toDS().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[VectorEntry], _: Long) =>
+        val rows = batch.collect().toSeq.map(e =>
+          IGlyph(e.entry_id, e.glyph_id, e.outer_context_id, e.embedding,
+            label = e.source_tag, meta = e.meta))
+        if (rows.nonEmpty) db.addIGlyphs(rows)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+
+    assert(db.iglyphs.count() == 2)
+    assert(db.getIGlyph("e1").get.label == "stream")
+    val hist = db.changeHistory.collect()
+    assert(hist.length == 1 && hist.head.getAs[String]("action") == "ADD_IGLYPH")
+    // second micro-batch continues the chain
+    val mem2 = MemoryStream[VectorEntry]
+    mem2.addData(VectorEntry("e3", 3, 3, Array(0f, 0f, 1f, 0f)))
+    val q2 = mem2.toDS().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[VectorEntry], _: Long) =>
+        val rows = batch.collect().toSeq.map(e =>
+          IGlyph(e.entry_id, e.glyph_id, e.outer_context_id, e.embedding))
+        if (rows.nonEmpty) db.addIGlyphs(rows)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    assert(db.iglyphs.count() == 3)
+    val chain = db.changeHistory.collect()
+      .map(r => (r.getAs[String]("hash_before"), r.getAs[String]("hash_after")))
+    assert(chain.length == 2 && chain(0)._2 == chain(1)._1)
+  }
+}
