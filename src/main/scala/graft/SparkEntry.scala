@@ -23,19 +23,11 @@ import graft.operators.{Ann, Clustering, Dedup, Search, TextAnalysis}
 object SparkEntry {
 
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    sources.Tables.table(s, dir, name)
 
-  private def emb(s: SparkSession, dir: String) = tbl(s, dir, "embeddings")
+  private def emb(s: SparkSession, dir: String) = sources.Tables.embeddings(s, dir)
 
-  /** The events table is written with TIMESTAMP(NANOS) which Spark's
-    * parquet reader rejects; read nanos as long and convert to a
-    * microsecond timestamp (lossless for this data).
-    */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tbl(s, dir, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
-  }
+  private def events(s: SparkSession, dir: String) = sources.Tables.events(s, dir)
 
   // φ-band break factors 1 − φ^{−k}, interpolated into the oracle SQL so
   // both engines compare against bit-identical double constants.
@@ -238,18 +230,17 @@ object SparkEntry {
     "vfdb_pipeline" -> ((s, dir) => {
       import s.implicits._
       val db = new VectorFieldDB(s, 64)
-      val glyphs = emb(s, dir).select(
+      val glyphs = sources.Tables.embeddingsAddressed(s, dir).select(
         col("vec_id").cast("string").as("iglyph_id"),
-        (col("vec_id") % 144000L).cast("int").as("glyph_id"),
-        (col("vec_id") % 10L).cast("int").as("outer_context_id"),
+        col("glyph_id").cast("int").as("glyph_id"),
+        col("outer_context_id"),
         col("embedding"),
         col("label").cast("string").as("label"),
         lit(null).cast("string").as("proto_id"),
         typedLit(Map.empty[String, String]).as("meta"),
         lit("1.0.0").as("version"),
         lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("timestamp"))
-        .as[IGlyph].collect()
-      db.addIGlyphs(glyphs.toSeq)
+      db.addIGlyphsDF(glyphs) // distributed batch write — no driver collect
       val pgIds = db.autoClusterPhi(ctx = 3, anchorGlyphId = 100)
       pgIds.flatMap(db.getPGlyph).map(p =>
         (p.cluster_tag, p.member_ids.length, math.round(p.inertia * 1e6) / 1e6))

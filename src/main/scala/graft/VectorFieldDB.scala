@@ -106,6 +106,29 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
     ids
   }
 
+  /** Distributed batch insert — no driver materialization: validation as
+    * distributed counts, duplicate check as an anti-join, then union.
+    * This is the write path that scales (addIGlyphs(Seq) mirrors the
+    * reference's row-at-a-time API for parity).
+    */
+  def addIGlyphsDF(rows: DataFrame): Long = {
+    val df = rows.select(iglyphsDF.columns.map(col): _*)
+    val bad = df.filter(
+      size($"embedding") =!= dim ||
+        $"glyph_id" < 0 || $"glyph_id" > Validation.GlyphIdMax ||
+        $"outer_context_id" < 0 || $"outer_context_id" > Validation.CtxMax ||
+        $"iglyph_id".isNull).count()
+    require(bad == 0L, s"$bad rows violate schema constraints")
+    val incoming = df.dropDuplicates("iglyph_id").cache()
+    val n = incoming.count()
+    require(n == df.count(), "duplicate iglyph_id within batch")
+    val dups = incoming.join(iglyphsDF.select("iglyph_id"), Seq("iglyph_id"), "left_semi").count()
+    require(dups == 0L, s"$dups iglyph ids already exist")
+    iglyphsDF = iglyphsDF.unionByName(incoming).localCheckpoint(true)
+    log("ADD_IGLYPH", "count" -> n.toString)
+    n
+  }
+
   /** Single insert convenience; generates a UUID when id not supplied. */
   def addIGlyph(glyphId: Int, ctx: Int, embedding: Array[Float],
       label: String = "", id: Option[String] = None,
