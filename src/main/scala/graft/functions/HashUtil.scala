@@ -9,6 +9,15 @@ import java.security.MessageDigest
 object HashUtil {
   private val hexChars = "0123456789abcdef".toCharArray
 
+  // MessageDigest.getInstance takes a synchronized JCA provider lookup —
+  // per-row getInstance calls serialize all executor threads at high
+  // core counts. One digest per thread, reset per use.
+  private val md5Local: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  /** Thread-local reusable MD5 instance. */
+  def md5Digest: MessageDigest = md5Local.get()
+
   def hex(bytes: Array[Byte]): String = {
     val out = new Array[Char](bytes.length * 2)
     var i = 0

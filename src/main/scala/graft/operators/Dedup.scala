@@ -16,8 +16,8 @@ import graft.functions.VectorOps
   *    share ≥1 shingle are ever materialized — no O(n²) cross product).
   *  - MinHash+LSH: md5-keyed minhash signatures → banded bucket join →
   *    exact-Jaccard verification of candidates only.
-  *  - SimHash: 16-bit signature; candidate pairs by nibble blocking
-  *    (pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4 nibbles equal), then exact
+  *  - SimHash: 32-bit signature; candidate pairs by byte blocking
+  *    (pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4 bytes equal), then exact
   *    hamming filter via xor+bit_count.
   *  - embedding cosine: brute-force scored pairs (baseline; the IVF/LSH
   *    scale path lives in Ann.scala).
@@ -104,7 +104,7 @@ object Dedup {
     * SQL formulation the oracle runs.
     */
   private def bandKeysUdf(k: Int, bands: Int) = udf { sh: Seq[String] =>
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = graft.functions.HashUtil.md5Digest
     val prefixes = Array.tabulate(k)(j => s"$j:".getBytes("UTF-8"))
     val mins = new Array[String](k)
     val it = sh.iterator
@@ -173,7 +173,7 @@ object Dedup {
   private val simhashUdf = udf { ws: Seq[String] =>
     val counts = scala.collection.mutable.HashMap.empty[String, Long]
     ws.foreach(w => counts.update(w, counts.getOrElse(w, 0L) + 1L))
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = graft.functions.HashUtil.md5Digest
     val weight = new Array[Long](32)
     counts.foreach { case (w, c) =>
       val hex = md5Hex(md, w)

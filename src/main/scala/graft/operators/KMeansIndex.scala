@@ -30,7 +30,7 @@ object KMeansIndex {
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("features", array_to_vector(col("embedding").cast("array<double>")))
       .cache()
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(20)
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(withVec)
     val assigned = model.transform(withVec).drop("features")

@@ -80,7 +80,7 @@ object TextAnalysis {
     * full sort).
     */
   private def minKUdf(k: Int) = udf { text: String =>
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = graft.functions.HashUtil.md5Digest
     val kept = new java.util.TreeSet[String]()
     var i = 0
     val last = text.length - 8
