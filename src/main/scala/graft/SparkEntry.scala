@@ -289,6 +289,26 @@ object SparkEntry {
          |  round(1.0 / (1.0 + list_distance(CAST(e.embedding AS DOUBLE[]), q.qe)), 6) AS score
          |FROM embeddings e CROSS JOIN q
          |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin,
+    "search_phi_topk" -> {
+      val powers = VectorOps.PhiPowers.mkString(", ")
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+         |z AS (SELECT e.vec_id, list_zip(CAST(e.embedding AS DOUBLE[]), q.qe) AS z
+         |      FROM embeddings e CROSS JOIN q),
+         |w AS (SELECT vec_id, z,
+         |        list_transform(z, x ->
+         |          1.0/(1e-8 + list_min(list_transform([$powers], p ->
+         |            abs((abs(x[1])+abs(x[2]))/2.0 + 1e-12 - p))))) AS wraw
+         |      FROM z),
+         |n AS (SELECT vec_id, z,
+         |        list_transform(wraw, v -> v / (list_sum(wraw) + 1e-12)) AS wn FROM w),
+         |s AS (SELECT vec_id,
+         |        list_sum(list_transform(list_zip(z, wn), t -> (t[1][1]*t[2]) * (t[1][2]*t[2]))) AS dot,
+         |        sqrt(list_sum(list_transform(list_zip(z, wn), t -> (t[1][1]*t[2]) * (t[1][1]*t[2])))) AS na,
+         |        sqrt(list_sum(list_transform(list_zip(z, wn), t -> (t[1][2]*t[2]) * (t[1][2]*t[2])))) AS nb
+         |      FROM n)
+         |SELECT vec_id, round(dot/(na*nb + 1e-12), 6) AS score
+         |FROM s ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+    },
     "search_filtered_topk" ->
       s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, e.vec_id % 144000 AS glyph_id,
