@@ -107,6 +107,19 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(tbl(s, dir, "documents"))),
     "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(tbl(s, dir, "documents"), 1)),
     "dedup_embedding_pairs" -> ((s, dir) => Dedup.embeddingTopPairs(emb(s, dir), 20)),
+    "dedup_keep_canonical" -> ((s, dir) => Dedup.keepCanonical(tbl(s, dir, "documents"))),
+    // deterministic train/valid/test split (mod-based here for oracle
+    // portability; production uses xxhash64 of the id for mixing)
+    "sample_split" -> ((s, dir) =>
+      emb(s, dir)
+        .withColumn("split",
+          when(col("vec_id") % 10 < 8, "train")
+            .when(col("vec_id") % 10 === 8, "valid").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("label")).as("n_labels"),
+          min(col("vec_id")).as("min_id"), max(col("vec_id")).as("max_id"))
+        .orderBy(col("split"))),
     // north-star: text analysis (documents table)
     "text_stats" -> ((s, dir) => TextAnalysis.textStats(tbl(s, dir, "documents"))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(tbl(s, dir, "documents"))),
@@ -450,6 +463,19 @@ object SparkEntry {
          |         FROM nib x JOIN nib y ON x.q = y.q AND x.nib = y.nib AND x.doc_id < y.doc_id)
          |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
          |FROM cand WHERE bit_count(xor(ha, hb)) <= 1 ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_keep_canonical" ->
+      s"""WITH h AS (SELECT doc_id, source, sha256(text) AS h FROM documents),
+         |c AS (SELECT h, min(doc_id) AS keep_id FROM h GROUP BY h)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+         |FROM h JOIN c USING (h) GROUP BY source ORDER BY source""".stripMargin,
+    "sample_split" ->
+      s"""SELECT CASE WHEN vec_id % 10 < 8 THEN 'train'
+         |            WHEN vec_id % 10 = 8 THEN 'valid' ELSE 'test' END AS split,
+         |  count(*) AS n, count(DISTINCT label) AS n_labels,
+         |  min(vec_id) AS min_id, max(vec_id) AS max_id
+         |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_embedding_pairs" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round(${cosSql("a.v", "b.v")}, 6) AS score

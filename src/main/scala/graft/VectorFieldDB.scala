@@ -50,13 +50,18 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
 
   // -------------------------------------------------------------- audit
 
-  /** Membership hash — `vector_field.py:95-103` (sha2-256 deviation). */
+  /** Membership hash — `vector_field.py:95-103` (sha2-256 deviation).
+    * One Spark job: both id sets digested in a single union-aggregate.
+    */
   private def computeHash(): String = {
-    def tableDigest(df: DataFrame, idCol: String): String =
-      df.agg(sha2(concat_ws(",", sort_array(collect_list(col(idCol)))), 256))
-        .head().getString(0) match { case null => "" case s => s }
+    val row = iglyphsDF.select(lit("i").as("t"), col("iglyph_id").as("id"))
+      .unionByName(pglyphsDF.select(lit("p").as("t"), col("pglyph_id").as("id")))
+      .agg(
+        sha2(concat_ws(",", sort_array(collect_list(when(col("t") === "i", col("id"))))), 256),
+        sha2(concat_ws(",", sort_array(collect_list(when(col("t") === "p", col("id"))))), 256))
+      .head()
     val canonical =
-      s"""{"iglyphs": "${tableDigest(iglyphsDF, "iglyph_id")}", "pglyphs": "${tableDigest(pglyphsDF, "pglyph_id")}"}"""
+      s"""{"iglyphs": "${row.getString(0)}", "pglyphs": "${row.getString(1)}"}"""
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(canonical.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
@@ -321,7 +326,10 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
     * plus a manifest.
     */
   def snapshot(outDir: String): Unit = {
-    iglyphsDF.write.mode("overwrite").parquet(s"$outDir/iglyphs")
+    // ctx partitioning (10 values) makes the reference's ctx equality
+    // filter partition pruning on reload — the 100 TB layout
+    iglyphsDF.write.mode("overwrite").partitionBy("outer_context_id")
+      .parquet(s"$outDir/iglyphs")
     pglyphsDF.write.mode("overwrite").parquet(s"$outDir/pglyphs")
     changeHistory.write.mode("overwrite").parquet(s"$outDir/change_history")
     val manifest =

@@ -63,6 +63,22 @@ object Dedup {
       .filter(size(words(col("text"))) >= n)
       .select(col("doc_id"), explode(shingleArray(col("text"), n)).as("shingle"))
 
+  /** Dedup materialization: keep one canonical document per exact-dup
+    * group (lowest doc_id), report kept/dropped per source. The keep
+    * decision is a groupBy(min) + self-join — no row ever compares
+    * against more than its own digest group.
+    */
+  def keepCanonical(docs: DataFrame): DataFrame = {
+    val hashed = docs.select(col("doc_id"), col("source"), sha2(col("text"), 256).as("h"))
+    val canonical = hashed.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+    hashed.join(canonical, "h")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") === col("keep_id"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L)).as("n_dropped"))
+      .orderBy(col("source"))
+  }
+
   /** Exact-duplicate summary via content digest groupBy. */
   def exactSummary(docs: DataFrame): DataFrame =
     docs.select(sha2(col("text"), 256).as("h"), col("doc_id"))
