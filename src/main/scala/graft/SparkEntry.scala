@@ -254,7 +254,7 @@ object SparkEntry {
         lit("1.0.0").as("version"),
         lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("timestamp"))
       db.addIGlyphsDF(glyphs) // distributed batch write — no driver collect
-      val pgIds = db.autoClusterPhi(ctx = 3, anchorGlyphId = 100)
+      val pgIds = db.autoClusterPhiBatch(ctx = 3, anchorGlyphId = 100)
       pgIds.flatMap(db.getPGlyph).map(p =>
         (p.cluster_tag, p.member_ids.length, math.round(p.inertia * 1e6) / 1e6))
         .toDF("cluster_tag", "n_members", "inertia")

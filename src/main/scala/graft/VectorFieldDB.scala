@@ -256,6 +256,38 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
     }
   }
 
+  /** Batched φ-auto-clustering: all band clusters formed in one
+    * aggregation pass with a single audit record — the job-count-lean
+    * variant of autoClusterPhi for high-core/driver-latency-sensitive
+    * runs (reference parity loop above audits one record per band).
+    */
+  def autoClusterPhiBatch(ctx: Int, anchorGlyphId: Int, levels: Int = 3): Seq[String] = {
+    Validation.requireCtx(ctx)
+    Validation.requireGlyphId(anchorGlyphId)
+    val inCtx = iglyphsDF.filter($"outer_context_id" === ctx)
+    val banded = Clustering.withPhiBand(inCtx, levels)
+    val rows = operators.Clustering.withInertia(banded, $"band", $"iglyph_id")
+      .select($"cluster_key", $"centroid", $"member_ids", $"inertia")
+      .collect()
+    if (rows.isEmpty) return Seq.empty
+    val pgs = rows.sortBy(_.getAs[Int]("cluster_key")).map { r =>
+      PGlyph(UUID.randomUUID().toString, anchorGlyphId, ctx,
+        r.getSeq[Double](1).map(_.toFloat).toArray,
+        r.getSeq[String](2).toArray,
+        s"phi_band_${r.getAs[Int]("cluster_key")}",
+        r.getAs[Double]("inertia"))
+    }
+    pglyphsDF = pglyphsDF.unionByName(pgs.toSeq.toDS().toDF())
+    val mapping = pgs.flatMap(p => p.member_ids.map(id => (id, p.pglyph_id)))
+      .toSeq.toDF("iglyph_id", "new_proto")
+    iglyphsDF = iglyphsDF.join(broadcast(mapping), Seq("iglyph_id"), "left")
+      .withColumn("proto_id", coalesce($"new_proto", $"proto_id"))
+      .drop("new_proto")
+    maybeCheckpoint()
+    log("AUTO_CLUSTER_PHI", "bands" -> pgs.length.toString, "ctx" -> ctx.toString)
+    pgs.map(_.pglyph_id).toSeq
+  }
+
   // ------------------------------------------------------------- search
 
   /** Brute-force top-k — `vector_field.py:291-326`. Returns iglyph rows +

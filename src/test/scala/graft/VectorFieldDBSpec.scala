@@ -149,6 +149,24 @@ class VectorFieldDBSpec extends AnyFunSuite {
     assert(db.autoClusterPhi(7, 100).isEmpty)
   }
 
+  test("autoClusterPhiBatch: same bands/members as the per-band loop, one audit record") {
+    def populate(db: VectorFieldDB): Unit =
+      for (i <- 0 until 9) db.addIGlyph(i, 5, vec(i * 0.15f + 0.05f), id = Some(s"m$i"))
+    val dbLoop = freshDb(); populate(dbLoop)
+    val dbBatch = freshDb(); populate(dbBatch)
+    val loopPgs = dbLoop.autoClusterPhi(5, 100)
+    val batchPgs = dbBatch.autoClusterPhiBatch(5, 100)
+    def shape(db: VectorFieldDB, ids: Seq[String]) =
+      ids.flatMap(db.getPGlyph)
+        .map(p => (p.cluster_tag, p.member_ids.sorted.mkString(",")))
+        .sortBy(_._1)
+    assert(shape(dbBatch, batchPgs) == shape(dbLoop, loopPgs))
+    // back-pointers set on every member
+    import org.apache.spark.sql.functions.{col => c}
+    assert(dbBatch.iglyphs.filter(c("proto_id").isNotNull).count() == 9)
+    assert(dbBatch.changeHistory.filter(c("action") === "AUTO_CLUSTER_PHI").count() == 1)
+  }
+
   test("JSONL export/import round-trip; skip-dup; overwrite") {
     import spark.implicits._
     val db = freshDb()
