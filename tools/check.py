@@ -20,6 +20,10 @@ ADD_OPENS = [f"--add-opens={p}=ALL-UNNAMED" for p in (
     "java.base/sun.util.calendar")]
 
 def run_verify():
+    # wipe stale outputs: a failed query must not leave a previous run's
+    # parquet in place and masquerade as a pass
+    import shutil
+    shutil.rmtree(OUT, ignore_errors=True)
     cp = f"{REPO}/target/scala-2.13/classes:" + ":".join(glob.glob("/opt/spark/jars/*.jar"))
     cmd = ["java", *ADD_OPENS, "-Xmx8g", "-Dspark.ui.enabled=false",
            "-Dspark.sql.session.timeZone=UTC", "-cp", cp, "graft.Verify", SF, OUT]
