@@ -130,6 +130,18 @@ object SparkEntry {
     "search_centroids_topk" -> ((s, dir) => Ann.searchCentroids(emb(s, dir), "cosine", 5)),
     "ann_ivf_topk" -> ((s, dir) => Ann.ivfTopK(emb(s, dir), "cosine", 10, 2)),
     "ann_lsh_pairs" -> ((s, dir) => Ann.lshCosinePairs(emb(s, dir), 0.4)),
+    // north-star: int8 embedding compression with error accounting
+    "embedding_quantize" -> ((s, dir) =>
+      emb(s, dir)
+        // distinct internal name: aliasing the output as "scale" in the
+        // same select would lateral-alias-shadow the raw column
+        .withColumn("raw_scale", VectorOps.absMax(col("embedding")))
+        .select(col("vec_id"), round(col("raw_scale"), 6).as("scale"),
+          round(VectorOps.quantizationError(col("embedding"), col("raw_scale")), 9)
+            .as("max_err"),
+          aggregate(VectorOps.quantizeInt8(col("embedding"), col("raw_scale")),
+            lit(0L), (acc, q) => acc + abs(q).cast("long")).as("l1_q"))
+        .orderBy(col("vec_id"))),
     // north-star: MLlib batch KMeans index + probe search (rows-only:
     // kmeans|| init depends on partitioning, not SQL-expressible)
     "ann_kmeans_ivf" -> ((s, dir) => {
@@ -463,6 +475,16 @@ object SparkEntry {
          |         FROM nib x JOIN nib y ON x.q = y.q AND x.nib = y.nib AND x.doc_id < y.doc_id)
          |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
          |FROM cand WHERE bit_count(xor(ha, hb)) <= 1 ORDER BY doc_a, doc_b""".stripMargin,
+    "embedding_quantize" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+         |q AS (SELECT vec_id, v, scale,
+         |        list_transform(v, x -> CAST(round(x*127.0/scale, 0) AS INT)) AS qv FROM s)
+         |SELECT vec_id, round(scale, 6) AS scale,
+         |  round(list_max(list_transform(list_zip(v, qv),
+         |    t -> abs(t[1] - t[2]*scale/127.0))), 9) AS max_err,
+         |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS l1_q
+         |FROM q ORDER BY vec_id""".stripMargin,
     "dedup_keep_canonical" ->
       s"""WITH h AS (SELECT doc_id, source, sha256(text) AS h FROM documents),
          |c AS (SELECT h, min(doc_id) AS keep_id FROM h GROUP BY h)

@@ -100,4 +100,28 @@ object VectorOps {
   /** Squared L2 distance (inertia term) — `clustering.py:32-34`. */
   def squaredDistance(a: Column, b: Column): Column =
     VecExpressions.vecSqDist(a, b)
+
+  /** Per-vector absolute max (int8 quantization scale). */
+  def absMax(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => greatest(acc, abs(d(x))))
+
+  /** Symmetric int8 quantization: qᵢ = round(xᵢ·127/scale) with scale =
+    * max|x| — the 4× embedding storage compression step of an LLM data
+    * pipeline. Returns array<int> in [−127, 127].
+    */
+  def quantizeInt8(a: Column, scale: Column): Column =
+    transform(a, x => round(d(x) * lit(127.0) / scale, 0).cast("int"))
+
+  /** Dequantize back to doubles: xᵢ ≈ qᵢ·scale/127. */
+  def dequantizeInt8(q: Column, scale: Column): Column =
+    transform(q, x => d(x) * scale / lit(127.0))
+
+  /** Max absolute reconstruction error of the quantize/dequantize
+    * round-trip (bounded by scale/254 for symmetric int8).
+    */
+  def quantizationError(a: Column, scale: Column): Column =
+    aggregate(
+      zip_with(a, dequantizeInt8(quantizeInt8(a, scale), scale),
+        (x, y) => abs(d(x) - y)),
+      lit(0.0), (acc, e) => greatest(acc, e))
 }

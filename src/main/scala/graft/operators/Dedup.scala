@@ -91,24 +91,57 @@ object Dedup {
 
   /** Pairwise shingle-set Jaccard via inverted index: explode → self-join
     * on shingle → count the intersection per pair → join per-doc set
-    * sizes. Only co-occurring pairs are generated; at scale add a
-    * document-frequency cutoff on pathological shingles before the join.
+    * sizes. Only co-occurring pairs are generated. `maxDf` (off by
+    * default, to keep the result exact) drops shingles occurring in more
+    * than that many documents before the self-join — the heavy-hitter
+    * guard for web-scale corpora, where one boilerplate shingle would
+    * otherwise contribute df² join rows; pairs found via the surviving
+    * rare shingles are then exact-verified, trading recall only for
+    * pairs whose every shared shingle is boilerplate.
     */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
-    val sh = shingles(docs, n).cache()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
-      .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
+                        maxDf: Option[Int] = None): DataFrame = maxDf match {
+    case None =>
+      // exact: every co-occurring pair, intersection counted in the join
+      val sh = shingles(docs, n).cache()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      val inter = sh.as("a").join(sh.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+        .withColumn("jaccard",
+          round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6))
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    case Some(dfCut) =>
+      // heavy-hitter-guarded: candidates only from shingles with df ≤
+      // cut (a boilerplate shingle would contribute df² join rows), then
+      // exact Jaccard over the candidates' full shingle arrays — recall
+      // is lost only for pairs whose every shared shingle is boilerplate
+      val docSh = docs
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        .select(col("doc_id"), shingleArray(col("text"), n).as("sh"))
+        .filter(size(col("sh")) >= 1)
+        .cache()
+      val inv = docSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      val rare = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfCut).select("shingle")
+      val rareInv = inv.join(rare, "shingle")
+      val candidates = rareInv.as("a").join(rareInv.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      candidates
+        .join(docSh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+        .join(docSh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+        .withColumn("jaccard", round(jaccardUdf(col("sha"), col("shb")), 6))
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
   }
 
   import graft.functions.HashUtil.md5Hex

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog today", "a"),
+    (2L, "the quick brown fox jumps over the lazy dog tonight", "a"), // near-dup of 1
+    (3L, "completely different text with no overlap at all here", "b"),
+    (4L, "the quick brown fox jumps over the lazy dog today", "b")    // exact dup of 1
+  ).toDF("doc_id", "text", "source")
+
+  test("exactSummary finds the exact duplicate") {
+    val r = Dedup.exactSummary(docs).head()
+    assert(r.getAs[Long]("n_docs") == 4 && r.getAs[Long]("n_distinct") == 3 &&
+      r.getAs[Long]("n_dup_docs") == 1 && r.getAs[Long]("n_dup_groups") == 1)
+  }
+
+  test("ngramJaccardPairs finds near-dups; maxDf guard keeps them") {
+    def pairs(maxDf: Option[Int]) =
+      Dedup.ngramJaccardPairs(docs, 0.5, maxDf = maxDf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(None)
+    assert(exact.contains((1L, 4L)) && exact.contains((1L, 2L)))
+    // the guarded variant finds the same pairs here (no boilerplate-only pairs)
+    assert(pairs(Some(3)) == exact)
+  }
+
+  test("minhashLshPairs recovers exact and near duplicates") {
+    val got = Dedup.minhashLshPairs(docs, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.exists(p => p._1 == 1 && p._2 == 4 && p._3 == 1.0))
+  }
+
+  test("simhash: exact dups share the hash; pairs found via blocking") {
+    val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(4L))
+    val pairs = Dedup.simhashPairs(docs, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("keepCanonical keeps lowest doc_id per group") {
+    val r = Dedup.keepCanonical(docs).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSeq
+    assert(r == Seq(("a", 2L, 2L, 0L), ("b", 2L, 1L, 1L))) // doc 4 dropped (dup of 1)
+  }
+}
