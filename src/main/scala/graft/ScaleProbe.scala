@@ -1,0 +1,33 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators._
+/** Internal scaling probe: 20x data (100k docs, 40k vectors) for the
+  * sub-quadratic operator paths. Not part of the driver contract. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/tmp/scale_probe"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    def t(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"${(System.nanoTime()-t0)/1e9}%8.2f  $name rows=$n")
+    }
+    t("search_topk 40k")(Search.topK(emb, "cosine", 10).count())
+    t("knn_join 10q x 40k")(Search.knnJoin(emb, "cosine", 3, 10).count())
+    t("ivf_topk 40k")(Ann.ivfTopK(emb, "cosine", 10, 2).count())
+    t("minhash_lsh 100k docs")(Dedup.minhashLshPairs(docs, 0.5).count())
+    t("simhash 100k docs")(Dedup.simhash(docs).count())
+    t("simhash_pairs 100k docs")(Dedup.simhashPairs(docs, 3).count())
+    t("ngram_jaccard maxDf=100 100k docs")(Dedup.ngramJaccardPairs(docs, 0.9, maxDf = Some(100)).count())
+    t("keep_canonical 100k docs")(Dedup.keepCanonical(docs).count())
+    t("text_stats 100k docs")(TextAnalysis.textStats(docs).count())
+    t("sketch 100k docs")(TextAnalysis.minKSketch(docs).count())
+    spark.stop()
+  }
+}

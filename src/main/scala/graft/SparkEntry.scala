@@ -105,7 +105,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(tbl(s, dir, "documents"), 0.5)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(tbl(s, dir, "documents"))),
-    "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(tbl(s, dir, "documents"), 1)),
+    "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(tbl(s, dir, "documents"), 3)),
     "dedup_embedding_pairs" -> ((s, dir) => Dedup.embeddingTopPairs(emb(s, dir), 20)),
     "dedup_keep_canonical" -> ((s, dir) => Dedup.keepCanonical(tbl(s, dir, "documents"))),
     // deterministic train/valid/test split (mod-based here for oracle
@@ -278,6 +278,22 @@ object SparkEntry {
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)) + 1e-12)"
 
+  // 62-bit count-weighted SimHash per document (bit j = bit j of
+  // md5(word), MSB-first) — shared prefix of both simhash oracles
+  private val simhashSql =
+    s"""WITH wrd AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+       |            FROM documents),
+       |wc AS (SELECT doc_id, word, count(*) AS cnt, md5(word) AS h FROM wrd GROUP BY doc_id, word),
+       |bits AS (SELECT doc_id, j,
+       |           sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, CAST(j//4 AS INT)+1, 1)) - 1)
+       |                          >> CAST(3 - (j%4) AS INT)) & 1 = 1
+       |               THEN cnt ELSE -cnt END) AS weight
+       |         FROM wc CROSS JOIN (SELECT unnest(range(${operators.Dedup.SimhashBits})) AS j)
+       |         GROUP BY doc_id, j),
+       |sh2 AS (SELECT doc_id,
+       |          CAST(sum(CASE WHEN weight > 0 THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+       |        FROM bits GROUP BY doc_id)""".stripMargin
+
   // distinct 3-word shingles per document
   private val shingleCte =
     """w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
@@ -448,33 +464,20 @@ object SparkEntry {
          |FROM inter i JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
          |WHERE round(i.c::DOUBLE/(x.n + y.n - i.c), 6) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
-    "dedup_simhash" ->
-      s"""WITH wrd AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
-         |            FROM documents),
-         |wc AS (SELECT doc_id, word, count(*) AS cnt, md5(word) AS h FROM wrd GROUP BY doc_id, word),
-         |bits AS (SELECT doc_id, j,
-         |           sum(CASE WHEN substr(h, CAST(j AS INT)+1, 1) >= '8' THEN cnt ELSE -cnt END) AS weight
-         |         FROM wc CROSS JOIN (SELECT unnest(range(32)) AS j) GROUP BY doc_id, j)
-         |SELECT doc_id,
-         |  CAST(sum(CASE WHEN weight > 0 THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
-         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "dedup_simhash_pairs" ->
-      s"""WITH wrd AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
-         |            FROM documents),
-         |wc AS (SELECT doc_id, word, count(*) AS cnt, md5(word) AS h FROM wrd GROUP BY doc_id, word),
-         |bits AS (SELECT doc_id, j,
-         |           sum(CASE WHEN substr(h, CAST(j AS INT)+1, 1) >= '8' THEN cnt ELSE -cnt END) AS weight
-         |         FROM wc CROSS JOIN (SELECT unnest(range(32)) AS j) GROUP BY doc_id, j),
-         |sh2 AS (SELECT doc_id,
-         |          CAST(sum(CASE WHEN weight > 0 THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
-         |        FROM bits GROUP BY doc_id),
-         |nib AS (SELECT doc_id, simhash, q, (simhash >> CAST(q*8 AS INT)) & 255 AS nib
-         |        FROM sh2 CROSS JOIN (SELECT unnest(range(4)) AS q)),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-         |                x.simhash AS ha, y.simhash AS hb
-         |         FROM nib x JOIN nib y ON x.q = y.q AND x.nib = y.nib AND x.doc_id < y.doc_id)
-         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
-         |FROM cand WHERE bit_count(xor(ha, hb)) <= 1 ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_simhash" -> (simhashSql + "\nSELECT doc_id, simhash FROM sh2 ORDER BY doc_id"),
+    "dedup_simhash_pairs" -> {
+      val blocks = operators.Dedup.blockShifts.zip(operators.Dedup.blockMasks)
+        .zipWithIndex.map { case ((s, m), q) => s"($q, $s, $m)" }.mkString(", ")
+      simhashSql +
+        s""",
+           |blk AS (SELECT doc_id, simhash, q, (simhash >> CAST(shift AS INT)) & mask AS blk
+           |        FROM sh2 CROSS JOIN (VALUES $blocks) AS t(q, shift, mask)),
+           |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           |                x.simhash AS ha, y.simhash AS hb
+           |         FROM blk x JOIN blk y ON x.q = y.q AND x.blk = y.blk AND x.doc_id < y.doc_id)
+           |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+           |FROM cand WHERE bit_count(xor(ha, hb)) <= 3 ORDER BY doc_a, doc_b""".stripMargin
+    },
     "embedding_quantize" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e),

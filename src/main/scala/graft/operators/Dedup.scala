@@ -16,9 +16,9 @@ import graft.functions.VectorOps
   *    share ≥1 shingle are ever materialized — no O(n²) cross product).
   *  - MinHash+LSH: md5-keyed minhash signatures → banded bucket join →
   *    exact-Jaccard verification of candidates only.
-  *  - SimHash: 32-bit signature; candidate pairs by byte blocking
-  *    (pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4 bytes equal), then exact
-  *    hamming filter via xor+bit_count.
+  *  - SimHash: 62-bit signature; candidate pairs by 16-bit block
+  *    equi-join (pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4 blocks equal), then
+  *    exact hamming filter via xor+bit_count.
   *  - embedding cosine: brute-force scored pairs (baseline; the IVF/LSH
   *    scale path lives in Ann.scala).
   *
@@ -214,28 +214,41 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** 32-bit SimHash from a word array, one pass per document: bit j =
-    * sign of Σ_words count(word) · (±1 by the high bit of the j-th
-    * nibble of md5(word) — md5 has exactly 32 hex nibbles). Pure integer
-    * arithmetic → bit-stable across engines.
+  /** SimHash width: 62 bits — the first 62 bits of md5(word), MSB-first.
+    * 62 (not 64) keeps every hash value positive in both engines: the
+    * oracle's `1::BIGINT << 63` overflows DuckDB, and sign bits poison
+    * shift/mask block extraction. Block layout for hamming ≤ 3
+    * candidates (pigeonhole over maxDist+1 = 4 blocks): 16+16+16+14.
+    */
+  val SimhashBits = 62
+  val blockShifts = Array(0, 16, 32, 48)
+  val blockMasks = Array(65535L, 65535L, 65535L, 16383L)
+
+  /** 62-bit SimHash from a word array, one pass per document: bit j =
+    * sign of Σ_words count(word) · (±1 by bit j of md5(word), MSB-first
+    * over the digest). Pure integer arithmetic → bit-stable across
+    * engines; 16-bit blocks keep candidate groups ~n/2¹⁶ even on
+    * 100k-document corpora (the 32-bit variant's byte blocks collided
+    * quadratically at that size).
     */
   private val simhashUdf = udf { ws: Seq[String] =>
     val counts = scala.collection.mutable.HashMap.empty[String, Long]
     ws.foreach(w => counts.update(w, counts.getOrElse(w, 0L) + 1L))
     val md = graft.functions.HashUtil.md5Digest
-    val weight = new Array[Long](32)
+    val weight = new Array[Long](SimhashBits)
     counts.foreach { case (w, c) =>
-      val hex = md5Hex(md, w)
+      md.reset()
+      val digest = md.digest(w.getBytes("UTF-8"))
       var j = 0
-      while (j < 32) {
-        // high bit of the j-th nibble: hex chars '8'..'f' sort >= '8'
-        if (hex.charAt(j) >= '8') weight(j) += c else weight(j) -= c
+      while (j < SimhashBits) {
+        if (((digest(j >> 3) >> (7 - (j & 7))) & 1) == 1) weight(j) += c
+        else weight(j) -= c
         j += 1
       }
     }
     var h = 0L
     var j = 0
-    while (j < 32) { if (weight(j) > 0) h |= (1L << j); j += 1 }
+    while (j < SimhashBits) { if (weight(j) > 0) h |= (1L << j); j += 1 }
     h
   }
 
@@ -247,18 +260,22 @@ object Dedup {
       .select(col("doc_id"), simhashUdf(words(col("text"))).as("simhash"))
       .orderBy(col("doc_id"))
 
-  /** SimHash near-dup pairs, hamming ≤ maxDist (≤3 with 4-byte
-    * blocking: any pair within hamming 3 of a 32-bit hash shares at
-    * least one exact byte — pigeonhole over 4 blocks) → candidates via
-    * byte equi-join, then the exact xor+bit_count filter.
+  /** SimHash near-dup pairs, hamming ≤ maxDist (≤3 with the 4-block
+    * 16/16/16/14 layout: any pair within hamming 3 shares at least one
+    * exact block — pigeonhole) → candidates via block equi-join, then
+    * the exact xor+bit_count filter.
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
-    val sh = simhash(docs)
-    val nibbles = sh.select(col("doc_id"), col("simhash"),
-        explode(sequence(lit(0), lit(3))).as("q"))
-      .withColumn("nib", expr("shiftright(simhash, CAST(q*8 AS INT)) & 255"))
-    val cand = nibbles.as("x").join(nibbles.as("y"),
-        col("x.q") === col("y.q") && col("x.nib") === col("y.nib") &&
+    val sh = simhash(docs).cache()
+    val blockExpr = blockShifts.zip(blockMasks).zipWithIndex.map {
+      case ((s, m), q) => struct(lit(q).as("q"),
+        expr(s"shiftright(simhash, $s) & $m").as("blk"))
+    }
+    val blocks = sh.select(col("doc_id"), col("simhash"),
+        explode(array(blockExpr.toIndexedSeq: _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.q").as("q"), col("b.blk").as("blk"))
+    val cand = blocks.as("x").join(blocks.as("y"),
+        col("x.q") === col("y.q") && col("x.blk") === col("y.blk") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.simhash").as("ha"), col("y.simhash").as("hb"))
