@@ -217,6 +217,33 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_lineitems"),
           sum(col("l_quantity")).as("sum_qty"))
         .orderBy(col("s_name"))),
+    "rollup_orders" -> ((s, dir) =>
+      tbl(s, dir, "orders")
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
+        .orderBy(col("o_orderpriority").asc_nulls_first, col("o_orderstatus").asc_nulls_first)),
+    "set_ops_nations" -> ((s, dir) => {
+      val supplierNations = tbl(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      val customerNations = tbl(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      supplierNations.intersect(customerNations)
+        .withColumn("op", lit("intersect"))
+        .unionByName(customerNations.except(supplierNations)
+          .withColumn("op", lit("customer_only")))
+        .groupBy(col("op")).agg(count(lit(1)).as("n_nations"))
+        .orderBy(col("op"))
+    }),
+    "string_funcs" -> ((s, dir) =>
+      tbl(s, dir, "customer")
+        .filter(col("c_custkey") <= 100)
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("upper_name"),
+          length(col("c_name")).cast("long").as("name_len"),
+          substring(col("c_name"), 1, 10).as("prefix"),
+          regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+          concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"),
+          lpad(col("c_custkey").cast("string"), 8, "0").as("padded"))
+        .orderBy(col("c_custkey"))),
     "events_json_agg" -> ((s, dir) =>
       events(s, dir)
         .groupBy(col("event_type"))
@@ -616,6 +643,27 @@ object SparkEntry {
       s"""SELECT s_name, count(*) AS n_lineitems, sum(l_quantity) AS sum_qty
          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          |GROUP BY s_name ORDER BY s_name""".stripMargin,
+    "rollup_orders" ->
+      s"""SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+         |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+    "set_ops_nations" ->
+      s"""WITH sn AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier),
+         |cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+         |u AS (
+         |  SELECT nationkey, 'intersect' AS op FROM (SELECT nationkey FROM sn INTERSECT SELECT nationkey FROM cn)
+         |  UNION ALL
+         |  SELECT nationkey, 'customer_only' AS op FROM (SELECT nationkey FROM cn EXCEPT SELECT nationkey FROM sn))
+         |SELECT op, count(*) AS n_nations FROM u GROUP BY op ORDER BY op""".stripMargin,
+    "string_funcs" ->
+      s"""SELECT c_custkey, upper(c_name) AS upper_name,
+         |  CAST(length(c_name) AS BIGINT) AS name_len,
+         |  substr(c_name, 1, 10) AS prefix,
+         |  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+         |  concat_ws('|', c_mktsegment, c_name) AS joined,
+         |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded
+         |FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey""".stripMargin,
     "events_json_agg" ->
       s"""SELECT event_type, count(*) AS n_events,
          |  CAST(sum(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
