@@ -117,19 +117,26 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
     * reference's row-at-a-time API for parity).
     */
   def addIGlyphsDF(rows: DataFrame): Long = {
-    val df = rows.select(iglyphsDF.columns.map(col): _*)
-    val bad = df.filter(
-      size($"embedding") =!= dim ||
-        $"glyph_id" < 0 || $"glyph_id" > Validation.GlyphIdMax ||
-        $"outer_context_id" < 0 || $"outer_context_id" > Validation.CtxMax ||
-        $"iglyph_id".isNull).count()
-    require(bad == 0L, s"$bad rows violate schema constraints")
-    val incoming = df.dropDuplicates("iglyph_id").cache()
-    val n = incoming.count()
-    require(n == df.count(), "duplicate iglyph_id within batch")
-    val dups = incoming.join(iglyphsDF.select("iglyph_id"), Seq("iglyph_id"), "left_semi").count()
-    require(dups == 0L, s"$dups iglyph ids already exist")
-    iglyphsDF = iglyphsDF.unionByName(incoming).localCheckpoint(true)
+    val df = rows.select(iglyphsDF.columns.map(col): _*).cache()
+    // all validation counts in one job: constraint violations, batch
+    // size, batch-internal dups, collisions with the existing store
+    val v = df
+      .join(iglyphsDF.select($"iglyph_id", lit(1).as("existing")), Seq("iglyph_id"), "left")
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct($"iglyph_id").as("n_ids"),
+        sum(when(
+          size($"embedding") =!= dim ||
+            $"glyph_id" < 0 || $"glyph_id" > Validation.GlyphIdMax ||
+            $"outer_context_id" < 0 || $"outer_context_id" > Validation.CtxMax ||
+            $"iglyph_id".isNull, 1L).otherwise(0L)).as("bad"),
+        sum(when($"existing".isNotNull, 1L).otherwise(0L)).as("dups"))
+      .head()
+    val n = v.getLong(0)
+    require(v.getLong(2) == 0L, s"${v.getLong(2)} rows violate schema constraints")
+    require(v.getLong(1) == n, "duplicate iglyph_id within batch")
+    require(v.getLong(3) == 0L, s"${v.getLong(3)} iglyph ids already exist")
+    iglyphsDF = iglyphsDF.unionByName(df).localCheckpoint(true)
     log("ADD_IGLYPH", "count" -> n.toString)
     n
   }

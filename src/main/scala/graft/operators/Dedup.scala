@@ -252,7 +252,7 @@ object Dedup {
     h
   }
 
-  /** Per-document 32-bit SimHash (per-row; repartitioned so the hash
+  /** Per-document 62-bit SimHash (per-row; repartitioned so the hash
     * work parallelizes even from a single-file source).
     */
   def simhash(docs: DataFrame): DataFrame =

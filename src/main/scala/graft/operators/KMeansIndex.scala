@@ -31,6 +31,10 @@ object KMeansIndex {
       .withColumn("features", array_to_vector(col("embedding").cast("array<double>")))
       .cache()
     val model = new KMeans().setK(k).setSeed(seed).setMaxIter(10)
+      // random init: one seeding job instead of k-means||'s ~5 passes —
+      // at index-build scale the extra iterations are cheaper than the
+      // extra full-data passes
+      .setInitMode("random")
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(withVec)
     val assigned = model.transform(withVec).drop("features")
