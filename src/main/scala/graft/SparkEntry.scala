@@ -217,6 +217,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_lineitems"),
           sum(col("l_quantity")).as("sum_qty"))
         .orderBy(col("s_name"))),
+    "stats_advanced" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 6).as("q25"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("median"),
+          round(expr("percentile(l_quantity, 0.75)"), 6).as("q75"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+          round(stddev_pop(col("l_quantity")), 6).as("sd_qty"))
+        .orderBy(col("l_returnflag"))),
     "rollup_orders" -> ((s, dir) =>
       tbl(s, dir, "orders")
         .rollup(col("o_orderpriority"), col("o_orderstatus"))
@@ -643,6 +653,14 @@ object SparkEntry {
       s"""SELECT s_name, count(*) AS n_lineitems, sum(l_quantity) AS sum_qty
          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          |GROUP BY s_name ORDER BY s_name""".stripMargin,
+    "stats_advanced" ->
+      s"""SELECT l_returnflag,
+         |  round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+         |  round(quantile_cont(l_quantity, 0.5), 6) AS median,
+         |  round(quantile_cont(l_quantity, 0.75), 6) AS q75,
+         |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+         |  round(stddev_pop(l_quantity), 6) AS sd_qty
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "rollup_orders" ->
       s"""SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
