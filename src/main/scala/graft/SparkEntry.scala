@@ -217,6 +217,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_lineitems"),
           sum(col("l_quantity")).as("sum_qty"))
         .orderBy(col("s_name"))),
+    // as-of join: for each error event, the user's most recent preceding
+    // click (union + ordered-window implementation; oracle = native
+    // DuckDB ASOF JOIN)
+    "asof_error_click" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      operators.Joins.asofJoin(errors, clicks, "user_id", "ts", "ts", Seq("click_id"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("error_ts"),
+          col("asof_click_id").as("last_click_id"))
+        .orderBy(col("event_id"))
+    }),
     "stats_advanced" -> ((s, dir) =>
       tbl(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -653,6 +668,14 @@ object SparkEntry {
       s"""SELECT s_name, count(*) AS n_lineitems, sum(l_quantity) AS sum_qty
          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          |GROUP BY s_name ORDER BY s_name""".stripMargin,
+    "asof_error_click" ->
+      s"""WITH errors AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+         |clicks AS (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click')
+         |SELECT e.event_id, e.user_id, strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS error_ts,
+         |  c.click_id AS last_click_id
+         |FROM errors e ASOF LEFT JOIN clicks c
+         |  ON e.user_id = c.user_id AND c.ts <= e.ts
+         |ORDER BY e.event_id""".stripMargin,
     "stats_advanced" ->
       s"""SELECT l_returnflag,
          |  round(quantile_cont(l_quantity, 0.25), 6) AS q25,

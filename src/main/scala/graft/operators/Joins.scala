@@ -28,6 +28,47 @@ object Joins {
     saltedLarge.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** As-of join — the canonical "operator Spark lacks" (DuckDB/kdb have
+    * it natively): for each left row, the right row with the greatest
+    * `rightTime <= leftTime` within the same key. Implemented with the
+    * union + ordered-window technique: interleave both sides sorted by
+    * (time, right-first-on-ties) per key, then carry the last seen right
+    * payload forward with `last_value(ignoreNulls)`. One shuffle on the
+    * key — no range cross-product, scales as a single sort-merge pass.
+    *
+    * `left`/`right` must share `keyCol`; right payload columns are
+    * prefixed `asof_`. Left rows with no prior right row get nulls.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               leftTime: String, rightTime: String,
+               rightPayload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val leftCols = left.columns
+    val l = left.withColumn("__t", col(leftTime)).withColumn("__is_right", lit(0))
+      .withColumn("__key", col(keyCol))
+    val r = right.select(
+      (col(keyCol).as("__key") +: col(rightTime).as("__t") +: lit(1).as("__is_right") +:
+        rightPayload.map(c => col(c).as(s"asof_$c"))).toIndexedSeq: _*)
+    val lAligned = l.select(
+      (col("__key") +: col("__t") +: col("__is_right") +:
+        (leftCols.map(col) ++ rightPayload.map(c => lit(null).cast(
+          right.schema(c).dataType).as(s"asof_$c")))).toIndexedSeq: _*)
+    val rAligned = r.select(
+      (col("__key") +: col("__t") +: col("__is_right") +:
+        (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          rightPayload.map(c => col(s"asof_$c")))).toIndexedSeq: _*)
+    // right rows sort before left rows at equal time → an equal-time
+    // right row IS visible to the left row (<= semantics)
+    val w = Window.partitionBy(col("__key"))
+      .orderBy(col("__t").asc, col("__is_right").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightPayload.foldLeft(lAligned.unionByName(rAligned)) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__is_right") === 0)
+      .select(leftCols.map(col) ++ rightPayload.map(c => col(s"asof_$c")): _*)
+  }
+
   /** Key-frequency report — pick salt factors from data, not folklore. */
   def keySkew(df: DataFrame, key: String, topN: Int = 10): DataFrame =
     df.groupBy(col(key)).agg(count(lit(1)).as("n"))

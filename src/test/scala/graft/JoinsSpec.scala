@@ -30,6 +30,21 @@ class JoinsSpec extends AnyFunSuite {
     assert(dist.max < 1000 * 0.4)         // no bucket holds the whole key
   }
 
+  test("asofJoin: greatest right time <= left time, per key; ties included; no-match null") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val left = Seq((1L, ts(100), "e1"), (1L, ts(50), "e2"), (2L, ts(100), "e3"),
+      (1L, ts(10), "e4")).toDF("k", "t", "id")
+    val right = Seq((1L, ts(100), 900L), (1L, ts(60), 901L), (1L, ts(20), 902L),
+      (3L, ts(90), 903L)).toDF("k", "t", "rid")
+    val got = Joins.asofJoin(left, right, "k", "t", "t", Seq("rid"))
+      .collect().map(r => r.getString(2) -> Option(r.get(3))).toMap
+    assert(got("e1") == Some(900L)) // equal time included (<=)
+    assert(got("e2") == Some(902L)) // skips the later 60/100 rows
+    assert(got("e3") == None)       // key 2 has no right rows
+    assert(got("e4") == None)       // before every right row
+  }
+
   test("keySkew surfaces the hot key first") {
     val df = (1 to 100).map(i => (if (i <= 60) 5L else i.toLong, i)).toDF("k", "v")
     val top = Joins.keySkew(df, "k", 3).collect()
