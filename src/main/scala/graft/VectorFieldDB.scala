@@ -10,6 +10,10 @@ import org.apache.spark.sql.functions._
 import graft.functions.VectorOps
 import graft.operators.Clustering
 
+/** Audit record — schema from `vector_field.py:109-117`. */
+case class AuditRecord(action: String, timestamp: Timestamp,
+    hash_before: String, hash_after: String, details: Map[String, String])
+
 /** The engine facade — Spark re-expression of `VectorFieldDB`
   * (`/root/reference/aeuc_vector_db/vector_field.py:45-486`).
   *
@@ -28,10 +32,6 @@ import graft.operators.Clustering
   *    rather than the full lists (the reference JSON-serializes every id,
   *    `vector_field.py:95-103`, which cannot scale past driver memory).
   */
-/** Audit record — schema from `vector_field.py:109-117`. */
-case class AuditRecord(action: String, timestamp: Timestamp,
-    hash_before: String, hash_after: String, details: Map[String, String])
-
 class VectorFieldDB(val spark: SparkSession, val dim: Int) {
   require(dim >= 1, s"dim must be >= 1, got $dim")
 
