@@ -232,6 +232,22 @@ object SparkEntry {
           col("asof_click_id").as("last_click_id"))
         .orderBy(col("event_id"))
     }),
+    // range join: prior-view counts in the 30 min before each purchase
+    // (time-bucketed candidates, not a per-key cross product)
+    "range_join_views" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"))
+      val counts = operators.Joins
+        .rangeJoinPrior(purchases, views, "user_id", "ts", "view_ts", 1800)
+        .groupBy(col("event_id")).agg(count(lit(1)).as("n"))
+      purchases.join(counts, Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("n"), lit(0L)).as("n_prior_views"))
+        .orderBy(col("event_id"))
+    }),
     "stats_advanced" -> ((s, dir) =>
       tbl(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -676,6 +692,16 @@ object SparkEntry {
          |FROM errors e ASOF LEFT JOIN clicks c
          |  ON e.user_id = c.user_id AND c.ts <= e.ts
          |ORDER BY e.event_id""".stripMargin,
+    "range_join_views" ->
+      s"""WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         |v AS (SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'),
+         |j AS (SELECT p.event_id, count(*) AS n
+         |      FROM p JOIN v ON p.user_id = v.user_id
+         |        AND epoch_ms(v.view_ts) >= epoch_ms(p.ts) - 1800000
+         |        AND epoch_ms(v.view_ts) <= epoch_ms(p.ts)
+         |      GROUP BY p.event_id)
+         |SELECT p.event_id, p.user_id, CAST(coalesce(j.n, 0) AS BIGINT) AS n_prior_views
+         |FROM p LEFT JOIN j USING (event_id) ORDER BY p.event_id""".stripMargin,
     "stats_advanced" ->
       s"""SELECT l_returnflag,
          |  round(quantile_cont(l_quantity, 0.25), 6) AS q25,

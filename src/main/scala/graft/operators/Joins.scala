@@ -69,6 +69,30 @@ object Joins {
       .select(leftCols.map(col) ++ rightPayload.map(c => col(s"asof_$c")): _*)
   }
 
+  /** Range (interval) join: pairs (l, r) sharing `keyCol` with
+    * `rightTime ∈ [leftTime − gapSeconds, leftTime]`. A naive inequality
+    * join is a per-key cross product; instead both sides are bucketed to
+    * `gapSeconds`-wide time blocks and each left row probes only its own
+    * and the previous block (any in-range right row must fall in one of
+    * the two) — an equi-join Spark shuffles hash-partitioned, with the
+    * exact range filter applied to candidates only.
+    */
+  def rangeJoinPrior(left: DataFrame, right: DataFrame, keyCol: String,
+                     leftTime: String, rightTime: String,
+                     gapSeconds: Long): DataFrame = {
+    val lb = left.withColumn("__lt", unix_millis(col(leftTime)))
+      .withColumn("__bucket", floor(col("__lt") / (gapSeconds * 1000)))
+    val rb = right.withColumn("__rt", unix_millis(col(rightTime)))
+      .withColumn("__rbucket", floor(col("__rt") / (gapSeconds * 1000)))
+    val probes = lb.withColumn("__probe",
+      explode(array(col("__bucket"), col("__bucket") - 1)))
+    probes.join(rb,
+        probes(keyCol) === rb(keyCol) && col("__probe") === col("__rbucket"))
+      .filter(col("__rt") >= col("__lt") - gapSeconds * 1000 && col("__rt") <= col("__lt"))
+      .drop(rb(keyCol))
+      .drop("__lt", "__rt", "__bucket", "__rbucket", "__probe")
+  }
+
   /** Key-frequency report — pick salt factors from data, not folklore. */
   def keySkew(df: DataFrame, key: String, topN: Int = 10): DataFrame =
     df.groupBy(col(key)).agg(count(lit(1)).as("n"))

@@ -45,6 +45,22 @@ class JoinsSpec extends AnyFunSuite {
     assert(got("e4") == None)       // before every right row
   }
 
+  test("rangeJoinPrior: inclusive bounds, bucket-boundary pairs, key isolation") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val left = Seq((1L, ts(100), "p1"), (2L, ts(100), "p2")).toDF("k", "t", "id")
+    val right = Seq(
+      (1L, ts(100), "exact"),    // == left time → in (inclusive)
+      (1L, ts(70), "in-range"),  // 30s before, gap 30 → in (boundary)
+      (1L, ts(69), "too-old"),   // 31s before → out
+      (1L, ts(101), "future"),   // after → out
+      (2L, ts(99), "other-key")
+    ).toDF("k", "rt", "rid")
+    val got = Joins.rangeJoinPrior(left, right, "k", "t", "rt", 30)
+      .select("id", "rid").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("p1", "exact"), ("p1", "in-range"), ("p2", "other-key")))
+  }
+
   test("keySkew surfaces the hot key first") {
     val df = (1 to 100).map(i => (if (i <= 60) 5L else i.toLong, i)).toDF("k", "v")
     val top = Joins.keySkew(df, "k", 3).collect()
