@@ -126,6 +126,8 @@ object SparkEntry {
     "token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(tbl(s, dir, "documents"))),
     "doc_digests" -> ((s, dir) => TextAnalysis.digests(tbl(s, dir, "documents"))),
     "doc_sketch" -> ((s, dir) => TextAnalysis.minKSketch(tbl(s, dir, "documents"), 4)),
+    "tfidf_top_terms" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(tbl(s, dir, "documents"), 3)),
     // north-star: ANN coarse-to-fine (reference search_pglyphs generalized)
     "search_centroids_topk" -> ((s, dir) => Ann.searchCentroids(emb(s, dir), "cosine", 5)),
     "ann_ivf_topk" -> ((s, dir) => Ann.ivfTopK(emb(s, dir), "cosine", 10, 2)),
@@ -606,6 +608,20 @@ object SparkEntry {
     "doc_digests" ->
       s"""SELECT doc_id, sha256(text) AS sha256, md5(text) AS md5
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "tfidf_top_terms" ->
+      s"""WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+         |           FROM documents),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word),
+         |dfr AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+         |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+         |scored AS (SELECT tf.doc_id, tf.word,
+         |             round(tf.tf * ln(n.n_docs::DOUBLE / dfr.df), 6) AS score
+         |           FROM tf JOIN dfr USING (word) CROSS JOIN n),
+         |r AS (SELECT *, CAST(row_number() OVER
+         |        (PARTITION BY doc_id ORDER BY score DESC, word) AS INT) AS rank
+         |      FROM scored)
+         |SELECT doc_id, rank, word, score FROM r WHERE rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin,
     "doc_sketch" ->
       s"""WITH g AS (SELECT doc_id,
          |             unnest(list_distinct([md5(substr(text, i, 8))

@@ -108,6 +108,30 @@ object TextAnalysis {
       .select(col("doc_id"), (col("pos") + 1).cast("int").as("rank"), col("h"))
       .orderBy(col("doc_id"), col("rank"))
 
+  /** TF-IDF top terms per document: tf(d,w) · ln(N/df(w)), the k
+    * highest-scoring terms per doc. The inverted shape — one tf row per
+    * (doc, word), one df row per word, broadcast corpus size — is the
+    * plan that scales: no per-doc vocabulary materialization, shuffles
+    * keyed by word then by doc.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    val scored = tf.join(df, "word").crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("word").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("word"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   /** Full-text digests. */
   def digests(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), sha2(col("text"), 256).as("sha256"),
