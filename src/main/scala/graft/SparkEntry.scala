@@ -128,6 +128,8 @@ object SparkEntry {
     "doc_sketch" -> ((s, dir) => TextAnalysis.minKSketch(tbl(s, dir, "documents"), 4)),
     "tfidf_top_terms" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(tbl(s, dir, "documents"), 3)),
+    "doc_chunks" -> ((s, dir) =>
+      TextAnalysis.chunkWords(tbl(s, dir, "documents"), 50, 10)),
     // north-star: ANN coarse-to-fine (reference search_pglyphs generalized)
     "search_centroids_topk" -> ((s, dir) => Ann.searchCentroids(emb(s, dir), "cosine", 5)),
     "ann_ivf_topk" -> ((s, dir) => Ann.ivfTopK(emb(s, dir), "cosine", 10, 2)),
@@ -630,6 +632,15 @@ object SparkEntry {
          |r AS (SELECT doc_id, h, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY h) AS INT) AS rank
          |      FROM g)
          |SELECT doc_id, rank, h FROM r WHERE rank <= 4 ORDER BY doc_id, rank""".stripMargin,
+    "doc_chunks" ->
+      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+         |c AS (SELECT doc_id, ws,
+         |        greatest(CAST(ceil((len(ws) - 10)::DOUBLE / 40) AS INT), 1) AS n_chunks FROM w),
+         |e AS (SELECT doc_id, ws, unnest(range(n_chunks)) AS chunk_idx FROM c)
+         |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+         |  CAST(len(ws[chunk_idx*40+1 : chunk_idx*40+50]) AS BIGINT) AS n_words,
+         |  array_to_string(ws[chunk_idx*40+1 : chunk_idx*40+50], ' ') AS chunk_text
+         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
     "search_centroids_topk" ->
       s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
          |$centroidCte,

@@ -132,6 +132,28 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Sliding word-window chunking for training pipelines: windows of
+    * `chunkSize` tokens advancing by `chunkSize − overlap`, last window
+    * truncated. Pure per-row array slicing → explode; no shuffle.
+    */
+  def chunkWords(docs: DataFrame, chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize, "0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    val ws = words(col("text"))
+    docs
+      .withColumn("ws", ws)
+      .withColumn("n_chunks",
+        greatest(ceil((size(col("ws")) - lit(overlap)).cast("double") / stride), lit(1))
+          .cast("int"))
+      .withColumn("chunk_idx", explode(sequence(lit(0), col("n_chunks") - 1)))
+      .withColumn("chunk_ws",
+        slice(col("ws"), col("chunk_idx") * stride + 1, lit(chunkSize)))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk_ws")).cast("long").as("n_words"),
+        concat_ws(" ", col("chunk_ws")).as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** Full-text digests. */
   def digests(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), sha2(col("text"), 256).as("sha256"),

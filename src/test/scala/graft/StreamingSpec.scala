@@ -56,6 +56,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("sess_out").count() == 3)
   }
 
+  test("streaming dedup: dropDuplicatesWithinWatermark removes replayed events") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(1, ts(0), 1, "click", 1.0), // exact replay
+      Event(2, ts(1), 1, "view", 2.0))
+    val q = mem.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("dedup_out").count() == 2)
+  }
+
   test("statefulSessionize emits closed sessions, keeps open state") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Event]
