@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "alpha beta gamma alpha delta", "a"),
+    (2L, "alpha beta beta beta unique", "a"),
+    (3L, "zeta eta theta iota kappa", "b")
+  ).toDF("doc_id", "text", "source")
+
+  test("textStats: counts and ratios") {
+    val r = TextAnalysis.textStats(docs).filter($"doc_id" === 1).head()
+    assert(r.getAs[Long]("n_words") == 5 && r.getAs[Long]("n_distinct_words") == 4)
+    assert(math.abs(r.getAs[Double]("ttr") - 0.8) < 1e-9)
+  }
+
+  test("tfidfTopTerms: doc-unique terms outrank corpus-wide terms") {
+    val top = TextAnalysis.tfidfTopTerms(docs, 2).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(1)).map(_.getString(2)).toSeq).toMap
+    // 'unique' appears only in doc 2; 'beta' has tf 3 but df 2 → ln(3/2) weight
+    assert(top(2L).head == "beta" || top(2L).head == "unique")
+    assert(top(2L).contains("unique"))
+    // doc 3's vocabulary is fully unique to it
+    assert(top(3L).forall(Seq("zeta", "eta", "theta", "iota", "kappa").contains))
+  }
+
+  test("chunkWords: windows with overlap, truncated tail, short docs = 1 chunk") {
+    val many = Seq((1L, (1 to 95).map(i => s"w$i").mkString(" "), "s"),
+      (2L, "a b c", "s")).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.chunkWords(many, 50, 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    // 95 words, stride 40: chunks at 1..50, 41..90, 81..95
+    assert(got.filter(_._1 == 1L) == Seq((1L, 0, 50L), (1L, 1, 50L), (1L, 2, 15L)))
+    assert(got.filter(_._1 == 2L) == Seq((2L, 0, 3L)))
+    // overlap: chunk 1 starts at word 41 (10-word overlap with chunk 0)
+    val texts = TextAnalysis.chunkWords(many, 50, 10)
+      .filter($"doc_id" === 1 && $"chunk_idx" === 1).head().getString(3)
+    assert(texts.startsWith("w41 "))
+  }
+
+  test("langId: marker-word argmax is deterministic") {
+    val d = Seq((1L, "the the the der fast", "s")).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.langId(d).head()
+    assert(r.getAs[String]("pred_lang") == "en") // 5 en markers vs 1 de
+  }
+
+  test("minKSketch: identical texts share the sketch, edits change it") {
+    val d = Seq((1L, "the quick brown fox jumps", "s"),
+      (2L, "the quick brown fox jumps", "s"),
+      (3L, "the quick brown cat jumps", "s")).toDF("doc_id", "text", "source")
+    val sk = TextAnalysis.minKSketch(d, 4).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(2)).toSet).toMap
+    assert(sk(1L) == sk(2L))
+    assert(sk(1L) != sk(3L))
+    assert(sk(1L).intersect(sk(3L)).nonEmpty) // shared grams survive the edit
+  }
+}
