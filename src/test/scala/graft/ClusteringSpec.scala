@@ -15,7 +15,8 @@ class ClusteringSpec extends AnyFunSuite {
     val df = emb((1L, Seq(1f, 3f), 0), (2L, Seq(3f, 5f), 0), (3L, Seq(10f, 10f), 1))
     val byName = Clustering.centroids(df, col("label"), col("vec_id")).collect()
       .map(r => r.getAs[Int]("cluster_key") ->
-        (r.getAs[Seq[Double]]("centroid"), r.getAs[Seq[Long]]("member_ids"),
+        (r.getAs[scala.collection.Seq[Double]]("centroid").toSeq,
+          r.getAs[scala.collection.Seq[Long]]("member_ids").toSeq,
           r.getAs[Long]("n_members"))).toMap
     assert(byName(0)._1 == Seq(2.0, 4.0) && byName(0)._2 == Seq(1L, 2L) && byName(0)._3 == 2)
     assert(byName(1)._1 == Seq(10.0, 10.0))
