@@ -83,11 +83,16 @@ object Search {
       if (buf.length <= k) buf
       else buf.sortWith(better).take(k)
     def zero: Array[(Long, Double)] = Array.empty
-    def reduce(b: Array[(Long, Double)], a: (Long, Double)): Array[(Long, Double)] =
-      trim(b :+ a)
+    // amortized: let the buffer grow to 2k unsorted, trim back to the
+    // best k only when it fills — O(log k) amortized per row instead of
+    // a sort per insert; any superset of the true top-k trims identically
+    def reduce(b: Array[(Long, Double)], a: (Long, Double)): Array[(Long, Double)] = {
+      val grown = b :+ a
+      if (grown.length >= 2 * k) trim(grown) else grown
+    }
     def merge(x: Array[(Long, Double)], y: Array[(Long, Double)]): Array[(Long, Double)] =
       trim(x ++ y)
-    def finish(r: Array[(Long, Double)]): Array[(Long, Double)] = r.sortWith(better)
+    def finish(r: Array[(Long, Double)]): Array[(Long, Double)] = trim(r).sortWith(better)
     def bufferEncoder = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[(Long, Double)]]()
     def outputEncoder = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[(Long, Double)]]()
   }
