@@ -125,14 +125,19 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
       .agg(
         count(lit(1)).as("n"),
         countDistinct($"iglyph_id").as("n_ids"),
+        // every constrained column checked isNull explicitly: a NULL
+        // comparison is NULL, which would otherwise fall through
+        // otherwise(0) and let the row pass as valid
         sum(when(
-          size($"embedding") =!= dim ||
-            $"glyph_id" < 0 || $"glyph_id" > Validation.GlyphIdMax ||
+          $"embedding".isNull || size($"embedding") =!= dim ||
+            $"glyph_id".isNull || $"glyph_id" < 0 || $"glyph_id" > Validation.GlyphIdMax ||
+            $"outer_context_id".isNull ||
             $"outer_context_id" < 0 || $"outer_context_id" > Validation.CtxMax ||
             $"iglyph_id".isNull, 1L).otherwise(0L)).as("bad"),
         sum(when($"existing".isNotNull, 1L).otherwise(0L)).as("dups"))
       .head()
     val n = v.getLong(0)
+    if (n == 0L) { df.unpersist(); return 0L } // sums are NULL on an empty batch
     require(v.getLong(2) == 0L, s"${v.getLong(2)} rows violate schema constraints")
     require(v.getLong(1) == n, "duplicate iglyph_id within batch")
     require(v.getLong(3) == 0L, s"${v.getLong(3)} iglyph ids already exist")
@@ -377,11 +382,31 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
       java.nio.file.Paths.get(s"$outDir/manifest.json"), manifest)
   }
 
-  /** Restore from a snapshot directory. */
+  /** Restore from a snapshot directory, verifying it against the
+    * manifest: the snapshot's dimensionality must match this store, the
+    * audit history is reloaded, and the recomputed membership hash must
+    * equal the manifest's `current_hash` (tamper evidence — the point of
+    * the audit chain, `vector_field.py:88-103`).
+    */
   def restore(snapDir: String): Unit = {
+    val manifest = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$snapDir/manifest.json"))
+    def field(name: String): String =
+      s""""$name":\\s*"?([^",}]+)"?""".r.findFirstMatchIn(manifest)
+        .getOrElse(throw new IllegalStateException(
+          s"manifest.json missing field '$name'")).group(1)
+    val snapDim = field("dim").trim.toInt
+    require(snapDim == dim,
+      s"snapshot dim $snapDim does not match store dim $dim")
     iglyphsDF = spark.read.parquet(s"$snapDir/iglyphs")
     pglyphsDF = spark.read.parquet(s"$snapDir/pglyphs")
+    history.clear()
+    history ++= spark.read.parquet(s"$snapDir/change_history").as[AuditRecord]
+      .collect().sortBy(_.timestamp.getTime)
     currentHash = computeHash()
+    val expected = field("current_hash").trim
+    if (currentHash != expected) throw new IllegalStateException(
+      s"snapshot hash mismatch: manifest=$expected recomputed=$currentHash")
   }
 
   /** Live counts — `vector_field.py:467-478` (exact count-distincts). */

@@ -101,6 +101,15 @@ object VectorOps {
   def squaredDistance(a: Column, b: Column): Column =
     VecExpressions.vecSqDist(a, b)
 
+  /** Content fingerprint of an embedding column — `types.py:68-71`
+    * (`VectorEntry.fingerprint`). sha2-256 over the JSON-serialized
+    * array; the reference uses Blake2b-16 over the raw bytes (documented
+    * deviation, SURVEY.md §7.4 — the JVM ships no Blake2b). The audited
+    * property is identical: equal embeddings ⇒ equal fingerprint,
+    * any element change ⇒ different fingerprint.
+    */
+  def fingerprint(embedding: Column): Column = sha2(to_json(embedding), 256)
+
   /** Per-vector absolute max (int8 quantization scale). */
   def absMax(a: Column): Column =
     aggregate(a, lit(0.0), (acc, x) => greatest(acc, abs(d(x))))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorOps
 
@@ -48,18 +48,40 @@ object Ann {
       .limit(k)
   }
 
-  /** LSH-bucketed near-dup pairs over embeddings: sign-random-projection
-    * buckets from deterministic hyperplanes (the first `nBits` basis
-    * vectors' signs — i.e., the sign pattern of selected coordinates),
-    * pairs generated only within a bucket, verified by exact cosine.
-    * The scale path for embedding dedup when the O(n²) baseline
-    * (Dedup.embeddingTopPairs) stops fitting.
+  /** Deterministic seeded Gaussian hyperplanes for sign-random-projection
+    * LSH: `nPlanes` rows of `dim` standard-normal components from
+    * `java.util.Random(seed)` (whose nextGaussian algorithm is fixed by
+    * the Java spec — identical constants on every JVM). Components are
+    * quantized to 3 decimals via a decimal-string round-trip so the SAME
+    * doubles can be interpolated as literals into the DuckDB oracle SQL:
+    * both engines parse "0.123" to the identical IEEE double.
     */
-  def lshCosinePairs(emb: DataFrame, threshold: Double, nBits: Int = 8): DataFrame = {
-    // bucket = sign bits of the first nBits coordinates
-    val bucket = (0 until nBits).map(i =>
-      when(element_at(col("embedding"), i + 1) >= 0f, lit(1)).otherwise(lit(0))
-        * lit(1 << i)).reduce(_ + _)
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(nPlanes, dim)(f"${rnd.nextGaussian()}%.3f".toDouble)
+  }
+
+  /** Sign-bit bucket id from `planes`: bit i = [v · planes(i) ≥ 0].
+    * The dot is the same left-to-right codegen fold on both engines, so
+    * the sign — hence the bucket — is bit-deterministic.
+    */
+  def signBucket(v: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(VectorOps.dotProduct(v, typedLit(p.toSeq)) >= 0d, lit(1 << i))
+        .otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed near-dup pairs over embeddings: sign-random-projection
+    * buckets from seeded Gaussian hyperplanes, pairs generated only
+    * within a bucket, verified by exact cosine. The scale path for
+    * embedding dedup when the O(n²) baseline (Dedup.embeddingTopPairs)
+    * stops fitting. (Round 1 used coordinate-sign "planes"; axis-aligned
+    * projections have poor recall on correlated dims — real seeded
+    * projections keep determinism and fix recall.)
+    */
+  def lshCosinePairs(emb: DataFrame, threshold: Double, nBits: Int = 8,
+                     dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val bucket = signBucket(col("embedding"), hyperplanes(nBits, dim, seed))
     val b = emb.withColumn("bucket", bucket)
     val a = b.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("ea"),
       VectorOps.l2Norm(col("embedding")).as("na"))

@@ -64,7 +64,7 @@ object Clustering {
     * `round6` keeps the double centroid hash-stable for the oracle.
     */
   def centroids(emb: DataFrame, key: Column, idCol: Column): DataFrame =
-    emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+    Partitioning.spread(emb)
       .groupBy(key.as("cluster_key"))
       .agg(
         vecMean(col("embedding")).as("centroid_raw"),

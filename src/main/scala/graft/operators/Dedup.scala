@@ -58,8 +58,7 @@ object Dedup {
     * single-threaded.
     */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
-    docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    Partitioning.spread(docs)
       .filter(size(words(col("text"))) >= n)
       .select(col("doc_id"), explode(shingleArray(col("text"), n)).as("shingle"))
 
@@ -122,8 +121,7 @@ object Dedup {
       // cut (a boilerplate shingle would contribute df² join rows), then
       // exact Jaccard over the candidates' full shingle arrays — recall
       // is lost only for pairs whose every shared shingle is boilerplate
-      val docSh = docs
-        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      val docSh = Partitioning.spread(docs)
         .select(col("doc_id"), shingleArray(col("text"), n).as("sh"))
         .filter(size(col("sh")) >= 1)
         .cache()
@@ -192,8 +190,7 @@ object Dedup {
                       k: Int = 16, bands: Int = 4): DataFrame = {
     // small single-file inputs arrive as one partition — spread the
     // hash-heavy signature computation across cores first
-    val docSh = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val docSh = Partitioning.spread(docs)
       .select(col("doc_id"), shingleArray(col("text")).as("sh"))
       .filter(size(col("sh")) >= 1)
       .cache()
@@ -256,7 +253,7 @@ object Dedup {
     * work parallelizes even from a single-file source).
     */
   def simhash(docs: DataFrame): DataFrame =
-    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    Partitioning.spread(docs)
       .select(col("doc_id"), simhashUdf(words(col("text"))).as("simhash"))
       .orderBy(col("doc_id"))
 

@@ -26,8 +26,7 @@ object KMeansIndex {
     */
   def build(emb: DataFrame, k: Int, seed: Long = 42L): Index = {
     val spark = emb.sparkSession
-    val withVec = emb
-      .repartition(spark.sparkContext.defaultParallelism)
+    val withVec = Partitioning.spread(emb)
       .withColumn("features", array_to_vector(col("embedding").cast("array<double>")))
       .cache()
     val model = new KMeans().setK(k).setSeed(seed).setMaxIter(10)

@@ -101,8 +101,7 @@ object TextAnalysis {
     * entirely per-row; no explode-then-window shuffle of the gram set.
     */
   def minKSketch(docs: DataFrame, k: Int = 4): DataFrame =
-    docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    Partitioning.spread(docs)
       .filter(length(col("text")) >= 8)
       .select(col("doc_id"), posexplode(minKUdf(k)(col("text"))).as(Seq("pos", "h")))
       .select(col("doc_id"), (col("pos") + 1).cast("int").as("rank"), col("h"))
@@ -115,8 +114,7 @@ object TextAnalysis {
     * keyed by word then by doc.
     */
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
-    val tf = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val tf = Partitioning.spread(docs)
       .select(col("doc_id"), explode(words(col("text"))).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))

@@ -19,12 +19,13 @@ object Tables {
 
   /** events is written with TIMESTAMP(NANOS), which Spark's parquet
     * reader rejects; read nanos as long and convert to a microsecond
-    * timestamp (lossless for this data's value range).
+    * timestamp. Integer `div` — a double division would be inexact
+    * here (epoch nanos exceed double's 2^53 range, ulp = 256 ns).
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, dir, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Embeddings with the reference's address space derived from vec_id:

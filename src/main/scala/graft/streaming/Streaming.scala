@@ -55,9 +55,14 @@ object Streaming {
   /** Custom stateful sessionizer — the mapGroupsWithState path for
     * semantics session_window can't express (e.g. emitting only closed
     * sessions with per-session derived state). Timeout-driven: a session
-    * closes when no event arrives within the gap (processing-time
-    * timeout in this implementation; event-time ordering is guaranteed
-    * per-group within a micro-batch by sorting the iterator).
+    * also closes when no event arrives within the gap (processing-time
+    * timeout), so an idle user's trailing session is emitted without
+    * needing a later event for that user. Event-time ordering is
+    * guaranteed per-group within a micro-batch by sorting the iterator.
+    * In batch execution timeouts never fire (Spark invokes the function
+    * once per group with all data), so the open trailing session is
+    * intentionally withheld there too — parity with the stream's
+    * not-yet-closed session.
     */
   def statefulSessionize(events: Dataset[Event], gapMillis: Long)(
       implicit enc: org.apache.spark.sql.Encoder[Session],
@@ -66,25 +71,36 @@ object Streaming {
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var cur = state.getOption
-          val closed = scala.collection.mutable.ArrayBuffer[Session]()
-          for (e <- sorted) {
-            val t = e.ts.getTime
-            cur match {
-              case Some(s) if t - s.last <= gapMillis =>
-                cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
-              case Some(s) =>
-                closed += Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum)
-                cur = Some(SessionState(t, t, 1, e.value))
-              case None =>
-                cur = Some(SessionState(t, t, 1, e.value))
+          if (state.hasTimedOut) {
+            // gap elapsed with no new events: close and emit the session
+            val s = state.get
+            state.remove()
+            Iterator.single(
+              Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer[Session]()
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMillis =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed += Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapMillis)
+            }
+            closed.iterator
           }
-          cur.foreach(state.update)
-          closed.iterator
       }
   }
 }

@@ -16,12 +16,19 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   * or per-session via `spark.experimental.extraOptimizations`.
   *
   * The rewrite preserves semantics bit-for-bit: both forms fold
-  * left-to-right accumulating in double over float/double arrays.
+  * left-to-right accumulating in double over float/double arrays, both
+  * return NULL on a length mismatch, and arrays whose elements may be
+  * null are left untouched (see [[isNumericArray]]).
   */
 object RewriteHofDotProduct extends Rule[LogicalPlan] {
 
+  /** Only arrays that cannot contain null elements are eligible: the HOF
+    * fold returns NULL when an element is null, while VecDot would read
+    * the raw slot value — rewriting such arrays would change results.
+    * (Length mismatch is safe either way: both forms return NULL.)
+    */
   private def isNumericArray(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case ArrayType(FloatType, false) | ArrayType(DoubleType, false) => true
     case _ => false
   }
 

@@ -29,6 +29,12 @@ abstract class VecFoldExpression extends BinaryExpression with ExpectsInputTypes
     TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
   override def dataType: DataType = DoubleType
 
+  // null on length mismatch — matches the higher-order-function
+  // formulation (zip_with null-pads the shorter array and the null
+  // propagates through the fold), so RewriteHofDotProduct stays
+  // semantics-preserving on ragged inputs.
+  override def nullable: Boolean = true
+
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
@@ -48,7 +54,8 @@ abstract class VecFoldExpression extends BinaryExpression with ExpectsInputTypes
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) { s += combine(get(leftFloat, x, i), get(rightFloat, y, i)); i += 1 }
@@ -61,12 +68,16 @@ abstract class VecFoldExpression extends BinaryExpression with ExpectsInputTypes
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ${combineJava(getterJava(left, a, i), getterJava(right, b, i))};
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += ${combineJava(getterJava(left, a, i), getterJava(right, b, i))};
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 }

@@ -53,14 +53,17 @@ class ModelSpec extends AnyFunSuite {
   }
 
   test("VectorEntry fingerprint: 64 hex chars, content-sensitive") {
-    // sha2-256 over the embedding JSON (documented Blake2b deviation)
+    // VectorOps.fingerprint = sha2-256 over the embedding JSON
+    // (documented Blake2b deviation)
     val spark = TestSpark.spark
     import spark.implicits._
     import org.apache.spark.sql.functions._
     def fp(e: Seq[Float]): String =
       Seq(Tuple1(e)).toDF("embedding")
-        .select(sha2(to_json(col("embedding")), 256)).head().getString(0)
+        .select(functions.VectorOps.fingerprint(col("embedding"))).head().getString(0)
     val f1 = fp(Seq(1f, 2f)); val f2 = fp(Seq(1f, 2.0001f))
     assert(f1.length == 64 && f1.matches("[0-9a-f]{64}") && f1 != f2)
+    // deterministic: same content twice gives the same fingerprint
+    assert(fp(Seq(1f, 2f)) == f1)
   }
 }
