@@ -659,10 +659,15 @@ object SparkEntry {
          |FROM embeddings e JOIN pr ON e.label = pr.label CROSS JOIN q
          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
     "ann_lsh_pairs" -> {
-      val bucket = (0 until 8).map(i =>
-        s"(CASE WHEN embedding[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
-      s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, $bucket AS bucket
-         |           FROM embeddings)
+      // the SAME seeded Gaussian planes as Ann.lshCosinePairs, quantized
+      // to 3 decimals so both engines parse identical IEEE doubles; the
+      // dot is the same left-to-right fold, so the sign bit — hence the
+      // bucket — is deterministic across Spark and DuckDB
+      val bucket = operators.Ann.hyperplanes(8, 64).zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN list_dot_product(v, ${p.mkString("[", ", ", "]")}) >= 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, $bucket AS bucket FROM v)
          |SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, round(${cosSql("a.v", "c.v")}, 6) AS score
          |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
          |WHERE round(${cosSql("a.v", "c.v")}, 6) >= 0.4

@@ -8,6 +8,8 @@ columns sorted by name). Usage: python3 tools/check.py [sfDir] [--skip-verify]
 import json, math, subprocess, sys, glob, os
 
 SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") else "/root/testdata/sf0.01"
+# --only=a,b,c runs just those queries (passed through to graft.Verify)
+ONLY = next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")), None)
 OUT = "/tmp/verify_out"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -27,6 +29,7 @@ def run_verify():
     cp = f"{REPO}/target/scala-2.13/classes:" + ":".join(glob.glob("/opt/spark/jars/*.jar"))
     cmd = ["java", *ADD_OPENS, "-Xmx8g", "-Dspark.ui.enabled=false",
            "-Dspark.sql.session.timeZone=UTC", "-cp", cp, "graft.Verify", SF, OUT]
+    if ONLY: cmd.append(ONLY)
     env = dict(os.environ, SPARK_GRAFT_CPUS="4")
     r = subprocess.run(cmd, capture_output=True, text=True, env=env)
     for line in r.stderr.splitlines():
