@@ -146,11 +146,15 @@ object SparkEntry {
           aggregate(VectorOps.quantizeInt8(col("embedding"), col("raw_scale")),
             lit(0L), (acc, q) => acc + abs(q).cast("long")).as("l1_q"))
         .orderBy(col("vec_id"))),
-    // north-star: MLlib batch KMeans index + probe search (rows-only:
-    // kmeans|| init depends on partitioning, not SQL-expressible)
+    // north-star: MLlib batch KMeans index + probe search. Training is
+    // the only non-SQL-expressible step, so the trained centroids are
+    // persisted and the oracle replays assignment+probe+scan from them —
+    // everything downstream of training is deterministic
     "ann_kmeans_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
       val idx = operators.KMeansIndex.build(e, k = 8)
+      idx.centroids.coalesce(1).write.mode("overwrite")
+        .parquet(operators.KMeansIndex.centroidDumpPath)
       val query = e.filter(col("vec_id") === 0).select(col("embedding"))
         .head().getSeq[Float](0).toArray
       operators.KMeansIndex.search(idx, query, topK = 10, nProbe = 3)
@@ -322,8 +326,10 @@ object SparkEntry {
         .select(col("media_id"), col("chunk_idx"), col("chunk_bytes"))
         .orderBy(col("media_id"), col("chunk_idx"))),
     // §2.2/§2.3 facade integration: embeddings → VectorFieldDB →
-    // autoClusterPhi(ctx=3) → per-band pglyph summary (rows-only check:
-    // pglyph UUIDs are generated, but band sizes/tags are deterministic)
+    // autoClusterPhi(ctx=3) → per-band pglyph summary. Oracle-checked:
+    // pglyph UUIDs are generated, but the reported (tag, size, inertia)
+    // triple is deterministic — the φ-band partition + rounded-centroid
+    // inertia of the ctx=3 slice, SQL-expressible on `embeddings`
     "vfdb_pipeline" -> ((s, dir) => {
       import s.implicits._
       val db = new VectorFieldDB(s, 64)
@@ -339,9 +345,13 @@ object SparkEntry {
         lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("timestamp"))
       db.addIGlyphsDF(glyphs) // distributed batch write — no driver collect
       val pgIds = db.autoClusterPhiBatch(ctx = 3, anchorGlyphId = 100)
-      pgIds.flatMap(db.getPGlyph).map(p =>
-        (p.cluster_tag, p.member_ids.length, math.round(p.inertia * 1e6) / 1e6))
-        .toDF("cluster_tag", "n_members", "inertia")
+      // one distributed pass over the pglyph table (isin over ≤ levels
+      // generated UUIDs is bounded) — not a point lookup per band, which
+      // would re-execute the cluster aggregation through the lineage
+      db.pglyphs.filter(col("pglyph_id").isin(pgIds: _*))
+        .select(col("cluster_tag"),
+          size(col("member_ids")).cast("long").as("n_members"),
+          round(col("inertia"), 6).as("inertia"))
         .orderBy(col("cluster_tag"))
     })
   )
@@ -506,11 +516,18 @@ object SparkEntry {
          |  CAST(sum(c) - count(*) AS BIGINT) AS n_dup_docs,
          |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
          |FROM g""".stripMargin,
+    // mirrors the df-guarded default plan: candidates only from shingles
+    // with df <= 128, exact Jaccard over the candidates' full sets
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleCte,
+         |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 128),
+         |rsh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM rsh a JOIN rsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
          |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS c
+         |          FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+         |                      JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
          |          GROUP BY 1, 2)
          |SELECT doc_a, doc_b, round(c::DOUBLE/(x.n + y.n - c), 6) AS jaccard
          |FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
@@ -658,6 +675,28 @@ object SparkEntry {
          |  round(${cosSql("CAST(e.embedding AS DOUBLE[])", "q.qe")}, 6) AS score
          |FROM embeddings e JOIN pr ON e.label = pr.label CROSS JOIN q
          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+    // probe+scan replay from the centroids the query persisted: same
+    // Voronoi assignment (dot-product distance form, lowest-cell ties),
+    // same cosine probe ranking, same final top-k
+    "ann_kmeans_ivf" -> {
+      val path = operators.KMeansIndex.centroidDumpPath
+      s"""WITH c AS (SELECT cell, centroid FROM '$path/*.parquet'),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+         |pr AS (SELECT cell FROM c CROSS JOIN q
+         |       ORDER BY ${cosSql("c.centroid", "q.qe")} DESC, cell LIMIT 3),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |d AS (SELECT e.vec_id, e.v, c.cell,
+         |        list_dot_product(e.v, e.v) + list_dot_product(c.centroid, c.centroid)
+         |          - 2.0 * list_dot_product(e.v, c.centroid) AS dist
+         |      FROM e CROSS JOIN c),
+         |a AS (SELECT vec_id, v, cell FROM
+         |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |         FROM d)
+         |      WHERE rn = 1)
+         |SELECT a.vec_id, CAST(a.cell AS INT) AS cell, round(${cosSql("a.v", "q.qe")}, 6) AS score
+         |FROM a JOIN pr ON a.cell = pr.cell CROSS JOIN q
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+    },
     "ann_lsh_pairs" -> {
       // the SAME seeded Gaussian planes as Ann.lshCosinePairs, quantized
       // to 3 decimals so both engines parse identical IEEE doubles; the
@@ -772,6 +811,30 @@ object SparkEntry {
       s"""SELECT sha256(string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY vec_id)) AS membership_hash,
          |  count(*) AS n_members
          |FROM embeddings""".stripMargin,
+    // the facade pipeline's (tag, size, inertia) triple over the ctx=3
+    // slice: φ-band partition (same banding as phi_bands) + inertia
+    // against the rounded per-band centroid (same as cluster_inertia)
+    "vfdb_pipeline" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 3),
+         |n AS (SELECT vec_id, sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                                           CAST(embedding AS DOUBLE[]))) AS norm
+         |      FROM e),
+         |b AS (SELECT min(norm) AS min_n, max(norm) AS max_n FROM n),
+         |banded AS (
+         |  SELECT vec_id,
+         |    CASE WHEN norm < min_n + (max_n - min_n + 1e-12) * $phiF1 THEN 0
+         |         WHEN norm < min_n + (max_n - min_n + 1e-12) * $phiF2 THEN 1
+         |         ELSE 2 END AS band
+         |  FROM n CROSS JOIN b),
+         |ex AS (SELECT banded.band, e.vec_id, generate_subscripts(e.embedding, 1) AS i,
+         |              CAST(unnest(e.embedding) AS DOUBLE) AS x
+         |       FROM e JOIN banded ON e.vec_id = banded.vec_id),
+         |cent AS (SELECT band, i, round(sum(x)/count(*), 6) AS c FROM ex GROUP BY band, i)
+         |SELECT 'phi_band_' || ex.band AS cluster_tag,
+         |  count(DISTINCT ex.vec_id) AS n_members,
+         |  round(sum((ex.x - cent.c)*(ex.x - cent.c)), 6) AS inertia
+         |FROM ex JOIN cent ON ex.band = cent.band AND ex.i = cent.i
+         |GROUP BY ex.band ORDER BY cluster_tag""".stripMargin,
     "events_sessions" ->
       s"""WITH l AS (SELECT user_id, ts, value,
          |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev

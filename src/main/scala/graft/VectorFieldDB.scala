@@ -28,9 +28,13 @@ case class AuditRecord(action: String, timestamp: Timestamp,
   * Deviations from the reference, documented per SURVEY.md §7.4:
   *  - membership hash is sha2-256 (JVM has no Blake2b built-in); the
   *    audited property — hash changes iff membership changes — holds.
-  *  - the hash canonicalizes per-table digests of the sorted id lists
-  *    rather than the full lists (the reference JSON-serializes every id,
-  *    `vector_field.py:95-103`, which cannot scale past driver memory).
+  *  - the hash canonicalizes an order-independent XOR fold of per-id
+  *    sha2 digests rather than the full sorted id lists (the reference
+  *    JSON-serializes every id, `vector_field.py:95-103`, which cannot
+  *    scale past driver memory). The fold is maintained INCREMENTALLY
+  *    from each mutation's delta — no job, no store scan per mutation —
+  *    and [[verifyHash]] recomputes it from a full scan (one Spark job)
+  *    as the tamper-evidence check, run at restore().
   */
 class VectorFieldDB(val spark: SparkSession, val dim: Int) {
   require(dim >= 1, s"dim must be >= 1, got $dim")
@@ -42,7 +46,13 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
   private val history = ArrayBuffer[AuditRecord]()
   private var mutationsSinceCheckpoint = 0
 
-  var currentHash: String = computeHash()
+  // incremental membership accumulators: XOR of idHash over each table's
+  // id set. XOR is order-independent and self-inverse, so add = delete =
+  // one ^= per id, maintained from the mutation's delta alone.
+  private var iAcc: Long = 0L
+  private var pAcc: Long = 0L
+
+  var currentHash: String = hashOf(iAcc, pAcc)
 
   def iglyphs: DataFrame = iglyphsDF
   def pglyphs: DataFrame = pglyphsDF
@@ -50,26 +60,64 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
 
   // -------------------------------------------------------------- audit
 
-  /** Membership hash — `vector_field.py:95-103` (sha2-256 deviation).
-    * One Spark job: both id sets digested in a single union-aggregate.
-    */
-  private def computeHash(): String = {
-    val row = iglyphsDF.select(lit("i").as("t"), col("iglyph_id").as("id"))
-      .unionByName(pglyphsDF.select(lit("p").as("t"), col("pglyph_id").as("id")))
-      .agg(
-        sha2(concat_ws(",", sort_array(collect_list(when(col("t") === "i", col("id"))))), 256),
-        sha2(concat_ws(",", sort_array(collect_list(when(col("t") === "p", col("id"))))), 256))
-      .head()
-    val canonical =
-      s"""{"iglyphs": "${row.getString(0)}", "pglyphs": "${row.getString(1)}"}"""
+  private def sha256Hex(s: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
-      .digest(canonical.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** 60-bit per-id hash: first 15 hex chars of sha256(id). Matches
+    * [[idHashCol]] bit-for-bit (Spark's sha2 emits the same lowercase
+    * hex), so driver-side incremental updates and the full-scan
+    * verification fold to identical accumulators.
+    */
+  private def idHash(id: String): Long =
+    java.lang.Long.parseLong(sha256Hex(id).substring(0, 15), 16)
+
+  /** The same 60-bit per-id hash as a Catalyst column (for scan-side
+    * folds: `bit_xor(idHashCol)`).
+    */
+  private def idHashCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(sha2(c, 256), 1, 15), 16, 10).cast("long")
+
+  /** Membership hash — `vector_field.py:95-103` (sha2-256 deviation):
+    * canonical digest over the two per-table accumulators.
+    */
+  private def hashOf(i: Long, p: Long): String =
+    sha256Hex(s"""{"iglyphs": $i, "pglyphs": $p}""")
+
+  /** Full-scan recomputation of the membership accumulators — ONE Spark
+    * job over both id sets. This is the verification path (tamper
+    * evidence, run at [[restore]] and available to audits); mutations
+    * never call it.
+    */
+  private def scanAccs(): (Long, Long) = {
+    val row = iglyphsDF.select(lit("i").as("t"), idHashCol(col("iglyph_id")).as("h"))
+      .unionByName(pglyphsDF.select(lit("p").as("t"), idHashCol(col("pglyph_id")).as("h")))
+      .agg(
+        coalesce(expr("bit_xor(CASE WHEN t = 'i' THEN h END)"), lit(0L)),
+        coalesce(expr("bit_xor(CASE WHEN t = 'p' THEN h END)"), lit(0L)))
+      .head()
+    (row.getLong(0), row.getLong(1))
   }
 
-  /** Append an audit record — `vector_field.py:105-117`. */
+  /** Recompute the membership hash from a full scan and check it against
+    * the incrementally-maintained [[currentHash]]. Returns the scanned
+    * hash; throws on divergence (tampered / externally-mutated state).
+    */
+  def verifyHash(): String = {
+    val (i, p) = scanAccs()
+    val scanned = hashOf(i, p)
+    if (scanned != currentHash) throw new IllegalStateException(
+      s"membership hash divergence: incremental=$currentHash scan=$scanned")
+    scanned
+  }
+
+  /** Append an audit record — `vector_field.py:105-117`. The hash chain
+    * reads the incrementally-maintained accumulators: no Spark job, no
+    * store scan per mutation.
+    */
   private def log(action: String, details: (String, String)*): Unit = {
     val before = currentHash
-    currentHash = computeHash()
+    currentHash = hashOf(iAcc, pAcc)
     history += AuditRecord(action, Timestamp.from(Instant.now()), before,
       currentHash, details.toMap)
   }
@@ -106,6 +154,7 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
       .select("iglyph_id").as[String].collect()
     require(dups.isEmpty, s"IGlyph id already exists: ${dups.mkString(",")}")
     iglyphsDF = iglyphsDF.unionByName(vs.toDS().toDF())
+    ids.foreach(id => iAcc ^= idHash(id))
     maybeCheckpoint()
     log("ADD_IGLYPH", "count" -> vs.size.toString)
     ids
@@ -122,6 +171,7 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
     // size, batch-internal dups, collisions with the existing store
     val v = df
       .join(iglyphsDF.select($"iglyph_id", lit(1).as("existing")), Seq("iglyph_id"), "left")
+      .withColumn("idh", idHashCol($"iglyph_id"))
       .agg(
         count(lit(1)).as("n"),
         countDistinct($"iglyph_id").as("n_ids"),
@@ -134,7 +184,10 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
             $"outer_context_id".isNull ||
             $"outer_context_id" < 0 || $"outer_context_id" > Validation.CtxMax ||
             $"iglyph_id".isNull, 1L).otherwise(0L)).as("bad"),
-        sum(when($"existing".isNotNull, 1L).otherwise(0L)).as("dups"))
+        sum(when($"existing".isNotNull, 1L).otherwise(0L)).as("dups"),
+        // membership-hash delta fused into the same job: XOR fold of the
+        // batch's per-id hashes, applied to iAcc only if the batch commits
+        coalesce(expr("bit_xor(idh)"), lit(0L)).as("delta"))
       .head()
     val n = v.getLong(0)
     if (n == 0L) { df.unpersist(); return 0L } // sums are NULL on an empty batch
@@ -142,6 +195,7 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
     require(v.getLong(1) == n, "duplicate iglyph_id within batch")
     require(v.getLong(3) == 0L, s"${v.getLong(3)} iglyph ids already exist")
     iglyphsDF = iglyphsDF.unionByName(df).localCheckpoint(true)
+    iAcc ^= v.getLong(4)
     log("ADD_IGLYPH", "count" -> n.toString)
     n
   }
@@ -182,6 +236,7 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
     if (getIGlyph(id).isEmpty) throw new NoSuchElementException(s"IGlyph not found: $id")
     iglyphsDF = iglyphsDF.filter($"iglyph_id" =!= id)
     pglyphsDF = pglyphsDF.withColumn("member_ids", array_remove($"member_ids", id))
+    iAcc ^= idHash(id) // XOR is self-inverse: delete = the same fold step
     maybeCheckpoint()
     log("DELETE_IGLYPH", "iglyph_id" -> id)
   }
@@ -193,78 +248,114 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
     * (`vector_field.py:244`); all-unknown → error.
     */
   def formCluster(memberIds: Seq[String], anchorGlyphId: Int, ctx: Int,
+      clusterTag: String = "", meta: Map[String, String] = Map.empty): String =
+    formClusterOf(memberIds.toDF("iglyph_id"), anchorGlyphId, ctx, clusterTag, meta)
+
+  /** DataFrame-native cluster formation — the scale path: membership
+    * stays distributed end-to-end. The driver sees only bounded values
+    * (the dim-length centroid, the member count, the inertia scalar);
+    * the member-id array is aggregated executor-side into the stored
+    * row, and proto_id back-pointers are written via a join against the
+    * member set — never an `isin` literal tree, never a collected array.
+    * Two-pass shape per the reference (`clustering.py:25-34,66-68`):
+    * one vector-mean aggregate, then one squared-distance pass against
+    * the broadcast centroid literal.
+    */
+  def formClusterOf(memberIdsDF: DataFrame, anchorGlyphId: Int, ctx: Int,
       clusterTag: String = "", meta: Map[String, String] = Map.empty): String = {
     Validation.requireGlyphId(anchorGlyphId)
     Validation.requireCtx(ctx)
-    val members = iglyphsDF
-      .join(memberIds.toDF("iglyph_id"), Seq("iglyph_id"), "left_semi")
-    val pgId = UUID.randomUUID().toString
-    val row = aggregateCluster(members)
-      .getOrElse(throw new IllegalArgumentException("no valid member ids"))
-    val (centroid, ids, inertia) = row
-    val pg = PGlyph(pgId, anchorGlyphId, ctx, centroid, ids, clusterTag, inertia, meta)
-    pglyphsDF = pglyphsDF.unionByName(Seq(pg).toDS().toDF())
-    // back-pointers (vector_field.py:256-257)
-    iglyphsDF = iglyphsDF.withColumn("proto_id",
-      when($"iglyph_id".isin(ids: _*), lit(pgId)).otherwise($"proto_id"))
-    maybeCheckpoint()
-    log("FORM_CLUSTER", "pglyph_id" -> pgId, "member_count" -> ids.length.toString)
-    pgId
-  }
-
-  /** centroid + member list + inertia in the reference's two-pass shape
-    * (`clustering.py:25-34,66-68`): one vector-mean aggregate, then one
-    * squared-distance pass against the (broadcast literal) centroid.
-    */
-  private def aggregateCluster(members: DataFrame): Option[(Array[Float], Array[String], Double)] = {
+    // distinct: a duplicated input id must not duplicate member rows
+    val memDf = memberIdsDF.toDF("iglyph_id").distinct()
+    val members = iglyphsDF.join(memDf, Seq("iglyph_id"), "left_semi")
     val agg1 = members.agg(
       Clustering.vecMean($"embedding").as("centroid"),
-      sort_array(collect_list($"iglyph_id")).as("ids"),
       count(lit(1)).as("n")).head()
-    if (agg1.getLong(2) == 0L) return None
+    val n = agg1.getLong(1)
+    if (n == 0L) throw new IllegalArgumentException("no valid member ids")
     val centroid = agg1.getSeq[Double](0).map(_.toFloat).toArray
-    val ids = agg1.getSeq[String](1).toArray
     val inertia = members
       .agg(sum(VectorOps.squaredDistance($"embedding", typedLit(centroid.toSeq))))
       .head().getDouble(0)
-    Some((centroid, ids, inertia))
+    val pgId = UUID.randomUUID().toString
+    val now = Timestamp.from(Instant.now())
+    // the stored row is built distributed — the member array never
+    // touches the driver
+    val pgRow = members
+      .agg(sort_array(collect_list($"iglyph_id")).as("member_ids"))
+      .select(lit(pgId).as("pglyph_id"), lit(anchorGlyphId).as("glyph_id"),
+        lit(ctx).as("outer_context_id"),
+        typedLit(centroid.toSeq).as("centroid"), $"member_ids",
+        lit(clusterTag).as("cluster_tag"), lit(inertia).as("inertia"),
+        typedLit(meta).as("meta"), lit("1.0.0").as("version"),
+        lit(now).as("timestamp"))
+    pglyphsDF = pglyphsDF.unionByName(pgRow.select(pglyphsDF.columns.map(col): _*))
+    // back-pointers (vector_field.py:256-257): unknown ids simply match
+    // no store row, reproducing the reference's silent drop
+    iglyphsDF = iglyphsDF
+      .join(memDf.withColumn("matched", lit(1)), Seq("iglyph_id"), "left")
+      .withColumn("proto_id", when($"matched" === 1, lit(pgId)).otherwise($"proto_id"))
+      .drop("matched")
+    pAcc ^= idHash(pgId)
+    maybeCheckpoint()
+    log("FORM_CLUSTER", "pglyph_id" -> pgId, "member_count" -> n.toString)
+    pgId
   }
 
   /** Re-resolve members (dropping deleted), recompute centroid+inertia —
-    * `vector_field.py:271-285`.
+    * `vector_field.py:271-285`. Membership is resolved distributed (the
+    * stored list exploded and semi-joined); the rebuilt row carries the
+    * surviving member array executor-side.
     */
   def recomputePGlyph(id: String): Unit = {
-    val pg = getPGlyph(id).getOrElse(throw new NoSuchElementException(s"PGlyph not found: $id"))
-    val members = iglyphsDF
-      .join(pg.member_ids.toSeq.toDF("iglyph_id"), Seq("iglyph_id"), "left_semi")
-    val (centroid, ids, inertia) = aggregateCluster(members)
-      .getOrElse(throw new IllegalStateException(s"PGlyph $id has no remaining members"))
+    val target = pglyphsDF.filter($"pglyph_id" === id)
+    if (target.isEmpty) throw new NoSuchElementException(s"PGlyph not found: $id")
+    val memDf = target.select(explode($"member_ids").as("iglyph_id"))
+    val members = iglyphsDF.join(memDf, Seq("iglyph_id"), "left_semi")
+    val agg1 = members.agg(
+      Clustering.vecMean($"embedding").as("centroid"),
+      count(lit(1)).as("n")).head()
+    if (agg1.getLong(1) == 0L)
+      throw new IllegalStateException(s"PGlyph $id has no remaining members")
+    val centroid = agg1.getSeq[Double](0).map(_.toFloat).toArray
+    val inertia = members
+      .agg(sum(VectorOps.squaredDistance($"embedding", typedLit(centroid.toSeq))))
+      .head().getDouble(0)
     val now = Timestamp.from(Instant.now())
-    pglyphsDF = pglyphsDF
-      .withColumn("centroid",
-        when($"pglyph_id" === id, typedLit(centroid.toSeq)).otherwise($"centroid"))
-      .withColumn("member_ids",
-        when($"pglyph_id" === id, typedLit(ids.toSeq)).otherwise($"member_ids"))
-      .withColumn("inertia", when($"pglyph_id" === id, lit(inertia)).otherwise($"inertia"))
-      .withColumn("timestamp", when($"pglyph_id" === id, lit(now)).otherwise($"timestamp"))
+    // rebuild the row distributed: surviving member list aggregated
+    // executor-side; unchanged fields carried over via a 1×1 cross join
+    val keep = target.select($"pglyph_id", $"glyph_id", $"outer_context_id",
+      $"cluster_tag", $"meta", $"version")
+    val newRow = members.agg(sort_array(collect_list($"iglyph_id")).as("member_ids"))
+      .crossJoin(keep)
+      .select($"pglyph_id", $"glyph_id", $"outer_context_id",
+        typedLit(centroid.toSeq).as("centroid"), $"member_ids",
+        $"cluster_tag", lit(inertia).as("inertia"), $"meta", $"version",
+        lit(now).as("timestamp"))
+    pglyphsDF = pglyphsDF.filter($"pglyph_id" =!= id)
+      .unionByName(newRow.select(pglyphsDF.columns.map(col): _*))
     maybeCheckpoint()
     log("RECOMPUTE_PGLYPH", "pglyph_id" -> id)
   }
 
   /** φ-banded auto-clustering of one context — `vector_field.py:351-390`.
-    * Returns the new pglyph ids (one per non-empty band).
+    * Returns the new pglyph ids (one per non-empty band). Reference
+    * parity: one formCluster (and one audit record) per band. The only
+    * driver-side collect is the list of non-empty bands (≤ levels rows);
+    * band membership stays distributed, checkpointed once so the
+    * per-band passes don't recompute the norm/bounds scan.
     */
   def autoClusterPhi(ctx: Int, anchorGlyphId: Int, levels: Int = 3): Seq[String] = {
     Validation.requireCtx(ctx)
     val inCtx = iglyphsDF.filter($"outer_context_id" === ctx)
     if (inCtx.isEmpty) return Seq.empty
     val banded = Clustering.withPhiBand(inCtx, levels)
-    val bandIds = banded.select($"band", $"iglyph_id").as[(Int, String)].collect()
-      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
-    (0 until levels).flatMap { b =>
-      bandIds.get(b).filter(_.nonEmpty).map { ids =>
-        formCluster(ids, anchorGlyphId, ctx, s"phi_band_$b")
-      }
+      .select($"iglyph_id", $"band").localCheckpoint(true)
+    val present = banded.select($"band").distinct()
+      .orderBy($"band").as[Int].collect()
+    present.toSeq.map { b =>
+      formClusterOf(banded.filter($"band" === b).select($"iglyph_id"),
+        anchorGlyphId, ctx, s"phi_band_$b")
     }
   }
 
@@ -272,32 +363,51 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
     * aggregation pass with a single audit record — the job-count-lean
     * variant of autoClusterPhi for high-core/driver-latency-sensitive
     * runs (reference parity loop above audits one record per band).
+    * The driver sees only bounded values (≤ levels rows of centroid /
+    * inertia / count); member arrays are aggregated executor-side and
+    * back-pointers written via a distributed join keyed on iglyph_id.
     */
   def autoClusterPhiBatch(ctx: Int, anchorGlyphId: Int, levels: Int = 3): Seq[String] = {
     Validation.requireCtx(ctx)
     Validation.requireGlyphId(anchorGlyphId)
     val inCtx = iglyphsDF.filter($"outer_context_id" === ctx)
-    val banded = Clustering.withPhiBand(inCtx, levels)
-    val rows = operators.Clustering.withInertia(banded, $"band", $"iglyph_id")
-      .select($"cluster_key", $"centroid", $"member_ids", $"inertia")
+    if (inCtx.isEmpty) return Seq.empty
+    val banded = Clustering.withPhiBand(inCtx, levels).localCheckpoint(true)
+    // bounded driver collect: ≤ levels rows, dim-length centroids —
+    // column pruning drops withInertia's member-list aggregate
+    val stats = operators.Clustering.withInertia(banded, $"band", $"iglyph_id")
+      .select($"cluster_key", $"centroid", $"inertia")
       .collect()
-    if (rows.isEmpty) return Seq.empty
-    val pgs = rows.sortBy(_.getAs[Int]("cluster_key")).map { r =>
-      PGlyph(UUID.randomUUID().toString, anchorGlyphId, ctx,
-        r.getSeq[Double](1).map(_.toFloat).toArray,
-        r.getSeq[String](2).toArray,
-        s"phi_band_${r.getAs[Int]("cluster_key")}",
-        r.getAs[Double]("inertia"))
-    }
-    pglyphsDF = pglyphsDF.unionByName(pgs.toSeq.toDS().toDF())
-    val mapping = pgs.flatMap(p => p.member_ids.map(id => (id, p.pglyph_id)))
-      .toSeq.toDF("iglyph_id", "new_proto")
-    iglyphsDF = iglyphsDF.join(broadcast(mapping), Seq("iglyph_id"), "left")
+    if (stats.isEmpty) return Seq.empty
+    val now = Timestamp.from(Instant.now())
+    val pgInfo = stats.sortBy(_.getAs[Int]("cluster_key")).map { r =>
+      val band = r.getAs[Int]("cluster_key")
+      (band, UUID.randomUUID().toString, r.getSeq[Double](1).map(_.toFloat),
+        s"phi_band_$band", r.getAs[Double]("inertia"))
+    }.toSeq
+    val info = pgInfo.toDF("band", "pglyph_id", "centroid", "cluster_tag", "inertia")
+    // stored rows built distributed: member arrays aggregated
+    // executor-side, joined to the (≤ levels)-row info table
+    val pgRows = banded.groupBy($"band")
+      .agg(sort_array(collect_list($"iglyph_id")).as("member_ids"))
+      .join(broadcast(info), "band")
+      .select($"pglyph_id", lit(anchorGlyphId).as("glyph_id"),
+        lit(ctx).as("outer_context_id"), $"centroid", $"member_ids",
+        $"cluster_tag", $"inertia", typedLit(Map.empty[String, String]).as("meta"),
+        lit("1.0.0").as("version"), lit(now).as("timestamp"))
+    pglyphsDF = pglyphsDF.unionByName(pgRows.select(pglyphsDF.columns.map(col): _*))
+    // back-pointers: (iglyph_id → pglyph_id) stays a distributed join —
+    // a shuffle join at scale, never a collected mapping
+    val mapping = banded.select($"iglyph_id", $"band")
+      .join(broadcast(info.select($"band", $"pglyph_id".as("new_proto"))), "band")
+      .select($"iglyph_id", $"new_proto")
+    iglyphsDF = iglyphsDF.join(mapping, Seq("iglyph_id"), "left")
       .withColumn("proto_id", coalesce($"new_proto", $"proto_id"))
       .drop("new_proto")
+    pgInfo.foreach { case (_, pgId, _, _, _) => pAcc ^= idHash(pgId) }
     maybeCheckpoint()
-    log("AUTO_CLUSTER_PHI", "bands" -> pgs.length.toString, "ctx" -> ctx.toString)
-    pgs.map(_.pglyph_id).toSeq
+    log("AUTO_CLUSTER_PHI", "bands" -> pgInfo.length.toString, "ctx" -> ctx.toString)
+    pgInfo.map(_._2)
   }
 
   // ------------------------------------------------------------- search
@@ -349,18 +459,26 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
       .filter($"iglyph_id".isNotNull)
       .dropDuplicates("iglyph_id")
     val incoming = parsed.cache()
+    // one job: import count + membership delta (XOR fold over the ids
+    // NOT already present — overwritten ids don't change membership)
+    val m = incoming
+      .join(iglyphsDF.select($"iglyph_id", lit(1).as("ex")), Seq("iglyph_id"), "left")
+      .withColumn("idh", idHashCol($"iglyph_id"))
+      .agg(count(lit(1)).as("n_in"),
+        sum(when($"ex".isNull, 1L).otherwise(0L)).as("n_new"),
+        coalesce(expr("bit_xor(CASE WHEN ex IS NULL THEN idh END)"), lit(0L)).as("delta"))
+      .head()
     val imported =
       if (overwrite) {
         val replaced = iglyphsDF.join(incoming.select("iglyph_id"), Seq("iglyph_id"), "left_anti")
-        val n = incoming.count()
         iglyphsDF = replaced.unionByName(incoming)
-        n
+        if (m.getLong(0) == 0L) 0L else m.getLong(0)
       } else {
         val fresh = incoming.join(iglyphsDF.select("iglyph_id"), Seq("iglyph_id"), "left_anti")
-        val n = fresh.count()
         iglyphsDF = iglyphsDF.unionByName(fresh)
-        n
+        if (m.getLong(0) == 0L) 0L else m.getLong(1)
       }
+    iAcc ^= (if (m.getLong(0) == 0L) 0L else m.getLong(2))
     iglyphsDF = iglyphsDF.localCheckpoint(true)
     log("IMPORT_JSONL", "count" -> imported.toString, "overwrite" -> overwrite.toString)
     imported
@@ -403,7 +521,10 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
     history.clear()
     history ++= spark.read.parquet(s"$snapDir/change_history").as[AuditRecord]
       .collect().sortBy(_.timestamp.getTime)
-    currentHash = computeHash()
+    // full-scan recomputation — the tamper-evidence check point
+    val (i, p) = scanAccs()
+    iAcc = i; pAcc = p
+    currentHash = hashOf(iAcc, pAcc)
     val expected = field("current_hash").trim
     if (currentHash != expected) throw new IllegalStateException(
       s"snapshot hash mismatch: manifest=$expected recomputed=$currentHash")

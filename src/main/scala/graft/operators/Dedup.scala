@@ -90,16 +90,20 @@ object Dedup {
 
   /** Pairwise shingle-set Jaccard via inverted index: explode → self-join
     * on shingle → count the intersection per pair → join per-doc set
-    * sizes. Only co-occurring pairs are generated. `maxDf` (off by
-    * default, to keep the result exact) drops shingles occurring in more
-    * than that many documents before the self-join — the heavy-hitter
-    * guard for web-scale corpora, where one boilerplate shingle would
-    * otherwise contribute df² join rows; pairs found via the surviving
-    * rare shingles are then exact-verified, trading recall only for
-    * pairs whose every shared shingle is boilerplate.
+    * sizes. Only co-occurring pairs are generated. `maxDf` — ON by
+    * default — drops shingles occurring in more than that many documents
+    * before the self-join: the heavy-hitter guard for web-scale corpora,
+    * where one boilerplate shingle would otherwise contribute df² join
+    * rows. Pairs found via the surviving rare shingles are then
+    * exact-verified over their FULL shingle sets, so recall is lost only
+    * for pairs whose every shared shingle is boilerplate (near-dup pairs
+    * share rare shingles by construction — on the test corpus every true
+    * pair shares a shingle of df ≤ 10, 12× under the default cut;
+    * DedupSpec pins guarded == exact). Pass `None` for the brute-force
+    * exact baseline.
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
-                        maxDf: Option[Int] = None): DataFrame = maxDf match {
+                        maxDf: Option[Int] = Some(128)): DataFrame = maxDf match {
     case None =>
       // exact: every co-occurring pair, intersection counted in the join
       val sh = shingles(docs, n).cache()

@@ -21,8 +21,39 @@ object KMeansIndex {
 
   case class Index(assigned: DataFrame, centroids: DataFrame)
 
+  /** Where the contract query persists the trained centroid table so the
+    * DuckDB oracle can replay probe+scan from the SAME centroids (the
+    * training itself — init sampling, iteration order — is the only
+    * non-SQL-expressible step; everything downstream is deterministic
+    * given the centroid doubles, which parquet round-trips bit-exactly).
+    */
+  val centroidDumpPath = "/tmp/graft_oracle_kmeans_centroids"
+
+  /** Deterministic Voronoi cell id: argmin over `centers` of
+    * ‖v−c‖² = v·v + c·c − 2·v·c, ties to the lowest cell. The dot form
+    * (rather than a (v−c)² fold) means every term is a plain
+    * left-to-right dot product — bit-reproducible in any engine that
+    * folds the same way, so index assignment is portable, not an MLlib
+    * implementation detail. `array_position(d, array_min(d))` picks the
+    * first minimum — the lowest-cell tie-break.
+    */
+  def cellExpr(v: org.apache.spark.sql.Column, centers: Array[Array[Double]]): org.apache.spark.sql.Column = {
+    val vv = VectorOps.dotProduct(v, v)
+    val dists = centers.map { c =>
+      var cc = 0.0
+      var i = 0
+      while (i < c.length) { cc += c(i) * c(i); i += 1 }
+      vv + lit(cc) - lit(2.0) * VectorOps.dotProduct(v, typedLit(c.toSeq))
+    }
+    (array_position(array(dists.toSeq: _*), array_min(array(dists.toSeq: _*))) - 1L)
+      .cast("int")
+  }
+
   /** Train a KMeans index: returns the base table with a `cell` column
-    * and the centroid table (cell, centroid: array<double>).
+    * and the centroid table (cell, centroid: array<double>). MLlib only
+    * TRAINS the centroids; assignment is the codegen'd [[cellExpr]] —
+    * whole-stage-codegen friendly and engine-portable, with no model
+    * broadcast needed at scoring time.
     */
   def build(emb: DataFrame, k: Int, seed: Long = 42L): Index = {
     val spark = emb.sparkSession
@@ -36,10 +67,11 @@ object KMeansIndex {
       .setInitMode("random")
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(withVec)
-    val assigned = model.transform(withVec).drop("features")
+    val centers: Array[Array[Double]] = model.clusterCenters.map((v: Vector) => v.toArray)
+    val assigned = emb.withColumn("cell", cellExpr(col("embedding"), centers))
     import spark.implicits._
-    val centroids = model.clusterCenters.zipWithIndex.toSeq
-      .map { case (v: Vector, i: Int) => (i, v.toArray) }
+    val centroids = centers.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c) }
       .toDF("cell", "centroid")
     Index(assigned, centroids)
   }

@@ -54,24 +54,30 @@ object Streaming {
 
   /** Custom stateful sessionizer — the mapGroupsWithState path for
     * semantics session_window can't express (e.g. emitting only closed
-    * sessions with per-session derived state). Timeout-driven: a session
-    * also closes when no event arrives within the gap (processing-time
-    * timeout), so an idle user's trailing session is emitted without
-    * needing a later event for that user. Event-time ordering is
+    * sessions with per-session derived state). Event-time ordering is
     * guaranteed per-group within a micro-batch by sorting the iterator.
-    * In batch execution timeouts never fire (Spark invokes the function
-    * once per group with all data), so the open trailing session is
-    * intentionally withheld there too — parity with the stream's
-    * not-yet-closed session.
+    *
+    * LIMITATION of the default (`NoTimeout`): an idle user's trailing
+    * session is emitted only when a later out-of-gap event for that user
+    * arrives — this keeps session boundaries purely event-time-driven
+    * and the plan identical in batch and streaming. Pass
+    * `GroupStateTimeout.ProcessingTimeTimeout()` to ALSO close sessions
+    * after `gapMillis` of wall-clock silence (lower emission latency,
+    * but boundaries then depend on arrival time, and the engine runs
+    * continuous empty micro-batches to evaluate timers — a production
+    * trade-off, not suitable under `processAllAvailable`-style test
+    * drivers, which never quiesce against a timer-driven stream).
     */
-  def statefulSessionize(events: Dataset[Event], gapMillis: Long)(
+  def statefulSessionize(events: Dataset[Event], gapMillis: Long,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout())(
       implicit enc: org.apache.spark.sql.Encoder[Session],
       enc2: org.apache.spark.sql.Encoder[Long],
       enc3: org.apache.spark.sql.Encoder[SessionState]): Dataset[Session] = {
+    val timerDriven = timeout != GroupStateTimeout.NoTimeout()
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), timeout) {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             // gap elapsed with no new events: close and emit the session
@@ -97,7 +103,7 @@ object Streaming {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutDuration(gapMillis)
+              if (timerDriven) state.setTimeoutDuration(gapMillis)
             }
             closed.iterator
           }

@@ -17,18 +17,16 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   *
   * The rewrite preserves semantics bit-for-bit: both forms fold
   * left-to-right accumulating in double over float/double arrays, both
-  * return NULL on a length mismatch, and arrays whose elements may be
-  * null are left untouched (see [[isNumericArray]]).
+  * return NULL on a length mismatch, and both return NULL when an
+  * element is null ([[VecFoldExpression]] checks elements exactly when
+  * the schema says they may be null — `containsNull=false` inputs keep
+  * the check-free tight loop), so nullable-element arrays (every
+  * parquet-sourced array claims `containsNull=true`) are eligible too.
   */
 object RewriteHofDotProduct extends Rule[LogicalPlan] {
 
-  /** Only arrays that cannot contain null elements are eligible: the HOF
-    * fold returns NULL when an element is null, while VecDot would read
-    * the raw slot value — rewriting such arrays would change results.
-    * (Length mismatch is safe either way: both forms return NULL.)
-    */
   private def isNumericArray(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, false) | ArrayType(DoubleType, false) => true
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
     case _ => false
   }
 

@@ -29,17 +29,22 @@ abstract class VecFoldExpression extends BinaryExpression with ExpectsInputTypes
     TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
   override def dataType: DataType = DoubleType
 
-  // null on length mismatch — matches the higher-order-function
-  // formulation (zip_with null-pads the shorter array and the null
-  // propagates through the fold), so RewriteHofDotProduct stays
-  // semantics-preserving on ragged inputs.
+  // null on length mismatch AND on any null element — matches the
+  // higher-order-function formulation exactly (zip_with null-pads the
+  // shorter array; a null element nulls its product; null propagates
+  // through the fold), so RewriteHofDotProduct is semantics-preserving
+  // even on ArrayType(..., containsNull = true) inputs.
   override def nullable: Boolean = true
 
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  private def mayHaveNulls(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
+
   @transient private lazy val leftFloat = isFloat(left)
   @transient private lazy val rightFloat = isFloat(right)
+  @transient private lazy val anyNullableElems = mayHaveNulls(left) || mayHaveNulls(right)
 
   private def get(fl: Boolean, arr: ArrayData, i: Int): Double =
     if (fl) arr.getFloat(i).toDouble else arr.getDouble(i)
@@ -58,7 +63,11 @@ abstract class VecFoldExpression extends BinaryExpression with ExpectsInputTypes
     if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += combine(get(leftFloat, x, i), get(rightFloat, y, i)); i += 1 }
+    while (i < n) {
+      if (anyNullableElems && (x.isNullAt(i) || y.isNullAt(i))) return null
+      s += combine(get(leftFloat, x, i), get(rightFloat, y, i))
+      i += 1
+    }
     s
   }
 
@@ -67,6 +76,12 @@ abstract class VecFoldExpression extends BinaryExpression with ExpectsInputTypes
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      // the per-element null check is emitted only when the schema says
+      // elements may be null — containsNull=false keeps the tight loop
+      val nullCheck =
+        if (anyNullableElems)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -74,9 +89,12 @@ abstract class VecFoldExpression extends BinaryExpression with ExpectsInputTypes
          |} else {
          |  double $s = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
          |    $s += ${combineJava(getterJava(left, a, i), getterJava(right, b, i))};
          |  }
-         |  ${ev.value} = $s;
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $s;
+         |  }
          |}
        """.stripMargin
     })

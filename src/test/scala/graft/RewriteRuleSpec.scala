@@ -39,6 +39,21 @@ class RewriteRuleSpec extends AnyFunSuite {
     assert(hofDot.count() == 500)
   }
 
+  test("VecDot nulls match the HOF form: null element and length mismatch") {
+    val df = Seq(
+      (Seq[java.lang.Double](1.0, null, 2.0), Seq[java.lang.Double](1.0, 1.0, 1.0)),
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](1.0, 1.0, 1.0)),
+      (Seq[java.lang.Double](1.0, 2.0, 3.0), Seq[java.lang.Double](1.0, 1.0, 2.0))
+    ).toDF("a", "b")
+    val native = df.select(graft.functions.VectorOps.dotProduct(col("a"), col("b")).as("d"))
+    val hof = df.select(aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v).as("d"))
+    val n = native.collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    val h = hof.collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(n.toSeq == h.toSeq && n(0).isEmpty && n(1).isEmpty && n(2).contains(9.0))
+  }
+
   test("rule does not fire on non-dot aggregates") {
     spark.experimental.extraOptimizations = Seq(RewriteHofDotProduct)
     try {

@@ -201,6 +201,27 @@ class VectorFieldDBSpec extends AnyFunSuite {
     assert(db.currentHash != h2)
   }
 
+  test("incremental hash equals full-scan recomputation after every mutation kind") {
+    val db = freshDb()
+    assert(db.verifyHash() == db.currentHash) // empty store
+    val ids = (1 to 4).map(i => db.addIGlyph(i, i % 3, vec(i.toFloat), id = Some(s"g$i")))
+    assert(db.verifyHash() == db.currentHash) // Seq add path
+    import spark.implicits._
+    db.addIGlyphsDF(Seq(
+      IGlyph("df1", 5, 1, vec(5f)), IGlyph("df2", 6, 2, vec(6f))).toDS().toDF())
+    assert(db.verifyHash() == db.currentHash) // distributed batch path
+    db.formCluster(ids.take(3), anchorGlyphId = 1, ctx = 1)
+    assert(db.verifyHash() == db.currentHash) // pglyph add
+    db.updateIGlyphEmbedding("df1", vec(9f))
+    assert(db.verifyHash() == db.currentHash) // membership unchanged
+    db.deleteIGlyph("df2")
+    assert(db.verifyHash() == db.currentHash) // delete = XOR self-inverse
+    val line = db.exportJsonl().collect().head
+    val db2 = freshDb()
+    db2.importJsonl(spark.createDataset(Seq(line)))
+    assert(db2.verifyHash() == db2.currentHash) // import path
+  }
+
   test("audit log records every mutation with hash chain") {
     val db = freshDb()
     val id = db.addIGlyph(1, 1, vec(1f))
