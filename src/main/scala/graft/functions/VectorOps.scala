@@ -87,12 +87,18 @@ object VectorOps {
   val phiWeightedUdf =
     udf((a: Array[Float], b: Array[Float]) => phiWeightedSimilarity(a, b))
 
+  /** φ-weighted cosine as a native codegen expression (PhiKernel) — the
+    * column form used on search paths; SimilaritySpec pins it equal to
+    * the scalar reference port above.
+    */
+  def phiWeighted(a: Column, b: Column): Column = VecExpressions.vecPhiSim(a, b)
+
   /** Metric dispatch — `similarity.py:82-110`. Higher = more similar for all. */
   def similarity(metric: String)(a: Column, b: Column): Column = metric match {
     case "cosine"       => cosineSimilarity(a, b)
     case "euclidean"    => euclideanSimilarity(a, b)
     case "dot"          => dotProduct(a, b)
-    case "phi_weighted" => phiWeightedUdf(a, b)
+    case "phi_weighted" => phiWeighted(a, b)
     case m => throw new IllegalArgumentException(
       s"Unknown metric '$m'. Valid options: 'cosine', 'euclidean', 'dot', 'phi_weighted'.")
   }

@@ -292,15 +292,38 @@ object Dedup {
     * Ann.scala's bucketed variant; the a<b self-join halves the score
     * work and the top-N is a TakeOrderedAndProject merge.
     */
-  def embeddingTopPairs(emb: DataFrame, topN: Int): DataFrame = {
-    // norms once per side (n rows), not once per pair (n² rows); the
-    // score expression is bit-identical to cosineSimilarity
+  def embeddingTopPairs(emb: DataFrame, topN: Int, blocks: Int = 8): DataFrame = {
+    // Exact global top-N is Ω(n²) score evaluations on arbitrary data
+    // (any pair skipped could be the best), so the scale lever is the
+    // JOIN SHAPE, not the count: grid-partitioned all-pairs (the
+    // Okcan-Riedewald theta-join grid). Each side carries its block id
+    // (vec_id mod B) and explodes to its row of the B×(B+1)/2 upper-
+    // triangular task grid; an EQUI-join on the task key then forms each
+    // task's local product. Per-task memory is bounded by 2n/B rows,
+    // parallelism is even, nothing broadcasts a full side, and no
+    // BroadcastNestedLoopJoin appears — at 100 TB you raise B so a task
+    // fits an executor, and TakeOrderedAndProject keeps the shuffle to
+    // topN rows per partition. For a THRESHOLDED near-dup search (the
+    // usual production ask) use Ann.lshCosinePairs — sub-quadratic when
+    // near-dup structure actually exists.
+    // Norms once per side (n rows); the score expression is
+    // bit-identical to cosineSimilarity, and symmetric (IEEE multiply
+    // commutes), so normalizing the id order after the join is safe.
     val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
-      VectorOps.l2Norm(col("embedding")).as("na"))
+        VectorOps.l2Norm(col("embedding")).as("na"),
+        (col("vec_id") % blocks).cast("int").as("bi"))
+      .withColumn("bj", explode(sequence(col("bi"), lit(blocks - 1))))
     val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
-      VectorOps.l2Norm(col("embedding")).as("nb"))
-    a.join(b, col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
+        VectorOps.l2Norm(col("embedding")).as("nb"),
+        (col("vec_id") % blocks).cast("int").as("bj"))
+      .withColumn("bi", explode(sequence(lit(0), col("bj"))))
+    a.join(b, Seq("bi", "bj"))
+      // same-block tasks see both orders (and self-pairs): keep one;
+      // cross-block tasks see each unordered pair exactly once
+      .filter(col("bi") =!= col("bj") || col("vec_a") < col("vec_b"))
+      .select(
+        least(col("vec_a"), col("vec_b")).as("vec_a"),
+        greatest(col("vec_a"), col("vec_b")).as("vec_b"),
         round(VectorOps.dotProduct(col("ea"), col("eb"))
           / (col("na") * col("nb") + lit(1e-12)), 6).as("score"))
       .orderBy(col("score").desc, col("vec_a").asc, col("vec_b").asc)

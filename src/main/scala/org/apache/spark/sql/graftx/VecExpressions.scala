@@ -116,9 +116,123 @@ case class VecSqDist(left: Expression, right: Expression) extends VecFoldExpress
     copy(left = l, right = r)
 }
 
+/** Static kernel for the φ-harmonic weighted cosine — the float64 loop
+  * of `similarity.py:52-74` operating directly on [[ArrayData]] (no
+  * per-row Seq materialization, no UDF encoder round-trip). Generated
+  * code calls this one static method — the same pattern Spark built-ins
+  * use for nontrivial kernels (e.g. UTF8String ops).
+  */
+object PhiKernel {
+  /** φⁿ for n in [-3, 6] — the reference's harmonic anchor set. */
+  val PhiPowers: Array[Double] =
+    (-3 to 6).map(n => math.pow((1.0 + math.sqrt(5.0)) / 2.0, n)).toArray
+
+  def phiWeighted(x: ArrayData, y: ArrayData, xFloat: Boolean, yFloat: Boolean): Double = {
+    val n = x.numElements()
+    val wRaw = new Array[Double](n)
+    var wSum = 0.0
+    var i = 0
+    while (i < n) {
+      val a = if (xFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val b = if (yFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      val avgMag = (math.abs(a) + math.abs(b)) / 2.0 + 1e-12
+      var minD = Double.MaxValue
+      var p = 0
+      while (p < PhiPowers.length) {
+        val dd = math.abs(avgMag - PhiPowers(p))
+        if (dd < minD) minD = dd
+        p += 1
+      }
+      wRaw(i) = 1.0 / (minD + 1e-8)
+      wSum += wRaw(i)
+      i += 1
+    }
+    val norm = wSum + 1e-12
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    i = 0
+    while (i < n) {
+      val a = if (xFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val b = if (yFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      val w = wRaw(i) / norm
+      val wa = a * w
+      val wb = b * w
+      dot += wa * wb; na += wa * wa; nb += wb * wb
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb) + 1e-12)
+  }
+}
+
+/** φ-weighted cosine as a native expression — replaces the one UDF that
+  * sat on a search path. Same null contract as [[VecFoldExpression]]:
+  * null on length mismatch, null on null elements (checked only when
+  * the schema allows them).
+  */
+case class VecPhiSim(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)),
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def mayHaveNulls(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
+
+  @transient private lazy val leftFloat = isFloat(left)
+  @transient private lazy val rightFloat = isFloat(right)
+  @transient private lazy val anyNullableElems = mayHaveNulls(left) || mayHaveNulls(right)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    if (anyNullableElems) {
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        i += 1
+      }
+    }
+    PhiKernel.phiWeighted(x, y, leftFloat, rightFloat)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val nullCheck =
+        if (anyNullableElems)
+          s"""for (int $i = 0; $i < $n; $i++) {
+             |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+             |}""".stripMargin
+        else ""
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  $nullCheck
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = org.apache.spark.sql.graftx.PhiKernel.phiWeighted(
+         |      $a, $b, $leftFloat, $rightFloat);
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VecExpressions {
   def vecDot(a: Column, b: Column): Column =
     ExpressionUtils.column(VecDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def vecSqDist(a: Column, b: Column): Column =
     ExpressionUtils.column(VecSqDist(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def vecPhiSim(a: Column, b: Column): Column =
+    ExpressionUtils.column(VecPhiSim(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

@@ -49,4 +49,21 @@ class DedupSpec extends AnyFunSuite {
       .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSeq
     assert(r == Seq(("a", 2L, 2L, 0L), ("b", 2L, 1L, 1L))) // doc 4 dropped (dup of 1)
   }
+
+  test("embeddingTopPairs: grid equi-join covers every pair once, no BNLJ") {
+    // 7 vectors over 3 blocks exercise same-block and cross-block tasks,
+    // including cross-block pairs where the LOWER id sits in the HIGHER
+    // block (id 3 in block 0 vs id 2 in block 2 with blocks=3)
+    val e = (0L until 7L).map(i =>
+      (i, Array.tabulate(4)(d => (1.0 + 0.1 * i * (d + 1)).toFloat)))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.embeddingTopPairs(e, 100, blocks = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // all C(7,2)=21 unordered pairs, each exactly once, ids normalized
+    assert(got.length == 21 && got.toSet.size == 21 &&
+      got.forall { case (a, b) => a < b })
+    val plan = Dedup.embeddingTopPairs(e, 100, blocks = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan was:\n$plan")
+  }
 }

@@ -68,6 +68,17 @@ class SimilaritySpec extends AnyFunSuite {
       .select(VectorOps.similarity("phi_weighted")(col("a"), col("b"))).head().getDouble(0)
     assert(math.abs(viaUdf - VectorOps.phiWeightedSimilarity(a, b)) < 1e-12)
   }
+  test("phi_weighted column path is a native expression — no UDF in the plan") {
+    // parquet-backed: a local Seq constant-folds to LocalTableScan
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val df = emb.select(VectorOps.similarity("phi_weighted")(
+      col("embedding"), col("embedding")).as("s"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("vecphisim") && !plan.contains("UDF"),
+      s"plan was:\n$plan")
+    assert(df.count() == 500)
+  }
+
   test("dispatch: unknown metric → IllegalArgumentException") {
     intercept[IllegalArgumentException] {
       VectorOps.similarity("bogus")(col("a"), col("b"))
