@@ -99,6 +99,36 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
     (row.getLong(0), row.getLong(1))
   }
 
+  /** BYTE-PARITY membership digest — blake2b-256 over the reference's
+    * exact canonical payload `json.dumps({"iglyphs": sorted,
+    * "pglyphs": sorted}, sort_keys=True)` (`vector_field.py:95-103`):
+    * a store migrated from the reference produces the identical hex.
+    * Ids stream through the digest via sorted `toLocalIterator`, so
+    * driver MEMORY stays constant, but driver CPU is O(n) — this is the
+    * audit/export/migration path; [[currentHash]] is the scalable
+    * incrementally-maintained equivalent. (Spark's binary UTF8 string
+    * ordering matches Python's code-point `sorted()`.)
+    */
+  def referenceHash(): String = {
+    val b = new functions.Blake2b(32)
+    def feed(s: String): Unit = { val x = s.getBytes("UTF-8"); b.update(x, 0, x.length) }
+    def feedIds(df: DataFrame, idCol: String): Unit = {
+      val it = df.select(col(idCol)).orderBy(col(idCol)).toLocalIterator()
+      var first = true
+      while (it.hasNext) {
+        if (!first) feed(", ")
+        feed(functions.Blake2b.pyJsonStr(it.next().getString(0)))
+        first = false
+      }
+    }
+    feed("{\"iglyphs\": [")
+    feedIds(iglyphsDF, "iglyph_id")
+    feed("], \"pglyphs\": [")
+    feedIds(pglyphsDF, "pglyph_id")
+    feed("]}")
+    b.digest().map("%02x".format(_)).mkString
+  }
+
   /** Recompute the membership hash from a full scan and check it against
     * the incrementally-maintained [[currentHash]]. Returns the scanned
     * hash; throws on divergence (tampered / externally-mutated state).

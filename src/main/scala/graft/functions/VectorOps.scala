@@ -109,12 +109,24 @@ object VectorOps {
 
   /** Content fingerprint of an embedding column — `types.py:68-71`
     * (`VectorEntry.fingerprint`). sha2-256 over the JSON-serialized
-    * array; the reference uses Blake2b-16 over the raw bytes (documented
-    * deviation, SURVEY.md §7.4 — the JVM ships no Blake2b). The audited
-    * property is identical: equal embeddings ⇒ equal fingerprint,
-    * any element change ⇒ different fingerprint.
+    * array: the codegen'd, oracle-expressible engine default. The
+    * audited property is identical to the reference's: equal embeddings
+    * ⇒ equal fingerprint, any element change ⇒ different fingerprint.
+    * For byte parity with the reference's digests use
+    * [[fingerprintReference]].
     */
   def fingerprint(embedding: Column): Column = sha2(to_json(embedding), 256)
+
+  /** BYTE-PARITY fingerprint — blake2b-256 (bundled RFC 7693 core) over
+    * the reference's exact payload: `json.dumps(embedding,
+    * separators=(",", ":"))` with Python float repr (`types.py:68-71`).
+    * A store migrated from the reference keeps identical fingerprints.
+    * UDF (not codegen): content digests are ingest-path, not
+    * search-path, and the digest already dominates the row cost.
+    */
+  val fingerprintReference = udf { e: Seq[Float] =>
+    Blake2b.hex(Blake2b.pyJsonFloats(e).getBytes("UTF-8"), 32)
+  }
 
   /** Per-vector absolute max (int8 quantization scale). */
   def absMax(a: Column): Column =
