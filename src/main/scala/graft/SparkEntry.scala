@@ -340,7 +340,7 @@ object SparkEntry {
         col("embedding"),
         col("label").cast("string").as("label"),
         lit(null).cast("string").as("proto_id"),
-        typedLit(Map.empty[String, String]).as("meta"),
+        parse_json(lit("{}")).as("meta"),
         lit("1.0.0").as("version"),
         lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("timestamp"))
       db.addIGlyphsDF(glyphs) // distributed batch write — no driver collect

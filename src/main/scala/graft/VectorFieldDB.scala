@@ -41,8 +41,18 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
 
   import spark.implicits._
 
-  private var iglyphsDF: DataFrame = spark.emptyDataset[IGlyph].toDF()
-  private var pglyphsDF: DataFrame = spark.emptyDataset[PGlyph].toDF()
+  /** Typed-view boundary: the case classes carry `meta` as a JSON
+    * string; the stored frames type it `variant` — heterogeneous values
+    * (`Dict[str, Any]`, `types.py:116`) survive storage, JSONL and
+    * snapshots natively and are queryable with `variant_get`.
+    */
+  private def withVariantMeta(df: DataFrame): DataFrame =
+    df.withColumn("meta", parse_json(col("meta")))
+  private def withJsonMeta(df: DataFrame): DataFrame =
+    df.withColumn("meta", to_json(col("meta")))
+
+  private var iglyphsDF: DataFrame = withVariantMeta(spark.emptyDataset[IGlyph].toDF())
+  private var pglyphsDF: DataFrame = withVariantMeta(spark.emptyDataset[PGlyph].toDF())
   private val history = ArrayBuffer[AuditRecord]()
   private var mutationsSinceCheckpoint = 0
 
@@ -183,7 +193,7 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
     val dups = iglyphsDF.join(ids.toDF("iglyph_id"), Seq("iglyph_id"), "left_semi")
       .select("iglyph_id").as[String].collect()
     require(dups.isEmpty, s"IGlyph id already exists: ${dups.mkString(",")}")
-    iglyphsDF = iglyphsDF.unionByName(vs.toDS().toDF())
+    iglyphsDF = iglyphsDF.unionByName(withVariantMeta(vs.toDS().toDF()))
     ids.foreach(id => iAcc ^= idHash(id))
     maybeCheckpoint()
     log("ADD_IGLYPH", "count" -> vs.size.toString)
@@ -196,7 +206,13 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
     * reference's row-at-a-time API for parity).
     */
   def addIGlyphsDF(rows: DataFrame): Long = {
-    val df = rows.select(iglyphsDF.columns.map(col): _*).cache()
+    // accept a JSON-string meta column (the typed-view form) as well as
+    // an already-variant one
+    val metaFixed =
+      if (rows.schema("meta").dataType == org.apache.spark.sql.types.StringType)
+        withVariantMeta(rows)
+      else rows
+    val df = metaFixed.select(iglyphsDF.columns.map(col): _*).cache()
     // all validation counts in one job: constraint violations, batch
     // size, batch-internal dups, collisions with the existing store
     val v = df
@@ -233,7 +249,7 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
   /** Single insert convenience; generates a UUID when id not supplied. */
   def addIGlyph(glyphId: Int, ctx: Int, embedding: Array[Float],
       label: String = "", id: Option[String] = None,
-      meta: Map[String, String] = Map.empty): String = {
+      meta: String = "{}"): String = {
     val gid = id.getOrElse(UUID.randomUUID().toString)
     addIGlyphs(Seq(IGlyph(gid, glyphId, ctx, embedding, label, None, meta)))
     gid
@@ -241,10 +257,10 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
 
   /** Point lookup — `vector_field.py:177-179`. */
   def getIGlyph(id: String): Option[IGlyph] =
-    iglyphsDF.filter($"iglyph_id" === id).as[IGlyph].collect().headOption
+    withJsonMeta(iglyphsDF.filter($"iglyph_id" === id)).as[IGlyph].collect().headOption
 
   def getPGlyph(id: String): Option[PGlyph] =
-    pglyphsDF.filter($"pglyph_id" === id).as[PGlyph].collect().headOption
+    withJsonMeta(pglyphsDF.filter($"pglyph_id" === id)).as[PGlyph].collect().headOption
 
   /** Replace embedding + refresh timestamp — `vector_field.py:181-194`.
     * Missing id → NoSuchElementException (reference KeyError).
@@ -278,7 +294,7 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
     * (`vector_field.py:244`); all-unknown → error.
     */
   def formCluster(memberIds: Seq[String], anchorGlyphId: Int, ctx: Int,
-      clusterTag: String = "", meta: Map[String, String] = Map.empty): String =
+      clusterTag: String = "", meta: String = "{}"): String =
     formClusterOf(memberIds.toDF("iglyph_id"), anchorGlyphId, ctx, clusterTag, meta)
 
   /** DataFrame-native cluster formation — the scale path: membership
@@ -292,7 +308,7 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
     * the broadcast centroid literal.
     */
   def formClusterOf(memberIdsDF: DataFrame, anchorGlyphId: Int, ctx: Int,
-      clusterTag: String = "", meta: Map[String, String] = Map.empty): String = {
+      clusterTag: String = "", meta: String = "{}"): String = {
     Validation.requireGlyphId(anchorGlyphId)
     Validation.requireCtx(ctx)
     // distinct: a duplicated input id must not duplicate member rows
@@ -317,7 +333,7 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
         lit(ctx).as("outer_context_id"),
         typedLit(centroid.toSeq).as("centroid"), $"member_ids",
         lit(clusterTag).as("cluster_tag"), lit(inertia).as("inertia"),
-        typedLit(meta).as("meta"), lit("1.0.0").as("version"),
+        parse_json(lit(meta)).as("meta"), lit("1.0.0").as("version"),
         lit(now).as("timestamp"))
     pglyphsDF = pglyphsDF.unionByName(pgRow.select(pglyphsDF.columns.map(col): _*))
     // back-pointers (vector_field.py:256-257): unknown ids simply match
@@ -423,7 +439,7 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
       .join(broadcast(info), "band")
       .select($"pglyph_id", lit(anchorGlyphId).as("glyph_id"),
         lit(ctx).as("outer_context_id"), $"centroid", $"member_ids",
-        $"cluster_tag", $"inertia", typedLit(Map.empty[String, String]).as("meta"),
+        $"cluster_tag", $"inertia", parse_json(lit("{}")).as("meta"),
         lit("1.0.0").as("version"), lit(now).as("timestamp"))
     pglyphsDF = pglyphsDF.unionByName(pgRows.select(pglyphsDF.columns.map(col): _*))
     // back-pointers: (iglyph_id → pglyph_id) stays a distributed join —

@@ -7,6 +7,13 @@ import java.time.Instant
   * reference dataclasses (`/root/reference/aeuc_vector_db/types.py`).
   * Stored as Datasets/DataFrames; validation constraints from
   * `types.py:52-62,120-128,206-214` are enforced at ingest.
+  *
+  * `meta` is the reference's heterogeneous `Dict[str, Any]`
+  * (`types.py:116`): in the typed case-class view it is a JSON document
+  * string; in the facade's stored frames it is a `variant` column
+  * (Spark 4's semi-structured type), so nested values — numbers, lists,
+  * objects — survive JSONL export/import byte-faithfully and are
+  * queryable with `variant_get`.
   */
 
 /** Instance Glyph — one stored observation (`types.py:89-165`). */
@@ -17,7 +24,7 @@ case class IGlyph(
     embedding: Array[Float],
     label: String = "",
     proto_id: Option[String] = None,
-    meta: Map[String, String] = Map.empty,
+    meta: String = "{}",
     version: String = "1.0.0",
     timestamp: Timestamp = Timestamp.from(Instant.now()))
 
@@ -30,7 +37,7 @@ case class PGlyph(
     member_ids: Array[String],
     cluster_tag: String = "",
     inertia: Double = 0.0,
-    meta: Map[String, String] = Map.empty,
+    meta: String = "{}",
     version: String = "1.0.0",
     timestamp: Timestamp = Timestamp.from(Instant.now()))
 
@@ -43,7 +50,7 @@ case class VectorEntry(
     outer_context_id: Int,
     embedding: Array[Float],
     source_tag: String = "",
-    meta: Map[String, String] = Map.empty,
+    meta: String = "{}",
     version: String = "1.0.0",
     timestamp: Timestamp = Timestamp.from(Instant.now()))
 

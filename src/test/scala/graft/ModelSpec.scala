@@ -32,11 +32,11 @@ class ModelSpec extends AnyFunSuite {
     val spark = TestSpark.spark
     import spark.implicits._
     val g = IGlyph("id-1", 42, 3, Array(1f, 2f, 3f, 4f), label = "obs",
-      meta = Map("k" -> "v"))
+      meta = """{"k":"v","n":1}""")
     val back = Seq(g).toDS().collect().head
     assert(back.iglyph_id == "id-1" && back.glyph_id == 42 &&
       back.outer_context_id == 3 && back.embedding.toSeq == Seq(1f, 2f, 3f, 4f) &&
-      back.label == "obs" && back.meta == Map("k" -> "v") && back.version == "1.0.0")
+      back.label == "obs" && back.meta == """{"k":"v","n":1}""" && back.version == "1.0.0")
   }
 
   test("JSON round-trip via toJSON / read.json") {

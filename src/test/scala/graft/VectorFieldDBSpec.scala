@@ -189,6 +189,37 @@ class VectorFieldDBSpec extends AnyFunSuite {
     assert(db2.importJsonl(spark.createDataset(Seq(bad))) == 0)
   }
 
+  test("heterogeneous meta: nested values survive store, JSONL and snapshot") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val db = freshDb()
+    val id = db.addIGlyph(1, 1, vec(1f),
+      meta = """{"k":"v","n":7,"xs":[1,2],"nested":{"a":true}}""")
+    // typed access on the stored variant column
+    assert(db.iglyphs.select(variant_get(col("meta"), "$.n", "int"))
+      .head().getInt(0) == 7)
+    assert(db.iglyphs.select(variant_get(col("meta"), "$.nested.a", "boolean"))
+      .head().getBoolean(0))
+    // the wire format carries meta as a nested JSON OBJECT (reference
+    // export_jsonl parity), not an escaped string
+    val line = db.exportJsonl().collect().head
+    assert(line.contains("\"meta\":{") && line.contains("\"n\":7"))
+    // import preserves heterogeneity
+    val db2 = freshDb()
+    assert(db2.importJsonl(spark.createDataset(Seq(line))) == 1)
+    assert(db2.iglyphs.select(variant_get(col("meta"), "$.xs[1]", "int"))
+      .head().getInt(0) == 2)
+    // snapshot/restore round-trips the variant column through parquet
+    val dir = java.nio.file.Files.createTempDirectory("graft-meta-snap").toString
+    db.snapshot(dir)
+    val db3 = freshDb()
+    db3.restore(dir)
+    assert(db3.iglyphs.select(variant_get(col("meta"), "$.n", "int"))
+      .head().getInt(0) == 7)
+    // typed view surfaces the document as a JSON string
+    assert(db3.getIGlyph(id).get.meta.contains("\"n\":7"))
+  }
+
   test("membership hash changes on mutation, stable otherwise") {
     val db = freshDb()
     val h0 = db.currentHash
