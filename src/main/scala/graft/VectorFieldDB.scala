@@ -196,7 +196,13 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
     iglyphsDF = iglyphsDF.unionByName(withVariantMeta(vs.toDS().toDF()))
     ids.foreach(id => iAcc ^= idHash(id))
     maybeCheckpoint()
-    log("ADD_IGLYPH", "count" -> vs.size.toString)
+    // single-row adds log the reference's per-row kwargs
+    // (`vector_field.py:173-174`); batches log the count
+    if (vs.size == 1)
+      log("ADD_IGLYPH", "iglyph_id" -> vs.head.iglyph_id,
+        "glyph_id" -> vs.head.glyph_id.toString,
+        "outer_context_id" -> vs.head.outer_context_id.toString)
+    else log("ADD_IGLYPH", "count" -> vs.size.toString)
     ids
   }
 
@@ -279,12 +285,14 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
 
   /** Delete + clean parent PGlyph member lists — `vector_field.py:196-216`. */
   def deleteIGlyph(id: String): Unit = {
-    if (getIGlyph(id).isEmpty) throw new NoSuchElementException(s"IGlyph not found: $id")
+    val ig = getIGlyph(id).getOrElse(
+      throw new NoSuchElementException(s"IGlyph not found: $id"))
     iglyphsDF = iglyphsDF.filter($"iglyph_id" =!= id)
     pglyphsDF = pglyphsDF.withColumn("member_ids", array_remove($"member_ids", id))
     iAcc ^= idHash(id) // XOR is self-inverse: delete = the same fold step
     maybeCheckpoint()
-    log("DELETE_IGLYPH", "iglyph_id" -> id)
+    // `vector_field.py:215` logs the deleted row's glyph_id too
+    log("DELETE_IGLYPH", "iglyph_id" -> id, "glyph_id" -> ig.glyph_id.toString)
   }
 
   // --------------------------------------------------------- clustering
@@ -381,7 +389,9 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
     pglyphsDF = pglyphsDF.filter($"pglyph_id" =!= id)
       .unionByName(newRow.select(pglyphsDF.columns.map(col): _*))
     maybeCheckpoint()
-    log("RECOMPUTE_PGLYPH", "pglyph_id" -> id)
+    // `vector_field.py:284` logs the surviving member count
+    log("RECOMPUTE_PGLYPH", "pglyph_id" -> id,
+      "members" -> agg1.getLong(1).toString)
   }
 
   /** φ-banded auto-clustering of one context — `vector_field.py:351-390`.
