@@ -256,6 +256,16 @@ object SparkEntry {
           coalesce(col("n"), lit(0L)).as("n_prior_views"))
         .orderBy(col("event_id"))
     }),
+    // streaming operator exercised on batch input (same plan modulo the
+    // watermark node, which EliminateEventTimeWatermark drops in batch):
+    // errors joined to same-user clicks in the preceding 10 minutes
+    "stream_click_error" -> ((s, dir) =>
+      streaming.Streaming.clickErrorJoin(events(s, dir), 600)
+        .select(col("user_id"), col("error_id"),
+          date_format(col("error_ts"), "yyyy-MM-dd HH:mm:ss").as("error_ts"),
+          col("click_id"),
+          date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"))
+        .orderBy(col("error_id"), col("click_id"))),
     "stats_advanced" -> ((s, dir) =>
       tbl(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -763,6 +773,19 @@ object SparkEntry {
          |FROM errors e ASOF LEFT JOIN clicks c
          |  ON e.user_id = c.user_id AND c.ts <= e.ts
          |ORDER BY e.event_id""".stripMargin,
+    // epoch_us (not epoch_ms): the engine compares at Spark's native
+    // microsecond precision, and the parquet timestamps are µs-aligned
+    // nanos — a ms-truncated bound could disagree at the window edge
+    "stream_click_error" ->
+      s"""WITH e AS (SELECT event_id AS error_id, user_id, ts AS error_ts FROM events WHERE event_type = 'error'),
+         |c AS (SELECT event_id AS click_id, user_id, ts AS click_ts FROM events WHERE event_type = 'click')
+         |SELECT e.user_id, e.error_id,
+         |  strftime(e.error_ts, '%Y-%m-%d %H:%M:%S') AS error_ts,
+         |  c.click_id, strftime(c.click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+         |FROM e JOIN c ON e.user_id = c.user_id
+         |  AND epoch_us(c.click_ts) <= epoch_us(e.error_ts)
+         |  AND epoch_us(c.click_ts) >= epoch_us(e.error_ts) - 600000000
+         |ORDER BY error_id, click_id""".stripMargin,
     "range_join_views" ->
       s"""WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
          |v AS (SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'),

@@ -46,6 +46,33 @@ object Streaming {
         date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-stream inner join: each error event matched to the click
+    * events from the same user within the preceding `windowSeconds`.
+    * This is the streaming form of the batch as-of candidate set
+    * (`operators/Joins.asOfJoin` feeds on the same shape): both sides
+    * carry watermarks AND the join condition bounds the event-time
+    * distance, which is exactly what Structured Streaming requires to
+    * evict join state — without the interval bound the engine would
+    * buffer both streams forever. Works identically on batch inputs.
+    */
+  def clickErrorJoin(events: DataFrame, windowSeconds: Int = 600,
+      watermark: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("error_ts"),
+        col("event_id").as("error_id"))
+      .withWatermark("error_ts", watermark)
+    errors.join(clicks,
+      col("e_user") === col("c_user") &&
+        col("click_ts") <= col("error_ts") &&
+        col("click_ts") >= col("error_ts") - expr(s"INTERVAL $windowSeconds SECONDS"))
+      .select(col("e_user").as("user_id"), col("error_id"), col("error_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)

@@ -72,6 +72,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("dedup_out").count() == 2)
   }
 
+  test("clickErrorJoin: stream-stream interval join matches batch result") {
+    implicit val sc = spark.sqlContext
+    val evts = Seq(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(5), 1, "error", 0.0),   // joins click 1 (5 min back)
+      Event(3, ts(30), 1, "error", 0.0),  // > 10 min after click 1 → no match
+      Event(4, ts(4), 2, "click", 1.0),
+      Event(5, ts(6), 2, "click", 1.0),
+      Event(6, ts(8), 2, "error", 0.0))   // joins clicks 4 and 5
+    val mem = MemoryStream[Event]
+    mem.addData(evts: _*)
+    val q = Streaming.clickErrorJoin(mem.toDF(), windowSeconds = 600).writeStream
+      .format("memory").queryName("cej_out").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("cej_out")
+      .orderBy("error_id", "click_id").collect().map(_.toSeq)
+    val batch = Streaming.clickErrorJoin(evts.toDF(), windowSeconds = 600)
+      .orderBy("error_id", "click_id").collect().map(_.toSeq)
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.length == 3)
+    assert(streamed.map(r => (r(1), r(3))).toSeq == Seq((2L, 1L), (6L, 4L), (6L, 5L)))
+  }
+
   test("statefulSessionize emits closed sessions, keeps open state") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Event]
