@@ -58,7 +58,7 @@ object SparkEntry {
         .agg(round(sum(col("x").cast("double")) / count(lit(1)), 6).as("c"))
         .orderBy(col("label"), col("dim_idx"))),
     "cluster_inertia_by_label" -> ((s, dir) =>
-      Clustering.withInertia(emb(s, dir), col("label"), col("vec_id"))
+      Clustering.withInertia(emb(s, dir), col("label"), col("vec_id"), withMembers = false)
         .select(col("cluster_key").cast("int").as("cluster_key"),
           col("n_members"), col("inertia"))
         .orderBy(col("cluster_key"))),

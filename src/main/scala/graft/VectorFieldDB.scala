@@ -430,8 +430,10 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
     if (inCtx.isEmpty) return Seq.empty
     val banded = Clustering.withPhiBand(inCtx, levels).localCheckpoint(true)
     // bounded driver collect: ≤ levels rows, dim-length centroids —
-    // column pruning drops withInertia's member-list aggregate
-    val stats = operators.Clustering.withInertia(banded, $"band", $"iglyph_id")
+    // withMembers=false keeps the member-list aggregate out of the
+    // cached centroid table (pruning can't reach through the cache)
+    val stats = operators.Clustering.withInertia(banded, $"band", $"iglyph_id",
+        withMembers = false)
       .select($"cluster_key", $"centroid", $"inertia")
       .collect()
     if (stats.isEmpty) return Seq.empty

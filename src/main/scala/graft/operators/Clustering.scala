@@ -63,22 +63,36 @@ object Clustering {
     * key playing the role of the caller-selected member set.
     * `round6` keeps the double centroid hash-stable for the oracle.
     */
-  def centroids(emb: DataFrame, key: Column, idCol: Column): DataFrame =
+  def centroids(emb: DataFrame, key: Column, idCol: Column,
+      withMembers: Boolean = true): DataFrame = {
+    // `withMembers = false` skips the member-array aggregate entirely.
+    // Callers that only need (centroid, n_members, inertia) must pass
+    // false when the result is cached/checkpointed: materialization
+    // defeats the column pruning that would otherwise drop collect_list.
+    val aggs =
+      vecMean(col("embedding")).as("centroid_raw") +:
+        (if (withMembers) Seq(sort_array(collect_list(idCol)).as("member_ids")) else Nil) :+
+        count(lit(1)).as("n_members")
     Partitioning.spread(emb)
       .groupBy(key.as("cluster_key"))
-      .agg(
-        vecMean(col("embedding")).as("centroid_raw"),
-        sort_array(collect_list(idCol)).as("member_ids"),
-        count(lit(1)).as("n_members"))
+      .agg(aggs.head, aggs.tail: _*)
       .withColumn("centroid", transform(col("centroid_raw"), x => round(x, 6)))
       .drop("centroid_raw")
+  }
 
   /** Inertia = Σ‖e − c‖² per group — second pass joining members back to
     * their (small, broadcastable) centroid table, `clustering.py:32-34` +
     * `clustering.py:66-68`.
     */
-  def withInertia(emb: DataFrame, key: Column, idCol: Column): DataFrame = {
-    val cent = centroids(emb, key, idCol)
+  def withInertia(emb: DataFrame, key: Column, idCol: Column,
+      withMembers: Boolean = true): DataFrame = {
+    // The centroid table feeds two consumers (the broadcast join-back and
+    // the final output join) and exchange reuse does NOT deduplicate them
+    // (verified: 3 parquet scans, 0 ReusedExchange without the cache) —
+    // without persist the full scan+shuffle+VecMeanAgg pass runs twice.
+    // The table is small (one row per cluster), so caching it is the
+    // two-pass-aggregation pattern that holds at any input scale.
+    val cent = centroids(emb, key, idCol, withMembers).cache()
     val joined = emb.withColumn("cluster_key", key)
       .join(broadcast(cent.select(col("cluster_key"), col("centroid"))), "cluster_key")
     val inertia = joined.groupBy(col("cluster_key"))
@@ -124,10 +138,11 @@ object Clustering {
   /** `auto_cluster_phi` — `vector_field.py:351-390`: filter one context,
     * φ-band, one centroid per non-empty band tagged `phi_band_{i}`.
     */
-  def autoClusterPhi(emb: DataFrame, ctxCol: Column, ctx: Int, levels: Int = 3): DataFrame = {
+  def autoClusterPhi(emb: DataFrame, ctxCol: Column, ctx: Int, levels: Int = 3,
+      withMembers: Boolean = true): DataFrame = {
     val inCtx = emb.filter(ctxCol === ctx)
     val banded = withPhiBand(inCtx, levels)
-    withInertia(banded, col("band"), col("vec_id"))
+    withInertia(banded, col("band"), col("vec_id"), withMembers)
       .withColumn("cluster_tag", concat(lit("phi_band_"), col("cluster_key")))
   }
 }
