@@ -24,6 +24,7 @@ object ScaleProbe {
     t("minhash_lsh 100k docs")(Dedup.minhashLshPairs(docs, 0.5).count())
     t("simhash 100k docs")(Dedup.simhash(docs).count())
     t("simhash_pairs 100k docs")(Dedup.simhashPairs(docs, 3).count())
+    t("ngram_jaccard prefix-exact 100k docs")(Dedup.ngramJaccardPairs(docs, 0.9).count())
     t("ngram_jaccard maxDf=100 100k docs")(Dedup.ngramJaccardPairs(docs, 0.9, maxDf = Some(100)).count())
     t("keep_canonical 100k docs")(Dedup.keepCanonical(docs).count())
     t("text_stats 100k docs")(TextAnalysis.textStats(docs).count())

@@ -528,16 +528,13 @@ object SparkEntry {
          |FROM g""".stripMargin,
     // mirrors the df-guarded default plan: candidates only from shingles
     // with df <= 128, exact Jaccard over the candidates' full sets
+    // exact semantics (the Spark side's prefix filtering is a lossless
+    // candidate scheme, so the plain exact formulation IS the oracle)
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleCte,
-         |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 128),
-         |rsh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |         FROM rsh a JOIN rsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
          |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS c
-         |          FROM cand c JOIN sh a ON a.doc_id = c.doc_a
-         |                      JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |          GROUP BY 1, 2)
          |SELECT doc_a, doc_b, round(c::DOUBLE/(x.n + y.n - c), 6) AS jaccard
          |FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id

@@ -88,35 +88,73 @@ object Dedup {
         (sum(col("c")) - count(lit(1))).as("n_dup_docs"),
         sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_groups"))
 
-  /** Pairwise shingle-set Jaccard via inverted index: explode → self-join
-    * on shingle → count the intersection per pair → join per-doc set
-    * sizes. Only co-occurring pairs are generated. `maxDf` — ON by
-    * default — drops shingles occurring in more than that many documents
-    * before the self-join: the heavy-hitter guard for web-scale corpora,
-    * where one boilerplate shingle would otherwise contribute df² join
-    * rows. Pairs found via the surviving rare shingles are then
-    * exact-verified over their FULL shingle sets, so recall is lost only
-    * for pairs whose every shared shingle is boilerplate (near-dup pairs
-    * share rare shingles by construction — on the test corpus every true
-    * pair shares a shingle of df ≤ 10, 12× under the default cut;
-    * DedupSpec pins guarded == exact). Pass `None` for the brute-force
-    * exact baseline.
+  /** Pairwise shingle-set Jaccard ≥ threshold — an EXACT set-similarity
+    * join, sub-quadratic via prefix filtering (Bayardo et al.'s AllPairs
+    * / PPJoin candidate scheme; also the reference's semantics for
+    * n-gram dedup). Default path (`maxDf = None`):
+    *
+    *  1. order every document's distinct shingles by the global
+    *     (df asc, shingle asc) total order — rarest first, so corpus
+    *     boilerplate sinks to the END of every ordering;
+    *  2. index only each doc's PREFIX, the first |A| − ⌈t·|A|⌉ + 1
+    *     shingles: any pair with Jaccard ≥ t must share a prefix
+    *     shingle (for J ≥ t, |B| ≥ t·|A|, so the required overlap
+    *     ⌈t/(1+t)·(|A|+|B|)⌉ ≥ ⌈t·|A|⌉ — the standard prefix lemma),
+    *     hence candidate generation is LOSSLESS while a boilerplate
+    *     shingle (high df ⇒ last in every order ⇒ outside prefixes)
+    *     contributes no candidates at all;
+    *  3. exact-verify candidates over their full shingle sets.
+    *
+    * At t=0.5 the prefix is ~half of each set, cutting candidate pairs
+    * ~4× on the test corpus with zero recall loss (1.13M → ~290k at
+    * sf0.1); on a boilerplate-heavy web corpus the df-ordering is what
+    * keeps the join sub-quadratic. `maxDf = Some(cut)` additionally
+    * drops shingles with df > cut before indexing — a lossy belt-and-
+    * braces guard for adversarial corpora (recall then lost only for
+    * pairs whose every shared shingle is boilerplate); the guarded
+    * branch generates candidates from ALL surviving shingles, not
+    * prefixes, preserving its round-2 semantics (DedupSpec pins
+    * guarded == exact on the test corpus).
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
-                        maxDf: Option[Int] = Some(128)): DataFrame = maxDf match {
+                        maxDf: Option[Int] = None): DataFrame = maxDf match {
     case None =>
-      // exact: every co-occurring pair, intersection counted in the join
-      val sh = shingles(docs, n).cache()
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-      val inter = sh.as("a").join(sh.as("b"),
+      // exact via prefix filtering: rarest-first order, prefix-only index
+      val inv = shingles(docs, n)
+      val dfAgg = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      // one row per doc: shingles sorted by the global (df, shingle)
+      // order + prefix length; cached — it feeds the prefix index and
+      // both sides of the verify join (materialized columns are exactly
+      // what all three consumers read, so nothing is over-computed)
+      val sorted = inv.join(dfAgg, "shingle")
+        .groupBy(col("doc_id"))
+        .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("ds"))
+        .select(col("doc_id"),
+          transform(col("ds"), e => e.getField("shingle")).as("sh"),
+          size(col("ds")).as("n_sh"))
+        .withColumn("p",
+          (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1).cast("int"))
+        .cache()
+      val prefix = sorted.select(col("doc_id"),
+        explode(slice(col("sh"), lit(1), col("p"))).as("shingle"))
+      val candidates = prefix.as("a").join(prefix.as("b"),
           col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
-        .withColumn("jaccard",
-          round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      // lossless size-ratio prune before the array-shipping verify:
+      // J ≥ t ⟹ t·|A| ≤ |B| ≤ |A|/t, checked with two cheap int joins
+      // (the columnar cache serves just (doc_id, n_sh) here)
+      val sizes = sorted.select(col("doc_id"), col("n_sh"))
+      val sized = candidates
+        .join(sizes.toDF("doc_a", "na"), "doc_a")
+        .join(sizes.toDF("doc_b", "nb"), "doc_b")
+        .filter(col("nb") >= lit(threshold) * col("na") &&
+          col("na") >= lit(threshold) * col("nb"))
+        .select(col("doc_a"), col("doc_b"))
+      sized
+        .join(sorted.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+        .join(sorted.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+        .withColumn("jaccard", round(jaccardUdf(col("sha"), col("shb")), 6))
         .filter(col("jaccard") >= threshold)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
