@@ -94,6 +94,43 @@ object KMeansIndex {
       .select(col("vec_id"), col("cell"), col("score"))
   }
 
+  /** Materialize the index as a cell-partitioned parquet layout — one
+    * directory per Voronoi cell plus the (tiny) centroid table. This is
+    * the "build once, search many" form: a probe search over the opened
+    * layout reads only the probed cells' directories (static partition
+    * pruning), i.e. nProbe/k of the data — the entire point of an IVF
+    * index at 100 TB, where re-assigning cells per query is a full scan.
+    */
+  def persist(index: Index, path: String): Unit = {
+    index.assigned.write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$path/cells")
+    index.centroids.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/centroids")
+  }
+
+  /** Probe-then-scan over a [[persist]]ed layout. The probe list is a
+    * bounded driver collect (≤ nProbe ints — NOT data-dependent), turned
+    * into an `isin` literal so the cell filter is static partition
+    * pruning at the file index, visible as `PartitionFilters: [cell IN
+    * …]` in the scan (a broadcast-join probe would only prune
+    * dynamically, and only when DPP triggers).
+    */
+  def searchPersisted(spark: org.apache.spark.sql.SparkSession, path: String,
+      query: Array[Float], topK: Int, nProbe: Int): DataFrame = {
+    val q = typedLit(query.toSeq.map(_.toDouble))
+    val probeCells = spark.read.parquet(s"$path/centroids")
+      .withColumn("cscore", VectorOps.cosineSimilarity(col("centroid"), q))
+      .orderBy(col("cscore").desc, col("cell").asc)
+      .limit(nProbe)
+      .select(col("cell")).collect().map(_.getInt(0))
+    spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(probeCells.map(Int.box): _*))
+      .withColumn("score", round(VectorOps.cosineSimilarity(col("embedding"), q), 6))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(topK)
+      .select(col("vec_id"), col("cell"), col("score"))
+  }
+
   /** Recall of the probe search against the exact brute-force top-k —
     * the quality metric an index build reports.
     */

@@ -31,6 +31,25 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall@10 with 3/8 probes was $recall")
   }
 
+  test("persisted cell-partitioned index: probe search is partition-pruned") {
+    val idx = KMeansIndex.build(emb, k = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/idx"
+    KMeansIndex.persist(idx, path)
+    val query = emb.filter($"vec_id" === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val pruned = KMeansIndex.searchPersisted(spark, path, query, topK = 10, nProbe = 3)
+    // the cell filter reaches the file index as static partition pruning:
+    // only the probed cells' directories are read
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"expected static partition pruning on cell in:\n${plan.take(1500)}")
+    // identical results to the in-memory probe search on the same index
+    val inMem = KMeansIndex.search(idx, query, topK = 10, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val onDisk = pruned.collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(onDisk == inMem)
+  }
+
   test("SQL surface: vec_dot / vec_sq_dist registered via GraftFunctions") {
     GraftFunctions.register(spark)
     val row = spark.sql(
