@@ -30,6 +30,41 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs(Some(3)) == exact)
   }
 
+  test("prefix-filtered Jaccard equals brute force on random corpora") {
+    // the losslessness of the prefix-filter candidate scheme, pinned
+    // empirically against an in-memory all-pairs computation over
+    // seeded random word-soup corpora with planted near-dups
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta")
+    val base = (1 to 40).map { id =>
+      val n = 5 + rnd.nextInt(15)
+      (id.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val corpus = base ++ base.take(5).map { case (id, txt) =>
+      (id + 1000L, txt + " omega")
+    }
+    for (t <- Seq(0.4, 0.7)) {
+      val got = Dedup.ngramJaccardPairs(corpus.toDF("doc_id", "text"), t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      def shingleSet(s: String): Set[String] = {
+        val ws = s.trim.split("\\s+")
+        (0 to ws.length - 3).map(i => ws.slice(i, i + 3).mkString(" ")).toSet
+      }
+      val sets = corpus.map { case (id, txt) => (id, shingleSet(txt)) }
+        .filter(_._2.nonEmpty)
+      val want = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        inter = (sa & sb).size
+        j = BigDecimal(inter.toDouble / (sa.size + sb.size - inter))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if j >= t
+      } yield (a, b, j)).toSet
+      assert(got == want, s"t=$t: got=${got.size} want=${want.size}")
+      assert(want.nonEmpty, s"degenerate corpus at t=$t")
+    }
+  }
+
   test("minhashLshPairs recovers exact and near duplicates") {
     val got = Dedup.minhashLshPairs(docs, 0.5).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
