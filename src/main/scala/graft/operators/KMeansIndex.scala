@@ -108,6 +108,25 @@ object KMeansIndex {
       .parquet(s"$path/centroids")
   }
 
+  /** Incrementally add vectors to a [[persist]]ed layout: assign cells
+    * with the SAME trained centroids (read back from the layout — the
+    * codegen'd [[cellExpr]], no retraining, no model object) and append
+    * into the cell directories. This is how a continuously-ingesting
+    * pipeline keeps the index searchable between rebuilds: appends touch
+    * only the affected cell partitions, searches keep pruning, and the
+    * centroid quality degrades only as far as the data drifts (rebuild
+    * cadence is a quality/cost dial, same trade as any IVF system).
+    * Works as a Structured Streaming `foreachBatch` sink body.
+    */
+  def appendPersisted(spark: org.apache.spark.sql.SparkSession, path: String,
+      vectors: DataFrame): Unit = {
+    val centers = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cell"))
+      .collect().map(_.getSeq[Double](1).toArray)
+    vectors.withColumn("cell", cellExpr(col("embedding"), centers))
+      .write.partitionBy("cell").mode("append").parquet(s"$path/cells")
+  }
+
   /** Probe-then-scan over a [[persist]]ed layout. The probe list is a
     * bounded driver collect (≤ nProbe ints — NOT data-dependent), turned
     * into an `isin` literal so the cell filter is static partition

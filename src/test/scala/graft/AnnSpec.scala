@@ -50,6 +50,24 @@ class AnnSpec extends AnyFunSuite {
     assert(onDisk == inMem)
   }
 
+  test("appendPersisted: incremental ingest lands in the pruned index") {
+    val idx = KMeansIndex.build(emb, k = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString + "/idx"
+    KMeansIndex.persist(idx, path)
+    val query = emb.filter($"vec_id" === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    // ingest a new vector identical to the query under a fresh id: it
+    // must assign to the query's own cell and become the tied top hit
+    val newVec = emb.filter($"vec_id" === 0)
+      .select(lit(999999L).as("vec_id"), $"embedding", $"label")
+    KMeansIndex.appendPersisted(spark, path, newVec)
+    val top = KMeansIndex.searchPersisted(spark, path, query, topK = 2, nProbe = 3)
+      .collect()
+    assert(top.map(_.getLong(0)).toSet == Set(0L, 999999L),
+      s"top-2 was ${top.mkString(",")}")
+    assert(top.forall(_.getDouble(2) == 1.0))
+  }
+
   test("SQL surface: vec_dot / vec_sq_dist registered via GraftFunctions") {
     GraftFunctions.register(spark)
     val row = spark.sql(
