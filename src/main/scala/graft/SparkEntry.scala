@@ -526,8 +526,6 @@ object SparkEntry {
          |  CAST(sum(c) - count(*) AS BIGINT) AS n_dup_docs,
          |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
          |FROM g""".stripMargin,
-    // mirrors the df-guarded default plan: candidates only from shingles
-    // with df <= 128, exact Jaccard over the candidates' full sets
     // exact semantics (the Spark side's prefix filtering is a lossless
     // candidate scheme, so the plain exact formulation IS the oracle)
     "dedup_ngram_jaccard" ->

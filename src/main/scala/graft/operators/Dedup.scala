@@ -116,11 +116,42 @@ object Dedup {
     * prefixes, preserving its round-2 semantics (DedupSpec pins
     * guarded == exact on the test corpus).
     */
+  /** FP-conservative slack for threshold·count arithmetic: `t·n` in IEEE
+    * double can land an ulp ABOVE the exact rational (0.55·100 =
+    * 55.000000000000007), which would shorten the prefix below the
+    * lemma's bound and drop J == t boundary pairs from the size prune.
+    * Subtracting EPS before ceil/compare keeps both bounds conservative
+    * (never tighter than exact arithmetic) for any n up to ~1e9; being
+    * up to EPS too loose only admits a few extra candidates, which the
+    * exact verify then rejects — losslessness is preserved either way.
+    */
+  private val ThresholdEps = 1e-7
+
+  /** Shared verification tail: join each candidate pair to its full
+    * shingle arrays, exact Jaccard, threshold filter, canonical output.
+    * Single definition so rounding scale, threshold semantics and
+    * ordering cannot drift between the dedup variants (all three are
+    * oracle-checked against the same SQL shape).
+    */
+  private def verifyPairs(candidates: DataFrame, docSets: DataFrame,
+                          threshold: Double): DataFrame =
+    candidates
+      .join(docSets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(docSets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .withColumn("jaccard", round(jaccardUdf(col("sha"), col("shb")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
   def ngramJaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
                         maxDf: Option[Int] = None): DataFrame = maxDf match {
     case None =>
-      // exact via prefix filtering: rarest-first order, prefix-only index
-      val inv = shingles(docs, n)
+      // exact via prefix filtering: rarest-first order, prefix-only index.
+      // inv feeds both the df aggregation and the ordering join — the
+      // branches cannot share an exchange (one has a partial aggregate
+      // below it), so without the cache the shingle UDF pass over the
+      // corpus would run twice.
+      val inv = shingles(docs, n).cache()
       val dfAgg = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       // one row per doc: shingles sorted by the global (df, shingle)
       // order + prefix length; cached — it feeds the prefix index and
@@ -133,7 +164,8 @@ object Dedup {
           transform(col("ds"), e => e.getField("shingle")).as("sh"),
           size(col("ds")).as("n_sh"))
         .withColumn("p",
-          (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1).cast("int"))
+          (col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(ThresholdEps)) + 1)
+            .cast("int"))
         .cache()
       val prefix = sorted.select(col("doc_id"),
         explode(slice(col("sh"), lit(1), col("p"))).as("shingle"))
@@ -148,16 +180,10 @@ object Dedup {
       val sized = candidates
         .join(sizes.toDF("doc_a", "na"), "doc_a")
         .join(sizes.toDF("doc_b", "nb"), "doc_b")
-        .filter(col("nb") >= lit(threshold) * col("na") &&
-          col("na") >= lit(threshold) * col("nb"))
+        .filter(col("nb") >= lit(threshold) * col("na") - lit(ThresholdEps) &&
+          col("na") >= lit(threshold) * col("nb") - lit(ThresholdEps))
         .select(col("doc_a"), col("doc_b"))
-      sized
-        .join(sorted.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
-        .join(sorted.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
-        .withColumn("jaccard", round(jaccardUdf(col("sha"), col("shb")), 6))
-        .filter(col("jaccard") >= threshold)
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
-        .orderBy(col("doc_a"), col("doc_b"))
+      verifyPairs(sized, sorted.select(col("doc_id"), col("sh")), threshold)
     case Some(dfCut) =>
       // heavy-hitter-guarded: candidates only from shingles with df ≤
       // cut (a boilerplate shingle would contribute df² join rows), then
@@ -175,13 +201,7 @@ object Dedup {
           col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      candidates
-        .join(docSh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
-        .join(docSh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
-        .withColumn("jaccard", round(jaccardUdf(col("sha"), col("shb")), 6))
-        .filter(col("jaccard") >= threshold)
-        .select(col("doc_a"), col("doc_b"), col("jaccard"))
-        .orderBy(col("doc_a"), col("doc_b"))
+      verifyPairs(candidates, docSh, threshold)
   }
 
   import graft.functions.HashUtil.md5Hex
@@ -244,13 +264,7 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    candidates
-      .join(docSh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
-      .join(docSh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
-      .withColumn("jaccard", round(jaccardUdf(col("sha"), col("shb")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    verifyPairs(candidates, docSh, threshold)
   }
 
   /** SimHash width: 62 bits — the first 62 bits of md5(word), MSB-first.

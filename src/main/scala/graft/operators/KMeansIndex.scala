@@ -117,6 +117,14 @@ object KMeansIndex {
     * centroid quality degrades only as far as the data drifts (rebuild
     * cadence is a quality/cost dial, same trade as any IVF system).
     * Works as a Structured Streaming `foreachBatch` sink body.
+    *
+    * CONCURRENCY CAVEAT: the layout is plain parquet directories — no
+    * snapshot isolation. A reader listing files mid-append may score a
+    * partially-visible batch, and a concurrent [[persist]] rebuild
+    * (mode=overwrite) deletes files under in-flight scans. Single-writer
+    * discipline with searches quiesced across rebuilds is assumed; a
+    * table format with transactional commit is the production answer
+    * when that discipline can't be guaranteed.
     */
   def appendPersisted(spark: org.apache.spark.sql.SparkSession, path: String,
       vectors: DataFrame): Unit = {

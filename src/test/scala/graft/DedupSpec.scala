@@ -65,6 +65,19 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("threshold boundary: J exactly == t survives FP arithmetic") {
+    // 0.55*100 = 55.000000000000007 in IEEE double: naive t*n bounds in
+    // the prefix length and the size-ratio prune would silently drop
+    // this J == t pair; the epsilon-conservative bounds must keep it
+    val words = (0 until 102).map(i => s"w$i")
+    val a = words.mkString(" ")            // 100 distinct shingles
+    val b = words.take(57).mkString(" ")   // 55 shingles, all within A
+    val pair = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(pair, 0.55).collect()
+    assert(got.length == 1 && got.head.getDouble(2) == 0.55,
+      s"got ${got.mkString(",")}")
+  }
+
   test("minhashLshPairs recovers exact and near duplicates") {
     val got = Dedup.minhashLshPairs(docs, 0.5).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
