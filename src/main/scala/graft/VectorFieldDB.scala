@@ -27,14 +27,18 @@ case class AuditRecord(action: String, timestamp: Timestamp,
   *
   * Deviations from the reference, documented per SURVEY.md §7.4:
   *  - membership hash is sha2-256 (JVM has no Blake2b built-in); the
-  *    audited property — hash changes iff membership changes — holds.
-  *  - the hash canonicalizes an order-independent XOR fold of per-id
-  *    sha2 digests rather than the full sorted id lists (the reference
-  *    JSON-serializes every id, `vector_field.py:95-103`, which cannot
-  *    scale past driver memory). The fold is maintained INCREMENTALLY
-  *    from each mutation's delta — no job, no store scan per mutation —
-  *    and [[verifyHash]] recomputes it from a full scan (one Spark job)
-  *    as the tamper-evidence check, run at restore().
+  *    audited property — membership changes change the hash — holds up
+  *    to the accumulators' collision resistance (see below).
+  *  - the hash canonicalizes two independent order-independent folds of
+  *    per-id sha2 slices (GF(2) XOR + wrapping mod-2^64 sum) rather
+  *    than the full sorted id lists (the reference JSON-serializes
+  *    every id, `vector_field.py:95-103`, which cannot scale past
+  *    driver memory). The folds are maintained INCREMENTALLY from each
+  *    mutation's delta — no job, no store scan per mutation — and
+  *    [[verifyHash]] recomputes them from a full scan (one Spark job)
+  *    as the consistency check, run at restore(). For a cryptographic
+  *    commitment (byte-parity with the reference's digest) use
+  *    [[referenceHash]].
   */
 class VectorFieldDB(val spark: SparkSession, val dim: Int) {
   require(dim >= 1, s"dim must be >= 1, got $dim")
@@ -56,13 +60,21 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
   private val history = ArrayBuffer[AuditRecord]()
   private var mutationsSinceCheckpoint = 0
 
-  // incremental membership accumulators: XOR of idHash over each table's
-  // id set. XOR is order-independent and self-inverse, so add = delete =
-  // one ^= per id, maintained from the mutation's delta alone.
-  private var iAcc: Long = 0L
-  private var pAcc: Long = 0L
+  // Incremental membership accumulators: TWO independent order-
+  // independent lanes per table over disjoint 60-bit slices of each id's
+  // sha256 — an XOR fold (self-inverse: delete = add) and a wrapping
+  // mod-2^64 sum (delete = subtract). A pure XOR lane is linear over
+  // GF(2) — any 61 ids contain a subset whose hashes XOR to zero, so a
+  // crafted membership change could slip past it; forging BOTH a GF(2)
+  // xor-collision AND a mod-2^64 sum-collision simultaneously on the
+  // same subset has no linear structure to exploit. Still not a
+  // cryptographic commitment — [[referenceHash]] (BLAKE2b over the full
+  // sorted id lists) is the strong digest; these lanes are the O(1)-per-
+  // mutation audit value whose divergence [[verifyHash]] checks.
+  private var iXor: Long = 0L; private var iSum: Long = 0L
+  private var pXor: Long = 0L; private var pSum: Long = 0L
 
-  var currentHash: String = hashOf(iAcc, pAcc)
+  var currentHash: String = hashOf(iXor, iSum, pXor, pSum)
 
   def iglyphs: DataFrame = iglyphsDF
   def pglyphs: DataFrame = pglyphsDF
@@ -74,39 +86,59 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-  /** 60-bit per-id hash: first 15 hex chars of sha256(id). Matches
-    * [[idHashCol]] bit-for-bit (Spark's sha2 emits the same lowercase
-    * hex), so driver-side incremental updates and the full-scan
-    * verification fold to identical accumulators.
+  /** Per-id lane hashes: disjoint 60-bit slices of sha256(id) hex
+    * (chars [0,15) and [15,30)). Match [[idHashCol1]]/[[idHashCol2]]
+    * bit-for-bit (Spark's sha2 emits the same lowercase hex), so
+    * driver-side incremental updates and the full-scan verification
+    * fold to identical accumulators.
     */
-  private def idHash(id: String): Long =
-    java.lang.Long.parseLong(sha256Hex(id).substring(0, 15), 16)
+  private def idHashes(id: String): (Long, Long) = {
+    val hex = sha256Hex(id)
+    (java.lang.Long.parseLong(hex.substring(0, 15), 16),
+      java.lang.Long.parseLong(hex.substring(15, 30), 16))
+  }
 
-  /** The same 60-bit per-id hash as a Catalyst column (for scan-side
-    * folds: `bit_xor(idHashCol)`).
-    */
-  private def idHashCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  /** The same lane hashes as Catalyst columns (for scan-side folds). */
+  private def idHashCol1(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(sha2(c, 256), 1, 15), 16, 10).cast("long")
+  private def idHashCol2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(sha2(c, 256), 16, 15), 16, 10).cast("long")
+
+  /** Lane-2 sums aggregate as DECIMAL(38,0) (a long sum of 60-bit values
+    * overflows at ~16 rows under ANSI); the driver reduces mod 2^64 —
+    * BigInteger.longValue IS the wrapped two's-complement value, exactly
+    * matching Java's wrapping `+=`/`-=` on the incremental side.
+    */
+  private def wrapped(d: java.math.BigDecimal): Long =
+    if (d == null) 0L else d.toBigInteger.longValue
+
+  private def sumLane(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 0)))
 
   /** Membership hash — `vector_field.py:95-103` (sha2-256 deviation):
-    * canonical digest over the two per-table accumulators.
+    * canonical digest over the four per-table lane accumulators.
     */
-  private def hashOf(i: Long, p: Long): String =
-    sha256Hex(s"""{"iglyphs": $i, "pglyphs": $p}""")
+  private def hashOf(ix: Long, is: Long, px: Long, ps: Long): String =
+    sha256Hex(s"""{"iglyphs": [$ix, $is], "pglyphs": [$px, $ps]}""")
 
   /** Full-scan recomputation of the membership accumulators — ONE Spark
     * job over both id sets. This is the verification path (tamper
     * evidence, run at [[restore]] and available to audits); mutations
     * never call it.
     */
-  private def scanAccs(): (Long, Long) = {
-    val row = iglyphsDF.select(lit("i").as("t"), idHashCol(col("iglyph_id")).as("h"))
-      .unionByName(pglyphsDF.select(lit("p").as("t"), idHashCol(col("pglyph_id")).as("h")))
+  private def scanAccs(): (Long, Long, Long, Long) = {
+    val row = iglyphsDF.select(lit("i").as("t"),
+        idHashCol1(col("iglyph_id")).as("h1"), idHashCol2(col("iglyph_id")).as("h2"))
+      .unionByName(pglyphsDF.select(lit("p").as("t"),
+        idHashCol1(col("pglyph_id")).as("h1"), idHashCol2(col("pglyph_id")).as("h2")))
       .agg(
-        coalesce(expr("bit_xor(CASE WHEN t = 'i' THEN h END)"), lit(0L)),
-        coalesce(expr("bit_xor(CASE WHEN t = 'p' THEN h END)"), lit(0L)))
+        coalesce(expr("bit_xor(CASE WHEN t = 'i' THEN h1 END)"), lit(0L)),
+        sumLane(expr("CASE WHEN t = 'i' THEN h2 END")),
+        coalesce(expr("bit_xor(CASE WHEN t = 'p' THEN h1 END)"), lit(0L)),
+        sumLane(expr("CASE WHEN t = 'p' THEN h2 END")))
       .head()
-    (row.getLong(0), row.getLong(1))
+    (row.getLong(0), wrapped(row.getDecimal(1)),
+      row.getLong(2), wrapped(row.getDecimal(3)))
   }
 
   /** BYTE-PARITY membership digest — blake2b-256 over the reference's
@@ -144,8 +176,8 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
     * hash; throws on divergence (tampered / externally-mutated state).
     */
   def verifyHash(): String = {
-    val (i, p) = scanAccs()
-    val scanned = hashOf(i, p)
+    val (ix, is, px, ps) = scanAccs()
+    val scanned = hashOf(ix, is, px, ps)
     if (scanned != currentHash) throw new IllegalStateException(
       s"membership hash divergence: incremental=$currentHash scan=$scanned")
     scanned
@@ -157,7 +189,7 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
     */
   private def log(action: String, details: (String, String)*): Unit = {
     val before = currentHash
-    currentHash = hashOf(iAcc, pAcc)
+    currentHash = hashOf(iXor, iSum, pXor, pSum)
     history += AuditRecord(action, Timestamp.from(Instant.now()), before,
       currentHash, details.toMap)
   }
@@ -174,10 +206,28 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
 
   // --------------------------------------------------------------- CRUD
 
+  private lazy val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Reject invalid meta JSON AT THE MUTATION — `parse_json` inside the
+    * stored frame is lazy, so an unvalidated bad string would be
+    * accepted, poison the frame, and only explode in a later unrelated
+    * action with no recovery path through the API.
+    */
+  private def requireJsonMeta(s: String): Unit =
+    if (s != null) {
+      val node = try jsonMapper.readTree(s) catch {
+        case e: Exception =>
+          throw new IllegalArgumentException(s"meta is not valid JSON: '$s'", e)
+      }
+      if (node == null || node.isMissingNode)
+        throw new IllegalArgumentException(s"meta is not valid JSON: '$s'")
+    }
+
   private def validated(g: IGlyph): IGlyph = {
     Validation.requireGlyphId(g.glyph_id)
     Validation.requireCtx(g.outer_context_id)
     Validation.requireDim(g.embedding, dim)
+    requireJsonMeta(g.meta)
     g
   }
 
@@ -194,7 +244,9 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
       .select("iglyph_id").as[String].collect()
     require(dups.isEmpty, s"IGlyph id already exists: ${dups.mkString(",")}")
     iglyphsDF = iglyphsDF.unionByName(withVariantMeta(vs.toDS().toDF()))
-    ids.foreach(id => iAcc ^= idHash(id))
+    ids.foreach { id =>
+      val (h1, h2) = idHashes(id); iXor ^= h1; iSum += h2
+    }
     maybeCheckpoint()
     // single-row adds log the reference's per-row kwargs
     // (`vector_field.py:173-174`); batches log the count
@@ -212,18 +264,22 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
     * reference's row-at-a-time API for parity).
     */
   def addIGlyphsDF(rows: DataFrame): Long = {
-    // accept a JSON-string meta column (the typed-view form) as well as
-    // an already-variant one
-    val metaFixed =
-      if (rows.schema("meta").dataType == org.apache.spark.sql.types.StringType)
-        withVariantMeta(rows)
-      else rows
-    val df = metaFixed.select(iglyphsDF.columns.map(col): _*).cache()
+    // a JSON-string meta column (the typed-view form) is validated in
+    // the same job below and converted to variant only after the batch
+    // passes — converting first would defer the parse into the stored
+    // frame, where an invalid string poisons every later action
+    val stringMeta = rows.schema("meta").dataType ==
+      org.apache.spark.sql.types.StringType
+    val df = rows.select(iglyphsDF.columns.map(col): _*).cache()
+    val badMeta =
+      if (stringMeta) $"meta".isNotNull && try_parse_json($"meta").isNull
+      else lit(false)
     // all validation counts in one job: constraint violations, batch
     // size, batch-internal dups, collisions with the existing store
     val v = df
       .join(iglyphsDF.select($"iglyph_id", lit(1).as("existing")), Seq("iglyph_id"), "left")
-      .withColumn("idh", idHashCol($"iglyph_id"))
+      .withColumn("idh1", idHashCol1($"iglyph_id"))
+      .withColumn("idh2", idHashCol2($"iglyph_id"))
       .agg(
         count(lit(1)).as("n"),
         countDistinct($"iglyph_id").as("n_ids"),
@@ -235,19 +291,23 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
             $"glyph_id".isNull || $"glyph_id" < 0 || $"glyph_id" > Validation.GlyphIdMax ||
             $"outer_context_id".isNull ||
             $"outer_context_id" < 0 || $"outer_context_id" > Validation.CtxMax ||
-            $"iglyph_id".isNull, 1L).otherwise(0L)).as("bad"),
+            $"iglyph_id".isNull || badMeta, 1L).otherwise(0L)).as("bad"),
         sum(when($"existing".isNotNull, 1L).otherwise(0L)).as("dups"),
-        // membership-hash delta fused into the same job: XOR fold of the
-        // batch's per-id hashes, applied to iAcc only if the batch commits
-        coalesce(expr("bit_xor(idh)"), lit(0L)).as("delta"))
+        // membership-hash lane deltas fused into the same job, applied
+        // only if the batch commits
+        coalesce(expr("bit_xor(idh1)"), lit(0L)).as("delta1"),
+        sumLane($"idh2").as("delta2"))
       .head()
     val n = v.getLong(0)
     if (n == 0L) { df.unpersist(); return 0L } // sums are NULL on an empty batch
     require(v.getLong(2) == 0L, s"${v.getLong(2)} rows violate schema constraints")
     require(v.getLong(1) == n, "duplicate iglyph_id within batch")
     require(v.getLong(3) == 0L, s"${v.getLong(3)} iglyph ids already exist")
-    iglyphsDF = iglyphsDF.unionByName(df).localCheckpoint(true)
-    iAcc ^= v.getLong(4)
+    iglyphsDF = iglyphsDF
+      .unionByName(if (stringMeta) withVariantMeta(df) else df)
+      .localCheckpoint(true)
+    iXor ^= v.getLong(4)
+    iSum += wrapped(v.getDecimal(5))
     log("ADD_IGLYPH", "count" -> n.toString)
     n
   }
@@ -289,7 +349,8 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
       throw new NoSuchElementException(s"IGlyph not found: $id"))
     iglyphsDF = iglyphsDF.filter($"iglyph_id" =!= id)
     pglyphsDF = pglyphsDF.withColumn("member_ids", array_remove($"member_ids", id))
-    iAcc ^= idHash(id) // XOR is self-inverse: delete = the same fold step
+    // delete: XOR lane is self-inverse, sum lane subtracts
+    val (h1, h2) = idHashes(id); iXor ^= h1; iSum -= h2
     maybeCheckpoint()
     // `vector_field.py:215` logs the deleted row's glyph_id too
     log("DELETE_IGLYPH", "iglyph_id" -> id, "glyph_id" -> ig.glyph_id.toString)
@@ -319,6 +380,7 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
       clusterTag: String = "", meta: String = "{}"): String = {
     Validation.requireGlyphId(anchorGlyphId)
     Validation.requireCtx(ctx)
+    requireJsonMeta(meta)
     // distinct: a duplicated input id must not duplicate member rows
     val memDf = memberIdsDF.toDF("iglyph_id").distinct()
     val members = iglyphsDF.join(memDf, Seq("iglyph_id"), "left_semi")
@@ -350,7 +412,7 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
       .join(memDf.withColumn("matched", lit(1)), Seq("iglyph_id"), "left")
       .withColumn("proto_id", when($"matched" === 1, lit(pgId)).otherwise($"proto_id"))
       .drop("matched")
-    pAcc ^= idHash(pgId)
+    val (ph1, ph2) = idHashes(pgId); pXor ^= ph1; pSum += ph2
     maybeCheckpoint()
     log("FORM_CLUSTER", "pglyph_id" -> pgId, "member_count" -> n.toString)
     pgId
@@ -462,7 +524,9 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
     iglyphsDF = iglyphsDF.join(mapping, Seq("iglyph_id"), "left")
       .withColumn("proto_id", coalesce($"new_proto", $"proto_id"))
       .drop("new_proto")
-    pgInfo.foreach { case (_, pgId, _, _, _) => pAcc ^= idHash(pgId) }
+    pgInfo.foreach { case (_, pgId, _, _, _) =>
+      val (h1, h2) = idHashes(pgId); pXor ^= h1; pSum += h2
+    }
     maybeCheckpoint()
     log("AUTO_CLUSTER_PHI", "bands" -> pgInfo.length.toString, "ctx" -> ctx.toString)
     pgInfo.map(_._2)
@@ -521,22 +585,25 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
     // NOT already present — overwritten ids don't change membership)
     val m = incoming
       .join(iglyphsDF.select($"iglyph_id", lit(1).as("ex")), Seq("iglyph_id"), "left")
-      .withColumn("idh", idHashCol($"iglyph_id"))
+      .withColumn("idh1", idHashCol1($"iglyph_id"))
+      .withColumn("idh2", idHashCol2($"iglyph_id"))
       .agg(count(lit(1)).as("n_in"),
         sum(when($"ex".isNull, 1L).otherwise(0L)).as("n_new"),
-        coalesce(expr("bit_xor(CASE WHEN ex IS NULL THEN idh END)"), lit(0L)).as("delta"))
+        coalesce(expr("bit_xor(CASE WHEN ex IS NULL THEN idh1 END)"), lit(0L)).as("delta1"),
+        sumLane(expr("CASE WHEN ex IS NULL THEN idh2 END")).as("delta2"))
       .head()
     val imported =
       if (overwrite) {
         val replaced = iglyphsDF.join(incoming.select("iglyph_id"), Seq("iglyph_id"), "left_anti")
         iglyphsDF = replaced.unionByName(incoming)
-        if (m.getLong(0) == 0L) 0L else m.getLong(0)
+        m.getLong(0) // count(*) is never NULL, no empty-batch guard needed
       } else {
         val fresh = incoming.join(iglyphsDF.select("iglyph_id"), Seq("iglyph_id"), "left_anti")
         iglyphsDF = iglyphsDF.unionByName(fresh)
-        if (m.getLong(0) == 0L) 0L else m.getLong(1)
+        if (m.getLong(0) == 0L) 0L else m.getLong(1) // the SUM is NULL on empty input
       }
-    iAcc ^= (if (m.getLong(0) == 0L) 0L else m.getLong(2))
+    iXor ^= m.getLong(2)
+    iSum += wrapped(m.getDecimal(3))
     iglyphsDF = iglyphsDF.localCheckpoint(true)
     log("IMPORT_JSONL", "count" -> imported.toString, "overwrite" -> overwrite.toString)
     imported
@@ -580,9 +647,9 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
     history ++= spark.read.parquet(s"$snapDir/change_history").as[AuditRecord]
       .collect().sortBy(_.timestamp.getTime)
     // full-scan recomputation — the tamper-evidence check point
-    val (i, p) = scanAccs()
-    iAcc = i; pAcc = p
-    currentHash = hashOf(iAcc, pAcc)
+    val (ix, is, px, ps) = scanAccs()
+    iXor = ix; iSum = is; pXor = px; pSum = ps
+    currentHash = hashOf(iXor, iSum, pXor, pSum)
     val expected = field("current_hash").trim
     if (currentHash != expected) throw new IllegalStateException(
       s"snapshot hash mismatch: manifest=$expected recomputed=$currentHash")

@@ -130,6 +130,11 @@ object Blake2b {
     * exponents in [-4, 16), otherwise scientific `d[.rest]e±XX`.
     */
   def pyFloatRepr(d: Double): String = {
+    // json.dumps (allow_nan=True, CPython default) emits these bare
+    // tokens; BigDecimal would throw on non-finite input
+    if (d.isNaN) return "NaN"
+    if (d == Double.PositiveInfinity) return "Infinity"
+    if (d == Double.NegativeInfinity) return "-Infinity"
     if (d == 0.0) return if (1.0 / d < 0) "-0.0" else "0.0"
     val sign = if (d < 0) "-" else ""
     val a = math.abs(d)

@@ -23,8 +23,12 @@ object VectorOps {
   /** Golden ratio — `similarity.py:22`. */
   val Phi: Double = (1.0 + math.sqrt(5.0)) / 2.0
 
-  /** φ^n for n ∈ [-3, 6] — `similarity.py:23`. */
-  val PhiPowers: Array[Double] = (-3 to 6).map(n => math.pow(Phi, n)).toArray
+  /** φ^n for n ∈ [-3, 6] — `similarity.py:23`. Aliases the codegen
+    * kernel's table so the engine's native expression and the oracle
+    * SQL interpolation (SparkEntry reads this val) consume the SAME
+    * doubles — one source of truth for a bit-parity-critical constant.
+    */
+  val PhiPowers: Array[Double] = org.apache.spark.sql.graftx.PhiKernel.PhiPowers
 
   private def d(c: Column): Column = c.cast("double")
 
@@ -125,7 +129,8 @@ object VectorOps {
     * search-path, and the digest already dominates the row cost.
     */
   val fingerprintReference = udf { e: Seq[Float] =>
-    Blake2b.hex(Blake2b.pyJsonFloats(e).getBytes("UTF-8"), 32)
+    if (e == null) null
+    else Blake2b.hex(Blake2b.pyJsonFloats(e).getBytes("UTF-8"), 32)
   }
 
   /** Per-vector absolute max (int8 quantization scale). */

@@ -361,13 +361,16 @@ object Dedup {
     // Norms once per side (n rows); the score expression is
     // bit-identical to cosineSimilarity, and symmetric (IEEE multiply
     // commutes), so normalizing the id order after the join is safe.
+    // pmod, not %: Spark % keeps the sign of the dividend, so a negative
+    // vec_id would get a negative block id whose task keys never meet
+    // the non-negative side's — silently dropping mixed-sign pairs
     val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
         VectorOps.l2Norm(col("embedding")).as("na"),
-        (col("vec_id") % blocks).cast("int").as("bi"))
+        pmod(col("vec_id"), lit(blocks)).cast("int").as("bi"))
       .withColumn("bj", explode(sequence(col("bi"), lit(blocks - 1))))
     val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
         VectorOps.l2Norm(col("embedding")).as("nb"),
-        (col("vec_id") % blocks).cast("int").as("bj"))
+        pmod(col("vec_id"), lit(blocks)).cast("int").as("bj"))
       .withColumn("bi", explode(sequence(lit(0), col("bj"))))
     a.join(b, Seq("bi", "bj"))
       // same-block tasks see both orders (and self-pairs): keep one;

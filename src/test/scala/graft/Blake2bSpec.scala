@@ -34,6 +34,14 @@ class Blake2bSpec extends AnyFunSuite {
     assert(b.digest().map("%02x".format(_)).mkString == oneShot)
   }
 
+  test("pyFloatRepr: non-finite values use json.dumps' bare tokens") {
+    assert(Blake2b.pyFloatRepr(Double.NaN) == "NaN")
+    assert(Blake2b.pyFloatRepr(Double.PositiveInfinity) == "Infinity")
+    assert(Blake2b.pyFloatRepr(Double.NegativeInfinity) == "-Infinity")
+    assert(Blake2b.pyJsonFloats(Seq(Float.NaN, Float.PositiveInfinity))
+      == "[NaN,Infinity]")
+  }
+
   test("pyFloatRepr matches Python repr across notation regimes") {
     // ground truth from python: repr() of float32-widened values
     assert(Blake2b.pyFloatRepr(0.5) == "0.5")

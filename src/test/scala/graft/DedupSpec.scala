@@ -98,6 +98,19 @@ class DedupSpec extends AnyFunSuite {
     assert(r == Seq(("a", 2L, 2L, 0L), ("b", 2L, 1L, 1L))) // doc 4 dropped (dup of 1)
   }
 
+  test("embeddingTopPairs covers mixed-sign ids (pmod block assignment)") {
+    // Spark % keeps the dividend's sign: with plain % a negative id's
+    // block key would never meet the non-negative side's task grid and
+    // mixed-sign pairs would silently vanish
+    val e = (-3L to 3L).map(i =>
+      (i, Array.tabulate(4)(d => (1.0 + 0.1 * i * (d + 1)).toFloat)))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.embeddingTopPairs(e, 100, blocks = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.length == 21 && got.toSet.size == 21 &&
+      got.forall { case (a, b) => a < b })
+  }
+
   test("embeddingTopPairs: grid equi-join covers every pair once, no BNLJ") {
     // 7 vectors over 3 blocks exercise same-block and cross-block tasks,
     // including cross-block pairs where the LOWER id sits in the HIGHER

@@ -220,6 +220,28 @@ class VectorFieldDBSpec extends AnyFunSuite {
     assert(db3.getIGlyph(id).get.meta.contains("\"n\":7"))
   }
 
+  test("invalid meta JSON rejected at the mutation, store stays usable") {
+    val db = freshDb()
+    db.addIGlyph(1, 1, vec(1f), id = Some("ok"), meta = """{"k": [1, {"x": 2}]}""")
+    // single-row path: driver-side validation throws, nothing committed
+    intercept[IllegalArgumentException] {
+      db.addIGlyph(1, 1, vec(2f), meta = "not json {")
+    }
+    intercept[IllegalArgumentException] {
+      db.formCluster(Seq("ok"), anchorGlyphId = 1, ctx = 1, meta = "also not json")
+    }
+    // distributed batch path: bad meta string counted as a constraint
+    // violation in the validation job
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      db.addIGlyphsDF(Seq(IGlyph("bm", 2, 1, vec(3f), meta = "{broken")).toDS().toDF())
+    }
+    // the store was not poisoned: every later action still works
+    assert(db.iglyphs.count() == 1)
+    assert(db.getIGlyph("ok").get.meta.contains("\"x\":2"))
+    assert(db.verifyHash() == db.currentHash)
+  }
+
   test("membership hash changes on mutation, stable otherwise") {
     val db = freshDb()
     val h0 = db.currentHash
