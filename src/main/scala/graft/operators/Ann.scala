@@ -58,18 +58,32 @@ object Ann {
     */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new java.util.Random(seed)
-    Array.fill(nPlanes, dim)(f"${rnd.nextGaussian()}%.3f".toDouble)
+    // Locale.ROOT: the f-interpolator formats with the JVM default
+    // locale, so a comma-decimal locale (de_DE, fr_FR, …) would render
+    // "0,123" and crash toDouble
+    Array.fill(nPlanes, dim)(
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(rnd.nextGaussian())).toDouble)
   }
 
   /** Sign-bit bucket id from `planes`: bit i = [v · planes(i) ≥ 0].
     * The dot is the same left-to-right codegen fold on both engines, so
-    * the sign — hence the bucket — is bit-deterministic.
+    * the sign — hence the bucket — is bit-deterministic. A dimension
+    * mismatch errors loudly: VecDot would return null, `when` would fall
+    * to 0 for every plane, and ALL rows would silently share bucket 0 —
+    * degenerating the "sub-quadratic" join into the full n² product.
     */
-  def signBucket(v: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
+  def signBucket(v: Column, planes: Array[Array[Double]]): Column = {
+    require(planes.nonEmpty && planes.length <= 31,
+      s"need 1..31 planes (bucket is a positive int), got ${planes.length}")
+    val dim = planes.head.length
+    val raw = planes.zipWithIndex.map { case (p, i) =>
       when(VectorOps.dotProduct(v, typedLit(p.toSeq)) >= 0d, lit(1 << i))
         .otherwise(lit(0))
     }.reduce(_ + _)
+    when(size(v) === dim, raw).otherwise(raise_error(
+      concat(lit("signBucket: embedding dim "), size(v).cast("string"),
+        lit(s" != plane dim $dim"))))
+  }
 
   /** LSH-bucketed near-dup pairs over embeddings: sign-random-projection
     * buckets from seeded Gaussian hyperplanes, pairs generated only

@@ -15,14 +15,17 @@ import org.apache.spark.sql.functions._
 object Joins {
 
   /** Inner equi-join with salting. Result is exactly the plain
-    * `large.join(small, key)` — the salt column is internal. The big
-    * side's salt is a deterministic hash of its row id expression so
-    * repeated runs partition identically.
+    * `large.join(small, key)` — the salt column is internal. The salt
+    * comes from the row's POSITION (round-robin over
+    * monotonically_increasing_id), not a content hash: the motivating
+    * hot key is typically a default value with identical payloads too,
+    * and a content hash would send every such duplicate row to ONE salt
+    * bucket, recreating the straggler the salt exists to break up.
     */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String, salt: Int): DataFrame = {
     require(salt >= 1, s"salt must be >= 1, got $salt")
     val saltedLarge = large.withColumn("__salt",
-      pmod(xxhash64(large.columns.map(col).toIndexedSeq: _*), lit(salt.toLong)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(salt.toLong)).cast("int"))
     val saltedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
     saltedLarge.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
@@ -33,8 +36,18 @@ object Joins {
     * `rightTime <= leftTime` within the same key. Implemented with the
     * union + ordered-window technique: interleave both sides sorted by
     * (time, right-first-on-ties) per key, then carry the last seen right
-    * payload forward with `last_value(ignoreNulls)`. One shuffle on the
-    * key — no range cross-product, scales as a single sort-merge pass.
+    * row forward with `last_value(ignoreNulls)` over ONE struct of the
+    * whole payload. One shuffle on the key — no range cross-product,
+    * scales as a single sort-merge pass.
+    *
+    * The struct carry (not per-column carries) is what makes the
+    * semantics right: every output row's payload columns come from the
+    * SAME matched right row, and a matched row whose payload fields are
+    * legitimately null yields nulls rather than resurrecting older
+    * values (per-column `last(ignoreNulls)` does both wrong). Null join
+    * keys never match (equality semantics, like DuckDB's ASOF JOIN);
+    * equal-time right rows tie-break deterministically to the largest
+    * payload struct.
     *
     * `left`/`right` must share `keyCol`; right payload columns are
     * prefixed `asof_`. Left rows with no prior right row get nulls.
@@ -44,29 +57,29 @@ object Joins {
                rightPayload: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val leftCols = left.columns
-    val l = left.withColumn("__t", col(leftTime)).withColumn("__is_right", lit(0))
-      .withColumn("__key", col(keyCol))
-    val r = right.select(
+    val payloadType = org.apache.spark.sql.types.StructType(
+      rightPayload.map(c => org.apache.spark.sql.types.StructField(
+        s"asof_$c", right.schema(c).dataType)))
+    val lAligned = left.select(
+      (col(keyCol).as("__key") +: col(leftTime).as("__t") +: lit(0).as("__is_right") +:
+        (leftCols.map(col) :+ lit(null).cast(payloadType).as("__r"))).toIndexedSeq: _*)
+    // right rows with a null key can never equality-match; left null-key
+    // rows then share a partition with no right rows → null payload
+    val rAligned = right.filter(col(keyCol).isNotNull).select(
       (col(keyCol).as("__key") +: col(rightTime).as("__t") +: lit(1).as("__is_right") +:
-        rightPayload.map(c => col(c).as(s"asof_$c"))).toIndexedSeq: _*)
-    val lAligned = l.select(
-      (col("__key") +: col("__t") +: col("__is_right") +:
-        (leftCols.map(col) ++ rightPayload.map(c => lit(null).cast(
-          right.schema(c).dataType).as(s"asof_$c")))).toIndexedSeq: _*)
-    val rAligned = r.select(
-      (col("__key") +: col("__t") +: col("__is_right") +:
-        (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-          rightPayload.map(c => col(s"asof_$c")))).toIndexedSeq: _*)
+        (leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+          struct(rightPayload.map(c => col(c).as(s"asof_$c")): _*).as("__r"))).toIndexedSeq: _*)
     // right rows sort before left rows at equal time → an equal-time
-    // right row IS visible to the left row (<= semantics)
+    // right row IS visible to the left row (<= semantics); __r in the
+    // ordering makes equal-(key, time) right rows deterministic
     val w = Window.partitionBy(col("__key"))
-      .orderBy(col("__t").asc, col("__is_right").desc)
+      .orderBy(col("__t").asc, col("__is_right").desc, col("__r").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightPayload.foldLeft(lAligned.unionByName(rAligned)) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__is_right") === 0)
-      .select(leftCols.map(col) ++ rightPayload.map(c => col(s"asof_$c")): _*)
+    lAligned.unionByName(rAligned)
+      .withColumn("__carried", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__is_right") === 0)
+      .select(leftCols.map(col) ++
+        rightPayload.map(c => col("__carried").getField(s"asof_$c").as(s"asof_$c")): _*)
   }
 
   /** Range (interval) join: pairs (l, r) sharing `keyCol` with
@@ -80,6 +93,8 @@ object Joins {
   def rangeJoinPrior(left: DataFrame, right: DataFrame, keyCol: String,
                      leftTime: String, rightTime: String,
                      gapSeconds: Long): DataFrame = {
+    // gap 0 would make the bucket division silently yield no matches
+    require(gapSeconds >= 1, s"gapSeconds must be >= 1, got $gapSeconds")
     val lb = left.withColumn("__lt", unix_millis(col(leftTime)))
       .withColumn("__bucket", floor(col("__lt") / (gapSeconds * 1000)))
     val rb = right.withColumn("__rt", unix_millis(col(rightTime)))

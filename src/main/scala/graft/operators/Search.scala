@@ -51,9 +51,7 @@ object Search {
                    glyphIdFilter: Option[Long] = None,
                    ctxFilter: Option[Int] = None,
                    queryId: Long = 0L): DataFrame = {
-    val withAddr = emb
-      .withColumn("glyph_id", col("vec_id") % 144000L)
-      .withColumn("outer_context_id", (col("vec_id") % 10L).cast("int"))
+    val withAddr = graft.sources.Tables.withAddressSpace(emb)
     val filtered = Seq(
       glyphIdFilter.map(g => col("glyph_id") === g),
       ctxFilter.map(c => col("outer_context_id") === c)

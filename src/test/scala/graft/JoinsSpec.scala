@@ -21,10 +21,13 @@ class JoinsSpec extends AnyFunSuite {
     assert(salted.toSeq == plain.toSeq && plain.nonEmpty)
   }
 
-  test("saltedJoin scatters the hot key across salt buckets") {
-    val large = (1 to 1000).map(i => (1L, s"row$i")).toDF("k", "payload")
+  test("saltedJoin scatters even fully-identical hot-key rows") {
+    // position-derived salt (the implementation's): a content hash would
+    // send every identical duplicate row to ONE bucket, recreating the
+    // straggler the salt exists to break
+    val large = (1 to 1000).map(_ => (1L, "same")).toDF("k", "payload")
     val dist = large.withColumn("__salt",
-        pmod(xxhash64(large.columns.map(col).toIndexedSeq: _*), lit(8L)).cast("int"))
+        pmod(monotonically_increasing_id(), lit(8L)).cast("int"))
       .groupBy("__salt").count().collect().map(_.getLong(1))
     assert(dist.length >= 6)              // hot key spread over most buckets
     assert(dist.max < 1000 * 0.4)         // no bucket holds the whole key
@@ -43,6 +46,45 @@ class JoinsSpec extends AnyFunSuite {
     assert(got("e2") == Some(902L)) // skips the later 60/100 rows
     assert(got("e3") == None)       // key 2 has no right rows
     assert(got("e4") == None)       // before every right row
+  }
+
+  test("asofJoin: struct carry — null payload fields kept, columns from one row") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000)
+    // the matched (latest) right row has a NULL rid: per-column
+    // last(ignoreNulls) would resurrect 7L from the older row and pair
+    // it with the newer row's tag — a row that never existed
+    val left = Seq((1L, ts(10), "e")).toDF("k", "t", "id")
+    val right = Seq(
+      (1L, ts(1), Option(7L), Option("x")),
+      (1L, ts(5), Option.empty[Long], Option("y"))).toDF("k", "t", "rid", "tag")
+    val r = Joins.asofJoin(left, right, "k", "t", "t", Seq("rid", "tag")).head()
+    assert(r.isNullAt(3), "null rid of the matched row must survive")
+    assert(r.getString(4) == "y", "tag must come from the same matched row")
+  }
+
+  test("asofJoin: null keys never match (equality semantics)") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val left = Seq((Option(1L), ts(10), "a"), (Option.empty[Long], ts(10), "b"))
+      .toDF("k", "t", "id")
+    val right = Seq((Option(1L), ts(5), 7L), (Option.empty[Long], ts(5), 8L))
+      .toDF("k", "t", "rid")
+    val got = Joins.asofJoin(left, right, "k", "t", "t", Seq("rid"))
+      .collect().map(r => r.getString(2) -> Option(r.get(3))).toMap
+    assert(got("a") == Some(7L) && got("b").isEmpty)
+  }
+
+  test("asofJoin: equal-time right rows tie-break deterministically") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val left = Seq((1L, ts(10), "e")).toDF("k", "t", "id")
+    val right = Seq((1L, ts(5), 10L), (1L, ts(5), 20L)).toDF("k", "t", "rid")
+    val vals = (1 to 3).map { i =>
+      Joins.asofJoin(left, right.repartition(i + 1), "k", "t", "t", Seq("rid"))
+        .head().getLong(3)
+    }
+    assert(vals.forall(_ == 20L), s"expected max-struct tie-break, got $vals")
   }
 
   test("rangeJoinPrior: inclusive bounds, bucket-boundary pairs, key isolation") {
