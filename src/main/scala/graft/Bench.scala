@@ -28,11 +28,21 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    val errors = scala.collection.mutable.LinkedHashSet[String]()
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                 dir: String): Double = {
       val t0 = System.nanoTime()
       try fn(spark, dir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+      catch { case e: Throwable =>
+        // surfaced in the JSON: a crashing query must not read as a
+        // near-zero time that silently LOWERS the reported total
+        errors += name
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+      // drop operator-internal caches so reps 2..n measure cold runs
+      // (identical logical plans would otherwise hit rep 1's cache) and
+      // no cache leaks across queries
+      finally spark.sharedState.cacheManager.clearCache()
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -48,7 +58,8 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"errors":$errs}""")
     spark.stop()
   }
 }

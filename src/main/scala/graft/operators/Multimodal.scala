@@ -65,7 +65,7 @@ object Multimodal {
       val md = java.security.MessageDigest.getInstance("SHA-256")
       it.map { r =>
         md.reset()
-        val digest = md.digest(r.content).map("%02x".format(_)).mkString
+        val digest = graft.functions.HashUtil.hex(md.digest(r.content))
         val (w, h, c) = decoder.decode(r.modality, r.content)
         DecodedMeta(r.media_id, r.modality, r.content.length.toLong, digest, w, h, c)
       }
@@ -93,6 +93,9 @@ object Multimodal {
     media
       .withColumn("n_chunks",
         ceil(length(col("content")).cast("double") / chunkSize).cast("int"))
+      // 0-byte payloads emit NO chunks: sequence(0, -1) infers step -1
+      // and would yield spurious chunk_idx rows [0, -1]
+      .filter(col("n_chunks") >= 1)
       .withColumn("chunk_idx", explode(sequence(lit(0), col("n_chunks") - 1)))
       .withColumn("chunk",
         expr(s"substring(content, chunk_idx * $chunkSize + 1, $chunkSize)"))

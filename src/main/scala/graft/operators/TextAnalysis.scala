@@ -81,11 +81,15 @@ object TextAnalysis {
     */
   private def minKUdf(k: Int) = udf { text: String =>
     val md = graft.functions.HashUtil.md5Digest
+    // codepoints, not UTF-16 code units: the oracle's substr() and the
+    // upstream length() filter both count codepoints, and a code-unit
+    // window would split surrogate pairs on non-BMP text
+    val cp = text.codePoints().toArray
     val kept = new java.util.TreeSet[String]()
     var i = 0
-    val last = text.length - 8
+    val last = cp.length - 8
     while (i <= last) {
-      val h = graft.functions.HashUtil.md5Hex(md, text.substring(i, i + 8))
+      val h = graft.functions.HashUtil.md5Hex(md, new String(cp, i, 8))
       if (kept.size < k || h < kept.last()) {
         kept.add(h)
         if (kept.size > k) kept.pollLast()
@@ -100,12 +104,14 @@ object TextAnalysis {
     * hashes identify near-identical content under local edits. Computed
     * entirely per-row; no explode-then-window shuffle of the gram set.
     */
-  def minKSketch(docs: DataFrame, k: Int = 4): DataFrame =
+  def minKSketch(docs: DataFrame, k: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
     Partitioning.spread(docs)
       .filter(length(col("text")) >= 8)
       .select(col("doc_id"), posexplode(minKUdf(k)(col("text"))).as(Seq("pos", "h")))
       .select(col("doc_id"), (col("pos") + 1).cast("int").as("rank"), col("h"))
       .orderBy(col("doc_id"), col("rank"))
+  }
 
   /** TF-IDF top terms per document: tf(d,w) · ln(N/df(w)), the k
     * highest-scoring terms per doc. The inverted shape — one tf row per

@@ -100,6 +100,10 @@ object Streaming {
       implicit enc: org.apache.spark.sql.Encoder[Session],
       enc2: org.apache.spark.sql.Encoder[Long],
       enc3: org.apache.spark.sql.Encoder[SessionState]): Dataset[Session] = {
+    require(timeout == GroupStateTimeout.NoTimeout() ||
+      timeout == GroupStateTimeout.ProcessingTimeTimeout(),
+      "statefulSessionize supports NoTimeout or ProcessingTimeTimeout; " +
+        "EventTimeTimeout needs setTimeoutTimestamp, which this operator does not use")
     val timerDriven = timeout != GroupStateTimeout.NoTimeout()
     events
       .groupByKey(_.user_id)
