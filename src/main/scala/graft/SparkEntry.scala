@@ -34,6 +34,16 @@ object SparkEntry {
   private val phiF1 = 1.0 - 1.0 / VectorOps.Phi
   private val phiF2 = 1.0 - 1.0 / (VectorOps.Phi * VectorOps.Phi)
 
+  // DuckDB has no base-conversion function, so the oracle parses a 15-char
+  // (60-bit) hex slice as a positional digit sum — bit-identical to Spark's
+  // conv(substring(hex, start, 15), 16, 10). Max value 16^15 = 2^60 and the
+  // largest term 15·16^14 < 2^63, so plain BIGINT arithmetic is exact.
+  private def duckHex60(hexCol: String, start: Int): String =
+    (0 until 15).map { i =>
+      val w = java.math.BigInteger.valueOf(16).pow(14 - i)
+      s"(strpos('0123456789abcdef', substr($hexCol, ${start + i}, 1)) - 1) * $w"
+    }.mkString(" + ")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Search.topK(emb(spark, "/root/testdata/sf0.001"), "cosine", 10)
@@ -106,7 +116,12 @@ object SparkEntry {
       Dedup.minhashLshPairs(tbl(s, dir, "documents"), 0.5)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(tbl(s, dir, "documents"))),
     "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(tbl(s, dir, "documents"), 3)),
-    "dedup_embedding_pairs" -> ((s, dir) => Dedup.embeddingTopPairs(emb(s, dir), 20)),
+    // embedding dedup DEFAULT: banded sign-LSH candidates + exact verify
+    // (sub-quadratic); the exact Ω(n²) top-N grid survives only as the
+    // explicitly-named baseline row below
+    "dedup_embedding_pairs" -> ((s, dir) => Dedup.embeddingNearDup(emb(s, dir), 0.4)),
+    "dedup_embedding_exact_topn_baseline" -> ((s, dir) =>
+      Dedup.embeddingTopPairs(emb(s, dir), 20)),
     "dedup_keep_canonical" -> ((s, dir) => Dedup.keepCanonical(tbl(s, dir, "documents"))),
     // deterministic train/valid/test split (mod-based here for oracle
     // portability; production uses xxhash64 of the id for mixing)
@@ -310,12 +325,26 @@ object SparkEntry {
           sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
           sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
         .orderBy(col("event_type"))),
+    // Scale-safe shape: two order-independent lane folds (bit_xor +
+    // DECIMAL(38) sum over disjoint 60-bit sha256 slices — the same lanes
+    // the engine maintains incrementally, VectorFieldDB.idHashCol1/2)
+    // hashed together. Constant aggregation state per partition; the old
+    // sort_array(collect_list(id)) shape held every id in ONE buffer and
+    // cannot survive a 100× store.
     "membership_hash" -> ((s, dir) =>
-      emb(s, dir).agg(
-        sha2(concat_ws(",",
-          transform(sort_array(collect_list(col("vec_id"))), x => x.cast("string"))), 256)
-          .as("membership_hash"),
-        count(lit(1)).as("n_members"))),
+      emb(s, dir)
+        .select(
+          conv(substring(sha2(col("vec_id").cast("string"), 256), 1, 15), 16, 10)
+            .cast("long").as("h1"),
+          conv(substring(sha2(col("vec_id").cast("string"), 256), 16, 15), 16, 10)
+            .cast("long").as("h2"))
+        .agg(
+          sha2(concat_ws(",",
+            coalesce(expr("bit_xor(h1)"), lit(0L)).cast("string"),
+            coalesce(sum(col("h2").cast(DecimalType(38, 0))),
+              lit(0).cast(DecimalType(38, 0))).cast("string")), 256)
+            .as("membership_hash"),
+          count(lit(1)).as("n_members"))),
     // streaming semantics in batch: session windows over events (the
     // identical plan runs under readStream with the watermark — see
     // graft.streaming.Streaming + StreamingSpec)
@@ -595,7 +624,34 @@ object SparkEntry {
          |  count(*) AS n, count(DISTINCT label) AS n_labels,
          |  min(vec_id) AS min_id, max(vec_id) AS max_id
          |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin,
-    "dedup_embedding_pairs" ->
+    "dedup_embedding_pairs" -> {
+      // same banded seeded planes as Dedup.embeddingNearDup (seeds 42..45,
+      // 8 bits, quantized to 3 decimals → identical IEEE doubles; same
+      // left-to-right dot fold → deterministic sign bit on both engines)
+      def bucketSql(seed: Long): String =
+        operators.Ann.hyperplanes(8, 64, seed).zipWithIndex.map { case (p, i) =>
+          s"(CASE WHEN list_dot_product(v, ${p.mkString("[", ", ", "]")}) >= 0 THEN ${1 << i} ELSE 0 END)"
+        }.mkString(" + ")
+      val bandCand = (0 until 4).map { bd =>
+        s"""SELECT l.vec_id AS vec_a, r.vec_id AS vec_b
+           |    FROM b$bd l JOIN b$bd r ON l.bucket = r.bucket AND l.vec_id < r.vec_id""".stripMargin
+      }.mkString("\n    UNION\n    ")
+      val bandCtes = (0 until 4).map { bd =>
+        s"b$bd AS (SELECT vec_id, ${bucketSql(42L + bd)} AS bucket FROM v)"
+      }.mkString(",\n")
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |$bandCtes,
+         |cand AS (
+         |    $bandCand
+         |),
+         |p AS (SELECT cand.vec_a, cand.vec_b, round(${cosSql("a.v", "b.v")}, 6) AS score
+         |      FROM cand JOIN v a ON a.vec_id = cand.vec_a
+         |                JOIN v b ON b.vec_id = cand.vec_b)
+         |SELECT vec_b AS dup_id, min(vec_a) AS keep_id, max(score) AS best_score,
+         |  count(*) AS n_matches
+         |FROM p WHERE score >= 0.4 GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    "dedup_embedding_exact_topn_baseline" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round(${cosSql("a.v", "b.v")}, 6) AS score
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -826,9 +882,14 @@ object SparkEntry {
          |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "membership_hash" ->
-      s"""SELECT sha256(string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY vec_id)) AS membership_hash,
+      s"""WITH hx AS (SELECT sha256(CAST(vec_id AS VARCHAR)) AS x FROM embeddings),
+         |h AS (SELECT ${duckHex60("x", 1)} AS h1,
+         |             ${duckHex60("x", 16)} AS h2 FROM hx)
+         |SELECT sha256(concat_ws(',',
+         |    CAST(coalesce(bit_xor(h1), 0) AS VARCHAR),
+         |    CAST(coalesce(sum(CAST(h2 AS HUGEINT)), 0) AS VARCHAR))) AS membership_hash,
          |  count(*) AS n_members
-         |FROM embeddings""".stripMargin,
+         |FROM h""".stripMargin,
     // the facade pipeline's (tag, size, inertia) triple over the ctx=3
     // slice: φ-band partition (same banding as phi_bands) + inertia
     // against the rounded per-band centroid (same as cluster_inertia)

@@ -340,11 +340,67 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Brute-force embedding near-dup: top-N pairs by cosine. Baseline for
-    * Ann.scala's bucketed variant; the a<b self-join halves the score
-    * work and the top-N is a TakeOrderedAndProject merge.
+  /** Embedding near-dup — the engine's DEFAULT embedding-dedup operator.
+    *
+    * Banded sign-LSH candidate generation: `bands` independent seeded
+    * hyperplane tables (seeds `seed, seed+1, …`), candidates unioned and
+    * de-duplicated, then ONE exact-cosine verification pass over the
+    * candidate set only, and each surviving duplicate is mapped to its
+    * lowest-id retained neighbor (`keep_id`). OR-amplification across
+    * bands recovers the recall a single sign-LSH table loses at
+    * practical thresholds (P[collide] = (1−θ/π)^nBits per table), while
+    * candidate count still scales with bucket collisions — sub-quadratic
+    * whenever near-dup structure exists, which is exactly the regime
+    * where dedup matters. Embeddings are re-joined by id for the verify
+    * (candidates are tiny relative to the base; carrying vectors through
+    * the band union would shuffle the payload `bands` times).
+    *
+    * `keep_id`/`best_score` are per-duplicate summaries over its verified
+    * matches (best_score need not come from the keep_id pair); full
+    * transitive canonicalization is a connected-components pass over
+    * these edges, out of scope for a single contract query.
+    *
+    * The exact global top-N baseline ([[embeddingTopPairs]]) stays
+    * available as an explicitly opt-in oracle for small slices — it is
+    * Ω(n²) by its semantics and must not be a default anything.
+    */
+  def embeddingNearDup(emb: DataFrame, threshold: Double, nBits: Int = 8,
+                       bands: Int = 4, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    val cand = (0 until bands).map { bd =>
+      val bucket = Ann.signBucket(col("embedding"), Ann.hyperplanes(nBits, dim, seed + bd))
+      val b = emb.select(col("vec_id"), bucket.as("bucket"))
+      b.as("l").join(b.as("r"),
+          col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
+        .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"))
+    }.reduce(_ unionByName _).distinct()
+    val va = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      VectorOps.l2Norm(col("embedding")).as("na"))
+    val vb = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      VectorOps.l2Norm(col("embedding")).as("nb"))
+    cand.join(va, "vec_a").join(vb, "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(VectorOps.dotProduct(col("ea"), col("eb"))
+          / (col("na") * col("nb") + lit(1e-12)), 6).as("score"))
+      .filter(col("score") >= threshold)
+      .groupBy(col("vec_b").as("dup_id"))
+      .agg(min(col("vec_a")).as("keep_id"),
+        max(col("score")).as("best_score"),
+        count(lit(1)).as("n_matches"))
+      .orderBy(col("dup_id"))
+  }
+
+  /** Brute-force embedding near-dup: top-N pairs by cosine — the
+    * EXPLICITLY OPT-IN exact baseline for [[embeddingNearDup]] /
+    * Ann.lshCosinePairs. Exact global top-N is Ω(n²) score evaluations
+    * whatever the join shape; use it to calibrate recall on a sampled
+    * slice, never as a pipeline default. The a<b self-join halves the
+    * score work and the top-N is a TakeOrderedAndProject merge.
     */
   def embeddingTopPairs(emb: DataFrame, topN: Int, blocks: Int = 8): DataFrame = {
+    // blocks = 0 would make pmod(vec_id, 0) null: sequence/explode then
+    // drops every row and the query silently returns empty
+    require(blocks >= 1, s"blocks must be >= 1, got $blocks")
     // Exact global top-N is Ω(n²) score evaluations on arbitrary data
     // (any pair skipped could be the best), so the scale lever is the
     // JOIN SHAPE, not the count: grid-partitioned all-pairs (the

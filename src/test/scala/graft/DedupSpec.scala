@@ -98,6 +98,27 @@ class DedupSpec extends AnyFunSuite {
     assert(r == Seq(("a", 2L, 2L, 0L), ("b", 2L, 1L, 1L))) // doc 4 dropped (dup of 1)
   }
 
+  test("embeddingNearDup maps duplicates to their lowest-id keeper") {
+    // ids 1 and 2 are exact duplicates (cosine 1.0, identical bucket in
+    // every band); 3 points elsewhere. The verified pair (1,2) must be
+    // counted ONCE despite surfacing as a candidate in all 4 bands
+    // (candidate-distinct before the verify), mapping dup 2 → keeper 1.
+    val e = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(1f, 0f, 0f, 0f)),
+      (3L, Array(-1f, 2f, -2f, 1f))
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDup(e, 0.9, dim = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(got == Seq((2L, 1L, 1.0, 1L)), s"got ${got.mkString(",")}")
+  }
+
+  test("embeddingNearDup / embeddingTopPairs guard degenerate params") {
+    val e = Seq((1L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException](Dedup.embeddingNearDup(e, 0.9, bands = 0, dim = 4))
+    intercept[IllegalArgumentException](Dedup.embeddingTopPairs(e, 10, blocks = 0))
+  }
+
   test("embeddingTopPairs covers mixed-sign ids (pmod block assignment)") {
     // Spark % keeps the dividend's sign: with plain % a negative id's
     // block key would never meet the non-negative side's task grid and
