@@ -76,6 +76,10 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
 
   var currentHash: String = hashOf(iXor, iSum, pXor, pSum)
 
+  // Startup banner — `vector_field.py:88-89` (same glyph, same truncation)
+  println(f"✅ VectorFieldDB v${VectorFieldDB.Version}  dim=$dim")
+  println(s"   initial hash: ${currentHash.take(16)}...")
+
   def iglyphs: DataFrame = iglyphsDF
   def pglyphs: DataFrame = pglyphsDF
   def changeHistory: DataFrame = history.toSeq.toDF()
@@ -619,8 +623,10 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
       .parquet(s"$outDir/iglyphs")
     pglyphsDF.write.mode("overwrite").parquet(s"$outDir/pglyphs")
     changeHistory.write.mode("overwrite").parquet(s"$outDir/change_history")
+    // manifest version is the DB VERSION, as in the reference's snapshot
+    // dict (`vector_field.py:455`), not the per-record "1.0.0"
     val manifest =
-      s"""{"version": "1.0.0", "dim": $dim, "current_hash": "$currentHash"}"""
+      s"""{"version": "${VectorFieldDB.Version}", "dim": $dim, "current_hash": "$currentHash"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/manifest.json"), manifest)
   }
@@ -666,10 +672,21 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
       "pglyph_count" -> pglyphsDF.count(),
       "history_len" -> history.size.toLong,
       "current_hash" -> currentHash,
-      "version" -> "1.0.0",
+      "version" -> VectorFieldDB.Version,
       "dim" -> dim)
   }
 
+  /** `vector_field.py:480-486` — version, dims, counts, truncated hash. */
   override def toString: String =
-    s"VectorFieldDB(dim=$dim, iglyphs=${iglyphsDF.count()}, pglyphs=${pglyphsDF.count()})"
+    s"VectorFieldDB(v${VectorFieldDB.Version} dim=$dim " +
+      s"iglyphs=${iglyphsDF.count()} pglyphs=${pglyphsDF.count()} " +
+      s"hash=${currentHash.take(8)}...)"
+}
+
+object VectorFieldDB {
+  /** Engine version — `vector_field.py:65` (`VERSION = "0.1.0"`). The
+    * DB-level version is distinct from the per-record `version` field
+    * ("1.0.0", `types.py:117`).
+    */
+  val Version = "0.1.0"
 }

@@ -76,6 +76,38 @@ class AnnSpec extends AnyFunSuite {
     assert(row.getDouble(0) == 11.0 && row.getDouble(1) == 25.0)
   }
 
+  test("SQL surface exposes all four reference metrics (similarity.py:82-110)") {
+    GraftFunctions.register(spark)
+    // pinned against the engine's own column formulations / scalar port
+    // on a concrete vector pair — any drift between the SQL registration
+    // and the DataFrame surface fails here
+    val a = Array(0.6f, 0.8f, 0.0f)
+    val b = Array(0.8f, 0.0f, 0.6f)
+    val row = spark.sql(
+      s"""SELECT
+         |  vec_cosine_sim(array(0.6F, 0.8F, 0.0F), array(0.8F, 0.0F, 0.6F)) AS cos,
+         |  vec_euclidean_dist(array(0.6F, 0.8F, 0.0F), array(0.8F, 0.0F, 0.6F)) AS dist,
+         |  vec_euclidean_sim(array(0.6F, 0.8F, 0.0F), array(0.8F, 0.0F, 0.6F)) AS esim,
+         |  vec_phi_sim(array(0.6F, 0.8F, 0.0F), array(0.8F, 0.0F, 0.6F)) AS phi""".stripMargin).head()
+    // identical left-to-right double folds to the codegen kernels —
+    // expectations are BIT-exact, not approximate (0.6f→double is not
+    // 0.6, so the norms are not exactly 1.0 either)
+    def fold(f: Int => Double): Double = { var s = 0.0; var i = 0; while (i < 3) { s += f(i); i += 1 }; s }
+    val dot = fold(i => a(i).toDouble * b(i).toDouble)
+    val na = math.sqrt(fold(i => a(i).toDouble * a(i).toDouble))
+    val nb = math.sqrt(fold(i => b(i).toDouble * b(i).toDouble))
+    val dist = math.sqrt(fold { i =>
+      val d = a(i).toDouble - b(i).toDouble; d * d
+    })
+    assert(row.getDouble(0) == dot / (na * nb + 1e-12), s"cos=${row.getDouble(0)}")
+    assert(row.getDouble(1) == dist)
+    assert(row.getDouble(2) == 1.0 / (1.0 + dist))
+    assert(row.getDouble(3) == graft.functions.VectorOps.phiWeightedSimilarity(a, b))
+    // arity is validated with a clear message, not an index error
+    val e = intercept[Exception](spark.sql("SELECT vec_phi_sim(array(1.0F))"))
+    assert(e.getMessage.contains("2 arguments"), e.getMessage)
+  }
+
   test("SQL surface: whole search pipeline in pure SQL over a temp view") {
     GraftFunctions.register(spark)
     emb.createOrReplaceTempView("emb_sql")

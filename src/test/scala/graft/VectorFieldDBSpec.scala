@@ -294,6 +294,11 @@ class VectorFieldDBSpec extends AnyFunSuite {
     val st = db.stats()
     assert(st("iglyph_count") == 5L && st("glyph_ids_used") == 2L &&
       st("contexts_used") == 3L && st("dim") == 8)
+    // DB version (vector_field.py:65) — distinct from the record "1.0.0"
+    assert(st("version") == VectorFieldDB.Version)
+    val repr = db.toString
+    assert(repr.contains(s"v${VectorFieldDB.Version}") && repr.contains("iglyphs=5") &&
+      repr.contains("hash=" + db.currentHash.take(8)), repr)
   }
 
   test("snapshot + restore round-trip") {
