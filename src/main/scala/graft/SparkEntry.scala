@@ -38,10 +38,13 @@ object SparkEntry {
   // (60-bit) hex slice as a positional digit sum — bit-identical to Spark's
   // conv(substring(hex, start, 15), 16, 10). Max value 16^15 = 2^60 and the
   // largest term 15·16^14 < 2^63, so plain BIGINT arithmetic is exact.
+  // lower() makes the digit lookup case-insensitive by construction —
+  // without it an uppercase hex digit would hit strpos=0 and silently
+  // contribute -1·16^k instead of failing.
   private def duckHex60(hexCol: String, start: Int): String =
     (0 until 15).map { i =>
       val w = java.math.BigInteger.valueOf(16).pow(14 - i)
-      s"(strpos('0123456789abcdef', substr($hexCol, ${start + i}, 1)) - 1) * $w"
+      s"(strpos('0123456789abcdef', substr(lower($hexCol), ${start + i}, 1)) - 1) * $w"
     }.mkString(" + ")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

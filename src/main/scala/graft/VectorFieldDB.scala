@@ -76,9 +76,13 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
 
   var currentHash: String = hashOf(iXor, iSum, pXor, pSum)
 
-  // Startup banner — `vector_field.py:88-89` (same glyph, same truncation)
-  println(f"✅ VectorFieldDB v${VectorFieldDB.Version}  dim=$dim")
-  println(s"   initial hash: ${currentHash.take(16)}...")
+  // Startup banner — `vector_field.py:88-89` (same glyph, same
+  // truncation), but routed through the logging framework at INFO
+  // rather than println: a Spark library instantiated inside jobs must
+  // not write to stdout, where it would interleave with driver output
+  // (it was visibly polluting bench JSON tails).
+  VectorFieldDB.log.info(f"✅ VectorFieldDB v${VectorFieldDB.Version}  dim=$dim")
+  VectorFieldDB.log.info(s"   initial hash: ${currentHash.take(16)}...")
 
   def iglyphs: DataFrame = iglyphsDF
   def pglyphs: DataFrame = pglyphsDF
@@ -689,4 +693,6 @@ object VectorFieldDB {
     * ("1.0.0", `types.py:117`).
     */
   val Version = "0.1.0"
+
+  private[graft] val log = org.slf4j.LoggerFactory.getLogger(classOf[VectorFieldDB])
 }

@@ -106,7 +106,45 @@ object KMeansIndex {
       .parquet(s"$path/cells")
     index.centroids.coalesce(1).write.mode("overwrite")
       .parquet(s"$path/centroids")
+    // A rebuild re-trains the centroids, so batches appended under the
+    // OLD centroids carry stale cell assignments — drop them with the
+    // rebuild rather than leaving mis-assigned rows in the new layout.
+    val spark = index.assigned.sparkSession
+    val root = new org.apache.hadoop.fs.Path(s"$path/batches")
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(root, true)
   }
+
+  /** The committed read view of a persisted layout: the base `cells`
+    * directory plus every append batch whose `_SUCCESS` marker exists.
+    * The marker is written by Spark's file commit protocol AFTER all
+    * task outputs are moved into place, and its creation is a single
+    * atomic filesystem operation — so a reader either ignores an
+    * in-flight batch entirely (no marker yet) or sees it whole. This is
+    * the manifest gate that makes [[appendPersisted]] safe against
+    * concurrent readers without a table format.
+    */
+  private def committedDirs(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/batches")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batches =
+      if (fs.exists(root))
+        fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+          .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+          .map(_.toString).sorted.toSeq
+      else Seq.empty[String]
+    s"$path/cells" +: batches
+  }
+
+  /** Union scan over the committed view. Each branch keeps its own
+    * `basePath`, so the `cell=N` directory names stay partition values
+    * and a cell filter is static partition pruning on every branch.
+    */
+  private def readCells(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    committedDirs(spark, path)
+      .map(d => spark.read.option("basePath", d).parquet(d))
+      .reduce(_.unionByName(_))
 
   /** Incrementally add vectors to a [[persist]]ed layout: assign cells
     * with the SAME trained centroids (read back from the layout — the
@@ -118,21 +156,25 @@ object KMeansIndex {
     * cadence is a quality/cost dial, same trade as any IVF system).
     * Works as a Structured Streaming `foreachBatch` sink body.
     *
-    * CONCURRENCY CAVEAT: the layout is plain parquet directories — no
-    * snapshot isolation. A reader listing files mid-append may score a
-    * partially-visible batch, and a concurrent [[persist]] rebuild
-    * (mode=overwrite) deletes files under in-flight scans. Single-writer
-    * discipline with searches quiesced across rebuilds is assumed; a
-    * table format with transactional commit is the production answer
-    * when that discipline can't be guaranteed.
+    * COMMIT PROTOCOL: each append lands in its own
+    * `batches/batch-<uuid>` directory and becomes visible to readers
+    * only once its `_SUCCESS` marker exists (see [[committedDirs]]) —
+    * an atomic publish, so a concurrent search never scores a
+    * partially-written batch. Appends also never touch the base `cells`
+    * directories, so no in-flight scan loses files under itself. The
+    * one remaining unsafe overlap is a [[persist]] REBUILD concurrent
+    * with searches (mode=overwrite deletes the base dirs); quiesce
+    * searches across rebuilds, or use a transactional table format when
+    * that discipline can't be guaranteed.
     */
   def appendPersisted(spark: org.apache.spark.sql.SparkSession, path: String,
       vectors: DataFrame): Unit = {
     val centers = spark.read.parquet(s"$path/centroids")
       .orderBy(col("cell"))
       .collect().map(_.getSeq[Double](1).toArray)
+    val batchDir = s"$path/batches/batch-${java.util.UUID.randomUUID()}"
     vectors.withColumn("cell", cellExpr(col("embedding"), centers))
-      .write.partitionBy("cell").mode("append").parquet(s"$path/cells")
+      .write.partitionBy("cell").parquet(batchDir)
   }
 
   /** Probe-then-scan over a [[persist]]ed layout. The probe list is a
@@ -150,7 +192,7 @@ object KMeansIndex {
       .orderBy(col("cscore").desc, col("cell").asc)
       .limit(nProbe)
       .select(col("cell")).collect().map(_.getInt(0))
-    spark.read.parquet(s"$path/cells")
+    readCells(spark, path)
       .filter(col("cell").isin(probeCells.map(Int.box): _*))
       .withColumn("score", round(VectorOps.cosineSimilarity(col("embedding"), q), 6))
       .orderBy(col("score").desc, col("vec_id").asc)

@@ -12,20 +12,23 @@ object Partitioning {
     * there would be an extra full shuffle of the base data — so the
     * repartition is gated on the input's width.
     *
-    * Width probe: an explicit caller hint wins; otherwise the input-file
-    * count of the underlying file source — a metadata lookup on the
-    * already-listed FileIndex which, unlike the previous
-    * `df.rdd.getNumPartitions`, does not force a throwaway physical
-    * planning of the upstream plan on every operator call. File count
-    * under-estimates split count for large splittable files, which only
-    * errs toward spreading — safe for the CPU-heavy per-row stages this
-    * guards. Non-file inputs (in-memory test frames, JDBC) report zero
-    * files and are treated as narrow: there the fan-out is the desired
-    * behavior for a CPU-heavy stage anyway.
+    * Width probe, cheapest-first: an explicit caller hint wins; next the
+    * input-file count of the underlying file source — a metadata lookup
+    * on the already-listed FileIndex that costs no planning. Only when
+    * the file count is BELOW target (the ambiguous case: a few large
+    * splittable parquet files carry many row-group splits, and non-file
+    * inputs report zero files even when already wide) does the probe pay
+    * for one physical planning via `df.rdd.getNumPartitions` to read the
+    * true partition count. So the expensive probe runs exactly where the
+    * cheap one can't rule out a needless full reshuffle of the base
+    * data, and a genuinely narrow input costs one extra planning before
+    * the repartition it needs anyway.
     */
   def spread(df: DataFrame, widthHint: Int = -1): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    val width  = if (widthHint > 0) widthHint else df.inputFiles.length
-    if (width >= target) df else df.repartition(target)
+    val wide =
+      if (widthHint > 0) widthHint >= target
+      else df.inputFiles.length >= target || df.rdd.getNumPartitions >= target
+    if (wide) df else df.repartition(target)
   }
 }

@@ -23,19 +23,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftFunctions {
-  private def arity2(name: String)(f: (Expression, Expression) => Expression): Seq[Expression] => Expression =
+  private def arity2(name: String, repeatsArgs: Boolean = false)(
+      f: (Expression, Expression) => Expression): Seq[Expression] => Expression =
     args => {
       if (args.length != 2) throw new IllegalArgumentException(
         s"$name expects 2 arguments (vector, vector), got ${args.length}")
+      // Composed metrics place the same argument Expression at multiple
+      // tree positions (cosine evaluates VecDot(a,b), VecDot(a,a) and
+      // VecDot(b,b)). A non-deterministic argument (e.g. an array built
+      // from rand()) would then evaluate independently per occurrence
+      // and yield a silently inconsistent score — reject it loudly.
+      // Builders run after `transformExpressionsUp` has resolved the
+      // children, so `deterministic` is meaningful here.
+      if (repeatsArgs && !args.forall(_.deterministic))
+        throw new IllegalArgumentException(
+          s"$name repeats its arguments inside the composed metric, so " +
+          "non-deterministic arguments would evaluate to different values " +
+          "at each occurrence; materialize the argument first (e.g. in a " +
+          "subquery or prior projection)")
       f(args(0), args(1))
     }
 
-  // The composed metrics repeat their argument expressions (e.g. cosine
-  // evaluates VecDot(a,a)); all children are deterministic column
-  // references or literals in practice, and Catalyst's common-
-  // subexpression elimination shares the repeated folds inside
-  // whole-stage codegen — the same pattern Spark's own
-  // RuntimeReplaceable built-ins use.
+  // The composed metrics repeat their (deterministic — enforced above)
+  // argument expressions; Catalyst's common-subexpression elimination
+  // shares the repeated folds inside whole-stage codegen — the same
+  // pattern Spark's own RuntimeReplaceable built-ins use.
   private def cosine(a: Expression, b: Expression): Expression =
     Divide(VecDot(a, b),
       Add(Multiply(Sqrt(VecDot(a, a)), Sqrt(VecDot(b, b))), Literal(1e-12)))
@@ -56,14 +68,23 @@ object GraftFunctions {
     ("vec_phi_sim",
       new ExpressionInfo(classOf[VecPhiSim].getName, "vec_phi_sim"),
       arity2("vec_phi_sim")(VecPhiSim(_, _))),
+    // Composed metrics have no single implementing Expression class —
+    // DESCRIBE FUNCTION names this registry and the usage text states
+    // the composition, rather than borrowing a kernel's class name.
     ("vec_cosine_sim",
-      new ExpressionInfo(classOf[VecDot].getName, "vec_cosine_sim"),
-      arity2("vec_cosine_sim")(cosine)),
+      new ExpressionInfo(GraftFunctions.getClass.getName, null, "vec_cosine_sim",
+        "vec_cosine_sim(a, b) - cosine similarity, composed as " +
+          "vec_dot(a,b) / (sqrt(vec_dot(a,a)) * sqrt(vec_dot(b,b)) + 1e-12)", ""),
+      arity2("vec_cosine_sim", repeatsArgs = true)(cosine)),
     ("vec_euclidean_dist",
-      new ExpressionInfo(classOf[VecSqDist].getName, "vec_euclidean_dist"),
+      new ExpressionInfo(GraftFunctions.getClass.getName, null, "vec_euclidean_dist",
+        "vec_euclidean_dist(a, b) - euclidean distance, composed as " +
+          "sqrt(vec_sq_dist(a, b))", ""),
       arity2("vec_euclidean_dist")(euclideanDist)),
     ("vec_euclidean_sim",
-      new ExpressionInfo(classOf[VecSqDist].getName, "vec_euclidean_sim"),
+      new ExpressionInfo(GraftFunctions.getClass.getName, null, "vec_euclidean_sim",
+        "vec_euclidean_sim(a, b) - euclidean similarity, composed as " +
+          "1 / (1 + sqrt(vec_sq_dist(a, b)))", ""),
       arity2("vec_euclidean_sim")(euclideanSim)))
 
   /** Per-session registration (no extensions config needed). */

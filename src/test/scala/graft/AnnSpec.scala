@@ -108,6 +108,55 @@ class AnnSpec extends AnyFunSuite {
     assert(e.getMessage.contains("2 arguments"), e.getMessage)
   }
 
+  test("SQL surface: composed metrics reject non-deterministic arguments") {
+    GraftFunctions.register(spark)
+    // vec_cosine_sim places its arguments at three tree positions; a
+    // rand()-built array would evaluate independently at each and score
+    // inconsistently — the builder rejects it at analysis time instead
+    val e = intercept[Exception](spark.sql(
+      "SELECT vec_cosine_sim(array(rand(), rand()), array(1.0D, 0.0D))").head())
+    assert(e.getMessage.contains("non-deterministic"), e.getMessage)
+    // single-occurrence kernels still accept them (each input used once)
+    val d = spark.sql(
+      "SELECT vec_dot(array(rand(), rand()), array(0.0D, 0.0D)) AS d").head().getDouble(0)
+    assert(d == 0.0)
+    // DESCRIBE FUNCTION names this registry + the composition, not the
+    // borrowed kernel class
+    val desc = spark.sql("DESCRIBE FUNCTION EXTENDED vec_cosine_sim")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("GraftFunctions"), desc)
+    assert(!desc.contains("VecDot"), desc)
+  }
+
+  test("appendPersisted publishes atomically: uncommitted batches are invisible") {
+    val idx = KMeansIndex.build(emb, k = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-atom").toString + "/idx"
+    KMeansIndex.persist(idx, path)
+    val query = emb.filter($"vec_id" === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val before = KMeansIndex.searchPersisted(spark, path, query, topK = 2, nProbe = 8)
+      .collect().map(_.getLong(0)).toSeq
+    val newVec = emb.filter($"vec_id" === 0)
+      .select(lit(999999L).as("vec_id"), $"embedding", $"label")
+    KMeansIndex.appendPersisted(spark, path, newVec)
+    // simulate a reader racing a half-written batch: remove the commit
+    // marker — the batch's data files are all present, but without
+    // _SUCCESS the committed view must not include them
+    val batches = new java.io.File(s"$path/batches").listFiles().filter(_.isDirectory)
+    assert(batches.length == 1)
+    val marker = new java.io.File(batches.head, "_SUCCESS")
+    assert(marker.exists(), "Spark's commit protocol should have written _SUCCESS")
+    assert(marker.delete())
+    val uncommitted = KMeansIndex.searchPersisted(spark, path, query, topK = 2, nProbe = 8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(uncommitted == before, s"uncommitted batch leaked: $uncommitted")
+    // restoring the marker (the atomic publish) makes the batch visible
+    assert(marker.createNewFile())
+    val committed = KMeansIndex.searchPersisted(spark, path, query, topK = 2, nProbe = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(committed == Set(0L, 999999L), s"committed batch missing: $committed")
+  }
+
   test("SQL surface: whole search pipeline in pure SQL over a temp view") {
     GraftFunctions.register(spark)
     emb.createOrReplaceTempView("emb_sql")
