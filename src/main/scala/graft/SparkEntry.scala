@@ -140,6 +140,7 @@ object SparkEntry {
         .orderBy(col("split"))),
     // north-star: text analysis (documents table)
     "text_stats" -> ((s, dir) => TextAnalysis.textStats(tbl(s, dir, "documents"))),
+    "doc_quality" -> ((s, dir) => TextAnalysis.qualityFlags(tbl(s, dir, "documents"))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(tbl(s, dir, "documents"))),
     "token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(tbl(s, dir, "documents"))),
     "doc_digests" -> ((s, dir) => TextAnalysis.digests(tbl(s, dir, "documents"))),
@@ -668,6 +669,42 @@ object SparkEntry {
          |  round(list_sum(list_transform(ws, x -> CAST(length(x) AS BIGINT)))::DOUBLE/len(ws), 6) AS avg_word_len,
          |  round(len(list_filter(ws, x -> length(x) >= 6))::DOUBLE/len(ws), 6) AS long_word_ratio
          |FROM w ORDER BY doc_id""".stripMargin,
+    "doc_quality" -> {
+      val stops = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+      // the ratio expressions are repeated inside `keep` (not referenced
+      // by alias) so both engines fold the identical rounded doubles
+      val topW = "round(top_w::DOUBLE / n_words, 6)"
+      val topBg = "CASE WHEN coalesce(n_bg, 0) = 0 THEN 0.0 " +
+        "ELSE round(top_bg::DOUBLE / n_bg, 6) END"
+      val punct = "round(punct_c::DOUBLE / n_chars, 6)"
+      s"""WITH d AS (SELECT doc_id, trim(text) AS t,
+         |             regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+         |wu AS (SELECT doc_id, unnest(ws) AS w FROM d),
+         |wc AS (SELECT doc_id, w, count(*) AS c FROM wu GROUP BY 1, 2),
+         |wa AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         |         CAST(max(c) AS BIGINT) AS top_w,
+         |         CAST(sum(CASE WHEN w IN ($stops) THEN c ELSE 0 END) AS BIGINT) AS stop_c
+         |       FROM wc GROUP BY 1),
+         |bu AS (SELECT doc_id,
+         |         unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bg
+         |       FROM d),
+         |bc AS (SELECT doc_id, bg, count(*) AS c FROM bu GROUP BY 1, 2),
+         |ba AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bg,
+         |         CAST(sum(c) AS BIGINT) AS n_bg FROM bc GROUP BY 1),
+         |ca AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
+         |         CAST(length(t) - length(regexp_replace(t, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS punct_c
+         |       FROM d)
+         |SELECT wa.doc_id, n_words,
+         |  $topW AS top_word_frac,
+         |  $topBg AS top_bigram_frac,
+         |  round(stop_c::DOUBLE / n_words, 6) AS stopword_frac,
+         |  $punct AS punct_frac,
+         |  (n_words >= 10 AND $topW <= 0.20 AND ($topBg) <= 0.18
+         |    AND $punct <= 0.30 AND stop_c >= 1) AS keep
+         |FROM wa LEFT JOIN ba ON wa.doc_id = ba.doc_id
+         |  JOIN ca ON wa.doc_id = ca.doc_id
+         |ORDER BY wa.doc_id""".stripMargin
+    },
     "lang_id" -> {
       val scoreCols = TextAnalysis.langMarkers.map { case (l, m) =>
         s"CAST(len(list_filter(ws, x -> x IN (${m.map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS score_$l"

@@ -169,4 +169,85 @@ object TextAnalysis {
     docs.select(col("doc_id"), sha2(col("text"), 256).as("sha256"),
         md5(col("text")).as("md5"))
       .orderBy(col("doc_id"))
+
+  /** Stopword list for the quality filter — tiny and fixed, interpolated
+    * as literals into both the Spark plan and the oracle SQL.
+    */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "is", "in", "it")
+
+  /** Gopher-style repetition / quality flags per document: the filters a
+    * training-data pipeline applies before anything expensive touches a
+    * document (Rae et al. 2021 §A1.1 — repetition fractions, stopword
+    * presence; C4-style punctuation hygiene).
+    *
+    *  - `top_word_frac`   — occurrences of the most frequent word over
+    *    all word occurrences: boilerplate/keyword-stuffing detector.
+    *  - `top_bigram_frac` — same for adjacent word pairs: templated or
+    *    looping text scores high long before exact dedup would fire.
+    *  - `stopword_frac`   — share of [[stopwords]] occurrences: natural
+    *    prose carries function words; token soup doesn't.
+    *  - `punct_frac`      — share of characters outside
+    *    `[a-zA-Z0-9 ]`: markup/code/encoding-damage detector.
+    *  - `keep`            — the composed verdict with the thresholds as
+    *    defaults; each is a dial, the composition is the point.
+    *
+    * Shape at 100 TB: word and bigram counting are explode → two-level
+    * aggregation — partial (map-side) combine on (doc_id, term), then a
+    * per-doc fold; both shuffles key on doc_id-bearing tuples, so skew
+    * is bounded by document length, not corpus size. No per-doc O(n²)
+    * HOF scans, no driver collection. Bigrams come from a zip of the
+    * word array with its own tail — one pass, no self-join.
+    */
+  def qualityFlags(docs: DataFrame,
+      minWords: Long = 10L,
+      maxTopWordFrac: Double = 0.20,
+      maxTopBigramFrac: Double = 0.18,
+      maxPunctFrac: Double = 0.30): DataFrame = {
+    val d = Partitioning.spread(docs)
+      .select(col("doc_id"), trim(col("text")).as("t"))
+      .withColumn("ws", split(col("t"), "\\s+"))
+    val wordAgg = d
+      .select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy("doc_id", "w").count()
+      .groupBy("doc_id").agg(
+        sum("count").as("n_words"),
+        max("count").as("top_w"),
+        sum(when(col("w").isin(stopwords: _*), col("count")).otherwise(0L))
+          .as("stop_c"))
+    val bigramAgg = d
+      .select(col("doc_id"), explode(zip_with(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1),
+          (x, y) => concat(x, lit(" "), y))).as("bg"))
+      .groupBy("doc_id", "bg").count()
+      .groupBy("doc_id").agg(
+        max("count").as("top_bg"), sum("count").as("n_bg"))
+    val charAgg = d.select(col("doc_id"),
+      length(col("t")).cast("long").as("n_chars"),
+      (length(col("t")) -
+        length(regexp_replace(col("t"), "[^a-zA-Z0-9 ]", "")))
+        .cast("long").as("punct_c"))
+    val joined = wordAgg
+      .join(bigramAgg, Seq("doc_id"), "left")  // 1-word docs have no bigrams
+      .join(charAgg, Seq("doc_id"))
+    val topWordFrac = round(col("top_w").cast("double") / col("n_words"), 6)
+    val topBigramFrac = when(coalesce(col("n_bg"), lit(0L)) === 0L, lit(0.0))
+      .otherwise(round(col("top_bg").cast("double") / col("n_bg"), 6))
+    val stopwordFrac = round(col("stop_c").cast("double") / col("n_words"), 6)
+    val punctFrac = round(col("punct_c").cast("double") / col("n_chars"), 6)
+    joined.select(
+        col("doc_id"),
+        col("n_words"),
+        topWordFrac.as("top_word_frac"),
+        topBigramFrac.as("top_bigram_frac"),
+        stopwordFrac.as("stopword_frac"),
+        punctFrac.as("punct_frac"),
+        (col("n_words") >= minWords &&
+          topWordFrac <= maxTopWordFrac &&
+          topBigramFrac <= maxTopBigramFrac &&
+          punctFrac <= maxPunctFrac &&
+          col("stop_c") >= 1L).as("keep"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -49,6 +49,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getAs[String]("pred_lang") == "en") // 5 en markers vs 1 de
   }
 
+  test("qualityFlags: repetition fractions and the keep verdict") {
+    val d = Seq(
+      // natural-ish prose: stopwords present, no dominating bigram
+      (1L, "the cat sat on a mat and the dog slept in it quietly today", "s"),
+      // templated loop: one bigram dominates -> rejected
+      (2L, "buy now buy now buy now buy now buy now buy now", "s"),
+      // too short
+      (3L, "the end", "s"),
+      // punctuation soup -> rejected on punct_frac
+      (4L, "the $$$ ### @@@ !!! %%% ^^^ &&& *** ((( ))) a b c", "s"),
+      // no stopwords at all -> rejected
+      (5L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "s"))
+      .toDF("doc_id", "text", "source")
+    val q = TextAnalysis.qualityFlags(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(q(1L).getAs[Boolean]("keep"))
+    // doc 2: "buy now" = 6 of 11 bigram slots
+    assert(q(2L).getAs[Double]("top_bigram_frac") == math.rint(6.0 / 11 * 1e6) / 1e6 ||
+      q(2L).getAs[Double]("top_bigram_frac") > 0.5)
+    assert(!q(2L).getAs[Boolean]("keep"))
+    assert(!q(3L).getAs[Boolean]("keep")) // n_words = 2 < 10
+    assert(!q(4L).getAs[Boolean]("keep"))
+    assert(q(4L).getAs[Double]("punct_frac") > 0.3)
+    assert(!q(5L).getAs[Boolean]("keep")) // stop_c = 0
+    assert(q(5L).getAs[Double]("stopword_frac") == 0.0)
+    // single-word doc: no bigrams, no crash, frac 0
+    val one = TextAnalysis.qualityFlags(
+      Seq((9L, "solo", "s")).toDF("doc_id", "text", "source")).head()
+    assert(one.getAs[Double]("top_bigram_frac") == 0.0)
+    assert(one.getAs[Long]("n_words") == 1L)
+  }
+
   test("minKSketch: identical texts share the sketch, edits change it") {
     val d = Seq((1L, "the quick brown fox jumps", "s"),
       (2L, "the quick brown fox jumps", "s"),
