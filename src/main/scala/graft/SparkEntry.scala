@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.functions.VectorOps
-import graft.operators.{Ann, Clustering, Dedup, Search, TextAnalysis}
+import graft.operators.{Ann, Clustering, CorpusPipeline, Dedup, Search, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -141,6 +141,8 @@ object SparkEntry {
     // north-star: text analysis (documents table)
     "text_stats" -> ((s, dir) => TextAnalysis.textStats(tbl(s, dir, "documents"))),
     "doc_quality" -> ((s, dir) => TextAnalysis.qualityFlags(tbl(s, dir, "documents"))),
+    "pipeline_clean_corpus" -> ((s, dir) =>
+      CorpusPipeline.cleanSummary(tbl(s, dir, "documents"))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(tbl(s, dir, "documents"))),
     "token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(tbl(s, dir, "documents"))),
     "doc_digests" -> ((s, dir) => TextAnalysis.digests(tbl(s, dir, "documents"))),
@@ -420,6 +422,36 @@ object SparkEntry {
        |        FROM bits GROUP BY doc_id)""".stripMargin
 
   // distinct 3-word shingles per document
+  // doc_quality CTE chain, shared with pipeline_clean_corpus. The ratio
+  // expressions are repeated inside `keep` (not referenced by alias) so
+  // both engines fold the identical rounded doubles.
+  private val qTopW = "round(top_w::DOUBLE / n_words, 6)"
+  private val qTopBg = "CASE WHEN coalesce(n_bg, 0) = 0 THEN 0.0 " +
+    "ELSE round(top_bg::DOUBLE / n_bg, 6) END"
+  private val qPunct = "round(punct_c::DOUBLE / n_chars, 6)"
+  private val qKeep = s"(n_words >= 10 AND $qTopW <= 0.20 AND ($qTopBg) <= 0.18 " +
+    s"AND $qPunct <= 0.30 AND stop_c >= 1)"
+  private val qualityCtes = {
+    val stops = operators.TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+    s"""d AS (SELECT doc_id, trim(text) AS t,
+       |        regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+       |wu AS (SELECT doc_id, unnest(ws) AS w FROM d),
+       |wc AS (SELECT doc_id, w, count(*) AS c FROM wu GROUP BY 1, 2),
+       |wa AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+       |         CAST(max(c) AS BIGINT) AS top_w,
+       |         CAST(sum(CASE WHEN w IN ($stops) THEN c ELSE 0 END) AS BIGINT) AS stop_c
+       |       FROM wc GROUP BY 1),
+       |bu AS (SELECT doc_id,
+       |         unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bg
+       |       FROM d),
+       |bc AS (SELECT doc_id, bg, count(*) AS c FROM bu GROUP BY 1, 2),
+       |ba AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bg,
+       |         CAST(sum(c) AS BIGINT) AS n_bg FROM bc GROUP BY 1),
+       |ca AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
+       |         CAST(length(t) - length(regexp_replace(t, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS punct_c
+       |       FROM d)""".stripMargin
+  }
+
   private val shingleCte =
     """w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
       |sh AS (SELECT doc_id, unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
@@ -669,42 +701,63 @@ object SparkEntry {
          |  round(list_sum(list_transform(ws, x -> CAST(length(x) AS BIGINT)))::DOUBLE/len(ws), 6) AS avg_word_len,
          |  round(len(list_filter(ws, x -> length(x) >= 6))::DOUBLE/len(ws), 6) AS long_word_ratio
          |FROM w ORDER BY doc_id""".stripMargin,
-    "doc_quality" -> {
-      val stops = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
-      // the ratio expressions are repeated inside `keep` (not referenced
-      // by alias) so both engines fold the identical rounded doubles
-      val topW = "round(top_w::DOUBLE / n_words, 6)"
-      val topBg = "CASE WHEN coalesce(n_bg, 0) = 0 THEN 0.0 " +
-        "ELSE round(top_bg::DOUBLE / n_bg, 6) END"
-      val punct = "round(punct_c::DOUBLE / n_chars, 6)"
-      s"""WITH d AS (SELECT doc_id, trim(text) AS t,
-         |             regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
-         |wu AS (SELECT doc_id, unnest(ws) AS w FROM d),
-         |wc AS (SELECT doc_id, w, count(*) AS c FROM wu GROUP BY 1, 2),
-         |wa AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
-         |         CAST(max(c) AS BIGINT) AS top_w,
-         |         CAST(sum(CASE WHEN w IN ($stops) THEN c ELSE 0 END) AS BIGINT) AS stop_c
-         |       FROM wc GROUP BY 1),
-         |bu AS (SELECT doc_id,
-         |         unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bg
-         |       FROM d),
-         |bc AS (SELECT doc_id, bg, count(*) AS c FROM bu GROUP BY 1, 2),
-         |ba AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bg,
-         |         CAST(sum(c) AS BIGINT) AS n_bg FROM bc GROUP BY 1),
-         |ca AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
-         |         CAST(length(t) - length(regexp_replace(t, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS punct_c
-         |       FROM d)
+    "doc_quality" ->
+      s"""WITH $qualityCtes
          |SELECT wa.doc_id, n_words,
-         |  $topW AS top_word_frac,
-         |  $topBg AS top_bigram_frac,
+         |  $qTopW AS top_word_frac,
+         |  $qTopBg AS top_bigram_frac,
          |  round(stop_c::DOUBLE / n_words, 6) AS stopword_frac,
-         |  $punct AS punct_frac,
-         |  (n_words >= 10 AND $topW <= 0.20 AND ($topBg) <= 0.18
-         |    AND $punct <= 0.30 AND stop_c >= 1) AS keep
+         |  $qPunct AS punct_frac,
+         |  $qKeep AS keep
          |FROM wa LEFT JOIN ba ON wa.doc_id = ba.doc_id
          |  JOIN ca ON wa.doc_id = ca.doc_id
-         |ORDER BY wa.doc_id""".stripMargin
-    },
+         |ORDER BY wa.doc_id""".stripMargin,
+    "pipeline_clean_corpus" ->
+      s"""WITH $qualityCtes,
+         |qk AS (SELECT wa.doc_id FROM wa LEFT JOIN ba ON wa.doc_id = ba.doc_id
+         |         JOIN ca ON wa.doc_id = ca.doc_id WHERE $qKeep),
+         |dq AS (SELECT d0.doc_id, d0.source, d0.text
+         |       FROM documents d0 JOIN qk ON d0.doc_id = qk.doc_id),
+         |hx AS (SELECT doc_id, source, text, sha256(text) AS h FROM dq),
+         |can AS (SELECT h, min(doc_id) AS keep_id FROM hx GROUP BY h),
+         |de AS (SELECT hx.doc_id, hx.source, hx.text
+         |       FROM hx JOIN can ON hx.h = can.h AND hx.doc_id = can.keep_id),
+         |w2 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM de),
+         |sh AS (SELECT doc_id, unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+         |                                            for i in range(1, len(ws)-1)])) AS shingle
+         |       FROM w2 WHERE len(ws) >= 3),
+         |seeds AS (SELECT unnest(range(16)) AS seed),
+         |sig AS (SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minhash
+         |        FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+         |banded AS (SELECT doc_id, CAST(floor(seed/4.0) AS INT) AS band,
+         |  md5(string_agg(seed || '=' || minhash, '|' ORDER BY seed || '=' || minhash)) AS band_key
+         |  FROM sig GROUP BY doc_id, CAST(floor(seed/4.0) AS INT)),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM banded x JOIN banded y
+         |           ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS c
+         |          FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+         |                      JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+         |          GROUP BY 1, 2),
+         |prs AS (SELECT i.doc_a, i.doc_b FROM inter i
+         |          JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
+         |        WHERE round(i.c::DOUBLE/(x.n + y.n - i.c), 6) >= 0.5),
+         |drp AS (SELECT DISTINCT doc_b AS doc_id FROM prs),
+         |fin AS (SELECT de.doc_id, de.source FROM de
+         |          LEFT JOIN drp ON de.doc_id = drp.doc_id WHERE drp.doc_id IS NULL),
+         |a0 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+         |a1 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_quality FROM dq GROUP BY 1),
+         |a2 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact FROM de GROUP BY 1),
+         |a3 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_final FROM fin GROUP BY 1)
+         |SELECT a0.source, a0.n_docs,
+         |  coalesce(a1.n_quality, 0) AS n_quality,
+         |  coalesce(a2.n_exact, 0) AS n_exact,
+         |  coalesce(a3.n_final, 0) AS n_final
+         |FROM a0 LEFT JOIN a1 ON a0.source = a1.source
+         |  LEFT JOIN a2 ON a0.source = a2.source
+         |  LEFT JOIN a3 ON a0.source = a3.source
+         |ORDER BY a0.source""".stripMargin,
     "lang_id" -> {
       val scoreCols = TextAnalysis.langMarkers.map { case (l, m) =>
         s"CAST(len(list_filter(ws, x -> x IN (${m.map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS score_$l"

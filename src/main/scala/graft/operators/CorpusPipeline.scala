@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The end-to-end training-data cleaning pipeline, composed from the
+  * engine's own operators in the order a real corpus build runs them —
+  * cheapest-per-doc first, so each stage shrinks the input of the next:
+  *
+  *  1. quality gate  — [[TextAnalysis.qualityFlags]] `keep` verdict
+  *     (per-doc aggregation only; no joins against the corpus);
+  *  2. exact dedup   — canonical keep of the lowest doc_id per sha256
+  *     digest (one shuffle on the digest);
+  *  3. near-dup      — MinHash-LSH pairs at the given Jaccard threshold
+  *     ([[Dedup.minhashLshPairs]]: banded candidates + exact verify);
+  *     of each verified pair the LARGER doc_id is dropped, so the
+  *     earliest member of any duplicate chain survives — deterministic
+  *     without computing connected components (a chain a<b<c drops b, c
+  *     whether or not (a,c) itself was found).
+  *
+  * The report is per-source survival counts after each stage — the
+  * at-a-glance "what did each filter cost me" table a pipeline owner
+  * reads first, and exactly reproducible in SQL for the oracle.
+  *
+  * Shape at 100 TB: every stage is the underlying operator's plan (no
+  * extra scans — each stage consumes the previous stage's frame), and
+  * the four per-source counts are independent partial aggregations on
+  * tiny (source) keys, joined at the end on a ~constant-size frame.
+  */
+object CorpusPipeline {
+
+  def cleanSummary(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"), col("text"))
+
+    // stage 1: quality gate
+    val kept = TextAnalysis.qualityFlags(base)
+      .filter(col("keep")).select(col("doc_id"))
+    val afterQuality = base.join(kept, Seq("doc_id"))
+
+    // stage 2: exact dedup, canonical keep (lowest doc_id per digest)
+    val hashed = afterQuality.withColumn("h", sha2(col("text"), 256))
+    val canonical = hashed.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+    val afterExact = hashed.join(canonical, "h")
+      .filter(col("doc_id") === col("keep_id"))
+      .select(col("doc_id"), col("source"), col("text"))
+
+    // stage 3: near-dup removal — drop the larger id of each verified pair
+    val dropIds = Dedup.minhashLshPairs(afterExact, threshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val afterNearDup = afterExact.join(dropIds, Seq("doc_id"), "left_anti")
+
+    def perSource(df: DataFrame, name: String): DataFrame =
+      df.groupBy(col("source")).agg(count(lit(1)).as(name))
+
+    perSource(base, "n_docs")
+      .join(perSource(afterQuality, "n_quality"), Seq("source"), "left")
+      .join(perSource(afterExact, "n_exact"), Seq("source"), "left")
+      .join(perSource(afterNearDup, "n_final"), Seq("source"), "left")
+      .select(col("source"),
+        col("n_docs"),
+        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_final"), lit(0L)).as("n_final"))
+      .orderBy(col("source"))
+  }
+}

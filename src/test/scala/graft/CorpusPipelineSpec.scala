@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.CorpusPipeline
+
+/** End-to-end cleaning pipeline: every stage must visibly account for
+  * its own drops in the per-source survival counts.
+  */
+class CorpusPipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val base = "the cat sat on a mat and a dog slept in it quietly today"
+
+  test("cleanSummary: quality, exact-dup and near-dup drops land in the right source") {
+    val docs = Seq(
+      (1L, base, "src_a"),                    // survives everything
+      (2L, base, "src_a"),                    // exact dup of 1 -> exact stage
+      (3L, "buy now buy now buy now buy now buy now buy now", "src_a"), // quality
+      (4L, base + " extra", "src_b"),         // near-dup of 1 -> larger id dropped
+      (5L, "the alpha beta gamma delta epsilon zeta eta theta iota kappa lambda", "src_b"))
+      .toDF("doc_id", "text", "source")
+    val got = CorpusPipeline.cleanSummary(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got("src_a") == ((3L, 2L, 1L, 1L)), s"src_a was ${got("src_a")}")
+    assert(got("src_b") == ((2L, 2L, 2L, 1L)), s"src_b was ${got("src_b")}")
+  }
+
+  test("cleanSummary: stages are monotonically non-increasing, sources with zero survivors kept") {
+    val docs = Seq(
+      (1L, "buy now buy now buy now buy now buy now buy now", "only_junk"),
+      (2L, base, "good"))
+      .toDF("doc_id", "text", "source")
+    val got = CorpusPipeline.cleanSummary(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // a source whose every doc is filtered still appears, with zeros
+    assert(got("only_junk") == ((1L, 0L, 0L, 0L)))
+    assert(got("good") == ((1L, 1L, 1L, 1L)))
+    got.values.foreach { case (a, b, c, d) =>
+      assert(a >= b && b >= c && c >= d)
+    }
+  }
+}
