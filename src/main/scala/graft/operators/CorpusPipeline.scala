@@ -32,17 +32,24 @@ object CorpusPipeline {
   def cleanSummary(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val base = docs.select(col("doc_id"), col("source"), col("text"))
 
-    // stage 1: quality gate
+    // stage 1: quality gate. Cached: consumed by its own count AND the
+    // whole downstream chain — Spark has no cross-branch exchange
+    // reuse, so without the cache each consumer re-runs the quality
+    // aggregations from the scan. Post-filter survivors only, so the
+    // cached footprint is bounded by the CLEAN fraction of the corpus.
     val kept = TextAnalysis.qualityFlags(base)
       .filter(col("keep")).select(col("doc_id"))
-    val afterQuality = base.join(kept, Seq("doc_id"))
+    val afterQuality = base.join(kept, Seq("doc_id")).cache()
 
-    // stage 2: exact dedup, canonical keep (lowest doc_id per digest)
+    // stage 2: exact dedup, canonical keep (lowest doc_id per digest).
+    // Cached for the same reason: three consumers (minhash signatures,
+    // the anti-join probe side, its own count).
     val hashed = afterQuality.withColumn("h", sha2(col("text"), 256))
     val canonical = hashed.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
     val afterExact = hashed.join(canonical, "h")
       .filter(col("doc_id") === col("keep_id"))
       .select(col("doc_id"), col("source"), col("text"))
+      .cache()
 
     // stage 3: near-dup removal — drop the larger id of each verified pair
     val dropIds = Dedup.minhashLshPairs(afterExact, threshold)
