@@ -29,6 +29,8 @@ object ScaleProbe {
     t("keep_canonical 100k docs")(Dedup.keepCanonical(docs).count())
     t("text_stats 100k docs")(TextAnalysis.textStats(docs).count())
     t("sketch 100k docs")(TextAnalysis.minKSketch(docs).count())
+    t("quality_flags 100k docs")(TextAnalysis.qualityFlags(docs).count())
+    t("clean_pipeline 100k docs")(CorpusPipeline.cleanSummary(docs).count())
     spark.stop()
   }
 }
