@@ -428,7 +428,8 @@ object SparkEntry {
   private val qTopW = "round(top_w::DOUBLE / n_words, 6)"
   private val qTopBg = "CASE WHEN coalesce(n_bg, 0) = 0 THEN 0.0 " +
     "ELSE round(top_bg::DOUBLE / n_bg, 6) END"
-  private val qPunct = "round(punct_c::DOUBLE / n_chars, 6)"
+  private val qPunct =
+    "CASE WHEN n_chars = 0 THEN 0.0 ELSE round(punct_c::DOUBLE / n_chars, 6) END"
   private val qKeep = s"(n_words >= 10 AND $qTopW <= 0.20 AND ($qTopBg) <= 0.18 " +
     s"AND $qPunct <= 0.30 AND stop_c >= 1)"
   private val qualityCtes = {

@@ -28,6 +28,10 @@ object Partitioning {
     val target = df.sparkSession.sparkContext.defaultParallelism
     val wide =
       if (widthHint > 0) widthHint >= target
+      // a streaming frame can't be probed (`.rdd` forces a batch
+      // physical plan and throws); treat as narrow — the repartition
+      // is a plan node the micro-batch planner handles normally
+      else if (df.isStreaming) false
       else df.inputFiles.length >= target || df.rdd.getNumPartitions >= target
     if (wide) df else df.repartition(target)
   }

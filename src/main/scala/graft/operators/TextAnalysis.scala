@@ -235,7 +235,10 @@ object TextAnalysis {
     val topBigramFrac = when(coalesce(col("n_bg"), lit(0L)) === 0L, lit(0.0))
       .otherwise(round(col("top_bg").cast("double") / col("n_bg"), 6))
     val stopwordFrac = round(col("stop_c").cast("double") / col("n_words"), 6)
-    val punctFrac = round(col("punct_c").cast("double") / col("n_chars"), 6)
+    // whitespace-only text has n_chars = 0 after trim: pin the ratio to
+    // 0 rather than leaving an engine-dependent 0/0
+    val punctFrac = when(col("n_chars") === 0L, lit(0.0))
+      .otherwise(round(col("punct_c").cast("double") / col("n_chars"), 6))
     joined.select(
         col("doc_id"),
         col("n_words"),
