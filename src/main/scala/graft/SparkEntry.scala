@@ -115,6 +115,8 @@ object SparkEntry {
     "dedup_exact_summary" -> ((s, dir) => Dedup.exactSummary(tbl(s, dir, "documents"))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), 0.5)),
+    "dedup_groups" -> ((s, dir) =>
+      Dedup.dupGroups(Dedup.minhashLshPairs(tbl(s, dir, "documents"), 0.5))),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(tbl(s, dir, "documents"), 0.5)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(tbl(s, dir, "documents"))),
@@ -459,6 +461,26 @@ object SparkEntry {
       |                                            for i in range(1, len(ws)-1)])) AS shingle
       |       FROM w WHERE len(ws) >= 3)""".stripMargin
 
+  // MinHash-LSH chain over `sh` up to verified-candidate intersections —
+  // shared by dedup_minhash_lsh (pair output) and dedup_groups
+  // (connected components over the pairs)
+  private val minhashCtes =
+    s"""$shingleCte,
+       |seeds AS (SELECT unnest(range(16)) AS seed),
+       |sig AS (SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minhash
+       |        FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+       |banded AS (SELECT doc_id, CAST(floor(seed/4.0) AS INT) AS band,
+       |  md5(string_agg(seed || '=' || minhash, '|' ORDER BY seed || '=' || minhash)) AS band_key
+       |  FROM sig GROUP BY doc_id, CAST(floor(seed/4.0) AS INT)),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM banded x JOIN banded y
+       |           ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS c
+       |          FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+       |                      JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+       |          GROUP BY 1, 2)""".stripMargin
+
   // per-label element-wise mean centroids as DOUBLE[] (rounded to 6dp)
   private val centroidCte =
     """ex AS (SELECT label, generate_subscripts(embedding, 1) AS i,
@@ -605,25 +627,28 @@ object SparkEntry {
          |WHERE round(c::DOUBLE/(x.n + y.n - c), 6) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_minhash_lsh" ->
-      s"""WITH $shingleCte,
-         |seeds AS (SELECT unnest(range(16)) AS seed),
-         |sig AS (SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minhash
-         |        FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
-         |banded AS (SELECT doc_id, CAST(floor(seed/4.0) AS INT) AS band,
-         |  md5(string_agg(seed || '=' || minhash, '|' ORDER BY seed || '=' || minhash)) AS band_key
-         |  FROM sig GROUP BY doc_id, CAST(floor(seed/4.0) AS INT)),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |         FROM banded x JOIN banded y
-         |           ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
-         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS c
-         |          FROM cand c JOIN sh a ON a.doc_id = c.doc_a
-         |                      JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
-         |          GROUP BY 1, 2)
+      s"""WITH $minhashCtes
          |SELECT i.doc_a, i.doc_b, round(i.c::DOUBLE/(x.n + y.n - i.c), 6) AS jaccard
          |FROM inter i JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
          |WHERE round(i.c::DOUBLE/(x.n + y.n - i.c), 6) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // duplicate groups = connected components of the verified pair graph;
+    // the oracle computes the transitive closure with a recursive CTE and
+    // labels each vertex with the component minimum — identical semantics
+    // to the engine's min-label propagation at fixpoint
+    "dedup_groups" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |prs AS (SELECT i.doc_a, i.doc_b
+         |        FROM inter i JOIN sz x ON i.doc_a = x.doc_id
+         |                     JOIN sz y ON i.doc_b = y.doc_id
+         |        WHERE round(i.c::DOUBLE/(x.n + y.n - i.c), 6) >= 0.5),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+         |      UNION ALL SELECT doc_b, doc_a FROM prs),
+         |reach AS (SELECT src, dst FROM e
+         |          UNION
+         |          SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
+         |SELECT src AS doc_id, least(src, min(dst)) AS group_id
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
     "dedup_simhash" -> (simhashSql + "\nSELECT doc_id, simhash FROM sh2 ORDER BY doc_id"),
     "dedup_simhash_pairs" -> {
       val blocks = operators.Dedup.blockShifts.zip(operators.Dedup.blockMasks)

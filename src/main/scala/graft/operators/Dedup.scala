@@ -133,6 +133,51 @@ object Dedup {
     * ordering cannot drift between the dedup variants (all three are
     * oracle-checked against the same SQL shape).
     */
+  /** Resolve near-dup PAIRS into duplicate GROUPS: connected components
+    * of the pair graph, labeled by each component's minimum doc_id. This
+    * is the principled version of the pipeline's drop-the-larger-id rule
+    * — a chain a—b, b—c lands a, b, c in ONE group even though (a, c)
+    * was never emitted as a pair.
+    *
+    * Algorithm: iterative min-label propagation — every vertex starts
+    * labeled with itself; each round takes the min of its own and its
+    * neighbors' labels; fixpoint in O(component diameter) rounds (LSH
+    * dup components are shallow — near-cliques — so typically 2-4).
+    * Each round is one shuffle join on the edge list, the standard
+    * distributed-CC shape (Kiveris et al.'s baseline); `localCheckpoint`
+    * cuts the growing lineage so round N doesn't replan rounds 1..N-1.
+    * The convergence check doubles as the per-round action. Rounds are
+    * capped defensively; the cap covers a path graph of length 2^cap,
+    * which no near-dup corpus produces.
+    */
+  def dupGroups(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+    val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges = fwd
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("label")), "dst")
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      val stepped = labels
+        .join(neighborMin.select(col("src").as("doc_id"), col("nlabel")), "doc_id")
+        .select(col("doc_id"), col("label"),
+          least(col("label"), col("nlabel")).as("next"))
+        .localCheckpoint()
+      changed = stepped.filter(col("next") < col("label")).count()
+      labels = stepped.select(col("doc_id"), col("next").as("label"))
+      round += 1
+    }
+    edges.unpersist()
+    labels.select(col("doc_id"), col("label").as("group_id"))
+      .orderBy(col("doc_id"))
+  }
+
   private def verifyPairs(candidates: DataFrame, docSets: DataFrame,
                           threshold: Double): DataFrame =
     candidates

@@ -148,4 +148,18 @@ class DedupSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan was:\n$plan")
   }
+
+  test("dupGroups: pair chains collapse into min-labeled components") {
+    // 1—2—3—4 is a path (diameter 3, needs >1 propagation round);
+    // 5—6 is a separate component; 9—7 checks labels flow UP the id
+    // order too (min endpoint listed second)
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (3L, 4L, 0.9),
+      (5L, 6L, 0.9), (7L, 9L, 0.9)).toDF("doc_a", "doc_b", "jaccard")
+    val got = Dedup.dupGroups(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 9L -> 7L))
+    // vertices outside any pair don't appear; empty input → empty output
+    assert(Dedup.dupGroups(pairs.limit(0)).count() == 0L)
+  }
 }
