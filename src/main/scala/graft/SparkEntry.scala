@@ -143,6 +143,7 @@ object SparkEntry {
     // north-star: text analysis (documents table)
     "text_stats" -> ((s, dir) => TextAnalysis.textStats(tbl(s, dir, "documents"))),
     "doc_quality" -> ((s, dir) => TextAnalysis.qualityFlags(tbl(s, dir, "documents"))),
+    "token_percentiles" -> ((s, dir) => TextAnalysis.sizePercentiles(tbl(s, dir, "documents"))),
     "pipeline_clean_corpus" -> ((s, dir) =>
       CorpusPipeline.cleanSummary(tbl(s, dir, "documents"))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(tbl(s, dir, "documents"))),
@@ -727,6 +728,16 @@ object SparkEntry {
          |  round(list_sum(list_transform(ws, x -> CAST(length(x) AS BIGINT)))::DOUBLE/len(ws), 6) AS avg_word_len,
          |  round(len(list_filter(ws, x -> length(x) >= 6))::DOUBLE/len(ws), 6) AS long_word_ratio
          |FROM w ORDER BY doc_id""".stripMargin,
+    "token_percentiles" ->
+      s"""WITH s AS (SELECT CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS nw,
+         |             CAST(length(text) AS BIGINT) AS nc FROM documents)
+         |SELECT round(quantile_cont(nw, 0.5), 6) AS p50_words,
+         |  round(quantile_cont(nw, 0.9), 6) AS p90_words,
+         |  round(quantile_cont(nw, 0.99), 6) AS p99_words,
+         |  round(quantile_cont(nc, 0.5), 6) AS p50_chars,
+         |  round(quantile_cont(nc, 0.9), 6) AS p90_chars,
+         |  round(quantile_cont(nc, 0.99), 6) AS p99_chars
+         |FROM s""".stripMargin,
     "doc_quality" ->
       s"""WITH $qualityCtes
          |SELECT wa.doc_id, n_words,

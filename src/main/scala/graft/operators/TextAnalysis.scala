@@ -170,6 +170,27 @@ object TextAnalysis {
         md5(col("text")).as("md5"))
       .orderBy(col("doc_id"))
 
+  /** Corpus-level size percentiles — the one-row summary a pipeline
+    * owner checks before picking chunk sizes and batch shapes. EXACT
+    * percentiles (linear interpolation between closest ranks — the same
+    * definition DuckDB's `quantile_cont` uses, so the oracle matches
+    * bit-for-bit), computed in ONE aggregation pass: Spark's
+    * `percentile` keeps a per-partition digest and merges, so this is a
+    * map-side-combined single-exchange plan, not a sort.
+    */
+  def sizePercentiles(docs: DataFrame): DataFrame = {
+    val stats = docs.select(
+      size(words(col("text"))).cast("long").as("nw"),
+      length(col("text")).cast("long").as("nc"))
+    def p(c: String, q: Double, name: String) =
+      round(expr(s"percentile($c, ${q}D)"), 6).as(name)
+    stats.agg(
+      p("nw", 0.5, "p50_words"), p("nw", 0.9, "p90_words"),
+      p("nw", 0.99, "p99_words"),
+      p("nc", 0.5, "p50_chars"), p("nc", 0.9, "p90_chars"),
+      p("nc", 0.99, "p99_chars"))
+  }
+
   /** Stopword list for the quality filter — tiny and fixed, interpolated
     * as literals into both the Spark plan and the oracle SQL.
     */

@@ -54,4 +54,28 @@ class StreamingIngestSpec extends AnyFunSuite {
       .map(r => (r.getAs[String]("hash_before"), r.getAs[String]("hash_after")))
     assert(chain.length == 2 && chain(0)._2 == chain(1)._1)
   }
+
+  test("foreachBatch quality gate: only keep-verdict docs land in the sink") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    mem.addData(
+      (1L, "the cat sat on a mat and a dog slept in it quietly today", "s"),
+      (2L, "buy now buy now buy now buy now buy now buy now", "s"),
+      (3L, "the quick brown fox jumps over a lazy dog in the warm sun", "s"))
+    val sink = scala.collection.mutable.ArrayBuffer[Long]()
+    // the SAME batch operator runs per micro-batch — stream/batch parity
+    // by construction; qualityFlags' aggregations are legal here because
+    // foreachBatch hands over a plain batch DataFrame
+    val q = mem.toDS().toDF("doc_id", "text", "source").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val kept = operators.TextAnalysis.qualityFlags(batch)
+          .filter(org.apache.spark.sql.functions.col("keep"))
+          .select("doc_id").collect().map(_.getLong(0))
+        sink.synchronized { sink ++= kept }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(sink.sorted == Seq(1L, 3L), s"sink was $sink")
+  }
 }
