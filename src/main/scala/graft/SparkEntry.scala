@@ -750,7 +750,7 @@ object SparkEntry {
          |  JOIN ca ON wa.doc_id = ca.doc_id
          |ORDER BY wa.doc_id""".stripMargin,
     "pipeline_clean_corpus" ->
-      s"""WITH $qualityCtes,
+      s"""WITH RECURSIVE $qualityCtes,
          |qk AS (SELECT wa.doc_id FROM wa LEFT JOIN ba ON wa.doc_id = ba.doc_id
          |         JOIN ca ON wa.doc_id = ca.doc_id WHERE $qKeep),
          |dq AS (SELECT d0.doc_id, d0.source, d0.text
@@ -780,7 +780,13 @@ object SparkEntry {
          |prs AS (SELECT i.doc_a, i.doc_b FROM inter i
          |          JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
          |        WHERE round(i.c::DOUBLE/(x.n + y.n - i.c), 6) >= 0.5),
-         |drp AS (SELECT DISTINCT doc_b AS doc_id FROM prs),
+         |pe AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+         |       UNION ALL SELECT doc_b, doc_a FROM prs),
+         |preach AS (SELECT src, dst FROM pe
+         |           UNION
+         |           SELECT r.src, p2.dst FROM preach r JOIN pe p2 ON r.dst = p2.src),
+         |drp AS (SELECT src AS doc_id FROM preach GROUP BY src
+         |        HAVING least(src, min(dst)) <> src),
          |fin AS (SELECT de.doc_id, de.source FROM de
          |          LEFT JOIN drp ON de.doc_id = drp.doc_id WHERE drp.doc_id IS NULL),
          |a0 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),

@@ -12,11 +12,12 @@ import org.apache.spark.sql.functions._
   *  2. exact dedup   — canonical keep of the lowest doc_id per sha256
   *     digest (one shuffle on the digest);
   *  3. near-dup      — MinHash-LSH pairs at the given Jaccard threshold
-  *     ([[Dedup.minhashLshPairs]]: banded candidates + exact verify);
-  *     of each verified pair the LARGER doc_id is dropped, so the
-  *     earliest member of any duplicate chain survives — deterministic
-  *     without computing connected components (a chain a<b<c drops b, c
-  *     whether or not (a,c) itself was found).
+  *     ([[Dedup.minhashLshPairs]]: banded candidates + exact verify),
+  *     resolved into duplicate GROUPS by [[Dedup.dupGroups]] (connected
+  *     components, min-labeled); only each component's minimum doc_id
+  *     survives. Component resolution — not per-pair dropping — is the
+  *     policy that keeps exactly ONE representative per duplicate
+  *     cluster however the pairs happened to connect it.
   *
   * The report is per-source survival counts after each stage — the
   * at-a-glance "what did each filter cost me" table a pipeline owner
@@ -51,9 +52,11 @@ object CorpusPipeline {
       .select(col("doc_id"), col("source"), col("text"))
       .cache()
 
-    // stage 3: near-dup removal — drop the larger id of each verified pair
-    val dropIds = Dedup.minhashLshPairs(afterExact, threshold)
-      .select(col("doc_b").as("doc_id")).distinct()
+    // stage 3: near-dup removal — resolve pairs into components, keep
+    // only each component's minimum id
+    val dropIds = Dedup.dupGroups(Dedup.minhashLshPairs(afterExact, threshold))
+      .filter(col("doc_id") =!= col("group_id"))
+      .select(col("doc_id"))
     val afterNearDup = afterExact.join(dropIds, Seq("doc_id"), "left_anti")
 
     def perSource(df: DataFrame, name: String): DataFrame =
