@@ -30,7 +30,17 @@ import org.apache.spark.sql.functions._
   */
 object CorpusPipeline {
 
-  def cleanSummary(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+  /** The cleaned corpus itself — documents surviving all three stages,
+    * with per-stage survivor frames exposed for stage-level accounting.
+    */
+  case class Cleaned(base: DataFrame, afterQuality: DataFrame,
+                     afterExact: DataFrame, afterNearDup: DataFrame)
+
+  /** Run the three cleaning stages and return every stage's survivor
+    * frame; [[cleanSummary]] is the reporting view over this, and
+    * `clean(docs).afterNearDup` is the frame a pipeline writes out.
+    */
+  def clean(docs: DataFrame, threshold: Double = 0.5): Cleaned = {
     val base = docs.select(col("doc_id"), col("source"), col("text"))
 
     // stage 1: quality gate. Cached: consumed by its own count AND the
@@ -58,14 +68,22 @@ object CorpusPipeline {
       .filter(col("doc_id") =!= col("group_id"))
       .select(col("doc_id"))
     val afterNearDup = afterExact.join(dropIds, Seq("doc_id"), "left_anti")
+    Cleaned(base, afterQuality, afterExact, afterNearDup)
+  }
+
+  /** Per-source survival counts after each stage — the at-a-glance
+    * "what did each filter cost me" table a pipeline owner reads first.
+    */
+  def cleanSummary(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val c = clean(docs, threshold)
 
     def perSource(df: DataFrame, name: String): DataFrame =
       df.groupBy(col("source")).agg(count(lit(1)).as(name))
 
-    perSource(base, "n_docs")
-      .join(perSource(afterQuality, "n_quality"), Seq("source"), "left")
-      .join(perSource(afterExact, "n_exact"), Seq("source"), "left")
-      .join(perSource(afterNearDup, "n_final"), Seq("source"), "left")
+    perSource(c.base, "n_docs")
+      .join(perSource(c.afterQuality, "n_quality"), Seq("source"), "left")
+      .join(perSource(c.afterExact, "n_exact"), Seq("source"), "left")
+      .join(perSource(c.afterNearDup, "n_final"), Seq("source"), "left")
       .select(col("source"),
         col("n_docs"),
         coalesce(col("n_quality"), lit(0L)).as("n_quality"),

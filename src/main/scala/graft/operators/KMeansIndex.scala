@@ -26,8 +26,13 @@ object KMeansIndex {
     * training itself — init sampling, iteration order — is the only
     * non-SQL-expressible step; everything downstream is deterministic
     * given the centroid doubles, which parquet round-trips bit-exactly).
+    * Overridable (`-Dgraft.kmeans.centroid.dump=…`) so the oracle dump
+    * isn't pinned to /tmp outside this sandbox; both the query and the
+    * generated oracle SQL read this val, so they stay consistent.
     */
-  val centroidDumpPath = "/tmp/graft_oracle_kmeans_centroids"
+  val centroidDumpPath: String =
+    sys.props.getOrElse("graft.kmeans.centroid.dump",
+      "/tmp/graft_oracle_kmeans_centroids")
 
   /** Deterministic Voronoi cell id: argmin over `centers` of
     * ‖v−c‖² = v·v + c·c − 2·v·c, ties to the lowest cell. The dot form

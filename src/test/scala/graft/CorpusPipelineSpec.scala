@@ -25,6 +25,10 @@ class CorpusPipelineSpec extends AnyFunSuite {
       .toMap
     assert(got("src_a") == ((3L, 2L, 1L, 1L)), s"src_a was ${got("src_a")}")
     assert(got("src_b") == ((2L, 2L, 2L, 1L)), s"src_b was ${got("src_b")}")
+    // the cleaned frame itself is the component minima + unique docs
+    val surviving = CorpusPipeline.clean(docs).afterNearDup
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(surviving == Set(1L, 5L))
   }
 
   test("cleanSummary: stages are monotonically non-increasing, sources with zero survivors kept") {
