@@ -159,6 +159,11 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, dir) => Ann.ivfTopK(emb(s, dir), "cosine", 10, 2)),
     "ann_lsh_pairs" -> ((s, dir) => Ann.lshCosinePairs(emb(s, dir), 0.4)),
     // north-star: int8 embedding compression with error accounting
+    "embedding_normalize" -> ((s, dir) =>
+      emb(s, dir).select(col("vec_id"),
+          round(sqrt(VectorOps.dotProduct(col("embedding"), col("embedding"))), 6).as("norm"),
+          transform(VectorOps.l2Normalize(col("embedding")), x => round(x, 6)).as("unit"))
+        .orderBy(col("vec_id"))),
     "embedding_quantize" -> ((s, dir) =>
       emb(s, dir)
         // distinct internal name: aliasing the output as "scale" in the
@@ -664,6 +669,13 @@ object SparkEntry {
            |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
            |FROM cand WHERE bit_count(xor(ha, hb)) <= 3 ORDER BY doc_a, doc_b""".stripMargin
     },
+    "embedding_normalize" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+         |SELECT vec_id, round(nrm, 6) AS norm,
+         |  CASE WHEN nrm = 0 THEN list_transform(v, x -> round(x, 6))
+         |       ELSE list_transform(v, x -> round(x / nrm, 6)) END AS unit
+         |FROM n ORDER BY vec_id""".stripMargin,
     "embedding_quantize" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e),

@@ -156,4 +156,17 @@ object VectorOps {
       zip_with(a, dequantizeInt8(quantizeInt8(a, scale), scale),
         (x, y) => abs(d(x) - y)),
       lit(0.0), (acc, e) => greatest(acc, e))
+
+  /** L2-normalize to a unit vector — the ingest step that turns cosine
+    * ranking into plain dot-product ranking downstream (one multiply
+    * per dimension saved on EVERY subsequent search). The norm is the
+    * same left-to-right [[dotProduct]] fold both engines use, so the
+    * result is oracle-reproducible; zero vectors pass through unchanged
+    * (no 0/0), mirroring the reference's zero-safe cosine.
+    */
+  def l2Normalize(a: Column): Column = {
+    val norm = sqrt(VecExpressions.vecDot(a, a))
+    when(norm === 0.0, transform(a, x => d(x)))
+      .otherwise(transform(a, x => d(x) / norm))
+  }
 }

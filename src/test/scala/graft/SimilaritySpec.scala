@@ -91,4 +91,26 @@ class SimilaritySpec extends AnyFunSuite {
       assert(math.abs(ab - ba) < 1e-9, s"metric $m")
     }
   }
+
+  test("l2Normalize: unit norm, dot == cosine afterwards, zero-safe") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, Seq(3.0f, 4.0f)), (2L, Seq(0.0f, 0.0f)),
+      (3L, Seq(-1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val n = df.select(col("vec_id"),
+      VectorOps.l2Normalize(col("embedding")).as("u")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(n(1L) == Seq(0.6, 0.8))
+    assert(n(2L) == Seq(0.0, 0.0)) // zero vector passes through, no NaN
+    val norm3 = math.sqrt(n(3L).map(x => x * x).sum)
+    assert(math.abs(norm3 - 1.0) < 1e-12)
+    // after normalization, plain dot ranks identically to cosine
+    val un = df.filter($"vec_id" =!= 2L)
+      .select(VectorOps.l2Normalize(col("embedding")).as("u"), col("vec_id"))
+    val both = un.as("a").crossJoin(un.as("b"))
+      .select(
+        VectorOps.dotProduct(col("a.u"), col("b.u")).as("dot"),
+        VectorOps.cosineSimilarity(col("a.u"), col("b.u")).as("cos"))
+      .collect()
+    both.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
+  }
 }
