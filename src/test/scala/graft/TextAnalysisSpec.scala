@@ -81,6 +81,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(one.getAs[Long]("n_words") == 1L)
   }
 
+  test("sizePercentiles: exact closest-ranks interpolation (quantile_cont semantics)") {
+    // 4 docs with 1/2/3/4 words: p50 over {1,2,3,4} = 2.5 (midpoint),
+    // p90 = 1 + 3*0.9 = 3.7 — the linear-interpolation definition both
+    // engines use; any digest/approximation would miss these exactly
+    val d = Seq((1L, "w", "s"), (2L, "w w", "s"), (3L, "w w w", "s"),
+      (4L, "w w w w", "s")).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.sizePercentiles(d).head()
+    assert(r.getAs[Double]("p50_words") == 2.5)
+    assert(r.getAs[Double]("p90_words") == 3.7)
+    assert(r.getAs[Double]("p99_words") == 3.97)
+    assert(r.getAs[Double]("p50_chars") == 4.0) // lengths 1,3,5,7
+  }
+
   test("minKSketch: identical texts share the sketch, edits change it") {
     val d = Seq((1L, "the quick brown fox jumps", "s"),
       (2L, "the quick brown fox jumps", "s"),
