@@ -139,16 +139,19 @@ object Dedup {
     * — a chain a—b, b—c lands a, b, c in ONE group even though (a, c)
     * was never emitted as a pair.
     *
-    * Algorithm: iterative min-label propagation — every vertex starts
-    * labeled with itself; each round takes the min of its own and its
-    * neighbors' labels; fixpoint in O(component diameter) rounds (LSH
-    * dup components are shallow — near-cliques — so typically 2-4).
-    * Each round is one shuffle join on the edge list, the standard
-    * distributed-CC shape (Kiveris et al.'s baseline); `localCheckpoint`
-    * cuts the growing lineage so round N doesn't replan rounds 1..N-1.
-    * The convergence check doubles as the per-round action. Rounds are
-    * capped defensively; the cap covers a path graph of length 2^cap,
-    * which no near-dup corpus produces.
+    * Algorithm: min-label propagation with pointer jumping — every
+    * vertex starts labeled with itself; each round (a) takes the min of
+    * its own and its neighbors' labels, then (b) compresses through the
+    * label itself: `label(v) ← min(label(v), label(label(v)))`. Step (a)
+    * alone moves a label ONE hop per round (O(diameter) rounds — a long
+    * dup chain would outrun any fixed cap); step (b) doubles the jump
+    * distance each round, giving O(log diameter) convergence — the
+    * standard distributed-CC shape (Kiveris et al.). A 25-round cap
+    * therefore covers component diameters up to ~2^25 — unreachable.
+    * Each round is two shuffle joins; `localCheckpoint` cuts the
+    * growing lineage so round N doesn't replan rounds 1..N−1, and the
+    * convergence check doubles as the per-round action. Compression
+    * always joins onto a real vertex: labels only ever hold vertex ids.
     */
   def dupGroups(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
     val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -167,10 +170,17 @@ object Dedup {
       val stepped = labels
         .join(neighborMin.select(col("src").as("doc_id"), col("nlabel")), "doc_id")
         .select(col("doc_id"), col("label"),
-          least(col("label"), col("nlabel")).as("next"))
+          least(col("label"), col("nlabel")).as("mid"))
+      // jump table: mid -> that vertex's OWN post-step label, so
+      // next(v) = min(mid(v), mid(mid(v)))
+      val jump = stepped.select(col("doc_id").as("mid"), col("mid").as("jump"))
+      val compressed = stepped
+        .join(jump, Seq("mid"))
+        .select(col("doc_id"), col("label"),
+          least(col("mid"), col("jump")).as("next"))
         .localCheckpoint()
-      changed = stepped.filter(col("next") < col("label")).count()
-      labels = stepped.select(col("doc_id"), col("next").as("label"))
+      changed = compressed.filter(col("next") < col("label")).count()
+      labels = compressed.select(col("doc_id"), col("next").as("label"))
       round += 1
     }
     edges.unpersist()

@@ -162,4 +162,15 @@ class DedupSpec extends AnyFunSuite {
     // vertices outside any pair don't appear; empty input → empty output
     assert(Dedup.dupGroups(pairs.limit(0)).count() == 0L)
   }
+
+  test("dupGroups: a 30-vertex path converges under the round cap (pointer jumping)") {
+    // plain one-hop propagation needs 29 rounds — over the 25-round
+    // cap; the compression step must get there in O(log n)
+    val chain = (100L until 129L).map(i => (i, i + 1, 0.9))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val got = Dedup.dupGroups(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 30)
+    assert(got.values.toSet == Set(100L), s"labels were ${got.values.toSet}")
+  }
 }
