@@ -188,6 +188,15 @@ object SparkEntry {
         .head().getSeq[Float](0).toArray
       operators.KMeansIndex.search(idx, query, topK = 10, nProbe = 3)
     }),
+    "ann_batch_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = operators.KMeansIndex.build(e, k = 8)
+      idx.centroids.coalesce(1).write.mode("overwrite")
+        .parquet(operators.KMeansIndex.centroidDumpPath + "_batch")
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      operators.KMeansIndex.searchMany(idx, queries, topK = 5, nProbe = 3)
+    }),
     // §2.9 relational: multi-join, window, semi/anti, json, audit hash
     "q3_shipping_priority" -> ((s, dir) => {
       val cust = tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
@@ -905,6 +914,33 @@ object SparkEntry {
          |SELECT a.vec_id, CAST(a.cell AS INT) AS cell, round(${cosSql("a.v", "q.qe")}, 6) AS score
          |FROM a JOIN pr ON a.cell = pr.cell CROSS JOIN q
          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+    },
+    "ann_batch_topk" -> {
+      val path = operators.KMeansIndex.centroidDumpPath + "_batch"
+      s"""WITH c AS (SELECT cell, centroid FROM '$path/*.parquet'),
+         |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+         |      FROM embeddings WHERE vec_id < 5),
+         |pr AS (SELECT query_id, qe, cell FROM (
+         |         SELECT q.query_id, q.qe, c.cell,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY ${cosSql("c.centroid", "q.qe")} DESC, c.cell) AS rn
+         |         FROM q CROSS JOIN c) WHERE rn <= 3),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |d AS (SELECT e.vec_id, e.v, c.cell,
+         |        list_dot_product(e.v, e.v) + list_dot_product(c.centroid, c.centroid)
+         |          - 2.0 * list_dot_product(e.v, c.centroid) AS dist
+         |      FROM e CROSS JOIN c),
+         |a AS (SELECT vec_id, v, cell FROM
+         |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |         FROM d)
+         |      WHERE rn = 1),
+         |s AS (SELECT pr.query_id, a.vec_id, round(${cosSql("a.v", "pr.qe")}, 6) AS score
+         |      FROM a JOIN pr ON a.cell = pr.cell),
+         |r AS (SELECT query_id, vec_id, score,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+         |      FROM s)
+         |SELECT query_id, vec_id, score, CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
     "ann_lsh_pairs" -> {
       // the SAME seeded Gaussian planes as Ann.lshCosinePairs, quantized

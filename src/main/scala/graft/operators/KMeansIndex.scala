@@ -99,6 +99,44 @@ object KMeansIndex {
       .select(col("vec_id"), col("cell"), col("score"))
   }
 
+  /** Batched probe search — the BATCH-INFERENCE shape: for every query
+    * in `queries` (query_id, q_embedding), the top-k among the members
+    * of its nProbe nearest cells, all in ONE plan (no per-query driver
+    * round-trips). Probe assignment is a queries × centroids cross join
+    * (k centroids — tiny, broadcast) ranked per query; candidates come
+    * from ONE equi-join on cell, so the fine scan reads each probed
+    * cell once however many queries probe it; per-query top-k is the
+    * bounded [[Search.TopKAgg]] (map-side partial top-k — the shuffle
+    * carries ≤ k rows per partition per query, never the full scored
+    * candidate list). The probe side is broadcast — right for a bounded
+    * query batch; for a query SET large enough to matter, drop the
+    * broadcast hint and the same plan shuffle-joins on cell.
+    */
+  def searchMany(index: Index, queries: DataFrame, topK: Int,
+      nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val topk = udaf(new Search.TopKAgg(topK),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Double)]())
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cscore").desc, col("cell").asc)
+    val probes = queries.crossJoin(broadcast(index.centroids))
+      .withColumn("cscore",
+        VectorOps.cosineSimilarity(col("centroid"), col("q_embedding")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("q_embedding"), col("cell"))
+    val scored = index.assigned.join(broadcast(probes), Seq("cell"))
+      .select(col("query_id"), col("vec_id"),
+        round(VectorOps.cosineSimilarity(col("embedding"), col("q_embedding")), 6)
+          .as("score"))
+    scored.groupBy(col("query_id"))
+      .agg(topk(col("vec_id"), col("score")).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "p")))
+      .select(col("query_id"), col("p._1").as("vec_id"), col("p._2").as("score"),
+        (col("pos") + 1).cast("int").as("rank"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
+
   /** Materialize the index as a cell-partitioned parquet layout — one
     * directory per Voronoi cell plus the (tiny) centroid table. This is
     * the "build once, search many" form: a probe search over the opened

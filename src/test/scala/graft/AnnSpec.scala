@@ -68,6 +68,26 @@ class AnnSpec extends AnyFunSuite {
     assert(top.forall(_.getDouble(2) == 1.0))
   }
 
+  test("searchMany: batch probe search equals per-query search on the same index") {
+    val idx = KMeansIndex.build(emb, k = 8)
+    val queries = emb.filter($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
+    val batch = KMeansIndex.searchMany(idx, queries, topK = 5, nProbe = 3)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).toSeq).toMap
+    assert(batch.keySet == Set(0L, 1L, 2L, 3L))
+    for (qid <- 0L until 4L) {
+      val q = emb.filter($"vec_id" === qid).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val single = KMeansIndex.search(idx, q, topK = 5, nProbe = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      assert(batch(qid) == single, s"query $qid diverged")
+      // every query's own vector is in its probed cells -> top hit = itself
+      assert(batch(qid).head._1 == qid)
+    }
+  }
+
   test("SQL surface: vec_dot / vec_sq_dist registered via GraftFunctions") {
     GraftFunctions.register(spark)
     val row = spark.sql(
