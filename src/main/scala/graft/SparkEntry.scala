@@ -117,6 +117,11 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), 0.5)),
     "dedup_groups" -> ((s, dir) =>
       Dedup.dupGroups(Dedup.minhashLshPairs(tbl(s, dir, "documents"), 0.5))),
+    "decontaminate" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      Dedup.contaminationFlags(docs, docs.filter(col("doc_id") % 50 === 0),
+        n = 8, minShared = 3)
+    }),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(tbl(s, dir, "documents"), 0.5)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(tbl(s, dir, "documents"))),
@@ -647,6 +652,20 @@ object SparkEntry {
          |FROM inter i JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
          |WHERE round(i.c::DOUBLE/(x.n + y.n - i.c), 6) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "decontaminate" ->
+      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+         |sh8 AS (SELECT doc_id, unnest(list_distinct(
+         |          [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+         |           ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7]
+         |           for i in range(1, len(ws)-6)])) AS shingle
+         |        FROM w WHERE len(ws) >= 8),
+         |b AS (SELECT DISTINCT shingle FROM sh8 WHERE doc_id % 50 = 0),
+         |s AS (SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |      FROM sh8 d JOIN b USING (shingle) GROUP BY d.doc_id)
+         |SELECT doc_id, coalesce(s.n_shared, 0) AS n_shared,
+         |  coalesce(s.n_shared, 0) >= 3 AS contaminated
+         |FROM documents LEFT JOIN s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     // duplicate groups = connected components of the verified pair graph;
     // the oracle computes the transitive closure with a recursive CTE and
     // labels each vertex with the component minimum — identical semantics

@@ -133,6 +133,30 @@ object Dedup {
     * ordering cannot drift between the dedup variants (all three are
     * oracle-checked against the same SQL shape).
     */
+  /** Benchmark decontamination — flag training documents that overlap a
+    * benchmark/eval set by at least `minShared` distinct word n-grams
+    * (the standard contamination check an LLM data pipeline runs before
+    * training; n-gram overlap is how GPT-3/PaLM-style reports define
+    * contamination). Shape at 100 TB: the benchmark side reduces to a
+    * DISTINCT shingle set (eval suites are tiny next to the corpus);
+    * the check is one inverted-index equi-join on shingle followed by a
+    * per-doc count — no doc×doc comparison anywhere, and corpus docs
+    * sharing nothing with the benchmark drop out at the join.
+    */
+  def contaminationFlags(docs: DataFrame, benchmark: DataFrame,
+      n: Int = 8, minShared: Int = 3): DataFrame = {
+    val d = shingles(docs, n)
+    val b = shingles(benchmark, n).select(col("shingle")).distinct()
+    val shared = d.join(b, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared")) // shingles() is distinct per doc
+    docs.select(col("doc_id")).join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) >= minShared).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Resolve near-dup PAIRS into duplicate GROUPS: connected components
     * of the pair graph, labeled by each component's minimum doc_id. This
     * is the principled version of the pipeline's drop-the-larger-id rule

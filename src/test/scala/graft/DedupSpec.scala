@@ -163,6 +163,23 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.dupGroups(pairs.limit(0)).count() == 0L)
   }
 
+  test("contaminationFlags: benchmark members and near-copies flagged, others clear") {
+    val bench = Seq((100L, "a b c d e f g h i j k l", "s"))
+      .toDF("doc_id", "text", "source")
+    val train = Seq(
+      (1L, "a b c d e f g h i j k l", "s"),  // exact benchmark copy: 5 shared
+      (2L, "a b c d e f g h i j k x", "s"),  // near-copy: 4 shared 8-grams
+      (3L, "z y x w v u t s r q p o", "s"),  // unrelated: 0 shared
+      (4L, "a b c d e f g tiny", "s"))       // < 8 words: no shingles at all
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.contaminationFlags(train, bench, n = 8, minShared = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got(1L) == ((5L, true)))
+    assert(got(2L) == ((4L, true)))
+    assert(got(3L) == ((0L, false)))
+    assert(got(4L) == ((0L, false))) // short docs still reported, unflagged
+  }
+
   test("dupGroups: a 30-vertex path converges under the round cap (pointer jumping)") {
     // plain one-hop propagation needs 29 rounds — over the 25-round
     // cap; the compression step must get there in O(log n)
