@@ -31,6 +31,10 @@ object ScaleProbe {
     t("sketch 100k docs")(TextAnalysis.minKSketch(docs).count())
     t("quality_flags 100k docs")(TextAnalysis.qualityFlags(docs).count())
     t("clean_pipeline 100k docs")(CorpusPipeline.cleanSummary(docs).count())
+    t("contamination 100k docs")(Dedup.contaminationFlags(docs,
+      docs.filter(col("doc_id") % 50 === 0), 8, 3).count())
+    t("dup_groups on minhash pairs 100k docs")(
+      Dedup.dupGroups(Dedup.minhashLshPairs(docs, 0.5)).count())
     spark.stop()
   }
 }
