@@ -85,6 +85,38 @@ class PropertiesSpec extends AnyFunSuite {
     assert(db2.currentHash == db10.currentHash) // same membership → same hash
   }
 
+  test("property: dupGroups equals brute-force union-find on random graphs") {
+    import graft.operators.Dedup
+    val edgesGen = for {
+      n <- Gen.choose(2, 24)                    // vertices 0..n-1
+      m <- Gen.choose(1, 30)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n - 1L); b <- Gen.choose(0L, n - 1L) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield es.distinct
+    check(Prop.forAll(edgesGen) { es =>
+      es.isEmpty || {
+        // reference: driver-side union-find with path compression
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        // canonical label = min of component = root under min-union
+        val verts = es.flatMap(e => Seq(e._1, e._2)).distinct
+        val expected = verts.map(v => v -> find(v)).toMap
+        val got = Dedup.dupGroups(
+            es.map { case (a, b) => (a, b, 0.9) }.toDF("doc_a", "doc_b", "jaccard"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == expected
+      }
+    })
+  }
+
   test("property: hash changes iff membership changes") {
     val db = new VectorFieldDB(spark, 8)
     val h0 = db.currentHash
