@@ -122,6 +122,9 @@ object SparkEntry {
       Dedup.contaminationFlags(docs, docs.filter(col("doc_id") % 50 === 0),
         n = 8, minShared = 3)
     }),
+    "mixture_sample" -> ((s, dir) =>
+      operators.Sampling.mixtureSummary(tbl(s, dir, "documents"),
+        mixtureWeights, defaultWeight = 0.75)),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(tbl(s, dir, "documents"), 0.5)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(tbl(s, dir, "documents"))),
@@ -424,6 +427,11 @@ object SparkEntry {
   )
 
   /** Shared oracle-SQL fragments. */
+  // mixture_sample weights — shared by the query and its oracle so both
+  // engines apply the identical when-chain
+  private val mixtureWeights = Map(
+    "src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1)
+
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)) + 1e-12)"
 
@@ -652,6 +660,19 @@ object SparkEntry {
          |FROM inter i JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
          |WHERE round(i.c::DOUBLE/(x.n + y.n - i.c), 6) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "mixture_sample" -> {
+      val cases = mixtureWeights.toSeq.sortBy(_._1)
+        .map { case (s, w) => s"WHEN source = '$s' THEN $w" }.mkString(" ")
+      s"""WITH u AS (SELECT doc_id, source,
+         |  (${duckHex60("sha256(CAST(doc_id AS VARCHAR))", 1)})::DOUBLE
+         |    / 1152921504606846976.0 AS u FROM documents),
+         |w AS (SELECT *, (CASE $cases ELSE 0.75 END)::DOUBLE AS w FROM u)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN u < w THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+         |  round(min(w), 6) AS weight,
+         |  round(sum(CASE WHEN u < w THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS rate
+         |FROM w GROUP BY source ORDER BY source""".stripMargin
+    },
     "decontaminate" ->
       s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
          |sh8 AS (SELECT doc_id, unnest(list_distinct(

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sampling
+
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus(n: Int) =
+    spark.range(n).select(
+      col("id").as("doc_id"),
+      concat(lit("src"), pmod(col("id"), lit(4)).cast("string")).as("source"))
+
+  test("uniformDraw lands in [0,1) and is replayable per id") {
+    val r = corpus(1000)
+      .select(Sampling.uniformDraw(col("doc_id")).as("u1"),
+        Sampling.uniformDraw(col("doc_id")).as("u2"))
+      .agg(min("u1"), max("u1"), sum(when(col("u1") === col("u2"), 0).otherwise(1)))
+      .head()
+    assert(r.getDouble(0) >= 0.0 && r.getDouble(1) < 1.0)
+    assert(r.getLong(2) === 0L, "draw must be deterministic per doc_id")
+  }
+
+  test("weight 1.0 keeps all, 0.0 keeps none, >1 caps at keep-all without duplication") {
+    val docs = corpus(400)
+    val out = Sampling.mixtureSample(docs,
+      Map("src0" -> 1.0, "src1" -> 0.0, "src2" -> 5.0), defaultWeight = 0.5)
+    assert(out.count() === 400L, "sampler must not add or drop rows — it only flags")
+    val bySrc = out.groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(when(col("sampled"), 1L).otherwise(0L)).as("k"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(bySrc("src0")._1 === bySrc("src0")._2, "w=1.0 keeps everything")
+    assert(bySrc("src1")._2 === 0L, "w=0.0 keeps nothing")
+    assert(bySrc("src2")._1 === bySrc("src2")._2, "w>1 caps at keep-all")
+    val k3 = bySrc("src3")._2
+    assert(k3 > 0L && k3 < bySrc("src3")._1, "default 0.5 keeps a strict subset")
+  }
+
+  test("observed rate converges to the weight") {
+    val out = Sampling.mixtureSample(corpus(20000),
+      Map("src0" -> 0.25, "src1" -> 0.75), defaultWeight = 0.5)
+    val rates = out.groupBy("source")
+      .agg((sum(when(col("sampled"), 1.0).otherwise(0.0)) / count(lit(1))).as("rate"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(rates("src0") - 0.25) < 0.03)
+    assert(math.abs(rates("src1") - 0.75) < 0.03)
+    assert(math.abs(rates("src2") - 0.5) < 0.03)
+  }
+
+  test("mixtureSummary rate column equals n_sampled / n_docs rounded to 6") {
+    val s = Sampling.mixtureSummary(corpus(1000), Map("src0" -> 0.3), 0.9)
+      .collect()
+    assert(s.map(_.getString(0)).toSeq === Seq("src0", "src1", "src2", "src3"))
+    s.foreach { r =>
+      val expect = BigDecimal(r.getLong(2).toDouble / r.getLong(1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(4) === expect)
+    }
+  }
+}
