@@ -125,6 +125,20 @@ object SparkEntry {
     "mixture_sample" -> ((s, dir) =>
       operators.Sampling.mixtureSummary(tbl(s, dir, "documents"),
         mixtureWeights, defaultWeight = 0.75)),
+    "mixture_upsample" -> ((s, dir) =>
+      operators.Sampling.upsample(tbl(s, dir, "documents"),
+          upsampleWeights, defaultWeight = 1.25)
+        .groupBy(col("source"), col("rep"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"), col("rep"))),
+    // concat-and-chunk sequence packing: replayable shuffle into 8
+    // shards, 512-token windows; row-level (shard, pack, offset)
+    // assignment is the oracle check
+    "pack_windows" -> ((s, dir) =>
+      operators.Packing.packWindows(tbl(s, dir, "documents"), 512, 8)
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          col("pack_id"), col("off"), col("n_windows"))
+        .orderBy(col("doc_id"))),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(tbl(s, dir, "documents"), 0.5)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(tbl(s, dir, "documents"))),
@@ -432,6 +446,11 @@ object SparkEntry {
   private val mixtureWeights = Map(
     "src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1)
 
+  // mixture_upsample weights — exact binary fractions so `w - floor(w)`
+  // folds bit-identically in both engines
+  private val upsampleWeights = Map(
+    "src0" -> 2.5, "src1" -> 0.25, "src2" -> 1.0, "src3" -> 0.0)
+
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)) + 1e-12)"
 
@@ -673,6 +692,33 @@ object SparkEntry {
          |  round(sum(CASE WHEN u < w THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS rate
          |FROM w GROUP BY source ORDER BY source""".stripMargin
     },
+    "mixture_upsample" -> {
+      val cases = upsampleWeights.toSeq.sortBy(_._1)
+        .map { case (s, w) => s"WHEN source = '$s' THEN $w" }.mkString(" ")
+      s"""WITH u AS (SELECT doc_id, source,
+         |  (${duckHex60("sha256(CAST(doc_id AS VARCHAR) || ':up')", 1)})::DOUBLE
+         |    / 1152921504606846976.0 AS u FROM documents),
+         |w AS (SELECT *, (CASE $cases ELSE 1.25 END)::DOUBLE AS w FROM u),
+         |r AS (SELECT source, CAST(floor(w) AS BIGINT)
+         |        + (CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END) AS n_reps FROM w),
+         |e AS (SELECT source, unnest(generate_series(1, n_reps)) AS rep
+         |      FROM r WHERE n_reps >= 1)
+         |SELECT source, CAST(rep AS BIGINT) AS rep,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM e GROUP BY source, rep ORDER BY source, rep""".stripMargin
+    },
+    "pack_windows" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |    sha256(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+         |s AS (SELECT *, (${duckHex60("hx", 1)}) % 8 AS shard FROM t),
+         |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY hx, doc_id
+         |       ROWS UNBOUNDED PRECEDING) AS cum FROM s)
+         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+         |  CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id,
+         |  CAST((cum - n_tokens) % 512 AS BIGINT) AS off,
+         |  CAST((cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS BIGINT) AS n_windows
+         |FROM c ORDER BY doc_id""".stripMargin,
     "decontaminate" ->
       s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
          |sh8 AS (SELECT doc_id, unnest(list_distinct(

@@ -31,9 +31,11 @@ object Sampling {
 
   /** The per-document uniform draw in [0, 1): 60 bits of sha256 parsed
     * base-16 — the same slice-and-parse both engines fold bit-equally.
+    * `salt` decorrelates draws across pipeline steps (the sample step
+    * and the upsample step must not share one coin).
     */
-  def uniformDraw(docId: Column): Column =
-    conv(substring(sha2(docId.cast("string"), 256), 1, 15), 16, 10)
+  def uniformDraw(docId: Column, salt: String = ""): Column =
+    conv(substring(sha2(concat(docId.cast("string"), lit(salt)), 256), 1, 15), 16, 10)
       .cast("long").cast("double") / lit(TwoPow60)
 
   /** Per-doc sampling verdict: adds `u`, `w`, `sampled`. */
@@ -45,6 +47,39 @@ object Sampling {
     docs.withColumn("u", uniformDraw(col("doc_id")))
       .withColumn("w", w)
       .withColumn("sampled", col("u") < col("w"))
+  }
+
+  /** Upsampling by explicit repetition — the step [[mixtureSample]]
+    * deliberately refuses to do implicitly. A weight w gives every doc
+    * `floor(w)` guaranteed copies plus one more iff its (salted,
+    * replayable) draw lands below `w - floor(w)`; so w = 2.5 means "2
+    * or 3 epochs of this source, expected 2.5", w < 1 degrades to plain
+    * downsampling, and w = 0 drops the source. Output rows carry
+    * `rep` (1-based copy index) so downstream keys on (doc_id, rep) —
+    * the copies are distinguishable on purpose: a training-order
+    * shuffle must be able to spread them.
+    *
+    * Shape at 100 TB: narrow projection + explode; output size is
+    * exactly the token budget the weights dictate, no shuffle.
+    */
+  def upsample(docs: DataFrame, weights: Map[String, Double],
+      defaultWeight: Double): DataFrame = {
+    require((defaultWeight +: weights.values.toSeq).forall(_ >= 0),
+      "upsample weights must be >= 0")
+    val w = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight)) {
+      case (acc, (src, wt)) => when(col("source") === src, lit(wt)).otherwise(acc)
+    }
+    // sequence(1, 0) in Spark is the DESCENDING ramp [1, 0], not empty —
+    // the n_reps = 0 case must short-circuit to an empty array
+    docs.withColumn("w", w)
+      .withColumn("n_reps",
+        floor(col("w")).cast("long") +
+          when(uniformDraw(col("doc_id"), ":up") < col("w") - floor(col("w")), 1L)
+            .otherwise(0L))
+      .withColumn("rep",
+        explode(when(col("n_reps") >= 1, sequence(lit(1L), col("n_reps")))
+          .otherwise(array().cast("array<long>"))))
+      .drop("w", "n_reps")
   }
 
   /** Per-source mixture report: how many docs each source keeps under

@@ -50,6 +50,35 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(rates("src2") - 0.5) < 0.03)
   }
 
+  test("upsample: integer weights give exact copy counts, 0 drops, fractional lands between floors") {
+    val out = Sampling.upsample(corpus(4000),
+      Map("src0" -> 2.0, "src1" -> 0.0, "src2" -> 2.5), defaultWeight = 1.0)
+    val per = out.groupBy("source", "doc_id").agg(count(lit(1)).as("n"),
+        max("rep").as("maxr"), min("rep").as("minr"))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(per.forall { case (_, n, maxr, minr) => minr === 1L && maxr === n },
+      "rep must be the dense 1..n_reps index")
+    val bySrc = per.groupBy(_._1).view.mapValues(_.map(_._2))
+    assert(bySrc("src0").forall(_ === 2L), "w=2.0 gives exactly two copies")
+    assert(!bySrc.contains("src1"), "w=0.0 drops the source entirely")
+    assert(bySrc("src2").forall(n => n === 2L || n === 3L), "w=2.5 gives 2 or 3 copies")
+    val mean = bySrc("src2").map(_.toDouble).sum / 1000
+    assert(math.abs(mean - 2.5) < 0.1, s"w=2.5 mean reps ~2.5, got $mean")
+    assert(bySrc("src3").forall(_ === 1L), "default w=1.0 keeps exactly one copy")
+  }
+
+  test("upsample draw is decorrelated from the mixture-sample draw") {
+    // same id set, w=0.5 in both paths: if they shared one coin the kept
+    // sets would be identical; the salt makes overlap ~binomial(n, .25)
+    val docs = corpus(2000)
+    val kept = Sampling.mixtureSample(docs, Map.empty, 0.5)
+      .filter(col("sampled")).select("doc_id")
+    val upped = Sampling.upsample(docs, Map.empty, 0.5).select("doc_id")
+    val both = kept.intersect(upped).count().toDouble
+    assert(both > 300 && both < 700,
+      s"overlap $both should be ~500 of 2000, not ~all-or-none of the ~1000 kept")
+  }
+
   test("mixtureSummary rate column equals n_sampled / n_docs rounded to 6") {
     val s = Sampling.mixtureSummary(corpus(1000), Map("src0" -> 0.3), 0.9)
       .collect()
