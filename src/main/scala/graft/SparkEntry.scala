@@ -125,6 +125,12 @@ object SparkEntry {
     "mixture_sample" -> ((s, dir) =>
       operators.Sampling.mixtureSummary(tbl(s, dir, "documents"),
         mixtureWeights, defaultWeight = 0.75)),
+    "stratified_sample" -> ((s, dir) =>
+      operators.Sampling.stratifiedSample(tbl(s, dir, "documents"),
+          col("source"), col("doc_id"), 5)
+        .select(col("source"), col("rank_in_stratum").cast("long").as("rank_in_stratum"),
+          col("doc_id"))
+        .orderBy(col("source"), col("rank_in_stratum"))),
     "mixture_upsample" -> ((s, dir) =>
       operators.Sampling.upsample(tbl(s, dir, "documents"),
           upsampleWeights, defaultWeight = 1.25)
@@ -692,6 +698,13 @@ object SparkEntry {
          |  round(sum(CASE WHEN u < w THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS rate
          |FROM w GROUP BY source ORDER BY source""".stripMargin
     },
+    "stratified_sample" ->
+      s"""WITH r AS (SELECT source, doc_id,
+         |  row_number() OVER (PARTITION BY source
+         |    ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS rank_in_stratum
+         |  FROM documents)
+         |SELECT source, CAST(rank_in_stratum AS BIGINT) AS rank_in_stratum, doc_id
+         |FROM r WHERE rank_in_stratum <= 5 ORDER BY source, rank_in_stratum""".stripMargin,
     "mixture_upsample" -> {
       val cases = upsampleWeights.toSeq.sortBy(_._1)
         .map { case (s, w) => s"WHEN source = '$s' THEN $w" }.mkString(" ")

@@ -82,6 +82,26 @@ object Sampling {
       .drop("w", "n_reps")
   }
 
+  /** Exact stratified sampling: exactly `min(n, |stratum|)` rows per
+    * stratum, chosen by the replayable hash order (sha256 of the id,
+    * id tiebreak) — the "balanced eval set" builder. Rank-based rather
+    * than draw-based because the contract is an exact per-stratum
+    * COUNT, which no independent per-row coin can promise.
+    *
+    * Shape at 100 TB: rank ≤ n over (stratum, hash order) is exactly
+    * the shape Spark's WindowGroupLimit rewrites into a map-side
+    * partial top-n — each task keeps at most n rows per stratum before
+    * the single shuffle, so the exchange carries O(n · strata ·
+    * partitions), never the corpus.
+    */
+  def stratifiedSample(df: DataFrame, stratum: Column, id: Column, n: Int): DataFrame = {
+    require(n > 0, "stratified sample size must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(sha2(id.cast("string"), 256), id)
+    df.withColumn("rank_in_stratum", row_number().over(w))
+      .filter(col("rank_in_stratum") <= n)
+  }
+
   /** Per-source mixture report: how many docs each source keeps under
     * the weights, with the observed rate (converges to the weight as
     * the source grows — the sanity number a pipeline owner checks).

@@ -79,6 +79,30 @@ class SamplingSpec extends AnyFunSuite {
       s"overlap $both should be ~500 of 2000, not ~all-or-none of the ~1000 kept")
   }
 
+  test("stratifiedSample takes exactly min(n, stratum size) rows, replayably") {
+    // src0 has 300 docs, src1..3 have 3 each (ids 1200..1208)
+    val docs = spark.range(1209).select(col("id").as("doc_id"),
+      when(col("id") < 1200, "src0")
+        .otherwise(concat(lit("src"), (pmod(col("id"), lit(3)) + 1).cast("string")))
+        .as("source"))
+    val out = Sampling.stratifiedSample(docs, col("source"), col("doc_id"), 10)
+    val per = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(per("src0") === 10L, "large stratum capped at n")
+    assert(per("src1") === 3L && per("src2") === 3L && per("src3") === 3L,
+      "small strata kept whole")
+    val again = Sampling.stratifiedSample(docs, col("source"), col("doc_id"), 10)
+    assert(out.select("doc_id").except(again.select("doc_id")).isEmpty,
+      "selection is replayable")
+  }
+
+  test("stratifiedSample plan is a WindowGroupLimit partial top-n, not a full sort") {
+    val plan = Sampling.stratifiedSample(corpus(100), col("source"), col("doc_id"), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=n must push a map-side group limit below the exchange:\n$plan")
+  }
+
   test("mixtureSummary rate column equals n_sampled / n_docs rounded to 6") {
     val s = Sampling.mixtureSummary(corpus(1000), Map("src0" -> 0.3), 0.9)
       .collect()
