@@ -176,12 +176,51 @@ object Dedup {
     * growing lineage so round N doesn't replan rounds 1..N−1, and the
     * convergence check doubles as the per-round action. Compression
     * always joins onto a real vertex: labels only ever hold vertex ids.
+    *
+    * Small-graph fast path: after banding, the candidate pair graph is
+    * normally a tiny fraction of the corpus — at or below
+    * `driverEdgeLimit` edges (default 2^20 ≈ 16 MB of longs) the
+    * components resolve on the driver with one union-find pass instead
+    * of 2·rounds of shuffle jobs. The bound is what makes this scale-
+    * honest: the DECISION reads one cached count, the collect is capped,
+    * and past the cap the distributed propagation runs unchanged. Set
+    * `driverEdgeLimit = 0` to force the distributed path.
     */
-  def dupGroups(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+  def dupGroups(pairs: DataFrame, maxRounds: Int = 25,
+      driverEdgeLimit: Long = 1L << 20): DataFrame = {
+    val spark = pairs.sparkSession
     val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val edges = fwd
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
+    // one action materializes the cache (the rounds would have paid this
+    // anyway) and prices the path decision
+    val nEdges = edges.count() / 2
+    if (nEdges <= driverEdgeLimit) {
+      val es = edges.filter(col("src") < col("dst")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist()
+      // union-find with min-id roots — identical labeling to the
+      // propagation: every vertex gets its component's minimum doc_id.
+      // find is iterative: min-root unions (no union-by-rank) can build
+      // O(n)-deep trees on adversarial edge order, and a recursive
+      // compress would blow the stack at the 2^20 bound
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x0: Long): Long = {
+        var root = x0
+        while (parent.getOrElseUpdate(root, root) != root) root = parent(root)
+        var y = x0
+        while (parent(y) != root) { val next = parent(y); parent(y) = root; y = next }
+        root
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val rows = parent.keys.toArray.sorted.map(v => (v, find(v))).toSeq
+      return spark.createDataFrame(rows).toDF("doc_id", "group_id")
+        .orderBy(col("doc_id"))
+    }
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .localCheckpoint()

@@ -182,12 +182,28 @@ class DedupSpec extends AnyFunSuite {
 
   test("dupGroups: a 30-vertex path converges under the round cap (pointer jumping)") {
     // plain one-hop propagation needs 29 rounds — over the 25-round
-    // cap; the compression step must get there in O(log n)
+    // cap; the compression step must get there in O(log n). Force the
+    // distributed path: the driver fast path never iterates.
     val chain = (100L until 129L).map(i => (i, i + 1, 0.9))
       .toDF("doc_a", "doc_b", "jaccard")
-    val got = Dedup.dupGroups(chain).collect()
+    val got = Dedup.dupGroups(chain, driverEdgeLimit = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 30)
     assert(got.values.toSet == Set(100L), s"labels were ${got.values.toSet}")
+  }
+
+  test("dupGroups: driver fast path and distributed propagation agree") {
+    // mixed shapes: a descending chain (deepest union-find trees), a
+    // star entered min-last, an isolated pair
+    val pairs = ((20L to 1L by -1L).sliding(2).map(w => (w(1), w(0), 0.9)).toSeq ++
+      Seq((40L, 50L, 0.9), (41L, 50L, 0.9), (42L, 50L, 0.9), (60L, 61L, 0.9)))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val driver = Dedup.dupGroups(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.dupGroups(pairs, driverEdgeLimit = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(driver == dist)
+    assert((1L to 20L).forall(driver(_) == 1L), "chain collapses to min id")
+    assert(Seq(40L, 41L, 42L, 50L).map(driver).toSet == Set(40L))
   }
 }

@@ -109,8 +109,12 @@ class PropertiesSpec extends AnyFunSuite {
         // canonical label = min of component = root under min-union
         val verts = es.flatMap(e => Seq(e._1, e._2)).distinct
         val expected = verts.map(v => v -> find(v)).toMap
+        // driverEdgeLimit = 0 forces the distributed propagation — the
+        // driver fast path IS this reference union-find, so testing it
+        // against itself would be vacuous
         val got = Dedup.dupGroups(
-            es.map { case (a, b) => (a, b, 0.9) }.toDF("doc_a", "doc_b", "jaccard"))
+            es.map { case (a, b) => (a, b, 0.9) }.toDF("doc_a", "doc_b", "jaccard"),
+            driverEdgeLimit = 0)
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         got == expected
       }
