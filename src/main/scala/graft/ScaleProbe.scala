@@ -35,6 +35,15 @@ object ScaleProbe {
       docs.filter(col("doc_id") % 50 === 0), 8, 3).count())
     t("dup_groups on minhash pairs 100k docs")(
       Dedup.dupGroups(Dedup.minhashLshPairs(docs, 0.5)).count())
+    t("dup_groups DISTRIBUTED on minhash pairs 100k docs")(
+      Dedup.dupGroups(Dedup.minhashLshPairs(docs, 0.5), driverEdgeLimit = 0).count())
+    t("mixture_sample 100k docs")(Sampling.mixtureSample(docs,
+      Map("src0" -> 1.0, "src1" -> 0.5), 0.75).filter(col("sampled")).count())
+    t("upsample 100k docs")(Sampling.upsample(docs,
+      Map("src0" -> 2.5, "src1" -> 0.25), 1.25).count())
+    t("stratified_sample n=100 100k docs")(
+      Sampling.stratifiedSample(docs, col("source"), col("doc_id"), 100).count())
+    t("pack_windows 100k docs")(Packing.packWindows(docs, 512, 64).count())
     spark.stop()
   }
 }
