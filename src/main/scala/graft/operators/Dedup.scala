@@ -189,17 +189,13 @@ object Dedup {
   def dupGroups(pairs: DataFrame, maxRounds: Int = 25,
       driverEdgeLimit: Long = 1L << 20): DataFrame = {
     val spark = pairs.sparkSession
-    val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val edges = fwd
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .cache()
-    // one action materializes the cache (the rounds would have paid this
-    // anyway) and prices the path decision
-    val nEdges = edges.count() / 2
-    if (nEdges <= driverEdgeLimit) {
-      val es = edges.filter(col("src") < col("dst")).collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
-      edges.unpersist()
+    // cache the 2-column projection, not the doubled edge union: one
+    // materialization prices the path decision, and both paths read it
+    val p2 = pairs.select(col("doc_a"), col("doc_b")).cache()
+    val nEdges = p2.count()
+    if (driverEdgeLimit > 0 && nEdges <= driverEdgeLimit) {
+      val es = p2.collect().map(r => (r.getLong(0), r.getLong(1)))
+      p2.unpersist()
       // union-find with min-id roots — identical labeling to the
       // propagation: every vertex gets its component's minimum doc_id.
       // find is iterative: min-root unions (no union-by-rank) can build
@@ -213,14 +209,20 @@ object Dedup {
         while (parent(y) != root) { val next = parent(y); parent(y) = root; y = next }
         root
       }
+      // a self-pair (a, a) registers the vertex without a union — the
+      // propagation path also emits (a, a) for it
       es.foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
-      val rows = parent.keys.toArray.sorted.map(v => (v, find(v))).toSeq
+      val rows = parent.keys.map(v => (v, find(v))).toSeq
       return spark.createDataFrame(rows).toDF("doc_id", "group_id")
         .orderBy(col("doc_id"))
     }
+    // doubled directed edges, recomputed per use from the cached p2 (a
+    // union of two cached projections — cheaper than caching 2x rows)
+    val edges = p2.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p2.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .localCheckpoint()
@@ -246,7 +248,7 @@ object Dedup {
       labels = compressed.select(col("doc_id"), col("next").as("label"))
       round += 1
     }
-    edges.unpersist()
+    p2.unpersist()
     labels.select(col("doc_id"), col("label").as("group_id"))
       .orderBy(col("doc_id"))
   }

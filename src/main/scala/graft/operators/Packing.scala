@@ -33,18 +33,16 @@ object Packing {
   def packWindows(docs: DataFrame, windowTokens: Int, numShards: Int): DataFrame = {
     require(windowTokens > 0, "windowTokens must be positive")
     require(numShards > 0, "numShards must be positive")
-    val hx = sha2(col("doc_id").cast("string"), 256)
     val w = Window.partitionBy(col("shard")).orderBy(col("ord"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val start = col("cum") - col("n_tokens")
     docs
       .select(col("doc_id"),
-        // 60 sha256 bits: shard = mixing hash mod shards; the full hex
+        // shard = the shared 60-bit mixing hash mod shards; the full hex
         // string is the in-shard sort key (lowercase hex sorts the
         // same everywhere ASCII does)
-        pmod(conv(substring(hx, 1, 15), 16, 10).cast("long"), lit(numShards.toLong))
-          .as("shard"),
-        hx.as("ord"),
+        pmod(Sampling.hash60(col("doc_id")), lit(numShards.toLong)).as("shard"),
+        sha2(col("doc_id").cast("string"), 256).as("ord"),
         size(TextAnalysis.words(col("text"))).cast("long").as("n_tokens"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .select(col("doc_id"), col("shard"), col("ord"), col("n_tokens"),

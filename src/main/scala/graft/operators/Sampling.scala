@@ -29,25 +29,37 @@ object Sampling {
     */
   private val TwoPow60 = 1152921504606846976.0
 
-  /** The per-document uniform draw in [0, 1): 60 bits of sha256 parsed
-    * base-16 — the same slice-and-parse both engines fold bit-equally.
+  /** The first 60 bits of sha256(id ++ salt) as a non-negative long —
+    * the ONE hash layout every replayable decision in this engine
+    * derives from (draws here, shard routing in [[Packing]]), and the
+    * exact slice `duckHex60` re-parses on the oracle side. Change the
+    * offset or width here and in the oracle together or nowhere.
+    */
+  private[operators] def hash60(id: Column, salt: String = ""): Column =
+    conv(substring(sha2(concat(id.cast("string"), lit(salt)), 256), 1, 15), 16, 10)
+      .cast("long")
+
+  /** The per-document uniform draw in [0, 1): [[hash60]] / 2^60.
     * `salt` decorrelates draws across pipeline steps (the sample step
     * and the upsample step must not share one coin).
     */
   def uniformDraw(docId: Column, salt: String = ""): Column =
-    conv(substring(sha2(concat(docId.cast("string"), lit(salt)), 256), 1, 15), 16, 10)
-      .cast("long").cast("double") / lit(TwoPow60)
+    hash60(docId, salt).cast("double") / lit(TwoPow60)
+
+  /** The per-source weight as a literal when-chain (broadcast-free and
+    * identically foldable in the oracle SQL's CASE).
+    */
+  private def weightCol(weights: Map[String, Double], defaultWeight: Double): Column =
+    weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight)) {
+      case (acc, (src, wt)) => when(col("source") === src, lit(wt)).otherwise(acc)
+    }
 
   /** Per-doc sampling verdict: adds `u`, `w`, `sampled`. */
   def mixtureSample(docs: DataFrame, weights: Map[String, Double],
-      defaultWeight: Double): DataFrame = {
-    val w = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight)) {
-      case (acc, (src, wt)) => when(col("source") === src, lit(wt)).otherwise(acc)
-    }
+      defaultWeight: Double): DataFrame =
     docs.withColumn("u", uniformDraw(col("doc_id")))
-      .withColumn("w", w)
+      .withColumn("w", weightCol(weights, defaultWeight))
       .withColumn("sampled", col("u") < col("w"))
-  }
 
   /** Upsampling by explicit repetition — the step [[mixtureSample]]
     * deliberately refuses to do implicitly. A weight w gives every doc
@@ -63,15 +75,17 @@ object Sampling {
     * exactly the token budget the weights dictate, no shuffle.
     */
   def upsample(docs: DataFrame, weights: Map[String, Double],
-      defaultWeight: Double): DataFrame = {
+      defaultWeight: Double, maxWeight: Double = 1000.0): DataFrame = {
     require((defaultWeight +: weights.values.toSeq).forall(_ >= 0),
       "upsample weights must be >= 0")
-    val w = weights.toSeq.sortBy(_._1).foldLeft(lit(defaultWeight)) {
-      case (acc, (src, wt)) => when(col("source") === src, lit(wt)).otherwise(acc)
-    }
+    // each row materializes a floor(w)-element array before exploding —
+    // an accidental 1e6 weight should fail here, not deep in codegen
+    require((defaultWeight +: weights.values.toSeq).forall(_ <= maxWeight),
+      s"upsample weights must be <= $maxWeight (epochs, not row counts); " +
+        "raise maxWeight explicitly if you really mean it")
     // sequence(1, 0) in Spark is the DESCENDING ramp [1, 0], not empty —
     // the n_reps = 0 case must short-circuit to an empty array
-    docs.withColumn("w", w)
+    docs.withColumn("w", weightCol(weights, defaultWeight))
       .withColumn("n_reps",
         floor(col("w")).cast("long") +
           when(uniformDraw(col("doc_id"), ":up") < col("w") - floor(col("w")), 1L)

@@ -206,4 +206,13 @@ class DedupSpec extends AnyFunSuite {
     assert((1L to 20L).forall(driver(_) == 1L), "chain collapses to min id")
     assert(Seq(40L, 41L, 42L, 50L).map(driver).toSet == Set(40L))
   }
+
+  test("dupGroups: a self-pair registers its vertex on both paths") {
+    val pairs = Seq((7L, 7L, 1.0), (8L, 9L, 0.9)).toDF("doc_a", "doc_b", "jaccard")
+    val expect = Map(7L -> 7L, 8L -> 8L, 9L -> 8L)
+    assert(Dedup.dupGroups(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == expect)
+    assert(Dedup.dupGroups(pairs, driverEdgeLimit = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == expect)
+  }
 }

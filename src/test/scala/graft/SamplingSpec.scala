@@ -67,6 +67,16 @@ class SamplingSpec extends AnyFunSuite {
     assert(bySrc("src3").forall(_ === 1L), "default w=1.0 keeps exactly one copy")
   }
 
+  test("upsample rejects negative and absurd weights at the API boundary") {
+    intercept[IllegalArgumentException](
+      Sampling.upsample(corpus(2), Map("src0" -> -0.1), 1.0))
+    intercept[IllegalArgumentException](
+      Sampling.upsample(corpus(2), Map("src0" -> 1e6), 1.0))
+    // explicit maxWeight raise is honored
+    assert(Sampling.upsample(corpus(40), Map.empty, 2000.0, maxWeight = 2000.0)
+      .count() === 80000L)
+  }
+
   test("upsample draw is decorrelated from the mixture-sample draw") {
     // same id set, w=0.5 in both paths: if they shared one coin the kept
     // sets would be identical; the salt makes overlap ~binomial(n, .25)
