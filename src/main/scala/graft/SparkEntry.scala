@@ -145,6 +145,17 @@ object SparkEntry {
         .select(col("doc_id"), col("shard"), col("n_tokens"),
           col("pack_id"), col("off"), col("n_windows"))
         .orderBy(col("doc_id"))),
+    // token-budget corpus assembly: weights → hard token counts per
+    // source, selection order = the shared (shard, sha256) hash layout
+    "token_budget" -> ((s, dir) =>
+      operators.Sampling.tokenBudgetSummary(tbl(s, dir, "documents"),
+        tokenBudgets, defaultBudget = 1000L)),
+    // C4-style sub-document span dedup: non-overlapping 4-word blocks,
+    // corpus-wide keep-first, cleaned text rebuilt from survivors
+    "span_dedup" -> ((s, dir) => Dedup.spanDedup(tbl(s, dir, "documents"), 4)),
+    // BM25 top-k retrieval for a bag-of-words query
+    "bm25_search" -> ((s, dir) =>
+      TextAnalysis.bm25TopDocs(tbl(s, dir, "documents"), bm25Query, 10)),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(tbl(s, dir, "documents"), 0.5)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(tbl(s, dir, "documents"))),
@@ -457,6 +468,13 @@ object SparkEntry {
   private val upsampleWeights = Map(
     "src0" -> 2.5, "src1" -> 0.25, "src2" -> 1.0, "src3" -> 0.0)
 
+  // token_budget per-source budgets (tokens): sized to bite at sf0.01
+  // (~1.3k tokens/source) — src2 drops entirely, others keep a prefix
+  private val tokenBudgets = Map("src0" -> 800L, "src1" -> 500L, "src2" -> 0L)
+
+  // bm25_search query terms — all in the synthetic vocabulary
+  private val bm25Query = Seq("query", "fast", "merge")
+
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)) + 1e-12)"
 
@@ -732,6 +750,65 @@ object SparkEntry {
          |  CAST((cum - n_tokens) % 512 AS BIGINT) AS off,
          |  CAST((cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS BIGINT) AS n_windows
          |FROM c ORDER BY doc_id""".stripMargin,
+    "token_budget" -> {
+      val cases = tokenBudgets.toSeq.sortBy(_._1)
+        .map { case (s, bgt) => s"WHEN c.source = '$s' THEN $bgt" }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, source,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |    sha256(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+         |s AS (SELECT *, (${duckHex60("hx", 1)}) % 8 AS shard FROM t),
+         |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source, shard
+         |        ORDER BY hx, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM s),
+         |o AS (SELECT source, shard, sum(n_tokens) AS tot FROM s GROUP BY source, shard),
+         |o2 AS (SELECT source, shard, coalesce(sum(tot) OVER (PARTITION BY source
+         |         ORDER BY shard ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+         |       FROM o),
+         |j AS (SELECT c.source, c.n_tokens, o2.off + c.cum - c.n_tokens AS strt,
+         |        CAST(CASE $cases ELSE 1000 END AS BIGINT) AS budget
+         |      FROM c JOIN o2 ON c.source = o2.source AND c.shard = o2.shard)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN strt < budget THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN strt < budget THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept,
+         |  min(budget) AS budget
+         |FROM j GROUP BY source ORDER BY source""".stripMargin
+    },
+    // same block decomposition as Dedup.spanDedup(n = 4): keep-first by
+    // (doc_id, block_idx) per md5(block); the window formulation here is
+    // semantically the engine's min(struct) canonical pick
+    "span_dedup" ->
+      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+         |b AS (SELECT doc_id, CAST(ceil(len(ws)/4.0) AS BIGINT) AS n_blocks, r.i AS block_idx,
+         |        array_to_string(ws[(r.i*4+1):(r.i*4+4)], ' ') AS block
+         |      FROM w, LATERAL (SELECT unnest(range(0, CAST(ceil(len(ws)/4.0) AS BIGINT))) AS i) r),
+         |k AS (SELECT doc_id, n_blocks, block_idx, block,
+         |        row_number() OVER (PARTITION BY md5(block) ORDER BY doc_id, block_idx) AS rn
+         |      FROM b)
+         |SELECT doc_id, max(n_blocks) AS n_blocks,
+         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  coalesce(string_agg(CASE WHEN rn = 1 THEN block END, ' ' ORDER BY block_idx), '') AS clean_text
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // every constant forced ::DOUBLE — a bare DuckDB decimal literal
+    // would pull the arithmetic into DECIMAL and diverge from Spark's
+    // double fold; per-term scores round at 9 dp then sum in
+    // DECIMAL(28,9) (order-independent) on both engines
+    "bm25_search" -> {
+      val terms = bm25Query.map(t => s"x = '$t'").mkString(" OR ")
+      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+         |d AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM w),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+         |e AS (SELECT doc_id, dl, unnest(list_filter(ws, x -> $terms)) AS w FROM d),
+         |tf AS (SELECT doc_id, dl, w, CAST(count(*) AS BIGINT) AS tf FROM e GROUP BY 1, 2, 3),
+         |df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+         |sc AS (SELECT tf.doc_id,
+         |         round((ln((st.n_docs - df.df + 0.5::DOUBLE) / (df.df + 0.5::DOUBLE) + 1.0::DOUBLE)
+         |           * (tf.tf * 2.2::DOUBLE)) /
+         |           (tf.tf + 1.2::DOUBLE * (0.25::DOUBLE
+         |             + (0.75::DOUBLE * tf.dl) / (st.sum_dl::DOUBLE / st.n_docs))), 9) AS s
+         |       FROM tf JOIN df USING (w) CROSS JOIN st)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+         |  round(CAST(sum(CAST(s AS DECIMAL(28,9))) AS DOUBLE), 6) AS bm25
+         |FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+    },
     "decontaminate" ->
       s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
          |sh8 AS (SELECT doc_id, unnest(list_distinct(

@@ -78,6 +78,57 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** Sub-document span dedup, C4-style (Raffel et al. 2020 §2.2 dedupe
+    * any repeated span corpus-wide, keeping one occurrence) — restated
+    * block-parallel so one pass over the corpus settles every
+    * occurrence: each document splits into consecutive NON-overlapping
+    * `n`-word blocks (trailing partial block included); a block whose
+    * text appears anywhere else in the corpus (or earlier in the same
+    * document) survives only at its globally first occurrence — minimal
+    * (doc_id, block_idx) — and every other occurrence is cut. The
+    * cleaned document is the surviving blocks re-joined in order.
+    *
+    * Non-overlapping blocks (vs the reference pipeline's sliding
+    * 3-sentence windows) make removal well-defined under parallelism:
+    * overlapping spans double-claim words, so cutting them depends on
+    * scan order — exactly what a distributed engine must not depend on.
+    *
+    * Shape at 100 TB: two shuffles. (1) canonical occurrence per block
+    * digest via `min(struct(doc_id, block_idx))` — an Aggregator-style
+    * partial min, map-side combined, so a boilerplate block repeated a
+    * billion times still ships ONE row per map task (never a window
+    * over the hot digest's occurrence list); (2) the per-doc rebuild
+    * groupBy. The digest join back is a plain equi-join the AQE skew
+    * handler can split.
+    *
+    * Returns (doc_id, n_blocks, n_kept, clean_text), clean_text = ""
+    * when every block of the doc is a repeat.
+    */
+  def spanDedup(docs: DataFrame, n: Int = 8): DataFrame = {
+    require(n >= 1, s"block size must be >= 1, got $n")
+    val blocks = Partitioning.spread(docs)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .withColumn("n_blocks", ceil(size(col("ws")).cast("double") / n).cast("long"))
+      .select(col("doc_id"), col("n_blocks"),
+        posexplode(transform(sequence(lit(0), col("n_blocks").cast("int") - 1),
+          i => concat_ws(" ", slice(col("ws"), i * n + 1, lit(n)))))
+          .as(Seq("block_idx", "block")))
+      .withColumn("bh", md5(col("block")))
+    val canon = blocks.groupBy(col("bh"))
+      .agg(min(struct(col("doc_id"), col("block_idx"))).as("first"))
+    blocks.join(canon, "bh")
+      .withColumn("keep",
+        struct(col("doc_id"), col("block_idx")) === col("first"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_blocks")).as("n_blocks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("block_idx"), col("block"))))),
+          x => x.getField("block"))).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact-duplicate summary via content digest groupBy. */
   def exactSummary(docs: DataFrame): DataFrame =
     docs.select(sha2(col("text"), 256).as("h"), col("doc_id"))

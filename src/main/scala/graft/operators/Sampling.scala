@@ -116,6 +116,76 @@ object Sampling {
       .filter(col("rank_in_stratum") <= n)
   }
 
+  /** Token-budget selection: keep documents from each source, in a
+    * replayable deterministic order, until the source's token budget is
+    * reached — the "take N billion tokens of web text, M of code" step
+    * that turns mixture WEIGHTS into hard token COUNTS (Dolma/Pile-style
+    * corpus assembly). A document is kept iff the tokens selected before
+    * it (`start`, the exclusive prefix sum) are still under budget, so
+    * the document that crosses the line is included and everything after
+    * it is cut; budget 0 drops the source.
+    *
+    * The selection order is (shard, sha256(doc_id), doc_id) — the same
+    * shared hash layout every replayable decision in this engine derives
+    * from ([[hash60]]; shard routing as in [[graft.operators.Packing]]).
+    * Order within a source deliberately has a shard-major structure:
+    * a single `Window.partitionBy(source).orderBy(hash)` would sort an
+    * entire source in ONE task, which is exactly the shape that dies at
+    * 100 TB. Instead: (1) in-shard running sums in parallel (window per
+    * (source, shard)); (2) per-(source, shard) token totals — a
+    * map-side-combined aggregate of sources × shards rows; (3) a prefix
+    * over shard totals within each source (tiny frame, broadcast back).
+    * Since shard assignment is itself a hash, the result is still an
+    * unbiased deterministic sample of the source.
+    *
+    * Returns every input doc with (n_tokens, shard, start, budget,
+    * kept) — a flagging operator, like [[mixtureSample]]: materializing
+    * `.filter(col("kept"))` is the caller's one extra line.
+    */
+  def tokenBudget(docs: DataFrame, budgets: Map[String, Long],
+      defaultBudget: Long, numShards: Int = 8): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    require((defaultBudget +: budgets.values.toSeq).forall(_ >= 0),
+      "token budgets must be >= 0")
+    val base = docs.select(col("doc_id"), col("source"),
+      size(TextAnalysis.words(col("text"))).cast("long").as("n_tokens"),
+      pmod(hash60(col("doc_id")), lit(numShards.toLong)).as("shard"),
+      sha2(col("doc_id").cast("string"), 256).as("ord"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("shard")).orderBy(col("ord"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("shard"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("source"), col("shard"))
+      .agg(sum(col("n_tokens")).as("tot"))
+      .select(col("source"), col("shard"),
+        coalesce(sum(col("tot")).over(wOff), lit(0L)).as("off"))
+    val budgetCol = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
+      case (acc, (src, bgt)) => when(col("source") === src, lit(bgt)).otherwise(acc)
+    }
+    base.withColumn("cum", sum(col("n_tokens")).over(w))
+      .join(broadcast(offsets), Seq("source", "shard"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("shard"),
+        (col("off") + col("cum") - col("n_tokens")).as("start"),
+        budgetCol.as("budget"))
+      .withColumn("kept", col("start") < col("budget"))
+  }
+
+  /** Per-source budget report: docs/tokens kept per source against the
+    * budget — `tokens_kept` overshoots `budget` by at most one
+    * document (the crossing doc is kept whole).
+    */
+  def tokenBudgetSummary(docs: DataFrame, budgets: Map[String, Long],
+      defaultBudget: Long, numShards: Int = 8): DataFrame =
+    tokenBudget(docs, budgets, defaultBudget, numShards)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("tokens_kept"),
+        min(col("budget")).as("budget"))
+      .orderBy(col("source"))
+
   /** Per-source mixture report: how many docs each source keeps under
     * the weights, with the observed rate (converges to the weight as
     * the source grows — the sanity number a pipeline owner checks).

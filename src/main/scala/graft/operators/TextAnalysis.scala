@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Text-analysis operators for training-data pipelines (north-star
   * extensions; SURVEY.md §2.9). All expressions are chosen to evaluate
@@ -189,6 +190,54 @@ object TextAnalysis {
       p("nw", 0.99, "p99_words"),
       p("nc", 0.5, "p50_chars"), p("nc", 0.9, "p90_chars"),
       p("nc", 0.99, "p99_chars"))
+  }
+
+  /** BM25 document retrieval (Robertson/Spärck Jones; the Lucene-style
+    * `ln(1 + (N − df + 0.5)/(df + 0.5))` idf, which is non-negative): the
+    * top-k documents for a bag-of-words query. This is the classic
+    * relevance score a corpus-curation pipeline uses to pull
+    * topic-matched documents out of a web crawl (and the retrieval
+    * baseline next to the engine's embedding search).
+    *
+    * Shape at 100 TB: the per-term filter applies BEFORE the explode —
+    * only query-term occurrences ever enter a shuffle, so the (doc,
+    * term) aggregate carries O(docs × |query|) rows, never the corpus
+    * token stream. df and the corpus stats (N, avgdl) are broadcast
+    * (|query| rows + 1 row); the final top-k is an `orderBy().limit()`
+    * → `TakeOrderedAndProject`, no global sort.
+    *
+    * Hash-stability: the per-(doc, term) score is rounded to 9 dp and
+    * accumulated in DECIMAL(28,9) — exact and order-independent, so the
+    * cross-term sum cannot drift between engines; ties in the final
+    * ordering break on doc_id.
+    */
+  def bm25TopDocs(docs: DataFrame, queryTerms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "query must have at least one term")
+    val terms = queryTerms.distinct
+    val base = Partitioning.spread(docs)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .withColumn("dl", size(col("ws")).cast("long"))
+    val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = base
+      .select(col("doc_id"), col("dl"),
+        explode(filter(col("ws"), w => terms.map(t => w === t).reduce(_ || _))).as("w"))
+      .groupBy(col("doc_id"), col("dl"), col("w")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val termScore =
+      log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+        (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+    tf.join(broadcast(df), "w")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_terms_hit"),
+        sum(round(termScore, 9).cast(DecimalType(28, 9))).as("acc"))
+      .select(col("doc_id"), col("n_terms_hit"),
+        round(col("acc").cast("double"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
   }
 
   /** Stopword list for the quality filter — tiny and fixed, interpolated

@@ -92,6 +92,33 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 4L)))
   }
 
+  test("spanDedup cuts repeated blocks corpus-wide, keeping the first occurrence") {
+    val d = Seq(
+      (1L, "a b c d e f g h", "s"),        // blocks [a b c d][e f g h]
+      (2L, "a b c d e f g h", "s"),        // exact dup → fully cut
+      (3L, "a b c d x y z w", "s"),        // first block dup, second unique
+      (4L, "p q r s p q r s p q", "s")     // intra-doc dup + trailing partial
+    ).toDF("doc_id", "text", "source")
+    val got = operators.Dedup.spanDedup(d, 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) == ((2L, 2L, "a b c d e f g h")), "first occurrence keeps everything")
+    assert(got(2L) == ((2L, 0L, "")), "exact duplicate loses every block")
+    assert(got(3L) == ((2L, 1L, "x y z w")), "shared prefix block cut, unique tail kept")
+    // doc 4: blocks [p q r s][p q r s][p q] — the second is an intra-doc repeat
+    assert(got(4L) == ((3L, 2L, "p q r s p q")), "intra-doc repeat cut, partial tail kept")
+  }
+
+  test("spanDedup total kept blocks equals distinct block count") {
+    val d = Seq(
+      (1L, "a b c d e f g h", "s"), (2L, "a b c d e f g h", "s"),
+      (3L, "e f g h a b c d", "s"), (4L, "q r", "s")
+    ).toDF("doc_id", "text", "source")
+    val rows = operators.Dedup.spanDedup(d, 4).collect()
+    // distinct blocks: "a b c d", "e f g h", "q r" → 3 survivors corpus-wide
+    assert(rows.map(_.getLong(2)).sum == 3L)
+    assert(rows.map(_.getLong(1)).sum == 7L)
+  }
+
   test("keepCanonical keeps lowest doc_id per group") {
     val r = Dedup.keepCanonical(docs).collect()
       .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSeq

@@ -113,6 +113,51 @@ class SamplingSpec extends AnyFunSuite {
       s"rank<=n must push a map-side group limit below the exchange:\n$plan")
   }
 
+  test("tokenBudget keeps the exact deterministic prefix; crossing doc included") {
+    val docs = corpus(200).withColumn("text",
+      concat_ws(" ", transform(sequence(lit(1), (pmod(col("doc_id"), lit(7)) + 1).cast("int")),
+        _ => lit("w"))))
+    // numShards = 1 → selection order is pure (sha256(doc_id), doc_id)
+    val out = Sampling.tokenBudget(docs, Map("src0" -> 60L), defaultBudget = 40L,
+      numShards = 1).collect()
+    assert(out.length == 200, "flagging operator must not add or drop rows")
+    val bySrc = out.groupBy(_.getAs[String]("source"))
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def hex(id: Long) = md.digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    bySrc.foreach { case (src, rows) =>
+      val budget = if (src == "src0") 60L else 40L
+      val ordered = rows.sortBy(r => (hex(r.getAs[Long]("doc_id")), r.getAs[Long]("doc_id")))
+      var cum = 0L
+      ordered.foreach { r =>
+        assert(r.getAs[Long]("start") == cum, s"$src prefix sum")
+        assert(r.getAs[Boolean]("kept") == (cum < budget), s"$src keep rule")
+        cum += r.getAs[Long]("n_tokens")
+      }
+      val keptTokens = rows.filter(_.getAs[Boolean]("kept")).map(_.getAs[Long]("n_tokens")).sum
+      assert(keptTokens >= budget, s"$src must reach the budget (crossing doc kept)")
+    }
+  }
+
+  test("tokenBudget: zero budget drops the source, huge budget keeps everything") {
+    val docs = corpus(100).withColumn("text", lit("one two three"))
+    val sum = Sampling.tokenBudgetSummary(docs,
+      Map("src0" -> 0L), defaultBudget = 1000000L).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(sum("src0")._2 == 0L && sum("src0")._3 == 0L)
+    Seq("src1", "src2", "src3").foreach { s =>
+      assert(sum(s)._1 == sum(s)._2, s"$s fully kept under a huge budget")
+    }
+  }
+
+  test("tokenBudget is replayable and shard-stable across reruns") {
+    val docs = corpus(300).withColumn("text", lit("a b c d e"))
+    def keptSet = Sampling.tokenBudget(docs, Map.empty, defaultBudget = 100L, numShards = 4)
+      .filter(col("kept")).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(keptSet == keptSet, "identical kept set on replay")
+    assert(keptSet.nonEmpty)
+  }
+
   test("mixtureSummary rate column equals n_sampled / n_docs rounded to 6") {
     val s = Sampling.mixtureSummary(corpus(1000), Map("src0" -> 0.3), 0.9)
       .collect()

@@ -94,6 +94,43 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getAs[Double]("p50_chars") == 4.0) // lengths 1,3,5,7
   }
 
+  test("bm25TopDocs matches a scalar BM25 computation and ranks by relevance") {
+    val d = Seq(
+      (1L, "fast fast fast merge other words here", "s"),
+      (2L, "fast merge", "s"),
+      (3L, "nothing relevant at all in this one", "s"),
+      (4L, "fast other filler tokens pad pad pad pad pad pad pad pad", "s")
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.bm25TopDocs(d, Seq("fast", "merge"), 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(!got.contains(3L), "doc with no query term must be absent")
+    // scalar reference: same Lucene-style idf and k1/b defaults
+    val dls = Map(1L -> 7.0, 2L -> 2.0, 3L -> 7.0, 4L -> 12.0)
+    val avgdl = dls.values.sum / 4.0
+    val dfs = Map("fast" -> 3.0, "merge" -> 2.0)
+    val tfs = Map((1L, "fast") -> 3.0, (1L, "merge") -> 1.0,
+      (2L, "fast") -> 1.0, (2L, "merge") -> 1.0, (4L, "fast") -> 1.0)
+    def score(id: Long): Double = tfs.collect { case ((d0, t), tf) if d0 == id =>
+      val idf = math.log((4.0 - dfs(t) + 0.5) / (dfs(t) + 0.5) + 1.0)
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dls(id) / avgdl))
+    }.sum
+    Seq(1L, 2L, 4L).foreach { id =>
+      assert(math.abs(got(id)._2 - score(id)) < 1e-5, s"doc $id")
+    }
+    assert(got(1L)._1 == 2L && got(4L)._1 == 1L)
+    // short doc hitting both terms outranks the long doc hitting one
+    assert(got(2L)._2 > got(4L)._2)
+  }
+
+  test("bm25TopDocs: top-k cut and empty-query guard") {
+    val many = (1 to 30).map(i => (i.toLong, "fast " + ("pad " * i).trim, "s"))
+      .toDF("doc_id", "text", "source")
+    assert(TextAnalysis.bm25TopDocs(many, Seq("fast"), 5).count() == 5L)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25TopDocs(many, Seq.empty, 5)
+    }
+  }
+
   test("minKSketch: identical texts share the sketch, edits change it") {
     val d = Seq((1L, "the quick brown fox jumps", "s"),
       (2L, "the quick brown fox jumps", "s"),
