@@ -11,6 +11,25 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/tmp/scale_probe"
+    // regenerate the 20x corpus when /tmp was wiped: each sf0.1 doc
+    // replicated 20x with a per-copy marker token appended (copies are
+    // NEAR-dups — worst case for the pair graph / component resolution),
+    // embeddings replicated 20x with the id offset (distinct ids, same
+    // geometry — worst case for bucket collisions)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/documents.parquet"))) {
+      val d0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      d0.withColumn("rep", explode(sequence(lit(0), lit(19))))
+        .select((col("doc_id") * 32 + col("rep")).as("doc_id"),
+          concat(col("text"), lit(" copymark"), col("rep")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .repartition(8).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val e0 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      e0.withColumn("rep", explode(sequence(lit(0), lit(19))))
+        .select((col("vec_id") * 32 + col("rep")).as("vec_id"),
+          col("embedding"), col("label"))
+        .repartition(8).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      println(s"generated $dir (20x sf0.1)")
+    }
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     def t(name: String)(f: => Long): Unit = {
@@ -44,6 +63,11 @@ object ScaleProbe {
     t("stratified_sample n=100 100k docs")(
       Sampling.stratifiedSample(docs, col("source"), col("doc_id"), 100).count())
     t("pack_windows 100k docs")(Packing.packWindows(docs, 512, 64).count())
+    t("bm25 100k docs")(TextAnalysis.bm25TopDocs(docs,
+      Seq("query", "fast", "merge"), 10).count())
+    t("span_dedup n=8 100k docs")(Dedup.spanDedup(docs, 8).count())
+    t("token_budget 100k docs")(Sampling.tokenBudgetSummary(docs,
+      Map("src0" -> 8000L), 10000L, numShards = 64).count())
     spark.stop()
   }
 }

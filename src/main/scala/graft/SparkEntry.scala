@@ -183,6 +183,11 @@ object SparkEntry {
     "text_stats" -> ((s, dir) => TextAnalysis.textStats(tbl(s, dir, "documents"))),
     "doc_quality" -> ((s, dir) => TextAnalysis.qualityFlags(tbl(s, dir, "documents"))),
     "token_percentiles" -> ((s, dir) => TextAnalysis.sizePercentiles(tbl(s, dir, "documents"))),
+    // quality-curriculum quartiles: broadcast percentile thresholds +
+    // narrow when-chain — never an ntile() global ranking window
+    "quality_buckets" -> ((s, dir) => TextAnalysis.curriculumSummary(tbl(s, dir, "documents"))),
+    // the per-source corpus datasheet (volume, dup share, gate rate)
+    "corpus_report" -> ((s, dir) => CorpusPipeline.corpusReport(tbl(s, dir, "documents"))),
     "pipeline_clean_corpus" -> ((s, dir) =>
       CorpusPipeline.cleanSummary(tbl(s, dir, "documents"))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(tbl(s, dir, "documents"))),
@@ -935,6 +940,41 @@ object SparkEntry {
          |  round(quantile_cont(nc, 0.9), 6) AS p90_chars,
          |  round(quantile_cont(nc, 0.99), 6) AS p99_chars
          |FROM s""".stripMargin,
+    // score = rounded stopword share minus the rounded repetition and
+    // punctuation shares, re-rounded — same left-assoc double fold as
+    // curriculumBuckets; quartile thresholds via quantile_cont (exact
+    // interpolation parity with Spark's percentile)
+    "quality_buckets" ->
+      s"""WITH $qualityCtes,
+         |sc AS (SELECT wa.doc_id,
+         |         round(round(stop_c::DOUBLE / n_words, 6) - $qTopW - ($qPunct), 6) AS score
+         |       FROM wa JOIN ca ON wa.doc_id = ca.doc_id),
+         |th AS (SELECT quantile_cont(score, 0.25) AS p25, quantile_cont(score, 0.5) AS p50,
+         |              quantile_cont(score, 0.75) AS p75 FROM sc),
+         |b AS (SELECT doc_id, score,
+         |        CASE WHEN score <= p25 THEN 1 WHEN score <= p50 THEN 2
+         |             WHEN score <= p75 THEN 3 ELSE 4 END AS bucket
+         |      FROM sc CROSS JOIN th)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |  round(min(score), 6) AS min_score, round(max(score), 6) AS max_score,
+         |  round(CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_score
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "corpus_report" ->
+      s"""WITH $qualityCtes,
+         |k AS (SELECT wa.doc_id, $qKeep AS keep
+         |      FROM wa LEFT JOIN ba ON wa.doc_id = ba.doc_id
+         |        JOIN ca ON wa.doc_id = ca.doc_id),
+         |t AS (SELECT doc_id, source,
+         |        CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS nw,
+         |        sha256(text) AS h FROM documents),
+         |c AS (SELECT h, min(doc_id) AS keep_id FROM t GROUP BY h)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(nw) AS BIGINT) AS n_tokens,
+         |  round(quantile_cont(nw, 0.5), 6) AS p50_tokens,
+         |  CAST(sum(CASE WHEN t.doc_id <> c.keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup_docs,
+         |  round(sum(CASE WHEN k.keep THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS quality_keep_rate
+         |FROM t JOIN c USING (h) JOIN k ON t.doc_id = k.doc_id
+         |GROUP BY source ORDER BY source""".stripMargin,
     "doc_quality" ->
       s"""WITH $qualityCtes
          |SELECT wa.doc_id, n_words,

@@ -71,6 +71,36 @@ object CorpusPipeline {
     Cleaned(base, afterQuality, afterExact, afterNearDup)
   }
 
+  /** The corpus datasheet: one row per source with the numbers a
+    * pipeline owner checks before touching the mixture weights — doc
+    * and token volume, exact-duplicate share, quality-gate pass rate,
+    * and the median document length (EXACT, via the same single-pass
+    * percentile digest as [[TextAnalysis.sizePercentiles]]).
+    *
+    * Shape at 100 TB: one digest groupBy for the duplicate census, the
+    * [[TextAnalysis.qualityFlags]] two-level aggregation for the gate,
+    * then everything folds into per-source partial aggregates — the
+    * joins run on doc_id (hash-balanced) and the final frame is
+    * |sources| rows.
+    */
+  def corpusReport(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"), col("text"))
+      .withColumn("nw", size(TextAnalysis.words(col("text"))).cast("long"))
+      .withColumn("h", sha2(col("text"), 256))
+    val canonical = base.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+    val flags = TextAnalysis.qualityFlags(docs).select(col("doc_id"), col("keep"))
+    base.join(canonical, "h").join(flags, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("n_tokens"),
+        round(expr("percentile(nw, 0.5D)"), 6).as("p50_tokens"),
+        sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L))
+          .as("n_exact_dup_docs"),
+        round(sum(when(col("keep"), 1L).otherwise(0L)).cast("double")
+          / count(lit(1)), 6).as("quality_keep_rate"))
+      .orderBy(col("source"))
+  }
+
   /** Per-source survival counts after each stage — the at-a-glance
     * "what did each filter cost me" table a pipeline owner reads first.
     */

@@ -165,6 +165,55 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** Quality-curriculum buckets: every document assigned to a quartile
+    * of a composed prose score (stopword share up, repetition and
+    * punctuation down — the [[qualityFlags]] signals folded into one
+    * ordering), so a training loop can schedule data from noisy to
+    * clean (curriculum) or weight buckets differently in the mixture.
+    *
+    * NOT an `ntile()` — a global ranking window collapses the corpus
+    * into one task. Instead the three quartile thresholds are computed
+    * EXACTLY in one digest-merge aggregation pass (same
+    * closest-ranks-interpolation definition as [[sizePercentiles]]),
+    * broadcast, and applied as a narrow when-chain: two passes total,
+    * no global sort, bucket boundaries bit-identical in the oracle
+    * (thresholds interpolate between round(…,6) scores both engines
+    * already agree on).
+    *
+    * Returns (doc_id, score, bucket) with bucket 1 (noisiest quartile)
+    * … 4 (cleanest); `score <= p25 → 1`, ties resolved by the shared
+    * threshold doubles.
+    */
+  def curriculumBuckets(docs: DataFrame): DataFrame = {
+    val scored = qualityFlags(docs).select(col("doc_id"),
+      round(col("stopword_frac") - col("top_word_frac") - col("punct_frac"), 6)
+        .as("score"))
+    val th = scored.agg(
+      expr("percentile(score, 0.25D)").as("p25"),
+      expr("percentile(score, 0.5D)").as("p50"),
+      expr("percentile(score, 0.75D)").as("p75"))
+    scored.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("score"),
+        when(col("score") <= col("p25"), 1)
+          .when(col("score") <= col("p50"), 2)
+          .when(col("score") <= col("p75"), 3)
+          .otherwise(4).as("bucket"))
+  }
+
+  /** Per-bucket curriculum report: counts and score ranges. The score
+    * sum accumulates in DECIMAL(18,6) (exact, order-independent) before
+    * the final double round.
+    */
+  def curriculumSummary(docs: DataFrame): DataFrame =
+    curriculumBuckets(docs)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(min(col("score")), 6).as("min_score"),
+        round(max(col("score")), 6).as("max_score"),
+        round(sum(col("score").cast(DecimalType(18, 6))).cast("double"), 6)
+          .as("sum_score"))
+      .orderBy(col("bucket"))
+
   /** Full-text digests. */
   def digests(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), sha2(col("text"), 256).as("sha256"),

@@ -31,6 +31,26 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(surviving == Set(1L, 5L))
   }
 
+  test("corpusReport: volume, dup share, gate rate and median length per source") {
+    val docs = Seq(
+      (1L, base, "src_a"),                    // clean
+      (2L, base, "src_a"),                    // exact dup of 1 (not canonical)
+      (3L, "the cat sat on a mat and it is fine here today", "src_a"),
+      (4L, "buy now buy now buy now buy now buy now buy now", "src_b"))
+      .toDF("doc_id", "text", "source")
+    val got = CorpusPipeline.corpusReport(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    val (n, tok, p50, dups, rate) = got("src_a")
+    assert(n == 3L && dups == 1L, "doc 2 counts as an exact duplicate")
+    assert(tok == docs.filter($"source" === "src_a").collect()
+      .map(_.getString(1).trim.split("\\s+").length.toLong).sum)
+    assert(p50 > 0 && rate == 1.0, "all src_a docs pass the gate")
+    assert(got("src_b")._5 == 0.0, "repetition spam fails the gate")
+    assert(got("src_b")._4 == 0L)
+  }
+
   test("cleanSummary: stages are monotonically non-increasing, sources with zero survivors kept") {
     val docs = Seq(
       (1L, "buy now buy now buy now buy now buy now buy now", "only_junk"),

@@ -131,6 +131,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("curriculumBuckets: quartiles partition the score order, no ntile window") {
+    // 20 docs, 100 words each: i stopwords, a constant 25-word top-word
+    // anchor, distinct fillers → score = i/100 − 0.25, strictly monotone
+    val d = (1 to 20).map { i =>
+      val stops = Seq.fill(i)("the")
+      val anchor = Seq.fill(25)("zz")
+      val rest = (1 to 75 - i).map(j => s"t${i}x$j")
+      (i.toLong, (stops ++ anchor ++ rest).mkString(" "), "s")
+    }.toDF("doc_id", "text", "source")
+    val rows = TextAnalysis.curriculumBuckets(d).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(rows.length == 20, "every doc gets a bucket")
+    assert(rows.map(_._3).toSet == Set(1, 2, 3, 4))
+    // bucket boundaries respect score order
+    val byBucket = rows.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    for (b <- 1 to 3)
+      assert(byBucket(b).max <= byBucket(b + 1).min,
+        s"bucket $b scores must not exceed bucket ${b + 1}")
+    // exact-percentile quartiles of 20 distinct scores → 5 docs each
+    assert(byBucket.values.map(_.length).toSeq.sorted == Seq(5, 5, 5, 5))
+    // the plan must not contain any ranking window at all — thresholds
+    // broadcast + when-chain, never an ntile()-style global sort
+    val plan = TextAnalysis.curriculumBuckets(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "bucketing must not use a ranking window")
+  }
+
   test("minKSketch: identical texts share the sketch, edits change it") {
     val d = Seq((1L, "the quick brown fox jumps", "s"),
       (2L, "the quick brown fox jumps", "s"),
