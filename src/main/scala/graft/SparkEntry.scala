@@ -122,6 +122,13 @@ object SparkEntry {
       Dedup.contaminationFlags(docs, docs.filter(col("doc_id") % 50 === 0),
         n = 8, minShared = 3)
     }),
+    // incremental ingest: every third doc arrives as the new batch and
+    // is checked against the other two thirds as shipped history
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      Dedup.incrementalFlags(docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 3 =!= 0), 0.5)
+    }),
     "mixture_sample" -> ((s, dir) =>
       operators.Sampling.mixtureSummary(tbl(s, dir, "documents"),
         mixtureWeights, defaultWeight = 0.75)),
@@ -557,6 +564,22 @@ object SparkEntry {
        |                      JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
        |          GROUP BY 1, 2)""".stripMargin
 
+  // one side of the two-set MinHash chain for dedup_incremental —
+  // identical signature/band/size formulation to `minhashCtes`, filtered
+  // to the given doc subset and suffixed so both sides coexist
+  private def minhashSideCtes(sfx: String, where: String): String =
+    s"""w$sfx AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+       |          FROM documents WHERE $where),
+       |sh$sfx AS (SELECT doc_id, unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |                                                for i in range(1, len(ws)-1)])) AS shingle
+       |           FROM w$sfx WHERE len(ws) >= 3),
+       |sig$sfx AS (SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minhash
+       |            FROM sh$sfx CROSS JOIN seeds GROUP BY doc_id, seed),
+       |banded$sfx AS (SELECT doc_id, CAST(floor(seed/4.0) AS INT) AS band,
+       |    md5(string_agg(seed || '=' || minhash, '|' ORDER BY seed || '=' || minhash)) AS band_key
+       |  FROM sig$sfx GROUP BY doc_id, CAST(floor(seed/4.0) AS INT)),
+       |sz$sfx AS (SELECT doc_id, count(*) AS n FROM sh$sfx GROUP BY doc_id)""".stripMargin
+
   // per-label element-wise mean centroids as DOUBLE[] (rounded to 6dp)
   private val centroidCte =
     """ex AS (SELECT label, generate_subscripts(embedding, 1) AS i,
@@ -828,6 +851,31 @@ object SparkEntry {
          |  coalesce(s.n_shared, 0) >= 3 AS contaminated
          |FROM documents LEFT JOIN s USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "dedup_incremental" ->
+      s"""WITH seeds AS (SELECT unnest(range(16)) AS seed),
+         |${minhashSideCtes("I", "doc_id % 3 = 0")},
+         |${minhashSideCtes("H", "doc_id % 3 <> 0")},
+         |hd AS (SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 3 <> 0),
+         |ie AS (SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 3 = 0),
+         |ex AS (SELECT DISTINCT ie.doc_id FROM ie JOIN hd USING (h)),
+         |cand AS (SELECT DISTINCT i.doc_id, h.doc_id AS hist_id
+         |         FROM bandedI i JOIN bandedH h
+         |           ON i.band = h.band AND i.band_key = h.band_key),
+         |inter AS (SELECT c.doc_id, c.hist_id, count(*) AS c
+         |          FROM cand c JOIN shI a ON a.doc_id = c.doc_id
+         |                      JOIN shH b ON b.doc_id = c.hist_id AND a.shingle = b.shingle
+         |          GROUP BY 1, 2),
+         |near AS (SELECT DISTINCT i.doc_id
+         |         FROM inter i JOIN szI x ON i.doc_id = x.doc_id
+         |                      JOIN szH y ON i.hist_id = y.doc_id
+         |         WHERE round(i.c::DOUBLE/(x.n + y.n - i.c), 6) >= 0.5)
+         |SELECT ie.doc_id,
+         |  (ex.doc_id IS NOT NULL) AS exact_dup_hist,
+         |  (near.doc_id IS NOT NULL) AS near_dup_hist,
+         |  (ex.doc_id IS NULL AND near.doc_id IS NULL) AS keep
+         |FROM ie LEFT JOIN ex ON ie.doc_id = ex.doc_id
+         |        LEFT JOIN near ON ie.doc_id = near.doc_id
+         |ORDER BY ie.doc_id""".stripMargin,
     // duplicate groups = connected components of the verified pair graph;
     // the oracle computes the transitive closure with a recursive CTE and
     // labels each vertex with the component minimum — identical semantics

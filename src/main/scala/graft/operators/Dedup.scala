@@ -438,6 +438,62 @@ object Dedup {
     verifyPairs(candidates, docSh, threshold)
   }
 
+  /** Incremental dedup: flag an incoming batch against corpus HISTORY —
+    * the shape of a daily crawl ingest, where the corpus that already
+    * shipped must never be rescanned per batch. Each incoming document
+    * gets `exact_dup_hist` (its sha256 digest exists in history),
+    * `near_dup_hist` (MinHash-LSH candidate against history verified at
+    * exact Jaccard ≥ threshold), and the composed `keep`.
+    *
+    * Deliberately history-only: batch-INTERNAL dedup is the existing
+    * operators' job ([[keepCanonical]] / [[dupGroups]]) — run them on
+    * the batch first, then this against history. One operator per
+    * concern keeps both oracle-checkable.
+    *
+    * Shape at 100 TB: history participates only through two compact
+    * derived frames — its distinct digest set (one row per unique
+    * text) and its (band, band_key, doc_id) index, both of which an
+    * ingest pipeline persists once and reuses every batch (exactly the
+    * [[graft.operators.KMeansIndex]] persist-once-probe-often layout,
+    * and `foreachBatch`-compatible the same way). The joins are
+    * digest/band-key equi-joins sized by the BATCH, never a scan of
+    * history text; only verified candidates' shingle sets are read.
+    */
+  def incrementalFlags(incoming: DataFrame, history: DataFrame,
+      threshold: Double, k: Int = 16, bands: Int = 4): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    val inc = Partitioning.spread(incoming)
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"),
+        shingleArray(col("text")).as("sh"))
+      .cache()
+    val hist = Partitioning.spread(history)
+      .select(col("doc_id").as("hist_id"), sha2(col("text"), 256).as("h"),
+        shingleArray(col("text")).as("sh"))
+      .cache()
+    val exactIds = inc.join(hist.select(col("h")).distinct(), Seq("h"), "left_semi")
+      .select(col("doc_id"))
+    def bandKeys(df: DataFrame, idCol: String) =
+      df.filter(size(col("sh")) >= 1)
+        .select(col(idCol), explode(bandKeysUdf(k, bands)(col("sh"))).as("bk"))
+        .select(col(idCol), col("bk._1").as("band"), col("bk._2").as("band_key"))
+    val cand = bandKeys(inc, "doc_id")
+      .join(bandKeys(hist, "hist_id"), Seq("band", "band_key"))
+      .select(col("doc_id"), col("hist_id")).distinct()
+    val nearIds = cand
+      .join(inc.select(col("doc_id"), col("sh").as("sha")), "doc_id")
+      .join(hist.select(col("hist_id"), col("sh").as("shb")), "hist_id")
+      .filter(round(jaccardUdf(col("sha"), col("shb")), 6) >= threshold)
+      .select(col("doc_id")).distinct()
+    inc.select(col("doc_id"))
+      .join(exactIds.withColumn("exact_dup_hist", lit(true)), Seq("doc_id"), "left")
+      .join(nearIds.withColumn("near_dup_hist", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("exact_dup_hist"), lit(false)).as("exact_dup_hist"),
+        coalesce(col("near_dup_hist"), lit(false)).as("near_dup_hist"))
+      .withColumn("keep", !col("exact_dup_hist") && !col("near_dup_hist"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash width: 62 bits — the first 62 bits of md5(word), MSB-first.
     * 62 (not 64) keeps every hash value positive in both engines: the
     * oracle's `1::BIGINT << 63` overflows DuckDB, and sign bits poison

@@ -119,6 +119,29 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum == 7L)
   }
 
+  test("incrementalFlags: batch checked against history only, both dup kinds flagged") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val history = Seq(
+      (1L, base, "s"),
+      (2L, "completely different content about database engines and joins", "s"))
+      .toDF("doc_id", "text", "source")
+    val incoming = Seq(
+      (10L, base, "s"),                                    // exact copy of history 1
+      (11L, base.replace("dog", "cat"), "s"),              // near-dup of history 1
+      (12L, "fresh unseen words nothing shared with either prior document", "s"),
+      (13L, base, "s"))                                    // exact copy AND dup of 10 within batch
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.incrementalFlags(incoming, history, 0.5).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(got(10L) == ((true, true, false)), "exact copy flags both and drops")
+    assert(got(11L)._2 && !got(11L)._1 && !got(11L)._3, "near-dup flags near only")
+    assert(got(12L) == ((false, false, true)), "fresh doc keeps")
+    // batch-internal duplication is deliberately NOT this operator's
+    // concern: 13 flags against history exactly like 10 does
+    assert(got(13L) == got(10L))
+    assert(got.size == 4, "every incoming doc appears exactly once")
+  }
+
   test("keepCanonical keeps lowest doc_id per group") {
     val r = Dedup.keepCanonical(docs).collect()
       .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSeq
