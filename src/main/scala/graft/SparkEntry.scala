@@ -215,6 +215,12 @@ object SparkEntry {
           round(sqrt(VectorOps.dotProduct(col("embedding"), col("embedding"))), 6).as("norm"),
           transform(VectorOps.l2Normalize(col("embedding")), x => round(x, 6)).as("unit"))
         .orderBy(col("vec_id"))),
+    // JL projection 64 → 8 dims (seed 7) — compression before ANN
+    "embedding_project" -> ((s, dir) =>
+      emb(s, dir).select(col("vec_id"),
+          transform(VectorOps.randomProject(col("embedding"),
+            Ann.hyperplanes(8, 64, 7L)), x => round(x, 6)).as("proj"))
+        .orderBy(col("vec_id"))),
     "embedding_quantize" -> ((s, dir) =>
       emb(s, dir)
         // distinct internal name: aliasing the output as "scale" in the
@@ -914,6 +920,17 @@ object SparkEntry {
          |  CASE WHEN nrm = 0 THEN list_transform(v, x -> round(x, 6))
          |       ELSE list_transform(v, x -> round(x / nrm, 6)) END AS unit
          |FROM n ORDER BY vec_id""".stripMargin,
+    // same seeded planes and 1/sqrt(m) scale as the query; the double
+    // literal round-trips exactly through toString on both engines
+    "embedding_project" -> {
+      val planes = operators.Ann.hyperplanes(8, 64, 7L)
+      val scale = 1.0 / math.sqrt(planes.length.toDouble)
+      val elems = planes.map(p =>
+        s"round(list_dot_product(v, ${p.mkString("[", ", ", "]")}) * $scale, 6)")
+        .mkString(",\n|  ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |SELECT vec_id, [$elems] AS proj FROM e ORDER BY vec_id""".stripMargin
+    },
     "embedding_quantize" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e),

@@ -133,6 +133,27 @@ object VectorOps {
     else Blake2b.hex(Blake2b.pyJsonFloats(e).getBytes("UTF-8"), 32)
   }
 
+  /** Johnson–Lindenstrauss random projection to `planes.length`
+    * dimensions: outputᵢ = (v · planeᵢ) / √m with seeded Gaussian
+    * planes ([[graft.operators.Ann.hyperplanes]] — the same quantized,
+    * locale-safe generator the sign-LSH buckets use, so the projection
+    * is bit-deterministic and oracle-replayable). The 1/√m scale makes
+    * squared distances unbiased estimates of the originals (the JL
+    * lemma), so downstream cosine/L2 operators run unchanged on the
+    * compressed vectors.
+    *
+    * Shape at 100 TB: a narrow per-row projection — the m·d plane
+    * matrix folds into the codegen'd [[dotProduct]] expressions as
+    * literals (no broadcast variable, no UDF); output is m doubles per
+    * row, an 8× width cut at m=8 on dim 64 before anything shuffles.
+    */
+  def randomProject(v: Column, planes: Array[Array[Double]]): Column = {
+    require(planes.nonEmpty, "need at least one projection plane")
+    val scale = 1.0 / math.sqrt(planes.length.toDouble)
+    array(planes.map(p =>
+      dotProduct(v, org.apache.spark.sql.functions.typedLit(p.toSeq)) * lit(scale)): _*)
+  }
+
   /** Per-vector absolute max (int8 quantization scale). */
   def absMax(a: Column): Column =
     aggregate(a, lit(0.0), (acc, x) => greatest(acc, abs(d(x))))

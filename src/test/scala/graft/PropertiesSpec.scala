@@ -132,4 +132,33 @@ class PropertiesSpec extends AnyFunSuite {
     db.deleteIGlyph(id)
     assert(db.currentHash != h1 && db.currentHash == h0) // back to empty membership
   }
+
+  test("property: spanDedup equals a sequential driver-side reference on random corpora") {
+    import graft.operators.Dedup
+    // small vocab forces block collisions within and across docs
+    val wordGen = Gen.oneOf("aa", "bb", "cc", "dd")
+    val corpusGen = for {
+      nDocs <- Gen.choose(1, 8)
+      texts <- Gen.listOfN(nDocs, for {
+        len <- Gen.choose(1, 13)
+        ws <- Gen.listOfN(len, wordGen)
+      } yield ws.mkString(" "))
+    } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val n = 3
+    check(Prop.forAll(corpusGen) { corpus =>
+      // reference: scan docs in id order, blocks in position order,
+      // keep a block's globally first occurrence only
+      val seen = scala.collection.mutable.HashSet[String]()
+      val expect = corpus.map { case (id, text) =>
+        val blocks = text.trim.split("\\s+").grouped(n).map(_.mkString(" ")).toSeq
+        val kept = blocks.filter(b => seen.add(b))
+        id -> ((blocks.size.toLong, kept.size.toLong, kept.mkString(" ")))
+      }.toMap
+      val got = Dedup.spanDedup(
+          corpus.toDF("doc_id", "text").withColumn("source", lit("s")), n)
+        .collect().map(r =>
+          r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      got == expect
+    })
+  }
 }

@@ -113,4 +113,38 @@ class SimilaritySpec extends AnyFunSuite {
       .collect()
     both.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
   }
+
+  test("randomProject: linear, deterministic, and JL-distance-preserving in aggregate") {
+    val dim = 64
+    val rnd = new scala.util.Random(11)
+    val vecs = (1 to 40).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val planes = graft.operators.Ann.hyperplanes(16, dim, 7L)
+    val proj = vecs.select(col("vec_id"),
+      VectorOps.randomProject(col("embedding"), planes).as("p"))
+    val rows = proj.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(rows.values.forall(_.length == 16), "m output dims")
+    // linearity: proj(2v) == 2*proj(v)
+    val doubled = vecs.select(col("vec_id"),
+      VectorOps.randomProject(transform(col("embedding"),
+        x => x * lit(2.0f)), planes).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    rows.foreach { case (id, p) =>
+      p.zip(doubled(id)).foreach { case (a, b) =>
+        assert(math.abs(2 * a - b) < 1e-6) }
+    }
+    // JL: mean squared-distance ratio over pairs near 1 (m=16 is coarse;
+    // the MEAN is what the lemma bounds, individual pairs vary)
+    def sq(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val orig = vecs.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val ratios = for {
+      i <- 1L to 40L; j <- (i + 1) to 40L
+    } yield sq(rows(i), rows(j)) / sq(orig(i), orig(j))
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.3, s"JL mean distortion off: $mean")
+  }
 }

@@ -55,6 +55,49 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(chain.length == 2 && chain(0)._2 == chain(1)._1)
   }
 
+  test("foreachBatch incremental dedup: each micro-batch checked against grown history") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    // history starts with one shipped doc; each accepted batch doc joins it
+    var history = Seq((1L, base, "s")).toDF("doc_id", "text", "source")
+    val accepted = scala.collection.mutable.ArrayBuffer[Long]()
+    val mem = MemoryStream[(Long, String, String)]
+    mem.addData(
+      (10L, base, "s"),                        // dup of shipped history → dropped
+      (11L, "fresh unseen words nothing shared with prior documents", "s"))
+    val q = mem.toDS().toDF("doc_id", "text", "source").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the SAME batch operator per micro-batch; survivors append to
+        // history so the next batch sees them (KMeansIndex-style
+        // persisted digests/bands at scale — frames here)
+        val keep = operators.Dedup.incrementalFlags(batch, history, 0.5)
+          .filter(col("keep")).select("doc_id")
+        val ids = keep.collect().map(_.getLong(0))
+        accepted.synchronized { accepted ++= ids }
+        history = history.union(
+          batch.join(keep, "doc_id").select("doc_id", "text", "source"))
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(accepted.sorted == Seq(11L), s"accepted was $accepted")
+    // a second batch replaying the accepted doc must now be caught by
+    // the GROWN history — cross-batch dedup, not just vs the seed
+    val mem2 = MemoryStream[(Long, String, String)]
+    mem2.addData((20L, "fresh unseen words nothing shared with prior documents", "s"))
+    val q2 = mem2.toDS().toDF("doc_id", "text", "source").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = operators.Dedup.incrementalFlags(batch, history, 0.5)
+          .filter(col("keep")).select("doc_id").collect().map(_.getLong(0))
+        accepted.synchronized { accepted ++= ids }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    assert(accepted.sorted == Seq(11L), "replayed content is caught by grown history")
+  }
+
   test("foreachBatch quality gate: only keep-verdict docs land in the sink") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Long, String, String)]
