@@ -197,6 +197,8 @@ object SparkEntry {
     "corpus_report" -> ((s, dir) => CorpusPipeline.corpusReport(tbl(s, dir, "documents"))),
     "pipeline_clean_corpus" -> ((s, dir) =>
       CorpusPipeline.cleanSummary(tbl(s, dir, "documents"))),
+    // n-gram novelty vs all lower-id docs (inverted min-index, no doc×doc)
+    "doc_novelty" -> ((s, dir) => TextAnalysis.noveltyScores(tbl(s, dir, "documents"))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(tbl(s, dir, "documents"))),
     "token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(tbl(s, dir, "documents"))),
     "doc_digests" -> ((s, dir) => TextAnalysis.digests(tbl(s, dir, "documents"))),
@@ -1103,6 +1105,18 @@ object SparkEntry {
          |  LEFT JOIN a2 ON a0.source = a2.source
          |  LEFT JOIN a3 ON a0.source = a3.source
          |ORDER BY a0.source""".stripMargin,
+    "doc_novelty" ->
+      s"""WITH $shingleCte,
+         |f AS (SELECT shingle, min(doc_id) AS first_id FROM sh GROUP BY shingle),
+         |p AS (SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |        CAST(sum(CASE WHEN f.first_id = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+         |      FROM sh JOIN f USING (shingle) GROUP BY sh.doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(p.n_shingles, 0) AS n_shingles,
+         |  coalesce(p.n_novel, 0) AS n_novel,
+         |  CASE WHEN coalesce(p.n_shingles, 0) = 0 THEN 0.0
+         |       ELSE round(p.n_novel::DOUBLE / p.n_shingles, 6) END AS novelty
+         |FROM documents d LEFT JOIN p USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "lang_id" -> {
       val scoreCols = TextAnalysis.langMarkers.map { case (l, m) =>
         s"CAST(len(list_filter(ws, x -> x IN (${m.map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS score_$l"

@@ -149,9 +149,15 @@ object VectorOps {
     */
   def randomProject(v: Column, planes: Array[Array[Double]]): Column = {
     require(planes.nonEmpty, "need at least one projection plane")
+    val dim = planes.head.length
     val scale = 1.0 / math.sqrt(planes.length.toDouble)
-    array(planes.map(p =>
+    val proj = array(planes.map(p =>
       dotProduct(v, org.apache.spark.sql.functions.typedLit(p.toSeq)) * lit(scale)): _*)
+    // loud dim-mismatch, like Ann.signBucket: VecDot would null out and
+    // the projection would silently collapse to an all-null array
+    when(size(v) === dim, proj).otherwise(raise_error(
+      concat(lit("randomProject: embedding dim "), size(v).cast("string"),
+        lit(s" != plane dim $dim"))))
   }
 
   /** Per-vector absolute max (int8 quantization scale). */

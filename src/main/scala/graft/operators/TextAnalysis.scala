@@ -165,6 +165,40 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** Per-document n-gram novelty: the share of a document's distinct
+    * n-word shingles that no LOWER-id document contains — the diversity
+    * signal a curation pipeline uses to prefer documents that add new
+    * content over ones that rehash what the corpus already has (and the
+    * streaming-order analogue of contamination: doc order stands in for
+    * arrival order).
+    *
+    * Shape at 100 TB: one inverted-index pass — `min(doc_id)` per
+    * shingle is map-side combinable (a boilerplate shingle in a billion
+    * docs still ships one row per map task), the join back is a plain
+    * equi-join on shingle, and the per-doc fold keys on doc_id. No
+    * doc×doc comparison anywhere (same shape as [[graft.operators.Dedup.contaminationFlags]]).
+    *
+    * Docs with fewer than n words have no shingles: novelty 0 with
+    * n_shingles 0 (nothing new, nothing to claim).
+    */
+  def noveltyScores(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = graft.operators.Dedup.shingles(docs, n)
+    val first = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("first_id"))
+    val perDoc = sh.join(first, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_id") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(coalesce(col("n_shingles"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(round(col("n_novel").cast("double") / col("n_shingles"), 6))
+          .as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Quality-curriculum buckets: every document assigned to a quartile
     * of a composed prose score (stopword share up, repetition and
     * punctuation down — the [[qualityFlags]] signals folded into one

@@ -146,5 +146,11 @@ class SimilaritySpec extends AnyFunSuite {
     } yield sq(rows(i), rows(j)) / sq(orig(i), orig(j))
     val mean = ratios.sum / ratios.size
     assert(mean > 0.7 && mean < 1.3, s"JL mean distortion off: $mean")
+    // dim mismatch fails loudly, not as an all-null projection
+    val bad = vecs.select(VectorOps.randomProject(
+      slice(col("embedding"), 1, 10), planes))
+    val e = intercept[Exception] { bad.collect() }
+    assert(e.getMessage.contains("randomProject") ||
+      e.getCause != null && e.getCause.getMessage.contains("randomProject"))
   }
 }

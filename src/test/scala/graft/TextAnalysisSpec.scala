@@ -131,6 +131,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("noveltyScores: lower-id docs claim shared shingles; short docs score 0") {
+    val d = Seq(
+      (1L, "a b c d e", "s"),        // shingles: abc bcd cde — all novel
+      (2L, "a b c d e", "s"),        // exact rehash → novelty 0
+      (3L, "c d e f g h", "s"),      // cde shared with doc 1, 3 novel of 4
+      (4L, "x y", "s")               // < 3 words → no shingles
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.noveltyScores(d, 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((3L, 3L, 1.0)))
+    assert(got(2L) == ((3L, 0L, 0.0)))
+    assert(got(3L) == ((4L, 3L, 0.75)))
+    assert(got(4L) == ((0L, 0L, 0.0)), "short doc present with zero shingles")
+  }
+
   test("curriculumBuckets: quartiles partition the score order, no ntile window") {
     // 20 docs, 100 words each: i stopwords, a constant 25-word top-word
     // anchor, distinct fillers → score = i/100 − 0.25, strictly monotone
