@@ -461,27 +461,40 @@ object Dedup {
     */
   def incrementalFlags(incoming: DataFrame, history: DataFrame,
       threshold: Double, k: Int = 16, bands: Int = 4): DataFrame = {
+    val hist = Partitioning.spread(history)
+      .select(col("doc_id").as("hist_id"), sha2(col("text"), 256).as("h"),
+        shingleArray(col("text")).as("sh"))
+      .cache()
+    incrementalCore(incoming, hist.select(col("h")).distinct(),
+      bandKeysOf(hist, "hist_id", k, bands),
+      hist.select(col("hist_id"), col("sh")), threshold, k, bands)
+  }
+
+  private def bandKeysOf(df: DataFrame, idCol: String, k: Int, bands: Int) =
+    df.filter(size(col("sh")) >= 1)
+      .select(col(idCol), explode(bandKeysUdf(k, bands)(col("sh"))).as("bk"))
+      .select(col(idCol), col("bk._1").as("band"), col("bk._2").as("band_key"))
+
+  /** The batch-vs-history check against the three index frames a
+    * persisted layout stores: distinct digests (`h`), band index
+    * (`hist_id`, `band`, `band_key`), shingle sets (`hist_id`, `sh`).
+    */
+  private def incrementalCore(incoming: DataFrame, histDigests: DataFrame,
+      histBands: DataFrame, histShingles: DataFrame,
+      threshold: Double, k: Int, bands: Int): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
     val inc = Partitioning.spread(incoming)
       .select(col("doc_id"), sha2(col("text"), 256).as("h"),
         shingleArray(col("text")).as("sh"))
       .cache()
-    val hist = Partitioning.spread(history)
-      .select(col("doc_id").as("hist_id"), sha2(col("text"), 256).as("h"),
-        shingleArray(col("text")).as("sh"))
-      .cache()
-    val exactIds = inc.join(hist.select(col("h")).distinct(), Seq("h"), "left_semi")
+    val exactIds = inc.join(histDigests, Seq("h"), "left_semi")
       .select(col("doc_id"))
-    def bandKeys(df: DataFrame, idCol: String) =
-      df.filter(size(col("sh")) >= 1)
-        .select(col(idCol), explode(bandKeysUdf(k, bands)(col("sh"))).as("bk"))
-        .select(col(idCol), col("bk._1").as("band"), col("bk._2").as("band_key"))
-    val cand = bandKeys(inc, "doc_id")
-      .join(bandKeys(hist, "hist_id"), Seq("band", "band_key"))
+    val cand = bandKeysOf(inc, "doc_id", k, bands)
+      .join(histBands, Seq("band", "band_key"))
       .select(col("doc_id"), col("hist_id")).distinct()
     val nearIds = cand
       .join(inc.select(col("doc_id"), col("sh").as("sha")), "doc_id")
-      .join(hist.select(col("hist_id"), col("sh").as("shb")), "hist_id")
+      .join(histShingles.select(col("hist_id"), col("sh").as("shb")), "hist_id")
       .filter(round(jaccardUdf(col("sha"), col("shb")), 6) >= threshold)
       .select(col("doc_id")).distinct()
     inc.select(col("doc_id"))
@@ -492,6 +505,92 @@ object Dedup {
         coalesce(col("near_dup_hist"), lit(false)).as("near_dup_hist"))
       .withColumn("keep", !col("exact_dup_hist") && !col("near_dup_hist"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Materialize the history-side dedup index: `digests/`, `bands/`,
+    * `shingles/` parquet tables under `path`. Build once, then every
+    * ingest batch runs [[incrementalFlagsPersisted]] against the layout
+    * without ever rescanning history text — the dedup analogue of
+    * [[KMeansIndex.persist]]'s build-once-search-many form. A rebuild
+    * drops committed append batches (they are re-derivable from the
+    * corpus the rebuild scanned).
+    */
+  def persistDedupIndex(history: DataFrame, path: String,
+      k: Int = 16, bands: Int = 4): Unit = {
+    val hist = Partitioning.spread(history)
+      .select(col("doc_id").as("hist_id"), sha2(col("text"), 256).as("h"),
+        shingleArray(col("text")).as("sh"))
+      .cache()
+    hist.select(col("h")).distinct()
+      .write.mode("overwrite").parquet(s"$path/digests")
+    bandKeysOf(hist, "hist_id", k, bands)
+      .write.mode("overwrite").parquet(s"$path/bands")
+    hist.select(col("hist_id"), col("sh"))
+      .write.mode("overwrite").parquet(s"$path/shingles")
+    hist.unpersist()
+    val spark = history.sparkSession
+    val root = new org.apache.hadoop.fs.Path(s"$path/batches")
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(root, true)
+    ()
+  }
+
+  /** Append an accepted batch to a [[persistDedupIndex]] layout. COMMIT
+    * PROTOCOL: the batch's three tables land in their own
+    * `batches/batch-<uuid>/` directory and become visible only once the
+    * batch-level `_COMMITTED` marker exists — ONE marker for the
+    * triple, written after all three table writes succeed, so a reader
+    * never sees a batch whose digests arrived but whose bands did not
+    * (which would flag exact dups while missing near dups from the same
+    * documents). Same atomic-publish doctrine as
+    * [[KMeansIndex.appendPersisted]]; `foreachBatch`-compatible.
+    */
+  def appendDedupIndex(batch: DataFrame, path: String,
+      k: Int = 16, bands: Int = 4): Unit = {
+    val dir = s"$path/batches/batch-${java.util.UUID.randomUUID()}"
+    val b = Partitioning.spread(batch)
+      .select(col("doc_id").as("hist_id"), sha2(col("text"), 256).as("h"),
+        shingleArray(col("text")).as("sh"))
+      .cache()
+    b.select(col("h")).distinct().write.parquet(s"$dir/digests")
+    bandKeysOf(b, "hist_id", k, bands).write.parquet(s"$dir/bands")
+    b.select(col("hist_id"), col("sh")).write.parquet(s"$dir/shingles")
+    b.unpersist()
+    val spark = batch.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(dir, "_COMMITTED")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .createNewFile(marker)
+    ()
+  }
+
+  /** The committed read view of one index table: base dir + every batch
+    * directory whose `_COMMITTED` marker exists.
+    */
+  private def readIndexTable(spark: org.apache.spark.sql.SparkSession,
+      path: String, table: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/batches")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchDirs =
+      if (fs.exists(root))
+        fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+          .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_COMMITTED")))
+          .map(p => s"$p/$table").sorted.toSeq
+      else Seq.empty[String]
+    (s"$path/$table" +: batchDirs).map(spark.read.parquet(_)).reduce(_.unionByName(_))
+  }
+
+  /** [[incrementalFlags]] against a [[persistDedupIndex]] layout —
+    * history participates only as its persisted index tables; shipped
+    * text is never rescanned, and the three joins are sized by the
+    * BATCH (digest semi-join probe, band equi-join, candidate-only
+    * shingle verification).
+    */
+  def incrementalFlagsPersisted(incoming: DataFrame, path: String,
+      threshold: Double, k: Int = 16, bands: Int = 4): DataFrame = {
+    val spark = incoming.sparkSession
+    incrementalCore(incoming,
+      readIndexTable(spark, path, "digests"),
+      readIndexTable(spark, path, "bands"),
+      readIndexTable(spark, path, "shingles"), threshold, k, bands)
   }
 
   /** SimHash width: 62 bits — the first 62 bits of md5(word), MSB-first.

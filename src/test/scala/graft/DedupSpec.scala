@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.{array_contains, col}
 import graft.operators.Dedup
 
 class DedupSpec extends AnyFunSuite {
@@ -140,6 +141,50 @@ class DedupSpec extends AnyFunSuite {
     // concern: 13 flags against history exactly like 10 does
     assert(got(13L) == got(10L))
     assert(got.size == 4, "every incoming doc appears exactly once")
+  }
+
+  test("persisted dedup index: parity, committed appends visible, uncommitted invisible") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val history = Seq((1L, base, "s"),
+      (2L, "completely different content about database engines and joins", "s"))
+      .toDF("doc_id", "text", "source")
+    val incoming = Seq(
+      (10L, base, "s"), (11L, base.replace("dog", "cat"), "s"),
+      (12L, "fresh unseen words nothing shared with either prior document", "s"))
+      .toDF("doc_id", "text", "source")
+    val path = java.nio.file.Files.createTempDirectory("dedup_idx").toString
+    Dedup.persistDedupIndex(history, path)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toSeq
+    // parity with the direct from-text path
+    assert(rows(Dedup.incrementalFlagsPersisted(incoming, path, 0.5))
+      == rows(Dedup.incrementalFlags(incoming, history, 0.5)))
+    // append the accepted survivor; its replay is now caught
+    Dedup.appendDedupIndex(
+      incoming.filter(col("doc_id") === 12L), path)
+    val replay = Seq((20L, "fresh unseen words nothing shared with either prior document", "s"))
+      .toDF("doc_id", "text", "source")
+    assert(rows(Dedup.incrementalFlagsPersisted(replay, path, 0.5))
+      == Seq((20L, true, true, false)), "appended batch participates in history")
+    // an uncommitted batch (tables written, no _COMMITTED marker) is
+    // invisible: write one by hand and strip the marker
+    Dedup.appendDedupIndex(
+      Seq((99L, "torn batch content that must stay invisible to readers", "s"))
+        .toDF("doc_id", "text", "source"), path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    // strip the marker from the torn-content batch
+    val tornDir = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/batches"))
+      .map(_.getPath)
+      .find { p =>
+        val d = spark.read.parquet(s"$p/shingles")
+        d.filter(array_contains(col("sh"), "torn batch content")).count() > 0
+      }.get
+    fs.delete(new org.apache.hadoop.fs.Path(tornDir, "_COMMITTED"), false)
+    val probe = Seq((30L, "torn batch content that must stay invisible to readers", "s"))
+      .toDF("doc_id", "text", "source")
+    assert(rows(Dedup.incrementalFlagsPersisted(probe, path, 0.5))
+      == Seq((30L, false, false, true)), "uncommitted batch must be invisible")
   }
 
   test("keepCanonical keeps lowest doc_id per group") {
