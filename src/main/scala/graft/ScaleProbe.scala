@@ -68,6 +68,15 @@ object ScaleProbe {
     t("span_dedup n=8 100k docs")(Dedup.spanDedup(docs, 8).count())
     t("token_budget 100k docs")(Sampling.tokenBudgetSummary(docs,
       Map("src0" -> 8000L), 10000L, numShards = 64).count())
+    t("novelty 100k docs")(TextAnalysis.noveltyScores(docs).count())
+    t("quality_buckets 100k docs")(TextAnalysis.curriculumSummary(docs).count())
+    t("corpus_report 100k docs")(CorpusPipeline.corpusReport(docs).count())
+    t("incremental 5k batch vs 95k history")(Dedup.incrementalFlags(
+      docs.filter(col("doc_id") % 20 === 0), docs.filter(col("doc_id") % 20 =!= 0),
+      0.5).filter(col("keep")).count())
+    t("jl_project 40k vecs")(emb.select(
+      graft.functions.VectorOps.randomProject(col("embedding"),
+        Ann.hyperplanes(8, 64, 7L))).count())
     spark.stop()
   }
 }
