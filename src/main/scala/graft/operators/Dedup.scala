@@ -114,6 +114,11 @@ object Dedup {
           i => concat_ws(" ", slice(col("ws"), i * n + 1, lit(n)))))
           .as(Seq("block_idx", "block")))
       .withColumn("bh", md5(col("block")))
+      // feeds the canonical-pick aggregate AND the keep join — no
+      // cross-branch exchange reuse, so uncached the explode + md5 pass
+      // over the corpus runs twice; MEMORY_AND_DISK spills when the
+      // block table outgrows memory (same rationale as tfidf's tf cache)
+      .cache()
     val canon = blocks.groupBy(col("bh"))
       .agg(min(struct(col("doc_id"), col("block_idx"))).as("first"))
     blocks.join(canon, "bh")
