@@ -147,10 +147,14 @@ object Sampling {
     require(numShards > 0, "numShards must be positive")
     require((defaultBudget +: budgets.values.toSeq).forall(_ >= 0),
       "token budgets must be >= 0")
+    // base feeds the running-sum window AND the per-shard totals — two
+    // plan branches, no cross-branch reuse; cached so the tokenize+hash
+    // pass over the corpus runs once (5 narrow columns per doc)
     val base = docs.select(col("doc_id"), col("source"),
       size(TextAnalysis.words(col("text"))).cast("long").as("n_tokens"),
       pmod(hash60(col("doc_id")), lit(numShards.toLong)).as("shard"),
       sha2(col("doc_id").cast("string"), 256).as("ord"))
+      .cache()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"), col("shard")).orderBy(col("ord"), col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)

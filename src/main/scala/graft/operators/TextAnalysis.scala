@@ -182,7 +182,9 @@ object TextAnalysis {
     * n_shingles 0 (nothing new, nothing to claim).
     */
   def noveltyScores(docs: DataFrame, n: Int = 3): DataFrame = {
-    val sh = graft.operators.Dedup.shingles(docs, n)
+    // sh feeds the first-seen aggregate AND the scoring join — cached so
+    // the shingle UDF pass over the corpus runs once (tfidf doctrine)
+    val sh = graft.operators.Dedup.shingles(docs, n).cache()
     val first = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("first_id"))
     val perDoc = sh.join(first, "shingle")
       .groupBy(col("doc_id"))
