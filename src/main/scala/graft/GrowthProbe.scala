@@ -1,0 +1,50 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Growth-ratio probe: times the headline sub-quadratic operator paths
+  * at n and 2n documents and prints t(2n)/t(n) — the direct measurement
+  * behind the "would this survive a 100× scale-up" question (a
+  * sub-quadratic path should stay well under ~3× when data doubles;
+  * quadratic collapse shows up as ≥4×). Uses the [[ScaleProbe]] corpus
+  * (regenerating it if needed); each timing is the best of two runs to
+  * damp sandbox noise. Not part of the driver contract.
+  */
+object GrowthProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/tmp/scale_probe"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/documents.parquet"))) {
+      println("probe corpus missing — run graft.ScaleProbe first"); sys.exit(1)
+    }
+    val full = spark.read.parquet(s"$dir/documents.parquet")       // 100k docs
+    val half = full.filter(col("doc_id") % 2 === 0)                // 50k docs
+    def bestOf2(f: => Long): Double = {
+      def once = { val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
+      math.min(once, once)
+    }
+    def probe(name: String)(f: org.apache.spark.sql.DataFrame => Long): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      val tH = bestOf2(f(half))
+      spark.sharedState.cacheManager.clearCache()
+      val tF = bestOf2(f(full))
+      val r = tF / tH
+      println(f"$tH%7.2f  $tF%7.2f  ratio=$r%5.2f  ${if (r > 3.0) "SLOW " else "ok   "}$name")
+    }
+    println("   t(n)   t(2n)  (n=50k docs, 2n=100k; best of 2, cold cache)")
+    probe("minhash_lsh")(d => Dedup.minhashLshPairs(d, 0.5).count())
+    probe("simhash_pairs")(d => Dedup.simhashPairs(d, 3).count())
+    probe("ngram_jaccard prefix-exact")(d => Dedup.ngramJaccardPairs(d, 0.9).count())
+    probe("span_dedup")(d => Dedup.spanDedup(d, 8).count())
+    probe("novelty")(d => TextAnalysis.noveltyScores(d).count())
+    probe("quality_flags")(d => TextAnalysis.qualityFlags(d).count())
+    probe("pack_windows")(d => Packing.packWindows(d, 512, 64).count())
+    probe("token_budget")(d => Sampling.tokenBudgetSummary(d,
+      Map("src0" -> 8000L), 10000L, numShards = 64).count())
+    spark.stop()
+  }
+}
