@@ -24,13 +24,17 @@ object GrowthProbe {
     val full = spark.read.parquet(s"$dir/documents.parquet")       // 100k docs
     val half = full.filter(col("doc_id") % 2 === 0)                // 50k docs
     def bestOf2(f: => Long): Double = {
-      def once = { val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
+      // clear BEFORE EVERY run: operators register internal caches and a
+      // second identical plan would read the first run's InMemoryRelation
+      // — min(cold, warm) would silently time the warm path
+      def once = {
+        spark.sharedState.cacheManager.clearCache()
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
       math.min(once, once)
     }
     def probe(name: String)(f: org.apache.spark.sql.DataFrame => Long): Unit = {
-      spark.sharedState.cacheManager.clearCache()
       val tH = bestOf2(f(half))
-      spark.sharedState.cacheManager.clearCache()
       val tF = bestOf2(f(full))
       val r = tF / tH
       println(f"$tH%7.2f  $tF%7.2f  ratio=$r%5.2f  ${if (r > 3.0) "SLOW " else "ok   "}$name")

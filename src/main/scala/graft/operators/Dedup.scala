@@ -432,9 +432,7 @@ object Dedup {
       .select(col("doc_id"), shingleArray(col("text")).as("sh"))
       .filter(size(col("sh")) >= 1)
       .cache()
-    val banded = docSh
-      .select(col("doc_id"), explode(bandKeysUdf(k, bands)(col("sh"))).as("bk"))
-      .select(col("doc_id"), col("bk._1").as("band"), col("bk._2").as("band_key"))
+    val banded = bandKeysOf(docSh, "doc_id", k, bands)
     val candidates = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -463,17 +461,30 @@ object Dedup {
     * and `foreachBatch`-compatible the same way). The joins are
     * digest/band-key equi-joins sized by the BATCH, never a scan of
     * history text; only verified candidates' shingle sets are read.
+    *
+    * Cache lifecycle: this from-text form caches the history projection
+    * per CALL (Spark LRU-evicts under pressure) — right for one-shot
+    * jobs. A long-running ingest loop should build the index once
+    * ([[persistDedupIndex]]) and call [[incrementalFlagsPersisted]] per
+    * batch, which holds no history cache at all.
     */
   def incrementalFlags(incoming: DataFrame, history: DataFrame,
       threshold: Double, k: Int = 16, bands: Int = 4): DataFrame = {
-    val hist = Partitioning.spread(history)
-      .select(col("doc_id").as("hist_id"), sha2(col("text"), 256).as("h"),
-        shingleArray(col("text")).as("sh"))
-      .cache()
+    val hist = histProjection(history).cache()
     incrementalCore(incoming, hist.select(col("h")).distinct(),
       bandKeysOf(hist, "hist_id", k, bands),
       hist.select(col("hist_id"), col("sh")), threshold, k, bands)
   }
+
+  /** The (hist_id, digest, shingle-set) projection every history-side
+    * consumer derives from — ONE definition so the from-text path, the
+    * persisted layout and its appends can never disagree on the digest
+    * or shingle scheme.
+    */
+  private def histProjection(df: DataFrame): DataFrame =
+    Partitioning.spread(df)
+      .select(col("doc_id").as("hist_id"), sha2(col("text"), 256).as("h"),
+        shingleArray(col("text")).as("sh"))
 
   private def bandKeysOf(df: DataFrame, idCol: String, k: Int, bands: Int) =
     df.filter(size(col("sh")) >= 1)
@@ -513,19 +524,22 @@ object Dedup {
   }
 
   /** Materialize the history-side dedup index: `digests/`, `bands/`,
-    * `shingles/` parquet tables under `path`. Build once, then every
+    * `shingles/` parquet tables plus a `manifest.json` recording the
+    * (k, bands) band layout under `path`. Build once, then every
     * ingest batch runs [[incrementalFlagsPersisted]] against the layout
     * without ever rescanning history text — the dedup analogue of
     * [[KMeansIndex.persist]]'s build-once-search-many form. A rebuild
     * drops committed append batches (they are re-derivable from the
     * corpus the rebuild scanned).
+    *
+    * Like [[KMeansIndex.persist]], a REBUILD is not atomic (three
+    * overwrites + the batches drop): a reader overlapping a rebuild can
+    * see new digests next to old bands. Quiesce readers across
+    * rebuilds — appends are the concurrent-safe path.
     */
   def persistDedupIndex(history: DataFrame, path: String,
       k: Int = 16, bands: Int = 4): Unit = {
-    val hist = Partitioning.spread(history)
-      .select(col("doc_id").as("hist_id"), sha2(col("text"), 256).as("h"),
-        shingleArray(col("text")).as("sh"))
-      .cache()
+    val hist = histProjection(history).cache()
     hist.select(col("h")).distinct()
       .write.mode("overwrite").parquet(s"$path/digests")
     bandKeysOf(hist, "hist_id", k, bands)
@@ -533,10 +547,39 @@ object Dedup {
     hist.select(col("hist_id"), col("sh"))
       .write.mode("overwrite").parquet(s"$path/shingles")
     hist.unpersist()
-    val spark = history.sparkSession
+    val conf = history.sparkSession.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(s"$path/batches")
-    root.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(root, true)
-    ()
+    root.getFileSystem(conf).delete(root, true)
+    writeManifest(conf, path, k, bands)
+  }
+
+  /** The band layout is part of the LAYOUT, not a per-call knob: a
+    * probe computed with different (k, bands) than the stored index
+    * would band-match nothing and silently report zero near-dups, so
+    * the manifest is written at build time and every append/read
+    * derives its parameters from it.
+    */
+  private def writeManifest(conf: org.apache.hadoop.conf.Configuration,
+      path: String, k: Int, bands: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, "manifest.json")
+    val out = p.getFileSystem(conf).create(p, true)
+    try out.write(s"""{"k": $k, "bands": $bands}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readManifest(conf: org.apache.hadoop.conf.Configuration,
+      path: String): (Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(path, "manifest.json")
+    val fs = p.getFileSystem(conf)
+    require(fs.exists(p), s"no dedup-index manifest at $p — not a persistDedupIndex layout")
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    def field(name: String): Int = {
+      val m = s""""$name"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(text)
+      require(m.isDefined, s"manifest at $p missing field $name: $text")
+      m.get.group(1).toInt
+    }
+    (field("k"), field("bands"))
   }
 
   /** Append an accepted batch to a [[persistDedupIndex]] layout. COMMIT
@@ -547,23 +590,21 @@ object Dedup {
     * never sees a batch whose digests arrived but whose bands did not
     * (which would flag exact dups while missing near dups from the same
     * documents). Same atomic-publish doctrine as
-    * [[KMeansIndex.appendPersisted]]; `foreachBatch`-compatible.
+    * [[KMeansIndex.appendPersisted]]; `foreachBatch`-compatible. The
+    * band layout comes from the layout's manifest — an append can never
+    * write bands inconsistent with the base index.
     */
-  def appendDedupIndex(batch: DataFrame, path: String,
-      k: Int = 16, bands: Int = 4): Unit = {
+  def appendDedupIndex(batch: DataFrame, path: String): Unit = {
+    val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+    val (k, bands) = readManifest(conf, path)
     val dir = s"$path/batches/batch-${java.util.UUID.randomUUID()}"
-    val b = Partitioning.spread(batch)
-      .select(col("doc_id").as("hist_id"), sha2(col("text"), 256).as("h"),
-        shingleArray(col("text")).as("sh"))
-      .cache()
+    val b = histProjection(batch).cache()
     b.select(col("h")).distinct().write.parquet(s"$dir/digests")
     bandKeysOf(b, "hist_id", k, bands).write.parquet(s"$dir/bands")
     b.select(col("hist_id"), col("sh")).write.parquet(s"$dir/shingles")
     b.unpersist()
-    val spark = batch.sparkSession
     val marker = new org.apache.hadoop.fs.Path(dir, "_COMMITTED")
-    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .createNewFile(marker)
+    marker.getFileSystem(conf).createNewFile(marker)
     ()
   }
 
@@ -587,11 +628,20 @@ object Dedup {
     * history participates only as its persisted index tables; shipped
     * text is never rescanned, and the three joins are sized by the
     * BATCH (digest semi-join probe, band equi-join, candidate-only
-    * shingle verification).
+    * shingle verification). The incoming side's band keys are computed
+    * with the (k, bands) recorded in the layout's manifest — a layout
+    * probed with the wrong parameters would band-match nothing and
+    * silently miss every near-dup.
+    *
+    * This is the variant a long-running `foreachBatch` loop should use:
+    * [[incrementalFlags]] caches the full history projection per call
+    * (fine for one-shot jobs, monotonic cache growth across micro-
+    * batches), while this path holds only the per-batch frame.
     */
   def incrementalFlagsPersisted(incoming: DataFrame, path: String,
-      threshold: Double, k: Int = 16, bands: Int = 4): DataFrame = {
+      threshold: Double): DataFrame = {
     val spark = incoming.sparkSession
+    val (k, bands) = readManifest(spark.sparkContext.hadoopConfiguration, path)
     incrementalCore(incoming,
       readIndexTable(spark, path, "digests"),
       readIndexTable(spark, path, "bands"),

@@ -306,13 +306,18 @@ object TextAnalysis {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "query must have at least one term")
     val terms = queryTerms.distinct
+    // base feeds BOTH the corpus-stats aggregate and the tf branch —
+    // cached so the corpus tokenizes once, and cached NARROW: the term
+    // filter applies before the cache, so the footprint is (doc_id, dl,
+    // matched terms), never the full token stream
     val base = Partitioning.spread(docs)
       .select(col("doc_id"), words(col("text")).as("ws"))
-      .withColumn("dl", size(col("ws")).cast("long"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
+        filter(col("ws"), w => terms.map(t => w === t).reduce(_ || _)).as("qs"))
+      .cache()
     val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val tf = base
-      .select(col("doc_id"), col("dl"),
-        explode(filter(col("ws"), w => terms.map(t => w === t).reduce(_ || _))).as("w"))
+      .select(col("doc_id"), col("dl"), explode(col("qs")).as("w"))
       .groupBy(col("doc_id"), col("dl"), col("w")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val avgdl = col("sum_dl").cast("double") / col("n_docs")

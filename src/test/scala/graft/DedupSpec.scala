@@ -185,6 +185,13 @@ class DedupSpec extends AnyFunSuite {
       .toDF("doc_id", "text", "source")
     assert(rows(Dedup.incrementalFlagsPersisted(probe, path, 0.5))
       == Seq((30L, false, false, true)), "uncommitted batch must be invisible")
+    // a directory without a manifest is not a layout — loud error, not
+    // a silent zero-near-dup probe
+    val bare = java.nio.file.Files.createTempDirectory("not_an_index").toString
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalFlagsPersisted(probe, bare, 0.5)
+    }
+    assert(e.getMessage.contains("manifest"))
   }
 
   test("keepCanonical keeps lowest doc_id per group") {
