@@ -212,17 +212,24 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, dir) => Ann.ivfTopK(emb(s, dir), "cosine", 10, 2)),
     "ann_lsh_pairs" -> ((s, dir) => Ann.lshCosinePairs(emb(s, dir), 0.4)),
     // north-star: int8 embedding compression with error accounting
+    // exploded (vec_id, pos, ux) shape: the driver's pandas comparator
+    // sorts rows by value and cannot hash array cells, so the unit vector
+    // is emitted one scalar per dimension (doubles round-trip the harness
+    // bit-exactly — proven by embedding_quantize since r4)
     "embedding_normalize" -> ((s, dir) =>
       emb(s, dir).select(col("vec_id"),
           round(sqrt(VectorOps.dotProduct(col("embedding"), col("embedding"))), 6).as("norm"),
-          transform(VectorOps.l2Normalize(col("embedding")), x => round(x, 6)).as("unit"))
-        .orderBy(col("vec_id"))),
-    // JL projection 64 → 8 dims (seed 7) — compression before ANN
+          posexplode(transform(VectorOps.l2Normalize(col("embedding")), x => round(x, 6))))
+        .toDF("vec_id", "norm", "pos", "ux")
+        .orderBy(col("vec_id"), col("pos"))),
+    // JL projection 64 → 8 dims (seed 7) — compression before ANN;
+    // exploded to scalar rows for the same harness-hashability reason
     "embedding_project" -> ((s, dir) =>
       emb(s, dir).select(col("vec_id"),
-          transform(VectorOps.randomProject(col("embedding"),
-            Ann.hyperplanes(8, 64, 7L)), x => round(x, 6)).as("proj"))
-        .orderBy(col("vec_id"))),
+          posexplode(transform(VectorOps.randomProject(col("embedding"),
+            Ann.hyperplanes(8, 64, 7L)), x => round(x, 6))))
+        .toDF("vec_id", "pos", "px")
+        .orderBy(col("vec_id"), col("pos"))),
     "embedding_quantize" -> ((s, dir) =>
       emb(s, dir)
         // distinct internal name: aliasing the output as "scale" in the
@@ -915,13 +922,18 @@ object SparkEntry {
            |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
            |FROM cand WHERE bit_count(xor(ha, hb)) <= 3 ORDER BY doc_a, doc_b""".stripMargin
     },
+    // parallel unnests zip in DuckDB, giving one (pos, element) row per
+    // dimension — the scalar shape the driver's comparator can hash
     "embedding_normalize" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
-         |SELECT vec_id, round(nrm, 6) AS norm,
-         |  CASE WHEN nrm = 0 THEN list_transform(v, x -> round(x, 6))
-         |       ELSE list_transform(v, x -> round(x / nrm, 6)) END AS unit
-         |FROM n ORDER BY vec_id""".stripMargin,
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |x AS (SELECT vec_id, round(nrm, 6) AS norm,
+         |        unnest(generate_series(0, len(v) - 1)) AS pos,
+         |        unnest(CASE WHEN nrm = 0 THEN list_transform(v, x -> round(x, 6))
+         |               ELSE list_transform(v, x -> round(x / nrm, 6)) END) AS ux
+         |      FROM n)
+         |SELECT vec_id, norm, CAST(pos AS INT) AS pos, ux
+         |FROM x ORDER BY vec_id, pos""".stripMargin,
     // same seeded planes and 1/sqrt(m) scale as the query; the double
     // literal round-trips exactly through toString on both engines
     "embedding_project" -> {
@@ -930,8 +942,11 @@ object SparkEntry {
       val elems = planes.map(p =>
         s"round(list_dot_product(v, ${p.mkString("[", ", ", "]")}) * $scale, 6)")
         .mkString(",\n|  ")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-         |SELECT vec_id, [$elems] AS proj FROM e ORDER BY vec_id""".stripMargin
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |p AS (SELECT vec_id, [$elems] AS proj FROM e),
+         |x AS (SELECT vec_id, unnest(generate_series(0, len(proj) - 1)) AS pos,
+         |        unnest(proj) AS px FROM p)
+         |SELECT vec_id, CAST(pos AS INT) AS pos, px FROM x ORDER BY vec_id, pos""".stripMargin
     },
     "embedding_quantize" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
