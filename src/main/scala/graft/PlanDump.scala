@@ -19,6 +19,7 @@ object PlanDump {
       "dedup_embedding_pairs" -> "Exact top-N pairs: grid-partitioned all-pairs — each side explodes to its upper-triangular block tasks and an EQUI-join on the task key forms bounded local products. Must show a shuffle/sort-merge join on (bi, bj), NOT a BroadcastNestedLoopJoin; TakeOrderedAndProject caps the final shuffle at topN rows per partition.",
       "dedup_ngram_jaccard" -> "Prefix-filtered exact Jaccard (AllPairs): each doc indexes only the first |A|-ceil(t*|A|)+1 shingles of its rarest-first (df asc) ordering — lossless for the threshold join — then a size-ratio prune and exact verification over full sets. Boilerplate shingles sort last and never enter a prefix, so no df-squared candidate blowup.",
       "ann_kmeans_ivf" -> "KMeans IVF: probe list (tiny, broadcast) prunes the fine scan; cell assignment is the codegen'd argmin-of-dot-distances expression, not an MLlib model broadcast.",
+      "ann_ivf_persisted" -> "Persisted IVF layout: every union branch (base cells + committed append batches) must show STATIC pruning at the file index — PartitionFilters: [cell IN (...)] with the probed cells as literals — so a search reads nProbe/k of the layout's files; no join, no DPP dependence.",
       "doc_quality" -> "Quality flags: word and bigram counting are explode -> two-level aggregation with map-side partial combine on (doc_id, term); shuffle keys carry doc_id, so skew is bounded by document length, not corpus size.",
       "pipeline_clean_corpus" -> "Cleaning pipeline: each stage consumes the previous stage's (cached) survivors — quality gate, digest-canonical keep, banded MinHash candidates + exact verify; the four per-source counts aggregate partially before single exchanges on the tiny source key.",
       "ann_batch_topk" -> "Batched ANN: per-query probe ranking over broadcast centroids, ONE equi-join on cell for the whole batch, bounded TopKAgg partial aggregation per query — the shuffle carries at most k rows per partition per query, never a full scored candidate list.",
@@ -35,8 +36,11 @@ object PlanDump {
     sb.append("to hold; regenerate after planner-affecting changes.\n")
     for ((name, note) <- picks) {
       sb.append(s"\n## $name\n\n$note\n\n```\n")
+      // the persisted layout is a union — keep enough of the plan to show
+      // BOTH branches' static PartitionFilters
+      val cap = if (name == "ann_ivf_persisted") 5200 else 2600
       val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
-      sb.append(plan.take(2600)).append(if (plan.length > 2600) "\n… (truncated)\n" else "\n")
+      sb.append(plan.take(cap)).append(if (plan.length > cap) "\n… (truncated)\n" else "\n")
       sb.append("```\n")
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), sb.toString)

@@ -263,6 +263,24 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
       operators.KMeansIndex.searchMany(idx, queries, topK = 5, nProbe = 3)
     }),
+    // the persisted "build once, search many" path end-to-end: train on a
+    // deterministic 80% split, persist the cell-partitioned layout,
+    // append the held-out 20% through the _SUCCESS-gated batch protocol
+    // (same centroids, read back from the layout), then probe-search the
+    // committed view. The oracle replays assignment+probe+scan from
+    // <layout>/centroids over ALL embeddings — base and appended rows go
+    // through the identical argmin, so a mis-assigned append batch or a
+    // batch invisible to committedDirs breaks the hash
+    "ann_ivf_persisted" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = operators.KMeansIndex.build(e.filter(col("vec_id") % 5 =!= 4), k = 8)
+      val path = operators.KMeansIndex.persistDumpPath
+      operators.KMeansIndex.persist(idx, path)
+      operators.KMeansIndex.appendPersisted(s, path, e.filter(col("vec_id") % 5 === 4))
+      val query = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      operators.KMeansIndex.searchPersisted(s, path, query, topK = 10, nProbe = 3)
+    }),
     // §2.9 relational: multi-join, window, semi/anti, json, audit hash
     "q3_shipping_priority" -> ((s, dir) => {
       val cust = tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
@@ -1251,6 +1269,30 @@ object SparkEntry {
          |      FROM s)
          |SELECT query_id, vec_id, score, CAST(rank AS INT) AS rank
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+    // replay of the PERSISTED layout search from the centroids the query
+    // wrote into the layout itself: every embedding (base + appended
+    // batch alike) is assigned by the same dot-form argmin, so the
+    // oracle checks both the append-time assignment and the committed
+    // read view in one hash
+    "ann_ivf_persisted" -> {
+      val path = operators.KMeansIndex.persistDumpPath
+      s"""WITH c AS (SELECT cell, centroid FROM '$path/centroids/*.parquet'),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+         |pr AS (SELECT cell FROM c CROSS JOIN q
+         |       ORDER BY ${cosSql("c.centroid", "q.qe")} DESC, cell LIMIT 3),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |d AS (SELECT e.vec_id, e.v, c.cell,
+         |        list_dot_product(e.v, e.v) + list_dot_product(c.centroid, c.centroid)
+         |          - 2.0 * list_dot_product(e.v, c.centroid) AS dist
+         |      FROM e CROSS JOIN c),
+         |a AS (SELECT vec_id, v, cell FROM
+         |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |         FROM d)
+         |      WHERE rn = 1)
+         |SELECT a.vec_id, CAST(a.cell AS INT) AS cell, round(${cosSql("a.v", "q.qe")}, 6) AS score
+         |FROM a JOIN pr ON a.cell = pr.cell CROSS JOIN q
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
     },
     "ann_lsh_pairs" -> {
       // the SAME seeded Gaussian planes as Ann.lshCosinePairs, quantized

@@ -34,6 +34,17 @@ object KMeansIndex {
     sys.props.getOrElse("graft.kmeans.centroid.dump",
       "/tmp/graft_oracle_kmeans_centroids")
 
+  /** Where the ann_ivf_persisted contract query materializes the full
+    * persisted layout (cells + centroids + append batches). The oracle
+    * replays probe+scan from `<path>/centroids`, so the layout the
+    * "build once, search many" user actually queries sits under the
+    * same hash gate as the in-memory index. Overridable for the same
+    * reason as [[centroidDumpPath]].
+    */
+  val persistDumpPath: String =
+    sys.props.getOrElse("graft.kmeans.persist.dump",
+      "/tmp/graft_oracle_ivf_layout")
+
   /** Deterministic Voronoi cell id: argmin over `centers` of
     * ‖v−c‖² = v·v + c·c − 2·v·c, ties to the lowest cell. The dot form
     * (rather than a (v−c)² fold) means every term is a plain
