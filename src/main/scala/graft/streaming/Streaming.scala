@@ -46,6 +46,24 @@ object Streaming {
         date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         col("n_events"), col("sum_value"))
 
+  /** Watermarked ingest dedup — drops replayed records by `event_id`,
+    * keeping dedup state only within the watermark horizon (the
+    * at-least-once → exactly-once repair step in front of any streaming
+    * sink; unbounded-state `dropDuplicates` would never evict). Spark
+    * forbids the within-watermark node on batch inputs
+    * (UnsupportedOperationChecker), so the batch branch is the
+    * unbounded-horizon `dropDuplicates` — identical output whenever
+    * replays arrive inside the watermark horizon, which is the delivery
+    * failure mode this operator exists for; StreamingSpec pins the
+    * stream result equal to the batch result on a replayed fixture, and
+    * the stream_dedup_ingest contract query hash-checks the batch form.
+    */
+  def dedupIngest(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(Seq("event_id"))
+    else events.dropDuplicates(Seq("event_id"))
+
   /** Stream-stream inner join: each error event matched to the click
     * events from the same user within the preceding `windowSeconds`.
     * This is the streaming form of the batch as-of candidate set

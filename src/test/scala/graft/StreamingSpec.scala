@@ -72,6 +72,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("dedup_out").count() == 2)
   }
 
+  test("dedupIngest: streaming result equals batch result on replayed input") {
+    implicit val sc = spark.sqlContext
+    val replayed = fixture ++ Seq(
+      fixture(0), fixture(0),          // event 1 delivered three times
+      fixture(3))                      // event 4 delivered twice
+    val mem = MemoryStream[Event]
+    mem.addData(replayed: _*)
+    val q = Streaming.dedupIngest(mem.toDF()).writeStream
+      .format("memory").queryName("ingest_dedup_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ingest_dedup_out")
+      .orderBy("event_id").collect().map(_.toSeq)
+    // batch run of the SAME plan (watermark eliminated): one row per id
+    val batch = Streaming.dedupIngest(replayed.toDF())
+      .orderBy("event_id").collect().map(_.toSeq)
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.length == fixture.length)
+  }
+
   test("clickErrorJoin: stream-stream interval join matches batch result") {
     implicit val sc = spark.sqlContext
     val evts = Seq(
