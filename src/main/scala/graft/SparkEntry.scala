@@ -381,6 +381,20 @@ object SparkEntry {
     // streaming operator exercised on batch input (same plan modulo the
     // watermark node, which EliminateEventTimeWatermark drops in batch):
     // errors joined to same-user clicks in the preceding 10 minutes
+    // watermarked ingest dedup on batch input: a deterministic replayed
+    // slice (exact copies — the at-least-once delivery failure mode) is
+    // unioned in, then dropped by dedupIngest's batch branch (stream
+    // parity pinned in StreamingSpec on the same replayed shape);
+    // aggregated per type so the contract row set is tiny
+    "stream_dedup_ingest" -> ((s, dir) => {
+      val e = events(s, dir)
+      val replayed = e.unionByName(e.filter(col("event_id") % 97 === 0))
+      streaming.Streaming.dedupIngest(replayed)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
     "stream_click_error" -> ((s, dir) =>
       streaming.Streaming.clickErrorJoin(events(s, dir), 600)
         .select(col("user_id"), col("error_id"),
@@ -467,6 +481,12 @@ object SparkEntry {
     // multimodal plumbing: binary payloads + metadata/decode-stub/chunking
     "multimodal_meta" -> ((s, dir) =>
       operators.Multimodal.metaSql(operators.Multimodal.fromDocuments(tbl(s, dir, "documents")))),
+    // REAL codec work: a deterministic BMP per doc, encoded then decoded
+    // by javax.imageio inside the partition; the oracle knows the seed
+    // dims and the BMP container-size formula, so a decoder that misreads
+    // the raster (or never runs) breaks the hash
+    "multimodal_decode" -> ((s, dir) =>
+      operators.Multimodal.imageRoundTripMeta(tbl(s, dir, "documents"))),
     "multimodal_chunks" -> ((s, dir) =>
       operators.Multimodal.chunk(operators.Multimodal.fromDocuments(tbl(s, dir, "documents")), 256)
         .select(col("media_id"), col("chunk_idx"), col("chunk_bytes"))
@@ -1363,6 +1383,14 @@ object SparkEntry {
     // epoch_us (not epoch_ms): the engine compares at Spark's native
     // microsecond precision, and the parquet timestamps are µs-aligned
     // nanos — a ms-truncated bound could disagree at the window edge
+    // replays are exact row copies and event_id is unique in the base
+    // table, so dedup-by-event_id over (events ∪ replayed slice) is just
+    // the base table — the oracle aggregates it directly; any row the
+    // Spark dedup dropped wrongly (or kept twice) breaks the hash
+    "stream_dedup_ingest" ->
+      s"""SELECT event_type, count(*) AS n_events,
+         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_click_error" ->
       s"""WITH e AS (SELECT event_id AS error_id, user_id, ts AS error_ts FROM events WHERE event_type = 'error'),
          |c AS (SELECT event_id AS click_id, user_id, ts AS click_ts FROM events WHERE event_type = 'click')
@@ -1481,6 +1509,17 @@ object SparkEntry {
          |c AS (SELECT media_id, n, unnest(range(CAST(ceil(n/256.0) AS INT))) AS chunk_idx FROM m)
          |SELECT media_id, CAST(chunk_idx AS INT) AS chunk_idx,
          |  CAST(least(256, n - chunk_idx*256) AS BIGINT) AS chunk_bytes
-         |FROM c ORDER BY media_id, chunk_idx""".stripMargin
+         |FROM c ORDER BY media_id, chunk_idx""".stripMargin,
+    // the oracle cannot decode BMP, but it doesn't need to: dims are
+    // seeded from doc_id and a 24bpp BMP's size is closed-form
+    // (54-byte header + 4-byte-aligned rows), so the real ImageIO
+    // round trip must land exactly on these values
+    "multimodal_decode" ->
+      s"""SELECT doc_id AS media_id,
+         |  CAST(54 + ((24*(8 + doc_id % 16) + 31) // 32) * 4 * (8 + (doc_id // 16) % 16) AS BIGINT) AS n_bytes,
+         |  CAST(8 + doc_id % 16 AS INT) AS width,
+         |  CAST(8 + (doc_id // 16) % 16 AS INT) AS height,
+         |  3 AS channels
+         |FROM documents ORDER BY media_id""".stripMargin
   )
 }
