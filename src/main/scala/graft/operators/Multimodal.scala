@@ -6,13 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing (north-star extension; SURVEY.md §2.9).
   *
   * Media payloads are opaque `binary` columns with typed metadata. The
-  * real Spark-side machinery — schema, partition-parallel batched decode
-  * via mapPartitions, fixed-size chunking, metadata projection — is
-  * implemented and tested; the codec itself is a pluggable trait whose
-  * production implementation would wrap an image/audio library (not
-  * available in this container) and is therefore STUBBED with a
-  * deterministic fake that derives plausible dimensions from the content
-  * digest.
+  * Spark-side machinery — schema, partition-parallel batched decode via
+  * mapPartitions, fixed-size chunking, metadata projection — plus a REAL
+  * image decoder: [[ImageIoDecoder]] wraps `javax.imageio` (pure JVM —
+  * BMP/PNG/GIF/JPEG readers ship with the JDK, no native codecs) and is
+  * the default. [[FakeDecoder]] remains for plumbing tests whose
+  * payloads are not decodable images (the test corpus is text), and as
+  * the stand-in shape for modalities whose codecs the container lacks
+  * (audio/video).
   */
 object Multimodal {
 
@@ -26,10 +27,52 @@ object Multimodal {
     def decode(modality: String, content: Array[Byte]): (Int, Int, Int)
   }
 
-  /** STUB decoder — deterministic fake. A production decoder would be
-    * e.g. `javax.imageio`/ffmpeg here; this container has neither, so
-    * dimensions are derived from the sha-256 digest and byte length
-    * (stable, content-sensitive, and cheap — which is exactly what the
+  /** REAL image decoder over `javax.imageio` — pure-JVM BMP/PNG/GIF/JPEG
+    * support built into the JDK, so it runs on any executor with no
+    * native codec install. Returns the decoded raster's true
+    * (width, height, bands). Fails loudly on an undecodable payload:
+    * silently faking dimensions for a corrupt image is how a 100 TB
+    * media pipeline ships garbage downstream.
+    */
+  object ImageIoDecoder extends Decoder {
+    def decode(modality: String, content: Array[Byte]): (Int, Int, Int) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      require(img != null, s"ImageIoDecoder: undecodable $modality payload " +
+        s"(${content.length} bytes) — no registered ImageReader claims it")
+      (img.getWidth, img.getHeight, img.getRaster.getNumBands)
+    }
+  }
+
+  /** Deterministic in-memory BMP encoder (24bpp, TYPE_3BYTE_BGR) — the
+    * fixture generator for the real-decode path: pixels derive from
+    * (seed, x, y), so payload bytes are reproducible, and the BMP
+    * container size is closed-form (54-byte header + 4-byte-aligned
+    * rows: 54 + ((24·w+31)/32)·4·h — verified against ImageIO's writer),
+    * which lets a SQL oracle check that a real encode→decode round trip
+    * happened without being able to decode images itself.
+    */
+  def encodeBmp(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = (seed * 1103515245L + x * 31L + y * 17L) & 0xffffff
+        img.setRGB(x, y, v.toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    bos.toByteArray
+  }
+
+  /** STUB decoder — deterministic fake for payloads that are NOT real
+    * images (the text-derived test corpus, and modalities whose codecs
+    * this container lacks): dimensions derive from the sha-256 digest
+    * and byte length (stable, content-sensitive, cheap — what the
     * plumbing tests need).
     */
   object FakeDecoder extends Decoder {
@@ -56,9 +99,10 @@ object Multimodal {
   /** Batched partition-parallel decode — the mapPartitions shape a real
     * codec needs (amortizes per-batch codec init, streams record
     * iterators, never collects). This is the Scala analogue of a Pandas
-    * `mapInPandas` decode UDF.
+    * `mapInPandas` decode UDF. Defaults to the REAL [[ImageIoDecoder]];
+    * pass [[FakeDecoder]] for non-image payloads.
     */
-  def decodeMeta(media: Dataset[MediaRecord], decoder: Decoder = FakeDecoder)(
+  def decodeMeta(media: Dataset[MediaRecord], decoder: Decoder = ImageIoDecoder)(
       implicit enc: Encoder[DecodedMeta]): Dataset[DecodedMeta] =
     media.mapPartitions { it =>
       // per-partition decoder init would go here (codec contexts, etc.)
@@ -70,6 +114,29 @@ object Multimodal {
         DecodedMeta(r.media_id, r.modality, r.content.length.toLong, digest, w, h, c)
       }
     }
+
+  /** Real-decode contract path: one deterministic BMP per row (dims
+    * derive from doc_id), encoded and then decoded inside the partition
+    * by the real [[ImageIoDecoder]] — actual codec work, batched and
+    * partition-parallel — reduced to scalar metadata a SQL oracle can
+    * verify in closed form (seed dims + the BMP container-size formula).
+    * A decoder that misreads the raster, or a fake that never decodes,
+    * breaks the hash.
+    */
+  def imageRoundTripMeta(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = 8 + (id % 16).toInt
+        val h = 8 + ((id / 16) % 16).toInt
+        val bytes = encodeBmp(w, h, id)
+        val (dw, dh, bands) = ImageIoDecoder.decode("image", bytes)
+        (id, bytes.length.toLong, dw, dh, bands)
+      }
+    }.toDF("media_id", "n_bytes", "width", "height", "channels")
+      .orderBy(col("media_id"))
+  }
 
   /** Pure-SQL metadata projection (no decode): byte length + digest +
     * the same deterministic fake dimensions — oracle-checkable shape.

@@ -15,14 +15,54 @@ class MultimodalSpec extends AnyFunSuite {
     MediaRecord(3, "video", Array.fill[Byte](1000)(7), "s2"))
 
   test("decodeMeta: partition-parallel decode with deterministic stub") {
-    val out = Multimodal.decodeMeta(media.toDS()).collect().sortBy(_.media_id)
+    // text payloads are not decodable images — the stub decoder applies
+    val out = Multimodal.decodeMeta(media.toDS(), Multimodal.FakeDecoder)
+      .collect().sortBy(_.media_id)
     assert(out.length == 3)
     assert(out.forall(m => m.sha256.length == 64 && m.width >= 64 && m.height >= 64))
     assert(out(1).channels == 1 && out(0).channels == 3) // audio mono stub
     assert(out(2).n_bytes == 1000)
     // deterministic: same content → same fake dimensions
-    val again = Multimodal.decodeMeta(media.toDS()).collect().sortBy(_.media_id)
+    val again = Multimodal.decodeMeta(media.toDS(), Multimodal.FakeDecoder)
+      .collect().sortBy(_.media_id)
     assert(out.toSeq == again.toSeq)
+  }
+
+  test("decodeMeta default ImageIoDecoder: real BMP/PNG dims from real bytes") {
+    val png = {
+      val img = new java.awt.image.BufferedImage(17, 5,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val real = Seq(
+      MediaRecord(1, "image", Multimodal.encodeBmp(23, 10, seed = 42L), "s1"),
+      MediaRecord(2, "image", png, "s1"))
+    val out = Multimodal.decodeMeta(real.toDS()).collect().sortBy(_.media_id)
+    assert(out(0).width == 23 && out(0).height == 10 && out(0).channels == 3)
+    assert(out(1).width == 17 && out(1).height == 5)
+    // 24bpp BMP container size is closed-form: header + 4-byte-aligned rows
+    assert(out(0).n_bytes == 54 + ((24 * 23 + 31) / 32) * 4 * 10)
+    // a non-image payload fails loudly, not with fake dimensions
+    val bad = Seq(MediaRecord(3, "image", "not an image".getBytes("UTF-8"), "s1"))
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeMeta(bad.toDS()).collect()
+    }
+    assert(ex.getMessage.contains("undecodable") ||
+      Option(ex.getCause).exists(_.getMessage.contains("undecodable")))
+  }
+
+  test("imageRoundTripMeta: encode→ImageIO-decode lands on seeded dims") {
+    val docs = Seq((0L, "a"), (17L, "b"), (255L, "c")).toDF("doc_id", "text")
+    val out = Multimodal.imageRoundTripMeta(docs).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("n_bytes"),
+        r.getAs[Int]("width"), r.getAs[Int]("height"), r.getAs[Int]("channels")))
+    def expected(id: Long) = {
+      val w = 8 + (id % 16).toInt; val h = 8 + ((id / 16) % 16).toInt
+      (id, (54 + ((24 * w + 31) / 32) * 4 * h).toLong, w, h, 3)
+    }
+    assert(out.toSeq == Seq(0L, 17L, 255L).map(expected))
   }
 
   test("metaSql matches mapPartitions decode on shared fields") {
@@ -30,7 +70,7 @@ class MultimodalSpec extends AnyFunSuite {
     val viaSql = Multimodal.metaSql(ds).collect()
       .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("n_bytes"),
         r.getAs[String]("sha256"), r.getAs[Int]("channels"))).sortBy(_._1)
-    val viaMp = Multimodal.decodeMeta(media.toDS()).collect()
+    val viaMp = Multimodal.decodeMeta(media.toDS(), Multimodal.FakeDecoder).collect()
       .map(m => (m.media_id, m.n_bytes, m.sha256, m.channels)).sortBy(_._1)
     assert(viaSql.toSeq == viaMp.toSeq)
   }
