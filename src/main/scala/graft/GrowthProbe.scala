@@ -18,9 +18,7 @@ object GrowthProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/tmp/scale_probe"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/documents.parquet"))) {
-      println("probe corpus missing — run graft.ScaleProbe first"); sys.exit(1)
-    }
+    ScaleProbe.ensureCorpus(spark, dir)
     val full = spark.read.parquet(s"$dir/documents.parquet")       // 100k docs
     val half = full.filter(col("doc_id") % 2 === 0)                // 50k docs
     def bestOf2(f: => Long): Double = {
@@ -39,6 +37,10 @@ object GrowthProbe {
       val r = tF / tH
       println(f"$tH%7.2f  $tF%7.2f  ratio=$r%5.2f  ${if (r > 3.0) "SLOW " else "ok   "}$name")
     }
+    // `ngram2x` arg: skip the standard 50k→100k probes and run only the
+    // 100k→200k ngram doubling (it alone takes minutes)
+    val only2x = args.contains("ngram2x")
+    if (!only2x) {
     println("   t(n)   t(2n)  (n=50k docs, 2n=100k; best of 2, cold cache)")
     probe("minhash_lsh")(d => Dedup.minhashLshPairs(d, 0.5).count())
     probe("simhash_pairs")(d => Dedup.simhashPairs(d, 3).count())
@@ -49,6 +51,21 @@ object GrowthProbe {
     probe("pack_windows")(d => Packing.packWindows(d, 512, 64).count())
     probe("token_budget")(d => Sampling.tokenBudgetSummary(d,
       Map("src0" -> 8000L), 10000L, numShards = 64).count())
+    }
+    // one doubling further for the path nearest the sub-quadratic bound
+    // (round-5 ratio 2.10 at 50k→100k): 100k→200k docs. The 2n corpus has
+    // 40 near-dup copies per group vs 20, so the pair OUTPUT grows
+    // C(40,2)/C(20,2) ≈ 4.1x on the doubling — an output-LINEAR algorithm
+    // cannot beat ~4.1x raw here, so the meaningful number is the
+    // output-normalized ratio (time per emitted pair at 2n vs n): ≤ ~1.5
+    // means candidate generation tracks the pair graph, not n².
+    ScaleProbe.ensureDouble(spark, dir)
+    val x2 = spark.read.parquet(s"$dir/documents_x2.parquet")
+    var p1 = 0L; var p2 = 0L
+    val t1 = bestOf2 { p1 = Dedup.ngramJaccardPairs(full, 0.9).count(); p1 }
+    val t2 = bestOf2 { p2 = Dedup.ngramJaccardPairs(x2, 0.9).count(); p2 }
+    val norm = (t2 / p2) / (t1 / p1)
+    println(f"$t1%7.2f  $t2%7.2f  raw=${t2 / t1}%5.2f  pairs: $p1%,d → $p2%,d (${p2.toDouble / p1}%4.2fx)  per-pair ratio=$norm%5.2f  ${if (norm > 1.5) "SLOW " else "ok   "}ngram_jaccard prefix-exact (n=100k, 2n=200k)")
     spark.stop()
   }
 }

@@ -5,17 +5,15 @@ import graft.operators._
 /** Internal scaling probe: 20x data (100k docs, 40k vectors) for the
   * sub-quadratic operator paths. Not part of the driver contract. */
 object ScaleProbe {
-  def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/tmp/scale_probe"
-    // regenerate the 20x corpus when /tmp was wiped: each sf0.1 doc
-    // replicated 20x with a per-copy marker token appended (copies are
-    // NEAR-dups — worst case for the pair graph / component resolution),
-    // embeddings replicated 20x with the id offset (distinct ids, same
-    // geometry — worst case for bucket collisions)
+
+  /** Regenerate the 20x probe corpus when /tmp was wiped: each sf0.1 doc
+    * replicated 20x with a per-copy marker token appended (copies are
+    * NEAR-dups — worst case for the pair graph / component resolution),
+    * embeddings replicated 20x with the id offset (distinct ids, same
+    * geometry — worst case for bucket collisions). Shared by
+    * [[GrowthProbe]], so both probes regenerate identically.
+    */
+  def ensureCorpus(spark: SparkSession, dir: String = "/tmp/scale_probe"): Unit =
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/documents.parquet"))) {
       val d0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       d0.withColumn("rep", explode(sequence(lit(0), lit(19))))
@@ -30,6 +28,30 @@ object ScaleProbe {
         .repartition(8).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       println(s"generated $dir (20x sf0.1)")
     }
+
+  /** The 40x (200k-doc) corpus for one-more-doubling probes: same
+    * near-dup-group structure with TWICE the copies per group, so pair
+    * output per group grows ~4x on the doubling — adversarial for any
+    * candidate-generation path whose cost tracks the pair graph.
+    */
+  def ensureDouble(spark: SparkSession, dir: String = "/tmp/scale_probe"): Unit =
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/documents_x2.parquet"))) {
+      val d0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      d0.withColumn("rep", explode(sequence(lit(0), lit(39))))
+        .select((col("doc_id") * 64 + col("rep")).as("doc_id"),
+          concat(col("text"), lit(" copymark"), col("rep")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .repartition(16).write.mode("overwrite").parquet(s"$dir/documents_x2.parquet")
+      println(s"generated $dir/documents_x2.parquet (40x sf0.1)")
+    }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/tmp/scale_probe"
+    ensureCorpus(spark, dir)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     def t(name: String)(f: => Long): Unit = {

@@ -156,7 +156,8 @@ object SparkEntry {
     // source, selection order = the shared (shard, sha256) hash layout
     "token_budget" -> ((s, dir) =>
       operators.Sampling.tokenBudgetSummary(tbl(s, dir, "documents"),
-        tokenBudgets, defaultBudget = 1000L)),
+        tokenBudgets, defaultBudget = tokenBudgetDefault,
+        numShards = tokenBudgetShards)),
     // C4-style sub-document span dedup: non-overlapping 4-word blocks,
     // corpus-wide keep-first, cleaned text rebuilt from survivors
     "span_dedup" -> ((s, dir) => Dedup.spanDedup(tbl(s, dir, "documents"), 4)),
@@ -534,8 +535,12 @@ object SparkEntry {
     "src0" -> 2.5, "src1" -> 0.25, "src2" -> 1.0, "src3" -> 0.0)
 
   // token_budget per-source budgets (tokens): sized to bite at sf0.01
-  // (~1.3k tokens/source) — src2 drops entirely, others keep a prefix
+  // (~1.3k tokens/source) — src2 drops entirely, others keep a prefix.
+  // Shard count and default budget are shared between the registration
+  // and the oracle SQL, so changing either cannot silently break parity
   private val tokenBudgets = Map("src0" -> 800L, "src1" -> 500L, "src2" -> 0L)
+  private val tokenBudgetShards = 8
+  private val tokenBudgetDefault = 1000L
 
   // bm25_search query terms — all in the synthetic vocabulary
   private val bm25Query = Seq("query", "fast", "merge")
@@ -837,7 +842,7 @@ object SparkEntry {
       s"""WITH t AS (SELECT doc_id, source,
          |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
          |    sha256(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
-         |s AS (SELECT *, (${duckHex60("hx", 1)}) % 8 AS shard FROM t),
+         |s AS (SELECT *, (${duckHex60("hx", 1)}) % $tokenBudgetShards AS shard FROM t),
          |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source, shard
          |        ORDER BY hx, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM s),
          |o AS (SELECT source, shard, sum(n_tokens) AS tot FROM s GROUP BY source, shard),
@@ -845,7 +850,7 @@ object SparkEntry {
          |         ORDER BY shard ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
          |       FROM o),
          |j AS (SELECT c.source, c.n_tokens, o2.off + c.cum - c.n_tokens AS strt,
-         |        CAST(CASE $cases ELSE 1000 END AS BIGINT) AS budget
+         |        CAST(CASE $cases ELSE $tokenBudgetDefault END AS BIGINT) AS budget
          |      FROM c JOIN o2 ON c.source = o2.source AND c.shard = o2.shard)
          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(CASE WHEN strt < budget THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,

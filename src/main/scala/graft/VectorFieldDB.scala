@@ -57,7 +57,14 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
 
   private var iglyphsDF: DataFrame = withVariantMeta(spark.emptyDataset[IGlyph].toDF())
   private var pglyphsDF: DataFrame = withVariantMeta(spark.emptyDataset[PGlyph].toDF())
-  private val history = ArrayBuffer[AuditRecord]()
+  // Audit history lives in a DataFrame like the glyph tables — a 100×
+  // mutation stream must not accumulate on the driver. Records buffer in
+  // a BOUNDED (≤ AuditFlushEvery) staging ArrayBuffer and flush into the
+  // frame with lineage truncation, mirroring maybeCheckpoint's cadence;
+  // historyLen is maintained as a counter so stats() costs no job.
+  private var historyDF: DataFrame = spark.emptyDataset[AuditRecord].toDF()
+  private val pendingAudit = ArrayBuffer[AuditRecord]()
+  private var historyLen: Long = 0L
   private var mutationsSinceCheckpoint = 0
 
   // Incremental membership accumulators: TWO independent order-
@@ -86,7 +93,14 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
 
   def iglyphs: DataFrame = iglyphsDF
   def pglyphs: DataFrame = pglyphsDF
-  def changeHistory: DataFrame = history.toSeq.toDF()
+
+  /** The audit log as a DataFrame: the flushed frame plus the bounded
+    * staging buffer (parallelized in insertion order, so a collect
+    * returns mutation order exactly as the buffer-only form did).
+    */
+  def changeHistory: DataFrame =
+    if (pendingAudit.isEmpty) historyDF
+    else historyDF.unionByName(pendingAudit.toSeq.toDF())
 
   // -------------------------------------------------------------- audit
 
@@ -198,8 +212,19 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
   private def log(action: String, details: (String, String)*): Unit = {
     val before = currentHash
     currentHash = hashOf(iXor, iSum, pXor, pSum)
-    history += AuditRecord(action, Timestamp.from(Instant.now()), before,
+    pendingAudit += AuditRecord(action, Timestamp.from(Instant.now()), before,
       currentHash, details.toMap)
+    historyLen += 1
+    if (pendingAudit.size >= VectorFieldDB.AuditFlushEvery) flushAudit()
+  }
+
+  /** Move the staging buffer into the history frame, truncating lineage
+    * (same cadence rationale as [[maybeCheckpoint]]): the driver never
+    * holds more than [[VectorFieldDB.AuditFlushEvery]] audit rows.
+    */
+  private def flushAudit(): Unit = if (pendingAudit.nonEmpty) {
+    historyDF = historyDF.unionByName(pendingAudit.toSeq.toDF()).localCheckpoint(true)
+    pendingAudit.clear()
   }
 
   /** Long mutation chains grow the logical plan; truncate lineage. */
@@ -653,9 +678,13 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
       s"snapshot dim $snapDim does not match store dim $dim")
     iglyphsDF = spark.read.parquet(s"$snapDir/iglyphs")
     pglyphsDF = spark.read.parquet(s"$snapDir/pglyphs")
-    history.clear()
-    history ++= spark.read.parquet(s"$snapDir/change_history").as[AuditRecord]
-      .collect().sortBy(_.timestamp.getTime)
+    // the history stays a DataFrame across the round trip — no driver
+    // materialization of the full log (timestamp sort restores mutation
+    // order up to same-millisecond ties, as the buffered form did)
+    pendingAudit.clear()
+    historyDF = spark.read.parquet(s"$snapDir/change_history")
+      .orderBy(col("timestamp"))
+    historyLen = historyDF.count()
     // full-scan recomputation — the tamper-evidence check point
     val (ix, is, px, ps) = scanAccs()
     iXor = ix; iSum = is; pXor = px; pSum = ps
@@ -674,7 +703,7 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
       "glyph_ids_used" -> ig.getLong(1),
       "contexts_used" -> ig.getLong(2),
       "pglyph_count" -> pglyphsDF.count(),
-      "history_len" -> history.size.toLong,
+      "history_len" -> historyLen,
       "current_hash" -> currentHash,
       "version" -> VectorFieldDB.Version,
       "dim" -> dim)
@@ -693,6 +722,12 @@ object VectorFieldDB {
     * ("1.0.0", `types.py:117`).
     */
   val Version = "0.1.0"
+
+  /** Audit records staged on the driver before flushing into the
+    * distributed history frame — the bound on driver-held audit state.
+    * Matches maybeCheckpoint's lineage-truncation cadence.
+    */
+  val AuditFlushEvery = 16
 
   private[graft] val log = org.slf4j.LoggerFactory.getLogger(classOf[VectorFieldDB])
 }

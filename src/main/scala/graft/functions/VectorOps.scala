@@ -154,9 +154,12 @@ object VectorOps {
     val proj = array(planes.map(p =>
       dotProduct(v, org.apache.spark.sql.functions.typedLit(p.toSeq)) * lit(scale)): _*)
     // loud dim-mismatch, like Ann.signBucket: VecDot would null out and
-    // the projection would silently collapse to an all-null array
-    when(size(v) === dim, proj).otherwise(raise_error(
-      concat(lit("randomProject: embedding dim "), size(v).cast("string"),
+    // the projection would silently collapse to an all-null array. The
+    // size is coalesced so a NULL embedding names itself in the error
+    // instead of raising with a null message (concat of a null is null)
+    when(coalesce(size(v), lit(-1)) === dim, proj).otherwise(raise_error(
+      concat(lit("randomProject: embedding dim "),
+        coalesce(size(v).cast("string"), lit("NULL (null embedding)")),
         lit(s" != plane dim $dim"))))
   }
 

@@ -74,8 +74,12 @@ object CorpusPipeline {
   /** The corpus datasheet: one row per source with the numbers a
     * pipeline owner checks before touching the mixture weights — doc
     * and token volume, exact-duplicate share, quality-gate pass rate,
-    * and the median document length (EXACT, via the same single-pass
-    * percentile digest as [[TextAnalysis.sizePercentiles]]).
+    * and the median document length. The median uses Spark's EXACT
+    * `percentile` aggregate (oracle-parity requires exactness), which
+    * buffers every group's values — per-source buffers are the memory
+    * hot spot of this report at 100 TB. Where bit-parity is not
+    * required, `approx_percentile` (bounded-memory t-digest sketch,
+    * map-side combined) is the scale escape hatch.
     *
     * Shape at 100 TB: one digest groupBy for the duplicate census, the
     * [[TextAnalysis.qualityFlags]] two-level aggregation for the gate,

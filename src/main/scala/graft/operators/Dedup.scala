@@ -471,9 +471,12 @@ object Dedup {
   def incrementalFlags(incoming: DataFrame, history: DataFrame,
       threshold: Double, k: Int = 16, bands: Int = 4): DataFrame = {
     val hist = histProjection(history).cache()
-    incrementalCore(incoming, hist.select(col("h")).distinct(),
+    // incrementalCore returns an eagerly-materialized frame, so the
+    // history projection cache can be dropped as soon as it returns
+    try incrementalCore(incoming, hist.select(col("h")).distinct(),
       bandKeysOf(hist, "hist_id", k, bands),
       hist.select(col("hist_id"), col("sh")), threshold, k, bands)
+    finally hist.unpersist()
   }
 
   /** The (hist_id, digest, shingle-set) projection every history-side
@@ -513,7 +516,7 @@ object Dedup {
       .join(histShingles.select(col("hist_id"), col("sh").as("shb")), "hist_id")
       .filter(round(jaccardUdf(col("sha"), col("shb")), 6) >= threshold)
       .select(col("doc_id")).distinct()
-    inc.select(col("doc_id"))
+    val flags = inc.select(col("doc_id"))
       .join(exactIds.withColumn("exact_dup_hist", lit(true)), Seq("doc_id"), "left")
       .join(nearIds.withColumn("near_dup_hist", lit(true)), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -521,6 +524,15 @@ object Dedup {
         coalesce(col("near_dup_hist"), lit(false)).as("near_dup_hist"))
       .withColumn("keep", !col("exact_dup_hist") && !col("near_dup_hist"))
       .orderBy(col("doc_id"))
+      // the flags frame is batch-sized (one row per incoming doc), so it
+      // is materialized EAGERLY (lineage severed): the incoming-batch
+      // projection cache can then be dropped right here instead of one
+      // cached frame accumulating per foreachBatch micro-batch until LRU
+      // eviction (round-5 advice); the checkpoint itself is freed by the
+      // ContextCleaner when the returned frame is garbage-collected
+      .localCheckpoint(true)
+    inc.unpersist()
+    flags
   }
 
   /** Materialize the history-side dedup index: `digests/`, `bands/`,

@@ -152,5 +152,15 @@ class SimilaritySpec extends AnyFunSuite {
     val e = intercept[Exception] { bad.collect() }
     assert(e.getMessage.contains("randomProject") ||
       e.getCause != null && e.getCause.getMessage.contains("randomProject"))
+    // a NULL embedding names itself in the error instead of raising a
+    // null message (concat over a null size is null)
+    val withNull = vecs.select(when(col("vec_id") === 1L, col("embedding"))
+      .otherwise(lit(null).cast("array<float>")).as("embedding"))
+    val e2 = intercept[Exception] {
+      withNull.select(VectorOps.randomProject(col("embedding"), planes)).collect()
+    }
+    val msgs = Iterator.iterate[Throwable](e2)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("null embedding"), msgs)
   }
 }

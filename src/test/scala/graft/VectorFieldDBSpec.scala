@@ -310,4 +310,27 @@ class VectorFieldDBSpec extends AnyFunSuite {
     db2.restore(dir)
     assert(db2.iglyphs.count() == 1 && db2.currentHash == db.currentHash)
   }
+
+  test("audit history beyond the staging bound survives snapshot/restore as a frame") {
+    val db = freshDb()
+    // enough mutations to force at least one distributed flush
+    val n = VectorFieldDB.AuditFlushEvery * 2 + 3
+    for (i <- 1 to n) db.addIGlyph(i % 144000, i % 10, vec(i.toFloat))
+    assert(db.stats()("history_len") == n.toLong)
+    assert(db.changeHistory.count() == n.toLong)
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap-hist").toString
+    db.snapshot(dir)
+    val db2 = freshDb()
+    db2.restore(dir)
+    // restored history is a DataFrame of all n records with the chain
+    // intact (hash_before of each record = hash_after of the previous)
+    assert(db2.stats()("history_len") == n.toLong)
+    import org.apache.spark.sql.functions.{col => cc}
+    val chain = db2.changeHistory
+      .orderBy(cc("timestamp"), cc("hash_before")).collect()
+      .map(r => (r.getAs[String]("hash_before"), r.getAs[String]("hash_after")))
+    assert(chain.length == n)
+    assert(chain.map(_._2).toSet.size == n) // every mutation changed the hash
+    assert(db2.currentHash == db.currentHash)
+  }
 }
