@@ -39,7 +39,17 @@ object PlanDump {
       // the persisted layout is a union — keep enough of the plan to show
       // BOTH branches' static PartitionFilters
       val cap = if (name == "ann_ivf_persisted") 5200 else 2600
-      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+      // the production incrementalFlags eagerly materializes its result
+      // (bounded-cache discipline), which would dump as a checkpoint
+      // scan; show the underlying distributed plan via eager = false
+      val frame = if (name == "dedup_incremental") {
+        val docs = sources.Tables.table(spark, dir, "documents")
+        operators.Dedup.incrementalFlags(
+          docs.filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 0),
+          docs.filter(org.apache.spark.sql.functions.col("doc_id") % 3 =!= 0),
+          0.5, eager = false)
+      } else SparkEntry.queries(name)(spark, dir)
+      val plan = frame.queryExecution.executedPlan.toString
       sb.append(plan.take(cap)).append(if (plan.length > cap) "\n… (truncated)\n" else "\n")
       sb.append("```\n")
     }

@@ -463,20 +463,26 @@ object Dedup {
     * history text; only verified candidates' shingle sets are read.
     *
     * Cache lifecycle: this from-text form caches the history projection
-    * per CALL (Spark LRU-evicts under pressure) — right for one-shot
-    * jobs. A long-running ingest loop should build the index once
-    * ([[persistDedupIndex]]) and call [[incrementalFlagsPersisted]] per
-    * batch, which holds no history cache at all.
+    * per CALL, materializes the batch-sized result eagerly, and drops
+    * both caches before returning — a foreachBatch loop accumulates
+    * nothing. A long-running ingest loop should still build the index
+    * once ([[persistDedupIndex]]) and call
+    * [[incrementalFlagsPersisted]] per batch, which holds no history
+    * cache at all. `eager = false` skips the materialize-and-release
+    * discipline and returns the raw distributed plan (for `.explain` /
+    * plan audits — the caller then owns the leaked projection caches;
+    * production wants the default).
     */
   def incrementalFlags(incoming: DataFrame, history: DataFrame,
-      threshold: Double, k: Int = 16, bands: Int = 4): DataFrame = {
+      threshold: Double, k: Int = 16, bands: Int = 4,
+      eager: Boolean = true): DataFrame = {
     val hist = histProjection(history).cache()
     // incrementalCore returns an eagerly-materialized frame, so the
     // history projection cache can be dropped as soon as it returns
     try incrementalCore(incoming, hist.select(col("h")).distinct(),
       bandKeysOf(hist, "hist_id", k, bands),
-      hist.select(col("hist_id"), col("sh")), threshold, k, bands)
-    finally hist.unpersist()
+      hist.select(col("hist_id"), col("sh")), threshold, k, bands, eager)
+    finally if (eager) hist.unpersist()
   }
 
   /** The (hist_id, digest, shingle-set) projection every history-side
@@ -500,7 +506,8 @@ object Dedup {
     */
   private def incrementalCore(incoming: DataFrame, histDigests: DataFrame,
       histBands: DataFrame, histShingles: DataFrame,
-      threshold: Double, k: Int, bands: Int): DataFrame = {
+      threshold: Double, k: Int, bands: Int,
+      eager: Boolean = true): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
     val inc = Partitioning.spread(incoming)
       .select(col("doc_id"), sha2(col("text"), 256).as("h"),
@@ -524,15 +531,18 @@ object Dedup {
         coalesce(col("near_dup_hist"), lit(false)).as("near_dup_hist"))
       .withColumn("keep", !col("exact_dup_hist") && !col("near_dup_hist"))
       .orderBy(col("doc_id"))
+    if (!eager) flags
+    else {
       // the flags frame is batch-sized (one row per incoming doc), so it
       // is materialized EAGERLY (lineage severed): the incoming-batch
       // projection cache can then be dropped right here instead of one
       // cached frame accumulating per foreachBatch micro-batch until LRU
       // eviction (round-5 advice); the checkpoint itself is freed by the
       // ContextCleaner when the returned frame is garbage-collected
-      .localCheckpoint(true)
-    inc.unpersist()
-    flags
+      val out = flags.localCheckpoint(true)
+      inc.unpersist()
+      out
+    }
   }
 
   /** Materialize the history-side dedup index: `digests/`, `bands/`,
