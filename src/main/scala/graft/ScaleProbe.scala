@@ -99,6 +99,20 @@ object ScaleProbe {
     t("jl_project 40k vecs")(emb.select(
       graft.functions.VectorOps.randomProject(col("embedding"),
         Ann.hyperplanes(8, 64, 7L))).count())
+    t("pii_scrub 100k docs")(TextAnalysis.piiScrub(docs).count())
+    t("image decode round-trip 100k docs")(
+      Multimodal.imageRoundTripMeta(docs).count())
+    // the persisted-IVF lifecycle at probe scale: one build+persist,
+    // then the search that 100 TB users actually run (static cell
+    // pruning over the layout)
+    val layout = s"$dir/ivf_layout"
+    t("kmeans build+persist 40k vecs")({
+      KMeansIndex.persist(KMeansIndex.build(emb, k = 8), layout); 1L
+    })
+    val q0 = emb.orderBy(col("vec_id")).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    t("ivf searchPersisted 40k vecs")(
+      KMeansIndex.searchPersisted(spark, layout, q0, topK = 10, nProbe = 3).count())
     spark.stop()
   }
 }

@@ -201,6 +201,18 @@ object SparkEntry {
     // n-gram novelty vs all lower-id docs (inverted min-index, no doc×doc)
     "doc_novelty" -> ((s, dir) => TextAnalysis.noveltyScores(tbl(s, dir, "documents"))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(tbl(s, dir, "documents"))),
+    // PII scrub over the corpus with deterministic PII injected inline
+    // (the synthetic corpus contains none): both engines build the same
+    // dirty text, so the counts AND the cleaned-text digest must agree
+    "pii_scrub" -> ((s, dir) =>
+      TextAnalysis.piiScrub(tbl(s, dir, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 3 === 0,
+            concat(lit("contact user"), col("doc_id"), lit("@example.com "))).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0, lit("call 415-555-0123 ")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit("host 10.0."), col("doc_id") % 256, lit(".7 "))).otherwise(lit("")),
+          col("text")).as("text")))),
     "token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(tbl(s, dir, "documents"))),
     "doc_digests" -> ((s, dir) => TextAnalysis.digests(tbl(s, dir, "documents"))),
     "doc_sketch" -> ((s, dir) => TextAnalysis.minKSketch(tbl(s, dir, "documents"), 4)),
@@ -964,6 +976,29 @@ object SparkEntry {
            |         FROM blk x JOIN blk y ON x.q = y.q AND x.blk = y.blk AND x.doc_id < y.doc_id)
            |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
            |FROM cand WHERE bit_count(xor(ha, hb)) <= 3 ORDER BY doc_a, doc_b""".stripMargin
+    },
+    // same injection, same common-subset regexes (interpolated from
+    // TextAnalysis.piiPatterns — one source of truth), same scrub order;
+    // DuckDB needs the 'g' flag for replace-all to match Spark
+    "pii_scrub" -> {
+      val Seq(em, ph, ip) = operators.TextAnalysis.piiPatterns.map(_._2)
+      val Seq(emT, phT, ipT) = operators.TextAnalysis.piiPatterns.map(_._3)
+      s"""WITH inj AS (SELECT doc_id,
+         |  (CASE WHEN doc_id % 3 = 0 THEN 'contact user' || CAST(doc_id AS VARCHAR) || '@example.com ' ELSE '' END) ||
+         |  (CASE WHEN doc_id % 4 = 0 THEN 'call 415-555-0123 ' ELSE '' END) ||
+         |  (CASE WHEN doc_id % 5 = 0 THEN 'host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 ' ELSE '' END) ||
+         |  text AS text FROM documents),
+         |c AS (SELECT doc_id, text,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$em', '$emT', 'g'), '$ph', '$phT', 'g'), '$ip', '$ipT', 'g') AS clean
+         |  FROM inj)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$em')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(text, '$ph')) AS BIGINT) AS n_phone,
+         |  CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ip,
+         |  CAST(length(clean) AS BIGINT) AS clean_len,
+         |  sha256(clean) AS clean_sha
+         |FROM c ORDER BY doc_id""".stripMargin
     },
     // parallel unnests zip in DuckDB, giving one (pos, element) row per
     // dimension — the scalar shape the driver's comparator can hash

@@ -51,7 +51,7 @@ object Multimodal {
     * which lets a SQL oracle check that a real encode→decode round trip
     * happened without being able to decode images itself.
     */
-  def encodeBmp(width: Int, height: Int, seed: Long): Array[Byte] = {
+  private def fillImage(width: Int, height: Int, seed: Long): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
     var y = 0
@@ -64,8 +64,12 @@ object Multimodal {
       }
       y += 1
     }
+    img
+  }
+
+  def encodeBmp(width: Int, height: Int, seed: Long): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "bmp", bos)
+    javax.imageio.ImageIO.write(fillImage(width, height, seed), "bmp", bos)
     bos.toByteArray
   }
 
@@ -127,12 +131,38 @@ object Multimodal {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { it =>
-      it.map { id =>
+      // per-partition codec init, for real: ImageIO's convenience API
+      // (ImageIO.read/write) builds and disposes a reader/writer pair
+      // per CALL — at millions of images per partition that churn
+      // dominates tiny-image decode, so one pair is hoisted here and
+      // reused for every record, disposed when the iterator drains
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("bmp").next()
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("bmp").next()
+      var disposed = false
+      val rows = it.map { id =>
         val w = 8 + (id % 16).toInt
         val h = 8 + ((id / 16) % 16).toInt
-        val bytes = encodeBmp(w, h, id)
-        val (dw, dh, bands) = ImageIoDecoder.decode("image", bytes)
-        (id, bytes.length.toLong, dw, dh, bands)
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.write(fillImage(w, h, id))
+        ios.close()
+        val bytes = bos.toByteArray
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        reader.setInput(iis)
+        val img = reader.read(0) // full raster decode — the measured work
+        iis.close()
+        (id, bytes.length.toLong, img.getWidth, img.getHeight,
+          img.getRaster.getNumBands)
+      }
+      new Iterator[(Long, Long, Int, Int, Int)] {
+        def hasNext: Boolean = {
+          val h = rows.hasNext
+          if (!h && !disposed) { disposed = true; reader.dispose(); writer.dispose() }
+          h
+        }
+        def next(): (Long, Long, Int, Int, Int) = rows.next()
       }
     }.toDF("media_id", "n_bytes", "width", "height", "channels")
       .orderBy(col("media_id"))

@@ -15,6 +15,43 @@ object TextAnalysis {
 
   def words(text: Column): Column = split(trim(text), "\\s+")
 
+  /** PII patterns, shared by [[piiScrub]] and the oracle SQL
+    * interpolation — a Java-regex / RE2 COMMON SUBSET (character
+    * classes, bounded repetition, `\b`; no lookaround, no
+    * backreferences), so Spark and DuckDB compile identical semantics
+    * from the same strings. Order is part of the contract: emails are
+    * scrubbed FIRST (an address's local/domain parts contain digit runs
+    * and dots the later rules could clip), then phones, then IPv4.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
+
+  /** PII redaction — the compliance pass every published training
+    * corpus runs (C4 and derivatives scrub addresses and phone-like
+    * spans). Emails, NANP-style phone numbers and IPv4 literals are
+    * replaced with typed placeholder tokens; per-doc match counts are
+    * reported so a pipeline can gate on PII density, and the cleaned
+    * text ships as a sha-256 digest plus its length (the contract
+    * result stays narrow; the full cleaned column is one select away).
+    *
+    * Shape at 100 TB: purely per-row codegen'd regex work — no
+    * shuffle, no UDF; scales with input bytes and pipelines behind any
+    * scan.
+    */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val counts = piiPatterns.map { case (name, re, _) =>
+      regexp_count(col("text"), lit(re)).cast("long").as(s"n_$name") }
+    val cleaned = piiPatterns.foldLeft(col("text")) {
+      case (c, (_, re, tok)) => regexp_replace(c, re, tok) }
+    docs.select(
+        Seq(col("doc_id")) ++ counts ++ Seq(
+          length(cleaned).cast("long").as("clean_len"),
+          sha2(cleaned, 256).as("clean_sha")): _*)
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document quality stats: token counts, type-token ratio, average
     * word length, share of "long" words. Integer-derived ratios rounded
     * once → hash-stable.

@@ -172,6 +172,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "bucketing must not use a ranking window")
   }
 
+  test("piiScrub: redacts emails/phones/IPs with typed tokens, counts match") {
+    val d = Seq(
+      (1L, "mail a.user+tag@sub.example.org or b@x.io then call 415-555-0123 done"),
+      (2L, "server at 10.0.42.7 and 192.168.1.1 ok"),
+      (3L, "clean text with no identifiers at all"),
+      // an email whose domain is dotted digits must NOT be half-eaten by
+      // the later IP rule — email scrubs first
+      (4L, "edge user1@2.3.4.com end")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_email") == 2 && out(1L).getAs[Long]("n_phone") == 1)
+    assert(out(2L).getAs[Long]("n_ip") == 2)
+    assert(out(3L).getAs[Long]("n_email") == 0 && out(3L).getAs[Long]("n_ip") == 0)
+    assert(out(4L).getAs[Long]("n_email") == 1 && out(4L).getAs[Long]("n_ip") == 0)
+    // digests equal the directly-computed scrubbed strings
+    def sha(s: String) = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect1 = "mail <EMAIL> or <EMAIL> then call <PHONE> done"
+    val expect2 = "server at <IP> and <IP> ok"
+    val expect4 = "edge <EMAIL> end"
+    assert(out(1L).getAs[String]("clean_sha") == sha(expect1))
+    assert(out(1L).getAs[Long]("clean_len") == expect1.length.toLong)
+    assert(out(2L).getAs[String]("clean_sha") == sha(expect2))
+    assert(out(4L).getAs[String]("clean_sha") == sha(expect4))
+  }
+
   test("minKSketch: identical texts share the sketch, edits change it") {
     val d = Seq((1L, "the quick brown fox jumps", "s"),
       (2L, "the quick brown fox jumps", "s"),
