@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+import graft.operators._
+
+/** Totality sweep: every composable operator must accept an EMPTY input
+  * frame without throwing — a cleaning pipeline's stages see empty
+  * partitions and empty filtered frames constantly (a quality gate that
+  * drops everything, a source with no documents, the first micro-batch
+  * of a stream), and an operator that 0-divides or head()s there takes
+  * the whole job down. Global aggregates may legitimately return their
+  * one identity row; everything else must return zero rows.
+  */
+class EmptyInputSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val docs = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType))))
+
+  private lazy val emb = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType))))
+
+  private def zeroRows(name: String)(df: => org.apache.spark.sql.DataFrame): Unit =
+    assert(df.count() == 0, s"$name must yield no rows on empty input")
+
+  test("text operators are total on an empty corpus") {
+    zeroRows("textStats")(TextAnalysis.textStats(docs))
+    zeroRows("langId")(TextAnalysis.langId(docs))
+    zeroRows("tokenCounts")(TextAnalysis.tokenCounts(docs))
+    zeroRows("digests")(TextAnalysis.digests(docs))
+    zeroRows("minKSketch")(TextAnalysis.minKSketch(docs, 4))
+    zeroRows("tfidfTopTerms")(TextAnalysis.tfidfTopTerms(docs, 3))
+    zeroRows("chunkWords")(TextAnalysis.chunkWords(docs, 50, 10))
+    zeroRows("qualityFlags")(TextAnalysis.qualityFlags(docs))
+    zeroRows("noveltyScores")(TextAnalysis.noveltyScores(docs))
+    zeroRows("piiScrub")(TextAnalysis.piiScrub(docs))
+    zeroRows("bm25TopDocs")(TextAnalysis.bm25TopDocs(docs, Seq("query"), 10))
+    // global aggregate: one identity row is acceptable, a throw is not
+    assert(TextAnalysis.sizePercentiles(docs).count() <= 1)
+  }
+
+  test("dedup operators are total on an empty corpus") {
+    // exactSummary is a global aggregate — identity row allowed
+    assert(Dedup.exactSummary(docs).count() <= 1)
+    zeroRows("keepCanonical")(Dedup.keepCanonical(docs))
+    zeroRows("ngramJaccardPairs")(Dedup.ngramJaccardPairs(docs, 0.5))
+    zeroRows("minhashLshPairs")(Dedup.minhashLshPairs(docs, 0.5))
+    zeroRows("simhash")(Dedup.simhash(docs))
+    zeroRows("simhashPairs")(Dedup.simhashPairs(docs, 3))
+    zeroRows("spanDedup")(Dedup.spanDedup(docs, 4))
+    zeroRows("dupGroups")(Dedup.dupGroups(
+      Dedup.minhashLshPairs(docs, 0.5)))
+    zeroRows("contaminationFlags")(Dedup.contaminationFlags(docs, docs, 8, 3))
+    zeroRows("incrementalFlags")(Dedup.incrementalFlags(docs, docs, 0.5))
+    zeroRows("embeddingNearDup")(Dedup.embeddingNearDup(emb, 0.9))
+  }
+
+  test("sampling/packing/pipeline operators are total on an empty corpus") {
+    zeroRows("mixtureSample")(Sampling.mixtureSample(docs, Map("src0" -> 1.0), 0.5))
+    zeroRows("mixtureSummary")(Sampling.mixtureSummary(docs, Map("src0" -> 1.0), 0.5))
+    zeroRows("upsample")(Sampling.upsample(docs, Map("src0" -> 2.0), 1.0))
+    zeroRows("stratifiedSample")(
+      Sampling.stratifiedSample(docs, col("source"), col("doc_id"), 10))
+    zeroRows("tokenBudgetSummary")(
+      Sampling.tokenBudgetSummary(docs, Map("src0" -> 100L), 100L))
+    zeroRows("packWindows")(Packing.packWindows(docs, 512, 64))
+    zeroRows("cleanSummary")(CorpusPipeline.cleanSummary(docs))
+    zeroRows("corpusReport")(CorpusPipeline.corpusReport(docs))
+  }
+
+  test("vector operators are total on an empty embedding table") {
+    zeroRows("Search.topK")(Search.topK(emb, "cosine", 10))
+    zeroRows("Ann.lshCosinePairs")(Ann.lshCosinePairs(emb, 0.4))
+    zeroRows("Ann.searchCentroids")(Ann.searchCentroids(emb, "cosine", 5))
+    zeroRows("Clustering.centroids")(
+      Clustering.centroids(emb, col("label"), col("vec_id")))
+    zeroRows("Multimodal.metaSql")(
+      Multimodal.metaSql(Multimodal.fromDocuments(docs)))
+    zeroRows("Multimodal.chunk")(
+      Multimodal.chunk(Multimodal.fromDocuments(docs), 256))
+    zeroRows("imageRoundTripMeta")(Multimodal.imageRoundTripMeta(docs))
+  }
+}
