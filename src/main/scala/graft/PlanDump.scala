@@ -28,7 +28,8 @@ object PlanDump {
       "bm25_search" -> "BM25: the query-term filter applies INSIDE the projection before the explode, so the (doc, term) aggregate — and every downstream shuffle — carries O(docs x |query|) rows, never the token stream; df and corpus stats join as broadcasts; the final top-k is TakeOrderedAndProject, no global sort.",
       "span_dedup" -> "Span dedup: the canonical pick is partial_min(struct(doc_id, block_idx)) — map-side combined BEFORE the exchange on the block digest, so a boilerplate block repeated a billion times ships one row per map task (a window over the digest's occurrence list would shuffle them all); the rebuild groupBy keys on doc_id.",
       "token_budget" -> "Token budget: running sums window on (source, shard) — never a whole source in one task; per-shard totals aggregate map-side into a sources x shards frame whose prefix joins back as a BroadcastHashJoin.",
-      "dedup_incremental" -> "Incremental dedup: history enters only as its distinct digest set (left-semi probe) and its (band, band_key) index — equi-joins sized by the BATCH; only verified candidates' shingle arrays are materialized. At scale both history frames persist once and load per batch.")
+      "dedup_incremental" -> "Incremental dedup: history enters only as its distinct digest set (left-semi probe) and its (band, band_key) index — equi-joins sized by the BATCH; only verified candidates' shingle arrays are materialized. At scale both history frames persist once and load per batch.",
+      "pii_scrub" -> "PII redaction: per-row codegen'd regexp_count/regexp_replace inside one WholeStageCodegen span over the scan — no exchange anywhere before the (contract-only) output sort; scales with input bytes.")
     val sb = new StringBuilder
     sb.append("# Physical plans — flagship queries\n\n")
     sb.append("Generated by `graft.PlanDump` (sf0.01, local[8], AQE on). The\n")
