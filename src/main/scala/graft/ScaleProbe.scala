@@ -100,6 +100,7 @@ object ScaleProbe {
       graft.functions.VectorOps.randomProject(col("embedding"),
         Ann.hyperplanes(8, 64, 7L))).count())
     t("pii_scrub 100k docs")(TextAnalysis.piiScrub(docs).count())
+    t("unigram_surprisal 100k docs")(TextAnalysis.unigramSurprisal(docs).count())
     t("image decode round-trip 100k docs")(
       Multimodal.imageRoundTripMeta(docs).count())
     // the persisted-IVF lifecycle at probe scale: one build+persist,

@@ -201,6 +201,9 @@ object SparkEntry {
     // n-gram novelty vs all lower-id docs (inverted min-index, no doc×doc)
     "doc_novelty" -> ((s, dir) => TextAnalysis.noveltyScores(tbl(s, dir, "documents"))),
     "lang_id" -> ((s, dir) => TextAnalysis.langId(tbl(s, dir, "documents"))),
+    // unigram-LM surprisal (KenLM-filter analogue, self-referenced)
+    "doc_surprisal" -> ((s, dir) =>
+      TextAnalysis.unigramSurprisal(tbl(s, dir, "documents"))),
     // PII scrub over the corpus with deterministic PII injected inline
     // (the synthetic corpus contains none): both engines build the same
     // dirty text, so the counts AND the cleaned-text digest must agree
@@ -977,6 +980,22 @@ object SparkEntry {
            |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
            |FROM cand WHERE bit_count(xor(ha, hb)) <= 3 ORDER BY doc_a, doc_b""".stripMargin
     },
+    // ln rounded at 9 dp per WORD, then exact bounded-decimal arithmetic
+    // (DECIMAL(20,9) × DECIMAL(6,0) → DECIMAL(27,9), no rescale) — the
+    // only transcendental is quantized before any accumulation, so the
+    // fold is order-independent and identical in both engines
+    "doc_surprisal" ->
+      s"""WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents),
+         |tok AS (SELECT doc_id, w, count(*) AS tf FROM w GROUP BY 1, 2),
+         |freq AS (SELECT w, sum(tf) AS cf FROM tok GROUP BY 1),
+         |tot AS (SELECT sum(cf) AS n_total FROM freq),
+         |j AS (SELECT t.doc_id, t.tf,
+         |        CAST(round(-ln(CAST(f.cf AS DOUBLE) / CAST(tot.n_total AS DOUBLE)), 9)
+         |             AS DECIMAL(20,9)) * CAST(t.tf AS DECIMAL(6,0)) AS nl
+         |      FROM tok t JOIN freq f USING (w) CROSS JOIN tot)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_words,
+         |  round(CAST(sum(nl) AS DOUBLE) / sum(tf), 6) AS surprisal
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // same injection, same common-subset regexes (interpolated from
     // TextAnalysis.piiPatterns — one source of truth), same scrub order;
     // DuckDB needs the 'g' flag for replace-all to match Spark

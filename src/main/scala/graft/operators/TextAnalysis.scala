@@ -373,6 +373,48 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Unigram-LM surprisal per document — the bounded analogue of a
+    * KenLM-style language-model quality filter (CCNet/LLaMA pipelines
+    * bucket documents by LM perplexity): score = −Σ tf(w)·ln p(w) / n,
+    * with p(w) the corpus's OWN unigram distribution. High surprisal =
+    * vocabulary the corpus rarely emits (encoding damage, token soup);
+    * unusually low = boilerplate. No external model: the corpus is its
+    * own reference distribution, which is what makes the operator a
+    * pure dataflow (two aggregations and a join).
+    *
+    * Oracle-parity discipline: ln is the only transcendental — its
+    * per-WORD value is rounded at 9 dp once (any engine ulp divergence
+    * dies there), then multiplied by tf and summed ENTIRELY in bounded
+    * decimals — DECIMAL(20,9) × DECIMAL(6,0) → DECIMAL(27,9), exact,
+    * no precision-loss rescale in either engine — so the fold is
+    * order-independent and bit-stable.
+    *
+    * Shape at 100 TB: explode → (doc_id, word) counts with map-side
+    * combine; corpus frequencies aggregate the SAME pre-reduced counts
+    * (never the raw token stream twice); the word-keyed equi-join
+    * carries one row per distinct (doc, word); the final fold keys on
+    * doc_id. Vocabulary can exceed broadcast size at corpus scale, so
+    * the join stays a shuffle equi-join Catalyst may broadcast when
+    * small.
+    */
+  def unigramSurprisal(docs: DataFrame): DataFrame = {
+    val tok = Partitioning.spread(docs)
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      .cache() // feeds the corpus distribution AND the per-doc fold
+    val freq = tok.groupBy(col("w")).agg(sum(col("tf")).as("cf"))
+    val total = freq.agg(sum(col("cf")).as("n_total"))
+    val logp9 = round(-log(col("cf").cast("double") / col("n_total").cast("double")), 9)
+    tok.join(freq, "w")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("tf"),
+        (logp9.cast(DecimalType(20, 9)) * col("tf").cast(DecimalType(6, 0))).as("nl"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_words"),
+        round(sum(col("nl")).cast("double") / sum(col("tf")), 6).as("surprisal"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Stopword list for the quality filter — tiny and fixed, interpolated
     * as literals into both the Spark plan and the oracle SQL.
     */

@@ -172,6 +172,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "bucketing must not use a ranking window")
   }
 
+  test("unigramSurprisal: matches hand-computed −Σ tf·ln p / n, ranks rarity") {
+    // corpus: a×5, b×1, c×1, total 7
+    val d = Seq((1L, "a a a a"), (2L, "a b"), (3L, "c")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramSurprisal(d).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_words"), r.getAs[Double]("surprisal")))
+      .toMap
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val la = r9(-math.log(5.0 / 7.0)); val lb = r9(-math.log(1.0 / 7.0))
+    assert(out(1L) == (4L, r6(la)))
+    assert(out(2L) == (2L, r6((la + lb) / 2)))
+    assert(out(3L) == (1L, r6(lb)))
+    // all-common-words doc scores below the rare-vocabulary doc
+    assert(out(1L)._2 < out(2L)._2 && out(2L)._2 < out(3L)._2)
+  }
+
   test("piiScrub: redacts emails/phones/IPs with typed tokens, counts match") {
     val d = Seq(
       (1L, "mail a.user+tag@sub.example.org or b@x.io then call 415-555-0123 done"),
