@@ -71,6 +71,11 @@ object Ann {
     * mismatch errors loudly: VecDot would return null, `when` would fall
     * to 0 for every plane, and ALL rows would silently share bucket 0 —
     * degenerating the "sub-quadratic" join into the full n² product.
+    * A NULL embedding is different from a wrong-dim one — it is missing
+    * data, not a schema bug — and maps to a NULL bucket: null join keys
+    * match nothing, so the row simply contributes no candidate pairs
+    * instead of killing a corpus-scale job (and instead of raising an
+    * error whose concat'd message is itself null).
     */
   def signBucket(v: Column, planes: Array[Array[Double]]): Column = {
     require(planes.nonEmpty && planes.length <= 31,
@@ -80,9 +85,11 @@ object Ann {
       when(VectorOps.dotProduct(v, typedLit(p.toSeq)) >= 0d, lit(1 << i))
         .otherwise(lit(0))
     }.reduce(_ + _)
-    when(size(v) === dim, raw).otherwise(raise_error(
-      concat(lit("signBucket: embedding dim "), size(v).cast("string"),
-        lit(s" != plane dim $dim"))))
+    when(v.isNull, lit(null).cast("int"))
+      .when(size(v) === dim, raw)
+      .otherwise(raise_error(
+        concat(lit("signBucket: embedding dim "), size(v).cast("string"),
+          lit(s" != plane dim $dim"))))
   }
 
   /** LSH-bucketed near-dup pairs over embeddings: sign-random-projection

@@ -50,7 +50,15 @@ object Dedup {
     out.toArray(new Array[String](out.size)).toSeq
   }
 
-  def shingleArray(text: Column, n: Int = 3): Column = shingleUdf(n)(words(text))
+  /** Null-safe: a NULL text shingles to the EMPTY set — the row then
+    * drops out of every candidate path via the existing
+    * `size(sh) >= 1` guards (missing content cannot be a duplicate of
+    * anything), instead of NPE-ing the shingle UDF and killing a
+    * corpus-scale job over one bad row.
+    */
+  def shingleArray(text: Column, n: Int = 3): Column =
+    when(text.isNull, typedLit(Seq.empty[String]))
+      .otherwise(shingleUdf(n)(words(text)))
 
   /** Distinct 3-word shingles per document: (doc_id, shingle).
     * Repartitioned first: single-file local sources arrive as one
@@ -709,11 +717,15 @@ object Dedup {
   }
 
   /** Per-document 62-bit SimHash (per-row; repartitioned so the hash
-    * work parallelizes even from a single-file source).
+    * work parallelizes even from a single-file source). Null-safe: a
+    * NULL text gets a NULL simhash — its block join keys are null, so
+    * it matches no candidate pair downstream.
     */
   def simhash(docs: DataFrame): DataFrame =
     Partitioning.spread(docs)
-      .select(col("doc_id"), simhashUdf(words(col("text"))).as("simhash"))
+      .select(col("doc_id"),
+        when(col("text").isNull, lit(null).cast("long"))
+          .otherwise(simhashUdf(words(col("text")))).as("simhash"))
       .orderBy(col("doc_id"))
 
   /** SimHash near-dup pairs, hamming ≤ maxDist (≤3 with the 4-block
