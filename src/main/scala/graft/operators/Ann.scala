@@ -28,6 +28,7 @@ object Ann {
       .select(col("label"), col("n_members"),
         round(VectorOps.similarity(metric)(col("centroid"), col("q_embedding")), 6)
           .as("score"))
+      .filter(Search.rankable(col("score")))
       .orderBy(col("score").desc, col("label").asc)
       .limit(k)
   }
@@ -44,6 +45,7 @@ object Ann {
       .select(col("vec_id"), col("label"),
         round(VectorOps.similarity(metric)(col("embedding"), col("q_embedding")), 6)
           .as("score"))
+      .filter(Search.rankable(col("score")))
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(k)
   }

@@ -105,6 +105,7 @@ object KMeansIndex {
     index.assigned
       .join(broadcast(probes), "cell")
       .withColumn("score", round(VectorOps.cosineSimilarity(col("embedding"), q), 6))
+      .filter(Search.rankable(col("score")))
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(topK)
       .select(col("vec_id"), col("cell"), col("score"))
@@ -140,6 +141,7 @@ object KMeansIndex {
       .select(col("query_id"), col("vec_id"),
         round(VectorOps.cosineSimilarity(col("embedding"), col("q_embedding")), 6)
           .as("score"))
+      .filter(Search.rankable(col("score")))
     scored.groupBy(col("query_id"))
       .agg(topk(col("vec_id"), col("score")).as("nn"))
       .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "p")))
@@ -249,6 +251,7 @@ object KMeansIndex {
     readCells(spark, path)
       .filter(col("cell").isin(probeCells.map(Int.box): _*))
       .withColumn("score", round(VectorOps.cosineSimilarity(col("embedding"), q), 6))
+      .filter(Search.rankable(col("score")))
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(topK)
       .select(col("vec_id"), col("cell"), col("score"))

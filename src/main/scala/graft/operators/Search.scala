@@ -29,6 +29,17 @@ object Search {
     emb.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_embedding"))
 
+  /** A score that can participate in a ranking: non-null (a NULL
+    * embedding scores null) and non-NaN (a corrupt value anywhere in a
+    * vector propagates NaN through the dot product). Spark's ordering
+    * puts NaN ABOVE every real double, so without this guard ONE
+    * poisoned row in 100 TB would sit at rank 1 of every descending
+    * top-k in the corpus; nulls would ride along under `limit` whenever
+    * candidates < k. Every ranking path filters on it.
+    */
+  private[operators] def rankable(score: org.apache.spark.sql.Column) =
+    score.isNotNull && !isnan(score)
+
   /** Top-k most-similar vectors to the query — `vector_field.py:291-326`
     * with no filters. Output: (vec_id, score) sorted by score desc.
     */
@@ -37,6 +48,7 @@ object Search {
       .select(col("vec_id"),
         round(VectorOps.similarity(metric)(col("embedding"), col("q_embedding")), 6)
           .as("score"))
+      .filter(rankable(col("score")))
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(k)
 
@@ -60,6 +72,7 @@ object Search {
       .select(col("vec_id"), col("glyph_id"), col("outer_context_id"),
         round(VectorOps.similarity(metric)(col("embedding"), col("q_embedding")), 6)
           .as("score"))
+      .filter(rankable(col("score")))
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(k)
   }
@@ -111,6 +124,7 @@ object Search {
         round(VectorOps.similarity(metric)(col("embedding"), col("q_embedding")), 6)
           .as("score"))
     scored
+      .filter(rankable(col("score")))
       .groupBy(col("query_id"))
       .agg(topk(col("neighbor_id"), col("score")).as("nn"))
       .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "p")))

@@ -76,12 +76,32 @@ class NullInputSpec extends AnyFunSuite {
   }
 
   test("vector operators survive a null-embedding row") {
-    total("Search.topK")(Search.topK(emb, "cosine", 5).count())
+    // queryId = 1 — the fixture's real vector (queryId 0 would make the
+    // search vacuously empty)
+    total("Search.topK")(Search.topK(emb, "cosine", 5, queryId = 1L).count())
     total("Ann.lshCosinePairs")(Ann.lshCosinePairs(emb, 0.1).count())
     total("Dedup.embeddingNearDup")(Dedup.embeddingNearDup(emb, 0.5).count())
-    // null scores must never outrank real ones in a top-k
-    val top = Search.topK(emb, "cosine", 5).collect()
+    // the null-embedding row must DROP from the ranking, not ride along
+    // as a null score under limit
+    val top = Search.topK(emb, "cosine", 5, queryId = 1L).collect()
+    assert(top.nonEmpty && top.length == 2, s"expected the 2 real rows, got ${top.length}")
     assert(top.forall(r => !r.isNullAt(r.fieldIndex("score"))),
       "top-k must not contain null scores")
+  }
+
+  test("a NaN-poisoned embedding never reaches rank 1 of a top-k") {
+    val poisoned = Seq(
+      (1L, Array.tabulate(64)(i => if (i == 0) 1f else 0f), 0),
+      (2L, Array.tabulate(64)(i => if (i == 0) Float.NaN else 0f), 1),
+      (3L, Array.tabulate(64)(i => if (i < 2) 1f else 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    // Spark orders NaN ABOVE every real double: without the rankable
+    // guard vec 2 would sit at rank 1 of every descending top-k
+    val top = Search.topK(poisoned, "cosine", 3, queryId = 1L).collect()
+    assert(top.map(_.getLong(0)).toSeq == Seq(1L, 3L),
+      s"NaN row must drop, got ${top.map(_.getLong(0)).toSeq}")
+    val knn = Search.knnJoin(poisoned, "cosine", 2, 2).collect()
+    assert(knn.forall(r => !r.getDouble(r.fieldIndex("score")).isNaN),
+      "knnJoin must not rank NaN scores")
   }
 }
