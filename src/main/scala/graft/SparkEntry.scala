@@ -507,6 +507,20 @@ object SparkEntry {
       operators.Multimodal.chunk(operators.Multimodal.fromDocuments(tbl(s, dir, "documents")), 256)
         .select(col("media_id"), col("chunk_idx"), col("chunk_bytes"))
         .orderBy(col("media_id"), col("chunk_idx"))),
+    // decode → nearest-neighbor resample → re-encode; pix_sum reads the
+    // RESIZED raster back, and the oracle replays it per-pixel from the
+    // seed formula — wrong source-pixel mapping breaks the hash
+    "multimodal_resize" -> ((s, dir) =>
+      operators.Multimodal.imageResizeMeta(tbl(s, dir, "documents"))),
+    // container parse + per-frame real decode: every 2nd frame of a
+    // GVID (length-prefixed BMP) container; dims + container size are
+    // closed-form for the oracle
+    "multimodal_frames" -> ((s, dir) =>
+      operators.Multimodal.videoFrameSample(tbl(s, dir, "documents"))),
+    // feature extraction: per-channel pixel sums over the decoded
+    // raster; oracle replays the seed formula per (x, y) in SQL
+    "multimodal_features" -> ((s, dir) =>
+      operators.Multimodal.imageChannelStats(tbl(s, dir, "documents"))),
     // §2.2/§2.3 facade integration: embeddings → VectorFieldDB →
     // autoClusterPhi(ctx=3) → per-band pglyph summary. Oracle-checked:
     // pglyph UUIDs are generated, but the reported (tag, size, inertia)
@@ -1579,6 +1593,50 @@ object SparkEntry {
          |  CAST(8 + doc_id % 16 AS INT) AS width,
          |  CAST(8 + (doc_id // 16) % 16 AS INT) AS height,
          |  3 AS channels
-         |FROM documents ORDER BY media_id""".stripMargin
+         |FROM documents ORDER BY media_id""".stripMargin,
+    // the oracle replays the resample per destination pixel: the pixel
+    // at dst (x,y) came from src (x*sw//12, y*sh//12), whose 24-bit
+    // value is the seed formula — so pix_sum certifies the real
+    // decode+resample touched every pixel; dst_bytes is the closed-form
+    // 24bpp BMP container size for 12x12
+    "multimodal_resize" ->
+      s"""WITH d AS (SELECT doc_id, 8 + doc_id % 16 AS sw, 8 + (doc_id // 16) % 16 AS sh
+         |           FROM documents),
+         |px AS (SELECT doc_id, sw, sh,
+         |         (doc_id * 1103515245 + ((tx.x * sw) // 12) * 31
+         |            + ((ty.y * sh) // 12) * 17) % 16777216 AS pv
+         |       FROM d CROSS JOIN range(12) tx(x) CROSS JOIN range(12) ty(y))
+         |SELECT doc_id AS media_id,
+         |  CAST(MAX(sw) AS INT) AS src_width, CAST(MAX(sh) AS INT) AS src_height,
+         |  CAST(12 AS INT) AS dst_width, CAST(12 AS INT) AS dst_height,
+         |  CAST(54 + ((24*12 + 31) // 32) * 4 * 12 AS BIGINT) AS dst_bytes,
+         |  CAST(SUM(pv) AS BIGINT) AS pix_sum
+         |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin,
+    // container layout is deterministic: 3 + id%3 frames, frame i
+    // seeded id*37+i with the shared dim formula; sampled = even idx
+    "multimodal_frames" ->
+      s"""WITH d AS (SELECT doc_id, unnest(range(3 + CAST(doc_id % 3 AS INT))) AS i
+         |           FROM documents),
+         |f AS (SELECT doc_id, i, doc_id * 37 + i AS seed FROM d WHERE i % 2 = 0),
+         |g AS (SELECT doc_id, i, 8 + seed % 16 AS fw, 8 + (seed // 16) % 16 AS fh FROM f)
+         |SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+         |  CAST(fw AS INT) AS width, CAST(fh AS INT) AS height,
+         |  CAST(54 + ((24*fw + 31) // 32) * 4 * fh AS BIGINT) AS frame_bytes
+         |FROM g ORDER BY media_id, frame_idx""".stripMargin,
+    // per-pixel replay of the seed formula over the source dims; the
+    // Spark side sums channels from the DECODED raster
+    "multimodal_features" ->
+      s"""WITH d AS (SELECT doc_id, 8 + doc_id % 16 AS sw, 8 + (doc_id // 16) % 16 AS sh
+         |           FROM documents),
+         |px AS (SELECT doc_id, sw, sh,
+         |         (doc_id * 1103515245 + tx.x * 31 + ty.y * 17) % 16777216 AS pv
+         |       FROM d CROSS JOIN range(23) tx(x) CROSS JOIN range(23) ty(y)
+         |       WHERE tx.x < sw AND ty.y < sh)
+         |SELECT doc_id AS media_id,
+         |  CAST(MAX(sw) AS INT) AS width, CAST(MAX(sh) AS INT) AS height,
+         |  CAST(SUM(pv // 65536) AS BIGINT) AS sum_r,
+         |  CAST(SUM((pv // 256) % 256) AS BIGINT) AS sum_g,
+         |  CAST(SUM(pv % 256) AS BIGINT) AS sum_b
+         |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin
   )
 }

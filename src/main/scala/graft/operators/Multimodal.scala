@@ -131,40 +131,212 @@ object Multimodal {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { it =>
-      // per-partition codec init, for real: ImageIO's convenience API
-      // (ImageIO.read/write) builds and disposes a reader/writer pair
-      // per CALL — at millions of images per partition that churn
-      // dominates tiny-image decode, so one pair is hoisted here and
-      // reused for every record, disposed when the iterator drains
-      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("bmp").next()
-      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("bmp").next()
-      var disposed = false
-      val rows = it.map { id =>
-        val w = 8 + (id % 16).toInt
-        val h = 8 + ((id / 16) % 16).toInt
-        val bos = new java.io.ByteArrayOutputStream()
-        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
-        writer.setOutput(ios)
-        writer.write(fillImage(w, h, id))
-        ios.close()
-        val bytes = bos.toByteArray
-        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        reader.setInput(iis)
-        val img = reader.read(0) // full raster decode — the measured work
-        iis.close()
-        (id, bytes.length.toLong, img.getWidth, img.getHeight,
-          img.getRaster.getNumBands)
-      }
-      new Iterator[(Long, Long, Int, Int, Int)] {
-        def hasNext: Boolean = {
-          val h = rows.hasNext
-          if (!h && !disposed) { disposed = true; reader.dispose(); writer.dispose() }
-          h
-        }
-        def next(): (Long, Long, Int, Int, Int) = rows.next()
+      flatMapWithCodecs(it) { (writer, reader, id) =>
+        val (w, h) = seededDims(id)
+        val bytes = encodeWith(writer, fillImage(w, h, id))
+        val img = decodeWith(reader, bytes)
+        Iterator.single((id, bytes.length.toLong, img.getWidth, img.getHeight,
+          img.getRaster.getNumBands))
       }
     }.toDF("media_id", "n_bytes", "width", "height", "channels")
+      .orderBy(col("media_id"))
+  }
+
+  /** Per-partition codec hoisting, shared by every real-decode operator:
+    * ImageIO's convenience API (ImageIO.read/write) builds and disposes a
+    * reader/writer pair per CALL — at millions of images per partition
+    * that churn dominates tiny-image decode, so one pair is hoisted per
+    * partition, reused for every record, and disposed when the record
+    * iterator drains.
+    */
+  private def flatMapWithCodecs[T, U](it: Iterator[T])(
+      f: (javax.imageio.ImageWriter, javax.imageio.ImageReader, T) => IterableOnce[U]): Iterator[U] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("bmp").next()
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("bmp").next()
+    var disposed = false
+    val rows = it.flatMap(t => f(writer, reader, t))
+    new Iterator[U] {
+      def hasNext: Boolean = {
+        val h = rows.hasNext
+        if (!h && !disposed) { disposed = true; reader.dispose(); writer.dispose() }
+        h
+      }
+      def next(): U = rows.next()
+    }
+  }
+
+  private def encodeWith(writer: javax.imageio.ImageWriter,
+      img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(img)
+    ios.close()
+    bos.toByteArray
+  }
+
+  private def decodeWith(reader: javax.imageio.ImageReader,
+      bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    reader.setInput(iis)
+    val img = reader.read(0) // full raster decode — the measured work
+    iis.close()
+    img
+  }
+
+  /** Source dims for the seeded fixture image of a given id — shared by
+    * the round-trip, resize, frame and feature contract paths (and
+    * replayed closed-form by their oracles).
+    */
+  private def seededDims(id: Long): (Int, Int) =
+    (8 + (id % 16).toInt, 8 + ((id / 16) % 16).toInt)
+
+  /** Thumbnail resize (decode → nearest-neighbor resample → re-encode) —
+    * the standard media-pipeline normalization step. The resample uses
+    * explicit integer mapping `src = dst·srcDim/dstDim` (floor), so the
+    * resized raster is bit-deterministic, and `pix_sum` — the sum of the
+    * 24-bit pixel values read back from the RESIZED image — is replayable
+    * in closed form from the seed formula: an oracle that knows the seed
+    * can verify the decode+resample actually touched every pixel without
+    * being able to decode images itself. Real codec + raster work per
+    * row; per-partition reader/writer reuse; no shuffle.
+    */
+  def imageResizeMeta(docs: DataFrame, dstW: Int = 12, dstH: Int = 12): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      flatMapWithCodecs(it) { (writer, reader, id) =>
+        val (sw, sh) = seededDims(id)
+        val src = decodeWith(reader, encodeWith(writer, fillImage(sw, sh, id)))
+        val dst = new java.awt.image.BufferedImage(
+          dstW, dstH, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var y = 0
+        while (y < dstH) {
+          var x = 0
+          while (x < dstW) {
+            dst.setRGB(x, y, src.getRGB(x * sw / dstW, y * sh / dstH) & 0xffffff)
+            x += 1
+          }
+          y += 1
+        }
+        // checksum reads back from the RESIZED raster — a resample that
+        // wrote nothing (or sampled the wrong source pixel) breaks it
+        var pixSum = 0L
+        y = 0
+        while (y < dstH) {
+          var x = 0
+          while (x < dstW) { pixSum += dst.getRGB(x, y) & 0xffffff; x += 1 }
+          y += 1
+        }
+        val dstBytes = encodeWith(writer, dst)
+        Iterator.single((id, sw, sh, dstW, dstH, dstBytes.length.toLong, pixSum))
+      }
+    }.toDF("media_id", "src_width", "src_height", "dst_width", "dst_height",
+        "dst_bytes", "pix_sum")
+      .orderBy(col("media_id"))
+  }
+
+  /** Deterministic multi-frame container parameters, shared with the
+    * frame-sample oracle: `3 + id%3` frames, frame i seeded `id·37 + i`.
+    */
+  private def frameCount(id: Long): Int = 3 + (id % 3).toInt
+  private def frameSeed(id: Long, i: Int): Long = id * 37 + i
+
+  /** Build a deterministic video-like container for an id: magic `GVID`,
+    * big-endian frame count, then length-prefixed BMP frames — the shape
+    * a real container format (MP4/AVI) presents to a frame sampler:
+    * opaque bytes whose frame boundaries must be walked, not guessed.
+    */
+  def encodeVideo(writer: javax.imageio.ImageWriter, id: Long): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    val n = frameCount(id)
+    out.writeBytes("GVID")
+    out.writeInt(n)
+    var i = 0
+    while (i < n) {
+      val seed = frameSeed(id, i)
+      val (fw, fh) = seededDims(seed)
+      val frame = encodeWith(writer, fillImage(fw, fh, seed))
+      out.writeInt(frame.length)
+      out.write(frame)
+      i += 1
+    }
+    out.close()
+    bos.toByteArray
+  }
+
+  /** Frame sampling over a video-like container: parse the container
+    * (magic + count + length-prefixed frames), keep every `stride`-th
+    * frame, REAL-decode each kept frame, emit its raster dims. The
+    * container is built and then re-parsed from its serialized bytes, so
+    * the boundary arithmetic is exercised for real — a parser that
+    * mis-walks the length prefixes lands on undecodable bytes and fails
+    * loudly. One row per sampled frame; per-partition codec reuse; no
+    * shuffle.
+    */
+  def videoFrameSample(docs: DataFrame, stride: Int = 2): DataFrame = {
+    require(stride >= 1, s"videoFrameSample: stride must be >= 1, got $stride")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      flatMapWithCodecs(it) { (writer, reader, id) =>
+        val container = encodeVideo(writer, id)
+        val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(container))
+        val magic = new Array[Byte](4)
+        in.readFully(magic)
+        require(new String(magic, "US-ASCII") == "GVID",
+          s"videoFrameSample: bad container magic for media $id")
+        val n = in.readInt()
+        val rows = Vector.newBuilder[(Long, Int, Int, Int, Long)]
+        var i = 0
+        while (i < n) {
+          val len = in.readInt()
+          val frame = new Array[Byte](len)
+          in.readFully(frame)
+          if (i % stride == 0) {
+            val img = decodeWith(reader, frame)
+            rows += ((id, i, img.getWidth, img.getHeight, len.toLong))
+          }
+          i += 1
+        }
+        rows.result()
+      }
+    }.toDF("media_id", "frame_idx", "width", "height", "frame_bytes")
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  /** Feature extraction over the decoded raster: per-channel pixel sums
+    * (the 0th-moment color feature a vision pipeline starts from). Sums
+    * are read from the DECODED image pixel by pixel, so the oracle —
+    * which replays the seed formula per (x, y) in SQL — verifies that
+    * real per-pixel raster work happened. Integer sums, bit-stable in
+    * both engines; no shuffle.
+    */
+  def imageChannelStats(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      flatMapWithCodecs(it) { (writer, reader, id) =>
+        val (w, h) = seededDims(id)
+        val img = decodeWith(reader, encodeWith(writer, fillImage(w, h, id)))
+        var sumR = 0L; var sumG = 0L; var sumB = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = img.getRGB(x, y)
+            sumR += (v >> 16) & 0xff
+            sumG += (v >> 8) & 0xff
+            sumB += v & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        Iterator.single((id, w, h, sumR, sumG, sumB))
+      }
+    }.toDF("media_id", "width", "height", "sum_r", "sum_g", "sum_b")
       .orderBy(col("media_id"))
   }
 

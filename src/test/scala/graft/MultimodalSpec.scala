@@ -75,6 +75,59 @@ class MultimodalSpec extends AnyFunSuite {
     assert(viaSql.toSeq == viaMp.toSeq)
   }
 
+  /** Reference pixel value at (x, y) of the seeded fixture image — the
+    * same closed form the SQL oracles replay.
+    */
+  private def pix(seed: Long, x: Int, y: Int): Long =
+    (seed * 1103515245L + x * 31L + y * 17L) & 0xffffff
+
+  test("imageResizeMeta: nearest-neighbor resample, checksum from the resized raster") {
+    val docs = Seq((5L, "a"), (100L, "b"), (255L, "c")).toDF("doc_id", "text")
+    val out = Multimodal.imageResizeMeta(docs, dstW = 12, dstH = 12).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("src_width"),
+        r.getAs[Int]("src_height"), r.getAs[Int]("dst_width"),
+        r.getAs[Int]("dst_height"), r.getAs[Long]("dst_bytes"),
+        r.getAs[Long]("pix_sum")))
+    def expected(id: Long) = {
+      val sw = 8 + (id % 16).toInt; val sh = 8 + ((id / 16) % 16).toInt
+      val sum = (for { y <- 0 until 12; x <- 0 until 12 }
+        yield pix(id, x * sw / 12, y * sh / 12)).sum
+      (id, sw, sh, 12, 12, (54 + ((24 * 12 + 31) / 32) * 4 * 12).toLong, sum)
+    }
+    assert(out.toSeq == Seq(5L, 100L, 255L).map(expected))
+  }
+
+  test("videoFrameSample: container walk + per-frame real decode") {
+    // ids 0,1,2 → 3,4,5 frames; stride 2 keeps idx {0,2}, {0,2}, {0,2,4}
+    val docs = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("doc_id", "text")
+    val out = Multimodal.videoFrameSample(docs, stride = 2).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("frame_idx"),
+        r.getAs[Int]("width"), r.getAs[Int]("height"), r.getAs[Long]("frame_bytes")))
+    def expected(id: Long, i: Int) = {
+      val seed = id * 37 + i
+      val fw = 8 + (seed % 16).toInt; val fh = 8 + ((seed / 16) % 16).toInt
+      (id, i, fw, fh, (54 + ((24 * fw + 31) / 32) * 4 * fh).toLong)
+    }
+    val want = Seq((0L, 0), (0L, 2), (1L, 0), (1L, 2), (2L, 0), (2L, 2), (2L, 4))
+      .map { case (id, i) => expected(id, i) }
+    assert(out.toSeq == want)
+  }
+
+  test("imageChannelStats: channel sums from the decoded raster match the seed formula") {
+    val docs = Seq((7L, "a"), (42L, "b")).toDF("doc_id", "text")
+    val out = Multimodal.imageChannelStats(docs).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("width"),
+        r.getAs[Int]("height"), r.getAs[Long]("sum_r"), r.getAs[Long]("sum_g"),
+        r.getAs[Long]("sum_b")))
+    def expected(id: Long) = {
+      val w = 8 + (id % 16).toInt; val h = 8 + ((id / 16) % 16).toInt
+      val vs = for { y <- 0 until h; x <- 0 until w } yield pix(id, x, y)
+      (id, w, h, vs.map(v => (v >> 16) & 0xff).sum,
+        vs.map(v => (v >> 8) & 0xff).sum, vs.map(_ & 0xff).sum)
+    }
+    assert(out.toSeq == Seq(7L, 42L).map(expected))
+  }
+
   test("chunk: fixed-size slices reassemble to original length") {
     val out = Multimodal.chunk(media.toDS().toDF(), 256)
       .groupBy("media_id").agg(sum("chunk_bytes").as("total"), count(lit(1)).as("n"))
