@@ -521,6 +521,10 @@ object SparkEntry {
     // raster; oracle replays the seed formula per (x, y) in SQL
     "multimodal_features" -> ((s, dir) =>
       operators.Multimodal.imageChannelStats(tbl(s, dir, "documents"))),
+    // audio: RIFF/WAVE parse via javax.sound.sampled + PCM signal
+    // features; oracle replays the sample formula per index
+    "multimodal_audio" -> ((s, dir) =>
+      operators.Multimodal.audioFeatures(tbl(s, dir, "documents"))),
     // §2.2/§2.3 facade integration: embeddings → VectorFieldDB →
     // autoClusterPhi(ctx=3) → per-band pglyph summary. Oracle-checked:
     // pglyph UUIDs are generated, but the reported (tag, size, inertia)
@@ -1637,6 +1641,21 @@ object SparkEntry {
          |  CAST(SUM(pv // 65536) AS BIGINT) AS sum_r,
          |  CAST(SUM((pv // 256) % 256) AS BIGINT) AS sum_g,
          |  CAST(SUM(pv % 256) AS BIGINT) AS sum_b
-         |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin
+         |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin,
+    // 400 + id%16*50 mono samples at 8 kHz; container = 44-byte RIFF
+    // header + 2 bytes per sample; sample i is the Knuth-hash stream
+    // shifted to signed 16-bit. rms = one IEEE divide + sqrt over exact
+    // integers — correctly rounded identically in both engines
+    "multimodal_audio" ->
+      s"""WITH d AS (SELECT doc_id, 400 + CAST(doc_id % 16 AS INT) * 50 AS n FROM documents),
+         |s AS (SELECT doc_id, n, ((doc_id * 2654435761 + t.i * 40503) % 65536) - 32768 AS v
+         |      FROM d CROSS JOIN range(1150) t(i) WHERE t.i < n)
+         |SELECT doc_id AS media_id, CAST(8000 AS INT) AS sample_rate,
+         |  CAST(MAX(n) AS BIGINT) AS n_samples,
+         |  CAST(44 + 2 * MAX(n) AS BIGINT) AS n_bytes,
+         |  CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+         |  CAST(MAX(ABS(v)) AS INT) AS peak,
+         |  sqrt(CAST(SUM(v * v) AS DOUBLE) / MAX(n)) AS rms
+         |FROM s GROUP BY doc_id ORDER BY media_id""".stripMargin
   )
 }

@@ -340,6 +340,79 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Deterministic audio fixture parameters, shared with the audio
+    * oracle: `400 + id%16·50` mono samples at 8 kHz, sample i drawn from
+    * a Knuth-hash stream shifted into signed 16-bit range.
+    */
+  private def audioSampleCount(id: Long): Int = 400 + (id % 16).toInt * 50
+  private def audioSampleAt(seed: Long, i: Int): Int =
+    (((seed * 2654435761L + i * 40503L) % 65536L) - 32768L).toInt
+
+  /** Serialize the seeded fixture signal as a canonical RIFF/WAVE
+    * container (44-byte header + 16-bit PCM LE frames) — written field
+    * by field from the public spec, so the parser below exercises a real
+    * third-party decode, not a private round trip.
+    */
+  def encodeWav(id: Long): Array[Byte] = {
+    val n = audioSampleCount(id)
+    val dataBytes = 2 * n
+    val buf = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(8000) // sample rate
+      .putInt(16000) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    var i = 0
+    while (i < n) { buf.putShort(audioSampleAt(id, i).toShort); i += 1 }
+    buf.array()
+  }
+
+  /** Audio feature extraction: parse the WAV container with the JDK's
+    * `javax.sound.sampled` codec (real RIFF chunk walk + PCM frame
+    * reads — not our own parser), then compute signal features from the
+    * decoded samples: sum of squares, peak amplitude, RMS. The oracle
+    * replays the sample formula per index in SQL, so a parser that
+    * misreads the format block or drops frames breaks the hash. Integer
+    * features are bit-stable; `rms` is one IEEE-correctly-rounded
+    * divide + sqrt over exact integers, identical in both engines. Per
+    * row, no shuffle.
+    */
+  def audioFeatures(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val bytes = encodeWav(id)
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+          s"audioFeatures: unexpected decoded format for media $id: $fmt")
+        val pcm = ais.readAllBytes()
+        ais.close()
+        val n = pcm.length / 2
+        var sumSq = 0L; var peak = 0
+        var i = 0
+        while (i < n) {
+          val v = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
+          sumSq += v.toLong * v
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          i += 1
+        }
+        (id, fmt.getSampleRate.toInt, n.toLong, bytes.length.toLong, sumSq, peak,
+          math.sqrt(sumSq.toDouble / n))
+      }
+    }.toDF("media_id", "sample_rate", "n_samples", "n_bytes", "sum_sq", "peak", "rms")
+      .orderBy(col("media_id"))
+  }
+
   /** Pure-SQL metadata projection (no decode): byte length + digest +
     * the same deterministic fake dimensions — oracle-checkable shape.
     */

@@ -128,6 +128,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(7L, 42L).map(expected))
   }
 
+  test("audioFeatures: javax.sound parse of the RIFF container matches the sample formula") {
+    val docs = Seq((3L, "a"), (18L, "b")).toDF("doc_id", "text")
+    val out = Multimodal.audioFeatures(docs).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("sample_rate"),
+        r.getAs[Long]("n_samples"), r.getAs[Long]("n_bytes"),
+        r.getAs[Long]("sum_sq"), r.getAs[Int]("peak"), r.getAs[Double]("rms")))
+    def expected(id: Long) = {
+      val n = 400 + (id % 16).toInt * 50
+      val vs = (0 until n).map(i => (((id * 2654435761L + i * 40503L) % 65536L) - 32768L).toInt)
+      val sumSq = vs.map(v => v.toLong * v).sum
+      (id, 8000, n.toLong, (44 + 2 * n).toLong, sumSq, vs.map(math.abs).max,
+        math.sqrt(sumSq.toDouble / n))
+    }
+    assert(out.toSeq == Seq(3L, 18L).map(expected))
+    // a corrupt container fails loudly, not with fake features
+    val wav = Multimodal.encodeWav(3L)
+    wav(0) = 'X'.toByte
+    val ex = intercept[Exception] {
+      javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+    }
+    assert(ex.isInstanceOf[javax.sound.sampled.UnsupportedAudioFileException])
+  }
+
   test("chunk: fixed-size slices reassemble to original length") {
     val out = Multimodal.chunk(media.toDS().toDF(), 256)
       .groupBy("media_id").agg(sum("chunk_bytes").as("total"), count(lit(1)).as("n"))
