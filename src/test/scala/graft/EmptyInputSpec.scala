@@ -89,5 +89,9 @@ class EmptyInputSpec extends AnyFunSuite {
     zeroRows("Multimodal.chunk")(
       Multimodal.chunk(Multimodal.fromDocuments(docs), 256))
     zeroRows("imageRoundTripMeta")(Multimodal.imageRoundTripMeta(docs))
+    zeroRows("imageResizeMeta")(Multimodal.imageResizeMeta(docs))
+    zeroRows("videoFrameSample")(Multimodal.videoFrameSample(docs))
+    zeroRows("imageChannelStats")(Multimodal.imageChannelStats(docs))
+    zeroRows("audioFeatures")(Multimodal.audioFeatures(docs))
   }
 }
