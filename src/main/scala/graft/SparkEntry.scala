@@ -190,6 +190,13 @@ object SparkEntry {
     // north-star: text analysis (documents table)
     "text_stats" -> ((s, dir) => TextAnalysis.textStats(tbl(s, dir, "documents"))),
     "doc_quality" -> ((s, dir) => TextAnalysis.qualityFlags(tbl(s, dir, "documents"))),
+    // Gopher-style looping-text signal: fraction of trigram INSTANCES
+    // belonging to a trigram that repeats within the doc
+    "doc_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(tbl(s, dir, "documents"))),
+    // cross-source contamination matrix over distinct shingle sets
+    "source_overlap" -> ((s, dir) =>
+      TextAnalysis.sourceOverlap(tbl(s, dir, "documents"))),
     "token_percentiles" -> ((s, dir) => TextAnalysis.sizePercentiles(tbl(s, dir, "documents"))),
     // quality-curriculum quartiles: broadcast percentile thresholds +
     // narrow when-chain — never an ntile() global ranking window
@@ -1183,6 +1190,37 @@ object SparkEntry {
          |FROM wa LEFT JOIN ba ON wa.doc_id = ba.doc_id
          |  JOIN ca ON wa.doc_id = ca.doc_id
          |ORDER BY wa.doc_id""".stripMargin,
+    // trigrams with MULTIPLICITY (no list_distinct) — the repetition
+    // signal counts instances, unlike the dedup shingle CTE
+    "doc_repetition" ->
+      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+         |gi AS (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+         |                              for i in range(1, len(ws)-1)]) AS g
+         |       FROM w WHERE len(ws) >= 3),
+         |c AS (SELECT doc_id, g, count(*) AS c FROM gi GROUP BY doc_id, g),
+         |a AS (SELECT doc_id, sum(c) AS n_grams, count(*) AS n_distinct,
+         |             sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_i
+         |      FROM c GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(n_distinct, 0) AS BIGINT) AS n_distinct,
+         |  CASE WHEN coalesce(n_grams, 0) = 0 THEN 0.0
+         |       ELSE round(dup_i::DOUBLE / n_grams, 6) END AS dup_gram_frac
+         |FROM documents d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    "source_overlap" ->
+      s"""WITH w AS (SELECT source, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+         |sh AS (SELECT DISTINCT source, shingle FROM (
+         |         SELECT source, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+         |                                for i in range(1, len(ws)-1)]) AS shingle
+         |         FROM w WHERE len(ws) >= 3) t),
+         |sz AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+         |p AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared
+         |      FROM sh a JOIN sh b USING (shingle) WHERE a.source < b.source
+         |      GROUP BY 1, 2)
+         |SELECT source_a, source_b, CAST(shared AS BIGINT) AS shared,
+         |  CAST(x.n AS BIGINT) AS n_a, CAST(y.n AS BIGINT) AS n_b,
+         |  round(shared::DOUBLE / (x.n + y.n - shared), 6) AS jaccard
+         |FROM p JOIN sz x ON x.source = p.source_a JOIN sz y ON y.source = p.source_b
+         |ORDER BY source_a, source_b""".stripMargin,
     "pipeline_clean_corpus" ->
       s"""WITH RECURSIVE $qualityCtes,
          |qk AS (SELECT wa.doc_id FROM wa LEFT JOIN ba ON wa.doc_id = ba.doc_id

@@ -498,4 +498,79 @@ object TextAnalysis {
           col("stop_c") >= 1L).as("keep"))
       .orderBy(col("doc_id"))
   }
+
+  /** Gopher-style intra-document repetition signal (Rae et al. 2021
+    * §A1.1 "fraction of characters in duplicate n-grams"), restated on
+    * word-trigram INSTANCES: the fraction of a document's trigram
+    * occurrences that belong to a trigram appearing more than once in
+    * that document. Complements [[qualityFlags]] — `top_word_frac` /
+    * `top_bigram_frac` catch one dominant term, this catches looping
+    * passages whose individual grams each repeat only a few times.
+    *
+    * Trigrams keep multiplicity (a zip of the word array with its two
+    * shifted selves — one codegen'd pass, no self-join, unlike the
+    * DISTINCT shingles the dedup paths use). Shape at 100 TB: explode →
+    * two-level aggregation with map-side combine on (doc_id, gram);
+    * both shuffles key on doc-bearing tuples, so skew is bounded by
+    * document length, not corpus size.
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val d = Partitioning.spread(docs)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+    val m = size(col("ws")) - 2
+    val tri = zip_with(
+      zip_with(slice(col("ws"), lit(1), m), slice(col("ws"), lit(2), m),
+        (a, b) => concat(a, lit(" "), b)),
+      slice(col("ws"), lit(3), m), (ab, c) => concat(ab, lit(" "), c))
+    val agg = d.filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(tri).as("g"))
+      .groupBy("doc_id", "g").count()
+      .groupBy("doc_id").agg(
+        sum("count").as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("count") > 1L, col("count")).otherwise(0L)).as("dup_i"))
+    // docs under 3 words (or with null text) carry a 0 signal, not a
+    // missing row — pipeline stages gate on the fraction downstream
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(round(col("dup_i").cast("double") / col("n_grams"), 6))
+          .as("dup_gram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Cross-source contamination matrix: for every pair of sources that
+    * share at least one distinct word-trigram shingle, the shared count
+    * and the Jaccard over the sources' distinct-shingle sets — the
+    * corpus-analytics view behind "how much of source B is already in
+    * source A" mixture decisions.
+    *
+    * Shape at 100 TB: the self-join keys on shingle over DISTINCT
+    * (source, shingle) rows, so per-key multiplicity is bounded by the
+    * number of SOURCES (not documents) — the join output per shingle is
+    * at most sources², and the pair aggregate is tiny. The distinct
+    * projection is cached once for its three consumers (both join sides
+    * and the per-source sizes).
+    */
+  def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
+    val ss = Partitioning.spread(docs)
+      .select(col("source"),
+        explode(graft.operators.Dedup.shingleArray(col("text"), n)).as("shingle"))
+      .distinct()
+      .cache()
+    val sizes = ss.groupBy("source").agg(count(lit(1)).as("n_sh"))
+    val pairs = ss.toDF("source_a", "shingle")
+      .join(ss.toDF("source_b", "shingle"), "shingle")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.toDF("source_a", "n_a"), "source_a")
+      .join(sizes.toDF("source_b", "n_b"), "source_b")
+      .select(col("source_a"), col("source_b"), col("shared"), col("n_a"), col("n_b"),
+        round(col("shared").cast("double")
+          / (col("n_a") + col("n_b") - col("shared")), 6).as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
 }

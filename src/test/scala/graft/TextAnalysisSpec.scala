@@ -224,4 +224,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(sk(1L) != sk(3L))
     assert(sk(1L).intersect(sk(3L)).nonEmpty) // shared grams survive the edit
   }
+
+  test("repetitionSignals: trigram-instance duplication fraction, short docs carry 0") {
+    val d = Seq(
+      (1L, "a b a b a b", "s"),       // trigrams: aba, bab, aba, bab → all duplicated
+      (2L, "one two three four", "s"), // 2 distinct trigrams, no repeats
+      (3L, "too short", "s"),          // < 3 words → zero row
+      (4L, "x y z x y z x y z", "s")) // 7 grams: xyz*3 yzx*2 zxy*2 → all dup
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.repetitionSignals(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 4L, 2L, 1.0),
+      (2L, 2L, 2L, 0.0),
+      (3L, 0L, 0L, 0.0),
+      (4L, 7L, 3L, 1.0)))
+  }
+
+  test("sourceOverlap: shared distinct shingles and Jaccard per source pair") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta", "sA"), // shingles: abg, bgd
+      (2L, "alpha beta gamma other", "sB"), // shingles: abg, bgo
+      (3L, "unrelated words entirely here", "sC"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourceOverlap(d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    // only sA-sB share anything: 1 shared of (2 + 2 - 1) = 1/3
+    assert(out.toSeq == Seq(("sA", "sB", 1L, 2L, 2L, 0.333333)))
+  }
 }
