@@ -44,14 +44,29 @@ object GrowthProbe {
     println("   t(n)   t(2n)  (n=50k docs, 2n=100k; best of 2, cold cache)")
     probe("minhash_lsh")(d => Dedup.minhashLshPairs(d, 0.5).count())
     probe("simhash_pairs")(d => Dedup.simhashPairs(d, 3).count())
-    probe("ngram_jaccard prefix-exact")(d => Dedup.ngramJaccardPairs(d, 0.9).count())
+    // the probe corpus is adversarial for pair OUTPUT (copies per dup
+    // group double with n, so pairs grow ~4.2x across the doubling) —
+    // a raw time ratio under ~4.2 is impossible for a correct
+    // algorithm; report time-per-emitted-pair like the 200k section
+    locally {
+      var pH = 0L; var pF = 0L
+      val tH = bestOf2 { pH = Dedup.ngramJaccardPairs(half, 0.9).count(); pH }
+      val tF = bestOf2 { pF = Dedup.ngramJaccardPairs(full, 0.9).count(); pF }
+      val norm = (tF / pF) / (tH / pH)
+      println(f"$tH%7.2f  $tF%7.2f  raw=${tF / tH}%5.2f  pairs: $pH%,d → $pF%,d (${pF.toDouble / pH}%4.2fx)  per-pair ratio=$norm%5.2f  ${if (norm > 1.5) "SLOW " else "ok   "}ngram_jaccard prefix-exact")
+    }
     probe("span_dedup")(d => Dedup.spanDedup(d, 8).count())
     probe("novelty")(d => TextAnalysis.noveltyScores(d).count())
     probe("quality_flags")(d => TextAnalysis.qualityFlags(d).count())
     probe("pack_windows")(d => Packing.packWindows(d, 512, 64).count())
     probe("token_budget")(d => Sampling.tokenBudgetSummary(d,
       Map("src0" -> 8000L), 10000L, numShards = 64).count())
+    probe("doc_repetition")(d => TextAnalysis.repetitionSignals(d).count())
+    probe("source_overlap")(d => TextAnalysis.sourceOverlap(d).count())
     }
+    // `std` arg: run ONLY the standard 50k→100k probes (the 200k ngram
+    // doubling below alone takes minutes)
+    if (args.contains("std")) { spark.stop(); return }
     // one doubling further for the path nearest the sub-quadratic bound
     // (round-5 ratio 2.10 at 50k→100k): 100k→200k docs. The 2n corpus has
     // 40 near-dup copies per group vs 20, so the pair OUTPUT grows

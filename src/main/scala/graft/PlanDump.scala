@@ -29,7 +29,9 @@ object PlanDump {
       "span_dedup" -> "Span dedup: the canonical pick is partial_min(struct(doc_id, block_idx)) — map-side combined BEFORE the exchange on the block digest, so a boilerplate block repeated a billion times ships one row per map task (a window over the digest's occurrence list would shuffle them all); the rebuild groupBy keys on doc_id.",
       "token_budget" -> "Token budget: running sums window on (source, shard) — never a whole source in one task; per-shard totals aggregate map-side into a sources x shards frame whose prefix joins back as a BroadcastHashJoin.",
       "dedup_incremental" -> "Incremental dedup: history enters only as its distinct digest set (left-semi probe) and its (band, band_key) index — equi-joins sized by the BATCH; only verified candidates' shingle arrays are materialized. At scale both history frames persist once and load per batch.",
-      "pii_scrub" -> "PII redaction: per-row codegen'd regexp_count/regexp_replace inside one WholeStageCodegen span over the scan — no exchange anywhere before the (contract-only) output sort; scales with input bytes.")
+      "pii_scrub" -> "PII redaction: per-row codegen'd regexp_count/regexp_replace inside one WholeStageCodegen span over the scan — no exchange anywhere before the (contract-only) output sort; scales with input bytes.",
+      "doc_repetition" -> "Repetition signal: trigram instances come from one codegen'd zip of the word array with its shifted selves (no self-join, no row blowup before the explode); then explode -> two-level aggregation with map-side partial combine on (doc_id, gram) — every shuffle keys on a doc_id-bearing tuple, so skew is bounded by document length.",
+      "source_overlap" -> "Cross-source overlap: the self-join keys on shingle over DISTINCT (source, shingle) rows, so per-key multiplicity is bounded by the SOURCE count and the join output per shingle is at most sources squared; the cached distinct projection feeds both join sides and the per-source sizes; the pair aggregate and size joins are tiny.")
     val sb = new StringBuilder
     sb.append("# Physical plans — flagship queries\n\n")
     sb.append("Generated by `graft.PlanDump` (sf0.01, local[8], AQE on). The\n")

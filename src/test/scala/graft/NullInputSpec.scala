@@ -47,6 +47,8 @@ class NullInputSpec extends AnyFunSuite {
     total("unigramSurprisal")(TextAnalysis.unigramSurprisal(docs).count())
     total("bm25TopDocs")(TextAnalysis.bm25TopDocs(docs, Seq("hello"), 5).count())
     total("sizePercentiles")(TextAnalysis.sizePercentiles(docs).count())
+    total("repetitionSignals")(TextAnalysis.repetitionSignals(docs).count())
+    total("sourceOverlap")(TextAnalysis.sourceOverlap(docs).count())
   }
 
   test("dedup operators survive a null-text row") {
