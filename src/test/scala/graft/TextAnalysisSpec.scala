@@ -253,4 +253,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     // only sA-sB share anything: 1 shared of (2 + 2 - 1) = 1/3
     assert(out.toSeq == Seq(("sA", "sB", 1L, 2L, 2L, 0.333333)))
   }
+
+  test("repetitionSignals plan: partial combine below both exchanges, no self-join") {
+    val d = Seq((1L, "a b c d e", "s")).toDF("doc_id", "text", "source")
+    val plan = TextAnalysis.repetitionSignals(d).queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count"), "gram counting must map-side combine")
+    assert(plan.contains("partial_sum"), "per-doc fold must map-side combine")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "trigram construction must be a zip, never a join")
+  }
+
+  test("sourceOverlap plan: shingle self-join is an equi-join, never a nested loop") {
+    val d = Seq((1L, "a b c d e", "sA"), (2L, "a b c x y", "sB"))
+      .toDF("doc_id", "text", "source")
+    val plan = TextAnalysis.sourceOverlap(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "the source pair matrix must come from an equi-join on shingle")
+  }
 }
