@@ -161,4 +161,63 @@ class PropertiesSpec extends AnyFunSuite {
       got == expect
     })
   }
+
+  test("property: repetitionSignals equals a driver-side trigram count on random corpora") {
+    import graft.operators.TextAnalysis
+    val wordGen = Gen.oneOf("aa", "bb", "cc")
+    val corpusGen = for {
+      nDocs <- Gen.choose(1, 6)
+      texts <- Gen.listOfN(nDocs, for {
+        len <- Gen.choose(1, 12)
+        ws <- Gen.listOfN(len, wordGen)
+      } yield ws.mkString(" "))
+    } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    check(Prop.forAll(corpusGen) { corpus =>
+      val expect = corpus.map { case (id, text) =>
+        val ws = text.trim.split("\\s+").toSeq
+        val grams = if (ws.size < 3) Seq.empty[String]
+          else ws.sliding(3).map(_.mkString(" ")).toSeq
+        val counts = grams.groupBy(identity).view.mapValues(_.size).values.toSeq
+        val n = grams.size.toLong
+        val dup = counts.filter(_ > 1).sum.toLong
+        val frac = if (n == 0L) 0.0
+          else BigDecimal(dup.toDouble / n)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        id -> ((n, counts.size.toLong, frac))
+      }.toMap
+      val got = TextAnalysis.repetitionSignals(
+          corpus.toDF("doc_id", "text").withColumn("source", lit("s")))
+        .collect().map(r =>
+          r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      got == expect
+    })
+  }
+
+  test("property: multimodal codec paths land on the closed forms for arbitrary ids") {
+    import graft.operators.Multimodal
+    val idGen = Gen.choose(0L, 5000000L)
+    val few = SCTest.Parameters.default.withMinSuccessfulTests(5)
+    val res = SCTest.check(few, Prop.forAll(Gen.listOfN(3, idGen)) { ids0 =>
+      val ids = ids0.distinct.sorted
+      val docs = ids.map(id => (id, "t")).toDF("doc_id", "text")
+      val rs = Multimodal.imageResizeMeta(docs).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(6)))
+      val rsOk = rs.toSeq == ids.map { id =>
+        val sw = 8 + (id % 16).toInt; val sh = 8 + ((id / 16) % 16).toInt
+        val sum = (for { y <- 0 until 12; x <- 0 until 12 } yield
+          (id * 1103515245L + (x * sw / 12) * 31L + (y * sh / 12) * 17L) & 0xffffff).sum
+        (id, sw, sh, sum)
+      }
+      val au = Multimodal.audioFeatures(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(4), r.getInt(5)))
+      val auOk = au.toSeq == ids.map { id =>
+        val n = 400 + (id % 16).toInt * 50
+        val vs = (0 until n).map(i =>
+          (((id * 2654435761L + i * 40503L) % 65536L) - 32768L).toInt)
+        (id, n.toLong, vs.map(v => v.toLong * v).sum, vs.map(math.abs).max)
+      }
+      rsOk && auOk
+    })
+    assert(res.passed, res.status.toString)
+  }
 }
