@@ -73,7 +73,21 @@ object KMeansIndex {
     */
   def build(emb: DataFrame, k: Int, seed: Long = 42L): Index = {
     val spark = emb.sparkSession
-    val withVec = Partitioning.spread(emb)
+    // cap the TRAINING set at ~256 points per centroid (the standard
+    // coarse-quantizer guideline): centroid quality saturates there, and
+    // an uncapped fit would make index-build cost scale with the corpus
+    // instead of with k. The sample is a deterministic hash of vec_id —
+    // replayable, partitioning-independent. Assignment below still
+    // covers EVERY row via cellExpr; under the cap (all contract/spec
+    // scales) the full table trains and nothing changes.
+    val target = math.max(k.toLong * 256L, 4096L)
+    val n = emb.count()
+    val base = Partitioning.spread(emb)
+    val trainRows = if (n <= target) base else {
+      val keepPerMille = math.max(1L, target * 1000L / n)
+      base.filter(pmod(xxhash64(col("vec_id"), lit(seed)), lit(1000L)) < keepPerMille)
+    }
+    val withVec = trainRows
       .withColumn("features", array_to_vector(col("embedding").cast("array<double>")))
       .cache()
     val model = new KMeans().setK(k).setSeed(seed).setMaxIter(10)
@@ -83,6 +97,7 @@ object KMeansIndex {
       .setInitMode("random")
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(withVec)
+    withVec.unpersist() // training scratch — do not leave it to LRU
     val centers: Array[Array[Double]] = model.clusterCenters.map((v: Vector) => v.toArray)
     val assigned = emb.withColumn("cell", cellExpr(col("embedding"), centers))
     import spark.implicits._

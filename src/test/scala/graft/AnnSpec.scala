@@ -21,6 +21,22 @@ class AnnSpec extends AnyFunSuite {
     assert(c.getSeq[Double](1).length == 64)
   }
 
+  test("KMeans index over the training cap: sampled fit still assigns every row") {
+    // 9000 rows > max(k*256, 4096) for k=2 → the fit sees only the
+    // deterministic hash sample, but assignment must stay total
+    val big = spark.range(9000).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(8)),
+        d => (pmod(col("id"), lit(97)) * d).cast("float") / 97f).as("embedding"))
+    val idx = KMeansIndex.build(big, k = 2)
+    assert(idx.assigned.count() == 9000)
+    assert(idx.centroids.count() == 2)
+    assert(idx.assigned.select("cell").distinct().count() == 2)
+    // deterministic: same seed → same centroids
+    val again = KMeansIndex.build(big, k = 2)
+    assert(idx.centroids.collect().map(_.toString).sorted.toSeq ==
+      again.centroids.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("KMeans probe search: high recall vs exact top-k with modest probes") {
     val idx = KMeansIndex.build(emb, k = 8)
     val query = emb.filter($"vec_id" === 0).select("embedding")
