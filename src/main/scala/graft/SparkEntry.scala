@@ -636,6 +636,13 @@ object SparkEntry {
        |       FROM d)""".stripMargin
   }
 
+  // fixture-formula constants shared with the multimodal operators —
+  // interpolated into the oracle SQL so a retuned operator cannot
+  // silently drift from its oracle (same discipline as tokenBudget)
+  private val MM = operators.Multimodal
+  private val mmDimW = s"${MM.DimBase} + doc_id % ${MM.DimMod}"
+  private val mmDimH = s"${MM.DimBase} + (doc_id // ${MM.DimMod}) % ${MM.DimMod}"
+
   private val shingleCte =
     """w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
       |sh AS (SELECT doc_id, unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
@@ -1631,9 +1638,9 @@ object SparkEntry {
     // round trip must land exactly on these values
     "multimodal_decode" ->
       s"""SELECT doc_id AS media_id,
-         |  CAST(54 + ((24*(8 + doc_id % 16) + 31) // 32) * 4 * (8 + (doc_id // 16) % 16) AS BIGINT) AS n_bytes,
-         |  CAST(8 + doc_id % 16 AS INT) AS width,
-         |  CAST(8 + (doc_id // 16) % 16 AS INT) AS height,
+         |  CAST(54 + ((24*($mmDimW) + 31) // 32) * 4 * ($mmDimH) AS BIGINT) AS n_bytes,
+         |  CAST($mmDimW AS INT) AS width,
+         |  CAST($mmDimH AS INT) AS height,
          |  3 AS channels
          |FROM documents ORDER BY media_id""".stripMargin,
     // the oracle replays the resample per destination pixel: the pixel
@@ -1642,25 +1649,27 @@ object SparkEntry {
     // decode+resample touched every pixel; dst_bytes is the closed-form
     // 24bpp BMP container size for 12x12
     "multimodal_resize" ->
-      s"""WITH d AS (SELECT doc_id, 8 + doc_id % 16 AS sw, 8 + (doc_id // 16) % 16 AS sh
+      s"""WITH d AS (SELECT doc_id, $mmDimW AS sw, $mmDimH AS sh
          |           FROM documents),
          |px AS (SELECT doc_id, sw, sh,
-         |         (doc_id * 1103515245 + ((tx.x * sw) // 12) * 31
-         |            + ((ty.y * sh) // 12) * 17) % 16777216 AS pv
-         |       FROM d CROSS JOIN range(12) tx(x) CROSS JOIN range(12) ty(y))
+         |         (doc_id * 1103515245 + ((tx.x * sw) // ${MM.ThumbW}) * 31
+         |            + ((ty.y * sh) // ${MM.ThumbH}) * 17) % 16777216 AS pv
+         |       FROM d CROSS JOIN range(${MM.ThumbW}) tx(x) CROSS JOIN range(${MM.ThumbH}) ty(y))
          |SELECT doc_id AS media_id,
          |  CAST(MAX(sw) AS INT) AS src_width, CAST(MAX(sh) AS INT) AS src_height,
-         |  CAST(12 AS INT) AS dst_width, CAST(12 AS INT) AS dst_height,
-         |  CAST(54 + ((24*12 + 31) // 32) * 4 * 12 AS BIGINT) AS dst_bytes,
+         |  CAST(${MM.ThumbW} AS INT) AS dst_width, CAST(${MM.ThumbH} AS INT) AS dst_height,
+         |  CAST(54 + ((24*${MM.ThumbW} + 31) // 32) * 4 * ${MM.ThumbH} AS BIGINT) AS dst_bytes,
          |  CAST(SUM(pv) AS BIGINT) AS pix_sum
          |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin,
     // container layout is deterministic: 3 + id%3 frames, frame i
     // seeded id*37+i with the shared dim formula; sampled = even idx
     "multimodal_frames" ->
-      s"""WITH d AS (SELECT doc_id, unnest(range(3 + CAST(doc_id % 3 AS INT))) AS i
+      s"""WITH d AS (SELECT doc_id, unnest(range(${MM.FrameBase} + CAST(doc_id % ${MM.FrameMod} AS INT))) AS i
          |           FROM documents),
-         |f AS (SELECT doc_id, i, doc_id * 37 + i AS seed FROM d WHERE i % 2 = 0),
-         |g AS (SELECT doc_id, i, 8 + seed % 16 AS fw, 8 + (seed // 16) % 16 AS fh FROM f)
+         |f AS (SELECT doc_id, i, doc_id * ${MM.FrameSeedMult} + i AS seed FROM d
+         |      WHERE i % ${MM.FrameStride} = 0),
+         |g AS (SELECT doc_id, i, ${MM.DimBase} + seed % ${MM.DimMod} AS fw,
+         |             ${MM.DimBase} + (seed // ${MM.DimMod}) % ${MM.DimMod} AS fh FROM f)
          |SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
          |  CAST(fw AS INT) AS width, CAST(fh AS INT) AS height,
          |  CAST(54 + ((24*fw + 31) // 32) * 4 * fh AS BIGINT) AS frame_bytes
@@ -1668,11 +1677,12 @@ object SparkEntry {
     // per-pixel replay of the seed formula over the source dims; the
     // Spark side sums channels from the DECODED raster
     "multimodal_features" ->
-      s"""WITH d AS (SELECT doc_id, 8 + doc_id % 16 AS sw, 8 + (doc_id // 16) % 16 AS sh
+      s"""WITH d AS (SELECT doc_id, $mmDimW AS sw, $mmDimH AS sh
          |           FROM documents),
          |px AS (SELECT doc_id, sw, sh,
          |         (doc_id * 1103515245 + tx.x * 31 + ty.y * 17) % 16777216 AS pv
-         |       FROM d CROSS JOIN range(23) tx(x) CROSS JOIN range(23) ty(y)
+         |       FROM d CROSS JOIN range(${MM.DimBase + MM.DimMod - 1}) tx(x)
+         |              CROSS JOIN range(${MM.DimBase + MM.DimMod - 1}) ty(y)
          |       WHERE tx.x < sw AND ty.y < sh)
          |SELECT doc_id AS media_id,
          |  CAST(MAX(sw) AS INT) AS width, CAST(MAX(sh) AS INT) AS height,
@@ -1685,10 +1695,10 @@ object SparkEntry {
     // shifted to signed 16-bit. rms = one IEEE divide + sqrt over exact
     // integers — correctly rounded identically in both engines
     "multimodal_audio" ->
-      s"""WITH d AS (SELECT doc_id, 400 + CAST(doc_id % 16 AS INT) * 50 AS n FROM documents),
-         |s AS (SELECT doc_id, n, ((doc_id * 2654435761 + t.i * 40503) % 65536) - 32768 AS v
-         |      FROM d CROSS JOIN range(1150) t(i) WHERE t.i < n)
-         |SELECT doc_id AS media_id, CAST(8000 AS INT) AS sample_rate,
+      s"""WITH d AS (SELECT doc_id, ${MM.AudioBaseSamples} + CAST(doc_id % ${MM.DimMod} AS INT) * ${MM.AudioStepSamples} AS n FROM documents),
+         |s AS (SELECT doc_id, n, ((doc_id * ${MM.AudioHashA} + t.i * ${MM.AudioHashB}) % 65536) - 32768 AS v
+         |      FROM d CROSS JOIN range(${MM.AudioBaseSamples + (MM.DimMod - 1) * MM.AudioStepSamples}) t(i) WHERE t.i < n)
+         |SELECT doc_id AS media_id, CAST(${MM.AudioRate} AS INT) AS sample_rate,
          |  CAST(MAX(n) AS BIGINT) AS n_samples,
          |  CAST(44 + 2 * MAX(n) AS BIGINT) AS n_bytes,
          |  CAST(SUM(v * v) AS BIGINT) AS sum_sq,

@@ -185,12 +185,32 @@ object Multimodal {
     img
   }
 
+  /** Fixture-formula constants, shared between the operators and the
+    * contract oracle SQL (interpolated there from these fields, never
+    * re-typed): seeded image dims, thumbnail target, frame container
+    * layout, audio sample stream. One definition — a retuned operator
+    * cannot silently drift from its oracle.
+    */
+  val DimBase = 8
+  val DimMod = 16
+  val ThumbW = 12
+  val ThumbH = 12
+  val FrameBase = 3
+  val FrameMod = 3
+  val FrameSeedMult = 37L
+  val FrameStride = 2
+  val AudioBaseSamples = 400
+  val AudioStepSamples = 50
+  val AudioRate = 8000
+  val AudioHashA = 2654435761L
+  val AudioHashB = 40503L
+
   /** Source dims for the seeded fixture image of a given id — shared by
     * the round-trip, resize, frame and feature contract paths (and
     * replayed closed-form by their oracles).
     */
   private def seededDims(id: Long): (Int, Int) =
-    (8 + (id % 16).toInt, 8 + ((id / 16) % 16).toInt)
+    (DimBase + (id % DimMod).toInt, DimBase + ((id / DimMod) % DimMod).toInt)
 
   /** Thumbnail resize (decode → nearest-neighbor resample → re-encode) —
     * the standard media-pipeline normalization step. The resample uses
@@ -202,7 +222,7 @@ object Multimodal {
     * being able to decode images itself. Real codec + raster work per
     * row; per-partition reader/writer reuse; no shuffle.
     */
-  def imageResizeMeta(docs: DataFrame, dstW: Int = 12, dstH: Int = 12): DataFrame = {
+  def imageResizeMeta(docs: DataFrame, dstW: Int = ThumbW, dstH: Int = ThumbH): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { it =>
@@ -240,8 +260,8 @@ object Multimodal {
   /** Deterministic multi-frame container parameters, shared with the
     * frame-sample oracle: `3 + id%3` frames, frame i seeded `id·37 + i`.
     */
-  private def frameCount(id: Long): Int = 3 + (id % 3).toInt
-  private def frameSeed(id: Long, i: Int): Long = id * 37 + i
+  private def frameCount(id: Long): Int = FrameBase + (id % FrameMod).toInt
+  private def frameSeed(id: Long, i: Int): Long = id * FrameSeedMult + i
 
   /** Build a deterministic video-like container for an id: magic `GVID`,
     * big-endian frame count, then length-prefixed BMP frames — the shape
@@ -276,7 +296,7 @@ object Multimodal {
     * loudly. One row per sampled frame; per-partition codec reuse; no
     * shuffle.
     */
-  def videoFrameSample(docs: DataFrame, stride: Int = 2): DataFrame = {
+  def videoFrameSample(docs: DataFrame, stride: Int = FrameStride): DataFrame = {
     require(stride >= 1, s"videoFrameSample: stride must be >= 1, got $stride")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -344,9 +364,9 @@ object Multimodal {
     * oracle: `400 + id%16·50` mono samples at 8 kHz, sample i drawn from
     * a Knuth-hash stream shifted into signed 16-bit range.
     */
-  private def audioSampleCount(id: Long): Int = 400 + (id % 16).toInt * 50
+  private def audioSampleCount(id: Long): Int = AudioBaseSamples + (id % DimMod).toInt * AudioStepSamples
   private def audioSampleAt(seed: Long, i: Int): Int =
-    (((seed * 2654435761L + i * 40503L) % 65536L) - 32768L).toInt
+    (((seed * AudioHashA + i * AudioHashB) % 65536L) - 32768L).toInt
 
   /** Serialize the seeded fixture signal as a canonical RIFF/WAVE
     * container (44-byte header + 16-bit PCM LE frames) — written field
@@ -363,8 +383,8 @@ object Multimodal {
     buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
       .putShort(1) // PCM
       .putShort(1) // mono
-      .putInt(8000) // sample rate
-      .putInt(16000) // byte rate
+      .putInt(AudioRate) // sample rate
+      .putInt(AudioRate * 2) // byte rate
       .putShort(2) // block align
       .putShort(16) // bits per sample
     buf.put("data".getBytes("US-ASCII")).putInt(dataBytes)
