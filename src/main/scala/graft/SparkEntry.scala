@@ -532,6 +532,35 @@ object SparkEntry {
     // features; oracle replays the sample formula per index
     "multimodal_audio" -> ((s, dir) =>
       operators.Multimodal.audioFeatures(tbl(s, dir, "documents"))),
+    // media-curation composition (the multimodal analogue of
+    // pipeline_clean_corpus): route docs by modality to real decode
+    // branches — channel stats / audio RMS / frame sampling — gate each
+    // on its metric threshold, summarize keep rates per modality. The
+    // metric is rounded at 6 dp per ROW, then accumulated in exact
+    // decimals, so the per-modality average is an order-independent fold
+    "pipeline_media" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val MMo = operators.Multimodal
+      val img = MMo.imageChannelStats(docs.filter(col("doc_id") % 3 === 0))
+        .select(lit("image").as("modality"),
+          round((col("sum_r") * 299 + col("sum_g") * 587 + col("sum_b") * 114)
+            .cast("double") / (lit(1000.0) * col("width") * col("height")), 6)
+            .as("metric"))
+      val aud = MMo.audioFeatures(docs.filter(col("doc_id") % 3 === 1))
+        .select(lit("audio").as("modality"), round(col("rms"), 6).as("metric"))
+      val vid = MMo.videoFrameSample(docs.filter(col("doc_id") % 3 === 2))
+        .groupBy(col("media_id")).agg(sum(col("frame_bytes")).as("fb"))
+        .select(lit("video").as("modality"), col("fb").cast("double").as("metric"))
+      val thr = typedLit(mediaThresholds)
+      img.unionByName(aud).unionByName(vid)
+        .withColumn("keep", col("metric") >= element_at(thr, col("modality")))
+        .groupBy(col("modality"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+          round(sum(col("metric").cast(DecimalType(24, 6))).cast("double")
+            / count(lit(1)), 6).as("avg_metric"))
+        .orderBy(col("modality"))
+    }),
     // §2.2/§2.3 facade integration: embeddings → VectorFieldDB →
     // autoClusterPhi(ctx=3) → per-band pglyph summary. Oracle-checked:
     // pglyph UUIDs are generated, but the reported (tag, size, inertia)
@@ -642,6 +671,13 @@ object SparkEntry {
   private val MM = operators.Multimodal
   private val mmDimW = s"${MM.DimBase} + doc_id % ${MM.DimMod}"
   private val mmDimH = s"${MM.DimBase} + (doc_id // ${MM.DimMod}) % ${MM.DimMod}"
+
+  /** Per-modality keep thresholds for pipeline_media — near the sf0.01
+    * metric medians so the gate splits non-trivially; shared between the
+    * Spark plan and the oracle SQL.
+    */
+  private val mediaThresholds: Map[String, Double] =
+    Map("image" -> 125.0, "audio" -> 18918.0, "video" -> 2300.0)
 
   private val shingleCte =
     """w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
@@ -1704,6 +1740,48 @@ object SparkEntry {
          |  CAST(SUM(v * v) AS BIGINT) AS sum_sq,
          |  CAST(MAX(ABS(v)) AS INT) AS peak,
          |  sqrt(CAST(SUM(v * v) AS DOUBLE) / MAX(n)) AS rms
-         |FROM s GROUP BY doc_id ORDER BY media_id""".stripMargin
+         |FROM s GROUP BY doc_id ORDER BY media_id""".stripMargin,
+    // replays the three modality branches closed-form, unions the
+    // per-row 6-dp metrics, and folds them in exact decimals — the same
+    // order-independent discipline as the Spark side
+    "pipeline_media" ->
+      s"""WITH di AS (SELECT doc_id, $mmDimW AS sw, $mmDimH AS sh FROM documents
+         |            WHERE doc_id % 3 = 0),
+         |px AS (SELECT doc_id, sw, sh,
+         |         (doc_id * 1103515245 + tx.x * 31 + ty.y * 17) % 16777216 AS pv
+         |       FROM di CROSS JOIN range(${MM.DimBase + MM.DimMod - 1}) tx(x)
+         |              CROSS JOIN range(${MM.DimBase + MM.DimMod - 1}) ty(y)
+         |       WHERE tx.x < sw AND ty.y < sh),
+         |img AS (SELECT 'image' AS modality,
+         |          round((SUM(pv // 65536)*299 + SUM((pv // 256) % 256)*587
+         |                 + SUM(pv % 256)*114)::DOUBLE
+         |                / (1000.0 * MAX(sw) * MAX(sh)), 6) AS metric
+         |        FROM px GROUP BY doc_id),
+         |da AS (SELECT doc_id, ${MM.AudioBaseSamples} + CAST(doc_id % ${MM.DimMod} AS INT) * ${MM.AudioStepSamples} AS n
+         |       FROM documents WHERE doc_id % 3 = 1),
+         |sa AS (SELECT doc_id, n, ((doc_id * ${MM.AudioHashA} + t.i * ${MM.AudioHashB}) % 65536) - 32768 AS v
+         |       FROM da CROSS JOIN range(${MM.AudioBaseSamples + (MM.DimMod - 1) * MM.AudioStepSamples}) t(i) WHERE t.i < n),
+         |aud AS (SELECT 'audio' AS modality,
+         |          round(sqrt(SUM(v * v)::DOUBLE / MAX(n)), 6) AS metric
+         |        FROM sa GROUP BY doc_id),
+         |dv AS (SELECT doc_id, unnest(range(${MM.FrameBase} + CAST(doc_id % ${MM.FrameMod} AS INT))) AS i
+         |       FROM documents WHERE doc_id % 3 = 2),
+         |fv AS (SELECT doc_id, doc_id * ${MM.FrameSeedMult} + i AS seed FROM dv
+         |       WHERE i % ${MM.FrameStride} = 0),
+         |gv AS (SELECT doc_id, ${MM.DimBase} + seed % ${MM.DimMod} AS fw,
+         |              ${MM.DimBase} + (seed // ${MM.DimMod}) % ${MM.DimMod} AS fh FROM fv),
+         |vid AS (SELECT 'video' AS modality,
+         |          CAST(SUM(54 + ((24*fw + 31) // 32) * 4 * fh) AS DOUBLE) AS metric
+         |        FROM gv GROUP BY doc_id),
+         |u AS (SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid),
+         |k AS (SELECT modality, metric,
+         |        CASE modality WHEN 'image' THEN ${mediaThresholds("image")}
+         |                      WHEN 'audio' THEN ${mediaThresholds("audio")}
+         |                      ELSE ${mediaThresholds("video")} END AS thr
+         |      FROM u)
+         |SELECT modality, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN metric >= thr THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |  round(CAST(SUM(CAST(metric AS DECIMAL(24,6))) AS DOUBLE) / count(*), 6) AS avg_metric
+         |FROM k GROUP BY modality ORDER BY modality""".stripMargin
   )
 }
