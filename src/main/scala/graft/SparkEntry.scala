@@ -532,6 +532,12 @@ object SparkEntry {
     // features; oracle replays the sample formula per index
     "multimodal_audio" -> ((s, dir) =>
       operators.Multimodal.audioFeatures(tbl(s, dir, "documents"))),
+    // lenient decode with a quarantine lane: every 7th payload is
+    // truncated mid-header; the real decoder must quarantine those rows
+    // (status/error, null dims) and decode the rest — job survives
+    "multimodal_quarantine" -> ((s, dir) =>
+      operators.Multimodal.quarantineRoundTrip(tbl(s, dir, "documents"),
+        corruptEvery = quarantineEvery)),
     // media-curation composition (the multimodal analogue of
     // pipeline_clean_corpus): route docs by modality to real decode
     // branches — channel stats / audio RMS / frame sampling — gate each
@@ -678,6 +684,11 @@ object SparkEntry {
     */
   private val mediaThresholds: Map[String, Double] =
     Map("image" -> 125.0, "audio" -> 18918.0, "video" -> 2300.0)
+
+  /** Corruption stride for multimodal_quarantine — shared between the
+    * fixture and the oracle.
+    */
+  private val quarantineEvery = 7
 
   private val shingleCte =
     """w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
@@ -1741,6 +1752,20 @@ object SparkEntry {
          |  CAST(MAX(ABS(v)) AS INT) AS peak,
          |  sqrt(CAST(SUM(v * v) AS DOUBLE) / MAX(n)) AS rms
          |FROM s GROUP BY doc_id ORDER BY media_id""".stripMargin,
+    // corrupt rows are doc_id % stride = 0 by construction: 20 header
+    // bytes, error status, null dims; everything else must carry the
+    // real decoded dims — a decoder that died OR silently faked either
+    // lane breaks the hash
+    "multimodal_quarantine" ->
+      s"""SELECT doc_id AS media_id,
+         |  CAST(CASE WHEN doc_id % $quarantineEvery = 0 THEN 20
+         |            ELSE 54 + ((24*($mmDimW) + 31) // 32) * 4 * ($mmDimH) END AS BIGINT) AS n_bytes,
+         |  CASE WHEN doc_id % $quarantineEvery = 0 THEN 'error' ELSE 'ok' END AS status,
+         |  CASE WHEN doc_id % $quarantineEvery = 0 THEN NULL
+         |       ELSE CAST($mmDimW AS INT) END AS width,
+         |  CASE WHEN doc_id % $quarantineEvery = 0 THEN NULL
+         |       ELSE CAST($mmDimH AS INT) END AS height
+         |FROM documents ORDER BY media_id""".stripMargin,
     // replays the three modality branches closed-form, unions the
     // per-row 6-dp metrics, and folds them in exact decimals — the same
     // order-independent discipline as the Spark side

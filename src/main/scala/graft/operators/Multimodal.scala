@@ -433,6 +433,68 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Lenient decode with a quarantine lane: the production posture for
+    * a 100 TB media scan, where some payloads are ALWAYS corrupt and a
+    * decoder that throws kills the job while one that fakes dimensions
+    * ships garbage. Every row comes back — `status` `ok` with real
+    * decoded dims, or `error` with null dims — so the caller can gate
+    * on an error budget and route the quarantine lane to storage.
+    * [[decodeMeta]] (strict) remains the right default where corruption
+    * is a pipeline bug, not an input property.
+    */
+  def decodeMetaLenient(media: Dataset[MediaRecord],
+      decoder: Decoder = ImageIoDecoder): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      it.map { r =>
+        md.reset()
+        val digest = graft.functions.HashUtil.hex(md.digest(r.content))
+        try {
+          val (w, h, c) = decoder.decode(r.modality, r.content)
+          (r.media_id, r.modality, r.content.length.toLong, digest,
+            "ok", Option(w), Option(h), Option(c))
+        } catch {
+          // quarantine, don't kill: any decoder failure (unclaimed
+          // format, truncated raster, codec exception) becomes a row
+          case scala.util.control.NonFatal(_) =>
+            (r.media_id, r.modality, r.content.length.toLong, digest,
+              "error", None, None, None)
+        }
+      }
+    }.toDF("media_id", "modality", "n_bytes", "sha256", "status",
+        "width", "height", "channels")
+  }
+
+  /** Contract fixture for the quarantine path: a real BMP per doc, with
+    * every `corruptEvery`-th payload truncated to its header bytes — a
+    * deterministic corruption the oracle can replay as `doc_id % k = 0`.
+    * Runs the real decoder over the mixed stream and reports per-status
+    * metadata (null dims on the quarantine lane).
+    */
+  def quarantineRoundTrip(docs: DataFrame, corruptEvery: Int = 7): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val decoded = docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      flatMapWithCodecs(it) { (writer, reader, id) =>
+        val (w, h) = seededDims(id)
+        val whole = encodeWith(writer, fillImage(w, h, id))
+        val bytes = if (id % corruptEvery == 0) whole.take(20) else whole
+        val row = try {
+          val img = decodeWith(reader, bytes)
+          (id, bytes.length.toLong, "ok",
+            Option(img.getWidth), Option(img.getHeight))
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            (id, bytes.length.toLong, "error", None: Option[Int], None: Option[Int])
+        }
+        Iterator.single(row)
+      }
+    }.toDF("media_id", "n_bytes", "status", "width", "height")
+    decoded.orderBy(col("media_id"))
+  }
+
   /** Pure-SQL metadata projection (no decode): byte length + digest +
     * the same deterministic fake dimensions — oracle-checkable shape.
     */

@@ -152,6 +152,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ex.isInstanceOf[javax.sound.sampled.UnsupportedAudioFileException])
   }
 
+  test("quarantineRoundTrip: corrupt payloads route to the error lane, codecs survive") {
+    // ids 0 and 7 corrupt with stride 7; interleaved with good rows in
+    // the same partition, so the reused reader must recover after a
+    // failed read
+    val docs = Seq((0L, "a"), (3L, "b"), (7L, "c"), (9L, "d"))
+      .toDF("doc_id", "text").coalesce(1)
+    val out = Multimodal.quarantineRoundTrip(docs, corruptEvery = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.get(3)), Option(r.get(4))))
+    def good(id: Long) = {
+      val w = 8 + (id % 16).toInt; val h = 8 + ((id / 16) % 16).toInt
+      (id, (54 + ((24 * w + 31) / 32) * 4 * h).toLong, "ok", Some(w), Some(h))
+    }
+    assert(out.toSeq == Seq(
+      (0L, 20L, "error", None, None), good(3L),
+      (7L, 20L, "error", None, None), good(9L)))
+  }
+
+  test("decodeMetaLenient: undecodable payloads quarantine instead of killing the job") {
+    val mixed = Seq(
+      MediaRecord(1, "image", Multimodal.encodeBmp(10, 4, seed = 5L), "s"),
+      MediaRecord(2, "image", "definitely not an image".getBytes("UTF-8"), "s"),
+      MediaRecord(3, "image", Multimodal.encodeBmp(6, 6, seed = 9L), "s"))
+    val out = Multimodal.decodeMetaLenient(mixed.toDS()).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[String]("status"),
+        Option(r.get(r.fieldIndex("width"))))).sortBy(_._1)
+    assert(out(0) == ((1L, "ok", Some(10))))
+    assert(out(1) == ((2L, "error", None)))
+    assert(out(2) == ((3L, "ok", Some(6))))
+  }
+
   test("chunk: fixed-size slices reassemble to original length") {
     val out = Multimodal.chunk(media.toDS().toDF(), 256)
       .groupBy("media_id").agg(sum("chunk_bytes").as("total"), count(lit(1)).as("n"))
