@@ -197,6 +197,9 @@ object SparkEntry {
     // cross-source contamination matrix over distinct shingle sets
     "source_overlap" -> ((s, dir) =>
       TextAnalysis.sourceOverlap(tbl(s, dir, "documents"))),
+    // tokenizer-prep vocab curve: top-V words + cumulative token share
+    "vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(tbl(s, dir, "documents"))),
     "token_percentiles" -> ((s, dir) => TextAnalysis.sizePercentiles(tbl(s, dir, "documents"))),
     // quality-curriculum quartiles: broadcast percentile thresholds +
     // narrow when-chain — never an ntile() global ranking window
@@ -1260,6 +1263,15 @@ object SparkEntry {
          |  CASE WHEN coalesce(n_grams, 0) = 0 THEN 0.0
          |       ELSE round(dup_i::DOUBLE / n_grams, 6) END AS dup_gram_frac
          |FROM documents d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    "vocab_coverage" ->
+      s"""WITH w AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents),
+         |c AS (SELECT w, count(*) AS cnt FROM w GROUP BY w),
+         |t AS (SELECT sum(cnt) AS total FROM c),
+         |v AS (SELECT w, cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rank
+         |      FROM c ORDER BY cnt DESC, w LIMIT 50)
+         |SELECT CAST(rank AS INT) AS rank, w AS word, CAST(cnt AS BIGINT) AS cnt,
+         |  round(CAST(sum(cnt) OVER (ORDER BY rank) AS DOUBLE) / (SELECT total FROM t), 6) AS cum_frac
+         |FROM v ORDER BY rank""".stripMargin,
     "source_overlap" ->
       s"""WITH w AS (SELECT source, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
          |sh AS (SELECT DISTINCT source, shingle FROM (

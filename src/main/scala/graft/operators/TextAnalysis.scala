@@ -541,6 +541,35 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Tokenizer-prep vocabulary analytics: the top-V corpus words by
+    * frequency with each rank's CUMULATIVE share of all token
+    * instances — the curve a vocab-size decision reads (how much of the
+    * corpus does a V-entry vocabulary cover?).
+    *
+    * Shape at 100 TB: word counting is explode → map-side-combined
+    * aggregate on the word key; the top-V cut is orderBy+limit
+    * (`TakeOrderedAndProject` — per-partition heaps, no global sort);
+    * only the V surviving rows enter the single-partition ranking
+    * window, which is VOCAB-scale, not corpus-scale. The counts frame
+    * is cached for its two consumers (grand total + top-V).
+    */
+  def vocabCoverage(docs: DataFrame, topV: Int = 50): DataFrame = {
+    val counts = Partitioning.spread(docs)
+      .select(explode(words(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .cache()
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val ord = Window.orderBy(col("cnt").desc, col("w"))
+    counts.orderBy(col("cnt").desc, col("w")).limit(topV)
+      .withColumn("rank", row_number().over(ord))
+      .withColumn("cum",
+        sum(col("cnt")).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("w").as("word"), col("cnt"),
+        round(col("cum").cast("double") / col("total"), 6).as("cum_frac"))
+      .orderBy(col("rank"))
+  }
+
   /** Cross-source contamination matrix: for every pair of sources that
     * share at least one distinct word-trigram shingle, the shared count
     * and the Jaccard over the sources' distinct-shingle sets — the

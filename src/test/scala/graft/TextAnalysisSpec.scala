@@ -254,6 +254,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("sA", "sB", 1L, 2L, 2L, 0.333333)))
   }
 
+  test("vocabCoverage: rank order, cumulative fractions, TakeOrdered cut") {
+    val d = Seq(
+      (1L, "b b b a a c", "s"),
+      (2L, "a d", "s")).toDF("doc_id", "text", "source")
+    // counts: a=3, b=3, c=1, d=1 → ties break on word asc
+    val df = TextAnalysis.vocabCoverage(d, topV = 3)
+    val out = df.collect().map(r =>
+      (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1, "a", 3L, 0.375), (2, "b", 3L, 0.75), (3, "c", 1L, 0.875)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "the top-V cut must be per-partition heaps, not a global sort")
+  }
+
   test("repetitionSignals plan: partial combine below both exchanges, no self-join") {
     val d = Seq((1L, "a b c d e", "s")).toDF("doc_id", "text", "source")
     val plan = TextAnalysis.repetitionSignals(d).queryExecution.executedPlan.toString
