@@ -535,6 +535,15 @@ object SparkEntry {
     // features; oracle replays the sample formula per index
     "multimodal_audio" -> ((s, dir) =>
       operators.Multimodal.audioFeatures(tbl(s, dir, "documents"))),
+    // learned dimensionality reduction: MLlib fits the components, the
+    // projection is our codegen'd dot fold over the DUMPED weights —
+    // the oracle replays it with list_dot_product on the same doubles
+    "embedding_pca" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val comps = operators.Pca.fitComponents(e, k = 4)
+      operators.Pca.dumpComponents(s, comps)
+      operators.Pca.project(e, comps)
+    }),
     // lenient decode with a quarantine lane: every 7th payload is
     // truncated mid-header; the real decoder must quarantine those rows
     // (status/error, null dims) and decode the rest — job survives
@@ -1764,6 +1773,13 @@ object SparkEntry {
          |  CAST(MAX(ABS(v)) AS INT) AS peak,
          |  sqrt(CAST(SUM(v * v) AS DOUBLE) / MAX(n)) AS rms
          |FROM s GROUP BY doc_id ORDER BY media_id""".stripMargin,
+    // replay of the projection from the components the query dumped:
+    // identical left-to-right dot fold over identical doubles
+    "embedding_pca" ->
+      s"""WITH c AS (SELECT comp, weights FROM '${operators.Pca.componentDumpPath}/*.parquet')
+         |SELECT e.vec_id, CAST(c.comp AS INT) AS comp,
+         |  round(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.weights), 6) AS pval
+         |FROM embeddings e CROSS JOIN c ORDER BY vec_id, comp""".stripMargin,
     // corrupt rows are doc_id % stride = 0 by construction: 20 header
     // bytes, error status, null dims; everything else must carry the
     // real decoded dims — a decoder that died OR silently faked either
