@@ -535,6 +535,13 @@ object SparkEntry {
     // features; oracle replays the sample formula per index
     "multimodal_audio" -> ((s, dir) =>
       operators.Multimodal.audioFeatures(tbl(s, dir, "documents"))),
+    // build-once/search-many retrieval: postings partitioned by term
+    // bucket, search reads only the query terms' buckets (static
+    // PartitionFilters) and must match the from-scratch BM25 ranking
+    "bm25_persisted" -> ((s, dir) => {
+      operators.InvertedIndex.build(tbl(s, dir, "documents"))
+      operators.InvertedIndex.search(s, bm25Query, k = 10)
+    }),
     // learned dimensionality reduction: MLlib fits the components, the
     // projection is our codegen'd dot fold over the DUMPED weights —
     // the oracle replays it with list_dot_product on the same doubles
@@ -631,6 +638,28 @@ object SparkEntry {
 
   // bm25_search query terms — all in the synthetic vocabulary
   private val bm25Query = Seq("query", "fast", "merge")
+
+  /** BM25 oracle — shared by bm25_search (from-scratch) and
+    * bm25_persisted (inverted-index path): identical expected ranking.
+    */
+  private lazy val bm25OracleSql: String = {
+      val terms = bm25Query.map(t => s"x = '$t'").mkString(" OR ")
+      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+         |d AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM w),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+         |e AS (SELECT doc_id, dl, unnest(list_filter(ws, x -> $terms)) AS w FROM d),
+         |tf AS (SELECT doc_id, dl, w, CAST(count(*) AS BIGINT) AS tf FROM e GROUP BY 1, 2, 3),
+         |df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+         |sc AS (SELECT tf.doc_id,
+         |         round((ln((st.n_docs - df.df + 0.5::DOUBLE) / (df.df + 0.5::DOUBLE) + 1.0::DOUBLE)
+         |           * (tf.tf * 2.2::DOUBLE)) /
+         |           (tf.tf + 1.2::DOUBLE * (0.25::DOUBLE
+         |             + (0.75::DOUBLE * tf.dl) / (st.sum_dl::DOUBLE / st.n_docs))), 9) AS s
+         |       FROM tf JOIN df USING (w) CROSS JOIN st)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+         |  round(CAST(sum(CAST(s AS DECIMAL(28,9))) AS DOUBLE), 6) AS bm25
+         |FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+  }
 
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)) + 1e-12)"
@@ -983,24 +1012,10 @@ object SparkEntry {
     // would pull the arithmetic into DECIMAL and diverge from Spark's
     // double fold; per-term scores round at 9 dp then sum in
     // DECIMAL(28,9) (order-independent) on both engines
-    "bm25_search" -> {
-      val terms = bm25Query.map(t => s"x = '$t'").mkString(" OR ")
-      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
-         |d AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM w),
-         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
-         |e AS (SELECT doc_id, dl, unnest(list_filter(ws, x -> $terms)) AS w FROM d),
-         |tf AS (SELECT doc_id, dl, w, CAST(count(*) AS BIGINT) AS tf FROM e GROUP BY 1, 2, 3),
-         |df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
-         |sc AS (SELECT tf.doc_id,
-         |         round((ln((st.n_docs - df.df + 0.5::DOUBLE) / (df.df + 0.5::DOUBLE) + 1.0::DOUBLE)
-         |           * (tf.tf * 2.2::DOUBLE)) /
-         |           (tf.tf + 1.2::DOUBLE * (0.25::DOUBLE
-         |             + (0.75::DOUBLE * tf.dl) / (st.sum_dl::DOUBLE / st.n_docs))), 9) AS s
-         |       FROM tf JOIN df USING (w) CROSS JOIN st)
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
-         |  round(CAST(sum(CAST(s AS DECIMAL(28,9))) AS DOUBLE), 6) AS bm25
-         |FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
-    },
+    "bm25_search" -> bm25OracleSql,
+    // the persisted index must return the identical ranking — same
+    // oracle, different execution path (bucket-pruned postings read)
+    "bm25_persisted" -> bm25OracleSql,
     "decontaminate" ->
       s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
          |sh8 AS (SELECT doc_id, unnest(list_distinct(

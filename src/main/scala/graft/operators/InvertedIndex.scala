@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted BM25 inverted index — the retrieval analogue of
+  * [[KMeansIndex]]'s persisted IVF layout: build once (postings
+  * partitioned on a term-hash bucket), search many (only the query
+  * terms' buckets are read — static `PartitionFilters` at the file
+  * index, the rest of the corpus is never scanned). Scoring reuses
+  * `TextAnalysis.bm25Rank` verbatim, so the persisted path cannot drift
+  * from the from-scratch operator; the driver hash-compares both
+  * against the same oracle.
+  *
+  * Layout under `dir`:
+  *   postings/bucket=N/  (w, doc_id, dl, tf)  — dl denormalized into the
+  *                        postings so search needs no doc-stats join
+  *   stats/              one row (n_docs, sum_dl) over the WHOLE corpus
+  *                        (BM25's idf and avgdl are corpus-global even
+  *                        for docs matching no query term)
+  *
+  * Scale shape: the build is the tokenize → (w, doc, dl) count the
+  * from-scratch path runs once per QUERY, paid once per CORPUS instead;
+  * a search reads |query-term buckets| / NumBuckets of the postings
+  * files, computes df from exactly those postings (a term's postings
+  * live wholly in its bucket), and ranks with the bounded top-k tail.
+  */
+object InvertedIndex {
+
+  /** Bucket fan-out of the postings layout. At corpus scale this would
+    * be sized so a bucket's postings fit a few files; the pruning ratio
+    * for a q-term query is ≤ q/NumBuckets regardless.
+    */
+  val NumBuckets = 16
+
+  def indexDir: String =
+    sys.props.getOrElse("graft.bm25.index", "/tmp/graft_bm25_index")
+
+  private def termBucket(t: Column): Column =
+    pmod(xxhash64(t), lit(NumBuckets)).cast("int")
+
+  /** Build the postings + corpus-stats layout for `docs`. */
+  def build(docs: DataFrame, dir: String = indexDir): Unit = {
+    val tok = Partitioning.spread(docs)
+      .select(col("doc_id"), TextAnalysis.words(col("text")).as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
+        explode(col("ws")).as("w"))
+    tok.groupBy(col("w"), col("doc_id"), col("dl")).agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", termBucket(col("w")))
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/postings")
+    Partitioning.spread(docs)
+      .select(size(TextAnalysis.words(col("text"))).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Search the persisted layout: same result as
+    * `TextAnalysis.bm25TopDocs` on the indexed corpus, reading only the
+    * query terms' buckets.
+    */
+  def search(spark: SparkSession, queryTerms: Seq[String], k: Int = 10,
+      dir: String = indexDir, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "query must have at least one term")
+    val terms = queryTerms.distinct
+    // bucket ids for the query terms, computed with the SAME hash the
+    // writer used (a tiny Spark job over |terms| rows — the engine's
+    // xxhash64, not a driver-side reimplementation that could drift)
+    import spark.implicits._
+    val buckets = terms.toDF("w").select(termBucket(col("w")).as("b"))
+      .distinct().as[Int].collect().toSeq
+    val tf = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(buckets: _*)) // static partition pruning
+      .filter(col("w").isin(terms: _*))
+      .select(col("doc_id"), col("dl"), col("w"), col("tf"))
+    // a term's postings live wholly in its bucket, so df computed from
+    // the pruned read equals the corpus df
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val stats = spark.read.parquet(s"$dir/stats")
+    TextAnalysis.bm25Rank(tf, df, stats, k, k1, b)
+  }
+}

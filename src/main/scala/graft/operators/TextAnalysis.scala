@@ -357,6 +357,17 @@ object TextAnalysis {
       .select(col("doc_id"), col("dl"), explode(col("qs")).as("w"))
       .groupBy(col("doc_id"), col("dl"), col("w")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    bm25Rank(tf, df, stats, k, k1, b)
+  }
+
+  /** Shared BM25 ranking tail — the identical decimal-accumulated score
+    * for the from-scratch operator AND the persisted inverted index
+    * ([[InvertedIndex.search]]), so the two paths cannot drift. `tf`
+    * carries (doc_id, dl, w, tf); `df` (w, df); `stats` one row
+    * (n_docs, sum_dl).
+    */
+  private[operators] def bm25Rank(tf: DataFrame, df: DataFrame, stats: DataFrame,
+      k: Int, k1: Double, b: Double): DataFrame = {
     val avgdl = col("sum_dl").cast("double") / col("n_docs")
     val termScore =
       log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *

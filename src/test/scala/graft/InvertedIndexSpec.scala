@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{InvertedIndex, TextAnalysis}
+
+class InvertedIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "fast query merge sort fast fast", "s"),
+    (2L, "query plan cost model", "s"),
+    (3L, "totally unrelated words here", "s"),
+    (4L, "merge join fast scan", "s"),
+    (5L, "query query query", "s")).toDF("doc_id", "text", "source")
+
+  test("persisted search equals the from-scratch BM25 ranking exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    InvertedIndex.build(docs, dir)
+    val q = Seq("query", "fast")
+    val fromScratch = TextAnalysis.bm25TopDocs(docs, q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val persisted = InvertedIndex.search(spark, q, k = 5, dir = dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(persisted.toSeq == fromScratch.toSeq)
+    assert(persisted.nonEmpty && persisted.head._2 == 2L) // both-term doc ranks first
+  }
+
+  test("search reads only the query terms' buckets (static partition pruning)") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    InvertedIndex.build(docs, dir)
+    val plan = InvertedIndex.search(spark, Seq("query"), k = 5, dir = dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"postings scan must carry a bucket partition filter:\n$plan")
+    // the pruned filter must be a static IN over literal bucket ids,
+    // not a runtime join
+    assert(!plan.contains("dynamicpruning"),
+      "bucket pruning must be static, not DPP-dependent")
+  }
+
+  test("df from the pruned read equals the corpus df") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    InvertedIndex.build(docs, dir)
+    // 'query' appears in docs 1, 2, 5 → df 3; a pruned read that lost
+    // postings would misreport idf and shift every score
+    val out = InvertedIndex.search(spark, Seq("query"), k = 5, dir = dir).collect()
+    assert(out.length == 3)
+  }
+}
