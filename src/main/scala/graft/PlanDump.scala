@@ -31,7 +31,9 @@ object PlanDump {
       "dedup_incremental" -> "Incremental dedup: history enters only as its distinct digest set (left-semi probe) and its (band, band_key) index — equi-joins sized by the BATCH; only verified candidates' shingle arrays are materialized. At scale both history frames persist once and load per batch.",
       "pii_scrub" -> "PII redaction: per-row codegen'd regexp_count/regexp_replace inside one WholeStageCodegen span over the scan — no exchange anywhere before the (contract-only) output sort; scales with input bytes.",
       "doc_repetition" -> "Repetition signal: trigram instances come from one codegen'd zip of the word array with its shifted selves (no self-join, no row blowup before the explode); then explode -> two-level aggregation with map-side partial combine on (doc_id, gram) — every shuffle keys on a doc_id-bearing tuple, so skew is bounded by document length.",
-      "source_overlap" -> "Cross-source overlap: the self-join keys on shingle over DISTINCT (source, shingle) rows, so per-key multiplicity is bounded by the SOURCE count and the join output per shingle is at most sources squared; the cached distinct projection feeds both join sides and the per-source sizes; the pair aggregate and size joins are tiny.")
+      "source_overlap" -> "Cross-source overlap: the self-join keys on shingle over DISTINCT (source, shingle) rows, so per-key multiplicity is bounded by the SOURCE count and the join output per shingle is at most sources squared; the cached distinct projection feeds both join sides and the per-source sizes; the pair aggregate and size joins are tiny.",
+      "bm25_persisted" -> "Persisted BM25: the postings scan must show STATIC pruning at the file index — PartitionFilters: [bucket IN (...)] with the query terms' bucket ids as literals — so a q-term search reads at most q/16 of the postings; df comes from exactly the pruned read (a term's postings live wholly in its bucket); the ranking tail is the shared bounded top-k (TakeOrderedAndProject).",
+      "embedding_pca" -> "PCA projection: after the fit, the applied transform is k codegen'd VecDot folds over literal component weights inside one narrow projection — no shuffle, no UDF, no model broadcast; the explode fans each row to its k (comp, value) pairs.")
     val sb = new StringBuilder
     sb.append("# Physical plans — flagship queries\n\n")
     sb.append("Generated by `graft.PlanDump` (sf0.01, local[8], AQE on). The\n")
