@@ -542,6 +542,17 @@ object SparkEntry {
       operators.InvertedIndex.build(tbl(s, dir, "documents"))
       operators.InvertedIndex.search(s, bm25Query, k = 10)
     }),
+    // incremental ingest: base index on 2/3 of the corpus, the held-out
+    // third appended through the _COMMITTED-gated batch protocol; the
+    // committed union must rank EXACTLY like a from-scratch index of
+    // the full corpus (df and stats compose additively over disjoint
+    // doc sets) — same oracle again
+    "bm25_incremental" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      operators.InvertedIndex.build(docs.filter(col("doc_id") % 3 =!= 0))
+      operators.InvertedIndex.appendBatch(docs.filter(col("doc_id") % 3 === 0))
+      operators.InvertedIndex.search(s, bm25Query, k = 10)
+    }),
     // learned dimensionality reduction: MLlib fits the components, the
     // projection is our codegen'd dot fold over the DUMPED weights —
     // the oracle replays it with list_dot_product on the same doubles
@@ -1016,6 +1027,9 @@ object SparkEntry {
     // the persisted index must return the identical ranking — same
     // oracle, different execution path (bucket-pruned postings read)
     "bm25_persisted" -> bm25OracleSql,
+    // and the incrementally-appended index must too: base(2/3) ∪
+    // committed batch(1/3) ≡ from-scratch over the full corpus
+    "bm25_incremental" -> bm25OracleSql,
     "decontaminate" ->
       s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
          |sh8 AS (SELECT doc_id, unnest(list_distinct(

@@ -39,19 +39,65 @@ object InvertedIndex {
   private def termBucket(t: Column): Column =
     pmod(xxhash64(t), lit(NumBuckets)).cast("int")
 
-  /** Build the postings + corpus-stats layout for `docs`. */
-  def build(docs: DataFrame, dir: String = indexDir): Unit = {
-    val tok = Partitioning.spread(docs)
+  private def postingsOf(docs: DataFrame): DataFrame =
+    Partitioning.spread(docs)
       .select(col("doc_id"), TextAnalysis.words(col("text")).as("ws"))
       .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
         explode(col("ws")).as("w"))
-    tok.groupBy(col("w"), col("doc_id"), col("dl")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("w"), col("doc_id"), col("dl")).agg(count(lit(1)).as("tf"))
       .withColumn("bucket", termBucket(col("w")))
-      .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/postings")
+
+  private def statsOf(docs: DataFrame): DataFrame =
     Partitioning.spread(docs)
       .select(size(TextAnalysis.words(col("text"))).cast("long").as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+
+  /** Build the base postings + corpus-stats layout for `docs`. A
+    * rebuild re-indexes the full corpus, so any previously appended
+    * batches are stale and dropped (same rebuild semantics as
+    * `KMeansIndex.persist`).
+    */
+  def build(docs: DataFrame, dir: String = indexDir): Unit = {
+    val spark = docs.sparkSession
+    val batches = new org.apache.hadoop.fs.Path(s"$dir/batches")
+    val fs = batches.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(batches)) fs.delete(batches, true)
+    postingsOf(docs)
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/postings")
+    statsOf(docs).coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Incrementally index a NEW document batch (disjoint doc_ids from
+    * everything already indexed — BM25's df and corpus stats compose
+    * additively over disjoint doc sets, so a search over base ∪ batches
+    * equals a from-scratch index of the union). The batch lands in its
+    * own `batches/batch-<uuid>` directory and becomes visible only once
+    * its `_COMMITTED` marker exists — written AFTER both the postings
+    * and stats jobs succeed (two writes, so Spark's per-job `_SUCCESS`
+    * alone cannot gate the pair). Same atomic-publish discipline as
+    * `KMeansIndex.appendPersisted`; `foreachBatch`-compatible.
+    */
+  def appendBatch(docs: DataFrame, dir: String = indexDir): Unit = {
+    val spark = docs.sparkSession
+    val batchDir = s"$dir/batches/batch-${java.util.UUID.randomUUID()}"
+    postingsOf(docs).write.partitionBy("bucket").parquet(s"$batchDir/postings")
+    statsOf(docs).coalesce(1).write.parquet(s"$batchDir/stats")
+    val fs = new org.apache.hadoop.fs.Path(batchDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(batchDir, "_COMMITTED"), true).close()
+  }
+
+  /** Committed batch directories, oldest-first; uncommitted (in-flight
+    * or failed) batches are invisible to every reader.
+    */
+  private def committedBatches(spark: SparkSession, dir: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(s"$dir/batches")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root))
+      fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+        .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_COMMITTED")))
+        .map(_.toString).sorted.toSeq
+    else Seq.empty[String]
   }
 
   /** Search the persisted layout: same result as
@@ -68,14 +114,23 @@ object InvertedIndex {
     import spark.implicits._
     val buckets = terms.toDF("w").select(termBucket(col("w")).as("b"))
       .distinct().as[Int].collect().toSeq
-    val tf = spark.read.parquet(s"$dir/postings")
+    val batches = committedBatches(spark, dir)
+    // every branch keeps its own basePath, so bucket=N stays a partition
+    // value and the bucket filter is STATIC pruning on each branch
+    val tf = (s"$dir/postings" +: batches.map(b => s"$b/postings"))
+      .map(p => spark.read.option("basePath", p).parquet(p))
+      .reduce(_.unionByName(_))
       .filter(col("bucket").isin(buckets: _*)) // static partition pruning
       .filter(col("w").isin(terms: _*))
       .select(col("doc_id"), col("dl"), col("w"), col("tf"))
     // a term's postings live wholly in its bucket, so df computed from
-    // the pruned read equals the corpus df
+    // the pruned read equals the corpus df; batches hold disjoint docs,
+    // so df and corpus stats compose additively over the union
     val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val stats = spark.read.parquet(s"$dir/stats")
+    val stats = (s"$dir/stats" +: batches.map(b => s"$b/stats"))
+      .map(p => spark.read.parquet(p))
+      .reduce(_.unionByName(_))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
     TextAnalysis.bm25Rank(tf, df, stats, k, k1, b)
   }
 }

@@ -39,6 +39,35 @@ class InvertedIndexSpec extends AnyFunSuite {
       "bucket pruning must be static, not DPP-dependent")
   }
 
+  test("appendBatch: base ∪ committed batch ranks exactly like a full rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    InvertedIndex.build(docs.filter($"doc_id" <= 3), dir)
+    InvertedIndex.appendBatch(docs.filter($"doc_id" > 3), dir)
+    val incremental = InvertedIndex.search(spark, Seq("query", "fast"), k = 5, dir = dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val full = java.nio.file.Files.createTempDirectory("bm25full").toString
+    InvertedIndex.build(docs, full)
+    val rebuilt = InvertedIndex.search(spark, Seq("query", "fast"), k = 5, dir = full)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(incremental.toSeq == rebuilt.toSeq)
+  }
+
+  test("uncommitted batches are invisible; rebuild drops stale batches") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    InvertedIndex.build(docs.filter($"doc_id" <= 3), dir)
+    val before = InvertedIndex.search(spark, Seq("query"), k = 5, dir = dir).collect()
+    // a batch directory without the _COMMITTED marker must not be read
+    val fake = new java.io.File(s"$dir/batches/batch-inflight/postings/bucket=0")
+    fake.mkdirs()
+    val after = InvertedIndex.search(spark, Seq("query"), k = 5, dir = dir).collect()
+    assert(after.map(_.toString).toSeq == before.map(_.toString).toSeq)
+    // commit a real batch, then rebuild: the batch must be dropped
+    InvertedIndex.appendBatch(docs.filter($"doc_id" > 3), dir)
+    InvertedIndex.build(docs.filter($"doc_id" <= 3), dir)
+    val rebuilt = InvertedIndex.search(spark, Seq("query"), k = 5, dir = dir).collect()
+    assert(rebuilt.map(_.toString).toSeq == before.map(_.toString).toSeq)
+  }
+
   test("df from the pruned read equals the corpus df") {
     val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
     InvertedIndex.build(docs, dir)
