@@ -121,4 +121,33 @@ class StreamingIngestSpec extends AnyFunSuite {
     q.awaitTermination(60000)
     assert(sink.sorted == Seq(1L, 3L), s"sink was $sink")
   }
+
+  test("foreachBatch index ingest: streamed batches land in the searchable BM25 index") {
+    import graft.operators.InvertedIndex
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("bm25stream").toString
+    InvertedIndex.build(
+      Seq((1L, "query plan cost", "s")).toDF("doc_id", "text", "source"), dir)
+    val mem = MemoryStream[(Long, String, String)]
+    mem.addData((2L, "fast query merge", "s"), (3L, "unrelated words", "s"))
+    val q = mem.toDS().toDF("doc_id", "text", "source").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) InvertedIndex.appendBatch(batch, dir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // the streamed docs are searchable and rank identically to a
+    // from-scratch index of the union
+    val got = InvertedIndex.search(spark, Seq("query"), k = 5, dir = dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val full = java.nio.file.Files.createTempDirectory("bm25streamfull").toString
+    InvertedIndex.build(Seq(
+      (1L, "query plan cost", "s"), (2L, "fast query merge", "s"),
+      (3L, "unrelated words", "s")).toDF("doc_id", "text", "source"), full)
+    val want = InvertedIndex.search(spark, Seq("query"), k = 5, dir = full)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.toSeq == want.toSeq)
+    assert(got.map(_._1).toSet == Set(1L, 2L))
+  }
 }
