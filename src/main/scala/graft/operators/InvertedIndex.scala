@@ -39,6 +39,18 @@ object InvertedIndex {
   private def termBucket(t: Column): Column =
     pmod(xxhash64(t), lit(NumBuckets)).cast("int")
 
+  /** Postings schema, stated explicitly at read time: an EMPTY corpus
+    * (the first micro-batch of a stream) writes a postings directory
+    * with no data files, and a schema-inferring read would die there
+    * instead of returning zero rows.
+    */
+  private val postingsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("w", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("dl", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("tf", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.IntegerType)))
+
   private def postingsOf(docs: DataFrame): DataFrame =
     Partitioning.spread(docs)
       .select(col("doc_id"), TextAnalysis.words(col("text")).as("ws"))
@@ -118,7 +130,7 @@ object InvertedIndex {
     // every branch keeps its own basePath, so bucket=N stays a partition
     // value and the bucket filter is STATIC pruning on each branch
     val tf = (s"$dir/postings" +: batches.map(b => s"$b/postings"))
-      .map(p => spark.read.option("basePath", p).parquet(p))
+      .map(p => spark.read.schema(postingsSchema).option("basePath", p).parquet(p))
       .reduce(_.unionByName(_))
       .filter(col("bucket").isin(buckets: _*)) // static partition pruning
       .filter(col("w").isin(terms: _*))

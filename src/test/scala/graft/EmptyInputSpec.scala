@@ -93,5 +93,17 @@ class EmptyInputSpec extends AnyFunSuite {
     zeroRows("videoFrameSample")(Multimodal.videoFrameSample(docs))
     zeroRows("imageChannelStats")(Multimodal.imageChannelStats(docs))
     zeroRows("audioFeatures")(Multimodal.audioFeatures(docs))
+    zeroRows("quarantineRoundTrip")(Multimodal.quarantineRoundTrip(docs))
+    zeroRows("repetitionSignals")(TextAnalysis.repetitionSignals(docs))
+    zeroRows("sourceOverlap")(TextAnalysis.sourceOverlap(docs))
+    zeroRows("vocabCoverage")(TextAnalysis.vocabCoverage(docs))
+  }
+
+  test("persisted BM25 index is total on an empty corpus") {
+    import graft.operators.InvertedIndex
+    val dir = java.nio.file.Files.createTempDirectory("bm25empty").toString
+    InvertedIndex.build(docs, dir)
+    // stats exists with the identity row; no postings → empty ranking
+    assert(InvertedIndex.search(spark, Seq("query"), k = 5, dir = dir).count() == 0)
   }
 }
