@@ -114,6 +114,22 @@ object ScaleProbe {
       .head().getSeq[Float](0).toArray
     t("ivf searchPersisted 40k vecs")(
       KMeansIndex.searchPersisted(spark, layout, q0, topK = 10, nProbe = 3).count())
+    // the persisted-BM25 lifecycle at probe scale: one build (the cost
+    // a 100 TB user pays once), then the bucket-pruned search they run
+    // per query, plus one incremental batch append
+    val bmDir = s"$dir/bm25_index"
+    t("bm25 index build 95k docs")({
+      InvertedIndex.build(docs.filter(col("doc_id") % 20 =!= 0), bmDir); 1L
+    })
+    t("bm25 searchPersisted")(
+      InvertedIndex.search(spark, Seq("query", "fast", "merge"), 10, bmDir).count())
+    t("bm25 appendBatch 5k docs")({
+      InvertedIndex.appendBatch(docs.filter(col("doc_id") % 20 === 0), bmDir); 1L
+    })
+    t("bm25 search after append")(
+      InvertedIndex.search(spark, Seq("query", "fast", "merge"), 10, bmDir).count())
+    t("multimodal resize 100k docs")(Multimodal.imageResizeMeta(docs).count())
+    t("audio features 100k docs")(Multimodal.audioFeatures(docs).count())
     spark.stop()
   }
 }

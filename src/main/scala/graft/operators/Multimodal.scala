@@ -407,10 +407,36 @@ object Multimodal {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      // per-partition codec hoisting, same lever as the ImageIO paths:
+      // AudioSystem.getAudioInputStream re-runs SPI provider discovery
+      // per CALL (each non-matching provider parses and throws
+      // internally) — ~0.3 ms/row that dominates tiny-clip decode. The
+      // JDK's real readers are public SPI classes; resolve them once
+      // per partition and go to the matching provider directly.
+      val providers = {
+        val it = java.util.ServiceLoader
+          .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+        val b = List.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+        while (it.hasNext) b += it.next()
+        b.result()
+      }
+      var wavReader: javax.sound.sampled.spi.AudioFileReader = null
+      def open(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+        if (wavReader != null)
+          return wavReader.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        val found = providers.iterator.flatMap { p =>
+          try Some((p, p.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))))
+          catch { case _: javax.sound.sampled.UnsupportedAudioFileException => None }
+        }.take(1).toList
+        found match {
+          case (p, s) :: _ => wavReader = p; s
+          case _ => throw new javax.sound.sampled.UnsupportedAudioFileException(
+            "audioFeatures: no AudioFileReader provider claims the payload")
+        }
+      }
       it.map { id =>
         val bytes = encodeWav(id)
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(bytes))
+        val ais = open(bytes)
         val fmt = ais.getFormat
         require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
           s"audioFeatures: unexpected decoded format for media $id: $fmt")
