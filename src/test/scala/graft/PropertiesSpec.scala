@@ -193,6 +193,33 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("property: persisted index search equals from-scratch BM25 on random corpora") {
+    import graft.operators.{InvertedIndex, TextAnalysis}
+    val wordGen = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val corpusGen = for {
+      nDocs <- Gen.choose(2, 7)
+      texts <- Gen.listOfN(nDocs, for {
+        len <- Gen.choose(1, 10)
+        ws <- Gen.listOfN(len, wordGen)
+      } yield ws.mkString(" "))
+      split <- Gen.choose(1, nDocs - 1) // batch boundary for the append
+    } yield (texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "s") }, split)
+    val few = SCTest.Parameters.default.withMinSuccessfulTests(5)
+    val res = SCTest.check(few, Prop.forAll(corpusGen) { case (corpus, split) =>
+      val docs = corpus.toDF("doc_id", "text", "source")
+      val dir = java.nio.file.Files.createTempDirectory("bm25prop").toString
+      InvertedIndex.build(docs.filter(col("doc_id") < split), dir)
+      InvertedIndex.appendBatch(docs.filter(col("doc_id") >= split), dir)
+      val q = Seq("aa", "cc")
+      val got = InvertedIndex.search(spark, q, k = 10, dir = dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val want = TextAnalysis.bm25TopDocs(docs, q, k = 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      got == want
+    })
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: multimodal codec paths land on the closed forms for arbitrary ids") {
     import graft.operators.Multimodal
     val idGen = Gen.choose(0L, 5000000L)
