@@ -226,6 +226,20 @@ object SparkEntry {
           when(col("doc_id") % 5 === 0,
             concat(lit("host 10.0."), col("doc_id") % 256, lit(".7 "))).otherwise(lit("")),
           col("text")).as("text")))),
+    // CCNet/MassiveText line-level boilerplate removal. The synthetic
+    // corpus has no naturally repeated lines, so both engines prepend
+    // the shared 10-word banner to every even doc (pii_scrub's
+    // deterministic-injection discipline): its cross-doc frequency
+    // fires the filter while every natural line survives
+    "boilerplate_removal" -> ((s, dir) =>
+      TextAnalysis.removeBoilerplate(tbl(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(TextAnalysis.boilerplateLine + " "), col("text")))
+          .otherwise(col("text")).as("text")))),
+    // DSIR hashed-unigram importance weights, target model = English
+    // docs, raw model = the rest; selected = looks more target than raw
+    "dsir_weights" -> ((s, dir) =>
+      operators.Sampling.dsirWeights(tbl(s, dir, "documents"))),
     "token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(tbl(s, dir, "documents"))),
     "doc_digests" -> ((s, dir) => TextAnalysis.digests(tbl(s, dir, "documents"))),
     "doc_sketch" -> ((s, dir) => TextAnalysis.minKSketch(tbl(s, dir, "documents"), 4)),
@@ -279,6 +293,18 @@ object SparkEntry {
       val query = e.filter(col("vec_id") === 0).select(col("embedding"))
         .head().getSeq[Float](0).toArray
       operators.KMeansIndex.search(idx, query, topK = 10, nProbe = 3)
+    }),
+    // SemDeDup: k-means cells bound the cosine comparison (the paper's
+    // n² → Σ|cell|² collapse); threshold pairs resolve to connected
+    // components, each keeping its minimum id. Centroids are dumped so
+    // the oracle replays assignment → within-cell pairs → recursive-CTE
+    // components from the same doubles
+    "semdedup" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = operators.KMeansIndex.build(e, k = 8)
+      idx.centroids.coalesce(1).write.mode("overwrite")
+        .parquet(operators.KMeansIndex.centroidDumpPath + "_sem")
+      Dedup.semDedup(idx, threshold = Dedup.semDedupThreshold)
     }),
     "ann_batch_topk" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -1116,6 +1142,58 @@ object SparkEntry {
          |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_words,
          |  round(CAST(sum(nl) AS DOUBLE) / sum(tf), 6) AS surprisal
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same banner injection (interpolated from the shared constant),
+    // same 10-word line grid as doc_chunks, df per exact line text,
+    // order-preserving reassembly via string_agg(ORDER BY line_idx)
+    // FILTER — coalesce('') mirrors Spark's concat_ws over empty arrays
+    "boilerplate_removal" -> {
+      val banner = operators.TextAnalysis.boilerplateLine
+      s"""WITH inj AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 2 = 0 THEN '$banner ' || text ELSE text END AS text
+         |  FROM documents),
+         |w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM inj),
+         |c AS (SELECT doc_id, ws,
+         |        greatest(CAST(ceil(len(ws)::DOUBLE / 10) AS INT), 1) AS nl FROM w),
+         |l AS (SELECT doc_id, CAST(line_idx AS INT) AS line_idx,
+         |        array_to_string(ws[line_idx*10+1 : line_idx*10+10], ' ') AS line
+         |      FROM (SELECT doc_id, ws, unnest(range(nl)) AS line_idx FROM c)),
+         |df AS (SELECT line, count(DISTINCT doc_id) AS n_docs FROM l GROUP BY 1),
+         |f AS (SELECT l.doc_id, l.line_idx, l.line, df.n_docs FROM l JOIN df USING (line)),
+         |agg AS (SELECT doc_id, count(*) AS n_lines,
+         |          CAST(sum(CASE WHEN n_docs >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |          coalesce(string_agg(line, ' ' ORDER BY line_idx) FILTER (WHERE n_docs < 3), '') AS clean
+         |        FROM f GROUP BY doc_id)
+         |SELECT doc_id, n_lines, n_removed,
+         |  CAST(length(clean) AS BIGINT) AS clean_len, sha256(clean) AS clean_sha
+         |FROM agg ORDER BY doc_id""".stripMargin
+    },
+    // same sha-based bucket hash (the hash60 slice re-parsed via
+    // duckHex60), same add-1 smoothed models, ln quantized at 9 dp per
+    // BUCKET then exact bounded-decimal accumulation (the doc_surprisal
+    // discipline); target/buckets interpolated from the shared constants
+    "dsir_weights" -> {
+      val b = operators.Sampling.dsirBuckets
+      val tgt = operators.Sampling.dsirTargetLang
+      s"""WITH w AS (SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents),
+         |bk AS (SELECT doc_id, lang,
+         |         (${duckHex60("sha256(w || ':dsir')", 1)}) % $b AS bucket FROM w),
+         |tb AS (SELECT doc_id, lang, bucket, count(*) AS tf FROM bk GROUP BY 1, 2, 3),
+         |m AS (SELECT bucket,
+         |        sum(CASE WHEN lang = '$tgt' THEN tf ELSE 0 END) AS ct,
+         |        sum(CASE WHEN lang <> '$tgt' THEN tf ELSE 0 END) AS cr
+         |      FROM tb GROUP BY 1),
+         |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM m),
+         |q AS (SELECT bucket,
+         |        CAST(round(ln((ct + 1)::DOUBLE / (nt + $b)::DOUBLE)
+         |                   - ln((cr + 1)::DOUBLE / (nr + $b)::DOUBLE), 9) AS DECIMAL(20,9)) AS qln
+         |      FROM m CROSS JOIN tot),
+         |j AS (SELECT tb.doc_id, tb.tf, q.qln * CAST(tb.tf AS DECIMAL(6,0)) AS nl
+         |      FROM tb JOIN q USING (bucket))
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_words,
+         |  round(CAST(sum(nl) AS DOUBLE) / sum(tf), 6) AS dsir_score,
+         |  round(CAST(sum(nl) AS DOUBLE) / sum(tf), 6) > 0 AS selected
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     // same injection, same common-subset regexes (interpolated from
     // TextAnalysis.piiPatterns — one source of truth), same scrub order;
     // DuckDB needs the 'g' flag for replace-all to match Spark
@@ -1460,6 +1538,38 @@ object SparkEntry {
          |  round(${cosSql("CAST(e.embedding AS DOUBLE[])", "q.qe")}, 6) AS score
          |FROM embeddings e JOIN pr ON e.label = pr.label CROSS JOIN q
          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+    // assignment replay from the dumped centroids (the ann_kmeans_ivf
+    // Voronoi CTE), within-cell cosine pairs at the shared threshold,
+    // transitive closure via recursive CTE, min-label per component;
+    // singletons label themselves through the left-join coalesce
+    "semdedup" -> {
+      val path = operators.KMeansIndex.centroidDumpPath + "_sem"
+      val tau = operators.Dedup.semDedupThreshold
+      s"""WITH RECURSIVE c AS (SELECT cell, centroid FROM '$path/*.parquet'),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |d AS (SELECT e.vec_id, e.v, c.cell,
+         |        list_dot_product(e.v, e.v) + list_dot_product(c.centroid, c.centroid)
+         |          - 2.0 * list_dot_product(e.v, c.centroid) AS dist
+         |      FROM e CROSS JOIN c),
+         |a AS (SELECT vec_id, v, cell FROM
+         |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |         FROM d)
+         |      WHERE rn = 1),
+         |prs AS (SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
+         |        FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |        WHERE round(${cosSql("x.v", "y.v")}, 6) >= $tau),
+         |ed AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+         |       UNION ALL SELECT doc_b, doc_a FROM prs),
+         |reach AS (SELECT src, dst FROM ed
+         |          UNION
+         |          SELECT r.src, e2.dst FROM reach r JOIN ed e2 ON r.dst = e2.src),
+         |g AS (SELECT src AS vec_id, least(src, min(dst)) AS group_id FROM reach GROUP BY src)
+         |SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
+         |  coalesce(g.group_id, a.vec_id) AS group_id,
+         |  coalesce(g.group_id, a.vec_id) = a.vec_id AS keep
+         |FROM a LEFT JOIN g ON a.vec_id = g.vec_id
+         |ORDER BY a.vec_id""".stripMargin
+    },
     // probe+scan replay from the centroids the query persisted: same
     // Voronoi assignment (dot-product distance form, lowest-cell ties),
     // same cosine probe ranking, same final top-k

@@ -805,6 +805,59 @@ object Dedup {
       .orderBy(col("dup_id"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): semantic near-dup
+    * removal with CLUSTER-bounded comparison. K-means partitions the
+    * embedding space; cosine pairs are formed only WITHIN a cell (the
+    * paper's core trick — semantically close points land in the same
+    * cluster, so the n² comparison collapses to Σ|cell|²); pairs at or
+    * above `threshold` are resolved to connected components and each
+    * component keeps its lowest-id member.
+    *
+    * Takes a trained [[KMeansIndex.Index]] rather than building one, so
+    * the caller controls k (and can dump the centroids for an oracle
+    * replay — assignment downstream of training is the deterministic
+    * codegen'd `cellExpr`, engine-portable by construction).
+    *
+    * Output: every vector with its `cell`, its duplicate-group label
+    * (`group_id` = component minimum; singletons label themselves) and
+    * the `keep` verdict.
+    *
+    * Shape at 100 TB: the self-join equi-joins on `cell`, so per-task
+    * work is bounded by the largest cell, never n² — k is the dial
+    * (k ≈ n / target-cell-size keeps cells executor-sized; a skewed
+    * cell is split by raising k, not by salting, which would sever
+    * cross-salt pairs). Component resolution is [[dupGroups]]
+    * (pointer-jumping min-label propagation, driver fast path only
+    * under its hard edge cap), and the final labeling is a left join
+    * keyed on vec_id. No driver materialization anywhere.
+    */
+  /** The contract query's cosine threshold, shared with its oracle SQL
+    * interpolation (the token_budget discipline). 0.4 matches the
+    * dedup_embedding_pairs contract threshold — the synthetic
+    * embeddings top out near cosine 0.51 within a cell, so a
+    * "realistic" 0.9+ SemDeDup cut would never fire here.
+    */
+  val semDedupThreshold: Double = 0.4
+
+  def semDedup(index: KMeansIndex.Index, threshold: Double): DataFrame = {
+    val a = index.assigned.select(col("vec_id"), col("cell"), col("embedding"))
+    val pairs = a.as("l").join(a.as("r"),
+        col("l.cell") === col("r.cell") && col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("doc_a"), col("r.vec_id").as("doc_b"),
+        round(graft.functions.VectorOps.cosineSimilarity(
+          col("l.embedding"), col("r.embedding")), 6).as("score"))
+      .filter(col("score") >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val groups = dupGroups(pairs).withColumnRenamed("doc_id", "vec_id")
+    a.select(col("vec_id"), col("cell"))
+      .join(groups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell").cast("int").as("cell"),
+        coalesce(col("group_id"), col("vec_id")).as("group_id"))
+      .withColumn("keep", col("group_id") === col("vec_id"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Brute-force embedding near-dup: top-N pairs by cosine — the
     * EXPLICITLY OPT-IN exact baseline for [[embeddingNearDup]] /
     * Ann.lshCosinePairs. Exact global top-N is Ω(n²) score evaluations

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Deterministic source-mixture sampling — the "data mixing" step that
   * reweights a corpus's sources before training (up/down-sampling web
@@ -189,6 +190,73 @@ object Sampling {
         sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("tokens_kept"),
         min(col("budget")).as("budget"))
       .orderBy(col("source"))
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by the log-likelihood ratio of a TARGET unigram model
+    * over a RAW model, both estimated from the corpus itself on HASHED
+    * token buckets (the paper's hashed n-gram features — a fixed
+    * `buckets`-wide feature space regardless of vocabulary size).
+    * Documents that look like the target distribution score positive
+    * and are `selected`; importance resampling then draws by weight
+    * (composable with [[mixtureSample]]'s replayable draws).
+    *
+    * Here the target model is fit on `lang = targetLang` documents and
+    * the raw model on the rest (in production: target = trusted corpus,
+    * raw = the crawl). Laplace add-1 smoothing keeps empty buckets
+    * finite. The bucket hash reuses [[hash60]] — sha-256 based, so the
+    * oracle re-derives the identical bucket in SQL; `% buckets` on the
+    * 60-bit slice. The only transcendental (ln of each model
+    * probability) is computed on identical exact-integer-derived
+    * doubles and quantized at 9 dp per BUCKET before any accumulation
+    * (the doc_surprisal discipline) — the per-doc fold is
+    * order-independent bounded-decimal arithmetic, bit-stable in both
+    * engines.
+    *
+    * Shape at 100 TB: tokenize+bucket is narrow; (doc, bucket) tf is
+    * one partial-aggregated shuffle; the model table is `buckets` rows
+    * (a broadcast, whatever the corpus size — the point of hashing);
+    * the per-doc fold keys on doc_id. No vocabulary-sized state
+    * anywhere.
+    */
+  /** DSIR defaults, shared between the contract query's registration
+    * and its oracle SQL interpolation (the token_budget discipline —
+    * change either in one place or nowhere).
+    */
+  val dsirTargetLang: String = "en"
+  val dsirBuckets: Int = 64
+
+  def dsirWeights(docs: DataFrame, targetLang: String = dsirTargetLang,
+      buckets: Int = dsirBuckets): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val tb = Partitioning.spread(docs)
+      .select(col("doc_id"), col("lang"),
+        explode(TextAnalysis.words(col("text"))).as("w"))
+      .select(col("doc_id"), col("lang"),
+        pmod(hash60(col("w"), ":dsir"), lit(buckets.toLong)).as("bucket"))
+      .groupBy(col("doc_id"), col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+      .cache() // feeds the bucket models AND the per-doc fold
+    val isTarget = col("lang") === targetLang
+    val model = tb.groupBy(col("bucket"))
+      .agg(sum(when(isTarget, col("tf")).otherwise(0L)).as("ct"),
+        sum(when(!isTarget, col("tf")).otherwise(0L)).as("cr"))
+    val tot = model.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val lnRatio = round(
+      log((col("ct") + 1).cast("double") / (col("nt") + buckets).cast("double"))
+        - log((col("cr") + 1).cast("double") / (col("nr") + buckets).cast("double")),
+      9).cast(DecimalType(20, 9))
+    val weighted = model.crossJoin(broadcast(tot))
+      .select(col("bucket"), lnRatio.as("qln"))
+    val score = round(sum(col("nl")).cast("double") / sum(col("tf")), 6)
+    tb.join(broadcast(weighted), "bucket")
+      .select(col("doc_id"), col("tf"),
+        (col("qln") * col("tf").cast(DecimalType(6, 0))).as("nl"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_words"), score.as("dsir_score"))
+      .withColumn("selected", col("dsir_score") > 0)
+      .orderBy(col("doc_id"))
+  }
 
   /** Per-source mixture report: how many docs each source keeps under
     * the weights, with the observed rate (converges to the weight as

@@ -202,6 +202,73 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** A fixed 10-word boilerplate line, shared by the contract query's
+    * deterministic injection and its oracle SQL (the synthetic corpus
+    * has no natural repeated lines, so the query plants some in BOTH
+    * engines — the pii_scrub discipline). Exactly [[removeBoilerplate]]'s
+    * default `lineWords` long, so prepending it shifts a document's
+    * natural lines by exactly one line and leaves them intact.
+    */
+  val boilerplateLine: String =
+    "subscribe to our newsletter for daily updates and special offers"
+
+  /** Line-level boilerplate removal — the CCNet / MassiveText
+    * "repeated lines across documents" filter (Wenzek et al. 2020 §4.2
+    * dedups paragraphs by cross-document hash; Rae et al. 2021 §A1.1
+    * drops duplicate lines): a line whose exact text appears in at
+    * least `minDocs` DISTINCT documents is navigation/cookie-banner
+    * boilerplate, not content, and is removed from every document;
+    * the survivors are re-joined in original line order. The corpus
+    * here is single-line word soup, so "lines" are fixed windows of
+    * `lineWords` tokens (the [[chunkWords]] grid with zero overlap) —
+    * the cross-document-frequency semantics are what's under test.
+    *
+    * Output per document: `n_lines`, `n_removed`, and the cleaned text
+    * as length + sha-256 (narrow contract shape; the cleaned column is
+    * one select away).
+    *
+    * Shape at 100 TB: line document-frequency is an inverted-index
+    * aggregate — `countDistinct(doc_id)` per line with partial
+    * aggregation below the exchange, so a banner line in a billion
+    * docs ships one row per map task, not a billion. The flag join is
+    * a plain equi-join on the line text, and the reassembly fold keys
+    * on doc_id with the per-doc line list bounded by document length
+    * (`collect_list` over a document's own lines, never a global
+    * collect). Two shuffles total: one on line, one on doc_id.
+    */
+  def removeBoilerplate(docs: DataFrame, lineWords: Int = 10,
+      minDocs: Int = 3): DataFrame = {
+    require(lineWords >= 1, s"lineWords must be >= 1, got $lineWords")
+    val lines = Partitioning.spread(docs)
+      .withColumn("ws", words(col("text")))
+      .withColumn("n_lines",
+        greatest(ceil(size(col("ws")).cast("double") / lineWords), lit(1))
+          .cast("int"))
+      .withColumn("line_idx", explode(sequence(lit(0), col("n_lines") - 1)))
+      .select(col("doc_id"), col("line_idx"),
+        concat_ws(" ", slice(col("ws"), col("line_idx") * lineWords + 1,
+          lit(lineWords))).as("line"))
+    val lineDf = lines.groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val kept = when(col("n_docs") < minDocs,
+      struct(col("line_idx"), col("line")))
+    lines.join(lineDf, "line")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("n_docs") >= minDocs, 1L).otherwise(0L)).as("n_removed"),
+        // collect_list drops the nulls the `kept` guard produces, so the
+        // sorted struct array holds exactly the surviving lines in
+        // original order; concat_ws over an empty array is "", which
+        // length/sha-256 treat identically to the oracle's coalesce('')
+        concat_ws(" ",
+          transform(array_sort(collect_list(kept)), x => x.getField("line")))
+          .as("clean"))
+      .select(col("doc_id"), col("n_lines"), col("n_removed"),
+        length(col("clean")).cast("long").as("clean_len"),
+        sha2(col("clean"), 256).as("clean_sha"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document n-gram novelty: the share of a document's distinct
     * n-word shingles that no LOWER-id document contains — the diversity
     * signal a curation pipeline uses to prefer documents that add new

@@ -317,4 +317,23 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.dupGroups(pairs, driverEdgeLimit = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap == expect)
   }
+
+  test("semDedup: cluster-bounded groups with chain transitivity; cross-cell dups never pair") {
+    def at(deg: Double) =
+      Array(math.cos(math.toRadians(deg)).toFloat, math.sin(math.toRadians(deg)).toFloat)
+    // cell 0: 0° / 5° / 10° form a transitive chain at τ = cos 7° ≈ 0.99255
+    // (0°–10° alone is cos 10° ≈ 0.98481 < τ); 90° is a singleton.
+    // cell 1: 0° again (identical to vec 0 but cluster-bounded away) + 1°.
+    val rows = Seq(
+      (0L, at(0), 0), (1L, at(5), 0), (2L, at(10), 0), (3L, at(90), 0),
+      (10L, at(0), 1), (11L, at(1), 1))
+    val assigned = rows.toDF("vec_id", "embedding", "cell")
+    val centroids = Seq((0, Array(1.0, 0.0)), (1, Array(1.0, 0.0))).toDF("cell", "centroid")
+    val tau = math.cos(math.toRadians(7))
+    val got = Dedup.semDedup(operators.KMeansIndex.Index(assigned, centroids), tau)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq(
+      (0L, 0, 0L, true), (1L, 0, 0L, false), (2L, 0, 0L, false), (3L, 0, 3L, true),
+      (10L, 1, 10L, true), (11L, 1, 10L, false)))
+  }
 }

@@ -45,6 +45,7 @@ class EmptyInputSpec extends AnyFunSuite {
     zeroRows("noveltyScores")(TextAnalysis.noveltyScores(docs))
     zeroRows("piiScrub")(TextAnalysis.piiScrub(docs))
     zeroRows("bm25TopDocs")(TextAnalysis.bm25TopDocs(docs, Seq("query"), 10))
+    zeroRows("removeBoilerplate")(TextAnalysis.removeBoilerplate(docs))
     // global aggregate: one identity row is acceptable, a throw is not
     assert(TextAnalysis.sizePercentiles(docs).count() <= 1)
   }
@@ -63,6 +64,10 @@ class EmptyInputSpec extends AnyFunSuite {
     zeroRows("contaminationFlags")(Dedup.contaminationFlags(docs, docs, 8, 3))
     zeroRows("incrementalFlags")(Dedup.incrementalFlags(docs, docs, 0.5))
     zeroRows("embeddingNearDup")(Dedup.embeddingNearDup(emb, 0.9))
+    zeroRows("semDedup")(Dedup.semDedup(
+      KMeansIndex.Index(emb.withColumn("cell", org.apache.spark.sql.functions.lit(0)),
+        emb.select(col("label").as("cell"), col("embedding").cast("array<double>").as("centroid"))),
+      0.9))
   }
 
   test("sampling/packing/pipeline operators are total on an empty corpus") {
@@ -73,6 +78,7 @@ class EmptyInputSpec extends AnyFunSuite {
       Sampling.stratifiedSample(docs, col("source"), col("doc_id"), 10))
     zeroRows("tokenBudgetSummary")(
       Sampling.tokenBudgetSummary(docs, Map("src0" -> 100L), 100L))
+    zeroRows("dsirWeights")(Sampling.dsirWeights(docs))
     zeroRows("packWindows")(Packing.packWindows(docs, 512, 64))
     zeroRows("cleanSummary")(CorpusPipeline.cleanSummary(docs))
     zeroRows("corpusReport")(CorpusPipeline.corpusReport(docs))

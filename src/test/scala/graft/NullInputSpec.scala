@@ -49,6 +49,8 @@ class NullInputSpec extends AnyFunSuite {
     total("sizePercentiles")(TextAnalysis.sizePercentiles(docs).count())
     total("repetitionSignals")(TextAnalysis.repetitionSignals(docs).count())
     total("sourceOverlap")(TextAnalysis.sourceOverlap(docs).count())
+    total("removeBoilerplate")(TextAnalysis.removeBoilerplate(docs).count())
+    total("dsirWeights")(Sampling.dsirWeights(docs).count())
   }
 
   test("dedup operators survive a null-text row") {

@@ -168,4 +168,29 @@ class SamplingSpec extends AnyFunSuite {
       assert(r.getDouble(4) === expect)
     }
   }
+
+  test("dsirWeights: target-vocabulary docs score positive, raw-vocabulary negative") {
+    // word buckets are sha-256 derived and therefore fixed forever; the
+    // two vocabularies below were chosen to be collision-free in 64
+    // buckets (alpha 4, beta 51, gamma 57 / delta 35, epsilon 60,
+    // omega 43, kappa 42), so the sign invariant is exact, not
+    // probabilistic
+    val d = Seq(
+      (0L, "alpha beta alpha gamma", "en"),
+      (1L, "alpha beta", "en"),
+      (2L, "delta epsilon omega", "de"),
+      (3L, "delta kappa", "de"),
+      (4L, "alpha delta", "de")
+    ).toDF("doc_id", "text", "lang")
+    val got = Sampling.dsirWeights(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got(0L)._1 == 4 && got(1L)._1 == 2)
+    assert(got(0L)._2 > 0 && got(0L)._3, "pure target vocabulary must look target-like")
+    assert(got(1L)._2 > 0 && got(1L)._3)
+    assert(got(2L)._2 < 0 && !got(2L)._3, "pure raw vocabulary must look raw-like")
+    assert(got(3L)._2 < 0 && !got(3L)._3)
+    // doc 4 mixes one target-heavy and one raw-heavy word; its score
+    // sits strictly between the pure docs' scores
+    assert(got(4L)._2 > got(2L)._2 && got(4L)._2 < got(0L)._2)
+  }
 }

@@ -285,4 +285,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       "the source pair matrix must come from an equi-join on shingle")
   }
+
+  private def sha256(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("removeBoilerplate drops cross-doc lines, keeps order, survives all-boilerplate docs") {
+    // banner "buy our stuff" appears in 5 distinct docs (df ≥ 3 → removed);
+    // "red green blue" appears in 2 (df < 3 → kept)
+    val d = Seq(
+      (0L, "buy our stuff red green blue"),
+      (1L, "buy our stuff one two three"),
+      (2L, "buy our stuff red green blue"),
+      (3L, "alpha beta gamma"),
+      (4L, "buy our stuff"),                   // all boilerplate → clean ""
+      (5L, "zz yy xx buy our stuff aa bb cc")  // banner mid-doc → order check
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.removeBoilerplate(d, lineWords = 3, minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(0L) == ((2L, 1L, 14L, sha256("red green blue"))))
+    assert(got(1L) == ((2L, 1L, 13L, sha256("one two three"))))
+    assert(got(2L) == got(0L))
+    assert(got(3L) == ((1L, 0L, 16L, sha256("alpha beta gamma"))))
+    assert(got(4L) == ((1L, 1L, 0L, sha256(""))))
+    // the removed middle line must not disturb surrounding order
+    assert(got(5L) == ((3L, 1L, 17L, sha256("zz yy xx aa bb cc"))))
+  }
 }
