@@ -579,6 +579,16 @@ object SparkEntry {
       operators.InvertedIndex.appendBatch(docs.filter(col("doc_id") % 3 === 0))
       operators.InvertedIndex.search(s, bm25Query, k = 10)
     }),
+    // learned quality filter (CCNet/fastText analogue): MLlib fits a
+    // logistic regression on per-doc signals vs the lang='en' proxy
+    // label; scoring is a codegen'd dot fold + sigmoid over the DUMPED
+    // weights — the oracle replays it from the same parquet doubles
+    "quality_classifier" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val w = operators.QualityModel.fit(d)
+      operators.QualityModel.dumpWeights(s, w)
+      operators.QualityModel.score(d, w)
+    }),
     // learned dimensionality reduction: MLlib fits the components, the
     // projection is our codegen'd dot fold over the DUMPED weights —
     // the oracle replays it with list_dot_product on the same doubles
@@ -1914,6 +1924,28 @@ object SparkEntry {
          |FROM s GROUP BY doc_id ORDER BY media_id""".stripMargin,
     // replay of the projection from the components the query dumped:
     // identical left-to-right dot fold over identical doubles
+    // scoring replay from the dumped weights: the identical feature
+    // doubles (text_stats' proven fragments + the stopword filter
+    // interpolated from the shared list), the same left-to-right dot
+    // fold, the same sigmoid, rounded at 6 dp before the 0.5 cut
+    "quality_classifier" -> {
+      val stop = operators.TextAnalysis.stopwords.map(s => s"'$s'").mkString(", ")
+      val mark = operators.QualityModel.targetMarkers.map(s => s"'$s'").mkString(", ")
+      s"""WITH m AS (SELECT weights, intercept FROM '${operators.QualityModel.weightsDumpPath}/*.parquet'),
+         |w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+         |f AS (SELECT doc_id, [
+         |        len(list_filter(ws, x -> x IN ($stop)))::DOUBLE / len(ws),
+         |        len(list_distinct(ws))::DOUBLE / len(ws),
+         |        list_sum(list_transform(ws, x -> CAST(length(x) AS BIGINT)))::DOUBLE / len(ws),
+         |        ln(1.0 + len(ws)::DOUBLE),
+         |        len(list_filter(ws, x -> x IN ($mark)))::DOUBLE / len(ws)
+         |      ] AS f FROM w),
+         |s AS (SELECT doc_id,
+         |        round(1.0 / (1.0 + exp(-(list_dot_product(f.f, m.weights) + m.intercept))), 6) AS quality
+         |      FROM f CROSS JOIN m)
+         |SELECT doc_id, quality, quality >= 0.5 AS predicted
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
     "embedding_pca" ->
       s"""WITH c AS (SELECT comp, weights FROM '${operators.Pca.componentDumpPath}/*.parquet')
          |SELECT e.vec_id, CAST(c.comp AS INT) AS comp,
