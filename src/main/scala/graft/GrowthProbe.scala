@@ -63,6 +63,8 @@ object GrowthProbe {
       Map("src0" -> 8000L), 10000L, numShards = 64).count())
     probe("doc_repetition")(d => TextAnalysis.repetitionSignals(d).count())
     probe("source_overlap")(d => TextAnalysis.sourceOverlap(d).count())
+    probe("boilerplate_removal")(d => TextAnalysis.removeBoilerplate(d).count())
+    probe("dsir_weights")(d => Sampling.dsirWeights(d).count())
     }
     // `std` arg: run ONLY the standard 50k→100k probes (the 200k ngram
     // doubling below alone takes minutes)

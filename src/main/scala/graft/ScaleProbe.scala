@@ -130,6 +130,16 @@ object ScaleProbe {
       InvertedIndex.search(spark, Seq("query", "fast", "merge"), 10, bmDir).count())
     t("multimodal resize 100k docs")(Multimodal.imageResizeMeta(docs).count())
     t("audio features 100k docs")(Multimodal.audioFeatures(docs).count())
+    t("boilerplate_removal 100k docs")(
+      TextAnalysis.removeBoilerplate(docs).count())
+    t("dsir_weights 100k docs")(Sampling.dsirWeights(docs).count())
+    // SemDeDup at probe scale: k chosen so cells stay ~600 vectors —
+    // the paper's dial; the pair join cost tracks sum(cell^2), not n^2
+    t("semdedup k=64 40k vecs")(
+      Dedup.semDedup(KMeansIndex.build(emb, k = 64), 0.4).count())
+    t("quality fit+score 100k docs")({
+      val w = QualityModel.fit(docs); QualityModel.score(docs, w).count()
+    })
     spark.stop()
   }
 }

@@ -579,6 +579,17 @@ object SparkEntry {
       operators.InvertedIndex.appendBatch(docs.filter(col("doc_id") % 3 === 0))
       operators.InvertedIndex.search(s, bm25Query, k = 10)
     }),
+    // distributed BPE: merges learned over the vocabulary-bounded
+    // word-frequency table (m aggregation rounds, one driver row each),
+    // dumped, then applied as chained codegen'd literal replaces; the
+    // oracle re-applies the dumped merges with a list_reduce fold —
+    // learning is spec-verified, the applied tokenizer hash-verified
+    "bpe_tokenize" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val merges = operators.Bpe.learnMerges(d, m = 12)
+      operators.Bpe.dumpMerges(s, merges)
+      operators.Bpe.tokenizeCounts(d, merges)
+    }),
     // learned quality filter (CCNet/fastText analogue): MLlib fits a
     // logistic regression on per-doc signals vs the lang='en' proxy
     // label; scoring is a codegen'd dot fold + sigmoid over the DUMPED
@@ -1924,6 +1935,24 @@ object SparkEntry {
          |FROM s GROUP BY doc_id ORDER BY media_id""".stripMargin,
     // replay of the projection from the components the query dumped:
     // identical left-to-right dot fold over identical doubles
+    // tokenizer replay from the dumped merge table: same spaced-symbol
+    // form (regexp_replace 'g'), same greedy left-to-right replace-all
+    // semantics, merges folded in rank order via list_reduce (tab-joined
+    // pair/merged — symbols never contain whitespace by construction)
+    "bpe_tokenize" ->
+      s"""WITH m AS (SELECT list(pair || chr(9) || merged ORDER BY rank) AS ms
+         |           FROM '${operators.Bpe.mergesDumpPath}/*.parquet'),
+         |w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+         |t AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+         |        CAST(list_sum(list_transform(ws, wd ->
+         |          len(string_split(
+         |            list_reduce(list_prepend(rtrim(regexp_replace(wd, '(.)', '\\1 ', 'g')), m.ms),
+         |              (acc, x) -> replace(acc, string_split(x, chr(9))[1], string_split(x, chr(9))[2])),
+         |            ' ')))) AS BIGINT) AS n_bpe_tokens
+         |      FROM w CROSS JOIN m)
+         |SELECT doc_id, n_words, n_bpe_tokens,
+         |  round(n_bpe_tokens::DOUBLE / n_words, 6) AS compression
+         |FROM t ORDER BY doc_id""".stripMargin,
     // scoring replay from the dumped weights: the identical feature
     // doubles (text_stats' proven fragments + the stopword filter
     // interpolated from the shared list), the same left-to-right dot

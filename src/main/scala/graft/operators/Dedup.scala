@@ -841,7 +841,11 @@ object Dedup {
   val semDedupThreshold: Double = 0.4
 
   def semDedup(index: KMeansIndex.Index, threshold: Double): DataFrame = {
+    // three consumers (both join sides + the final labeling) and the
+    // cell assignment is k dot-distance expressions per row — cache the
+    // narrow projection so cellExpr evaluates once per vector
     val a = index.assigned.select(col("vec_id"), col("cell"), col("embedding"))
+      .cache()
     val pairs = a.as("l").join(a.as("r"),
         col("l.cell") === col("r.cell") && col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("doc_a"), col("r.vec_id").as("doc_b"),
