@@ -36,7 +36,9 @@ object PlanDump {
       "embedding_pca" -> "PCA projection: after the fit, the applied transform is k codegen'd VecDot folds over literal component weights inside one narrow projection — no shuffle, no UDF, no model broadcast; the explode fans each row to its k (comp, value) pairs.",
       "boilerplate_removal" -> "Boilerplate removal: line document-frequency is countDistinct(doc_id) per line with partial aggregation below the exchange on line (a banner in a billion docs ships one row per map task); the flag join is a plain equi-join on line text — never a nested loop; the reassembly fold keys on doc_id and its collect_list is bounded by document length.",
       "dsir_weights" -> "DSIR weights: the bucket model is a fixed buckets-row frame — the point of hashed features: model size independent of vocabulary — joining back as a BroadcastHashJoin; (doc, bucket) tf partial-aggregates below its exchange; the per-doc fold is exact bounded-decimal arithmetic keyed on doc_id.",
-      "semdedup" -> "SemDeDup: the within-cell pair matrix comes from an EQUI-join on cell (the paper's n^2 -> sum(cell^2) collapse) — per-task work bounded by the largest cell, no BroadcastNestedLoopJoin anywhere; cosine + threshold run inside codegen on the joined rows; component resolution is the pointer-jumping min-label propagation and the final labeling a left equi-join on vec_id.")
+      "semdedup" -> "SemDeDup: the within-cell pair matrix comes from an EQUI-join on cell (the paper's n^2 -> sum(cell^2) collapse) — per-task work bounded by the largest cell, no BroadcastNestedLoopJoin anywhere; cosine + threshold run inside codegen on the joined rows; component resolution is the pointer-jumping min-label propagation and the final labeling a left equi-join on vec_id.",
+      "quality_classifier" -> "Learned quality filter: scoring is ONE narrow projection — feature extraction (array HOFs), the dot fold over literal weights, and the sigmoid all inside a single WholeStageCodegen span over the scan; no shuffle before the contract-only output sort, no UDF, no model broadcast (the weights are literals).",
+      "bpe_tokenize" -> "BPE tokenizer application: the merge chain compiles to nested literal replace calls inside the per-word lambda — narrow per-row codegen over the scan, no shuffle, no join; the learned merge table exists only as expression literals (training is m vocabulary-bounded aggregation rounds, not part of this plan).")
     val sb = new StringBuilder
     sb.append("# Physical plans — flagship queries\n\n")
     sb.append("Generated by `graft.PlanDump` (sf0.01, local[8], AQE on). The\n")

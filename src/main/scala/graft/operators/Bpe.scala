@@ -46,8 +46,20 @@ object Bpe {
   /** Learn `m` merges from the corpus. Returns (pair, merged) in merge
     * order, e.g. ("a b" → "ab"). Stops early when no adjacent pair
     * remains (tiny corpora) — total on empty input.
+    *
+    * At or below `driverVocabLimit` distinct words (default 2^16 —
+    * a few MB of (word, count) rows) the merge loop runs on the
+    * DRIVER over the collected frequency table instead of as m Spark
+    * jobs: the [[Dedup.dupGroups]] discipline — the decision reads
+    * one cached count, the collect is hard-capped, the distributed
+    * loop runs unchanged past the cap, and both paths are pinned
+    * identical by a ScalaCheck property. (m tiny aggregations over a
+    * 200-word vocabulary cost ~0.5 s of job overhead EACH; the same
+    * loop on the driver is microseconds.) Set `driverVocabLimit = 0`
+    * to force the distributed path.
     */
-  def learnMerges(docs: DataFrame, m: Int): Seq[(String, String)] = {
+  def learnMerges(docs: DataFrame, m: Int,
+      driverVocabLimit: Long = 1L << 16): Seq[(String, String)] = {
     require(m >= 0, s"m must be >= 0, got $m")
     // the paper's word-frequency table: vocabulary-bounded from here on
     var vocab = docs
@@ -56,6 +68,11 @@ object Bpe {
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .select(spaced(col("w")).as("sym"), col("n"))
       .cache()
+    if (driverVocabLimit > 0 && vocab.count() <= driverVocabLimit) {
+      val rows = vocab.collect().map(r => (r.getString(0), r.getLong(1)))
+      vocab.unpersist()
+      return learnDriver(rows, m)
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     try {
       var round = 0
@@ -87,6 +104,38 @@ object Bpe {
       }
     } finally vocab.unpersist()
     merges.toSeq
+  }
+
+  /** The driver-side merge loop — the IDENTICAL algorithm over the
+    * collected (spaced word, count) rows: adjacent-pair counting,
+    * argmax with (count desc, pair asc) ties, greedy left-to-right
+    * replace-all. Property-pinned equal to the distributed loop.
+    */
+  private def learnDriver(rows: Array[(String, Long)],
+      m: Int): Seq[(String, String)] = {
+    var vocab = rows
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var continue = true
+    while (out.size < m && continue) {
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      for ((sym, n) <- vocab) {
+        val ss = sym.split(" ")
+        var i = 0
+        while (i < ss.length - 1) {
+          val p = ss(i) + " " + ss(i + 1)
+          counts.update(p, counts.getOrElse(p, 0L) + n)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) continue = false
+      else {
+        val (pair, _) = counts.minBy { case (p, c) => (-c, p) }
+        val merged = pair.replace(" ", "")
+        out += ((pair, merged))
+        vocab = vocab.map { case (sym, n) => (sym.replace(pair, merged), n) }
+      }
+    }
+    out.toSeq
   }
 
   /** Single-quote escaping for interpolated SQL literals (symbols come

@@ -220,6 +220,54 @@ class PropertiesSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: distributed BPE equals a sequential reference on random corpora") {
+    import graft.operators.Bpe
+    // driver-side reference: the Sennrich algorithm verbatim over a
+    // word-count map — adjacent-pair counting, argmax with (count desc,
+    // pair asc) ties, greedy left-to-right replace-all application
+    def reference(words: Seq[String], m: Int): Seq[(String, String)] = {
+      var vocab = words.groupBy(identity).view
+        .map { case (w, g) => (w.toCharArray.mkString(" "), g.size.toLong) }.toMap
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var continue = true
+      while (out.size < m && continue) {
+        val counts = scala.collection.mutable.HashMap.empty[String, Long]
+        for ((sym, n) <- vocab) {
+          val ss = sym.split(" ")
+          for (i <- 0 until ss.length - 1)
+            counts.updateWith(ss(i) + " " + ss(i + 1))(c => Some(c.getOrElse(0L) + n))
+        }
+        if (counts.isEmpty) continue = false
+        else {
+          val (pair, _) = counts.minBy { case (p, c) => (-c, p) }
+          val merged = pair.replace(" ", "")
+          out += ((pair, merged))
+          vocab = vocab.groupBy { case (sym, _) => sym.replace(pair, merged) }.view
+            .map { case (sym, g) => (sym, g.values.sum) }.toMap
+        }
+      }
+      out.toSeq
+    }
+    val wordGen = for {
+      len <- Gen.choose(1, 5)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val corpusGen = for {
+      n <- Gen.choose(1, 12)
+      ws <- Gen.listOfN(n, wordGen)
+    } yield ws
+    val few = SCTest.Parameters.default.withMinSuccessfulTests(8)
+    val res = SCTest.check(few, Prop.forAll(corpusGen) { words =>
+      val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("doc_id", "text")
+      val want = reference(words, 4)
+      // both the capped driver fast path and the distributed loop
+      Bpe.learnMerges(docs, 4) == want &&
+        Bpe.learnMerges(docs, 4, driverVocabLimit = 0) == want
+    })
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: multimodal codec paths land on the closed forms for arbitrary ids") {
     import graft.operators.Multimodal
     val idGen = Gen.choose(0L, 5000000L)
