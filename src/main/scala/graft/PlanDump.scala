@@ -38,7 +38,8 @@ object PlanDump {
       "dsir_weights" -> "DSIR weights: the bucket model is a fixed buckets-row frame — the point of hashed features: model size independent of vocabulary — joining back as a BroadcastHashJoin; (doc, bucket) tf partial-aggregates below its exchange; the per-doc fold is exact bounded-decimal arithmetic keyed on doc_id.",
       "semdedup" -> "SemDeDup: the within-cell pair matrix comes from an EQUI-join on cell (the paper's n^2 -> sum(cell^2) collapse) — per-task work bounded by the largest cell, no BroadcastNestedLoopJoin anywhere; cosine + threshold run inside codegen on the joined rows; component resolution is the pointer-jumping min-label propagation and the final labeling a left equi-join on vec_id.",
       "quality_classifier" -> "Learned quality filter: scoring is ONE narrow projection — feature extraction (array HOFs), the dot fold over literal weights, and the sigmoid all inside a single WholeStageCodegen span over the scan; no shuffle before the contract-only output sort, no UDF, no model broadcast (the weights are literals).",
-      "bpe_tokenize" -> "BPE tokenizer application: the merge chain compiles to nested literal replace calls inside the per-word lambda — narrow per-row codegen over the scan, no shuffle, no join; the learned merge table exists only as expression literals (training is m vocabulary-bounded aggregation rounds, not part of this plan).")
+      "bpe_tokenize" -> "BPE tokenizer application: the merge chain compiles to nested literal replace calls inside the per-word lambda — narrow per-row codegen over the scan, no shuffle, no join; the learned merge table exists only as expression literals (training is m vocabulary-bounded aggregation rounds, not part of this plan).",
+      "dup_pagerank" -> "Dup-graph PageRank: each round is ONE equi-join of the edge list with the (checkpointed) rank table plus a map-side-combinable decimal sum — the Pregel round as two exchanges keyed on vertex id; degrees and the vertex count compute once; no driver materialization, rounds fixed rather than convergence-polled.")
     val sb = new StringBuilder
     sb.append("# Physical plans — flagship queries\n\n")
     sb.append("Generated by `graft.PlanDump` (sf0.01, local[8], AQE on). The\n")

@@ -579,6 +579,17 @@ object SparkEntry {
       operators.InvertedIndex.appendBatch(docs.filter(col("doc_id") % 3 === 0))
       operators.InvertedIndex.search(s, bm25Query, k = 10)
     }),
+    // PageRank over the minhash dup graph: centrality as a curation
+    // signal (hub copies of a template family rank highest); fixed
+    // 5-round power iteration with every step 9-dp-quantized so the
+    // oracle replays identical rank tables in a recursive CTE. On THIS
+    // corpus every dup component is regular (isolated pairs + complete
+    // triangles from exact-dup triples), so the correct fixpoint is
+    // uniform 1/n — the contract verifies five rounds of identical
+    // arithmetic; GraphSpec pins centrality ORDERING on asymmetric
+    // graphs (stars, paths) where ranks genuinely differ
+    "dup_pagerank" -> ((s, dir) =>
+      operators.Graph.pageRank(Dedup.minhashLshPairs(tbl(s, dir, "documents"), 0.5))),
     // distributed BPE: merges learned over the vocabulary-bounded
     // word-frequency table (m aggregation rounds, one driver row each),
     // dumped, then applied as chained codegen'd literal replaces; the
@@ -1935,6 +1946,41 @@ object SparkEntry {
          |FROM s GROUP BY doc_id ORDER BY media_id""".stripMargin,
     // replay of the projection from the components the query dumped:
     // identical left-to-right dot fold over identical doubles
+    // the same five damped rounds in a recursive CTE with aggregation:
+    // contributions rounded at 9 dp per edge (decimal), exact decimal
+    // in-edge sums, damped update rounded at 9 dp — rank tables match
+    // bit-for-bit per round; double literals forced via ::DOUBLE casts
+    // (a bare 0.85 is DECIMAL in DuckDB, double in Spark)
+    "dup_pagerank" -> {
+      val it = operators.Graph.pageRankIterations
+      val d = operators.Graph.pageRankDamping
+      s"""WITH RECURSIVE $minhashCtes,
+         |prs AS (SELECT i.doc_a, i.doc_b
+         |        FROM inter i JOIN sz x ON i.doc_a = x.doc_id
+         |                     JOIN sz y ON i.doc_b = y.doc_id
+         |        WHERE round(i.c::DOUBLE/(x.n + y.n - i.c), 6) >= 0.5),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+         |      UNION SELECT doc_b, doc_a FROM prs),
+         |dg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         |nv AS (SELECT count(*) AS n FROM dg),
+         |pr AS (
+         |  SELECT 0 AS it, src AS node,
+         |    CAST(round(CAST(1.0 AS DOUBLE) / CAST(n AS DOUBLE), 9) AS DECIMAL(20,9)) AS r
+         |  FROM dg CROSS JOIN nv
+         |  UNION ALL
+         |  SELECT p.it + 1, e.dst AS node,
+         |    CAST(round((CAST(1.0 AS DOUBLE) - CAST($d AS DOUBLE)) / CAST(nv.n AS DOUBLE)
+         |           + CAST($d AS DOUBLE) * CAST(sum(
+         |               CAST(round(CAST(p.r AS DOUBLE) / dg.deg, 9) AS DECIMAL(20,9))
+         |             ) AS DOUBLE), 9) AS DECIMAL(20,9)) AS r
+         |  FROM pr p JOIN e ON p.node = e.src JOIN dg ON e.src = dg.src CROSS JOIN nv
+         |  WHERE p.it < $it
+         |  GROUP BY p.it + 1, e.dst, nv.n
+         |)
+         |SELECT p.node AS doc_id, dg.deg, round(CAST(p.r AS DOUBLE), 6) AS rank
+         |FROM pr p JOIN dg ON p.node = dg.src
+         |WHERE p.it = $it ORDER BY doc_id""".stripMargin
+    },
     // tokenizer replay from the dumped merge table: same spaced-symbol
     // form (regexp_replace 'g'), same greedy left-to-right replace-all
     // semantics, merges folded in rank order via list_reduce (tab-joined

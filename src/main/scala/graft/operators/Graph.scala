@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Graph analytics over the duplicate-pair graph — centrality as a
+  * curation signal: a document whose near-dup neighborhood is large
+  * and well-connected is template/boilerplate-family material
+  * (PageRank over the dup graph ranks the "hub" copies a pipeline
+  * should inspect first), the graph-side complement of the flat
+  * counts in `Dedup.exactSummary` and the components in
+  * `Dedup.dupGroups`.
+  *
+  * Power iteration with a FIXED round count and every arithmetic step
+  * quantized: ranks live as DECIMAL(20,9); a round's contribution
+  * r/deg is rounded at 9 dp per EDGE, the decimal sum over in-edges
+  * is exact and order-independent, and the damped update rounds at
+  * 9 dp again — so both engines walk bit-identical rank tables
+  * (the doc_surprisal discipline applied to an iterative fixpoint,
+  * which is what makes a PageRank ORACLE possible at all: DuckDB
+  * replays the same five rounds in a recursive CTE with aggregation).
+  *
+  * Shape at 100 TB: each round is one equi-join of the edge list with
+  * the rank table (both partitioned on the join key) plus a
+  * map-side-combinable sum — the classic Pregel round as two
+  * exchanges; `localCheckpoint` cuts lineage per round (the
+  * [[Dedup.dupGroups]] discipline). Degrees and vertex count are
+  * computed once. No driver materialization; rounds are fixed, not
+  * convergence-polled.
+  */
+object Graph {
+
+  /** The contract query's iteration count, shared with the oracle. */
+  val pageRankIterations: Int = 5
+
+  /** The contract query's damping factor, shared with the oracle. */
+  val pageRankDamping: Double = 0.85
+
+  /** PageRank over an undirected pair graph (columns doc_a, doc_b).
+    * Vertices are pair endpoints; each undirected pair contributes
+    * both directed edges. Returns (doc_id, deg, rank) with rank
+    * rounded at 6 dp, uniform 1/n start.
+    */
+  def pageRank(pairs: DataFrame,
+      iterations: Int = pageRankIterations,
+      damping: Double = pageRankDamping): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    val p2 = pairs.select(col("doc_a"), col("doc_b")).cache()
+    val edges = p2.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p2.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .cache()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg")).cache()
+    val n = deg.count()
+    if (n == 0) {
+      p2.unpersist(); edges.unpersist(); deg.unpersist()
+      return pairs.sparkSession.emptyDataFrame
+        .withColumn("doc_id", lit(0L)).withColumn("deg", lit(0L))
+        .withColumn("rank", lit(0.0)).limit(0)
+    }
+    // identical expression shape on both sides: (1 - d) / n and the
+    // damped sum are IEEE ops over identical operands
+    val base = (lit(1.0) - lit(damping)) / lit(n.toDouble)
+    var rank = deg.select(col("src").as("node"),
+      round(lit(1.0) / lit(n.toDouble), 9).cast(DecimalType(20, 9)).as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val contrib = edges
+        .join(rank.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("node"),
+          round(col("r").cast("double") / col("deg"), 9)
+            .cast(DecimalType(20, 9)).as("c"))
+      rank = contrib.groupBy(col("node"))
+        .agg(round(base + lit(damping) * sum(col("c")).cast("double"), 9)
+          .cast(DecimalType(20, 9)).as("r"))
+        .localCheckpoint()
+    }
+    val out = rank
+      .join(deg.select(col("src").as("node"), col("deg")), "node")
+      .select(col("node").as("doc_id"), col("deg"),
+        round(col("r").cast("double"), 6).as("rank"))
+      .orderBy(col("doc_id"))
+    p2.unpersist()
+    out
+  }
+}
