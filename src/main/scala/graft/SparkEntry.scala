@@ -579,6 +579,11 @@ object SparkEntry {
       operators.InvertedIndex.appendBatch(docs.filter(col("doc_id") % 3 === 0))
       operators.InvertedIndex.search(s, bm25Query, k = 10)
     }),
+    // strict ordered funnel (view → click → purchase): stage k counts
+    // only strictly after the user's earliest stage-(k-1) completion —
+    // one filtered min-aggregation per stage chained on user_id, no
+    // window over event history, no event×event self-join
+    "event_funnel" -> ((s, dir) => operators.Funnel.funnel(events(s, dir))),
     // PageRank over the minhash dup graph: centrality as a curation
     // signal (hub copies of a template family rank highest); fixed
     // 5-round power iteration with every step 9-dp-quantized so the
@@ -1946,6 +1951,34 @@ object SparkEntry {
          |FROM s GROUP BY doc_id ORDER BY media_id""".stripMargin,
     // replay of the projection from the components the query dumped:
     // identical left-to-right dot fold over identical doubles
+    // same stage chain; comparisons at epoch_us (Spark's ts is floored
+    // to micros — floor is monotone, so per-stage minima map exactly);
+    // conversion seconds via floor-division on positive epochs, the
+    // same value as Spark's unix_timestamp subtraction
+    "event_funnel" -> {
+      val Seq(st1, st2, st3) = operators.Funnel.funnelStages
+      val w = operators.Funnel.funnelWindowSeconds * 1000000L
+      s"""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+         |            WHERE event_type = '$st1' GROUP BY 1),
+         |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+         |       WHERE e.event_type = '$st2' AND epoch_us(e.ts) > epoch_us(s1.t1)
+         |         AND epoch_us(e.ts) <= epoch_us(s1.t1) + $w GROUP BY 1),
+         |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+         |       WHERE e.event_type = '$st3' AND epoch_us(e.ts) > epoch_us(s2.t2)
+         |         AND epoch_us(e.ts) <= epoch_us(s2.t2) + $w GROUP BY 1)
+         |SELECT s1.user_id,
+         |  strftime(s1.t1, '%Y-%m-%d %H:%M:%S') AS t1,
+         |  strftime(s2.t2, '%Y-%m-%d %H:%M:%S') AS t2,
+         |  strftime(s3.t3, '%Y-%m-%d %H:%M:%S') AS t3,
+         |  CAST(1 + (s2.user_id IS NOT NULL)::INT + (s3.user_id IS NOT NULL)::INT AS BIGINT)
+         |    AS stages_completed,
+         |  CASE WHEN s3.user_id IS NOT NULL
+         |       THEN epoch_us(s3.t3) // 1000000 - epoch_us(s1.t1) // 1000000 END
+         |    AS conversion_secs
+         |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+         |        LEFT JOIN s3 ON s1.user_id = s3.user_id
+         |ORDER BY s1.user_id""".stripMargin
+    },
     // the same five damped rounds in a recursive CTE with aggregation:
     // contributions rounded at 9 dp per edge (decimal), exact decimal
     // in-edge sums, damped update rounded at 9 dp — rank tables match

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Funnel
+
+class FunnelSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val T0 = 1700000000000000L // epoch micros
+
+  private def ev(rows: (Long, String, Long)*) =
+    rows.toSeq.toDF("user_id", "event_type", "us")
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(col("us") + T0).as("ts"))
+
+  test("funnel: order is strict, the window binds, stage-1 gates entry") {
+    val events = ev(
+      (1L, "view", 0L), (1L, "click", 10000000L), (1L, "purchase", 20000000L),
+      // user 2: a purchase BEFORE the first view must not convert
+      (2L, "purchase", 0L), (2L, "view", 10000000L), (2L, "click", 20000000L),
+      // user 3: click lands outside the 60 s window
+      (3L, "view", 0L), (3L, "click", 61000000L),
+      // user 4: never views — not in the funnel at all
+      (4L, "click", 0L), (4L, "purchase", 10000000L),
+      // user 5: click at EXACTLY the view instant — strict > excludes it
+      (5L, "view", 0L), (5L, "click", 0L))
+    val got = Funnel.funnel(events, windowSeconds = 60L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(4), Option(r.get(5)).map(_.toString.toLong))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 5L))
+    assert(got(1L) == ((3L, Some(20L))), "full conversion in 20 s")
+    assert(got(2L) == ((2L, None)), "pre-view purchase must not count")
+    assert(got(3L) == ((1L, None)), "out-of-window click must not count")
+    assert(got(5L) == ((1L, None)), "simultaneous events are not ordered")
+  }
+
+  test("funnelSummary counts users reaching each stage") {
+    val events = ev(
+      (1L, "view", 0L), (1L, "click", 1000000L), (1L, "purchase", 2000000L),
+      (2L, "view", 0L), (2L, "click", 1000000L),
+      (3L, "view", 0L))
+    val r = Funnel.funnelSummary(events).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 2L, 1L)))
+  }
+
+  test("funnel picks the EARLIEST qualifying stage event, not any") {
+    // two clicks in-window: the earlier one anchors the purchase window
+    val events = ev(
+      (1L, "view", 0L), (1L, "click", 5000000L), (1L, "click", 50000000L),
+      // purchase is within 60 s of the LATER click but not the earlier
+      (1L, "purchase", 70000000L))
+    val got = Funnel.funnel(events, windowSeconds = 60L).head()
+    assert(got.getLong(4) == 2L,
+      "the earliest in-window click anchors stage 3; 70 s > 5 s + 60 s")
+  }
+
+  test("funnel is total on an empty event table") {
+    val empty = ev().limit(0)
+    assert(Funnel.funnel(empty).count() == 0)
+  }
+}
