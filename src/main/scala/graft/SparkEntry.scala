@@ -584,6 +584,9 @@ object SparkEntry {
     // one filtered min-aggregation per stage chained on user_id, no
     // window over event history, no event×event self-join
     "event_funnel" -> ((s, dir) => operators.Funnel.funnel(events(s, dir))),
+    // weekly cohort retention (epoch-anchored integer weeks — no
+    // calendar/week-start convention for the engines to disagree on)
+    "user_retention" -> ((s, dir) => operators.Funnel.retention(events(s, dir))),
     // PageRank over the minhash dup graph: centrality as a curation
     // signal (hub copies of a template family rank highest); fixed
     // 5-round power iteration with every step 9-dp-quantized so the
@@ -1978,6 +1981,23 @@ object SparkEntry {
          |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
          |        LEFT JOIN s3 ON s1.user_id = s3.user_id
          |ORDER BY s1.user_id""".stripMargin
+    },
+    // same epoch-anchored integer period arithmetic (floor division on
+    // positive epoch micros), period interpolated from the constant
+    "user_retention" -> {
+      val p = operators.Funnel.retentionPeriodMicros
+      s"""WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1),
+         |c AS (SELECT e.user_id,
+         |        epoch_us(f.first_ts) // $p AS cohort_period,
+         |        epoch_us(e.ts) // $p - epoch_us(f.first_ts) // $p AS period_offset
+         |      FROM events e JOIN f USING (user_id)),
+         |cells AS (SELECT cohort_period, period_offset, count(DISTINCT user_id) AS n_users
+         |          FROM c GROUP BY 1, 2),
+         |sz AS (SELECT cohort_period, n_users AS cohort_size FROM cells WHERE period_offset = 0)
+         |SELECT cells.cohort_period, cells.period_offset, cells.n_users, sz.cohort_size,
+         |  round(cells.n_users::DOUBLE / sz.cohort_size, 6) AS rate
+         |FROM cells JOIN sz USING (cohort_period)
+         |ORDER BY cohort_period, period_offset""".stripMargin
     },
     // the same five damped rounds in a recursive CTE with aggregation:
     // contributions rounded at 9 dp per edge (decimal), exact decimal

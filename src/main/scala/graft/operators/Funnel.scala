@@ -85,4 +85,47 @@ object Funnel {
     }
     funnel(events, stages).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** The contract query's retention period: one DAY of epoch-anchored
+    * micros — integer floor division, bit-identical in any engine (no
+    * calendar, no timezone, no week-start convention to disagree on).
+    * Daily granularity keeps the triangle differentiated on the
+    * synthetic history (at weekly granularity every user is active
+    * every week and the table is uniformly 1.0). Shared with the
+    * oracle.
+    */
+  val retentionPeriodMicros: Long = 86400L * 1000000L
+
+  /** Cohort retention — the funnel's companion table: users cohorted
+    * by the period of their FIRST event; cell (cohort, k) counts the
+    * cohort members active again k periods later, with the retention
+    * rate against the cohort size (offset 0 is the cohort size by
+    * definition — every user is active in their first period).
+    *
+    * Shape at 100 TB: first-event table is one map-side-combined min
+    * per user; the cohort join keys on user_id; the cell aggregate is
+    * a two-level count-distinct on (cohort, offset) whose partial side
+    * dedups (cohort, offset, user) before the exchange. The triangle
+    * is periods² rows — tiny — so the rate join broadcasts.
+    */
+  def retention(events: DataFrame,
+      periodMicros: Long = retentionPeriodMicros): DataFrame = {
+    require(periodMicros > 0, s"periodMicros must be > 0, got $periodMicros")
+    val first = events.groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
+    val cells = events.select(col("user_id"), col("ts"))
+      .join(first, "user_id")
+      .select(col("user_id"),
+        floor(unix_micros(col("first_ts")) / periodMicros).as("cohort_period"),
+        (floor(unix_micros(col("ts")) / periodMicros)
+          - floor(unix_micros(col("first_ts")) / periodMicros)).as("period_offset"))
+      .groupBy(col("cohort_period"), col("period_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    val sizes = cells.filter(col("period_offset") === 0)
+      .select(col("cohort_period"), col("n_users").as("cohort_size"))
+    cells.join(broadcast(sizes), "cohort_period")
+      .select(col("cohort_period"), col("period_offset"), col("n_users"),
+        col("cohort_size"),
+        round(col("n_users").cast("double") / col("cohort_size"), 6).as("rate"))
+      .orderBy(col("cohort_period"), col("period_offset"))
+  }
 }

@@ -60,4 +60,25 @@ class FunnelSpec extends AnyFunSuite {
     val empty = ev().limit(0)
     assert(Funnel.funnel(empty).count() == 0)
   }
+
+  test("retention: cohorts by first-event period, offsets count distinct returners") {
+    val day = 86400000000L
+    // users 1,2 start period 0; user 3 starts period 1.
+    // period 1 sees user 1 (twice — distinct must collapse) + user 3;
+    // period 2 sees users 2 and 3
+    val events = ev(
+      (1L, "view", 0L), (1L, "click", day + 1L), (1L, "view", day + 2L),
+      (2L, "view", 1L), (2L, "purchase", 2 * day + 1L),
+      (3L, "view", day + 5L), (3L, "view", 2 * day + 6L))
+    val got = Funnel.retention(events, periodMicros = day).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val c0 = T0 / day // epoch-anchored cohort index of micro offset 0
+    assert(got((c0, 0L)) == ((2L, 2L, 1.0)))
+    assert(got((c0, 1L)) == ((1L, 2L, 0.5)), "only user 1 returns next day")
+    assert(got((c0, 2L)) == ((1L, 2L, 0.5)), "only user 2 returns on day 2")
+    assert(got((c0 + 1, 0L)) == ((1L, 1L, 1.0)))
+    assert(got((c0 + 1, 1L)) == ((1L, 1L, 1.0)), "user 3 returns")
+    assert(got.size == 5)
+  }
 }
