@@ -40,7 +40,8 @@ object PlanDump {
       "quality_classifier" -> "Learned quality filter: scoring is ONE narrow projection — feature extraction (array HOFs), the dot fold over literal weights, and the sigmoid all inside a single WholeStageCodegen span over the scan; no shuffle before the contract-only output sort, no UDF, no model broadcast (the weights are literals).",
       "bpe_tokenize" -> "BPE tokenizer application: the merge chain compiles to nested literal replace calls inside the per-word lambda — narrow per-row codegen over the scan, no shuffle, no join; the learned merge table exists only as expression literals (training is m vocabulary-bounded aggregation rounds, not part of this plan).",
       "dup_pagerank" -> "Dup-graph PageRank: each round is ONE equi-join of the edge list with the (checkpointed) rank table plus a map-side-combinable decimal sum — the Pregel round as two exchanges keyed on vertex id; degrees and the vertex count compute once; no driver materialization, rounds fixed rather than convergence-polled.",
-      "event_funnel" -> "Ordered funnel: one filtered min-aggregation per stage (map-side partial min, one row per qualifying user) chained by equi-joins on user_id — no window over a user's full event history, no event-to-event self-join; the event_type filters push to the scan (PushedFilters), so each stage pass reads only its own events.")
+      "event_funnel" -> "Ordered funnel: one filtered min-aggregation per stage (map-side partial min, one row per qualifying user) chained by equi-joins on user_id — no window over a user's full event history, no event-to-event self-join; the event_type filters push to the scan (PushedFilters), so each stage pass reads only its own events.",
+      "user_retention" -> "Cohort retention: the first-event table is one map-side-combined partial_min per user; the cell aggregate is a two-level count-distinct whose partial side dedups (cohort, offset, user) BEFORE the exchange; the rate join must show BroadcastHashJoin on the tiny periods-squared triangle — no window, no self-join on the event stream.")
     val sb = new StringBuilder
     sb.append("# Physical plans — flagship queries\n\n")
     sb.append("Generated by `graft.PlanDump` (sf0.01, local[8], AQE on). The\n")

@@ -140,6 +140,11 @@ object ScaleProbe {
     t("quality fit+score 100k docs")({
       val w = QualityModel.fit(docs); QualityModel.score(docs, w).count()
     })
+    t("bpe learn12+tokenize 100k docs")({
+      val m = Bpe.learnMerges(docs, 12); Bpe.tokenizeCounts(docs, m).count()
+    })
+    t("pagerank on minhash pairs 100k docs")(
+      Graph.pageRank(Dedup.minhashLshPairs(docs, 0.5)).count())
     spark.stop()
   }
 }
