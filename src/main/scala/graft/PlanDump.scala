@@ -34,6 +34,8 @@ object PlanDump {
       "source_overlap" -> "Cross-source overlap: the self-join keys on shingle over DISTINCT (source, shingle) rows, so per-key multiplicity is bounded by the SOURCE count and the join output per shingle is at most sources squared; the cached distinct projection feeds both join sides and the per-source sizes; the pair aggregate and size joins are tiny.",
       "bm25_persisted" -> "Persisted BM25: the postings scan must show STATIC pruning at the file index — PartitionFilters: [bucket IN (...)] with the query terms' bucket ids as literals — so a q-term search reads at most q/16 of the postings; df comes from exactly the pruned read (a term's postings live wholly in its bucket); the ranking tail is the shared bounded top-k (TakeOrderedAndProject).",
       "embedding_pca" -> "PCA projection: after the fit, the applied transform is k codegen'd VecDot folds over literal component weights inside one narrow projection — no shuffle, no UDF, no model broadcast; the explode fans each row to its k (comp, value) pairs.",
+      "pq_encode" -> "PQ encode: per-subspace argmin assignment, code packing and the quantization-error fold are ONE narrow whole-stage-codegen projection over the scan (the codebooks are expression literals — no model broadcast, no UDF, no shuffle); output is 8 bytes of packed code per vector, the 32x storage cut that makes a 100 TB embedding table ADC-scannable.",
+      "pq_adc_topk" -> "PQ ADC search: the distance is 8 shift/mask unpacks + literal-array LUT lookups folded in exact decimals — scoring never touches a raw embedding (at scale the scan reads only (vec_id, pq_code)); the cut must be TakeOrderedAndProject on the exact decimal key, no shuffle, no global sort.",
       "boilerplate_removal" -> "Boilerplate removal: line document-frequency is countDistinct(doc_id) per line with partial aggregation below the exchange on line (a banner in a billion docs ships one row per map task); the flag join is a plain equi-join on line text — never a nested loop; the reassembly fold keys on doc_id and its collect_list is bounded by document length.",
       "dsir_weights" -> "DSIR weights: the bucket model is a fixed buckets-row frame — the point of hashed features: model size independent of vocabulary — joining back as a BroadcastHashJoin; (doc, bucket) tf partial-aggregates below its exchange; the per-doc fold is exact bounded-decimal arithmetic keyed on doc_id.",
       "semdedup" -> "SemDeDup: the within-cell pair matrix comes from an EQUI-join on cell (the paper's n^2 -> sum(cell^2) collapse) — per-task work bounded by the largest cell, no BroadcastNestedLoopJoin anywhere; cosine + threshold run inside codegen on the joined rows; component resolution is the pointer-jumping min-label propagation and the final labeling a left equi-join on vec_id.",

@@ -281,6 +281,30 @@ object SparkEntry {
           aggregate(VectorOps.quantizeInt8(col("embedding"), col("raw_scale")),
             lit(0L), (acc, q) => acc + abs(q).cast("long")).as("l1_q"))
         .orderBy(col("vec_id"))),
+    // product quantization (encode): 64 float dims → 8×4-bit codes in
+    // ONE packed bigint (32× storage cut). MLlib trains the per-subspace
+    // codebooks (dumped for the oracle); assignment + packing + the
+    // 9dp-quantized decimal error fold are pure codegen expressions the
+    // oracle replays from the same doubles
+    "pq_encode" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val m = operators.Pq.fit(e, dim = 64)
+      operators.Pq.dump(s, m)
+      operators.Pq.encode(e, m).orderBy(col("vec_id"))
+    }),
+    // product quantization (ADC search): top-10 by asymmetric distance
+    // computed ONLY from (vec_id, pq_code) — codes unpacked by
+    // shift/mask, per-subspace literal-LUT lookups quantized at 9 dp and
+    // summed in exact decimals; order/limit on the exact decimal. The
+    // oracle rebuilds codes AND the LUT from the dumped codebooks
+    "pq_adc_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val m = operators.Pq.fit(e, dim = 64)
+      operators.Pq.dump(s, m, operators.Pq.codebookDumpPath + "_adc")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      operators.Pq.adcTopK(operators.Pq.encode(e, m), m, q, topK = 10)
+    }),
     // north-star: MLlib batch KMeans index + probe search. Training is
     // the only non-SQL-expressible step, so the trained centroids are
     // persisted and the oracle replays assignment+probe+scan from them —
@@ -1682,6 +1706,64 @@ object SparkEntry {
          |SELECT a.vec_id, CAST(a.cell AS INT) AS cell, round(${cosSql("a.v", "q.qe")}, 6) AS score
          |FROM a JOIN pr ON a.cell = pr.cell CROSS JOIN q
          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+    },
+    // PQ replay from the dumped per-subspace codebooks: the same dot-form
+    // subvector distance (list slices are 1-based inclusive, matching
+    // Spark's slice(v, s*subDim+1, subDim)), ties to the lowest code,
+    // codes re-packed by shift, the 9dp-quantized min-dists folded in
+    // exact decimals — assignment, packing and error all under one hash
+    "pq_encode" -> {
+      val path = operators.Pq.codebookDumpPath
+      val sd = 64 / operators.Pq.numSub
+      val bits = operators.Pq.bitsPerCode
+      s"""WITH cb AS (SELECT sub, code, centroid FROM '$path/*.parquet'),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |d AS (SELECT e.vec_id, cb.sub, cb.code,
+         |        list_dot_product(e.v[cb.sub*$sd+1 : cb.sub*$sd+$sd], e.v[cb.sub*$sd+1 : cb.sub*$sd+$sd])
+         |          + list_dot_product(cb.centroid, cb.centroid)
+         |          - 2.0 * list_dot_product(e.v[cb.sub*$sd+1 : cb.sub*$sd+$sd], cb.centroid) AS dist
+         |      FROM e CROSS JOIN cb),
+         |a AS (SELECT vec_id, sub, code, dist FROM
+         |        (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+         |         FROM d)
+         |      WHERE rn = 1)
+         |SELECT vec_id,
+         |  CAST(sum(CAST(code AS BIGINT) * (CAST(1 AS BIGINT) << ($bits * sub))) AS BIGINT) AS pq_code,
+         |  round(CAST(sum(CAST(round(dist, 9) AS DECIMAL(20,9))) AS DOUBLE), 6) AS qerr
+         |FROM a GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    },
+    // same assignment replay, then the ADC lookup table is rebuilt from
+    // the dumped codebooks and the query's own subvectors; the per-code
+    // lookups are 9dp-quantized and decimal-folded, and the top-k orders
+    // on the EXACT decimal before the display rounding — as the Spark side
+    "pq_adc_topk" -> {
+      val path = operators.Pq.codebookDumpPath + "_adc"
+      val sd = 64 / operators.Pq.numSub
+      val bits = operators.Pq.bitsPerCode
+      s"""WITH cb AS (SELECT sub, code, centroid FROM '$path/*.parquet'),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |d AS (SELECT e.vec_id, cb.sub, cb.code,
+         |        list_dot_product(e.v[cb.sub*$sd+1 : cb.sub*$sd+$sd], e.v[cb.sub*$sd+1 : cb.sub*$sd+$sd])
+         |          + list_dot_product(cb.centroid, cb.centroid)
+         |          - 2.0 * list_dot_product(e.v[cb.sub*$sd+1 : cb.sub*$sd+$sd], cb.centroid) AS dist
+         |      FROM e CROSS JOIN cb),
+         |a AS (SELECT vec_id, sub, code FROM
+         |        (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+         |         FROM d)
+         |      WHERE rn = 1),
+         |lut AS (SELECT cb.sub, cb.code,
+         |          list_dot_product(q.qe[cb.sub*$sd+1 : cb.sub*$sd+$sd], q.qe[cb.sub*$sd+1 : cb.sub*$sd+$sd])
+         |            + list_dot_product(cb.centroid, cb.centroid)
+         |            - 2.0 * list_dot_product(q.qe[cb.sub*$sd+1 : cb.sub*$sd+$sd], cb.centroid) AS ld
+         |        FROM cb CROSS JOIN q),
+         |s AS (SELECT a.vec_id,
+         |        CAST(sum(CAST(a.code AS BIGINT) * (CAST(1 AS BIGINT) << ($bits * a.sub))) AS BIGINT) AS pq_code,
+         |        sum(CAST(round(l.ld, 9) AS DECIMAL(20,9))) AS adc_raw
+         |      FROM a JOIN lut l ON a.sub = l.sub AND a.code = l.code
+         |      GROUP BY a.vec_id)
+         |SELECT vec_id, pq_code, round(CAST(adc_raw AS DOUBLE), 6) AS adc_dist
+         |FROM s ORDER BY adc_raw ASC, vec_id ASC LIMIT 10""".stripMargin
     },
     "ann_lsh_pairs" -> {
       // the SAME seeded Gaussian planes as Ann.lshCosinePairs, quantized

@@ -1,0 +1,227 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.functions.VectorOps
+
+/** Product quantization (Jégou, Douze, Schmid 2011, "Product
+  * Quantization for Nearest Neighbor Search") — the vector-COMPRESSION
+  * scale path beside the IVF coarse quantizer ([[KMeansIndex]]): split
+  * the d-dim embedding into `numSub` contiguous subvectors, learn a tiny
+  * k-means codebook per subspace, and store each vector as `numSub`
+  * small code ids packed into ONE bigint. At the contract geometry
+  * (64 dims × float32 → 8×4-bit codes) that is 256 bytes → 8 bytes of
+  * packed code — a 32× storage cut, which is what makes a 100 TB
+  * embedding table scannable: ADC search reads ONLY `(vec_id, pq_code)`
+  * (column pruning drops the raw embedding entirely) and scores each row
+  * with 8 literal-array lookups instead of a 64-dim dot product.
+  *
+  * Oracle-parity design (the [[KMeansIndex]] dump-and-replay family):
+  * MLlib only TRAINS the per-subspace codebooks; everything applied to
+  * data — assignment, packing, ADC — is deterministic given the dumped
+  * codebook doubles. Distances use the dot form ‖v−c‖² = v·v + c·c −
+  * 2·v·c so every term is a left-to-right double fold (`VecDot` here,
+  * `list_dot_product` in the oracle — bit-identical, proven by the PCA
+  * and IVF rows). The ADC fold quantizes each per-subspace lookup at
+  * 9 dp and accumulates in exact decimals (the doc_surprisal
+  * discipline), so the sum is order-independent in both engines.
+  *
+  * Generalizes the reference's flat in-memory embedding store
+  * (`/root/reference/aeuc_vector_db/vector_field.py:59-76` keeps every
+  * vector as a full float list) to the compressed layout a cluster-scale
+  * corpus needs.
+  */
+object Pq {
+
+  /** Contract geometry: 8 subspaces × 16 codes = 4 bits/code, one
+    * packed long. Shared with the oracle SQL — interpolate, never
+    * restate.
+    */
+  val numSub: Int = 8
+  val codesPerSub: Int = 16
+  val bitsPerCode: Int = 4
+
+  /** Where the contract queries dump the trained codebooks so the
+    * DuckDB oracle can replay assignment + ADC from the same doubles
+    * (the [[KMeansIndex.centroidDumpPath]] convention).
+    */
+  def codebookDumpPath: String =
+    sys.props.getOrElse("graft.pq.dump", "/tmp/graft_oracle_pq_codebooks")
+
+  /** `codebooks(s)(c)` = centroid `c` of subspace `s` (length subDim). */
+  case class Model(subDim: Int, codebooks: Array[Array[Array[Double]]]) {
+    require(codebooks.nonEmpty, "PQ model needs at least one subspace")
+    def numSubspaces: Int = codebooks.length
+    def dim: Int = subDim * numSubspaces
+  }
+
+  /** Train one k-means codebook per subspace. The training set is
+    * hash-sample-capped at ~256 points per code (the [[KMeansIndex]]
+    * coarse-quantizer discipline — codebook quality saturates there and
+    * build cost must scale with k·numSub, not the corpus); the sampled
+    * slice frame is cached once and feeds all `numSub` fits, then
+    * unpersisted. Assignment/encoding below covers every row via
+    * codegen expressions — MLlib never touches the full table.
+    */
+  def fit(emb: DataFrame, dim: Int, numSub: Int = numSub,
+      k: Int = codesPerSub, seed: Long = 42L): Model = {
+    require(dim % numSub == 0, s"dim $dim not divisible by $numSub subspaces")
+    val subDim = dim / numSub
+    val target = math.max(k.toLong * 256L, 4096L)
+    val n = emb.count()
+    val base = Partitioning.spread(emb)
+    val train = if (n <= target) base else {
+      val keepPerMille = math.max(1L, target * 1000L / n)
+      base.filter(pmod(xxhash64(col("vec_id"), lit(seed)), lit(1000L)) < keepPerMille)
+    }
+    val cached = train
+      .select(col("embedding").cast("array<double>").as("e")).cache()
+    cached.count() // materialize once; all numSub fits read this frame
+    val books = Array.tabulate(numSub) { s =>
+      val sub = cached.select(
+        array_to_vector(slice(col("e"), s * subDim + 1, subDim)).as("features"))
+      // k-means|| (seeded, deterministic within a run — all the
+      // dump-and-replay oracle needs): plain random init can seed two
+      // points in one clump and permanently miss a cluster, which for a
+      // CODEBOOK means every vector in the missed region quantizes badly
+      val model = new KMeans().setK(k).setSeed(seed + s).setMaxIter(10)
+        .setInitMode("k-means||")
+        .setFeaturesCol("features").setPredictionCol("code")
+        .fit(sub)
+      model.clusterCenters.map((v: Vector) => v.toArray)
+    }
+    cached.unpersist()
+    Model(subDim, books)
+  }
+
+  /** Dump the codebooks as (sub, code, centroid) parquet for the oracle. */
+  def dump(spark: SparkSession, m: Model, path: String = codebookDumpPath): Unit = {
+    import spark.implicits._
+    val rows = for {
+      s <- m.codebooks.indices
+      c <- m.codebooks(s).indices
+    } yield (s, c, m.codebooks(s)(c).toSeq)
+    rows.toDF("sub", "code", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Squared distances of subvector `s` of `v` to each code of its
+    * codebook, dot form, one array column. `c·c` folds on the driver
+    * with the same left-to-right loop the oracle's
+    * `list_dot_product(c, c)` uses.
+    */
+  private def subDistArr(v: Column, m: Model, s: Int): Column = {
+    val sv = slice(v, s * m.subDim + 1, m.subDim)
+    val vv = VectorOps.dotProduct(sv, sv)
+    val dists = m.codebooks(s).map { c =>
+      var cc = 0.0
+      var i = 0
+      while (i < c.length) { cc += c(i) * c(i); i += 1 }
+      vv + lit(cc) - lit(2.0) * VectorOps.dotProduct(sv, typedLit(c.toSeq))
+    }
+    array(dists.toSeq: _*)
+  }
+
+  /** Code of subvector `s`: argmin over the codebook, ties to the
+    * lowest code (`array_position` returns the FIRST minimum).
+    */
+  private def subCode(v: Column, m: Model, s: Int): Column = {
+    val d = subDistArr(v, m, s)
+    (array_position(d, array_min(d)) - 1L).cast("int")
+  }
+
+  /** All subspace codes packed little-endian into one long:
+    * code_s occupies bits [s·bits, (s+1)·bits). With the contract
+    * geometry the whole vector is 32 bits of one bigint.
+    */
+  def packedCodeExpr(v: Column, m: Model, bits: Int = bitsPerCode): Column =
+    (0 until m.numSubspaces).map { s =>
+      subCode(v, m, s).cast("long") * lit(1L << (bits * s))
+    }.reduce(_ + _)
+
+  /** Total quantization error Σ_s min-dist, each term quantized at 9 dp
+    * then folded in exact decimals (order-independent, engine-portable).
+    */
+  def quantErrExpr(v: Column, m: Model): Column =
+    (0 until m.numSubspaces).map { s =>
+      round(array_min(subDistArr(v, m, s)), 9).cast(DecimalType(20, 9))
+    }.reduce(_ + _)
+
+  /** Encode every row: `(vec_id, pq_code, qerr)` — one narrow
+    * whole-stage-codegen projection over the scan (the codebooks are
+    * expression literals; no model broadcast, no UDF, no shuffle).
+    */
+  def encode(emb: DataFrame, m: Model): DataFrame = {
+    val v = col("embedding")
+    Partitioning.spread(emb)
+      .select(col("vec_id"),
+        packedCodeExpr(v, m).as("pq_code"),
+        round(quantErrExpr(v, m).cast("double"), 6).as("qerr"))
+  }
+
+  /** Per-subspace ADC lookup tables for query `q`: `lut(s)(c)` = raw
+    * squared distance of q's subvector `s` to code `c`, dot form,
+    * driver-folded left-to-right — the same double every engine's
+    * sequential fold produces. Rounding happens IN the dataflow
+    * (Spark `round(…, 9)` vs DuckDB `round(…, 9)` — the proven pair),
+    * not here.
+    */
+  def adcLut(q: Array[Double], m: Model): Array[Array[Double]] = {
+    require(q.length == m.dim, s"query dim ${q.length} != model dim ${m.dim}")
+    Array.tabulate(m.numSubspaces) { s =>
+      m.codebooks(s).map { c =>
+        var qq = 0.0; var qc = 0.0; var cc = 0.0
+        var i = 0
+        while (i < c.length) {
+          val qi = q(s * m.subDim + i)
+          qq += qi * qi; qc += qi * c(i); cc += c(i) * c(i)
+          i += 1
+        }
+        qq + cc - 2.0 * qc
+      }
+    }
+  }
+
+  /** Asymmetric-distance top-k over the ENCODED table: approximate
+    * ‖q−v‖² ≈ Σ_s lut(s)(code_s), codes unpacked from `pq_code` with
+    * shift/mask, each lookup `element_at` into a literal array, each
+    * term quantized at 9 dp and folded in exact decimals. The scan
+    * touches only `(vec_id, pq_code)` — at 100 TB that is the 32×
+    * IO cut that makes exhaustive ADC viable — and the cut is
+    * `TakeOrderedAndProject` on (adc, vec_id), no shuffle.
+    */
+  def adcTopK(encoded: DataFrame, m: Model, q: Array[Double], topK: Int,
+      bits: Int = bitsPerCode): DataFrame = {
+    val lut = adcLut(q, m)
+    val adc = (0 until m.numSubspaces).map { s =>
+      val code = shiftright(col("pq_code"), bits * s).bitwiseAND(lit((1L << bits) - 1L))
+      round(element_at(typedLit(lut(s).toSeq), (code + lit(1L)).cast("int")), 9)
+        .cast(DecimalType(20, 9))
+    }.reduce(_ + _)
+    encoded
+      .select(col("vec_id"), col("pq_code"), adc.as("adc_raw"))
+      .orderBy(col("adc_raw").asc, col("vec_id").asc)
+      .limit(topK)
+      .select(col("vec_id"), col("pq_code"),
+        round(col("adc_raw").cast("double"), 6).as("adc_dist"))
+  }
+
+  /** Decode a packed code back to its reconstruction (codebook centroid
+    * concatenation) — the lossy inverse, driver-side (diagnostics/specs;
+    * the engine never needs decoded vectors on the hot path).
+    */
+  def decode(packed: Long, m: Model, bits: Int = bitsPerCode): Array[Double] = {
+    val out = new Array[Double](m.dim)
+    var s = 0
+    while (s < m.numSubspaces) {
+      val code = ((packed >> (bits * s)) & ((1L << bits) - 1L)).toInt
+      System.arraycopy(m.codebooks(s)(code), 0, out, s * m.subDim, m.subDim)
+      s += 1
+    }
+    out
+  }
+}
