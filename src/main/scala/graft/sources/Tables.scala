@@ -17,22 +17,48 @@ object Tables {
 
   def documents(s: SparkSession, dir: String): DataFrame = table(s, dir, "documents")
 
-  /** events is written with TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects; read nanos as long and convert to a microsecond
-    * timestamp. Integer `div` — a double division would be inexact
-    * here (epoch nanos exceed double's 2^53 range, ulp = 256 ns).
+  /** events has been driver-generated with two different `ts` encodings
+    * across rounds: TIMESTAMP(NANOS) (which Spark's parquet reader
+    * rejects without the legacy nanos-as-long flag) and plain
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (which Spark reads as
+    * TIMESTAMP_NTZ). Dispatch on the schema actually read so both —
+    * and any future regen — yield the same session-UTC `timestamp`
+    * column in microseconds.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
-    // session-scoped by necessity: the legacy flag has no per-read
-    // option and is consulted when the scan plans AND executes, so it
-    // cannot be set-and-restored around this lazy read. Side effect: any
-    // later TIMESTAMP(NANOS) parquet in this session also reads as long.
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, dir, "events")
-      // floor division, not `div` (truncation toward zero): a pre-epoch
-      // nanos value like -1500 must floor to -2µs, not truncate to -1µs,
-      // or boundary comparisons flip vs an oracle that floors
-      .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+    val raw =
+      try table(s, dir, "events")
+      catch {
+        // TIMESTAMP(NANOS) footer: schema inference throws "Illegal
+        // Parquet type: INT64 (TIMESTAMP(NANOS,...))" unless the legacy
+        // flag is on. Session-scoped by necessity: the flag has no
+        // per-read option and is consulted when the scan plans AND
+        // executes, so it cannot be set-and-restored around a lazy read.
+        case e: Exception if e.getMessage != null && e.getMessage.contains("NANOS") =>
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          table(s, dir, "events")
+      }
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // nanos-as-long → microsecond timestamp. Floor division, not
+        // `div` alone (truncation toward zero): a pre-epoch nanos value
+        // like -1500 must floor to -2µs, not truncate to -1µs, or
+        // boundary comparisons flip vs an oracle that floors. Integer
+        // arithmetic — a double division would be inexact here (epoch
+        // nanos exceed double's 2^53 range, ulp = 256 ns).
+        raw.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // MICROS/isAdjustedToUTC=false → NTZ; the session timezone is
+        // pinned to UTC everywhere (Bench/Verify/tests), so this cast
+        // reinterprets the wall-clock as UTC with identical micros —
+        // matching what DuckDB's oracle reads from the same file.
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case org.apache.spark.sql.types.TimestampType =>
+        raw
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other; expected int64-nanos, TIMESTAMP_NTZ, or TIMESTAMP")
+    }
   }
 
   /** The reference's address-space derivation — THE single definition of
