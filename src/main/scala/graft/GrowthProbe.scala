@@ -65,6 +65,35 @@ object GrowthProbe {
     probe("source_overlap")(d => TextAnalysis.sourceOverlap(d).count())
     probe("boilerplate_removal")(d => TextAnalysis.removeBoilerplate(d).count())
     probe("dsir_weights")(d => Sampling.dsirWeights(d).count())
+    // embedding-side probes (20k → 40k vectors). PQ reuses ONE model fit
+    // on the full corpus for both sizes: fit cost is constant in n
+    // (sample-capped), so timing it would add a constant that flattens
+    // the very ratio being measured; encode and the ADC scan are the
+    // paths that must stay linear.
+    locally {
+      val embFull = spark.read.parquet(s"$dir/embeddings.parquet")
+      val embHalf = embFull.filter(col("vec_id") % 2 === 0)
+      def probeEmb(name: String)(f: org.apache.spark.sql.DataFrame => Long): Unit = {
+        val tH = bestOf2(f(embHalf))
+        val tF = bestOf2(f(embFull))
+        val r = tF / tH
+        println(f"$tH%7.2f  $tF%7.2f  ratio=$r%5.2f  ${if (r > 3.0) "SLOW " else "ok   "}$name")
+      }
+      val pqModel = Pq.fit(embFull, dim = 64)
+      val q = embFull.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      probeEmb("pq_encode")(d => Pq.encode(d, pqModel).count())
+      probeEmb("pq_adc_topk")(d =>
+        Pq.adcTopK(Pq.encode(d, pqModel), pqModel, q, topK = 10).count())
+      // SemDeDup's cost law is Σ|cell|²: at fixed k a doubling quadruples
+      // within-cell pairs BY DESIGN, so the scale posture (and this
+      // probe) grows k with n to hold expected cell size constant — the
+      // way a 100 TB run would provision its coarse quantizer
+      probeEmb("semdedup (k ∝ n)") { d =>
+        val k = math.max(8, (d.count() / 2500L).toInt)
+        Dedup.semDedup(KMeansIndex.build(d, k = k), Dedup.semDedupThreshold).count()
+      }
+    }
     }
     // `std` arg: run ONLY the standard 50k→100k probes (the 200k ngram
     // doubling below alone takes minutes)

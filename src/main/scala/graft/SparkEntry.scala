@@ -148,7 +148,8 @@ object SparkEntry {
     // shards, 512-token windows; row-level (shard, pack, offset)
     // assignment is the oracle check
     "pack_windows" -> ((s, dir) =>
-      operators.Packing.packWindows(tbl(s, dir, "documents"), 512, 8)
+      operators.Packing.packWindows(tbl(s, dir, "documents"),
+        packWindowTokens, packWindowShards)
         .select(col("doc_id"), col("shard"), col("n_tokens"),
           col("pack_id"), col("off"), col("n_windows"))
         .orderBy(col("doc_id"))),
@@ -288,7 +289,7 @@ object SparkEntry {
     // oracle replays from the same doubles
     "pq_encode" -> ((s, dir) => {
       val e = emb(s, dir)
-      val m = operators.Pq.fit(e, dim = 64)
+      val m = operators.Pq.fitCached(e, dir, dim = 64)
       operators.Pq.dump(s, m)
       operators.Pq.encode(e, m).orderBy(col("vec_id"))
     }),
@@ -299,7 +300,7 @@ object SparkEntry {
     // oracle rebuilds codes AND the LUT from the dumped codebooks
     "pq_adc_topk" -> ((s, dir) => {
       val e = emb(s, dir)
-      val m = operators.Pq.fit(e, dim = 64)
+      val m = operators.Pq.fitCached(e, dir, dim = 64)
       operators.Pq.dump(s, m, operators.Pq.codebookDumpPath + "_adc")
       val q = e.filter(col("vec_id") === 0).select(col("embedding"))
         .head().getSeq[Float](0).map(_.toDouble).toArray
@@ -608,6 +609,7 @@ object SparkEntry {
     // one filtered min-aggregation per stage chained on user_id, no
     // window over event history, no event×event self-join
     "event_funnel" -> ((s, dir) => operators.Funnel.funnel(events(s, dir))),
+    "funnel_summary" -> ((s, dir) => operators.Funnel.funnelSummary(events(s, dir))),
     // weekly cohort retention (epoch-anchored integer weeks — no
     // calendar/week-start convention for the engines to disagree on)
     "user_retention" -> ((s, dir) => operators.Funnel.retention(events(s, dir))),
@@ -736,6 +738,28 @@ object SparkEntry {
   private val tokenBudgets = Map("src0" -> 800L, "src1" -> 500L, "src2" -> 0L)
   private val tokenBudgetShards = 8
   private val tokenBudgetDefault = 1000L
+
+  // pack_windows geometry, shared between registration and oracle for
+  // the same reason
+  private val packWindowTokens = 512
+  private val packWindowShards = 8
+
+  /** The event_funnel / funnel_summary oracle stage chain — min-ts per
+    * stage, strictly-after + window gating at epoch micros. ONE
+    * definition so the per-user table and its summary cannot disagree.
+    */
+  private lazy val funnelCtes: String = {
+    val Seq(st1, st2, st3) = operators.Funnel.funnelStages
+    val w = operators.Funnel.funnelWindowSeconds * 1000000L
+    s"""s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+       |            WHERE event_type = '$st1' GROUP BY 1),
+       |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+       |       WHERE e.event_type = '$st2' AND epoch_us(e.ts) > epoch_us(s1.t1)
+       |         AND epoch_us(e.ts) <= epoch_us(s1.t1) + $w GROUP BY 1),
+       |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+       |       WHERE e.event_type = '$st3' AND epoch_us(e.ts) > epoch_us(s2.t2)
+       |         AND epoch_us(e.ts) <= epoch_us(s2.t2) + $w GROUP BY 1)""".stripMargin
+  }
 
   // bm25_search query terms — all in the synthetic vocabulary
   private val bm25Query = Seq("query", "fast", "merge")
@@ -1064,13 +1088,13 @@ object SparkEntry {
       s"""WITH t AS (SELECT doc_id,
          |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
          |    sha256(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
-         |s AS (SELECT *, (${duckHex60("hx", 1)}) % 8 AS shard FROM t),
+         |s AS (SELECT *, (${duckHex60("hx", 1)}) % $packWindowShards AS shard FROM t),
          |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY hx, doc_id
          |       ROWS UNBOUNDED PRECEDING) AS cum FROM s)
          |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
-         |  CAST((cum - n_tokens) // 512 AS BIGINT) AS pack_id,
-         |  CAST((cum - n_tokens) % 512 AS BIGINT) AS off,
-         |  CAST((cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS BIGINT) AS n_windows
+         |  CAST((cum - n_tokens) // $packWindowTokens AS BIGINT) AS pack_id,
+         |  CAST((cum - n_tokens) % $packWindowTokens AS BIGINT) AS off,
+         |  CAST((cum - 1) // $packWindowTokens - (cum - n_tokens) // $packWindowTokens + 1 AS BIGINT) AS n_windows
          |FROM c ORDER BY doc_id""".stripMargin,
     "token_budget" -> {
       val cases = tokenBudgets.toSeq.sortBy(_._1)
@@ -2040,17 +2064,8 @@ object SparkEntry {
     // to micros — floor is monotone, so per-stage minima map exactly);
     // conversion seconds via floor-division on positive epochs, the
     // same value as Spark's unix_timestamp subtraction
-    "event_funnel" -> {
-      val Seq(st1, st2, st3) = operators.Funnel.funnelStages
-      val w = operators.Funnel.funnelWindowSeconds * 1000000L
-      s"""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
-         |            WHERE event_type = '$st1' GROUP BY 1),
-         |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
-         |       WHERE e.event_type = '$st2' AND epoch_us(e.ts) > epoch_us(s1.t1)
-         |         AND epoch_us(e.ts) <= epoch_us(s1.t1) + $w GROUP BY 1),
-         |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
-         |       WHERE e.event_type = '$st3' AND epoch_us(e.ts) > epoch_us(s2.t2)
-         |         AND epoch_us(e.ts) <= epoch_us(s2.t2) + $w GROUP BY 1)
+    "event_funnel" ->
+      s"""WITH $funnelCtes
          |SELECT s1.user_id,
          |  strftime(s1.t1, '%Y-%m-%d %H:%M:%S') AS t1,
          |  strftime(s2.t2, '%Y-%m-%d %H:%M:%S') AS t2,
@@ -2062,7 +2077,16 @@ object SparkEntry {
          |    AS conversion_secs
          |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
          |        LEFT JOIN s3 ON s1.user_id = s3.user_id
-         |ORDER BY s1.user_id""".stripMargin
+         |ORDER BY s1.user_id""".stripMargin,
+    // one conditional-count row over the same stage chain
+    "funnel_summary" -> {
+      val Seq(st1, st2, st3) = operators.Funnel.funnelStages
+      s"""WITH $funnelCtes
+         |SELECT CAST(count(*) AS BIGINT) AS n_$st1,
+         |  CAST(count(s2.user_id) AS BIGINT) AS n_$st2,
+         |  CAST(count(s3.user_id) AS BIGINT) AS n_$st3
+         |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+         |        LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin
     },
     // same epoch-anchored integer period arithmetic (floor division on
     // positive epoch micros), period interpolated from the constant
