@@ -593,15 +593,20 @@ object SparkEntry {
       operators.InvertedIndex.build(tbl(s, dir, "documents"))
       operators.InvertedIndex.search(s, bm25Query, k = 10)
     }),
-    // incremental ingest: base index on 2/3 of the corpus, the held-out
-    // third appended through the _COMMITTED-gated batch protocol; the
-    // committed union must rank EXACTLY like a from-scratch index of
-    // the full corpus (df and stats compose additively over disjoint
-    // doc sets) — same oracle again
+    // incremental ingest: base index on a third of the corpus, the two
+    // held-out thirds appended as separate _COMMITTED-gated batches;
+    // the committed union must rank EXACTLY like a from-scratch index
+    // of the full corpus (df and stats compose additively over
+    // disjoint doc sets) — same oracle again
     "bm25_incremental" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
-      operators.InvertedIndex.build(docs.filter(col("doc_id") % 3 =!= 0))
+      // TWO committed append batches, not one: the searched view must
+      // union base + every committed batch, and a single-batch run
+      // can't tell "unions all batches" from "unions the last batch" —
+      // the same multi-batch discipline dedup_incremental pins
+      operators.InvertedIndex.build(docs.filter(col("doc_id") % 3 === 2))
       operators.InvertedIndex.appendBatch(docs.filter(col("doc_id") % 3 === 0))
+      operators.InvertedIndex.appendBatch(docs.filter(col("doc_id") % 3 === 1))
       operators.InvertedIndex.search(s, bm25Query, k = 10)
     }),
     // strict ordered funnel (view → click → purchase): stage k counts
