@@ -61,6 +61,10 @@ object SparkEntry {
     "search_filtered_topk" -> ((s, dir) =>
       Search.topKFiltered(emb(s, dir), "cosine", 10, ctxFilter = Some(3))),
     "knn_join_top3" -> ((s, dir) => Search.knnJoin(emb(s, dir), "cosine", 3, 10)),
+    // contrastive-training data mining: per query, the top-5 nearest
+    // vectors with a DIFFERENT label (the batch-worthy negatives)
+    "hard_negatives" -> ((s, dir) =>
+      Search.hardNegatives(emb(s, dir), "cosine", 5, 5)),
     // §2.3 clustering: vector-mean Aggregator + two-pass inertia
     "cluster_centroid_dims" -> ((s, dir) =>
       emb(s, dir)
@@ -75,6 +79,20 @@ object SparkEntry {
         .select(col("cluster_key").cast("int").as("cluster_key"),
           col("n_members"), col("inertia"))
         .orderBy(col("cluster_key"))),
+    // cluster-health dial beside inertia: simplified (centroid-form)
+    // silhouette over the trained KMeans cells; centroids dumped so the
+    // oracle replays distance/assignment from the same doubles
+    "cluster_silhouette" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = operators.KMeansIndex.build(e, k = 8)
+      idx.centroids.coalesce(1).write.mode("overwrite")
+        .parquet(operators.KMeansIndex.centroidDumpPath + "_sil")
+      // bounded collect: k=8 centroid rows (the established k-centroids
+      // exception) — they become codegen literals in the dists array
+      val centers = idx.centroids.orderBy(col("cell")).collect()
+        .map(r => r.getSeq[Double](1).toArray)
+      Clustering.simplifiedSilhouette(e, centers)
+    }),
     "phi_bands" -> ((s, dir) =>
       Clustering.withPhiBand(emb(s, dir), 3)
         .groupBy(col("band"))
@@ -215,6 +233,10 @@ object SparkEntry {
     // unigram-LM surprisal (KenLM-filter analogue, self-referenced)
     "doc_surprisal" -> ((s, dir) =>
       TextAnalysis.unigramSurprisal(tbl(s, dir, "documents"))),
+    // CCNet-style statistical-LM fluency dial: per-doc cross-entropy
+    // under the corpus's own ML bigram model
+    "bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramLm(tbl(s, dir, "documents"))),
     // PII scrub over the corpus with deterministic PII injected inline
     // (the synthetic corpus contains none): both engines build the same
     // dirty text, so the counts AND the cleaned-text digest must agree
@@ -977,6 +999,22 @@ object SparkEntry {
          |  FROM scored)
          |SELECT query_id, neighbor_id, score, rank FROM ranked
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    // knn_join with the label-mismatch predicate and the neighbor's
+    // label in the output
+    "hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+         |             CAST(embedding AS DOUBLE[]) AS qe
+         |           FROM embeddings WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+         |    round(${cosSql("CAST(e.embedding AS DOUBLE[])", "q.qe")}, 6) AS score
+         |  FROM embeddings e CROSS JOIN q WHERE e.label <> q.q_label),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER
+         |    (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, CAST(label AS INT) AS label, score, rank
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "cluster_centroid_dims" ->
       s"""WITH ex AS (
          |  SELECT label, CAST(generate_subscripts(embedding, 1) AS INT) AS dim_idx,
@@ -994,6 +1032,30 @@ object SparkEntry {
          |       round(sum((ex.x - cent.c)*(ex.x - cent.c)), 6) AS inertia
          |FROM ex JOIN cent ON ex.label = cent.label AND ex.i = cent.i
          |GROUP BY ex.label ORDER BY cluster_key""".stripMargin,
+    // replay of assignment + a/b distances from the dumped centroids:
+    // same dot-form dist (clamped at 0), rn=1 is the own-cell distance
+    // (lowest-cell tie-break, as cellExpr), rn=2 the second-nearest
+    "cluster_silhouette" -> {
+      val path = operators.KMeansIndex.centroidDumpPath + "_sil"
+      s"""WITH c AS (SELECT cell, centroid FROM '$path/*.parquet'),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |d AS (SELECT e.vec_id, c.cell,
+         |        greatest(list_dot_product(e.v, e.v) + list_dot_product(c.centroid, c.centroid)
+         |          - 2.0 * list_dot_product(e.v, c.centroid), 0.0) AS dist
+         |      FROM e CROSS JOIN c),
+         |r AS (SELECT vec_id, cell, dist,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |      FROM d),
+         |ab AS (SELECT a.vec_id, a.cell, sqrt(a.dist) AS a, sqrt(b.dist) AS b
+         |       FROM r a JOIN r b ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2),
+         |s AS (SELECT vec_id, cell,
+         |        CASE WHEN b = 0 THEN 0.0 ELSE round((b - a) / b, 6) END AS s
+         |      FROM ab)
+         |SELECT CAST(cell AS INT) AS cell, count(*) AS n_members,
+         |  round(CAST(sum(CAST(s AS DECIMAL(10,6))) AS DOUBLE) / count(*), 6)
+         |    AS mean_silhouette
+         |FROM s GROUP BY cell ORDER BY cell""".stripMargin
+    },
     "phi_bands" ->
       s"""WITH n AS (
          |  SELECT vec_id, sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
@@ -1234,6 +1296,26 @@ object SparkEntry {
          |      FROM tok t JOIN freq f USING (w) CROSS JOIN tot)
          |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_words,
          |  round(CAST(sum(nl) AS DOUBLE) / sum(tf), 6) AS surprisal
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same decimal fold over the conditional bigram model
+    // p(w2|w1) = c(w1w2)/c(w1·); bigrams as 2-element lists (no
+    // delimiter-collision concern), docs under 2 words emit no row in
+    // either engine
+    "bigram_lm" ->
+      s"""WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+         |b AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+         |                            i -> [ws[i], ws[i+1]])) AS bg
+         |      FROM d WHERE len(ws) >= 2),
+         |tok AS (SELECT doc_id, bg[1] AS w1, bg[2] AS w2, count(*) AS tf
+         |        FROM b GROUP BY 1, 2, 3),
+         |m AS (SELECT w1, w2, sum(tf) AS c2 FROM tok GROUP BY 1, 2),
+         |cx AS (SELECT w1, sum(c2) AS c1 FROM m GROUP BY 1),
+         |j AS (SELECT t.doc_id, t.tf,
+         |        CAST(round(-ln(CAST(m.c2 AS DOUBLE) / CAST(cx.c1 AS DOUBLE)), 9)
+         |             AS DECIMAL(20,9)) * CAST(t.tf AS DECIMAL(6,0)) AS nl
+         |      FROM tok t JOIN m USING (w1, w2) JOIN cx USING (w1))
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         |  round(CAST(sum(nl) AS DOUBLE) / sum(tf), 6) AS cross_entropy
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // same banner injection (interpolated from the shared constant),
     // same 10-word line grid as doc_chunks, df per exact line text,

@@ -145,4 +145,51 @@ object Clustering {
     withInertia(banded, col("band"), col("vec_id"), withMembers)
       .withColumn("cluster_tag", concat(lit("phi_band_"), col("cluster_key")))
   }
+
+  /** Simplified silhouette per cell (Hruschka et al. 2004's centroid
+    * variant of Rousseeuw 1987): for each vector, a = distance to its
+    * own (nearest) centroid, b = distance to the second-nearest, s =
+    * (b − a) / max(a, b) — which reduces to 1 − a/b since a ≤ b by
+    * construction. The full silhouette's pairwise a(i)/b(i) is Ω(n²);
+    * the centroid form is the one that exists at corpus scale, and it
+    * is the standard k-selection / cluster-health dial next to
+    * [[withInertia]] (inertia always improves with k; silhouette
+    * peaks).
+    *
+    * Shape at 100 TB: per-row work is k codegen'd dot products against
+    * centroid literals (the [[KMeansIndex.cellExpr]] dot form ‖v−c‖² =
+    * v·v + c·c − 2·v·c, clamped at 0 for float cancellation before the
+    * sqrt) plus one k-element sort; the only shuffle is the per-cell
+    * mean — map-side-combined, k output rows. No model broadcast, no
+    * UDF, no pairwise join. Oracle-parity: every term is a
+    * left-to-right double fold over the dumped centroid doubles;
+    * per-row s rounds at 6 dp and the mean accumulates in decimals.
+    */
+  def simplifiedSilhouette(emb: DataFrame, centers: Array[Array[Double]]): DataFrame = {
+    require(centers.length >= 2, "silhouette needs at least two centroids")
+    val v = col("embedding")
+    val vv = VectorOps.dotProduct(v, v)
+    val dists = array(centers.map { c =>
+      var cc = 0.0
+      var i = 0
+      while (i < c.length) { cc += c(i) * c(i); i += 1 }
+      greatest(vv + lit(cc) - lit(2.0) * VectorOps.dotProduct(v, typedLit(c.toSeq)),
+        lit(0.0))
+    }.toIndexedSeq: _*)
+    emb.select(col("vec_id"), dists.as("d"))
+      .select(col("vec_id"),
+        // first index holding the minimum — the lowest-cell tie-break,
+        // exactly cellExpr's assignment
+        (array_position(col("d"), array_min(col("d"))) - 1L).cast("int").as("cell"),
+        sqrt(array_min(col("d"))).as("a"),
+        sqrt(element_at(sort_array(col("d")), 2)).as("b"))
+      .select(col("vec_id"), col("cell"),
+        when(col("b") === 0.0, lit(0.0)) // all-identical degenerate: s := 0
+          .otherwise(round((col("b") - col("a")) / col("b"), 6)).as("s"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(col("s").cast(org.apache.spark.sql.types.DecimalType(10, 6)))
+          .cast("double") / count(lit(1)), 6).as("mean_silhouette"))
+      .orderBy(col("cell"))
+  }
 }

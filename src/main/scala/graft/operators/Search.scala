@@ -132,4 +132,41 @@ object Search {
         (col("pos") + 1).cast("int").as("rank"))
       .orderBy(col("query_id").asc, col("rank").asc)
   }
+
+  /** Hard-negative mining for contrastive / metric training data: for
+    * each query vector, its top-k most-similar vectors carrying a
+    * DIFFERENT label — the negatives nearest the decision boundary,
+    * which are the ones worth putting in a batch (Robinson et al. 2021,
+    * "Contrastive Learning with Hard Negative Samples"). Identical
+    * scan shape to [[knnJoin]] (broadcast query side, bounded
+    * [[TopKAgg]], map-side partial top-k) with the label-mismatch
+    * predicate applied BEFORE scoring, so same-label rows never pay
+    * the dot product. The neighbor's label rides along via a final
+    * broadcast join of the tiny (queries × k) result against the
+    * label projection — the big table streams, nothing driver-side.
+    */
+  def hardNegatives(emb: DataFrame, metric: String, k: Int, nQueries: Int): DataFrame = {
+    val topk = udaf(new TopKAgg(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Double)]())
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("embedding").as("q_embedding"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter(col("label") =!= col("q_label"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(VectorOps.similarity(metric)(col("embedding"), col("q_embedding")), 6)
+          .as("score"))
+    val ranked = scored
+      .filter(rankable(col("score")))
+      .groupBy(col("query_id"))
+      .agg(topk(col("neighbor_id"), col("score")).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "p")))
+      .select(col("query_id"), col("p._1").as("neighbor_id"), col("p._2").as("score"),
+        (col("pos") + 1).cast("int").as("rank"))
+    emb.select(col("vec_id").as("neighbor_id"), col("label"))
+      .join(broadcast(ranked), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("label").cast("int").as("label"),
+        col("score"), col("rank"))
+      .orderBy(col("query_id").asc, col("rank").asc)
+  }
 }

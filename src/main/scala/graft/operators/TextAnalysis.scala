@@ -592,6 +592,52 @@ object TextAnalysis {
     * both shuffles key on doc-bearing tuples, so skew is bounded by
     * document length, not corpus size.
     */
+  /** Count-based bigram language-model cross-entropy per document — the
+    * statistical-LM perplexity filter of the published curation recipes
+    * (CCNet trains a KenLM and buckets documents by perplexity;
+    * Wenzek et al. 2020 §4.3). The LM here is the corpus's own maximum-
+    * likelihood bigram model p(w₂|w₁) = c(w₁w₂)/c(w₁·), scored on the
+    * corpus it was counted from — so every bigram has support and no
+    * smoothing constant has to be agreed with the oracle. Low
+    * cross-entropy = predictable, fluent-for-this-corpus text; high =
+    * token soup, encoding damage, or genuinely novel content — the
+    * dial a curation pipeline cuts on (reported in nats; perplexity =
+    * exp(ce) is monotone, left to the caller to avoid cross-engine
+    * transcendental drift).
+    *
+    * Shape at 100 TB: bigram extraction is the [[qualityFlags]] zip of
+    * the word array with its own tail; counting is two-level map-side-
+    * combined aggregation on (doc, w₁, w₂) then the global (w₁, w₂)
+    * model — both keyed on bigram-bearing tuples, skew bounded by
+    * natural bigram frequency. The per-doc fold reuses the
+    * [[unigramSurprisal]] decimal discipline: each −log p quantized at
+    * 9 dp, tf-weighted in exact decimals, one mean per doc. The model
+    * frames never collect; the context-count table joins on w₁.
+    */
+  def bigramLm(docs: DataFrame): DataFrame = {
+    val base = Partitioning.spread(docs)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2) // no bigram, no row — both engines
+    val tok = base.select(col("doc_id"), explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+      .cache() // feeds the global model AND the per-doc fold
+    val model = tok.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c2"))
+    val ctx = model.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val logp9 = round(-log(col("c2").cast("double") / col("c1").cast("double")), 9)
+    tok.join(model, Seq("w1", "w2")).join(ctx, Seq("w1"))
+      .select(col("doc_id"), col("tf"),
+        (logp9.cast(DecimalType(20, 9)) * col("tf").cast(DecimalType(6, 0))).as("nl"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        round(sum(col("nl")).cast("double") / sum(col("tf")), 6).as("cross_entropy"))
+      .orderBy(col("doc_id"))
+  }
+
   def repetitionSignals(docs: DataFrame): DataFrame = {
     val d = Partitioning.spread(docs)
       .select(col("doc_id"), words(col("text")).as("ws"))

@@ -38,6 +38,31 @@ class ClusteringSpec extends AnyFunSuite {
     assert(bands.keys.forall(b => b >= 0 && b <= 2))
   }
 
+  test("simplifiedSilhouette: hand-computed a/b distances and per-cell mean") {
+    // centers (0,0) and (4,0); points: on-center (a=0, b=4 -> s=1),
+    // midpoint (a=b=2 -> s=0, assigned to cell 0 by the lowest-cell
+    // tie-break), and (1,0) (a=1, b=3 -> s=2/3)
+    val df = emb((1L, Seq(0f, 0f), 0), (2L, Seq(2f, 0f), 0), (3L, Seq(1f, 0f), 0))
+    val centers = Array(Array(0.0, 0.0), Array(4.0, 0.0))
+    val rows = Clustering.simplifiedSilhouette(df, centers).collect()
+      .map(r => r.getAs[Int]("cell") ->
+        (r.getAs[Long]("n_members"), r.getAs[Double]("mean_silhouette"))).toMap
+    assert(rows.keySet == Set(0))
+    val (n, s) = rows(0)
+    assert(n == 3L)
+    assert(math.abs(s - 0.555556) < 1e-9) // mean of (1.0, 0.0, 0.666667)
+  }
+
+  test("simplifiedSilhouette: well-separated clusters score near 1") {
+    val df = emb(
+      (1L, Seq(0f, 0.1f), 0), (2L, Seq(0.1f, 0f), 0),
+      (3L, Seq(10f, 0f), 1), (4L, Seq(10f, 0.1f), 1))
+    val centers = Array(Array(0.05, 0.05), Array(10.0, 0.05))
+    val rows = Clustering.simplifiedSilhouette(df, centers).collect()
+    assert(rows.length == 2)
+    rows.foreach(r => assert(r.getAs[Double]("mean_silhouette") > 0.98))
+  }
+
   test("ivfTopK probing all cells equals brute-force top-k") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val nCells = e.select("label").distinct().count().toInt
@@ -49,6 +74,32 @@ class ClusteringSpec extends AnyFunSuite {
     // fewer probes: result is a subset of the probed cells' members
     val ivf2 = Ann.ivfTopK(e, "cosine", 10, nProbe = 2)
     assert(ivf2.select("label").distinct().count() <= 2)
+  }
+
+  test("hardNegatives: label-disjoint, rank-ordered, matches brute force at rank 1") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Search.hardNegatives(e, "cosine", 5, 3).collect()
+    val qLabels = e.filter(col("vec_id") < 3).select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.length == 3 * 5)
+    out.foreach { r =>
+      assert(r.getAs[Int]("label") != qLabels(r.getAs[Long]("query_id")))
+    }
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val scores = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("score"))
+      assert(scores.sliding(2).forall(s => s.length < 2 || s(0) >= s(1)))
+    }
+    // rank 1 for query 0 = the brute-force best different-label score
+    val q0 = e.filter(col("vec_id") === 0).head()
+    val q0Label = q0.getAs[Int]("label")
+    val q0Emb = q0.getAs[scala.collection.Seq[Float]]("embedding")
+    val bruteBest = e.filter(col("label") =!= q0Label)
+      .select(round(graft.functions.VectorOps.cosineSimilarity(col("embedding"),
+        typedLit(q0Emb.toSeq)), 6).as("score"))
+      .agg(max(col("score"))).head().getDouble(0)
+    val rank1 = out.filter(r => r.getAs[Long]("query_id") == 0L &&
+      r.getAs[Int]("rank") == 1).head.getAs[Double]("score")
+    assert(rank1 == bruteBest)
   }
 
   test("lshCosinePairs only emits same-bucket pairs above threshold") {

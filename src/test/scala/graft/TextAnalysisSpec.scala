@@ -188,6 +188,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(1L)._2 < out(2L)._2 && out(2L)._2 < out(3L)._2)
   }
 
+  test("bigramLm: hand-computed conditional cross-entropy; <2-word docs drop") {
+    // bigrams: (a b)×2 from docs 1-2, (a c)×1 from doc 3 → c(a·)=3
+    val d = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLm(d).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_bigrams"), r.getAs[Double]("cross_entropy")))
+      .toMap
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lab = r9(-math.log(2.0 / 3.0)); val lac = r9(-math.log(1.0 / 3.0))
+    assert(out(1L) == (1L, r6(lab)))
+    assert(out(2L) == (1L, r6(lab)))
+    assert(out(3L) == (1L, r6(lac)))
+    assert(!out.contains(4L)) // one word → no bigram → no row
+    // the common continuation is more predictable than the rare one
+    assert(out(1L)._2 < out(3L)._2)
+  }
+
   test("piiScrub: redacts emails/phones/IPs with typed tokens, counts match") {
     val d = Seq(
       (1L, "mail a.user+tag@sub.example.org or b@x.io then call 415-555-0123 done"),
