@@ -249,6 +249,19 @@ object SparkEntry {
           when(col("doc_id") % 5 === 0,
             concat(lit("host 10.0."), col("doc_id") % 256, lit(".7 "))).otherwise(lit("")),
           col("text")).as("text")))),
+    // normalization-aware exact dedup (custom codegen NFC expression —
+    // Spark has no built-in). The ASCII corpus is trivially NFC, so
+    // both engines append the same visually-identical-but-byte-distinct
+    // twin per doc: precomposed lowercase " café" on the original,
+    // decomposed uppercase "  CAFE<U+0301>" (double space) on a shifted
+    // copy — every normalized group must absorb exactly those variants
+    "normalized_dedup" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      TextAnalysis.normalizedDedup(
+        d.select(col("doc_id"), concat(col("text"), lit(nfcSuffixA)).as("text"))
+          .unionByName(d.select((col("doc_id") + nfcTwinOffset).as("doc_id"),
+            concat(col("text"), lit(nfcSuffixB)).as("text"))))
+    }),
     // CCNet/MassiveText line-level boilerplate removal. The synthetic
     // corpus has no naturally repeated lines, so both engines prepend
     // the shared 10-word banner to every even doc (pii_scrub's
@@ -770,6 +783,20 @@ object SparkEntry {
   // the same reason
   private val packWindowTokens = 512
   private val packWindowShards = 8
+
+  // normalized_dedup twin decoration: suffix A is precomposed lowercase
+  // " café" (U+00E9), suffix B is DECOMPOSED uppercase with a double
+  // space ("  CAFE" + combining acute U+0301) — byte-distinct, but
+  // NFC + casefold + whitespace-collapse maps both to " café". Escapes,
+  // not raw glyphs, so no editor/transport can silently re-normalize
+  // the source; the oracle interpolation below rebuilds the same
+  // strings via chr() codepoints for the same reason
+  private val nfcSuffixA = " caf\u00e9"
+  private val nfcSuffixB = "  CAFE\u0301"
+  private val nfcTwinOffset = 1000000L
+  /** A DuckDB expression producing `s` via chr() codepoints only. */
+  private def sqlChr(s: String): String =
+    s.codePoints().toArray.map(cp => s"chr($cp)").mkString("(", " || ", ")")
 
   /** The event_funnel / funnel_summary oracle stage chain — min-ts per
     * stage, strictly-after + window gating at epoch micros. ONE
@@ -1392,6 +1419,21 @@ object SparkEntry {
          |  sha256(clean) AS clean_sha
          |FROM c ORDER BY doc_id""".stripMargin
     },
+    // same twin decoration (suffixes rebuilt from codepoints — no raw
+    // glyph survives transport), same normalization order: NFC, then
+    // lower, then whitespace-collapse, then trim
+    "normalized_dedup" ->
+      s"""WITH dirty AS (
+         |  SELECT doc_id, text || ${sqlChr(nfcSuffixA)} AS text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $nfcTwinOffset, text || ${sqlChr(nfcSuffixB)} FROM documents),
+         |h AS (SELECT doc_id, sha256(text) AS raw_sha,
+         |        sha256(trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g')))
+         |          AS norm_sha
+         |      FROM dirty)
+         |SELECT norm_sha, count(*) AS n_docs,
+         |  count(DISTINCT raw_sha) AS n_raw_variants, min(doc_id) AS keeper_doc
+         |FROM h GROUP BY norm_sha ORDER BY norm_sha""".stripMargin,
     // parallel unnests zip in DuckDB, giving one (pos, element) row per
     // dimension — the scalar shape the driver's comparator can hash
     "embedding_normalize" ->

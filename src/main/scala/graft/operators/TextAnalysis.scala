@@ -726,4 +726,39 @@ object TextAnalysis {
           / (col("n_a") + col("n_b") - col("shared")), 6).as("jaccard"))
       .orderBy(col("source_a"), col("source_b"))
   }
+
+  /** The canonical text normalization every dedup recipe applies before
+    * any digest/shingle/minhash sees the text: Unicode NFC (the custom
+    * codegen [[org.apache.spark.sql.graftx.NfcNormalize]] — Spark has
+    * no built-in; DuckDB's `nfc_normalize` is the oracle mirror), then
+    * lowercase, then whitespace-run collapse, then trim. Order is part
+    * of the contract (compose codepoints BEFORE case-mapping) and is
+    * shared with the oracle SQL.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      lower(org.apache.spark.sql.graftx.TextExpressions.nfcNormalize(text)),
+      "\\s+", " "))
+
+  /** Normalization-aware exact dedup: group by the sha-256 of
+    * [[normalizeText]] and report, per normalized group, how many raw
+    * byte-distinct variants it absorbed and which doc survives (min
+    * doc_id — the [[Dedup]] canonical-keep rule). A group with
+    * `n_raw_variants > 1` is precisely a merge that plain exact dedup
+    * (raw-byte digest) MISSES — the rows this operator exists to find.
+    *
+    * Shape at 100 TB: normalization is per-row codegen (with a
+    * zero-copy fast path for already-NFC text), then ONE map-side-
+    * combined aggregation on the 32-byte digest — identical cost to
+    * [[Dedup.exactSummary]]; no second shuffle, no join.
+    */
+  def normalizedDedup(docs: DataFrame): DataFrame =
+    Partitioning.spread(docs)
+      .select(col("doc_id"), sha2(col("text"), 256).as("raw_sha"),
+        sha2(normalizeText(col("text")), 256).as("norm_sha"))
+      .groupBy(col("norm_sha"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("raw_sha")).as("n_raw_variants"),
+        min(col("doc_id")).as("keeper_doc"))
+      .orderBy(col("norm_sha"))
 }

@@ -206,6 +206,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(1L)._2 < out(3L)._2)
   }
 
+  test("normalizeText: NFC composes, case folds, whitespace collapses") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // decomposed uppercase + tab + double space vs precomposed lowercase
+    val d = Seq((1L, "CAFE\u0301\t du  monde"), (2L, "caf\u00e9 du monde"))
+      .toDF("doc_id", "text")
+    val out = d.select(col("doc_id"),
+        TextAnalysis.normalizeText(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "caf\u00e9 du monde")
+    assert(out(1L) == out(2L))
+    // already-NFC ASCII is untouched (the zero-copy fast path)
+    val same = d.select(TextAnalysis.normalizeText(lit("plain ascii")).as("n"))
+      .head().getString(0)
+    assert(same == "plain ascii")
+  }
+
+  test("normalizedDedup: byte-distinct variants collapse to one group") {
+    val d = Seq(
+      (1L, "caf\u00e9 menu"),        // precomposed
+      (2L, "CAFE\u0301  menu"),      // decomposed uppercase, double space
+      (3L, "totally different")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.normalizedDedup(d).collect()
+    assert(out.length == 2)
+    val merged = out.filter(_.getAs[Long]("n_docs") == 2L)
+    assert(merged.length == 1)
+    assert(merged.head.getAs[Long]("n_raw_variants") == 2L)
+    assert(merged.head.getAs[Long]("keeper_doc") == 1L)
+  }
+
   test("piiScrub: redacts emails/phones/IPs with typed tokens, counts match") {
     val d = Seq(
       (1L, "mail a.user+tag@sub.example.org or b@x.io then call 415-555-0123 done"),
