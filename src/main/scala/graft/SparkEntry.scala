@@ -459,6 +459,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_lineitems"),
           sum(col("l_quantity")).as("sum_qty"))
         .orderBy(col("s_name"))),
+    // blocked edit-distance entity resolution: every even part gets one
+    // char of its FIRST token deleted at a partkey-derived position
+    // (pos >= 2, so the last token — the blocking key — and the lead
+    // char survive), then each dirty name is matched back to the
+    // distinct-name catalog at maxDist 1. Both engines build the same
+    // dirty strings; levenshtein is exact+integer in both
+    "fuzzy_match" -> ((s, dir) => {
+      val p = tbl(s, dir, "part")
+      val name = col("p_name")
+      val len1 = length(element_at(split(name, " "), 1))
+      val pos = lit(2) + pmod(col("p_partkey"), (len1 - lit(1)).cast("bigint"))
+      val dirty = p.select(col("p_partkey"),
+        when(col("p_partkey") % 2 === 0,
+          concat(name.substr(lit(1), (pos - 1).cast("int")),
+            name.substr((pos + 1).cast("int"), lit(1000))))
+          .otherwise(name).as("name"))
+      operators.Joins.fuzzyMatch(dirty,
+          p.select(col("p_name").as("name")), "p_partkey",
+          n => element_at(split(n, " "), -1), maxDist = 1)
+        .orderBy(col("p_partkey"))
+    }),
     // as-of join: for each error event, the user's most recent preceding
     // click (union + ordered-window implementation; oracle = native
     // DuckDB ASOF JOIN)
@@ -1976,6 +1997,31 @@ object SparkEntry {
       s"""SELECT s_name, count(*) AS n_lineitems, sum(l_quantity) AS sum_qty
          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          |GROUP BY s_name ORDER BY s_name""".stripMargin,
+    // same mutation formula; the oracle's blocking key is split_part 2
+    // = the engine's last-token key on these two-token names; winner =
+    // row 1 of (dist, cname) — identical to the engine's min(struct)
+    "fuzzy_match" ->
+      s"""WITH pos AS (SELECT p_partkey, p_name,
+         |    2 + p_partkey % (length(split_part(p_name, ' ', 1)) - 1) AS pos
+         |  FROM part),
+         |dirty AS (SELECT p_partkey,
+         |    CASE WHEN p_partkey % 2 = 0
+         |      THEN substr(p_name, 1, CAST(pos - 1 AS INT)) || substr(p_name, CAST(pos + 1 AS INT))
+         |      ELSE p_name END AS name
+         |  FROM pos),
+         |cat AS (SELECT DISTINCT p_name AS cname FROM part),
+         |cand AS (SELECT d.p_partkey, d.name, c.cname,
+         |    levenshtein(d.name, c.cname) AS dist
+         |  FROM dirty d JOIN cat c
+         |    ON split_part(d.name, ' ', 2) = split_part(c.cname, ' ', 2)
+         |  WHERE abs(length(d.name) - length(c.cname)) <= 1
+         |    AND levenshtein(d.name, c.cname) <= 1),
+         |best AS (SELECT p_partkey, cname, dist,
+         |    row_number() OVER (PARTITION BY p_partkey ORDER BY dist, cname) AS rn
+         |  FROM cand)
+         |SELECT d.p_partkey, d.name, b.cname AS matched_name, CAST(b.dist AS INT) AS dist
+         |FROM dirty d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (p_partkey)
+         |ORDER BY d.p_partkey""".stripMargin,
     "asof_error_click" ->
       s"""WITH errors AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
          |clicks AS (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click')

@@ -103,6 +103,37 @@ class JoinsSpec extends AnyFunSuite {
     assert(got == Set(("p1", "exact"), ("p1", "in-range"), ("p2", "other-key")))
   }
 
+  test("fuzzyMatch: typo'd names resolve, ties break on name, no-candidate rows keep nulls") {
+    val catalog = Seq("cold widget", "large widget", "blue rod").toDF("name")
+    val dirty = Seq(
+      (1L, "cld widget"),    // 1 deletion from "cold widget"
+      (2L, "large widget"),  // exact -> dist 0
+      (3L, "blue rod"),      // exact
+      (4L, "xxxxx widget"),  // no catalog name within 1 edit
+      (5L, "zz gadget")      // block key matches nothing
+    ).toDF("p_partkey", "name")
+    val out = Joins.fuzzyMatch(dirty, catalog, "p_partkey",
+        n => element_at(split(n, " "), -1), maxDist = 1)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getAs[String]("matched_name")), Option(r.get(3)))).toMap
+    assert(out(1L) == (Some("cold widget"), Some(1)))
+    assert(out(2L) == (Some("large widget"), Some(0)))
+    assert(out(3L) == (Some("blue rod"), Some(0)))
+    assert(out(4L) == (None, None))
+    assert(out(5L) == (None, None))
+    assert(out.size == 5)
+  }
+
+  test("fuzzyMatch: winner is the (dist, name) minimum, deterministically") {
+    // "cat" is 1 edit from both "bat" and "cap": min name wins -> "bat"
+    val catalog = Seq("bat", "cap").toDF("name")
+    val dirty = Seq((1L, "cat")).toDF("p_partkey", "name")
+    val out = Joins.fuzzyMatch(dirty, catalog, "p_partkey",
+        _ => lit(1), maxDist = 1).head()
+    assert(out.getAs[String]("matched_name") == "bat")
+    assert(out.getAs[Int]("dist") == 1)
+  }
+
   test("keySkew surfaces the hot key first") {
     val df = (1 to 100).map(i => (if (i <= 60) 5L else i.toLong, i)).toDF("k", "v")
     val top = Joins.keySkew(df, "k", 3).collect()
