@@ -674,6 +674,11 @@ object SparkEntry {
     // weekly cohort retention (epoch-anchored integer weeks — no
     // calendar/week-start convention for the engines to disagree on)
     "user_retention" -> ((s, dir) => operators.Funnel.retention(events(s, dir))),
+    // sliding 7-day active users via the contribute-forward shape
+    // (dedup to user-day, bounded explode, re-dedup) — never a
+    // range self-join or a distinct-in-moving-frame window
+    "active_users_7d" -> ((s, dir) =>
+      operators.Funnel.rollingActiveUsers(events(s, dir), 7)),
     // PageRank over the minhash dup graph: centrality as a curation
     // signal (hub copies of a template family rank highest); fixed
     // 5-round power iteration with every step 9-dp-quantized so the
@@ -2280,6 +2285,16 @@ object SparkEntry {
          |FROM cells JOIN sz USING (cohort_period)
          |ORDER BY cohort_period, period_offset""".stripMargin
     },
+    // per reported day: distinct users active in the trailing 7 days;
+    // the oracle's range join over the day list IS the naive
+    // formulation the engine's contribute-forward shape replaces
+    "active_users_7d" ->
+      s"""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         |days AS (SELECT DISTINCT day FROM ud)
+         |SELECT strftime(d.day, '%Y-%m-%d') AS day,
+         |  count(DISTINCT u.user_id) AS n_active
+         |FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+         |GROUP BY d.day ORDER BY 1""".stripMargin,
     // the same five damped rounds in a recursive CTE with aggregation:
     // contributions rounded at 9 dp per edge (decimal), exact decimal
     // in-edge sums, damped update rounded at 9 dp — rank tables match

@@ -128,4 +128,37 @@ object Funnel {
         round(col("n_users").cast("double") / col("cohort_size"), 6).as("rate"))
       .orderBy(col("cohort_period"), col("period_offset"))
   }
+
+  /** Rolling `windowDays`-day active users — the DAU/WAU/MAU family's
+    * sliding middle, reported for every day that has ≥ 1 event. The
+    * naive formulation is a per-day range self-join (each day scans a
+    * `windowDays`-wide slice of the whole stream: Ω(days·window) event
+    * touches); a count-distinct window over RANGE INTERVAL is worse —
+    * Spark materializes per-row frames and a distinct inside a moving
+    * frame can't partial-aggregate.
+    *
+    * The scalable shape inverts it: dedup to (user, day) FIRST — one
+    * map-side-combined distinct whose size is bounded by users×days,
+    * not events — then each (user, day) CONTRIBUTES itself forward to
+    * the `windowDays` target days it makes active (a bounded explode),
+    * re-dedups, and counts per day. Every shuffle after the first is
+    * on the tiny contribution table; the day filter is a broadcast
+    * semi-join against the distinct active-day list.
+    */
+  def rollingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val userDays = events.select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val activeDays = userDays.select(col("day")).distinct()
+    userDays
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("k"), col("day"))
+      .select(col("user_id"), date_add(col("day"), col("k")).as("day"))
+      .distinct()
+      .join(broadcast(activeDays), Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n_active"))
+      .orderBy(col("day"))
+  }
 }

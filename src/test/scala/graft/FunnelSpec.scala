@@ -81,4 +81,34 @@ class FunnelSpec extends AnyFunSuite {
     assert(got((c0 + 1, 1L)) == ((1L, 1L, 1.0)), "user 3 returns")
     assert(got.size == 5)
   }
+
+  test("rollingActiveUsers: trailing window counts, gap days absent, dedup within day") {
+    val day = 86400000000L // one day of micros
+    val events = ev(
+      // user 1 active on days 0 and 1 (twice on day 0 — must count once)
+      (1L, "view", 0L), (1L, "click", 1000000L), (1L, "view", day),
+      // user 2 active on day 0 only
+      (2L, "view", 2000000L),
+      // user 3 active on day 9 only — outside day 1's window, and its
+      // own window reaches back over the empty gap to nobody else
+      (3L, "view", 9 * day))
+    val got = Funnel.rollingActiveUsers(events, windowDays = 7).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // T0 = 2023-11-14 22:13:20 UTC → day 0 = 2023-11-14
+    assert(got == Map(
+      "2023-11-14" -> 2L, // users 1, 2
+      "2023-11-15" -> 2L, // both day-0 users still inside the window
+      "2023-11-23" -> 1L  // user 3; day-0/1 activity is > 6 days back
+    ))
+    // gap days (no events) produce no row even though windows span them
+    assert(!got.contains("2023-11-20"))
+  }
+
+  test("rollingActiveUsers: window 1 reduces to daily actives") {
+    val day = 86400000000L
+    val events = ev((1L, "view", 0L), (2L, "view", 0L), (1L, "view", day))
+    val got = Funnel.rollingActiveUsers(events, windowDays = 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("2023-11-14" -> 2L, "2023-11-15" -> 1L))
+  }
 }
