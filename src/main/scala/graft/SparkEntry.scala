@@ -679,6 +679,14 @@ object SparkEntry {
     // range self-join or a distinct-in-moving-frame window
     "active_users_7d" -> ((s, dir) =>
       operators.Funnel.rollingActiveUsers(events(s, dir), 7)),
+    // monitoring family: hourly volume z-scores from exact integer
+    // moments; per-label centroid drift between the vec_id-parity
+    // snapshots; equi-width value histogram
+    "events_anomaly" -> ((s, dir) => operators.Monitor.hourlyAnomaly(events(s, dir))),
+    "embedding_drift" -> ((s, dir) =>
+      operators.Monitor.embeddingDrift(emb(s, dir), col("vec_id") % 2 === 0)),
+    "value_histogram" -> ((s, dir) =>
+      operators.Monitor.valueHistogram(events(s, dir), "event_type", "value", histWidth)),
     // PageRank over the minhash dup graph: centrality as a curation
     // signal (hub copies of a template family rank highest); fixed
     // 5-round power iteration with every step 9-dp-quantized so the
@@ -820,6 +828,9 @@ object SparkEntry {
   private val nfcSuffixA = " caf\u00e9"
   private val nfcSuffixB = "  CAFE\u0301"
   private val nfcTwinOffset = 1000000L
+
+  // value_histogram bin width, shared with the oracle
+  private val histWidth = 25.0
   /** A DuckDB expression producing `s` via chr() codepoints only. */
   private def sqlChr(s: String): String =
     s.codePoints().toArray.map(cp => s"chr($cp)").mkString("(", " || ", ")")
@@ -2295,6 +2306,47 @@ object SparkEntry {
          |  count(DISTINCT u.user_id) AS n_active
          |FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
          |GROUP BY d.day ORDER BY 1""".stripMargin,
+    // identical closed-form variance from the same exact integer
+    // moments (decimal sums), identical expression order in the z
+    "events_anomaly" ->
+      s"""WITH hourly AS (
+         |  SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+         |    count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |st AS (SELECT event_type, count(*) AS k,
+         |    sum(CAST(n AS DECIMAL(20,0))) AS s,
+         |    sum(CAST(n * n AS DECIMAL(28,0))) AS ssq
+         |  FROM hourly GROUP BY 1)
+         |SELECT h.event_type, h.hour, h.n,
+         |  CASE WHEN st.k >= 2 AND
+         |    sqrt((CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / k)
+         |      / (k - 1.0)) > 0.0
+         |  THEN round((h.n - CAST(s AS DOUBLE) / k)
+         |    / sqrt((CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / k)
+         |      / (k - 1.0)), 6)
+         |  END AS z
+         |FROM hourly h JOIN st USING (event_type)
+         |ORDER BY event_type, hour""".stripMargin,
+    // per-dim means rounded at 6 (the centroid contract), squared
+    // diffs quantized at 9 dp into decimals, order-free decimal sum
+    "embedding_drift" ->
+      s"""WITH ex AS (
+         |  SELECT vec_id, label, CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+         |    unnest(CAST(embedding AS DOUBLE[])) AS x
+         |  FROM embeddings),
+         |o AS (SELECT label, i, round(avg(x), 6) AS c FROM ex WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+         |n AS (SELECT label, i, round(avg(x), 6) AS c FROM ex WHERE vec_id % 2 <> 0 GROUP BY 1, 2),
+         |j AS (SELECT o.label, CAST(round((o.c - n.c) * (o.c - n.c), 9) AS DECIMAL(28,9)) AS d2
+         |      FROM o JOIN n ON o.label = n.label AND o.i = n.i)
+         |SELECT label, count(*) AS n_dims,
+         |  round(sqrt(CAST(sum(d2) AS DOUBLE)), 6) AS drift
+         |FROM j GROUP BY label ORDER BY label""".stripMargin,
+    "value_histogram" ->
+      s"""SELECT event_type, CAST(floor(value / $histWidth) AS BIGINT) AS bin,
+         |  round(CAST(floor(value / $histWidth) AS BIGINT) * $histWidth, 6) AS bin_lo,
+         |  count(*) AS n
+         |FROM events WHERE value IS NOT NULL
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the same five damped rounds in a recursive CTE with aggregation:
     // contributions rounded at 9 dp per edge (decimal), exact decimal
     // in-edge sums, damped update rounded at 9 dp — rank tables match

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Data-quality monitoring operators — the checks a production corpus
+  * pipeline runs on every ingest: volume anomalies on the event
+  * stream, distribution drift between corpus snapshots, and value
+  * histograms. None of them look at single rows; all reduce to small
+  * keyed aggregates a dashboard reads directly.
+  */
+object Monitor {
+
+  /** Per-(event_type, hour) volume z-scores against that event type's
+    * own hourly history — the first-line "did ingest break last night"
+    * alarm. Counts are integers, so the moments are EXACT: sum and
+    * sum-of-squares accumulate in decimals, and both engines evaluate
+    * the identical closed-form sample variance
+    * (Σn² − (Σn)²/k)/(k−1) from the same exact integers — no Welford
+    * vs naive-sum float divergence, no approximate sketch.
+    *
+    * Shape at 100 TB: one map-side-combined count per (type, hour),
+    * one tiny per-type moment aggregate (rows = event types), and a
+    * broadcast join back — the stream is touched once. Types with a
+    * degenerate history (k < 2 buckets or zero variance) emit null z
+    * rather than dividing by zero.
+    */
+  def hourlyAnomaly(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("n").cast(DecimalType(20, 0))).as("s"),
+        sum((col("n") * col("n")).cast(DecimalType(28, 0))).as("ssq"))
+    val k = col("k").cast("double")
+    val s = col("s").cast("double")
+    val ssq = col("ssq").cast("double")
+    val sd = sqrt((ssq - s * s / k) / (k - lit(1.0)))
+    hourly.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("hour"), col("n"),
+        when(col("k") >= 2 && sd > 0.0,
+          round((col("n") - s / k) / sd, 6)).as("z"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  /** Per-label centroid shift between two corpus snapshots — embedding
+    * drift, the monitor that catches a changed encoder or a shifted
+    * source mix before a model trains on it. Snapshot membership is a
+    * caller-supplied predicate (here: any deterministic split); the
+    * drift for a label is the L2 distance between its two centroids.
+    *
+    * Determinism discipline: per-dimension means are rounded at 6 dp
+    * (the [[Clustering]] centroid contract), each squared difference
+    * is quantized at 9 dp into a decimal, and the across-dims sum is
+    * a DECIMAL aggregation — order-free, so Spark's arbitrary
+    * aggregation order and the oracle's agree bit-for-bit before the
+    * final sqrt.
+    *
+    * Shape at 100 TB: one (label, dim) mean aggregation per snapshot
+    * over exploded embeddings — map-side combinable — then a join on
+    * (label, dim) whose size is labels×dims, far below one partition.
+    */
+  def embeddingDrift(emb: DataFrame, inOld: org.apache.spark.sql.Column): DataFrame = {
+    def centroids(df: DataFrame) = df
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim_idx", "x")))
+      .groupBy(col("label"), col("dim_idx"))
+      .agg(round(avg(col("x").cast("double")), 6).as("c"))
+    val old = centroids(emb.filter(inOld))
+    val nw = centroids(emb.filter(!inOld))
+    old.toDF("label", "dim_idx", "c_old")
+      .join(nw.toDF("label", "dim_idx", "c_new"), Seq("label", "dim_idx"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_dims"),
+        sum(round((col("c_old") - col("c_new")) * (col("c_old") - col("c_new")), 9)
+          .cast(DecimalType(28, 9))).as("ssq"))
+      .select(col("label"), col("n_dims"),
+        round(sqrt(col("ssq").cast("double")), 6).as("drift"))
+      .orderBy(col("label"))
+  }
+
+  /** Equi-width histogram of a numeric column per group — the
+    * value-distribution monitor. Bin = floor(value/width): one integer
+    * per row, one map-side-combined count per (group, bin). Bin edges
+    * are exact double multiples of `width`; rows with null values are
+    * excluded (they are a separate null-rate monitor's business).
+    */
+  def valueHistogram(df: DataFrame, groupCol: String, valueCol: String,
+                     width: Double): DataFrame = {
+    require(width > 0, s"width must be > 0, got $width")
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol),
+        floor(col(valueCol) / width).cast("bigint").as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col(groupCol), col("bin"),
+        round(col("bin") * width, 6).as("bin_lo"), col("n"))
+      .orderBy(col(groupCol), col("bin"))
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Monitor
+
+class MonitorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val T0 = 1700000000000000L // epoch micros
+
+  test("hourlyAnomaly: hand-computed z; degenerate histories yield null z") {
+    val hour = 3600000000L
+    // type a: counts 1,2,3 per hour -> mean 2, sample sd 1, z = -1,0,1
+    // type b: one hour only (k=1) -> null z
+    // type c: constant counts (sd=0) -> null z
+    val rows =
+      Seq.fill(1)((1L, "a", 0L)) ++ Seq.tabulate(2)(i => (10L + i, "a", hour)) ++
+      Seq.tabulate(3)(i => (20L + i, "a", 2 * hour)) ++
+      Seq((30L, "b", 0L)) ++
+      Seq((40L, "c", 0L), (41L, "c", hour))
+    val events = rows.toDF("user_id", "event_type", "us")
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros(col("us") + T0).as("ts"))
+    val out = Monitor.hourlyAnomaly(events).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    val hours = out.keys.filter(_._1 == "a").map(_._2).toSeq.sorted
+    assert(out(("a", hours(0))) == ((1L, Some(-1.0))))
+    assert(out(("a", hours(1))) == ((2L, Some(0.0))))
+    assert(out(("a", hours(2))) == ((3L, Some(1.0))))
+    assert(out.filter(_._1._1 == "b").values.forall(_._2.isEmpty), "k=1 -> null z")
+    assert(out.filter(_._1._1 == "c").values.forall(_._2.isEmpty), "sd=0 -> null z")
+  }
+
+  test("embeddingDrift: hand-computed L2 shift; identical snapshots drift 0") {
+    // label 0: old centroid (1,0), new centroid (0,1) -> drift sqrt(2)
+    // label 1: same points in both snapshots -> drift 0
+    val emb = Seq(
+      (0L, 0, Seq(1f, 0f)), (2L, 0, Seq(1f, 0f)),   // old (even ids)
+      (1L, 0, Seq(0f, 1f)), (3L, 0, Seq(0f, 1f)),   // new (odd ids)
+      (4L, 1, Seq(2f, 2f)), (5L, 1, Seq(2f, 2f))
+    ).toDF("vec_id", "label", "embedding")
+    val out = Monitor.embeddingDrift(emb, col("vec_id") % 2 === 0).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(0)._1 == 2L)
+    assert(math.abs(out(0)._2 - 1.414214) < 1e-9) // round(sqrt(2), 6)
+    assert(out(1) == ((2L, 0.0)))
+  }
+
+  test("valueHistogram: bin edges, counts, and null exclusion") {
+    val df = Seq(("a", 0.0), ("a", 24.99), ("a", 25.0), ("a", 60.0), ("b", 10.0))
+      .toDF("event_type", "value")
+      .unionByName(Seq(("a", Option.empty[Double])).toDF("event_type", "value"))
+    val out = Monitor.valueHistogram(df, "event_type", "value", 25.0).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(out(("a", 0L)) == ((0.0, 2L)))   // 0.0 and 24.99; the null row is gone
+    assert(out(("a", 1L)) == ((25.0, 1L)))  // 25.0 lands in bin 1 (floor)
+    assert(out(("a", 2L)) == ((50.0, 1L)))
+    assert(out(("b", 0L)) == ((0.0, 1L)))
+    assert(out.size == 4)
+  }
+}
