@@ -43,7 +43,14 @@ object PlanDump {
       "bpe_tokenize" -> "BPE tokenizer application: the merge chain compiles to nested literal replace calls inside the per-word lambda — narrow per-row codegen over the scan, no shuffle, no join; the learned merge table exists only as expression literals (training is m vocabulary-bounded aggregation rounds, not part of this plan).",
       "dup_pagerank" -> "Dup-graph PageRank: each round is ONE equi-join of the edge list with the (checkpointed) rank table plus a map-side-combinable decimal sum — the Pregel round as two exchanges keyed on vertex id; degrees and the vertex count compute once; no driver materialization, rounds fixed rather than convergence-polled.",
       "event_funnel" -> "Ordered funnel: one filtered min-aggregation per stage (map-side partial min, one row per qualifying user) chained by equi-joins on user_id — no window over a user's full event history, no event-to-event self-join; the event_type filters push to the scan (PushedFilters), so each stage pass reads only its own events.",
-      "user_retention" -> "Cohort retention: the first-event table is one map-side-combined partial_min per user; the cell aggregate is a two-level count-distinct whose partial side dedups (cohort, offset, user) BEFORE the exchange; the rate join must show BroadcastHashJoin on the tiny periods-squared triangle — no window, no self-join on the event stream.")
+      "user_retention" -> "Cohort retention: the first-event table is one map-side-combined partial_min per user; the cell aggregate is a two-level count-distinct whose partial side dedups (cohort, offset, user) BEFORE the exchange; the rate join must show BroadcastHashJoin on the tiny periods-squared triangle — no window, no self-join on the event stream.",
+      "bigram_lm" -> "Bigram LM cross-entropy: bigrams come from one codegen'd tail-zip of the word array (no self-join); (doc, w1, w2) tf partial-aggregates below its exchange and feeds BOTH the global model and the per-doc fold from one cached frame; the model and context-count joins key on bigram/context tuples — skew bounded by natural bigram frequency, never corpus size.",
+      "cluster_silhouette" -> "Simplified silhouette: per-row work is k codegen'd VecDot folds against centroid literals plus one k-element sort_array — no model broadcast, no UDF, no pairwise join anywhere; the ONLY exchange is the per-cell mean (map-side combined, k output rows).",
+      "hard_negatives" -> "Hard-negative mining: the label-mismatch predicate applies BEFORE scoring inside the broadcast-join projection, so same-label rows never pay the dot product; the per-query cut is the bounded TopKAgg partial aggregation (at most k rows per partition per query cross the exchange); the neighbor-label join broadcasts the tiny (queries x k) result — the big table streams exactly once.",
+      "normalized_dedup" -> "Normalized dedup: NFC + casefold + whitespace-collapse and both sha digests run in ONE narrow codegen projection over the scan; the group summary is the standard two-level count-distinct — partial dedup of (norm_sha, raw_sha) BEFORE the first exchange, then the per-group aggregate — no join anywhere.",
+      "fuzzy_match" -> "Fuzzy entity resolution: candidates come from a BroadcastHashJoin on the blocking key (never a nested-loop cross join); the length lower bound prunes before any levenshtein; the winner is partial_min(struct(dist, name)) — map-side combined BEFORE the exchange on the id, no row_number window; the null lane is the final left BroadcastHashJoin of dirty against winners.",
+      "active_users_7d" -> "Rolling actives: the stream dedups to (user, day) in a partial-aggregated distinct BEFORE the bounded 7-way explode; the re-dedup and the per-day count partial-aggregate below their exchanges; the reported-day gate is a broadcast left-semi — no per-day range self-join, no distinct-in-moving-frame window.",
+      "events_anomaly" -> "Volume anomaly: the stream is touched ONCE — (type, hour) counts partial-aggregate below the exchange; the per-type moment table is rows-of-event-types tiny and joins back as a BroadcastHashJoin; the z arithmetic is pure codegen over exact decimal moments.")
     val sb = new StringBuilder
     sb.append("# Physical plans — flagship queries\n\n")
     sb.append("Generated by `graft.PlanDump` (sf0.01, local[8], AQE on). The\n")
