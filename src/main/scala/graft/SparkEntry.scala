@@ -683,6 +683,32 @@ object SparkEntry {
     // moments; per-label centroid drift between the vec_id-parity
     // snapshots; equi-width value histogram
     "events_anomaly" -> ((s, dir) => operators.Monitor.hourlyAnomaly(events(s, dir))),
+    // last-touch attribution: each purchase credits the user's most
+    // recent preceding click's campaign bucket (k % 4 from the props
+    // JSON) via the as-of join; purchases with no prior click land in
+    // the organic lane
+    "attribution_last_touch" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+      operators.Joins.asofJoin(purchases, clicks, "user_id", "ts", "ts", Seq("k"))
+        .groupBy(when(col("asof_k").isNull, lit("organic"))
+          .otherwise(concat(lit("campaign_"), col("asof_k") % 4)).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double")
+            .as("attributed_value"))
+        .orderBy(col("channel"))
+    }),
+    // top 3-step event paths inside gap sessions (the flow-diagram
+    // feed); deterministic in-session order on (ts, event_id)
+    "session_paths" -> ((s, dir) =>
+      operators.Funnel.sessionPaths(events(s, dir), 1800L, 3, 20)),
+    // per-column completeness/cardinality profile in one scan
+    "table_profile" -> ((s, dir) =>
+      operators.Monitor.profile(events(s, dir), profileCols)),
     "embedding_drift" -> ((s, dir) =>
       operators.Monitor.embeddingDrift(emb(s, dir), col("vec_id") % 2 === 0)),
     "value_histogram" -> ((s, dir) =>
@@ -831,6 +857,10 @@ object SparkEntry {
 
   // value_histogram bin width, shared with the oracle
   private val histWidth = 25.0
+
+  // table_profile column list, shared with the oracle
+  private val profileCols =
+    Seq("event_id", "ts", "user_id", "event_type", "value", "props")
   /** A DuckDB expression producing `s` via chr() codepoints only. */
   private def sqlChr(s: String): String =
     s.codePoints().toArray.map(cp => s"chr($cp)").mkString("(", " || ", ")")
@@ -2347,6 +2377,46 @@ object SparkEntry {
          |  count(*) AS n
          |FROM events WHERE value IS NOT NULL
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // native ASOF LEFT JOIN mirrors the engine's union+ordered-window
+    // as-of; same campaign bucketing from the props JSON
+    "attribution_last_touch" ->
+      s"""WITH p AS (SELECT event_id, user_id, ts, value FROM events
+         |           WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, ts,
+         |        CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         |      FROM events WHERE event_type = 'click')
+         |SELECT CASE WHEN c.k IS NULL THEN 'organic'
+         |            ELSE 'campaign_' || CAST(c.k % 4 AS VARCHAR) END AS channel,
+         |  count(*) AS n_purchases,
+         |  CAST(sum(CAST(p.value AS DECIMAL(18,6))) AS DOUBLE) AS attributed_value
+         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the sessions oracle's lag/cumsum session replay, then list() the
+    // in-session type order and unnest the consecutive triples
+    "session_paths" ->
+      s"""WITH l AS (SELECT user_id, event_id, event_type, ts,
+         |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         |           FROM events),
+         |s AS (SELECT *, sum(CASE WHEN prev IS NULL
+         |                           OR epoch_ms(ts) - epoch_ms(prev) >= 1800000
+         |                         THEN 1 ELSE 0 END)
+         |        OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+         |      FROM l),
+         |seq AS (SELECT user_id, sess, list(event_type ORDER BY ts, event_id) AS types
+         |        FROM s GROUP BY 1, 2),
+         |tri AS (SELECT unnest(list_transform(range(1, len(types) - 1),
+         |          i -> types[i] || '>' || types[i+1] || '>' || types[i+2])) AS path
+         |        FROM seq WHERE len(types) >= 3)
+         |SELECT path, count(*) AS n FROM tri
+         |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    // one SELECT per profiled column (the oracle may scan repeatedly;
+    // the engine does it in one Expand pass); COUNT(DISTINCT) excludes
+    // nulls in both engines
+    "table_profile" -> profileCols.map(c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  count(*) - count($c) AS n_null, count(DISTINCT $c) AS n_distinct
+         |FROM events""".stripMargin).mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
     // the same five damped rounds in a recursive CTE with aggregation:
     // contributions rounded at 9 dp per edge (decimal), exact decimal
     // in-edge sums, damped update rounded at 9 dp — rank tables match

@@ -161,4 +161,39 @@ object Funnel {
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n_active"))
       .orderBy(col("day"))
   }
+
+  /** Top event-type paths: the most frequent length-`pathLen` runs of
+    * consecutive events inside a session (gap-based `session_window`,
+    * same sessionization as the sessions query) — the "what do users
+    * actually do" view product analytics builds its flow diagrams
+    * from.
+    *
+    * Shape at 100 TB: one shuffle on (user_id, session) — the same
+    * exchange the session aggregate already pays; the per-session
+    * event list is bounded by session length (activity gaps cap it),
+    * sorted in-place by (ts, event_id) for a deterministic order, and
+    * the path extraction is a per-row bounded transform (no
+    * self-join, no lead/lag window over a user's full history). The
+    * final cut is a TakeOrdered top-k on (count desc, path) — no
+    * global sort.
+    */
+  def sessionPaths(events: DataFrame, gapSeconds: Long = 1800L,
+      pathLen: Int = 3, topK: Int = 20): DataFrame = {
+    require(gapSeconds >= 1, s"gapSeconds must be >= 1, got $gapSeconds")
+    require(pathLen >= 2, s"pathLen must be >= 2, got $pathLen")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val types = events
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapSeconds seconds"))
+      .agg(array_sort(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+      .select(transform(col("evs"), e => e.getField("event_type")).as("types"))
+      .filter(size(col("types")) >= pathLen)
+    types
+      .select(explode(transform(sequence(lit(0), size(col("types")) - pathLen),
+        i => concat_ws(">",
+          (0 until pathLen).map(j => element_at(col("types"), i + lit(j + 1))): _*)))
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(topK)
+  }
 }

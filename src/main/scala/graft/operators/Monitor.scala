@@ -81,6 +81,34 @@ object Monitor {
       .orderBy(col("label"))
   }
 
+  /** Per-column profile of a table — row count, null count, exact
+    * distinct count — the schema-drift / completeness monitor run on
+    * every ingested partition. ONE scan: all columns' aggregates
+    * evaluate in a single multi-count-distinct aggregation (Spark
+    * plans the standard Expand — one pass over the data, partial
+    * aggregation per column below the exchange), then the single
+    * result row unpivots to one row per column. Exact distincts by
+    * contract (the oracle is exact); swap `countDistinct` for
+    * `approx_count_distinct` when a sketch is acceptable.
+    * `n_distinct` excludes nulls (SQL COUNT(DISTINCT x) semantics);
+    * nulls are reported separately.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = count(lit(1)).as("__n") +:
+      cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+        countDistinct(col(c)).as(s"__dist_$c")))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col("__n").as("n_rows"),
+          col(s"__null_$c").as("n_null"),
+          col(s"__dist_$c").as("n_distinct"))): _*)).as("p"))
+      .select(col("p.col_name"), col("p.n_rows"), col("p.n_null"),
+        col("p.n_distinct"))
+      .orderBy(col("col_name"))
+  }
+
   /** Equi-width histogram of a numeric column per group — the
     * value-distribution monitor. Bin = floor(value/width): one integer
     * per row, one map-side-combined count per (group, bin). Bin edges

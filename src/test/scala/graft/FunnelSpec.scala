@@ -104,6 +104,31 @@ class FunnelSpec extends AnyFunSuite {
     assert(!got.contains("2023-11-20"))
   }
 
+  test("sessionPaths: in-session triples only, session gaps split paths, top-k order") {
+    val s = 1000000L // one second of micros
+    val rows = Seq(
+      // user 1, one session: view > click > purchase > view
+      (1L, "view", 0L), (1L, "click", 10 * s), (1L, "purchase", 20 * s),
+      (1L, "view", 30 * s),
+      // user 2 repeats view > click > purchase in one session
+      (2L, "view", 0L), (2L, "click", 5 * s), (2L, "purchase", 10 * s),
+      // user 3: gap > 30 min between click and purchase — NO triple may
+      // bridge the session break
+      (3L, "view", 0L), (3L, "click", 10 * s), (3L, "purchase", 2000 * s),
+      (3L, "view", 2010 * s), (3L, "error", 2020 * s))
+    val events = rows.zipWithIndex.map { case ((u, t, us), i) => (i.toLong, u, t, us) }
+      .toDF("event_id", "user_id", "event_type", "us")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_micros(col("us") + T0).as("ts"))
+    val got = Funnel.sessionPaths(events, 1800L, 3, 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("view>click>purchase") == 2L) // users 1 and 2; NOT user 3
+    assert(got("click>purchase>view") == 1L) // user 1's sliding second triple
+    assert(got("purchase>view>error") == 1L) // user 3's second session
+    // user 3's click>purchase gap is a session break: no bridging triple
+    assert(got.size == 3)
+  }
+
   test("rollingActiveUsers: window 1 reduces to daily actives") {
     val day = 86400000000L
     val events = ev((1L, "view", 0L), (2L, "view", 0L), (1L, "view", day))

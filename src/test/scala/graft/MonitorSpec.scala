@@ -49,6 +49,20 @@ class MonitorSpec extends AnyFunSuite {
     assert(out(1) == ((2L, 0.0)))
   }
 
+  test("profile: per-column rows, null and distinct counts from one pass") {
+    val df = Seq(
+      (1L, Some("a"), Some(1.0)),
+      (2L, Some("a"), None),
+      (3L, None, Some(2.0))
+    ).toDF("id", "s", "v")
+    val out = Monitor.profile(df, Seq("id", "s", "v")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("id") == ((3L, 0L, 3L)))
+    assert(out("s") == ((3L, 1L, 1L))) // nulls out of the distinct count
+    assert(out("v") == ((3L, 1L, 2L)))
+    assert(out.size == 3)
+  }
+
   test("valueHistogram: bin edges, counts, and null exclusion") {
     val df = Seq(("a", 0.0), ("a", 24.99), ("a", 25.0), ("a", 60.0), ("b", 10.0))
       .toDF("event_type", "value")
