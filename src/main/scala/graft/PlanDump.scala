@@ -50,7 +50,10 @@ object PlanDump {
       "normalized_dedup" -> "Normalized dedup: NFC + casefold + whitespace-collapse and both sha digests run in ONE narrow codegen projection over the scan; the group summary is the standard two-level count-distinct — partial dedup of (norm_sha, raw_sha) BEFORE the first exchange, then the per-group aggregate — no join anywhere.",
       "fuzzy_match" -> "Fuzzy entity resolution: candidates come from a BroadcastHashJoin on the blocking key (never a nested-loop cross join); the length lower bound prunes before any levenshtein; the winner is partial_min(struct(dist, name)) — map-side combined BEFORE the exchange on the id, no row_number window; the null lane is the final left BroadcastHashJoin of dirty against winners.",
       "active_users_7d" -> "Rolling actives: the stream dedups to (user, day) in a partial-aggregated distinct BEFORE the bounded 7-way explode; the re-dedup and the per-day count partial-aggregate below their exchanges; the reported-day gate is a broadcast left-semi — no per-day range self-join, no distinct-in-moving-frame window.",
-      "events_anomaly" -> "Volume anomaly: the stream is touched ONCE — (type, hour) counts partial-aggregate below the exchange; the per-type moment table is rows-of-event-types tiny and joins back as a BroadcastHashJoin; the z arithmetic is pure codegen over exact decimal moments.")
+      "events_anomaly" -> "Volume anomaly: the stream is touched ONCE — (type, hour) counts partial-aggregate below the exchange; the per-type moment table is rows-of-event-types tiny and joins back as a BroadcastHashJoin; the z arithmetic is pure codegen over exact decimal moments.",
+      "session_paths" -> "Session paths: ONE exchange on user_id for the session aggregate (the same shuffle the sessions query pays); the per-session list is bounded by session length and sorted in place; path extraction is a narrow per-row transform + explode — no lead/lag window over a user's full history, no self-join; the cut is TakeOrderedAndProject on (n desc, path).",
+      "table_profile" -> "Table profile: ONE scan — the multi-count-distinct aggregation plans the standard Expand with partial aggregation per column below the exchange; the unpivot is a narrow projection of the single result row; no per-column rescan (the oracle scans per column; the engine must not).",
+      "attribution_last_touch" -> "Last-touch attribution: the as-of core is the union + ordered-window carry — one shuffle on user_id, never a purchase x click range product; the channel aggregate partial-combines below a tiny final exchange on the campaign-bucket key.")
     val sb = new StringBuilder
     sb.append("# Physical plans — flagship queries\n\n")
     sb.append("Generated by `graft.PlanDump` (sf0.01, local[8], AQE on). The\n")
