@@ -65,6 +65,8 @@ object GrowthProbe {
     probe("source_overlap")(d => TextAnalysis.sourceOverlap(d).count())
     probe("boilerplate_removal")(d => TextAnalysis.removeBoilerplate(d).count())
     probe("dsir_weights")(d => Sampling.dsirWeights(d).count())
+    probe("normalized_dedup")(d => TextAnalysis.normalizedDedup(d).count())
+    probe("bigram_lm")(d => TextAnalysis.bigramLm(d).count())
     // embedding-side probes (20k → 40k vectors). PQ reuses ONE model fit
     // on the full corpus for both sizes: fit cost is constant in n
     // (sample-capped), so timing it would add a constant that flattens

@@ -706,6 +706,38 @@ object SparkEntry {
     // feed); deterministic in-session order on (ts, event_id)
     "session_paths" -> ((s, dir) =>
       operators.Funnel.sessionPaths(events(s, dir), 1800L, 3, 20)),
+    // signup -> first-subsequent-purchase latency quantiles (exact
+    // percentile interpolation, the token_percentiles contract)
+    "time_to_convert" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("su"))
+      ev.filter(col("event_type") === "purchase")
+        .join(su, "user_id")
+        .filter(col("ts") >= col("su"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("pu"), max(col("su")).as("su"))
+        .select(((unix_micros(col("pu")) - unix_micros(col("su")))
+          / lit(1000000.0)).as("lat"))
+        .agg(count(lit(1)).as("n_converted"),
+          round(expr("percentile(lat, 0.5D)"), 6).as("p50_s"),
+          round(expr("percentile(lat, 0.9D)"), 6).as("p90_s"),
+          round(expr("percentile(lat, 0.99D)"), 6).as("p99_s"))
+    }),
+    // corpus-versioning audit: classify every doc across two snapshots
+    // by content digest; the "new" snapshot is built deterministically
+    // in both engines — %7 docs removed, %5 survivors changed, %11
+    // docs re-added under a shifted id
+    "corpus_diff" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val nw = d.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(d.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + nfcTwinOffset).as("doc_id"), col("text")))
+      operators.CorpusPipeline.snapshotDiff(d, nw)
+    }),
     // per-column completeness/cardinality profile in one scan
     "table_profile" -> ((s, dir) =>
       operators.Monitor.profile(events(s, dir), profileCols)),
@@ -2410,6 +2442,39 @@ object SparkEntry {
          |        FROM seq WHERE len(types) >= 3)
          |SELECT path, count(*) AS n FROM tri
          |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    // same two min-aggregations and the double latency fold; percentile
+    // = quantile_cont (exact interpolation parity)
+    "time_to_convert" ->
+      s"""WITH su AS (SELECT user_id, min(ts) AS su FROM events
+         |            WHERE event_type = 'signup' GROUP BY 1),
+         |pu AS (SELECT e.user_id, min(e.ts) AS pu, max(su.su) AS su
+         |       FROM events e JOIN su USING (user_id)
+         |       WHERE e.event_type = 'purchase' AND e.ts >= su.su
+         |       GROUP BY 1),
+         |l AS (SELECT CAST(epoch_us(pu) - epoch_us(su) AS DOUBLE)
+         |        / CAST(1000000 AS DOUBLE) AS lat FROM pu)
+         |SELECT count(*) AS n_converted,
+         |  round(quantile_cont(lat, 0.5), 6) AS p50_s,
+         |  round(quantile_cont(lat, 0.9), 6) AS p90_s,
+         |  round(quantile_cont(lat, 0.99), 6) AS p99_s
+         |FROM l""".stripMargin,
+    // same snapshot construction, one full-outer digest join
+    "corpus_diff" ->
+      s"""WITH nw AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 7 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + $nfcTwinOffset, text FROM documents WHERE doc_id % 11 = 0),
+         |o AS (SELECT doc_id, sha256(text) AS h_old FROM documents),
+         |n AS (SELECT doc_id, sha256(text) AS h_new FROM nw),
+         |j AS (SELECT CASE WHEN o.h_old IS NULL THEN 'added'
+         |                  WHEN n.h_new IS NULL THEN 'removed'
+         |                  WHEN o.h_old = n.h_new THEN 'unchanged'
+         |                  ELSE 'changed' END AS status
+         |      FROM o FULL OUTER JOIN n USING (doc_id))
+         |SELECT status, count(*) AS n_docs FROM j
+         |GROUP BY status ORDER BY status""".stripMargin,
     // one SELECT per profiled column (the oracle may scan repeatedly;
     // the engine does it in one Expand pass); COUNT(DISTINCT) excludes
     // nulls in both engines

@@ -125,4 +125,28 @@ object CorpusPipeline {
         coalesce(col("n_final"), lit(0L)).as("n_final"))
       .orderBy(col("source"))
   }
+
+  /** Snapshot diff — the corpus-versioning primitive: classify every
+    * doc_id across two corpus snapshots as added / removed / changed /
+    * unchanged, by content digest. This is the audit table an
+    * incremental curation pipeline publishes with every release (and
+    * the input to "retrain only on the delta" decisions).
+    *
+    * Shape at 100 TB: both sides reduce to (doc_id, sha256) BEFORE the
+    * join — 40 bytes a row regardless of document size — then ONE
+    * full-outer sort-merge/hash equi-join on doc_id and a four-way
+    * classification that aggregates map-side into four rows. Text
+    * never crosses the exchange.
+    */
+  def snapshotDiff(old: DataFrame, nw: DataFrame): DataFrame = {
+    val o = old.select(col("doc_id"), sha2(col("text"), 256).as("h_old"))
+    val n = nw.select(col("doc_id"), sha2(col("text"), 256).as("h_new"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(when(col("h_old").isNull, lit("added"))
+        .when(col("h_new").isNull, lit("removed"))
+        .when(col("h_old") === col("h_new"), lit("unchanged"))
+        .otherwise(lit("changed")).as("status"))
+      .groupBy(col("status")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("status"))
+  }
 }

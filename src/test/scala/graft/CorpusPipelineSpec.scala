@@ -66,4 +66,18 @@ class CorpusPipelineSpec extends AnyFunSuite {
       assert(a >= b && b >= c && c >= d)
     }
   }
+
+  test("snapshotDiff: added/removed/changed/unchanged classified by digest") {
+    import org.apache.spark.sql.functions.col
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val nw = Seq((1L, "a"), (2L, "B2"), (4L, "d")).toDF("doc_id", "text")
+    val got = CorpusPipeline.snapshotDiff(old, nw).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("added" -> 1L, "removed" -> 1L,
+      "changed" -> 1L, "unchanged" -> 1L))
+    // identical snapshots: everything unchanged, nothing else reported
+    val same = CorpusPipeline.snapshotDiff(old, old).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(same == Map("unchanged" -> 3L))
+  }
 }
