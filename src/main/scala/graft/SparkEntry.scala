@@ -741,6 +741,12 @@ object SparkEntry {
     // per-column completeness/cardinality profile in one scan
     "table_profile" -> ((s, dir) =>
       operators.Monitor.profile(events(s, dir), profileCols)),
+    // trending top-k types per tumbling window — the batch form of the
+    // windowCounts streaming stage + sink-side ranking (stream/batch
+    // parity pinned in StreamingSpec)
+    "stream_trending" -> ((s, dir) =>
+      streaming.Streaming.trendingTypes(events(s, dir),
+        trendingWindowSeconds, trendingTopK)),
     "embedding_drift" -> ((s, dir) =>
       operators.Monitor.embeddingDrift(emb(s, dir), col("vec_id") % 2 === 0)),
     "value_histogram" -> ((s, dir) =>
@@ -893,6 +899,11 @@ object SparkEntry {
   // table_profile column list, shared with the oracle
   private val profileCols =
     Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  // stream_trending geometry, shared with the oracle (Spark's window()
+  // buckets are epoch-aligned; the oracle floors epoch micros to match)
+  private val trendingWindowSeconds = 21600L
+  private val trendingTopK = 3
   /** A DuckDB expression producing `s` via chr() codepoints only. */
   private def sqlChr(s: String): String =
     s.codePoints().toArray.map(cp => s"chr($cp)").mkString("(", " || ", ")")
@@ -2475,6 +2486,22 @@ object SparkEntry {
          |      FROM o FULL OUTER JOIN n USING (doc_id))
          |SELECT status, count(*) AS n_docs FROM j
          |GROUP BY status ORDER BY status""".stripMargin,
+    // explicit epoch-micros floor = Spark's epoch-aligned window();
+    // rank ties break on type, both engines
+    "stream_trending" -> {
+      val us = trendingWindowSeconds * 1000000L
+      s"""WITH w AS (
+         |  SELECT make_timestamp((epoch_us(ts) // $us) * $us) AS ws,
+         |    event_type, count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |r AS (SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+         |        event_type, n,
+         |        CAST(row_number() OVER (PARTITION BY ws ORDER BY n DESC, event_type)
+         |          AS INT) AS rank
+         |      FROM w)
+         |SELECT window_start, event_type, n, rank FROM r
+         |WHERE rank <= $trendingTopK ORDER BY window_start, rank""".stripMargin
+    },
     // one SELECT per profiled column (the oracle may scan repeatedly;
     // the engine does it in one Expand pass); COUNT(DISTINCT) excludes
     // nulls in both engines

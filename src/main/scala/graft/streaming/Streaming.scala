@@ -46,6 +46,41 @@ object Streaming {
         date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         col("n_events"), col("sum_value"))
 
+  /** Tumbling-window per-type counts — the stream-safe stage of
+    * [[trendingTypes]]: a watermarked windowed aggregation whose state
+    * is (windows × types) small. Factored out so the streaming run and
+    * the batch ranking consume the SAME plan (batch parity pinned in
+    * StreamingSpec).
+    */
+  def windowCounts(events: DataFrame, windowSeconds: Long,
+      watermark: Option[String] = None): DataFrame = {
+    require(windowSeconds >= 1, s"windowSeconds must be >= 1, got $windowSeconds")
+    val in = watermark.fold(events)(events.withWatermark("ts", _))
+    in.groupBy(window(col("ts"), s"$windowSeconds seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"))
+  }
+
+  /** Trending event types: the top `topK` types per tumbling window by
+    * count (ties to the lexicographically first type). Ranking is not
+    * incrementally maintainable, so the streaming deployment runs
+    * [[windowCounts]] and ranks in the (micro-batch or batch) sink —
+    * exactly what this composition does. The rank window partitions on
+    * window_start AFTER the aggregate bounded rows to windows × types;
+    * it never sees the raw stream.
+    */
+  def trendingTypes(events: DataFrame, windowSeconds: Long, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    windowCounts(events, windowSeconds)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("window_start"))
+          .orderBy(col("n").desc, col("event_type"))))
+      .filter(col("rank") <= topK)
+      .orderBy(col("window_start"), col("rank"))
+  }
+
   /** Watermarked ingest dedup — drops replayed records by `event_id`,
     * keeping dedup state only within the watermark horizon (the
     * at-least-once → exactly-once repair step in front of any streaming

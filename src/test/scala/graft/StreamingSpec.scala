@@ -56,6 +56,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("sess_out").count() == 3)
   }
 
+  test("windowCounts: streaming equals batch; trendingTypes ranks with deterministic ties") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(fixture: _*)
+    val q = Streaming.windowCounts(mem.toDF(), 3600L, watermark = Some("2 hours"))
+      .writeStream.format("memory").queryName("trend_out")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("trend_out")
+      .orderBy("window_start", "event_type").collect().map(_.toSeq)
+    val batch = Streaming.windowCounts(fixture.toDF(), 3600L)
+      .orderBy("window_start", "event_type").collect().map(_.toSeq)
+    assert(streamed.toSeq == batch.toSeq && streamed.nonEmpty)
+    // fixture: hour 0 holds 3 clicks, hour 1 holds 1 view -> one rank-1
+    // row per window at topK=1
+    val top = Streaming.trendingTypes(fixture.toDF(), 3600L, 1).collect()
+    assert(top.length == 2)
+    assert(top.map(r => (r.getAs[String]("event_type"), r.getAs[Int]("rank"))).toSeq
+      == Seq(("click", 1), ("view", 1)))
+    // explicit tie fixture: equal counts in one window tie-break
+    // lexicographically, topK cuts after the rank
+    val tie = Seq(
+      Event(10, ts(0), 1, "view", 0.0), Event(11, ts(1), 2, "view", 0.0),
+      Event(12, ts(2), 3, "click", 0.0), Event(13, ts(3), 4, "click", 0.0),
+      Event(14, ts(4), 5, "error", 0.0))
+    val ranked = Streaming.trendingTypes(tie.toDF(), 3600L, 2).collect()
+    assert(ranked.map(r => (r.getAs[String]("event_type"), r.getAs[Int]("rank"))).toSeq
+      == Seq(("click", 1), ("view", 2)))
+  }
+
   test("streaming dedup: dropDuplicatesWithinWatermark removes replayed events") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Event]
