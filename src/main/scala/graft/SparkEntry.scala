@@ -84,7 +84,7 @@ object SparkEntry {
     // oracle replays distance/assignment from the same doubles
     "cluster_silhouette" -> ((s, dir) => {
       val e = emb(s, dir)
-      val idx = operators.KMeansIndex.build(e, k = 8)
+      val idx = operators.KMeansIndex.buildCached(e, dir, k = 8)
       idx.centroids.coalesce(1).write.mode("overwrite")
         .parquet(operators.KMeansIndex.centroidDumpPath + "_sil")
       // bounded collect: k=8 centroid rows (the established k-centroids
@@ -347,7 +347,7 @@ object SparkEntry {
     // everything downstream of training is deterministic
     "ann_kmeans_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
-      val idx = operators.KMeansIndex.build(e, k = 8)
+      val idx = operators.KMeansIndex.buildCached(e, dir, k = 8)
       idx.centroids.coalesce(1).write.mode("overwrite")
         .parquet(operators.KMeansIndex.centroidDumpPath)
       val query = e.filter(col("vec_id") === 0).select(col("embedding"))
@@ -361,14 +361,14 @@ object SparkEntry {
     // components from the same doubles
     "semdedup" -> ((s, dir) => {
       val e = emb(s, dir)
-      val idx = operators.KMeansIndex.build(e, k = 8)
+      val idx = operators.KMeansIndex.buildCached(e, dir, k = 8)
       idx.centroids.coalesce(1).write.mode("overwrite")
         .parquet(operators.KMeansIndex.centroidDumpPath + "_sem")
       Dedup.semDedup(idx, threshold = Dedup.semDedupThreshold)
     }),
     "ann_batch_topk" -> ((s, dir) => {
       val e = emb(s, dir)
-      val idx = operators.KMeansIndex.build(e, k = 8)
+      val idx = operators.KMeansIndex.buildCached(e, dir, k = 8)
       idx.centroids.coalesce(1).write.mode("overwrite")
         .parquet(operators.KMeansIndex.centroidDumpPath + "_batch")
       val queries = e.filter(col("vec_id") < 5)
@@ -385,7 +385,7 @@ object SparkEntry {
     // batch invisible to committedDirs breaks the hash
     "ann_ivf_persisted" -> ((s, dir) => {
       val e = emb(s, dir)
-      val idx = operators.KMeansIndex.build(e.filter(col("vec_id") % 5 =!= 4), k = 8)
+      val idx = operators.KMeansIndex.buildCached(e.filter(col("vec_id") % 5 =!= 4), dir + "#train80", k = 8)
       val path = operators.KMeansIndex.persistDumpPath
       operators.KMeansIndex.persist(idx, path)
       operators.KMeansIndex.appendPersisted(s, path, e.filter(col("vec_id") % 5 === 4))
