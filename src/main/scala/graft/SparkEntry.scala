@@ -183,6 +183,22 @@ object SparkEntry {
     // BM25 top-k retrieval for a bag-of-words query
     "bm25_search" -> ((s, dir) =>
       TextAnalysis.bm25TopDocs(tbl(s, dir, "documents"), bm25Query, 10)),
+    // hybrid retrieval: BM25 top-10 and cosine top-10 fused by
+    // reciprocal-rank (score-free — the two scales never compare);
+    // documents and embeddings share the id space by construction.
+    // The rank windows run over the already-cut 10-row lists
+    "hybrid_search_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lex = TextAnalysis.bm25TopDocs(tbl(s, dir, "documents"), bm25Query, 10)
+        .select(col("doc_id").as("id"),
+          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
+            .as("rank"))
+      val vec = Search.topK(emb(s, dir), "cosine", 10)
+        .select(col("vec_id").as("id"),
+          row_number().over(Window.orderBy(col("score").desc, col("vec_id")))
+            .as("rank"))
+      Search.rrfFuse(lex, vec, rrfK0, 10)
+    }),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(tbl(s, dir, "documents"), 0.5)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(tbl(s, dir, "documents"))),
@@ -904,6 +920,9 @@ object SparkEntry {
   // buckets are epoch-aligned; the oracle floors epoch micros to match)
   private val trendingWindowSeconds = 21600L
   private val trendingTopK = 3
+
+  // RRF smoothing constant (Cormack et al. 2009), shared with the oracle
+  private val rrfK0 = 60
   /** A DuckDB expression producing `s` via chr() codepoints only. */
   private def sqlChr(s: String): String =
     s.codePoints().toArray.map(cp => s"chr($cp)").mkString("(", " || ", ")")
@@ -931,9 +950,13 @@ object SparkEntry {
   /** BM25 oracle — shared by bm25_search (from-scratch) and
     * bm25_persisted (inverted-index path): identical expected ranking.
     */
-  private lazy val bm25OracleSql: String = {
+  /** The shared BM25 CTE chain (no leading WITH), ending in `lex`
+    * (doc_id, n_terms_hit, bm25) — one definition for the three BM25
+    * oracles AND the hybrid-fusion oracle's lexical arm.
+    */
+  private lazy val bm25Ctes: String = {
       val terms = bm25Query.map(t => s"x = '$t'").mkString(" OR ")
-      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+      s"""w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
          |d AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM w),
          |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
          |e AS (SELECT doc_id, dl, unnest(list_filter(ws, x -> $terms)) AS w FROM d),
@@ -944,11 +967,16 @@ object SparkEntry {
          |           * (tf.tf * 2.2::DOUBLE)) /
          |           (tf.tf + 1.2::DOUBLE * (0.25::DOUBLE
          |             + (0.75::DOUBLE * tf.dl) / (st.sum_dl::DOUBLE / st.n_docs))), 9) AS s
-         |       FROM tf JOIN df USING (w) CROSS JOIN st)
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
-         |  round(CAST(sum(CAST(s AS DECIMAL(28,9))) AS DOUBLE), 6) AS bm25
-         |FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+         |       FROM tf JOIN df USING (w) CROSS JOIN st),
+         |lex AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+         |          round(CAST(sum(CAST(s AS DECIMAL(28,9))) AS DOUBLE), 6) AS bm25
+         |        FROM sc GROUP BY doc_id)""".stripMargin
   }
+
+  private lazy val bm25OracleSql: String =
+    s"""WITH $bm25Ctes
+       |SELECT doc_id, n_terms_hit, bm25
+       |FROM lex ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
 
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)) + 1e-12)"
@@ -1342,6 +1370,27 @@ object SparkEntry {
     // double fold; per-term scores round at 9 dp then sum in
     // DECIMAL(28,9) (order-independent) on both engines
     "bm25_search" -> bm25OracleSql,
+    // both arms re-ranked exactly as their own oracles rank, then the
+    // reciprocal terms add lexical-first in both engines
+    "hybrid_search_rrf" ->
+      s"""WITH $bm25Ctes,
+         |lexr AS (SELECT * FROM (
+         |    SELECT doc_id AS id,
+         |      CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rank
+         |    FROM lex) WHERE rank <= 10),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+         |vec AS (SELECT e.vec_id AS id,
+         |          round(${cosSql("CAST(e.embedding AS DOUBLE[])", "q.qe")}, 6) AS score
+         |        FROM embeddings e CROSS JOIN q),
+         |vecr AS (SELECT * FROM (
+         |    SELECT id, CAST(row_number() OVER (ORDER BY score DESC, id) AS INT) AS rank
+         |    FROM vec) WHERE rank <= 10),
+         |f AS (SELECT id AS doc_id, a.rank AS rank_a, b.rank AS rank_b,
+         |        round(coalesce(1.0::DOUBLE / ($rrfK0 + a.rank), 0.0::DOUBLE)
+         |            + coalesce(1.0::DOUBLE / ($rrfK0 + b.rank), 0.0::DOUBLE), 6) AS rrf
+         |      FROM lexr a FULL OUTER JOIN vecr b USING (id))
+         |SELECT doc_id, rank_a, rank_b, rrf FROM f
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     // the persisted index must return the identical ranking — same
     // oracle, different execution path (bucket-pruned postings read)
     "bm25_persisted" -> bm25OracleSql,

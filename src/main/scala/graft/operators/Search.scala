@@ -133,6 +133,32 @@ object Search {
       .orderBy(col("query_id").asc, col("rank").asc)
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard
+    * score-free combiner for hybrid retrieval: fuse two ranked lists
+    * (id, rank) into one by Σ 1/(k0 + rank), ids missing from a list
+    * contributing 0 from it. Score-free matters: BM25 and cosine live
+    * on incomparable scales, and RRF never compares them — only the
+    * ranks.
+    *
+    * Shape: both inputs are top-k lists (bounded by construction), so
+    * the full-outer equi-join and the final TakeOrdered cut are
+    * driver-trivial at any corpus size — the heavy lifting happened in
+    * the retrievers. The two reciprocal terms add left-to-right in
+    * both engines; k0 = 60 is the paper's constant.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k0: Int = 60, topK: Int = 10): DataFrame = {
+    require(k0 >= 1, s"k0 must be >= 1, got $k0")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val fa = a.select(col("id"), col("rank").as("rank_a"))
+    val fb = b.select(col("id"), col("rank").as("rank_b"))
+    fa.join(fb, Seq("id"), "full_outer")
+      .select(col("id").as("doc_id"), col("rank_a"), col("rank_b"),
+        round(coalesce(lit(1.0) / (lit(k0) + col("rank_a")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(k0) + col("rank_b")), lit(0.0)), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** Hard-negative mining for contrastive / metric training data: for
     * each query vector, its top-k most-similar vectors carrying a
     * DIFFERENT label — the negatives nearest the decision boundary,

@@ -163,4 +163,20 @@ class SimilaritySpec extends AnyFunSuite {
       .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
     assert(msgs.contains("null embedding"), msgs)
   }
+
+  test("rrfFuse: hand-computed fusion, single-list ids, deterministic ties") {
+    import spark.implicits._
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val b = Seq((20L, 1), (10L, 2), (40L, 3)).toDF("id", "rank")
+    val out = graft.operators.Search.rrfFuse(a, b, k0 = 60, topK = 10).collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (Option(r.get(1)), Option(r.get(2)), r.getDouble(3))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(byId(10L)._3 == r6(1.0 / 61 + 1.0 / 62))
+    assert(byId(20L)._3 == r6(1.0 / 62 + 1.0 / 61))
+    assert(byId(30L) == ((Some(3), None, r6(1.0 / 63)))) // lexical-only lane
+    assert(byId(40L) == ((None, Some(3), r6(1.0 / 63)))) // vector-only lane
+    // 10 and 20 tie exactly; id breaks the tie; 30/40 tie likewise
+    assert(out.map(_.getLong(0)).toSeq == Seq(10L, 20L, 30L, 40L))
+  }
 }
