@@ -391,6 +391,30 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
       operators.KMeansIndex.searchMany(idx, queries, topK = 5, nProbe = 3)
     }),
+    // the ANN quality dial: recall@10 of the pruned IVF search against
+    // ground truth — which is the SAME searchMany probing all k cells
+    // (assignment covers every row, so nProbe=k IS brute force). The
+    // deliberately tight nProbe=2 makes recall < 1 reachable; the
+    // oracle replays both arms from the dumped centroids
+    "ann_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = operators.KMeansIndex.buildCached(e, dir, k = 8)
+      idx.centroids.coalesce(1).write.mode("overwrite")
+        .parquet(operators.KMeansIndex.centroidDumpPath + "_recall")
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      val ivf = operators.KMeansIndex.searchMany(idx, queries, topK = 10, nProbe = 2)
+        .select(col("query_id"), col("vec_id"))
+      val brute = operators.KMeansIndex.searchMany(idx, queries, topK = 10, nProbe = 8)
+        .select(col("query_id"), col("vec_id"))
+      val hits = brute.join(ivf, Seq("query_id", "vec_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      queries.select(col("query_id")).join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") / 10.0, 6).as("recall"))
+        .orderBy(col("query_id"))
+    }),
     // the persisted "build once, search many" path end-to-end: train on a
     // deterministic 80% split, persist the cell-partitioned layout,
     // append the held-out 20% through the _SUCCESS-gated batch protocol
@@ -567,6 +591,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
         .orderBy(col("o_orderpriority").asc_nulls_first, col("o_orderstatus").asc_nulls_first)),
+    // pivot: day × event-type count matrix (the dashboard crosstab);
+    // the pivoted column set is the FIXED shared constant — a dynamic
+    // pivot would scan once just to discover columns
+    "events_pivot" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+        .pivot("event_type", pivotTypes)
+        .agg(count(lit(1)))
+        .na.fill(0L, pivotTypes) // absent (day, type) cells read as 0
+        .orderBy(col("day"))),
+    // cube: all four (type × day-of-week) subtotal combinations in one
+    // pass — Spark plans the Expand exactly like ROLLUP/GROUPING SETS
+    "events_cube" -> ((s, dir) =>
+      events(s, dir)
+        .cube(col("event_type"), dayofweek(col("ts")).as("dow"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+        .orderBy(col("event_type").asc_nulls_first, col("dow").asc_nulls_first)),
     "set_ops_nations" -> ((s, dir) => {
       val supplierNations = tbl(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
       val customerNations = tbl(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
@@ -923,6 +965,10 @@ object SparkEntry {
 
   // RRF smoothing constant (Cormack et al. 2009), shared with the oracle
   private val rrfK0 = 60
+
+  // events_pivot column set, shared with the oracle (sorted, fixed —
+  // a dynamic pivot would scan once just to discover values)
+  private val pivotTypes = Seq("click", "error", "purchase", "signup", "view")
   /** A DuckDB expression producing `s` via chr() codepoints only. */
   private def sqlChr(s: String): String =
     s.codePoints().toArray.map(cp => s"chr($cp)").mkString("(", " || ", ")")
@@ -1968,6 +2014,44 @@ object SparkEntry {
          |FROM a JOIN pr ON a.cell = pr.cell CROSS JOIN q
          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
     },
+    // both arms replayed from the dumped centroids: assignment rn=1,
+    // IVF probes rn<=2, ground truth = the full-probe scan
+    "ann_recall" -> {
+      val path = operators.KMeansIndex.centroidDumpPath + "_recall"
+      s"""WITH c AS (SELECT cell, centroid FROM '$path/*.parquet'),
+         |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+         |      FROM embeddings WHERE vec_id < 5),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |d AS (SELECT e.vec_id, e.v, c.cell,
+         |        list_dot_product(e.v, e.v) + list_dot_product(c.centroid, c.centroid)
+         |          - 2.0 * list_dot_product(e.v, c.centroid) AS dist
+         |      FROM e CROSS JOIN c),
+         |a AS (SELECT vec_id, v, cell FROM
+         |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |         FROM d)
+         |      WHERE rn = 1),
+         |pr AS (SELECT query_id, cell FROM (
+         |         SELECT q.query_id, c.cell,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY ${cosSql("c.centroid", "q.qe")} DESC, c.cell) AS rn
+         |         FROM q CROSS JOIN c) WHERE rn <= 2),
+         |ivf AS (SELECT query_id, vec_id FROM (
+         |          SELECT q.query_id, a.vec_id,
+         |            row_number() OVER (PARTITION BY q.query_id
+         |              ORDER BY round(${cosSql("a.v", "q.qe")}, 6) DESC, a.vec_id) AS rnk
+         |          FROM a JOIN pr ON a.cell = pr.cell
+         |               JOIN q ON q.query_id = pr.query_id) WHERE rnk <= 10),
+         |brute AS (SELECT query_id, vec_id FROM (
+         |            SELECT q.query_id, a.vec_id,
+         |              row_number() OVER (PARTITION BY q.query_id
+         |                ORDER BY round(${cosSql("a.v", "q.qe")}, 6) DESC, a.vec_id) AS rnk
+         |            FROM a CROSS JOIN q) WHERE rnk <= 10),
+         |j AS (SELECT b.query_id, CAST(count(*) AS BIGINT) AS n_hits
+         |      FROM brute b JOIN ivf i USING (query_id, vec_id) GROUP BY 1)
+         |SELECT q.query_id, coalesce(j.n_hits, 0) AS n_hits,
+         |  round(CAST(coalesce(j.n_hits, 0) AS DOUBLE) / 10.0::DOUBLE, 6) AS recall
+         |FROM q LEFT JOIN j USING (query_id) ORDER BY q.query_id""".stripMargin
+    },
     "ann_batch_topk" -> {
       val path = operators.KMeansIndex.centroidDumpPath + "_batch"
       s"""WITH c AS (SELECT cell, centroid FROM '$path/*.parquet'),
@@ -2212,6 +2296,22 @@ object SparkEntry {
          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
          |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
          |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+    // manual FILTER crosstab (count FILTER yields 0 for empty cells =
+    // the engine's na.fill)
+    "events_pivot" -> {
+      val cells = pivotTypes.map(t =>
+        s"CAST(count(*) FILTER (event_type = '$t') AS BIGINT) AS $t").mkString(",\n  ")
+      s"""SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         |  $cells
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    // DuckDB dow is 0=Sunday; Spark dayofweek is 1=Sunday — shift by 1
+    "events_cube" ->
+      s"""SELECT event_type, CAST(dayofweek(ts) AS INT) + 1 AS dow,
+         |  count(*) AS n_events,
+         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         |FROM events GROUP BY CUBE(event_type, CAST(dayofweek(ts) AS INT) + 1)
+         |ORDER BY event_type NULLS FIRST, dow NULLS FIRST""".stripMargin,
     "set_ops_nations" ->
       s"""WITH sn AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier),
          |cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
