@@ -96,6 +96,24 @@ object GrowthProbe {
         Dedup.semDedup(KMeansIndex.build(d, k = k), Dedup.semDedupThreshold).count()
       }
     }
+    // event-family probes (10k → 20k users; per-user streams identical
+    // across replicas, so growth is purely the user axis — the axis
+    // sessionization/funnel/rolling-window ops must stay linear in)
+    locally {
+      ScaleProbe.ensureEvents(spark, dir)
+      val evFull = sources.Tables.events(spark, dir)
+      val evHalf = evFull.filter(col("user_id") % 2 === 0)
+      def probeEv(name: String)(f: org.apache.spark.sql.DataFrame => Long): Unit = {
+        val tH = bestOf2(f(evHalf))
+        val tF = bestOf2(f(evFull))
+        val r = tF / tH
+        println(f"$tH%7.2f  $tF%7.2f  ratio=$r%5.2f  ${if (r > 3.0) "SLOW " else "ok   "}$name")
+      }
+      probeEv("session_paths")(d => Funnel.sessionPaths(d, 1800L, 3, 20).count())
+      probeEv("active_users_7d")(d => Funnel.rollingActiveUsers(d, 7).count())
+      probeEv("event_funnel")(d => Funnel.funnel(d).count())
+      probeEv("events_anomaly")(d => Monitor.hourlyAnomaly(d).count())
+    }
     }
     // `std` arg: run ONLY the standard 50k→100k probes (the 200k ngram
     // doubling below alone takes minutes)

@@ -29,6 +29,25 @@ object ScaleProbe {
       println(s"generated $dir (20x sf0.1)")
     }
 
+  /** 20x events for the event-family probes: each copy shifts USERS
+    * (user_id·32+rep) and keeps timestamps, so every replica user
+    * carries an identical per-user stream — growth multiplies the user
+    * population, which is exactly the axis sessions/funnels/retention
+    * must stay linear in. Read through the production
+    * [[sources.Tables.events]] so the probe exercises the same
+    * schema-dispatching reader as the contract queries.
+    */
+  def ensureEvents(spark: SparkSession, dir: String = "/tmp/scale_probe"): Unit =
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/events.parquet"))) {
+      val ev0 = sources.Tables.events(spark, "/root/testdata/sf0.1")
+      ev0.withColumn("rep", explode(sequence(lit(0), lit(19))))
+        .select((col("event_id") * 32 + col("rep")).as("event_id"), col("ts"),
+          (col("user_id") * 32 + col("rep")).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .repartition(8).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      println(s"generated $dir/events.parquet (20x sf0.1)")
+    }
+
   /** The 40x (200k-doc) corpus for one-more-doubling probes: same
     * near-dup-group structure with TWICE the copies per group, so pair
     * output per group grows ~4x on the doubling — adversarial for any
