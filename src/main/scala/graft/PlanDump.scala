@@ -54,7 +54,8 @@ object PlanDump {
       "session_paths" -> "Session paths: ONE exchange on user_id for the session aggregate (the same shuffle the sessions query pays); the per-session list is bounded by session length and sorted in place; path extraction is a narrow per-row transform + explode — no lead/lag window over a user's full history, no self-join; the cut is TakeOrderedAndProject on (n desc, path).",
       "table_profile" -> "Table profile: ONE scan — the multi-count-distinct aggregation plans the standard Expand with partial aggregation per column below the exchange; the unpivot is a narrow projection of the single result row; no per-column rescan (the oracle scans per column; the engine must not).",
       "attribution_last_touch" -> "Last-touch attribution: the as-of core is the union + ordered-window carry — one shuffle on user_id, never a purchase x click range product; the channel aggregate partial-combines below a tiny final exchange on the campaign-bucket key.",
-      "corpus_diff" -> "Snapshot diff: both snapshots project to (doc_id, sha256) BEFORE the single full-outer equi-join on doc_id — document text never crosses an exchange; the four-way status classification partial-aggregates into four rows.")
+      "corpus_diff" -> "Snapshot diff: both snapshots project to (doc_id, sha256) BEFORE the single full-outer equi-join on doc_id — document text never crosses an exchange; the four-way status classification partial-aggregates into four rows.",
+      "bucketed_join" -> "Bucketed co-located join: both FileScans read bucketBy(8, doc_id) layouts (Bucketed: true, SelectedBucketsCount 8/8) and no Exchange hashpartitioning feeds the join. At this SF the planner broadcasts the small side; with broadcast off — both sides too big, the 100 TB situation — the same layout yields a SortMergeJoin directly over the bucketed reads with no exchange anywhere (pinned in BucketingSpec); only the tiny per-label aggregate exchanges.")
     val sb = new StringBuilder
     sb.append("# Physical plans — flagship queries\n\n")
     sb.append("Generated by `graft.PlanDump` (sf0.01, local[8], AQE on). The\n")

@@ -492,6 +492,31 @@ object SparkEntry {
           coalesce(sum(col("cnt")), lit(0L)).as("n_orders"),
           max(col("mx")).as("max_order_price"))
     }),
+    // the bucketed-layout path as a contract query: both sides are
+    // written bucketBy(8, doc_id) external tables, so the join runs
+    // WITHOUT a shuffle Exchange (the 100 TB co-location story;
+    // BucketingSpec pins the no-Exchange property, the oracle pins the
+    // result). Tables are dropped and rewritten per run — the layout
+    // build is part of what's measured, like the persisted BM25/IVF
+    "bucketed_join" -> ((s, dir) => {
+      val base = "/tmp/graft_bucketed"
+      for (t <- Seq("graft_docstats_b", "graft_labels_b"))
+        s.sql(s"DROP TABLE IF EXISTS $t")
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextAnalysis.words(col("text"))).cast("long").as("n_words"))
+        .write.bucketBy(8, "doc_id").sortBy("doc_id")
+        .option("path", s"$base/docstats").mode("overwrite")
+        .saveAsTable("graft_docstats_b")
+      emb(s, dir).select(col("vec_id").as("doc_id"), col("label"))
+        .write.bucketBy(8, "doc_id").sortBy("doc_id")
+        .option("path", s"$base/labels").mode("overwrite")
+        .saveAsTable("graft_labels_b")
+      s.table("graft_docstats_b").join(s.table("graft_labels_b"), "doc_id")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("sum_words"))
+        .orderBy(col("label"))
+    }),
     "skew_salted_join" -> ((s, dir) =>
       operators.Joins.saltedJoin(tbl(s, dir, "lineitem"),
           tbl(s, dir, "supplier").withColumnRenamed("s_suppkey", "l_suppkey"), "l_suppkey", 8)
@@ -2219,6 +2244,15 @@ object SparkEntry {
       s"""SELECT s_name, count(*) AS n_lineitems, sum(l_quantity) AS sum_qty
          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          |GROUP BY s_name ORDER BY s_name""".stripMargin,
+    // the layout is invisible to semantics: the oracle is the plain join
+    "bucketed_join" ->
+      s"""WITH ds AS (SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_words
+         |  FROM documents),
+         |lb AS (SELECT vec_id AS doc_id, label FROM embeddings)
+         |SELECT label, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS sum_words
+         |FROM ds JOIN lb USING (doc_id)
+         |GROUP BY label ORDER BY label""".stripMargin,
     // same mutation formula; the oracle's blocking key is split_part 2
     // = the engine's last-token key on these two-token names; winner =
     // row 1 of (dist, cname) — identical to the engine's min(struct)

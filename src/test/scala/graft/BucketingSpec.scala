@@ -49,5 +49,18 @@ class BucketingSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"bucketed join should not shuffle:\n${plan.take(2000)}")
     assert(joined.count() == 500)
+    // the real co-location claim: with broadcast off (both sides "too
+    // big", the 100 TB situation) the join must be a SortMergeJoin
+    // DIRECTLY over the bucketed scans — no Exchange anywhere in it
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val smj = spark.table("emb_bucketed")
+        .join(spark.table("labels_bucketed"), "vec_id")
+      val smjPlan = smj.queryExecution.executedPlan.toString
+      assert(smjPlan.contains("SortMergeJoin"), smjPlan.take(1500))
+      assert(!smjPlan.contains("Exchange hashpartitioning"), smjPlan.take(2000))
+      assert(smj.count() == 500)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
   }
 }
