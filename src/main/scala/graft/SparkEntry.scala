@@ -834,6 +834,12 @@ object SparkEntry {
       operators.Monitor.embeddingDrift(emb(s, dir), col("vec_id") % 2 === 0)),
     "value_histogram" -> ((s, dir) =>
       operators.Monitor.valueHistogram(events(s, dir), "event_type", "value", histWidth)),
+    // recency-weighted popularity: 2^(-age/1d) at the stream horizon
+    "events_decayed" -> ((s, dir) =>
+      operators.Monitor.decayedCounts(events(s, dir), "event_type", 86400L)),
+    // the mixing dial: per-source language balance (entropy in nats)
+    "class_balance" -> ((s, dir) =>
+      operators.Sampling.classBalance(tbl(s, dir, "documents"), "source", "lang")),
     // PageRank over the minhash dup graph: centrality as a curation
     // signal (hub copies of a template family rank highest); fixed
     // 5-round power iteration with every step 9-dp-quantized so the
@@ -2603,6 +2609,39 @@ object SparkEntry {
          |  count(*) AS n
          |FROM events WHERE value IS NOT NULL
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // per-row pow rounded at 9 dp (the ln rule — engine libm ulps die
+    // there), decimal sum; horizon = max ts, same in both engines
+    "events_decayed" ->
+      s"""WITH t AS (SELECT max(epoch_us(ts)) AS t_max FROM events),
+         |w AS (SELECT event_type,
+         |        CAST(round(pow(2.0::DOUBLE,
+         |          -(CAST(t.t_max - epoch_us(ts) AS DOUBLE)
+         |            / CAST(${86400L * 1000000L} AS DOUBLE))), 9) AS DECIMAL(20,9)) AS w
+         |      FROM events CROSS JOIN t)
+         |SELECT event_type, count(*) AS n_events,
+         |  round(CAST(sum(w) AS DOUBLE), 6) AS decayed_count
+         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exact count ratios; each -p ln p rounded at 9 dp into decimals;
+    // majority ties break on the class value (rn over n DESC, cls)
+    "class_balance" ->
+      s"""WITH c AS (SELECT source, lang AS cls, count(*) AS n FROM documents GROUP BY 1, 2),
+         |t AS (SELECT source, sum(n) AS total FROM c GROUP BY 1),
+         |h AS (SELECT c.source, c.n,
+         |        CAST(round(-(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE))
+         |          * ln(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE)), 9)
+         |          AS DECIMAL(20,9)) AS h_term
+         |      FROM c JOIN t USING (source)),
+         |g AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+         |        count(*) AS n_classes,
+         |        round(CAST(sum(h_term) AS DOUBLE), 6) AS entropy
+         |      FROM h GROUP BY 1),
+         |m AS (SELECT source, cls, n,
+         |        row_number() OVER (PARTITION BY source ORDER BY n DESC, cls) AS rn
+         |      FROM c)
+         |SELECT g.source, g.n_docs, g.n_classes, m.cls AS majority_class,
+         |  round(CAST(m.n AS DOUBLE) / g.n_docs, 6) AS majority_share, g.entropy
+         |FROM g JOIN (SELECT * FROM m WHERE rn = 1) m USING (source)
+         |ORDER BY g.source""".stripMargin,
     // native ASOF LEFT JOIN mirrors the engine's union+ordered-window
     // as-of; same campaign bucketing from the props JSON
     "attribution_last_touch" ->

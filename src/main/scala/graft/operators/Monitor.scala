@@ -81,6 +81,34 @@ object Monitor {
       .orderBy(col("label"))
   }
 
+  /** Exponentially time-decayed counts per group — "what's popular
+    * NOW": each event contributes 2^(−age/halfLife) at the corpus
+    * horizon (the stream's max ts), so yesterday's burst fades and a
+    * current trickle ranks. The batch form of the decayed counter a
+    * streaming sink maintains incrementally (decay is associative:
+    * old_total · 2^(−Δt/h) + new).
+    *
+    * Determinism discipline: pow is the only transcendental — the
+    * per-row weight is rounded at 9 dp (where engine libm ulp
+    * differences die, the ln/surprisal rule) and summed in decimals.
+    * Shape: one tiny max-ts aggregate broadcast back, then per-row
+    * codegen + one map-side-combined aggregation on the group key.
+    */
+  def decayedCounts(events: DataFrame, groupCol: String,
+      halfLifeSeconds: Long): DataFrame = {
+    require(halfLifeSeconds >= 1, s"halfLifeSeconds must be >= 1, got $halfLifeSeconds")
+    val horizon = events.agg(max(unix_micros(col("ts"))).as("t_max"))
+    val w = round(pow(lit(2.0),
+      -((col("t_max") - unix_micros(col("ts"))).cast("double")
+        / lit(halfLifeSeconds * 1000000.0))), 9)
+    events.crossJoin(broadcast(horizon))
+      .select(col(groupCol), w.cast(DecimalType(20, 9)).as("w"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("w")).cast("double"), 6).as("decayed_count"))
+      .orderBy(col(groupCol))
+  }
+
   /** Per-column profile of a table — row count, null count, exact
     * distinct count — the schema-drift / completeness monitor run on
     * every ingested partition. ONE scan: all columns' aggregates

@@ -272,4 +272,38 @@ object Sampling {
       .select(col("source"), col("n_docs"), col("n_sampled"), col("weight"),
         round(col("n_sampled").cast("double") / col("n_docs"), 6).as("rate"))
       .orderBy(col("source"))
+
+  /** Class-balance report per group — the mixing dial a curation run
+    * reads before setting sampling weights: per `groupCol`, the class
+    * count, the majority class share, and the Shannon entropy of the
+    * class distribution in nats (0 = monoculture, ln(k) = uniform over
+    * k classes). Majority ties break on the class value.
+    *
+    * Determinism discipline: each class's −p·ln p is rounded at 9 dp
+    * (the ln rule) and the across-class sum runs in decimals; p itself
+    * is the exact count ratio. Shape: one (group, class) count with
+    * map-side partial aggregation, then a per-group fold over at most
+    * |classes| rows.
+    */
+  def classBalance(docs: DataFrame, groupCol: String, classCol: String): DataFrame = {
+    val counts = Partitioning.spread(docs)
+      .groupBy(col(groupCol), col(classCol).as("cls"))
+      .agg(count(lit(1)).as("n"))
+    val p = col("n").cast("double") / col("total").cast("double")
+    counts
+      .join(counts.groupBy(col(groupCol)).agg(sum(col("n")).as("total")), Seq(groupCol))
+      .select(col(groupCol), col("cls"), col("n"), col("total"),
+        round(-p * log(p), 9).cast(DecimalType(20, 9)).as("h_term"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_classes"),
+        min(struct((-col("n")).as("neg_n"), col("cls"))).as("m"),
+        round(sum(col("h_term")).cast("double"), 6).as("entropy"))
+      .select(col(groupCol), col("n_docs"), col("n_classes"),
+        col("m.cls").as("majority_class"),
+        round((-col("m.neg_n")).cast("double") / col("n_docs"), 6)
+          .as("majority_share"),
+        col("entropy"))
+      .orderBy(col(groupCol))
+  }
 }

@@ -63,6 +63,22 @@ class MonitorSpec extends AnyFunSuite {
     assert(out.size == 3)
   }
 
+  test("decayedCounts: halves per half-life, horizon event weighs 1") {
+    val day = 86400000000L
+    val events = Seq(
+      (1L, "a", 2 * day), // the horizon event: age 0 -> weight 1
+      (2L, "a", day),     // one half-life back -> 0.5
+      (3L, "a", 0L),      // two -> 0.25
+      (4L, "b", 2 * day))
+    .toDF("event_id", "event_type", "us")
+      .select(col("event_id"), col("event_type"),
+        timestamp_micros(col("us") + T0).as("ts"))
+    val out = Monitor.decayedCounts(events, "event_type", 86400L).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("a") == ((3L, 1.75)))
+    assert(out("b") == ((1L, 1.0)))
+  }
+
   test("valueHistogram: bin edges, counts, and null exclusion") {
     val df = Seq(("a", 0.0), ("a", 24.99), ("a", 25.0), ("a", 60.0), ("b", 10.0))
       .toDF("event_type", "value")

@@ -193,4 +193,24 @@ class SamplingSpec extends AnyFunSuite {
     // sits strictly between the pure docs' scores
     assert(got(4L)._2 > got(2L)._2 && got(4L)._2 < got(0L)._2)
   }
+
+  test("classBalance: entropy 0 for monoculture, ln2 for 50/50, majority ties on class") {
+    import org.apache.spark.sql.functions.col
+    val d = Seq(
+      (1L, "en", "mono"), (2L, "en", "mono"),
+      (3L, "en", "even"), (4L, "de", "even"),
+      (5L, "en", "skew"), (6L, "en", "skew"), (7L, "en", "skew"), (8L, "de", "skew"))
+      .toDF("doc_id", "lang", "source")
+    val out = graft.operators.Sampling.classBalance(d, "source", "lang").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("mono") == ((2L, 1L, "en", 1.0, 0.0)))
+    // 50/50: ties on count -> 'de' (min class) is the reported majority
+    assert(out("even") == ((2L, 2L, "de", 0.5, r6(2 * r9(0.5 * math.log(2))))))
+    val skewH = r6(r9(-0.75 * math.log(0.75)) + r9(-0.25 * math.log(0.25)))
+    assert(out("skew") == ((4L, 2L, "en", 0.75, skewH)))
+  }
 }
