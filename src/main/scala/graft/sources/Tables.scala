@@ -13,7 +13,22 @@ object Tables {
   def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  def embeddings(s: SparkSession, dir: String): DataFrame = table(s, dir, "embeddings")
+  /** embeddings, normalized to `array<float>` — the reference's storage
+    * type (`types.py:132-136`). The driver has regenerated testdata
+    * mid-round with a changed encoding once (events.ts, round 6); if
+    * `embedding` ever arrives as `array<double>`, dispatch on the read
+    * schema the same way rather than letting every `Array[Float]`
+    * call site fail at once.
+    */
+  def embeddings(s: SparkSession, dir: String): DataFrame = {
+    val raw = table(s, dir, "embeddings")
+    raw.schema("embedding").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, _) =>
+        raw.withColumn("embedding", col("embedding").cast("array<float>"))
+      case _ => raw
+    }
+  }
 
   def documents(s: SparkSession, dir: String): DataFrame = table(s, dir, "documents")
 

@@ -71,6 +71,22 @@ class SourcesSpec extends AnyFunSuite {
     assert(fromLtz == expectedMicros)
   }
 
+  test("Tables.embeddings normalizes a double-encoded embedding column to float") {
+    val d = java.nio.file.Files.createTempDirectory("graft-embenc").toString
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val back = graft.sources.Tables.embeddings(spark, d)
+    assert(back.schema("embedding").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, true))
+    // float -> double -> float is exact: the values round-trip
+    val orig = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") === 7).head().getSeq[Float](1)
+    assert(back.filter(col("vec_id") === 7).head()
+      .getAs[scala.collection.Seq[Float]]("embedding") == orig)
+  }
+
   test("embeddings (nested array column) round-trip via json") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val path = s"$dir/emb_json"
