@@ -840,6 +840,13 @@ object SparkEntry {
     // the mixing dial: per-source language balance (entropy in nats)
     "class_balance" -> ((s, dir) =>
       operators.Sampling.classBalance(tbl(s, dir, "documents"), "source", "lang")),
+    // robust (MAD) length outliers — the median cannot be dragged by
+    // the very outliers being hunted, unlike a mean/stddev z-score
+    "doclen_outliers" -> ((s, dir) =>
+      operators.Monitor.robustOutliers(
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), size(TextAnalysis.words(col("text"))).as("n_words")),
+        "doc_id", "n_words")),
     // PageRank over the minhash dup graph: centrality as a curation
     // signal (hub copies of a template family rank highest); fixed
     // 5-round power iteration with every step 9-dp-quantized so the
@@ -2609,6 +2616,23 @@ object SparkEntry {
          |  count(*) AS n
          |FROM events WHERE value IS NOT NULL
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // exact interpolated percentiles for location AND scale; the flag
+    // compares the rounded z so the boundary cannot flip
+    "doclen_outliers" ->
+      s"""WITH v AS (SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS value
+         |  FROM documents),
+         |m AS (SELECT quantile_cont(value, 0.5) AS med FROM v),
+         |d AS (SELECT v.doc_id, v.value, m.med FROM v CROSS JOIN m),
+         |md AS (SELECT quantile_cont(abs(value - med), 0.5) AS mad FROM d),
+         |z AS (SELECT d.doc_id, d.value,
+         |        CASE WHEN md.mad > 0.0
+         |          THEN round(0.6745::DOUBLE * (d.value - d.med) / md.mad, 6)
+         |        END AS robust_z
+         |      FROM d CROSS JOIN md)
+         |SELECT doc_id, value, robust_z,
+         |  CASE WHEN robust_z IS NOT NULL THEN abs(robust_z) > 3.5 END AS is_outlier
+         |FROM z ORDER BY doc_id""".stripMargin,
     // per-row pow rounded at 9 dp (the ln rule — engine libm ulps die
     // there), decimal sum; horizon = max ts, same in both engines
     "events_decayed" ->

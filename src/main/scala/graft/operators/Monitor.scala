@@ -137,6 +137,37 @@ object Monitor {
       .orderBy(col("col_name"))
   }
 
+  /** Robust outlier scores via the median absolute deviation — the
+    * length-cut a curation pipeline should use instead of mean/stddev
+    * z-scores, which the outliers themselves corrupt (one 10M-token
+    * document drags the mean; it cannot drag the median). Reports the
+    * modified z-score 0.6745·(x − median)/MAD (Iglewicz & Hoaglin
+    * 1993) and the |z| > cutoff flag, null when MAD = 0 (over half the
+    * values identical — no robust scale to judge against).
+    *
+    * Determinism: both location and scale are EXACT interpolated
+    * percentiles (the established percentile/quantile_cont parity);
+    * the flag compares the ROUNDED z so the boundary cannot flip
+    * between engines. The two scalar aggregates broadcast back;
+    * scoring is per-row codegen.
+    */
+  def robustOutliers(df: DataFrame, idCol: String, valueCol: String,
+      cutoff: Double = 3.5): DataFrame = {
+    require(cutoff > 0, s"cutoff must be > 0, got $cutoff")
+    val v = df.select(col(idCol), col(valueCol).cast("double").as("value"))
+    val med = v.agg(expr("percentile(value, 0.5D)").as("med"))
+    val withMed = v.crossJoin(broadcast(med))
+    val mad = withMed.agg(expr("percentile(abs(value - med), 0.5D)").as("mad"))
+    withMed.crossJoin(broadcast(mad))
+      .select(col(idCol), col("value"),
+        when(col("mad") > 0.0,
+          round(lit(0.6745) * (col("value") - col("med")) / col("mad"), 6))
+          .as("robust_z"))
+      .withColumn("is_outlier",
+        when(col("robust_z").isNotNull, abs(col("robust_z")) > cutoff))
+      .orderBy(col(idCol))
+  }
+
   /** Equi-width histogram of a numeric column per group — the
     * value-distribution monitor. Bin = floor(value/width): one integer
     * per row, one map-side-combined count per (group, bin). Bin edges

@@ -63,6 +63,23 @@ class MonitorSpec extends AnyFunSuite {
     assert(out.size == 3)
   }
 
+  test("robustOutliers: MAD scores hand-computed; zero MAD yields null z") {
+    // values 1..9 plus a wild 1000: median 5.5, |x-med| median = 2.5,
+    // z(1000) = 0.6745*(994.5)/2.5 = 268.3161 — flagged; z(9) = 0.9443
+    val d = ((1 to 9).map(i => (i.toLong, i.toLong)) :+ (10L, 1000L))
+      .toDF("doc_id", "n")
+    val out = Monitor.robustOutliers(d, "doc_id", "n").collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(2)).map(_.asInstanceOf[Double]), Option(r.get(3)))).toMap
+    assert(out(10L) == ((Some(268.3161), Some(true))))
+    assert(out(9L)._1.exists(z => math.abs(z - 0.9443) < 1e-9))
+    assert(out(9L)._2 == Some(false))
+    // constant-majority data: MAD 0 -> null z, null flag
+    val flat = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 99L)).toDF("doc_id", "n")
+    val f = Monitor.robustOutliers(flat, "doc_id", "n").collect()
+    assert(f.forall(r => r.get(2) == null && r.get(3) == null))
+  }
+
   test("decayedCounts: halves per half-life, horizon event weighs 1") {
     val day = 86400000000L
     val events = Seq(
