@@ -87,7 +87,13 @@ object Bench {
     val totalMin = results.map(_._3).sum
     val totalMax = results.map(_._4).sum
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmins,"queries_max":$qmaxs,"total_min":$totalMin,"total_max":$totalMax,"calibration":${obj(calib.map(r => r._1 -> r._2))},"sf":"$sfDir","reps":$reps,"errors":$errs}""")
+    // self-annotating noise flag: a max/min rep spread > 3× on an
+    // identical plan is co-tenant scheduling, not the engine — name those
+    // queries so the report separates noise from regressions without a
+    // re-run (e.g. r7's pq_adc_topk: min 0.7 s, max 13.8 s)
+    val noisy = results.filter(r => r._4 > 3.0 * math.max(r._3, 1e-9))
+      .map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmins,"queries_max":$qmaxs,"total_min":$totalMin,"total_max":$totalMax,"noisy":$noisy,"calibration":${obj(calib.map(r => r._1 -> r._2))},"sf":"$sfDir","reps":$reps,"errors":$errs}""")
     spark.stop()
   }
 }

@@ -499,20 +499,26 @@ object SparkEntry {
     // result). Tables are dropped and rewritten per run — the layout
     // build is part of what's measured, like the persisted BM25/IVF
     "bucketed_join" -> ((s, dir) => {
-      val base = "/tmp/graft_bucketed"
-      for (t <- Seq("graft_docstats_b", "graft_labels_b"))
+      // path + table names carry a dir-derived suffix so two concurrent
+      // runs (bench vs gate) on different sf dirs never clobber each
+      // other's layouts mid-query (round-7 advice; the centroid-dump
+      // suffix discipline)
+      val sfx = java.lang.Long.toHexString(
+        java.lang.Integer.toUnsignedLong(dir.hashCode))
+      val base = s"/tmp/graft_bucketed_$sfx"
+      for (t <- Seq(s"graft_docstats_b_$sfx", s"graft_labels_b_$sfx"))
         s.sql(s"DROP TABLE IF EXISTS $t")
       tbl(s, dir, "documents")
         .select(col("doc_id"),
           size(TextAnalysis.words(col("text"))).cast("long").as("n_words"))
         .write.bucketBy(8, "doc_id").sortBy("doc_id")
         .option("path", s"$base/docstats").mode("overwrite")
-        .saveAsTable("graft_docstats_b")
+        .saveAsTable(s"graft_docstats_b_$sfx")
       emb(s, dir).select(col("vec_id").as("doc_id"), col("label"))
         .write.bucketBy(8, "doc_id").sortBy("doc_id")
         .option("path", s"$base/labels").mode("overwrite")
-        .saveAsTable("graft_labels_b")
-      s.table("graft_docstats_b").join(s.table("graft_labels_b"), "doc_id")
+        .saveAsTable(s"graft_labels_b_$sfx")
+      s.table(s"graft_docstats_b_$sfx").join(s.table(s"graft_labels_b_$sfx"), "doc_id")
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("sum_words"))
         .orderBy(col("label"))
@@ -791,22 +797,8 @@ object SparkEntry {
       operators.Funnel.sessionPaths(events(s, dir), 1800L, 3, 20)),
     // signup -> first-subsequent-purchase latency quantiles (exact
     // percentile interpolation, the token_percentiles contract)
-    "time_to_convert" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val su = ev.filter(col("event_type") === "signup")
-        .groupBy(col("user_id")).agg(min(col("ts")).as("su"))
-      ev.filter(col("event_type") === "purchase")
-        .join(su, "user_id")
-        .filter(col("ts") >= col("su"))
-        .groupBy(col("user_id"))
-        .agg(min(col("ts")).as("pu"), max(col("su")).as("su"))
-        .select(((unix_micros(col("pu")) - unix_micros(col("su")))
-          / lit(1000000.0)).as("lat"))
-        .agg(count(lit(1)).as("n_converted"),
-          round(expr("percentile(lat, 0.5D)"), 6).as("p50_s"),
-          round(expr("percentile(lat, 0.9D)"), 6).as("p90_s"),
-          round(expr("percentile(lat, 0.99D)"), 6).as("p99_s"))
-    }),
+    "time_to_convert" -> ((s, dir) =>
+      operators.Funnel.timeToConvert(events(s, dir))),
     // corpus-versioning audit: classify every doc across two snapshots
     // by content digest; the "new" snapshot is built deterministically
     // in both engines — %7 docs removed, %5 survivors changed, %11
@@ -2576,7 +2568,9 @@ object SparkEntry {
          |FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
          |GROUP BY d.day ORDER BY 1""".stripMargin,
     // identical closed-form variance from the same exact integer
-    // moments (decimal sums), identical expression order in the z
+    // moments (decimal sums), identical expression order in the z;
+    // the guard tests the RADICAND (mirrors Monitor.hourlyAnomaly —
+    // sqrt(negative) would error here but pass a NaN>0 guard in Spark)
     "events_anomaly" ->
       s"""WITH hourly AS (
          |  SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
@@ -2588,8 +2582,7 @@ object SparkEntry {
          |  FROM hourly GROUP BY 1)
          |SELECT h.event_type, h.hour, h.n,
          |  CASE WHEN st.k >= 2 AND
-         |    sqrt((CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / k)
-         |      / (k - 1.0)) > 0.0
+         |    (CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / k) > 0.0
          |  THEN round((h.n - CAST(s AS DOUBLE) / k)
          |    / sqrt((CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / k)
          |      / (k - 1.0)), 6)

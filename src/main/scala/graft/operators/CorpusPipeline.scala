@@ -74,12 +74,14 @@ object CorpusPipeline {
   /** The corpus datasheet: one row per source with the numbers a
     * pipeline owner checks before touching the mixture weights — doc
     * and token volume, exact-duplicate share, quality-gate pass rate,
-    * and the median document length. The median uses Spark's EXACT
-    * `percentile` aggregate (oracle-parity requires exactness), which
-    * buffers every group's values — per-source buffers are the memory
-    * hot spot of this report at 100 TB. Where bit-parity is not
-    * required, `approx_percentile` (bounded-memory t-digest sketch,
-    * map-side combined) is the scale escape hatch.
+    * and the median document length. With `exact = true` (the
+    * oracle-parity default) the median uses Spark's EXACT `percentile`
+    * aggregate, which buffers every group's values — per-source
+    * buffers are the memory hot spot of this report at 100 TB. The
+    * `exact = false` dial (round-7 verdict: a parameter, not prose)
+    * swaps in `approx_percentile` (Greenwald-Khanna sketch, bounded
+    * state, map-side combined) — the form the 100 TB datasheet runs;
+    * every other column is identical and exact in both modes.
     *
     * Shape at 100 TB: one digest groupBy for the duplicate census, the
     * [[TextAnalysis.qualityFlags]] two-level aggregation for the gate,
@@ -87,7 +89,11 @@ object CorpusPipeline {
     * joins run on doc_id (hash-balanced) and the final frame is
     * |sources| rows.
     */
-  def corpusReport(docs: DataFrame): DataFrame = {
+  def corpusReport(docs: DataFrame, exact: Boolean = true,
+      approxAccuracy: Int = 10000): DataFrame = {
+    val p50nw =
+      if (exact) expr("percentile(nw, 0.5D)")
+      else expr(s"approx_percentile(nw, 0.5D, $approxAccuracy)").cast("double")
     val base = docs.select(col("doc_id"), col("source"), col("text"))
       .withColumn("nw", size(TextAnalysis.words(col("text"))).cast("long"))
       .withColumn("h", sha2(col("text"), 256))
@@ -97,7 +103,7 @@ object CorpusPipeline {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("nw")).as("n_tokens"),
-        round(expr("percentile(nw, 0.5D)"), 6).as("p50_tokens"),
+        round(p50nw, 6).as("p50_tokens"),
         sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L))
           .as("n_exact_dup_docs"),
         round(sum(when(col("keep"), 1L).otherwise(0L)).cast("double")

@@ -196,4 +196,39 @@ object Funnel {
       .groupBy(col("path")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("path")).limit(topK)
   }
+
+  /** Signup→purchase conversion-latency quantiles — the product-health
+    * companion to the funnel: for each user, seconds from their FIRST
+    * signup to their first purchase at-or-after it, reduced to
+    * (n_converted, p50, p90, p99). Two per-user min-aggregations and
+    * one scalar quantile aggregate — no event×event self-join.
+    *
+    * `exact = true` (the oracle-parity default) uses Spark's exact
+    * interpolated `percentile` (the established quantile_cont parity);
+    * state is value→count over the latency domain in ONE global group.
+    * `exact = false` (the 100 TB dial, round-7 verdict: a parameter,
+    * not prose) swaps in `approx_percentile` at the given accuracy —
+    * bounded sketch state for a continuous latency column; n_converted
+    * stays exact in both modes.
+    */
+  def timeToConvert(events: DataFrame, fromType: String = "signup",
+      toType: String = "purchase", exact: Boolean = true,
+      approxAccuracy: Int = 10000): DataFrame = {
+    def pct(p: String, alias: String) = {
+      val c = if (exact) expr(s"percentile(lat, ${p}D)")
+        else expr(s"approx_percentile(lat, ${p}D, $approxAccuracy)").cast("double")
+      round(c, 6).as(alias)
+    }
+    val su = events.filter(col("event_type") === fromType)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("su"))
+    events.filter(col("event_type") === toType)
+      .join(su, "user_id")
+      .filter(col("ts") >= col("su"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("pu"), max(col("su")).as("su"))
+      .select(((unix_micros(col("pu")) - unix_micros(col("su")))
+        / lit(1000000.0)).as("lat"))
+      .agg(count(lit(1)).as("n_converted"),
+        pct("0.5", "p50_s"), pct("0.9", "p90_s"), pct("0.99", "p99_s"))
+  }
 }

@@ -625,7 +625,12 @@ object TextAnalysis {
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("tf"))
-      .cache() // feeds the global model AND the per-doc fold
+      // feeds the global model AND the per-doc fold. localCheckpoint
+      // (eager), not cache(): the blocks die with this frame's GC
+      // instead of parking in the LRU across bench reps / growth probes
+      // (the "training scratch — do not leave it to LRU" discipline;
+      // a cache() here had no matching unpersist, round-7 advice)
+      .localCheckpoint()
     val model = tok.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c2"))
     val ctx = model.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val logp9 = round(-log(col("c2").cast("double") / col("c1").cast("double")), 9)

@@ -19,12 +19,29 @@ object Tables {
     * `embedding` ever arrives as `array<double>`, dispatch on the read
     * schema the same way rather than letting every `Array[Float]`
     * call site fail at once.
+    *
+    * The double→float branch VERIFIES losslessness before narrowing
+    * (once per dir per JVM — memoized): if a future regen writes
+    * doubles that are not exactly float-representable, Spark would
+    * silently lose precision while the DuckDB oracle reads the full
+    * doubles, flipping 6-dp rounding boundaries. Fail loudly instead
+    * (round-7 advice).
     */
+  private val floatSafeDirs = scala.collection.concurrent.TrieMap.empty[String, Unit]
+
   def embeddings(s: SparkSession, dir: String): DataFrame = {
     val raw = table(s, dir, "embeddings")
     raw.schema("embedding").dataType match {
       case org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.DoubleType, _) =>
+        floatSafeDirs.getOrElseUpdate(dir, {
+          val lossy = raw.filter(exists(col("embedding"),
+            x => x.isNotNull && x.cast("float").cast("double") =!= x)).limit(1).count()
+          if (lossy > 0) throw new IllegalStateException(
+            s"$dir/embeddings.parquet stores array<double> values that are " +
+            "not float-representable; the float narrowing the engine applies " +
+            "would silently diverge from an oracle reading the full doubles")
+        })
         raw.withColumn("embedding", col("embedding").cast("array<float>"))
       case _ => raw
     }

@@ -134,6 +134,40 @@ class JoinsSpec extends AnyFunSuite {
     assert(out.getAs[Int]("dist") == 1)
   }
 
+  test("fuzzyMatch: exactly one levenshtein per candidate in the physical plan") {
+    // round-7 verdict: filter + aggregate each computed the distance, so
+    // every surviving candidate paid the O(len²) levenshtein twice. The
+    // fix projects it once and keeps the maxDist cut INSIDE the aggregate
+    // (min(when(...))) — a separate Filter would be pushed below the
+    // projection and re-inline the expression.
+    val catalog = Seq("cold widget", "blue rod").toDF("name")
+    val dirty = Seq((1L, "cld widget"), (2L, "blue rod")).toDF("p_partkey", "name")
+    val qe = Joins.fuzzyMatch(dirty, catalog, "p_partkey",
+      n => element_at(split(n, " "), -1), maxDist = 1).queryExecution
+    for ((label, plan) <- Seq("optimized" -> qe.optimizedPlan.toString,
+                              "physical" -> qe.executedPlan.toString)) {
+      val n = "levenshtein".r.findAllIn(plan.toLowerCase).size
+      assert(n == 1, s"expected exactly 1 levenshtein in the $label plan, got $n")
+    }
+  }
+
+  test("fuzzyMatch: generator contract — p_name is 2+ tokens, first token length >= 2") {
+    // the fuzzy_match contract query blocks on the LAST token and deletes
+    // a char of the FIRST at pos >= 2 (pmod(p_partkey, len1-1)); the
+    // oracle blocks on split_part(name,' ',2). Both arms agree only while
+    // every p_name has >= 2 tokens and a first token of length >= 2 — pin
+    // the shape so a testdata regen fails HERE, not as a silent hash
+    // divergence (round-7 advice).
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val p = spark.read.parquet(s"/root/testdata/$sf/part.parquet")
+      val bad = p.filter(size(split(col("p_name"), " ")) < 2 ||
+          length(element_at(split(col("p_name"), " "), 1)) < 2)
+        .count()
+      assert(bad == 0, s"$sf/part.parquet: $bad p_name rows break the " +
+        "two-token/first-token>=2 contract the fuzzy_match arms assume")
+    }
+  }
+
   test("keySkew surfaces the hot key first") {
     val df = (1 to 100).map(i => (if (i <= 60) 5L else i.toLong, i)).toDF("k", "v")
     val top = Joins.keySkew(df, "k", 3).collect()

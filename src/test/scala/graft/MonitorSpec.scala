@@ -80,6 +80,59 @@ class MonitorSpec extends AnyFunSuite {
     assert(f.forall(r => r.get(2) == null && r.get(3) == null))
   }
 
+  test("exact=false dials: sketch paths track the exact paths at tolerance (sf0.01)") {
+    // the round-7 verdict's scale dial: the approx path must exist as a
+    // PARAMETER and agree with the exact oracle default within sketch
+    // tolerance on real data — run on the sf0.01 gate tables
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    // profile: HLL++ distincts within ~5% rsd of exact; rows/nulls exact
+    val pe = Monitor.profile(docs, Seq("doc_id", "source"), exact = true).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val pa = Monitor.profile(docs, Seq("doc_id", "source"), exact = false).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    for (c <- Seq("doc_id", "source")) {
+      assert(pa(c)._1 == pe(c)._1 && pa(c)._2 == pe(c)._2,
+        s"rows/nulls must stay exact for $c")
+      val (de, da) = (pe(c)._3.toDouble, pa(c)._3.toDouble)
+      assert(math.abs(da - de) <= math.max(2.0, 0.1 * de),
+        s"$c: approx distinct $da vs exact $de")
+    }
+    // robustOutliers: GK-sketch median/MAD keep z within a small band
+    val withLen = docs.select(col("doc_id"), length(col("text")).as("n"))
+    def zs(exact: Boolean) = Monitor.robustOutliers(withLen, "doc_id", "n",
+        exact = exact).collect()
+      .map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    val (ze, za) = (zs(true), zs(false))
+    assert(ze.keySet == za.keySet)
+    val diffs = ze.collect { case (id, Some(e)) if za(id).isDefined =>
+      math.abs(za(id).get - e) }
+    assert(diffs.nonEmpty && diffs.max < 0.5,
+      s"max |z_approx - z_exact| = ${if (diffs.nonEmpty) diffs.max else -1}")
+    // corpusReport: sketch p50 within 10% of exact, other columns equal
+    val ce = operators.CorpusPipeline.corpusReport(docs, exact = true).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val ca = operators.CorpusPipeline.corpusReport(docs, exact = false).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    for ((src, (nd, nt, p50)) <- ce) {
+      assert(ca(src)._1 == nd && ca(src)._2 == nt)
+      assert(math.abs(ca(src)._3 - p50) <= math.max(1.0, 0.1 * p50),
+        s"$src: approx p50 ${ca(src)._3} vs exact $p50")
+    }
+    // timeToConvert: sketch latency quantiles within 10% of exact
+    val events = sources.Tables.events(spark, "/root/testdata/sf0.01")
+    val te = operators.Funnel.timeToConvert(events, exact = true).head()
+    val ta = operators.Funnel.timeToConvert(events, exact = false).head()
+    assert(ta.getLong(0) == te.getLong(0), "n_converted must stay exact")
+    // approx_percentile returns an actual data value (no interpolation);
+    // in a sparse tail one rank of sketch error can move the VALUE a lot,
+    // so the p99 band is wider than the body quantiles' (rank error stays
+    // ≤ n/accuracy either way)
+    for ((i, tol) <- Seq(1 -> 0.1, 2 -> 0.1, 3 -> 0.3)) {
+      val (e, a) = (te.getDouble(i), ta.getDouble(i))
+      assert(math.abs(a - e) <= math.max(1.0, tol * e), s"quantile $i: $a vs $e")
+    }
+  }
+
   test("decayedCounts: halves per half-life, horizon event weighs 1") {
     val day = 86400000000L
     val events = Seq(
