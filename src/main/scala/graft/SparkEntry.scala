@@ -53,13 +53,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // §2.4 search: scan → score → top-k (TakeOrderedAndProject, no shuffle)
-    "search_cosine_topk" -> ((s, dir) => Search.topK(emb(s, dir), "cosine", 10)),
-    "search_dot_topk" -> ((s, dir) => Search.topK(emb(s, dir), "dot", 10)),
-    "search_euclidean_topk" -> ((s, dir) => Search.topK(emb(s, dir), "euclidean", 10)),
-    "search_phi_topk" -> ((s, dir) => Search.topK(emb(s, dir), "phi_weighted", 10)),
-    "search_filtered_topk" -> ((s, dir) =>
-      Search.topKFiltered(emb(s, dir), "cosine", 10, ctxFilter = Some(3))),
+    // §2.4 search: scan → score → top-k (TakeOrderedAndProject, no
+    // shuffle). Since round 8 the five searches run through the SQL
+    // surface (SqlSurface/Views — SURVEY §1.1's "SQL-reachable"
+    // commitment); SqlSurfaceSpec pins them result- and plan-equal to
+    // the Search.topK DataFrame forms other queries still compose.
+    "search_cosine_topk" -> SqlSurface.query("search_cosine_topk"),
+    "search_dot_topk" -> SqlSurface.query("search_dot_topk"),
+    "search_euclidean_topk" -> SqlSurface.query("search_euclidean_topk"),
+    "search_phi_topk" -> SqlSurface.query("search_phi_topk"),
+    "search_filtered_topk" -> SqlSurface.query("search_filtered_topk"),
     "knn_join_top3" -> ((s, dir) => Search.knnJoin(emb(s, dir), "cosine", 3, 10)),
     // contrastive-training data mining: per query, the top-5 nearest
     // vectors with a DIFFERENT label (the batch-worthy negatives)
@@ -100,27 +103,11 @@ object SparkEntry {
           round(min(col("norm")), 9).as("min_norm"),
           round(max(col("norm")), 9).as("max_norm"))
         .orderBy(col("band"))),
-    // §2.6 stats (reference exact count-distinct semantics)
-    "stats_summary" -> ((s, dir) =>
-      emb(s, dir).agg(
-        count(lit(1)).as("n_vectors"),
-        countDistinct(col("vec_id") % 144000L).as("n_glyph_ids"),
-        countDistinct(col("vec_id") % 10L).as("n_contexts"),
-        max(size(col("embedding"))).cast("long").as("dim"))),
-    // §2.9 relational surface: aggregation, join, window, time
-    "q1_pricing_summary" -> ((s, dir) =>
-      tbl(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          sum(col("l_quantity")).as("sum_qty"),
-          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_base_price"),
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast(DecimalType(28, 6))).cast("double").as("sum_disc_price"),
-          round(sum(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
-          round(sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double")
-            / count(lit(1)), 6).as("avg_price"),
-          count(lit(1)).as("count_order"))
-        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+    // §2.6 stats (reference exact count-distinct semantics) — SQL form
+    "stats_summary" -> SqlSurface.query("stats_summary"),
+    // §2.9 relational surface: aggregation, join, window, time.
+    // Q1/Q3/Q5 run as SQL (SqlSurface) since round 8.
+    "q1_pricing_summary" -> SqlSurface.query("q1_pricing_summary"),
     "events_hourly" -> ((s, dir) =>
       events(s, dir)
         .groupBy(
@@ -433,40 +420,11 @@ object SparkEntry {
         .head().getSeq[Float](0).toArray
       operators.KMeansIndex.searchPersisted(s, path, query, topK = 10, nProbe = 3)
     }),
-    // §2.9 relational: multi-join, window, semi/anti, json, audit hash
-    "q3_shipping_priority" -> ((s, dir) => {
-      val cust = tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
-      val ord = tbl(s, dir, "orders")
-        .filter(col("o_orderdate").cast("date") < lit("1998-06-01").cast("date"))
-      val li = tbl(s, dir, "lineitem")
-        .filter(col("l_shipdate").cast("date") > lit("1998-06-01").cast("date"))
-      li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .groupBy(col("o_orderkey"),
-          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
-          col("o_orderpriority"))
-        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast(DecimalType(28, 6))).cast("double").as("revenue"))
-        .orderBy(col("revenue").desc, col("o_orderkey").asc)
-        .limit(10)
-    }),
-    "q5_nation_revenue" -> ((s, dir) => {
-      val li = tbl(s, dir, "lineitem")
-      val ord = tbl(s, dir, "orders")
-        .filter(col("o_orderdate").cast("date") >= lit("1996-01-01").cast("date"))
-        .filter(col("o_orderdate").cast("date") < lit("1999-01-01").cast("date"))
-      li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(tbl(s, dir, "supplier")),
-          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
-        .join(broadcast(tbl(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(tbl(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
-        .groupBy(col("r_name"), col("n_name"))
-        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast(DecimalType(28, 6))).cast("double").as("revenue"),
-          count(lit(1)).as("n_lineitems"))
-        .orderBy(col("r_name"), col("n_name"))
-    }),
+    // §2.9 relational: multi-join, window, semi/anti, json, audit hash.
+    // Q3/Q5 as SQL with explicit BROADCAST hints matching the DataFrame
+    // forms' broadcast() calls (SqlSurfaceSpec compares both arms).
+    "q3_shipping_priority" -> SqlSurface.query("q3_shipping_priority"),
+    "q5_nation_revenue" -> SqlSurface.query("q5_nation_revenue"),
     "top_orders_per_priority" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("o_orderpriority"))
@@ -673,21 +631,8 @@ object SparkEntry {
     // the engine maintains incrementally, VectorFieldDB.idHashCol1/2)
     // hashed together. Constant aggregation state per partition; the old
     // sort_array(collect_list(id)) shape held every id in ONE buffer and
-    // cannot survive a 100× store.
-    "membership_hash" -> ((s, dir) =>
-      emb(s, dir)
-        .select(
-          conv(substring(sha2(col("vec_id").cast("string"), 256), 1, 15), 16, 10)
-            .cast("long").as("h1"),
-          conv(substring(sha2(col("vec_id").cast("string"), 256), 16, 15), 16, 10)
-            .cast("long").as("h2"))
-        .agg(
-          sha2(concat_ws(",",
-            coalesce(expr("bit_xor(h1)"), lit(0L)).cast("string"),
-            coalesce(sum(col("h2").cast(DecimalType(38, 0))),
-              lit(0).cast(DecimalType(38, 0))).cast("string")), 256)
-            .as("membership_hash"),
-          count(lit(1)).as("n_members"))),
+    // cannot survive a 100× store. SQL form since round 8.
+    "membership_hash" -> SqlSurface.query("membership_hash"),
     // streaming semantics in batch: session windows over events (the
     // identical plan runs under readStream with the watermark — see
     // graft.streaming.Streaming + StreamingSpec)

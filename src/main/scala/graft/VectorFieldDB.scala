@@ -102,6 +102,24 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
     if (pendingAudit.isEmpty) historyDF
     else historyDF.unionByName(pendingAudit.toSeq.toDF())
 
+  /** SQL reachability for the managed stores (SURVEY §1.1: "tables
+    * registered as temp views `iglyphs`, `pglyphs`"): bind the three
+    * frames as temp views and register the graftx similarity
+    * expressions, so `spark.sql("SELECT iglyph_id, vec_cosine_sim(
+    * embedding, ...) FROM iglyphs ORDER BY 2 DESC LIMIT k")` is the
+    * reference's `search` verbatim. Views bind the CURRENT frame —
+    * DataFrames are immutable and mutators swap the managed frame, so
+    * this re-runs after mutations (each call is catalog-metadata only,
+    * no scan). Callers that interleave SQL with mutations call it
+    * again, exactly as they would re-read [[iglyphs]].
+    */
+  def registerViews(): Unit = {
+    org.apache.spark.sql.graftx.GraftFunctions.register(spark)
+    iglyphs.createOrReplaceTempView("iglyphs")
+    pglyphs.createOrReplaceTempView("pglyphs")
+    changeHistory.createOrReplaceTempView("change_history")
+  }
+
   // -------------------------------------------------------------- audit
 
   private def sha256Hex(s: String): String =

@@ -85,7 +85,14 @@ object GraftFunctions {
       new ExpressionInfo(GraftFunctions.getClass.getName, null, "vec_euclidean_sim",
         "vec_euclidean_sim(a, b) - euclidean similarity, composed as " +
           "1 / (1 + sqrt(vec_sq_dist(a, b)))", ""),
-      arity2("vec_euclidean_sim")(euclideanSim)))
+      arity2("vec_euclidean_sim")(euclideanSim)),
+    ("nfc_normalize",
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      args => {
+        if (args.length != 1) throw new IllegalArgumentException(
+          s"nfc_normalize expects 1 argument (string), got ${args.length}")
+        NfcNormalize(args.head)
+      }))
 
   /** Per-session registration (no extensions config needed). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** The SQL-reachability gate (SURVEY §1.1/§7.1): every SqlSurface query
+  * must agree with its DataFrame formulation — bit-for-bit on collected
+  * rows — and the flagship search SQL must compile to the same physical
+  * shape (TakeOrderedAndProject, broadcast 1-row query side) the
+  * DataFrame plan has. Also pins the managed-store views
+  * (VectorFieldDB.registerViews) and the graftx function registry.
+  */
+class SqlSurfaceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map {
+      case null => "∅"
+      case d: Double => d.toString
+      case x => x.toString
+    }.mkString("|")).toSeq
+
+  test("all ten SqlSurface queries equal their DataFrame forms, row for row") {
+    for (name <- SqlSurface.sql.keys.toSeq.sorted) {
+      Views.register(spark, dir)
+      val viaSql = rows(spark.sql(SqlSurface.sql(name)))
+      val viaDf = rows(SqlSurface.dataFrameForm(name)(spark, dir))
+      // ordered queries compare as sequences; the two single-row aggs
+      // (stats, membership) trivially so
+      assert(viaSql == viaDf, s"$name: SQL and DataFrame results differ")
+      assert(viaSql.nonEmpty, s"$name: empty result")
+    }
+  }
+
+  test("search SQL plans to TakeOrderedAndProject over a broadcast 1-row side") {
+    Views.register(spark, dir)
+    for (name <- Seq("search_cosine_topk", "search_phi_topk")) {
+      val plan = spark.sql(SqlSurface.sql(name)).queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$name: top-k should plan as TakeOrderedAndProject, got:\n$plan")
+      assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+        s"$name: the 1-row query side should broadcast")
+    }
+  }
+
+  test("search SQL and DataFrame forms canonicalize to the same optimized plan") {
+    Views.register(spark, dir)
+    // the strongest equivalence: not just equal rows, the same optimized
+    // tree — proof the SQL text composes the IDENTICAL expression tree
+    // (vec_cosine_sim is the same VecDot composition Search.topK builds)
+    val sqlPlan = spark.sql(SqlSurface.sql("search_dot_topk"))
+      .queryExecution.optimizedPlan.canonicalized
+    val dfPlan = SqlSurface.dataFrameForm("search_dot_topk")(spark, dir)
+      .queryExecution.optimizedPlan.canonicalized
+    assert(sqlPlan == dfPlan,
+      s"plans diverge:\nSQL:\n$sqlPlan\nDataFrame:\n$dfPlan")
+  }
+
+  test("managed stores are SQL-reachable: iglyphs/pglyphs/change_history views") {
+    val db = new VectorFieldDB(spark, 4)
+    for (i <- 0 until 6)
+      db.addIGlyph(glyphId = i, ctx = i % 2,
+        embedding = Array(i.toFloat, 1f, 0f, 0f), label = s"l$i",
+        id = Some(s"id-$i"))
+    db.formCluster(Seq("id-0", "id-2", "id-4"), anchorGlyphId = 0,
+      ctx = 0, clusterTag = "even")
+    db.registerViews()
+    // the reference's `search` verbatim in SQL over the managed store
+    val top = spark.sql(
+      """SELECT iglyph_id,
+        |  round(vec_cosine_sim(embedding, array(5.0D, 1.0D, 0.0D, 0.0D)), 6) AS score
+        |FROM iglyphs
+        |ORDER BY score DESC, iglyph_id LIMIT 3""".stripMargin).collect()
+    assert(top.length == 3)
+    assert(top.head.getString(0) == "id-5", s"nearest to (5,1,0,0) is id-5, got ${top.head}")
+    assert(spark.sql("SELECT count(*) FROM pglyphs").head().getLong(0) == 1L)
+    val audits = spark.sql(
+      "SELECT count(*) FROM change_history WHERE action = 'ADD_IGLYPH'")
+      .head().getLong(0)
+    assert(audits == 6L)
+    // views bind the frame at registration: after a mutation + re-register
+    // the SQL surface sees the new state
+    db.deleteIGlyph("id-5")
+    db.registerViews()
+    assert(spark.sql("SELECT count(*) FROM iglyphs").head().getLong(0) == 5L)
+  }
+
+  test("nfc_normalize is registered and matches the codegen expression") {
+    Views.register(spark, dir)
+    val composed = "éclair" // e + combining acute
+    val got = spark.sql(s"SELECT nfc_normalize('$composed') AS s").head().getString(0)
+    assert(got == "éclair")
+    // unknown-arity misuse errors loudly
+    val e = intercept[Exception](spark.sql("SELECT nfc_normalize('a', 'b')").collect())
+    assert(e.getMessage.toLowerCase.contains("nfc_normalize"))
+  }
+}
