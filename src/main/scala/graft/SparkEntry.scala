@@ -425,6 +425,12 @@ object SparkEntry {
     // forms' broadcast() calls (SqlSurfaceSpec compares both arms).
     "q3_shipping_priority" -> SqlSurface.query("q3_shipping_priority"),
     "q5_nation_revenue" -> SqlSurface.query("q5_nation_revenue"),
+    // the two Catalyst subquery-decorrelation shapes (round-7 verdict
+    // item 5): correlated EXISTS → left semi join; correlated scalar
+    // subquery → per-key aggregate joined back. SqlSurfaceSpec pins
+    // the decorrelated plans (no per-row subquery survives).
+    "q4_order_priority" -> SqlSurface.query("q4_order_priority"),
+    "q17_small_qty_revenue" -> SqlSurface.query("q17_small_qty_revenue"),
     "top_orders_per_priority" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("o_orderpriority"))
@@ -2174,6 +2180,29 @@ object SparkEntry {
          |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
          |  AND CAST(o_orderdate AS DATE) < DATE '1999-01-01'
          |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    // same correlated EXISTS — DuckDB decorrelates it the same way
+    "q4_order_priority" ->
+      s"""SELECT o_orderpriority, count(1) AS n_orders
+         |FROM orders o
+         |WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+         |  AND CAST(o.o_orderdate AS DATE) < DATE '1996-07-01'
+         |  AND EXISTS (SELECT 1 FROM lineitem l
+         |              WHERE l.l_orderkey = o.o_orderkey
+         |                AND l.l_quantity > 45.0)
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
+    // same correlated scalar subquery; the 0.2·avg threshold is exact in
+    // both engines (integer-valued doubles, sum < 2^53)
+    "q17_small_qty_revenue" ->
+      s"""SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+         |    AS DOUBLE) / CAST(7.0 AS DOUBLE), 6) AS avg_yearly,
+         |  count(1) AS n_lineitems
+         |FROM lineitem l
+         |JOIN part p ON p.p_partkey = l.l_partkey
+         |WHERE p.p_brand = 'Brand#1' AND p.p_size <= 10
+         |  AND l.l_quantity < (SELECT CAST(0.2 AS DOUBLE) * avg(l2.l_quantity)
+         |                      FROM lineitem l2
+         |                      WHERE l2.l_partkey = p.p_partkey)""".stripMargin,
     "top_orders_per_priority" ->
       s"""WITH r AS (SELECT *, CAST(row_number() OVER
          |    (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn

@@ -112,6 +112,38 @@ object SqlSurface {
          |  o.o_orderpriority
          |ORDER BY revenue DESC, o.o_orderkey ASC
          |LIMIT 10""".stripMargin,
+    // TPC-H Q4-style correlated EXISTS: "orders in the window with at
+    // least one heavy lineitem". Catalyst DECORRELATES this into a left
+    // semi join on l_orderkey (RewriteSubquery) — no per-row probing;
+    // SqlSurfaceSpec pins the LeftSemi in the plan, and the DataFrame
+    // arm composes that decorrelated form explicitly.
+    "q4_order_priority" ->
+      s"""SELECT o_orderpriority, count(1) AS n_orders
+         |FROM orders o
+         |WHERE CAST(o.o_orderdate AS DATE) >= CAST('1996-01-01' AS DATE)
+         |  AND CAST(o.o_orderdate AS DATE) < CAST('1996-07-01' AS DATE)
+         |  AND EXISTS (SELECT 1 FROM lineitem l
+         |              WHERE l.l_orderkey = o.o_orderkey
+         |                AND l.l_quantity > 45.0D)
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
+    // TPC-H Q17-style scalar correlated subquery: revenue from
+    // below-fifth-of-average-quantity orders of a brand/size slice.
+    // Catalyst rewrites the correlated avg into a per-partkey aggregate
+    // joined back (RewriteCorrelatedScalarSubquery) — the only shape
+    // that survives scale. avg(l_quantity) is exact in both engines
+    // (integer-valued doubles, sum < 2^53), so the 0.2·avg threshold is
+    // bit-deterministic; the outer sum accumulates in DECIMAL.
+    "q17_small_qty_revenue" ->
+      s"""SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+         |    AS DOUBLE) / 7.0D, 6) AS avg_yearly,
+         |  count(1) AS n_lineitems
+         |FROM lineitem l
+         |JOIN part p ON p.p_partkey = l.l_partkey
+         |WHERE p.p_brand = 'Brand#1' AND p.p_size <= 10
+         |  AND l.l_quantity < (SELECT 0.2D * avg(l2.l_quantity)
+         |                      FROM lineitem l2
+         |                      WHERE l2.l_partkey = p.p_partkey)""".stripMargin,
     "q5_nation_revenue" ->
       s"""SELECT /*+ BROADCAST(s), BROADCAST(n), BROADCAST(r) */
          |  r.r_name, n.n_name,
@@ -199,6 +231,34 @@ object SqlSurface {
             .cast(DecimalType(28, 6))).cast("double").as("revenue"))
           .orderBy(col("revenue").desc, col("o_orderkey").asc)
           .limit(10)
+      }),
+      // the decorrelated form of the EXISTS, written out: a left semi
+      // join against the heavy lineitems — what Catalyst rewrites the
+      // SQL into
+      "q4_order_priority" -> ((s, dir) => {
+        val ord = tbl(s, dir, "orders")
+          .filter(col("o_orderdate").cast("date") >= lit("1996-01-01").cast("date"))
+          .filter(col("o_orderdate").cast("date") < lit("1996-07-01").cast("date"))
+        val heavy = tbl(s, dir, "lineitem").filter(col("l_quantity") > 45.0)
+        ord.join(heavy, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy(col("o_orderpriority"))
+      }),
+      // the decorrelated form of the scalar subquery: per-partkey avg
+      // aggregated once, joined back, threshold applied as a plain filter
+      "q17_small_qty_revenue" -> ((s, dir) => {
+        val li = tbl(s, dir, "lineitem")
+        val thresholds = li.groupBy(col("l_partkey").as("t_partkey"))
+          .agg((lit(0.2) * avg(col("l_quantity"))).as("thr"))
+        li.join(tbl(s, dir, "part").filter(col("p_brand") === "Brand#1" &&
+              col("p_size") <= 10),
+            col("p_partkey") === col("l_partkey"))
+          .join(thresholds, col("l_partkey") === col("t_partkey"))
+          .filter(col("l_quantity") < col("thr"))
+          .agg(round(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+              .cast("double") / lit(7.0), 6).as("avg_yearly"),
+            count(lit(1)).as("n_lineitems"))
       }),
       "q5_nation_revenue" -> ((s, dir) => {
         val li = tbl(s, dir, "lineitem")

@@ -23,7 +23,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
       case x => x.toString
     }.mkString("|")).toSeq
 
-  test("all ten SqlSurface queries equal their DataFrame forms, row for row") {
+  test("every SqlSurface query equals its DataFrame form, row for row") {
     for (name <- SqlSurface.sql.keys.toSeq.sorted) {
       Views.register(spark, dir)
       val viaSql = rows(spark.sql(SqlSurface.sql(name)))
@@ -57,6 +57,22 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .queryExecution.optimizedPlan.canonicalized
     assert(sqlPlan == dfPlan,
       s"plans diverge:\nSQL:\n$sqlPlan\nDataFrame:\n$dfPlan")
+  }
+
+  test("correlated subqueries decorrelate: EXISTS → semi join, scalar → agg+join") {
+    Views.register(spark, dir)
+    // Q4-style EXISTS: the optimized plan must carry a left semi join on
+    // l_orderkey, not a per-row subquery probe
+    val q4 = spark.sql(SqlSurface.sql("q4_order_priority")).queryExecution
+    assert(q4.optimizedPlan.toString.contains("LeftSemi"),
+      s"EXISTS should decorrelate to LeftSemi:\n${q4.optimizedPlan}")
+    // Q17-style scalar subquery: rewritten into a per-partkey aggregate
+    // joined back — no scalar-subquery expression survives optimization
+    val q17 = spark.sql(SqlSurface.sql("q17_small_qty_revenue")).queryExecution
+    val opt = q17.optimizedPlan.toString
+    assert(!opt.contains("scalar-subquery"),
+      s"scalar subquery should be decorrelated away:\n$opt")
+    assert(opt.contains("Join"), "decorrelation should produce a join")
   }
 
   test("managed stores are SQL-reachable: iglyphs/pglyphs/change_history views") {
