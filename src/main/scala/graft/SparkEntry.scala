@@ -402,6 +402,20 @@ object SparkEntry {
           round(coalesce(col("n_hits"), lit(0L)).cast("double") / 10.0, 6).as("recall"))
         .orderBy(col("query_id"))
     }),
+    // the ann_recall dial generalized to the OPERATING-POINT table
+    // (round-7 verdict item 4): recall@10 and cells-scanned for
+    // nProbe ∈ {1,2,4,8,16} in one plan — candidates scored once,
+    // arms attached by rank inequality; arms ≥ k plateau at recall 1
+    "ann_recall_curve" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = operators.KMeansIndex.buildCached(e, dir, k = 8)
+      idx.centroids.coalesce(1).write.mode("overwrite")
+        .parquet(operators.KMeansIndex.centroidDumpPath + "_curve")
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      operators.KMeansIndex.recallCurve(idx, queries, topK = 10,
+        probes = Seq(1, 2, 4, 8, 16))
+    }),
     // the persisted "build once, search many" path end-to-end: train on a
     // deterministic 80% split, persist the cell-partitioned layout,
     // append the held-out 20% through the _SUCCESS-gated batch protocol
@@ -2032,6 +2046,51 @@ object SparkEntry {
          |SELECT q.query_id, coalesce(j.n_hits, 0) AS n_hits,
          |  round(CAST(coalesce(j.n_hits, 0) AS DOUBLE) / 10.0::DOUBLE, 6) AS recall
          |FROM q LEFT JOIN j USING (query_id) ORDER BY q.query_id""".stripMargin
+    },
+    // the sweep replayed from the same dumped centroids: probe ranks
+    // once per (query, cell), arms by rank <= n_probe, ground truth =
+    // the all-cells scan, recall = hits / (|q| * 10)
+    "ann_recall_curve" -> {
+      val path = operators.KMeansIndex.centroidDumpPath + "_curve"
+      s"""WITH c AS (SELECT cell, centroid FROM '$path/*.parquet'),
+         |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+         |      FROM embeddings WHERE vec_id < 5),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |d AS (SELECT e.vec_id, e.v, c.cell,
+         |        list_dot_product(e.v, e.v) + list_dot_product(c.centroid, c.centroid)
+         |          - 2.0 * list_dot_product(e.v, c.centroid) AS dist
+         |      FROM e CROSS JOIN c),
+         |a AS (SELECT vec_id, v, cell FROM
+         |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |         FROM d)
+         |      WHERE rn = 1),
+         |pr AS (SELECT query_id, cell,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY ${cosSql("c.centroid", "q.qe")} DESC, c.cell) AS rn
+         |       FROM q, c),
+         |ps AS (SELECT * FROM (VALUES (1),(2),(4),(8),(16)) t(n_probe)),
+         |ivf AS (SELECT n_probe, query_id, vec_id FROM (
+         |          SELECT ps.n_probe, pr.query_id, a.vec_id,
+         |            row_number() OVER (PARTITION BY ps.n_probe, pr.query_id
+         |              ORDER BY round(${cosSql("a.v", "q.qe")}, 6) DESC, a.vec_id) AS rnk
+         |          FROM pr JOIN ps ON pr.rn <= ps.n_probe
+         |               JOIN a ON a.cell = pr.cell
+         |               JOIN q ON q.query_id = pr.query_id) WHERE rnk <= 10),
+         |brute AS (SELECT query_id, vec_id FROM (
+         |            SELECT q.query_id, a.vec_id,
+         |              row_number() OVER (PARTITION BY q.query_id
+         |                ORDER BY round(${cosSql("a.v", "q.qe")}, 6) DESC, a.vec_id) AS rnk
+         |            FROM a CROSS JOIN q) WHERE rnk <= 10),
+         |hits AS (SELECT i.n_probe, CAST(count(*) AS BIGINT) AS h
+         |         FROM ivf i JOIN brute b USING (query_id, vec_id) GROUP BY 1),
+         |cells AS (SELECT ps.n_probe, CAST(count(*) AS BIGINT) AS cells_scanned
+         |          FROM pr JOIN ps ON pr.rn <= ps.n_probe GROUP BY 1)
+         |SELECT ps.n_probe, cells.cells_scanned,
+         |  round(CAST(coalesce(hits.h, 0) AS DOUBLE)
+         |    / (CAST((SELECT count(*) FROM q) AS DOUBLE) * 10.0::DOUBLE), 6)
+         |    AS recall_at_k
+         |FROM ps JOIN cells USING (n_probe) LEFT JOIN hits USING (n_probe)
+         |ORDER BY ps.n_probe""".stripMargin
     },
     "ann_batch_topk" -> {
       val path = operators.KMeansIndex.centroidDumpPath + "_batch"

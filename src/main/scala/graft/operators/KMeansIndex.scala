@@ -300,6 +300,75 @@ object KMeansIndex {
       .select(col("vec_id"), col("cell"), col("score"))
   }
 
+  /** The IVF operating-point table — recall@k and cells scanned for a
+    * SWEEP of nProbe values in ONE plan: what an index user actually
+    * tunes with ("how many cells do I pay to reach recall 0.95?").
+    *
+    * Cost discipline: the expensive per-row cosine is computed ONCE per
+    * (query, candidate) — cells are probe-RANKED per query (tiny
+    * queries × k centroids cross join), every cell's members are scored
+    * once, and the nProbe arms are attached AFTERWARD by the rank
+    * inequality against the broadcast probe list (row duplication
+    * through a 5-row nested-loop join, no re-scoring). Ground truth is
+    * the all-cells arm — assignment covers every row, so rank ≤ k IS
+    * brute force — making this a self-contained evaluator, run at
+    * sample scale by design (the ground-truth side is intentionally a
+    * full scan, like [[recallAtK]]).
+    *
+    * recall@k = Σ hits / (|queries|·k) per arm — exact integer
+    * arithmetic until one final rounded division, so the row hashes are
+    * engine-portable. Output: (n_probe, cells_scanned, recall_at_k)
+    * ordered by n_probe; arms with n_probe ≥ k saturate at the full
+    * cell count and recall 1.0 — the visible "paying more buys
+    * nothing" plateau.
+    */
+  def recallCurve(index: Index, queries: DataFrame, topK: Int,
+      probes: Seq[Int]): DataFrame = {
+    require(probes.nonEmpty, "recallCurve needs at least one probe count")
+    require(probes.forall(_ >= 1), s"probe counts must be >= 1, got $probes")
+    import org.apache.spark.sql.expressions.Window
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    val topk = udaf(new Search.TopKAgg(topK),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Double)]())
+    val ps = probes.sorted.toDF("n_probe")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cscore").desc, col("cell").asc)
+    val ranked = queries.crossJoin(broadcast(index.centroids))
+      .withColumn("cscore",
+        VectorOps.cosineSimilarity(col("centroid"), col("q_embedding")))
+      .withColumn("rn", row_number().over(w))
+      .select(col("query_id"), col("q_embedding"), col("cell"), col("rn"))
+    val scoredOnce = index.assigned.join(broadcast(ranked), Seq("cell"))
+      .select(col("query_id"), col("rn"), col("vec_id"),
+        round(VectorOps.cosineSimilarity(col("embedding"), col("q_embedding")), 6)
+          .as("score"))
+      .filter(Search.rankable(col("score")))
+    val arms = scoredOnce.join(broadcast(ps), col("rn") <= col("n_probe"))
+    val ivf = arms.groupBy(col("n_probe"), col("query_id"))
+      .agg(topk(col("vec_id"), col("score")).as("nn"))
+      .select(col("n_probe"), col("query_id"), explode(col("nn")).as("p"))
+      .select(col("n_probe"), col("query_id"), col("p._1").as("vec_id"))
+    val brute = scoredOnce.groupBy(col("query_id"))
+      .agg(topk(col("vec_id"), col("score")).as("nn"))
+      .select(col("query_id"), explode(col("nn")).as("p"))
+      .select(col("query_id"), col("p._1").as("vec_id"))
+    val hits = ivf.join(brute, Seq("query_id", "vec_id"))
+      .groupBy(col("n_probe")).agg(count(lit(1)).as("n_hits"))
+    val cells = ranked.crossJoin(broadcast(ps))
+      .filter(col("rn") <= col("n_probe"))
+      .groupBy(col("n_probe")).agg(count(lit(1)).as("cells_scanned"))
+    val nq = queries.agg(count(lit(1)).as("nq"))
+    ps.join(cells, Seq("n_probe"), "left")
+      .join(hits, Seq("n_probe"), "left")
+      .crossJoin(broadcast(nq))
+      .select(col("n_probe"),
+        coalesce(col("cells_scanned"), lit(0L)).as("cells_scanned"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double")
+          / (col("nq").cast("double") * lit(topK.toDouble)), 6).as("recall_at_k"))
+      .orderBy(col("n_probe"))
+  }
+
   /** Recall of the probe search against the exact brute-force top-k —
     * the quality metric an index build reports.
     */

@@ -37,6 +37,26 @@ class AnnSpec extends AnyFunSuite {
       again.centroids.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("recallCurve: monotone recall, saturation at n_probe >= k, exact cell counts") {
+    val idx = KMeansIndex.build(emb, k = 8)
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val rows = KMeansIndex.recallCurve(idx, queries, topK = 10,
+        probes = Seq(1, 2, 4, 8, 16)).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 4, 8, 16), "ordered by n_probe")
+    // cells_scanned = |queries| * min(n_probe, k), exactly
+    for ((p, cells, _) <- rows)
+      assert(cells == 4L * math.min(p, 8), s"n_probe=$p scanned $cells cells")
+    // recall never decreases as probes grow; all-cells arms ARE brute
+    // force, so they sit at exactly 1.0
+    val recalls = rows.map(_._3).toSeq
+    assert(recalls == recalls.sorted, s"recall must be monotone: $recalls")
+    assert(rows.filter(_._1 >= 8).forall(_._3 == 1.0),
+      s"full-probe arms must have recall 1.0: $recalls")
+    assert(recalls.head > 0.0, "even one probed cell finds some of the top-k")
+  }
+
   test("KMeans probe search: high recall vs exact top-k with modest probes") {
     val idx = KMeansIndex.build(emb, k = 8)
     val query = emb.filter($"vec_id" === 0).select("embedding")
