@@ -67,6 +67,34 @@ object GrowthProbe {
     probe("dsir_weights")(d => Sampling.dsirWeights(d).count())
     probe("normalized_dedup")(d => TextAnalysis.normalizedDedup(d).count())
     probe("bigram_lm")(d => TextAnalysis.bigramLm(d).count())
+    probe("corpus_diff")(d => {
+      // the contract query's snapshot construction: %7 removed, %5
+      // survivors changed — both sides scale with n, the digest join is
+      // the growth-bearing path
+      val nw = d.filter(col("doc_id") % 7 =!= 0).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      CorpusPipeline.snapshotDiff(d, nw).count()
+    })
+    probe("doclen_outliers")(d => Monitor.robustOutliers(
+      d.select(col("doc_id"), size(TextAnalysis.words(col("text"))).as("n_words")),
+      "doc_id", "n_words").count())
+    probe("fuzzy_match")(d => {
+      // production shape: FIXED 10k-name catalog, dirty stream grows
+      // with n — cost must stay linear in the stream (block-bounded
+      // candidates against a constant catalog)
+      val m = pmod(col("doc_id"), lit(10000L))
+      val clean = concat(lit("part"), m.cast("string"),
+        lit(" grp"), pmod(m, lit(499L)).cast("string"))
+      val catalog = d.sparkSession.range(10000)
+        .select(concat(lit("part"), col("id").cast("string"),
+          lit(" grp"), pmod(col("id"), lit(499L)).cast("string")).as("name"))
+      val dirty = d.select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("x"), substring(clean, 2, 100000))).otherwise(clean).as("name"))
+      Joins.fuzzyMatch(dirty, catalog, "doc_id",
+        n => element_at(split(n, " "), -1), maxDist = 1).count()
+    })
     // embedding-side probes (20k → 40k vectors). PQ reuses ONE model fit
     // on the full corpus for both sizes: fit cost is constant in n
     // (sample-capped), so timing it would add a constant that flattens
@@ -95,6 +123,28 @@ object GrowthProbe {
         val k = math.max(8, (d.count() / 2500L).toInt)
         Dedup.semDedup(KMeansIndex.build(d, k = k), Dedup.semDedupThreshold).count()
       }
+      // hybrid retrieval: BOTH retriever arms scale together (docs for
+      // BM25, vectors for cosine); the RRF fusion itself runs on two
+      // 10-row lists — growth must come only from the retrievers
+      locally {
+        import org.apache.spark.sql.expressions.Window
+        def hybrid(d: org.apache.spark.sql.DataFrame,
+            e: org.apache.spark.sql.DataFrame): Long = {
+          val lex = TextAnalysis.bm25TopDocs(d, Seq("query", "fast", "merge"), 10)
+            .select(col("doc_id").as("id"),
+              row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
+                .as("rank"))
+          val vec = Search.topK(e, "cosine", 10)
+            .select(col("vec_id").as("id"),
+              row_number().over(Window.orderBy(col("score").desc, col("vec_id")))
+                .as("rank"))
+          Search.rrfFuse(lex, vec, 60, 10).count()
+        }
+        val tH = bestOf2(hybrid(half, embHalf))
+        val tF = bestOf2(hybrid(full, embFull))
+        val r = tF / tH
+        println(f"$tH%7.2f  $tF%7.2f  ratio=$r%5.2f  ${if (r > 3.0) "SLOW " else "ok   "}hybrid_search_rrf")
+      }
     }
     // event-family probes (10k → 20k users; per-user streams identical
     // across replicas, so growth is purely the user axis — the axis
@@ -113,6 +163,20 @@ object GrowthProbe {
       probeEv("active_users_7d")(d => Funnel.rollingActiveUsers(d, 7).count())
       probeEv("event_funnel")(d => Funnel.funnel(d).count())
       probeEv("events_anomaly")(d => Monitor.hourlyAnomaly(d).count())
+      probeEv("attribution_last_touch")(d => {
+        // the contract query's as-of attribution: one ordered-window
+        // carry per user — growth is the user axis, like the funnel
+        val purchases = d.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val clicks = d.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+        Joins.asofJoin(purchases, clicks, "user_id", "ts", "ts", Seq("k"))
+          .groupBy(when(col("asof_k").isNull, lit("organic"))
+            .otherwise(concat(lit("campaign_"), col("asof_k") % 4)).as("channel"))
+          .agg(count(lit(1)).as("n_purchases"))
+          .count()
+      })
     }
     }
     // `std` arg: run ONLY the standard 50k→100k probes (the 200k ngram

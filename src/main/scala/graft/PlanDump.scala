@@ -55,7 +55,10 @@ object PlanDump {
       "table_profile" -> "Table profile: ONE scan — the multi-count-distinct aggregation plans the standard Expand with partial aggregation per column below the exchange; the unpivot is a narrow projection of the single result row; no per-column rescan (the oracle scans per column; the engine must not).",
       "attribution_last_touch" -> "Last-touch attribution: the as-of core is the union + ordered-window carry — one shuffle on user_id, never a purchase x click range product; the channel aggregate partial-combines below a tiny final exchange on the campaign-bucket key.",
       "corpus_diff" -> "Snapshot diff: both snapshots project to (doc_id, sha256) BEFORE the single full-outer equi-join on doc_id — document text never crosses an exchange; the four-way status classification partial-aggregates into four rows.",
-      "bucketed_join" -> "Bucketed co-located join: both FileScans read bucketBy(8, doc_id) layouts (Bucketed: true, SelectedBucketsCount 8/8) and no Exchange hashpartitioning feeds the join. At this SF the planner broadcasts the small side; with broadcast off — both sides too big, the 100 TB situation — the same layout yields a SortMergeJoin directly over the bucketed reads with no exchange anywhere (pinned in BucketingSpec); only the tiny per-label aggregate exchanges.")
+      "bucketed_join" -> "Bucketed co-located join: both FileScans read bucketBy(8, doc_id) layouts (Bucketed: true, SelectedBucketsCount 8/8) and no Exchange hashpartitioning feeds the join. At this SF the planner broadcasts the small side; with broadcast off — both sides too big, the 100 TB situation — the same layout yields a SortMergeJoin directly over the bucketed reads with no exchange anywhere (pinned in BucketingSpec); only the tiny per-label aggregate exchanges.",
+      "q4_order_priority" -> "Correlated EXISTS (SQL surface): Catalyst decorrelates the per-order subquery into a LeftSemi join of the date-filtered orders against the heavy lineitems — no per-row probing; both the date and quantity predicates push to their scans (PushedFilters).",
+      "q17_small_qty_revenue" -> "Correlated scalar subquery (SQL surface): the per-partkey 0.2*avg threshold computes ONCE as a map-side-combined aggregate and joins back — no scalar-subquery node survives optimization; the brand/size filter pushes to the part scan and the outer sum accumulates in decimals.",
+      "ann_recall_curve" -> "IVF operating-point sweep: every (query, cell-member) cosine is computed ONCE — probe cells rank per query over broadcast centroids, candidates score in a single equi-join on cell, and the nProbe arms attach AFTERWARD by the rank-inequality join against the broadcast 5-row probe list (row duplication, no re-scoring); per-arm top-k is the bounded TopKAgg, hits/cells aggregate map-side into a 5-row table.")
     val sb = new StringBuilder
     sb.append("# Physical plans — flagship queries\n\n")
     sb.append("Generated by `graft.PlanDump` (sf0.01, local[8], AQE on). The\n")

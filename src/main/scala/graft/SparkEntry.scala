@@ -301,6 +301,24 @@ object SparkEntry {
           posexplode(transform(VectorOps.l2Normalize(col("embedding")), x => round(x, 6))))
         .toDF("vec_id", "norm", "pos", "ux")
         .orderBy(col("vec_id"), col("pos"))),
+    // symmetric int8 quantization — the 4× embedding storage cut: per-
+    // vector absmax scale, q = round(x·127/scale), plus the max
+    // reconstruction error (bounded by scale/254). Pure codegen per
+    // row, no shuffle; exploded to scalar rows for hashability. Zero
+    // vectors quantize to zeros with zero error (no 0/0)
+    "embedding_quantize" -> ((s, dir) =>
+      emb(s, dir).select(col("vec_id"), col("embedding"),
+          VectorOps.absMax(col("embedding")).as("scale"))
+        .select(col("vec_id"),
+          round(col("scale"), 6).as("scale"),
+          when(col("scale") === 0.0, lit(0.0))
+            .otherwise(round(VectorOps.quantizationError(col("embedding"),
+              col("scale")), 9)).as("max_err"),
+          posexplode(when(col("scale") === 0.0,
+              transform(col("embedding"), _ => lit(0)))
+            .otherwise(VectorOps.quantizeInt8(col("embedding"), col("scale")))))
+        .toDF("vec_id", "scale", "max_err", "pos", "q")
+        .orderBy(col("vec_id"), col("pos"))),
     // JL projection 64 → 8 dims (seed 7) — compression before ANN;
     // exploded to scalar rows for the same harness-hashability reason
     "embedding_project" -> ((s, dir) =>
@@ -1645,6 +1663,26 @@ object SparkEntry {
          |               ELSE list_transform(v, x -> round(x / nrm, 6)) END) AS ux
          |      FROM n)
          |SELECT vec_id, norm, CAST(pos AS INT) AS pos, ux
+         |FROM x ORDER BY vec_id, pos""".stripMargin,
+    // same absmax scale, same (x·127)/scale operation order, same
+    // round-half-away-from-zero; the reconstruction error recomputes q
+    // inline — identical IEEE ops, so the 9-dp rounding agrees
+    "embedding_quantize" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |s AS (SELECT vec_id, v,
+         |        list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+         |x AS (SELECT vec_id, scale,
+         |        CASE WHEN scale = 0.0 THEN 0.0
+         |          ELSE round(list_max(list_transform(v,
+         |            x -> abs(x - (round(x * 127.0 / scale, 0) * scale) / 127.0))), 9)
+         |        END AS max_err,
+         |        unnest(generate_series(0, len(v) - 1)) AS pos,
+         |        unnest(CASE WHEN scale = 0.0 THEN list_transform(v, x -> 0)
+         |          ELSE list_transform(v, x -> CAST(round(x * 127.0 / scale, 0) AS INT))
+         |        END) AS q
+         |      FROM s)
+         |SELECT vec_id, round(scale, 6) AS scale, max_err,
+         |  CAST(pos AS INT) AS pos, q
          |FROM x ORDER BY vec_id, pos""".stripMargin,
     // same seeded planes and 1/sqrt(m) scale as the query; the double
     // literal round-trips exactly through toString on both engines
