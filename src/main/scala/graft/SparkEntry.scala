@@ -301,22 +301,25 @@ object SparkEntry {
           posexplode(transform(VectorOps.l2Normalize(col("embedding")), x => round(x, 6))))
         .toDF("vec_id", "norm", "pos", "ux")
         .orderBy(col("vec_id"), col("pos"))),
-    // symmetric int8 quantization — the 4× embedding storage cut: per-
-    // vector absmax scale, q = round(x·127/scale), plus the max
-    // reconstruction error (bounded by scale/254). Pure codegen per
-    // row, no shuffle; exploded to scalar rows for hashability. Zero
-    // vectors quantize to zeros with zero error (no 0/0)
-    "embedding_quantize" -> ((s, dir) =>
+    // PER-CODE verification of the same quantization (r8): every int8
+    // code crosses the oracle hash individually (the summary row above
+    // only pins the L1 aggregate); exploded to scalar rows for
+    // hashability, zero vectors quantize to zeros with zero error
+    "embedding_quantize_codes" -> ((s, dir) =>
       emb(s, dir).select(col("vec_id"), col("embedding"),
-          VectorOps.absMax(col("embedding")).as("scale"))
+          // distinct internal name (the embedding_quantize lesson):
+          // aliasing the output as "scale" in the same select would
+          // lateral-alias-shadow the raw column — with posexplode in
+          // the projection that is an analyzer INTERNAL_ERROR
+          VectorOps.absMax(col("embedding")).as("raw_scale"))
         .select(col("vec_id"),
-          round(col("scale"), 6).as("scale"),
-          when(col("scale") === 0.0, lit(0.0))
+          round(col("raw_scale"), 6).as("scale"),
+          when(col("raw_scale") === 0.0, lit(0.0))
             .otherwise(round(VectorOps.quantizationError(col("embedding"),
-              col("scale")), 9)).as("max_err"),
-          posexplode(when(col("scale") === 0.0,
+              col("raw_scale")), 9)).as("max_err"),
+          posexplode(when(col("raw_scale") === 0.0,
               transform(col("embedding"), _ => lit(0)))
-            .otherwise(VectorOps.quantizeInt8(col("embedding"), col("scale")))))
+            .otherwise(VectorOps.quantizeInt8(col("embedding"), col("raw_scale")))))
         .toDF("vec_id", "scale", "max_err", "pos", "q")
         .orderBy(col("vec_id"), col("pos"))),
     // JL projection 64 → 8 dims (seed 7) — compression before ANN;
@@ -1667,7 +1670,7 @@ object SparkEntry {
     // same absmax scale, same (x·127)/scale operation order, same
     // round-half-away-from-zero; the reconstruction error recomputes q
     // inline — identical IEEE ops, so the 9-dp rounding agrees
-    "embedding_quantize" ->
+    "embedding_quantize_codes" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |s AS (SELECT vec_id, v,
          |        list_max(list_transform(v, x -> abs(x))) AS scale FROM e),

@@ -44,6 +44,25 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("property: int8 quantization — codes in [-127,127], error ≤ scale/254") {
+    check(Prop.forAll(vecGen) { a =>
+      val row = Seq(Tuple1(a.toSeq)).toDF("v")
+        .select(VectorOps.absMax(col("v")).as("scale"),
+          VectorOps.quantizeInt8(col("v"), VectorOps.absMax(col("v"))).as("q"),
+          VectorOps.quantizationError(col("v"), VectorOps.absMax(col("v"))).as("err"))
+        .head()
+      val scale = row.getDouble(0)
+      if (scale == 0.0) true // zero vector: quantization not defined (query guards it)
+      else {
+        val codes = row.getSeq[Int](1)
+        val err = row.getDouble(2)
+        // symmetric rounding bound: half a step, step = scale/127
+        codes.forall(q => q >= -127 && q <= 127) &&
+          err <= scale / 254.0 + 1e-12
+      }
+    })
+  }
+
   private lazy val db10: VectorFieldDB = {
     val db = new VectorFieldDB(spark, 8)
     val rnd = new scala.util.Random(11)
