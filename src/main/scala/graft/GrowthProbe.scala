@@ -123,6 +123,23 @@ object GrowthProbe {
         val k = math.max(8, (d.count() / 2500L).toInt)
         Dedup.semDedup(KMeansIndex.build(d, k = k), Dedup.semDedupThreshold).count()
       }
+      // the r8 operating-point sweep: one plan, 5 probe arms — the
+      // single-scoring design means growth tracks the candidate scan,
+      // not (arms × candidates)
+      probeEmb("ann_recall_curve") { d =>
+        val idx = KMeansIndex.build(d, k = 8)
+        val queries = d.filter(col("vec_id") < 160) // 5 per replica block
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+        KMeansIndex.recallCurve(idx, queries, topK = 10,
+          probes = Seq(1, 2, 4, 8, 16)).count()
+      }
+      probeEmb("embedding_quantize_codes")(d =>
+        d.select(col("vec_id"), col("embedding"),
+            graft.functions.VectorOps.absMax(col("embedding")).as("raw_scale"))
+          .select(col("vec_id"),
+            posexplode(graft.functions.VectorOps.quantizeInt8(
+              col("embedding"), col("raw_scale"))))
+          .count())
       // hybrid retrieval: BOTH retriever arms scale together (docs for
       // BM25, vectors for cosine); the RRF fusion itself runs on two
       // 10-row lists — growth must come only from the retrievers
@@ -163,6 +180,41 @@ object GrowthProbe {
       probeEv("active_users_7d")(d => Funnel.rollingActiveUsers(d, 7).count())
       probeEv("event_funnel")(d => Funnel.funnel(d).count())
       probeEv("events_anomaly")(d => Monitor.hourlyAnomaly(d).count())
+      // subquery-decorrelation probes: 20× orders/lineitem replicated
+      // on the ORDER axis (parts fixed), halved by orderkey parity so
+      // both sides stay key-aligned. The decorrelated shapes must be
+      // linear in the order/lineitem stream.
+      locally {
+        ScaleProbe.ensureRelational(spark, dir)
+        val liFull = spark.read.parquet(s"$dir/lineitem.parquet")
+        val ordFull = spark.read.parquet(s"$dir/orders.parquet")
+        val part = spark.read.parquet(s"$dir/part.parquet")
+        val liHalf = liFull.filter(pmod(col("l_orderkey"), lit(2)) === 0)
+        val ordHalf = ordFull.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        def probeRel(name: String)(
+            f: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) => Long): Unit = {
+          val tH = bestOf2(f(ordHalf, liHalf))
+          val tF = bestOf2(f(ordFull, liFull))
+          val r = tF / tH
+          println(f"$tH%7.2f  $tF%7.2f  ratio=$r%5.2f  ${if (r > 3.0) "SLOW " else "ok   "}$name")
+        }
+        probeRel("q4_exists_semi")((ord, li) =>
+          ord.filter(col("o_orderdate").cast("date") >= lit("1996-01-01").cast("date"))
+            .filter(col("o_orderdate").cast("date") < lit("1996-07-01").cast("date"))
+            .join(li.filter(col("l_quantity") > 45.0),
+              col("o_orderkey") === col("l_orderkey"), "left_semi")
+            .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+            .count())
+        probeRel("q17_scalar_subquery")((_, li) => {
+          val thr = li.groupBy(col("l_partkey").as("t_partkey"))
+            .agg((lit(0.2) * avg(col("l_quantity"))).as("thr"))
+          li.join(part.filter(col("p_brand") === "Brand#1" && col("p_size") <= 10),
+              col("p_partkey") === col("l_partkey"))
+            .join(thr, col("l_partkey") === col("t_partkey"))
+            .filter(col("l_quantity") < col("thr"))
+            .agg(count(lit(1)).as("n")).count()
+        })
+      }
       probeEv("attribution_last_touch")(d => {
         // the contract query's as-of attribution: one ordered-window
         // carry per user — growth is the user axis, like the funnel

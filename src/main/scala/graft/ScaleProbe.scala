@@ -48,6 +48,30 @@ object ScaleProbe {
       println(s"generated $dir/events.parquet (20x sf0.1)")
     }
 
+  /** 20x relational tables for the subquery-decorrelation probes:
+    * orders/lineitem replicate along the ORDER axis (orderkey·32+rep,
+    * so the order→lineitem relationship is preserved per replica) while
+    * part stays fixed — q17's per-partkey correlated aggregate then
+    * sees its per-key lists grow linearly, which is exactly the axis
+    * the decorrelated aggregate+join must stay linear in.
+    */
+  def ensureRelational(spark: SparkSession, dir: String = "/tmp/scale_probe"): Unit =
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/lineitem.parquet"))) {
+      val li0 = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      li0.withColumn("rep", explode(sequence(lit(0), lit(19))))
+        .withColumn("l_orderkey", col("l_orderkey") * 32 + col("rep"))
+        .drop("rep")
+        .repartition(8).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val o0 = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+      o0.withColumn("rep", explode(sequence(lit(0), lit(19))))
+        .withColumn("o_orderkey", col("o_orderkey") * 32 + col("rep"))
+        .drop("rep")
+        .repartition(8).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      spark.read.parquet("/root/testdata/sf0.1/part.parquet")
+        .write.mode("overwrite").parquet(s"$dir/part.parquet")
+      println(s"generated $dir relational tables (20x sf0.1 orders/lineitem)")
+    }
+
   /** The 40x (200k-doc) corpus for one-more-doubling probes: same
     * near-dup-group structure with TWICE the copies per group, so pair
     * output per group grows ~4x on the doubling — adversarial for any

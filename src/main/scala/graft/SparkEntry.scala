@@ -312,15 +312,29 @@ object SparkEntry {
           // lateral-alias-shadow the raw column — with posexplode in
           // the projection that is an analyzer INTERNAL_ERROR
           VectorOps.absMax(col("embedding")).as("raw_scale"))
-        .select(col("vec_id"),
-          round(col("raw_scale"), 6).as("scale"),
+        // per-vector HOF work (max_err) happens ONCE, below the explode
+        // — an expression sharing a select with posexplode is split
+        // into a Project ABOVE the Generate and re-evaluates per
+        // EXPLODED row (64×: 10.4 s at sf0.1). The generator input is
+        // the RAW embedding attribute, so the non-empty/non-null
+        // filter Catalyst infers from the Generate stays a cheap
+        // column predicate at the scan instead of inlining the whole
+        // quantization chain into a pushed-down Filter (the 3 s
+        // residue of exploding a computed array). Each element then
+        // quantizes SCALAR-wise in the codegen projection above —
+        // identical left-to-right math to the lambda form
+        .select(col("vec_id"), col("embedding"), col("raw_scale"),
           when(col("raw_scale") === 0.0, lit(0.0))
             .otherwise(round(VectorOps.quantizationError(col("embedding"),
-              col("raw_scale")), 9)).as("max_err"),
-          posexplode(when(col("raw_scale") === 0.0,
-              transform(col("embedding"), _ => lit(0)))
-            .otherwise(VectorOps.quantizeInt8(col("embedding"), col("raw_scale")))))
-        .toDF("vec_id", "scale", "max_err", "pos", "q")
+              col("raw_scale")), 9)).as("max_err"))
+        .select(col("vec_id"), col("raw_scale"), col("max_err"),
+          posexplode(col("embedding")))
+        .select(col("vec_id"),
+          round(col("raw_scale"), 6).as("scale"),
+          col("max_err"), col("pos"),
+          when(col("raw_scale") === 0.0, lit(0))
+            .otherwise(round(col("col").cast("double") * lit(127.0)
+              / col("raw_scale"), 0).cast("int")).as("q"))
         .orderBy(col("vec_id"), col("pos"))),
     // JL projection 64 → 8 dims (seed 7) — compression before ANN;
     // exploded to scalar rows for the same harness-hashability reason
