@@ -364,8 +364,13 @@ object KMeansIndex {
       .crossJoin(broadcast(nq))
       .select(col("n_probe"),
         coalesce(col("cells_scanned"), lit(0L)).as("cells_scanned"),
-        round(coalesce(col("n_hits"), lit(0L)).cast("double")
-          / (col("nq").cast("double") * lit(topK.toDouble)), 6).as("recall_at_k"))
+        // null recall for an empty query set: 0 hits over 0 queries has
+        // no defined rate, and ANSI mode makes the raw division a
+        // DIVIDE_BY_ZERO job failure (caught by EmptyInputSpec)
+        when(col("nq") > 0,
+          round(coalesce(col("n_hits"), lit(0L)).cast("double")
+            / (col("nq").cast("double") * lit(topK.toDouble)), 6))
+          .as("recall_at_k"))
       .orderBy(col("n_probe"))
   }
 

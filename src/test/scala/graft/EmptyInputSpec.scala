@@ -105,6 +105,41 @@ class EmptyInputSpec extends AnyFunSuite {
     zeroRows("vocabCoverage")(TextAnalysis.vocabCoverage(docs))
   }
 
+  test("round-8 operators are total on empty inputs") {
+    import spark.implicits._
+    val events = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType))))
+    // global aggregate: one identity row with n_converted = 0 and null
+    // quantiles — not a throw, not a 0-division
+    val ttc = Funnel.timeToConvert(events).collect()
+    assert(ttc.length == 1 && ttc.head.getLong(0) == 0L)
+    val ttcApprox = Funnel.timeToConvert(events, exact = false).collect()
+    assert(ttcApprox.length == 1 && ttcApprox.head.getLong(0) == 0L)
+    // recallCurve with zero queries: one row per probe arm, zero cells
+    // scanned, null recall (0 hits / 0 queries has no defined rate)
+    val idx = KMeansIndex.Index(
+      emb.withColumn("cell", org.apache.spark.sql.functions.lit(0)),
+      Seq((0, Seq.fill(8)(0.0))).toDF("cell", "centroid"))
+    val noQueries = emb.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_embedding"))
+    val curve = KMeansIndex.recallCurve(idx, noQueries, topK = 10,
+      probes = Seq(1, 2)).collect()
+    assert(curve.length == 2 && curve.forall(_.getLong(1) == 0L))
+    // per-element quantization over an empty table: zero rows
+    zeroRows("quantizeInt8")(emb.select(col("vec_id"),
+      graft.functions.VectorOps.quantizeInt8(col("embedding"),
+        graft.functions.VectorOps.absMax(col("embedding")))))
+    // approx dials on empty frames
+    assert(Monitor.profile(docs, Seq("doc_id"), exact = false).count() == 1)
+    zeroRows("robustOutliers approx")(
+      Monitor.robustOutliers(docs.select(col("doc_id"),
+        col("n_chars")), "doc_id", "n_chars", exact = false))
+  }
+
   test("persisted BM25 index is total on an empty corpus") {
     import graft.operators.InvertedIndex
     val dir = java.nio.file.Files.createTempDirectory("bm25empty").toString

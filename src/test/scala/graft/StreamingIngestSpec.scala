@@ -122,6 +122,43 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(sink.sorted == Seq(1L, 3L), s"sink was $sink")
   }
 
+  test("foreachBatch IVF ingest: streamed vectors land in the pruned persisted index") {
+    // the appendPersisted scaladoc's claim ("works as a Structured
+    // Streaming foreachBatch sink body") exercised literally: stream
+    // two micro-batches of vectors into a persisted layout, then a
+    // probe search over the committed view must see them with the SAME
+    // cell assignment a from-scratch assignment would give
+    import graft.operators.KMeansIndex
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ivfstream").toString
+    val base = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 7 + d) % 13).toFloat / 13f)))
+      .toDF("vec_id", "embedding")
+    KMeansIndex.persist(KMeansIndex.build(base, k = 4), dir)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    mem.addData((100L, Seq.fill(8)(0.9f)), (101L, Seq.fill(8)(0.05f)))
+    val q = mem.toDS().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) KMeansIndex.appendPersisted(spark, dir, batch)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // nProbe = k → the search sees every cell; both streamed vectors
+    // must be findable in the committed view
+    val hits = KMeansIndex.searchPersisted(spark, dir,
+        Array.fill(8)(0.9f), topK = 3, nProbe = 4)
+      .collect().map(_.getLong(0))
+    assert(hits.contains(100L), s"streamed vector missing from search: ${hits.toSeq}")
+    // and a pruned probe (nProbe=1) of the exact query still finds it —
+    // the append assigned it to the cell the query probes first
+    val pruned = KMeansIndex.searchPersisted(spark, dir,
+        Array.fill(8)(0.9f), topK = 1, nProbe = 1)
+      .collect().map(_.getLong(0))
+    assert(pruned.toSeq == Seq(100L),
+      s"append-time cell assignment diverged from probe: ${pruned.toSeq}")
+  }
+
   test("foreachBatch index ingest: streamed batches land in the searchable BM25 index") {
     import graft.operators.InvertedIndex
     implicit val sc = spark.sqlContext
