@@ -108,14 +108,7 @@ object SparkEntry {
     // §2.9 relational surface: aggregation, join, window, time.
     // Q1/Q3/Q5 run as SQL (SqlSurface) since round 8.
     "q1_pricing_summary" -> SqlSurface.query("q1_pricing_summary"),
-    "events_hourly" -> ((s, dir) =>
-      events(s, dir)
-        .groupBy(
-          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
-          col("event_type"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
-        .orderBy(col("hour"), col("event_type"))),
+    "events_hourly" -> SqlSurface.query("events_hourly"),
     // north-star: dedup suite (documents table)
     "dedup_exact_summary" -> ((s, dir) => Dedup.exactSummary(tbl(s, dir, "documents"))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
@@ -437,6 +430,13 @@ object SparkEntry {
           round(coalesce(col("n_hits"), lit(0L)).cast("double") / 10.0, 6).as("recall"))
         .orderBy(col("query_id"))
     }),
+    // matryoshka-truncation recall (MRL): the storage/recall dial for
+    // prefix-truncatable embeddings — full-dim cosine top-10 vs the
+    // first-16-dims arm, exact integer hits per query. Completes the
+    // embedding-compression family (int8, PQ, JL, PCA → MRL)
+    "mrl_truncation_recall" -> ((s, dir) =>
+      Search.mrlTruncationRecall(emb(s, dir), "cosine", dims = 16,
+        k = 10, nQueries = 5)),
     // the ann_recall dial generalized to the OPERATING-POINT table
     // (round-7 verdict item 4): recall@10 and cells-scanned for
     // nProbe ∈ {1,2,4,8,16} in one plan — candidates scored once,
@@ -2102,6 +2102,28 @@ object SparkEntry {
          |  round(CAST(coalesce(j.n_hits, 0) AS DOUBLE) / 10.0::DOUBLE, 6) AS recall
          |FROM q LEFT JOIN j USING (query_id) ORDER BY q.query_id""".stripMargin
     },
+    // both arms replayed over the same table: full vectors vs the
+    // 1-based-inclusive 16-dim slice; cosine needs no renormalization
+    "mrl_truncation_recall" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qf
+         |      FROM embeddings WHERE vec_id < 5),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |ex AS (SELECT query_id, vec_id FROM (
+         |         SELECT q.query_id, e.vec_id,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY round(${cosSql("e.v", "q.qf")}, 6) DESC, e.vec_id) AS rnk
+         |         FROM e CROSS JOIN q) WHERE rnk <= 10),
+         |cut AS (SELECT query_id, vec_id FROM (
+         |          SELECT q.query_id, e.vec_id,
+         |            row_number() OVER (PARTITION BY q.query_id
+         |              ORDER BY round(${cosSql("e.v[1:16]", "q.qf[1:16]")}, 6) DESC,
+         |                e.vec_id) AS rnk
+         |          FROM e CROSS JOIN q) WHERE rnk <= 10),
+         |h AS (SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_hits
+         |      FROM ex JOIN cut USING (query_id, vec_id) GROUP BY 1)
+         |SELECT q.query_id, coalesce(h.n_hits, 0) AS n_hits,
+         |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10.0::DOUBLE, 6) AS recall
+         |FROM q LEFT JOIN h USING (query_id) ORDER BY q.query_id""".stripMargin,
     // the sweep replayed from the same dumped centroids: probe ranks
     // once per (query, cell), arms by rank <= n_probe, ground truth =
     // the all-cells scan, recall = hits / (|q| * 10)

@@ -112,6 +112,16 @@ object SqlSurface {
          |  o.o_orderpriority
          |ORDER BY revenue DESC, o.o_orderkey ASC
          |LIMIT 10""".stripMargin,
+    // the events view through SQL — exercises the schema-dispatching
+    // reader's normalized ts via the temp view
+    "events_hourly" ->
+      s"""SELECT date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:mm:ss') AS hour,
+         |  event_type, count(1) AS n_events,
+         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         |FROM events
+         |GROUP BY date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:mm:ss'),
+         |  event_type
+         |ORDER BY hour, event_type""".stripMargin,
     // TPC-H Q4-style correlated EXISTS: "orders in the window with at
     // least one heavy lineitem". Catalyst DECORRELATES this into a left
     // semi join on l_orderkey (RewriteSubquery) — no per-row probing;
@@ -232,6 +242,14 @@ object SqlSurface {
           .orderBy(col("revenue").desc, col("o_orderkey").asc)
           .limit(10)
       }),
+      "events_hourly" -> ((s, dir) =>
+        sources.Tables.events(s, dir)
+          .groupBy(
+            date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+          .orderBy(col("hour"), col("event_type"))),
       // the decorrelated form of the EXISTS, written out: a left semi
       // join against the heavy lineitems — what Catalyst rewrites the
       // SQL into

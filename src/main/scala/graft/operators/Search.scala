@@ -133,6 +133,67 @@ object Search {
       .orderBy(col("query_id").asc, col("rank").asc)
   }
 
+  /** Batched brute-force top-k: for every (query_id, q_embedding) row,
+    * the top-k most-similar vectors — the [[knnJoin]] scan shape
+    * WITHOUT the self-exclusion (a query is allowed to find itself;
+    * evaluators want that). Broadcast query side, bounded [[TopKAgg]]
+    * map-side partial top-k.
+    */
+  def topKMany(emb: DataFrame, queries: DataFrame, metric: String,
+      k: Int): DataFrame = {
+    val topk = udaf(new TopKAgg(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Double)]())
+    emb.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"),
+        round(VectorOps.similarity(metric)(col("embedding"), col("q_embedding")), 6)
+          .as("score"))
+      .filter(rankable(col("score")))
+      .groupBy(col("query_id"))
+      .agg(topk(col("vec_id"), col("score")).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "p")))
+      .select(col("query_id"), col("p._1").as("vec_id"), col("p._2").as("score"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** Matryoshka-truncation recall (Kusupati et al. 2022, MRL): how much
+    * of the full-dimension top-k survives when vectors are cut to their
+    * FIRST `dims` dimensions — the storage/recall dial of
+    * matryoshka-trained embeddings, where prefixes are usable
+    * representations (4× storage cut at dims = d/4 before any
+    * quantization). Both arms share the [[topKMany]] scan shape; cosine
+    * is scale-invariant, so the truncated arm needs no renormalization.
+    * Output: (query_id, n_hits, recall) — exact integer hits over an
+    * exact k denominator, engine-portable.
+    *
+    * For matryoshka-TRAINED embeddings this recall stays near 1 at
+    * aggressive cuts; for arbitrary embeddings (the synthetic test
+    * vectors) it is just a truncation-damage report — either way the
+    * evaluator an embedding-storage decision reads.
+    */
+  def mrlTruncationRecall(emb: DataFrame, metric: String, dims: Int,
+      k: Int, nQueries: Int): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    val full = emb
+    val trunc = emb.select(col("vec_id"),
+      slice(col("embedding"), 1, dims).as("embedding"))
+    val queries = full.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val queriesT = trunc.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val exact = topKMany(full, queries, metric, k)
+      .select(col("query_id"), col("vec_id"))
+    val cut = topKMany(trunc, queriesT, metric, k)
+      .select(col("query_id"), col("vec_id"))
+    val hits = exact.join(cut, Seq("query_id", "vec_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    queries.select(col("query_id")).join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / k.toDouble, 6)
+          .as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard
     * score-free combiner for hybrid retrieval: fuse two ranked lists
     * (id, rank) into one by Σ 1/(k0 + rank), ids missing from a list

@@ -179,4 +179,21 @@ class SimilaritySpec extends AnyFunSuite {
     // 10 and 20 tie exactly; id breaks the tie; 30/40 tie likewise
     assert(out.map(_.getLong(0)).toSeq == Seq(10L, 20L, 30L, 40L))
   }
+
+  test("mrlTruncationRecall: full-width cut is identity; recall bounded; self in top-k") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // dims = full width → both arms are the identical ranking → recall 1.0
+    val full = operators.Search.mrlTruncationRecall(e, "cosine", dims = 64,
+      k = 10, nQueries = 3).collect()
+    assert(full.length == 3 && full.forall(_.getDouble(2) == 1.0),
+      s"full-width truncation must be the identity: ${full.map(_.getDouble(2)).toSeq}")
+    // an aggressive cut stays a well-formed rate
+    val cut = operators.Search.mrlTruncationRecall(e, "cosine", dims = 8,
+      k = 10, nQueries = 3).collect()
+    assert(cut.length == 3)
+    assert(cut.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+    // queries find themselves in BOTH arms (cos(x,x)=1 survives any
+    // prefix cut), so recall can never be 0 with k >= 1
+    assert(cut.forall(_.getLong(1) >= 1L), "the query itself is a guaranteed hit")
+  }
 }
