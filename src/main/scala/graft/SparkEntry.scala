@@ -372,6 +372,24 @@ object SparkEntry {
         .head().getSeq[Float](0).map(_.toDouble).toArray
       operators.Pq.adcTopK(operators.Pq.encode(e, m), m, q, topK = 10)
     }),
+    // IVF·PQ composed index (the FAISS IVFPQ shape): the coarse
+    // quantizer prunes to nProbe=3 of 8 cells, ADC ranks only those
+    // cells' members from packed codes — probe pruning × 32× compression
+    // in one scan. Centroids AND codebooks are dumped so the oracle
+    // replays both quantizers from the same doubles
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = operators.KMeansIndex.buildCached(e, dir, k = 8)
+      idx.centroids.coalesce(1).write.mode("overwrite")
+        .parquet(operators.KMeansIndex.centroidDumpPath + "_ivfpq")
+      val m = operators.Pq.fitCached(e, dir, dim = 64)
+      operators.Pq.dump(s, m, operators.Pq.codebookDumpPath + "_ivfpq")
+      val encoded = idx.assigned.select(col("vec_id"), col("cell"),
+        operators.Pq.packedCodeExpr(col("embedding"), m).as("pq_code"))
+      val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble).toArray
+      operators.Pq.ivfAdcTopK(encoded, idx.centroids, m, q, topK = 10, nProbe = 3)
+    }),
     // north-star: MLlib batch KMeans index + probe search. Training is
     // the only non-SQL-expressible step, so the trained centroids are
     // persisted and the oracle replays assignment+probe+scan from them —
@@ -2277,6 +2295,54 @@ object SparkEntry {
          |      GROUP BY a.vec_id)
          |SELECT vec_id, pq_code, round(CAST(adc_raw AS DOUBLE), 6) AS adc_dist
          |FROM s ORDER BY adc_raw ASC, vec_id ASC LIMIT 10""".stripMargin
+    },
+    // both quantizers replayed: Voronoi cells from the dumped centroids
+    // (assignment rn=1, probes = top-3 by centroid cosine), PQ codes +
+    // ADC LUT from the dumped codebooks (the pq_adc_topk CTEs), the
+    // probe filter applied before the decimal ADC fold
+    "ann_ivfpq_topk" -> {
+      val cpath = operators.KMeansIndex.centroidDumpPath + "_ivfpq"
+      val bpath = operators.Pq.codebookDumpPath + "_ivfpq"
+      val sd = 64 / operators.Pq.numSub
+      val bits = operators.Pq.bitsPerCode
+      s"""WITH c AS (SELECT cell, centroid FROM '$cpath/*.parquet'),
+         |cb AS (SELECT sub, code, centroid FROM '$bpath/*.parquet'),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |d AS (SELECT e.vec_id, e.v, c.cell,
+         |        list_dot_product(e.v, e.v) + list_dot_product(c.centroid, c.centroid)
+         |          - 2.0 * list_dot_product(e.v, c.centroid) AS dist
+         |      FROM e CROSS JOIN c),
+         |a AS (SELECT vec_id, v, cell FROM
+         |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |         FROM d)
+         |      WHERE rn = 1),
+         |pr AS (SELECT cell FROM c CROSS JOIN q
+         |       ORDER BY ${cosSql("c.centroid", "q.qe")} DESC, cell LIMIT 3),
+         |pd AS (SELECT e.vec_id, cb.sub, cb.code,
+         |        list_dot_product(e.v[cb.sub*$sd+1 : cb.sub*$sd+$sd], e.v[cb.sub*$sd+1 : cb.sub*$sd+$sd])
+         |          + list_dot_product(cb.centroid, cb.centroid)
+         |          - 2.0 * list_dot_product(e.v[cb.sub*$sd+1 : cb.sub*$sd+$sd], cb.centroid) AS dist
+         |      FROM e CROSS JOIN cb),
+         |pa AS (SELECT vec_id, sub, code FROM
+         |        (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+         |         FROM pd)
+         |      WHERE rn = 1),
+         |lut AS (SELECT cb.sub, cb.code,
+         |          list_dot_product(q.qe[cb.sub*$sd+1 : cb.sub*$sd+$sd], q.qe[cb.sub*$sd+1 : cb.sub*$sd+$sd])
+         |            + list_dot_product(cb.centroid, cb.centroid)
+         |            - 2.0 * list_dot_product(q.qe[cb.sub*$sd+1 : cb.sub*$sd+$sd], cb.centroid) AS ld
+         |        FROM cb CROSS JOIN q),
+         |s AS (SELECT pa.vec_id,
+         |        CAST(sum(CAST(pa.code AS BIGINT) * (CAST(1 AS BIGINT) << ($bits * pa.sub))) AS BIGINT) AS pq_code,
+         |        sum(CAST(round(l.ld, 9) AS DECIMAL(20,9))) AS adc_raw
+         |      FROM pa JOIN lut l ON pa.sub = l.sub AND pa.code = l.code
+         |        JOIN a ON a.vec_id = pa.vec_id JOIN pr ON a.cell = pr.cell
+         |      GROUP BY pa.vec_id)
+         |SELECT a.vec_id, CAST(a.cell AS INT) AS cell, s.pq_code,
+         |  round(CAST(s.adc_raw AS DOUBLE), 6) AS adc_dist
+         |FROM s JOIN a ON s.vec_id = a.vec_id
+         |ORDER BY s.adc_raw ASC, a.vec_id ASC LIMIT 10""".stripMargin
     },
     "ann_lsh_pairs" -> {
       // the SAME seeded Gaussian planes as Ann.lshCosinePairs, quantized

@@ -226,6 +226,50 @@ object Pq {
         round(col("adc_raw").cast("double"), 6).as("adc_dist"))
   }
 
+  /** IVF·PQ composed search (the FAISS IVFPQ shape, Jégou et al. 2011
+    * §V): the coarse quantizer ([[KMeansIndex]]) prunes the scan to the
+    * nProbe most-promising Voronoi cells, and asymmetric PQ distance
+    * ranks ONLY those cells' members from their packed codes — the two
+    * independent cost cuts multiply (nProbe/k of the rows × 32× fewer
+    * bytes per row). `encoded` carries (vec_id, cell, pq_code); at
+    * 100 TB it is the cell-partitioned compressed layout, so the probe
+    * filter is partition pruning and the scan never touches a raw
+    * embedding. Codes here quantize the RAW vectors, not the
+    * per-cell residuals — the residual refinement is a recall dial this
+    * corpus doesn't need, and raw-vector codes keep the codebooks
+    * cell-independent (one codebook set, not k of them).
+    *
+    * Probe ranking mirrors [[KMeansIndex.search]] (centroid cosine,
+    * ties to the lowest cell); ADC scoring is byte-identical to
+    * [[adcTopK]] (9 dp-quantized literal-LUT lookups folded in exact
+    * decimals), so both halves replay in the oracle from the dumped
+    * centroid + codebook doubles.
+    */
+  def ivfAdcTopK(encoded: DataFrame, centroids: DataFrame, m: Model,
+      q: Array[Double], topK: Int, nProbe: Int,
+      bits: Int = bitsPerCode): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val qlit = typedLit(q.toSeq)
+    val probes = centroids
+      .withColumn("cscore", VectorOps.cosineSimilarity(col("centroid"), qlit))
+      .orderBy(col("cscore").desc, col("cell").asc)
+      .limit(nProbe)
+      .select(col("cell"))
+    val lut = adcLut(q, m)
+    val adc = (0 until m.numSubspaces).map { s =>
+      val code = shiftright(col("pq_code"), bits * s).bitwiseAND(lit((1L << bits) - 1L))
+      round(element_at(typedLit(lut(s).toSeq), (code + lit(1L)).cast("int")), 9)
+        .cast(DecimalType(20, 9))
+    }.reduce(_ + _)
+    encoded
+      .join(broadcast(probes), "cell")
+      .select(col("vec_id"), col("cell"), col("pq_code"), adc.as("adc_raw"))
+      .orderBy(col("adc_raw").asc, col("vec_id").asc)
+      .limit(topK)
+      .select(col("vec_id"), col("cell"), col("pq_code"),
+        round(col("adc_raw").cast("double"), 6).as("adc_dist"))
+  }
+
   /** Decode a packed code back to its reconstruction (codebook centroid
     * concatenation) — the lossy inverse, driver-side (diagnostics/specs;
     * the engine never needs decoded vectors on the hot path).

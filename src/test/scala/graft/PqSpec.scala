@@ -108,4 +108,48 @@ class PqSpec extends AnyFunSuite {
     assert(Pq.encode(empty, hand).count() == 0)
     assert(Pq.adcTopK(Pq.encode(empty, hand), hand, Array(0.0, 0.0, 0.0, 0.0), 5).count() == 0)
   }
+
+  // --- IVF·PQ composition ---
+
+  private def ivfFixture = {
+    // three well-separated clumps so the coarse cells are unambiguous
+    val rows = (0 until 30).map { i =>
+      val base = (i % 3) * 10f
+      (i.toLong, Seq(base + (i % 5) * 0.1f, base, base - (i % 4) * 0.1f, base))
+    }
+    val e = df(rows: _*)
+    val idx = graft.operators.KMeansIndex.build(e, k = 3, seed = 7L)
+    val m = Pq.fit(e, dim = 4, numSub = 2, k = 4)
+    val enc = idx.assigned.select(col("vec_id"), col("cell"),
+      Pq.packedCodeExpr(col("embedding"), m).as("pq_code"))
+    (idx, m, enc)
+  }
+
+  test("ivfAdcTopK with nProbe = k equals plain adcTopK over everything") {
+    val (idx, m, enc) = ivfFixture
+    val q = Array(10.0, 10.0, 10.0, 10.0)
+    val full = Pq.adcTopK(enc.select(col("vec_id"), col("pq_code")), m, q, topK = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val ivf = Pq.ivfAdcTopK(enc, idx.centroids, m, q, topK = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(ivf == full)
+  }
+
+  test("ivfAdcTopK scans only probed cells: results are a subset of them") {
+    val (idx, m, enc) = ivfFixture
+    val q = Array(0.5, 0.0, 0.0, 0.0)
+    val got = Pq.ivfAdcTopK(enc, idx.centroids, m, q, topK = 30, nProbe = 1)
+    val cells = got.select("cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(cells.size == 1, s"nProbe=1 must confine the scan to one cell, got $cells")
+    // and every member of that cell is rankable — nothing silently dropped
+    val cellN = enc.filter(col("cell") === cells.head).count()
+    assert(got.count() == math.min(30L, cellN))
+  }
+
+  test("ivfAdcTopK totality: empty encoded table searches to empty") {
+    val (idx, m, _) = ivfFixture
+    val empty = spark.emptyDataset[(Long, Int, Long)].toDF("vec_id", "cell", "pq_code")
+    assert(Pq.ivfAdcTopK(empty, idx.centroids, m,
+      Array(0.0, 0.0, 0.0, 0.0), 5, nProbe = 2).count() == 0)
+  }
 }
