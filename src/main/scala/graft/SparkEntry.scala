@@ -455,6 +455,16 @@ object SparkEntry {
     "mrl_truncation_recall" -> ((s, dir) =>
       Search.mrlTruncationRecall(emb(s, dir), "cosine", dims = 16,
         k = 10, nQueries = 5)),
+    // binary quantization + rescore: stage 1 ranks everything by
+    // popcount-XOR Hamming distance over 1-bit sign signatures (an
+    // 8-byte-per-row scan at 64 dims — 32× less IO than floats),
+    // stage 2 reranks the 50 survivors with exact cosine
+    "search_hamming_rerank" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      Search.hammingRerank(e, q, candidates = 50, topK = 10)
+    }),
     // the ann_recall dial generalized to the OPERATING-POINT table
     // (round-7 verdict item 4): recall@10 and cells-scanned for
     // nProbe ∈ {1,2,4,8,16} in one plan — candidates scored once,
@@ -2142,6 +2152,28 @@ object SparkEntry {
          |SELECT q.query_id, coalesce(h.n_hits, 0) AS n_hits,
          |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10.0::DOUBLE, 6) AS recall
          |FROM q LEFT JOIN h USING (query_id) ORDER BY q.query_id""".stripMargin,
+    // sign signatures rebuilt per 32-dim word (strictly-positive test —
+    // the same bit both engines compute from the same float), Hamming =
+    // popcount of the word XORs, candidate cut at (hamming, vec_id),
+    // rerank = exact cosine over the 50 survivors
+    "search_hamming_rerank" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |s AS (SELECT vec_id,
+         |        CAST(list_sum(list_transform(range(32),
+         |          i -> CASE WHEN v[i+1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS sig0,
+         |        CAST(list_sum(list_transform(range(32),
+         |          i -> CASE WHEN v[i+33] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS sig1
+         |      FROM e),
+         |q AS (SELECT s.sig0 AS q0, s.sig1 AS q1, CAST(e.embedding AS DOUBLE[]) AS qe
+         |      FROM s JOIN embeddings e USING (vec_id) WHERE vec_id = 0),
+         |cand AS (SELECT s.vec_id,
+         |           CAST(bit_count(xor(s.sig0, q.q0)) + bit_count(xor(s.sig1, q.q1)) AS INT) AS hamming
+         |         FROM s CROSS JOIN q
+         |         ORDER BY hamming ASC, s.vec_id ASC LIMIT 50)
+         |SELECT c.vec_id, c.hamming,
+         |  round(${cosSql("CAST(e.embedding AS DOUBLE[])", "q.qe")}, 6) AS score
+         |FROM cand c JOIN embeddings e USING (vec_id) CROSS JOIN q
+         |ORDER BY score DESC, c.vec_id ASC LIMIT 10""".stripMargin,
     // the sweep replayed from the same dumped centroids: probe ranks
     // once per (query, cell), arms by rank <= n_probe, ground truth =
     // the all-cells scan, recall = hits / (|q| * 10)

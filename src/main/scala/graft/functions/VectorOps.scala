@@ -187,6 +187,25 @@ object VectorOps {
         (x, y) => abs(d(x) - y)),
       lit(0.0), (acc, e) => greatest(acc, e))
 
+  /** One 32-bit word of the 1-bit sign signature: bit i of the word is
+    * set iff element `offset + i` of the vector is strictly positive.
+    * Binary quantization (sign-bit hashing over the identity basis) is
+    * the most aggressive embedding compression that still ranks — 32×
+    * smaller than float32 — and for high-dimensional, roughly-centered
+    * embeddings the Hamming distance between signatures tracks the
+    * angle (Charikar 2002 SimHash with axis-aligned planes). A
+    * 64-term literal when-chain, pure whole-stage codegen per row; the
+    * 32-bit word granularity avoids ever touching a long's sign bit,
+    * so the packing replays exactly in engines with signed-only shifts.
+    */
+  def signWord(a: Column, offset: Int, width: Int = 32): Column = {
+    require(width >= 1 && width <= 32, s"word width must be in [1,32], got $width")
+    (0 until width).map { i =>
+      when(d(element_at(a, offset + i + 1)) > lit(0.0), lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
   /** L2-normalize to a unit vector — the ingest step that turns cosine
     * ranking into plain dot-product ranking downstream (one multiply
     * per dimension saved on EVERY subsequent search). The norm is the

@@ -220,6 +220,57 @@ object Search {
       .limit(topK)
   }
 
+  /** Binary-quantized sign signatures: `(vec_id, sig0..sigW)` — one
+    * 32-bit word per 32 dims ([[VectorOps.signWord]]). This is the
+    * materialization step of the binary-quantization path: at 100 TB
+    * the signature table is what gets persisted (8 bytes/row for
+    * 64-dim vectors — a 32× IO cut over the float table), and
+    * [[hammingRerank]]'s first stage scans ONLY it.
+    */
+  def signSignatures(emb: DataFrame, dim: Int): DataFrame = {
+    require(dim >= 1 && dim % 32 == 0, s"dim must be a positive multiple of 32, got $dim")
+    val words = dim / 32
+    val sigCols = (0 until words).map(w =>
+      VectorOps.signWord(col("embedding"), w * 32).as(s"sig$w"))
+    emb.select(col("vec_id") +: sigCols: _*)
+  }
+
+  /** Two-stage binary-quantized search: (1) rank the WHOLE corpus by
+    * Hamming distance between 1-bit sign signatures — a popcount-XOR
+    * scan over the 8-byte signature table, cut to `candidates` rows by
+    * `TakeOrderedAndProject` (no shuffle, k rows per task); (2) rerank
+    * only those candidates with the exact float cosine, joined back to
+    * the raw table by a broadcast of the bounded candidate list. The
+    * modern vector-DB "binary quantization + rescore" operating point:
+    * stage 1 reads 1/32nd of the bytes, stage 2 touches `candidates`
+    * rows regardless of corpus size. Recall is governed by the
+    * candidates/topK ratio (the caller's dial); ties in both stages
+    * break on vec_id so the cut is deterministic in any engine.
+    */
+  def hammingRerank(emb: DataFrame, q: Array[Float], candidates: Int,
+      topK: Int): DataFrame = {
+    require(candidates >= topK, s"candidates $candidates must be >= topK $topK")
+    val dim = q.length
+    val words = dim / 32
+    val qWords = Array.tabulate(words) { w =>
+      (0 until 32).foldLeft(0L)((acc, i) =>
+        if (q(w * 32 + i) > 0f) acc | (1L << i) else acc)
+    }
+    val ham = (0 until words).map(w =>
+      bit_count(col(s"sig$w").bitwiseXOR(lit(qWords(w))))).reduce(_ + _)
+    val cand = signSignatures(emb, dim)
+      .select(col("vec_id"), ham.cast("int").as("hamming"))
+      .orderBy(col("hamming").asc, col("vec_id").asc)
+      .limit(candidates)
+    val qd = typedLit(q.map(_.toDouble).toSeq)
+    emb.join(broadcast(cand), "vec_id")
+      .select(col("vec_id"), col("hamming"),
+        round(VectorOps.cosineSimilarity(col("embedding"), qd), 6).as("score"))
+      .filter(rankable(col("score")))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(topK)
+  }
+
   /** Hard-negative mining for contrastive / metric training data: for
     * each query vector, its top-k most-similar vectors carrying a
     * DIFFERENT label — the negatives nearest the decision boundary,

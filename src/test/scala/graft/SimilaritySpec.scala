@@ -196,4 +196,44 @@ class SimilaritySpec extends AnyFunSuite {
     // prefix cut), so recall can never be 0 with k >= 1
     assert(cut.forall(_.getLong(1) >= 1L), "the query itself is a guaranteed hit")
   }
+
+  test("signSignatures: hand-checkable bits, strict-positive threshold") {
+    import spark.implicits._
+    // dims 0 and 33 positive, dim 32 zero (NOT set — strictly positive),
+    // dim 1 negative (not set)
+    val v = Array.fill(64)(0f)
+    v(0) = 0.5f; v(1) = -0.5f; v(33) = 2f
+    val d = Seq((7L, v.toSeq)).toDF("vec_id", "embedding")
+    val r = operators.Search.signSignatures(d, 64).collect()(0)
+    assert(r.getLong(1) == 1L, s"sig0 ${r.getLong(1)}")        // bit 0 only
+    assert(r.getLong(2) == 2L, s"sig1 ${r.getLong(2)}")        // bit 1 of word 1 (dim 33)
+  }
+
+  test("hammingRerank: self-hit at rank 1; candidates=corpus equals brute force") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    val n = e.count().toInt
+    // candidate stage passes EVERYTHING → rerank is exact brute force
+    val viaHamming = operators.Search.hammingRerank(e, q, candidates = n, topK = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val brute = operators.Search.topK(e, "cosine", 10, queryId = 0L)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(viaHamming == brute)
+    // the query itself: hamming 0, cosine 1 → rank 1 under any candidate cut
+    val top = operators.Search.hammingRerank(e, q, candidates = 50, topK = 10).collect()
+    assert(top.head.getLong(0) == 0L && top.head.getInt(1) == 0)
+    assert(top.head.getDouble(2) == 1.0)
+  }
+
+  test("hammingRerank: guards and totality") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      operators.Search.hammingRerank(
+        spark.emptyDataset[(Long, Seq[Float])].toDF("vec_id", "embedding"),
+        Array.fill(64)(1f), candidates = 5, topK = 10)
+    }
+    val empty = spark.emptyDataset[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(operators.Search.hammingRerank(empty, Array.fill(64)(1f), 50, 10).count() == 0)
+  }
 }
