@@ -115,6 +115,14 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), 0.5)),
     "dedup_groups" -> ((s, dir) =>
       Dedup.dupGroups(Dedup.minhashLshPairs(tbl(s, dir, "documents"), 0.5))),
+    // group-aware split: near-dup components assign WHOLE to one split
+    // (per-doc splits leak near-copies across train/eval); rescued =
+    // docs the naive per-doc rule would have separated from their group
+    "leakage_safe_split" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      operators.Sampling.leakageSafeSplit(docs,
+        Dedup.dupGroups(Dedup.minhashLshPairs(docs, 0.5)))
+    }),
     "decontaminate" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
       Dedup.contaminationFlags(docs, docs.filter(col("doc_id") % 50 === 0),
@@ -1557,6 +1565,32 @@ object SparkEntry {
          |          SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
          |SELECT src AS doc_id, least(src, min(dst)) AS group_id
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    // the dedup_groups closure, then every document inherits its
+    // component's min-id split (singletons = their own id); rescued
+    // compares against the naive per-doc mod-10 rule
+    "leakage_safe_split" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |prs AS (SELECT i.doc_a, i.doc_b
+         |        FROM inter i JOIN sz x ON i.doc_a = x.doc_id
+         |                     JOIN sz y ON i.doc_b = y.doc_id
+         |        WHERE round(i.c::DOUBLE/(x.n + y.n - i.c), 6) >= 0.5),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+         |      UNION ALL SELECT doc_b, doc_a FROM prs),
+         |reach AS (SELECT src, dst FROM e
+         |          UNION
+         |          SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+         |g AS (SELECT src AS doc_id, least(src, min(dst)) AS group_id
+         |      FROM reach GROUP BY src),
+         |a AS (SELECT d.doc_id, coalesce(g.group_id, d.doc_id) AS group_id
+         |      FROM documents d LEFT JOIN g USING (doc_id))
+         |SELECT doc_id, group_id,
+         |  CASE WHEN group_id % 10 < 8 THEN 'train'
+         |       WHEN group_id % 10 = 8 THEN 'valid' ELSE 'test' END AS split,
+         |  (CASE WHEN doc_id % 10 < 8 THEN 'train'
+         |        WHEN doc_id % 10 = 8 THEN 'valid' ELSE 'test' END)
+         |    <> (CASE WHEN group_id % 10 < 8 THEN 'train'
+         |             WHEN group_id % 10 = 8 THEN 'valid' ELSE 'test' END) AS rescued
+         |FROM a ORDER BY doc_id""".stripMargin,
     "dedup_simhash" -> (simhashSql + "\nSELECT doc_id, simhash FROM sh2 ORDER BY doc_id"),
     "dedup_simhash_pairs" -> {
       val blocks = operators.Dedup.blockShifts.zip(operators.Dedup.blockMasks)

@@ -306,4 +306,35 @@ object Sampling {
         col("entropy"))
       .orderBy(col(groupCol))
   }
+
+  /** Leakage-safe train/valid/test split: the unit of assignment is the
+    * near-duplicate GROUP, not the document. A per-document split leaks
+    * whenever two near-copies land in different splits — the model
+    * "generalizes" to its own training data, and eval numbers inflate
+    * (the classic contamination pitfall dedup-then-split exists to
+    * prevent). Here every member of a connected dup component
+    * ([[Dedup.dupGroups]] over LSH candidate pairs) inherits the split
+    * of the component's canonical minimum id, so a group can never
+    * straddle splits; singletons are their own group. `rescued` marks
+    * docs whose naive per-doc assignment would have differed — the
+    * leakage actually prevented, quantified.
+    *
+    * Assignment is mod-10 on the group id (8/1/1), mirroring
+    * `sample_split`'s oracle-portable rule; production would swap in a
+    * salted hash — the GROUPING, not the hash, is the point. Shape:
+    * one left equi-join of docs against the (bounded) group table +
+    * a narrow projection — the expensive part is the dedup graph,
+    * already paid and reused.
+    */
+  def leakageSafeSplit(docs: DataFrame, groups: DataFrame): DataFrame = {
+    def splitOf(c: Column): Column =
+      when(c % 10 < 8, "train").when(c % 10 === 8, "valid").otherwise("test")
+    docs.select(col("doc_id"))
+      .join(groups.select(col("doc_id"), col("group_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("group_id"), col("doc_id")).as("group_id"))
+      .select(col("doc_id"), col("group_id"),
+        splitOf(col("group_id")).as("split"),
+        (splitOf(col("doc_id")) =!= splitOf(col("group_id"))).as("rescued"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -213,4 +213,26 @@ class SamplingSpec extends AnyFunSuite {
     val skewH = r6(r9(-0.75 * math.log(0.75)) + r9(-0.25 * math.log(0.25)))
     assert(out("skew") == ((4L, 2L, "en", 0.75, skewH)))
   }
+
+  test("leakageSafeSplit: groups never straddle; rescued flags the moved docs") {
+    import org.apache.spark.sql.functions.col
+    // component {3, 8, 19}: min id 3 → everyone 'train' (3%10=3).
+    // naive would put 8 → 'valid' and 19 → 'test' — both rescued.
+    val docs = Seq(3L, 8L, 19L, 28L, 7L).toDF("doc_id")
+    val groups = Seq((3L, 3L), (8L, 3L), (19L, 3L)).toDF("doc_id", "group_id")
+    val out = graft.operators.Sampling.leakageSafeSplit(docs, groups).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getBoolean(3)))).toMap
+    assert(out(3L) == ((3L, "train", false)))
+    assert(out(8L) == ((3L, "train", true)))
+    assert(out(19L) == ((3L, "train", true)))
+    // singletons: own id, naive == group split, never rescued
+    assert(out(28L) == ((28L, "valid", false)))
+    assert(out(7L) == ((7L, "train", false)))
+    // the invariant the operator exists for: one split per group
+    val d = graft.operators.Sampling.leakageSafeSplit(docs, groups)
+      .groupBy(col("group_id"))
+      .agg(org.apache.spark.sql.functions.countDistinct(col("split")).as("k"))
+      .filter(col("k") > 1).count()
+    assert(d == 0, "a dup group straddled splits")
+  }
 }
