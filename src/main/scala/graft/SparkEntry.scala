@@ -115,6 +115,11 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), 0.5)),
     "dedup_groups" -> ((s, dir) =>
       Dedup.dupGroups(Dedup.minhashLshPairs(tbl(s, dir, "documents"), 0.5))),
+    // sketch calibration: Broder estimate (matching minhash rows / 16)
+    // vs exact Jaccard for every LSH candidate pair — the "is k=16
+    // enough?" table; unthresholded by design
+    "minhash_estimate_error" -> ((s, dir) =>
+      Dedup.minhashEstimateError(tbl(s, dir, "documents"))),
     // group-aware split: near-dup components assign WHOLE to one split
     // (per-doc splits leak near-copies across train/eval); rescued =
     // docs the naive per-doc rule would have separated from their group
@@ -1565,6 +1570,24 @@ object SparkEntry {
          |          SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
          |SELECT src AS doc_id, least(src, min(dst)) AS group_id
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    // same signature/band/candidate CTEs; estimate = per-pair count of
+    // equal minhash rows over k=16, truth = c/(na+nb-c); both divisions
+    // are single IEEE ops so abs_err replays bit-exactly
+    "minhash_estimate_error" ->
+      s"""WITH $minhashCtes,
+         |m AS (SELECT c.doc_a, c.doc_b,
+         |        sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS n_match
+         |      FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+         |                  JOIN sig sb ON sb.doc_id = c.doc_b AND sa.seed = sb.seed
+         |      GROUP BY 1, 2)
+         |SELECT m.doc_a, m.doc_b,
+         |  round(CAST(m.n_match AS DOUBLE) / 16.0, 6) AS est_jaccard,
+         |  round(i.c::DOUBLE / (x.n + y.n - i.c), 6) AS exact_jaccard,
+         |  round(abs(CAST(m.n_match AS DOUBLE) / 16.0
+         |            - i.c::DOUBLE / (x.n + y.n - i.c)), 6) AS abs_err
+         |FROM m JOIN inter i ON m.doc_a = i.doc_a AND m.doc_b = i.doc_b
+         |       JOIN sz x ON m.doc_a = x.doc_id JOIN sz y ON m.doc_b = y.doc_id
+         |ORDER BY m.doc_a, m.doc_b""".stripMargin,
     // the dedup_groups closure, then every document inherits its
     // component's min-id split (singletons = their own id); rescued
     // compares against the naive per-doc mod-10 rule

@@ -426,6 +426,72 @@ object Dedup {
     inter.toDouble / (a.size + b.size - inter)
   }
 
+  /** The full k-row minhash signature (per-seed minimum of
+    * md5(seed:shingle)) — [[bandKeysUdf]]'s `mins` array surfaced for
+    * estimator calibration; byte-identical formulation.
+    */
+  private def minhashSigUdf(k: Int) = udf { sh: Seq[String] =>
+    val md = graft.functions.HashUtil.md5Digest
+    val prefixes = Array.tabulate(k)(j => s"$j:".getBytes("UTF-8"))
+    val mins = new Array[String](k)
+    val it = sh.iterator
+    while (it.hasNext) {
+      val bytes = it.next().getBytes("UTF-8")
+      var j = 0
+      while (j < k) {
+        md.reset(); md.update(prefixes(j)); md.update(bytes)
+        val h = graft.functions.HashUtil.hex(md.digest())
+        if (mins(j) == null || h < mins(j)) mins(j) = h
+        j += 1
+      }
+    }
+    mins.toSeq
+  }
+
+  /** MinHash estimator calibration: for every LSH candidate pair, the
+    * SKETCH's Jaccard estimate (matching signature rows / k — the
+    * Broder 1997 unbiased estimator, Var ≈ J(1−J)/k) next to the exact
+    * Jaccard, with the absolute error. This is the evaluator that
+    * answers "is k=16 enough for my threshold?" — the dedup-family
+    * analogue of [[KMeansIndex.recallCurve]]: the sketch configuration
+    * is a cost dial, and this table is what you tune it with.
+    * Deliberately UNTHRESHOLDED (calibration wants sub-threshold
+    * candidates too — that's where false positives live). Candidates
+    * only — the n² non-candidate space is exactly what LSH exists to
+    * skip, and absent pairs estimate ≈ 0 by construction. n_match/k is
+    * a dyadic rational and both divisions are single IEEE ops, so the
+    * error column is bit-portable across engines.
+    */
+  def minhashEstimateError(docs: DataFrame, k: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val docSh = Partitioning.spread(docs)
+      .select(col("doc_id"), shingleArray(col("text")).as("sh"))
+      .filter(size(col("sh")) >= 1)
+      .cache()
+    val banded = bandKeysOf(docSh, "doc_id", k, bands)
+    val candidates = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sigs = docSh.select(col("doc_id"), minhashSigUdf(k)(col("sh")).as("sig"))
+    val est = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, m) => acc + m).cast("double") / lit(k.toDouble)
+    candidates
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .join(docSh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(docSh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), est.as("est_raw"),
+        jaccardUdf(col("sha"), col("shb")).as("ex_raw"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("est_raw"), 6).as("est_jaccard"),
+        round(col("ex_raw"), 6).as("exact_jaccard"),
+        round(abs(col("est_raw") - col("ex_raw")), 6).as("abs_err"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** MinHash-LSH near-dup pairs: k=16 signature, 4 bands × 4 rows.
     * Candidates = pairs sharing any band digest (tiny (doc, band, key)
     * self-join); verified with exact Jaccard over the candidates' shingle

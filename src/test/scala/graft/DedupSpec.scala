@@ -336,4 +336,24 @@ class DedupSpec extends AnyFunSuite {
       (0L, 0, 0L, true), (1L, 0, 0L, false), (2L, 0, 0L, false), (3L, 0, 3L, true),
       (10L, 1, 10L, true), (11L, 1, 10L, false)))
   }
+
+  test("minhashEstimateError: identical docs estimate 1.0 exactly; error = |est - exact|") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 30).map(i => if (i % 5 == 0) s"alt$i" else s"tok$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base), (3L, near), (4L, "entirely different words " * 10))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashEstimateError(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // identical texts: every signature row matches, exact J = 1
+    assert(out((1L, 2L)) == ((1.0, 1.0, 0.0)))
+    // every row self-consistent: err = |est - exact|, est quantized to sixteenths
+    out.values.foreach { case (est, exact, err) =>
+      assert(math.abs(err - math.abs(est - exact)) < 1e-9)
+      assert(math.abs(est * 16 - math.round(est * 16)) < 1e-9)
+      assert(exact >= 0.0 && exact <= 1.0)
+    }
+    // the unrelated doc never becomes a candidate against the dup family
+    assert(!out.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
 }
