@@ -67,6 +67,29 @@ object GrowthProbe {
     probe("dsir_weights")(d => Sampling.dsirWeights(d).count())
     probe("normalized_dedup")(d => TextAnalysis.normalizedDedup(d).count())
     probe("bigram_lm")(d => TextAnalysis.bigramLm(d).count())
+    // r8 newcomers. Output caveat (the ngram lesson): the probe corpus's
+    // dup groups double in SIZE with n, so LSH candidate PAIRS grow ~4×
+    // across the doubling — both probes below are output-bound, so the
+    // meaningful number is time per emitted candidate pair.
+    locally {
+      def pairNormalized(name: String)(f: org.apache.spark.sql.DataFrame => Long): Unit = {
+        var pH = 0L; var pF = 0L
+        val tH = bestOf2 { pH = f(half); pH }
+        val tF = bestOf2 { pF = f(full); pF }
+        val norm = (tF / pF) / (tH / pH)
+        println(f"$tH%7.2f  $tF%7.2f  raw=${tF / tH}%5.2f  pairs: $pH%,d → $pF%,d  per-pair ratio=$norm%5.2f  ${if (norm > 1.5) "SLOW " else "ok   "}$name")
+      }
+      pairNormalized("minhash_estimate_error")(d =>
+        Dedup.minhashEstimateError(d).count())
+      // leakage split output is linear (one row per doc) but its input
+      // pair graph is the ~4×-growing LSH candidate set — normalize on
+      // the graph edges the componentization actually pays for
+      pairNormalized("leakage_safe_split (per-edge)")(d => {
+        val pairs = Dedup.minhashLshPairs(d, 0.5)
+        Sampling.leakageSafeSplit(d, Dedup.dupGroups(pairs)).count()
+        pairs.count()
+      })
+    }
     probe("corpus_diff")(d => {
       // the contract query's snapshot construction: %7 removed, %5
       // survivors changed — both sides scale with n, the digest join is
@@ -115,6 +138,25 @@ object GrowthProbe {
       probeEmb("pq_encode")(d => Pq.encode(d, pqModel).count())
       probeEmb("pq_adc_topk")(d =>
         Pq.adcTopK(Pq.encode(d, pqModel), pqModel, q, topK = 10).count())
+      // IVF·PQ: coarse centers fit ONCE on the full corpus (sample-capped
+      // constant, same reasoning as the shared pqModel); per-size work is
+      // assignment + encode + probe-pruned ADC — the linear paths
+      locally {
+        import spark.implicits._
+        val centers = KMeansIndex.fitCenters(embFull, 8)
+        val centroids = centers.zipWithIndex.toSeq
+          .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "centroid")
+        probeEmb("ann_ivfpq_topk") { d =>
+          val encoded = d.select(col("vec_id"),
+            KMeansIndex.cellExpr(col("embedding"), centers).as("cell"),
+            Pq.packedCodeExpr(col("embedding"), pqModel).as("pq_code"))
+          Pq.ivfAdcTopK(encoded, centroids, pqModel, q, topK = 10, nProbe = 3).count()
+        }
+      }
+      probeEmb("search_hamming_rerank") { d =>
+        val qf = q.map(_.toFloat)
+        Search.hammingRerank(d, qf, candidates = 50, topK = 10).count()
+      }
       // SemDeDup's cost law is Σ|cell|²: at fixed k a doubling quadruples
       // within-cell pairs BY DESIGN, so the scale posture (and this
       // probe) grows k with n to hold expected cell size constant — the

@@ -58,7 +58,9 @@ object PlanDump {
       "bucketed_join" -> "Bucketed co-located join: both FileScans read bucketBy(8, doc_id) layouts (Bucketed: true, SelectedBucketsCount 8/8) and no Exchange hashpartitioning feeds the join. At this SF the planner broadcasts the small side; with broadcast off — both sides too big, the 100 TB situation — the same layout yields a SortMergeJoin directly over the bucketed reads with no exchange anywhere (pinned in BucketingSpec); only the tiny per-label aggregate exchanges.",
       "q4_order_priority" -> "Correlated EXISTS (SQL surface): Catalyst decorrelates the per-order subquery into a LeftSemi join of the date-filtered orders against the heavy lineitems — no per-row probing; both the date and quantity predicates push to their scans (PushedFilters).",
       "q17_small_qty_revenue" -> "Correlated scalar subquery (SQL surface): the per-partkey 0.2*avg threshold computes ONCE as a map-side-combined aggregate and joins back — no scalar-subquery node survives optimization; the brand/size filter pushes to the part scan and the outer sum accumulates in decimals.",
-      "ann_recall_curve" -> "IVF operating-point sweep: every (query, cell-member) cosine is computed ONCE — probe cells rank per query over broadcast centroids, candidates score in a single equi-join on cell, and the nProbe arms attach AFTERWARD by the rank-inequality join against the broadcast 5-row probe list (row duplication, no re-scoring); per-arm top-k is the bounded TopKAgg, hits/cells aggregate map-side into a 5-row table.")
+      "ann_recall_curve" -> "IVF operating-point sweep: every (query, cell-member) cosine is computed ONCE — probe cells rank per query over broadcast centroids, candidates score in a single equi-join on cell, and the nProbe arms attach AFTERWARD by the rank-inequality join against the broadcast 5-row probe list (row duplication, no re-scoring); per-arm top-k is the bounded TopKAgg, hits/cells aggregate map-side into a 5-row table.",
+      "ann_ivfpq_topk" -> "IVF-PQ composed search: the probe list joins as a BroadcastHashJoin on cell (at scale, with the encoded table partitioned by cell, the same filter is static partition pruning), and ADC scoring runs on the joined rows from (vec_id, pq_code) alone — shift/mask unpacks + literal-LUT lookups in codegen, no raw embedding anywhere past the encode projection; the cut is TakeOrderedAndProject on the exact decimal key.",
+      "search_hamming_rerank" -> "Binary quantization + rescore: stage 1 is a narrow codegen projection (sign-bit packing + popcount-XOR) over the scan cut by TakeOrderedAndProject — at scale it reads a persisted 8-byte-per-row signature table, 1/32nd the bytes of the float scan; stage 2 joins the bounded candidate list back as a BroadcastHashJoin and pays the exact cosine only 50 times.")
     val sb = new StringBuilder
     sb.append("# Physical plans — flagship queries\n\n")
     sb.append("Generated by `graft.PlanDump` (sf0.01, local[8], AQE on). The\n")

@@ -115,6 +115,20 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), 0.5)),
     "dedup_groups" -> ((s, dir) =>
       Dedup.dupGroups(Dedup.minhashLshPairs(tbl(s, dir, "documents"), 0.5))),
+    // physical layout: Morton-interleave (length-bucket, source-code)
+    // and cut file groups on the z-key's high bits — every group is a
+    // bounded rectangle in BOTH dimensions, i.e. two-column data
+    // skipping where a plain sort prunes on one (the OPTIMIZE ZORDER
+    // layout, computed as pure codegen bit arithmetic)
+    "layout_zorder" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      operators.Partitioning.zOrderLayout(
+        docs.select(col("doc_id"),
+          least(floor(col("n_chars") / 4), lit(255L)).cast("long").as("len_bucket"),
+          substring(col("source"), 4, 10).cast("long").as("src_code")),
+        col("len_bucket"), col("src_code"))
+        .orderBy(col("doc_id"))
+    }),
     // sketch calibration: Broder estimate (matching minhash rows / 16)
     // vs exact Jaccard for every LSH candidate pair — the "is k=16
     // enough?" table; unthresholded by design
@@ -1570,6 +1584,19 @@ object SparkEntry {
          |          SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
          |SELECT src AS doc_id, least(src, min(dst)) AS group_id
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    // bit-exact Morton replay: same shift/mask interleave, same
+    // high-bit group cut — integers end to end
+    "layout_zorder" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  CAST(least(floor(n_chars / 4), 255) AS BIGINT) AS len_bucket,
+         |  CAST(substr(source, 4) AS BIGINT) AS src_code FROM documents),
+         |z AS (SELECT doc_id, len_bucket, src_code,
+         |  CAST(list_sum(list_transform(range(8), i ->
+         |    ((len_bucket >> CAST(i AS INT)) & 1) * (1::BIGINT << CAST(2*i AS INT))
+         |    + ((src_code >> CAST(i AS INT)) & 1) * (1::BIGINT << CAST(2*i+1 AS INT)))) AS BIGINT) AS zkey
+         |  FROM d)
+         |SELECT doc_id, len_bucket, src_code, zkey, zkey >> 12 AS file_group
+         |FROM z ORDER BY doc_id""".stripMargin,
     // same signature/band/candidate CTEs; estimate = per-pair count of
     // equal minhash rows over k=16, truth = c/(na+nb-c); both divisions
     // are single IEEE ops so abs_err replays bit-exactly

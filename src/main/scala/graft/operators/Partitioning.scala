@@ -1,9 +1,48 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Parallelism hygiene for CPU-heavy per-row stages. */
 object Partitioning {
+
+  /** Morton (Z-order) key: interleave the low `bits` bits of two
+    * non-negative integer dimensions — a's bit i lands at 2i, b's at
+    * 2i+1. Rows close in z-key are close in BOTH dimensions, so sorting
+    * a table by z-key before writing gives every parquet row group a
+    * small min/max rectangle in (a, b) — multi-column data skipping,
+    * the Delta/Iceberg `OPTIMIZE ZORDER BY` layout trick, where a plain
+    * sort on `a` gives pruning on `a` only. Pure literal bit
+    * arithmetic in one codegen projection; replays exactly in any
+    * engine with integer shifts.
+    */
+  def zOrderKey(a: Column, b: Column, bits: Int = 8): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).map { i =>
+      (shiftright(a.cast("long"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+        (shiftright(b.cast("long"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+  }
+
+  /** The write-side layout operator: z-key the two clustering dimensions
+    * and range-bucket rows into file groups by the key's HIGH bits
+    * (`2·bits − groupBits` of prefix). High-bit bucketing is the
+    * shuffle-free form of "sort by z, cut every N rows": each group is
+    * a contiguous z-range, hence a bounded rectangle in (a, b) — and it
+    * needs no global sort or window, so the plan stays one narrow
+    * projection (at scale the actual write is
+    * `repartitionByRange(zkey).sortWithinPartitions(zkey)`, this
+    * operator computes the keys that drive it). Output adds
+    * (zkey, file_group).
+    */
+  def zOrderLayout(df: DataFrame, a: Column, b: Column, bits: Int = 8,
+      groupBits: Int = 4): DataFrame = {
+    require(groupBits >= 0 && groupBits < 2 * bits,
+      s"groupBits must be in [0, ${2 * bits}), got $groupBits")
+    val z = zOrderKey(a, b, bits)
+    df.withColumn("zkey", z)
+      .withColumn("file_group", shiftright(col("zkey"), 2 * bits - groupBits))
+  }
 
   /** Spread `df` across the session's cores, but only when it arrives
     * under-parallel (the single-file local test tables arrive as 1

@@ -63,4 +63,39 @@ class BucketingSpec extends AnyFunSuite {
       assert(smj.count() == 500)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
   }
+
+  test("zOrderKey: hand-checkable Morton interleave; zero maps to zero") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // a=10 (1010b), b=6 (0110b): bits 2,6 from a (4+64) + bits 3,5
+    // from b (8+32) = 108 — the textbook Morton(10,6)
+    val d = Seq((10L, 6L), (0L, 0L), (255L, 0L), (0L, 255L)).toDF("a", "b")
+    val got = d.select(graft.operators.Partitioning.zOrderKey(col("a"), col("b"), 8))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(108L, 0L, 0x5555L, 0xAAAAL))
+  }
+
+  test("zOrderLayout: every file group is a bounded rectangle in both dims") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // full 64x64 grid; 16 file groups (groupBits=4 over 12 zkey bits)
+    val grid = (0 until 64).flatMap(a => (0 until 64).map(b => (a.toLong, b.toLong)))
+      .toDF("a", "b")
+    val out = graft.operators.Partitioning.zOrderLayout(grid, col("a"), col("b"),
+      bits = 6, groupBits = 4)
+    val rects = out.groupBy(col("file_group"))
+      .agg(count(lit(1)).as("n"),
+        (max(col("a")) - min(col("a"))).as("wa"),
+        (max(col("b")) - min(col("b"))).as("wb"))
+      .collect()
+    assert(rects.length == 16)
+    // each group holds 4096/16 = 256 cells in a 16x16 rectangle — both
+    // dimension widths bounded at 15, where a plain sort on `a` would
+    // give groups spanning the FULL 0..63 range of b
+    rects.foreach { r =>
+      assert(r.getLong(1) == 256L)
+      assert(r.getLong(2) <= 15L && r.getLong(3) <= 15L,
+        s"group ${r.get(0)} rectangle ${r.getLong(2)}x${r.getLong(3)}")
+    }
+  }
 }
