@@ -535,31 +535,10 @@ object SparkEntry {
     // the decorrelated plans (no per-row subquery survives).
     "q4_order_priority" -> SqlSurface.query("q4_order_priority"),
     "q17_small_qty_revenue" -> SqlSurface.query("q17_small_qty_revenue"),
-    "top_orders_per_priority" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("o_orderpriority"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      tbl(s, dir, "orders")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .join(broadcast(tbl(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
-        .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
-          col("o_totalprice"), col("c_name"))
-        .orderBy(col("o_orderpriority"), col("rn"))
-    }),
-    "customer_order_stats" -> ((s, dir) => {
-      val perCust = tbl(s, dir, "orders")
-        .groupBy(col("o_custkey"))
-        .agg(count(lit(1)).as("cnt"), max(col("o_totalprice")).as("mx"))
-      tbl(s, dir, "customer")
-        .join(perCust, col("c_custkey") === col("o_custkey"), "left")
-        .agg(
-          count(lit(1)).as("n_customers"),
-          sum(when(col("cnt").isNotNull, 1L).otherwise(0L)).as("n_with_orders"),
-          sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("n_without_orders"),
-          coalesce(sum(col("cnt")), lit(0L)).as("n_orders"),
-          max(col("mx")).as("max_order_price"))
-    }),
+    // runs as SQL (SqlSurface, r8 widening): window-function form
+    "top_orders_per_priority" -> SqlSurface.query("top_orders_per_priority"),
+    // runs as SQL (SqlSurface, r8 widening): outer-join aggregation
+    "customer_order_stats" -> SqlSurface.query("customer_order_stats"),
     // the bucketed-layout path as a contract query: both sides are
     // written bucketBy(8, doc_id) external tables, so the join runs
     // WITHOUT a shuffle Exchange (the 100 TB co-location story;
@@ -684,51 +663,22 @@ object SparkEntry {
           round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
           round(stddev_pop(col("l_quantity")), 6).as("sd_qty"))
         .orderBy(col("l_returnflag"))),
-    "rollup_orders" -> ((s, dir) =>
-      tbl(s, dir, "orders")
-        .rollup(col("o_orderpriority"), col("o_orderstatus"))
-        .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
-        .orderBy(col("o_orderpriority").asc_nulls_first, col("o_orderstatus").asc_nulls_first)),
+    // runs as SQL (SqlSurface, r8 widening): GROUP BY ROLLUP
+    "rollup_orders" -> SqlSurface.query("rollup_orders"),
     // pivot: day × event-type count matrix (the dashboard crosstab);
     // the pivoted column set is the FIXED shared constant — a dynamic
     // pivot would scan once just to discover columns
-    "events_pivot" -> ((s, dir) =>
-      events(s, dir)
-        .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
-        .pivot("event_type", pivotTypes)
-        .agg(count(lit(1)))
-        .na.fill(0L, pivotTypes) // absent (day, type) cells read as 0
-        .orderBy(col("day"))),
+    // runs as SQL (SqlSurface, r8 widening): the PIVOT clause; the
+    // pivoted column set stays the FIXED shared constant
+    "events_pivot" -> SqlSurface.query("events_pivot"),
     // cube: all four (type × day-of-week) subtotal combinations in one
     // pass — Spark plans the Expand exactly like ROLLUP/GROUPING SETS
-    "events_cube" -> ((s, dir) =>
-      events(s, dir)
-        .cube(col("event_type"), dayofweek(col("ts")).as("dow"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
-        .orderBy(col("event_type").asc_nulls_first, col("dow").asc_nulls_first)),
-    "set_ops_nations" -> ((s, dir) => {
-      val supplierNations = tbl(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
-      val customerNations = tbl(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
-      supplierNations.intersect(customerNations)
-        .withColumn("op", lit("intersect"))
-        .unionByName(customerNations.except(supplierNations)
-          .withColumn("op", lit("customer_only")))
-        .groupBy(col("op")).agg(count(lit(1)).as("n_nations"))
-        .orderBy(col("op"))
-    }),
-    "string_funcs" -> ((s, dir) =>
-      tbl(s, dir, "customer")
-        .filter(col("c_custkey") <= 100)
-        .select(col("c_custkey"),
-          upper(col("c_name")).as("upper_name"),
-          length(col("c_name")).cast("long").as("name_len"),
-          substring(col("c_name"), 1, 10).as("prefix"),
-          regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
-          concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"),
-          lpad(col("c_custkey").cast("string"), 8, "0").as("padded"))
-        .orderBy(col("c_custkey"))),
+    // runs as SQL (SqlSurface, r8 widening): GROUP BY CUBE
+    "events_cube" -> SqlSurface.query("events_cube"),
+    // runs as SQL (SqlSurface, r8 widening): INTERSECT / EXCEPT
+    "set_ops_nations" -> SqlSurface.query("set_ops_nations"),
+    // runs as SQL (SqlSurface, r8 widening): the string function set
+    "string_funcs" -> SqlSurface.query("string_funcs"),
     "events_json_agg" -> ((s, dir) =>
       events(s, dir)
         .groupBy(col("event_type"))
@@ -1053,7 +1003,7 @@ object SparkEntry {
 
   // events_pivot column set, shared with the oracle (sorted, fixed —
   // a dynamic pivot would scan once just to discover values)
-  private val pivotTypes = Seq("click", "error", "purchase", "signup", "view")
+  private[graft] val pivotTypes = Seq("click", "error", "purchase", "signup", "view")
   /** A DuckDB expression producing `s` via chr() codepoints only. */
   private def sqlChr(s: String): String =
     s.codePoints().toArray.map(cp => s"chr($cp)").mkString("(", " || ", ")")

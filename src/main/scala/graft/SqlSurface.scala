@@ -7,10 +7,13 @@ import graft.operators.Search
 
 /** The flagship contract queries as plain SQL strings — the proof of
   * the SURVEY §1.1/§7.1 commitment that the engine is SQL-reachable,
-  * not DataFrame-only (round-7 verdict's top gap). Ten queries spanning
-  * the surface: the five §2.4 searches (all four metrics + the filtered
-  * form), the three TPC-H-style relational heads (Q1/Q3/Q5), the §2.6
-  * stats aggregate, and the §2.6 membership hash.
+  * not DataFrame-only (round-7 verdict's top gap). Nineteen queries
+  * spanning the surface: the five §2.4 searches (all four metrics +
+  * the filtered form), the TPC-H-style relational heads (Q1/Q3/Q5 and
+  * the two correlated-subquery shapes Q4/Q17), the §2.6 stats
+  * aggregate and membership hash, the events view, and the classic
+  * SQL-feature set — ROLLUP, CUBE, PIVOT, window functions,
+  * INTERSECT/EXCEPT, string functions, outer-join aggregation.
   *
   * Each SQL string runs over the [[Views]] temp views with the graftx
   * function registry ([[org.apache.spark.sql.graftx.GraftFunctions]])
@@ -170,7 +173,74 @@ object SqlSurface {
          |WHERE CAST(o.o_orderdate AS DATE) >= CAST('1996-01-01' AS DATE)
          |  AND CAST(o.o_orderdate AS DATE) < CAST('1999-01-01' AS DATE)
          |GROUP BY r.r_name, n.n_name
-         |ORDER BY r.r_name, n.n_name""".stripMargin)
+         |ORDER BY r.r_name, n.n_name""".stripMargin,
+    // --- the classic SQL-feature queries, through the SQL front door
+    // (r8 widening): ROLLUP / CUBE / PIVOT / window / set ops / string
+    // functions / outer-join aggregation — each the literal SQL form of
+    // its r2-r6 DataFrame contract query
+    "rollup_orders" ->
+      s"""SELECT o_orderpriority, o_orderstatus, count(1) AS n_orders,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM orders
+         |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+         |ORDER BY o_orderpriority ASC NULLS FIRST,
+         |  o_orderstatus ASC NULLS FIRST""".stripMargin,
+    "events_cube" ->
+      s"""SELECT event_type, dayofweek(ts) AS dow, count(1) AS n_events,
+         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         |FROM events
+         |GROUP BY CUBE(event_type, dayofweek(ts))
+         |ORDER BY event_type ASC NULLS FIRST, dow ASC NULLS FIRST""".stripMargin,
+    "events_pivot" -> {
+      val filled = SparkEntry.pivotTypes.map(t => s"coalesce($t, 0L) AS $t").mkString(", ")
+      val inList = SparkEntry.pivotTypes.map(t => s"'$t' AS $t").mkString(", ")
+      s"""SELECT day, $filled FROM (
+         |  SELECT date_format(to_date(ts), 'yyyy-MM-dd') AS day, event_type
+         |  FROM events
+         |) PIVOT (count(1) FOR event_type IN ($inList))
+         |ORDER BY day""".stripMargin
+    },
+    "top_orders_per_priority" ->
+      s"""SELECT /*+ BROADCAST(c) */ o.o_orderpriority, o.rn, o.o_orderkey,
+         |  o.o_totalprice, c.c_name
+         |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice, o_custkey,
+         |        row_number() OVER (PARTITION BY o_orderpriority
+         |          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+         |      FROM orders) o
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |WHERE o.rn <= 3
+         |ORDER BY o.o_orderpriority, o.rn""".stripMargin,
+    "customer_order_stats" ->
+      s"""SELECT count(1) AS n_customers,
+         |  sum(CASE WHEN p.cnt IS NOT NULL THEN 1L ELSE 0L END) AS n_with_orders,
+         |  sum(CASE WHEN p.cnt IS NULL THEN 1L ELSE 0L END) AS n_without_orders,
+         |  coalesce(sum(p.cnt), 0L) AS n_orders,
+         |  max(p.mx) AS max_order_price
+         |FROM customer c LEFT JOIN (
+         |  SELECT o_custkey, count(1) AS cnt, max(o_totalprice) AS mx
+         |  FROM orders GROUP BY o_custkey
+         |) p ON c.c_custkey = p.o_custkey""".stripMargin,
+    "set_ops_nations" ->
+      s"""SELECT op, count(1) AS n_nations FROM (
+         |  SELECT nationkey, 'intersect' AS op FROM (
+         |    SELECT s_nationkey AS nationkey FROM supplier
+         |    INTERSECT
+         |    SELECT c_nationkey AS nationkey FROM customer)
+         |  UNION ALL
+         |  SELECT nationkey, 'customer_only' AS op FROM (
+         |    SELECT c_nationkey AS nationkey FROM customer
+         |    EXCEPT
+         |    SELECT s_nationkey AS nationkey FROM supplier)
+         |) GROUP BY op ORDER BY op""".stripMargin,
+    "string_funcs" ->
+      s"""SELECT c_custkey, upper(c_name) AS upper_name,
+         |  CAST(length(c_name) AS BIGINT) AS name_len,
+         |  substring(c_name, 1, 10) AS prefix,
+         |  regexp_replace(c_name, '[0-9]', '#') AS masked,
+         |  concat_ws('|', c_mktsegment, c_name) AS joined,
+         |  lpad(CAST(c_custkey AS STRING), 8, '0') AS padded
+         |FROM customer WHERE c_custkey <= 100
+         |ORDER BY c_custkey""".stripMargin)
 
   /** Contract-query adapter: register the views, run the SQL. */
   def query(name: String): (SparkSession, String) => DataFrame = {
@@ -294,6 +364,72 @@ object SqlSurface {
             .cast(DecimalType(28, 6))).cast("double").as("revenue"),
             count(lit(1)).as("n_lineitems"))
           .orderBy(col("r_name"), col("n_name"))
-      }))
+      }),
+      "rollup_orders" -> ((s, dir) =>
+        tbl(s, dir, "orders")
+          .rollup(col("o_orderpriority"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
+          .orderBy(col("o_orderpriority").asc_nulls_first,
+            col("o_orderstatus").asc_nulls_first)),
+      "events_cube" -> ((s, dir) =>
+        sources.Tables.events(s, dir)
+          .cube(col("event_type"), dayofweek(col("ts")).as("dow"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+          .orderBy(col("event_type").asc_nulls_first, col("dow").asc_nulls_first)),
+      "events_pivot" -> ((s, dir) =>
+        sources.Tables.events(s, dir)
+          .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+          .pivot("event_type", SparkEntry.pivotTypes)
+          .agg(count(lit(1)))
+          .na.fill(0L, SparkEntry.pivotTypes)
+          .orderBy(col("day"))),
+      "top_orders_per_priority" -> ((s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        tbl(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .join(broadcast(tbl(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
+            col("o_totalprice"), col("c_name"))
+          .orderBy(col("o_orderpriority"), col("rn"))
+      }),
+      "customer_order_stats" -> ((s, dir) => {
+        val perCust = tbl(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("cnt"), max(col("o_totalprice")).as("mx"))
+        tbl(s, dir, "customer")
+          .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+          .agg(
+            count(lit(1)).as("n_customers"),
+            sum(when(col("cnt").isNotNull, 1L).otherwise(0L)).as("n_with_orders"),
+            sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("n_without_orders"),
+            coalesce(sum(col("cnt")), lit(0L)).as("n_orders"),
+            max(col("mx")).as("max_order_price"))
+      }),
+      "set_ops_nations" -> ((s, dir) => {
+        val supplierNations = tbl(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+        val customerNations = tbl(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        supplierNations.intersect(customerNations)
+          .withColumn("op", lit("intersect"))
+          .unionByName(customerNations.except(supplierNations)
+            .withColumn("op", lit("customer_only")))
+          .groupBy(col("op")).agg(count(lit(1)).as("n_nations"))
+          .orderBy(col("op"))
+      }),
+      "string_funcs" -> ((s, dir) =>
+        tbl(s, dir, "customer")
+          .filter(col("c_custkey") <= 100)
+          .select(col("c_custkey"),
+            upper(col("c_name")).as("upper_name"),
+            length(col("c_name")).cast("long").as("name_len"),
+            substring(col("c_name"), 1, 10).as("prefix"),
+            regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+            concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"),
+            lpad(col("c_custkey").cast("string"), 8, "0").as("padded"))
+          .orderBy(col("c_custkey"))))
   }
 }
