@@ -67,6 +67,22 @@ object GrowthProbe {
     probe("dsir_weights")(d => Sampling.dsirWeights(d).count())
     probe("normalized_dedup")(d => TextAnalysis.normalizedDedup(d).count())
     probe("bigram_lm")(d => TextAnalysis.bigramLm(d).count())
+    // classifier evaluation: ONE sample-capped fit shared across both
+    // sizes (the pqModel discipline — fit cost is constant in n by
+    // design; scoring + the rank statistic are the paths that must
+    // stay linear). The probe corpus has no lang column — label by
+    // doc_id parity, which exercises the identical plan.
+    locally {
+      val w = QualityModel.fit(
+        spark.read.parquet(s"$dir/documents.parquet")
+          .withColumn("lang", when(col("doc_id") % 2 === 0, "en").otherwise("xx")))
+      probe("classifier_auc")(d => QualityModel.rocAuc(
+        QualityModel.score(d, w).join(
+          d.select(col("doc_id"), (col("doc_id") % 2 === 0).cast("long").as("label")),
+          Seq("doc_id"))).count())
+    }
+    probe("curriculum_order")(d => Sampling.curriculumOrder(
+      d.withColumn("n_chars", length(col("text"))), limit = 200).count())
     // r8 newcomers. Output caveat (the ngram lesson): the probe corpus's
     // dup groups double in SIZE with n, so LSH candidate PAIRS grow ~4×
     // across the doubling — both probes below are output-bound, so the
@@ -256,7 +272,41 @@ object GrowthProbe {
             .filter(col("l_quantity") < col("thr"))
             .agg(count(lit(1)).as("n")).count()
         })
+        // Q21 double subquery: BOTH decorrelated arms are lineitem
+        // self-joins on the order key — the shape must track the
+        // stream, not re-probe per row
+        probeRel("q21_double_subquery")((_, li) => {
+          val l1 = li.filter(col("l_returnflag") === "R")
+          val others = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+          val othersR = li.filter(col("l_returnflag") === "R")
+            .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+          l1.join(others,
+              col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
+              "left_semi")
+            .join(othersR,
+              col("l_orderkey") === col("o3") && col("l_suppkey") =!= col("s3"),
+              "left_anti")
+            .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n")).count()
+        })
       }
+      // partitioned window frames: RANGE rolling sum + lag + ntile per
+      // event_type over the daily series — the windows must parallelize
+      // by partition, never collapse to one task
+      probeEv("events_rolling")(d => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = d.select(col("event_type"), to_date(col("ts")).as("day_date"))
+          .groupBy(col("event_type"), col("day_date"))
+          .agg(count(lit(1)).as("n_events"))
+          .withColumn("dayn", datediff(col("day_date"), lit("2020-01-01").cast("date")))
+        val byDay = Window.partitionBy(col("event_type")).orderBy(col("dayn"))
+        daily.select(col("event_type"), col("n_events"),
+            sum(col("n_events")).over(byDay.rangeBetween(-6, 0)).as("n_7d"),
+            (col("n_events") - coalesce(lag(col("n_events"), 1).over(byDay),
+              lit(0L))).as("delta"),
+            ntile(4).over(Window.partitionBy(col("event_type"))
+              .orderBy(col("n_events"), col("dayn"))).as("q"))
+          .count()
+      })
       probeEv("attribution_last_touch")(d => {
         // the contract query's as-of attribution: one ordered-window
         // carry per user — growth is the user axis, like the funnel

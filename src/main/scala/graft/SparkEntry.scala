@@ -115,6 +115,16 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), 0.5)),
     "dedup_groups" -> ((s, dir) =>
       Dedup.dupGroups(Dedup.minhashLshPairs(tbl(s, dir, "documents"), 0.5))),
+    // the dup-cluster SIZE distribution — the one-glance answer to
+    // "is dedup removing boilerplate families or isolated near-pairs":
+    // two map-side-combinable groupBys over the already-resolved
+    // components, output bounded by the largest cluster size
+    "dup_size_histogram" -> ((s, dir) =>
+      Dedup.dupGroups(Dedup.minhashLshPairs(tbl(s, dir, "documents"), 0.5))
+        .groupBy(col("group_id")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("group_size"))
+        .agg(count(lit(1)).as("n_groups"))
+        .orderBy(col("group_size"))),
     // physical layout: Morton-interleave (length-bucket, source-code)
     // and cut file groups on the z-key's high bits — every group is a
     // bounded rectangle in BOTH dimensions, i.e. two-column data
@@ -535,6 +545,22 @@ object SparkEntry {
     // the decorrelated plans (no per-row subquery survives).
     "q4_order_priority" -> SqlSurface.query("q4_order_priority"),
     "q17_small_qty_revenue" -> SqlSurface.query("q17_small_qty_revenue"),
+    // the remaining two classic decorrelation shapes (r8 continuation):
+    // Q21-style EXISTS + NOT EXISTS on one table (LeftSemi + LeftAnti
+    // with residual inequality conditions) and Q22-style uncorrelated
+    // scalar threshold + NOT EXISTS anti join
+    "q21_returned_alone" -> SqlSurface.query("q21_returned_alone"),
+    "q22_idle_customers" -> SqlSurface.query("q22_idle_customers"),
+    // window-FRAME coverage: partitioned RANGE rolling 7-day window,
+    // lag delta, ntile quartiles — runs as SQL (SqlSurface)
+    "events_rolling" -> SqlSurface.query("events_rolling"),
+    // GROUPING SETS + grouping() flags — the arbitrary-combination
+    // grouping form beyond ROLLUP/CUBE
+    "orders_grouping_sets" -> SqlSurface.query("orders_grouping_sets"),
+    // LATERAL correlated subquery (decorrelates to agg + outer join)
+    "supplier_lateral_stats" -> SqlSurface.query("supplier_lateral_stats"),
+    // FULL OUTER reconciliation over pre-aggregated sides
+    "customer_yoy_recon" -> SqlSurface.query("customer_yoy_recon"),
     // runs as SQL (SqlSurface, r8 widening): window-function form
     "top_orders_per_priority" -> SqlSurface.query("top_orders_per_priority"),
     // runs as SQL (SqlSurface, r8 widening): outer-join aggregation
@@ -872,10 +898,41 @@ object SparkEntry {
     // weights — the oracle replays it from the same parquet doubles
     "quality_classifier" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
-      val w = operators.QualityModel.fit(d)
+      val w = operators.QualityModel.fitCached(d, dir)
       operators.QualityModel.dumpWeights(s, w)
       operators.QualityModel.score(d, w)
     }),
+    // classifier EVALUATION at corpus scale: tie-aware Mann-Whitney
+    // ROC AUC from per-score counts (the global cumulative window runs
+    // on the ≤10⁶-row quantized score domain, not the corpus) — the
+    // oracle replays scoring from the dumped weights, then the same
+    // integral rank arithmetic
+    "classifier_auc" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val w = operators.QualityModel.fitCached(d, dir)
+      operators.QualityModel.dumpWeights(s, w)
+      operators.QualityModel.rocAuc(
+        operators.QualityModel.score(d, w).join(
+          d.select(col("doc_id"),
+            (col("lang") === "en").cast("long").as("label")), Seq("doc_id")))
+    }),
+    // the reliability-diagram table: per score decile, count, mean
+    // predicted quality (exact decimal fold), observed positive rate —
+    // the check that filter scores work as sampling WEIGHTS
+    "calibration_bins" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val w = operators.QualityModel.fitCached(d, dir)
+      operators.QualityModel.dumpWeights(s, w)
+      operators.QualityModel.calibrationBins(
+        operators.QualityModel.score(d, w).join(
+          d.select(col("doc_id"),
+            (col("lang") === "en").cast("long").as("label")), Seq("doc_id")))
+    }),
+    // staged curriculum order under a seeded deterministic shuffle —
+    // the replayable epoch-order builder (md5 keys, not rand();
+    // TakeOrderedAndProject, no global sort)
+    "curriculum_order" -> ((s, dir) =>
+      operators.Sampling.curriculumOrder(tbl(s, dir, "documents"))),
     // learned dimensionality reduction: MLlib fits the components, the
     // projection is our codegen'd dot fold over the DUMPED weights —
     // the oracle replays it with list_dot_product on the same doubles
@@ -1154,6 +1211,27 @@ object SparkEntry {
        |          FROM cand c JOIN sh a ON a.doc_id = c.doc_a
        |                      JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
        |          GROUP BY 1, 2)""".stripMargin
+
+  // DuckDB replay of QualityModel scoring from the dumped weights:
+  // identical feature doubles, the same left-to-right dot fold, the
+  // same sigmoid, rounded at 6 dp — ends in CTE `sc(doc_id, quality)`.
+  // Shared by quality_classifier, classifier_auc, calibration_bins.
+  private lazy val qualityScoreCtes: String = {
+    val stop = operators.TextAnalysis.stopwords.map(s => s"'$s'").mkString(", ")
+    val mark = operators.QualityModel.targetMarkers.map(s => s"'$s'").mkString(", ")
+    s"""m AS (SELECT weights, intercept FROM '${operators.QualityModel.weightsDumpPath}/*.parquet'),
+       |w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+       |f AS (SELECT doc_id, [
+       |        len(list_filter(ws, x -> x IN ($stop)))::DOUBLE / len(ws),
+       |        len(list_distinct(ws))::DOUBLE / len(ws),
+       |        list_sum(list_transform(ws, x -> CAST(length(x) AS BIGINT)))::DOUBLE / len(ws),
+       |        ln(1.0 + len(ws)::DOUBLE),
+       |        len(list_filter(ws, x -> x IN ($mark)))::DOUBLE / len(ws)
+       |      ] AS f FROM w),
+       |sc AS (SELECT doc_id,
+       |        round(1.0 / (1.0 + exp(-(list_dot_product(f.f, m.weights) + m.intercept))), 6) AS quality
+       |      FROM f CROSS JOIN m)""".stripMargin
+  }
 
   // one side of the two-set MinHash chain for dedup_incremental —
   // identical signature/band/size formulation to `minhashCtes`, filtered
@@ -1534,6 +1612,24 @@ object SparkEntry {
          |          SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
          |SELECT src AS doc_id, least(src, min(dst)) AS group_id
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    // the same component resolution, then two aggregations: component →
+    // size, size → number of components
+    "dup_size_histogram" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |prs AS (SELECT i.doc_a, i.doc_b
+         |        FROM inter i JOIN sz x ON i.doc_a = x.doc_id
+         |                     JOIN sz y ON i.doc_b = y.doc_id
+         |        WHERE round(i.c::DOUBLE/(x.n + y.n - i.c), 6) >= 0.5),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+         |      UNION ALL SELECT doc_b, doc_a FROM prs),
+         |reach AS (SELECT src, dst FROM e
+         |          UNION
+         |          SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+         |g AS (SELECT src AS doc_id, least(src, min(dst)) AS group_id
+         |      FROM reach GROUP BY src),
+         |cs AS (SELECT group_id, count(*) AS sz FROM g GROUP BY group_id)
+         |SELECT CAST(sz AS BIGINT) AS group_size, count(*) AS n_groups
+         |FROM cs GROUP BY sz ORDER BY group_size""".stripMargin,
     // bit-exact Morton replay: same shift/mask interleave, same
     // high-bit group cut — integers end to end
     "layout_zorder" ->
@@ -2471,6 +2567,84 @@ object SparkEntry {
          |  AND l.l_quantity < (SELECT CAST(0.2 AS DOUBLE) * avg(l2.l_quantity)
          |                      FROM lineitem l2
          |                      WHERE l2.l_partkey = p.p_partkey)""".stripMargin,
+    // same double correlated subquery — DuckDB decorrelates both arms
+    "q21_returned_alone" ->
+      s"""SELECT s.s_name, count(*) AS n_alone
+         |FROM lineitem l1
+         |JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+         |WHERE l1.l_returnflag = 'R'
+         |  AND EXISTS (SELECT 1 FROM lineitem l2
+         |              WHERE l2.l_orderkey = l1.l_orderkey
+         |                AND l2.l_suppkey <> l1.l_suppkey)
+         |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+         |                  WHERE l3.l_orderkey = l1.l_orderkey
+         |                    AND l3.l_suppkey <> l1.l_suppkey
+         |                    AND l3.l_returnflag = 'R')
+         |GROUP BY s.s_name ORDER BY n_alone DESC, s.s_name LIMIT 20""".stripMargin,
+    // the decimal-average threshold is the identical double in both
+    // engines (exact 2-dp sum / exact count)
+    "q22_idle_customers" ->
+      s"""SELECT c.c_mktsegment, count(*) AS n_customers,
+         |  CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+         |FROM customer c
+         |WHERE c.c_acctbal > (SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2)))
+         |                              AS DOUBLE) / count(*)
+         |                     FROM customer c2 WHERE c2.c_acctbal > 0.0)
+         |  AND NOT EXISTS (SELECT 1 FROM orders o
+         |                  WHERE o.o_custkey = c.c_custkey
+         |                    AND o.o_totalprice > 400000.0)
+         |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
+    // identical frames on the same integer day axis; DuckDB's window
+    // sums/ntile return HUGEINT/BIGINT, cast back to the engine's types
+    "events_rolling" ->
+      s"""WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day_date FROM events),
+         |d AS (SELECT event_type, day_date, count(*) AS n_events
+         |      FROM e GROUP BY event_type, day_date),
+         |w AS (SELECT event_type, day_date,
+         |        datediff('day', DATE '2020-01-01', day_date) AS dayn, n_events
+         |      FROM d)
+         |SELECT event_type, strftime(day_date, '%Y-%m-%d') AS day,
+         |  CAST(n_events AS BIGINT) AS n_events,
+         |  CAST(sum(n_events) OVER (PARTITION BY event_type ORDER BY dayn
+         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d,
+         |  CAST(n_events - coalesce(lag(n_events, 1) OVER
+         |    (PARTITION BY event_type ORDER BY dayn), 0) AS BIGINT) AS delta,
+         |  CAST(ntile(4) OVER (PARTITION BY event_type
+         |    ORDER BY n_events, dayn) AS INT) AS activity_quartile
+         |FROM w ORDER BY event_type, day""".stripMargin,
+    "orders_grouping_sets" ->
+      s"""SELECT o_orderpriority, o_orderstatus,
+         |  CAST(grouping(o_orderpriority) AS INT) AS g_pri,
+         |  CAST(grouping(o_orderstatus) AS INT) AS g_stat,
+         |  count(*) AS n_orders,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+         |  (o_orderpriority), (o_orderstatus), ())
+         |ORDER BY g_pri, g_stat,
+         |  o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+    // same lateral aggregate — DuckDB decorrelates it identically
+    "supplier_lateral_stats" ->
+      s"""SELECT s.s_suppkey, s.s_name,
+         |  CAST(t.n_items AS BIGINT) AS n_items, t.avg_qty
+         |FROM supplier s,
+         |LATERAL (SELECT count(*) AS n_items,
+         |                round(avg(l.l_quantity), 6) AS avg_qty
+         |         FROM lineitem l WHERE l.l_suppkey = s.s_suppkey) t
+         |ORDER BY s.s_suppkey""".stripMargin,
+    "customer_yoy_recon" ->
+      s"""WITH a AS (SELECT o_custkey, count(*) AS n96 FROM orders
+         |           WHERE year(o_orderdate) = 1996 GROUP BY o_custkey),
+         |b AS (SELECT o_custkey, count(*) AS n97 FROM orders
+         |      WHERE year(o_orderdate) = 1997 GROUP BY o_custkey)
+         |SELECT coalesce(a.o_custkey, b.o_custkey) AS custkey,
+         |  CAST(coalesce(a.n96, 0) AS BIGINT) AS n_1996,
+         |  CAST(coalesce(b.n97, 0) AS BIGINT) AS n_1997,
+         |  CASE WHEN a.o_custkey IS NULL THEN 'new'
+         |       WHEN b.o_custkey IS NULL THEN 'churned'
+         |       ELSE 'retained' END AS status
+         |FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+         |ORDER BY custkey""".stripMargin,
     "top_orders_per_priority" ->
       s"""WITH r AS (SELECT *, CAST(row_number() OVER
          |    (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
@@ -3047,24 +3221,56 @@ object SparkEntry {
     // doubles (text_stats' proven fragments + the stopword filter
     // interpolated from the shared list), the same left-to-right dot
     // fold, the same sigmoid, rounded at 6 dp before the 0.5 cut
-    "quality_classifier" -> {
-      val stop = operators.TextAnalysis.stopwords.map(s => s"'$s'").mkString(", ")
-      val mark = operators.QualityModel.targetMarkers.map(s => s"'$s'").mkString(", ")
-      s"""WITH m AS (SELECT weights, intercept FROM '${operators.QualityModel.weightsDumpPath}/*.parquet'),
-         |w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
-         |f AS (SELECT doc_id, [
-         |        len(list_filter(ws, x -> x IN ($stop)))::DOUBLE / len(ws),
-         |        len(list_distinct(ws))::DOUBLE / len(ws),
-         |        list_sum(list_transform(ws, x -> CAST(length(x) AS BIGINT)))::DOUBLE / len(ws),
-         |        ln(1.0 + len(ws)::DOUBLE),
-         |        len(list_filter(ws, x -> x IN ($mark)))::DOUBLE / len(ws)
-         |      ] AS f FROM w),
-         |s AS (SELECT doc_id,
-         |        round(1.0 / (1.0 + exp(-(list_dot_product(f.f, m.weights) + m.intercept))), 6) AS quality
-         |      FROM f CROSS JOIN m)
+    "quality_classifier" ->
+      s"""WITH $qualityScoreCtes
          |SELECT doc_id, quality, quality >= 0.5 AS predicted
-         |FROM s ORDER BY doc_id""".stripMargin
-    },
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    // the same scoring replay, joined to the proxy label, then the
+    // tie-aware Mann-Whitney rank arithmetic — per-score counts, a
+    // strictly-below cumulative, and the doubled integral numerator in
+    // DECIMAL(38,0): identical order-independent folds to the engine
+    "classifier_auc" ->
+      s"""WITH $qualityScoreCtes,
+         |l AS (SELECT sc.doc_id, sc.quality,
+         |        CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS label
+         |      FROM sc JOIN documents d ON sc.doc_id = d.doc_id),
+         |b AS (SELECT quality, CAST(sum(label) AS BIGINT) AS n_pos,
+         |        CAST(sum(1 - label) AS BIGINT) AS n_neg
+         |      FROM l GROUP BY quality),
+         |c AS (SELECT quality, n_pos, n_neg,
+         |        CAST(coalesce(sum(n_neg) OVER (ORDER BY quality
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS BIGINT) AS neg_below
+         |      FROM b)
+         |SELECT round(CAST(sum(CAST(n_pos * (2 * neg_below + n_neg)
+         |          AS DECIMAL(38,0))) AS DOUBLE)
+         |      / (2.0 * sum(n_pos) * sum(n_neg)), 6) AS auc,
+         |  CAST(sum(n_pos) AS BIGINT) AS n_pos,
+         |  CAST(sum(n_neg) AS BIGINT) AS n_neg
+         |FROM c""".stripMargin,
+    "calibration_bins" ->
+      s"""WITH $qualityScoreCtes,
+         |l AS (SELECT sc.doc_id, sc.quality,
+         |        CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS label
+         |      FROM sc JOIN documents d ON sc.doc_id = d.doc_id)
+         |SELECT CAST(least(floor(quality * 10), 9) AS INT) AS bin,
+         |  count(*) AS n_docs,
+         |  round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
+         |    / count(*), 6) AS mean_quality,
+         |  round(CAST(sum(label) AS DOUBLE) / count(*), 6) AS frac_pos
+         |FROM l GROUP BY 1 ORDER BY bin""".stripMargin,
+    // replay of the seeded shuffle: same md5("id:seed") key, same
+    // stage cutoffs, same total order and cut
+    "curriculum_order" ->
+      s"""WITH s AS (SELECT doc_id,
+         |    CASE WHEN n_chars < 220 THEN 0
+         |         WHEN n_chars < 380 THEN 1 ELSE 2 END AS stage,
+         |    md5(CAST(doc_id AS VARCHAR) || ':42') AS shuffle_key
+         |  FROM documents)
+         |SELECT doc_id, CAST(stage AS INT) AS stage, shuffle_key,
+         |  CAST(row_number() OVER (ORDER BY stage, shuffle_key, doc_id)
+         |    AS BIGINT) AS position
+         |FROM s ORDER BY stage, shuffle_key, doc_id LIMIT 200""".stripMargin,
     "embedding_pca" ->
       s"""WITH c AS (SELECT comp, weights FROM '${operators.Pca.componentDumpPath}/*.parquet')
          |SELECT e.vec_id, CAST(c.comp AS INT) AS comp,

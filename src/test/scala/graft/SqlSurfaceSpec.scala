@@ -73,6 +73,27 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(!opt.contains("scalar-subquery"),
       s"scalar subquery should be decorrelated away:\n$opt")
     assert(opt.contains("Join"), "decorrelation should produce a join")
+    // Q21-style double subquery: BOTH arms decorrelate — the EXISTS to a
+    // LeftSemi and the NOT EXISTS to a LeftAnti, each with the supplier
+    // inequality as a residual condition; no per-row probe survives
+    val q21 = spark.sql(SqlSurface.sql("q21_returned_alone"))
+      .queryExecution.optimizedPlan.toString
+    assert(q21.contains("LeftSemi"), s"EXISTS arm should be LeftSemi:\n$q21")
+    assert(q21.contains("LeftAnti"), s"NOT EXISTS arm should be LeftAnti:\n$q21")
+    // Q22-style: the uncorrelated scalar threshold computes ONCE (a
+    // subquery node is fine — it is uncorrelated), the NOT EXISTS is a
+    // LeftAnti on o_custkey
+    val q22 = spark.sql(SqlSurface.sql("q22_idle_customers"))
+      .queryExecution.optimizedPlan.toString
+    assert(q22.contains("LeftAnti"), s"NOT EXISTS arm should be LeftAnti:\n$q22")
+    // LATERAL aggregate: DecorrelateInnerQuery must rewrite the per-row
+    // subquery into an Aggregate joined back — no LateralJoin survives
+    val lat = spark.sql(SqlSurface.sql("supplier_lateral_stats"))
+      .queryExecution.optimizedPlan.toString
+    assert(!lat.contains("LateralJoin"),
+      s"lateral subquery should decorrelate away:\n$lat")
+    assert(lat.contains("Aggregate") && lat.contains("Join"),
+      s"decorrelated lateral = aggregate + join:\n$lat")
   }
 
   test("managed stores are SQL-reachable: iglyphs/pglyphs/change_history views") {
