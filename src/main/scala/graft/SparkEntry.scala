@@ -534,6 +534,25 @@ object SparkEntry {
         .head().getSeq[Float](0).toArray
       operators.KMeansIndex.searchPersisted(s, path, query, topK = 10, nProbe = 3)
     }),
+    // index MAINTENANCE under the gate: two committed append batches
+    // folded back into the base by compactPersisted (staging write +
+    // atomic dir swap; batches folded, never dropped), then the same
+    // probe-pruned search — the oracle replays probe+scan from the
+    // dumped centroids, layout-invisible, so a compaction that lost or
+    // duplicated one row breaks the hash
+    "ann_ivf_compacted" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = operators.KMeansIndex.buildCached(
+        e.filter(col("vec_id") % 5 < 3), dir + "#train60", k = 8)
+      val path = operators.KMeansIndex.compactDumpPath
+      operators.KMeansIndex.persist(idx, path)
+      operators.KMeansIndex.appendPersisted(s, path, e.filter(col("vec_id") % 5 === 3))
+      operators.KMeansIndex.appendPersisted(s, path, e.filter(col("vec_id") % 5 === 4))
+      operators.KMeansIndex.compactPersisted(s, path)
+      val query = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      operators.KMeansIndex.searchPersisted(s, path, query, topK = 10, nProbe = 3)
+    }),
     // §2.9 relational: multi-join, window, semi/anti, json, audit hash.
     // Q3/Q5 as SQL with explicit BROADCAST hints matching the DataFrame
     // forms' broadcast() calls (SqlSurfaceSpec compares both arms).
@@ -857,6 +876,14 @@ object SparkEntry {
       operators.Monitor.embeddingDrift(emb(s, dir), col("vec_id") % 2 === 0)),
     "value_histogram" -> ((s, dir) =>
       operators.Monitor.valueHistogram(events(s, dir), "event_type", "value", histWidth)),
+    // privacy release gate: equivalence-class size distribution over
+    // the (source, lang, length-bucket) quasi-identifier tuple — the
+    // k-anonymity table the pii_scrub family's auditors read
+    "k_anonymity" -> ((s, dir) =>
+      operators.Monitor.kAnonymity(
+        tbl(s, dir, "documents").withColumn("len_bucket",
+          floor(col("n_chars") / lit(100)).cast("long")),
+        Seq("source", "lang", "len_bucket"))),
     // recency-weighted popularity: 2^(-age/1d) at the stream horizon
     "events_decayed" -> ((s, dir) =>
       operators.Monitor.decayedCounts(events(s, dir), "event_type", 86400L)),
@@ -1115,6 +1142,29 @@ object SparkEntry {
     s"""WITH $bm25Ctes
        |SELECT doc_id, n_terms_hit, bm25
        |FROM lex ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+
+  /** Layout-independent IVF probe+scan replay from a layout's dumped
+    * centroids — shared by ann_ivf_persisted and ann_ivf_compacted
+    * (compaction must be invisible to semantics, so both layouts
+    * verify against the SAME oracle text modulo the centroid path).
+    */
+  private def ivfPersistedOracle(path: String): String =
+    s"""WITH c AS (SELECT cell, centroid FROM '$path/centroids/*.parquet'),
+       |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+       |pr AS (SELECT cell FROM c CROSS JOIN q
+       |       ORDER BY ${cosSql("c.centroid", "q.qe")} DESC, cell LIMIT 3),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |d AS (SELECT e.vec_id, e.v, c.cell,
+       |        list_dot_product(e.v, e.v) + list_dot_product(c.centroid, c.centroid)
+       |          - 2.0 * list_dot_product(e.v, c.centroid) AS dist
+       |      FROM e CROSS JOIN c),
+       |a AS (SELECT vec_id, v, cell FROM
+       |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+       |         FROM d)
+       |      WHERE rn = 1)
+       |SELECT a.vec_id, CAST(a.cell AS INT) AS cell, round(${cosSql("a.v", "q.qe")}, 6) AS score
+       |FROM a JOIN pr ON a.cell = pr.cell CROSS JOIN q
+       |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
 
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)) + 1e-12)"
@@ -2381,25 +2431,11 @@ object SparkEntry {
     // batch alike) is assigned by the same dot-form argmin, so the
     // oracle checks both the append-time assignment and the committed
     // read view in one hash
-    "ann_ivf_persisted" -> {
-      val path = operators.KMeansIndex.persistDumpPath
-      s"""WITH c AS (SELECT cell, centroid FROM '$path/centroids/*.parquet'),
-         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
-         |pr AS (SELECT cell FROM c CROSS JOIN q
-         |       ORDER BY ${cosSql("c.centroid", "q.qe")} DESC, cell LIMIT 3),
-         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |d AS (SELECT e.vec_id, e.v, c.cell,
-         |        list_dot_product(e.v, e.v) + list_dot_product(c.centroid, c.centroid)
-         |          - 2.0 * list_dot_product(e.v, c.centroid) AS dist
-         |      FROM e CROSS JOIN c),
-         |a AS (SELECT vec_id, v, cell FROM
-         |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
-         |         FROM d)
-         |      WHERE rn = 1)
-         |SELECT a.vec_id, CAST(a.cell AS INT) AS cell, round(${cosSql("a.v", "q.qe")}, 6) AS score
-         |FROM a JOIN pr ON a.cell = pr.cell CROSS JOIN q
-         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
-    },
+    // identical layout-independent replay for the compacted layout:
+    // compaction must be invisible to semantics, so a fold that lost or
+    // duplicated one row breaks this hash
+    "ann_ivf_compacted" -> ivfPersistedOracle(operators.KMeansIndex.compactDumpPath),
+    "ann_ivf_persisted" -> ivfPersistedOracle(operators.KMeansIndex.persistDumpPath),
     // PQ replay from the dumped per-subspace codebooks: the same dot-form
     // subvector distance (list slices are 1-based inclusive, matching
     // Spark's slice(v, s*subDim+1, subDim)), ties to the lowest code,
@@ -3025,6 +3061,14 @@ object SparkEntry {
          |  count(*) AS n
          |FROM events WHERE value IS NOT NULL
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // same double-division bucket, same two-level class-size aggregate
+    "k_anonymity" ->
+      s"""WITH g AS (SELECT source, lang,
+         |        CAST(floor(n_chars / 100.0) AS BIGINT) AS lb, count(*) AS sz
+         |      FROM documents GROUP BY 1, 2, 3)
+         |SELECT CAST(sz AS BIGINT) AS class_size, count(*) AS n_classes,
+         |  CAST(sum(sz) AS BIGINT) AS n_records
+         |FROM g GROUP BY sz ORDER BY class_size""".stripMargin,
     // exact interpolated percentiles for location AND scale; the flag
     // compares the rounded z so the boundary cannot flip
     "doclen_outliers" ->

@@ -45,6 +45,14 @@ object KMeansIndex {
     sys.props.getOrElse("graft.kmeans.persist.dump",
       "/tmp/graft_oracle_ivf_layout")
 
+  /** Separate layout root for the compaction contract query, so the
+    * fold/swap never races the `ann_ivf_persisted` layout within one
+    * Verify/Bench run.
+    */
+  val compactDumpPath: String =
+    sys.props.getOrElse("graft.kmeans.compact.dump",
+      "/tmp/graft_oracle_ivf_compact")
+
   /** Deterministic Voronoi cell id: argmin over `centers` of
     * ‖v−c‖² = v·v + c·c − 2·v·c, ties to the lowest cell. The dot form
     * (rather than a (v−c)² fold) means every term is a plain
@@ -274,6 +282,47 @@ object KMeansIndex {
     val batchDir = s"$path/batches/batch-${java.util.UUID.randomUUID()}"
     vectors.withColumn("cell", cellExpr(col("embedding"), centers))
       .write.partitionBy("cell").parquet(batchDir)
+  }
+
+  /** Compact a [[persist]]ed layout: fold every batch committed AT THE
+    * SNAPSHOT back into a single base `cells` directory — the index-
+    * maintenance op a continuously-ingesting pipeline schedules between
+    * rebuilds. Appends accumulate one directory per batch; each search
+    * then unions base + every batch (small files, one scan branch per
+    * batch), so read amplification grows with ingest count until a
+    * compaction folds them. Unlike a [[persist]] rebuild this does NOT
+    * retrain centroids — assignments are already consistent, the fold
+    * is a pure file-layout rewrite (semantics-invisible, like
+    * [[Partitioning.zOrderLayout]]) — so batches are folded, not
+    * dropped.
+    *
+    * Publish discipline: the merged layout is written to a staging
+    * directory and swapped in with two directory renames (atomic on
+    * posix/HDFS); ONLY the batches in the starting snapshot are
+    * deleted, so a batch committed concurrently with the compaction
+    * survives untouched and stays visible. Like a rebuild, the swap
+    * window itself requires quiescing searches (a reader between the
+    * two renames would miss the base); a transactional table format
+    * lifts that constraint when the discipline can't be guaranteed.
+    */
+  def compactPersisted(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val snapshot = committedDirs(spark, path)
+    if (snapshot.size <= 1) return // nothing to fold
+    val merged = snapshot
+      .map(d => spark.read.option("basePath", d).parquet(d))
+      .reduce(_.unionByName(_))
+    val token = java.util.UUID.randomUUID().toString
+    val staging = s"$path/.cells_compact_$token"
+    merged.write.partitionBy("cell").parquet(staging)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val old = s"$path/.cells_old_$token"
+    require(fs.rename(p(s"$path/cells"), p(old)), "compact: base swap-out failed")
+    require(fs.rename(p(staging), p(s"$path/cells")), "compact: staging swap-in failed")
+    fs.delete(p(old), true)
+    snapshot.drop(1).foreach(d => fs.delete(p(d), true))
   }
 
   /** Probe-then-scan over a [[persist]]ed layout. The probe list is a

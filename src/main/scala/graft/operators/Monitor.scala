@@ -210,4 +210,29 @@ object Monitor {
         round(col("bin") * width, 6).as("bin_lo"), col("n"))
       .orderBy(col(groupCol), col("bin"))
   }
+
+  /** k-anonymity report over a quasi-identifier combination — the
+    * privacy companion to [[graft.operators.TextAnalysis.piiScrub]]:
+    * partition the table into equivalence classes on the quasi
+    * columns, then report the CLASS-SIZE DISTRIBUTION (class_size →
+    * how many classes, how many records). The dataset's k-anonymity
+    * is the smallest class_size row; records in classes below a
+    * policy threshold are the re-identifiable ones a release gate
+    * counts (Sweeney 2002 — published definition; nothing per-row
+    * ever leaves the aggregate).
+    *
+    * Scale shape: two map-side-combinable groupBys — the first keyed
+    * on the quasi tuple (corpus-sized but combinable), the second on
+    * the class size (output bounded by the largest class). Null quasi
+    * values form their own class, as Spark/SQL GROUP BY naturally
+    * treats them — nulls are a real linkage class, not ignorable.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String]): DataFrame = {
+    require(quasiCols.nonEmpty, "k-anonymity needs at least one quasi-identifier")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("class_size"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("sz")).as("n_records"))
+      .orderBy(col("class_size"))
+  }
 }

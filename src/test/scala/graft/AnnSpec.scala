@@ -213,6 +213,56 @@ class AnnSpec extends AnyFunSuite {
     assert(committed == Set(0L, 999999L), s"committed batch missing: $committed")
   }
 
+  test("compactPersisted: search-invariant, batches folded, uncommitted preserved") {
+    val idx = KMeansIndex.build(emb, k = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-compact").toString + "/idx"
+    KMeansIndex.persist(idx, path)
+    KMeansIndex.appendPersisted(spark, path,
+      emb.filter($"vec_id" === 0)
+        .select(lit(999998L).as("vec_id"), $"embedding", $"label"))
+    KMeansIndex.appendPersisted(spark, path,
+      emb.filter($"vec_id" === 1)
+        .select(lit(999999L).as("vec_id"), $"embedding", $"label"))
+    // one more batch whose commit marker is missing: it must survive the
+    // compaction UNTOUCHED (not folded, not deleted) — the concurrent-
+    // ingest guarantee
+    KMeansIndex.appendPersisted(spark, path,
+      emb.filter($"vec_id" === 2)
+        .select(lit(999997L).as("vec_id"), $"embedding", $"label"))
+    val batches = new java.io.File(s"$path/batches").listFiles().filter(_.isDirectory)
+    assert(batches.length == 3)
+    // the uncommitted batch is the one holding vec_id 999997
+    val uncommitted = batches.find { b =>
+      spark.read.parquet(b.toString).filter($"vec_id" === 999997L).count() == 1
+    }.get
+    assert(new java.io.File(uncommitted, "_SUCCESS").delete())
+    val query = emb.filter($"vec_id" === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val before = KMeansIndex.searchPersisted(spark, path, query, topK = 5, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    KMeansIndex.compactPersisted(spark, path)
+    // identical results — compaction is a pure layout rewrite
+    val after = KMeansIndex.searchPersisted(spark, path, query, topK = 5, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(after == before, "compaction changed search results")
+    // the two committed batches folded into the base; the uncommitted
+    // one is still on disk, still invisible
+    val left = new java.io.File(s"$path/batches").listFiles().filter(_.isDirectory)
+    assert(left.map(_.getName).toSeq == Seq(uncommitted.getName),
+      s"committed batches should be deleted after folding, got ${left.toSeq}")
+    val base = spark.read.option("basePath", s"$path/cells").parquet(s"$path/cells")
+    assert(base.filter($"vec_id".isin(999998L, 999999L)).count() == 2,
+      "appended rows must live in the base after compaction")
+    assert(base.filter($"vec_id" === 999997L).count() == 0,
+      "uncommitted rows must NOT be folded into the base")
+    // idempotence: compacting a compacted layout is a no-op (the one
+    // remaining dir is uncommitted, so the snapshot is base-only)
+    KMeansIndex.compactPersisted(spark, path)
+    val again = KMeansIndex.searchPersisted(spark, path, query, topK = 5, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(again == before)
+  }
+
   test("SQL surface: whole search pipeline in pure SQL over a temp view") {
     GraftFunctions.register(spark)
     emb.createOrReplaceTempView("emb_sql")

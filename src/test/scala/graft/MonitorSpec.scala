@@ -161,4 +161,22 @@ class MonitorSpec extends AnyFunSuite {
     assert(out(("b", 0L)) == ((0.0, 1L)))
     assert(out.size == 4)
   }
+
+  test("kAnonymity: class-size distribution, null quasi class, record conservation") {
+    // classes: (a,x)×3, (a,y)×1, (b,x)×2, (null,x)×2 → sizes 1:1, 2:2, 3:1
+    val df = Seq(
+      (1L, Some("a"), "x"), (2L, Some("a"), "x"), (3L, Some("a"), "x"),
+      (4L, Some("a"), "y"),
+      (5L, Some("b"), "x"), (6L, Some("b"), "x"),
+      (7L, None, "x"), (8L, None, "x"))
+      .toDF("id", "q1", "q2")
+    val out = Monitor.kAnonymity(df, Seq("q1", "q2")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((1L, 1L)))
+    assert(out(2L) == ((2L, 4L)), "nulls form their OWN linkage class")
+    assert(out(3L) == ((1L, 3L)))
+    assert(out.values.map(_._2).sum == 8L, "records must be conserved")
+    assert(out.keys.min == 1L, "the dataset's k-anonymity is the min class size")
+    intercept[IllegalArgumentException](Monitor.kAnonymity(df, Seq.empty))
+  }
 }
