@@ -804,6 +804,20 @@ object SparkEntry {
       operators.InvertedIndex.appendBatch(docs.filter(col("doc_id") % 3 === 1))
       operators.InvertedIndex.search(s, bm25Query, k = 10)
     }),
+    // index MAINTENANCE: the same two-batch ingest folded back into the
+    // base by InvertedIndex.compact (postings re-laid by bucket, stats
+    // summed to one row), then searched — the oracle is the full-corpus
+    // BM25 replay, so a fold that lost a posting or double-counted a
+    // stats row breaks rank order or the scores
+    "bm25_compacted" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val idx = operators.InvertedIndex.indexDir + "_compact"
+      operators.InvertedIndex.build(docs.filter(col("doc_id") % 3 === 2), idx)
+      operators.InvertedIndex.appendBatch(docs.filter(col("doc_id") % 3 === 0), idx)
+      operators.InvertedIndex.appendBatch(docs.filter(col("doc_id") % 3 === 1), idx)
+      operators.InvertedIndex.compact(s, idx)
+      operators.InvertedIndex.search(s, bm25Query, k = 10, idx)
+    }),
     // strict ordered funnel (view → click → purchase): stage k counts
     // only strictly after the user's earliest stage-(k-1) completion —
     // one filtered min-aggregation per stage chained on user_id, no
@@ -1606,6 +1620,8 @@ object SparkEntry {
     // and the incrementally-appended index must too: base(2/3) ∪
     // committed batch(1/3) ≡ from-scratch over the full corpus
     "bm25_incremental" -> bm25OracleSql,
+    // compaction is invisible to semantics: the same full-corpus replay
+    "bm25_compacted" -> bm25OracleSql,
     "decontaminate" ->
       s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
          |sh8 AS (SELECT doc_id, unnest(list_distinct(

@@ -112,6 +112,48 @@ object InvertedIndex {
     else Seq.empty[String]
   }
 
+  /** Compact the layout: fold every batch committed AT THE SNAPSHOT
+    * into the base postings/stats (the [[KMeansIndex.compactPersisted]]
+    * discipline, completing the index-maintenance pair) — a
+    * continuously-ingesting BM25 index accumulates one postings +
+    * stats directory pair per batch, and every search unions them all;
+    * compaction resets that read amplification without re-tokenizing
+    * anything (the fold is a file-layout rewrite of already-computed
+    * postings; stats fold additively into one row).
+    *
+    * Publish: staging writes + directory renames, snapshot-scoped
+    * batch deletion — a batch committed concurrently survives
+    * untouched. The postings and stats swaps are two renames (not one
+    * atomic pair), so like a [[build]] rebuild the swap window needs
+    * quiesced searches; batches never do (their publish is the single
+    * `_COMMITTED` create).
+    */
+  def compact(spark: SparkSession, dir: String = indexDir): Unit = {
+    val batches = committedBatches(spark, dir)
+    if (batches.isEmpty) return
+    val token = java.util.UUID.randomUUID().toString
+    (s"$dir/postings" +: batches.map(b => s"$b/postings"))
+      .map(p => spark.read.schema(postingsSchema).option("basePath", p).parquet(p))
+      .reduce(_.unionByName(_))
+      .write.partitionBy("bucket").parquet(s"$dir/.postings_compact_$token")
+    (s"$dir/stats" +: batches.map(b => s"$b/stats"))
+      .map(p => spark.read.parquet(p))
+      .reduce(_.unionByName(_))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .coalesce(1).write.parquet(s"$dir/.stats_compact_$token")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    for (part <- Seq("postings", "stats")) {
+      val old = s"$dir/.${part}_old_$token"
+      require(fs.rename(p(s"$dir/$part"), p(old)), s"compact: $part swap-out failed")
+      require(fs.rename(p(s"$dir/.${part}_compact_$token"), p(s"$dir/$part")),
+        s"compact: $part swap-in failed")
+      fs.delete(p(old), true)
+    }
+    batches.foreach(b => fs.delete(p(b), true))
+  }
+
   /** Search the persisted layout: same result as
     * `TextAnalysis.bm25TopDocs` on the indexed corpus, reading only the
     * query terms' buckets.

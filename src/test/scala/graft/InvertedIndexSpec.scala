@@ -68,6 +68,41 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(rebuilt.map(_.toString).toSeq == before.map(_.toString).toSeq)
   }
 
+  test("compact: search-invariant, batches folded, uncommitted preserved") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25compact").toString
+    InvertedIndex.build(docs.filter($"doc_id" <= 2), dir)
+    InvertedIndex.appendBatch(docs.filter($"doc_id" === 3 || $"doc_id" === 4), dir)
+    InvertedIndex.appendBatch(docs.filter($"doc_id" === 5), dir)
+    // an uncommitted (in-flight) batch: data present, no _COMMITTED —
+    // must survive the compaction untouched and stay invisible
+    val fake = new java.io.File(s"$dir/batches/batch-inflight/postings/bucket=0")
+    fake.mkdirs()
+    val q = Seq("query", "fast")
+    val before = InvertedIndex.search(spark, q, k = 5, dir = dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    InvertedIndex.compact(spark, dir)
+    val after = InvertedIndex.search(spark, q, k = 5, dir = dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(after == before, "compaction changed BM25 results")
+    val left = new java.io.File(s"$dir/batches").listFiles().filter(_.isDirectory)
+    assert(left.map(_.getName).toSeq == Seq("batch-inflight"),
+      s"committed batches should fold away, got ${left.map(_.getName).toSeq}")
+    // the folded stats are ONE row covering the whole corpus
+    val stats = spark.read.parquet(s"$dir/stats").collect()
+    assert(stats.length == 1 && stats.head.getLong(0) == 5L,
+      s"stats must fold to one 5-doc row, got ${stats.toSeq}")
+    // and equal a from-scratch rebuild of the union
+    val full = java.nio.file.Files.createTempDirectory("bm25full2").toString
+    InvertedIndex.build(docs, full)
+    val rebuilt = InvertedIndex.search(spark, q, k = 5, dir = full)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(after == rebuilt)
+    // idempotent: nothing committed remains to fold
+    InvertedIndex.compact(spark, dir)
+    assert(InvertedIndex.search(spark, q, k = 5, dir = dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq == before)
+  }
+
   test("df from the pruned read equals the corpus df") {
     val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
     InvertedIndex.build(docs, dir)
