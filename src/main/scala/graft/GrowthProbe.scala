@@ -307,6 +307,22 @@ object GrowthProbe {
               .orderBy(col("n_events"), col("dayn"))).as("q"))
           .count()
       })
+      probeEv("attribution_linear")(d => {
+        import org.apache.spark.sql.expressions.Window
+        val purchases = d.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val clicks = d.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+        val touches = Joins.rangeJoinPrior(
+          purchases, clicks, "user_id", "ts", "click_ts", gapSeconds = 3600L)
+        touches
+          .withColumn("n_touches",
+            count(lit(1)).over(Window.partitionBy(col("event_id"))))
+          .select(concat(lit("campaign_"), col("k") % 4).as("channel"),
+            round(col("value") / col("n_touches"), 6).as("credit"))
+          .groupBy(col("channel")).agg(count(lit(1)).as("n")).count()
+      })
       probeEv("attribution_last_touch")(d => {
         // the contract query's as-of attribution: one ordered-window
         // carry per user — growth is the user axis, like the funnel

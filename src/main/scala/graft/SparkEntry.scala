@@ -855,6 +855,41 @@ object SparkEntry {
             .as("attributed_value"))
         .orderBy(col("channel"))
     }),
+    // multi-touch LINEAR attribution — last-touch's companion: every
+    // click in the hour before a purchase shares the credit equally
+    // (value/n per touch). The purchase×click product is bounded by
+    // the time-bucketed range join (never a full per-user cross
+    // product); the touch count is a window PARTITIONED by purchase;
+    // per-touch credits round at 6 dp per ROW then fold in exact
+    // decimals (the pipeline_media discipline), so the per-channel
+    // sum is order-independent. Untouched purchases keep full credit
+    // in the organic lane via a left anti join.
+    "attribution_linear" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+      val touches = operators.Joins.rangeJoinPrior(
+        purchases, clicks, "user_id", "ts", "click_ts", gapSeconds = 3600L)
+      val credits = touches
+        .withColumn("n_touches",
+          count(lit(1)).over(Window.partitionBy(col("event_id"))))
+        .select(concat(lit("campaign_"), col("k") % 4).as("channel"),
+          round(col("value") / col("n_touches"), 6).as("credit"))
+      val organic = purchases
+        .join(touches.select(col("event_id")).distinct(),
+          Seq("event_id"), "left_anti")
+        .select(lit("organic").as("channel"), round(col("value"), 6).as("credit"))
+      credits.unionByName(organic)
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_credits"),
+          sum(col("credit").cast(DecimalType(18, 6))).cast("double")
+            .as("attributed_value"))
+        .orderBy(col("channel"))
+    }),
     // top 3-step event paths inside gap sessions (the flow-diagram
     // feed); deterministic in-session order on (ts, event_id)
     "session_paths" -> ((s, dir) =>
@@ -3149,6 +3184,28 @@ object SparkEntry {
          |  CAST(sum(CAST(p.value AS DECIMAL(18,6))) AS DOUBLE) AS attributed_value
          |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the same [t−1h, t] inclusive window as rangeJoinPrior's millis
+    // bounds; per-touch credits rounded per row, folded in decimals
+    "attribution_linear" ->
+      s"""WITH p AS (SELECT event_id, user_id, ts, value FROM events
+         |           WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, ts AS click_ts,
+         |        CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         |      FROM events WHERE event_type = 'click'),
+         |t AS (SELECT p.event_id, p.value, c.k FROM p JOIN c
+         |      ON p.user_id = c.user_id
+         |      AND c.click_ts >= p.ts - INTERVAL 3600 SECOND
+         |      AND c.click_ts <= p.ts),
+         |n AS (SELECT *, count(*) OVER (PARTITION BY event_id) AS n_touches
+         |      FROM t),
+         |cr AS (SELECT 'campaign_' || CAST(k % 4 AS VARCHAR) AS channel,
+         |         round(value / n_touches, 6) AS credit FROM n
+         |       UNION ALL
+         |       SELECT 'organic', round(value, 6) FROM p
+         |       WHERE event_id NOT IN (SELECT event_id FROM t))
+         |SELECT channel, count(*) AS n_credits,
+         |  CAST(sum(CAST(credit AS DECIMAL(18,6))) AS DOUBLE) AS attributed_value
+         |FROM cr GROUP BY channel ORDER BY channel""".stripMargin,
     // the sessions oracle's lag/cumsum session replay, then list() the
     // in-session type order and unnest the consecutive triples
     "session_paths" ->

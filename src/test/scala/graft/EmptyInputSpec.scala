@@ -140,6 +140,29 @@ class EmptyInputSpec extends AnyFunSuite {
         col("n_chars")), "doc_id", "n_chars", exact = false))
   }
 
+  test("round-8 continuation operators are total on empty inputs") {
+    import spark.implicits._
+    // AUC on an empty scored frame: ONE identity row — null auc (the
+    // statistic is undefined), zero counts, no 0-division
+    val scored = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("quality", DoubleType),
+        StructField("label", LongType))))
+    val auc = QualityModel.rocAuc(scored).collect()
+    assert(auc.length == 1 && auc.head.isNullAt(0)
+      && auc.head.getLong(1) == 0L && auc.head.getLong(2) == 0L)
+    // null labels (unlabeled rows) drop out of BOTH counts — the
+    // evaluator scores the labeled subset, never guesses
+    val partial = QualityModel.rocAuc(Seq(
+      (0.9, Some(1L)), (0.5, Option.empty[Long]), (0.1, Some(0L)))
+      .toDF("quality", "label")).head()
+    assert(partial.getDouble(0) == 1.0
+      && partial.getLong(1) == 1L && partial.getLong(2) == 1L)
+    zeroRows("calibrationBins")(QualityModel.calibrationBins(scored))
+    zeroRows("curriculumOrder")(Sampling.curriculumOrder(docs))
+    zeroRows("kAnonymity")(Monitor.kAnonymity(docs, Seq("source", "lang")))
+  }
+
   test("persisted BM25 index is total on an empty corpus") {
     import graft.operators.InvertedIndex
     val dir = java.nio.file.Files.createTempDirectory("bm25empty").toString
