@@ -1009,6 +1009,17 @@ object SparkEntry {
     // TakeOrderedAndProject, no global sort)
     "curriculum_order" -> ((s, dir) =>
       operators.Sampling.curriculumOrder(tbl(s, dir, "documents"))),
+    // score → percentile calibration ("keep the top 30%", model-swap
+    // stable) — the oracle runs the global percent_rank window; the
+    // engine builds the same ranks from bounded-domain per-score
+    // counts, no global sort
+    "quality_percentiles" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val w = operators.QualityModel.fitCached(d, dir)
+      operators.QualityModel.dumpWeights(s, w)
+      operators.QualityModel.percentileRanks(
+        operators.QualityModel.score(d, w))
+    }),
     // learned dimensionality reduction: MLlib fits the components, the
     // projection is our codegen'd dot fold over the DUMPED weights —
     // the oracle replays it with list_dot_product on the same doubles
@@ -3376,6 +3387,14 @@ object SparkEntry {
          |    / count(*), 6) AS mean_quality,
          |  round(CAST(sum(label) AS DOUBLE) / count(*), 6) AS frac_pos
          |FROM l GROUP BY 1 ORDER BY bin""".stripMargin,
+    // the oracle states percent_rank as the global window the engine
+    // deliberately avoids — equal results prove the bounded-domain
+    // construction IS percent_rank
+    "quality_percentiles" ->
+      s"""WITH $qualityScoreCtes
+         |SELECT doc_id, quality,
+         |  round(percent_rank() OVER (ORDER BY quality), 6) AS pctl
+         |FROM sc ORDER BY doc_id""".stripMargin,
     // replay of the seeded shuffle: same md5("id:seed") key, same
     // stage cutoffs, same total order and cut
     "curriculum_order" ->

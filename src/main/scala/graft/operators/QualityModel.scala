@@ -183,6 +183,36 @@ object QualityModel {
         coalesce(col("nn"), lit(0L)).as("n_neg"))
   }
 
+  /** Percentile rank of every document's quality score — the
+    * threshold-free form a mixing pipeline actually consumes ("keep
+    * the top 30%" survives a model swap; "keep quality ≥ 0.7" does
+    * not). Matches SQL `percent_rank() OVER (ORDER BY quality)`:
+    * pctl = (#strictly lower)/(n−1), ties share the rank; NULL for
+    * n ≤ 1 where the rank is undefined.
+    *
+    * Scale shape — the [[rocAuc]] discipline: a naive global
+    * percent_rank window is a single-task sort of the corpus; here
+    * the per-score counts (one map-side-combinable groupBy) feed a
+    * cumulative window over the 6-dp-quantized score DOMAIN
+    * (≤ 10⁶+1 rows), and the ranks join back on the score — two
+    * bounded steps and one equi-join, no global sort anywhere.
+    */
+  def percentileRanks(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byScore = scored.groupBy(col("quality")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("quality"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranks = byScore
+      .withColumn("below", coalesce(sum(col("cnt")).over(w), lit(0L)))
+    val total = scored.agg(count(lit(1)).as("n_total"))
+    scored.join(ranks, Seq("quality"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("quality"),
+        when(col("n_total") > 1L,
+          round(col("below") / (col("n_total") - 1L), 6)).as("pctl"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Reliability (calibration) bins: per decile of predicted quality,
     * how many documents landed there, the mean predicted quality, and
     * the observed positive fraction — the table behind a reliability

@@ -109,6 +109,20 @@ class QualityModelSpec extends AnyFunSuite {
     assert(b9._2 == 3L && b9._4 === 1.0)
   }
 
+  test("percentileRanks equals SQL percent_rank: ties share, extremes pin") {
+    // scores .1, .5, .5, .9 → percent_rank 0, 1/3, 1/3, 1
+    val out = QualityModel.percentileRanks(Seq(
+      (1L, 0.1), (2L, 0.5), (3L, 0.5), (4L, 0.9)).toDF("doc_id", "quality"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L) === 0.0)
+    assert(out(2L) === 0.333333 && out(3L) === 0.333333)
+    assert(out(4L) === 1.0)
+    // single row: rank undefined → null, not 0-division
+    val single = QualityModel.percentileRanks(
+      Seq((1L, 0.5)).toDF("doc_id", "quality")).head()
+    assert(single.isNullAt(2))
+  }
+
   test("classifier evaluation composes: corpus AUC is high when learnable") {
     val d = learnable
     val w = QualityModel.fit(d)
