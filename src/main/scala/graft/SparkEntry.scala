@@ -68,6 +68,11 @@ object SparkEntry {
     // vectors with a DIFFERENT label (the batch-worthy negatives)
     "hard_negatives" -> ((s, dir) =>
       Search.hardNegatives(emb(s, dir), "cosine", 5, 5)),
+    // the full contrastive-training input: per anchor, nearest
+    // same-label positive + nearest cross-label hard negative + margin,
+    // both arms from ONE scan via the (anchor, label-match) grouping
+    "triplet_mining" -> ((s, dir) =>
+      Search.tripletMining(emb(s, dir), "cosine", 5)),
     // §2.3 clustering: vector-mean Aggregator + two-pass inertia
     "cluster_centroid_dims" -> ((s, dir) =>
       emb(s, dir)
@@ -1449,6 +1454,29 @@ object SparkEntry {
          |  FROM scored)
          |SELECT query_id, neighbor_id, CAST(label AS INT) AS label, score, rank
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // both arms replayed with the same tie rule the bounded TopKAgg
+    // uses (score desc, candidate id asc)
+    "triplet_mining" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+         |             CAST(embedding AS DOUBLE[]) AS qe
+         |           FROM embeddings WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.query_id, q.q_label, e.vec_id AS cand_id, e.label,
+         |    round(${cosSql("CAST(e.embedding AS DOUBLE[])", "q.qe")}, 6) AS score
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id, (label = q_label)
+         |    ORDER BY score DESC, cand_id) AS rn
+         |  FROM scored),
+         |pos AS (SELECT query_id, cand_id AS positive_id, score AS pos_score
+         |        FROM ranked WHERE label = q_label AND rn = 1),
+         |neg AS (SELECT query_id, cand_id AS negative_id, score AS neg_score
+         |        FROM ranked WHERE label <> q_label AND rn = 1)
+         |SELECT p.query_id, p.positive_id, p.pos_score,
+         |  n.negative_id, n.neg_score,
+         |  round(p.pos_score - n.neg_score, 6) AS margin
+         |FROM pos p JOIN neg n ON p.query_id = n.query_id
+         |ORDER BY p.query_id""".stripMargin,
     "cluster_centroid_dims" ->
       s"""WITH ex AS (
          |  SELECT label, CAST(generate_subscripts(embedding, 1) AS INT) AS dim_idx,

@@ -307,4 +307,51 @@ object Search {
         col("score"), col("rank"))
       .orderBy(col("query_id").asc, col("rank").asc)
   }
+
+  /** Triplet mining — the full contrastive-training input
+    * [[hardNegatives]] supplies only half of: for each anchor, its
+    * nearest SAME-label neighbor (the positive, self excluded) and its
+    * nearest DIFFERENT-label neighbor (the hard negative), plus the
+    * margin between them — the quantity a triplet loss drives positive
+    * and a mining dashboard histograms (anchors with negative margin
+    * are the batch-worthy ones: their impostor currently outranks
+    * their positive; Schroff et al. 2015, FaceNet §3.2).
+    *
+    * ONE broadcast-join scan scores every (anchor, candidate) pair
+    * once; both arms come out of a SINGLE aggregation pass by grouping
+    * on (anchor, label-match flag) — two bounded [[TopKAgg]] rows per
+    * anchor cross the exchange, never a per-anchor sort of the corpus,
+    * and the arm split happens on that tiny 2·|anchors| frame. Anchors
+    * missing an arm (no same-label partner, or single-label data) drop
+    * out via the inner join — a triplet needs both sides.
+    */
+  def tripletMining(emb: DataFrame, metric: String, nQueries: Int): DataFrame = {
+    val top1 = udaf(new TopKAgg(1),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Double)]())
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("embedding").as("q_embedding"))
+    val arms = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), (col("label") === col("q_label")).as("same"),
+        col("vec_id").as("cand_id"),
+        round(VectorOps.similarity(metric)(col("embedding"), col("q_embedding")), 6)
+          .as("score"))
+      .filter(rankable(col("score")))
+      .groupBy(col("query_id"), col("same"))
+      .agg(top1(col("cand_id"), col("score")).as("nn"))
+      .select(col("query_id"), col("same"),
+        col("nn")(0).getField("_1").as("cand_id"),
+        col("nn")(0).getField("_2").as("score"))
+    arms.filter(col("same"))
+      .select(col("query_id"), col("cand_id").as("positive_id"),
+        col("score").as("pos_score"))
+      .join(arms.filter(!col("same"))
+        .select(col("query_id"), col("cand_id").as("negative_id"),
+          col("score").as("neg_score")), Seq("query_id"))
+      .select(col("query_id"), col("positive_id"), col("pos_score"),
+        col("negative_id"), col("neg_score"),
+        round(col("pos_score") - col("neg_score"), 6).as("margin"))
+      .orderBy(col("query_id"))
+  }
 }

@@ -102,6 +102,28 @@ class ClusteringSpec extends AnyFunSuite {
     assert(rank1 == bruteBest)
   }
 
+  test("tripletMining: known positive/negative, margin sign, lone-label anchor drops") {
+    import spark.implicits._
+    // anchor 0 (label 0): positive is the nearly-parallel v2 (label 0),
+    // hard negative is the nearby v3 (label 1), not the far v4 (label 1);
+    // anchor 1 carries a label no other vector has → no positive → drops
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f), 0),
+      (1L, Seq(0.0f, 1.0f, 0.0f), 7),
+      (2L, Seq(0.99f, 0.1f, 0.0f), 0),
+      (3L, Seq(0.9f, 0.4f, 0.0f), 1),
+      (4L, Seq(0.0f, 0.0f, 1.0f), 1)).toDF("vec_id", "embedding", "label")
+    val out = Search.tripletMining(e, "cosine", nQueries = 2).collect()
+    assert(out.length == 1, "the lone-label anchor must drop (no positive arm)")
+    val r = out.head
+    assert(r.getLong(0) == 0L)
+    assert(r.getLong(1) == 2L, "positive = nearest same-label")
+    assert(r.getLong(3) == 3L, "negative = nearest cross-label, not the far one")
+    assert(r.getDouble(5) > 0.0, "well-separated anchor has positive margin")
+    assert(r.getDouble(5) === BigDecimal(r.getDouble(2) - r.getDouble(4))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("lshCosinePairs only emits same-bucket pairs above threshold") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val pairs = Ann.lshCosinePairs(e, 0.4).collect()
