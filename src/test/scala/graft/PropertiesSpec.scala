@@ -314,4 +314,53 @@ class PropertiesSpec extends AnyFunSuite {
     })
     assert(res.passed, res.status.toString)
   }
+
+  test("property: AUC is rank-statistic — invariant under monotone score maps") {
+    import graft.operators.QualityModel
+    // random labeled score sets; applying a strictly increasing
+    // transform (and re-rounding to 6 dp, which preserves order for
+    // these magnitudes) must not change the AUC — it depends only on
+    // the ORDER of scores, the defining property of Mann-Whitney
+    val rowsGen = for {
+      n <- Gen.choose(4, 40)
+      rows <- Gen.listOfN(n, for {
+        s <- Gen.choose(0, 999)          // scores on a coarse 3-dp grid…
+        l <- Gen.oneOf(0L, 1L)
+      } yield (s / 1000.0, l))
+    } yield rows
+    val few = SCTest.Parameters.default.withMinSuccessfulTests(10)
+    val res = SCTest.check(few, Prop.forAll(rowsGen) { rows =>
+      val hasBoth = rows.exists(_._2 == 1L) && rows.exists(_._2 == 0L)
+      !hasBoth || {
+        def auc(rs: Seq[(Double, Long)]): Double =
+          QualityModel.rocAuc(rs.toDF("quality", "label")).head().getDouble(0)
+        val base = auc(rows)
+        // monotone maps: affine squeeze and a curved blend with
+        // derivative ≥ 0.3 — adjacent 3-dp grid points stay ≥ 3·10⁻⁴
+        // apart, so 6-dp rounding can neither merge nor reorder them
+        val affine = auc(rows.map { case (s, l) => (0.2 + s * 0.5, l) })
+        val curved = auc(rows.map { case (s, l) =>
+          (BigDecimal(0.3 * s + 0.7 * s * s * s).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble, l) })
+        base == affine && base == curved
+      }
+    })
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: percentile ranks lie in [0,1], mean is 1/2 for distinct scores") {
+    import graft.operators.QualityModel
+    val few = SCTest.Parameters.default.withMinSuccessfulTests(10)
+    val res = SCTest.check(few, Prop.forAll(Gen.choose(2, 50)) { n =>
+      // n distinct scores → ranks are exactly {0, 1/(n−1), …, 1}
+      val rows = (0 until n).map(i => (i.toLong, i / 100.0))
+      val got = QualityModel.percentileRanks(rows.toDF("doc_id", "quality"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      val want = (0 until n).map(i => i.toLong ->
+        BigDecimal(i.toDouble / (n - 1)).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+      got == want
+    })
+    assert(res.passed, res.status.toString)
+  }
 }
