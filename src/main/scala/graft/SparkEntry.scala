@@ -120,6 +120,13 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), 0.5)),
     "dedup_groups" -> ((s, dir) =>
       Dedup.dupGroups(Dedup.minhashLshPairs(tbl(s, dir, "documents"), 0.5))),
+    // triangle census over the dup graph (degree-ordered orientation —
+    // each triangle found once at its unique two-out-edge vertex, join
+    // fan-out bounded by oriented out-degree ≤ O(√E)): family-vs-chain
+    // structure the component size alone can't see
+    "dup_triangles" -> ((s, dir) =>
+      operators.Graph.triangles(
+        Dedup.minhashLshPairs(tbl(s, dir, "documents"), 0.5))),
     // the dup-cluster SIZE distribution — the one-glance answer to
     // "is dedup removing boilerplate families or isolated near-pairs":
     // two map-side-combinable groupBys over the already-resolved
@@ -743,6 +750,23 @@ object SparkEntry {
     // sort_array(collect_list(id)) shape held every id in ONE buffer and
     // cannot survive a 100× store. SQL form since round 8.
     "membership_hash" -> SqlSurface.query("membership_hash"),
+    // HOPPING (sliding) windows — the remaining time-window shape
+    // (tumbling = events_hourly, session = events_sessions): 2-hour
+    // windows sliding by 1 hour, so every event lands in exactly TWO
+    // windows. Spark's TimeWindow expression expands each row to its
+    // covering windows before one map-side-combinable aggregate — the
+    // same plan runs under readStream with a watermark. The oracle
+    // replays the expansion as an explicit 2-way explode.
+    "events_hopping" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("w_end"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy(col("w_start"), col("event_type"))),
     // streaming semantics in batch: session windows over events (the
     // identical plan runs under readStream with the watermark — see
     // graft.streaming.Streaming + StreamingSpec)
@@ -1752,6 +1776,21 @@ object SparkEntry {
          |          SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
          |SELECT src AS doc_id, least(src, min(dst)) AS group_id
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    // canonical doc_a < doc_b pairs make the ordered 3-way self-join
+    // count each triangle exactly once at its sorted vertex order
+    "dup_triangles" ->
+      s"""WITH $minhashCtes,
+         |prs AS (SELECT i.doc_a, i.doc_b
+         |        FROM inter i JOIN sz x ON i.doc_a = x.doc_id
+         |                     JOIN sz y ON i.doc_b = y.doc_id
+         |        WHERE round(i.c::DOUBLE/(x.n + y.n - i.c), 6) >= 0.5),
+         |tri AS (SELECT p1.doc_a AS a, p1.doc_b AS b, p2.doc_b AS c
+         |        FROM prs p1
+         |        JOIN prs p2 ON p2.doc_a = p1.doc_a AND p2.doc_b > p1.doc_b
+         |        JOIN prs p3 ON p3.doc_a = p1.doc_b AND p3.doc_b = p2.doc_b),
+         |v AS (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+         |SELECT doc_id, count(*) AS n_triangles
+         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the same component resolution, then two aggregations: component →
     // size, size → number of components
     "dup_size_histogram" ->
@@ -2947,6 +2986,18 @@ object SparkEntry {
          |  round(sum((ex.x - cent.c)*(ex.x - cent.c)), 6) AS inertia
          |FROM ex JOIN cent ON ex.band = cent.band AND ex.i = cent.i
          |GROUP BY ex.band ORDER BY cluster_tag""".stripMargin,
+    // every event belongs to the two 2-hour windows starting at its
+    // hour and the hour before — the explicit form of TimeWindow's
+    // expansion
+    "events_hopping" ->
+      s"""WITH x AS (SELECT event_type, value,
+         |        date_trunc('hour', ts) - to_hours(i.i) AS w_start
+         |      FROM events CROSS JOIN (SELECT unnest(range(2)) AS i) i)
+         |SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start,
+         |  strftime(w_start + INTERVAL 2 HOUR, '%Y-%m-%d %H:%M:%S') AS w_end,
+         |  event_type, count(*) AS n_events,
+         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         |FROM x GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
     "events_sessions" ->
       s"""WITH l AS (SELECT user_id, ts, value,
          |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev

@@ -60,4 +60,35 @@ class GraphSpec extends AnyFunSuite {
   test("pageRank is total on an empty pair set") {
     assert(ranks(Seq.empty).isEmpty)
   }
+
+  private def tris(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.triangles(pairs.toDF("doc_a", "doc_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("triangles: K4 has 4, each vertex in 3; chains and stars have none") {
+    // K4 on {1,2,3,4} plus a chain 5-6-7 (A≈B≈C without A≈C) plus a
+    // star at 8 — only the clique contributes
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val got = tris(k4 ++ Seq((5L, 6L), (6L, 7L), (8L, 9L), (8L, 10L), (8L, 11L)))
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"K4 vertices sit in 3 triangles each, nothing else in any: $got")
+    assert(got.values.sum == 12L, "4 triangles x 3 vertices")
+  }
+
+  test("triangles: counts are orientation-proof on a skewed hub graph") {
+    // hub 0 connected to 1..10, plus edges (1,2) and (2,3): triangles
+    // (0,1,2) and (0,2,3). The hub's raw degree is 10 but each triangle
+    // must still be counted exactly once.
+    val hub = (1L to 10L).map(v => (0L, v))
+    val got = tris(hub ++ Seq((1L, 2L), (2L, 3L)))
+    assert(got == Map(0L -> 2L, 1L -> 1L, 2L -> 2L, 3L -> 1L), got.toString)
+    // duplicate and reversed pair rows must not double-count
+    val dup = tris(Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 2L)))
+    assert(dup == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangles is total on empty and triangle-free inputs") {
+    assert(tris(Seq.empty).isEmpty)
+    assert(tris(Seq((1L, 2L), (3L, 4L))).isEmpty)
+  }
 }
