@@ -114,6 +114,10 @@ object Graph {
     val withDegs = und
       .join(deg.select(col("v").as("doc_a"), col("deg").as("da")), "doc_a")
       .join(deg.select(col("v").as("doc_b"), col("deg").as("db")), "doc_b")
+    // localCheckpoint, not cache(): three downstream branches read the
+    // oriented list, and an unreleased cache would park in the LRU
+    // across bench reps (the bigramLm lesson) — checkpoint blocks die
+    // with the frame
     val oriented = withDegs.select(
       when(col("da") < col("db") ||
           (col("da") === col("db") && col("doc_a") < col("doc_b")),
@@ -121,7 +125,7 @@ object Graph {
         .otherwise(struct(col("doc_b").as("lo"), col("doc_a").as("hi")))
         .as("e"))
       .select(col("e.lo").as("src"), col("e.hi").as("dst"))
-      .cache()
+      .localCheckpoint()
     // wedges at the unique low vertex, closed by an oriented edge
     val e1 = oriented.select(col("src"), col("dst").as("u"))
     val e2 = oriented.select(col("src"), col("dst").as("w"))

@@ -108,4 +108,32 @@ class NullInputSpec extends AnyFunSuite {
     assert(knn.forall(r => !r.getDouble(r.fieldIndex("score")).isNaN),
       "knnJoin must not rank NaN scores")
   }
+
+  test("triplet mining survives null embeddings and NaN scores") {
+    val e = Seq(
+      (0L, Array.tabulate(64)(i => if (i == 0) 1f else 0f), 0),
+      (1L, null.asInstanceOf[Array[Float]], 0),
+      (2L, Array.tabulate(64)(i => if (i < 2) 1f else 0f), 0),
+      (3L, Array.tabulate(64)(i => if (i == 0) Float.NaN else 0f), 1),
+      (4L, Array.tabulate(64)(i => if (i == 1) 1f else 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Search.tripletMining(e, "cosine", nQueries = 1).collect()
+    // anchor 0: positive must be the real same-label vec 2 (the null
+    // drops), negative the real vec 4 (the NaN drops from ranking)
+    assert(out.length == 1)
+    assert(out.head.getLong(1) == 2L && out.head.getLong(3) == 4L,
+      s"null/NaN candidates must not win an arm: ${out.head}")
+  }
+
+  test("curriculum order drops null-n_chars rows rather than throwing") {
+    // a null length cannot be staged — it must not take the epoch
+    // builder down, and it must not land in stage 2 by CASE fallthrough
+    val d = Seq((1L, "a", Some(100L)), (2L, "b", Option.empty[Long]),
+      (3L, "c", Some(500L))).toDF("doc_id", "text", "n_chars")
+    val out = Sampling.curriculumOrder(d, limit = 10).collect()
+    assert(out.length == 3, "null n_chars rows still flow through")
+    val stages = out.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(stages(1L) == 0 && stages(3L) == 2)
+    assert(stages(2L) == 2, "CASE otherwise puts null lengths in the last stage")
+  }
 }
