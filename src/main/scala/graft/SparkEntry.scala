@@ -212,6 +212,17 @@ object SparkEntry {
     // BM25 top-k retrieval for a bag-of-words query
     "bm25_search" -> ((s, dir) =>
       TextAnalysis.bm25TopDocs(tbl(s, dir, "documents"), bm25Query, 10)),
+    // retrieval EVALUATION: MRR@10 over a fixed query set (relevance =
+    // contains every query term) — q queries in ONE corpus scan via the
+    // broadcast term→query fan-out; the evaluation-family companion of
+    // classifier_auc and ann_recall_curve. Honesty note (the
+    // quality_classifier convention): this synthetic corpus is so
+    // term-dense that every query's top-1 is conjunctively relevant —
+    // the contract row validates the machinery and its oracle parity;
+    // TextAnalysisSpec shows the non-saturated metric on a corpus
+    // where tf-spam outranks the one relevant doc
+    "bm25_mrr" -> ((s, dir) =>
+      TextAnalysis.bm25MrrEval(tbl(s, dir, "documents"), mrrQueries)),
     // hybrid retrieval: BM25 top-10 and cosine top-10 fused by
     // reciprocal-rank (score-free — the two scales never compare);
     // documents and embeddings share the id space by construction.
@@ -1201,6 +1212,14 @@ object SparkEntry {
   // bm25_search query terms — all in the synthetic vocabulary
   private val bm25Query = Seq("query", "fast", "merge")
 
+  /** The MRR evaluation query set — fixed ids, corpus-present terms
+    * (TESTDATA vocabulary), shared verbatim with the oracle.
+    */
+  private val mrrQueries: Seq[(Int, Seq[String])] = Seq(
+    0 -> Seq("query", "fast", "merge"),
+    1 -> Seq("vector", "window"),
+    2 -> Seq("stream", "sort", "hash"))
+
   /** BM25 oracle — shared by bm25_search (from-scratch) and
     * bm25_persisted (inverted-index path): identical expected ranking.
     */
@@ -1231,6 +1250,52 @@ object SparkEntry {
     s"""WITH $bm25Ctes
        |SELECT doc_id, n_terms_hit, bm25
        |FROM lex ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+
+  /** MRR replay: the same per-(query, doc) decimal-accumulated BM25,
+    * row_number ranking with the TopKAgg tie rule, first-relevant-rank
+    * inside the top-10, rr = 0 when no relevant doc makes the cut.
+    */
+  private lazy val bm25MrrOracleSql: String = {
+    val allTerms = mrrQueries.flatMap(_._2).distinct
+      .map(t => s"'$t'").mkString(", ")
+    val qtRows = mrrQueries.flatMap { case (q, ts) =>
+      ts.distinct.map(t => s"($q, '$t', ${ts.distinct.size})")
+    }.mkString(", ")
+    s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+       |d AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM w),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+       |qt(query_id, w, n_q_terms) AS (VALUES $qtRows),
+       |e AS (SELECT doc_id, dl, unnest(list_filter(ws, x -> x IN ($allTerms))) AS w FROM d),
+       |tf AS (SELECT doc_id, dl, w, CAST(count(*) AS BIGINT) AS tf FROM e GROUP BY 1, 2, 3),
+       |df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+       |sc AS (SELECT qt.query_id, qt.n_q_terms, tf.doc_id,
+       |         CAST(count(*) AS BIGINT) AS n_hit,
+       |         round(CAST(sum(CAST(
+       |           round((ln((st.n_docs - df.df + 0.5::DOUBLE) / (df.df + 0.5::DOUBLE) + 1.0::DOUBLE)
+       |             * (tf.tf * 2.2::DOUBLE)) /
+       |             (tf.tf + 1.2::DOUBLE * (0.25::DOUBLE
+       |               + (0.75::DOUBLE * tf.dl) / (st.sum_dl::DOUBLE / st.n_docs))), 9)
+       |           AS DECIMAL(28,9))) AS DOUBLE), 6) AS bm25
+       |       FROM tf JOIN df USING (w) JOIN qt USING (w) CROSS JOIN st
+       |       GROUP BY 1, 2, 3),
+       |rk AS (SELECT *, CAST(row_number() OVER
+       |         (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank
+       |       FROM sc),
+       |rel AS (SELECT query_id, doc_id FROM sc WHERE n_hit = n_q_terms),
+       |fr AS (SELECT r.query_id,
+       |         min(CASE WHEN rel.doc_id IS NOT NULL AND r.rank <= 10
+       |                  THEN r.rank END) AS first_rel_rank
+       |       FROM rk r LEFT JOIN rel
+       |         ON r.query_id = rel.query_id AND r.doc_id = rel.doc_id
+       |       GROUP BY 1),
+       |nr AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_relevant
+       |       FROM rel GROUP BY 1)
+       |SELECT fr.query_id, coalesce(nr.n_relevant, 0) AS n_relevant,
+       |  fr.first_rel_rank,
+       |  coalesce(round(1.0 / fr.first_rel_rank, 6), 0.0) AS reciprocal_rank
+       |FROM fr LEFT JOIN nr ON fr.query_id = nr.query_id
+       |ORDER BY fr.query_id""".stripMargin
+  }
 
   /** Layout-independent IVF probe+scan replay from a layout's dumped
     * centroids — shared by ann_ivf_persisted and ann_ivf_compacted
@@ -1691,6 +1756,7 @@ object SparkEntry {
     // double fold; per-term scores round at 9 dp then sum in
     // DECIMAL(28,9) (order-independent) on both engines
     "bm25_search" -> bm25OracleSql,
+    "bm25_mrr" -> bm25MrrOracleSql,
     // both arms re-ranked exactly as their own oracles rank, then the
     // reciprocal terms add lexical-first in both engines
     "hybrid_search_rrf" ->

@@ -451,6 +451,82 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Retrieval evaluation: MRR@k over a fixed query set — the lexical
+    * member of the engine's evaluation family (ROC AUC for the
+    * classifier, recall@k curve for the ANN index, MRR here). A doc is
+    * RELEVANT to a query iff it contains every query term (the
+    * conjunctive proxy a synthetic corpus supports); the metric is the
+    * reciprocal rank of the first relevant doc inside the BM25 top-k,
+    * 0 when none makes the cut.
+    *
+    * Multi-query in ONE corpus scan: the corpus tokenizes once into a
+    * narrow (doc, dl, matched-terms) cache, per-term tf/df are
+    * QUERY-INDEPENDENT aggregates, and the term→query fan-out is a
+    * broadcast join against the literal query-term table — so q
+    * queries cost one scan plus q tiny aggregates, not q scans (the
+    * [[graft.operators.Search.topKMany]] batching discipline applied
+    * to lexical retrieval). Per-query ranking is the bounded
+    * [[graft.operators.Search.TopKAgg]], never a per-query sort of
+    * the candidate set.
+    */
+  def bm25MrrEval(docs: DataFrame, queries: Seq[(Int, Seq[String])],
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "every query needs at least one term")
+    import docs.sparkSession.implicits._
+    val allTerms = queries.flatMap(_._2).distinct
+    val qterms = queries.flatMap { case (q, ts) =>
+      ts.distinct.map(t => (q, t, ts.distinct.size))
+    }.toDF("query_id", "w", "n_q_terms")
+    val base = Partitioning.spread(docs)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
+        filter(col("ws"), w => allTerms.map(t => w === t).reduce(_ || _)).as("qs"))
+      .localCheckpoint() // eager narrow cache; blocks die with the frame
+    val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("qs")).as("w"))
+      .groupBy(col("doc_id"), col("dl"), col("w")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val termScore =
+      log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+        (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+    val scored = tf.join(broadcast(df), "w")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qterms), "w")
+      .groupBy(col("query_id"), col("n_q_terms"), col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_terms_hit"),
+        sum(round(termScore, 9).cast(DecimalType(28, 9))).as("acc"))
+      .select(col("query_id"), col("n_q_terms"), col("doc_id"),
+        col("n_terms_hit"), round(col("acc").cast("double"), 6).as("bm25"))
+      .localCheckpoint() // feeds ranking, relevance and n_relevant
+    val topkAgg = udaf(new graft.operators.Search.TopKAgg(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Double)]())
+    val ranked = scored
+      .groupBy(col("query_id"))
+      .agg(topkAgg(col("doc_id"), col("bm25")).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "p")))
+      .select(col("query_id"), col("p._1").as("doc_id"),
+        (col("pos") + 1).cast("long").as("rank"))
+    val rel = scored.filter(col("n_terms_hit") === col("n_q_terms"))
+      .select(col("query_id"), col("doc_id"))
+    val firstRel = ranked
+      .join(rel.withColumn("relevant", lit(true)), Seq("query_id", "doc_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(min(when(col("relevant"), col("rank"))).as("first_rel_rank"))
+    val nRel = rel.groupBy(col("query_id")).agg(count(lit(1)).as("n_relevant"))
+    val out = firstRel.join(nRel, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_relevant"), lit(0L)).as("n_relevant"),
+        col("first_rel_rank"),
+        coalesce(round(lit(1.0) / col("first_rel_rank"), 6), lit(0.0))
+          .as("reciprocal_rank"))
+      .orderBy(col("query_id"))
+    out
+  }
+
   /** Unigram-LM surprisal per document — the bounded analogue of a
     * KenLM-style language-model quality filter (CCNet/LLaMA pipelines
     * bucket documents by LM perplexity): score = −Σ tf(w)·ln p(w) / n,

@@ -360,4 +360,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     // the removed middle line must not disturb surrounding order
     assert(got(5L) == ((3L, 1L, 17L, sha256("zz yy xx aa bb cc"))))
   }
+
+  test("bm25MrrEval: tf-spam outranks the relevant doc — rank 3, rr 1/3; k cut zeroes") {
+    // 'beta' is near-ubiquitous (idf ~0.29), 'alpha' rare (idf ~1.05):
+    // two alpha-spam docs (tf 4, no beta) outscore the ONE doc holding
+    // both terms, so first_rel_rank = 3 — the non-saturated shape the
+    // term-dense contract corpus can't produce
+    val docs = ((0L until 6L).map(i => (i, "beta x y")) ++ Seq(
+      (6L, "alpha alpha alpha alpha"),
+      (7L, "alpha alpha alpha alpha"),
+      (8L, "alpha beta"))).toDF("doc_id", "text")
+    val q = Seq(0 -> Seq("alpha", "beta"))
+    val out = TextAnalysis.bm25MrrEval(docs, q, k = 10).head()
+    assert(out.getLong(1) == 1L, "exactly one conjunctively relevant doc")
+    assert(out.getLong(2) == 3L, s"spam must outrank the relevant doc: $out")
+    assert(out.getDouble(3) == 0.333333)
+    // cutting k below the relevant rank zeroes the reciprocal rank
+    val cut = TextAnalysis.bm25MrrEval(docs, q, k = 2).head()
+    assert(cut.isNullAt(2) && cut.getDouble(3) == 0.0)
+    // a query with an absent term has no relevant docs at all
+    val none = TextAnalysis.bm25MrrEval(docs, Seq(0 -> Seq("alpha", "nope")), k = 5).head()
+    assert(none.getLong(1) == 0L && none.getDouble(3) == 0.0)
+  }
 }
