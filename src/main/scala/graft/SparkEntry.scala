@@ -176,6 +176,23 @@ object SparkEntry {
       Dedup.incrementalFlags(docs.filter(col("doc_id") % 3 === 0),
         docs.filter(col("doc_id") % 3 =!= 0), 0.5)
     }),
+    // the dedup-index maintenance variant (completing the compaction
+    // trio): the SAME history split lands as base (%3=1) plus two
+    // committed append batches (%3=2 by parity), gets FOLDED by
+    // compactDedupIndex, and the incoming batch probes the compacted
+    // layout — the oracle is dedup_incremental's two-set replay
+    // verbatim, so a fold that lost a band row or re-duplicated a
+    // digest flips a flag and breaks the hash
+    "dedup_incremental_compacted" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val path = Dedup.indexDumpPath
+      Dedup.persistDedupIndex(docs.filter(col("doc_id") % 3 === 1), path)
+      Dedup.appendDedupIndex(docs.filter(col("doc_id") % 6 === 2), path)
+      Dedup.appendDedupIndex(docs.filter(col("doc_id") % 6 === 5), path)
+      Dedup.compactDedupIndex(s, path)
+      Dedup.incrementalFlagsPersisted(docs.filter(col("doc_id") % 3 === 0),
+        path, 0.5)
+    }),
     "mixture_sample" -> ((s, dir) =>
       operators.Sampling.mixtureSummary(tbl(s, dir, "documents"),
         mixtureWeights, defaultWeight = 0.75)),
@@ -1255,6 +1272,37 @@ object SparkEntry {
     * row_number ranking with the TopKAgg tie rule, first-relevant-rank
     * inside the top-10, rr = 0 when no relevant doc makes the cut.
     */
+  /** The two-set incremental replay shared by dedup_incremental and
+    * dedup_incremental_compacted — history is doc_id %3 != 0 either
+    * way; whether it sits in one frame or a compacted persisted index
+    * must not change a single flag.
+    */
+  private lazy val dedupIncrementalOracleSql: String =
+    s"""WITH seeds AS (SELECT unnest(range(16)) AS seed),
+         |${minhashSideCtes("I", "doc_id % 3 = 0")},
+         |${minhashSideCtes("H", "doc_id % 3 <> 0")},
+         |hd AS (SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 3 <> 0),
+         |ie AS (SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 3 = 0),
+         |ex AS (SELECT DISTINCT ie.doc_id FROM ie JOIN hd USING (h)),
+         |cand AS (SELECT DISTINCT i.doc_id, h.doc_id AS hist_id
+         |         FROM bandedI i JOIN bandedH h
+         |           ON i.band = h.band AND i.band_key = h.band_key),
+         |inter AS (SELECT c.doc_id, c.hist_id, count(*) AS c
+         |          FROM cand c JOIN shI a ON a.doc_id = c.doc_id
+         |                      JOIN shH b ON b.doc_id = c.hist_id AND a.shingle = b.shingle
+         |          GROUP BY 1, 2),
+         |near AS (SELECT DISTINCT i.doc_id
+         |         FROM inter i JOIN szI x ON i.doc_id = x.doc_id
+         |                      JOIN szH y ON i.hist_id = y.doc_id
+         |         WHERE round(i.c::DOUBLE/(x.n + y.n - i.c), 6) >= 0.5)
+         |SELECT ie.doc_id,
+         |  (ex.doc_id IS NOT NULL) AS exact_dup_hist,
+         |  (near.doc_id IS NOT NULL) AS near_dup_hist,
+         |  (ex.doc_id IS NULL AND near.doc_id IS NULL) AS keep
+         |FROM ie LEFT JOIN ex ON ie.doc_id = ex.doc_id
+         |        LEFT JOIN near ON ie.doc_id = near.doc_id
+         |ORDER BY ie.doc_id""".stripMargin
+
   private lazy val bm25MrrOracleSql: String = {
     val allTerms = mrrQueries.flatMap(_._2).distinct
       .map(t => s"'$t'").mkString(", ")
@@ -1800,31 +1848,10 @@ object SparkEntry {
          |  coalesce(s.n_shared, 0) >= 3 AS contaminated
          |FROM documents LEFT JOIN s USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
-    "dedup_incremental" ->
-      s"""WITH seeds AS (SELECT unnest(range(16)) AS seed),
-         |${minhashSideCtes("I", "doc_id % 3 = 0")},
-         |${minhashSideCtes("H", "doc_id % 3 <> 0")},
-         |hd AS (SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 3 <> 0),
-         |ie AS (SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 3 = 0),
-         |ex AS (SELECT DISTINCT ie.doc_id FROM ie JOIN hd USING (h)),
-         |cand AS (SELECT DISTINCT i.doc_id, h.doc_id AS hist_id
-         |         FROM bandedI i JOIN bandedH h
-         |           ON i.band = h.band AND i.band_key = h.band_key),
-         |inter AS (SELECT c.doc_id, c.hist_id, count(*) AS c
-         |          FROM cand c JOIN shI a ON a.doc_id = c.doc_id
-         |                      JOIN shH b ON b.doc_id = c.hist_id AND a.shingle = b.shingle
-         |          GROUP BY 1, 2),
-         |near AS (SELECT DISTINCT i.doc_id
-         |         FROM inter i JOIN szI x ON i.doc_id = x.doc_id
-         |                      JOIN szH y ON i.hist_id = y.doc_id
-         |         WHERE round(i.c::DOUBLE/(x.n + y.n - i.c), 6) >= 0.5)
-         |SELECT ie.doc_id,
-         |  (ex.doc_id IS NOT NULL) AS exact_dup_hist,
-         |  (near.doc_id IS NOT NULL) AS near_dup_hist,
-         |  (ex.doc_id IS NULL AND near.doc_id IS NULL) AS keep
-         |FROM ie LEFT JOIN ex ON ie.doc_id = ex.doc_id
-         |        LEFT JOIN near ON ie.doc_id = near.doc_id
-         |ORDER BY ie.doc_id""".stripMargin,
+    "dedup_incremental" -> dedupIncrementalOracleSql,
+    // compaction is invisible to dedup semantics: same two-set replay
+    "dedup_incremental_compacted" -> dedupIncrementalOracleSql,
+
     // duplicate groups = connected components of the verified pair graph;
     // the oracle computes the transitive closure with a recursive CTE and
     // labels each vertex with the component minimum — identical semantics

@@ -633,6 +633,13 @@ object Dedup {
     * see new digests next to old bands. Quiesce readers across
     * rebuilds — appends are the concurrent-safe path.
     */
+  /** Layout root for the compacted-index contract query (the
+    * [[graft.operators.KMeansIndex.compactDumpPath]] convention).
+    */
+  val indexDumpPath: String =
+    sys.props.getOrElse("graft.dedup.index.dump",
+      "/tmp/graft_oracle_dedup_index")
+
   def persistDedupIndex(history: DataFrame, path: String,
       k: Int = 16, bands: Int = 4): Unit = {
     val hist = histProjection(history).cache()
@@ -704,20 +711,62 @@ object Dedup {
     ()
   }
 
+  /** Committed batch directories of a [[persistDedupIndex]] layout —
+    * only those whose batch-level `_COMMITTED` marker exists.
+    */
+  private def committedBatchDirs(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/batches")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root))
+      fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+        .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_COMMITTED")))
+        .map(_.toString).sorted.toSeq
+    else Seq.empty[String]
+  }
+
   /** The committed read view of one index table: base dir + every batch
     * directory whose `_COMMITTED` marker exists.
     */
   private def readIndexTable(spark: org.apache.spark.sql.SparkSession,
-      path: String, table: String): DataFrame = {
-    val root = new org.apache.hadoop.fs.Path(s"$path/batches")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val batchDirs =
-      if (fs.exists(root))
-        fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
-          .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_COMMITTED")))
-          .map(p => s"$p/$table").sorted.toSeq
-      else Seq.empty[String]
-    (s"$path/$table" +: batchDirs).map(spark.read.parquet(_)).reduce(_.unionByName(_))
+      path: String, table: String): DataFrame =
+    (s"$path/$table" +: committedBatchDirs(spark, path).map(d => s"$d/$table"))
+      .map(spark.read.parquet(_)).reduce(_.unionByName(_))
+
+  /** Compact a [[persistDedupIndex]] layout — the third member of the
+    * index-maintenance trio ([[KMeansIndex.compactPersisted]],
+    * [[InvertedIndex.compact]]): fold every batch committed at the
+    * snapshot into the three base tables. The digest table re-distincts
+    * across base ∪ batches (disjoint-doc appends can still repeat a
+    * CONTENT digest); bands and shingles fold by plain union. Staging
+    * writes + per-table dir renames, snapshot-scoped batch deletion —
+    * a concurrently committed batch survives untouched; the manifest
+    * (band geometry) is layout metadata and never changes in a fold.
+    */
+  def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val snapshot = committedBatchDirs(spark, path)
+    if (snapshot.isEmpty) return
+    def tableView(table: String): DataFrame =
+      (s"$path/$table" +: snapshot.map(d => s"$d/$table"))
+        .map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    val token = java.util.UUID.randomUUID().toString
+    tableView("digests").distinct()
+      .write.parquet(s"$path/.digests_compact_$token")
+    tableView("bands").write.parquet(s"$path/.bands_compact_$token")
+    tableView("shingles").write.parquet(s"$path/.shingles_compact_$token")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    for (table <- Seq("digests", "bands", "shingles")) {
+      val old = s"$path/.${table}_old_$token"
+      require(fs.rename(p(s"$path/$table"), p(old)),
+        s"compact: $table swap-out failed")
+      require(fs.rename(p(s"$path/.${table}_compact_$token"), p(s"$path/$table")),
+        s"compact: $table swap-in failed")
+      fs.delete(p(old), true)
+    }
+    snapshot.foreach(d => fs.delete(p(d), true))
   }
 
   /** [[incrementalFlags]] against a [[persistDedupIndex]] layout —

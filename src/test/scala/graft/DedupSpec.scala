@@ -194,6 +194,55 @@ class DedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("manifest"))
   }
 
+  test("compactDedupIndex: flag-invariant, batches folded, uncommitted preserved") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val history = Seq((1L, base, "s")).toDF("doc_id", "text", "source")
+    val path = java.nio.file.Files.createTempDirectory("dedup_compact").toString
+    Dedup.persistDedupIndex(history, path)
+    Dedup.appendDedupIndex(Seq(
+      (2L, "completely different content about database engines and joins", "s"))
+      .toDF("doc_id", "text", "source"), path)
+    Dedup.appendDedupIndex(Seq(
+      (3L, "fresh unseen words nothing shared with either prior document", "s"))
+      .toDF("doc_id", "text", "source"), path)
+    // an uncommitted batch: must survive the fold untouched, invisible
+    Dedup.appendDedupIndex(Seq(
+      (99L, "torn batch content that must stay invisible to readers", "s"))
+      .toDF("doc_id", "text", "source"), path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val tornDir = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/batches"))
+      .map(_.getPath)
+      .find { p =>
+        spark.read.parquet(s"$p/shingles")
+          .filter(array_contains(col("sh"), "torn batch content")).count() > 0
+      }.get
+    fs.delete(new org.apache.hadoop.fs.Path(tornDir, "_COMMITTED"), false)
+    val probe = Seq(
+      (10L, base.replace("dog", "cat"), "s"),                       // near-dup of base
+      (11L, "fresh unseen words nothing shared with either prior document", "s"), // exact of batch 2
+      (12L, "torn batch content that must stay invisible to readers", "s"), // matches ONLY the torn batch
+      (13L, "genuinely new material overlapping nothing at all anywhere", "s"))
+      .toDF("doc_id", "text", "source")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toSeq
+    val before = rows(Dedup.incrementalFlagsPersisted(probe, path, 0.5))
+    Dedup.compactDedupIndex(spark, path)
+    val after = rows(Dedup.incrementalFlagsPersisted(probe, path, 0.5))
+    assert(after == before, "compaction changed incremental flags")
+    assert(after.find(_._1 == 12L).get == ((12L, false, false, true)),
+      "the torn batch stays invisible after the fold")
+    val left = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/batches"))
+      .map(_.getPath.getName).toSeq
+    assert(left == Seq(tornDir.getName),
+      s"committed batches must fold away, got $left")
+    // the folded base now holds the appended docs' shingles directly
+    assert(spark.read.parquet(s"$path/shingles").count() == 3L)
+    // idempotent: the only remaining batch is uncommitted → no-op
+    Dedup.compactDedupIndex(spark, path)
+    assert(rows(Dedup.incrementalFlagsPersisted(probe, path, 0.5)) == before)
+  }
+
   test("keepCanonical keeps lowest doc_id per group") {
     val r = Dedup.keepCanonical(docs).collect()
       .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSeq
