@@ -32,6 +32,22 @@ object Streaming {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Hopping (sliding) window counts — every event lands in
+    * length/slide windows (two here); the watermark evicts window
+    * state `watermark` past each window's END. Batch-identical to the
+    * `events_hopping` contract query's shape.
+    */
+  def hoppingAgg(events: DataFrame, watermark: String = "3 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("w_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   /** Built-in session windows: events within `gapSeconds` of each other
     * merge into one session per user.
     */

@@ -36,6 +36,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq && streamed.nonEmpty)
   }
 
+  test("hoppingAgg: streaming equals batch; every event in exactly two windows") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(fixture: _*)
+    val q = Streaming.hoppingAgg(mem.toDF()).writeStream
+      .format("memory").queryName("hopping_out").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("hopping_out")
+      .orderBy("w_start", "event_type").collect().map(_.toSeq)
+    val batch = Streaming.hoppingAgg(fixture.toDF())
+      .orderBy("w_start", "event_type").collect().map(_.toSeq)
+    assert(streamed.toSeq == batch.toSeq && streamed.nonEmpty)
+    // 2h windows sliding 1h: Σ window counts = 2 × events
+    val total = spark.table("hopping_out")
+      .agg(org.apache.spark.sql.functions.sum("n_events")).head().getLong(0)
+    assert(total == 2L * fixture.size, s"each event must land in exactly 2 windows, got $total")
+  }
+
   test("sessionAgg: 30-min gap splits sessions per user") {
     val out = Streaming.sessionAgg(fixture.toDF(), gapSeconds = 1800)
       .orderBy("user_id", "session_start").collect()
