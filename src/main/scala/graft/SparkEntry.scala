@@ -610,6 +610,13 @@ object SparkEntry {
     // scalar threshold + NOT EXISTS anti join
     "q21_returned_alone" -> SqlSurface.query("q21_returned_alone"),
     "q22_idle_customers" -> SqlSurface.query("q22_idle_customers"),
+    // r8 session-3: the three remaining classic subquery shapes —
+    // correlated MIN-equality (argmin), IN over a HAVING aggregate,
+    // and a NESTED IN — all through the SQL surface, all planned as
+    // decorrelated aggregates + semi joins (SqlSurfaceSpec pins)
+    "q2_min_price_supplier" -> SqlSurface.query("q2_min_price_supplier"),
+    "q18_large_orders" -> SqlSurface.query("q18_large_orders"),
+    "q20_widget_suppliers" -> SqlSurface.query("q20_widget_suppliers"),
     // window-FRAME coverage: partitioned RANGE rolling 7-day window,
     // lag delta, ntile quartiles — runs as SQL (SqlSurface)
     "events_rolling" -> SqlSurface.query("events_rolling"),
@@ -889,6 +896,42 @@ object SparkEntry {
     // range self-join or a distinct-in-moving-frame window
     "active_users_7d" -> ((s, dir) =>
       operators.Funnel.rollingActiveUsers(events(s, dir), 7)),
+    // CDC surface: rebuild the full SCD2 dimension history from the
+    // event stream as a change log — run-length compaction of each
+    // user's event_type sequence into half-open [from, to) intervals;
+    // two window frames over ONE exchange+sort (event_id tie-break
+    // makes the ordering total, so lag/lead agree across engines)
+    "scd2_history" -> ((s, dir) =>
+      operators.Cdc.scd2FromLog(events(s, dir), col("user_id"), col("ts"),
+          col("event_type"), col("event_id"))
+        .select(col("key").as("user_id"), col("state"),
+          date_format(col("effective_from_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("effective_from"),
+          date_format(col("effective_to_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("effective_to"),
+          col("is_current"))
+        .orderBy(col("user_id"), col("effective_from"))),
+    // the MERGE half of the CDC pair: current snapshot (latest state
+    // per user before the split) ⊕ updates batch (latest state after)
+    // through one full-outer join — unchanged / closed / new /
+    // reopened lanes, idempotent on same-state re-sends
+    "scd2_merge" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val split = lit("2024-01-16 00:00:00").cast("timestamp")
+      val cur = operators.Cdc.latestState(ev.filter(col("ts") < split),
+          col("user_id"), col("ts"), col("event_type"), col("event_id"))
+        .select(col("key"), col("state"), col("ts").as("effective_from_ts"))
+      val upd = operators.Cdc.latestState(ev.filter(col("ts") >= split),
+        col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      operators.Cdc.scd2Merge(cur, upd)
+        .select(col("key").as("user_id"), col("state"),
+          date_format(col("effective_from_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("effective_from"),
+          date_format(col("effective_to_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("effective_to"),
+          col("is_current"), col("lane"))
+        .orderBy(col("user_id"), col("lane"), col("effective_from"))
+    }),
     // monitoring family: hourly volume z-scores from exact integer
     // moments; per-label centroid drift between the vec_id-parity
     // snapshots; equi-width value histogram
@@ -2852,6 +2895,42 @@ object SparkEntry {
          |                  WHERE o.o_custkey = c.c_custkey
          |                    AND o.o_totalprice > 400000.0)
          |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
+    // same correlated min — DuckDB decorrelates the argmin identically;
+    // equality on exact 2-dp doubles from the same parquet
+    "q2_min_price_supplier" ->
+      s"""SELECT p.p_partkey, p.p_name, l.l_suppkey, l.l_extendedprice AS min_price
+         |FROM lineitem l
+         |JOIN part p ON p.p_partkey = l.l_partkey
+         |WHERE p.p_brand = 'Brand#2'
+         |  AND l.l_extendedprice = (SELECT min(l2.l_extendedprice)
+         |                           FROM lineitem l2
+         |                           WHERE l2.l_partkey = l.l_partkey)
+         |ORDER BY p.p_partkey, l.l_suppkey""".stripMargin,
+    // same IN-over-HAVING; sum(l_quantity) exact (integer-valued doubles)
+    "q18_large_orders" ->
+      s"""SELECT c.c_name, o.o_orderkey,
+         |  strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         |  o.o_totalprice, sum(l.l_quantity) AS sum_qty
+         |FROM customer c
+         |JOIN orders o ON o.o_custkey = c.c_custkey
+         |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         |WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+         |                       GROUP BY l_orderkey
+         |                       HAVING sum(l_quantity) > 200.0)
+         |GROUP BY 1, 2, 3, 4
+         |ORDER BY o.o_totalprice DESC, o.o_orderkey
+         |LIMIT 20""".stripMargin,
+    // same nested IN — DuckDB plans the two semi joins the same way
+    "q20_widget_suppliers" ->
+      s"""SELECT s.s_suppkey, s.s_name
+         |FROM supplier s
+         |WHERE s.s_suppkey IN (
+         |  SELECT l.l_suppkey FROM lineitem l
+         |  WHERE l.l_partkey IN (SELECT p_partkey FROM part
+         |                        WHERE p_name LIKE '%widget')
+         |  GROUP BY l.l_suppkey
+         |  HAVING sum(l.l_quantity) > 2000.0)
+         |ORDER BY s.s_suppkey""".stripMargin,
     // identical frames on the same integer day axis; DuckDB's window
     // sums/ntile return HUGEINT/BIGINT, cast back to the engine's types
     "events_rolling" ->
@@ -3257,6 +3336,52 @@ object SparkEntry {
     // moments (decimal sums), identical expression order in the z;
     // the guard tests the RADICAND (mirrors Monitor.hourlyAnomaly —
     // sqrt(negative) would error here but pass a NaN>0 guard in Spark)
+    // identical lag/lead windows on the total (ts, event_id) ordering;
+    // %f prints 6-digit micros matching Spark's SSSSSS
+    "scd2_history" ->
+      s"""WITH s AS (SELECT user_id, ts, event_type, event_id,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS prev
+         |  FROM events),
+         |c AS (SELECT user_id, event_type, ts, event_id FROM s
+         |      WHERE prev IS NULL OR prev <> event_type),
+         |r AS (SELECT user_id, event_type AS state, ts AS ef,
+         |        lead(ts) OVER (PARTITION BY user_id
+         |          ORDER BY ts, event_id) AS et
+         |      FROM c)
+         |SELECT user_id, state,
+         |  strftime(ef, '%Y-%m-%d %H:%M:%S.%f') AS effective_from,
+         |  strftime(et, '%Y-%m-%d %H:%M:%S.%f') AS effective_to,
+         |  (et IS NULL) AS is_current
+         |FROM r ORDER BY user_id, effective_from""".stripMargin,
+    // same three merge lanes replayed as a full-outer join + UNION ALL
+    "scd2_merge" ->
+      s"""WITH cur AS (SELECT user_id, event_type, ts FROM (
+         |    SELECT user_id, event_type, ts, row_number() OVER (
+         |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         |    FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00') WHERE rn = 1),
+         |upd AS (SELECT user_id, event_type, ts FROM (
+         |    SELECT user_id, event_type, ts, row_number() OVER (
+         |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         |    FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00') WHERE rn = 1),
+         |j AS (SELECT c.user_id AS ck, c.event_type AS cs, c.ts AS cf,
+         |        u.user_id AS uk, u.event_type AS us, u.ts AS ut
+         |      FROM cur c FULL OUTER JOIN upd u ON c.user_id = u.user_id)
+         |SELECT * FROM (
+         |  SELECT ck AS user_id, cs AS state,
+         |    strftime(cf, '%Y-%m-%d %H:%M:%S.%f') AS effective_from,
+         |    CAST(NULL AS VARCHAR) AS effective_to,
+         |    TRUE AS is_current, 'unchanged' AS lane
+         |  FROM j WHERE uk IS NULL OR (ck IS NOT NULL AND cs = us)
+         |  UNION ALL
+         |  SELECT ck, cs, strftime(cf, '%Y-%m-%d %H:%M:%S.%f'),
+         |    strftime(ut, '%Y-%m-%d %H:%M:%S.%f'), FALSE, 'closed'
+         |  FROM j WHERE ck IS NOT NULL AND uk IS NOT NULL AND cs <> us
+         |  UNION ALL
+         |  SELECT uk, us, strftime(ut, '%Y-%m-%d %H:%M:%S.%f'), NULL, TRUE,
+         |    CASE WHEN ck IS NULL THEN 'new' ELSE 'reopened' END
+         |  FROM j WHERE uk IS NOT NULL AND (ck IS NULL OR cs <> us)
+         |) ORDER BY user_id, lane, effective_from""".stripMargin,
     "events_anomaly" ->
       s"""WITH hourly AS (
          |  SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -361,7 +361,59 @@ object SqlSurface {
          |       WHEN b.o_custkey IS NULL THEN 'churned'
          |       ELSE 'retained' END AS status
          |FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
-         |ORDER BY custkey""".stripMargin)
+         |ORDER BY custkey""".stripMargin,
+    // TPC-H Q2-style correlated MIN subquery — "the row that achieves
+    // the per-group minimum": lineitems of a brand slice priced at the
+    // minimum extendedprice anyone paid for that part. Catalyst
+    // rewrites the correlated min into a per-partkey aggregate joined
+    // back (RewriteCorrelatedScalarSubquery) — same shape as Q17 but
+    // with an EQUALITY on the aggregate, the argmin idiom. The
+    // comparison is on exact 2-dp doubles read from the same parquet
+    // by both engines, so the boundary cannot flip.
+    "q2_min_price_supplier" ->
+      s"""SELECT p.p_partkey, p.p_name, l.l_suppkey, l.l_extendedprice AS min_price
+         |FROM lineitem l
+         |JOIN part p ON p.p_partkey = l.l_partkey
+         |WHERE p.p_brand = 'Brand#2'
+         |  AND l.l_extendedprice = (SELECT min(l2.l_extendedprice)
+         |                           FROM lineitem l2
+         |                           WHERE l2.l_partkey = l.l_partkey)
+         |ORDER BY p.p_partkey, l.l_suppkey""".stripMargin,
+    // TPC-H Q18-style IN over a HAVING aggregate: large-quantity
+    // orders and their customers. The IN-list side is itself a
+    // grouped aggregate — Catalyst plans the aggregate once, then a
+    // LeftSemi on o_orderkey; no per-row re-aggregation. The outer
+    // query re-joins lineitem to surface the total quantity.
+    "q18_large_orders" ->
+      s"""SELECT c.c_name, o.o_orderkey,
+         |  date_format(o.o_orderdate, 'yyyy-MM-dd') AS o_orderdate,
+         |  o.o_totalprice, sum(l.l_quantity) AS sum_qty
+         |FROM customer c
+         |JOIN orders o ON o.o_custkey = c.c_custkey
+         |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         |WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+         |                       GROUP BY l_orderkey
+         |                       HAVING sum(l_quantity) > 200.0D)
+         |GROUP BY c.c_name, o.o_orderkey,
+         |  date_format(o.o_orderdate, 'yyyy-MM-dd'), o.o_totalprice
+         |ORDER BY o.o_totalprice DESC, o.o_orderkey
+         |LIMIT 20""".stripMargin,
+    // TPC-H Q20-style NESTED IN — an IN whose subquery itself
+    // contains an IN over another table plus a HAVING aggregate:
+    // suppliers who moved serious volume of the widget part family.
+    // Catalyst stacks two LeftSemi joins (part→lineitem pruning, then
+    // supplier→aggregated-shipper pruning); neither IN becomes a
+    // per-row probe.
+    "q20_widget_suppliers" ->
+      s"""SELECT s.s_suppkey, s.s_name
+         |FROM supplier s
+         |WHERE s.s_suppkey IN (
+         |  SELECT l.l_suppkey FROM lineitem l
+         |  WHERE l.l_partkey IN (SELECT p_partkey FROM part
+         |                        WHERE p_name LIKE '%widget')
+         |  GROUP BY l.l_suppkey
+         |  HAVING sum(l.l_quantity) > 2000.0D)
+         |ORDER BY s.s_suppkey""".stripMargin)
 
   /** Contract-query adapter: register the views, run the SQL. */
   def query(name: String): (SparkSession, String) => DataFrame = {
@@ -653,6 +705,52 @@ object SqlSurface {
               .when(col("ck_n97").isNull, "churned")
               .otherwise("retained").as("status"))
           .orderBy(col("custkey"))
+      }),
+      // the decorrelated argmin: per-partkey min aggregated once,
+      // joined back, equality applied as a plain filter
+      "q2_min_price_supplier" -> ((s, dir) => {
+        val li = tbl(s, dir, "lineitem")
+        val mins = li.groupBy(col("l_partkey").as("m_partkey"))
+          .agg(min(col("l_extendedprice")).as("m_price"))
+        li.join(tbl(s, dir, "part").filter(col("p_brand") === "Brand#2"),
+            col("p_partkey") === col("l_partkey"))
+          .join(mins, col("l_partkey") === col("m_partkey"))
+          .filter(col("l_extendedprice") === col("m_price"))
+          .select(col("p_partkey"), col("p_name"), col("l_suppkey"),
+            col("l_extendedprice").as("min_price"))
+          .orderBy(col("p_partkey"), col("l_suppkey"))
+      }),
+      // the IN-over-HAVING as an explicit semi join on the aggregate
+      "q18_large_orders" -> ((s, dir) => {
+        val li = tbl(s, dir, "lineitem")
+        val big = li.groupBy(col("l_orderkey").as("b_orderkey"))
+          .agg(sum(col("l_quantity")).as("b_qty"))
+          .filter(col("b_qty") > 200.0)
+        tbl(s, dir, "orders")
+          .join(big, col("o_orderkey") === col("b_orderkey"), "left_semi")
+          .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(li, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("c_name"), col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+            col("o_totalprice"))
+          .agg(sum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(20)
+      }),
+      // the nested IN as two stacked semi joins: part-family prune,
+      // aggregate shippers, supplier semi join on the survivors
+      "q20_widget_suppliers" -> ((s, dir) => {
+        val widget = tbl(s, dir, "part").filter(col("p_name").like("%widget"))
+        val shippers = tbl(s, dir, "lineitem")
+          .join(broadcast(widget.select(col("p_partkey"))),
+            col("l_partkey") === col("p_partkey"), "left_semi")
+          .groupBy(col("l_suppkey"))
+          .agg(sum(col("l_quantity")).as("tot_qty"))
+          .filter(col("tot_qty") > 2000.0)
+        tbl(s, dir, "supplier")
+          .join(shippers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_suppkey"), col("s_name"))
+          .orderBy(col("s_suppkey"))
       }))
   }
 }

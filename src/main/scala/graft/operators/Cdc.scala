@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension (SCD Type 2) operators — the lakehouse
+  * change-data-capture surface: rebuild a full dimension HISTORY from
+  * an append-only change log, and MERGE an updates batch into a
+  * current snapshot. The reference engine has no CDC surface; these
+  * are north-star additions a 100 TB training-data pipeline needs to
+  * version its metadata dimensions (source registries, license
+  * states, crawl configs) without rewriting history.
+  *
+  * Scale shape: both operators are single-shuffle-per-key.
+  * [[scd2FromLog]] is two window functions over ONE
+  * partitioning/ordering (Catalyst reuses the exchange and sort);
+  * [[scd2Merge]] is a full-outer join of two pre-aggregated
+  * per-key frames plus a union — no driver state, no per-row probing,
+  * and the three merge lanes (unchanged / superseded / new) fall out
+  * of one join pass. Neither materializes anything proportional to
+  * history length on a single node.
+  */
+object Cdc {
+
+  /** Rebuild SCD2 intervals from an append-only change log.
+    *
+    * Consecutive runs of the same `state` collapse into one interval
+    * (the run-length compaction that makes a change LOG into a
+    * dimension HISTORY): a row survives only where its state differs
+    * from the previous state for the key, and each survivor's
+    * `effective_to` is the next survivor's `effective_from` — the
+    * half-open [from, to) convention; the last interval per key is
+    * open (`effective_to` null, `is_current` true).
+    *
+    * `tieBreak` makes the ordering total when `ts` alone has ties
+    * (e.g. an event id) — without it, lag/lead would be
+    * nondeterministic across engines.
+    */
+  def scd2FromLog(log: DataFrame, key: Column, ts: Column, state: Column,
+      tieBreak: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ts.asc, tieBreak.asc)
+    log
+      .select(key.as("key"), ts.as("ts"), state.as("state"),
+        tieBreak.as("tie"))
+      .withColumn("prev_state", lag(col("state"), 1).over(
+        Window.partitionBy(col("key")).orderBy(col("ts").asc, col("tie").asc)))
+      .filter(col("prev_state").isNull || col("prev_state") =!= col("state"))
+      // the second window runs on the SAME partitioning and ordering —
+      // one exchange, one sort, two window frames
+      .withColumn("effective_to_ts", lead(col("ts"), 1).over(
+        Window.partitionBy(col("key")).orderBy(col("ts").asc, col("tie").asc)))
+      .select(col("key"), col("state"),
+        col("ts").as("effective_from_ts"),
+        col("effective_to_ts"),
+        col("effective_to_ts").isNull.as("is_current"))
+  }
+
+  /** Merge an updates batch into the current rows of an SCD2 dimension.
+    *
+    * `current`: one row per key — the open (`is_current`) rows of the
+    * dimension, as (key, state, effective_from_ts).
+    * `updates`: one row per key — the new observed state, as
+    * (key, state, ts).
+    *
+    * Lanes (one full-outer join, no re-scan):
+    *  - key only in current → row unchanged, still open;
+    *  - key in both, same state → unchanged (an idempotent re-send
+    *    does NOT cut a new version);
+    *  - key in both, state differs → the old row CLOSES at the update
+    *    ts and a new open row starts there;
+    *  - key only in updates → brand-new open row.
+    *
+    * Returns the new current+closed row set with a `lane` marker —
+    * the writer appends the closed rows and replaces the open ones.
+    */
+  def scd2Merge(current: DataFrame, updates: DataFrame): DataFrame = {
+    val cur = current.select(col("key").as("c_key"), col("state").as("c_state"),
+      col("effective_from_ts").as("c_from"))
+    val upd = updates.select(col("key").as("u_key"), col("state").as("u_state"),
+      col("ts").as("u_ts"))
+    val j = cur.join(upd, col("c_key") === col("u_key"), "full_outer")
+
+    val unchanged = j
+      .filter(col("u_key").isNull ||
+        (col("c_key").isNotNull && col("c_state") === col("u_state")))
+      .select(col("c_key").as("key"), col("c_state").as("state"),
+        col("c_from").as("effective_from_ts"),
+        lit(null).cast("timestamp").as("effective_to_ts"),
+        lit(true).as("is_current"), lit("unchanged").as("lane"))
+    val closed = j
+      .filter(col("c_key").isNotNull && col("u_key").isNotNull &&
+        col("c_state") =!= col("u_state"))
+      .select(col("c_key").as("key"), col("c_state").as("state"),
+        col("c_from").as("effective_from_ts"),
+        col("u_ts").as("effective_to_ts"),
+        lit(false).as("is_current"), lit("closed").as("lane"))
+    val opened = j
+      .filter(col("u_key").isNotNull &&
+        (col("c_key").isNull || col("c_state") =!= col("u_state")))
+      .select(col("u_key").as("key"), col("u_state").as("state"),
+        col("u_ts").as("effective_from_ts"),
+        lit(null).cast("timestamp").as("effective_to_ts"),
+        lit(true).as("is_current"),
+        when(col("c_key").isNull, "new").otherwise("reopened").as("lane"))
+
+    unchanged.unionAll(closed).unionAll(opened)
+  }
+
+  /** Latest observed state per key from a change log — the snapshot
+    * both merge sides are built from. row_number (not max_by) so the
+    * tie-break rule is explicit and engine-portable.
+    */
+  def latestState(log: DataFrame, key: Column, ts: Column, state: Column,
+      tieBreak: Column): DataFrame =
+    log.select(key.as("key"), ts.as("ts"), state.as("state"), tieBreak.as("tie"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("key")).orderBy(col("ts").desc, col("tie").desc)))
+      .filter(col("rn") === 1)
+      .drop("rn", "tie")
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Cdc
+
+/** SCD2 semantics pins: run-length compaction, half-open intervals,
+  * merge lanes, idempotence, and the one-exchange plan shape.
+  */
+class CdcSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def log(rows: (Long, Long, String, Long)*) =
+    rows.toDF("k", "t", "st", "id")
+      .select(col("k"), col("t").cast("timestamp").as("t"), col("st"), col("id"))
+
+  test("scd2FromLog collapses consecutive runs into half-open intervals") {
+    // key 1: a a b a  → [a@0,2) [b@2,3) [a@3,∞); key 2: c → [c@10,∞)
+    val df = Cdc.scd2FromLog(
+      log((1L, 0L, "a", 0L), (1L, 1L, "a", 1L), (1L, 2L, "b", 2L),
+        (1L, 3L, "a", 3L), (2L, 10L, "c", 4L)),
+      col("k"), col("t"), col("st"), col("id"))
+      .orderBy(col("key"), col("effective_from_ts"))
+      .select(col("key"), col("state"),
+        col("effective_from_ts").cast("long").as("f"),
+        col("effective_to_ts").cast("long").as("to"),
+        col("is_current"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+
+    assert(df.toSeq == Seq(
+      (1L, "a", 0L, 2L, false), (1L, "b", 2L, 3L, false),
+      (1L, "a", 3L, -1L, true), (2L, "c", 10L, -1L, true)))
+  }
+
+  test("ties on ts break on the tie column — the ordering is total") {
+    // same ts, ids 5 then 6: id order decides which state is 'last'
+    val out = Cdc.scd2FromLog(
+      log((1L, 7L, "x", 5L), (1L, 7L, "y", 6L)),
+      col("k"), col("t"), col("st"), col("id"))
+      .orderBy(col("effective_from_ts"), col("state"))
+      .select(col("state"), col("is_current")).as[(String, Boolean)].collect()
+    assert(out.toSeq == Seq(("x", false), ("y", true)))
+  }
+
+  test("scd2FromLog plans ONE exchange for both window frames") {
+    val plan = Cdc.scd2FromLog(log((1L, 0L, "a", 0L)),
+      col("k"), col("t"), col("st"), col("id"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"lag and lead share partitioning+ordering — expected 1 exchange, got $exchanges:\n$plan")
+  }
+
+  test("scd2Merge routes the four lanes and is idempotent on re-sends") {
+    val cur = Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 0L))
+      .toDF("key", "state", "f")
+      .select(col("key"), col("state"), col("f").cast("timestamp").as("effective_from_ts"))
+    val upd = Seq((2L, "b", 5L), (3L, "d", 5L), (4L, "e", 5L))
+      .toDF("key", "state", "t")
+      .select(col("key"), col("state"), col("t").cast("timestamp").as("ts"))
+    val out = Cdc.scd2Merge(cur, upd)
+      .select(col("key"), col("state"), col("lane"), col("is_current"))
+      .as[(Long, String, String, Boolean)].collect().toSet
+    assert(out == Set(
+      (1L, "a", "unchanged", true),   // absent from batch → untouched
+      (2L, "b", "unchanged", true),   // same state re-sent → no new version
+      (3L, "c", "closed", false),     // superseded: closes at update ts
+      (3L, "d", "reopened", true),    // ... and the new version opens
+      (4L, "e", "new", true)))        // first sighting
+    // idempotence: merging the SAME batch into the resulting current
+    // rows changes nothing (every lane lands in unchanged)
+    val cur2 = Cdc.scd2Merge(cur, upd).filter(col("is_current"))
+      .select(col("key"), col("state"), col("effective_from_ts"))
+    val again = Cdc.scd2Merge(cur2, upd)
+    assert(again.filter(col("lane") =!= "unchanged").count() == 0L)
+  }
+
+  test("merge lanes partition correctly on empty sides") {
+    val empty = Seq.empty[(Long, String, Long)].toDF("key", "state", "f")
+      .select(col("key"), col("state"), col("f").cast("timestamp").as("effective_from_ts"))
+    val upd = Seq((1L, "a", 5L)).toDF("key", "state", "t")
+      .select(col("key"), col("state"), col("t").cast("timestamp").as("ts"))
+    val bootstrap = Cdc.scd2Merge(empty, upd)
+      .select(col("lane")).as[String].collect().toSeq
+    assert(bootstrap == Seq("new"))
+    val noop = Cdc.scd2Merge(
+      upd.select(col("key"), col("state"), col("ts").as("effective_from_ts")),
+      upd.limit(0))
+    assert(noop.select(col("lane")).as[String].collect().toSeq == Seq("unchanged"))
+  }
+
+  test("latestState picks the (ts, tie)-max row per key") {
+    val out = Cdc.latestState(
+      log((1L, 5L, "old", 1L), (1L, 9L, "new", 2L), (1L, 9L, "newer", 3L)),
+      col("k"), col("t"), col("st"), col("id"))
+      .select(col("key"), col("state")).as[(Long, String)].collect()
+    assert(out.toSeq == Seq((1L, "newer")))
+  }
+}

@@ -96,6 +96,28 @@ class SqlSurfaceSpec extends AnyFunSuite {
       s"decorrelated lateral = aggregate + join:\n$lat")
   }
 
+  test("argmin / IN-over-HAVING / nested IN all plan as joins, not probes") {
+    Views.register(spark, dir)
+    // Q2-style correlated min-EQUALITY: rewritten into a per-partkey
+    // min aggregate joined back — the argmin idiom survives as a join
+    val q2 = spark.sql(SqlSurface.sql("q2_min_price_supplier"))
+      .queryExecution.optimizedPlan.toString
+    assert(!q2.contains("scalar-subquery"),
+      s"correlated min should decorrelate away:\n$q2")
+    assert(q2.contains("Aggregate") && q2.contains("Join"),
+      s"decorrelated argmin = min-aggregate + join:\n$q2")
+    // Q18-style IN over a HAVING aggregate: the IN-list aggregates ONCE
+    // then semi-joins — no re-aggregation per outer row
+    val q18 = spark.sql(SqlSurface.sql("q18_large_orders"))
+      .queryExecution.optimizedPlan.toString
+    assert(q18.contains("LeftSemi"), s"IN should plan as LeftSemi:\n$q18")
+    // Q20-style nested IN: BOTH levels become semi joins
+    val q20 = spark.sql(SqlSurface.sql("q20_widget_suppliers"))
+      .queryExecution.optimizedPlan.toString
+    assert(q20.sliding("LeftSemi".length).count(_ == "LeftSemi") >= 2,
+      s"nested IN should stack two LeftSemi joins:\n$q20")
+  }
+
   test("managed stores are SQL-reachable: iglyphs/pglyphs/change_history views") {
     val db = new VectorFieldDB(spark, 4)
     for (i <- 0 until 6)
