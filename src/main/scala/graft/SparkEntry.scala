@@ -932,6 +932,57 @@ object SparkEntry {
           col("is_current"), col("lane"))
         .orderBy(col("user_id"), col("lane"), col("effective_from"))
     }),
+    // the ingest admission gate: predicate expectations fold into ONE
+    // aggregate pass per table (a check is a column, not a scan),
+    // uniqueness is one groupBy, referential integrity one anti join —
+    // the report is |checks| rows regardless of corpus size. The
+    // date-range and discount checks genuinely FAIL on this corpus
+    // (orders run past 1999; discounts reach 0.1) — the report shows
+    // real violation counts, not a wall of zeros.
+    "dq_expectations" -> ((s, dir) => {
+      val ord = tbl(s, dir, "orders")
+      val li = tbl(s, dir, "lineitem")
+      val cust = tbl(s, dir, "customer")
+      val dq = operators.DataQuality
+      dq.tableExpectations(ord, "orders", Seq(
+          "status_domain" -> !col("o_orderstatus").isin("O", "F", "P"),
+          "date_range" -> (col("o_orderdate").cast("date") <
+            lit("1995-01-01").cast("date") ||
+            col("o_orderdate").cast("date") >= lit("2000-01-01").cast("date")),
+          "totalprice_positive" -> (col("o_totalprice").isNull ||
+            col("o_totalprice") <= 0.0)))
+        .unionAll(dq.tableExpectations(li, "lineitem", Seq(
+          "qty_range" -> (col("l_quantity") < 1.0 || col("l_quantity") > 50.0),
+          "discount_range" -> (col("l_discount") < 0.0 ||
+            col("l_discount") > 0.08))))
+        .unionAll(dq.tableExpectations(cust, "customer", Seq(
+          "name_nonnull" -> col("c_name").isNull)))
+        .unionAll(dq.uniqueness(ord, col("o_orderkey"), "orders.pk_unique"))
+        .unionAll(dq.referentialIntegrity(li, ord, col("l_orderkey"),
+          col("o_orderkey"), "lineitem.fk_orders"))
+        .orderBy(col("check_name"))
+    }),
+    // 2-D Pareto frontier over per-user engagement: the users nobody
+    // beats on BOTH "fewer events" and "more total value" — the
+    // quadratic NOT EXISTS definition computed in O(n log n) via the
+    // distinct-domain window (oracle states the quadratic form; equal
+    // rows prove the construction). Value folds in exact decimals so
+    // the frontier's equality joins are bit-deterministic.
+    "pareto_frontier" -> ((s, dir) => {
+      val perUser = events(s, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 6))).as("total_value"))
+      operators.Skyline.frontier2d(perUser, col("n_events"), col("total_value"))
+        .select(col("user_id"), col("n_events"),
+          col("total_value").cast("double").as("total_value"))
+        .orderBy(col("n_events"), col("user_id"))
+    }),
+    // deterministic experiment readout: content-hash variant
+    // assignment (md5 + salt, replayable across engines) and the
+    // pooled two-proportion z on ≥15-purchase conversion — one
+    // shuffle on user_id, z arithmetic on the 2-row frame
+    "ab_test" -> ((s, dir) =>
+      operators.Experiment.abTest(events(s, dir), "exp1", "purchase", 15)),
     // monitoring family: hourly volume z-scores from exact integer
     // moments; per-label centroid drift between the vec_id-parity
     // snapshots; equi-width value histogram
@@ -3336,6 +3387,91 @@ object SparkEntry {
     // moments (decimal sums), identical expression order in the z;
     // the guard tests the RADICAND (mirrors Monitor.hourlyAnomaly —
     // sqrt(negative) would error here but pass a NaN>0 guard in Spark)
+    // each check restated as a scalar aggregate; UNION ALL of the
+    // eight report rows
+    "dq_expectations" ->
+      s"""WITH r AS (
+         |  SELECT 'orders.status_domain' AS check_name, count(*) AS n_checked,
+         |    coalesce(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+         |      THEN 1 ELSE 0 END), 0) AS n_violations
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT 'orders.date_range', count(*),
+         |    coalesce(sum(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1995-01-01'
+         |      OR CAST(o_orderdate AS DATE) >= DATE '2000-01-01'
+         |      THEN 1 ELSE 0 END), 0)
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT 'orders.totalprice_positive', count(*),
+         |    coalesce(sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0.0
+         |      THEN 1 ELSE 0 END), 0)
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT 'lineitem.qty_range', count(*),
+         |    coalesce(sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0
+         |      THEN 1 ELSE 0 END), 0)
+         |  FROM lineitem
+         |  UNION ALL
+         |  SELECT 'lineitem.discount_range', count(*),
+         |    coalesce(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.08
+         |      THEN 1 ELSE 0 END), 0)
+         |  FROM lineitem
+         |  UNION ALL
+         |  SELECT 'customer.name_nonnull', count(*),
+         |    coalesce(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END), 0)
+         |  FROM customer
+         |  UNION ALL
+         |  SELECT 'orders.pk_unique', count(*),
+         |    count(*) - count(DISTINCT o_orderkey)
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT 'lineitem.fk_orders', (SELECT count(*) FROM lineitem),
+         |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+         |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+         |)
+         |SELECT check_name, CAST(n_checked AS BIGINT) AS n_checked,
+         |  CAST(n_violations AS BIGINT) AS n_violations,
+         |  (n_violations = 0) AS pass
+         |FROM r ORDER BY check_name""".stripMargin,
+    // the quadratic dominance definition, verbatim — equal rows prove
+    // the engine's O(n log n) window construction computes it
+    "pareto_frontier" ->
+      s"""WITH u AS (SELECT user_id, count(*) AS n_events,
+         |    sum(CAST(value AS DECIMAL(18,6))) AS tv
+         |  FROM events GROUP BY user_id)
+         |SELECT user_id, n_events, CAST(tv AS DOUBLE) AS total_value
+         |FROM u a
+         |WHERE NOT EXISTS (SELECT 1 FROM u b
+         |  WHERE b.n_events <= a.n_events AND b.tv >= a.tv
+         |    AND (b.n_events < a.n_events OR b.tv > a.tv))
+         |ORDER BY n_events, user_id""".stripMargin,
+    // same md5 bucketing character-for-character; counts exact, z at 6 dp
+    "ab_test" ->
+      s"""WITH pu AS (SELECT user_id,
+         |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 15
+         |      THEN 1 ELSE 0 END AS conv,
+         |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR) || ':exp1'), 1, 1)
+         |      IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END AS v
+         |  FROM events GROUP BY user_id),
+         |bv AS (SELECT v, count(*) AS n, sum(conv) AS c FROM pu GROUP BY v),
+         |w AS (SELECT
+         |    max(CASE WHEN v = 'A' THEN n END) AS n_a,
+         |    max(CASE WHEN v = 'A' THEN c END) AS conv_a,
+         |    max(CASE WHEN v = 'B' THEN n END) AS n_b,
+         |    max(CASE WHEN v = 'B' THEN c END) AS conv_b
+         |  FROM bv)
+         |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+         |  CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+         |  round(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+         |  round(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+         |  CASE WHEN CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) > 0.0
+         |        AND CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) < 1.0
+         |  THEN round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+         |    / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+         |      * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+         |      * (1.0 / n_a + 1.0 / n_b)), 6)
+         |  END AS z
+         |FROM w""".stripMargin,
     // identical lag/lead windows on the total (ts, event_id) ordering;
     // %f prints 6-digit micros matching Spark's SSSSSS
     "scd2_history" ->

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations — the admission gate a
+  * 100 TB ingest runs before data reaches training: null/domain/range
+  * predicates, key uniqueness, and referential integrity, each
+  * reported as (check_name, n_checked, n_violations, pass).
+  *
+  * Scale shape: every predicate expectation over one table folds into
+  * a SINGLE aggregate pass (one scan, map-side combinable
+  * `sum(when(violation))` per check — adding a check adds a column,
+  * not a scan); uniqueness is one groupBy on the key; referential
+  * integrity is one anti join on the foreign key (shuffle-partitioned
+  * by key, broadcastable when the parent is a dim). Nothing collects
+  * to the driver; the report size is the number of CHECKS, not rows.
+  */
+object DataQuality {
+
+  /** All predicate checks for one table in one aggregate pass, then
+    * unpivoted to the report shape via stack (no second scan).
+    */
+  def tableExpectations(df: DataFrame, table: String,
+      checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "at least one expectation")
+    val aggs = count(lit(1)).as("__n") +:
+      checks.map { case (name, violation) =>
+        sum(when(violation, 1L).otherwise(0L)).as(s"__v_$name")
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = checks.map { case (name, _) =>
+      s"'$table.$name', __v_$name"
+    }.mkString(", ")
+    one.select(col("__n"),
+        expr(s"stack(${checks.size}, $stackArgs) AS (check_name, n_violations)"))
+      .select(col("check_name"), col("__n").as("n_checked"),
+        coalesce(col("n_violations"), lit(0L)).as("n_violations"),
+        (coalesce(col("n_violations"), lit(0L)) === 0L).as("pass"))
+  }
+
+  /** Key uniqueness as count − countDistinct (one aggregate; exact —
+    * swap a sketch in only for monitoring, never for a gate).
+    */
+  def uniqueness(df: DataFrame, key: Column, checkName: String): DataFrame =
+    df.agg(count(lit(1)).as("n_checked"),
+        (count(lit(1)) - countDistinct(key)).as("n_violations"))
+      .select(lit(checkName).as("check_name"), col("n_checked"),
+        col("n_violations"), (col("n_violations") === 0L).as("pass"))
+
+  /** Referential integrity: child rows whose foreign key has no match
+    * in the parent — ONE left-anti join on the key; the parent side
+    * prunes to the key column before the exchange.
+    */
+  def referentialIntegrity(child: DataFrame, parent: DataFrame,
+      fk: Column, pk: Column, checkName: String): DataFrame = {
+    val orphans = child.select(fk.as("__fk"))
+      .join(parent.select(pk.as("__pk")), col("__fk") === col("__pk"),
+        "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+    val total = child.agg(count(lit(1)).as("n_checked"))
+    // both sides are 1-row aggregates — the cross join is a broadcast
+    // of a single row, the established bounded-crossJoin exception
+    total.crossJoin(orphans)
+      .select(lit(checkName).as("check_name"), col("n_checked"),
+        col("n_violations"), (col("n_violations") === 0L).as("pass"))
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.DataQuality
+
+class DataQualitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("tableExpectations counts violations per check in one pass") {
+    val df = Seq((1, "a", 10.0), (2, null, -5.0), (3, "c", 0.0), (4, "d", 3.0))
+      .toDF("id", "name", "amount")
+    val out = DataQuality.tableExpectations(df, "t", Seq(
+        "name_nonnull" -> col("name").isNull,
+        "amount_positive" -> (col("amount") <= 0.0)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    assert(out == Set(
+      ("t.name_nonnull", 4L, 1L, false),
+      ("t.amount_positive", 4L, 2L, false)))
+  }
+
+  test("all checks over one table share a single scan/aggregate") {
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "name")
+    val plan = DataQuality.tableExpectations(df, "t", Seq(
+        "a" -> col("name").isNull, "b" -> (col("id") < 0)))
+      .queryExecution.optimizedPlan.toString
+    val aggs = "Aggregate".r.findAllIn(plan).length
+    assert(aggs == 1, s"checks must fold into ONE aggregate, got $aggs:\n$plan")
+  }
+
+  test("empty table: zero violations, checks pass vacuously") {
+    val df = Seq.empty[(Int, String)].toDF("id", "name")
+    val out = DataQuality.tableExpectations(df, "t",
+        Seq("name_nonnull" -> col("name").isNull))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq((0L, 0L, true)))
+  }
+
+  test("uniqueness and referential integrity detect real defects") {
+    val dup = Seq(1, 2, 2, 3, 3, 3).toDF("k")
+    val u = DataQuality.uniqueness(dup, col("k"), "t.pk").head()
+    assert((u.getLong(1), u.getLong(2), u.getBoolean(3)) == (6L, 3L, false))
+
+    val child = Seq(1, 1, 2, 9).toDF("fk")
+    val parent = Seq(1, 2, 3).toDF("pk")
+    val ri = DataQuality.referentialIntegrity(child, parent,
+      col("fk"), col("pk"), "c.fk").head()
+    assert((ri.getLong(1), ri.getLong(2), ri.getBoolean(3)) == (4L, 1L, false))
+  }
+
+  test("null foreign keys count as orphans (no silent null-match)") {
+    val child = Seq(Some(1), None, Some(2)).toDF("fk")
+    val parent = Seq(1, 2).toDF("pk")
+    val ri = DataQuality.referentialIntegrity(child, parent,
+      col("fk"), col("pk"), "c.fk").head()
+    // null = pk never matches → the null row is an orphan
+    assert(ri.getLong(2) == 1L)
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Experiment
+
+class ExperimentSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ev(rows: (Long, String)*) =
+    rows.toDF("user_id", "event_type")
+
+  test("z matches the hand-computed two-proportion statistic") {
+    // force assignment by picking users whose md5(u:salt) first hex
+    // char lands on each side — discover the split empirically, then
+    // check the arithmetic against it
+    val users = (0L until 40L)
+    val converts = users.filter(_ % 2 == 0).toSet // half convert
+    val rows = users.flatMap { u =>
+      if (converts(u)) Seq((u, "purchase")) else Seq((u, "view"))
+    }
+    val out = Experiment.abTest(ev(rows: _*), "s1", "purchase", 1).head()
+    val (nA, cA, nB, cB) = (out.getLong(0), out.getLong(1),
+      out.getLong(2), out.getLong(3))
+    assert(nA + nB == 40L && cA + cB == 20L)
+    val pA = cA.toDouble / nA; val pB = cB.toDouble / nB
+    val pool = (cA + cB).toDouble / (nA + nB)
+    val expectZ = (pA - pB) / math.sqrt(pool * (1 - pool) * (1.0 / nA + 1.0 / nB))
+    assert(math.abs(out.getDouble(6) - BigDecimal(expectZ)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("assignment is deterministic and changes with the salt") {
+    val rows = (0L until 30L).map(u => (u, "view"))
+    val a1 = Experiment.abTest(ev(rows: _*), "s1", "purchase", 1).head()
+    val a2 = Experiment.abTest(ev(rows: _*), "s1", "purchase", 1).head()
+    assert(a1.getLong(0) == a2.getLong(0), "same salt → same split")
+    val b = Experiment.abTest(ev(rows: _*), "other-salt", "purchase", 1).head()
+    // 30 users: a different salt virtually certainly shifts the split
+    assert(a1.getLong(0) != b.getLong(0) || a1.getLong(2) != b.getLong(2))
+  }
+
+  test("degenerate pools (all or none converted) yield NULL z, not NaN") {
+    val all = (0L until 20L).map(u => (u, "purchase"))
+    val r1 = Experiment.abTest(ev(all: _*), "s1", "purchase", 1).head()
+    assert(r1.isNullAt(6), "p_pool = 1 → z undefined → NULL")
+    val none = (0L until 20L).map(u => (u, "view"))
+    val r2 = Experiment.abTest(ev(none: _*), "s1", "purchase", 1).head()
+    assert(r2.isNullAt(6), "p_pool = 0 → z undefined → NULL")
+  }
+
+  test("minConversions threshold gates the conversion flag") {
+    val rows = Seq((1L, "purchase"), (1L, "purchase"), (2L, "purchase"))
+    val out = Experiment.abTest(ev(rows: _*), "s1", "purchase", 2).head()
+    // exactly one user (user 1) reaches 2 purchases
+    assert(out.getLong(1) + out.getLong(3) == 1L)
+  }
+}

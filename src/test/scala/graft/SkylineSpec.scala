@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.apache.spark.sql.functions._
+import graft.operators.Skyline
+
+class SkylineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def frontier(pts: Seq[(Int, Int)]): Set[(Int, Int)] =
+    Skyline.frontier2d(pts.toDF("m", "x"), col("m"), col("x"))
+      .select(col("m"), col("x")).as[(Int, Int)].collect().toSet
+
+  private def brute(pts: Seq[(Int, Int)]): Set[(Int, Int)] =
+    pts.filter { case (m, x) =>
+      !pts.exists { case (m2, x2) =>
+        m2 <= m && x2 >= x && (m2 < m || x2 > x) }
+    }.toSet
+
+  test("frontier keeps only undominated points") {
+    // (1,5) and (3,9) survive; (2,4) dominated by (1,5); (3,9) beats (4,9)
+    val pts = Seq((1, 5), (2, 4), (3, 9), (4, 9), (5, 1))
+    assert(frontier(pts) == Set((1, 5), (3, 9)))
+  }
+
+  test("duplicate points neither dominate each other — both stay") {
+    val pts = Seq((2, 7), (2, 7), (5, 3))
+    val out = Skyline.frontier2d(pts.toDF("m", "x"), col("m"), col("x")).count()
+    assert(out == 2L)
+  }
+
+  test("same-m group: only the group max survives; equal-x cheaper point wins") {
+    // (1,5) vs (1,3): latter dominated (equal m, smaller x)
+    // (2,5): dominated by (1,5) (worse m, equal x)
+    assert(frontier(Seq((1, 5), (1, 3), (2, 5))) == Set((1, 5)))
+  }
+
+  test("property: window construction equals the quadratic definition") {
+    val genPts = Gen.listOfN(40, Gen.zip(Gen.choose(0, 8), Gen.choose(0, 8)))
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15),
+      Prop.forAll(genPts) { pts =>
+        pts.isEmpty || frontier(pts) == brute(pts)
+      })
+    assert(res.passed, res.status.toString)
+  }
+
+  test("null coordinates drop out rather than poisoning the window") {
+    val df = Seq((Some(1), Some(5)), (None, Some(9)), (Some(2), None))
+      .toDF("m", "x")
+    val out = Skyline.frontier2d(df, col("m"), col("x")).count()
+    assert(out == 1L)
+  }
+}
