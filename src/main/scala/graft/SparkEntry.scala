@@ -292,6 +292,22 @@ object SparkEntry {
     // tokenizer-prep vocab curve: top-V words + cumulative token share
     "vocab_coverage" -> ((s, dir) =>
       TextAnalysis.vocabCoverage(tbl(s, dir, "documents"))),
+    // phrase mining: adjacent pairs scoring far above their unigram
+    // frequencies — one fixed left-to-right double expression over
+    // exact counts so both engines agree bit-for-bit before the round
+    "collocations_pmi" -> ((s, dir) =>
+      TextAnalysis.pmiCollocations(tbl(s, dir, "documents"))),
+    // mixture diagnostics: per-source JSD vs the rest of the corpus
+    // over the DENSE sources × vocab grid (absent words still
+    // contribute their ½·q·ln 2), decimal-folded order-free
+    "source_divergence" -> ((s, dir) =>
+      TextAnalysis.sourceJsDivergence(tbl(s, dir, "documents"))),
+    // Efraimidis–Spirakis weighted sampling without replacement:
+    // stateless per-row −ln(u)/w score + top-k — the parallel form of
+    // the weighted reservoir; u is a content hash, fully replayable
+    "weighted_sample" -> ((s, dir) =>
+      operators.Sampling.weightedSample(tbl(s, dir, "documents"),
+        col("doc_id"), col("n_chars"), 50)),
     "token_percentiles" -> ((s, dir) => TextAnalysis.sizePercentiles(tbl(s, dir, "documents"))),
     // quality-curriculum quartiles: broadcast percentile thresholds +
     // narrow when-chain — never an ntile() global ranking window
@@ -2384,6 +2400,58 @@ object SparkEntry {
          |SELECT CAST(rank AS INT) AS rank, w AS word, CAST(cnt AS BIGINT) AS cnt,
          |  round(CAST(sum(cnt) OVER (ORDER BY rank) AS DOUBLE) / (SELECT total FROM t), 6) AS cum_frac
          |FROM v ORDER BY rank""".stripMargin,
+    // same PMI expression left-to-right; ln = natural log both sides
+    "collocations_pmi" ->
+      s"""WITH w AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+         |bg AS (SELECT unnest([{'w1': ws[i], 'w2': ws[i+1]} for i in range(1, len(ws))]) AS b
+         |       FROM w WHERE len(ws) >= 2),
+         |b2 AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+         |u AS (SELECT unnest(ws) AS w FROM w),
+         |u1 AS (SELECT w, count(*) AS c1 FROM u GROUP BY 1),
+         |t AS (SELECT (SELECT sum(c2) FROM b2) AS n2, (SELECT sum(c1) FROM u1) AS n1)
+         |SELECT w1, w2, CAST(c2 AS BIGINT) AS pair_count,
+         |  round(ln(CAST(c2 AS DOUBLE) * n1 * n1 / n2 / cl.c1 / cr.c1), 6) AS pmi
+         |FROM b2
+         |JOIN u1 cl ON cl.w = b2.w1
+         |JOIN u1 cr ON cr.w = b2.w2
+         |CROSS JOIN t
+         |WHERE c2 >= 5
+         |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+    // same dense grid, same per-term expression, same 9-dp decimal fold
+    "source_divergence" ->
+      s"""WITH sw AS (SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         |       FROM documents),
+         |c AS (SELECT source, w, count(*) AS c FROM sw GROUP BY 1, 2),
+         |wt AS (SELECT w, sum(c) AS cw FROM c GROUP BY 1),
+         |st AS (SELECT source, sum(c) AS ns FROM c GROUP BY 1),
+         |g AS (SELECT sum(c) AS n FROM c),
+         |grid AS (SELECT st.source, st.ns, wt.w, wt.cw FROM st CROSS JOIN wt),
+         |d AS (SELECT grid.source, grid.w, grid.ns, grid.cw,
+         |        coalesce(c.c, 0) AS c
+         |      FROM grid LEFT JOIN c ON c.source = grid.source AND c.w = grid.w),
+         |pq AS (SELECT source, CAST(c > 0 AS BIGINT) AS present,
+         |         CAST(c AS DOUBLE) / ns AS p,
+         |         CASE WHEN (SELECT n FROM g) > ns
+         |           THEN CAST(cw - c AS DOUBLE) / ((SELECT n FROM g) - ns)
+         |           ELSE 0.0 END AS q
+         |       FROM d),
+         |tm AS (SELECT source, present,
+         |        CAST(round((CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END
+         |                  + CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END)
+         |               * 0.5, 9) AS DECIMAL(28,9)) AS t9
+         |      FROM pq)
+         |SELECT source, round(CAST(sum(t9) AS DOUBLE), 6) AS jsd,
+         |  CAST(sum(present) AS BIGINT) AS n_words_present
+         |FROM tm GROUP BY source ORDER BY source""".stripMargin,
+    // same md5 mantissa → u → −ln(u)/w key, 9-dp round, same tie-break
+    "weighted_sample" ->
+      s"""WITH s AS (SELECT doc_id, n_chars,
+         |    round(-ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 12)
+         |            AS BIGINT) AS DOUBLE) + 0.5) / power(16.0, 12))
+         |      / CAST(n_chars AS DOUBLE), 9) AS sample_key
+         |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+         |SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS w, sample_key
+         |FROM s ORDER BY sample_key, doc_id LIMIT 50""".stripMargin,
     "source_overlap" ->
       s"""WITH w AS (SELECT source, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
          |sh AS (SELECT DISTINCT source, shingle FROM (

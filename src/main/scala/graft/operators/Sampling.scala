@@ -359,6 +359,37 @@ object Sampling {
         .cast("long"))
   }
 
+  /** Weighted sampling without replacement, Efraimidis–Spirakis A-ES:
+    * draw u ∈ (0,1) per row, keep the k rows with the smallest
+    * −ln(u)/w — mathematically exact weighted reservoir sampling, and
+    * the ONLY without-replacement scheme that runs as a stateless
+    * per-row score + top-k (TakeOrderedAndProject: each task keeps a
+    * local k, the driver merges; no global sort, no sequential
+    * reservoir — at 100 TB a literal reservoir is a single-node
+    * bottleneck, A-ES is embarrassingly parallel).
+    *
+    * u is a CONTENT hash (md5 of id + seed), not rand(): replayable
+    * across runs/retries/engines (the [[curriculumOrder]] discipline),
+    * and the 12-hex-digit mantissa (48 bits) makes ties practically
+    * impossible — the id tie-break makes the order total anyway.
+    * Rows with null or non-positive weight are excluded (they have no
+    * sampling mass), not errors.
+    */
+  def weightedSample(df: DataFrame, id: Column, weight: Column,
+      k: Int, seed: Long = 42L): DataFrame = {
+    require(k > 0, "sample size must be positive")
+    val hex12 = substring(md5(concat_ws(":", col("id").cast("string"),
+      lit(seed.toString))), 1, 12)
+    val u = (conv(hex12, 16, 10).cast("double") + lit(0.5)) /
+      lit(math.pow(16.0, 12))
+    df.select(id.as("id"), weight.as("w"))
+      .filter(col("w").isNotNull && col("w") > 0)
+      .select(col("id"), col("w"),
+        round(-log(u) / col("w").cast("double"), 9).as("sample_key"))
+      .orderBy(col("sample_key").asc, col("id").asc)
+      .limit(k)
+  }
+
   def leakageSafeSplit(docs: DataFrame, groups: DataFrame): DataFrame = {
     def splitOf(c: Column): Column =
       when(c % 10 < 8, "train").when(c % 10 === 8, "valid").otherwise("test")

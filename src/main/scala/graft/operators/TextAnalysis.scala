@@ -842,4 +842,104 @@ object TextAnalysis {
         countDistinct(col("raw_sha")).as("n_raw_variants"),
         min(col("doc_id")).as("keeper_doc"))
       .orderBy(col("norm_sha"))
+
+  /** Pointwise-mutual-information collocations: the adjacent word
+    * pairs that co-occur far more than their unigram frequencies
+    * predict — the phrase-mining primitive (multi-word expressions,
+    * entity names) every tokenizer-vocabulary and stop-phrase pass
+    * starts from.
+    *
+    * PMI(w1,w2) = ln( p(w1,w2) / (p(w1)·p(w2)) ) computed as ONE
+    * left-to-right double expression over exact integer counts —
+    * c2·N1·N1 / N2 / c_l / c_r in that associativity — so both engines
+    * produce bit-identical doubles before the 6-dp round. `minCount`
+    * prunes hapax pairs BEFORE the unigram joins.
+    *
+    * Shape at 100 TB: two vocab-bounded aggregations (bigram and
+    * unigram counts, both map-side combinable), two joins keyed on
+    * single words (vocab-bounded build sides), 1-row totals broadcast;
+    * the top-k is TakeOrderedAndProject. Nothing scales with corpus
+    * size except the two count scans.
+    */
+  def pmiCollocations(docs: DataFrame, minCount: Int = 5,
+      topK: Int = 20): DataFrame = {
+    val base = Partitioning.spread(docs)
+      .select(words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val bigrams = base.select(explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val unigrams = Partitioning.spread(docs)
+      .select(explode(words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val totals = bigrams.agg(sum(col("c2")).as("n2"))
+      .crossJoin(unigrams.agg(sum(col("c1")).as("n1")))
+    bigrams.filter(col("c2") >= minCount)
+      .join(unigrams.toDF("w1", "cl"), "w1")
+      .join(unigrams.toDF("w2", "cr"), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c2").as("pair_count"),
+        round(log(col("c2").cast("double") * col("n1") * col("n1")
+          / col("n2") / col("cl") / col("cr")), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  /** Per-source Jensen-Shannon divergence against the rest of the
+    * corpus — "which source is distributionally unusual", the
+    * quantitative input to mixture re-weighting (and the drift alarm
+    * when a crawl snapshot shifts).
+    *
+    * JSD(p‖q) = ½Σ p·ln(p/m) + ½Σ q·ln(q/m), m = (p+q)/2, over the
+    * unigram distributions of the source vs everything else. Each
+    * per-word term is computed in one fixed expression over exact
+    * integer counts, quantized at 9 dp into DECIMAL, and summed
+    * order-free (the embedding_drift discipline) — the final 6-dp JSD
+    * is bit-deterministic. Terms with p=0 or q=0 contribute only the
+    * other side's half (x·ln x → 0 as x→0 is applied exactly).
+    *
+    * Shape: one (source, word) count aggregation (vocab × sources
+    * domain — bounded), one vocab-bounded word-total join, per-source
+    * decimal fold. No shuffle scales with corpus rows.
+    */
+  def sourceJsDivergence(docs: DataFrame): DataFrame = {
+    val sw = Partitioning.spread(docs)
+      .select(col("source"), explode(words(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds word totals, source totals, and the fold
+    val wordTotals = sw.groupBy(col("w")).agg(sum(col("c")).as("cw"))
+    val srcTotals = sw.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+    val grand = sw.agg(sum(col("c")).as("n"))
+    // the DENSE sources × vocab grid: a word ABSENT from a source
+    // (p=0, q>0) still contributes ½·q·ln 2 — a sparse join would
+    // silently drop exactly the terms that make a source unusual.
+    // Both grid sides are domain-bounded (sources, vocabulary), so
+    // the cross join is sources × vocab, never corpus-sized.
+    val grid = srcTotals.crossJoin(wordTotals)
+    val joined = grid
+      .join(sw, Seq("source", "w"), "left")
+      .select(col("source"), col("w"), col("ns"), col("cw"),
+        coalesce(col("c"), lit(0L)).as("c"))
+      .crossJoin(broadcast(grand))
+      .select(col("source"), col("w"),
+        (col("c") > 0L).cast("long").as("present"),
+        (col("c").cast("double") / col("ns")).as("p"),
+        when(col("n") > col("ns"),
+          (col("cw") - col("c")).cast("double") / (col("n") - col("ns")))
+          .otherwise(lit(0.0)).as("q"))
+    val m = (col("p") + col("q")) / lit(2.0)
+    val term =
+      when(col("p") > 0.0, col("p") * log(col("p") / m)).otherwise(lit(0.0)) +
+      when(col("q") > 0.0, col("q") * log(col("q") / m)).otherwise(lit(0.0))
+    joined
+      .select(col("source"), col("present"),
+        round(term * lit(0.5), 9).cast(DecimalType(28, 9)).as("t9"))
+      .groupBy(col("source"))
+      .agg(round(sum(col("t9")).cast("double"), 6).as("jsd"),
+        sum(col("present")).as("n_words_present"))
+      .orderBy(col("source"))
+  }
 }

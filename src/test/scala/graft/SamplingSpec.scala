@@ -273,4 +273,35 @@ class SamplingSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       s"the staged cut must be a partial top-k:\n$plan")
   }
+
+  test("weightedSample: replayable, weight-responsive, total on bad weights") {
+    val df = (1L to 200L).map(i => (i, if (i == 7L) 1000000L else 1L))
+      .toDF("doc_id", "wt")
+    val pick = Sampling.weightedSample(df, col("doc_id"), col("wt"), 10)
+    val ids = pick.select(col("id")).as[Long].collect().toSet
+    // the million-weight row is (1 - ~e^-1e6·u-ish) certain to make a
+    // top-10 of 200: its key is u's log shrunk a millionfold
+    assert(ids.contains(7L), s"heavy row must be sampled: $ids")
+    // replayable: same seed, same sample; new seed, (almost surely) not
+    val again = Sampling.weightedSample(df, col("doc_id"), col("wt"), 10)
+      .select(col("id")).as[Long].collect().toSet
+    assert(again == ids)
+    val reseeded = Sampling.weightedSample(df, col("doc_id"), col("wt"), 10, seed = 99L)
+      .select(col("id")).as[Long].collect().toSet
+    assert(reseeded != ids, "independent permutation under a new seed")
+    // null/zero/negative weights carry no mass and never sample
+    val bad = Seq((1L, Some(5L)), (2L, None), (3L, Some(0L)), (4L, Some(-2L)))
+      .toDF("doc_id", "wt")
+    val out = Sampling.weightedSample(bad, col("doc_id"), col("wt"), 10)
+      .select(col("id")).as[Long].collect().toSeq
+    assert(out == Seq(1L))
+  }
+
+  test("weightedSample plans as TakeOrderedAndProject (parallel reservoir)") {
+    val df = (1L to 50L).map(i => (i, i)).toDF("doc_id", "wt")
+    val plan = Sampling.weightedSample(df, col("doc_id"), col("wt"), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"A-ES must cut as a partial top-k, not a global sort:\n$plan")
+  }
 }

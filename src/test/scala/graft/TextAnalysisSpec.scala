@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
 import graft.operators.TextAnalysis
 
 class TextAnalysisSpec extends AnyFunSuite {
@@ -381,5 +382,57 @@ class TextAnalysisSpec extends AnyFunSuite {
     // a query with an absent term has no relevant docs at all
     val none = TextAnalysis.bm25MrrEval(docs, Seq(0 -> Seq("alpha", "nope")), k = 5).head()
     assert(none.getLong(1) == 0L && none.getDouble(3) == 0.0)
+  }
+
+  test("pmiCollocations: glued pairs score high, independent pairs near zero") {
+    // "san francisco" always adjacent; filler words combine freely
+    val glued = (0L until 10L).map(i => (i, "san francisco the a of"))
+    val noise = (10L until 20L).map(i => (i, "the of a the of a the of"))
+    val out = TextAnalysis.pmiCollocations((glued ++ noise).toDF("doc_id", "text"),
+      minCount = 5, topK = 5)
+      .select(col("w1"), col("w2"), col("pmi")).collect()
+    assert(out.head.getString(0) == "san" && out.head.getString(1) == "francisco",
+      s"the glued pair must top the PMI table: ${out.toSeq}")
+    // PMI for a pair that occurs ONLY together and nowhere else:
+    // ln(c2·N1²/(N2·c1·c1)) with c2=c1=10 → dominated by N1²/N2 scale;
+    // it must strictly exceed every free-combining pair
+    assert(out.tail.forall(_.getDouble(2) < out.head.getDouble(2)))
+    // minCount prunes: a pair seen < 5 times never surfaces
+    val pruned = TextAnalysis.pmiCollocations(
+      (glued ++ Seq((99L, "rare token"))).toDF("doc_id", "text"),
+      minCount = 5, topK = 20).collect()
+    assert(!pruned.exists(r => r.getString(0) == "rare"))
+  }
+
+  test("sourceJsDivergence: identical sources → 0; disjoint vocab → ln 2") {
+    val same = Seq(("a", "x y z"), ("b", "x y z")).toDF("source", "text")
+      .withColumn("doc_id", monotonically_increasing_id())
+    val j0 = TextAnalysis.sourceJsDivergence(same)
+      .select(col("jsd")).as[Double].collect()
+    assert(j0.forall(_ == 0.0), s"identical distributions → JSD 0: ${j0.toSeq}")
+
+    val disjoint = Seq(("a", "x x x"), ("b", "y y y")).toDF("source", "text")
+      .withColumn("doc_id", monotonically_increasing_id())
+    val jd = TextAnalysis.sourceJsDivergence(disjoint)
+      .select(col("jsd")).as[Double].collect()
+    // maximal divergence: every word is exclusive → JSD = ln 2
+    assert(jd.forall(v => math.abs(v - math.log(2.0)) < 1e-6), jd.toSeq.toString)
+  }
+
+  test("sourceJsDivergence counts ABSENT words (the dense-grid term)") {
+    // source a holds {x, y}, source b only {x}: b's missing 'y' must
+    // contribute ½·q·ln 2 — a sparse join would report jsd(b) too low
+    val docs = Seq(("a", "x y"), ("b", "x")).toDF("source", "text")
+      .withColumn("doc_id", monotonically_increasing_id())
+    val rows = TextAnalysis.sourceJsDivergence(docs)
+      .select(col("source"), col("jsd"), col("n_words_present"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    // hand computation for b: p=(1,0), q=(1/2,1/2) over (x,y)
+    //   x: ½[1·ln(1/¾) + ½·ln(½/¾)]; y: ½[0 + ½·ln(½/¼)]
+    val expB = 0.5 * (1.0 * math.log(1 / 0.75) + 0.5 * math.log(0.5 / 0.75)) +
+      0.5 * (0.5 * math.log(2.0))
+    assert(math.abs(rows("b")._1 - expB) < 1e-5,
+      s"expected ${expB}, got ${rows("b")._1}")
+    assert(rows("b")._2 == 1L && rows("a")._2 == 2L)
   }
 }
