@@ -723,6 +723,34 @@ object SparkEntry {
     }),
     // range join: prior-view counts in the 30 min before each purchase
     // (time-bucketed candidates, not a per-key cross product)
+    // interval × interval overlap (the join shape range_join's
+    // point-in-window can't express): view sessions overlapping click
+    // sessions per user — bucketized equi-join with the
+    // canonical-bucket rule (pair kept only in its overlap-start
+    // bucket), never a per-key inequality join
+    "interval_overlap" -> ((s, dir) => {
+      val iv = events(s, dir)
+        .filter(col("event_type").isin("view", "click"))
+        .groupBy(col("user_id"), col("event_type"),
+          session_window(col("ts"), "43200 seconds"))
+        .agg(min(col("ts")).as("st"), max(col("ts")).as("en"),
+          count(lit(1)).as("n"))
+      val v = iv.filter(col("event_type") === "view")
+        .select(col("user_id"), col("st").as("v_st"), col("en").as("v_en"),
+          col("n").as("n_view_events"))
+      val c = iv.filter(col("event_type") === "click")
+        .select(col("user_id"), col("st").as("c_st"), col("en").as("c_en"),
+          col("n").as("n_click_events"))
+      operators.Joins.intervalOverlapJoin(v, c, "user_id",
+          "v_st", "v_en", "c_st", "c_en", bucketSeconds = 86400L)
+        .select(col("user_id"),
+          date_format(col("v_st"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("view_start"),
+          date_format(col("c_st"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_start"),
+          col("n_view_events"), col("n_click_events"),
+          (unix_micros(least(col("v_en"), col("c_en"))) -
+            unix_micros(greatest(col("v_st"), col("c_st")))).as("overlap_micros"))
+        .orderBy(col("user_id"), col("view_start"), col("click_start"))
+    }),
     "range_join_views" -> ((s, dir) => {
       val ev = events(s, dir)
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -3289,6 +3317,33 @@ object SparkEntry {
          |  event_type, count(*) AS n_events,
          |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          |FROM x GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
+    // sessionize per (user, type) with session_window's >=gap break,
+    // then the overlap restated as the plain inequality join
+    "interval_overlap" ->
+      s"""WITH e AS (SELECT user_id, event_type, ts, event_id FROM events
+         |           WHERE event_type IN ('view', 'click')),
+         |l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id, event_type
+         |        ORDER BY ts, event_id) AS prev FROM e),
+         |s AS (SELECT *, sum(CASE WHEN prev IS NULL
+         |                      OR epoch_us(ts) - epoch_us(prev) >= 43200000000
+         |                    THEN 1 ELSE 0 END)
+         |        OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+         |      FROM l),
+         |iv AS (SELECT user_id, event_type, sess, min(ts) AS st, max(ts) AS en,
+         |         count(*) AS n
+         |       FROM s GROUP BY user_id, event_type, sess)
+         |SELECT v.user_id,
+         |  strftime(v.st, '%Y-%m-%d %H:%M:%S.%f') AS view_start,
+         |  strftime(c.st, '%Y-%m-%d %H:%M:%S.%f') AS click_start,
+         |  v.n AS n_view_events, c.n AS n_click_events,
+         |  epoch_us(least(v.en, c.en)) - epoch_us(greatest(v.st, c.st))
+         |    AS overlap_micros
+         |FROM iv v JOIN iv c
+         |  ON v.user_id = c.user_id
+         |  AND v.event_type = 'view' AND c.event_type = 'click'
+         |  AND v.st <= c.en AND c.st <= v.en
+         |ORDER BY v.user_id, view_start, click_start""".stripMargin,
     "events_sessions" ->
       s"""WITH l AS (SELECT user_id, ts, value,
          |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev

@@ -108,6 +108,45 @@ object Joins {
       .drop("__lt", "__rt", "__bucket", "__rbucket", "__probe")
   }
 
+  /** Interval × interval overlap join — "which left intervals overlap
+    * which right intervals for the same key" (session overlap,
+    * campaign/outage windows, validity-range reconciliation). The
+    * naive form is a per-key inequality join — quadratic in per-key
+    * interval count and un-plannable as an equi-join. Here each
+    * interval explodes into the time BUCKETS it covers (explode factor
+    * = span/bucket + 1 — pick `bucketSeconds` near the typical
+    * interval length), the join runs as a plain (key, bucket)
+    * equi-join, and each overlapping pair survives EXACTLY once via
+    * the canonical-bucket rule: the pair is kept only in the bucket of
+    * `greatest(lStart, rStart)` — the overlap's start instant, which
+    * both intervals necessarily cover — so no distinct/dedup pass is
+    * needed after the join.
+    *
+    * Overlap is closed-interval: touching endpoints (lEnd == rStart)
+    * count. All arithmetic in exact micros longs.
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds >= 1, s"bucketSeconds must be >= 1, got $bucketSeconds")
+    val b = bucketSeconds * 1000000L
+    val lb = left
+      .withColumn("__ls", unix_micros(col(lStart)))
+      .withColumn("__le", unix_micros(col(lEnd)))
+      .withColumn("__bk", explode(sequence(
+        floor(col("__ls") / b), floor(col("__le") / b))))
+    val rb = right
+      .withColumn("__rs", unix_micros(col(rStart)))
+      .withColumn("__re", unix_micros(col(rEnd)))
+      .withColumn("__rbk", explode(sequence(
+        floor(col("__rs") / b), floor(col("__re") / b))))
+    lb.join(rb, lb(keyCol) === rb(keyCol) && col("__bk") === col("__rbk"))
+      .filter(col("__ls") <= col("__re") && col("__rs") <= col("__le"))
+      .filter(col("__bk") === floor(greatest(col("__ls"), col("__rs")) / b))
+      .drop(rb(keyCol))
+      .drop("__ls", "__le", "__rs", "__re", "__bk", "__rbk")
+  }
+
   /** Blocked edit-distance entity resolution — match each dirty string
     * to its nearest catalog entry within `maxDist` edits (record
     * linkage / typo correction for ingest-time reference joins). The

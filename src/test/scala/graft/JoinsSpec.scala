@@ -173,4 +173,59 @@ class JoinsSpec extends AnyFunSuite {
     val top = Joins.keySkew(df, "k", 3).collect()
     assert(top.head.getLong(0) == 5L && top.head.getLong(1) == 60L)
   }
+
+  private def ivFrame(prefix: String, rows: (Long, Long, Long)*) =
+    rows.toDF("user_id", "s", "e")
+      .select(col("user_id"),
+        timestamp_micros(col("s")).as(s"${prefix}_st"),
+        timestamp_micros(col("e")).as(s"${prefix}_en"))
+
+  test("intervalOverlapJoin: overlap semantics, exactly-once across buckets") {
+    val sec = 1000000L
+    // left [0,10s] overlaps right [5s,20s] and touches right [10s,30s];
+    // right [11s,12s] misses; other-key right [5s,6s] must not match
+    val l = ivFrame("l", (1L, 0L, 10L * sec))
+    val r = ivFrame("r",
+      (1L, 5L * sec, 20L * sec), (1L, 10L * sec, 30L * sec),
+      (1L, 11L * sec, 12L * sec), (2L, 5L * sec, 6L * sec))
+    val out = Joins.intervalOverlapJoin(l, r, "user_id",
+        "l_st", "l_en", "r_st", "r_en", bucketSeconds = 2L)
+      .select(col("user_id"), unix_micros(col("r_st")).as("rs"))
+      .as[(Long, Long)].collect().toSet
+    // touching endpoints (l_en == r_st) count; each pair ONCE even
+    // though the 10s overlap spans 5 two-second buckets
+    assert(out == Set((1L, 5L * sec), (1L, 10L * sec)))
+  }
+
+  test("intervalOverlapJoin matches the quadratic inequality join") {
+    val rng = new scala.util.Random(7)
+    val sec = 1000000L
+    def gen(p: String) = ivFrame(p, Seq.fill(60) {
+      val k = rng.nextInt(4).toLong
+      val s = rng.nextInt(500).toLong * sec
+      (k, s, s + rng.nextInt(90).toLong * sec)
+    }: _*)
+    val l = gen("l"); val r = gen("r")
+    val fast = Joins.intervalOverlapJoin(l, r, "user_id",
+        "l_st", "l_en", "r_st", "r_en", bucketSeconds = 60L)
+      .select(unix_micros(col("l_st")), unix_micros(col("r_st")), col("user_id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq.sorted
+    val brute = l.join(r.withColumnRenamed("user_id", "u2"),
+        col("user_id") === col("u2") &&
+          col("l_st") <= col("r_en") && col("r_st") <= col("l_en"))
+      .select(unix_micros(col("l_st")), unix_micros(col("r_st")), col("user_id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq.sorted
+    assert(fast == brute, s"bucketized join diverges from the definition")
+  }
+
+  test("intervalOverlapJoin plans as an equi-join, not a cartesian/BNLJ") {
+    val l = ivFrame("l", (1L, 0L, 1000000L))
+    val r = ivFrame("r", (1L, 0L, 1000000L))
+    val plan = Joins.intervalOverlapJoin(l, r, "user_id",
+        "l_st", "l_en", "r_st", "r_en", 60L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the bucket key must make this an equi-join:\n$plan")
+  }
 }
