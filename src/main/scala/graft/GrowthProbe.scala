@@ -83,6 +83,16 @@ object GrowthProbe {
     }
     probe("curriculum_order")(d => Sampling.curriculumOrder(
       d.withColumn("n_chars", length(col("text"))), limit = 200).count())
+    // r8 session-3 text/sampling newcomers: PMI and JSD are vocab-
+    // bounded aggregations (growth must track the two count scans);
+    // weighted sampling is a stateless score + top-k
+    probe("collocations_pmi")(d => TextAnalysis.pmiCollocations(d).count())
+    probe("bm25_ndcg")(d => TextAnalysis.bm25Ndcg(d,
+      Seq("query", "fast", "merge"), 10).count())
+    probe("source_divergence")(d => TextAnalysis.sourceJsDivergence(d).count())
+    probe("weighted_sample")(d => Sampling.weightedSample(
+      d.withColumn("n_chars", length(col("text"))),
+      col("doc_id"), col("n_chars"), 50).count())
     // r8 newcomers. Output caveat (the ngram lesson): the probe corpus's
     // dup groups double in SIZE with n, so LSH candidate PAIRS grow ~4×
     // across the doubling — both probes below are output-bound, so the
@@ -272,6 +282,35 @@ object GrowthProbe {
             .filter(col("l_quantity") < col("thr"))
             .agg(count(lit(1)).as("n")).count()
         })
+        // r8 session-3 subquery shapes: argmin join, IN-over-HAVING
+        // semi join, nested IN — all must track the lineitem stream
+        probeRel("q2_argmin")((_, li) => {
+          val mins = li.groupBy(col("l_partkey").as("m_partkey"))
+            .agg(min(col("l_extendedprice")).as("m_price"))
+          li.join(part.filter(col("p_brand") === "Brand#2"),
+              col("p_partkey") === col("l_partkey"))
+            .join(mins, col("l_partkey") === col("m_partkey"))
+            .filter(col("l_extendedprice") === col("m_price"))
+            .count()
+        })
+        probeRel("q18_in_having")((ord, li) => {
+          val big = li.groupBy(col("l_orderkey").as("b_orderkey"))
+            .agg(sum(col("l_quantity")).as("b_qty"))
+            .filter(col("b_qty") > 200.0)
+          ord.join(big, col("o_orderkey") === col("b_orderkey"), "left_semi")
+            .join(li, col("l_orderkey") === col("o_orderkey"))
+            .groupBy(col("o_orderkey")).agg(sum(col("l_quantity")).as("q"))
+            .count()
+        })
+        probeRel("q20_nested_in")((_, li) => {
+          val widget = part.filter(col("p_name").like("%widget"))
+          li.join(broadcast(widget.select(col("p_partkey"))),
+              col("l_partkey") === col("p_partkey"), "left_semi")
+            .groupBy(col("l_suppkey"))
+            .agg(sum(col("l_quantity")).as("tot"))
+            .filter(col("tot") > 2000.0)
+            .count()
+        })
         // Q21 double subquery: BOTH decorrelated arms are lineitem
         // self-joins on the order key — the shape must track the
         // stream, not re-probe per row
@@ -322,6 +361,38 @@ object GrowthProbe {
           .select(concat(lit("campaign_"), col("k") % 4).as("channel"),
             round(col("value") / col("n_touches"), 6).as("credit"))
           .groupBy(col("channel")).agg(count(lit(1)).as("n")).count()
+      })
+      // r8 session-3 event-family newcomers: the CDC pair is one
+      // exchange of windows / one full-outer join; the skyline window
+      // runs over the distinct-count domain; A/B is two aggregations;
+      // interval overlap is the bucketized equi-join
+      probeEv("scd2_history")(d => Cdc.scd2FromLog(d, col("user_id"),
+        col("ts"), col("event_type"), col("event_id")).count())
+      probeEv("scd2_merge")(d => {
+        val split = lit("2024-01-16 00:00:00").cast("timestamp")
+        val cur = Cdc.latestState(d.filter(col("ts") < split), col("user_id"),
+            col("ts"), col("event_type"), col("event_id"))
+          .select(col("key"), col("state"), col("ts").as("effective_from_ts"))
+        val upd = Cdc.latestState(d.filter(col("ts") >= split), col("user_id"),
+          col("ts"), col("event_type"), col("event_id"))
+        Cdc.scd2Merge(cur, upd).count()
+      })
+      probeEv("pareto_frontier")(d => Skyline.frontier2d(
+        d.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"),
+          sum(col("value")).as("total_value")),
+        col("n_events"), col("total_value")).count())
+      probeEv("ab_test")(d => Experiment.abTest(d, "exp1", "purchase", 15).count())
+      probeEv("interval_overlap")(d => {
+        val iv = d.filter(col("event_type").isin("view", "click"))
+          .groupBy(col("user_id"), col("event_type"),
+            session_window(col("ts"), "43200 seconds"))
+          .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+        val v = iv.filter(col("event_type") === "view")
+          .select(col("user_id"), col("st").as("v_st"), col("en").as("v_en"))
+        val c = iv.filter(col("event_type") === "click")
+          .select(col("user_id"), col("st").as("c_st"), col("en").as("c_en"))
+        Joins.intervalOverlapJoin(v, c, "user_id",
+          "v_st", "v_en", "c_st", "c_en", 86400L).count()
       })
       probeEv("attribution_last_touch")(d => {
         // the contract query's as-of attribution: one ordered-window

@@ -229,6 +229,12 @@ object SparkEntry {
     // BM25 top-k retrieval for a bag-of-words query
     "bm25_search" -> ((s, dir) =>
       TextAnalysis.bm25TopDocs(tbl(s, dir, "documents"), bm25Query, 10)),
+    // graded-relevance retrieval eval beside MRR: the IDCG side never
+    // sorts the corpus — grades take ≤ |q|+1 values, so the grade
+    // HISTOGRAM determines the ideal list and a ≤ k-position explode
+    // folds it
+    "bm25_ndcg" -> ((s, dir) =>
+      TextAnalysis.bm25Ndcg(tbl(s, dir, "documents"), bm25Query, 10)),
     // retrieval EVALUATION: MRR@10 over a fixed query set (relevance =
     // contains every query term) — q queries in ONE corpus scan via the
     // broadcast term→query fan-out; the evaluation-family companion of
@@ -1943,6 +1949,33 @@ object SparkEntry {
     // DECIMAL(28,9) (order-independent) on both engines
     "bm25_search" -> bm25OracleSql,
     "bm25_mrr" -> bm25MrrOracleSql,
+    // same lex chain; DCG over the top-10 ranking, IDCG replayed from
+    // the grade histogram's contiguous rank runs, identical 9-dp terms
+    "bm25_ndcg" ->
+      s"""WITH $bm25Ctes,
+         |rk AS (SELECT doc_id, n_terms_hit AS g,
+         |         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+         |       FROM lex),
+         |dcg AS (SELECT coalesce(sum(CAST(round((pow(2.0, g) - 1.0)
+         |            / (ln(r + 1.0) / ln(2.0)), 9) AS DECIMAL(28,9))),
+         |          CAST(0 AS DECIMAL(28,9))) AS d
+         |        FROM rk WHERE r <= 10),
+         |gr AS (SELECT n_terms_hit AS g, count(*) AS cnt FROM lex GROUP BY 1),
+         |cu AS (SELECT g, cnt, sum(cnt) OVER (ORDER BY g DESC) AS cum FROM gr),
+         |pos AS (SELECT g, unnest(range(CAST(cum - cnt + 1 AS BIGINT),
+         |          CAST(least(cum, 10) + 1 AS BIGINT))) AS r
+         |        FROM cu WHERE cum - cnt + 1 <= 10),
+         |idcg AS (SELECT coalesce(sum(CAST(round((pow(2.0, g) - 1.0)
+         |             / (ln(r + 1.0) / ln(2.0)), 9) AS DECIMAL(28,9))),
+         |           CAST(0 AS DECIMAL(28,9))) AS i
+         |         FROM pos),
+         |ns AS (SELECT count(*) AS n_scored FROM lex)
+         |SELECT CAST(10 AS INT) AS k, CAST(n_scored AS BIGINT) AS n_scored,
+         |  round(CAST(d AS DOUBLE), 6) AS dcg,
+         |  round(CAST(i AS DOUBLE), 6) AS idcg,
+         |  CASE WHEN i > 0
+         |    THEN round(CAST(d AS DOUBLE) / CAST(i AS DOUBLE), 6) END AS ndcg
+         |FROM dcg CROSS JOIN idcg CROSS JOIN ns""".stripMargin,
     // both arms re-ranked exactly as their own oracles rank, then the
     // reciprocal terms add lexical-first in both engines
     "hybrid_search_rrf" ->

@@ -527,6 +527,80 @@ object TextAnalysis {
     out
   }
 
+  /** Retrieval evaluation: nDCG@k — the GRADED-relevance member of the
+    * evaluation family (MRR sees only the first binary hit; nDCG
+    * rewards putting higher-grade docs higher everywhere in the list).
+    * Grade = number of distinct query terms the doc contains (0..|q|,
+    * the graded proxy a synthetic corpus supports); gain is the
+    * standard (2^g − 1)/log2(rank+1).
+    *
+    * The ideal ranking (IDCG) needs "all grades sorted desc" — a
+    * global sort at corpus scale. Here it never materializes: grades
+    * take ≤ |q|+1 VALUES, so the grade HISTOGRAM (bounded aggregate)
+    * determines the ideal list — each grade occupies a contiguous rank
+    * run [cum−cnt+1, min(cum, k)], and a bounded explode of those ≤ k
+    * positions folds the ideal gains. Per-position terms quantize at
+    * 9 dp into decimals (order-free sum); both engines share the exact
+    * expression, so the 6-dp nDCG is bit-deterministic.
+    */
+  def bm25Ndcg(docs: DataFrame, queryTerms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "query must have at least one term")
+    import org.apache.spark.sql.expressions.Window
+    val terms = queryTerms.distinct
+    val base = Partitioning.spread(docs)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
+        filter(col("ws"), w => terms.map(t => w === t).reduce(_ || _)).as("qs"))
+      .localCheckpoint()
+    val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("qs")).as("w"))
+      .groupBy(col("doc_id"), col("dl"), col("w")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val termScore =
+      log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+        (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+    val lex = tf.join(broadcast(df), "w")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("g"),
+        sum(round(termScore, 9).cast(DecimalType(28, 9))).as("acc"))
+      .select(col("doc_id"), col("g"),
+        round(col("acc").cast("double"), 6).as("bm25"))
+      .localCheckpoint() // feeds the ranking AND the grade histogram
+    val zero9 = lit(0).cast(DecimalType(28, 9))
+    def gainAt(g: Column, r: Column): Column =
+      round((pow(lit(2.0), g.cast("double")) - lit(1.0)) /
+        (log(r.cast("double") + lit(1.0)) / lit(math.log(2.0))), 9)
+        .cast(DecimalType(28, 9))
+    val dcg = lex.orderBy(col("bm25").desc, col("doc_id")).limit(k)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .select(gainAt(col("g"), col("r")).as("t"))
+      .agg(coalesce(sum(col("t")), zero9).as("dcg9"))
+    val wd = Window.orderBy(col("g").desc)
+    val idcg = lex.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("start", col("cum") - col("cnt") + 1)
+      .filter(col("start") <= k)
+      .withColumn("r", explode(sequence(col("start"),
+        least(col("cum"), lit(k.toLong)))))
+      .select(gainAt(col("g"), col("r")).as("t"))
+      .agg(coalesce(sum(col("t")), zero9).as("idcg9"))
+    val nScored = lex.agg(count(lit(1)).as("n_scored"))
+    dcg.crossJoin(idcg).crossJoin(nScored)
+      .select(lit(k).as("k"), col("n_scored"),
+        round(col("dcg9").cast("double"), 6).as("dcg"),
+        round(col("idcg9").cast("double"), 6).as("idcg"),
+        when(col("idcg9") > 0,
+          round(col("dcg9").cast("double") / col("idcg9").cast("double"), 6))
+          .as("ndcg"))
+  }
+
   /** Unigram-LM surprisal per document — the bounded analogue of a
     * KenLM-style language-model quality filter (CCNet/LLaMA pipelines
     * bucket documents by LM perplexity): score = −Σ tf(w)·ln p(w) / n,

@@ -384,6 +384,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(none.getLong(1) == 0L && none.getDouble(3) == 0.0)
   }
 
+  test("bm25Ndcg: 1.0 on an ideal ranking, < 1 when spam outranks grades") {
+    // spam corpus (the MRR spec's shape): two alpha-heavy docs outrank
+    // the one doc holding both terms → a grade-2 doc sits below two
+    // grade-1 docs → nDCG strictly < 1
+    val spam = ((0L until 6L).map(i => (i, "beta x y")) ++ Seq(
+      (6L, "alpha alpha alpha alpha"),
+      (7L, "alpha alpha alpha alpha"),
+      (8L, "alpha beta"))).toDF("doc_id", "text")
+    val s = TextAnalysis.bm25Ndcg(spam, Seq("alpha", "beta"), 10).head()
+    assert(s.getLong(1) == 9L, "all 9 docs hold a query term")
+    assert(s.getDouble(4) < 1.0 && s.getDouble(4) > 0.0,
+      s"spam above the graded doc must cost nDCG: $s")
+    // hand-replay: ranking grades = ideal grades ⇒ ndcg == 1 exactly.
+    // A corpus where the both-terms doc also wins BM25:
+    val ideal = Seq((1L, "alpha beta"), (2L, "alpha x y z"), (3L, "beta x y z"))
+      .toDF("doc_id", "text")
+    val i = TextAnalysis.bm25Ndcg(ideal, Seq("alpha", "beta"), 10).head()
+    assert(i.getDouble(4) == 1.0, s"ideal ranking must score exactly 1: $i")
+    // no query term anywhere → idcg 0 → ndcg NULL, not NaN/divide error
+    val none = TextAnalysis.bm25Ndcg(ideal, Seq("zzz"), 10).head()
+    assert(none.isNullAt(4) && none.getDouble(2) == 0.0)
+  }
+
   test("pmiCollocations: glued pairs score high, independent pairs near zero") {
     // "san francisco" always adjacent; filler words combine freely
     val glued = (0L until 10L).map(i => (i, "san francisco the a of"))
