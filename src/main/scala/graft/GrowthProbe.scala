@@ -93,6 +93,9 @@ object GrowthProbe {
     probe("weighted_sample")(d => Sampling.weightedSample(
       d.withColumn("n_chars", length(col("text"))),
       col("doc_id"), col("n_chars"), 50).count())
+    probe("rater_agreement")(d => Experiment.cohensKappa(d,
+      length(col("text")) >= 300,
+      size(TextAnalysis.words(col("text"))) >= 55).count())
     // r8 newcomers. Output caveat (the ngram lesson): the probe corpus's
     // dup groups double in SIZE with n, so LSH candidate PAIRS grow ~4×
     // across the doubling — both probes below are output-bound, so the
@@ -382,6 +385,8 @@ object GrowthProbe {
           sum(col("value")).as("total_value")),
         col("n_events"), col("total_value")).count())
       probeEv("ab_test")(d => Experiment.abTest(d, "exp1", "purchase", 15).count())
+      probeEv("events_chi2")(d => Experiment.chiSquare(d,
+        col("event_type"), dayofweek(col("ts"))).count())
       probeEv("interval_overlap")(d => {
         val iv = d.filter(col("event_type").isin("view", "click"))
           .groupBy(col("user_id"), col("event_type"),

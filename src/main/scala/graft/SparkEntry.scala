@@ -1033,6 +1033,21 @@ object SparkEntry {
     // shuffle on user_id, z arithmetic on the 2-row frame
     "ab_test" -> ((s, dir) =>
       operators.Experiment.abTest(events(s, dir), "exp1", "purchase", 15)),
+    // categorical-structure shift alarm: χ² independence of event
+    // type × day-of-week — one count aggregation over the corpus,
+    // everything else on the bounded contingency table
+    "events_chi2" -> ((s, dir) =>
+      operators.Experiment.chiSquare(events(s, dir), col("event_type"),
+        dayofweek(col("ts")))),
+    // chance-corrected agreement between two heuristic quality gates
+    // (length rule vs word-count rule) — the label-audit readout; all
+    // cells and marginals from ONE aggregate pass
+    "rater_agreement" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      operators.Experiment.cohensKappa(d,
+        col("n_chars") >= 300L,
+        size(TextAnalysis.words(col("text"))) >= 55)
+    }),
     // monitoring family: hourly volume z-scores from exact integer
     // moments; per-label centroid drift between the vec_id-parity
     // snapshots; equi-width value histogram
@@ -3601,6 +3616,50 @@ object SparkEntry {
          |  WHERE b.n_events <= a.n_events AND b.tv >= a.tv
          |    AND (b.n_events < a.n_events OR b.tv > a.tv))
          |ORDER BY n_events, user_id""".stripMargin,
+    // same contingency fold: E as one division, (O−E)²/E at 9 dp into
+    // decimals; DuckDB dow + 1 = Spark dayofweek
+    "events_chi2" ->
+      s"""WITH c AS (SELECT event_type AS a, CAST(dayofweek(ts) AS INT) + 1 AS b,
+         |        count(*) AS o
+         |      FROM events GROUP BY 1, 2),
+         |ra AS (SELECT a, sum(o) AS row_total FROM c GROUP BY 1),
+         |cb AS (SELECT b, sum(o) AS col_total FROM c GROUP BY 1),
+         |g AS (SELECT sum(o) AS n FROM c),
+         |e AS (SELECT c.o,
+         |        ra.row_total * cb.col_total / CAST((SELECT n FROM g) AS DOUBLE) AS e
+         |      FROM c JOIN ra USING (a) JOIN cb USING (b)),
+         |t AS (SELECT coalesce(sum(CAST(round((o - e) * (o - e) / e, 9)
+         |          AS DECIMAL(28,9))), CAST(0 AS DECIMAL(28,9))) AS chi9,
+         |        count(*) AS n_cells
+         |      FROM e)
+         |SELECT (SELECT count(*) FROM ra) AS n_a,
+         |  (SELECT count(*) FROM cb) AS n_b,
+         |  CAST(n_cells AS BIGINT) AS n_cells,
+         |  ((SELECT count(*) FROM ra) - 1) * ((SELECT count(*) FROM cb) - 1) AS dof,
+         |  round(CAST(chi9 AS DOUBLE), 6) AS chi2
+         |FROM t""".stripMargin,
+    // same one-pass cells/marginals; κ arithmetic restated verbatim
+    "rater_agreement" ->
+      s"""WITH r AS (SELECT (n_chars >= 300) AS ra,
+         |        (len(regexp_split_to_array(trim(text), '\\s+')) >= 55) AS rb
+         |      FROM documents),
+         |a AS (SELECT count(*) AS n,
+         |        sum(CASE WHEN ra AND rb THEN 1 ELSE 0 END) AS n11,
+         |        sum(CASE WHEN NOT ra AND NOT rb THEN 1 ELSE 0 END) AS n00,
+         |        sum(CASE WHEN ra THEN 1 ELSE 0 END) AS na,
+         |        sum(CASE WHEN rb THEN 1 ELSE 0 END) AS nb
+         |      FROM r),
+         |p AS (SELECT n, n11 + n00 AS n_agree, na, nb,
+         |        CASE WHEN n > 0 THEN CAST(n11 + n00 AS DOUBLE) / n END AS po,
+         |        CASE WHEN n > 0 THEN
+         |          (CAST(na AS DOUBLE) / n) * (CAST(nb AS DOUBLE) / n)
+         |          + (1.0 - CAST(na AS DOUBLE) / n) * (1.0 - CAST(nb AS DOUBLE) / n)
+         |        END AS pe
+         |      FROM a)
+         |SELECT CAST(n AS BIGINT) AS n, CAST(n_agree AS BIGINT) AS n_agree,
+         |  round(po, 6) AS po, round(pe, 6) AS pe,
+         |  CASE WHEN pe < 1.0 THEN round((po - pe) / (1.0 - pe), 6) END AS kappa
+         |FROM p""".stripMargin,
     // same md5 bucketing character-for-character; counts exact, z at 6 dp
     "ab_test" ->
       s"""WITH pu AS (SELECT user_id,

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Experiment analysis over the event stream: deterministic hash
   * bucketing into variants and the two-proportion z-test on
@@ -20,6 +21,81 @@ import org.apache.spark.sql.functions._
   * runs on the 2-row frame.
   */
 object Experiment {
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns (event type × day-of-week here; any pair of bounded-
+    * domain dimensions): χ² = Σ (O−E)²/E over the contingency table,
+    * plus degrees of freedom — the distribution-shift alarm for
+    * categorical structure, next to [[Monitor.hourlyAnomaly]]'s
+    * volume z-scores.
+    *
+    * Scale shape: ONE map-side-combinable count aggregation over the
+    * corpus; everything after (marginals, expected counts, the fold)
+    * runs on the contingency table — |A|×|B| rows, domain-bounded.
+    * Terms quantize at 9 dp into decimals (order-free sum); expected
+    * counts are exact-integer products divided once, in the same
+    * expression both engines state.
+    */
+  def chiSquare(df: DataFrame, a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): DataFrame = {
+    val cells = df.select(a.as("a"), b.as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("o"))
+      .localCheckpoint() // feeds both marginals and the fold
+    val ra = cells.groupBy(col("a")).agg(sum(col("o")).as("row_total"))
+    val cb = cells.groupBy(col("b")).agg(sum(col("o")).as("col_total"))
+    val n = cells.agg(sum(col("o")).as("n"))
+    val term = cells.join(ra, "a").join(cb, "b").crossJoin(broadcast(n))
+      .select(
+        // E = row·col/n as ONE division; (O−E)²/E left-to-right
+        (col("row_total") * col("col_total") / col("n").cast("double")).as("e"),
+        col("o"))
+      .select(round((col("o") - col("e")) * (col("o") - col("e")) / col("e"), 9)
+        .cast(DecimalType(28, 9)).as("t9"))
+      .agg(coalesce(sum(col("t9")), lit(0).cast(DecimalType(28, 9))).as("chi9"),
+        count(lit(1)).as("n_cells"))
+    val dims = ra.agg(count(lit(1)).as("n_a"))
+      .crossJoin(cb.agg(count(lit(1)).as("n_b")))
+    term.crossJoin(dims)
+      .select(col("n_a"), col("n_b"), col("n_cells"),
+        ((col("n_a") - 1) * (col("n_b") - 1)).as("dof"),
+        round(col("chi9").cast("double"), 6).as("chi2"))
+  }
+
+  /** Cohen's kappa between two boolean raters — chance-corrected
+    * agreement for label-quality audits (two heuristic quality gates,
+    * a model vs a rule, two annotator pools). κ = (p_o − p_e)/(1 − p_e)
+    * with p_e from the raters' marginals.
+    *
+    * ONE aggregate pass: all four contingency cells and both marginals
+    * are `sum(when(...))` columns of the same map-side-combinable
+    * aggregation — adding raters' agreement costs a scan, not a join.
+    * Rows where either rater abstains (null) are excluded. κ is NULL
+    * when p_e = 1 (both raters constant — agreement is all chance).
+    */
+  def cohensKappa(df: DataFrame, raterA: org.apache.spark.sql.Column,
+      raterB: org.apache.spark.sql.Column): DataFrame = {
+    val base = df.select(raterA.as("ra"), raterB.as("rb"))
+      .filter(col("ra").isNotNull && col("rb").isNotNull)
+    val agg = base.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("ra") && col("rb"), 1L).otherwise(0L)).as("n11"),
+      sum(when(!col("ra") && !col("rb"), 1L).otherwise(0L)).as("n00"),
+      sum(when(col("ra"), 1L).otherwise(0L)).as("na"),
+      sum(when(col("rb"), 1L).otherwise(0L)).as("nb"))
+    agg.select(col("n"), (col("n11") + col("n00")).as("n_agree"),
+        col("na"), col("nb"),
+        when(col("n") > 0L,
+          (col("n11") + col("n00")).cast("double") / col("n")).as("po"),
+        when(col("n") > 0L,
+          (col("na").cast("double") / col("n")) * (col("nb").cast("double") / col("n")) +
+          (lit(1.0) - col("na").cast("double") / col("n")) *
+            (lit(1.0) - col("nb").cast("double") / col("n"))).as("pe"))
+      .select(col("n"), col("n_agree"),
+        round(col("po"), 6).as("po"), round(col("pe"), 6).as("pe"),
+        when(col("pe") < 1.0,
+          round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6)).as("kappa"))
+  }
 
   /** Per-variant conversion + pooled two-proportion z, one row.
     * A unit converts when it logs at least `minConversions` events of

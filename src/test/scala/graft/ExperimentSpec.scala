@@ -50,6 +50,49 @@ class ExperimentSpec extends AnyFunSuite {
     assert(r2.isNullAt(6), "p_pool = 0 → z undefined → NULL")
   }
 
+  test("chiSquare matches the hand-computed 2×2 statistic; independence → 0") {
+    // contingency [[30,10],[10,30]]: n=80, all marginals 40, E=20 per
+    // cell, chi2 = 4·(10²/20) = 20, dof = 1
+    val rows =
+      Seq.fill(30)(("x", "u")) ++ Seq.fill(10)(("x", "v")) ++
+      Seq.fill(10)(("y", "u")) ++ Seq.fill(30)(("y", "v"))
+    val out = Experiment.chiSquare(rows.toDF("a", "b"), col("a"), col("b")).head()
+    assert(out.getLong(3) == 1L && out.getDouble(4) == 20.0, out.toString)
+    // perfectly proportional table → chi2 exactly 0
+    val indep =
+      Seq.fill(20)(("x", "u")) ++ Seq.fill(10)(("x", "v")) ++
+      Seq.fill(40)(("y", "u")) ++ Seq.fill(20)(("y", "v"))
+    val z = Experiment.chiSquare(indep.toDF("a", "b"), col("a"), col("b")).head()
+    assert(z.getDouble(4) == 0.0, z.toString)
+    // null categories drop out rather than forming a null cell
+    val withNull = Seq(("x", Some("u")), ("x", None), ("y", Some("u")))
+    val wn = Experiment.chiSquare(withNull.toDF("a", "b"), col("a"), col("b")).head()
+    assert(wn.getLong(2) == 2L && wn.getLong(1) == 1L)
+  }
+
+  test("cohensKappa: perfect → 1, chance-level → ~0, constant raters → NULL") {
+    def df(rows: Seq[(Boolean, Boolean)]) = rows.toDF("ra", "rb")
+    val perfect = Experiment.cohensKappa(
+      df(Seq.fill(10)((true, true)) ++ Seq.fill(10)((false, false))),
+      col("ra"), col("rb")).head()
+    assert(perfect.getDouble(4) == 1.0)
+    // independent raters at 50/50: agreement = chance → κ = 0
+    val chance = Experiment.cohensKappa(
+      df(Seq((true, true), (true, false), (false, true), (false, false))),
+      col("ra"), col("rb")).head()
+    assert(chance.getDouble(4) == 0.0)
+    // both raters constant-true: p_e = 1 → κ undefined → NULL
+    val const = Experiment.cohensKappa(
+      df(Seq.fill(5)((true, true))), col("ra"), col("rb")).head()
+    assert(const.isNullAt(4))
+    // hand value: n=10, n11=4, n00=3, na=5, nb=6 → po=.7, pe=.5, κ=.4
+    val hand = Experiment.cohensKappa(
+      df(Seq.fill(4)((true, true)) ++ Seq.fill(3)((false, false)) ++
+        Seq.fill(1)((true, false)) ++ Seq.fill(2)((false, true))),
+      col("ra"), col("rb")).head()
+    assert(hand.getDouble(4) == 0.4, hand.toString)
+  }
+
   test("minConversions threshold gates the conversion flag") {
     val rows = Seq((1L, "purchase"), (1L, "purchase"), (2L, "purchase"))
     val out = Experiment.abTest(ev(rows: _*), "s1", "purchase", 2).head()
