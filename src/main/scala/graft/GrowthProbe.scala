@@ -387,6 +387,19 @@ object GrowthProbe {
       probeEv("ab_test")(d => Experiment.abTest(d, "exp1", "purchase", 15).count())
       probeEv("events_chi2")(d => Experiment.chiSquare(d,
         col("event_type"), dayofweek(col("ts"))).count())
+      probeEv("ab_cuped")(d =>
+        Experiment.cupedAbTest(d, "exp1", "2024-01-16 00:00:00").count())
+      probeEv("survival_churn")(d => {
+        val subjects = d.groupBy(col("user_id"))
+          .agg(datediff(min(col("ts")).cast("date"),
+              lit("2024-01-01").cast("date")).as("first_day"),
+            datediff(max(when(col("event_type") === "purchase", col("ts")))
+              .cast("date"), lit("2024-01-01").cast("date")).as("lp"))
+          .filter(col("lp").isNotNull)
+          .select((col("lp") - col("first_day")).cast("long").as("t"),
+            (col("lp") < 28).as("event"))
+        Survival.kaplanMeier(subjects).count()
+      })
       probeEv("interval_overlap")(d => {
         val iv = d.filter(col("event_type").isin("view", "click"))
           .groupBy(col("user_id"), col("event_type"),

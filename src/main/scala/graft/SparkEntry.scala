@@ -1033,12 +1033,35 @@ object SparkEntry {
     // shuffle on user_id, z arithmetic on the 2-row frame
     "ab_test" -> ((s, dir) =>
       operators.Experiment.abTest(events(s, dir), "exp1", "purchase", 15)),
+    // right-censored churn: Kaplan–Meier over purchase lifetimes —
+    // users whose last purchase sits at the window edge are CENSORED,
+    // not churned; the curve runs on the bounded duration domain
+    "survival_churn" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val subjects = ev.groupBy(col("user_id"))
+        .agg(
+          datediff(min(col("ts")).cast("date"),
+            lit("2024-01-01").cast("date")).as("first_day"),
+          datediff(max(when(col("event_type") === "purchase", col("ts")))
+            .cast("date"), lit("2024-01-01").cast("date")).as("last_purchase_day"))
+        .filter(col("last_purchase_day").isNotNull)
+        .select(col("user_id"),
+          (col("last_purchase_day") - col("first_day")).cast("long").as("t"),
+          (col("last_purchase_day") < 28).as("event"))
+      operators.Survival.kaplanMeier(subjects)
+    }),
     // categorical-structure shift alarm: χ² independence of event
     // type × day-of-week — one count aggregation over the corpus,
     // everything else on the bounded contingency table
     "events_chi2" -> ((s, dir) =>
       operators.Experiment.chiSquare(events(s, dir), col("event_type"),
         dayofweek(col("ts")))),
+    // CUPED variance reduction: pre-period spend adjusts post-period
+    // spend (θ = cov/var from exact decimal moments); the same
+    // experiment detects smaller effects at the same n
+    "ab_cuped" -> ((s, dir) =>
+      operators.Experiment.cupedAbTest(events(s, dir), "exp1",
+        "2024-01-16 00:00:00")),
     // chance-corrected agreement between two heuristic quality gates
     // (length rule vs word-count rule) — the label-audit readout; all
     // cells and marginals from ONE aggregate pass
@@ -3616,6 +3639,40 @@ object SparkEntry {
          |  WHERE b.n_events <= a.n_events AND b.tv >= a.tv
          |    AND (b.n_events < a.n_events OR b.tv > a.tv))
          |ORDER BY n_events, user_id""".stripMargin,
+    // same KM mechanics: deaths-before-censorings convention, 9-dp
+    // decimal log terms, survival = exp of the cumulative sum
+    "survival_churn" ->
+      s"""WITH u AS (SELECT user_id,
+         |    date_diff('day', DATE '2024-01-01', CAST(min(ts) AS DATE)) AS f,
+         |    date_diff('day', DATE '2024-01-01',
+         |      CAST(max(CASE WHEN event_type = 'purchase' THEN ts END) AS DATE)) AS lp
+         |  FROM events GROUP BY user_id),
+         |s AS (SELECT CAST(lp - f AS BIGINT) AS t, (lp < 28) AS event
+         |      FROM u WHERE lp IS NOT NULL),
+         |byt AS (SELECT t,
+         |          sum(CASE WHEN event THEN 1 ELSE 0 END) AS d,
+         |          sum(CASE WHEN event THEN 0 ELSE 1 END) AS c
+         |        FROM s GROUP BY t),
+         |tot AS (SELECT sum(d + c) AS n_total FROM byt),
+         |r AS (SELECT t, d, c,
+         |        (SELECT n_total FROM tot)
+         |          - sum(d + c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+         |              AND CURRENT ROW) + d + c AS n_risk
+         |      FROM byt),
+         |tm AS (SELECT t, d, c, n_risk,
+         |        CAST(CASE WHEN d = 0 THEN 0.0
+         |          WHEN d < n_risk THEN round(ln(1.0 - CAST(d AS DOUBLE) / n_risk), 9)
+         |        END AS DECIMAL(28,9)) AS t9,
+         |        max(CASE WHEN d = n_risk AND d > 0 THEN 1 ELSE 0 END)
+         |          OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+         |            AND CURRENT ROW) AS collapsed
+         |      FROM r)
+         |SELECT t, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS n_churned,
+         |  CAST(c AS BIGINT) AS n_censored,
+         |  CASE WHEN collapsed = 1 THEN 0.0
+         |    ELSE round(exp(CAST(sum(t9) OVER (ORDER BY t ROWS BETWEEN
+         |      UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)), 6) END AS survival
+         |FROM tm ORDER BY t""".stripMargin,
     // same contingency fold: E as one division, (O−E)²/E at 9 dp into
     // decimals; DuckDB dow + 1 = Spark dayofweek
     "events_chi2" ->
@@ -3660,6 +3717,79 @@ object SparkEntry {
          |  round(po, 6) AS po, round(pe, 6) AS pe,
          |  CASE WHEN pe < 1.0 THEN round((po - pe) / (1.0 - pe), 6) END AS kappa
          |FROM p""".stripMargin,
+    // same decimal moment folds, same fixed-expression θ and means;
+    // adjusted values re-quantize at 6 dp before their folds
+    "ab_cuped" ->
+      s"""WITH pu AS (SELECT user_id,
+         |    coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+         |      THEN CAST(value AS DECIMAL(18,6)) END), CAST(0 AS DECIMAL(18,6))) AS x,
+         |    coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+         |      THEN CAST(value AS DECIMAL(18,6)) END), CAST(0 AS DECIMAL(18,6))) AS y,
+         |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR) || ':exp1'), 1, 1)
+         |      IN ('0','1','2','3','4','5','6','7') THEN 'A' ELSE 'B' END AS v
+         |  FROM events GROUP BY user_id),
+         |m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         |        sum(CAST(x AS DECIMAL(28,6)) * x) AS sxx,
+         |        sum(CAST(x AS DECIMAL(28,6)) * y) AS sxy
+         |      FROM pu),
+         |th AS (SELECT n,
+         |        round(CASE WHEN n > 1 AND
+         |            CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+         |              / CAST(n AS DOUBLE) > 0.0
+         |          THEN (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+         |              / CAST(n AS DOUBLE))
+         |            / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+         |              / CAST(n AS DOUBLE))
+         |          ELSE 0.0 END, 9) AS theta,
+         |        CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x
+         |      FROM m),
+         |adj AS (SELECT pu.v, pu.y,
+         |          CAST(round(CAST(pu.y AS DOUBLE)
+         |            - th.theta * (CAST(pu.x AS DOUBLE) - th.mean_x), 6)
+         |            AS DECIMAL(18,6)) AS yadj,
+         |          th.theta
+         |        FROM pu CROSS JOIN th),
+         |bv AS (SELECT v, count(*) AS vn, sum(y) AS vy, sum(yadj) AS vyadj
+         |       FROM adj GROUP BY v),
+         |pool AS (SELECT count(*) AS pn, sum(y) AS py,
+         |           sum(CAST(y AS DECIMAL(28,6)) * y) AS pyy,
+         |           sum(yadj) AS pa,
+         |           sum(CAST(yadj AS DECIMAL(28,6)) * yadj) AS paa,
+         |           max(theta) AS theta
+         |         FROM adj),
+         |w AS (SELECT
+         |    coalesce(max(CASE WHEN v = 'A' THEN vn END), 0) AS n_a,
+         |    coalesce(max(CASE WHEN v = 'B' THEN vn END), 0) AS n_b,
+         |    max(CASE WHEN v = 'A' THEN vy END) AS ya,
+         |    max(CASE WHEN v = 'B' THEN vy END) AS yb,
+         |    max(CASE WHEN v = 'A' THEN vyadj END) AS aa,
+         |    max(CASE WHEN v = 'B' THEN vyadj END) AS ab
+         |  FROM bv)
+         |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         |  pool.theta AS theta,
+         |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+         |    round(CAST(ya AS DOUBLE) / n_a - CAST(yb AS DOUBLE) / n_b, 6)
+         |  END AS diff_raw,
+         |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+         |    round(CAST(aa AS DOUBLE) / n_a - CAST(ab AS DOUBLE) / n_b, 6)
+         |  END AS diff_adj,
+         |  CASE WHEN pn > 1 THEN round((CAST(pyy AS DOUBLE)
+         |    - CAST(py AS DOUBLE) * CAST(py AS DOUBLE) / CAST(pn AS DOUBLE))
+         |    / (CAST(pn AS DOUBLE) - 1.0), 6) END AS var_y,
+         |  CASE WHEN pn > 1 THEN round((CAST(paa AS DOUBLE)
+         |    - CAST(pa AS DOUBLE) * CAST(pa AS DOUBLE) / CAST(pn AS DOUBLE))
+         |    / (CAST(pn AS DOUBLE) - 1.0), 6) END AS var_y_adj,
+         |  CASE WHEN pn > 1 AND (CAST(pyy AS DOUBLE)
+         |      - CAST(py AS DOUBLE) * CAST(py AS DOUBLE) / CAST(pn AS DOUBLE))
+         |      / (CAST(pn AS DOUBLE) - 1.0) > 0.0 THEN
+         |    round(1.0 - ((CAST(paa AS DOUBLE)
+         |        - CAST(pa AS DOUBLE) * CAST(pa AS DOUBLE) / CAST(pn AS DOUBLE))
+         |        / (CAST(pn AS DOUBLE) - 1.0))
+         |      / ((CAST(pyy AS DOUBLE)
+         |        - CAST(py AS DOUBLE) * CAST(py AS DOUBLE) / CAST(pn AS DOUBLE))
+         |        / (CAST(pn AS DOUBLE) - 1.0)), 6)
+         |  END AS var_reduction
+         |FROM w CROSS JOIN pool""".stripMargin,
     // same md5 bucketing character-for-character; counts exact, z at 6 dp
     "ab_test" ->
       s"""WITH pu AS (SELECT user_id,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -95,6 +95,88 @@ object Experiment {
         round(col("po"), 6).as("po"), round(col("pe"), 6).as("pe"),
         when(col("pe") < 1.0,
           round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6)).as("kappa"))
+  }
+
+  /** CUPED (controlled-experiment using pre-experiment data): adjust
+    * each unit's post-period metric by its pre-period covariate,
+    * Y′ = Y − θ(X − mean X) with θ = cov(X,Y)/var(X) — the standard
+    * variance-reduction that makes the same experiment detect smaller
+    * effects. Reports the raw and adjusted variant difference and the
+    * pooled variance reduction (= corr² when θ is the OLS slope).
+    *
+    * Determinism across engines: X and Y fold in exact DECIMAL(18,6);
+    * all moment sums (ΣX, ΣY, ΣX², ΣXY) are exact decimal folds; θ and
+    * mean X derive from them in ONE fixed double expression; each
+    * adjusted value rounds at 6 dp back into decimals before the
+    * per-variant folds — no order-dependent double sum anywhere.
+    *
+    * Scale shape: one shuffle on the unit key (the per-user aggregate);
+    * the moment frame is ONE row cross-joined back as a broadcast; the
+    * variant readout is a 2-row aggregate.
+    */
+  def cupedAbTest(events: DataFrame, salt: String,
+      splitTs: String): DataFrame = {
+    val split = lit(splitTs).cast("timestamp")
+    val perUser = events
+      .groupBy(col("user_id"))
+      .agg(
+        coalesce(sum(when(col("ts") < split,
+          col("value").cast(DecimalType(18, 6)))), lit(0).cast(DecimalType(18, 6)))
+          .as("x"),
+        coalesce(sum(when(col("ts") >= split,
+          col("value").cast(DecimalType(18, 6)))), lit(0).cast(DecimalType(18, 6)))
+          .as("y"))
+      .withColumn("variant",
+        when(substring(md5(concat_ws(":", col("user_id").cast("string"),
+          lit(salt))), 1, 1).isin("0", "1", "2", "3", "4", "5", "6", "7"), "A")
+          .otherwise("B"))
+    val m = perUser.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+    val nD = col("n").cast("double")
+    val varX = col("sxx").cast("double") - col("sx").cast("double") *
+      col("sx").cast("double") / nD
+    val theta = when(col("n") > 1L && varX > 0.0,
+      (col("sxy").cast("double") - col("sx").cast("double") *
+        col("sy").cast("double") / nD) / varX).otherwise(lit(0.0))
+    val adjusted = perUser.crossJoin(broadcast(
+        m.select(col("n"), round(theta, 9).as("theta"),
+          (col("sx").cast("double") / nD).as("mean_x"))))
+      .withColumn("yadj", round(col("y").cast("double") -
+        col("theta") * (col("x").cast("double") - col("mean_x")), 6)
+        .cast(DecimalType(18, 6)))
+    val byVariant = adjusted.groupBy(col("variant"))
+      .agg(count(lit(1)).as("vn"),
+        sum(col("y")).as("vy"), sum(col("yadj")).as("vyadj"))
+    val pooled = adjusted.agg(
+      count(lit(1)).as("pn"),
+      sum(col("y")).as("py"), sum(col("y") * col("y")).as("pyy"),
+      sum(col("yadj")).as("pa"), sum(col("yadj") * col("yadj")).as("paa"),
+      max(col("theta")).as("theta"))
+    val wide = byVariant.agg(
+      coalesce(max(when(col("variant") === "A", col("vn"))), lit(0L)).as("n_a"),
+      coalesce(max(when(col("variant") === "B", col("vn"))), lit(0L)).as("n_b"),
+      max(when(col("variant") === "A", col("vy"))).as("ya"),
+      max(when(col("variant") === "B", col("vy"))).as("yb"),
+      max(when(col("variant") === "A", col("vyadj"))).as("aa"),
+      max(when(col("variant") === "B", col("vyadj"))).as("ab"))
+    def variance(ss: Column, s: Column, n: Column): Column =
+      when(n > 1L, (ss.cast("double") - s.cast("double") * s.cast("double") /
+        n.cast("double")) / (n.cast("double") - 1.0))
+    wide.crossJoin(broadcast(pooled))
+      .select(col("n_a"), col("n_b"), col("theta"),
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          round(col("ya").cast("double") / col("n_a") -
+            col("yb").cast("double") / col("n_b"), 6)).as("diff_raw"),
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          round(col("aa").cast("double") / col("n_a") -
+            col("ab").cast("double") / col("n_b"), 6)).as("diff_adj"),
+        round(variance(col("pyy"), col("py"), col("pn")), 6).as("var_y"),
+        round(variance(col("paa"), col("pa"), col("pn")), 6).as("var_y_adj"),
+        when(variance(col("pyy"), col("py"), col("pn")) > 0.0,
+          round(lit(1.0) - variance(col("paa"), col("pa"), col("pn")) /
+            variance(col("pyy"), col("py"), col("pn")), 6)).as("var_reduction"))
   }
 
   /** Per-variant conversion + pooled two-proportion z, one row.

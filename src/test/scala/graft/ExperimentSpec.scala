@@ -93,6 +93,36 @@ class ExperimentSpec extends AnyFunSuite {
     assert(hand.getDouble(4) == 0.4, hand.toString)
   }
 
+  test("cupedAbTest: correlated covariate cuts variance, uncorrelated leaves it") {
+    import java.sql.Timestamp
+    def ev(rows: Seq[(Long, Long, Double)]) =
+      rows.toDF("user_id", "t", "value")
+        .select(col("user_id"), timestamp_micros(col("t") * 1000000L).as("ts"),
+          col("value"))
+    val split = java.time.LocalDateTime.parse("2024-01-16T00:00:00")
+      .toEpochSecond(java.time.ZoneOffset.UTC)
+    // strong pre/post correlation: post = 2·pre + small per-user offset
+    val users = (1L to 40L)
+    val correlated = users.flatMap { u =>
+      val pre = (u % 7 + 1).toDouble
+      Seq((u, 0L, pre), (u, split + 10L, 2.0 * pre + (u % 3) * 0.1))
+    }
+    val c = Experiment.cupedAbTest(ev(correlated), "s1", "2024-01-16 00:00:00").head()
+    val (varY, varAdj, red) = (c.getDouble(5), c.getDouble(6), c.getDouble(7))
+    assert(varAdj < varY * 0.2,
+      s"a post = 2·pre + noise covariate must slash variance: $c")
+    assert(red > 0.8 && red <= 1.0)
+    // theta should sit near the true slope 2
+    assert(math.abs(c.getDouble(2) - 2.0) < 0.2, s"theta ≈ 2: $c")
+    // uncorrelated covariate: adjustment must not manufacture variance
+    // reduction (theta ≈ 0, var_y_adj ≈ var_y)
+    val uncorr = users.flatMap { u =>
+      Seq((u, 0L, (u % 2).toDouble), (u, split + 10L, (u % 5).toDouble))
+    }
+    val un = Experiment.cupedAbTest(ev(uncorr), "s1", "2024-01-16 00:00:00").head()
+    assert(math.abs(un.getDouble(7)) < 0.2, s"no correlation → no reduction: $un")
+  }
+
   test("minConversions threshold gates the conversion flag") {
     val rows = Seq((1L, "purchase"), (1L, "purchase"), (2L, "purchase"))
     val out = Experiment.abTest(ev(rows: _*), "s1", "purchase", 2).head()
