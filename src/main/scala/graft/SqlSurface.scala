@@ -413,7 +413,75 @@ object SqlSurface {
          |                        WHERE p_name LIKE '%widget')
          |  GROUP BY l.l_suppkey
          |  HAVING sum(l.l_quantity) > 2000.0D)
-         |ORDER BY s.s_suppkey""".stripMargin)
+         |ORDER BY s.s_suppkey""".stripMargin,
+    // the CDC history rebuild as pure window SQL — lag run-length
+    // compaction + lead interval close over one (ts, event_id) ordering
+    "scd2_history" ->
+      s"""WITH s AS (SELECT user_id, ts, event_type, event_id,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS prev
+         |  FROM events),
+         |c AS (SELECT user_id, event_type, ts, event_id FROM s
+         |      WHERE prev IS NULL OR prev <> event_type),
+         |r AS (SELECT user_id, event_type AS state, ts AS ef,
+         |        lead(ts) OVER (PARTITION BY user_id
+         |          ORDER BY ts, event_id) AS et
+         |      FROM c)
+         |SELECT user_id, state,
+         |  date_format(ef, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS effective_from,
+         |  date_format(et, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS effective_to,
+         |  (et IS NULL) AS is_current
+         |FROM r ORDER BY user_id, effective_from""".stripMargin,
+    // the chi-square fold as plain aggregate SQL (no subquery needs
+    // decorrelating — the marginals are explicit CTEs)
+    "events_chi2" ->
+      s"""WITH c AS (SELECT event_type AS a, dayofweek(ts) AS b, count(1) AS o
+         |      FROM events GROUP BY event_type, dayofweek(ts)),
+         |ra AS (SELECT a, sum(o) AS row_total FROM c GROUP BY a),
+         |cb AS (SELECT b, sum(o) AS col_total FROM c GROUP BY b),
+         |g AS (SELECT sum(o) AS n FROM c),
+         |e AS (SELECT /*+ BROADCAST(g) */ c.o,
+         |        ra.row_total * cb.col_total / CAST(g.n AS DOUBLE) AS e
+         |      FROM c JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN g),
+         |t AS (SELECT coalesce(sum(CAST(round((o - e) * (o - e) / e, 9)
+         |          AS DECIMAL(28,9))), CAST(0 AS DECIMAL(28,9))) AS chi9,
+         |        count(1) AS n_cells
+         |      FROM e),
+         |dims AS (SELECT (SELECT count(1) FROM ra) AS n_a,
+         |                (SELECT count(1) FROM cb) AS n_b)
+         |SELECT n_a, n_b, n_cells, (n_a - 1) * (n_b - 1) AS dof,
+         |  round(CAST(chi9 AS DOUBLE), 6) AS chi2
+         |FROM t CROSS JOIN dims""".stripMargin,
+    // the interval-overlap join in SQL: session_window sessionization
+    // in GROUP BY, the bucketized equi-join with the canonical-bucket
+    // rule spelled out as predicates
+    "interval_overlap" ->
+      s"""WITH iv AS (
+         |  SELECT user_id, event_type,
+         |    min(ts) AS st, max(ts) AS en, count(1) AS n
+         |  FROM events
+         |  WHERE event_type IN ('view', 'click')
+         |  GROUP BY user_id, event_type, session_window(ts, '43200 seconds')),
+         |v AS (SELECT user_id, st, en, n, unix_micros(st) AS s_us,
+         |        unix_micros(en) AS e_us
+         |      FROM iv WHERE event_type = 'view'),
+         |c AS (SELECT user_id AS c_user, st AS c_st, en AS c_en, n AS c_n,
+         |        unix_micros(st) AS cs_us, unix_micros(en) AS ce_us
+         |      FROM iv WHERE event_type = 'click'),
+         |vb AS (SELECT *, explode(sequence(CAST(floor(s_us / 86400000000) AS LONG),
+         |         CAST(floor(e_us / 86400000000) AS LONG))) AS bk FROM v),
+         |cb AS (SELECT *, explode(sequence(CAST(floor(cs_us / 86400000000) AS LONG),
+         |         CAST(floor(ce_us / 86400000000) AS LONG))) AS cbk FROM c)
+         |SELECT vb.user_id,
+         |  date_format(vb.st, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS view_start,
+         |  date_format(cb.c_st, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS click_start,
+         |  vb.n AS n_view_events, cb.c_n AS n_click_events,
+         |  least(vb.e_us, cb.ce_us) - greatest(vb.s_us, cb.cs_us) AS overlap_micros
+         |FROM vb JOIN cb
+         |  ON vb.user_id = cb.c_user AND vb.bk = cb.cbk
+         |  AND vb.s_us <= cb.ce_us AND cb.cs_us <= vb.e_us
+         |  AND vb.bk = CAST(floor(greatest(vb.s_us, cb.cs_us) / 86400000000) AS LONG)
+         |ORDER BY vb.user_id, view_start, click_start""".stripMargin)
 
   /** Contract-query adapter: register the views, run the SQL. */
   def query(name: String): (SparkSession, String) => DataFrame = {
@@ -751,6 +819,11 @@ object SqlSurface {
           .join(shippers, col("s_suppkey") === col("l_suppkey"), "left_semi")
           .select(col("s_suppkey"), col("s_name"))
           .orderBy(col("s_suppkey"))
-      }))
+      }),
+      // the operator forms the contract queries run — parity proves the
+      // SQL text reaches the same semantics
+      "scd2_history" -> SparkEntry.queries("scd2_history"),
+      "events_chi2" -> SparkEntry.queries("events_chi2"),
+      "interval_overlap" -> SparkEntry.queries("interval_overlap"))
   }
 }
