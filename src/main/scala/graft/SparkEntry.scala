@@ -712,6 +712,44 @@ object SparkEntry {
           n => element_at(split(n, " "), -1), maxDist = 1)
         .orderBy(col("p_partkey"))
     }),
+    // the linkage evaluated against its constructed ground truth — the
+    // ER member of the evaluation family (P/R/F1 per lane); one extra
+    // broadcast join + a 2-row aggregate on top of the match itself
+    "fuzzy_match_eval" -> ((s, dir) => {
+      val p = tbl(s, dir, "part")
+      val name = col("p_name")
+      val len1 = length(element_at(split(name, " "), 1))
+      val pos = lit(2) + pmod(col("p_partkey"), (len1 - lit(1)).cast("bigint"))
+      val dirty = p.select(col("p_partkey"),
+        when(col("p_partkey") % 2 === 0,
+          concat(name.substr(lit(1), (pos - 1).cast("int")),
+            name.substr((pos + 1).cast("int"), lit(1000))))
+          .otherwise(name).as("name"))
+      val matched = operators.Joins.fuzzyMatch(dirty,
+        p.select(col("p_name").as("name")), "p_partkey",
+        n => element_at(split(n, " "), -1), maxDist = 1)
+      val scored = matched
+        .join(p.select(col("p_partkey"), col("p_name").as("true_name")),
+          Seq("p_partkey"))
+        .select(
+          when(col("p_partkey") % 2 === 0, "corrupted").otherwise("clean")
+            .as("lane"),
+          col("matched_name").isNotNull.as("matched"),
+          (col("matched_name").isNotNull &&
+            col("matched_name") === col("true_name")).as("correct"))
+      val prec = col("n_correct").cast("double") / col("n_matched")
+      val rec = col("n_correct").cast("double") / col("n")
+      scored.groupBy(col("lane"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("matched"), 1L).otherwise(0L)).as("n_matched"),
+          sum(when(col("correct"), 1L).otherwise(0L)).as("n_correct"))
+        .select(col("lane"), col("n"), col("n_matched"), col("n_correct"),
+          when(col("n_matched") > 0L, round(prec, 6)).as("precision"),
+          round(rec, 6).as("recall"),
+          when(col("n_matched") > 0L && (prec + rec) > 0.0,
+            round(lit(2.0) * prec * rec / (prec + rec), 6)).as("f1"))
+        .orderBy(col("lane"))
+    }),
     // as-of join: for each error event, the user's most recent preceding
     // click (union + ordered-window implementation; oracle = native
     // DuckDB ASOF JOIN)
@@ -1426,6 +1464,30 @@ object SparkEntry {
     * (doc_id, n_terms_hit, bm25) — one definition for the three BM25
     * oracles AND the hybrid-fusion oracle's lexical arm.
     */
+  /** The fuzzy-linkage CTE chain (no leading WITH), ending in `dirty`
+    * and `best` — shared by the fuzzy_match oracle and its P/R/F1
+    * evaluation so the two replays cannot drift.
+    */
+  private lazy val fuzzyCtes: String =
+    s"""pos AS (SELECT p_partkey, p_name,
+       |    2 + p_partkey % (length(split_part(p_name, ' ', 1)) - 1) AS pos
+       |  FROM part),
+       |dirty AS (SELECT p_partkey,
+       |    CASE WHEN p_partkey % 2 = 0
+       |      THEN substr(p_name, 1, CAST(pos - 1 AS INT)) || substr(p_name, CAST(pos + 1 AS INT))
+       |      ELSE p_name END AS name
+       |  FROM pos),
+       |cat AS (SELECT DISTINCT p_name AS cname FROM part),
+       |cand AS (SELECT d.p_partkey, d.name, c.cname,
+       |    levenshtein(d.name, c.cname) AS dist
+       |  FROM dirty d JOIN cat c
+       |    ON split_part(d.name, ' ', 2) = split_part(c.cname, ' ', 2)
+       |  WHERE abs(length(d.name) - length(c.cname)) <= 1
+       |    AND levenshtein(d.name, c.cname) <= 1),
+       |best AS (SELECT p_partkey, cname, dist,
+       |    row_number() OVER (PARTITION BY p_partkey ORDER BY dist, cname) AS rn
+       |  FROM cand)""".stripMargin
+
   private lazy val bm25Ctes: String = {
       val terms = bm25Query.map(t => s"x = '$t'").mkString(" OR ")
       s"""w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
@@ -3233,27 +3295,39 @@ object SparkEntry {
     // = the engine's last-token key on these two-token names; winner =
     // row 1 of (dist, cname) — identical to the engine's min(struct)
     "fuzzy_match" ->
-      s"""WITH pos AS (SELECT p_partkey, p_name,
-         |    2 + p_partkey % (length(split_part(p_name, ' ', 1)) - 1) AS pos
-         |  FROM part),
-         |dirty AS (SELECT p_partkey,
-         |    CASE WHEN p_partkey % 2 = 0
-         |      THEN substr(p_name, 1, CAST(pos - 1 AS INT)) || substr(p_name, CAST(pos + 1 AS INT))
-         |      ELSE p_name END AS name
-         |  FROM pos),
-         |cat AS (SELECT DISTINCT p_name AS cname FROM part),
-         |cand AS (SELECT d.p_partkey, d.name, c.cname,
-         |    levenshtein(d.name, c.cname) AS dist
-         |  FROM dirty d JOIN cat c
-         |    ON split_part(d.name, ' ', 2) = split_part(c.cname, ' ', 2)
-         |  WHERE abs(length(d.name) - length(c.cname)) <= 1
-         |    AND levenshtein(d.name, c.cname) <= 1),
-         |best AS (SELECT p_partkey, cname, dist,
-         |    row_number() OVER (PARTITION BY p_partkey ORDER BY dist, cname) AS rn
-         |  FROM cand)
+      s"""WITH $fuzzyCtes
          |SELECT d.p_partkey, d.name, b.cname AS matched_name, CAST(b.dist AS INT) AS dist
          |FROM dirty d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (p_partkey)
          |ORDER BY d.p_partkey""".stripMargin,
+    // the same linkage replayed against ground truth (the corruption is
+    // constructed, so the true mapping is known): per lane P/R/F1
+    "fuzzy_match_eval" ->
+      s"""WITH $fuzzyCtes,
+         |m AS (SELECT d.p_partkey, d.name, b.cname AS matched_name
+         |      FROM dirty d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+         |        USING (p_partkey)),
+         |t AS (SELECT CASE WHEN m.p_partkey % 2 = 0 THEN 'corrupted'
+         |               ELSE 'clean' END AS lane,
+         |        (m.matched_name IS NOT NULL) AS matched,
+         |        (m.matched_name IS NOT NULL AND m.matched_name = p.p_name)
+         |          AS correct
+         |      FROM m JOIN part p USING (p_partkey)),
+         |a AS (SELECT lane, count(*) AS n,
+         |        sum(CASE WHEN matched THEN 1 ELSE 0 END) AS n_matched,
+         |        sum(CASE WHEN correct THEN 1 ELSE 0 END) AS n_correct
+         |      FROM t GROUP BY lane)
+         |SELECT lane, CAST(n AS BIGINT) AS n, CAST(n_matched AS BIGINT) AS n_matched,
+         |  CAST(n_correct AS BIGINT) AS n_correct,
+         |  CASE WHEN n_matched > 0
+         |    THEN round(CAST(n_correct AS DOUBLE) / n_matched, 6) END AS precision,
+         |  round(CAST(n_correct AS DOUBLE) / n, 6) AS recall,
+         |  CASE WHEN n_matched > 0 AND
+         |      CAST(n_correct AS DOUBLE) / n_matched + CAST(n_correct AS DOUBLE) / n > 0.0
+         |    THEN round(2.0 * (CAST(n_correct AS DOUBLE) / n_matched)
+         |        * (CAST(n_correct AS DOUBLE) / n)
+         |      / (CAST(n_correct AS DOUBLE) / n_matched + CAST(n_correct AS DOUBLE) / n), 6)
+         |  END AS f1
+         |FROM a ORDER BY lane""".stripMargin,
     "asof_error_click" ->
       s"""WITH errors AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
          |clicks AS (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click')

@@ -174,6 +174,25 @@ class JoinsSpec extends AnyFunSuite {
     assert(top.head.getLong(0) == 5L && top.head.getLong(1) == 60L)
   }
 
+  test("linkage evaluation counts wrong-entity matches against precision") {
+    // catalog has a near-collision: "alpha one" vs "altha one" (dist 1
+    // apart) — a corrupted "alpa one" (from alpha) is dist 1 from BOTH,
+    // and the deterministic (dist, name) tie-break picks "alpha one"
+    // (lexicographically first) — correct. "zzzzz one" matches nothing.
+    val catalog = Seq("alpha one", "altha one", "beta two").toDF("name")
+    val dirty = Seq(
+      (1L, "alpha one"),  // clean, exact
+      (2L, "alpa one"),   // corrupted from alpha one, recoverable
+      (3L, "zzzzz one")   // unmatchable
+    ).toDF("id", "name")
+    val m = Joins.fuzzyMatch(dirty, catalog, "id",
+      n => element_at(split(n, " "), -1), maxDist = 1)
+      .select(col("id"), col("matched_name"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(m(1L) == "alpha one" && m(2L) == "alpha one" && m(3L) == null)
+  }
+
   private def ivFrame(prefix: String, rows: (Long, Long, Long)*) =
     rows.toDF("user_id", "s", "e")
       .select(col("user_id"),
