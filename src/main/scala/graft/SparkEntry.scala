@@ -318,6 +318,21 @@ object SparkEntry {
     // quality-curriculum quartiles: broadcast percentile thresholds +
     // narrow when-chain — never an ntile() global ranking window
     "quality_buckets" -> ((s, dir) => TextAnalysis.curriculumSummary(tbl(s, dir, "documents"))),
+    // incremental view maintenance: the per-source stats view kept as
+    // MERGEABLE partial states (count/decimal-sum/min/max) — base(2/3)
+    // ⊕ delta(1/3) must equal the from-scratch aggregate the oracle
+    // computes; avg derives at read time, never persisted in state
+    "ivm_source_stats" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val base = operators.Ivm.aggState(d.filter(col("doc_id") % 3 =!= 0),
+        col("source"), col("n_chars"))
+      val delta = operators.Ivm.aggState(d.filter(col("doc_id") % 3 === 0),
+        col("source"), col("n_chars"))
+      operators.Ivm.read(operators.Ivm.merge(base, delta))
+        .select(col("key").as("source"), col("n").as("n_docs"),
+          col("sum_v").as("sum_chars"), col("min_v").as("min_chars"),
+          col("max_v").as("max_chars"), col("avg_v").as("avg_chars"))
+    }),
     // the per-source corpus datasheet (volume, dup share, gate rate)
     "corpus_report" -> ((s, dir) => CorpusPipeline.corpusReport(tbl(s, dir, "documents"))),
     "pipeline_clean_corpus" -> ((s, dir) =>
@@ -639,6 +654,7 @@ object SparkEntry {
     "q2_min_price_supplier" -> SqlSurface.query("q2_min_price_supplier"),
     "q18_large_orders" -> SqlSurface.query("q18_large_orders"),
     "q20_widget_suppliers" -> SqlSurface.query("q20_widget_suppliers"),
+    "q15_top_supplier" -> SqlSurface.query("q15_top_supplier"),
     // window-FRAME coverage: partitioned RANGE rolling 7-day window,
     // lag delta, ntile quartiles — runs as SQL (SqlSurface)
     "events_rolling" -> SqlSurface.query("events_rolling"),
@@ -2561,6 +2577,15 @@ object SparkEntry {
          |SELECT CAST(rank AS INT) AS rank, w AS word, CAST(cnt AS BIGINT) AS cnt,
          |  round(CAST(sum(cnt) OVER (ORDER BY rank) AS DOUBLE) / (SELECT total FROM t), 6) AS cum_frac
          |FROM v ORDER BY rank""".stripMargin,
+    // the IVM theorem as an oracle: the merged states must equal the
+    // FROM-SCRATCH aggregate (no base/delta split on this side)
+    "ivm_source_stats" ->
+      s"""SELECT source, count(n_chars) AS n_docs,
+         |  CAST(sum(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) AS sum_chars,
+         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+         |  round(CAST(sum(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE)
+         |    / count(n_chars), 6) AS avg_chars
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // same PMI expression left-to-right; ln = natural log both sides
     "collocations_pmi" ->
       s"""WITH w AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
@@ -3175,6 +3200,22 @@ object SparkEntry {
          |                  WHERE o.o_custkey = c.c_custkey
          |                    AND o.o_totalprice > 400000.0)
          |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
+    // same derived-aggregate argmax; the decimal-folded revenue is the
+    // identical double in both engines, so the max equality cannot flip
+    "q15_top_supplier" ->
+      s"""WITH revenue AS (
+         |  SELECT l_suppkey AS supplier_no,
+         |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+         |      AS DECIMAL(28,6))) AS DOUBLE) AS total_revenue
+         |  FROM lineitem
+         |  WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+         |    AND CAST(l_shipdate AS DATE) < DATE '1997-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s.s_suppkey, s.s_name, r.total_revenue
+         |FROM supplier s
+         |JOIN revenue r ON s.s_suppkey = r.supplier_no
+         |WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+         |ORDER BY s.s_suppkey""".stripMargin,
     // same correlated min — DuckDB decorrelates the argmin identically;
     // equality on exact 2-dp doubles from the same parquet
     "q2_min_price_supplier" ->

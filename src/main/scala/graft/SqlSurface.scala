@@ -414,6 +414,25 @@ object SqlSurface {
          |  GROUP BY l.l_suppkey
          |  HAVING sum(l.l_quantity) > 2000.0D)
          |ORDER BY s.s_suppkey""".stripMargin,
+    // TPC-H Q15-style argmax over a DERIVED aggregate: revenue per
+    // supplier computed once (a CTE, not a correlated probe), then an
+    // uncorrelated scalar max selects the winner(s). Catalyst computes
+    // the max as one subquery result reused as a literal-like filter —
+    // the aggregate is never re-evaluated per row.
+    "q15_top_supplier" ->
+      s"""WITH revenue AS (
+         |  SELECT l_suppkey AS supplier_no,
+         |    CAST(sum(CAST(l_extendedprice * (1.0D - l_discount)
+         |      AS DECIMAL(28,6))) AS DOUBLE) AS total_revenue
+         |  FROM lineitem
+         |  WHERE CAST(l_shipdate AS DATE) >= CAST('1997-01-01' AS DATE)
+         |    AND CAST(l_shipdate AS DATE) < CAST('1997-04-01' AS DATE)
+         |  GROUP BY l_suppkey)
+         |SELECT s.s_suppkey, s.s_name, r.total_revenue
+         |FROM supplier s
+         |JOIN revenue r ON s.s_suppkey = r.supplier_no
+         |WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+         |ORDER BY s.s_suppkey""".stripMargin,
     // the CDC history rebuild as pure window SQL — lag run-length
     // compaction + lead interval close over one (ts, event_id) ordering
     "scd2_history" ->
@@ -818,6 +837,23 @@ object SqlSurface {
         tbl(s, dir, "supplier")
           .join(shippers, col("s_suppkey") === col("l_suppkey"), "left_semi")
           .select(col("s_suppkey"), col("s_name"))
+          .orderBy(col("s_suppkey"))
+      }),
+      // the derived-aggregate argmax written out: aggregate once, take
+      // the 1-row max, filter by the broadcast scalar
+      "q15_top_supplier" -> ((s, dir) => {
+        val rev = tbl(s, dir, "lineitem")
+          .filter(col("l_shipdate").cast("date") >= lit("1997-01-01").cast("date"))
+          .filter(col("l_shipdate").cast("date") < lit("1997-04-01").cast("date"))
+          .groupBy(col("l_suppkey").as("supplier_no"))
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(28, 6))).cast("double").as("total_revenue"))
+        val mx = rev.agg(max(col("total_revenue")).as("mx"))
+        tbl(s, dir, "supplier")
+          .join(rev, col("s_suppkey") === col("supplier_no"))
+          .crossJoin(broadcast(mx))
+          .filter(col("total_revenue") === col("mx"))
+          .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
           .orderBy(col("s_suppkey"))
       }),
       // the operator forms the contract queries run — parity proves the
