@@ -96,6 +96,13 @@ object GrowthProbe {
     probe("rater_agreement")(d => Experiment.cohensKappa(d,
       length(col("text")) >= 300,
       size(TextAnalysis.words(col("text"))) >= 55).count())
+    probe("ivm_source_stats")(d => {
+      val dd = d.withColumn("n_chars", length(col("text")))
+      Ivm.read(Ivm.merge(
+        Ivm.aggState(dd.filter(col("doc_id") % 3 =!= 0), col("source"), col("n_chars")),
+        Ivm.aggState(dd.filter(col("doc_id") % 3 === 0), col("source"), col("n_chars"))))
+        .count()
+    })
     // r8 newcomers. Output caveat (the ngram lesson): the probe corpus's
     // dup groups double in SIZE with n, so LSH candidate PAIRS grow ~4×
     // across the doubling — both probes below are output-bound, so the
@@ -304,6 +311,15 @@ object GrowthProbe {
             .join(li, col("l_orderkey") === col("o_orderkey"))
             .groupBy(col("o_orderkey")).agg(sum(col("l_quantity")).as("q"))
             .count()
+        })
+        probeRel("q15_argmax")((_, li) => {
+          val rev = li
+            .filter(col("l_shipdate").cast("date") >= lit("1997-01-01").cast("date"))
+            .filter(col("l_shipdate").cast("date") < lit("1997-04-01").cast("date"))
+            .groupBy(col("l_suppkey"))
+            .agg(sum(col("l_extendedprice")).as("r"))
+          val mx = rev.agg(max(col("r")).as("mx"))
+          rev.crossJoin(broadcast(mx)).filter(col("r") === col("mx")).count()
         })
         probeRel("q20_nested_in")((_, li) => {
           val widget = part.filter(col("p_name").like("%widget"))

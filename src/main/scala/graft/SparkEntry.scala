@@ -1116,6 +1116,10 @@ object SparkEntry {
     "ab_cuped" -> ((s, dir) =>
       operators.Experiment.cupedAbTest(events(s, dir), "exp1",
         "2024-01-16 00:00:00")),
+    // experiment sizing from the OBSERVED base rate: per-variant n to
+    // detect each absolute lift at α=0.05 / power 0.8
+    "ab_power" -> ((s, dir) =>
+      operators.Experiment.abPower(events(s, dir), "purchase", 15)),
     // chance-corrected agreement between two heuristic quality gates
     // (length rule vs word-count rule) — the label-audit readout; all
     // cells and marginals from ONE aggregate pass
@@ -3832,6 +3836,26 @@ object SparkEntry {
          |  round(po, 6) AS po, round(pe, 6) AS pe,
          |  CASE WHEN pe < 1.0 THEN round((po - pe) / (1.0 - pe), 6) END AS kappa
          |FROM p""".stripMargin,
+    // same z literals, same left-to-right power formula per MDE row
+    "ab_power" ->
+      s"""WITH pu AS (SELECT user_id,
+         |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 15
+         |      THEN 1 ELSE 0 END AS conv
+         |  FROM events GROUP BY user_id),
+         |b AS (SELECT count(*) AS n_units,
+         |        CASE WHEN count(*) > 0
+         |          THEN CAST(sum(conv) AS DOUBLE) / count(*) END AS p1
+         |      FROM pu),
+         |m AS (SELECT CAST(unnest([0.02, 0.05, 0.10]) AS DOUBLE) AS mde)
+         |SELECT CAST(n_units AS BIGINT) AS n_units, round(p1, 6) AS base_rate, mde,
+         |  CASE WHEN p1 > 0.0 AND p1 + mde < 1.0 THEN
+         |    CAST(ceil(pow(1.959964 * sqrt((p1 + (p1 + mde)) / 2.0
+         |          * (1.0 - (p1 + (p1 + mde)) / 2.0) * 2.0)
+         |        + 0.841621 * sqrt(p1 * (1.0 - p1)
+         |          + (p1 + mde) * (1.0 - (p1 + mde))), 2.0)
+         |      / (mde * mde)) AS BIGINT)
+         |  END AS n_per_variant
+         |FROM b CROSS JOIN m ORDER BY mde""".stripMargin,
     // same decimal moment folds, same fixed-expression θ and means;
     // adjusted values re-quantize at 6 dp before their folds
     "ab_cuped" ->

@@ -97,6 +97,49 @@ object Experiment {
           round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6)).as("kappa"))
   }
 
+  /** Experiment sizing: the per-variant n required to detect a given
+    * absolute lift in conversion at α = 0.05 (two-sided) and power
+    * 0.8 — the "how long must this A/B run" readout computed FROM the
+    * corpus's observed base rate, not a guessed one. Standard normal-
+    * approximation formula with the two-proportion variance under H0
+    * and H1; z quantiles are fixed literals (the engine has no inverse
+    * normal CDF, and the two constants ARE the test definition).
+    *
+    * One aggregate pass (unit dedup + base rate), then pure scalar
+    * arithmetic on a 1-row frame for each MDE in the sweep.
+    */
+  def abPower(events: DataFrame, convertType: String = "purchase",
+      minConversions: Int = 1,
+      mdes: Seq[Double] = Seq(0.02, 0.05, 0.10)): DataFrame = {
+    require(mdes.nonEmpty && mdes.forall(m => m > 0.0 && m < 1.0),
+      "MDEs must be absolute lifts in (0, 1)")
+    val zAlpha = 1.959964 // Φ⁻¹(0.975)
+    val zBeta = 0.841621  // Φ⁻¹(0.80)
+    val base = events.groupBy(col("user_id"))
+      .agg(when(sum(when(col("event_type") === convertType, 1L).otherwise(0L))
+        >= minConversions, 1L).otherwise(0L).as("conv"))
+      .agg(count(lit(1)).as("n_units"), sum(col("conv")).as("n_conv"))
+      .select(col("n_units"),
+        when(col("n_units") > 0L,
+          col("n_conv").cast("double") / col("n_units")).as("p1"))
+    import events.sparkSession.implicits._
+    val sweep = mdes.toDF("mde")
+    base.crossJoin(broadcast(sweep))
+      .select(col("n_units"), round(col("p1"), 6).as("base_rate"), col("mde"),
+        (col("p1") + col("mde")).as("p2"), col("p1"))
+      // p2 capped below 1: an unreachable lift has no finite n
+      .select(col("n_units"), col("base_rate"), col("mde"),
+        when(col("p1") > 0.0 && col("p2") < 1.0, {
+          val pbar = (col("p1") + col("p2")) / 2.0
+          val sd0 = sqrt(pbar * (lit(1.0) - pbar) * 2.0)
+          val sd1 = sqrt(col("p1") * (lit(1.0) - col("p1")) +
+            col("p2") * (lit(1.0) - col("p2")))
+          ceil(pow(lit(zAlpha) * sd0 + lit(zBeta) * sd1, 2.0) /
+            (col("mde") * col("mde"))).cast("long")
+        }).as("n_per_variant"))
+      .orderBy(col("mde"))
+  }
+
   /** CUPED (controlled-experiment using pre-experiment data): adjust
     * each unit's post-period metric by its pre-period covariate,
     * Y′ = Y − θ(X − mean X) with θ = cov(X,Y)/var(X) — the standard

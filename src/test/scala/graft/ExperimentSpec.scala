@@ -123,6 +123,28 @@ class ExperimentSpec extends AnyFunSuite {
     assert(math.abs(un.getDouble(7)) < 0.2, s"no correlation → no reduction: $un")
   }
 
+  test("abPower: textbook n at p=0.5/MDE=0.1; smaller MDEs need more units") {
+    // 10 of 20 users convert → base rate 0.5
+    val rows = (0L until 20L).map(u => (u, if (u < 10) "purchase" else "view"))
+    val out = Experiment.abPower(ev(rows: _*), "purchase", 1,
+      mdes = Seq(0.05, 0.1)).collect()
+    assert(out.forall(_.getDouble(1) == 0.5))
+    // independent hand calculation of the standard formula at p1=0.5,
+    // p2=0.6: n = (1.959964·√(2·.55·.45) + 0.841621·√(.25+.24))²/0.01
+    val expect = math.ceil(math.pow(
+      1.959964 * math.sqrt(2 * 0.55 * 0.45) +
+        0.841621 * math.sqrt(0.5 * 0.5 + 0.6 * 0.4), 2) / 0.01).toLong
+    val n01 = out.find(_.getDouble(2) == 0.1).get.getLong(3)
+    assert(n01 == expect, s"expected $expect, got $n01")
+    val n005 = out.find(_.getDouble(2) == 0.05).get.getLong(3)
+    assert(n005 > 3 * n01, "halving the MDE roughly quadruples n")
+    // unreachable lift (p2 >= 1) → NULL, not a bogus finite n
+    val allConv = (0L until 10L).map(u => (u, "purchase"))
+    val un = Experiment.abPower(ev(allConv: _*), "purchase", 1, mdes = Seq(0.5))
+      .head()
+    assert(un.isNullAt(3))
+  }
+
   test("minConversions threshold gates the conversion flag") {
     val rows = Seq((1L, "purchase"), (1L, "purchase"), (2L, "purchase"))
     val out = Experiment.abTest(ev(rows: _*), "s1", "purchase", 2).head()
