@@ -1087,6 +1087,24 @@ object SparkEntry {
     // shuffle on user_id, z arithmetic on the 2-row frame
     "ab_test" -> ((s, dir) =>
       operators.Experiment.abTest(events(s, dir), "exp1", "purchase", 15)),
+    // P(next event | current) within sessions — the Markov form of
+    // session_paths; gap break and predecessor from ONE window
+    // exchange, matrix bounded by |types|²
+    "session_transitions" -> ((s, dir) =>
+      operators.Funnel.transitionMatrix(events(s, dir), 1800L)),
+    // the langId heuristic evaluated against the lang ground-truth
+    // column: confusion cells + per-true-lang share — the evaluation
+    // lane for the classifier the pipeline actually gates on
+    "langid_confusion" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val preds = TextAnalysis.langId(d).select(col("doc_id"), col("pred_lang"))
+      val cells = d.select(col("doc_id"), col("lang")).join(preds, "doc_id")
+        .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
+      val rowW = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      cells.withColumn("share_of_true",
+          round(col("n").cast("double") / sum(col("n")).over(rowW), 6))
+        .orderBy(col("lang"), col("pred_lang"))
+    }),
     // right-censored churn: Kaplan–Meier over purchase lifetimes —
     // users whose last purchase sits at the window edge are CENSORED,
     // not churned; the curve runs on the bounded duration domain
@@ -2736,6 +2754,28 @@ object SparkEntry {
          |  CASE $pred ELSE '${langs.last}' END AS pred_lang
          |FROM (SELECT *, $m AS m FROM s) ORDER BY doc_id""".stripMargin
     },
+    // same scoring chain as lang_id, joined to ground truth; row-share
+    // window over the bounded lang domain
+    "langid_confusion" -> {
+      val scoreCols = TextAnalysis.langMarkers.map { case (l, m) =>
+        s"CAST(len(list_filter(ws, x -> x IN (${m.map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS score_$l"
+      }.mkString(",\n  ")
+      val langs = TextAnalysis.langMarkers.map(_._1)
+      val m = langs.map(l => s"score_$l").mkString("GREATEST(", ", ", ")")
+      val pred = langs.init.map(l => s"WHEN score_$l = m THEN '$l'").mkString(" ")
+      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+         |s AS (SELECT doc_id,
+         |  $scoreCols
+         |FROM w),
+         |p AS (SELECT doc_id, CASE $pred ELSE '${langs.last}' END AS pred_lang
+         |      FROM (SELECT *, $m AS m FROM s)),
+         |j AS (SELECT d.lang, p.pred_lang FROM documents d JOIN p USING (doc_id)),
+         |c AS (SELECT lang, pred_lang, count(*) AS n FROM j GROUP BY 1, 2)
+         |SELECT lang, pred_lang, CAST(n AS BIGINT) AS n,
+         |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang), 6)
+         |    AS share_of_true
+         |FROM c ORDER BY lang, pred_lang""".stripMargin
+    },
     "token_counts" ->
       s"""SELECT doc_id,
          |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
@@ -3758,6 +3798,20 @@ object SparkEntry {
          |  WHERE b.n_events <= a.n_events AND b.tv >= a.tv
          |    AND (b.n_events < a.n_events OR b.tv > a.tv))
          |ORDER BY n_events, user_id""".stripMargin,
+    // same single-window break rule (>= gap resets, no transition)
+    "session_transitions" ->
+      s"""WITH l AS (SELECT user_id, ts, event_id, event_type,
+         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS prev_type
+         |  FROM events),
+         |t AS (SELECT prev_type AS from_type, event_type AS to_type FROM l
+         |      WHERE prev_ts IS NOT NULL
+         |        AND epoch_us(ts) - epoch_us(prev_ts) < 1800000000),
+         |c AS (SELECT from_type, to_type, count(*) AS n FROM t GROUP BY 1, 2)
+         |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+         |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 6) AS p
+         |FROM c ORDER BY from_type, to_type""".stripMargin,
     // same KM mechanics: deaths-before-censorings convention, 9-dp
     // decimal log terms, survival = exp of the cumulative sum
     "survival_churn" ->

@@ -231,4 +231,38 @@ object Funnel {
       .agg(count(lit(1)).as("n_converted"),
         pct("0.5", "p50_s"), pct("0.9", "p90_s"), pct("0.99", "p99_s"))
   }
+
+  /** First-order Markov transition matrix over within-session event
+    * sequences: P(next event type | current) — the quantitative form
+    * of [[sessionPaths]]' top-paths view, and the model behind "what
+    * does a user do after an error". Transitions never cross a session
+    * boundary (the gap break resets the chain).
+    *
+    * Shape at 100 TB: sessionization and the lag both run as window
+    * frames over ONE (user_id, ts, event_id) exchange+sort (the
+    * scd2FromLog discipline); the transition aggregate is map-side
+    * combinable into the bounded |types|² matrix, and the row-total
+    * window runs over that bounded matrix, not the stream.
+    */
+  def transitionMatrix(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // session break and predecessor from the SAME window — a row that
+    // opens a session has no from_type (null), so no second exchange
+    // on a (user, session) key ever happens
+    val trans = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("from_type", when(col("prev_ts").isNotNull &&
+        unix_micros(col("ts")) - unix_micros(col("prev_ts")) <
+          gapSeconds * 1000000L, lag(col("event_type"), 1).over(w)))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val rowTotal = Window.partitionBy(col("from_type"))
+    trans
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(rowTotal), 6))
+      .orderBy(col("from_type"), col("to_type"))
+  }
 }

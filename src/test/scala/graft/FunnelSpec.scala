@@ -129,6 +129,46 @@ class FunnelSpec extends AnyFunSuite {
     assert(got.size == 3)
   }
 
+  test("transitionMatrix: session gaps reset the chain; rows sum to 1") {
+    val sec = 1000000L
+    def frame(rows: (Long, Long, String, Long)*) =
+      rows.toDF("user_id", "us", "event_type", "event_id")
+        .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+          col("event_id"), col("event_type"))
+    // user 1: a→b→c in one session, then a gap ≥ 30min, then b→c;
+    // the cross-gap c→b transition must NOT count
+    val events = frame(
+      (1L, 0L, "a", 1L), (1L, 10L * sec, "b", 2L), (1L, 20L * sec, "c", 3L),
+      (1L, 10000L * sec, "b", 4L), (1L, 10010L * sec, "c", 5L))
+    val out = Funnel.transitionMatrix(events, 1800L)
+      .select(col("from_type"), col("to_type"), col("n"), col("p"))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map(
+      ("a", "b") -> ((1L, 1.0)),
+      ("b", "c") -> ((2L, 1.0))))
+    assert(!out.contains(("c", "b")), "gap must reset the chain")
+    // probabilities per from_type row sum to 1
+    val rows = Funnel.transitionMatrix(frame(
+        (1L, 0L, "a", 1L), (1L, 1L * sec, "b", 2L),
+        (1L, 2L * sec, "a", 3L), (1L, 3L * sec, "c", 4L)), 1800L)
+      .groupBy(col("from_type")).agg(sum(col("p")).as("s"))
+      .select(col("s")).as[Double].collect()
+    assert(rows.forall(s => math.abs(s - 1.0) < 1e-9))
+    // one STREAM-SHAPED window partitioning only: the break rule and
+    // the predecessor share the user_id window, so no (user, session)
+    // composite key ever re-shuffles the event stream (the remaining
+    // exchanges — matrix aggregate, row-total window — are bounded by
+    // |types|²)
+    val plan = Funnel.transitionMatrix(events, 1800L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning(user_id") ||
+      !"hashpartitioning\\(user_id[^)]*sess".r.findFirstIn(plan).isDefined,
+      s"no (user, session)-keyed exchange allowed:\n$plan")
+    assert("hashpartitioning\\(user_id".r.findAllIn(plan).length == 1,
+      s"the event stream must shuffle exactly once:\n$plan")
+  }
+
   test("rollingActiveUsers: window 1 reduces to daily actives") {
     val day = 86400000000L
     val events = ev((1L, "view", 0L), (2L, "view", 0L), (1L, "view", day))
