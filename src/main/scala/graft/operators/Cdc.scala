@@ -79,32 +79,36 @@ object Cdc {
       col("effective_from_ts").as("c_from"))
     val upd = updates.select(col("key").as("u_key"), col("state").as("u_state"),
       col("ts").as("u_ts"))
-    val j = cur.join(upd, col("c_key") === col("u_key"), "full_outer")
-
-    val unchanged = j
-      .filter(col("u_key").isNull ||
-        (col("c_key").isNotNull && col("c_state") === col("u_state")))
-      .select(col("c_key").as("key"), col("c_state").as("state"),
-        col("c_from").as("effective_from_ts"),
-        lit(null).cast("timestamp").as("effective_to_ts"),
-        lit(true).as("is_current"), lit("unchanged").as("lane"))
-    val closed = j
-      .filter(col("c_key").isNotNull && col("u_key").isNotNull &&
-        col("c_state") =!= col("u_state"))
-      .select(col("c_key").as("key"), col("c_state").as("state"),
-        col("c_from").as("effective_from_ts"),
-        col("u_ts").as("effective_to_ts"),
-        lit(false).as("is_current"), lit("closed").as("lane"))
-    val opened = j
-      .filter(col("u_key").isNotNull &&
-        (col("c_key").isNull || col("c_state") =!= col("u_state")))
-      .select(col("u_key").as("key"), col("u_state").as("state"),
-        col("u_ts").as("effective_from_ts"),
-        lit(null).cast("timestamp").as("effective_to_ts"),
-        lit(true).as("is_current"),
-        when(col("c_key").isNull, "new").otherwise("reopened").as("lane"))
-
-    unchanged.unionAll(closed).unionAll(opened)
+    // ONE pass over the joined frame: each row emits its 1–2 output
+    // lanes as an inline array + explode — a union of filtered branches
+    // would re-execute the full-outer join once per lane
+    val nullTs = lit(null).cast("timestamp")
+    def lane(key: Column, state: Column, from: Column, to: Column,
+        isCurrent: Column, name: Column) =
+      struct(key.as("key"), state.as("state"), from.as("effective_from_ts"),
+        to.as("effective_to_ts"), isCurrent.as("is_current"), name.as("lane"))
+    val superseded = col("c_key").isNotNull && col("u_key").isNotNull &&
+      col("c_state") =!= col("u_state")
+    val lanes = array(
+      // unchanged: absent from the batch, or same state re-sent
+      when(col("u_key").isNull ||
+          (col("c_key").isNotNull && col("c_state") === col("u_state")),
+        lane(col("c_key"), col("c_state"), col("c_from"), nullTs,
+          lit(true), lit("unchanged"))),
+      // superseded: the old row closes at the update ts ...
+      when(superseded,
+        lane(col("c_key"), col("c_state"), col("c_from"), col("u_ts"),
+          lit(false), lit("closed"))),
+      // ... and the new state opens; first sighting opens as "new"
+      when(col("u_key").isNotNull &&
+          (col("c_key").isNull || col("c_state") =!= col("u_state")),
+        lane(col("u_key"), col("u_state"), col("u_ts"), nullTs,
+          lit(true), when(col("c_key").isNull, "new").otherwise("reopened"))))
+    cur.join(upd, col("c_key") === col("u_key"), "full_outer")
+      .select(explode(filter(lanes, _.isNotNull)).as("r"))
+      .select(col("r.key").as("key"), col("r.state").as("state"),
+        col("r.effective_from_ts"), col("r.effective_to_ts"),
+        col("r.is_current"), col("r.lane"))
   }
 
   /** Latest observed state per key from a change log — the snapshot

@@ -77,6 +77,18 @@ class CdcSpec extends AnyFunSuite {
     assert(again.filter(col("lane") =!= "unchanged").count() == 0L)
   }
 
+  test("scd2Merge executes ONE join — lanes come from an explode, not a union") {
+    val cur = Seq((1L, "a", 0L)).toDF("key", "state", "f")
+      .select(col("key"), col("state"), col("f").cast("timestamp").as("effective_from_ts"))
+    val upd = Seq((1L, "b", 5L)).toDF("key", "state", "t")
+      .select(col("key"), col("state"), col("t").cast("timestamp").as("ts"))
+    val plan = graft.operators.Cdc.scd2Merge(cur, upd)
+      .queryExecution.optimizedPlan.toString
+    val joins = "Join ".r.findAllIn(plan).length
+    assert(joins == 1,
+      s"a per-lane union would re-execute the join — expected 1, got $joins:\n$plan")
+  }
+
   test("merge lanes partition correctly on empty sides") {
     val empty = Seq.empty[(Long, String, Long)].toDF("key", "state", "f")
       .select(col("key"), col("state"), col("f").cast("timestamp").as("effective_from_ts"))
