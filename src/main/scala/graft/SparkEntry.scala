@@ -127,6 +127,16 @@ object SparkEntry {
     "dup_triangles" -> ((s, dir) =>
       operators.Graph.triangles(
         Dedup.minhashLshPairs(tbl(s, dir, "documents"), 0.5))),
+    // quality-aware canonical selection: per near-dup component keep
+    // the LONGEST doc (min-id only as tie-break) — "keep the best
+    // copy", not "keep the first"; argmax is a map-side-combinable
+    // min(struct(-len, id)) per group, never a per-group sort window
+    "dedup_keep_best" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      Dedup.keepBest(docs, Dedup.dupGroups(Dedup.minhashLshPairs(docs, 0.5)),
+          col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     // the dup-cluster SIZE distribution — the one-glance answer to
     // "is dedup removing boilerplate families or isolated near-pairs":
     // two map-side-combinable groupBys over the already-resolved
@@ -2178,6 +2188,32 @@ object SparkEntry {
          |          SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
          |SELECT src AS doc_id, least(src, min(dst)) AS group_id
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    // same closure + the same (longest, then min-id) selection rule,
+    // stated as a per-group ranking window
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |prs AS (SELECT i.doc_a, i.doc_b
+         |        FROM inter i JOIN sz x ON i.doc_a = x.doc_id
+         |                     JOIN sz y ON i.doc_b = y.doc_id
+         |        WHERE round(i.c::DOUBLE/(x.n + y.n - i.c), 6) >= 0.5),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+         |      UNION ALL SELECT doc_b, doc_a FROM prs),
+         |reach AS (SELECT src, dst FROM e
+         |          UNION
+         |          SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+         |g AS (SELECT src AS doc_id, least(src, min(dst)) AS group_id
+         |      FROM reach GROUP BY src),
+         |a AS (SELECT d.doc_id, coalesce(g.group_id, d.doc_id) AS group_id,
+         |        d.n_chars
+         |      FROM documents d LEFT JOIN g USING (doc_id)),
+         |k AS (SELECT doc_id AS keeper_doc, group_id FROM (
+         |        SELECT doc_id, group_id, row_number() OVER (
+         |          PARTITION BY group_id ORDER BY n_chars DESC, doc_id) AS rn
+         |        FROM a) WHERE rn = 1)
+         |SELECT a.doc_id, a.group_id, k.keeper_doc,
+         |  (a.doc_id = k.keeper_doc) AS is_keeper
+         |FROM a JOIN k USING (group_id)
+         |ORDER BY a.doc_id""".stripMargin,
     // canonical doc_a < doc_b pairs make the ordered 3-way self-join
     // count each triangle exactly once at its sorted vertex order
     "dup_triangles" ->

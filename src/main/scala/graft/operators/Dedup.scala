@@ -86,6 +86,28 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** Quality-aware canonical selection over resolved near-dup groups:
+    * per component keep the doc that maximizes `quality` (min doc_id
+    * only as the tie-break) — "keep the best copy", not "keep the
+    * first". Ungrouped docs are their own (singleton) keeper. The
+    * argmax is a map-side-combinable `min(struct(-q, id))` per group —
+    * never a per-group ranking window over the corpus.
+    */
+  def keepBest(docs: DataFrame, groups: DataFrame,
+      quality: Column): DataFrame = {
+    val withGroup = docs.select(col("doc_id"), quality.as("__q"))
+      .join(groups.select(col("doc_id"), col("group_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("__q"),
+        coalesce(col("group_id"), col("doc_id")).as("group_id"))
+    val keepers = withGroup.groupBy(col("group_id"))
+      .agg(min(struct((-col("__q")).as("neg_q"), col("doc_id").as("id")))
+        .as("best"))
+      .select(col("group_id"), col("best.id").as("keeper_doc"))
+    withGroup.join(keepers, "group_id")
+      .select(col("doc_id"), col("group_id"), col("keeper_doc"),
+        (col("doc_id") === col("keeper_doc")).as("is_keeper"))
+  }
+
   /** Sub-document span dedup, C4-style (Raffel et al. 2020 §2.2 dedupe
     * any repeated span corpus-wide, keeping one occurrence) — restated
     * block-parallel so one pass over the corpus settles every

@@ -405,4 +405,18 @@ class DedupSpec extends AnyFunSuite {
     // the unrelated doc never becomes a candidate against the dup family
     assert(!out.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
+
+  test("keepBest: longest doc wins its group, min-id tie-break, singleton keeps") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 30L), (9L, 5L))
+      .toDF("doc_id", "q")
+    // docs 1,2,3 form one component; 9 is ungrouped
+    val groups = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("doc_id", "group_id")
+    val out = graft.operators.Dedup.keepBest(docs, groups, col("q"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    // quality 30 beats 10; ids 2 and 3 tie at 30 -> min id 2 keeps
+    assert(out(1L) == ((2L, false)) && out(2L) == ((2L, true)) &&
+      out(3L) == ((2L, false)))
+    assert(out(9L) == ((9L, true)), "singleton keeps itself")
+  }
 }
