@@ -125,6 +125,14 @@ object GrowthProbe {
         Sampling.leakageSafeSplit(d, Dedup.dupGroups(pairs)).count()
         pairs.count()
       })
+      // keep-best rides the same ~4×-growing pair graph; normalize
+      // on the edges the componentization pays for
+      pairNormalized("dedup_keep_best (per-edge)")(d => {
+        val pairs = Dedup.minhashLshPairs(d, 0.5)
+        Dedup.keepBest(d.withColumn("n_chars", length(col("text"))),
+          Dedup.dupGroups(pairs), col("n_chars")).count()
+        pairs.count()
+      })
     }
     probe("corpus_diff")(d => {
       // the contract query's snapshot construction: %7 removed, %5

@@ -139,6 +139,47 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("watermark DROPS a late event in append mode; batch would keep it") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // batch 1: events at minute 0 and minute 300 — the late arrival
+    // threshold advances to max(ts) − 1h = minute 240 after this batch
+    mem.addData(Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(300), 1, "view", 1.0))
+    val q = Streaming.windowCounts(mem.toDF(), 3600L, watermark = Some("1 hour"))
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // batch 2: an event for the LONG-CLOSED minute-0 window (< the
+    // watermark) plus a fresh event that advances time further
+    mem.addData(Event(3, ts(1), 2, "click", 1.0),
+      Event(4, ts(600), 2, "view", 1.0))
+    q.processAllAvailable()
+    // batch 3: push the watermark past every open window so all
+    // on-time aggregates finalize and emit
+    mem.addData(Event(5, ts(1200), 3, "view", 1.0))
+    q.processAllAvailable(); q.stop()
+    def toCountMap(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("window_start"), col("event_type"), col("n"))
+      .as[(String, String, Long)].collect()
+      .map { case (w, t, n) => (w, t) -> n }.toMap
+    val counts = toCountMap(spark.table("late_out"))
+    // the minute-0 click window finalized with ONE event — the late
+    // replay (event 3) was dropped, not merged
+    val hour0 = java.time.Instant.ofEpochSecond(36000L)
+      .atZone(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    assert(counts((hour0, "click")) == 1L,
+      s"late event must be dropped by the watermark: $counts")
+    // batch semantics over the same rows KEEPS it — the drop is a
+    // streaming watermark effect, not a filter in the operator
+    val allRows = Seq(Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(300), 1, "view", 1.0), Event(3, ts(1), 2, "click", 1.0),
+      Event(4, ts(600), 2, "view", 1.0), Event(5, ts(1200), 3, "view", 1.0))
+    val batch = toCountMap(Streaming.windowCounts(allRows.toDF(), 3600L))
+    assert(batch((hour0, "click")) == 2L)
+  }
+
   test("streaming dedup: dropDuplicatesWithinWatermark removes replayed events") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Event]
