@@ -137,6 +137,10 @@ object SparkEntry {
           col("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    // the appeal view: per verified near-dup pair, set sizes, shared
+    // count and the first-5 shared shingles — evidence, not just a verdict
+    "dup_evidence" -> ((s, dir) =>
+      Dedup.dupEvidence(tbl(s, dir, "documents"), 0.5)),
     // the dup-cluster SIZE distribution — the one-glance answer to
     // "is dedup removing boilerplate families or isolated near-pairs":
     // two map-side-combinable groupBys over the already-resolved
@@ -328,6 +332,15 @@ object SparkEntry {
     // quality-curriculum quartiles: broadcast percentile thresholds +
     // narrow when-chain — never an ntile() global ranking window
     "quality_buckets" -> ((s, dir) => TextAnalysis.curriculumSummary(tbl(s, dir, "documents"))),
+    // market-basket lift over orders: which part types move together
+    // (lift > 1) vs merely both being common — distinct (order, type)
+    // rows bound the self-join multiplicity by the TYPE domain
+    "basket_lift" -> ((s, dir) => {
+      val baskets = tbl(s, dir, "lineitem")
+        .join(broadcast(tbl(s, dir, "part").select(col("p_partkey"), col("p_type"))),
+          col("p_partkey") === col("l_partkey"))
+      operators.Association.basketLift(baskets, col("l_orderkey"), col("p_type"))
+    }),
     // incremental view maintenance: the per-source stats view kept as
     // MERGEABLE partial states (count/decimal-sum/min/max) — base(2/3)
     // ⊕ delta(1/3) must equal the from-scratch aggregate the oracle
@@ -2188,6 +2201,29 @@ object SparkEntry {
          |          SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src)
          |SELECT src AS doc_id, least(src, min(dst)) AS group_id
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    // same verified pairs; evidence = sorted shared-shingle list cut
+    // at 5, joined with a pipe so the hash compares a scalar
+    "dup_evidence" ->
+      s"""WITH $minhashCtes,
+         |prs AS (SELECT i.doc_a, i.doc_b, i.c,
+         |          round(i.c::DOUBLE/(x.n + y.n - i.c), 6) AS jaccard,
+         |          x.n AS n_a, y.n AS n_b
+         |        FROM inter i JOIN sz x ON i.doc_a = x.doc_id
+         |                     JOIN sz y ON i.doc_b = y.doc_id
+         |        WHERE round(i.c::DOUBLE/(x.n + y.n - i.c), 6) >= 0.5),
+         |ev AS (SELECT p.doc_a, p.doc_b, a.shingle
+         |       FROM prs p JOIN sh a ON a.doc_id = p.doc_a
+         |                  JOIN sh b ON b.doc_id = p.doc_b
+         |                    AND b.shingle = a.shingle),
+         |agg AS (SELECT doc_a, doc_b,
+         |          array_to_string((list(shingle ORDER BY shingle))[1:5], '|')
+         |            AS evidence
+         |        FROM ev GROUP BY doc_a, doc_b)
+         |SELECT p.doc_a, p.doc_b, p.jaccard,
+         |  CAST(p.n_a AS BIGINT) AS n_a, CAST(p.n_b AS BIGINT) AS n_b,
+         |  CAST(p.c AS BIGINT) AS n_shared, agg.evidence
+         |FROM prs p JOIN agg ON agg.doc_a = p.doc_a AND agg.doc_b = p.doc_b
+         |ORDER BY p.doc_a, p.doc_b""".stripMargin,
     // same closure + the same (longest, then min-id) selection rule,
     // stated as a per-group ranking window
     "dedup_keep_best" ->
@@ -2635,6 +2671,22 @@ object SparkEntry {
          |SELECT CAST(rank AS INT) AS rank, w AS word, CAST(cnt AS BIGINT) AS cnt,
          |  round(CAST(sum(cnt) OVER (ORDER BY rank) AS DOUBLE) / (SELECT total FROM t), 6) AS cum_frac
          |FROM v ORDER BY rank""".stripMargin,
+    // same distinct-basket pair counts, same left-to-right lift
+    "basket_lift" ->
+      s"""WITH bi AS (SELECT DISTINCT l_orderkey AS b, p_type AS i
+         |      FROM lineitem JOIN part ON p_partkey = l_partkey),
+         |n AS (SELECT count(DISTINCT b) AS n_baskets FROM bi),
+         |ic AS (SELECT i, count(*) AS ni FROM bi GROUP BY i),
+         |p AS (SELECT a.i AS item_a, c.i AS item_b, count(*) AS n_ab
+         |      FROM bi a JOIN bi c ON a.b = c.b AND a.i < c.i
+         |      GROUP BY 1, 2)
+         |SELECT p.item_a, p.item_b, CAST(p.n_ab AS BIGINT) AS n_ab,
+         |  CAST(x.ni AS BIGINT) AS n_a, CAST(y.ni AS BIGINT) AS n_b,
+         |  round(CAST(p.n_ab AS DOUBLE) / (SELECT n_baskets FROM n), 6) AS support,
+         |  round(CAST(p.n_ab AS DOUBLE) * (SELECT n_baskets FROM n)
+         |    / x.ni / y.ni, 6) AS lift
+         |FROM p JOIN ic x ON x.i = p.item_a JOIN ic y ON y.i = p.item_b
+         |ORDER BY p.item_a, p.item_b""".stripMargin,
     // the IVM theorem as an oracle: the merged states must equal the
     // FROM-SCRATCH aggregate (no base/delta split on this side)
     "ivm_source_stats" ->

@@ -86,6 +86,34 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** Why-merged evidence for every verified near-dup pair: each side's
+    * distinct-shingle size, the shared count, and the first `k` shared
+    * shingles in lexicographic order — the appeal/curation view behind
+    * a dedup decision ("show me WHY these two were called copies").
+    *
+    * Shape: the pair list is the already-verified LSH output; shingle
+    * sets join back per side (per-row arrays bounded by document
+    * length) and the evidence is array_intersect + sort + slice inside
+    * one codegen projection — no extra shuffle beyond the two joins.
+    */
+  def dupEvidence(docs: DataFrame, threshold: Double, k: Int = 5): DataFrame = {
+    val pairs = minhashLshPairs(docs, threshold)
+    val sets = Partitioning.spread(docs)
+      .select(col("doc_id"), array_distinct(shingleArray(col("text"))).as("sh"))
+    pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        size(col("sha")).cast("long").as("n_a"),
+        size(col("shb")).cast("long").as("n_b"),
+        array_sort(array_intersect(col("sha"), col("shb"))).as("__shared"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        col("n_a"), col("n_b"),
+        size(col("__shared")).cast("long").as("n_shared"),
+        concat_ws("|", slice(col("__shared"), 1, k)).as("evidence"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Quality-aware canonical selection over resolved near-dup groups:
     * per component keep the doc that maximizes `quality` (min doc_id
     * only as the tie-break) — "keep the best copy", not "keep the

@@ -419,4 +419,20 @@ class DedupSpec extends AnyFunSuite {
       out(3L) == ((2L, false)))
     assert(out(9L) == ((9L, true)), "singleton keeps itself")
   }
+
+  test("dupEvidence: shared shingles listed sorted, sliced at k") {
+    import org.apache.spark.sql.functions._
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq((1L, text), (2L, text),
+      (3L, "totally different words here nothing shared at all")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.dupEvidence(docs, 0.3, k = 2).collect()
+    assert(out.length == 1, s"only the identical pair qualifies: ${out.toSeq}")
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 2L)))
+    // both docs carry the same 6 trigram shingles, all shared
+    assert(r.getLong(3) == 6L && r.getLong(4) == 6L && r.getLong(5) == 6L)
+    // evidence = lexicographically first TWO shared shingles
+    assert(r.getString(6) == "alpha beta gamma|beta gamma delta")
+  }
 }
