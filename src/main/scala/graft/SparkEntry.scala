@@ -736,38 +736,14 @@ object SparkEntry {
     // char survive), then each dirty name is matched back to the
     // distinct-name catalog at maxDist 1. Both engines build the same
     // dirty strings; levenshtein is exact+integer in both
-    "fuzzy_match" -> ((s, dir) => {
-      val p = tbl(s, dir, "part")
-      val name = col("p_name")
-      val len1 = length(element_at(split(name, " "), 1))
-      val pos = lit(2) + pmod(col("p_partkey"), (len1 - lit(1)).cast("bigint"))
-      val dirty = p.select(col("p_partkey"),
-        when(col("p_partkey") % 2 === 0,
-          concat(name.substr(lit(1), (pos - 1).cast("int")),
-            name.substr((pos + 1).cast("int"), lit(1000))))
-          .otherwise(name).as("name"))
-      operators.Joins.fuzzyMatch(dirty,
-          p.select(col("p_name").as("name")), "p_partkey",
-          n => element_at(split(n, " "), -1), maxDist = 1)
-        .orderBy(col("p_partkey"))
-    }),
+    "fuzzy_match" -> ((s, dir) =>
+      fuzzyMatched(s, dir).orderBy(col("p_partkey"))),
     // the linkage evaluated against its constructed ground truth — the
     // ER member of the evaluation family (P/R/F1 per lane); one extra
     // broadcast join + a 2-row aggregate on top of the match itself
     "fuzzy_match_eval" -> ((s, dir) => {
       val p = tbl(s, dir, "part")
-      val name = col("p_name")
-      val len1 = length(element_at(split(name, " "), 1))
-      val pos = lit(2) + pmod(col("p_partkey"), (len1 - lit(1)).cast("bigint"))
-      val dirty = p.select(col("p_partkey"),
-        when(col("p_partkey") % 2 === 0,
-          concat(name.substr(lit(1), (pos - 1).cast("int")),
-            name.substr((pos + 1).cast("int"), lit(1000))))
-          .otherwise(name).as("name"))
-      val matched = operators.Joins.fuzzyMatch(dirty,
-        p.select(col("p_name").as("name")), "p_partkey",
-        n => element_at(split(n, " "), -1), maxDist = 1)
-      val scored = matched
+      val scored = fuzzyMatched(s, dir)
         .join(p.select(col("p_partkey"), col("p_name").as("true_name")),
           Seq("p_partkey"))
         .select(
@@ -1525,6 +1501,26 @@ object SparkEntry {
     * (doc_id, n_terms_hit, bm25) — one definition for the three BM25
     * oracles AND the hybrid-fusion oracle's lexical arm.
     */
+  /** The fuzzy-linkage ENGINE side, shared by fuzzy_match and
+    * fuzzy_match_eval exactly as [[fuzzyCtes]] is shared by their
+    * oracles — one corruption construction, so the linkage shipped and
+    * the linkage evaluated can never drift apart.
+    */
+  private def fuzzyMatched(s: SparkSession, dir: String): DataFrame = {
+    val p = tbl(s, dir, "part")
+    val name = col("p_name")
+    val len1 = length(element_at(split(name, " "), 1))
+    val pos = lit(2) + pmod(col("p_partkey"), (len1 - lit(1)).cast("bigint"))
+    val dirty = p.select(col("p_partkey"),
+      when(col("p_partkey") % 2 === 0,
+        concat(name.substr(lit(1), (pos - 1).cast("int")),
+          name.substr((pos + 1).cast("int"), lit(1000))))
+        .otherwise(name).as("name"))
+    operators.Joins.fuzzyMatch(dirty,
+      p.select(col("p_name").as("name")), "p_partkey",
+      n => element_at(split(n, " "), -1), maxDist = 1)
+  }
+
   /** The fuzzy-linkage CTE chain (no leading WITH), ending in `dirty`
     * and `best` — shared by the fuzzy_match oracle and its P/R/F1
     * evaluation so the two replays cannot drift.
@@ -3934,7 +3930,8 @@ object SparkEntry {
          |    ELSE round(exp(CAST(sum(t9) OVER (ORDER BY t ROWS BETWEEN
          |      UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)), 6) END AS survival
          |FROM tm ORDER BY t""".stripMargin,
-    // same contingency fold: E as one division, (O−E)²/E at 9 dp into
+    // same DENSE-grid contingency fold (absent combinations contribute
+    // their (0−E)²/E = E term): E as one division, terms at 9 dp into
     // decimals; DuckDB dow + 1 = Spark dayofweek
     "events_chi2" ->
       s"""WITH c AS (SELECT event_type AS a, CAST(dayofweek(ts) AS INT) + 1 AS b,
@@ -3943,9 +3940,12 @@ object SparkEntry {
          |ra AS (SELECT a, sum(o) AS row_total FROM c GROUP BY 1),
          |cb AS (SELECT b, sum(o) AS col_total FROM c GROUP BY 1),
          |g AS (SELECT sum(o) AS n FROM c),
-         |e AS (SELECT c.o,
-         |        ra.row_total * cb.col_total / CAST((SELECT n FROM g) AS DOUBLE) AS e
-         |      FROM c JOIN ra USING (a) JOIN cb USING (b)),
+         |grid AS (SELECT ra.a, ra.row_total, cb.b, cb.col_total
+         |         FROM ra CROSS JOIN cb),
+         |e AS (SELECT coalesce(c.o, 0) AS o,
+         |        grid.row_total * grid.col_total
+         |          / CAST((SELECT n FROM g) AS DOUBLE) AS e
+         |      FROM grid LEFT JOIN c ON c.a = grid.a AND c.b = grid.b),
          |t AS (SELECT coalesce(sum(CAST(round((o - e) * (o - e) / e, 9)
          |          AS DECIMAL(28,9))), CAST(0 AS DECIMAL(28,9))) AS chi9,
          |        count(*) AS n_cells
@@ -4081,16 +4081,17 @@ object SparkEntry {
          |  FROM events GROUP BY user_id),
          |bv AS (SELECT v, count(*) AS n, sum(conv) AS c FROM pu GROUP BY v),
          |w AS (SELECT
-         |    max(CASE WHEN v = 'A' THEN n END) AS n_a,
-         |    max(CASE WHEN v = 'A' THEN c END) AS conv_a,
-         |    max(CASE WHEN v = 'B' THEN n END) AS n_b,
-         |    max(CASE WHEN v = 'B' THEN c END) AS conv_b
+         |    coalesce(max(CASE WHEN v = 'A' THEN n END), 0) AS n_a,
+         |    coalesce(max(CASE WHEN v = 'A' THEN c END), 0) AS conv_a,
+         |    coalesce(max(CASE WHEN v = 'B' THEN n END), 0) AS n_b,
+         |    coalesce(max(CASE WHEN v = 'B' THEN c END), 0) AS conv_b
          |  FROM bv)
          |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
          |  CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
-         |  round(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
-         |  round(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
-         |  CASE WHEN CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) > 0.0
+         |  CASE WHEN n_a > 0 THEN round(CAST(conv_a AS DOUBLE) / n_a, 6) END AS rate_a,
+         |  CASE WHEN n_b > 0 THEN round(CAST(conv_b AS DOUBLE) / n_b, 6) END AS rate_b,
+         |  CASE WHEN n_a > 0 AND n_b > 0
+         |        AND CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) > 0.0
          |        AND CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) < 1.0
          |  THEN round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
          |    / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
@@ -4103,10 +4104,12 @@ object SparkEntry {
     "scd2_history" ->
       s"""WITH s AS (SELECT user_id, ts, event_type, event_id,
          |    lag(event_type) OVER (PARTITION BY user_id
-         |      ORDER BY ts, event_id) AS prev
+         |      ORDER BY ts, event_id) AS prev,
+         |    lag(TRUE) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS has_prev
          |  FROM events),
          |c AS (SELECT user_id, event_type, ts, event_id FROM s
-         |      WHERE prev IS NULL OR prev <> event_type),
+         |      WHERE has_prev IS NULL OR prev IS DISTINCT FROM event_type),
          |r AS (SELECT user_id, event_type AS state, ts AS ef,
          |        lead(ts) OVER (PARTITION BY user_id
          |          ORDER BY ts, event_id) AS et
@@ -4134,15 +4137,17 @@ object SparkEntry {
          |    strftime(cf, '%Y-%m-%d %H:%M:%S.%f') AS effective_from,
          |    CAST(NULL AS VARCHAR) AS effective_to,
          |    TRUE AS is_current, 'unchanged' AS lane
-         |  FROM j WHERE uk IS NULL OR (ck IS NOT NULL AND cs = us)
+         |  FROM j WHERE uk IS NULL
+         |    OR (ck IS NOT NULL AND cs IS NOT DISTINCT FROM us)
          |  UNION ALL
          |  SELECT ck, cs, strftime(cf, '%Y-%m-%d %H:%M:%S.%f'),
          |    strftime(ut, '%Y-%m-%d %H:%M:%S.%f'), FALSE, 'closed'
-         |  FROM j WHERE ck IS NOT NULL AND uk IS NOT NULL AND cs <> us
+         |  FROM j WHERE ck IS NOT NULL AND uk IS NOT NULL
+         |    AND cs IS DISTINCT FROM us
          |  UNION ALL
          |  SELECT uk, us, strftime(ut, '%Y-%m-%d %H:%M:%S.%f'), NULL, TRUE,
          |    CASE WHEN ck IS NULL THEN 'new' ELSE 'reopened' END
-         |  FROM j WHERE uk IS NOT NULL AND (ck IS NULL OR cs <> us)
+         |  FROM j WHERE uk IS NOT NULL AND (ck IS NULL OR cs IS DISTINCT FROM us)
          |) ORDER BY user_id, lane, effective_from""".stripMargin,
     "events_anomaly" ->
       s"""WITH hourly AS (

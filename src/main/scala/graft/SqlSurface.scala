@@ -438,10 +438,12 @@ object SqlSurface {
     "scd2_history" ->
       s"""WITH s AS (SELECT user_id, ts, event_type, event_id,
          |    lag(event_type) OVER (PARTITION BY user_id
-         |      ORDER BY ts, event_id) AS prev
+         |      ORDER BY ts, event_id) AS prev,
+         |    lag(true) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS has_prev
          |  FROM events),
          |c AS (SELECT user_id, event_type, ts, event_id FROM s
-         |      WHERE prev IS NULL OR prev <> event_type),
+         |      WHERE has_prev IS NULL OR prev IS DISTINCT FROM event_type),
          |r AS (SELECT user_id, event_type AS state, ts AS ef,
          |        lead(ts) OVER (PARTITION BY user_id
          |          ORDER BY ts, event_id) AS et
@@ -452,16 +454,20 @@ object SqlSurface {
          |  (et IS NULL) AS is_current
          |FROM r ORDER BY user_id, effective_from""".stripMargin,
     // the chi-square fold as plain aggregate SQL (no subquery needs
-    // decorrelating — the marginals are explicit CTEs)
+    // decorrelating — the marginals are explicit CTEs); DENSE grid so
+    // absent combinations contribute their (0−E)²/E = E term
     "events_chi2" ->
       s"""WITH c AS (SELECT event_type AS a, dayofweek(ts) AS b, count(1) AS o
          |      FROM events GROUP BY event_type, dayofweek(ts)),
          |ra AS (SELECT a, sum(o) AS row_total FROM c GROUP BY a),
          |cb AS (SELECT b, sum(o) AS col_total FROM c GROUP BY b),
          |g AS (SELECT sum(o) AS n FROM c),
-         |e AS (SELECT /*+ BROADCAST(g) */ c.o,
-         |        ra.row_total * cb.col_total / CAST(g.n AS DOUBLE) AS e
-         |      FROM c JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN g),
+         |grid AS (SELECT ra.a, ra.row_total, cb.b, cb.col_total
+         |         FROM ra CROSS JOIN cb),
+         |e AS (SELECT /*+ BROADCAST(g) */ coalesce(c.o, 0L) AS o,
+         |        grid.row_total * grid.col_total / CAST(g.n AS DOUBLE) AS e
+         |      FROM grid LEFT JOIN c ON c.a = grid.a AND c.b = grid.b
+         |      CROSS JOIN g),
          |t AS (SELECT coalesce(sum(CAST(round((o - e) * (o - e) / e, 9)
          |          AS DECIMAL(28,9))), CAST(0 AS DECIMAL(28,9))) AS chi9,
          |        count(1) AS n_cells

@@ -39,13 +39,17 @@ object Cdc {
     */
   def scd2FromLog(log: DataFrame, key: Column, ts: Column, state: Column,
       tieBreak: Column): DataFrame = {
-    val w = Window.partitionBy(key).orderBy(ts.asc, tieBreak.asc)
     log
       .select(key.as("key"), ts.as("ts"), state.as("state"),
         tieBreak.as("tie"))
       .withColumn("prev_state", lag(col("state"), 1).over(
         Window.partitionBy(col("key")).orderBy(col("ts").asc, col("tie").asc)))
-      .filter(col("prev_state").isNull || col("prev_state") =!= col("state"))
+      // the first row is detected by a lagged marker, not by
+      // prev_state being null — a logged NULL state is a legal value
+      // and must run-length-compact like any other (null-safe <=>)
+      .withColumn("has_prev", lag(lit(true), 1).over(
+        Window.partitionBy(col("key")).orderBy(col("ts").asc, col("tie").asc)))
+      .filter(col("has_prev").isNull || !(col("prev_state") <=> col("state")))
       // the second window runs on the SAME partitioning and ordering —
       // one exchange, one sort, two window frames
       .withColumn("effective_to_ts", lead(col("ts"), 1).over(
@@ -87,21 +91,21 @@ object Cdc {
         isCurrent: Column, name: Column) =
       struct(key.as("key"), state.as("state"), from.as("effective_from_ts"),
         to.as("effective_to_ts"), isCurrent.as("is_current"), name.as("lane"))
-    val superseded = col("c_key").isNotNull && col("u_key").isNotNull &&
-      col("c_state") =!= col("u_state")
+    // all state comparisons are NULL-SAFE (<=>): a NULL state is a
+    // legal dimension value — plain === / =!= would make every lane
+    // predicate NULL and silently drop the key from the merge
+    val sameState = col("c_state") <=> col("u_state")
     val lanes = array(
       // unchanged: absent from the batch, or same state re-sent
-      when(col("u_key").isNull ||
-          (col("c_key").isNotNull && col("c_state") === col("u_state")),
+      when(col("u_key").isNull || (col("c_key").isNotNull && sameState),
         lane(col("c_key"), col("c_state"), col("c_from"), nullTs,
           lit(true), lit("unchanged"))),
       // superseded: the old row closes at the update ts ...
-      when(superseded,
+      when(col("c_key").isNotNull && col("u_key").isNotNull && !sameState,
         lane(col("c_key"), col("c_state"), col("c_from"), col("u_ts"),
           lit(false), lit("closed"))),
       // ... and the new state opens; first sighting opens as "new"
-      when(col("u_key").isNotNull &&
-          (col("c_key").isNull || col("c_state") =!= col("u_state")),
+      when(col("u_key").isNotNull && (col("c_key").isNull || !sameState),
         lane(col("u_key"), col("u_state"), col("u_ts"), nullTs,
           lit(true), when(col("c_key").isNull, "new").otherwise("reopened"))))
     cur.join(upd, col("c_key") === col("u_key"), "full_outer")

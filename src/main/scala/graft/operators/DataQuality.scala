@@ -24,13 +24,19 @@ object DataQuality {
   def tableExpectations(df: DataFrame, table: String,
       checks: Seq[(String, Column)]): DataFrame = {
     require(checks.nonEmpty, "at least one expectation")
+    require(checks.forall(!_._1.contains("`")),
+      "check names must not contain backticks")
     val aggs = count(lit(1)).as("__n") +:
       checks.map { case (name, violation) =>
         sum(when(violation, 1L).otherwise(0L)).as(s"__v_$name")
       }
     val one = df.agg(aggs.head, aggs.tail: _*)
+    // backtick the column reference and escape quotes in the label —
+    // a check named "no-nulls" is a column named __v_no-nulls, which
+    // unquoted would parse as a subtraction
     val stackArgs = checks.map { case (name, _) =>
-      s"'$table.$name', __v_$name"
+      val label = s"$table.$name".replace("'", "''")
+      s"'$label', `__v_$name`"
     }.mkString(", ")
     one.select(col("__n"),
         expr(s"stack(${checks.size}, $stackArgs) AS (check_name, n_violations)"))

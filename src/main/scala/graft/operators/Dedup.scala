@@ -97,9 +97,22 @@ object Dedup {
     * one codegen projection — no extra shuffle beyond the two joins.
     */
   def dupEvidence(docs: DataFrame, threshold: Double, k: Int = 5): DataFrame = {
-    val pairs = minhashLshPairs(docs, threshold)
-    val sets = Partitioning.spread(docs)
-      .select(col("doc_id"), array_distinct(shingleArray(col("text"))).as("sh"))
+    // ONE shingling pass: the same cached per-doc shingle frame feeds
+    // the LSH candidates, the Jaccard verification AND the evidence
+    // joins — shingling is the dominant cost, re-deriving it per
+    // consumer would double the whole operator
+    val docSh = Partitioning.spread(docs)
+      .select(col("doc_id"), shingleArray(col("text")).as("sh"))
+      .filter(size(col("sh")) >= 1)
+      .cache()
+    val banded = bandKeysOf(docSh, "doc_id", 16, 4)
+    val candidates = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val pairs = verifyPairs(candidates, docSh, threshold)
+    val sets = docSh.select(col("doc_id"), array_distinct(col("sh")).as("sh"))
     pairs
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")

@@ -45,7 +45,17 @@ object Experiment {
     val ra = cells.groupBy(col("a")).agg(sum(col("o")).as("row_total"))
     val cb = cells.groupBy(col("b")).agg(sum(col("o")).as("col_total"))
     val n = cells.agg(sum(col("o")).as("n"))
-    val term = cells.join(ra, "a").join(cb, "b").crossJoin(broadcast(n))
+    // the DENSE |A|×|B| grid: a combination that never occurs still
+    // contributes its (0−E)²/E = E term — summing only observed cells
+    // understates χ² exactly when the dependence is strongest (the
+    // sourceJsDivergence dense-grid lesson; dof already assumes the
+    // full grid). Both grid sides are domain-bounded aggregates.
+    val grid = ra.crossJoin(cb)
+    val term = grid
+      .join(cells, Seq("a", "b"), "left")
+      .select(col("row_total"), col("col_total"),
+        coalesce(col("o"), lit(0L)).as("o"))
+      .crossJoin(broadcast(n))
       .select(
         // E = row·col/n as ONE division; (O−E)²/E left-to-right
         (col("row_total") * col("col_total") / col("n").cast("double")).as("e"),

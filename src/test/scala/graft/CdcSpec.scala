@@ -77,6 +77,34 @@ class CdcSpec extends AnyFunSuite {
     assert(again.filter(col("lane") =!= "unchanged").count() == 0L)
   }
 
+  test("NULL state is a legal value: compaction and merge are null-safe") {
+    // history: null, null, "a" → two intervals (the null run compacts)
+    val df = Seq((1L, 0L, None, 1L), (1L, 1L, None, 2L), (1L, 2L, Some("a"), 3L))
+      .toDF("k", "t", "st", "id")
+      .select(col("k"), col("t").cast("timestamp").as("t"), col("st"), col("id"))
+    val hist = Cdc.scd2FromLog(df, col("k"), col("t"), col("st"), col("id"))
+      .orderBy(col("effective_from_ts"))
+      .select(col("state"), col("is_current"))
+      .collect().map(r => (if (r.isNullAt(0)) "∅" else r.getString(0),
+        r.getBoolean(1)))
+    assert(hist.toSeq == Seq(("∅", false), ("a", true)),
+      s"null-state run must compact and close: ${hist.toSeq}")
+    // merge: (k, null) superseded by "a" → closed + reopened, never a
+    // silently-vanished key; null re-sent over null → unchanged
+    val cur = Seq((1L, Option.empty[String], 0L), (2L, Option.empty[String], 0L))
+      .toDF("key", "state", "f")
+      .select(col("key"), col("state"), col("f").cast("timestamp").as("effective_from_ts"))
+    val upd = Seq((1L, Some("a"), 5L), (2L, Option.empty[String], 5L))
+      .toDF("key", "state", "t")
+      .select(col("key"), col("state"), col("t").cast("timestamp").as("ts"))
+    val lanes = Cdc.scd2Merge(cur, upd)
+      .select(col("key"), col("lane")).as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(lanes(1L) == Seq("closed", "reopened"),
+      s"null→a must supersede, not vanish: $lanes")
+    assert(lanes(2L) == Seq("unchanged"), "null re-send is idempotent")
+  }
+
   test("scd2Merge executes ONE join — lanes come from an explode, not a union") {
     val cur = Seq((1L, "a", 0L)).toDF("key", "state", "f")
       .select(col("key"), col("state"), col("f").cast("timestamp").as("effective_from_ts"))

@@ -30,6 +30,15 @@ class DataQualitySpec extends AnyFunSuite {
     assert(aggs == 1, s"checks must fold into ONE aggregate, got $aggs:\n$plan")
   }
 
+  test("check names that are not bare identifiers still work") {
+    val df = Seq((1, "a"), (2, null)).toDF("id", "name")
+    val out = DataQuality.tableExpectations(df, "t", Seq(
+        "no-nulls" -> col("name").isNull,       // dash would parse as minus
+        "o'brien rule" -> (col("id") < 0)))     // quote would break the literal
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out == Map("t.no-nulls" -> 1L, "t.o'brien rule" -> 0L))
+  }
+
   test("empty table: zero violations, checks pass vacuously") {
     val df = Seq.empty[(Int, String)].toDF("id", "name")
     val out = DataQuality.tableExpectations(df, "t",

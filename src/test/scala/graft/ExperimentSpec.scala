@@ -68,6 +68,15 @@ class ExperimentSpec extends AnyFunSuite {
     val withNull = Seq(("x", Some("u")), ("x", None), ("y", Some("u")))
     val wn = Experiment.chiSquare(withNull.toDF("a", "b"), col("a"), col("b")).head()
     assert(wn.getLong(2) == 2L && wn.getLong(1) == 1L)
+    // ABSENT grid cells still contribute (0−E)²/E = E — dropping them
+    // understates χ² exactly when dependence is strongest. Hand case:
+    // (x,1)=10,(x,2)=10,(y,1)=10, (y,2) never occurs → E(y,2)=10/3
+    // and χ² = 0.833333 + 1.666667 + 1.666667 + 3.333333 = 7.5
+    val sparse = Seq.fill(10)(("x", "1")) ++ Seq.fill(10)(("x", "2")) ++
+      Seq.fill(10)(("y", "1"))
+    val sp = Experiment.chiSquare(sparse.toDF("a", "b"), col("a"), col("b")).head()
+    assert(sp.getLong(2) == 4L, "n_cells counts the full grid")
+    assert(sp.getDouble(4) == 7.5, s"zero cell must contribute its E: $sp")
   }
 
   test("cohensKappa: perfect → 1, chance-level → ~0, constant raters → NULL") {
