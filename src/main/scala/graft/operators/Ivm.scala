@@ -63,4 +63,40 @@ object Ivm {
     * touching the extremum forces a per-key recompute.
     */
   val retractable: Set[String] = Set("n", "sum_v")
+
+  /** COUNT DISTINCT as a mergeable state: exact `countDistinct` is not
+    * algebraic (the partial state is the value set itself), so the
+    * maintainable form is the HLL sketch. Merging is deterministic and
+    * commutative, and the merged estimate stays within the sketch's
+    * error envelope of the true union cardinality — but it is NOT
+    * bit-identical to a sketch built directly from the union (the
+    * DataSketches union promotes the internal representation, e.g.
+    * sparse coupon list → dense HLL), which is why this state is a
+    * MONITORING dial and the exact aggregate stays the oracle default
+    * (the Monitor.profile discipline). At 100 TB the distinct-user /
+    * distinct-digest columns of a maintained view are sketches or they
+    * are rebuilds.
+    */
+  def distinctState(df: DataFrame, key: Column, value: Column): DataFrame =
+    df.select(key.as("key"), value.as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("key"))
+      .agg(expr("hll_sketch_agg(v)").as("nd_sketch"))
+
+  /** Merge two distinct-count states (the ⊕ for [[distinctState]]). */
+  def mergeDistinct(base: DataFrame, delta: DataFrame): DataFrame = {
+    val b = base.select(col("key").as("bk"), col("nd_sketch").as("bs"))
+    val d = delta.select(col("key").as("dk"), col("nd_sketch").as("ds"))
+    b.join(d, col("bk") === col("dk"), "full_outer")
+      .select(coalesce(col("bk"), col("dk")).as("key"),
+        when(col("bs").isNull, col("ds"))
+          .when(col("ds").isNull, col("bs"))
+          .otherwise(expr("hll_union(bs, ds)")).as("nd_sketch"))
+  }
+
+  /** Read the estimated distinct count per key. */
+  def readDistinct(state: DataFrame): DataFrame =
+    state.select(col("key"),
+        expr("hll_sketch_estimate(nd_sketch)").as("n_distinct_est"))
+      .orderBy(col("key"))
 }

@@ -54,4 +54,34 @@ class IvmSpec extends AnyFunSuite {
   test("retractable names exactly the delete-safe state columns") {
     assert(Ivm.retractable == Set("n", "sum_v"))
   }
+
+  test("distinct-count state: merge is commutative and tracks the union") {
+    val all = (1L to 2000L).map(i => (i % 3, i)).toDF("k", "v")
+    val a = all.filter(col("v") <= 1200L)
+    val b = all.filter(col("v") > 600L) // 600-row overlap
+    val sa = Ivm.distinctState(a, col("k"), col("v"))
+    val sb = Ivm.distinctState(b, col("k"), col("v"))
+    val merged = Ivm.readDistinct(Ivm.mergeDistinct(sa, sb))
+      .as[(Long, Long)].collect().toMap
+    // merge order must not matter (the ⊕ is commutative)
+    val swapped = Ivm.readDistinct(Ivm.mergeDistinct(sb, sa))
+      .as[(Long, Long)].collect().toMap
+    assert(merged == swapped)
+    // the merged estimate tracks the exact union within HLL tolerance
+    // — it need NOT bit-equal a direct sketch of the union (the union
+    // promotes the internal representation), which is exactly why the
+    // exact aggregate stays the oracle default
+    val exact = all.groupBy(col("k")).agg(countDistinct(col("v")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    merged.foreach { case (k, est) =>
+      assert(math.abs(est - exact(k)).toDouble / exact(k) < 0.05,
+        s"estimate for $k off: $est vs ${exact(k)}")
+    }
+    // delta with a brand-new key survives with its own sketch
+    val nk = Ivm.readDistinct(Ivm.mergeDistinct(
+        Ivm.distinctState(a, col("k"), col("v")),
+        Ivm.distinctState(Seq((9L, 1L)).toDF("k", "v"), col("k"), col("v"))))
+      .as[(Long, Long)].collect().toMap
+    assert(nk(9L) == 1L)
+  }
 }
