@@ -96,6 +96,17 @@ object GrowthProbe {
     probe("rater_agreement")(d => Experiment.cohensKappa(d,
       length(col("text")) >= 300,
       size(TextAnalysis.words(col("text"))) >= 55).count())
+    probe("langid_confusion")(d => {
+      // probe corpus has no lang column — parity proxy exercises the
+      // identical plan (score + join + bounded confusion aggregate)
+      val withLang = d.withColumn("lang",
+        when(col("doc_id") % 2 === 0, "en").otherwise("xx"))
+      val preds = TextAnalysis.langId(withLang)
+        .select(col("doc_id"), col("pred_lang"))
+      withLang.select(col("doc_id"), col("lang")).join(preds, "doc_id")
+        .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
+        .count()
+    })
     probe("ivm_source_stats")(d => {
       val dd = d.withColumn("n_chars", length(col("text")))
       Ivm.read(Ivm.merge(
@@ -133,6 +144,8 @@ object GrowthProbe {
           Dedup.dupGroups(pairs), col("n_chars")).count()
         pairs.count()
       })
+      pairNormalized("dup_evidence (per-pair)")(d =>
+        Dedup.dupEvidence(d, 0.5).count())
     }
     probe("corpus_diff")(d => {
       // the contract query's snapshot construction: %7 removed, %5
@@ -320,6 +333,11 @@ object GrowthProbe {
             .groupBy(col("o_orderkey")).agg(sum(col("l_quantity")).as("q"))
             .count()
         })
+        probeRel("basket_lift")((_, li) => {
+          val baskets = li.join(broadcast(part.select(col("p_partkey"), col("p_type"))),
+            col("p_partkey") === col("l_partkey"))
+          Association.basketLift(baskets, col("l_orderkey"), col("p_type")).count()
+        })
         probeRel("q15_argmax")((_, li) => {
           val rev = li
             .filter(col("l_shipdate").cast("date") >= lit("1997-01-01").cast("date"))
@@ -424,6 +442,8 @@ object GrowthProbe {
             (col("lp") < 28).as("event"))
         Survival.kaplanMeier(subjects).count()
       })
+      probeEv("session_transitions")(d =>
+        Funnel.transitionMatrix(d, 1800L).count())
       probeEv("interval_overlap")(d => {
         val iv = d.filter(col("event_type").isin("view", "click"))
           .groupBy(col("user_id"), col("event_type"),

@@ -97,14 +97,16 @@ object Dedup {
     * one codegen projection — no extra shuffle beyond the two joins.
     */
   def dupEvidence(docs: DataFrame, threshold: Double, k: Int = 5): DataFrame = {
-    // ONE shingling pass: the same cached per-doc shingle frame feeds
-    // the LSH candidates, the Jaccard verification AND the evidence
-    // joins — shingling is the dominant cost, re-deriving it per
-    // consumer would double the whole operator
+    // ONE shingling pass: the same per-doc shingle frame feeds the LSH
+    // candidates, the Jaccard verification AND the evidence joins —
+    // shingling is the dominant cost, re-deriving it per consumer
+    // would double the whole operator. localCheckpoint (eager), not
+    // cache(): the blocks die with this frame instead of parking in
+    // the LRU across bench reps (the bigramLm discipline)
     val docSh = Partitioning.spread(docs)
       .select(col("doc_id"), shingleArray(col("text")).as("sh"))
       .filter(size(col("sh")) >= 1)
-      .cache()
+      .localCheckpoint()
     val banded = bandKeysOf(docSh, "doc_id", 16, 4)
     val candidates = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
