@@ -1247,6 +1247,15 @@ object SparkEntry {
         tbl(s, dir, "documents").withColumn("len_bucket",
           floor(col("n_chars") / lit(100)).cast("long")),
         Seq("source", "lang", "len_bucket"))),
+    // the disclosure HALF of the privacy pair: a k-anonymous class
+    // whose records all share one sensitive value still leaks it —
+    // per-class distinct-sensitive-value counts, reported as the l
+    // distribution (release gate = min l)
+    "l_diversity" -> ((s, dir) =>
+      operators.Monitor.lDiversity(
+        tbl(s, dir, "documents"),
+        Seq("source", "lang"),
+        floor(col("n_chars") / lit(100)).cast("long"))),
     // recency-weighted popularity: 2^(-age/1d) at the stream horizon
     "events_decayed" -> ((s, dir) =>
       operators.Monitor.decayedCounts(events(s, dir), "event_type", 86400L)),
@@ -4195,6 +4204,16 @@ object SparkEntry {
          |SELECT CAST(sz AS BIGINT) AS class_size, count(*) AS n_classes,
          |  CAST(sum(sz) AS BIGINT) AS n_records
          |FROM g GROUP BY sz ORDER BY class_size""".stripMargin,
+    // same two-level distinct: (class, sensitive) dedup then the l
+    // histogram over the bounded class frame
+    "l_diversity" ->
+      s"""WITH g AS (SELECT source, lang,
+         |        count(DISTINCT CAST(floor(n_chars / 100.0) AS BIGINT)) AS l,
+         |        count(*) AS sz
+         |      FROM documents GROUP BY 1, 2)
+         |SELECT CAST(l AS BIGINT) AS l, count(*) AS n_classes,
+         |  CAST(sum(sz) AS BIGINT) AS n_records
+         |FROM g GROUP BY l ORDER BY l""".stripMargin,
     // exact interpolated percentiles for location AND scale; the flag
     // compares the rounded z so the boundary cannot flip
     "doclen_outliers" ->

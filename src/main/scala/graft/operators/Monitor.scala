@@ -235,4 +235,25 @@ object Monitor {
       .agg(count(lit(1)).as("n_classes"), sum(col("sz")).as("n_records"))
       .orderBy(col("class_size"))
   }
+
+  /** l-diversity beside [[kAnonymity]] (Machanavajjhala et al. 2007):
+    * k-anonymity bounds how many records share a quasi-identifier
+    * tuple, but a class where every record carries the SAME sensitive
+    * value still discloses it — l-diversity reports, per equivalence
+    * class, how many DISTINCT sensitive values it holds. The release
+    * gate is min(l) over classes, surfaced as the `l` distribution.
+    *
+    * One two-level count-distinct (map-side dedup of (class, value)
+    * before the exchange), then the bounded histogram — the same
+    * shape and cost as the k-anonymity report.
+    */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+      sensitive: org.apache.spark.sql.Column): DataFrame = {
+    require(quasiCols.nonEmpty, "l-diversity needs at least one quasi-identifier")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(countDistinct(sensitive).as("l"), count(lit(1)).as("sz"))
+      .groupBy(col("l"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("sz")).as("n_records"))
+      .orderBy(col("l"))
+  }
 }

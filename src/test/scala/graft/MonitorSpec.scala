@@ -179,4 +179,16 @@ class MonitorSpec extends AnyFunSuite {
     assert(out.keys.min == 1L, "the dataset's k-anonymity is the min class size")
     intercept[IllegalArgumentException](Monitor.kAnonymity(df, Seq.empty))
   }
+
+  test("lDiversity: a k-anonymous class with one sensitive value reports l=1") {
+    import org.apache.spark.sql.functions._
+    // class (a): 3 records, all sensitive=7 → k fine, l = 1 (leaks);
+    // class (b): 2 records, sensitive 1 and 2 → l = 2
+    val df = Seq(("a", 7L), ("a", 7L), ("a", 7L), ("b", 1L), ("b", 2L))
+      .toDF("q", "s")
+    val out = graft.operators.Monitor.lDiversity(df, Seq("q"), col("s"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(1L -> ((1L, 3L)), 2L -> ((1L, 2L))),
+      s"l distribution wrong: $out")
+  }
 }
