@@ -678,6 +678,7 @@ object SparkEntry {
     "q18_large_orders" -> SqlSurface.query("q18_large_orders"),
     "q20_widget_suppliers" -> SqlSurface.query("q20_widget_suppliers"),
     "q15_top_supplier" -> SqlSurface.query("q15_top_supplier"),
+    "q10_returned_customers" -> SqlSurface.query("q10_returned_customers"),
     // window-FRAME coverage: partitioned RANGE rolling 7-day window,
     // lag delta, ntile quartiles — runs as SQL (SqlSurface)
     "events_rolling" -> SqlSurface.query("events_rolling"),
@@ -3337,6 +3338,22 @@ object SparkEntry {
          |                  WHERE o.o_custkey = c.c_custkey
          |                    AND o.o_totalprice > 400000.0)
          |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
+    // same Q10 head; decimal-folded revenue, identical top-20 tie rule
+    "q10_returned_customers" ->
+      s"""SELECT c.c_custkey, c.c_name, n.n_name,
+         |  CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+         |    AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+         |  count(1) AS n_items
+         |FROM customer c
+         |JOIN orders o ON o.o_custkey = c.c_custkey
+         |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         |JOIN nation n ON n.n_nationkey = c.c_nationkey
+         |WHERE l.l_returnflag = 'R'
+         |  AND CAST(o.o_orderdate AS DATE) >= DATE '1996-10-01'
+         |  AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+         |GROUP BY c.c_custkey, c.c_name, n.n_name
+         |ORDER BY revenue DESC, c.c_custkey
+         |LIMIT 20""".stripMargin,
     // same derived-aggregate argmax; the decimal-folded revenue is the
     // identical double in both engines, so the max equality cannot flip
     "q15_top_supplier" ->

@@ -433,6 +433,25 @@ object SqlSurface {
          |JOIN revenue r ON s.s_suppkey = r.supplier_no
          |WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
          |ORDER BY s.s_suppkey""".stripMargin,
+    // TPC-H Q10-style returned-item revenue per customer: the "who
+    // should customer support call" head — date-windowed orders, the
+    // return-flag filter pushed to the lineitem scan, decimal-folded
+    // revenue, nation broadcast, top-20 as TakeOrderedAndProject
+    "q10_returned_customers" ->
+      s"""SELECT /*+ BROADCAST(n) */ c.c_custkey, c.c_name, n.n_name,
+         |  CAST(sum(CAST(l.l_extendedprice * (1.0D - l.l_discount)
+         |    AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+         |  count(1) AS n_items
+         |FROM customer c
+         |JOIN orders o ON o.o_custkey = c.c_custkey
+         |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         |JOIN nation n ON n.n_nationkey = c.c_nationkey
+         |WHERE l.l_returnflag = 'R'
+         |  AND CAST(o.o_orderdate AS DATE) >= CAST('1996-10-01' AS DATE)
+         |  AND CAST(o.o_orderdate AS DATE) < CAST('1997-01-01' AS DATE)
+         |GROUP BY c.c_custkey, c.c_name, n.n_name
+         |ORDER BY revenue DESC, c.c_custkey
+         |LIMIT 20""".stripMargin,
     // the CDC history rebuild as pure window SQL — lag run-length
     // compaction + lead interval close over one (ts, event_id) ordering
     "scd2_history" ->
@@ -844,6 +863,25 @@ object SqlSurface {
           .join(shippers, col("s_suppkey") === col("l_suppkey"), "left_semi")
           .select(col("s_suppkey"), col("s_name"))
           .orderBy(col("s_suppkey"))
+      }),
+      // the Q10 head as its DataFrame form: pushed filters, broadcast
+      // nation, decimal revenue, top-20 cut
+      "q10_returned_customers" -> ((s, dir) => {
+        val li = tbl(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        val ord = tbl(s, dir, "orders")
+          .filter(col("o_orderdate").cast("date") >= lit("1996-10-01").cast("date"))
+          .filter(col("o_orderdate").cast("date") < lit("1997-01-01").cast("date"))
+        tbl(s, dir, "customer")
+          .join(ord, col("o_custkey") === col("c_custkey"))
+          .join(li, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(tbl(s, dir, "nation")),
+            col("n_nationkey") === col("c_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .cast(DecimalType(28, 6))).cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
       }),
       // the derived-aggregate argmax written out: aggregate once, take
       // the 1-row max, filter by the broadcast scalar
