@@ -79,10 +79,23 @@ object Cdc {
     * the writer appends the closed rows and replaces the open ones.
     */
   def scd2Merge(current: DataFrame, updates: DataFrame): DataFrame = {
-    val cur = current.select(col("key").as("c_key"), col("state").as("c_state"),
+    // NULL keys fail LOUDLY: the lane predicates below use c_key/u_key
+    // nullness to mean "absent from that side" (full-outer non-match),
+    // and a genuinely-null input key would alias that signal — a
+    // null-key current row and a null-key update row would sail
+    // through as independent 'unchanged'/'new' lanes instead of
+    // merging. State is null-safe (<=>, a NULL state is a legal
+    // dimension value); the KEY is a precondition, enforced in-plan so
+    // the check stays distributed.
+    def keyGuard(key: Column, side: String): Column =
+      when(key.isNotNull, key).otherwise(raise_error(
+        lit(s"scd2Merge: NULL key in $side input — SCD2 keys must be non-null " +
+          "(null key is indistinguishable from a full-outer non-match)")))
+    val cur = current.select(keyGuard(col("key"), "current").as("c_key"),
+      col("state").as("c_state"),
       col("effective_from_ts").as("c_from"))
-    val upd = updates.select(col("key").as("u_key"), col("state").as("u_state"),
-      col("ts").as("u_ts"))
+    val upd = updates.select(keyGuard(col("key"), "updates").as("u_key"),
+      col("state").as("u_state"), col("ts").as("u_ts"))
     // ONE pass over the joined frame: each row emits its 1–2 output
     // lanes as an inline array + explode — a union of filtered branches
     // would re-execute the full-outer join once per lane

@@ -134,7 +134,11 @@ object Dedup {
     * only as the tie-break) — "keep the best copy", not "keep the
     * first". Ungrouped docs are their own (singleton) keeper. The
     * argmax is a map-side-combinable `min(struct(-q, id))` per group —
-    * never a per-group ranking window over the corpus.
+    * never a per-group ranking window over the corpus. A NULL quality
+    * ranks LAST (struct field ordering alone would sort it first —
+    * nulls-first ascending — silently making the worst doc the
+    * keeper), via an explicit null-rank lead field; type-agnostic
+    * where a sentinel coalesce would have to guess the column's type.
     */
   def keepBest(docs: DataFrame, groups: DataFrame,
       quality: Column): DataFrame = {
@@ -143,7 +147,9 @@ object Dedup {
       .select(col("doc_id"), col("__q"),
         coalesce(col("group_id"), col("doc_id")).as("group_id"))
     val keepers = withGroup.groupBy(col("group_id"))
-      .agg(min(struct((-col("__q")).as("neg_q"), col("doc_id").as("id")))
+      .agg(min(struct(
+        when(col("__q").isNull, 1).otherwise(0).as("null_last"),
+        (-col("__q")).as("neg_q"), col("doc_id").as("id")))
         .as("best"))
       .select(col("group_id"), col("best.id").as("keeper_doc"))
     withGroup.join(keepers, "group_id")

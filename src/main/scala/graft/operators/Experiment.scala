@@ -57,8 +57,14 @@ object Experiment {
         coalesce(col("o"), lit(0L)).as("o"))
       .crossJoin(broadcast(n))
       .select(
-        // E = row·col/n as ONE division; (O−E)²/E left-to-right
-        (col("row_total") * col("col_total") / col("n").cast("double")).as("e"),
+        // E = row·col/n as ONE division; (O−E)²/E left-to-right.
+        // row_total is cast to double BEFORE the multiply: long×long
+        // marginal products overflow silently in non-ANSI mode at
+        // counts the 100 TB target actually reaches (~3×10⁹ rows per
+        // marginal is enough), while the DuckDB oracle's HUGEINT does
+        // not — the parity break would appear exactly at scale.
+        (col("row_total").cast("double") * col("col_total") /
+          col("n").cast("double")).as("e"),
         col("o"))
       .select(round((col("o") - col("e")) * (col("o") - col("e")) / col("e"), 9)
         .cast(DecimalType(28, 9)).as("t9"))

@@ -130,14 +130,23 @@ object Joins {
       bucketSeconds: Long): DataFrame = {
     require(bucketSeconds >= 1, s"bucketSeconds must be >= 1, got $bucketSeconds")
     val b = bucketSeconds * 1000000L
+    // Inverted intervals (end < start) fail LOUDLY inside the plan:
+    // sequence(start, stop) silently generates a DESCENDING range when
+    // start > stop, so a bad interval would still explode into bucket
+    // rows and could emit phantom matches. raise_error keeps the check
+    // distributed — no driver-side validation pass over the inputs.
+    def endGuard(endMicros: Column, startMicros: Column, side: String): Column =
+      when(endMicros >= startMicros, endMicros).otherwise(raise_error(concat(
+        lit(s"intervalOverlapJoin: inverted $side interval (end < start) at start="),
+        startMicros, lit(" end="), endMicros)))
     val lb = left
       .withColumn("__ls", unix_micros(col(lStart)))
-      .withColumn("__le", unix_micros(col(lEnd)))
+      .withColumn("__le", endGuard(unix_micros(col(lEnd)), col("__ls"), "left"))
       .withColumn("__bk", explode(sequence(
         floor(col("__ls") / b), floor(col("__le") / b))))
     val rb = right
       .withColumn("__rs", unix_micros(col(rStart)))
-      .withColumn("__re", unix_micros(col(rEnd)))
+      .withColumn("__re", endGuard(unix_micros(col(rEnd)), col("__rs"), "right"))
       .withColumn("__rbk", explode(sequence(
         floor(col("__rs") / b), floor(col("__re") / b))))
     lb.join(rb, lb(keyCol) === rb(keyCol) && col("__bk") === col("__rbk"))

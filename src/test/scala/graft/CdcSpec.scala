@@ -77,6 +77,30 @@ class CdcSpec extends AnyFunSuite {
     assert(again.filter(col("lane") =!= "unchanged").count() == 0L)
   }
 
+  test("scd2Merge: NULL key fails loudly instead of fanning out") {
+    // the lane predicates read c_key/u_key nullness as "absent from
+    // that side", so a genuinely-null input key would alias the
+    // full-outer non-match signal and sail through as independent
+    // unchanged/new lanes — the in-plan guard raises instead
+    val cur = Seq((Some(1L), "a", 0L), (None, "x", 0L))
+      .toDF("key", "state", "f")
+      .select(col("key"), col("state"), col("f").cast("timestamp").as("effective_from_ts"))
+    val upd = Seq((2L, "e", 5L)).toDF("key", "state", "t")
+      .select(col("key"), col("state"), col("t").cast("timestamp").as("ts"))
+    val ex = intercept[Exception] { Cdc.scd2Merge(cur, upd).collect() }
+    def msg(e: Throwable): String =
+      Option(e.getMessage).getOrElse("") +
+        Option(e.getCause).map(c => Option(c.getMessage).getOrElse("")).getOrElse("")
+    assert(msg(ex).contains("NULL key"), s"expected NULL-key raise, got: ${msg(ex)}")
+    // null key in the updates side raises too
+    val cur2 = Seq((1L, "a", 0L)).toDF("key", "state", "f")
+      .select(col("key"), col("state"), col("f").cast("timestamp").as("effective_from_ts"))
+    val upd2 = Seq((None: Option[Long], "e", 5L)).toDF("key", "state", "t")
+      .select(col("key"), col("state"), col("t").cast("timestamp").as("ts"))
+    val ex2 = intercept[Exception] { Cdc.scd2Merge(cur2, upd2).collect() }
+    assert(msg(ex2).contains("NULL key"))
+  }
+
   test("NULL state is a legal value: compaction and merge are null-safe") {
     // history: null, null, "a" → two intervals (the null run compacts)
     val df = Seq((1L, 0L, None, 1L), (1L, 1L, None, 2L), (1L, 2L, Some("a"), 3L))

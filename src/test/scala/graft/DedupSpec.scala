@@ -420,6 +420,26 @@ class DedupSpec extends AnyFunSuite {
     assert(out(9L) == ((9L, true)), "singleton keeps itself")
   }
 
+  test("keepBest: NULL quality ranks last, never wins keeper selection") {
+    import org.apache.spark.sql.functions._
+    // struct-field ordering alone would sort the null -q FIRST and hand
+    // the null-quality doc the keeper slot; the null-rank lead field
+    // pins the oracle's ORDER BY quality DESC NULLS LAST semantics
+    val docs = Seq((1L, Some(10L)), (2L, None), (3L, Some(30L)))
+      .toDF("doc_id", "q")
+    val groups = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("doc_id", "group_id")
+    val out = graft.operators.Dedup.keepBest(docs, groups, col("q"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L),
+      s"quality 30 must beat both 10 and NULL: $out")
+    // an all-null group still elects exactly one keeper (min doc_id)
+    val allNull = Seq((5L, None: Option[Long]), (6L, None)).toDF("doc_id", "q")
+    val g2 = Seq((5L, 5L), (6L, 5L)).toDF("doc_id", "group_id")
+    val out2 = graft.operators.Dedup.keepBest(allNull, g2, col("q"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out2 == Map(5L -> 5L, 6L -> 5L))
+  }
+
   test("dupEvidence: shared shingles listed sorted, sliced at k") {
     import org.apache.spark.sql.functions._
     val text = "alpha beta gamma delta epsilon zeta eta theta"

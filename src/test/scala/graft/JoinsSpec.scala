@@ -216,6 +216,31 @@ class JoinsSpec extends AnyFunSuite {
     assert(out == Set((1L, 5L * sec), (1L, 10L * sec)))
   }
 
+  test("intervalOverlapJoin: inverted interval (end < start) fails loudly") {
+    // sequence(start, stop) silently DESCENDS when start > stop, so an
+    // unguarded inverted interval would still explode into bucket rows
+    // and could emit phantom matches — the guard turns it into an
+    // in-plan raise_error instead
+    val sec = 1000000L
+    val good = ivFrame("r", (1L, 0L, 10L * sec))
+    val badL = ivFrame("l", (1L, 10L * sec, 5L * sec)) // end < start
+    val ex = intercept[Exception] {
+      Joins.intervalOverlapJoin(badL, good, "user_id",
+        "l_st", "l_en", "r_st", "r_en", bucketSeconds = 2L).collect()
+    }
+    assert(ex.getMessage.contains("inverted left interval") ||
+      Option(ex.getCause).exists(_.getMessage.contains("inverted left interval")),
+      s"expected the inverted-interval raise_error, got: ${ex.getMessage}")
+    val goodL = ivFrame("l", (1L, 0L, 10L * sec))
+    val badR = ivFrame("r", (1L, 8L * sec, 2L * sec))
+    val ex2 = intercept[Exception] {
+      Joins.intervalOverlapJoin(goodL, badR, "user_id",
+        "l_st", "l_en", "r_st", "r_en", bucketSeconds = 2L).collect()
+    }
+    assert(ex2.getMessage.contains("inverted right interval") ||
+      Option(ex2.getCause).exists(_.getMessage.contains("inverted right interval")))
+  }
+
   test("intervalOverlapJoin matches the quadratic inequality join") {
     val rng = new scala.util.Random(7)
     val sec = 1000000L
