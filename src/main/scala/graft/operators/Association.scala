@@ -16,14 +16,47 @@ import org.apache.spark.sql.functions._
   * basket id; pair/item/basket counts are map-side-combinable
   * aggregates over domain-bounded frames; the lift arithmetic is one
   * fixed left-to-right expression over exact counts.
+  *
+  * The distinct projection bounds multiplicity by the item DOMAIN —
+  * fine when baskets are orders with a few dozen part types, but the
+  * self-join still emits |items|² pairs PER BASKET, so one jumbo
+  * basket (a crawl dump where "basket" = domain, 10⁵ items) fires
+  * 10¹⁰ pairs from a single join key: the classic skew bomb. Hence
+  * `maxBasketSize`: baskets above the cap are EXCLUDED from mining
+  * (their pairs are near-uninformative anyway — everything co-occurs
+  * with everything in a jumbo basket, so lift ≈ support noise) and
+  * surfaced via [[oversizedBaskets]] so the drop is visible, the
+  * same report-the-cap discipline as `dupGroups.driverEdgeLimit`.
   */
 object Association {
 
-  def basketLift(df: DataFrame, basket: Column, item: Column,
-      minPairCount: Long = 1L): DataFrame = {
-    val bi = df.select(basket.as("b"), item.as("i"))
+  /** Default jumbo-basket cap: 10⁴ items → ≤10⁸ pairs worst-case from
+    * one key, painful but survivable; 10⁵ would not be. */
+  val DefaultMaxBasketSize = 10000
+
+  /** The baskets a `maxBasketSize` cap would drop, with their sizes —
+    * run it alongside [[basketLift]] to report what was excluded. */
+  def oversizedBaskets(df: DataFrame, basket: Column, item: Column,
+      maxBasketSize: Int = DefaultMaxBasketSize): DataFrame =
+    df.select(basket.as("b"), item.as("i"))
       .filter(col("b").isNotNull && col("i").isNotNull)
       .distinct()
+      .groupBy(col("b")).agg(count(lit(1)).as("basket_size"))
+      .filter(col("basket_size") > maxBasketSize)
+
+  def basketLift(df: DataFrame, basket: Column, item: Column,
+      minPairCount: Long = 1L,
+      maxBasketSize: Int = DefaultMaxBasketSize): DataFrame = {
+    require(maxBasketSize >= 2,
+      s"maxBasketSize must be >= 2 (pairs need two items), got $maxBasketSize")
+    val raw = df.select(basket.as("b"), item.as("i"))
+      .filter(col("b").isNotNull && col("i").isNotNull)
+      .distinct()
+    // drop jumbo baskets BEFORE the self-join — the |items|² expansion
+    // happens per join key, so the cap must act on the input side
+    val sizes = raw.groupBy(col("b")).agg(count(lit(1)).as("__bs"))
+    val bi = raw.join(sizes.filter(col("__bs") <= maxBasketSize), "b")
+      .drop("__bs")
       .localCheckpoint() // feeds pair join (twice), item counts, N
     val n = bi.agg(countDistinct(col("b")).as("n_baskets"))
     val itemCounts = bi.groupBy(col("i")).agg(count(lit(1)).as("ni"))

@@ -44,6 +44,39 @@ object Partitioning {
       .withColumn("file_group", shiftright(col("zkey"), 2 * bits - groupBits))
   }
 
+  /** Default ceiling for [[requireBoundedDomain]]: 2M distinct keys.
+    * An unpartitioned cumulative window sorts its whole input in ONE
+    * task, so the input must be a bounded DOMAIN (6-dp scores ≤ 10⁶+1,
+    * duration days, price points) — 2M rows sort in well under a
+    * second on one core; an unquantized continuous column at corpus
+    * scale would not. */
+  val DefaultDomainLimit: Long = 2000000L
+
+  /** Loud guard for the bounded-global-window family: every operator
+    * that runs an unpartitioned cumulative window justifies it by
+    * "the window input is the key's DOMAIN, not raw rows" — this makes
+    * that trust a CHECK. Wraps the already-grouped domain frame so the
+    * plan raises (in-plan `raise_error` — distributed, lazy, no driver
+    * action) if the domain exceeds `limit`, instead of silently
+    * degrading to a single-partition sort of n rows. The count rides a
+    * broadcast 1-row aggregate; the grouped frame is recomputed once
+    * for it — map-side-combinable and domain-sized, so the safety
+    * costs a fraction of the window it protects.
+    */
+  def requireBoundedDomain(domain: DataFrame, keyCol: String, site: String,
+      limit: Long = DefaultDomainLimit): DataFrame = {
+    require(limit >= 1, s"domain limit must be >= 1, got $limit")
+    val n = domain.agg(count(lit(1)).as("__domain_n"))
+    domain.crossJoin(broadcast(n))
+      .withColumn(keyCol,
+        when(col("__domain_n") <= limit, col(keyCol)).otherwise(raise_error(concat(
+          lit(s"$site: the global-window domain ($keyCol) has "), col("__domain_n"),
+          lit(s" distinct values, over the bounded-domain limit $limit — an " +
+            "unpartitioned window over it would single-task-sort the corpus. " +
+            "Quantize/bucket the column first, or raise the limit knowingly.")))))
+      .drop("__domain_n")
+  }
+
   /** Spread `df` across the session's cores, but only when it arrives
     * under-parallel (the single-file local test tables arrive as 1
     * split). On a real cluster inputs already arrive in thousands of

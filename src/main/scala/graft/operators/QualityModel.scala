@@ -159,12 +159,17 @@ object QualityModel {
     * (auc, n_pos, n_neg); auc is NULL for a degenerate single-class
     * input (nPos·nNeg = 0), where the statistic is undefined.
     */
-  def rocAuc(scored: DataFrame): DataFrame = {
+  def rocAuc(scored: DataFrame,
+      domainLimit: Long = Partitioning.DefaultDomainLimit): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
-    val byScore = scored.groupBy(col("quality"))
-      .agg(sum(col("label")).cast("long").as("n_pos"),
-        sum(lit(1L) - col("label")).cast("long").as("n_neg"))
+    // the 6-dp quantization contract is CHECKED, not trusted: raw
+    // continuous scores would silently single-task-sort in the window
+    val byScore = Partitioning.requireBoundedDomain(
+      scored.groupBy(col("quality"))
+        .agg(sum(col("label")).cast("long").as("n_pos"),
+          sum(lit(1L) - col("label")).cast("long").as("n_neg")),
+      "quality", "QualityModel.rocAuc", domainLimit)
     // negatives with STRICTLY lower score: cumulative sum excluding the
     // current (tied) score row — bounded frame, see scale note above
     val w = Window.orderBy(col("quality"))
@@ -197,9 +202,12 @@ object QualityModel {
     * (≤ 10⁶+1 rows), and the ranks join back on the score — two
     * bounded steps and one equi-join, no global sort anywhere.
     */
-  def percentileRanks(scored: DataFrame): DataFrame = {
+  def percentileRanks(scored: DataFrame,
+      domainLimit: Long = Partitioning.DefaultDomainLimit): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val byScore = scored.groupBy(col("quality")).agg(count(lit(1)).as("cnt"))
+    val byScore = Partitioning.requireBoundedDomain(
+      scored.groupBy(col("quality")).agg(count(lit(1)).as("cnt")),
+      "quality", "QualityModel.percentileRanks", domainLimit)
     val w = Window.orderBy(col("quality"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val ranks = byScore

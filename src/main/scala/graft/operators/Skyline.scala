@@ -24,10 +24,16 @@ import org.apache.spark.sql.functions._
   */
 object Skyline {
 
-  def frontier2d(df: DataFrame, minimize: Column, maximize: Column): DataFrame = {
+  def frontier2d(df: DataFrame, minimize: Column, maximize: Column,
+      domainLimit: Long = Partitioning.DefaultDomainLimit): DataFrame = {
     val pts = df.withColumn("__m", minimize).withColumn("__x", maximize)
       .filter(col("__m").isNotNull && col("__x").isNotNull)
-    val groupMax = pts.groupBy(col("__m")).agg(max(col("__x")).as("__gmax"))
+    // the boundedness the window depends on is CHECKED, not trusted: a
+    // continuous minimize column would otherwise silently degrade the
+    // window below into a single-partition sort of n rows
+    val groupMax = Partitioning.requireBoundedDomain(
+      pts.groupBy(col("__m")).agg(max(col("__x")).as("__gmax")),
+      "__m", "Skyline.frontier2d", domainLimit)
     // the global ordered window runs over the distinct-__m frame —
     // domain-bounded (the classifier_auc discipline), not row-bounded
     val w = Window.orderBy(col("__m").asc)

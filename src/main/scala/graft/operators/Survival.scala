@@ -26,12 +26,18 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Survival {
 
-  def kaplanMeier(subjects: DataFrame): DataFrame = {
-    val byT = subjects
-      .filter(col("t").isNotNull && col("t") >= 0)
-      .groupBy(col("t"))
-      .agg(sum(when(col("event"), 1L).otherwise(0L)).as("d"),
-        sum(when(!col("event"), 1L).otherwise(0L)).as("c"))
+  def kaplanMeier(subjects: DataFrame,
+      domainLimit: Long = Partitioning.DefaultDomainLimit): DataFrame = {
+    // duration-domain boundedness is CHECKED (requireBoundedDomain),
+    // not trusted: sub-second raw timestamps as t would otherwise
+    // silently single-task-sort the subject corpus in the window below
+    val byT = Partitioning.requireBoundedDomain(
+      subjects
+        .filter(col("t").isNotNull && col("t") >= 0)
+        .groupBy(col("t"))
+        .agg(sum(when(col("event"), 1L).otherwise(0L)).as("d"),
+          sum(when(!col("event"), 1L).otherwise(0L)).as("c")),
+      "t", "Survival.kaplanMeier", domainLimit)
     val total = byT.agg(sum(col("d") + col("c")).as("n_total"))
     val wCum = Window.orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

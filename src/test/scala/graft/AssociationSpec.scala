@@ -32,6 +32,30 @@ class AssociationSpec extends AnyFunSuite {
     assert(m(("a", "b")) == ((1L, 0.5, 1.0)))
   }
 
+  test("maxBasketSize drops the jumbo basket from mining and reports it") {
+    // one jumbo basket of 50 items (would emit 50·49/2 pairs) plus two
+    // small baskets; cap at 10 → the jumbo basket contributes NOTHING
+    // to pairs, counts, or N, and shows up in the oversized report
+    val jumbo = (1 to 50).map(i => (99L, f"j$i%02d"))
+    val small = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"))
+    val df = (jumbo ++ small).toDF("b", "i")
+    val out = Association.basketLift(df, col("b"), col("i"),
+        maxBasketSize = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(6)))).toMap
+    // only the small-basket pair survives; N=2 (jumbo excluded), so
+    // lift = 2·2/(2·2) = 1
+    assert(out == Map(("a", "b") -> ((2L, 1.0))),
+      s"jumbo pairs must not appear: $out")
+    val over = Association.oversizedBaskets(df, col("b"), col("i"),
+        maxBasketSize = 10)
+      .as[(Long, Long)].collect().toSet
+    assert(over == Set((99L, 50L)), "the dropped basket is reported with its size")
+    // default cap leaves small fixtures untouched (contract-row safety)
+    val all = Association.basketLift(df, col("b"), col("i"))
+    assert(all.count() > 1L, "default cap must not drop 50-item baskets")
+  }
+
   test("minPairCount prunes singleton pairs; null baskets/items drop") {
     val df = Seq((Some(1L), Some("a")), (Some(1L), Some("b")),
       (None, Some("z")), (Some(2L), None)).toDF("b", "i")

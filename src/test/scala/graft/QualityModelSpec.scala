@@ -93,6 +93,31 @@ class QualityModelSpec extends AnyFunSuite {
     assert(single.getLong(1) == 2L && single.getLong(2) == 0L)
   }
 
+  test("unquantized score domain fails loudly in rocAuc and percentileRanks") {
+    // the 6-dp quantization contract of score() is what bounds the
+    // cumulative windows — a raw continuous score column now raises
+    // instead of silently single-task-sorting the corpus
+    val wide = (1 to 40).map(i => (i / 1000.0, (i % 2).toLong, i.toLong))
+      .toDF("quality", "label", "doc_id")
+    val ex = intercept[Exception] {
+      QualityModel.rocAuc(wide.select(col("quality"), col("label")),
+        domainLimit = 10L).collect()
+    }
+    val msg1 = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg1.contains("QualityModel.rocAuc") && msg1.contains("bounded-domain"))
+    val ex2 = intercept[Exception] {
+      QualityModel.percentileRanks(wide, domainLimit = 10L).collect()
+    }
+    val msg2 = Option(ex2.getMessage).getOrElse("") +
+      Option(ex2.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg2.contains("QualityModel.percentileRanks") &&
+      msg2.contains("bounded-domain"))
+    // within the limit both still run
+    assert(QualityModel.rocAuc(wide.select(col("quality"), col("label")),
+      domainLimit = 40L).count() == 1L)
+  }
+
   test("calibrationBins: exhaustive partition, exact fractions, edge binning") {
     val scored = Seq(
       (0.05, 0L), (0.05, 1L),        // bin 0: frac_pos 0.5

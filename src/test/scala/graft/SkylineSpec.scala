@@ -53,4 +53,21 @@ class SkylineSpec extends AnyFunSuite {
     val out = Skyline.frontier2d(df, col("m"), col("x")).count()
     assert(out == 1L)
   }
+
+  test("high-cardinality minimize domain fails loudly, not silently sorts") {
+    // a continuous minimize column used to degrade the global window
+    // into a single-partition sort of n rows with no warning — now the
+    // bounded-domain guard raises in-plan
+    val df = (1 to 20).map(i => (i, i)).toDF("m", "x")
+    val ex = intercept[Exception] {
+      Skyline.frontier2d(df, col("m"), col("x"), domainLimit = 10L).collect()
+    }
+    val msg = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("Skyline.frontier2d") && msg.contains("bounded-domain"),
+      s"expected the bounded-domain raise, got: $msg")
+    // at the limit it still runs (the diagonal is all Pareto-optimal)
+    assert(Skyline.frontier2d(df, col("m"), col("x"), domainLimit = 20L)
+      .count() == 20L)
+  }
 }

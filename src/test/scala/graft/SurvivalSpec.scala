@@ -56,4 +56,17 @@ class SurvivalSpec extends AnyFunSuite {
     val out = Survival.kaplanMeier(df).select(col("t")).as[Long].collect()
     assert(out.toSeq == Seq(2L))
   }
+
+  test("unbounded duration domain fails loudly, not silently sorts") {
+    // raw sub-second timestamps as t would single-task-sort the
+    // subject corpus in the cumulative window — the guard raises
+    val df = (1L to 30L).map(t => (t, true)).toDF("t", "event")
+    val ex = intercept[Exception] {
+      Survival.kaplanMeier(df, domainLimit = 10L).collect()
+    }
+    val msg = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("Survival.kaplanMeier") && msg.contains("bounded-domain"))
+    assert(Survival.kaplanMeier(df, domainLimit = 30L).count() == 30L)
+  }
 }
