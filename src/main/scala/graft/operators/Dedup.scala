@@ -1055,10 +1055,16 @@ object Dedup {
     * slice, never as a pipeline default. The a<b self-join halves the
     * score work and the top-N is a TakeOrderedAndProject merge.
     */
-  def embeddingTopPairs(emb: DataFrame, topN: Int, blocks: Int = 8): DataFrame = {
+  def embeddingTopPairs(emb0: DataFrame, topN: Int, blocks: Int = 8,
+      maxRows: Long = 100000L): DataFrame = {
     // blocks = 0 would make pmod(vec_id, 0) null: sequence/explode then
     // drops every row and the query silently returns empty
     require(blocks >= 1, s"blocks must be >= 1, got $blocks")
+    // sample-scale cap, ENFORCED: 10⁵ rows → ~5×10⁹ scored pairs is
+    // the edge of reasonable for a calibration run; the full corpus
+    // is not an accident anyone should survive
+    val emb = Partitioning.requireSampleScale(emb0, "vec_id",
+      "Dedup.embeddingTopPairs (exact Ω(n²) top-N baseline)", maxRows)
     // Exact global top-N is Ω(n²) score evaluations on arbitrary data
     // (any pair skipped could be the best), so the scale lever is the
     // JOIN SHAPE, not the count: grid-partitioned all-pairs (the

@@ -371,10 +371,15 @@ object KMeansIndex {
     * cell count and recall 1.0 — the visible "paying more buys
     * nothing" plateau.
     */
-  def recallCurve(index: Index, queries: DataFrame, topK: Int,
-      probes: Seq[Int]): DataFrame = {
+  def recallCurve(index: Index, queries0: DataFrame, topK: Int,
+      probes: Seq[Int], maxQueries: Long = 1000L): DataFrame = {
     require(probes.nonEmpty, "recallCurve needs at least one probe count")
     require(probes.forall(_ >= 1), s"probe counts must be >= 1, got $probes")
+    // sample-scale cap, ENFORCED: the ground-truth arm scores every
+    // (query, corpus-row) pair, so the query set must stay a sample —
+    // an explicit parameter, not a doc-comment promise
+    val queries = Partitioning.requireSampleScale(queries0, "query_id",
+      "KMeansIndex.recallCurve", maxQueries)
     import org.apache.spark.sql.expressions.Window
     val spark = index.assigned.sparkSession
     import spark.implicits._

@@ -64,17 +64,44 @@ object Partitioning {
     * costs a fraction of the window it protects.
     */
   def requireBoundedDomain(domain: DataFrame, keyCol: String, site: String,
-      limit: Long = DefaultDomainLimit): DataFrame = {
-    require(limit >= 1, s"domain limit must be >= 1, got $limit")
-    val n = domain.agg(count(lit(1)).as("__domain_n"))
-    domain.crossJoin(broadcast(n))
-      .withColumn(keyCol,
-        when(col("__domain_n") <= limit, col(keyCol)).otherwise(raise_error(concat(
-          lit(s"$site: the global-window domain ($keyCol) has "), col("__domain_n"),
-          lit(s" distinct values, over the bounded-domain limit $limit — an " +
-            "unpartitioned window over it would single-task-sort the corpus. " +
-            "Quantize/bucket the column first, or raise the limit knowingly.")))))
-      .drop("__domain_n")
+      limit: Long = DefaultDomainLimit): DataFrame =
+    guardedBySize(domain, keyCol, limit,
+      lit(s"$site: the global-window domain ($keyCol) has "),
+      lit(s" distinct values, over the bounded-domain limit $limit — an " +
+        "unpartitioned window over it would single-task-sort the corpus. " +
+        "Quantize/bucket the column first, or raise the limit knowingly."))
+
+  /** The evaluator-cap sibling of [[requireBoundedDomain]]: evaluators
+    * whose ground-truth side is a deliberate full/quadratic scan
+    * (recall curves, exact top-N calibration baselines) are SAMPLE-
+    * SCALE tools — this makes the cap an enforced parameter instead of
+    * a doc comment, so the 100×-scale user cannot point the evaluator
+    * at the full corpus by accident. Same lazy in-plan mechanism.
+    */
+  def requireSampleScale(df: DataFrame, keyCol: String, site: String,
+      limit: Long): DataFrame =
+    guardedBySize(df, keyCol, limit,
+      lit(s"$site is a sample-scale evaluator: input has "),
+      lit(s" rows, over the cap $limit — its ground-truth side scans " +
+        "deliberately exhaustively. Sample/slice the input first, or raise " +
+        "the cap knowingly."))
+
+  private def guardedBySize(df: DataFrame, keyCol: String, limit: Long,
+      msgHead: Column, msgTail: Column): DataFrame = {
+    require(limit >= 1, s"size limit must be >= 1, got $limit")
+    // The check rides a SENTINEL UNION, not a join: a 0-row branch
+    // (count agg → filter n > limit → raise_error projection) unions
+    // onto the frame, so within the cap the plan gains no join at all —
+    // a 1-row crossJoin would plan as BroadcastNestedLoopJoin and trip
+    // the project's own "no BNLJ" plan audits (constant-key equi-joins
+    // constant-fold back into the same shape). Over the cap the
+    // sentinel row materializes and its projection raises. Lazy,
+    // distributed, and invisible to every downstream plan check.
+    val err = raise_error(concat(msgHead, col("__guard_n"), msgTail))
+    val sentinel = df.agg(count(lit(1)).as("__guard_n"))
+      .filter(col("__guard_n") > limit)
+      .select(df.schema.fields.toIndexedSeq.map(f => err.cast(f.dataType).as(f.name)): _*)
+    df.unionByName(sentinel)
   }
 
   /** Spread `df` across the session's cores, but only when it arrives

@@ -57,6 +57,22 @@ class AnnSpec extends AnyFunSuite {
     assert(recalls.head > 0.0, "even one probed cell finds some of the top-k")
   }
 
+  test("recallCurve: the sample-scale query cap is enforced, not advisory") {
+    val idx = KMeansIndex.build(emb, k = 4)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    val ex = intercept[Exception] {
+      KMeansIndex.recallCurve(idx, queries, topK = 5, probes = Seq(1, 4),
+        maxQueries = 4L).collect()
+    }
+    val msg = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("sample-scale evaluator"), s"expected the cap raise: $msg")
+    // at the cap it still runs
+    assert(KMeansIndex.recallCurve(idx, queries, topK = 5, probes = Seq(1, 4),
+      maxQueries = 8L).count() == 2L)
+  }
+
   test("KMeans probe search: high recall vs exact top-k with modest probes") {
     val idx = KMeansIndex.build(emb, k = 8)
     val query = emb.filter($"vec_id" === 0).select("embedding")

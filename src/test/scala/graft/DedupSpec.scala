@@ -270,6 +270,21 @@ class DedupSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Dedup.embeddingTopPairs(e, 10, blocks = 0))
   }
 
+  test("embeddingTopPairs: the sample-scale row cap is enforced") {
+    import org.apache.spark.sql.functions._
+    // the Ω(n²) calibration baseline must refuse a larger-than-cap
+    // corpus instead of silently scoring every pair
+    val e = (1L to 20L).map(i => (i, Array(i.toFloat, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Dedup.embeddingTopPairs(e, 5, maxRows = 10L).collect()
+    }
+    val msg = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("sample-scale evaluator"), s"expected the cap raise: $msg")
+    assert(Dedup.embeddingTopPairs(e, 5, maxRows = 20L).count() == 5L)
+  }
+
   test("embeddingTopPairs covers mixed-sign ids (pmod block assignment)") {
     // Spark % keeps the dividend's sign: with plain % a negative id's
     // block key would never meet the non-negative side's task grid and
