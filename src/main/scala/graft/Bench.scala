@@ -93,7 +93,24 @@ object Bench {
     // re-run (e.g. r7's pq_adc_topk: min 0.7 s, max 13.8 s)
     val noisy = results.filter(r => r._4 > 3.0 * math.max(r._3, 1e-9))
       .map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmins,"queries_max":$qmaxs,"total_min":$totalMin,"total_max":$totalMax,"noisy":$noisy,"calibration":${obj(calib.map(r => r._1 -> r._2))},"sf":"$sfDir","reps":$reps,"errors":$errs}""")
+    // Key order matters: the driver keeps only the LAST ~2000 chars of
+    // stdout, so with ~180 queries the big per-query dicts overflow the
+    // window and whatever leads the line is lost (r8's driver artifact
+    // had parsed=null and no totals for exactly this reason). The big
+    // dicts go FIRST and every summary scalar LAST, so the surviving
+    // tail always carries total/total_min/total_max/noisy/errors.
+    // queries_med is an explicit alias of queries (the medians) so a
+    // reader never has to guess which statistic the primary dict holds.
+    val line = s"""{"metric":"total","unit":"sec","queries":$qs,"queries_med":$qs,"queries_min":$qmins,"queries_max":$qmaxs,"calibration":${obj(calib.map(r => r._1 -> r._2))},"sf":"$sfDir","reps":$reps,"value":$total,"total_min":$totalMin,"total_max":$totalMax,"noisy":$noisy,"errors":$errs}"""
+    println(line)
+    // the full line also lands in a repo file (the driver's 2000-char
+    // tail cannot hold ~180 medians), so cross-round per-query
+    // comparisons stop depending on a manually-saved local artifact
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local_latest.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     spark.stop()
   }
 }
