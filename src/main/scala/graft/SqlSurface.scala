@@ -484,7 +484,8 @@ object SqlSurface {
          |grid AS (SELECT ra.a, ra.row_total, cb.b, cb.col_total
          |         FROM ra CROSS JOIN cb),
          |e AS (SELECT /*+ BROADCAST(g) */ coalesce(c.o, 0L) AS o,
-         |        grid.row_total * grid.col_total / CAST(g.n AS DOUBLE) AS e
+         |        CAST(grid.row_total AS DOUBLE) * grid.col_total
+         |          / CAST(g.n AS DOUBLE) AS e
          |      FROM grid LEFT JOIN c ON c.a = grid.a AND c.b = grid.b
          |      CROSS JOIN g),
          |t AS (SELECT coalesce(sum(CAST(round((o - e) * (o - e) / e, 9)
@@ -525,7 +526,176 @@ object SqlSurface {
          |  ON vb.user_id = cb.c_user AND vb.bk = cb.cbk
          |  AND vb.s_us <= cb.ce_us AND cb.cs_us <= vb.e_us
          |  AND vb.bk = CAST(floor(greatest(vb.s_us, cb.cs_us) / 86400000000) AS LONG)
-         |ORDER BY vb.user_id, view_start, click_start""".stripMargin)
+         |ORDER BY vb.user_id, view_start, click_start""".stripMargin,
+
+    // ── pipeline flagships (round-8 verdict item 2): the operators a
+    // SQL analyst reaches for first, as plain SQL over the views ──
+
+    // Duplicate groups in SQL: distinct 3-word shingles (the HOF form
+    // of Dedup.shingleArray), exact-Jaccard pair verification at the
+    // same round-6 threshold, then connected components by FOUR graph
+    // squarings — e1 ∪ e² ∪ e⁴ ∪ e⁸ ∪ e¹⁶ reaches diameter 16, far
+    // beyond any near-dup family (Spark SQL has no recursive CTE; the
+    // unbounded-diameter form is the DataFrame operator's pointer-
+    // jumping fixpoint). The LSH banding the operator adds is candidate
+    // PRUNING — invisible to results whenever banding captures the
+    // threshold, which is its contract — so the SQL form states the
+    // semantics directly: all pairs with Jaccard ≥ 0.5. Self-edges
+    // enter e1 so min(dst) covers the vertex itself.
+    "dedup_groups" ->
+      s"""WITH w AS (SELECT doc_id, split(trim(text), '\\\\s+') AS ws FROM documents),
+         |sh AS (SELECT doc_id, explode(array_distinct(transform(
+         |         sequence(0, size(ws) - 3),
+         |         i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) AS shingle
+         |       FROM w WHERE size(ws) >= 3),
+         |sz AS (SELECT doc_id, count(1) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(1) AS c
+         |          FROM sh a JOIN sh b
+         |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id),
+         |prs AS (SELECT i.doc_a, i.doc_b FROM inter i
+         |        JOIN sz x ON i.doc_a = x.doc_id
+         |        JOIN sz y ON i.doc_b = y.doc_id
+         |        WHERE round(CAST(i.c AS DOUBLE) / (x.n + y.n - i.c), 6) >= 0.5),
+         |e1 AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+         |       UNION SELECT doc_b, doc_a FROM prs
+         |       UNION SELECT doc_a, doc_a FROM prs
+         |       UNION SELECT doc_b, doc_b FROM prs),
+         |e2 AS (SELECT src, dst FROM e1 UNION
+         |       SELECT a.src, b.dst FROM e1 a JOIN e1 b ON a.dst = b.src),
+         |e4 AS (SELECT src, dst FROM e2 UNION
+         |       SELECT a.src, b.dst FROM e2 a JOIN e2 b ON a.dst = b.src),
+         |e8 AS (SELECT src, dst FROM e4 UNION
+         |       SELECT a.src, b.dst FROM e4 a JOIN e4 b ON a.dst = b.src),
+         |e16 AS (SELECT src, dst FROM e8 UNION
+         |        SELECT a.src, b.dst FROM e8 a JOIN e8 b ON a.dst = b.src)
+         |SELECT src AS doc_id, min(dst) AS group_id
+         |FROM e16 GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    // BM25 top-k in SQL — the identical Robertson/Sparck-Jones scoring
+    // chain as TextAnalysis.bm25TopDocs (k1=1.2, b=0.75, same
+    // left-to-right folds, same round-9 decimal accumulation), with the
+    // corpus stats on a broadcast 1-row side. (1.2 + 1.0) stays an
+    // ADDITION so both engines fold the same double.
+    "bm25_search" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, size(ws) AS dl,
+         |    filter(ws, w -> w IN ('query', 'fast', 'merge')) AS qs
+         |  FROM (SELECT doc_id, split(trim(text), '\\\\s+') AS ws FROM documents)),
+         |stats AS (SELECT count(1) AS n_docs, sum(dl) AS sum_dl FROM base),
+         |tf AS (SELECT doc_id, dl, w, count(1) AS tf
+         |       FROM (SELECT doc_id, dl, explode(qs) AS w FROM base)
+         |       GROUP BY doc_id, dl, w),
+         |dfr AS (SELECT w, count(1) AS df FROM tf GROUP BY w)
+         |SELECT /*+ BROADCAST(dfr), BROADCAST(stats) */ doc_id,
+         |  CAST(count(1) AS BIGINT) AS n_terms_hit,
+         |  round(CAST(sum(CAST(round(
+         |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         |      * (tf * (1.2 + 1.0))
+         |      / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl
+         |                       / (CAST(sum_dl AS DOUBLE) / n_docs))), 9)
+         |    AS DECIMAL(28,9))) AS DOUBLE), 6) AS bm25
+         |FROM tf JOIN dfr USING (w) CROSS JOIN stats
+         |GROUP BY doc_id
+         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
+    // Gopher/C4-style quality flags in SQL — the same three aggregate
+    // lanes as TextAnalysis.qualityFlags (word/bigram/char), the same
+    // zip_with bigram construction (slice lengths of 0 make 1-word docs
+    // drop out of the bigram lane, exactly like the DataFrame form),
+    // the same rounded fractions reused inside `keep`.
+    "doc_quality" ->
+      s"""WITH d AS (SELECT doc_id, trim(text) AS t,
+         |             split(trim(text), '\\\\s+') AS ws FROM documents),
+         |wc AS (SELECT doc_id, w, count(1) AS c
+         |       FROM (SELECT doc_id, explode(ws) AS w FROM d)
+         |       GROUP BY doc_id, w),
+         |wa AS (SELECT doc_id, sum(c) AS n_words, max(c) AS top_w,
+         |         sum(CASE WHEN w IN ('the','a','and','of','to','is','in','it')
+         |             THEN c ELSE 0L END) AS stop_c
+         |       FROM wc GROUP BY doc_id),
+         |bg AS (SELECT doc_id, bg, count(1) AS c
+         |       FROM (SELECT doc_id, explode(zip_with(
+         |                slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),
+         |                (x, y) -> concat(x, ' ', y))) AS bg FROM d)
+         |       GROUP BY doc_id, bg),
+         |ba AS (SELECT doc_id, max(c) AS top_bg, sum(c) AS n_bg
+         |       FROM bg GROUP BY doc_id),
+         |ca AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
+         |         CAST(length(t) - length(regexp_replace(t, '[^a-zA-Z0-9 ]', ''))
+         |           AS BIGINT) AS punct_c
+         |       FROM d),
+         |f AS (SELECT wa.doc_id, n_words, stop_c, n_chars,
+         |        round(CAST(top_w AS DOUBLE) / n_words, 6) AS top_word_frac,
+         |        CASE WHEN coalesce(n_bg, 0L) = 0L THEN 0.0
+         |             ELSE round(CAST(top_bg AS DOUBLE) / n_bg, 6)
+         |        END AS top_bigram_frac,
+         |        round(CAST(stop_c AS DOUBLE) / n_words, 6) AS stopword_frac,
+         |        CASE WHEN n_chars = 0L THEN 0.0
+         |             ELSE round(CAST(punct_c AS DOUBLE) / n_chars, 6)
+         |        END AS punct_frac
+         |      FROM wa LEFT JOIN ba ON wa.doc_id = ba.doc_id
+         |      JOIN ca ON wa.doc_id = ca.doc_id)
+         |SELECT doc_id, n_words, top_word_frac, top_bigram_frac,
+         |  stopword_frac, punct_frac,
+         |  (n_words >= 10 AND top_word_frac <= 0.20 AND
+         |   top_bigram_frac <= 0.18 AND punct_frac <= 0.30 AND
+         |   stop_c >= 1L) AS keep
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // Per-column completeness/cardinality profile in SQL — ONE scan
+    // computes every aggregate (count + per-column null/exact-distinct),
+    // then a LATERAL VIEW explode pivots the single row to long format,
+    // the same shape Monitor.profile builds.
+    "table_profile" -> {
+      val cols = Seq("event_id", "event_type", "props", "ts", "user_id", "value")
+      val aggs = cols.map(c =>
+        s"""sum(CASE WHEN $c IS NULL THEN 1L ELSE 0L END) AS nu_$c,
+           |    count(DISTINCT $c) AS nd_$c""".stripMargin).mkString(",\n    ")
+      val structs = cols.map(c =>
+        s"named_struct('col_name', '$c', 'n_rows', n, 'n_null', nu_$c, " +
+          s"'n_distinct', nd_$c)").mkString(",\n  ")
+      s"""SELECT p.col_name, p.n_rows, p.n_null, p.n_distinct
+         |FROM (SELECT count(1) AS n,
+         |    $aggs
+         |  FROM events)
+         |LATERAL VIEW explode(array(
+         |  $structs)) t AS p
+         |ORDER BY p.col_name""".stripMargin
+    },
+
+    // The conversion funnel in SQL — the same stage chain as
+    // Funnel.funnel (view → click → purchase, min-ts per stage,
+    // strictly-after + 6-hour-window gating at epoch micros), stages
+    // joined left so partial progress keeps its row.
+    "event_funnel" ->
+      s"""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+         |            WHERE event_type = 'view' GROUP BY user_id),
+         |s2 AS (SELECT e.user_id, min(e.ts) AS t2
+         |       FROM events e JOIN s1 USING (user_id)
+         |       WHERE e.event_type = 'click'
+         |         AND unix_micros(e.ts) > unix_micros(s1.t1)
+         |         AND unix_micros(e.ts) <= unix_micros(s1.t1) + 21600000000
+         |       GROUP BY e.user_id),
+         |s3 AS (SELECT e.user_id, min(e.ts) AS t3
+         |       FROM events e JOIN s2 USING (user_id)
+         |       WHERE e.event_type = 'purchase'
+         |         AND unix_micros(e.ts) > unix_micros(s2.t2)
+         |         AND unix_micros(e.ts) <= unix_micros(s2.t2) + 21600000000
+         |       GROUP BY e.user_id)
+         |SELECT user_id,
+         |  date_format(t1, 'yyyy-MM-dd HH:mm:ss') AS t1,
+         |  date_format(t2, 'yyyy-MM-dd HH:mm:ss') AS t2,
+         |  date_format(t3, 'yyyy-MM-dd HH:mm:ss') AS t3,
+         |  CAST(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+         |     + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+         |     + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         |    AS stages_completed,
+         |  CASE WHEN t3 IS NOT NULL
+         |       THEN CAST(unix_timestamp(t3) - unix_timestamp(t1) AS BIGINT)
+         |  END AS conversion_secs
+         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+         |ORDER BY user_id""".stripMargin)
 
   /** Contract-query adapter: register the views, run the SQL. */
   def query(name: String): (SparkSession, String) => DataFrame = {
@@ -904,6 +1074,12 @@ object SqlSurface {
       // SQL text reaches the same semantics
       "scd2_history" -> SparkEntry.queries("scd2_history"),
       "events_chi2" -> SparkEntry.queries("events_chi2"),
-      "interval_overlap" -> SparkEntry.queries("interval_overlap"))
+      "interval_overlap" -> SparkEntry.queries("interval_overlap"),
+      // pipeline flagships: parity against the contract operator forms
+      "dedup_groups" -> SparkEntry.queries("dedup_groups"),
+      "bm25_search" -> SparkEntry.queries("bm25_search"),
+      "doc_quality" -> SparkEntry.queries("doc_quality"),
+      "table_profile" -> SparkEntry.queries("table_profile"),
+      "event_funnel" -> SparkEntry.queries("event_funnel"))
   }
 }
