@@ -159,6 +159,12 @@ object GrowthProbe {
     probe("doclen_outliers")(d => Monitor.robustOutliers(
       d.select(col("doc_id"), size(TextAnalysis.words(col("text"))).as("n_words")),
       "doc_id", "n_words").count())
+    // the privacy release-gate pair's second half (r8 landed it after
+    // the last probe run): two-level distinct collapse to the class
+    // frame, then the l histogram over that bounded frame — growth
+    // must track the distinct pass, not the histogram
+    probe("l_diversity")(d => Monitor.lDiversity(d, Seq("source", "lang"),
+      floor(col("n_chars") / lit(100)).cast("long")).count())
     probe("fuzzy_match")(d => {
       // production shape: FIXED 10k-name catalog, dirty stream grows
       // with n — cost must stay linear in the stream (block-bounded
@@ -372,6 +378,29 @@ object GrowthProbe {
               "left_anti")
             .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n")).count()
         })
+        // Q10 head (the other r8-landed-unprobed query): broadcast the
+        // fixed dims (customer/nation stay sf0.1-sized — the realistic
+        // shape, dims don't grow with the fact stream), filter+join the
+        // growing orders/lineitem axis, TakeOrderedAndProject the top-20
+        locally {
+          val cust = spark.read.parquet("/root/testdata/sf0.1/customer.parquet")
+          val nat = spark.read.parquet("/root/testdata/sf0.1/nation.parquet")
+          probeRel("q10_returned_customers")((ord, li) =>
+            cust.join(nat, col("n_nationkey") === col("c_nationkey"))
+              .join(ord
+                .filter(col("o_orderdate").cast("date") >= lit("1996-10-01").cast("date"))
+                .filter(col("o_orderdate").cast("date") < lit("1997-01-01").cast("date")),
+                col("o_custkey") === col("c_custkey"))
+              .join(li.filter(col("l_returnflag") === "R"),
+                col("l_orderkey") === col("o_orderkey"))
+              .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+              .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+                .cast("decimal(28,6)")).cast("double").as("revenue"),
+                count(lit(1)).as("n_items"))
+              .orderBy(col("revenue").desc, col("c_custkey"))
+              .limit(20)
+              .count())
+        }
       }
       // partitioned window frames: RANGE rolling sum + lag + ntile per
       // event_type over the daily series — the windows must parallelize
