@@ -319,4 +319,26 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable(); q.stop()
     assert(spark.table("stateful_out").count() == 2)
   }
+
+  test("statefulSessionize custom state executes on the RocksDB state store") {
+    // the flatMapGroupsWithState path keeps arbitrary user state — the
+    // one stateful shape the other smokes don't cover on RocksDB
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val mem = MemoryStream[Event]
+      val q = Streaming.statefulSessionize(mem.toDS(), gapMillis = 1800000)
+        .writeStream.format("memory").queryName("rocks_stateful_out")
+        .outputMode("append").start()
+      mem.addData(fixture: _*)
+      q.processAllAvailable()
+      val progress = q.lastProgress
+      assert(progress.stateOperators.nonEmpty, "expected custom-state operator")
+      assert(progress.json.contains("rocksdb"),
+        s"expected rocksdb state-store metrics in progress:\n${progress.json}")
+      mem.addData(Event(9, ts(300), 1, "click", 9.0))
+      q.processAllAvailable(); q.stop()
+      // same session semantics as the default-store test above
+      assert(spark.table("rocks_stateful_out").count() == 2)
+    }
+  }
 }
