@@ -695,7 +695,102 @@ object SqlSurface {
          |       THEN CAST(unix_timestamp(t3) - unix_timestamp(t1) AS BIGINT)
          |  END AS conversion_secs
          |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
-         |ORDER BY user_id""".stripMargin)
+         |ORDER BY user_id""".stripMargin,
+
+    // The privacy release-gate pair in SQL — same two-level aggregates
+    // as Monitor.kAnonymity / lDiversity (the only corpus-sized pass is
+    // level 1; the histogram runs over the bounded class frame).
+    "k_anonymity" ->
+      s"""WITH g AS (SELECT source, lang,
+         |        CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
+         |        count(1) AS sz
+         |      FROM documents
+         |      GROUP BY source, lang, CAST(floor(n_chars / 100) AS BIGINT))
+         |SELECT sz AS class_size, count(1) AS n_classes, sum(sz) AS n_records
+         |FROM g GROUP BY sz ORDER BY class_size""".stripMargin,
+    "l_diversity" ->
+      s"""WITH g AS (SELECT source, lang,
+         |        count(DISTINCT CAST(floor(n_chars / 100) AS BIGINT)) AS l,
+         |        count(1) AS sz
+         |      FROM documents GROUP BY source, lang)
+         |SELECT l, count(1) AS n_classes, sum(sz) AS n_records
+         |FROM g GROUP BY l ORDER BY l""".stripMargin,
+
+    // Cohort retention in SQL — first-touch per user, day-floored
+    // cohort/offset cells, distinct users per cell, rates against the
+    // broadcast offset-0 cohort sizes (Funnel.retention's exact chain).
+    "user_retention" ->
+      s"""WITH fst AS (SELECT user_id, min(ts) AS first_ts
+         |             FROM events GROUP BY user_id),
+         |cells AS (SELECT e.user_id,
+         |            floor(unix_micros(first_ts) / 86400000000) AS cohort_period,
+         |            floor(unix_micros(e.ts) / 86400000000)
+         |              - floor(unix_micros(first_ts) / 86400000000) AS period_offset
+         |          FROM events e JOIN fst USING (user_id)),
+         |cc AS (SELECT cohort_period, period_offset,
+         |         count(DISTINCT user_id) AS n_users
+         |       FROM cells GROUP BY cohort_period, period_offset),
+         |sizes AS (SELECT cohort_period, n_users AS cohort_size
+         |          FROM cc WHERE period_offset = 0)
+         |SELECT /*+ BROADCAST(sizes) */ cohort_period, period_offset, n_users,
+         |  cohort_size,
+         |  round(CAST(n_users AS DOUBLE) / cohort_size, 6) AS rate
+         |FROM cc JOIN sizes USING (cohort_period)
+         |ORDER BY cohort_period, period_offset""".stripMargin,
+
+    // Exact-dup census in SQL — digest groupBy then one fold, the
+    // Dedup.exactSummary shape (text never crosses an exchange).
+    "dedup_exact_summary" ->
+      s"""WITH h AS (SELECT sha2(text, 256) AS h, count(1) AS c
+         |           FROM documents GROUP BY sha2(text, 256))
+         |SELECT sum(c) AS n_docs, count(1) AS n_distinct,
+         |  sum(c) - count(1) AS n_dup_docs,
+         |  sum(CASE WHEN c > 1 THEN 1L ELSE 0L END) AS n_dup_groups
+         |FROM h""".stripMargin,
+
+    // Sessionization in SQL — session_window directly in GROUP BY,
+    // decimal-accumulated value sums (the events_sessions contract
+    // query's exact shape; the same plan runs under readStream).
+    "events_sessions" ->
+      s"""SELECT user_id,
+         |  date_format(session_window.start, 'yyyy-MM-dd HH:mm:ss')
+         |    AS session_start,
+         |  n_events, sum_value
+         |FROM (SELECT user_id, session_window(ts, '1800 seconds')
+         |          AS session_window,
+         |        count(1) AS n_events,
+         |        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         |      FROM events GROUP BY user_id, session_window(ts, '1800 seconds'))
+         |ORDER BY user_id, session_start""".stripMargin,
+
+    // Marker-heuristic language ID in SQL — per-language HOF scores and
+    // the argmax-with-earliest-tie-win flattened into a CASE chain:
+    // language L wins iff it strictly beats the max of all EARLIER
+    // languages (equivalent to TextAnalysis.langId's strict-> fold,
+    // which keeps the earliest language attaining the running max).
+    "lang_id" ->
+      s"""WITH s AS (SELECT doc_id,
+         |    CAST(size(filter(ws, w -> w IN ('the','a','fast','slow','key')))
+         |      AS BIGINT) AS score_en,
+         |    CAST(size(filter(ws, w -> w IN ('der','die','und','table','value')))
+         |      AS BIGINT) AS score_de,
+         |    CAST(size(filter(ws, w -> w IN ('el','la','y','data','row')))
+         |      AS BIGINT) AS score_es,
+         |    CAST(size(filter(ws, w -> w IN ('le','la','et','query','window')))
+         |      AS BIGINT) AS score_fr,
+         |    CAST(size(filter(ws, w -> w IN ('的','是','了','join','merge')))
+         |      AS BIGINT) AS score_zh
+         |  FROM (SELECT doc_id, split(trim(text), '\\\\s+') AS ws FROM documents))
+         |SELECT doc_id, score_en, score_de, score_es, score_fr, score_zh,
+         |  CASE
+         |    WHEN score_zh > greatest(score_en, score_de, score_es, score_fr)
+         |      THEN 'zh'
+         |    WHEN score_fr > greatest(score_en, score_de, score_es) THEN 'fr'
+         |    WHEN score_es > greatest(score_en, score_de) THEN 'es'
+         |    WHEN score_de > score_en THEN 'de'
+         |    ELSE 'en'
+         |  END AS pred_lang
+         |FROM s ORDER BY doc_id""".stripMargin)
 
   /** Contract-query adapter: register the views, run the SQL. */
   def query(name: String): (SparkSession, String) => DataFrame = {
@@ -1080,6 +1175,12 @@ object SqlSurface {
       "bm25_search" -> SparkEntry.queries("bm25_search"),
       "doc_quality" -> SparkEntry.queries("doc_quality"),
       "table_profile" -> SparkEntry.queries("table_profile"),
-      "event_funnel" -> SparkEntry.queries("event_funnel"))
+      "event_funnel" -> SparkEntry.queries("event_funnel"),
+      "k_anonymity" -> SparkEntry.queries("k_anonymity"),
+      "l_diversity" -> SparkEntry.queries("l_diversity"),
+      "user_retention" -> SparkEntry.queries("user_retention"),
+      "dedup_exact_summary" -> SparkEntry.queries("dedup_exact_summary"),
+      "events_sessions" -> SparkEntry.queries("events_sessions"),
+      "lang_id" -> SparkEntry.queries("lang_id"))
   }
 }
