@@ -43,6 +43,58 @@ object SqlSurface {
        |) WHERE score IS NOT NULL AND NOT isnan(score)
        |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin
 
+  /** Shingle → exact-Jaccard pairs → component CTE chain, shared by
+    * `dedup_groups` and `dup_size_histogram` (ends in `e16`, the
+    * diameter-16 transitive reach with self-edges).
+    */
+  private val dupGroupCtes: String =
+    s"""w AS (SELECT doc_id, split(trim(text), '\\\\s+') AS ws FROM documents),
+       |sh AS (SELECT doc_id, explode(array_distinct(transform(
+       |         sequence(0, size(ws) - 3),
+       |         i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) AS shingle
+       |       FROM w WHERE size(ws) >= 3),
+       |sz AS (SELECT doc_id, count(1) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(1) AS c
+       |          FROM sh a JOIN sh b
+       |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY a.doc_id, b.doc_id),
+       |prs AS (SELECT i.doc_a, i.doc_b FROM inter i
+       |        JOIN sz x ON i.doc_a = x.doc_id
+       |        JOIN sz y ON i.doc_b = y.doc_id
+       |        WHERE round(CAST(i.c AS DOUBLE) / (x.n + y.n - i.c), 6) >= 0.5),
+       |e1 AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+       |       UNION SELECT doc_b, doc_a FROM prs
+       |       UNION SELECT doc_a, doc_a FROM prs
+       |       UNION SELECT doc_b, doc_b FROM prs),
+       |e2 AS (SELECT src, dst FROM e1 UNION
+       |       SELECT a.src, b.dst FROM e1 a JOIN e1 b ON a.dst = b.src),
+       |e4 AS (SELECT src, dst FROM e2 UNION
+       |       SELECT a.src, b.dst FROM e2 a JOIN e2 b ON a.dst = b.src),
+       |e8 AS (SELECT src, dst FROM e4 UNION
+       |       SELECT a.src, b.dst FROM e4 a JOIN e4 b ON a.dst = b.src),
+       |e16 AS (SELECT src, dst FROM e8 UNION
+       |        SELECT a.src, b.dst FROM e8 a JOIN e8 b ON a.dst = b.src)""".stripMargin
+
+  /** The view→click→purchase stage chain (min-ts per stage, strictly
+    * after + 6-hour window at epoch micros), shared by `event_funnel`
+    * and `funnel_summary`. Ends in s1/s2/s3.
+    */
+  private val funnelStageCtes: String =
+    s"""s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+       |            WHERE event_type = 'view' GROUP BY user_id),
+       |s2 AS (SELECT e.user_id, min(e.ts) AS t2
+       |       FROM events e JOIN s1 USING (user_id)
+       |       WHERE e.event_type = 'click'
+       |         AND unix_micros(e.ts) > unix_micros(s1.t1)
+       |         AND unix_micros(e.ts) <= unix_micros(s1.t1) + 21600000000
+       |       GROUP BY e.user_id),
+       |s3 AS (SELECT e.user_id, min(e.ts) AS t3
+       |       FROM events e JOIN s2 USING (user_id)
+       |       WHERE e.event_type = 'purchase'
+       |         AND unix_micros(e.ts) > unix_micros(s2.t2)
+       |         AND unix_micros(e.ts) <= unix_micros(s2.t2) + 21600000000
+       |       GROUP BY e.user_id)""".stripMargin
+
   val sql: Map[String, String] = Map(
     "search_cosine_topk" ->
       searchSql("vec_cosine_sim(e.embedding, q.q_embedding)"),
@@ -543,34 +595,19 @@ object SqlSurface {
     // semantics directly: all pairs with Jaccard ≥ 0.5. Self-edges
     // enter e1 so min(dst) covers the vertex itself.
     "dedup_groups" ->
-      s"""WITH w AS (SELECT doc_id, split(trim(text), '\\\\s+') AS ws FROM documents),
-         |sh AS (SELECT doc_id, explode(array_distinct(transform(
-         |         sequence(0, size(ws) - 3),
-         |         i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) AS shingle
-         |       FROM w WHERE size(ws) >= 3),
-         |sz AS (SELECT doc_id, count(1) AS n FROM sh GROUP BY doc_id),
-         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(1) AS c
-         |          FROM sh a JOIN sh b
-         |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |          GROUP BY a.doc_id, b.doc_id),
-         |prs AS (SELECT i.doc_a, i.doc_b FROM inter i
-         |        JOIN sz x ON i.doc_a = x.doc_id
-         |        JOIN sz y ON i.doc_b = y.doc_id
-         |        WHERE round(CAST(i.c AS DOUBLE) / (x.n + y.n - i.c), 6) >= 0.5),
-         |e1 AS (SELECT doc_a AS src, doc_b AS dst FROM prs
-         |       UNION SELECT doc_b, doc_a FROM prs
-         |       UNION SELECT doc_a, doc_a FROM prs
-         |       UNION SELECT doc_b, doc_b FROM prs),
-         |e2 AS (SELECT src, dst FROM e1 UNION
-         |       SELECT a.src, b.dst FROM e1 a JOIN e1 b ON a.dst = b.src),
-         |e4 AS (SELECT src, dst FROM e2 UNION
-         |       SELECT a.src, b.dst FROM e2 a JOIN e2 b ON a.dst = b.src),
-         |e8 AS (SELECT src, dst FROM e4 UNION
-         |       SELECT a.src, b.dst FROM e4 a JOIN e4 b ON a.dst = b.src),
-         |e16 AS (SELECT src, dst FROM e8 UNION
-         |        SELECT a.src, b.dst FROM e8 a JOIN e8 b ON a.dst = b.src)
+      s"""WITH $dupGroupCtes
          |SELECT src AS doc_id, min(dst) AS group_id
          |FROM e16 GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    // Dup-group size histogram over the same component chain — the
+    // corpus-health readout ("how big do dup families get").
+    "dup_size_histogram" ->
+      s"""WITH $dupGroupCtes,
+         |gr AS (SELECT src AS doc_id, min(dst) AS group_id
+         |       FROM e16 GROUP BY src),
+         |gs AS (SELECT group_id, count(1) AS sz FROM gr GROUP BY group_id)
+         |SELECT sz AS group_size, count(1) AS n_groups
+         |FROM gs GROUP BY sz ORDER BY group_size""".stripMargin,
 
     // BM25 top-k in SQL — the identical Robertson/Sparck-Jones scoring
     // chain as TextAnalysis.bm25TopDocs (k1=1.2, b=0.75, same
@@ -669,20 +706,7 @@ object SqlSurface {
     // strictly-after + 6-hour-window gating at epoch micros), stages
     // joined left so partial progress keeps its row.
     "event_funnel" ->
-      s"""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
-         |            WHERE event_type = 'view' GROUP BY user_id),
-         |s2 AS (SELECT e.user_id, min(e.ts) AS t2
-         |       FROM events e JOIN s1 USING (user_id)
-         |       WHERE e.event_type = 'click'
-         |         AND unix_micros(e.ts) > unix_micros(s1.t1)
-         |         AND unix_micros(e.ts) <= unix_micros(s1.t1) + 21600000000
-         |       GROUP BY e.user_id),
-         |s3 AS (SELECT e.user_id, min(e.ts) AS t3
-         |       FROM events e JOIN s2 USING (user_id)
-         |       WHERE e.event_type = 'purchase'
-         |         AND unix_micros(e.ts) > unix_micros(s2.t2)
-         |         AND unix_micros(e.ts) <= unix_micros(s2.t2) + 21600000000
-         |       GROUP BY e.user_id)
+      s"""WITH $funnelStageCtes
          |SELECT user_id,
          |  date_format(t1, 'yyyy-MM-dd HH:mm:ss') AS t1,
          |  date_format(t2, 'yyyy-MM-dd HH:mm:ss') AS t2,
@@ -790,7 +814,90 @@ object SqlSurface {
          |    WHEN score_de > score_en THEN 'de'
          |    ELSE 'en'
          |  END AS pred_lang
-         |FROM s ORDER BY doc_id""".stripMargin)
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Funnel stage totals over the SAME stage chain as event_funnel —
+    // one definition, two readouts.
+    "funnel_summary" ->
+      s"""WITH $funnelStageCtes,
+         |f AS (SELECT CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END
+         |          + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+         |          + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END
+         |          AS stages_completed
+         |      FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id))
+         |SELECT sum(CASE WHEN stages_completed >= 1 THEN 1L ELSE 0L END) AS n_view,
+         |  sum(CASE WHEN stages_completed >= 2 THEN 1L ELSE 0L END) AS n_click,
+         |  sum(CASE WHEN stages_completed >= 3 THEN 1L ELSE 0L END) AS n_purchase
+         |FROM f""".stripMargin,
+
+    // Per-document surface statistics as one HOF projection — the
+    // TextAnalysis.textStats expressions verbatim.
+    "text_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars_txt,
+         |  CAST(size(ws) AS BIGINT) AS n_words,
+         |  CAST(size(array_distinct(ws)) AS BIGINT) AS n_distinct_words,
+         |  round(CAST(size(array_distinct(ws)) AS DOUBLE) / size(ws), 6) AS ttr,
+         |  round(CAST(aggregate(transform(ws, w -> CAST(length(w) AS BIGINT)),
+         |      0L, (acc, x) -> acc + x) AS DOUBLE) / size(ws), 6) AS avg_word_len,
+         |  round(CAST(size(filter(ws, w -> length(w) >= 6)) AS DOUBLE)
+         |      / size(ws), 6) AS long_word_ratio
+         |FROM (SELECT doc_id, text, split(trim(text), '\\\\s+') AS ws
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    // Whitespace + BPE-ish regex token counts (regexp_count compiles
+    // the same RE2-compatible pattern both engines share).
+    "token_counts" ->
+      s"""SELECT doc_id,
+         |  CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS ws_tokens,
+         |  CAST(regexp_count(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]')
+         |    AS BIGINT) AS re_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Content digests — the exact-dedup / diff primitives.
+    "doc_digests" ->
+      s"""SELECT doc_id, sha2(text, 256) AS sha256, md5(text) AS md5
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Deterministic mod-split census over the embeddings table.
+    "sample_split" ->
+      s"""SELECT split, count(1) AS n, count(DISTINCT label) AS n_labels,
+         |  min(vec_id) AS min_id, max(vec_id) AS max_id
+         |FROM (SELECT vec_id, label,
+         |        CASE WHEN vec_id % 10 < 8 THEN 'train'
+         |             WHEN vec_id % 10 = 8 THEN 'valid'
+         |             ELSE 'test' END AS split
+         |      FROM embeddings)
+         |GROUP BY split ORDER BY split""".stripMargin,
+
+    // Fixed-width value histogram per event type.
+    "value_histogram" ->
+      s"""SELECT event_type, bin, round(bin * 25.0, 6) AS bin_lo, n
+         |FROM (SELECT event_type, CAST(floor(value / 25.0) AS BIGINT) AS bin,
+         |        count(1) AS n
+         |      FROM events WHERE value IS NOT NULL
+         |      GROUP BY event_type, CAST(floor(value / 25.0) AS BIGINT))
+         |ORDER BY event_type, bin""".stripMargin,
+
+    // Vocabulary coverage curve: the rank window runs over the LIMIT-50
+    // cut (TakeOrderedAndProject), never the full vocabulary — same
+    // bounded-window shape as the DataFrame form.
+    "vocab_coverage" ->
+      s"""WITH c AS (SELECT w, count(1) AS cnt
+         |           FROM (SELECT explode(split(trim(text), '\\\\s+')) AS w
+         |                 FROM documents)
+         |           GROUP BY w),
+         |t AS (SELECT sum(cnt) AS total FROM c),
+         |v AS (SELECT w, cnt FROM c ORDER BY cnt DESC, w LIMIT 50),
+         |r AS (SELECT w, cnt,
+         |        row_number() OVER (ORDER BY cnt DESC, w) AS rank,
+         |        sum(cnt) OVER (ORDER BY cnt DESC, w
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM v)
+         |SELECT rank, w AS word, cnt,
+         |  round(CAST(cum AS DOUBLE) / total, 6) AS cum_frac
+         |FROM r CROSS JOIN t ORDER BY rank""".stripMargin)
 
   /** Contract-query adapter: register the views, run the SQL. */
   def query(name: String): (SparkSession, String) => DataFrame = {
@@ -1181,6 +1288,14 @@ object SqlSurface {
       "user_retention" -> SparkEntry.queries("user_retention"),
       "dedup_exact_summary" -> SparkEntry.queries("dedup_exact_summary"),
       "events_sessions" -> SparkEntry.queries("events_sessions"),
-      "lang_id" -> SparkEntry.queries("lang_id"))
+      "lang_id" -> SparkEntry.queries("lang_id"),
+      "dup_size_histogram" -> SparkEntry.queries("dup_size_histogram"),
+      "funnel_summary" -> SparkEntry.queries("funnel_summary"),
+      "text_stats" -> SparkEntry.queries("text_stats"),
+      "token_counts" -> SparkEntry.queries("token_counts"),
+      "doc_digests" -> SparkEntry.queries("doc_digests"),
+      "sample_split" -> SparkEntry.queries("sample_split"),
+      "value_histogram" -> SparkEntry.queries("value_histogram"),
+      "vocab_coverage" -> SparkEntry.queries("vocab_coverage"))
   }
 }
