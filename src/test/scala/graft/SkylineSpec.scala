@@ -54,6 +54,27 @@ class SkylineSpec extends AnyFunSuite {
     assert(out == 1L)
   }
 
+  test("the bounded-domain guard reuses the domain exchange, no double scan") {
+    // the sentinel-union guard recomputes the domain AGGREGATE for its
+    // count — the scale question is whether that recompute re-reads the
+    // base data. It must not: both branches share the identical
+    // canonical groupBy exchange, so AQE's ReuseExchange makes the
+    // count branch read the SHUFFLED data (one base scan total). A
+    // regression here would double every guarded operator's input cost
+    // at 100 TB.
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .groupBy(col("source")).agg(count(lit(1)).as("m"), sum(col("n_chars")).as("x"))
+    val out = Skyline.frontier2d(df, col("m"), col("x"))
+    out.collect() // AQE finalizes reuse decisions at execution
+    // AQE's toString prints Final + Initial plans — judge the FINAL one
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("ReusedExchange"),
+      s"guard count branch must reuse the domain exchange:\n$plan")
+    val scans = "FileScan parquet".r.findAllMatchIn(plan).length
+    assert(scans <= 1, s"guarded plan must scan the base data once, saw $scans:\n$plan")
+  }
+
   test("high-cardinality minimize domain fails loudly, not silently sorts") {
     // a continuous minimize column used to degrade the global window
     // into a single-partition sort of n rows with no warning — now the
