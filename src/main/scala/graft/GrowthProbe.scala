@@ -31,7 +31,16 @@ object GrowthProbe {
       }
       math.min(once, once)
     }
+    // `only:<name>` args: re-run a single flagged probe to separate
+    // co-tenant noise from a real regression without the full 25-minute
+    // sweep. Honored by every named probe family (document, embedding,
+    // event, relational axes and the inline ngram/hybrid blocks);
+    // shared setup (corpus generation, PQ/centroid fits) still runs.
+    val onlyNames = args.filter(_.startsWith("only:")).map(_.drop(5)).toSet
+    def skipProbe(name: String): Boolean =
+      onlyNames.nonEmpty && !onlyNames.contains(name)
     def probe(name: String)(f: org.apache.spark.sql.DataFrame => Long): Unit = {
+      if (skipProbe(name)) return
       val tH = bestOf2(f(half))
       val tF = bestOf2(f(full))
       val r = tF / tH
@@ -48,7 +57,7 @@ object GrowthProbe {
     // group double with n, so pairs grow ~4.2x across the doubling) —
     // a raw time ratio under ~4.2 is impossible for a correct
     // algorithm; report time-per-emitted-pair like the 200k section
-    locally {
+    if (!skipProbe("ngram_jaccard")) locally {
       var pH = 0L; var pF = 0L
       val tH = bestOf2 { pH = Dedup.ngramJaccardPairs(half, 0.9).count(); pH }
       val tF = bestOf2 { pF = Dedup.ngramJaccardPairs(full, 0.9).count(); pF }
@@ -120,6 +129,7 @@ object GrowthProbe {
     // meaningful number is time per emitted candidate pair.
     locally {
       def pairNormalized(name: String)(f: org.apache.spark.sql.DataFrame => Long): Unit = {
+        if (skipProbe(name)) return
         var pH = 0L; var pF = 0L
         val tH = bestOf2 { pH = f(half); pH }
         val tF = bestOf2 { pF = f(full); pF }
@@ -190,6 +200,7 @@ object GrowthProbe {
       val embFull = spark.read.parquet(s"$dir/embeddings.parquet")
       val embHalf = embFull.filter(col("vec_id") % 2 === 0)
       def probeEmb(name: String)(f: org.apache.spark.sql.DataFrame => Long): Unit = {
+        if (skipProbe(name)) return
         val tH = bestOf2(f(embHalf))
         val tF = bestOf2(f(embFull))
         val r = tF / tH
@@ -248,7 +259,7 @@ object GrowthProbe {
       // hybrid retrieval: BOTH retriever arms scale together (docs for
       // BM25, vectors for cosine); the RRF fusion itself runs on two
       // 10-row lists — growth must come only from the retrievers
-      locally {
+      if (!skipProbe("hybrid_search_rrf")) locally {
         import org.apache.spark.sql.expressions.Window
         def hybrid(d: org.apache.spark.sql.DataFrame,
             e: org.apache.spark.sql.DataFrame): Long = {
@@ -276,6 +287,7 @@ object GrowthProbe {
       val evFull = sources.Tables.events(spark, dir)
       val evHalf = evFull.filter(col("user_id") % 2 === 0)
       def probeEv(name: String)(f: org.apache.spark.sql.DataFrame => Long): Unit = {
+        if (skipProbe(name)) return
         val tH = bestOf2(f(evHalf))
         val tF = bestOf2(f(evFull))
         val r = tF / tH
@@ -298,6 +310,7 @@ object GrowthProbe {
         val ordHalf = ordFull.filter(pmod(col("o_orderkey"), lit(2)) === 0)
         def probeRel(name: String)(
             f: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) => Long): Unit = {
+          if (skipProbe(name)) return
           val tH = bestOf2(f(ordHalf, liHalf))
           val tF = bestOf2(f(ordFull, liFull))
           val r = tF / tH

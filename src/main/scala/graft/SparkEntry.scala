@@ -1457,8 +1457,10 @@ object SparkEntry {
   // value_histogram bin width, shared with the oracle
   private val histWidth = 25.0
 
-  // table_profile column list, shared with the oracle
-  private val profileCols =
+  // table_profile column list, shared with the oracle AND the
+  // SQL-surface form (one definition, three consumers — a missed edit
+  // would otherwise produce a silent row-count mismatch between them)
+  private[graft] val profileCols =
     Seq("event_id", "ts", "user_id", "event_type", "value", "props")
 
   // stream_trending geometry, shared with the oracle (Spark's window()

@@ -685,7 +685,9 @@ object SqlSurface {
     // then a LATERAL VIEW explode pivots the single row to long format,
     // the same shape Monitor.profile builds.
     "table_profile" -> {
-      val cols = Seq("event_id", "event_type", "props", "ts", "user_id", "value")
+      // the one shared definition (also feeds the operator form and the
+      // oracle); sorted because the output orders by col_name
+      val cols = SparkEntry.profileCols.sorted
       val aggs = cols.map(c =>
         s"""sum(CASE WHEN $c IS NULL THEN 1L ELSE 0L END) AS nu_$c,
            |    count(DISTINCT $c) AS nd_$c""".stripMargin).mkString(",\n    ")

@@ -22,11 +22,14 @@ import org.apache.spark.sql.functions._
   * self-join still emits |items|² pairs PER BASKET, so one jumbo
   * basket (a crawl dump where "basket" = domain, 10⁵ items) fires
   * 10¹⁰ pairs from a single join key: the classic skew bomb. Hence
-  * `maxBasketSize`: baskets above the cap are EXCLUDED from mining
-  * (their pairs are near-uninformative anyway — everything co-occurs
-  * with everything in a jumbo basket, so lift ≈ support noise) and
-  * surfaced via [[oversizedBaskets]] so the drop is visible, the
-  * same report-the-cap discipline as `dupGroups.driverEdgeLimit`.
+  * `maxBasketSize` — LOUD by default: a basket over the cap raises
+  * in-plan (the requireBoundedDomain discipline; a silent drop would
+  * diverge from any uncapped oracle with no error). Pass
+  * `dropOversized = true` to exclude jumbo baskets instead (their
+  * pairs are near-uninformative anyway — everything co-occurs with
+  * everything in a jumbo basket, so lift ≈ support noise) and read
+  * [[oversizedBaskets]] alongside so the drop is visible — the same
+  * report-the-cap discipline as `dupGroups.driverEdgeLimit`.
   */
 object Association {
 
@@ -46,17 +49,30 @@ object Association {
 
   def basketLift(df: DataFrame, basket: Column, item: Column,
       minPairCount: Long = 1L,
-      maxBasketSize: Int = DefaultMaxBasketSize): DataFrame = {
+      maxBasketSize: Int = DefaultMaxBasketSize,
+      dropOversized: Boolean = false): DataFrame = {
     require(maxBasketSize >= 2,
       s"maxBasketSize must be >= 2 (pairs need two items), got $maxBasketSize")
     val raw = df.select(basket.as("b"), item.as("i"))
       .filter(col("b").isNotNull && col("i").isNotNull)
       .distinct()
-    // drop jumbo baskets BEFORE the self-join — the |items|² expansion
-    // happens per join key, so the cap must act on the input side
+    // the cap acts BEFORE the self-join — the |items|² expansion
+    // happens per join key, so it must bind on the input side. Default
+    // is the loud path: an over-cap basket raises (the item column is
+    // referenced by every downstream aggregate, so the raise cannot be
+    // pruned away); dropOversized = true excludes those baskets instead
     val sizes = raw.groupBy(col("b")).agg(count(lit(1)).as("__bs"))
-    val bi = raw.join(sizes.filter(col("__bs") <= maxBasketSize), "b")
-      .drop("__bs")
+    val capped =
+      if (dropOversized) raw.join(sizes.filter(col("__bs") <= maxBasketSize), "b")
+      else raw.join(sizes, "b").withColumn("i",
+        when(col("__bs") <= maxBasketSize, col("i")).otherwise(raise_error(concat(
+          lit(s"basketLift: basket "), col("b"),
+          lit(s" has "), col("__bs"),
+          lit(s" distinct items, over maxBasketSize $maxBasketSize — its " +
+            "|items|^2 pair expansion is the classic skew bomb. Raise the cap " +
+            "knowingly, or pass dropOversized = true and report " +
+            "oversizedBaskets alongside.")))))
+    val bi = capped.drop("__bs")
       .localCheckpoint() // feeds pair join (twice), item counts, N
     val n = bi.agg(countDistinct(col("b")).as("n_baskets"))
     val itemCounts = bi.groupBy(col("i")).agg(count(lit(1)).as("ni"))

@@ -1063,7 +1063,7 @@ object Dedup {
     // sample-scale cap, ENFORCED: 10⁵ rows → ~5×10⁹ scored pairs is
     // the edge of reasonable for a calibration run; the full corpus
     // is not an accident anyone should survive
-    val emb = Partitioning.requireSampleScale(emb0, "vec_id",
+    val emb = Partitioning.requireSampleScale(emb0,
       "Dedup.embeddingTopPairs (exact Ω(n²) top-N baseline)", maxRows)
     // Exact global top-N is Ω(n²) score evaluations on arbitrary data
     // (any pair skipped could be the best), so the scale lever is the

@@ -135,10 +135,16 @@ object Joins {
     // start > stop, so a bad interval would still explode into bucket
     // rows and could emit phantom matches. raise_error keeps the check
     // distributed — no driver-side validation pass over the inputs.
+    // NULL endpoints keep the PRE-GUARD semantics (the row drops out —
+    // sequence over a null is null and explode emits nothing): the
+    // first when-arm passes them through so a null cannot fall into
+    // the raise branch with a contentless null message.
     def endGuard(endMicros: Column, startMicros: Column, side: String): Column =
-      when(endMicros >= startMicros, endMicros).otherwise(raise_error(concat(
-        lit(s"intervalOverlapJoin: inverted $side interval (end < start) at start="),
-        startMicros, lit(" end="), endMicros)))
+      when(startMicros.isNull || endMicros.isNull, endMicros)
+        .when(endMicros >= startMicros, endMicros)
+        .otherwise(raise_error(concat(
+          lit(s"intervalOverlapJoin: inverted $side interval (end < start) at start="),
+          startMicros, lit(" end="), endMicros)))
     val lb = left
       .withColumn("__ls", unix_micros(col(lStart)))
       .withColumn("__le", endGuard(unix_micros(col(lEnd)), col("__ls"), "left"))

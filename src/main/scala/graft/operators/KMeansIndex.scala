@@ -378,7 +378,7 @@ object KMeansIndex {
     // sample-scale cap, ENFORCED: the ground-truth arm scores every
     // (query, corpus-row) pair, so the query set must stay a sample —
     // an explicit parameter, not a doc-comment promise
-    val queries = Partitioning.requireSampleScale(queries0, "query_id",
+    val queries = Partitioning.requireSampleScale(queries0,
       "KMeansIndex.recallCurve", maxQueries)
     import org.apache.spark.sql.expressions.Window
     val spark = index.assigned.sparkSession

@@ -65,7 +65,7 @@ object Partitioning {
     */
   def requireBoundedDomain(domain: DataFrame, keyCol: String, site: String,
       limit: Long = DefaultDomainLimit): DataFrame =
-    guardedBySize(domain, keyCol, limit,
+    guardedBySize(domain, limit,
       lit(s"$site: the global-window domain ($keyCol) has "),
       lit(s" distinct values, over the bounded-domain limit $limit — an " +
         "unpartitioned window over it would single-task-sort the corpus. " +
@@ -78,28 +78,44 @@ object Partitioning {
     * a doc comment, so the 100×-scale user cannot point the evaluator
     * at the full corpus by accident. Same lazy in-plan mechanism.
     */
-  def requireSampleScale(df: DataFrame, keyCol: String, site: String,
-      limit: Long): DataFrame =
-    guardedBySize(df, keyCol, limit,
+  def requireSampleScale(df: DataFrame, site: String, limit: Long): DataFrame =
+    guardedBySize(df, limit,
       lit(s"$site is a sample-scale evaluator: input has "),
       lit(s" rows, over the cap $limit — its ground-truth side scans " +
         "deliberately exhaustively. Sample/slice the input first, or raise " +
         "the cap knowingly."))
 
-  private def guardedBySize(df: DataFrame, keyCol: String, limit: Long,
+  private def guardedBySize(df: DataFrame, limit: Long,
       msgHead: Column, msgTail: Column): DataFrame = {
     require(limit >= 1, s"size limit must be >= 1, got $limit")
     // The check rides a SENTINEL UNION, not a join: a 0-row branch
-    // (count agg → filter n > limit → raise_error projection) unions
-    // onto the frame, so within the cap the plan gains no join at all —
-    // a 1-row crossJoin would plan as BroadcastNestedLoopJoin and trip
-    // the project's own "no BNLJ" plan audits (constant-key equi-joins
-    // constant-fold back into the same shape). Over the cap the
-    // sentinel row materializes and its projection raises. Lazy,
-    // distributed, and invisible to every downstream plan check.
+    // unions onto the frame, so within the cap the plan gains no join
+    // at all — a 1-row crossJoin would plan as BroadcastNestedLoopJoin
+    // and trip the project's own "no BNLJ" plan audits (constant-key
+    // equi-joins constant-fold back into the same shape). Lazy,
+    // distributed, and invisible to every downstream plan check; the
+    // count branch reuses the domain exchange (ReusedExchange,
+    // spec-pinned), so the base data is scanned once.
+    //
+    // The raise lives in BOTH the sentinel's filter CONDITION and its
+    // projections — each guards against a different optimizer path:
+    //  - projection-only raise is column-PRUNABLE: a consumer that
+    //    references no columns (guarded.count()) would have the raise
+    //    optimized away, silently passing the guard AND counting a
+    //    phantom row. Filter conditions are never pruned.
+    //  - filter-only raise (with plain null projections) is FOLDABLE
+    //    away: the projected null literals constant-fold downstream,
+    //    join-pushed isnotnull constraints become literally false, and
+    //    PruneFilters + PropagateEmptyRelation remove the whole branch
+    //    including the tripwire. Non-foldable raise projections keep
+    //    the branch alive.
+    // The boolean cast keeps the condition clear of null-type
+    // simplifications (raise_error is NullType).
     val err = raise_error(concat(msgHead, col("__guard_n"), msgTail))
+    val tripwire = when(col("__guard_n") > limit, err.cast("boolean"))
+      .otherwise(lit(false))
     val sentinel = df.agg(count(lit(1)).as("__guard_n"))
-      .filter(col("__guard_n") > limit)
+      .filter(tripwire)
       .select(df.schema.fields.toIndexedSeq.map(f => err.cast(f.dataType).as(f.name)): _*)
     df.unionByName(sentinel)
   }

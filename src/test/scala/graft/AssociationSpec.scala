@@ -32,15 +32,25 @@ class AssociationSpec extends AnyFunSuite {
     assert(m(("a", "b")) == ((1L, 0.5, 1.0)))
   }
 
-  test("maxBasketSize drops the jumbo basket from mining and reports it") {
+  test("maxBasketSize: loud by default, drops + reports only on opt-in") {
     // one jumbo basket of 50 items (would emit 50·49/2 pairs) plus two
-    // small baskets; cap at 10 → the jumbo basket contributes NOTHING
-    // to pairs, counts, or N, and shows up in the oversized report
+    // small baskets
     val jumbo = (1 to 50).map(i => (99L, f"j$i%02d"))
     val small = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"))
     val df = (jumbo ++ small).toDF("b", "i")
+    // default: an over-cap basket RAISES — a silent drop would diverge
+    // from any uncapped oracle with no error
+    val ex = intercept[Exception] {
+      Association.basketLift(df, col("b"), col("i"), maxBasketSize = 10)
+        .collect()
+    }
+    val msg = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("maxBasketSize"), s"expected the cap raise: $msg")
+    // opt-in drop: the jumbo basket contributes NOTHING to pairs,
+    // counts, or N, and shows up in the oversized report
     val out = Association.basketLift(df, col("b"), col("i"),
-        maxBasketSize = 10)
+        maxBasketSize = 10, dropOversized = true)
       .collect().map(r => (r.getString(0), r.getString(1)) ->
         ((r.getLong(2), r.getDouble(6)))).toMap
     // only the small-basket pair survives; N=2 (jumbo excluded), so
@@ -51,9 +61,10 @@ class AssociationSpec extends AnyFunSuite {
         maxBasketSize = 10)
       .as[(Long, Long)].collect().toSet
     assert(over == Set((99L, 50L)), "the dropped basket is reported with its size")
-    // default cap leaves small fixtures untouched (contract-row safety)
+    // the default cap leaves small fixtures untouched (contract-row
+    // safety: 50-item baskets are far under 10k)
     val all = Association.basketLift(df, col("b"), col("i"))
-    assert(all.count() > 1L, "default cap must not drop 50-item baskets")
+    assert(all.count() > 1L, "default cap must not affect 50-item baskets")
   }
 
   test("minPairCount prunes singleton pairs; null baskets/items drop") {

@@ -241,6 +241,27 @@ class JoinsSpec extends AnyFunSuite {
       Option(ex2.getCause).exists(_.getMessage.contains("inverted right interval")))
   }
 
+  test("intervalOverlapJoin: NULL endpoints drop the row, never raise") {
+    // the pre-guard semantics: sequence over a null is null and explode
+    // emits nothing — the inverted-interval guard must pass nulls
+    // through to that path, not feed them into raise_error (whose
+    // concat would throw with a contentless null message)
+    val sec = 1000000L
+    val l = Seq(
+      (1L, Some(0L), Some(10L * sec)),         // valid, overlaps r
+      (1L, Some(0L), None),                    // null end → drops
+      (1L, None, Some(10L * sec)))             // null start → drops
+      .toDF("user_id", "s", "e")
+      .select(col("user_id"),
+        timestamp_micros(col("s")).as("l_st"),
+        timestamp_micros(col("e")).as("l_en"))
+    val r = ivFrame("r", (1L, 5L * sec, 20L * sec))
+    val out = Joins.intervalOverlapJoin(l, r, "user_id",
+        "l_st", "l_en", "r_st", "r_en", bucketSeconds = 2L)
+      .collect()
+    assert(out.length == 1, s"only the fully-specified interval joins: ${out.toSeq}")
+  }
+
   test("intervalOverlapJoin matches the quadratic inequality join") {
     val rng = new scala.util.Random(7)
     val sec = 1000000L
