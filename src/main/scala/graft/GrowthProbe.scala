@@ -455,6 +455,14 @@ object GrowthProbe {
       // interval overlap is the bucketized equi-join
       probeEv("scd2_history")(d => Cdc.scd2FromLog(d, col("user_id"),
         col("ts"), col("event_type"), col("event_id")).count())
+      probeEv("scd2_lookup")(d => {
+        val split = lit("2024-01-16 00:00:00").cast("timestamp")
+        val dim = Cdc.scd2FromLog(d.filter(col("ts") < split),
+          col("user_id"), col("ts"), col("event_type"), col("event_id"))
+        Cdc.scd2Lookup(
+          d.select(col("user_id").as("key"), col("ts"), col("event_id")),
+          dim).count()
+      })
       probeEv("scd2_merge")(d => {
         val split = lit("2024-01-16 00:00:00").cast("timestamp")
         val cur = Cdc.latestState(d.filter(col("ts") < split), col("user_id"),

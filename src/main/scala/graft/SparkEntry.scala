@@ -1015,6 +1015,26 @@ object SparkEntry {
             .as("effective_to"),
           col("is_current"))
         .orderBy(col("user_id"), col("effective_from"))),
+    // the CONSUMER side of the SCD2 family: every event looks up the
+    // dimension version effective at its own timestamp in the
+    // pre-split history — mid-history facts exercise the half-open
+    // [from, to) boundary rule (an event AT a version boundary takes
+    // the newer version), post-split facts hit the open versions, and
+    // facts from users absent pre-split come back NULL
+    "scd2_lookup" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val split = lit("2024-01-16 00:00:00").cast("timestamp")
+      val dim = operators.Cdc.scd2FromLog(ev.filter(col("ts") < split),
+        col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      val facts = ev.select(col("user_id").as("key"), col("ts"), col("event_id"))
+      operators.Cdc.scd2Lookup(facts, dim)
+        .select(col("event_id"), col("key").as("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("dim_state"),
+          date_format(col("dim_effective_from_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("dim_effective_from"))
+        .orderBy(col("event_id"))
+    }),
     // the MERGE half of the CDC pair: current snapshot (latest state
     // per user before the split) ⊕ updates batch (latest state after)
     // through one full-outer join — unchanged / closed / new /
@@ -4147,6 +4167,34 @@ object SparkEntry {
          |  strftime(et, '%Y-%m-%d %H:%M:%S.%f') AS effective_to,
          |  (et IS NULL) AS is_current
          |FROM r ORDER BY user_id, effective_from""".stripMargin,
+    // the lookup replayed as an interval LEFT JOIN over the same
+    // pre-split run-length-compacted history; with non-overlapping
+    // versions at most one row matches per fact, and the half-open
+    // [from, to) predicate reproduces the engine's boundary rule
+    "scd2_lookup" ->
+      s"""WITH s AS (SELECT user_id, ts, event_type, event_id,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS prev,
+         |    lag(TRUE) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS has_prev
+         |  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+         |c AS (SELECT user_id, event_type, ts, event_id FROM s
+         |      WHERE has_prev IS NULL OR prev IS DISTINCT FROM event_type),
+         |r AS (SELECT user_id, event_type AS state, ts AS ef,
+         |        lead(ts) OVER (PARTITION BY user_id
+         |          ORDER BY ts, event_id) AS et
+         |      FROM c),
+         |f AS (SELECT event_id, user_id, ts FROM events),
+         |j AS (SELECT f.event_id, f.user_id, f.ts, r.state, r.ef,
+         |        row_number() OVER (PARTITION BY f.event_id
+         |          ORDER BY r.ef DESC) AS rn
+         |      FROM f LEFT JOIN r ON r.user_id = f.user_id
+         |        AND r.ef <= f.ts AND (r.et IS NULL OR f.ts < r.et))
+         |SELECT event_id, user_id,
+         |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+         |  state AS dim_state,
+         |  strftime(ef, '%Y-%m-%d %H:%M:%S.%f') AS dim_effective_from
+         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
     // same three merge lanes replayed as a full-outer join + UNION ALL
     "scd2_merge" ->
       s"""WITH cur AS (SELECT user_id, event_type, ts FROM (

@@ -128,6 +128,42 @@ object Cdc {
         col("r.is_current"), col("r.lane"))
   }
 
+  /** SCD2 dimension lookup — the CONSUMER side of the family: each
+    * fact row picks the dimension version effective at its timestamp
+    * (`effective_from_ts <= ts`, and `ts < effective_to_ts` when the
+    * version is closed) — the join every fact pipeline runs against a
+    * versioned dimension.
+    *
+    * Scale shape: rides [[Joins.asofJoin]]'s union + ordered-window
+    * carry — ONE shuffle on the key, no per-fact range probe, no
+    * interval explode. Version boundaries are half-open [from, to): a
+    * fact AT a boundary takes the NEWER version (an equal-time right
+    * row is visible to the as-of carry, and the carry keeps the last
+    * one). A fact in a history GAP — at/after a closed version's end
+    * with no successor covering it (a retention-trimmed dimension) —
+    * gets NULL, never the stale prior version; matched-ness is judged
+    * from the carried effective_from_ts (non-null in any valid SCD2
+    * row), so a legitimately-NULL state stays distinguishable from
+    * "no effective version".
+    *
+    * `facts`: (key, ts, …payload); `dim`: (key, state,
+    * effective_from_ts, effective_to_ts). Output: every fact column +
+    * `dim_state` + `dim_effective_from_ts`.
+    */
+  def scd2Lookup(facts: DataFrame, dim: DataFrame): DataFrame = {
+    val looked = Joins.asofJoin(facts,
+      dim.select(col("key"), col("state"), col("effective_from_ts"),
+        col("effective_to_ts")),
+      "key", "ts", "effective_from_ts",
+      Seq("state", "effective_from_ts", "effective_to_ts"))
+    val valid = col("asof_effective_from_ts").isNotNull &&
+      (col("asof_effective_to_ts").isNull ||
+        col("ts") < col("asof_effective_to_ts"))
+    looked.select(facts.columns.map(col).toIndexedSeq ++ Seq(
+      when(valid, col("asof_state")).as("dim_state"),
+      when(valid, col("asof_effective_from_ts")).as("dim_effective_from_ts")): _*)
+  }
+
   /** Latest observed state per key from a change log — the snapshot
     * both merge sides are built from. row_number (not max_by) so the
     * tie-break rule is explicit and engine-portable.

@@ -77,6 +77,54 @@ class CdcSpec extends AnyFunSuite {
     assert(again.filter(col("lane") =!= "unchanged").count() == 0L)
   }
 
+  test("scd2Lookup: half-open boundaries, gaps yield NULL, null state distinguishable") {
+    // dim for key 1: a@[0,10) → b@[10,20) → (GAP: trimmed) → NULL-state@[30,∞)
+    val dim = Seq(
+      (1L, Some("a"), 0L, Some(10L)),
+      (1L, Some("b"), 10L, Some(20L)),
+      (1L, None: Option[String], 30L, None: Option[Long]))
+      .toDF("key", "state", "f", "t")
+      .select(col("key"), col("state"),
+        col("f").cast("timestamp").as("effective_from_ts"),
+        col("t").cast("timestamp").as("effective_to_ts"))
+    val facts = Seq(
+      (100L, 1L, 5L),    // mid-interval → a
+      (101L, 1L, 10L),   // AT the boundary → the NEWER version (b)
+      (102L, 1L, 19L),   // last instant of b → b
+      (103L, 1L, 25L),   // in the GAP → NULL (not stale b)
+      (104L, 1L, 35L),   // open null-state version → matched, state null
+      (105L, 2L, 5L))    // unknown key → NULL
+      .toDF("event_id", "key", "t")
+      .select(col("event_id"), col("key"), col("t").cast("timestamp").as("ts"))
+    val out = Cdc.scd2Lookup(facts, dim)
+      .select(col("event_id"), col("dim_state"),
+        col("dim_effective_from_ts").cast("long").as("from"))
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) null else r.getString(1)),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(out(100L) == (("a", 0L)))
+    assert(out(101L) == (("b", 10L)), "a boundary fact takes the NEWER version")
+    assert(out(102L) == (("b", 10L)))
+    assert(out(103L) == ((null, -1L)), "a gap fact gets NULL, never the stale version")
+    assert(out(104L) == ((null, 30L)),
+      "a legitimately-NULL state stays matched (from is non-null)")
+    assert(out(105L) == ((null, -1L)))
+  }
+
+  test("scd2Lookup composes with scd2FromLog: every log event sees its own state") {
+    // looking each log event up in the history built FROM that log must
+    // return the event's own state (it starts or continues a version)
+    val events = log((1L, 0L, "a", 0L), (1L, 5L, "a", 1L), (1L, 9L, "b", 2L),
+      (2L, 3L, "c", 3L))
+    val dim = Cdc.scd2FromLog(events, col("k"), col("t"), col("st"), col("id"))
+    val facts = events.select(col("k").as("key"), col("t").as("ts"),
+      col("id").as("event_id"), col("st"))
+    val out = Cdc.scd2Lookup(facts, dim)
+    assert(out.filter(!(col("dim_state") <=> col("st"))).count() == 0L,
+      "every event's looked-up state must equal its own logged state")
+    assert(out.count() == 4L)
+  }
+
   test("scd2Merge: NULL key fails loudly instead of fanning out") {
     // the lane predicates read c_key/u_key nullness as "absent from
     // that side", so a genuinely-null input key would alias the
