@@ -882,6 +882,56 @@ object SqlSurface {
          |      GROUP BY event_type, CAST(floor(value / 25.0) AS BIGINT))
          |ORDER BY event_type, bin""".stripMargin,
 
+    // SCD2 dimension lookup in SQL — the SCALABLE as-of shape (union
+    // interleave + last IGNORE NULLS carry over one key window), not
+    // the naive per-fact interval probe. Dim versions come from the
+    // same pre-split run-length compaction as scd2_history; dim rows
+    // sort before facts at equal time (is_right DESC) so a boundary
+    // fact takes the newer version — the half-open [from, to) rule —
+    // and the validity CASE turns a history gap into NULL instead of
+    // a stale carry. Null-key dim rows are filtered like the operator
+    // does (SQL PARTITION BY groups NULLs; equality join semantics
+    // must not).
+    "scd2_lookup" ->
+      s"""WITH s AS (SELECT user_id, ts, event_type, event_id,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS prev,
+         |    lag(TRUE) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS has_prev
+         |  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+         |c AS (SELECT user_id, event_type, ts, event_id FROM s
+         |      WHERE has_prev IS NULL OR NOT (prev <=> event_type)),
+         |r AS (SELECT user_id, event_type AS state, ts AS ef,
+         |        lead(ts) OVER (PARTITION BY user_id
+         |          ORDER BY ts, event_id) AS et
+         |      FROM c),
+         |u AS (SELECT user_id AS key, ef AS t, 1 AS is_right,
+         |        CAST(NULL AS BIGINT) AS event_id,
+         |        CAST(NULL AS TIMESTAMP) AS fact_ts,
+         |        named_struct('state', state, 'ef', ef, 'et', et) AS payload
+         |      FROM r WHERE user_id IS NOT NULL
+         |      UNION ALL
+         |      SELECT user_id, ts, 0, event_id, ts,
+         |        CAST(NULL AS STRUCT<state: STRING, ef: TIMESTAMP,
+         |                            et: TIMESTAMP>)
+         |      FROM events),
+         |w AS (SELECT key, is_right, event_id, fact_ts,
+         |        last(payload, TRUE) OVER (PARTITION BY key
+         |          ORDER BY t ASC, is_right DESC, payload ASC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |          AS carried
+         |      FROM u)
+         |SELECT event_id, key AS user_id,
+         |  date_format(fact_ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS ts,
+         |  CASE WHEN carried.ef IS NOT NULL
+         |         AND (carried.et IS NULL OR fact_ts < carried.et)
+         |       THEN carried.state END AS dim_state,
+         |  CASE WHEN carried.ef IS NOT NULL
+         |         AND (carried.et IS NULL OR fact_ts < carried.et)
+         |       THEN date_format(carried.ef, 'yyyy-MM-dd HH:mm:ss.SSSSSS')
+         |  END AS dim_effective_from
+         |FROM w WHERE is_right = 0 ORDER BY event_id""".stripMargin,
+
     // Vocabulary coverage curve: the rank window runs over the LIMIT-50
     // cut (TakeOrderedAndProject), never the full vocabulary — same
     // bounded-window shape as the DataFrame form.
@@ -1298,6 +1348,7 @@ object SqlSurface {
       "doc_digests" -> SparkEntry.queries("doc_digests"),
       "sample_split" -> SparkEntry.queries("sample_split"),
       "value_histogram" -> SparkEntry.queries("value_histogram"),
-      "vocab_coverage" -> SparkEntry.queries("vocab_coverage"))
+      "vocab_coverage" -> SparkEntry.queries("vocab_coverage"),
+      "scd2_lookup" -> SparkEntry.queries("scd2_lookup"))
   }
 }
