@@ -142,6 +142,37 @@ object Streaming {
         col("click_id"), col("click_ts"))
   }
 
+  /** Streaming SCD2 dimension lookup — the stream-static form of
+    * [[graft.operators.Cdc.scd2Lookup]]: enrich a fact STREAM with the
+    * dimension version effective at each fact's event time.
+    *
+    * The batch operator's as-of carry is a non-time window over a
+    * union — unsupported on streams — so the streaming shape is the
+    * stream-static LEFT join on key + the half-open interval
+    * predicate, with the dimension broadcast (a dimension is small
+    * relative to the fact stream by construction; Spark re-reads the
+    * static side per micro-batch, so a dim updated between batches is
+    * picked up). Versions never overlap per key, so the interval
+    * predicate matches at most one dim row per fact — the join cannot
+    * fan out. Identical output to the batch operator on the same rows
+    * (spec-pinned), including gap→NULL and the boundary rule (ts at a
+    * version end fails `ts < to` there and matches the successor's
+    * `from <= ts`).
+    */
+  def scd2LookupStream(facts: DataFrame, dim: DataFrame): DataFrame = {
+    val d = broadcast(dim.filter(col("key").isNotNull)
+      .select(col("key").as("d_key"), col("state"),
+        col("effective_from_ts"), col("effective_to_ts")))
+    facts.join(d,
+        facts("key") === col("d_key") &&
+          col("effective_from_ts") <= facts("ts") &&
+          (col("effective_to_ts").isNull || facts("ts") < col("effective_to_ts")),
+        "left")
+      .select(facts.columns.map(facts(_)).toIndexedSeq ++ Seq(
+        col("state").as("dim_state"),
+        col("effective_from_ts").as("dim_effective_from_ts")): _*)
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)

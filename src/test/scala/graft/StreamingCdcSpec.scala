@@ -76,4 +76,46 @@ class StreamingCdcSpec extends AnyFunSuite {
     // 2→x (unchanged since 10), 3→n (new at 20)
     assert(streamed == Set((1L, "a", 30L), (2L, "x", 10L), (3L, "n", 20L)))
   }
+
+  test("scd2LookupStream: streamed fact enrichment equals the batch lookup") {
+    implicit val sc = spark.sqlContext
+    // dim with a boundary, a gap, and an open null-state version — the
+    // same edge set the batch CdcSpec fixture pins
+    val dim = Seq(
+      (1L, Some("a"), 0L, Some(10L)),
+      (1L, Some("b"), 10L, Some(20L)),
+      (1L, None: Option[String], 30L, None: Option[Long]))
+      .toDF("key", "state", "f", "t")
+      .select(col("key"), col("state"),
+        timestamp_micros(col("f")).as("effective_from_ts"),
+        timestamp_micros(col("t")).as("effective_to_ts"))
+    val factRows = Seq((100L, 1L, 5L), (101L, 1L, 10L), (102L, 1L, 25L),
+      (103L, 1L, 35L), (104L, 2L, 5L))
+    val mem = MemoryStream[(Long, Long, Long)]
+    mem.addData(factRows: _*)
+    val facts = mem.toDS().toDF("event_id", "key", "t")
+      .select(col("event_id"), col("key"), timestamp_micros(col("t")).as("ts"))
+    val q = streaming.Streaming.scd2LookupStream(facts, dim)
+      .writeStream.format("memory").queryName("scd2_lookup_stream_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_id"), col("dim_state"),
+        unix_micros(col("dim_effective_from_ts")).as("f"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val streamed = norm(spark.table("scd2_lookup_stream_out"))
+    val batch = norm(Cdc.scd2Lookup(
+      factRows.toDF("event_id", "key", "t")
+        .select(col("event_id"), col("key"), timestamp_micros(col("t")).as("ts")),
+      dim))
+    assert(streamed == batch && streamed.size == factRows.size,
+      s"stream-static lookup must equal the batch as-of lookup:\n" +
+        s"stream: $streamed\nbatch:  $batch")
+    // the semantics, explicitly: boundary→newer version, gap→NULL,
+    // open null-state version→matched-with-null, unknown key→NULL
+    assert(streamed == Set((100L, "a", 0L), (101L, "b", 10L),
+      (102L, null, -1L), (103L, null, 30L), (104L, null, -1L)))
+  }
 }
