@@ -67,6 +67,7 @@ object GrowthProbe {
     probe("span_dedup")(d => Dedup.spanDedup(d, 8).count())
     probe("novelty")(d => TextAnalysis.noveltyScores(d).count())
     probe("quality_flags")(d => TextAnalysis.qualityFlags(d).count())
+    probe("char_entropy")(d => TextAnalysis.charEntropy(d).count())
     probe("pack_windows")(d => Packing.packWindows(d, 512, 64).count())
     probe("token_budget")(d => Sampling.tokenBudgetSummary(d,
       Map("src0" -> 8000L), 10000L, numShards = 64).count())
@@ -297,6 +298,8 @@ object GrowthProbe {
       probeEv("active_users_7d")(d => Funnel.rollingActiveUsers(d, 7).count())
       probeEv("event_funnel")(d => Funnel.funnel(d).count())
       probeEv("events_anomaly")(d => Monitor.hourlyAnomaly(d).count())
+      probeEv("dq_freshness")(d => DataQuality.freshness(d, col("event_type"),
+        col("ts"), "2024-02-01 00:00:00", maxLagSeconds = 604800L).count())
       // subquery-decorrelation probes: 20× orders/lineitem replicated
       // on the ORDER axis (parts fixed), halved by orderkey parity so
       // both sides stay key-aligned. The decorrelated shapes must be

@@ -301,6 +301,11 @@ object SparkEntry {
         .orderBy(col("split"))),
     // north-star: text analysis (documents table)
     "text_stats" -> ((s, dir) => TextAnalysis.textStats(tbl(s, dir, "documents"))),
+    // character-level Shannon entropy (bits/char): the gibberish /
+    // encoding-damage signal word stats can't see — base64 blobs score
+    // near-maximal, single-char runs 0, natural text ~4±1
+    "char_entropy" -> ((s, dir) =>
+      TextAnalysis.charEntropy(tbl(s, dir, "documents"))),
     "doc_quality" -> ((s, dir) => TextAnalysis.qualityFlags(tbl(s, dir, "documents"))),
     // Gopher-style looping-text signal: fraction of trigram INSTANCES
     // belonging to a trigram that repeats within the doc
@@ -1063,6 +1068,12 @@ object SparkEntry {
     // date-range and discount checks genuinely FAIL on this corpus
     // (orders run past 1999; discounts reach 0.1) — the report shows
     // real violation counts, not a wall of zeros.
+    // timeliness beside the expectation suite: per-type last delivery
+    // + lag against an EXPLICIT as-of instant (determinism: the
+    // scheduler's tick is a parameter, never wall-clock in the plan)
+    "dq_freshness" -> ((s, dir) =>
+      operators.DataQuality.freshness(events(s, dir), col("event_type"),
+        col("ts"), "2024-02-01 00:00:00", maxLagSeconds = 604800L)),
     "dq_expectations" -> ((s, dir) => {
       val ord = tbl(s, dir, "orders")
       val li = tbl(s, dir, "lineitem")
@@ -2609,6 +2620,21 @@ object SparkEntry {
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round(${cosSql("a.v", "b.v")}, 6) AS score
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |ORDER BY score DESC, vec_a, vec_b LIMIT 20""".stripMargin,
+    // same explode → two-level aggregation over codepoints; −p·log₂p
+    // at 9 dp into decimals, order-free fold, round 6
+    "char_entropy" ->
+      s"""WITH ch AS (SELECT doc_id,
+         |        unnest([substr(text, i, 1) for i in range(1, length(text)+1)]) AS c
+         |      FROM documents WHERE length(text) >= 1),
+         |cc AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY doc_id, c),
+         |t AS (SELECT doc_id, sum(cnt) AS n, count(*) AS nd FROM cc GROUP BY doc_id)
+         |SELECT cc.doc_id, CAST(t.n AS BIGINT) AS n_chars_total,
+         |  CAST(t.nd AS BIGINT) AS n_distinct_chars,
+         |  round(CAST(sum(CAST(round(-(cnt::DOUBLE / t.n) * log2(cnt::DOUBLE / t.n), 9)
+         |    AS DECIMAL(28,9))) AS DOUBLE), 6) AS char_entropy
+         |FROM cc JOIN t ON cc.doc_id = t.doc_id
+         |GROUP BY cc.doc_id, t.n, t.nd
+         |ORDER BY cc.doc_id""".stripMargin,
     "text_stats" ->
       s"""WITH w AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents)
          |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_txt,
@@ -3871,6 +3897,16 @@ object SparkEntry {
     // identical closed-form variance from the same exact integer
     // moments (decimal sums), identical expression order in the z;
     // the guard tests the RADICAND (mirrors Monitor.hourlyAnomaly —
+    // exact micros difference + explicit floor division, like the engine
+    "dq_freshness" ->
+      s"""SELECT event_type AS grp, count(ts) AS n_rows,
+         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen,
+         |  CAST(floor((epoch_us(TIMESTAMP '2024-02-01 00:00:00')
+         |      - epoch_us(max(ts)))::DOUBLE / 1000000) AS BIGINT) AS lag_seconds,
+         |  coalesce(CAST(floor((epoch_us(TIMESTAMP '2024-02-01 00:00:00')
+         |      - epoch_us(max(ts)))::DOUBLE / 1000000) AS BIGINT) > 604800,
+         |    TRUE) AS stale
+         |FROM events GROUP BY event_type ORDER BY grp""".stripMargin,
     // sqrt(negative) would error here but pass a NaN>0 guard in Spark)
     // each check restated as a scalar aggregate; UNION ALL of the
     // eight report rows

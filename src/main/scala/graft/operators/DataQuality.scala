@@ -71,4 +71,33 @@ object DataQuality {
       .select(lit(checkName).as("check_name"), col("n_checked"),
         col("n_violations"), (col("n_violations") === 0L).as("pass"))
   }
+
+  /** Data freshness / timeliness per group — "when did each source
+    * last deliver, and is it stale": newest event time per group, its
+    * lag against a caller-supplied `asOf` instant, and the staleness
+    * flag. `asOf` is an explicit parameter (never wall-clock inside
+    * the operator) so the check is deterministic, replayable, and
+    * oracle-comparable — the pipeline passes its scheduling tick.
+    *
+    * One map-side-combined aggregate pass; group count bounds the
+    * output. Groups whose timestamps are all NULL report NULL lag and
+    * stale = true (never delivered ⇒ stale by definition).
+    */
+  def freshness(df: DataFrame, group: Column, ts: Column,
+      asOf: String, maxLagSeconds: Long): DataFrame = {
+    require(maxLagSeconds >= 0, s"maxLagSeconds must be >= 0, got $maxLagSeconds")
+    val asOfTs = to_timestamp(lit(asOf))
+    // exact micros difference + explicit floor division: second-level
+    // truncation rules differ between engines on fractional seconds,
+    // integer micros arithmetic does not
+    val lagSecs = floor((unix_micros(asOfTs) - unix_micros(col("max_ts")))
+      .cast("double") / 1000000.0).cast("long")
+    df.groupBy(group.as("grp"))
+      .agg(count(ts).as("n_rows"), max(ts).as("max_ts"))
+      .select(col("grp"), col("n_rows"),
+        date_format(col("max_ts"), "yyyy-MM-dd HH:mm:ss").as("last_seen"),
+        lagSecs.as("lag_seconds"),
+        coalesce(lagSecs > maxLagSeconds, lit(true)).as("stale"))
+      .orderBy(col("grp"))
+  }
 }

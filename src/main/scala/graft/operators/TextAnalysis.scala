@@ -52,6 +52,39 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document CHARACTER Shannon entropy (bits/char) — the
+    * gibberish/encoding-damage signal that catches what word-level
+    * stats cannot: base64 blobs and binary spill score near-maximal
+    * entropy, single-character runs score 0, natural language sits in
+    * a narrow band (≈4±1 bits for English) — a cheap cut published
+    * curation recipes apply before anything tokenizes.
+    *
+    * Shape at 100 TB: explode to (doc_id, char) → two-level map-side-
+    * combined aggregation; both shuffles key on doc-bearing tuples so
+    * skew is bounded by document length. The entropy terms −p·log₂p
+    * quantize at 9 dp into decimals — order-free, oracle-replayable.
+    * Empty documents produce no rows (no distribution, no entropy).
+    */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val counts = Partitioning.spread(docs)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+      // Spark's split("", "") yields [""] — drop the phantom empty
+      // token so an empty document vanishes like any zero-length list
+      .filter(col("c") =!= "")
+      .groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_chars_total"),
+        count(lit(1)).as("n_distinct_chars"))
+    counts.join(totals, "doc_id")
+      .withColumn("t9", round(
+        -(col("cnt").cast("double") / col("n_chars_total"))
+          * log2(col("cnt").cast("double") / col("n_chars_total")), 9)
+        .cast(DecimalType(28, 9)))
+      .groupBy(col("doc_id"), col("n_chars_total"), col("n_distinct_chars"))
+      .agg(round(sum(col("t9")).cast("double"), 6).as("char_entropy"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document quality stats: token counts, type-token ratio, average
     * word length, share of "long" words. Integer-derived ratios rounded
     * once → hash-stable.

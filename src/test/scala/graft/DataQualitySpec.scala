@@ -67,4 +67,24 @@ class DataQualitySpec extends AnyFunSuite {
     // null = pk never matches → the null row is an orphan
     assert(ri.getLong(2) == 1L)
   }
+
+  test("freshness: lag vs the explicit as-of, stale flag, never-delivered group") {
+    import org.apache.spark.sql.functions._
+    // asOf = 100s epoch; a fresh at 95s (lag 5), b stale at 10s (lag 90),
+    // c never delivered (all-null ts) -> null lag, stale by definition
+    val df = Seq(
+      (Some(95L), "a"), (Some(40L), "a"),
+      (Some(10L), "b"),
+      (None: Option[Long], "c"))
+      .toDF("t", "src")
+      .select(timestamp_seconds(col("t")).as("ts"), col("src"))
+    val out = DataQuality.freshness(df, col("src"), col("ts"),
+        "1970-01-01 00:01:40", maxLagSeconds = 30L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), if (r.isNullAt(3)) -1L else r.getLong(3),
+          r.getBoolean(4)))).toMap
+    assert(out("a") == ((2L, 5L, false)))
+    assert(out("b") == ((1L, 90L, true)))
+    assert(out("c") == ((0L, -1L, true)), "never delivered is stale, lag NULL")
+  }
 }

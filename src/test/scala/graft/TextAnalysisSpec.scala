@@ -458,4 +458,29 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"expected ${expB}, got ${rows("b")._1}")
     assert(rows("b")._2 == 1L && rows("a")._2 == 2L)
   }
+
+  test("charEntropy: hand-computed bits, single-char 0, empty doc vanishes") {
+    import org.apache.spark.sql.functions._
+    // "aabb": p(a)=p(b)=1/2 -> H = 1 bit; "aaaa": H = 0;
+    // "abcd": 4 equiprobable -> H = 2 bits; "" -> no row
+    val docs = Seq((1L, "aabb"), (2L, "aaaa"), (3L, "abcd"), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.charEntropy(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), "empty document produces no row")
+    assert(out(1L) == ((4L, 2L, 1.0)))
+    assert(out(2L) == ((4L, 1L, 0.0)))
+    assert(out(3L) == ((4L, 4L, 2.0)))
+  }
+
+  test("charEntropy: base64-ish noise scores above natural text") {
+    import org.apache.spark.sql.functions._
+    val natural = "the quick brown fox jumps over the lazy dog and runs on"
+    val noise = "aGVsbG8gd29ybGQhIHRoaXMrbG9va3MvbGlrZT1iYXNlNjQwMTIzNDU2Nzg5"
+    val docs = Seq((1L, natural), (2L, noise)).toDF("doc_id", "text")
+    val h = graft.operators.TextAnalysis.charEntropy(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(h(2L) > h(1L), s"noise must out-entropy natural text: $h")
+  }
 }
