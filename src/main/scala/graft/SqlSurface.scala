@@ -832,6 +832,36 @@ object SqlSurface {
          |  sum(CASE WHEN stages_completed >= 3 THEN 1L ELSE 0L END) AS n_purchase
          |FROM f""".stripMargin,
 
+    // Character Shannon entropy in SQL — explode to (doc, char), the
+    // same two-level aggregation and 9-dp decimal term fold.
+    "char_entropy" ->
+      s"""WITH cc AS (SELECT doc_id, c, count(1) AS cnt
+         |       FROM (SELECT doc_id, explode(split(text, '')) AS c
+         |             FROM documents)
+         |       WHERE c != '' GROUP BY doc_id, c),
+         |t AS (SELECT doc_id, sum(cnt) AS n, count(1) AS nd
+         |      FROM cc GROUP BY doc_id)
+         |SELECT cc.doc_id, t.n AS n_chars_total, t.nd AS n_distinct_chars,
+         |  round(CAST(sum(CAST(round(
+         |      -(CAST(cnt AS DOUBLE) / t.n) * log2(CAST(cnt AS DOUBLE) / t.n), 9)
+         |    AS DECIMAL(28,9))) AS DOUBLE), 6) AS char_entropy
+         |FROM cc JOIN t ON cc.doc_id = t.doc_id
+         |GROUP BY cc.doc_id, t.n, t.nd
+         |ORDER BY cc.doc_id""".stripMargin,
+
+    // Freshness in SQL — one aggregate pass, exact micros lag against
+    // the explicit as-of instant.
+    "dq_freshness" ->
+      s"""SELECT event_type AS grp, count(ts) AS n_rows,
+         |  date_format(max(ts), 'yyyy-MM-dd HH:mm:ss') AS last_seen,
+         |  CAST(floor(CAST(unix_micros(TIMESTAMP '2024-02-01 00:00:00')
+         |      - unix_micros(max(ts)) AS DOUBLE) / 1000000.0) AS BIGINT)
+         |    AS lag_seconds,
+         |  coalesce(CAST(floor(CAST(unix_micros(TIMESTAMP '2024-02-01 00:00:00')
+         |      - unix_micros(max(ts)) AS DOUBLE) / 1000000.0) AS BIGINT)
+         |      > 604800, TRUE) AS stale
+         |FROM events GROUP BY event_type ORDER BY grp""".stripMargin,
+
     // Per-document surface statistics as one HOF projection — the
     // TextAnalysis.textStats expressions verbatim.
     "text_stats" ->
@@ -1349,6 +1379,8 @@ object SqlSurface {
       "sample_split" -> SparkEntry.queries("sample_split"),
       "value_histogram" -> SparkEntry.queries("value_histogram"),
       "vocab_coverage" -> SparkEntry.queries("vocab_coverage"),
-      "scd2_lookup" -> SparkEntry.queries("scd2_lookup"))
+      "scd2_lookup" -> SparkEntry.queries("scd2_lookup"),
+      "char_entropy" -> SparkEntry.queries("char_entropy"),
+      "dq_freshness" -> SparkEntry.queries("dq_freshness"))
   }
 }
