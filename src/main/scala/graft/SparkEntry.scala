@@ -1061,6 +1061,12 @@ object SparkEntry {
           col("is_current"), col("lane"))
         .orderBy(col("user_id"), col("lane"), col("effective_from"))
     }),
+    // timeliness beside the expectation suite: per-type last delivery
+    // + lag against an EXPLICIT as-of instant (determinism: the
+    // scheduler's tick is a parameter, never wall-clock in the plan)
+    "dq_freshness" -> ((s, dir) =>
+      operators.DataQuality.freshness(events(s, dir), col("event_type"),
+        col("ts"), "2024-02-01 00:00:00", maxLagSeconds = 604800L)),
     // the ingest admission gate: predicate expectations fold into ONE
     // aggregate pass per table (a check is a column, not a scan),
     // uniqueness is one groupBy, referential integrity one anti join —
@@ -1068,12 +1074,6 @@ object SparkEntry {
     // date-range and discount checks genuinely FAIL on this corpus
     // (orders run past 1999; discounts reach 0.1) — the report shows
     // real violation counts, not a wall of zeros.
-    // timeliness beside the expectation suite: per-type last delivery
-    // + lag against an EXPLICIT as-of instant (determinism: the
-    // scheduler's tick is a parameter, never wall-clock in the plan)
-    "dq_freshness" -> ((s, dir) =>
-      operators.DataQuality.freshness(events(s, dir), col("event_type"),
-        col("ts"), "2024-02-01 00:00:00", maxLagSeconds = 604800L)),
     "dq_expectations" -> ((s, dir) => {
       val ord = tbl(s, dir, "orders")
       val li = tbl(s, dir, "lineitem")
@@ -3894,9 +3894,6 @@ object SparkEntry {
          |  count(DISTINCT u.user_id) AS n_active
          |FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
          |GROUP BY d.day ORDER BY 1""".stripMargin,
-    // identical closed-form variance from the same exact integer
-    // moments (decimal sums), identical expression order in the z;
-    // the guard tests the RADICAND (mirrors Monitor.hourlyAnomaly —
     // exact micros difference + explicit floor division, like the engine
     "dq_freshness" ->
       s"""SELECT event_type AS grp, count(ts) AS n_rows,
@@ -3907,6 +3904,9 @@ object SparkEntry {
          |      - epoch_us(max(ts)))::DOUBLE / 1000000) AS BIGINT) > 604800,
          |    TRUE) AS stale
          |FROM events GROUP BY event_type ORDER BY grp""".stripMargin,
+    // identical closed-form variance from the same exact integer
+    // moments (decimal sums), identical expression order in the z;
+    // the guard tests the RADICAND (mirrors Monitor.hourlyAnomaly —
     // sqrt(negative) would error here but pass a NaN>0 guard in Spark)
     // each check restated as a scalar aggregate; UNION ALL of the
     // eight report rows

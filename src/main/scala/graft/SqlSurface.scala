@@ -939,7 +939,11 @@ object SqlSurface {
          |        CAST(NULL AS BIGINT) AS event_id,
          |        CAST(NULL AS TIMESTAMP) AS fact_ts,
          |        named_struct('state', state, 'ef', ef, 'et', et) AS payload
-         |      FROM r WHERE user_id IS NOT NULL
+         |      -- empty [t, t) intervals (same-instant log ties) drop:
+         |      -- no ts satisfies ef <= ts < et when ef = et, and at an
+         |      -- equal-from tie the payload-ordered carry must see only
+         |      -- the non-empty sibling
+         |      FROM r WHERE user_id IS NOT NULL AND (et IS NULL OR ef < et)
          |      UNION ALL
          |      SELECT user_id, ts, 0, event_id, ts,
          |        CAST(NULL AS STRUCT<state: STRING, ef: TIMESTAMP,

@@ -151,8 +151,19 @@ object Cdc {
     * `dim_state` + `dim_effective_from_ts`.
     */
   def scd2Lookup(facts: DataFrame, dim: DataFrame): DataFrame = {
+    // EMPTY intervals ([t, t) — same-instant change-log ties produce
+    // them) are dropped before the carry: no ts can satisfy
+    // from <= ts < to when from = to, so the drop is semantically
+    // exact — and necessary, because the as-of carry breaks the
+    // equal-from tie by payload order, and letting the empty interval
+    // win would NULL every lookup from t onward while its non-empty
+    // same-from sibling held the answer. Valid SCD2 versions never
+    // overlap, so after the drop at most one version per (key, from)
+    // remains.
+    val nonEmpty = dim.filter(col("effective_to_ts").isNull ||
+      col("effective_from_ts") < col("effective_to_ts"))
     val looked = Joins.asofJoin(facts,
-      dim.select(col("key"), col("state"), col("effective_from_ts"),
+      nonEmpty.select(col("key"), col("state"), col("effective_from_ts"),
         col("effective_to_ts")),
       "key", "ts", "effective_from_ts",
       Seq("state", "effective_from_ts", "effective_to_ts"))

@@ -86,6 +86,18 @@ object DataQuality {
   def freshness(df: DataFrame, group: Column, ts: Column,
       asOf: String, maxLagSeconds: Long): DataFrame = {
     require(maxLagSeconds >= 0, s"maxLagSeconds must be >= 0, got $maxLagSeconds")
+    // STRICT driver-side parse before the plan ever sees the string:
+    // in non-ANSI mode to_timestamp turns a typo'd asOf into NULL, and
+    // every group would come back lag=NULL / stale=true — a plausible-
+    // looking all-stale report from a misconfigured tick instead of an
+    // error (the fail-loud discipline of the rest of the suite)
+    try java.time.LocalDateTime.parse(asOf,
+      java.time.format.DateTimeFormatter.ofPattern("uuuu-MM-dd HH:mm:ss")
+        .withResolverStyle(java.time.format.ResolverStyle.STRICT))
+    catch { case e: java.time.format.DateTimeParseException =>
+      throw new IllegalArgumentException(
+        s"freshness: asOf '$asOf' is not a valid 'yyyy-MM-dd HH:mm:ss' instant", e)
+    }
     val asOfTs = to_timestamp(lit(asOf))
     // exact micros difference + explicit floor division: second-level
     // truncation rules differ between engines on fractional seconds,

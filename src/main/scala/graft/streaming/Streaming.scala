@@ -160,17 +160,23 @@ object Streaming {
     * `from <= ts`).
     */
   def scd2LookupStream(facts: DataFrame, dim: DataFrame): DataFrame = {
+    // dim columns get private aliases BEFORE the join: the batch
+    // operator accepts fact payloads with any names (asofJoin prefixes
+    // the dim side), and a facts stream carrying its own `state` or
+    // `effective_from_ts` column must not make the references here
+    // ambiguous — the streaming contract stays as wide as the batch one
     val d = broadcast(dim.filter(col("key").isNotNull)
-      .select(col("key").as("d_key"), col("state"),
-        col("effective_from_ts"), col("effective_to_ts")))
+      .select(col("key").as("__scd2_key"), col("state").as("__scd2_state"),
+        col("effective_from_ts").as("__scd2_ef"),
+        col("effective_to_ts").as("__scd2_et")))
     facts.join(d,
-        facts("key") === col("d_key") &&
-          col("effective_from_ts") <= facts("ts") &&
-          (col("effective_to_ts").isNull || facts("ts") < col("effective_to_ts")),
+        facts("key") === col("__scd2_key") &&
+          col("__scd2_ef") <= facts("ts") &&
+          (col("__scd2_et").isNull || facts("ts") < col("__scd2_et")),
         "left")
       .select(facts.columns.map(facts(_)).toIndexedSeq ++ Seq(
-        col("state").as("dim_state"),
-        col("effective_from_ts").as("dim_effective_from_ts")): _*)
+        col("__scd2_state").as("dim_state"),
+        col("__scd2_ef").as("dim_effective_from_ts")): _*)
   }
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,

@@ -111,6 +111,28 @@ class CdcSpec extends AnyFunSuite {
     assert(out(105L) == ((null, -1L)))
   }
 
+  test("scd2Lookup: an empty [t,t) interval never shadows its same-from sibling") {
+    // a same-instant change-log tie produces version z@[5,5) (empty)
+    // and a@[5,∞) — equal effective_from_ts. The as-of carry breaks
+    // equal-time ties by payload order, so without the empty-interval
+    // drop the z version could win the carry and NULL every lookup
+    // from t=5 onward while 'a' held the answer
+    val events = log((1L, 5L, "z", 1L), (1L, 5L, "a", 2L))
+    val dim = Cdc.scd2FromLog(events, col("k"), col("t"), col("st"), col("id"))
+    // sanity: the tie really does produce the empty interval
+    assert(dim.filter(col("effective_from_ts") === col("effective_to_ts"))
+      .count() == 1L)
+    val facts = Seq((100L, 1L, 5L), (101L, 1L, 9L), (102L, 1L, 3L))
+      .toDF("event_id", "key", "t")
+      .select(col("event_id"), col("key"), col("t").cast("timestamp").as("ts"))
+    val out = Cdc.scd2Lookup(facts, dim)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) null else r.getString(3))).toMap
+    assert(out(100L) == "a", s"the boundary fact takes the live sibling: $out")
+    assert(out(101L) == "a")
+    assert(out(102L) == null, "before any version → unmatched")
+  }
+
   test("scd2Lookup composes with scd2FromLog: every log event sees its own state") {
     // looking each log event up in the history built FROM that log must
     // return the event's own state (it starts or continues a version)

@@ -87,4 +87,23 @@ class DataQualitySpec extends AnyFunSuite {
     assert(out("b") == ((1L, 90L, true)))
     assert(out("c") == ((0L, -1L, true)), "never delivered is stale, lag NULL")
   }
+
+  test("freshness: an unparseable asOf fails loudly, never all-stale") {
+    import org.apache.spark.sql.functions._
+    // in non-ANSI mode to_timestamp would NULL a typo'd tick and every
+    // group would come back stale=true — a plausible-looking report
+    // from a misconfigured scheduler; the strict driver-side parse
+    // raises instead
+    val df = Seq((1L, "a")).toDF("t", "src")
+      .select(timestamp_seconds(col("t")).as("ts"), col("src"))
+    val ex = intercept[IllegalArgumentException] {
+      DataQuality.freshness(df, col("src"), col("ts"),
+        "2024-02-31 00:00:00", maxLagSeconds = 30L)
+    }
+    assert(ex.getMessage.contains("not a valid"))
+    intercept[IllegalArgumentException] {
+      DataQuality.freshness(df, col("src"), col("ts"),
+        "yesterday", maxLagSeconds = 30L)
+    }
+  }
 }

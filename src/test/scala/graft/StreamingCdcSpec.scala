@@ -118,4 +118,25 @@ class StreamingCdcSpec extends AnyFunSuite {
     assert(streamed == Set((100L, "a", 0L), (101L, "b", 10L),
       (102L, null, -1L), (103L, null, 30L), (104L, null, -1L)))
   }
+
+  test("scd2LookupStream: a fact payload column named state does not collide") {
+    // the batch operator accepts arbitrary fact payloads (asofJoin
+    // prefixes the dim side) — the streaming form must too, so its dim
+    // columns carry private aliases; a facts side with its own `state`
+    // would otherwise be an ambiguous reference at plan time
+    val dim = Seq((1L, "dimstate", 0L, None: Option[Long]))
+      .toDF("key", "state", "f", "t")
+      .select(col("key"), col("state"),
+        timestamp_micros(col("f")).as("effective_from_ts"),
+        timestamp_micros(col("t")).as("effective_to_ts"))
+    val facts = Seq((1L, 5L, "factpayload")).toDF("key", "t", "state")
+      .select(col("key"), timestamp_micros(col("t")).as("ts"), col("state"))
+    // works on batch frames too (plain join) — enough to prove resolution
+    val out = streaming.Streaming.scd2LookupStream(facts, dim)
+    assert(out.columns.count(_ == "state") == 1 &&
+      out.columns.contains("dim_state"))
+    val row = out.head()
+    assert(row.getAs[String]("state") == "factpayload" &&
+      row.getAs[String]("dim_state") == "dimstate")
+  }
 }
