@@ -76,6 +76,16 @@ object GrowthProbe {
     probe("boilerplate_removal")(d => TextAnalysis.removeBoilerplate(d).count())
     probe("dsir_weights")(d => Sampling.dsirWeights(d).count())
     probe("normalized_dedup")(d => TextAnalysis.normalizedDedup(d).count())
+    // bloom-prefiltered incremental dedup: the probe pays the bloom
+    // BUILD per call too (honest one-shot cost; a real ingest builds
+    // once and amortizes across batches) — both build and probe must
+    // stay linear in their own axis
+    probe("dedup_incremental_bloom")(d => {
+      val hist = d.filter(col("doc_id") % 3 =!= 0)
+      val blooms = Dedup.historyBlooms(hist, expectedItems = 200000L)
+      Dedup.incrementalFlagsBloomed(d.filter(col("doc_id") % 3 === 0),
+        hist, 0.5, blooms).count()
+    })
     probe("bigram_lm")(d => TextAnalysis.bigramLm(d).count())
     // classifier evaluation: ONE sample-capped fit shared across both
     // sizes (the pqModel discipline — fit cost is constant in n by

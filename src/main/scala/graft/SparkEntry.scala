@@ -190,6 +190,18 @@ object SparkEntry {
       Dedup.incrementalFlags(docs.filter(col("doc_id") % 3 === 0),
         docs.filter(col("doc_id") % 3 =!= 0), 0.5)
     }),
+    // the 100 TB ingest shape: broadcast Bloom prefilters (built once
+    // over the history digests + band keys) prune the batch BEFORE
+    // both history-sized joins; flags bit-identical to the unfiltered
+    // path (no false negatives; false positives die in the exact
+    // joins) — the oracle is dedup_incremental's replay verbatim
+    "dedup_incremental_bloom" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val hist = docs.filter(col("doc_id") % 3 =!= 0)
+      val blooms = Dedup.historyBlooms(hist, expectedItems = 100000L)
+      Dedup.incrementalFlagsBloomed(docs.filter(col("doc_id") % 3 === 0),
+        hist, 0.5, blooms)
+    }),
     // the dedup-index maintenance variant (completing the compaction
     // trio): the SAME history split lands as base (%3=1) plus two
     // committed append batches (%3=2 by parity), gets FOLDED by
@@ -2222,6 +2234,9 @@ object SparkEntry {
     "dedup_incremental" -> dedupIncrementalOracleSql,
     // compaction is invisible to dedup semantics: same two-set replay
     "dedup_incremental_compacted" -> dedupIncrementalOracleSql,
+    // the Bloom prefilter is invisible to semantics too (no false
+    // negatives; false positives die in the exact joins): same replay
+    "dedup_incremental_bloom" -> dedupIncrementalOracleSql,
 
     // duplicate groups = connected components of the verified pair graph;
     // the oracle computes the transitive closure with a recursive CTE and

@@ -143,6 +143,33 @@ class DedupSpec extends AnyFunSuite {
     assert(got.size == 4, "every incoming doc appears exactly once")
   }
 
+  test("incrementalFlagsBloomed: bit-identical flags to the unfiltered path") {
+    // the Bloom prefilter must be semantically invisible — no false
+    // negatives exist (no dup slips past), and false positives die in
+    // the exact joins downstream
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val history = Seq(
+      (1L, base, "s"),
+      (2L, "completely different content about database engines and joins", "s"))
+      .toDF("doc_id", "text", "source")
+    val incoming = Seq(
+      (10L, base, "s"),
+      (11L, base.replace("dog", "cat"), "s"),
+      (12L, "fresh unseen words nothing shared with either prior document", "s"),
+      (13L, base, "s"))
+      .toDF("doc_id", "text", "source")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toSeq
+    val blooms = Dedup.historyBlooms(history, expectedItems = 1000L)
+    assert(rows(Dedup.incrementalFlagsBloomed(incoming, history, 0.5, blooms))
+      == rows(Dedup.incrementalFlags(incoming, history, 0.5)))
+    // a tiny aggressive filter (fpp near max) still never loses a dup:
+    // false positives only add work, never change flags
+    val tight = Dedup.historyBlooms(history, expectedItems = 2L, fpp = 0.5)
+    assert(rows(Dedup.incrementalFlagsBloomed(incoming, history, 0.5, tight))
+      == rows(Dedup.incrementalFlags(incoming, history, 0.5)))
+  }
+
   test("persisted dedup index: parity, committed appends visible, uncommitted invisible") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val history = Seq((1L, base, "s"),
