@@ -832,6 +832,29 @@ object SqlSurface {
          |  sum(CASE WHEN stages_completed >= 3 THEN 1L ELSE 0L END) AS n_purchase
          |FROM f""".stripMargin,
 
+    // k-NN join in SQL — the registered bounded top-k UDAF
+    // (topk3_pairs, the Search.TopKAgg aggregator): per-query top-k
+    // with MAP-SIDE partial aggregation, so the per-query shuffle
+    // carries k rows per partition — the r8 "register the UDAF like
+    // the vec_* set" commitment made real; a window/row_number
+    // formulation would sort every query's full candidate list.
+    "knn_join_top3" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_embedding
+         |           FROM embeddings WHERE vec_id < 10),
+         |scored AS (SELECT /*+ BROADCAST(q) */ q.query_id,
+         |             e.vec_id AS neighbor_id,
+         |             round(vec_cosine_sim(e.embedding, q.q_embedding), 6)
+         |               AS score
+         |           FROM embeddings e CROSS JOIN q
+         |           WHERE e.vec_id != q.query_id),
+         |agg AS (SELECT query_id, topk3_pairs(neighbor_id, score) AS nn
+         |        FROM scored WHERE score IS NOT NULL AND NOT isnan(score)
+         |        GROUP BY query_id)
+         |SELECT query_id, p._1 AS neighbor_id, p._2 AS score,
+         |  CAST(pos + 1 AS INT) AS rank
+         |FROM agg LATERAL VIEW posexplode(nn) t AS pos, p
+         |ORDER BY query_id ASC, rank ASC""".stripMargin,
+
     // Character Shannon entropy in SQL — explode to (doc, char), the
     // same two-level aggregation and 9-dp decimal term fold.
     "char_entropy" ->
@@ -1385,6 +1408,7 @@ object SqlSurface {
       "vocab_coverage" -> SparkEntry.queries("vocab_coverage"),
       "scd2_lookup" -> SparkEntry.queries("scd2_lookup"),
       "char_entropy" -> SparkEntry.queries("char_entropy"),
-      "dq_freshness" -> SparkEntry.queries("dq_freshness"))
+      "dq_freshness" -> SparkEntry.queries("dq_freshness"),
+      "knn_join_top3" -> SparkEntry.queries("knn_join_top3"))
   }
 }

@@ -41,6 +41,17 @@ object Views {
     val key = Integer.valueOf(System.identityHashCode(s))
     if (registeredDir.get(key) != dir) {
       org.apache.spark.sql.graftx.GraftFunctions.register(s)
+      // the bounded top-k UDAF as a SQL function: per-group top-k with
+      // map-side partial aggregation (k rows per partition cross the
+      // shuffle — never a per-group sort of the full candidate list).
+      // UDAF registration fixes k at registration time, so the common
+      // contract arities get named variants.
+      import org.apache.spark.sql.functions.udaf
+      import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+      for (k <- Seq(3, 10))
+        s.udf.register(s"topk${k}_pairs",
+          udaf(new graft.operators.Search.TopKAgg(k),
+            ExpressionEncoder[(Long, Double)]()))
       sources.Tables.embeddings(s, dir).createOrReplaceTempView("embeddings")
       sources.Tables.documents(s, dir).createOrReplaceTempView("documents")
       sources.Tables.events(s, dir).createOrReplaceTempView("events")
