@@ -855,6 +855,129 @@ object SqlSurface {
          |FROM agg LATERAL VIEW posexplode(nn) t AS pos, p
          |ORDER BY query_id ASC, rank ASC""".stripMargin,
 
+    // PII redaction in SQL — the same ordered regexp chain as
+    // TextAnalysis.piiScrub, with the pattern strings interpolated
+    // from the ONE shared definition (backslashes doubled for the SQL
+    // literal); purely per-row codegen regex work, no shuffle.
+    "pii_scrub" -> {
+      def esc(re: String) = re.replace("\\", "\\\\")
+      val Seq(em, ph, ip) = graft.operators.TextAnalysis.piiPatterns.map(_._2)
+      val cleaned = graft.operators.TextAnalysis.piiPatterns
+        .foldLeft("text") { case (c, (_, re, tok)) =>
+          s"regexp_replace($c, '${esc(re)}', '$tok')" }
+      // the contract query's deterministic PII injection (the synthetic
+      // corpus contains none) — same dirty text as the DataFrame form
+      s"""WITH d AS (SELECT doc_id, concat(
+         |    CASE WHEN doc_id % 3 = 0
+         |         THEN concat('contact user', doc_id, '@example.com ')
+         |         ELSE '' END,
+         |    CASE WHEN doc_id % 4 = 0 THEN 'call 415-555-0123 ' ELSE '' END,
+         |    CASE WHEN doc_id % 5 = 0
+         |         THEN concat('host 10.0.', doc_id % 256, '.7 ')
+         |         ELSE '' END,
+         |    text) AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(regexp_count(text, '${esc(em)}') AS BIGINT) AS n_email,
+         |  CAST(regexp_count(text, '${esc(ph)}') AS BIGINT) AS n_phone,
+         |  CAST(regexp_count(text, '${esc(ip)}') AS BIGINT) AS n_ip,
+         |  CAST(length($cleaned) AS BIGINT) AS clean_len,
+         |  sha2($cleaned, 256) AS clean_sha
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
+
+    // Benchmark decontamination in SQL — distinct 8-gram shingles, the
+    // benchmark side reduced to its distinct shingle set, one inverted
+    // equi-join + per-doc count (no doc-to-doc comparison anywhere).
+    "decontaminate" ->
+      s"""WITH w AS (SELECT doc_id, split(trim(text), '\\\\s+') AS ws
+         |           FROM documents),
+         |sh AS (SELECT doc_id, explode(array_distinct(transform(
+         |         sequence(0, size(ws) - 8),
+         |         i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3],
+         |                        ws[i+4], ws[i+5], ws[i+6], ws[i+7])))) AS shingle
+         |       FROM w WHERE size(ws) >= 8),
+         |b AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+         |s AS (SELECT d.doc_id, count(1) AS n_shared
+         |      FROM sh d JOIN b USING (shingle) GROUP BY d.doc_id)
+         |SELECT doc_id, coalesce(n_shared, 0L) AS n_shared,
+         |  coalesce(n_shared, 0L) >= 3 AS contaminated
+         |FROM documents LEFT JOIN s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // Gopher-style repetition signal in SQL — trigram INSTANCES (with
+    // multiplicity, unlike the dedup shingles), two-level aggregation,
+    // under-3-word docs carry a 0 signal rather than a missing row.
+    "doc_repetition" ->
+      s"""WITH d AS (SELECT doc_id, split(trim(text), '\\\\s+') AS ws
+         |           FROM documents),
+         |gi AS (SELECT doc_id, explode(transform(sequence(0, size(ws) - 3),
+         |         i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS g
+         |       FROM d WHERE size(ws) >= 3),
+         |c AS (SELECT doc_id, g, count(1) AS c FROM gi GROUP BY doc_id, g),
+         |a AS (SELECT doc_id, sum(c) AS n_grams, count(1) AS n_distinct,
+         |        sum(CASE WHEN c > 1L THEN c ELSE 0L END) AS dup_i
+         |      FROM c GROUP BY doc_id)
+         |SELECT doc_id, coalesce(n_grams, 0L) AS n_grams,
+         |  coalesce(n_distinct, 0L) AS n_distinct,
+         |  CASE WHEN coalesce(n_grams, 0L) = 0L THEN 0.0
+         |       ELSE round(CAST(dup_i AS DOUBLE) / n_grams, 6)
+         |  END AS dup_gram_frac
+         |FROM documents LEFT JOIN a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // Recency-decayed popularity in SQL — 2^(−age/halflife) at the
+    // stream horizon, 9-dp decimal weight fold (order-free), the
+    // 1-row horizon on a broadcast cross join.
+    "events_decayed" ->
+      s"""WITH h AS (SELECT max(unix_micros(ts)) AS t_max FROM events)
+         |SELECT /*+ BROADCAST(h) */ event_type,
+         |  count(1) AS n_events,
+         |  round(CAST(sum(CAST(round(pow(2.0,
+         |      -(CAST(t_max - unix_micros(ts) AS DOUBLE) / 86400000000.0)), 9)
+         |    AS DECIMAL(20,9))) AS DOUBLE), 6) AS decayed_count
+         |FROM events CROSS JOIN h
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Per-document TF-IDF top terms in SQL — tf/df from one token
+    // explode, the 1-row corpus count broadcast, per-doc rank window
+    // (partitioned by doc_id — parallel, bounded by document length).
+    "tfidf_top_terms" ->
+      s"""WITH tf AS (SELECT doc_id, word, count(1) AS tf
+         |            FROM (SELECT doc_id,
+         |                    explode(split(trim(text), '\\\\s+')) AS word
+         |                  FROM documents)
+         |            GROUP BY doc_id, word),
+         |dfr AS (SELECT word, count(1) AS df FROM tf GROUP BY word),
+         |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+         |scored AS (SELECT /*+ BROADCAST(n) */ tf.doc_id, tf.word,
+         |             round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
+         |           FROM tf JOIN dfr USING (word) CROSS JOIN n),
+         |r AS (SELECT doc_id, word, score, row_number() OVER (
+         |        PARTITION BY doc_id ORDER BY score DESC, word ASC) AS rank
+         |      FROM scored)
+         |SELECT doc_id, rank, word, score FROM r WHERE rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin,
+
+    // Conversion-latency percentiles in SQL — first signup, first
+    // at-or-after purchase, EXACT interpolated percentiles over the
+    // per-user latency (one aggregation, no global sort).
+    "time_to_convert" ->
+      s"""WITH fs AS (SELECT user_id, min(ts) AS signup_ts FROM events
+         |            WHERE event_type = 'signup' GROUP BY user_id),
+         |conv AS (SELECT e.user_id, min(e.ts) AS purchase_ts,
+         |           max(signup_ts) AS signup_ts
+         |         FROM events e JOIN fs USING (user_id)
+         |         WHERE e.event_type = 'purchase' AND e.ts >= fs.signup_ts
+         |         GROUP BY e.user_id),
+         |l AS (SELECT (unix_micros(purchase_ts) - unix_micros(signup_ts))
+         |        / 1000000.0 AS lat FROM conv)
+         |SELECT count(1) AS n_converted,
+         |  round(percentile(lat, 0.5D), 6) AS p50_s,
+         |  round(percentile(lat, 0.9D), 6) AS p90_s,
+         |  round(percentile(lat, 0.99D), 6) AS p99_s
+         |FROM l""".stripMargin,
+
     // Character Shannon entropy in SQL — explode to (doc, char), the
     // same two-level aggregation and 9-dp decimal term fold.
     "char_entropy" ->
@@ -1409,6 +1532,12 @@ object SqlSurface {
       "scd2_lookup" -> SparkEntry.queries("scd2_lookup"),
       "char_entropy" -> SparkEntry.queries("char_entropy"),
       "dq_freshness" -> SparkEntry.queries("dq_freshness"),
-      "knn_join_top3" -> SparkEntry.queries("knn_join_top3"))
+      "knn_join_top3" -> SparkEntry.queries("knn_join_top3"),
+      "pii_scrub" -> SparkEntry.queries("pii_scrub"),
+      "decontaminate" -> SparkEntry.queries("decontaminate"),
+      "doc_repetition" -> SparkEntry.queries("doc_repetition"),
+      "events_decayed" -> SparkEntry.queries("events_decayed"),
+      "tfidf_top_terms" -> SparkEntry.queries("tfidf_top_terms"),
+      "time_to_convert" -> SparkEntry.queries("time_to_convert"))
   }
 }
