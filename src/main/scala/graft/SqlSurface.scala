@@ -1129,7 +1129,347 @@ object SqlSurface {
          |      FROM v)
          |SELECT rank, w AS word, cnt,
          |  round(CAST(cum AS DOUBLE) / total, 6) AS cum_frac
-         |FROM r CROSS JOIN t ORDER BY rank""".stripMargin)
+         |FROM r CROSS JOIN t ORDER BY rank""".stripMargin,
+
+    // Two-proportion A/B readout: content-hash variant assignment (md5
+    // first hex char, '0'-'7' → A) and the pooled z — everything after
+    // the per-unit dedup runs on a 2-row frame. The Experiment.abTest
+    // arithmetic verbatim.
+    "ab_test" ->
+      s"""WITH per_user AS (
+         |  SELECT user_id,
+         |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1L
+         |                       ELSE 0L END) >= 15 THEN 1L ELSE 0L END
+         |      AS converted
+         |  FROM events GROUP BY user_id),
+         |v AS (SELECT converted,
+         |        CASE WHEN substring(md5(concat_ws(':',
+         |               CAST(user_id AS STRING), 'exp1')), 1, 1)
+         |             IN ('0','1','2','3','4','5','6','7')
+         |             THEN 'A' ELSE 'B' END AS variant
+         |      FROM per_user),
+         |by_variant AS (SELECT variant, count(1) AS n, sum(converted) AS conv
+         |               FROM v GROUP BY variant),
+         |wide AS (SELECT
+         |    coalesce(max(CASE WHEN variant = 'A' THEN n END), 0L) AS n_a,
+         |    coalesce(max(CASE WHEN variant = 'A' THEN conv END), 0L) AS conv_a,
+         |    coalesce(max(CASE WHEN variant = 'B' THEN n END), 0L) AS n_b,
+         |    coalesce(max(CASE WHEN variant = 'B' THEN conv END), 0L) AS conv_b
+         |  FROM by_variant),
+         |p AS (SELECT n_a, conv_a, n_b, conv_b,
+         |    CASE WHEN n_a > 0L THEN CAST(conv_a AS DOUBLE) / n_a END AS p_a,
+         |    CASE WHEN n_b > 0L THEN CAST(conv_b AS DOUBLE) / n_b END AS p_b,
+         |    CASE WHEN n_a + n_b > 0L
+         |         THEN CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)
+         |    END AS p_pool
+         |  FROM wide)
+         |SELECT n_a, conv_a, n_b, conv_b,
+         |  round(p_a, 6) AS rate_a, round(p_b, 6) AS rate_b,
+         |  CASE WHEN n_a > 0L AND n_b > 0L AND p_pool > 0.0D AND p_pool < 1.0D
+         |       THEN round((p_a - p_b) / sqrt(p_pool * (1.0D - p_pool)
+         |              * (1.0D / n_a + 1.0D / n_b)), 6)
+         |  END AS z
+         |FROM p""".stripMargin,
+
+    // Experiment sizing from the observed base rate: normal-
+    // approximation n per variant at α=0.05 / power 0.8 over a fixed
+    // MDE sweep; one corpus aggregate, then 1-row scalar arithmetic.
+    "ab_power" ->
+      s"""WITH base AS (
+         |  SELECT count(1) AS n_units,
+         |    CASE WHEN count(1) > 0L
+         |         THEN CAST(sum(conv) AS DOUBLE) / count(1) END AS p1
+         |  FROM (SELECT user_id,
+         |          CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1L
+         |                             ELSE 0L END) >= 15 THEN 1L ELSE 0L END
+         |            AS conv
+         |        FROM events GROUP BY user_id)),
+         |sweep AS (SELECT * FROM VALUES (0.02D), (0.05D), (0.10D) AS t(mde)),
+         |s2 AS (SELECT n_units, round(p1, 6) AS base_rate, mde, p1,
+         |         p1 + mde AS p2
+         |       FROM base CROSS JOIN sweep),
+         |s3 AS (SELECT n_units, base_rate, mde, p1, p2,
+         |         (p1 + p2) / 2.0D AS pbar FROM s2)
+         |SELECT n_units, base_rate, mde,
+         |  CASE WHEN p1 > 0.0D AND p2 < 1.0D THEN
+         |    ceil(pow(1.959964D * sqrt(pbar * (1.0D - pbar) * 2.0D)
+         |           + 0.841621D * sqrt(p1 * (1.0D - p1) + p2 * (1.0D - p2)),
+         |         2.0D) / (mde * mde))
+         |  END AS n_per_variant
+         |FROM s3 ORDER BY mde""".stripMargin,
+
+    // CUPED variance reduction: θ = cov(X,Y)/var(X) from exact decimal
+    // moments, per-unit adjustment re-quantized at 6 dp, variant and
+    // pooled readouts from the 2-row / 1-row frames — the
+    // Experiment.cupedAbTest chain expression-for-expression.
+    "ab_cuped" ->
+      s"""WITH per_user AS (
+         |  SELECT user_id,
+         |    coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+         |        THEN CAST(value AS DECIMAL(18,6)) END),
+         |      CAST(0 AS DECIMAL(18,6))) AS x,
+         |    coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+         |        THEN CAST(value AS DECIMAL(18,6)) END),
+         |      CAST(0 AS DECIMAL(18,6))) AS y
+         |  FROM events GROUP BY user_id),
+         |pu AS (SELECT x, y,
+         |        CASE WHEN substring(md5(concat_ws(':',
+         |               CAST(user_id AS STRING), 'exp1')), 1, 1)
+         |             IN ('0','1','2','3','4','5','6','7')
+         |             THEN 'A' ELSE 'B' END AS variant
+         |      FROM per_user),
+         |m AS (SELECT count(1) AS n, sum(x) AS sx, sum(y) AS sy,
+         |        sum(x * x) AS sxx, sum(x * y) AS sxy
+         |      FROM pu),
+         |mt AS (SELECT n,
+         |        round(CASE WHEN n > 1L
+         |            AND (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+         |                 * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) > 0.0D
+         |          THEN (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+         |                * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+         |             / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+         |                * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+         |          ELSE 0.0D END, 9) AS theta,
+         |        CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x
+         |      FROM m),
+         |adj AS (SELECT variant, y, theta,
+         |          CAST(round(CAST(y AS DOUBLE)
+         |              - theta * (CAST(x AS DOUBLE) - mean_x), 6)
+         |            AS DECIMAL(18,6)) AS yadj
+         |        FROM pu CROSS JOIN mt),
+         |by_variant AS (SELECT variant, count(1) AS vn, sum(y) AS vy,
+         |                 sum(yadj) AS vyadj
+         |               FROM adj GROUP BY variant),
+         |pooled AS (SELECT count(1) AS pn, sum(y) AS py, sum(y * y) AS pyy,
+         |             sum(yadj) AS pa, sum(yadj * yadj) AS paa,
+         |             max(theta) AS theta
+         |           FROM adj),
+         |wide AS (SELECT
+         |    coalesce(max(CASE WHEN variant = 'A' THEN vn END), 0L) AS n_a,
+         |    coalesce(max(CASE WHEN variant = 'B' THEN vn END), 0L) AS n_b,
+         |    max(CASE WHEN variant = 'A' THEN vy END) AS ya,
+         |    max(CASE WHEN variant = 'B' THEN vy END) AS yb,
+         |    max(CASE WHEN variant = 'A' THEN vyadj END) AS aa,
+         |    max(CASE WHEN variant = 'B' THEN vyadj END) AS ab
+         |  FROM by_variant)
+         |SELECT n_a, n_b, theta,
+         |  CASE WHEN n_a > 0L AND n_b > 0L
+         |       THEN round(CAST(ya AS DOUBLE) / n_a
+         |                - CAST(yb AS DOUBLE) / n_b, 6) END AS diff_raw,
+         |  CASE WHEN n_a > 0L AND n_b > 0L
+         |       THEN round(CAST(aa AS DOUBLE) / n_a
+         |                - CAST(ab AS DOUBLE) / n_b, 6) END AS diff_adj,
+         |  round(CASE WHEN pn > 1L
+         |      THEN (CAST(pyy AS DOUBLE) - CAST(py AS DOUBLE)
+         |            * CAST(py AS DOUBLE) / CAST(pn AS DOUBLE))
+         |         / (CAST(pn AS DOUBLE) - 1.0D) END, 6) AS var_y,
+         |  round(CASE WHEN pn > 1L
+         |      THEN (CAST(paa AS DOUBLE) - CAST(pa AS DOUBLE)
+         |            * CAST(pa AS DOUBLE) / CAST(pn AS DOUBLE))
+         |         / (CAST(pn AS DOUBLE) - 1.0D) END, 6) AS var_y_adj,
+         |  CASE WHEN (CASE WHEN pn > 1L
+         |      THEN (CAST(pyy AS DOUBLE) - CAST(py AS DOUBLE)
+         |            * CAST(py AS DOUBLE) / CAST(pn AS DOUBLE))
+         |         / (CAST(pn AS DOUBLE) - 1.0D) END) > 0.0D
+         |    THEN round(1.0D
+         |      - (CASE WHEN pn > 1L
+         |           THEN (CAST(paa AS DOUBLE) - CAST(pa AS DOUBLE)
+         |                 * CAST(pa AS DOUBLE) / CAST(pn AS DOUBLE))
+         |              / (CAST(pn AS DOUBLE) - 1.0D) END)
+         |      / (CASE WHEN pn > 1L
+         |           THEN (CAST(pyy AS DOUBLE) - CAST(py AS DOUBLE)
+         |                 * CAST(py AS DOUBLE) / CAST(pn AS DOUBLE))
+         |              / (CAST(pn AS DOUBLE) - 1.0D) END), 6)
+         |  END AS var_reduction
+         |FROM wide CROSS JOIN pooled""".stripMargin,
+
+    // Cohen's kappa between the two heuristic quality gates — all four
+    // contingency cells and both marginals from ONE aggregate pass.
+    "rater_agreement" ->
+      s"""WITH b AS (SELECT ra, rb FROM (
+         |    SELECT (n_chars >= 300L) AS ra,
+         |           (size(split(trim(text), '\\\\s+')) >= 55) AS rb
+         |    FROM documents)
+         |  WHERE ra IS NOT NULL AND rb IS NOT NULL),
+         |a AS (SELECT count(1) AS n,
+         |        sum(CASE WHEN ra AND rb THEN 1L ELSE 0L END) AS n11,
+         |        sum(CASE WHEN NOT ra AND NOT rb THEN 1L ELSE 0L END) AS n00,
+         |        sum(CASE WHEN ra THEN 1L ELSE 0L END) AS na,
+         |        sum(CASE WHEN rb THEN 1L ELSE 0L END) AS nb
+         |      FROM b),
+         |p AS (SELECT n, n11 + n00 AS n_agree, na, nb,
+         |        CASE WHEN n > 0L
+         |             THEN CAST(n11 + n00 AS DOUBLE) / n END AS po,
+         |        CASE WHEN n > 0L
+         |             THEN (CAST(na AS DOUBLE) / n) * (CAST(nb AS DOUBLE) / n)
+         |                + (1.0D - CAST(na AS DOUBLE) / n)
+         |                  * (1.0D - CAST(nb AS DOUBLE) / n) END AS pe
+         |      FROM a)
+         |SELECT n, n_agree, round(po, 6) AS po, round(pe, 6) AS pe,
+         |  CASE WHEN pe < 1.0D THEN round((po - pe) / (1.0D - pe), 6)
+         |  END AS kappa
+         |FROM p""".stripMargin,
+
+    // Hourly volume z-scores from exact integer moments — the
+    // Monitor.hourlyAnomaly radicand-guarded arithmetic.
+    "events_anomaly" ->
+      s"""WITH hourly AS (
+         |  SELECT event_type,
+         |    date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:mm:ss')
+         |      AS hour,
+         |    count(1) AS n
+         |  FROM events
+         |  GROUP BY event_type,
+         |    date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:mm:ss')),
+         |st AS (SELECT event_type, count(1) AS k,
+         |         sum(CAST(n AS DECIMAL(20,0))) AS s,
+         |         sum(CAST(n * n AS DECIMAL(28,0))) AS ssq
+         |       FROM hourly GROUP BY event_type)
+         |SELECT h.event_type, h.hour, h.n,
+         |  CASE WHEN st.k >= 2 AND (CAST(st.ssq AS DOUBLE)
+         |         - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE)
+         |           / CAST(st.k AS DOUBLE)) > 0.0D
+         |       THEN round((h.n - CAST(st.s AS DOUBLE) / CAST(st.k AS DOUBLE))
+         |         / sqrt((CAST(st.ssq AS DOUBLE)
+         |             - CAST(st.s AS DOUBLE) * CAST(st.s AS DOUBLE)
+         |               / CAST(st.k AS DOUBLE))
+         |           / (CAST(st.k AS DOUBLE) - 1.0D)), 6)
+         |  END AS z
+         |FROM hourly h JOIN st ON h.event_type = st.event_type
+         |ORDER BY h.event_type, h.hour""".stripMargin,
+
+    // Sliding 7-day actives via the contribute-forward shape: dedup to
+    // (user, day), bounded explode forward, re-dedup — never a range
+    // self-join or a distinct-in-moving-frame window.
+    "active_users_7d" ->
+      s"""WITH user_days AS (SELECT DISTINCT user_id, to_date(ts) AS day
+         |                   FROM events),
+         |active_days AS (SELECT DISTINCT day FROM user_days),
+         |contrib AS (SELECT DISTINCT user_id, date_add(day, k) AS day
+         |            FROM user_days
+         |            LATERAL VIEW explode(sequence(0, 6)) t AS k)
+         |SELECT date_format(day, 'yyyy-MM-dd') AS day, n_active
+         |FROM (SELECT c.day AS day, count(1) AS n_active
+         |      FROM contrib c LEFT SEMI JOIN active_days a ON c.day = a.day
+         |      GROUP BY c.day)
+         |ORDER BY day""".stripMargin,
+
+    // Session transition matrix P(next | current): gap break and
+    // predecessor from ONE window exchange; the row-total window runs
+    // over the bounded |types|² matrix.
+    "session_transitions" ->
+      s"""WITH t AS (SELECT event_type,
+         |    lag(ts) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS prev_ts,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS prev_type,
+         |    ts
+         |  FROM events),
+         |tr AS (SELECT
+         |    CASE WHEN prev_ts IS NOT NULL
+         |           AND unix_micros(ts) - unix_micros(prev_ts) < 1800000000L
+         |         THEN prev_type END AS from_type,
+         |    event_type AS to_type
+         |  FROM t),
+         |m AS (SELECT from_type, to_type, count(1) AS n FROM tr
+         |      WHERE from_type IS NOT NULL GROUP BY from_type, to_type)
+         |SELECT from_type, to_type, n,
+         |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 6)
+         |    AS p
+         |FROM m ORDER BY from_type, to_type""".stripMargin,
+
+    // Kaplan–Meier churn with right-censoring: subjects collapse to the
+    // bounded duration domain; the cumulative product is exp(Σ ln(1 −
+    // d/n)) with 9-dp decimal log terms — the Survival.kaplanMeier
+    // arithmetic, including the everyone-dies collapse pin.
+    "survival_churn" ->
+      s"""WITH subj AS (
+         |  SELECT CAST(lp - fd AS BIGINT) AS t, (lp < 28) AS event
+         |  FROM (SELECT
+         |          datediff(CAST(min(ts) AS DATE), DATE '2024-01-01') AS fd,
+         |          datediff(CAST(max(CASE WHEN event_type = 'purchase'
+         |              THEN ts END) AS DATE), DATE '2024-01-01') AS lp
+         |        FROM events GROUP BY user_id)
+         |  WHERE lp IS NOT NULL),
+         |by_t AS (SELECT t,
+         |           sum(CASE WHEN event THEN 1L ELSE 0L END) AS d,
+         |           sum(CASE WHEN NOT event THEN 1L ELSE 0L END) AS c
+         |         FROM subj WHERE t IS NOT NULL AND t >= 0L GROUP BY t),
+         |tot AS (SELECT sum(d + c) AS n_total FROM by_t),
+         |r AS (SELECT t, d, c,
+         |        n_total - sum(d + c) OVER (ORDER BY t
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |          + d + c AS n_risk
+         |      FROM by_t CROSS JOIN tot),
+         |r3 AS (SELECT t, d, c, n_risk,
+         |        CAST(CASE WHEN d = 0L THEN 0.0D
+         |                  WHEN d < n_risk THEN
+         |                    round(ln(1.0D - CAST(d AS DOUBLE) / n_risk), 9)
+         |             END AS DECIMAL(28,9)) AS t9,
+         |        max(CASE WHEN d = n_risk AND d > 0L THEN 1 ELSE 0 END)
+         |          OVER (ORDER BY t
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |          AS collapsed
+         |      FROM r),
+         |r4 AS (SELECT t, n_risk, d AS n_churned, c AS n_censored, collapsed,
+         |        sum(t9) OVER (ORDER BY t
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum9
+         |      FROM r3)
+         |SELECT t, n_risk, n_churned, n_censored,
+         |  CASE WHEN collapsed = 1 THEN 0.0D
+         |       ELSE round(exp(CAST(cum9 AS DOUBLE)), 6) END AS survival
+         |FROM r4 ORDER BY t""".stripMargin,
+
+    // 2-D Pareto frontier in O(n log n): group-max over the distinct
+    // minimize domain, one ordered window over that DOMAIN, semi-join
+    // back — the Skyline.frontier2d construction as SQL.
+    "pareto_frontier" ->
+      s"""WITH pts AS (SELECT user_id, n_events, total_value
+         |  FROM (SELECT user_id, count(1) AS n_events,
+         |          sum(CAST(value AS DECIMAL(18,6))) AS total_value
+         |        FROM events GROUP BY user_id)
+         |  WHERE n_events IS NOT NULL AND total_value IS NOT NULL),
+         |gm AS (SELECT n_events AS m, max(total_value) AS gmax
+         |       FROM pts GROUP BY n_events),
+         |fr AS (SELECT m, gmax,
+         |         max(gmax) OVER (ORDER BY m ASC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+         |       FROM gm),
+         |fk AS (SELECT m, gmax FROM fr WHERE prev IS NULL OR gmax > prev)
+         |SELECT p.user_id, p.n_events,
+         |  CAST(p.total_value AS DOUBLE) AS total_value
+         |FROM pts p LEFT SEMI JOIN fk
+         |  ON p.n_events = fk.m AND p.total_value = fk.gmax
+         |ORDER BY p.n_events, p.user_id""".stripMargin,
+
+    // Last-touch attribution as the scalable as-of shape: union
+    // interleave + last IGNORE NULLS carry over one key window (clicks
+    // sort before purchases at equal time → <= visibility), never a
+    // per-purchase range probe.
+    "attribution_last_touch" ->
+      s"""WITH u AS (
+         |  SELECT user_id AS key, ts AS t, 0 AS is_right, value,
+         |    CAST(NULL AS STRUCT<asof_k: BIGINT>) AS r
+         |  FROM events WHERE event_type = 'purchase'
+         |  UNION ALL
+         |  SELECT user_id, ts, 1, CAST(NULL AS DOUBLE),
+         |    named_struct('asof_k',
+         |      CAST(get_json_object(props, '$$.k') AS BIGINT))
+         |  FROM events WHERE event_type = 'click' AND user_id IS NOT NULL),
+         |w AS (SELECT is_right, value,
+         |        last(r, TRUE) OVER (PARTITION BY key
+         |          ORDER BY t ASC, is_right DESC, r ASC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |          AS carried
+         |      FROM u)
+         |SELECT CASE WHEN carried.asof_k IS NULL THEN 'organic'
+         |            ELSE concat('campaign_', carried.asof_k % 4L)
+         |       END AS channel,
+         |  count(1) AS n_purchases,
+         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+         |    AS attributed_value
+         |FROM w WHERE is_right = 0
+         |GROUP BY channel ORDER BY channel""".stripMargin)
 
   /** Contract-query adapter: register the views, run the SQL. */
   def query(name: String): (SparkSession, String) => DataFrame = {
@@ -1538,6 +1878,16 @@ object SqlSurface {
       "doc_repetition" -> SparkEntry.queries("doc_repetition"),
       "events_decayed" -> SparkEntry.queries("events_decayed"),
       "tfidf_top_terms" -> SparkEntry.queries("tfidf_top_terms"),
-      "time_to_convert" -> SparkEntry.queries("time_to_convert"))
+      "time_to_convert" -> SparkEntry.queries("time_to_convert"),
+      "ab_test" -> SparkEntry.queries("ab_test"),
+      "ab_power" -> SparkEntry.queries("ab_power"),
+      "ab_cuped" -> SparkEntry.queries("ab_cuped"),
+      "rater_agreement" -> SparkEntry.queries("rater_agreement"),
+      "events_anomaly" -> SparkEntry.queries("events_anomaly"),
+      "active_users_7d" -> SparkEntry.queries("active_users_7d"),
+      "session_transitions" -> SparkEntry.queries("session_transitions"),
+      "survival_churn" -> SparkEntry.queries("survival_churn"),
+      "pareto_frontier" -> SparkEntry.queries("pareto_frontier"),
+      "attribution_last_touch" -> SparkEntry.queries("attribution_last_touch"))
   }
 }
