@@ -1469,7 +1469,180 @@ object SqlSurface {
          |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
          |    AS attributed_value
          |FROM w WHERE is_right = 0
-         |GROUP BY channel ORDER BY channel""".stripMargin)
+         |GROUP BY channel ORDER BY channel""".stripMargin,
+
+    // Exact percentiles, correlation and population stddev per group —
+    // the classic numeric-profile aggregate set.
+    "stats_advanced" ->
+      s"""SELECT l_returnflag,
+         |  round(percentile(l_quantity, 0.25), 6) AS q25,
+         |  round(percentile(l_quantity, 0.5), 6) AS median,
+         |  round(percentile(l_quantity, 0.75), 6) AS q75,
+         |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+         |  round(stddev_pop(l_quantity), 6) AS sd_qty
+         |FROM lineitem GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin,
+
+    // JSON-prop aggregation: get_json_object in the aggregate lane.
+    "events_json_agg" ->
+      s"""SELECT event_type, count(1) AS n_events,
+         |  sum(CAST(get_json_object(props, '$$.k') AS BIGINT)) AS sum_k,
+         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Hopping (sliding) windows via the window() TVF in GROUP BY — the
+    // same TimeWindow expansion the DataFrame form plans.
+    "events_hopping" ->
+      s"""SELECT date_format(window.start, 'yyyy-MM-dd HH:mm:ss') AS w_start,
+         |  date_format(window.end, 'yyyy-MM-dd HH:mm:ss') AS w_end,
+         |  event_type, n_events, sum_value
+         |FROM (SELECT window, event_type, count(1) AS n_events,
+         |        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+         |          AS sum_value
+         |      FROM events
+         |      GROUP BY window(ts, '2 hours', '1 hour'), event_type)
+         |ORDER BY w_start, event_type""".stripMargin,
+
+    // Top session paths: session_window sessionization, per-session
+    // ordered type list, bounded path transform, TakeOrdered top-k.
+    "session_paths" ->
+      s"""WITH sess AS (
+         |  SELECT transform(array_sort(collect_list(named_struct(
+         |      'ts', ts, 'event_id', event_id, 'event_type', event_type))),
+         |    e -> e.event_type) AS types
+         |  FROM events
+         |  GROUP BY user_id, session_window(ts, '1800 seconds')),
+         |p AS (SELECT explode(transform(sequence(0, size(types) - 3),
+         |        i -> concat_ws('>', types[i], types[i+1], types[i+2])))
+         |        AS path
+         |      FROM sess WHERE size(types) >= 3)
+         |SELECT path, count(1) AS n FROM p GROUP BY path
+         |ORDER BY n DESC, path LIMIT 20""".stripMargin,
+
+    // Per-source language balance: Shannon entropy in nats from 9-dp
+    // decimal terms, majority class as a min-struct argmax.
+    "class_balance" ->
+      s"""WITH counts AS (SELECT source, lang AS cls, count(1) AS n
+         |                FROM documents GROUP BY source, lang),
+         |tot AS (SELECT source, sum(n) AS total FROM counts GROUP BY source),
+         |t AS (SELECT c.source, c.cls, c.n, t.total,
+         |        CAST(round((-(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE)))
+         |            * ln(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE)), 9)
+         |          AS DECIMAL(20,9)) AS h_term
+         |      FROM counts c JOIN tot t ON c.source = t.source),
+         |a AS (SELECT source, sum(n) AS n_docs, count(1) AS n_classes,
+         |        min(named_struct('neg_n', -n, 'cls', cls)) AS m,
+         |        round(CAST(sum(h_term) AS DOUBLE), 6) AS entropy
+         |      FROM t GROUP BY source)
+         |SELECT source, n_docs, n_classes, m.cls AS majority_class,
+         |  round(CAST(-m.neg_n AS DOUBLE) / n_docs, 6) AS majority_share,
+         |  entropy
+         |FROM a ORDER BY source""".stripMargin,
+
+    // Robust (MAD) word-count outliers: two exact-median passes, both
+    // 1-row broadcast cross joins — the Monitor.robustOutliers chain.
+    "doclen_outliers" ->
+      s"""WITH v AS (SELECT doc_id,
+         |    CAST(size(split(trim(text), '\\\\s+')) AS DOUBLE) AS value
+         |  FROM documents),
+         |med AS (SELECT percentile(value, 0.5D) AS med FROM v),
+         |wm AS (SELECT doc_id, value, med FROM v CROSS JOIN med),
+         |mad AS (SELECT percentile(abs(value - med), 0.5D) AS mad FROM wm),
+         |z AS (SELECT doc_id, value,
+         |        CASE WHEN mad > 0.0D
+         |             THEN round(0.6745D * (value - med) / mad, 6)
+         |        END AS robust_z
+         |      FROM wm CROSS JOIN mad)
+         |SELECT doc_id, value, robust_z,
+         |  CASE WHEN robust_z IS NOT NULL THEN abs(robust_z) > 3.5D
+         |  END AS is_outlier
+         |FROM z ORDER BY doc_id""".stripMargin,
+
+    // Unit-normalize with the zero-vector guard, exploded to scalar
+    // rows; vec_dot is the same codegen expression the DataFrame
+    // composes.
+    "embedding_normalize" ->
+      s"""SELECT vec_id,
+         |  round(sqrt(vec_dot(embedding, embedding)), 6) AS norm, pos, ux
+         |FROM embeddings
+         |LATERAL VIEW posexplode(transform(
+         |  CASE WHEN sqrt(vec_dot(embedding, embedding)) = 0.0D
+         |       THEN transform(embedding, x -> CAST(x AS DOUBLE))
+         |       ELSE transform(embedding,
+         |              x -> CAST(x AS DOUBLE)
+         |                / sqrt(vec_dot(embedding, embedding))) END,
+         |  x -> round(x, 6))) t AS pos, ux
+         |ORDER BY vec_id, pos""".stripMargin,
+
+    // Symmetric int8 quantization summary: scale = max|x|, max
+    // round-trip error at 9 dp, L1 of the codes — pure HOF folds.
+    "embedding_quantize" ->
+      s"""WITH q AS (SELECT vec_id, embedding,
+         |    aggregate(embedding, 0.0D,
+         |      (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))
+         |      AS raw_scale
+         |  FROM embeddings)
+         |SELECT vec_id, round(raw_scale, 6) AS scale,
+         |  round(aggregate(zip_with(embedding,
+         |      transform(transform(embedding,
+         |          x -> CAST(round(CAST(x AS DOUBLE) * 127.0D / raw_scale, 0)
+         |               AS INT)),
+         |        x -> CAST(x AS DOUBLE) * raw_scale / 127.0D),
+         |      (x, y) -> abs(CAST(x AS DOUBLE) - y)),
+         |    0.0D, (acc, e) -> greatest(acc, e)), 9) AS max_err,
+         |  aggregate(transform(embedding,
+         |      x -> CAST(round(CAST(x AS DOUBLE) * 127.0D / raw_scale, 0)
+         |           AS INT)),
+         |    0L, (acc, q) -> acc + CAST(abs(q) AS BIGINT)) AS l1_q
+         |FROM q ORDER BY vec_id""".stripMargin,
+
+    // Per-code verification of the same quantization: every int8 code
+    // as its own row; the per-vector HOF (max_err) computed once before
+    // the explode, scalar quantization above it.
+    "embedding_quantize_codes" ->
+      s"""WITH a AS (SELECT vec_id, embedding,
+         |    aggregate(embedding, 0.0D,
+         |      (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))
+         |      AS raw_scale
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, embedding, raw_scale,
+         |    CASE WHEN raw_scale = 0.0D THEN 0.0D
+         |         ELSE round(aggregate(zip_with(embedding,
+         |             transform(transform(embedding,
+         |                 x -> CAST(round(CAST(x AS DOUBLE) * 127.0D
+         |                        / raw_scale, 0) AS INT)),
+         |               q -> CAST(q AS DOUBLE) * raw_scale / 127.0D),
+         |             (x, y) -> abs(CAST(x AS DOUBLE) - y)),
+         |           0.0D, (acc, e) -> greatest(acc, e)), 9) END AS max_err
+         |  FROM a)
+         |SELECT vec_id, round(raw_scale, 6) AS scale, max_err, pos,
+         |  CASE WHEN raw_scale = 0.0D THEN 0
+         |       ELSE CAST(round(CAST(cx AS DOUBLE) * 127.0D / raw_scale, 0)
+         |            AS INT) END AS q
+         |FROM b LATERAL VIEW posexplode(embedding) t AS pos, cx
+         |ORDER BY vec_id, pos""".stripMargin,
+
+    // Per-label centroid drift between the vec_id-parity snapshots:
+    // (label, dim) means per snapshot, 9-dp decimal squared-diff fold,
+    // one sqrt at the end.
+    "embedding_drift" ->
+      s"""WITH old AS (SELECT label, pos AS dim_idx,
+         |    round(avg(CAST(x AS DOUBLE)), 6) AS c_old
+         |  FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, x
+         |  WHERE vec_id % 2 = 0 GROUP BY label, pos),
+         |nw AS (SELECT label, pos AS dim_idx,
+         |    round(avg(CAST(x AS DOUBLE)), 6) AS c_new
+         |  FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, x
+         |  WHERE NOT (vec_id % 2 = 0) GROUP BY label, pos),
+         |g AS (SELECT o.label, count(1) AS n_dims,
+         |        sum(CAST(round((o.c_old - n.c_new) * (o.c_old - n.c_new), 9)
+         |          AS DECIMAL(28,9))) AS ssq
+         |      FROM old o JOIN nw n
+         |        ON o.label = n.label AND o.dim_idx = n.dim_idx
+         |      GROUP BY o.label)
+         |SELECT label, n_dims,
+         |  round(sqrt(CAST(ssq AS DOUBLE)), 6) AS drift
+         |FROM g ORDER BY label""".stripMargin)
 
   /** Contract-query adapter: register the views, run the SQL. */
   def query(name: String): (SparkSession, String) => DataFrame = {
@@ -1888,6 +2061,16 @@ object SqlSurface {
       "session_transitions" -> SparkEntry.queries("session_transitions"),
       "survival_churn" -> SparkEntry.queries("survival_churn"),
       "pareto_frontier" -> SparkEntry.queries("pareto_frontier"),
-      "attribution_last_touch" -> SparkEntry.queries("attribution_last_touch"))
+      "attribution_last_touch" -> SparkEntry.queries("attribution_last_touch"),
+      "stats_advanced" -> SparkEntry.queries("stats_advanced"),
+      "events_json_agg" -> SparkEntry.queries("events_json_agg"),
+      "events_hopping" -> SparkEntry.queries("events_hopping"),
+      "session_paths" -> SparkEntry.queries("session_paths"),
+      "class_balance" -> SparkEntry.queries("class_balance"),
+      "doclen_outliers" -> SparkEntry.queries("doclen_outliers"),
+      "embedding_normalize" -> SparkEntry.queries("embedding_normalize"),
+      "embedding_quantize" -> SparkEntry.queries("embedding_quantize"),
+      "embedding_quantize_codes" -> SparkEntry.queries("embedding_quantize_codes"),
+      "embedding_drift" -> SparkEntry.queries("embedding_drift"))
   }
 }
