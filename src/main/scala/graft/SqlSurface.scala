@@ -95,6 +95,85 @@ object SqlSurface {
        |         AND unix_micros(e.ts) <= unix_micros(s2.t2) + 21600000000
        |       GROUP BY e.user_id)""".stripMargin
 
+  /** Marker-heuristic language-ID CTE chain, shared by `lang_id` and
+    * `langid_confusion` — per-language HOF scores plus the
+    * argmax-with-earliest-tie-win flattened into a strictly-beats-
+    * earlier CASE chain (equivalence argued at the lang_id entry).
+    */
+  private val langIdCtes: String =
+    s"""lang_s AS (SELECT doc_id,
+       |    CAST(size(filter(ws, w -> w IN ('the','a','fast','slow','key')))
+       |      AS BIGINT) AS score_en,
+       |    CAST(size(filter(ws, w -> w IN ('der','die','und','table','value')))
+       |      AS BIGINT) AS score_de,
+       |    CAST(size(filter(ws, w -> w IN ('el','la','y','data','row')))
+       |      AS BIGINT) AS score_es,
+       |    CAST(size(filter(ws, w -> w IN ('le','la','et','query','window')))
+       |      AS BIGINT) AS score_fr,
+       |    CAST(size(filter(ws, w -> w IN ('的','是','了','join','merge')))
+       |      AS BIGINT) AS score_zh
+       |  FROM (SELECT doc_id, split(trim(text), '\\\\s+') AS ws FROM documents)),
+       |lang_pred AS (SELECT doc_id,
+       |    score_en, score_de, score_es, score_fr, score_zh,
+       |    CASE
+       |      WHEN score_zh > greatest(score_en, score_de, score_es, score_fr)
+       |        THEN 'zh'
+       |      WHEN score_fr > greatest(score_en, score_de, score_es) THEN 'fr'
+       |      WHEN score_es > greatest(score_en, score_de) THEN 'es'
+       |      WHEN score_de > score_en THEN 'de'
+       |      ELSE 'en'
+       |    END AS pred_lang
+       |  FROM lang_s)""".stripMargin
+
+  /** Per-document quality-signal CTE chain (word/bigram/punctuation
+    * fractions), shared by `doc_quality` and `quality_buckets` — one
+    * definition, two readouts (the funnelStageCtes discipline).
+    */
+  private val qualityCtes: String =
+    s"""d AS (SELECT doc_id, trim(text) AS t,
+       |             split(trim(text), '\\\\s+') AS ws FROM documents),
+       |wc AS (SELECT doc_id, w, count(1) AS c
+       |       FROM (SELECT doc_id, explode(ws) AS w FROM d)
+       |       GROUP BY doc_id, w),
+       |wa AS (SELECT doc_id, sum(c) AS n_words, max(c) AS top_w,
+       |         sum(CASE WHEN w IN ('the','a','and','of','to','is','in','it')
+       |             THEN c ELSE 0L END) AS stop_c
+       |       FROM wc GROUP BY doc_id),
+       |bg AS (SELECT doc_id, bg, count(1) AS c
+       |       FROM (SELECT doc_id, explode(zip_with(
+       |                slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),
+       |                (x, y) -> concat(x, ' ', y))) AS bg FROM d)
+       |       GROUP BY doc_id, bg),
+       |ba AS (SELECT doc_id, max(c) AS top_bg, sum(c) AS n_bg
+       |       FROM bg GROUP BY doc_id),
+       |ca AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
+       |         CAST(length(t) - length(regexp_replace(t, '[^a-zA-Z0-9 ]', ''))
+       |           AS BIGINT) AS punct_c
+       |       FROM d),
+       |f AS (SELECT wa.doc_id, n_words, stop_c, n_chars,
+       |        round(CAST(top_w AS DOUBLE) / n_words, 6) AS top_word_frac,
+       |        CASE WHEN coalesce(n_bg, 0L) = 0L THEN 0.0
+       |             ELSE round(CAST(top_bg AS DOUBLE) / n_bg, 6)
+       |        END AS top_bigram_frac,
+       |        round(CAST(stop_c AS DOUBLE) / n_words, 6) AS stopword_frac,
+       |        CASE WHEN n_chars = 0L THEN 0.0
+       |             ELSE round(CAST(punct_c AS DOUBLE) / n_chars, 6)
+       |        END AS punct_frac
+       |      FROM wa LEFT JOIN ba ON wa.doc_id = ba.doc_id
+       |      JOIN ca ON wa.doc_id = ca.doc_id)""".stripMargin
+
+  /** Distinct 3-word shingle CTE over (id, ws) — the Dedup.shingles
+    * shape shared by `doc_novelty` and `source_overlap` (dedup_groups
+    * carries its own copy inside [[dupGroupCtes]]).
+    */
+  private def shingleCte(idCol: String): String =
+    s"""shw AS (SELECT $idCol, split(trim(text), '\\\\s+') AS ws
+       |        FROM documents),
+       |sh AS (SELECT $idCol, explode(array_distinct(transform(
+       |         sequence(0, size(ws) - 3),
+       |         i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) AS shingle
+       |       FROM shw WHERE size(ws) >= 3)""".stripMargin
+
   val sql: Map[String, String] = Map(
     "search_cosine_topk" ->
       searchSql("vec_cosine_sim(e.embedding, q.q_embedding)"),
@@ -642,43 +721,39 @@ object SqlSurface {
     // drop out of the bigram lane, exactly like the DataFrame form),
     // the same rounded fractions reused inside `keep`.
     "doc_quality" ->
-      s"""WITH d AS (SELECT doc_id, trim(text) AS t,
-         |             split(trim(text), '\\\\s+') AS ws FROM documents),
-         |wc AS (SELECT doc_id, w, count(1) AS c
-         |       FROM (SELECT doc_id, explode(ws) AS w FROM d)
-         |       GROUP BY doc_id, w),
-         |wa AS (SELECT doc_id, sum(c) AS n_words, max(c) AS top_w,
-         |         sum(CASE WHEN w IN ('the','a','and','of','to','is','in','it')
-         |             THEN c ELSE 0L END) AS stop_c
-         |       FROM wc GROUP BY doc_id),
-         |bg AS (SELECT doc_id, bg, count(1) AS c
-         |       FROM (SELECT doc_id, explode(zip_with(
-         |                slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),
-         |                (x, y) -> concat(x, ' ', y))) AS bg FROM d)
-         |       GROUP BY doc_id, bg),
-         |ba AS (SELECT doc_id, max(c) AS top_bg, sum(c) AS n_bg
-         |       FROM bg GROUP BY doc_id),
-         |ca AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
-         |         CAST(length(t) - length(regexp_replace(t, '[^a-zA-Z0-9 ]', ''))
-         |           AS BIGINT) AS punct_c
-         |       FROM d),
-         |f AS (SELECT wa.doc_id, n_words, stop_c, n_chars,
-         |        round(CAST(top_w AS DOUBLE) / n_words, 6) AS top_word_frac,
-         |        CASE WHEN coalesce(n_bg, 0L) = 0L THEN 0.0
-         |             ELSE round(CAST(top_bg AS DOUBLE) / n_bg, 6)
-         |        END AS top_bigram_frac,
-         |        round(CAST(stop_c AS DOUBLE) / n_words, 6) AS stopword_frac,
-         |        CASE WHEN n_chars = 0L THEN 0.0
-         |             ELSE round(CAST(punct_c AS DOUBLE) / n_chars, 6)
-         |        END AS punct_frac
-         |      FROM wa LEFT JOIN ba ON wa.doc_id = ba.doc_id
-         |      JOIN ca ON wa.doc_id = ca.doc_id)
+      s"""WITH $qualityCtes
          |SELECT doc_id, n_words, top_word_frac, top_bigram_frac,
          |  stopword_frac, punct_frac,
          |  (n_words >= 10 AND top_word_frac <= 0.20 AND
          |   top_bigram_frac <= 0.18 AND punct_frac <= 0.30 AND
          |   stop_c >= 1L) AS keep
          |FROM f ORDER BY doc_id""".stripMargin,
+
+    // Curriculum quartiles over the composed prose score — the SAME
+    // quality-signal chain as doc_quality, thresholds via exact
+    // percentile (closest-ranks interpolation), bucket as a narrow
+    // CASE — never an ntile() global ranking window.
+    "quality_buckets" ->
+      s"""WITH $qualityCtes,
+         |sc AS (SELECT doc_id,
+         |         round(stopword_frac - top_word_frac - punct_frac, 6)
+         |           AS score
+         |       FROM f),
+         |th AS (SELECT percentile(score, 0.25D) AS p25,
+         |         percentile(score, 0.5D) AS p50,
+         |         percentile(score, 0.75D) AS p75 FROM sc),
+         |bk AS (SELECT doc_id, score,
+         |         CASE WHEN score <= p25 THEN 1
+         |              WHEN score <= p50 THEN 2
+         |              WHEN score <= p75 THEN 3
+         |              ELSE 4 END AS bucket
+         |       FROM sc CROSS JOIN th)
+         |SELECT bucket, count(1) AS n_docs,
+         |  round(min(score), 6) AS min_score,
+         |  round(max(score), 6) AS max_score,
+         |  round(CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE), 6)
+         |    AS sum_score
+         |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     // Per-column completeness/cardinality profile in SQL — ONE scan
     // computes every aggregate (count + per-column null/exact-distinct),
@@ -795,28 +870,23 @@ object SqlSurface {
     // languages (equivalent to TextAnalysis.langId's strict-> fold,
     // which keeps the earliest language attaining the running max).
     "lang_id" ->
-      s"""WITH s AS (SELECT doc_id,
-         |    CAST(size(filter(ws, w -> w IN ('the','a','fast','slow','key')))
-         |      AS BIGINT) AS score_en,
-         |    CAST(size(filter(ws, w -> w IN ('der','die','und','table','value')))
-         |      AS BIGINT) AS score_de,
-         |    CAST(size(filter(ws, w -> w IN ('el','la','y','data','row')))
-         |      AS BIGINT) AS score_es,
-         |    CAST(size(filter(ws, w -> w IN ('le','la','et','query','window')))
-         |      AS BIGINT) AS score_fr,
-         |    CAST(size(filter(ws, w -> w IN ('的','是','了','join','merge')))
-         |      AS BIGINT) AS score_zh
-         |  FROM (SELECT doc_id, split(trim(text), '\\\\s+') AS ws FROM documents))
+      s"""WITH $langIdCtes
          |SELECT doc_id, score_en, score_de, score_es, score_fr, score_zh,
-         |  CASE
-         |    WHEN score_zh > greatest(score_en, score_de, score_es, score_fr)
-         |      THEN 'zh'
-         |    WHEN score_fr > greatest(score_en, score_de, score_es) THEN 'fr'
-         |    WHEN score_es > greatest(score_en, score_de) THEN 'es'
-         |    WHEN score_de > score_en THEN 'de'
-         |    ELSE 'en'
-         |  END AS pred_lang
-         |FROM s ORDER BY doc_id""".stripMargin,
+         |  pred_lang
+         |FROM lang_pred ORDER BY doc_id""".stripMargin,
+
+    // The langId heuristic evaluated against the ground-truth lang
+    // column: confusion cells + per-true-lang share, on the SAME
+    // prediction chain as lang_id.
+    "langid_confusion" ->
+      s"""WITH $langIdCtes,
+         |cells AS (SELECT d.lang, p.pred_lang, count(1) AS n
+         |          FROM documents d JOIN lang_pred p ON d.doc_id = p.doc_id
+         |          GROUP BY d.lang, p.pred_lang)
+         |SELECT lang, pred_lang, n,
+         |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang), 6)
+         |    AS share_of_true
+         |FROM cells ORDER BY lang, pred_lang""".stripMargin,
 
     // Funnel stage totals over the SAME stage chain as event_funnel —
     // one definition, two readouts.
@@ -1642,7 +1712,158 @@ object SqlSurface {
          |      GROUP BY o.label)
          |SELECT label, n_dims,
          |  round(sqrt(CAST(ssq AS DOUBLE)), 6) AS drift
-         |FROM g ORDER BY label""".stripMargin)
+         |FROM g ORDER BY label""".stripMargin,
+
+    // N-gram novelty vs all lower-id docs: inverted min-index over the
+    // shared shingle CTE — never a doc×doc comparison.
+    "doc_novelty" ->
+      s"""WITH ${shingleCte("doc_id")},
+         |fs AS (SELECT shingle, min(doc_id) AS first_id FROM sh
+         |       GROUP BY shingle),
+         |pd AS (SELECT s.doc_id, count(1) AS n_shingles,
+         |         sum(CASE WHEN f.first_id = s.doc_id THEN 1L ELSE 0L END)
+         |           AS n_novel
+         |       FROM sh s JOIN fs f ON s.shingle = f.shingle
+         |       GROUP BY s.doc_id)
+         |SELECT d.doc_id, coalesce(n_shingles, 0L) AS n_shingles,
+         |  coalesce(n_novel, 0L) AS n_novel,
+         |  CASE WHEN coalesce(n_shingles, 0L) = 0L THEN 0.0D
+         |       ELSE round(CAST(n_novel AS DOUBLE) / n_shingles, 6)
+         |  END AS novelty
+         |FROM (SELECT doc_id FROM documents) d
+         |LEFT JOIN pd ON d.doc_id = pd.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // Cross-source contamination matrix over distinct shingle sets —
+    // the inverted shingle join, Jaccard from the pair intersection.
+    "source_overlap" ->
+      s"""WITH ${shingleCte("source")},
+         |ss AS (SELECT DISTINCT source, shingle FROM sh),
+         |sizes AS (SELECT source, count(1) AS n_sh FROM ss GROUP BY source),
+         |pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+         |            count(1) AS shared
+         |          FROM ss a JOIN ss b
+         |            ON a.shingle = b.shingle AND a.source < b.source
+         |          GROUP BY a.source, b.source)
+         |SELECT source_a, source_b, shared, sa.n_sh AS n_a, sb.n_sh AS n_b,
+         |  round(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 6)
+         |    AS jaccard
+         |FROM pairs JOIN sizes sa ON pairs.source_a = sa.source
+         |           JOIN sizes sb ON pairs.source_b = sb.source
+         |ORDER BY source_a, source_b""".stripMargin,
+
+    // Phrase mining: PMI of adjacent pairs vs their unigram counts in
+    // one fixed left-to-right double expression; TakeOrdered top-20.
+    "collocations_pmi" ->
+      s"""WITH base AS (SELECT split(trim(text), '\\\\s+') AS ws
+         |              FROM documents),
+         |bigrams AS (SELECT bg.w1 AS w1, bg.w2 AS w2, count(1) AS c2
+         |            FROM (SELECT explode(zip_with(
+         |                    slice(ws, 1, size(ws) - 1),
+         |                    slice(ws, 2, size(ws) - 1),
+         |                    (a, b) -> named_struct('w1', a, 'w2', b))) AS bg
+         |                  FROM base WHERE size(ws) >= 2)
+         |            GROUP BY bg.w1, bg.w2),
+         |unigrams AS (SELECT w, count(1) AS c1
+         |             FROM (SELECT explode(split(trim(text), '\\\\s+')) AS w
+         |                   FROM documents)
+         |             GROUP BY w),
+         |totals AS (SELECT n2, n1
+         |           FROM (SELECT sum(c2) AS n2 FROM bigrams)
+         |           CROSS JOIN (SELECT sum(c1) AS n1 FROM unigrams))
+         |SELECT w1, w2, c2 AS pair_count,
+         |  round(ln(CAST(c2 AS DOUBLE) * n1 * n1 / n2 / cl / cr), 6) AS pmi
+         |FROM bigrams b
+         |JOIN (SELECT w AS w1u, c1 AS cl FROM unigrams) u1 ON b.w1 = u1.w1u
+         |JOIN (SELECT w AS w2u, c1 AS cr FROM unigrams) u2 ON b.w2 = u2.w2u
+         |CROSS JOIN totals
+         |WHERE c2 >= 5
+         |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    // One-row corpus size percentiles — exact closest-ranks
+    // interpolation, single digest-merge aggregation pass.
+    "token_percentiles" ->
+      s"""SELECT
+         |  round(percentile(nw, 0.5D), 6) AS p50_words,
+         |  round(percentile(nw, 0.9D), 6) AS p90_words,
+         |  round(percentile(nw, 0.99D), 6) AS p99_words,
+         |  round(percentile(nc, 0.5D), 6) AS p50_chars,
+         |  round(percentile(nc, 0.9D), 6) AS p90_chars,
+         |  round(percentile(nc, 0.99D), 6) AS p99_chars
+         |FROM (SELECT CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS nw,
+         |        CAST(length(text) AS BIGINT) AS nc
+         |      FROM documents)""".stripMargin,
+
+    // Market-basket lift over (order, part-type) baskets: the distinct
+    // projection bounds the self-join multiplicity by the type domain.
+    "basket_lift" ->
+      s"""WITH bi AS (SELECT DISTINCT l.l_orderkey AS b, p.p_type AS i
+         |            FROM lineitem l
+         |            JOIN part p ON p.p_partkey = l.l_partkey
+         |            WHERE l.l_orderkey IS NOT NULL
+         |              AND p.p_type IS NOT NULL),
+         |n AS (SELECT count(DISTINCT b) AS n_baskets FROM bi),
+         |ic AS (SELECT i, count(1) AS ni FROM bi GROUP BY i),
+         |pairs AS (SELECT a.i AS item_a, b2.i AS item_b, count(1) AS n_ab
+         |          FROM bi a JOIN bi b2 ON a.b = b2.b AND a.i < b2.i
+         |          GROUP BY a.i, b2.i
+         |          HAVING count(1) >= 1)
+         |SELECT item_a, item_b, n_ab, ia.ni AS n_a, ib.ni AS n_b,
+         |  round(CAST(n_ab AS DOUBLE) / n_baskets, 6) AS support,
+         |  round(CAST(n_ab AS DOUBLE) * n_baskets / ia.ni / ib.ni, 6)
+         |    AS lift
+         |FROM pairs JOIN ic ia ON pairs.item_a = ia.i
+         |           JOIN ic ib ON pairs.item_b = ib.i
+         |CROSS JOIN n
+         |ORDER BY item_a, item_b""".stripMargin,
+
+    // As-of join (error → last prior click) as the union-interleave +
+    // last IGNORE NULLS carry — the scalable as-of shape.
+    "asof_error_click" ->
+      s"""WITH u AS (
+         |  SELECT user_id AS key, ts AS t, 0 AS is_right, event_id,
+         |    ts AS err_ts, CAST(NULL AS STRUCT<asof_click_id: BIGINT>) AS r
+         |  FROM events WHERE event_type = 'error'
+         |  UNION ALL
+         |  SELECT user_id, ts, 1, CAST(NULL AS BIGINT),
+         |    CAST(NULL AS TIMESTAMP), named_struct('asof_click_id', event_id)
+         |  FROM events WHERE event_type = 'click' AND user_id IS NOT NULL),
+         |w AS (SELECT key, is_right, event_id, err_ts,
+         |        last(r, TRUE) OVER (PARTITION BY key
+         |          ORDER BY t ASC, is_right DESC, r ASC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |          AS carried
+         |      FROM u)
+         |SELECT event_id, key AS user_id,
+         |  date_format(err_ts, 'yyyy-MM-dd HH:mm:ss') AS error_ts,
+         |  carried.asof_click_id AS last_click_id
+         |FROM w WHERE is_right = 0 ORDER BY event_id""".stripMargin,
+
+    // Range join (prior views in the 30 min before each purchase) via
+    // time-bucketed candidates — an equi-join on (user, bucket) with
+    // the exact range filter on candidates only, never a per-key
+    // inequality cross product.
+    "range_join_views" ->
+      s"""WITH purchases AS (SELECT event_id, user_id, ts FROM events
+         |                   WHERE event_type = 'purchase'),
+         |lb AS (SELECT event_id, user_id, unix_millis(ts) AS lt,
+         |         floor(unix_millis(ts) / 1800000) AS bucket
+         |       FROM purchases),
+         |probes AS (SELECT event_id, user_id, lt, probe
+         |           FROM lb
+         |           LATERAL VIEW explode(array(bucket, bucket - 1)) t
+         |             AS probe),
+         |rb AS (SELECT user_id, unix_millis(ts) AS rt,
+         |         floor(unix_millis(ts) / 1800000) AS rbucket
+         |       FROM events WHERE event_type = 'view'),
+         |m AS (SELECT p.event_id, count(1) AS n
+         |      FROM probes p JOIN rb
+         |        ON p.user_id = rb.user_id AND p.probe = rb.rbucket
+         |      WHERE rb.rt >= p.lt - 1800000 AND rb.rt <= p.lt
+         |      GROUP BY p.event_id)
+         |SELECT pu.event_id, pu.user_id, coalesce(m.n, 0L) AS n_prior_views
+         |FROM purchases pu LEFT JOIN m ON pu.event_id = m.event_id
+         |ORDER BY pu.event_id""".stripMargin)
 
   /** Contract-query adapter: register the views, run the SQL. */
   def query(name: String): (SparkSession, String) => DataFrame = {
@@ -2071,6 +2292,15 @@ object SqlSurface {
       "embedding_normalize" -> SparkEntry.queries("embedding_normalize"),
       "embedding_quantize" -> SparkEntry.queries("embedding_quantize"),
       "embedding_quantize_codes" -> SparkEntry.queries("embedding_quantize_codes"),
-      "embedding_drift" -> SparkEntry.queries("embedding_drift"))
+      "embedding_drift" -> SparkEntry.queries("embedding_drift"),
+      "langid_confusion" -> SparkEntry.queries("langid_confusion"),
+      "quality_buckets" -> SparkEntry.queries("quality_buckets"),
+      "doc_novelty" -> SparkEntry.queries("doc_novelty"),
+      "source_overlap" -> SparkEntry.queries("source_overlap"),
+      "collocations_pmi" -> SparkEntry.queries("collocations_pmi"),
+      "token_percentiles" -> SparkEntry.queries("token_percentiles"),
+      "basket_lift" -> SparkEntry.queries("basket_lift"),
+      "asof_error_click" -> SparkEntry.queries("asof_error_click"),
+      "range_join_views" -> SparkEntry.queries("range_join_views"))
   }
 }
