@@ -1493,9 +1493,9 @@ object SparkEntry {
   // not raw glyphs, so no editor/transport can silently re-normalize
   // the source; the oracle interpolation below rebuilds the same
   // strings via chr() codepoints for the same reason
-  private val nfcSuffixA = " caf\u00e9"
-  private val nfcSuffixB = "  CAFE\u0301"
-  private val nfcTwinOffset = 1000000L
+  private[graft] val nfcSuffixA = " caf\u00e9"
+  private[graft] val nfcSuffixB = "  CAFE\u0301"
+  private[graft] val nfcTwinOffset = 1000000L
 
   // value_histogram bin width, shared with the oracle
   private val histWidth = 25.0

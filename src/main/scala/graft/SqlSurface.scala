@@ -1863,7 +1863,143 @@ object SqlSurface {
          |      GROUP BY p.event_id)
          |SELECT pu.event_id, pu.user_id, coalesce(m.n, 0L) AS n_prior_views
          |FROM purchases pu LEFT JOIN m ON pu.event_id = m.event_id
-         |ORDER BY pu.event_id""".stripMargin)
+         |ORDER BY pu.event_id""".stripMargin,
+
+    // Exact dedup materialization: one canonical doc per sha-256 group,
+    // kept/dropped per source.
+    "dedup_keep_canonical" ->
+      s"""WITH h AS (SELECT doc_id, source, sha2(text, 256) AS h
+         |           FROM documents),
+         |c AS (SELECT h, min(doc_id) AS keep_id FROM h GROUP BY h)
+         |SELECT source, count(1) AS n_docs,
+         |  sum(CASE WHEN doc_id = keep_id THEN 1L ELSE 0L END) AS n_kept,
+         |  sum(CASE WHEN doc_id != keep_id THEN 1L ELSE 0L END) AS n_dropped
+         |FROM h JOIN c ON h.h = c.h
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // Normalization-aware dedup over the same decorated twin corpus the
+    // contract query builds (suffix glyphs interpolated from the shared
+    // constants): NFC → lower → whitespace-collapse → trim, then one
+    // digest groupBy. nfc_normalize is the registered graftx codegen
+    // expression.
+    "normalized_dedup" ->
+      s"""WITH dirty AS (
+         |  SELECT doc_id, concat(text, '${SparkEntry.nfcSuffixA}') AS text
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + ${SparkEntry.nfcTwinOffset},
+         |    concat(text, '${SparkEntry.nfcSuffixB}')
+         |  FROM documents),
+         |h AS (SELECT doc_id, sha2(text, 256) AS raw_sha,
+         |        sha2(trim(regexp_replace(lower(nfc_normalize(text)),
+         |          '\\\\s+', ' ')), 256) AS norm_sha
+         |      FROM dirty)
+         |SELECT norm_sha, count(1) AS n_docs,
+         |  count(DISTINCT raw_sha) AS n_raw_variants,
+         |  min(doc_id) AS keeper_doc
+         |FROM h GROUP BY norm_sha ORDER BY norm_sha""".stripMargin,
+
+    // Exact n-gram Jaccard pairs over the inverted shingle join — the
+    // verified-pair readout the dup-group chain starts from.
+    "dedup_ngram_jaccard" ->
+      s"""WITH ${shingleCte("doc_id")},
+         |sz AS (SELECT doc_id, count(1) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |            count(1) AS c
+         |          FROM sh a JOIN sh b
+         |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(c AS DOUBLE) / (x.n + y.n - c), 6) AS jaccard
+         |FROM inter i JOIN sz x ON i.doc_a = x.doc_id
+         |             JOIN sz y ON i.doc_b = y.doc_id
+         |WHERE round(CAST(c AS DOUBLE) / (x.n + y.n - c), 6) >= 0.5D
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Why-merged evidence per verified pair: set sizes, shared count,
+    // first-5 shared shingles — the shared set collected once from the
+    // inverted join (distinct shingles make collect = intersect).
+    "dup_evidence" ->
+      s"""WITH ${shingleCte("doc_id")},
+         |sz AS (SELECT doc_id, count(1) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |            count(1) AS c,
+         |            array_sort(collect_list(a.shingle)) AS shared
+         |          FROM sh a JOIN sh b
+         |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id),
+         |p AS (SELECT doc_a, doc_b,
+         |        round(CAST(c AS DOUBLE) / (x.n + y.n - c), 6) AS jaccard,
+         |        x.n AS n_a, y.n AS n_b, c, shared
+         |      FROM inter i JOIN sz x ON i.doc_a = x.doc_id
+         |                   JOIN sz y ON i.doc_b = y.doc_id)
+         |SELECT doc_a, doc_b, jaccard, n_a, n_b, c AS n_shared,
+         |  concat_ws('|', slice(shared, 1, 5)) AS evidence
+         |FROM p WHERE jaccard >= 0.5D
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Quality-aware canonical selection over the dup components: argmax
+    // by length (min-id tie-break) as a min-struct with the explicit
+    // NULL-ranks-last lead field — never a per-group ranking window.
+    "dedup_keep_best" ->
+      s"""WITH $dupGroupCtes,
+         |gr AS (SELECT src AS doc_id, min(dst) AS group_id
+         |       FROM e16 GROUP BY src),
+         |wg AS (SELECT d.doc_id, d.n_chars AS q,
+         |         coalesce(gr.group_id, d.doc_id) AS group_id
+         |       FROM documents d LEFT JOIN gr ON d.doc_id = gr.doc_id),
+         |k AS (SELECT group_id,
+         |        min(named_struct(
+         |          'null_last', CASE WHEN q IS NULL THEN 1 ELSE 0 END,
+         |          'neg_q', -q, 'id', doc_id)).id AS keeper_doc
+         |      FROM wg GROUP BY group_id)
+         |SELECT wg.doc_id, wg.group_id, k.keeper_doc,
+         |  (wg.doc_id = k.keeper_doc) AS is_keeper
+         |FROM wg JOIN k ON wg.group_id = k.group_id
+         |ORDER BY wg.doc_id""".stripMargin,
+
+    // Triangle census over the dup graph: degree-ordered orientation,
+    // wedges at the unique low vertex closed by an oriented edge — the
+    // Graph.triangles construction as SQL over the exact-pair chain.
+    "dup_triangles" ->
+      s"""WITH $dupGroupCtes,
+         |und AS (SELECT DISTINCT doc_a, doc_b FROM prs),
+         |deg AS (SELECT v, count(1) AS deg
+         |        FROM (SELECT doc_a AS v FROM und
+         |              UNION ALL SELECT doc_b AS v FROM und)
+         |        GROUP BY v),
+         |ort AS (SELECT
+         |          CASE WHEN a.deg < b.deg
+         |                 OR (a.deg = b.deg AND u.doc_a < u.doc_b)
+         |               THEN u.doc_a ELSE u.doc_b END AS src,
+         |          CASE WHEN a.deg < b.deg
+         |                 OR (a.deg = b.deg AND u.doc_a < u.doc_b)
+         |               THEN u.doc_b ELSE u.doc_a END AS dst
+         |        FROM und u JOIN deg a ON u.doc_a = a.v
+         |                   JOIN deg b ON u.doc_b = b.v),
+         |wed AS (SELECT e1.src, e1.dst AS uu, e2.dst AS ww
+         |        FROM ort e1 JOIN ort e2 ON e1.src = e2.src
+         |        WHERE e1.dst < e2.dst),
+         |clo AS (SELECT src AS cu, dst AS cw FROM ort
+         |        UNION ALL SELECT dst, src FROM ort),
+         |tri AS (SELECT w.src, w.uu, w.ww FROM wed w
+         |        JOIN clo ON w.uu = clo.cu AND w.ww = clo.cw)
+         |SELECT doc_id, count(1) AS n_triangles
+         |FROM (SELECT explode(array(src, uu, ww)) AS doc_id FROM tri)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // The IVM view READ as SQL: by the operator's own ⊕ law (oracle-
+    // proven base ⊕ delta = from-scratch), the SQL read IS the direct
+    // aggregate — decimal sum state, derived avg at read time.
+    "ivm_source_stats" ->
+      s"""SELECT source, count(n_chars) AS n_docs,
+         |  CAST(sum(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) AS sum_chars,
+         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+         |  CASE WHEN count(n_chars) > 0L
+         |       THEN round(CAST(sum(CAST(n_chars AS DECIMAL(28,6)))
+         |              AS DOUBLE) / count(n_chars), 6)
+         |  END AS avg_chars
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin)
 
   /** Contract-query adapter: register the views, run the SQL. */
   def query(name: String): (SparkSession, String) => DataFrame = {
@@ -2301,6 +2437,13 @@ object SqlSurface {
       "token_percentiles" -> SparkEntry.queries("token_percentiles"),
       "basket_lift" -> SparkEntry.queries("basket_lift"),
       "asof_error_click" -> SparkEntry.queries("asof_error_click"),
-      "range_join_views" -> SparkEntry.queries("range_join_views"))
+      "range_join_views" -> SparkEntry.queries("range_join_views"),
+      "dedup_keep_canonical" -> SparkEntry.queries("dedup_keep_canonical"),
+      "normalized_dedup" -> SparkEntry.queries("normalized_dedup"),
+      "dedup_ngram_jaccard" -> SparkEntry.queries("dedup_ngram_jaccard"),
+      "dup_evidence" -> SparkEntry.queries("dup_evidence"),
+      "dedup_keep_best" -> SparkEntry.queries("dedup_keep_best"),
+      "dup_triangles" -> SparkEntry.queries("dup_triangles"),
+      "ivm_source_stats" -> SparkEntry.queries("ivm_source_stats"))
   }
 }
