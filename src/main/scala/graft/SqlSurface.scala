@@ -1999,7 +1999,232 @@ object SqlSurface {
          |       THEN round(CAST(sum(CAST(n_chars AS DECIMAL(28,6)))
          |              AS DOUBLE) / count(n_chars), 6)
          |  END AS avg_chars
-         |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // Unigram-LM surprisal: corpus distribution + per-doc fold, 9-dp
+    // decimal log terms times exact tf.
+    "doc_surprisal" ->
+      s"""WITH tok AS (SELECT doc_id, w, count(1) AS tf
+         |  FROM (SELECT doc_id, explode(split(trim(text), '\\\\s+')) AS w
+         |        FROM documents)
+         |  GROUP BY doc_id, w),
+         |freq AS (SELECT w, sum(tf) AS cf FROM tok GROUP BY w),
+         |tot AS (SELECT sum(cf) AS n_total FROM freq),
+         |t AS (SELECT doc_id, tf,
+         |        CAST(round(-ln(CAST(cf AS DOUBLE)
+         |            / CAST(n_total AS DOUBLE)), 9) AS DECIMAL(20,9))
+         |          * CAST(tf AS DECIMAL(6,0)) AS nl
+         |      FROM tok JOIN freq ON tok.w = freq.w CROSS JOIN tot)
+         |SELECT doc_id, sum(tf) AS n_words,
+         |  round(CAST(sum(nl) AS DOUBLE) / sum(tf), 6) AS surprisal
+         |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Bigram-LM cross-entropy under the corpus's own ML model — the
+    // CCNet fluency dial, same decimal log-fold discipline.
+    "bigram_lm" ->
+      s"""WITH base AS (SELECT doc_id, split(trim(text), '\\\\s+') AS ws
+         |              FROM documents),
+         |tok AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2, count(1) AS tf
+         |        FROM (SELECT doc_id, explode(zip_with(
+         |                slice(ws, 1, size(ws) - 1),
+         |                slice(ws, 2, size(ws) - 1),
+         |                (a, b) -> named_struct('w1', a, 'w2', b))) AS bg
+         |              FROM base WHERE size(ws) >= 2)
+         |        GROUP BY doc_id, bg.w1, bg.w2),
+         |model AS (SELECT w1, w2, sum(tf) AS c2 FROM tok GROUP BY w1, w2),
+         |ctx AS (SELECT w1, sum(c2) AS c1 FROM model GROUP BY w1),
+         |t AS (SELECT doc_id, tf,
+         |        CAST(round(-ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)), 9)
+         |          AS DECIMAL(20,9)) * CAST(tf AS DECIMAL(6,0)) AS nl
+         |      FROM tok JOIN model USING (w1, w2) JOIN ctx USING (w1))
+         |SELECT doc_id, sum(tf) AS n_bigrams,
+         |  round(CAST(sum(nl) AS DOUBLE) / sum(tf), 6) AS cross_entropy
+         |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Line-level boilerplate removal over the same decorated corpus the
+    // contract query builds (the banner interpolated from the shared
+    // constant): cross-document line frequency fires the filter,
+    // survivors re-join in original order.
+    "boilerplate_removal" ->
+      s"""WITH inp AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 2 = 0
+         |         THEN concat('${graft.operators.TextAnalysis.boilerplateLine} ',
+         |                     text)
+         |         ELSE text END AS text
+         |  FROM documents),
+         |lw AS (SELECT doc_id, split(trim(text), '\\\\s+') AS ws FROM inp),
+         |lines AS (SELECT doc_id, line_idx,
+         |    concat_ws(' ', slice(ws, line_idx * 10 + 1, 10)) AS line
+         |  FROM lw LATERAL VIEW explode(sequence(0,
+         |    CAST(greatest(ceil(CAST(size(ws) AS DOUBLE) / 10), 1) AS INT)
+         |      - 1)) t AS line_idx),
+         |ldf AS (SELECT line, count(DISTINCT doc_id) AS n_docs
+         |        FROM lines GROUP BY line),
+         |j AS (SELECT l.doc_id, l.line_idx, l.line, f.n_docs
+         |      FROM lines l JOIN ldf f ON l.line = f.line),
+         |g AS (SELECT doc_id, count(1) AS n_lines,
+         |        sum(CASE WHEN n_docs >= 3 THEN 1L ELSE 0L END) AS n_removed,
+         |        concat_ws(' ', transform(array_sort(collect_list(
+         |          CASE WHEN n_docs < 3 THEN named_struct(
+         |            'line_idx', line_idx, 'line', line) END)),
+         |          x -> x.line)) AS clean
+         |      FROM j GROUP BY doc_id)
+         |SELECT doc_id, n_lines, n_removed,
+         |  CAST(length(clean) AS BIGINT) AS clean_len,
+         |  sha2(clean, 256) AS clean_sha
+         |FROM g ORDER BY doc_id""".stripMargin,
+
+    // DSIR hashed-unigram importance weights: 64 hash buckets, add-one
+    // smoothed target/raw log-ratio, per-doc decimal fold.
+    "dsir_weights" ->
+      s"""WITH tb AS (SELECT doc_id, lang, bucket, count(1) AS tf
+         |  FROM (SELECT doc_id, lang,
+         |          pmod(CAST(conv(substring(sha2(concat(w, ':dsir'), 256),
+         |            1, 15), 16, 10) AS BIGINT), 64L) AS bucket
+         |        FROM (SELECT doc_id, lang,
+         |                explode(split(trim(text), '\\\\s+')) AS w
+         |              FROM documents))
+         |  GROUP BY doc_id, lang, bucket),
+         |model AS (SELECT bucket,
+         |    sum(CASE WHEN lang = 'en' THEN tf ELSE 0L END) AS ct,
+         |    sum(CASE WHEN NOT (lang = 'en') THEN tf ELSE 0L END) AS cr
+         |  FROM tb GROUP BY bucket),
+         |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM model),
+         |wtd AS (SELECT bucket,
+         |    CAST(round(ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + 64 AS DOUBLE))
+         |        - ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + 64 AS DOUBLE)), 9)
+         |      AS DECIMAL(20,9)) AS qln
+         |  FROM model CROSS JOIN tot),
+         |s AS (SELECT doc_id, tf, qln * CAST(tf AS DECIMAL(6,0)) AS nl
+         |      FROM tb JOIN wtd ON tb.bucket = wtd.bucket)
+         |SELECT doc_id, sum(tf) AS n_words,
+         |  round(CAST(sum(nl) AS DOUBLE) / sum(tf), 6) AS dsir_score,
+         |  (round(CAST(sum(nl) AS DOUBLE) / sum(tf), 6) > 0) AS selected
+         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Efraimidis–Spirakis A-ES weighted sampling: content-hash u,
+    // -ln(u)/w score, deterministic top-k.
+    "weighted_sample" ->
+      s"""WITH b AS (SELECT doc_id AS id, n_chars AS w FROM documents
+         |           WHERE n_chars IS NOT NULL AND n_chars > 0),
+         |s AS (SELECT id, w,
+         |        round(-ln((CAST(conv(substring(md5(concat_ws(':',
+         |              CAST(id AS STRING), '42')), 1, 12), 16, 10) AS DOUBLE)
+         |            + 0.5D) / 281474976710656.0D)
+         |          / CAST(w AS DOUBLE), 9) AS sample_key
+         |      FROM b)
+         |SELECT id, w, sample_key FROM s
+         |ORDER BY sample_key ASC, id ASC LIMIT 50""".stripMargin,
+
+    // Exact stratified sample: replayable sha-256 rank within stratum,
+    // the WindowGroupLimit shape.
+    "stratified_sample" ->
+      s"""WITH r AS (SELECT source, doc_id,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY sha2(CAST(doc_id AS STRING), 256), doc_id)
+         |      AS rank_in_stratum
+         |  FROM documents)
+         |SELECT source, CAST(rank_in_stratum AS BIGINT) AS rank_in_stratum,
+         |  doc_id
+         |FROM r WHERE rank_in_stratum <= 5
+         |ORDER BY source, rank_in_stratum""".stripMargin,
+
+    // Mixture sampling summary: hash-draw u vs the per-source weight
+    // CASE chain (same fold order as the DataFrame when-chain).
+    "mixture_sample" ->
+      s"""WITH m AS (SELECT source,
+         |    CAST(conv(substring(sha2(concat(CAST(doc_id AS STRING), ''),
+         |      256), 1, 15), 16, 10) AS DOUBLE) / 1152921504606846976.0D
+         |      AS u,
+         |    CASE WHEN source = 'src3' THEN 0.1D
+         |         WHEN source = 'src2' THEN 0.25D
+         |         WHEN source = 'src1' THEN 0.5D
+         |         WHEN source = 'src0' THEN 1.0D
+         |         ELSE 0.75D END AS w
+         |  FROM documents)
+         |SELECT source, count(1) AS n_docs,
+         |  sum(CASE WHEN u < w THEN 1L ELSE 0L END) AS n_sampled,
+         |  round(min(w), 6) AS weight,
+         |  round(CAST(sum(CASE WHEN u < w THEN 1L ELSE 0L END) AS DOUBLE)
+         |    / count(1), 6) AS rate
+         |FROM m GROUP BY source ORDER BY source""".stripMargin,
+
+    // Upsampling by explicit repetition: floor(w) copies plus one iff
+    // the salted draw lands under the fraction; per-(source, rep)
+    // census.
+    "mixture_upsample" ->
+      s"""WITH m AS (SELECT source,
+         |    CAST(conv(substring(sha2(concat(CAST(doc_id AS STRING), ':up'),
+         |      256), 1, 15), 16, 10) AS DOUBLE) / 1152921504606846976.0D
+         |      AS u,
+         |    CASE WHEN source = 'src3' THEN 0.0D
+         |         WHEN source = 'src2' THEN 1.0D
+         |         WHEN source = 'src1' THEN 0.25D
+         |         WHEN source = 'src0' THEN 2.5D
+         |         ELSE 1.25D END AS w
+         |  FROM documents),
+         |n AS (SELECT source,
+         |        CAST(floor(w) AS BIGINT)
+         |          + CASE WHEN u < w - floor(w) THEN 1L ELSE 0L END AS n_reps
+         |      FROM m),
+         |e AS (SELECT source, rep FROM n
+         |      LATERAL VIEW explode(CASE WHEN n_reps >= 1
+         |        THEN sequence(1L, n_reps)
+         |        ELSE CAST(array() AS ARRAY<BIGINT>) END) t AS rep)
+         |SELECT source, rep, count(1) AS n_docs
+         |FROM e GROUP BY source, rep ORDER BY source, rep""".stripMargin,
+
+    // Staged curriculum order under the seeded md5 shuffle —
+    // TakeOrdered head, position over the 200-row cut.
+    "curriculum_order" ->
+      s"""WITH s AS (SELECT doc_id,
+         |    CAST(CASE WHEN n_chars < 220 THEN 0
+         |              WHEN n_chars < 380 THEN 1 ELSE 2 END AS INT) AS stage,
+         |    md5(concat_ws(':', CAST(doc_id AS STRING), '42'))
+         |      AS shuffle_key
+         |  FROM documents),
+         |t AS (SELECT doc_id, stage, shuffle_key FROM s
+         |      ORDER BY stage, shuffle_key, doc_id LIMIT 200)
+         |SELECT doc_id, stage, shuffle_key,
+         |  CAST(row_number() OVER (ORDER BY stage, shuffle_key, doc_id)
+         |    AS BIGINT) AS position
+         |FROM t""".stripMargin,
+
+    // Leakage-safe split: whole dup components inherit the canonical
+    // minimum id's split — riding the same component chain as
+    // dedup_groups.
+    "leakage_safe_split" ->
+      s"""WITH $dupGroupCtes,
+         |gr AS (SELECT src AS doc_id, min(dst) AS group_id
+         |       FROM e16 GROUP BY src),
+         |b AS (SELECT d.doc_id, coalesce(gr.group_id, d.doc_id) AS group_id
+         |      FROM documents d LEFT JOIN gr ON d.doc_id = gr.doc_id)
+         |SELECT doc_id, group_id,
+         |  CASE WHEN group_id % 10 < 8 THEN 'train'
+         |       WHEN group_id % 10 = 8 THEN 'valid'
+         |       ELSE 'test' END AS split,
+         |  (CASE WHEN doc_id % 10 < 8 THEN 'train'
+         |        WHEN doc_id % 10 = 8 THEN 'valid'
+         |        ELSE 'test' END
+         |   != CASE WHEN group_id % 10 < 8 THEN 'train'
+         |           WHEN group_id % 10 = 8 THEN 'valid'
+         |           ELSE 'test' END) AS rescued
+         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // Sliding word-window chunking: pure per-row slicing + explode.
+    "doc_chunks" ->
+      s"""WITH b AS (SELECT doc_id, split(trim(text), '\\\\s+') AS ws
+         |           FROM documents),
+         |c AS (SELECT doc_id, ws,
+         |        CAST(greatest(ceil(CAST(size(ws) - 10 AS DOUBLE) / 40), 1)
+         |          AS INT) AS n_chunks
+         |      FROM b)
+         |SELECT doc_id, chunk_idx,
+         |  CAST(size(slice(ws, chunk_idx * 40 + 1, 50)) AS BIGINT) AS n_words,
+         |  concat_ws(' ', slice(ws, chunk_idx * 40 + 1, 50)) AS chunk_text
+         |FROM c LATERAL VIEW explode(sequence(0, n_chunks - 1)) t
+         |  AS chunk_idx
+         |ORDER BY doc_id, chunk_idx""".stripMargin)
 
   /** Contract-query adapter: register the views, run the SQL. */
   def query(name: String): (SparkSession, String) => DataFrame = {
@@ -2444,6 +2669,17 @@ object SqlSurface {
       "dup_evidence" -> SparkEntry.queries("dup_evidence"),
       "dedup_keep_best" -> SparkEntry.queries("dedup_keep_best"),
       "dup_triangles" -> SparkEntry.queries("dup_triangles"),
-      "ivm_source_stats" -> SparkEntry.queries("ivm_source_stats"))
+      "ivm_source_stats" -> SparkEntry.queries("ivm_source_stats"),
+      "doc_surprisal" -> SparkEntry.queries("doc_surprisal"),
+      "bigram_lm" -> SparkEntry.queries("bigram_lm"),
+      "boilerplate_removal" -> SparkEntry.queries("boilerplate_removal"),
+      "dsir_weights" -> SparkEntry.queries("dsir_weights"),
+      "weighted_sample" -> SparkEntry.queries("weighted_sample"),
+      "stratified_sample" -> SparkEntry.queries("stratified_sample"),
+      "mixture_sample" -> SparkEntry.queries("mixture_sample"),
+      "mixture_upsample" -> SparkEntry.queries("mixture_upsample"),
+      "curriculum_order" -> SparkEntry.queries("curriculum_order"),
+      "leakage_safe_split" -> SparkEntry.queries("leakage_safe_split"),
+      "doc_chunks" -> SparkEntry.queries("doc_chunks"))
   }
 }
