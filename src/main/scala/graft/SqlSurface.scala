@@ -174,6 +174,42 @@ object SqlSurface {
        |         i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) AS shingle
        |       FROM shw WHERE size(ws) >= 3)""".stripMargin
 
+  /** Blocked edit-distance linkage CTE chain (same constructed dirty
+    * corpus as the contract query), ending in `dirty` and `best` —
+    * shared by `fuzzy_match` and `fuzzy_match_eval`.
+    */
+  private val fuzzySqlCtes: String =
+    s"""ps AS (SELECT p_partkey, p_name,
+       |    2 + pmod(p_partkey, CAST(length(element_at(split(p_name, ' '), 1))
+       |      - 1 AS BIGINT)) AS pos
+       |  FROM part),
+       |dirty AS (SELECT p_partkey,
+       |    CASE WHEN p_partkey % 2 = 0
+       |         THEN concat(substr(p_name, 1, CAST(pos - 1 AS INT)),
+       |                     substr(p_name, CAST(pos + 1 AS INT), 1000))
+       |         ELSE p_name END AS name
+       |  FROM ps),
+       |cat AS (SELECT cname, element_at(split(cname, ' '), -1) AS blk,
+       |          length(cname) AS clen
+       |        FROM (SELECT DISTINCT p_name AS cname FROM part)),
+       |cand AS (SELECT d.p_partkey, c.cname,
+       |           levenshtein(d.name, c.cname) AS dist
+       |         FROM (SELECT p_partkey, name,
+       |                 element_at(split(name, ' '), -1) AS blk,
+       |                 length(name) AS dlen FROM dirty) d
+       |         JOIN cat c ON d.blk = c.blk
+       |         WHERE abs(d.dlen - c.clen) <= 1),
+       |best AS (SELECT p_partkey,
+       |           min(CASE WHEN dist <= 1
+       |             THEN named_struct('dist', dist, 'cname', cname) END) AS m
+       |         FROM cand GROUP BY p_partkey)""".stripMargin
+
+  // φ-band break fractions 1 − φ^(−k) via the SAME math.pow the
+  // DataFrame form folds (pow(φ,2) can differ from φ·φ in the last
+  // bit), interpolated as exact round-trip doubles
+  private val phiC1 = 1.0 - 1.0 / math.pow(graft.functions.VectorOps.Phi, 1)
+  private val phiC2 = 1.0 - 1.0 / math.pow(graft.functions.VectorOps.Phi, 2)
+
   val sql: Map[String, String] = Map(
     "search_cosine_topk" ->
       searchSql("vec_cosine_sim(e.embedding, q.q_embedding)"),
@@ -2224,7 +2260,178 @@ object SqlSurface {
          |  concat_ws(' ', slice(ws, chunk_idx * 40 + 1, 50)) AS chunk_text
          |FROM c LATERAL VIEW explode(sequence(0, n_chunks - 1)) t
          |  AS chunk_idx
-         |ORDER BY doc_id, chunk_idx""".stripMargin)
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // Blocked edit-distance entity resolution: last-token blocking,
+    // length prefilter, one levenshtein per candidate, min-struct best.
+    "fuzzy_match" ->
+      s"""WITH $fuzzySqlCtes
+         |SELECT d.p_partkey, d.name, b.m.cname AS matched_name,
+         |  b.m.dist AS dist
+         |FROM dirty d LEFT JOIN best b ON d.p_partkey = b.p_partkey
+         |ORDER BY d.p_partkey""".stripMargin,
+
+    // The linkage evaluated against its constructed ground truth:
+    // P/R/F1 per lane on the SAME fuzzy chain.
+    "fuzzy_match_eval" ->
+      s"""WITH $fuzzySqlCtes,
+         |ev AS (SELECT
+         |    CASE WHEN d.p_partkey % 2 = 0 THEN 'corrupted'
+         |         ELSE 'clean' END AS lane,
+         |    (b.m.cname IS NOT NULL) AS matched,
+         |    (b.m.cname IS NOT NULL AND b.m.cname = p.p_name) AS correct
+         |  FROM dirty d LEFT JOIN best b ON d.p_partkey = b.p_partkey
+         |  JOIN part p ON d.p_partkey = p.p_partkey),
+         |g AS (SELECT lane, count(1) AS n,
+         |        sum(CASE WHEN matched THEN 1L ELSE 0L END) AS n_matched,
+         |        sum(CASE WHEN correct THEN 1L ELSE 0L END) AS n_correct
+         |      FROM ev GROUP BY lane)
+         |SELECT lane, n, n_matched, n_correct,
+         |  CASE WHEN n_matched > 0L
+         |       THEN round(CAST(n_correct AS DOUBLE) / n_matched, 6)
+         |  END AS precision,
+         |  round(CAST(n_correct AS DOUBLE) / n, 6) AS recall,
+         |  CASE WHEN n_matched > 0L
+         |         AND (CAST(n_correct AS DOUBLE) / n_matched
+         |            + CAST(n_correct AS DOUBLE) / n) > 0.0D
+         |       THEN round(2.0D * (CAST(n_correct AS DOUBLE) / n_matched)
+         |              * (CAST(n_correct AS DOUBLE) / n)
+         |              / (CAST(n_correct AS DOUBLE) / n_matched
+         |                + CAST(n_correct AS DOUBLE) / n), 6)
+         |  END AS f1
+         |FROM g ORDER BY lane""".stripMargin,
+
+    // φ-band census: norms via the same vec_dot codegen expression,
+    // golden-ratio break fractions interpolated from the SAME math.pow
+    // doubles the DataFrame form folds.
+    "phi_bands" ->
+      s"""WITH wn AS (SELECT vec_id,
+         |    sqrt(vec_dot(embedding, embedding)) AS norm FROM embeddings),
+         |bounds AS (SELECT min(norm) AS min_n, max(norm) AS max_n
+         |           FROM wn),
+         |b AS (SELECT norm, min_n, max_n - min_n + 1.0E-12D AS span
+         |      FROM wn CROSS JOIN bounds),
+         |bd AS (SELECT norm,
+         |        CASE WHEN norm < min_n + span * ${phiC1}D THEN 0
+         |             WHEN norm < min_n + span * ${phiC2}D THEN 1
+         |             ELSE 2 END AS band
+         |      FROM b)
+         |SELECT band, count(1) AS n_members,
+         |  round(min(norm), 9) AS min_norm,
+         |  round(max(norm), 9) AS max_norm
+         |FROM bd GROUP BY band ORDER BY band""".stripMargin,
+
+    // The ingest admission gate: per-table predicate expectations fold
+    // into ONE aggregate pass each, uniqueness one aggregate,
+    // referential integrity one anti join — |checks| rows total.
+    "dq_expectations" ->
+      s"""WITH o AS (SELECT count(1) AS n,
+         |    sum(CASE WHEN NOT o_orderstatus IN ('O','F','P')
+         |        THEN 1L ELSE 0L END) AS v_status,
+         |    sum(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1995-01-01'
+         |          OR CAST(o_orderdate AS DATE) >= DATE '2000-01-01'
+         |        THEN 1L ELSE 0L END) AS v_date,
+         |    sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0.0D
+         |        THEN 1L ELSE 0L END) AS v_price
+         |  FROM orders),
+         |li AS (SELECT count(1) AS n,
+         |    sum(CASE WHEN l_quantity < 1.0D OR l_quantity > 50.0D
+         |        THEN 1L ELSE 0L END) AS v_qty,
+         |    sum(CASE WHEN l_discount < 0.0D OR l_discount > 0.08D
+         |        THEN 1L ELSE 0L END) AS v_disc
+         |  FROM lineitem),
+         |cu AS (SELECT count(1) AS n,
+         |    sum(CASE WHEN c_name IS NULL THEN 1L ELSE 0L END) AS v_name
+         |  FROM customer),
+         |uq AS (SELECT count(1) AS n,
+         |    count(1) - count(DISTINCT o_orderkey) AS v FROM orders),
+         |ri AS (SELECT count(1) AS v FROM lineitem l
+         |       LEFT ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |rin AS (SELECT count(1) AS n FROM lineitem),
+         |rows_all AS (
+         |  SELECT 'orders.status_domain' AS check_name, n AS n_checked,
+         |    coalesce(v_status, 0L) AS n_violations FROM o
+         |  UNION ALL SELECT 'orders.date_range', n, coalesce(v_date, 0L)
+         |    FROM o
+         |  UNION ALL SELECT 'orders.totalprice_positive', n,
+         |    coalesce(v_price, 0L) FROM o
+         |  UNION ALL SELECT 'lineitem.qty_range', n, coalesce(v_qty, 0L)
+         |    FROM li
+         |  UNION ALL SELECT 'lineitem.discount_range', n,
+         |    coalesce(v_disc, 0L) FROM li
+         |  UNION ALL SELECT 'customer.name_nonnull', n,
+         |    coalesce(v_name, 0L) FROM cu
+         |  UNION ALL SELECT 'orders.pk_unique', n, v FROM uq
+         |  UNION ALL SELECT 'lineitem.fk_orders', rin.n, ri.v
+         |    FROM rin CROSS JOIN ri)
+         |SELECT check_name, n_checked, n_violations,
+         |  (n_violations = 0L) AS pass
+         |FROM rows_all ORDER BY check_name""".stripMargin,
+
+    // Per-source Jensen-Shannon divergence over the DENSE sources ×
+    // vocab grid — absent words still contribute ½·q·ln 2; 9-dp
+    // decimal terms, order-free fold.
+    "source_divergence" ->
+      s"""WITH sw AS (SELECT source, w, count(1) AS c
+         |  FROM (SELECT source, explode(split(trim(text), '\\\\s+')) AS w
+         |        FROM documents)
+         |  GROUP BY source, w),
+         |wt AS (SELECT w, sum(c) AS cw FROM sw GROUP BY w),
+         |st AS (SELECT source, sum(c) AS ns FROM sw GROUP BY source),
+         |g AS (SELECT sum(c) AS n FROM sw),
+         |grid AS (SELECT st.source, st.ns, wt.w, wt.cw
+         |         FROM st CROSS JOIN wt),
+         |j AS (SELECT grid.source, grid.w, grid.ns, grid.cw,
+         |        coalesce(sw.c, 0L) AS c
+         |      FROM grid LEFT JOIN sw
+         |        ON grid.source = sw.source AND grid.w = sw.w),
+         |k AS (SELECT source,
+         |        CAST(c > 0L AS BIGINT) AS present,
+         |        CAST(c AS DOUBLE) / ns AS p,
+         |        CASE WHEN n > ns
+         |             THEN CAST(cw - c AS DOUBLE) / (n - ns)
+         |             ELSE 0.0D END AS q
+         |      FROM j CROSS JOIN g),
+         |t AS (SELECT source, present,
+         |        CAST(round((CASE WHEN p > 0.0D
+         |              THEN p * ln(p / ((p + q) / 2.0D)) ELSE 0.0D END
+         |            + CASE WHEN q > 0.0D
+         |              THEN q * ln(q / ((p + q) / 2.0D)) ELSE 0.0D END)
+         |          * 0.5D, 9) AS DECIMAL(28,9)) AS t9
+         |      FROM k)
+         |SELECT source, round(CAST(sum(t9) AS DOUBLE), 6) AS jsd,
+         |  sum(present) AS n_words_present
+         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
+    // C4-style span dedup: non-overlapping 4-word blocks, corpus-wide
+    // min-struct keep-first, survivors re-joined in order.
+    "span_dedup" ->
+      s"""WITH b0 AS (SELECT doc_id, split(trim(text), '\\\\s+') AS ws
+         |            FROM documents),
+         |b1 AS (SELECT doc_id, ws,
+         |         CAST(ceil(CAST(size(ws) AS DOUBLE) / 4) AS BIGINT)
+         |           AS n_blocks
+         |       FROM b0),
+         |blocks AS (SELECT doc_id, n_blocks, block_idx, block,
+         |             md5(block) AS bh
+         |           FROM b1 LATERAL VIEW posexplode(transform(
+         |             sequence(0, CAST(n_blocks AS INT) - 1),
+         |             i -> concat_ws(' ', slice(ws, i * 4 + 1, 4)))) t
+         |             AS block_idx, block),
+         |canon AS (SELECT bh, min(named_struct('doc_id', doc_id,
+         |            'block_idx', block_idx)) AS first
+         |          FROM blocks GROUP BY bh),
+         |j AS (SELECT b.doc_id, b.n_blocks, b.block_idx, b.block,
+         |        (named_struct('doc_id', b.doc_id,
+         |          'block_idx', b.block_idx) = c.first) AS keep
+         |      FROM blocks b JOIN canon c ON b.bh = c.bh)
+         |SELECT doc_id, max(n_blocks) AS n_blocks,
+         |  sum(CASE WHEN keep THEN 1L ELSE 0L END) AS n_kept,
+         |  concat_ws(' ', transform(array_sort(collect_list(
+         |    CASE WHEN keep THEN named_struct(
+         |      'block_idx', block_idx, 'block', block) END)),
+         |    x -> x.block)) AS clean_text
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 
   /** Contract-query adapter: register the views, run the SQL. */
   def query(name: String): (SparkSession, String) => DataFrame = {
@@ -2680,6 +2887,12 @@ object SqlSurface {
       "mixture_upsample" -> SparkEntry.queries("mixture_upsample"),
       "curriculum_order" -> SparkEntry.queries("curriculum_order"),
       "leakage_safe_split" -> SparkEntry.queries("leakage_safe_split"),
-      "doc_chunks" -> SparkEntry.queries("doc_chunks"))
+      "doc_chunks" -> SparkEntry.queries("doc_chunks"),
+      "fuzzy_match" -> SparkEntry.queries("fuzzy_match"),
+      "fuzzy_match_eval" -> SparkEntry.queries("fuzzy_match_eval"),
+      "phi_bands" -> SparkEntry.queries("phi_bands"),
+      "dq_expectations" -> SparkEntry.queries("dq_expectations"),
+      "source_divergence" -> SparkEntry.queries("source_divergence"),
+      "span_dedup" -> SparkEntry.queries("span_dedup"))
   }
 }
