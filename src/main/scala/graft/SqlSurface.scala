@@ -47,8 +47,8 @@ object SqlSurface {
     * `dedup_groups` and `dup_size_histogram` (ends in `e16`, the
     * diameter-16 transitive reach with self-edges).
     */
-  private val dupGroupCtes: String =
-    s"""w AS (SELECT doc_id, split(trim(text), '\\\\s+') AS ws FROM documents),
+  private def dupGroupChain(rel: String): String =
+    s"""w AS (SELECT doc_id, split(trim(text), '\\\\s+') AS ws FROM $rel),
        |sh AS (SELECT doc_id, explode(array_distinct(transform(
        |         sequence(0, size(ws) - 3),
        |         i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) AS shingle
@@ -74,6 +74,8 @@ object SqlSurface {
        |       SELECT a.src, b.dst FROM e4 a JOIN e4 b ON a.dst = b.src),
        |e16 AS (SELECT src, dst FROM e8 UNION
        |        SELECT a.src, b.dst FROM e8 a JOIN e8 b ON a.dst = b.src)""".stripMargin
+
+  private val dupGroupCtes: String = dupGroupChain("documents")
 
   /** The view→click→purchase stage chain (min-ts per stage, strictly
     * after + 6-hour window at epoch micros), shared by `event_funnel`
@@ -209,6 +211,51 @@ object SqlSurface {
   // bit), interpolated as exact round-trip doubles
   private val phiC1 = 1.0 - 1.0 / math.pow(graft.functions.VectorOps.Phi, 1)
   private val phiC2 = 1.0 - 1.0 / math.pow(graft.functions.VectorOps.Phi, 2)
+
+  /** The BM25 scoring chain for the flagship 3-term query (base, stats,
+    * tf, dfr + the per-(doc, term) score as `termScore`), shared by
+    * `bm25_search`, `bm25_ndcg` and `hybrid_search_rrf` — one scoring
+    * definition, three readouts. (1.2 + 1.0) stays an ADDITION so both
+    * engines fold the same double.
+    */
+  private val bm25Ctes: String =
+    s"""base AS (
+       |  SELECT doc_id, size(ws) AS dl,
+       |    filter(ws, w -> w IN ('query', 'fast', 'merge')) AS qs
+       |  FROM (SELECT doc_id, split(trim(text), '\\\\s+') AS ws
+       |        FROM documents)),
+       |stats AS (SELECT count(1) AS n_docs, sum(dl) AS sum_dl FROM base),
+       |tf AS (SELECT doc_id, dl, w, count(1) AS tf
+       |       FROM (SELECT doc_id, dl, explode(qs) AS w FROM base)
+       |       GROUP BY doc_id, dl, w),
+       |dfr AS (SELECT w, count(1) AS df FROM tf GROUP BY w),
+       |lex AS (SELECT /*+ BROADCAST(dfr), BROADCAST(stats) */ doc_id,
+       |    CAST(count(1) AS BIGINT) AS n_terms_hit,
+       |    round(CAST(sum(CAST(round(
+       |      ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |        * (tf * (1.2 + 1.0))
+       |        / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl
+       |                         / (CAST(sum_dl AS DOUBLE) / n_docs))), 9)
+       |      AS DECIMAL(28,9))) AS DOUBLE), 6) AS bm25
+       |  FROM tf JOIN dfr USING (w) CROSS JOIN stats
+       |  GROUP BY doc_id)""".stripMargin
+
+  // the (2^g − 1)/log2(r+1) gain at 9 dp — shared by the nDCG arms
+  private def ndcgGain(g: String, r: String): String =
+    s"""CAST(round((pow(2.0D, CAST($g AS DOUBLE)) - 1.0D)
+       |          / (ln(CAST($r AS DOUBLE) + 1.0D) / ${math.log(2.0)}D), 9)
+       |        AS DECIMAL(28,9))""".stripMargin
+
+  // NOTE deliberately absent from the SQL surface:
+  // `pipeline_clean_corpus`. Its near-dup stage squares an edge set
+  // built ON TOP of the quality+exact-dedup survivor CTE; Spark
+  // inlines multiply-referenced CTEs, so the e16 squaring chain would
+  // re-execute the whole upstream aggregation pipeline an exponential
+  // number of times (measured: the parity spec never finished). The
+  // pipeline's three stages are each SQL-covered individually
+  // (doc_quality, dedup_keep_canonical, dedup_groups); the composed
+  // report needs the DataFrame form's explicit cache() — exactly the
+  // capability plain CTE SQL lacks.
 
   val sql: Map[String, String] = Map(
     "search_cosine_topk" ->
@@ -730,26 +777,305 @@ object SqlSurface {
     // corpus stats on a broadcast 1-row side. (1.2 + 1.0) stays an
     // ADDITION so both engines fold the same double.
     "bm25_search" ->
-      s"""WITH base AS (
-         |  SELECT doc_id, size(ws) AS dl,
-         |    filter(ws, w -> w IN ('query', 'fast', 'merge')) AS qs
-         |  FROM (SELECT doc_id, split(trim(text), '\\\\s+') AS ws FROM documents)),
+      s"""WITH $bm25Ctes
+         |SELECT doc_id, n_terms_hit, bm25 FROM lex
+         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
+    // Graded-relevance nDCG@10 on the SAME scoring chain: DCG from the
+    // ranked top-10 cut, IDCG from the grade HISTOGRAM (grades take
+    // ≤ |q|+1 values — the ideal list never sorts the corpus).
+    "bm25_ndcg" ->
+      s"""WITH $bm25Ctes,
+         |top AS (SELECT doc_id, n_terms_hit AS g, bm25 FROM lex
+         |        ORDER BY bm25 DESC, doc_id LIMIT 10),
+         |dr AS (SELECT g,
+         |         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+         |       FROM top),
+         |dcg AS (SELECT coalesce(sum(${ndcgGain("g", "r")}),
+         |          CAST(0 AS DECIMAL(28,9))) AS dcg9 FROM dr),
+         |hist AS (SELECT n_terms_hit AS g, count(1) AS cnt FROM lex
+         |         GROUP BY n_terms_hit),
+         |cm AS (SELECT g, cnt,
+         |         sum(cnt) OVER (ORDER BY g DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |       FROM hist),
+         |ir AS (SELECT g,
+         |         explode(sequence(cum - cnt + 1, least(cum, 10L))) AS r
+         |       FROM cm WHERE cum - cnt + 1 <= 10),
+         |idcg AS (SELECT coalesce(sum(${ndcgGain("g", "r")}),
+         |           CAST(0 AS DECIMAL(28,9))) AS idcg9 FROM ir),
+         |ns AS (SELECT count(1) AS n_scored FROM lex)
+         |SELECT 10 AS k, n_scored,
+         |  round(CAST(dcg9 AS DOUBLE), 6) AS dcg,
+         |  round(CAST(idcg9 AS DOUBLE), 6) AS idcg,
+         |  CASE WHEN idcg9 > 0
+         |       THEN round(CAST(dcg9 AS DOUBLE) / CAST(idcg9 AS DOUBLE), 6)
+         |  END AS ndcg
+         |FROM dcg CROSS JOIN idcg CROSS JOIN ns""".stripMargin,
+
+    // Hybrid lexical+vector retrieval fused by reciprocal rank: the
+    // bm25 top-10 and the cosine top-10 (both rank windows over the
+    // already-cut lists) through one full-outer RRF fold.
+    "hybrid_search_rrf" ->
+      s"""WITH $bm25Ctes,
+         |bt AS (SELECT doc_id, bm25 FROM lex
+         |       ORDER BY bm25 DESC, doc_id LIMIT 10),
+         |la AS (SELECT doc_id AS id,
+         |         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_a
+         |       FROM bt),
+         |vt AS (SELECT vec_id, score FROM (
+         |    SELECT /*+ BROADCAST(q) */ e.vec_id,
+         |      round(vec_cosine_sim(e.embedding, q.q_embedding), 6) AS score
+         |    FROM embeddings e CROSS JOIN
+         |      (SELECT embedding AS q_embedding FROM embeddings
+         |       WHERE vec_id = 0) q
+         |  ) WHERE score IS NOT NULL AND NOT isnan(score)
+         |  ORDER BY score DESC, vec_id ASC LIMIT 10),
+         |vb AS (SELECT vec_id AS id,
+         |         row_number() OVER (ORDER BY score DESC, vec_id) AS rank_b
+         |       FROM vt),
+         |f AS (SELECT id, rank_a, rank_b
+         |      FROM la FULL OUTER JOIN vb USING (id))
+         |SELECT id AS doc_id, rank_a, rank_b,
+         |  round(coalesce(1.0D / (60 + rank_a), 0.0D)
+         |      + coalesce(1.0D / (60 + rank_b), 0.0D), 6) AS rrf
+         |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+
+    // MRR@10 over the fixed query set in ONE corpus scan: broadcast
+    // term→query fan-out, the registered bounded top-k UDAF
+    // (topk10_pairs) for the per-query ranking.
+    "bm25_mrr" ->
+      s"""WITH qt AS (SELECT * FROM VALUES
+         |    (0, 'query', 3), (0, 'fast', 3), (0, 'merge', 3),
+         |    (1, 'vector', 2), (1, 'window', 2),
+         |    (2, 'stream', 3), (2, 'sort', 3), (2, 'hash', 3)
+         |  AS t(query_id, w, n_q_terms)),
+         |base AS (SELECT doc_id, CAST(size(ws) AS BIGINT) AS dl,
+         |    filter(ws, w -> w IN ('query', 'fast', 'merge', 'vector',
+         |      'window', 'stream', 'sort', 'hash')) AS qs
+         |  FROM (SELECT doc_id, split(trim(text), '\\\\s+') AS ws
+         |        FROM documents)),
          |stats AS (SELECT count(1) AS n_docs, sum(dl) AS sum_dl FROM base),
          |tf AS (SELECT doc_id, dl, w, count(1) AS tf
          |       FROM (SELECT doc_id, dl, explode(qs) AS w FROM base)
          |       GROUP BY doc_id, dl, w),
-         |dfr AS (SELECT w, count(1) AS df FROM tf GROUP BY w)
-         |SELECT /*+ BROADCAST(dfr), BROADCAST(stats) */ doc_id,
-         |  CAST(count(1) AS BIGINT) AS n_terms_hit,
-         |  round(CAST(sum(CAST(round(
-         |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-         |      * (tf * (1.2 + 1.0))
-         |      / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl
-         |                       / (CAST(sum_dl AS DOUBLE) / n_docs))), 9)
-         |    AS DECIMAL(28,9))) AS DOUBLE), 6) AS bm25
-         |FROM tf JOIN dfr USING (w) CROSS JOIN stats
-         |GROUP BY doc_id
-         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+         |dfr AS (SELECT w, count(1) AS df FROM tf GROUP BY w),
+         |scored AS (SELECT query_id, n_q_terms, doc_id,
+         |    CAST(count(1) AS BIGINT) AS n_terms_hit,
+         |    round(CAST(sum(CAST(round(
+         |      ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         |        * (tf * (1.2 + 1.0))
+         |        / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl
+         |                         / (CAST(sum_dl AS DOUBLE) / n_docs))), 9)
+         |      AS DECIMAL(28,9))) AS DOUBLE), 6) AS bm25
+         |  FROM tf JOIN dfr USING (w) CROSS JOIN stats JOIN qt USING (w)
+         |  GROUP BY query_id, n_q_terms, doc_id),
+         |ranked AS (SELECT query_id, p._1 AS doc_id,
+         |    CAST(pos + 1 AS BIGINT) AS rank
+         |  FROM (SELECT query_id, topk10_pairs(doc_id, bm25) AS nn
+         |        FROM scored GROUP BY query_id)
+         |  LATERAL VIEW posexplode(nn) t AS pos, p),
+         |rel AS (SELECT query_id, doc_id FROM scored
+         |        WHERE n_terms_hit = n_q_terms),
+         |fr AS (SELECT r.query_id,
+         |         min(CASE WHEN rl.doc_id IS NOT NULL THEN r.rank END)
+         |           AS first_rel_rank
+         |       FROM ranked r LEFT JOIN rel rl
+         |         ON r.query_id = rl.query_id AND r.doc_id = rl.doc_id
+         |       GROUP BY r.query_id),
+         |nr AS (SELECT query_id, count(1) AS n_relevant FROM rel
+         |       GROUP BY query_id)
+         |SELECT fr.query_id, coalesce(nr.n_relevant, 0L) AS n_relevant,
+         |  fr.first_rel_rank,
+         |  coalesce(round(1.0D / fr.first_rel_rank, 6), 0.0D)
+         |    AS reciprocal_rank
+         |FROM fr LEFT JOIN nr ON fr.query_id = nr.query_id
+         |ORDER BY fr.query_id""".stripMargin,
+
+    // The per-source corpus datasheet: volume, token counts, exact-dup
+    // share, quality keep rate — riding the shared quality chain.
+    "corpus_report" ->
+      s"""WITH $qualityCtes,
+         |flags AS (SELECT doc_id,
+         |    (n_words >= 10 AND top_word_frac <= 0.20
+         |     AND top_bigram_frac <= 0.18 AND punct_frac <= 0.30
+         |     AND stop_c >= 1L) AS keep
+         |  FROM f),
+         |b AS (SELECT doc_id, source,
+         |        CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS nw,
+         |        sha2(text, 256) AS h
+         |      FROM documents),
+         |cn AS (SELECT h, min(doc_id) AS keep_id FROM b GROUP BY h)
+         |SELECT source, count(1) AS n_docs, sum(nw) AS n_tokens,
+         |  round(percentile(nw, 0.5D), 6) AS p50_tokens,
+         |  sum(CASE WHEN b.doc_id != keep_id THEN 1L ELSE 0L END)
+         |    AS n_exact_dup_docs,
+         |  round(CAST(sum(CASE WHEN keep THEN 1L ELSE 0L END) AS DOUBLE)
+         |    / count(1), 6) AS quality_keep_rate
+         |FROM b JOIN cn ON b.h = cn.h JOIN flags ON b.doc_id = flags.doc_id
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // Snapshot diff census over the same deterministically-built new
+    // snapshot the contract query constructs.
+    "corpus_diff" ->
+      s"""WITH nw AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN concat(text, ' v2')
+         |         ELSE text END AS text
+         |  FROM documents WHERE doc_id % 7 != 0
+         |  UNION ALL
+         |  SELECT doc_id + ${SparkEntry.nfcTwinOffset}, text
+         |  FROM documents WHERE doc_id % 11 = 0),
+         |o AS (SELECT doc_id, sha2(text, 256) AS h_old FROM documents),
+         |n AS (SELECT doc_id, sha2(text, 256) AS h_new FROM nw),
+         |j AS (SELECT CASE WHEN h_old IS NULL THEN 'added'
+         |                  WHEN h_new IS NULL THEN 'removed'
+         |                  WHEN h_old = h_new THEN 'unchanged'
+         |                  ELSE 'changed' END AS status
+         |      FROM o FULL OUTER JOIN n USING (doc_id))
+         |SELECT status, count(1) AS n_docs FROM j
+         |GROUP BY status ORDER BY status""".stripMargin,
+
+    // SCD2 single-pass merge: current ⊕ updates through one full-outer
+    // join, 1–2 output lanes per row via inline array + explode;
+    // null-SAFE state compare (<=>), unchanged / closed / new /
+    // reopened.
+    "scd2_merge" ->
+      s"""WITH cur0 AS (SELECT user_id AS key, ts, event_type AS state,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+         |cur AS (SELECT key AS c_key, state AS c_state, ts AS c_from
+         |        FROM cur0 WHERE rn = 1),
+         |upd0 AS (SELECT user_id AS key, ts, event_type AS state,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
+         |upd AS (SELECT key AS u_key, state AS u_state, ts AS u_ts
+         |        FROM upd0 WHERE rn = 1),
+         |j AS (SELECT * FROM cur FULL OUTER JOIN upd ON c_key = u_key),
+         |lanes AS (SELECT explode(filter(array(
+         |    CASE WHEN u_key IS NULL
+         |           OR (c_key IS NOT NULL AND c_state <=> u_state)
+         |         THEN named_struct('key', c_key, 'state', c_state,
+         |           'effective_from_ts', c_from,
+         |           'effective_to_ts', CAST(NULL AS TIMESTAMP),
+         |           'is_current', TRUE, 'lane', 'unchanged') END,
+         |    CASE WHEN c_key IS NOT NULL AND u_key IS NOT NULL
+         |           AND NOT (c_state <=> u_state)
+         |         THEN named_struct('key', c_key, 'state', c_state,
+         |           'effective_from_ts', c_from,
+         |           'effective_to_ts', u_ts,
+         |           'is_current', FALSE, 'lane', 'closed') END,
+         |    CASE WHEN u_key IS NOT NULL
+         |           AND (c_key IS NULL OR NOT (c_state <=> u_state))
+         |         THEN named_struct('key', u_key, 'state', u_state,
+         |           'effective_from_ts', u_ts,
+         |           'effective_to_ts', CAST(NULL AS TIMESTAMP),
+         |           'is_current', TRUE, 'lane',
+         |           CASE WHEN c_key IS NULL THEN 'new'
+         |                ELSE 'reopened' END) END),
+         |  x -> x IS NOT NULL)) AS r FROM j)
+         |SELECT r.key AS user_id, r.state,
+         |  date_format(r.effective_from_ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS')
+         |    AS effective_from,
+         |  date_format(r.effective_to_ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS')
+         |    AS effective_to,
+         |  r.is_current, r.lane
+         |FROM lanes ORDER BY user_id, lane, effective_from""".stripMargin,
+
+    // Watermarked ingest dedup, batch branch: the replayed slice
+    // (exact copies) collapses under DISTINCT on the carried columns.
+    "stream_dedup_ingest" ->
+      s"""WITH rep AS (SELECT event_id, event_type, value FROM events
+         |             UNION ALL
+         |             SELECT event_id, event_type, value FROM events
+         |             WHERE event_id % 97 = 0),
+         |d AS (SELECT DISTINCT event_id, event_type, value FROM rep)
+         |SELECT event_type, count(1) AS n_events,
+         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Stream-stream join shape on batch input: errors × same-user
+    // clicks in the preceding 10 minutes (the event-time bound that
+    // lets the streaming engine evict state).
+    "stream_click_error" ->
+      s"""SELECT e.user_id, e.error_id,
+         |  date_format(e.error_ts, 'yyyy-MM-dd HH:mm:ss') AS error_ts,
+         |  c.click_id,
+         |  date_format(c.click_ts, 'yyyy-MM-dd HH:mm:ss') AS click_ts
+         |FROM (SELECT user_id, ts AS error_ts, event_id AS error_id
+         |      FROM events WHERE event_type = 'error') e
+         |JOIN (SELECT user_id AS c_user, ts AS click_ts,
+         |        event_id AS click_id
+         |      FROM events WHERE event_type = 'click') c
+         |  ON e.user_id = c.c_user AND c.click_ts <= e.error_ts
+         |   AND c.click_ts >= e.error_ts - INTERVAL 600 SECONDS
+         |ORDER BY error_id, click_id""".stripMargin,
+
+    // Contrastive hard negatives: cross-label cosine top-5 per query
+    // via the bounded top-k UDAF (topk5_pairs), labels joined back.
+    "hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+         |    embedding AS q_embedding
+         |  FROM embeddings WHERE vec_id < 5),
+         |scored AS (SELECT /*+ BROADCAST(q) */ query_id,
+         |    e.vec_id AS neighbor_id,
+         |    round(vec_cosine_sim(e.embedding, q.q_embedding), 6) AS score
+         |  FROM embeddings e CROSS JOIN q WHERE e.label != q.q_label),
+         |agg AS (SELECT query_id, topk5_pairs(neighbor_id, score) AS nn
+         |        FROM scored WHERE score IS NOT NULL AND NOT isnan(score)
+         |        GROUP BY query_id),
+         |r AS (SELECT query_id, p._1 AS neighbor_id, p._2 AS score,
+         |        CAST(pos + 1 AS INT) AS rank
+         |      FROM agg LATERAL VIEW posexplode(nn) t AS pos, p)
+         |SELECT /*+ BROADCAST(r) */ r.query_id, r.neighbor_id,
+         |  CAST(e.label AS INT) AS label, r.score, r.rank
+         |FROM embeddings e JOIN r ON e.vec_id = r.neighbor_id
+         |ORDER BY query_id ASC, rank ASC""".stripMargin,
+
+    // Triplet mining: both arms (nearest same-label positive, nearest
+    // cross-label negative) from ONE scan via the (anchor, label-match)
+    // grouping and the k=1 UDAF.
+    "triplet_mining" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+         |    embedding AS q_embedding
+         |  FROM embeddings WHERE vec_id < 5),
+         |arms0 AS (SELECT /*+ BROADCAST(q) */ query_id,
+         |    (e.label = q.q_label) AS same, e.vec_id AS cand_id,
+         |    round(vec_cosine_sim(e.embedding, q.q_embedding), 6) AS score
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id),
+         |arms AS (SELECT query_id, same,
+         |           nn[0]._1 AS cand_id, nn[0]._2 AS score
+         |         FROM (SELECT query_id, same,
+         |                 topk1_pairs(cand_id, score) AS nn
+         |               FROM arms0
+         |               WHERE score IS NOT NULL AND NOT isnan(score)
+         |               GROUP BY query_id, same))
+         |SELECT p.query_id, p.cand_id AS positive_id,
+         |  p.score AS pos_score, n.cand_id AS negative_id,
+         |  n.score AS neg_score,
+         |  round(p.score - n.score, 6) AS margin
+         |FROM (SELECT * FROM arms WHERE same) p
+         |JOIN (SELECT * FROM arms WHERE NOT same) n
+         |  ON p.query_id = n.query_id
+         |ORDER BY p.query_id""".stripMargin,
+
+    // Trending top-k types per tumbling window — the batch form of the
+    // windowCounts stage + sink-side ranking.
+    "stream_trending" ->
+      s"""WITH wc AS (SELECT
+         |    date_format(window.start, 'yyyy-MM-dd HH:mm:ss')
+         |      AS window_start,
+         |    event_type, n
+         |  FROM (SELECT window, event_type, count(1) AS n FROM events
+         |        GROUP BY window(ts, '21600 seconds'), event_type)),
+         |r AS (SELECT window_start, event_type, n,
+         |        row_number() OVER (PARTITION BY window_start
+         |          ORDER BY n DESC, event_type) AS rank
+         |      FROM wc)
+         |SELECT window_start, event_type, n, rank FROM r WHERE rank <= 3
+         |ORDER BY window_start, rank""".stripMargin,
 
     // Gopher/C4-style quality flags in SQL — the same three aggregate
     // lanes as TextAnalysis.qualityFlags (word/bigram/char), the same
@@ -2893,6 +3219,17 @@ object SqlSurface {
       "phi_bands" -> SparkEntry.queries("phi_bands"),
       "dq_expectations" -> SparkEntry.queries("dq_expectations"),
       "source_divergence" -> SparkEntry.queries("source_divergence"),
-      "span_dedup" -> SparkEntry.queries("span_dedup"))
+      "span_dedup" -> SparkEntry.queries("span_dedup"),
+      "bm25_ndcg" -> SparkEntry.queries("bm25_ndcg"),
+      "bm25_mrr" -> SparkEntry.queries("bm25_mrr"),
+      "hybrid_search_rrf" -> SparkEntry.queries("hybrid_search_rrf"),
+      "corpus_report" -> SparkEntry.queries("corpus_report"),
+      "corpus_diff" -> SparkEntry.queries("corpus_diff"),
+      "scd2_merge" -> SparkEntry.queries("scd2_merge"),
+      "stream_dedup_ingest" -> SparkEntry.queries("stream_dedup_ingest"),
+      "stream_click_error" -> SparkEntry.queries("stream_click_error"),
+      "stream_trending" -> SparkEntry.queries("stream_trending"),
+      "hard_negatives" -> SparkEntry.queries("hard_negatives"),
+      "triplet_mining" -> SparkEntry.queries("triplet_mining"))
   }
 }

@@ -48,7 +48,7 @@ object Views {
       // contract arities get named variants.
       import org.apache.spark.sql.functions.udaf
       import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-      for (k <- Seq(3, 10))
+      for (k <- Seq(1, 3, 5, 10))
         s.udf.register(s"topk${k}_pairs",
           udaf(new graft.operators.Search.TopKAgg(k),
             ExpressionEncoder[(Long, Double)]()))
