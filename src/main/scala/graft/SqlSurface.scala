@@ -246,6 +246,56 @@ object SqlSurface {
        |          / (ln(CAST($r AS DOUBLE) + 1.0D) / ${math.log(2.0)}D), 9)
        |        AS DECIMAL(28,9))""".stripMargin
 
+  /** The MinHash-LSH chain in SQL (k=16, 4 bands × 4 rows): per-seed
+    * minimum of md5(j:shingle), band digest = md5 of the sorted
+    * "j=min" entries — byte-identical to the bandKeysUdf formulation —
+    * plus the exact-Jaccard verification frames (sz / inter). Shared by
+    * `dedup_minhash_lsh` and `minhash_estimate_error`.
+    */
+  private val minhashCtes: String =
+    s"""${shingleCte("doc_id")},
+       |sz AS (SELECT doc_id, count(1) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |            count(1) AS c
+       |          FROM sh a JOIN sh b
+       |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY a.doc_id, b.doc_id),
+       |mh AS (SELECT doc_id, j, min(md5(concat(j, ':', shingle))) AS mn
+       |       FROM sh LATERAL VIEW explode(sequence(0, 15)) t AS j
+       |       GROUP BY doc_id, j),
+       |bk AS (SELECT doc_id, CAST(floor(j / 4) AS INT) AS band,
+       |         md5(concat_ws('|',
+       |           sort_array(collect_list(concat(j, '=', mn))))) AS band_key
+       |       FROM mh GROUP BY doc_id, floor(j / 4)),
+       |cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM bk x JOIN bk y
+       |           ON x.band = y.band AND x.band_key = y.band_key
+       |          AND x.doc_id < y.doc_id
+       |         GROUP BY x.doc_id, y.doc_id)""".stripMargin
+
+  /** The 62-bit SimHash in SQL: bit j of md5(word) MSB-first weights
+    * ±count(word); h bit j set iff the weight is positive — the
+    * simhashUdf arithmetic over hex nibbles. Ends in `hv`.
+    */
+  private val simhashCtes: String =
+    s"""wcnt AS (SELECT doc_id, w, count(1) AS c
+       |  FROM (SELECT doc_id, explode(split(trim(text), '\\\\s+')) AS w
+       |        FROM documents WHERE text IS NOT NULL)
+       |  GROUP BY doc_id, w),
+       |wh AS (SELECT doc_id, c, md5(w) AS hx FROM wcnt),
+       |sbits AS (SELECT doc_id, j,
+       |    sum(CASE WHEN pmod(shiftright(
+       |          CAST(conv(substring(hx, CAST(floor(j / 4) AS INT) + 1, 1),
+       |            16, 10) AS INT),
+       |          3 - CAST(j % 4 AS INT)), 2) = 1
+       |        THEN c ELSE -c END) AS weight
+       |  FROM wh LATERAL VIEW explode(sequence(0, 61)) t AS j
+       |  GROUP BY doc_id, j),
+       |hv AS (SELECT doc_id,
+       |         sum(CASE WHEN weight > 0 THEN shiftleft(1L, CAST(j AS INT))
+       |             ELSE 0L END) AS simhash
+       |       FROM sbits GROUP BY doc_id)""".stripMargin
+
   // NOTE deliberately absent from the SQL surface:
   // `pipeline_clean_corpus`. Its near-dup stage squares an edge set
   // built ON TOP of the quality+exact-dedup survivor CTE; Spark
@@ -1076,6 +1126,84 @@ object SqlSurface {
          |      FROM wc)
          |SELECT window_start, event_type, n, rank FROM r WHERE rank <= 3
          |ORDER BY window_start, rank""".stripMargin,
+
+    // MinHash-LSH near-dup pairs: banded candidates from the shared
+    // signature chain, exact-Jaccard verification over candidates only.
+    "dedup_minhash_lsh" ->
+      s"""WITH $minhashCtes,
+         |v AS (SELECT c.doc_a, c.doc_b,
+         |        round(CAST(i.c AS DOUBLE) / (x.n + y.n - i.c), 6)
+         |          AS jaccard
+         |      FROM cand c
+         |      JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+         |      JOIN sz x ON c.doc_a = x.doc_id
+         |      JOIN sz y ON c.doc_b = y.doc_id)
+         |SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.5D
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Sketch calibration: Broder estimate (matching signature rows /
+    // 16) vs exact Jaccard per LSH candidate — unthresholded by design.
+    "minhash_estimate_error" ->
+      s"""WITH $minhashCtes,
+         |mt AS (SELECT c.doc_a, c.doc_b,
+         |         sum(CASE WHEN ma.mn = mb.mn THEN 1 ELSE 0 END) AS nm
+         |       FROM cand c
+         |       JOIN mh ma ON c.doc_a = ma.doc_id
+         |       JOIN mh mb ON c.doc_b = mb.doc_id AND ma.j = mb.j
+         |       GROUP BY c.doc_a, c.doc_b),
+         |ex AS (SELECT m.doc_a, m.doc_b, m.nm, x.n AS na, y.n AS nb,
+         |         coalesce(i.c, 0L) AS c
+         |       FROM mt m
+         |       JOIN sz x ON m.doc_a = x.doc_id
+         |       JOIN sz y ON m.doc_b = y.doc_id
+         |       LEFT JOIN inter i
+         |         ON m.doc_a = i.doc_a AND m.doc_b = i.doc_b)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(nm AS DOUBLE) / 16.0D, 6) AS est_jaccard,
+         |  round(CAST(c AS DOUBLE) / (na + nb - c), 6) AS exact_jaccard,
+         |  round(abs(CAST(nm AS DOUBLE) / 16.0D
+         |          - CAST(c AS DOUBLE) / (na + nb - c)), 6) AS abs_err
+         |FROM ex ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Per-document 62-bit SimHash from the shared bit-weight chain;
+    // NULL text → NULL simhash.
+    "dedup_simhash" ->
+      s"""WITH $simhashCtes
+         |SELECT d.doc_id, hv.simhash
+         |FROM documents d LEFT JOIN hv ON d.doc_id = hv.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // SimHash near-dup pairs: 16/16/16/14 block equi-join candidates
+    // (pigeonhole for hamming ≤ 3), exact xor+bit_count filter.
+    "dedup_simhash_pairs" ->
+      s"""WITH $simhashCtes,
+         |blocks AS (SELECT doc_id, simhash, b.q AS q, b.blk AS blk
+         |  FROM hv LATERAL VIEW explode(array(
+         |    named_struct('q', 0, 'blk', shiftright(simhash, 0) & 65535L),
+         |    named_struct('q', 1, 'blk', shiftright(simhash, 16) & 65535L),
+         |    named_struct('q', 2, 'blk', shiftright(simhash, 32) & 65535L),
+         |    named_struct('q', 3, 'blk', shiftright(simhash, 48) & 16383L)
+         |  )) t AS b),
+         |cd AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |         x.simhash AS ha, y.simhash AS hb
+         |       FROM blocks x JOIN blocks y
+         |         ON x.q = y.q AND x.blk = y.blk AND x.doc_id < y.doc_id
+         |       GROUP BY x.doc_id, y.doc_id, x.simhash, y.simhash)
+         |SELECT doc_a, doc_b, bit_count(ha ^ hb) AS hamming
+         |FROM cd WHERE bit_count(ha ^ hb) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Bottom-k md5 sketch over character 8-grams (winnowing-style
+    // fingerprint) — distinct hashes, k smallest, per row.
+    "doc_sketch" ->
+      s"""WITH g AS (SELECT doc_id, md5(substring(text, i, 8)) AS h
+         |  FROM (SELECT doc_id, text FROM documents WHERE length(text) >= 8)
+         |  LATERAL VIEW explode(sequence(1, length(text) - 7)) t AS i),
+         |s AS (SELECT doc_id, slice(array_sort(collect_set(h)), 1, 4) AS hs
+         |      FROM g GROUP BY doc_id)
+         |SELECT doc_id, CAST(pos + 1 AS INT) AS rank, h
+         |FROM s LATERAL VIEW posexplode(hs) t AS pos, h
+         |ORDER BY doc_id, rank""".stripMargin,
 
     // Gopher/C4-style quality flags in SQL — the same three aggregate
     // lanes as TextAnalysis.qualityFlags (word/bigram/char), the same
@@ -3230,6 +3358,11 @@ object SqlSurface {
       "stream_click_error" -> SparkEntry.queries("stream_click_error"),
       "stream_trending" -> SparkEntry.queries("stream_trending"),
       "hard_negatives" -> SparkEntry.queries("hard_negatives"),
-      "triplet_mining" -> SparkEntry.queries("triplet_mining"))
+      "triplet_mining" -> SparkEntry.queries("triplet_mining"),
+      "dedup_minhash_lsh" -> SparkEntry.queries("dedup_minhash_lsh"),
+      "minhash_estimate_error" -> SparkEntry.queries("minhash_estimate_error"),
+      "dedup_simhash" -> SparkEntry.queries("dedup_simhash"),
+      "dedup_simhash_pairs" -> SparkEntry.queries("dedup_simhash_pairs"),
+      "doc_sketch" -> SparkEntry.queries("doc_sketch"))
   }
 }
