@@ -1205,6 +1205,194 @@ object SqlSurface {
          |FROM s LATERAL VIEW posexplode(hs) t AS pos, h
          |ORDER BY doc_id, rank""".stripMargin,
 
+    // Per-label centroid head (first 8 dims): posexplode + the exact
+    // sum/count mean at 6 dp.
+    "cluster_centroid_dims" ->
+      s"""SELECT label, dim_idx,
+         |  round(sum(CAST(x AS DOUBLE)) / count(1), 6) AS c
+         |FROM (SELECT label, CAST(pos + 1 AS INT) AS dim_idx, x
+         |      FROM embeddings LATERAL VIEW posexplode(embedding) t
+         |        AS pos, x)
+         |WHERE dim_idx <= 8
+         |GROUP BY label, dim_idx ORDER BY label, dim_idx""".stripMargin,
+
+    // Per-label inertia: centroids rebuilt from per-dim means (6 dp,
+    // order restored by the pos sort), Σ‖e − c‖² via the same
+    // vec_sq_dist codegen expression, 6-dp round.
+    "cluster_inertia_by_label" ->
+      s"""WITH pd AS (SELECT label, pos,
+         |    round(sum(CAST(x AS DOUBLE)) / count(1), 6) AS c
+         |  FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, x
+         |  GROUP BY label, pos),
+         |cent AS (SELECT label, transform(array_sort(collect_list(
+         |    named_struct('pos', pos, 'c', c))), s -> s.c) AS centroid
+         |  FROM pd GROUP BY label),
+         |nm AS (SELECT label, count(1) AS n_members FROM embeddings
+         |       GROUP BY label),
+         |iv AS (SELECT e.label,
+         |         round(sum(vec_sq_dist(e.embedding, c.centroid)), 6)
+         |           AS inertia
+         |       FROM embeddings e JOIN cent c ON e.label = c.label
+         |       GROUP BY e.label)
+         |SELECT CAST(nm.label AS INT) AS cluster_key, nm.n_members,
+         |  iv.inertia
+         |FROM nm JOIN iv ON nm.label = iv.label
+         |ORDER BY cluster_key""".stripMargin,
+
+    // Matryoshka truncation recall: full-dim and 16-dim cosine top-10
+    // arms share the topk10 UDAF scan shape; hits = arm intersection.
+    "mrl_truncation_recall" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+         |           FROM embeddings WHERE vec_id < 5),
+         |qt AS (SELECT vec_id AS query_id, slice(embedding, 1, 16) AS qe
+         |       FROM embeddings WHERE vec_id < 5),
+         |ef AS (SELECT /*+ BROADCAST(q) */ q.query_id, e.vec_id,
+         |         round(vec_cosine_sim(e.embedding, q.qe), 6) AS score
+         |       FROM embeddings e CROSS JOIN q),
+         |ec AS (SELECT /*+ BROADCAST(qt) */ qt.query_id, e.vec_id,
+         |         round(vec_cosine_sim(slice(e.embedding, 1, 16), qt.qe), 6)
+         |           AS score
+         |       FROM embeddings e CROSS JOIN qt),
+         |rf AS (SELECT query_id, p._1 AS vec_id
+         |       FROM (SELECT query_id, topk10_pairs(vec_id, score) AS nn
+         |             FROM ef WHERE score IS NOT NULL AND NOT isnan(score)
+         |             GROUP BY query_id)
+         |       LATERAL VIEW posexplode(nn) t AS pos, p),
+         |rc AS (SELECT query_id, p._1 AS vec_id
+         |       FROM (SELECT query_id, topk10_pairs(vec_id, score) AS nn
+         |             FROM ec WHERE score IS NOT NULL AND NOT isnan(score)
+         |             GROUP BY query_id)
+         |       LATERAL VIEW posexplode(nn) t AS pos, p),
+         |h AS (SELECT rf.query_id, count(1) AS n_hits
+         |      FROM rf JOIN rc
+         |        ON rf.query_id = rc.query_id AND rf.vec_id = rc.vec_id
+         |      GROUP BY rf.query_id)
+         |SELECT q.query_id, coalesce(h.n_hits, 0L) AS n_hits,
+         |  round(CAST(coalesce(h.n_hits, 0L) AS DOUBLE) / 10.0D, 6)
+         |    AS recall
+         |FROM q LEFT JOIN h ON q.query_id = h.query_id
+         |ORDER BY q.query_id""".stripMargin,
+
+    // Concat-and-chunk sequence packing: hash-sharded replayable order,
+    // one in-shard running sum, pure window arithmetic.
+    "pack_windows" ->
+      s"""WITH b AS (SELECT doc_id,
+         |    pmod(CAST(conv(substring(sha2(concat(CAST(doc_id AS STRING),
+         |      ''), 256), 1, 15), 16, 10) AS BIGINT), 8L) AS shard,
+         |    sha2(CAST(doc_id AS STRING), 256) AS ord,
+         |    CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, shard, n_tokens,
+         |        sum(n_tokens) OVER (PARTITION BY shard
+         |          ORDER BY ord, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM b)
+         |SELECT doc_id, shard, n_tokens,
+         |  CAST(floor((cum - n_tokens) / 512.0D) AS BIGINT) AS pack_id,
+         |  pmod(cum - n_tokens, 512L) AS off,
+         |  CAST(floor((cum - 1) / 512.0D) AS BIGINT)
+         |    - CAST(floor((cum - n_tokens) / 512.0D) AS BIGINT) + 1L
+         |    AS n_windows
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Token-budget corpus assembly: shard-major prefix sums (in-shard
+    // window + per-shard offsets — never a whole-source sort), the
+    // budget CASE chain, kept = start < budget.
+    "token_budget" ->
+      s"""WITH b AS (SELECT doc_id, source,
+         |    CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS n_tokens,
+         |    pmod(CAST(conv(substring(sha2(concat(CAST(doc_id AS STRING),
+         |      ''), 256), 1, 15), 16, 10) AS BIGINT), 8L) AS shard,
+         |    sha2(CAST(doc_id AS STRING), 256) AS ord
+         |  FROM documents),
+         |soff AS (SELECT source, shard,
+         |    coalesce(sum(tot) OVER (PARTITION BY source ORDER BY shard
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L)
+         |      AS off
+         |  FROM (SELECT source, shard, sum(n_tokens) AS tot FROM b
+         |        GROUP BY source, shard)),
+         |c AS (SELECT b.doc_id, b.source, b.n_tokens,
+         |    soff.off + sum(b.n_tokens) OVER (PARTITION BY b.source, b.shard
+         |      ORDER BY b.ord, b.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      - b.n_tokens AS start,
+         |    CASE WHEN b.source = 'src2' THEN 0L
+         |         WHEN b.source = 'src1' THEN 500L
+         |         WHEN b.source = 'src0' THEN 800L
+         |         ELSE 1000L END AS budget
+         |  FROM b JOIN soff
+         |    ON b.source = soff.source AND b.shard = soff.shard)
+         |SELECT source, count(1) AS n_docs,
+         |  sum(CASE WHEN start < budget THEN 1L ELSE 0L END) AS n_kept,
+         |  sum(CASE WHEN start < budget THEN n_tokens ELSE 0L END)
+         |    AS tokens_kept,
+         |  min(budget) AS budget
+         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    // Incremental ingest dedup: the batch third probed against the
+    // history two-thirds — digest semi-join for exact, banded minhash
+    // candidates + exact-Jaccard verify for near (the same band-digest
+    // arithmetic as the minhash chain, one side each).
+    "dedup_incremental" ->
+      s"""WITH hw AS (SELECT doc_id, split(trim(text), '\\\\s+') AS ws
+         |           FROM documents WHERE doc_id % 3 != 0),
+         |hsh AS (SELECT doc_id AS hist_id, explode(array_distinct(
+         |          transform(sequence(0, size(ws) - 3),
+         |            i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))))
+         |          AS shingle
+         |        FROM hw WHERE size(ws) >= 3),
+         |hmh AS (SELECT hist_id, j, min(md5(concat(j, ':', shingle)))
+         |          AS mn
+         |        FROM hsh LATERAL VIEW explode(sequence(0, 15)) t AS j
+         |        GROUP BY hist_id, j),
+         |hbk AS (SELECT hist_id, CAST(floor(j / 4) AS INT) AS band,
+         |          md5(concat_ws('|', sort_array(collect_list(
+         |            concat(j, '=', mn))))) AS band_key
+         |        FROM hmh GROUP BY hist_id, floor(j / 4)),
+         |hsz AS (SELECT hist_id, count(1) AS n FROM hsh GROUP BY hist_id),
+         |hdg AS (SELECT DISTINCT sha2(text, 256) AS h FROM documents
+         |        WHERE doc_id % 3 != 0),
+         |bw AS (SELECT doc_id, split(trim(text), '\\\\s+') AS ws
+         |       FROM documents WHERE doc_id % 3 = 0),
+         |bsh AS (SELECT doc_id, explode(array_distinct(
+         |          transform(sequence(0, size(ws) - 3),
+         |            i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))))
+         |          AS shingle
+         |        FROM bw WHERE size(ws) >= 3),
+         |bmh AS (SELECT doc_id, j, min(md5(concat(j, ':', shingle)))
+         |          AS mn
+         |        FROM bsh LATERAL VIEW explode(sequence(0, 15)) t AS j
+         |        GROUP BY doc_id, j),
+         |bbk AS (SELECT doc_id, CAST(floor(j / 4) AS INT) AS band,
+         |          md5(concat_ws('|', sort_array(collect_list(
+         |            concat(j, '=', mn))))) AS band_key
+         |        FROM bmh GROUP BY doc_id, floor(j / 4)),
+         |bsz AS (SELECT doc_id, count(1) AS n FROM bsh GROUP BY doc_id),
+         |ie AS (SELECT doc_id, sha2(text, 256) AS h FROM documents
+         |       WHERE doc_id % 3 = 0),
+         |ex AS (SELECT DISTINCT ie.doc_id FROM ie JOIN hdg USING (h)),
+         |cd AS (SELECT bbk.doc_id, hbk.hist_id
+         |       FROM bbk JOIN hbk
+         |         ON bbk.band = hbk.band AND bbk.band_key = hbk.band_key
+         |       GROUP BY bbk.doc_id, hbk.hist_id),
+         |xin AS (SELECT cd.doc_id, cd.hist_id, count(1) AS c
+         |        FROM cd JOIN bsh ON cd.doc_id = bsh.doc_id
+         |                JOIN hsh ON cd.hist_id = hsh.hist_id
+         |                 AND bsh.shingle = hsh.shingle
+         |        GROUP BY cd.doc_id, cd.hist_id),
+         |near AS (SELECT DISTINCT x.doc_id
+         |         FROM xin x JOIN bsz ON x.doc_id = bsz.doc_id
+         |                    JOIN hsz ON x.hist_id = hsz.hist_id
+         |         WHERE round(CAST(x.c AS DOUBLE)
+         |             / (bsz.n + hsz.n - x.c), 6) >= 0.5D)
+         |SELECT ie.doc_id,
+         |  (ex.doc_id IS NOT NULL) AS exact_dup_hist,
+         |  (near.doc_id IS NOT NULL) AS near_dup_hist,
+         |  (ex.doc_id IS NULL AND near.doc_id IS NULL) AS keep
+         |FROM ie LEFT JOIN ex ON ie.doc_id = ex.doc_id
+         |        LEFT JOIN near ON ie.doc_id = near.doc_id
+         |ORDER BY ie.doc_id""".stripMargin,
+
     // Gopher/C4-style quality flags in SQL — the same three aggregate
     // lanes as TextAnalysis.qualityFlags (word/bigram/char), the same
     // zip_with bigram construction (slice lengths of 0 make 1-word docs
@@ -3363,6 +3551,12 @@ object SqlSurface {
       "minhash_estimate_error" -> SparkEntry.queries("minhash_estimate_error"),
       "dedup_simhash" -> SparkEntry.queries("dedup_simhash"),
       "dedup_simhash_pairs" -> SparkEntry.queries("dedup_simhash_pairs"),
-      "doc_sketch" -> SparkEntry.queries("doc_sketch"))
+      "doc_sketch" -> SparkEntry.queries("doc_sketch"),
+      "cluster_centroid_dims" -> SparkEntry.queries("cluster_centroid_dims"),
+      "cluster_inertia_by_label" -> SparkEntry.queries("cluster_inertia_by_label"),
+      "mrl_truncation_recall" -> SparkEntry.queries("mrl_truncation_recall"),
+      "pack_windows" -> SparkEntry.queries("pack_windows"),
+      "token_budget" -> SparkEntry.queries("token_budget"),
+      "dedup_incremental" -> SparkEntry.queries("dedup_incremental"))
   }
 }
