@@ -296,6 +296,30 @@ object SqlSurface {
        |             ELSE 0L END) AS simhash
        |       FROM sbits GROUP BY doc_id)""".stripMargin
 
+  /** A hyperplane as a SQL double-array literal (Double.toString
+    * round-trips exactly, so the SQL parses back the IDENTICAL IEEE
+    * doubles the DataFrame's typedLit carries).
+    */
+  private def planeArraySql(p: Array[Double]): String =
+    p.map(x => s"${x}D").mkString("array(", ", ", ")")
+
+  /** Ann.signBucket as SQL text: bit i = [v · plane(i) ≥ 0], the same
+    * vec_dot codegen fold — deterministic sign, hence bucket.
+    */
+  private def signBucketSql(vCol: String, seed: Long): String =
+    graft.operators.Ann.hyperplanes(8, 64, seed).zipWithIndex.map {
+      case (p, i) =>
+        s"(CASE WHEN vec_dot($vCol, ${planeArraySql(p)}) >= 0.0D " +
+          s"THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  // Morton interleave of the low 8 bits of (a, b) — zOrderKey verbatim
+  private def zKeySql(a: String, b: String): String =
+    (0 until 8).map(i =>
+      s"(shiftright($a, $i) & 1L) * ${1L << (2 * i)}L" +
+        s" + (shiftright($b, $i) & 1L) * ${1L << (2 * i + 1)}L")
+      .mkString(" + ")
+
   // NOTE deliberately absent from the SQL surface:
   // `pipeline_clean_corpus`. Its near-dup stage squares an edge set
   // built ON TOP of the quality+exact-dedup survivor CTE; Spark
@@ -1392,6 +1416,107 @@ object SqlSurface {
          |FROM ie LEFT JOIN ex ON ie.doc_id = ex.doc_id
          |        LEFT JOIN near ON ie.doc_id = near.doc_id
          |ORDER BY ie.doc_id""".stripMargin,
+
+    // Morton-interleaved (length-bucket, source-code) layout keys and
+    // high-bit file groups — the OPTIMIZE ZORDER arithmetic as SQL.
+    "layout_zorder" ->
+      s"""WITH b AS (SELECT doc_id,
+         |    CAST(least(floor(n_chars / 4), 255L) AS BIGINT) AS len_bucket,
+         |    CAST(substring(source, 4, 10) AS BIGINT) AS src_code
+         |  FROM documents)
+         |SELECT doc_id, len_bucket, src_code,
+         |  ${zKeySql("len_bucket", "src_code")} AS zkey,
+         |  shiftright(${zKeySql("len_bucket", "src_code")}, 12)
+         |    AS file_group
+         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // JL projection 64 → 8 dims (seed 7): per-plane vec_dot against the
+    // interpolated plane literals, 1/sqrt(8) scale, exploded to scalar
+    // rows.
+    "embedding_project" ->
+      s"""SELECT vec_id, pos, px
+         |FROM embeddings
+         |LATERAL VIEW posexplode(transform(array(
+         |  ${graft.operators.Ann.hyperplanes(8, 64, 7L).map(p =>
+              s"vec_dot(embedding, ${planeArraySql(p)}) * ${1.0 / math.sqrt(8.0)}D")
+              .mkString(",\n  ")}
+         |), x -> round(x, 6))) t AS pos, px
+         |ORDER BY vec_id, pos""".stripMargin,
+
+    // Binary quantization + rescore: stage-1 Hamming scan over the
+    // 1-bit sign signatures (HOF-built 32-bit words), stage-2 exact
+    // cosine rerank of the 50 survivors.
+    "search_hamming_rerank" ->
+      s"""WITH sg AS (SELECT vec_id,
+         |    aggregate(sequence(0, 31), 0L, (acc, i) -> acc +
+         |      CASE WHEN CAST(embedding[i] AS DOUBLE) > 0.0D
+         |           THEN shiftleft(1L, i) ELSE 0L END) AS sig0,
+         |    aggregate(sequence(0, 31), 0L, (acc, i) -> acc +
+         |      CASE WHEN CAST(embedding[32 + i] AS DOUBLE) > 0.0D
+         |           THEN shiftleft(1L, i) ELSE 0L END) AS sig1
+         |  FROM embeddings),
+         |qs AS (SELECT sig0 AS q0, sig1 AS q1 FROM sg WHERE vec_id = 0),
+         |cand AS (SELECT /*+ BROADCAST(qs) */ vec_id,
+         |    CAST(bit_count(sig0 ^ q0) + bit_count(sig1 ^ q1) AS INT)
+         |      AS hamming
+         |  FROM sg CROSS JOIN qs
+         |  ORDER BY hamming ASC, vec_id ASC LIMIT 50),
+         |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |sc AS (SELECT e.vec_id, c.hamming,
+         |    round(vec_cosine_sim(e.embedding, qv.qe), 6) AS score
+         |  FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id
+         |  CROSS JOIN qv)
+         |SELECT vec_id, hamming, score FROM sc
+         |WHERE score IS NOT NULL AND NOT isnan(score)
+         |ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // Sign-LSH bucketed cosine pairs (single table, seed 42): bucket
+    // equi-join candidates, exact cosine verify at threshold 0.4.
+    "ann_lsh_pairs" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+         |    ${signBucketSql("embedding", 42L)} AS bucket
+         |  FROM embeddings)
+         |SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+         |  round(vec_cosine_sim(a.embedding, c.embedding), 6) AS score
+         |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+         |WHERE round(vec_cosine_sim(a.embedding, c.embedding), 6) >= 0.4D
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // Banded sign-LSH near-dup (seeds 42..45, OR-amplified), exact
+    // cosine verify, per-duplicate keep-lowest summary.
+    "dedup_embedding_pairs" -> {
+      val bandCtes = (0 until 4).map { bd =>
+        s"""b$bd AS (SELECT vec_id,
+           |  ${signBucketSql("embedding", 42L + bd)} AS bucket
+           |  FROM embeddings)""".stripMargin
+      }.mkString(",\n")
+      val bandCand = (0 until 4).map { bd =>
+        s"""SELECT l.vec_id AS vec_a, r.vec_id AS vec_b
+           |    FROM b$bd l JOIN b$bd r
+           |      ON l.bucket = r.bucket AND l.vec_id < r.vec_id""".stripMargin
+      }.mkString("\n    UNION\n    ")
+      s"""WITH $bandCtes,
+         |cand AS (
+         |    $bandCand
+         |),
+         |p AS (SELECT cand.vec_a, cand.vec_b,
+         |        round(vec_cosine_sim(a.embedding, b.embedding), 6)
+         |          AS score
+         |      FROM cand JOIN embeddings a ON a.vec_id = cand.vec_a
+         |                JOIN embeddings b ON b.vec_id = cand.vec_b)
+         |SELECT vec_b AS dup_id, min(vec_a) AS keep_id,
+         |  max(score) AS best_score, count(1) AS n_matches
+         |FROM p WHERE score >= 0.4D
+         |GROUP BY vec_b ORDER BY dup_id""".stripMargin
+    },
+
+    // The exact all-pairs top-N calibration baseline — quadratic by
+    // definition (named and opt-in, like the operator).
+    "dedup_embedding_exact_topn_baseline" ->
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  round(vec_cosine_sim(a.embedding, b.embedding), 6) AS score
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |ORDER BY score DESC, vec_a, vec_b LIMIT 20""".stripMargin,
 
     // Gopher/C4-style quality flags in SQL — the same three aggregate
     // lanes as TextAnalysis.qualityFlags (word/bigram/char), the same
@@ -3557,6 +3682,13 @@ object SqlSurface {
       "mrl_truncation_recall" -> SparkEntry.queries("mrl_truncation_recall"),
       "pack_windows" -> SparkEntry.queries("pack_windows"),
       "token_budget" -> SparkEntry.queries("token_budget"),
-      "dedup_incremental" -> SparkEntry.queries("dedup_incremental"))
+      "dedup_incremental" -> SparkEntry.queries("dedup_incremental"),
+      "layout_zorder" -> SparkEntry.queries("layout_zorder"),
+      "embedding_project" -> SparkEntry.queries("embedding_project"),
+      "search_hamming_rerank" -> SparkEntry.queries("search_hamming_rerank"),
+      "ann_lsh_pairs" -> SparkEntry.queries("ann_lsh_pairs"),
+      "dedup_embedding_pairs" -> SparkEntry.queries("dedup_embedding_pairs"),
+      "dedup_embedding_exact_topn_baseline" ->
+        SparkEntry.queries("dedup_embedding_exact_topn_baseline"))
   }
 }
