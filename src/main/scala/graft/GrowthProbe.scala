@@ -68,6 +68,7 @@ object GrowthProbe {
     probe("novelty")(d => TextAnalysis.noveltyScores(d).count())
     probe("quality_flags")(d => TextAnalysis.qualityFlags(d).count())
     probe("char_entropy")(d => TextAnalysis.charEntropy(d).count())
+    probe("heavy_hitters")(d => HeavyHitters.topTokens(d, 20, 4096).count())
     probe("pack_windows")(d => Packing.packWindows(d, 512, 64).count())
     probe("token_budget")(d => Sampling.tokenBudgetSummary(d,
       Map("src0" -> 8000L), 10000L, numShards = 64).count())

@@ -429,6 +429,12 @@ object SparkEntry {
     "token_counts" -> ((s, dir) => TextAnalysis.tokenCounts(tbl(s, dir, "documents"))),
     "doc_digests" -> ((s, dir) => TextAnalysis.digests(tbl(s, dir, "documents"))),
     "doc_sketch" -> ((s, dir) => TextAnalysis.minKSketch(tbl(s, dir, "documents"), 4)),
+    // exact top-k frequent tokens WITHOUT a vocabulary-sized shuffle:
+    // one-pass mergeable Misra-Gries candidates (bounded task state),
+    // exact recount of the candidate set, exactness precondition
+    // CHECKED (k-th count vs the n/(capacity+1) undercount bound)
+    "heavy_hitters" -> ((s, dir) =>
+      operators.HeavyHitters.topTokens(tbl(s, dir, "documents"), 20, 1024)),
     "tfidf_top_terms" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(tbl(s, dir, "documents"), 3)),
     "doc_chunks" -> ((s, dir) =>
@@ -2963,6 +2969,14 @@ object SparkEntry {
          |r AS (SELECT doc_id, h, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY h) AS INT) AS rank
          |      FROM g)
          |SELECT doc_id, rank, h FROM r WHERE rank <= 4 ORDER BY doc_id, rank""".stripMargin,
+    // the oracle states the EXACT top-k the two-pass scheme must equal
+    "heavy_hitters" ->
+      s"""WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         |           FROM documents),
+         |c AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY w)
+         |SELECT CAST(row_number() OVER (ORDER BY n DESC, word) AS INT) AS rank,
+         |  word, n
+         |FROM c ORDER BY n DESC, word LIMIT 20""".stripMargin,
     "doc_chunks" ->
       s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
          |c AS (SELECT doc_id, ws,

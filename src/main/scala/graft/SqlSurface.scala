@@ -1510,6 +1510,18 @@ object SqlSurface {
          |GROUP BY vec_b ORDER BY dup_id""".stripMargin
     },
 
+    // Exact top-k frequent tokens — the SQL readout the two-pass
+    // Misra-Gries engine path must equal (and proves it equals, here).
+    "heavy_hitters" ->
+      s"""WITH c AS (SELECT w AS word, count(1) AS n
+         |  FROM (SELECT explode(split(trim(text), '\\\\s+')) AS w
+         |        FROM documents)
+         |  GROUP BY w)
+         |SELECT CAST(row_number() OVER (ORDER BY n DESC, word) AS INT)
+         |    AS rank,
+         |  word, n
+         |FROM c ORDER BY n DESC, word LIMIT 20""".stripMargin,
+
     // The exact all-pairs top-N calibration baseline — quadratic by
     // definition (named and opt-in, like the operator).
     "dedup_embedding_exact_topn_baseline" ->
@@ -3689,6 +3701,7 @@ object SqlSurface {
       "ann_lsh_pairs" -> SparkEntry.queries("ann_lsh_pairs"),
       "dedup_embedding_pairs" -> SparkEntry.queries("dedup_embedding_pairs"),
       "dedup_embedding_exact_topn_baseline" ->
-        SparkEntry.queries("dedup_embedding_exact_topn_baseline"))
+        SparkEntry.queries("dedup_embedding_exact_topn_baseline"),
+      "heavy_hitters" -> SparkEntry.queries("heavy_hitters"))
   }
 }

@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.HeavyHitters
+
+/** Two-pass exact heavy hitters: the Misra–Gries candidate pass plus
+  * the exact recount must equal the exact groupBy top-k wherever the
+  * guarantee holds, and must FAIL LOUDLY (never silently approximate)
+  * where it provably may not.
+  */
+class HeavyHittersSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def exactTopK(df: org.apache.spark.sql.DataFrame, k: Int) =
+    df.select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w").asc).limit(k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  test("matches the exact top-k on the documents corpus") {
+    val docs = sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = HeavyHitters.topTokens(docs, 20, capacity = 1024)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    val want = exactTopK(docs, 20).zipWithIndex
+      .map { case ((w, n), i) => (i + 1, w, n) }
+    assert(got == want)
+  }
+
+  test("exact with ties and a no-eviction sketch (vocab <= capacity)") {
+    val docs = Seq.tabulate(30)(i => (i.toLong, s"a b b c${i % 3}"))
+      .toDF("doc_id", "text")
+    val got = HeavyHitters.topTokens(docs, 4, capacity = 64)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    val want = exactTopK(docs, 4).zipWithIndex
+      .map { case ((w, n), i) => (i + 1, w, n) }
+    assert(got == want)
+  }
+
+  test("a provably-inexact result raises instead of silently approximating") {
+    // 500 distinct singleton words, no heavy hitter: any capacity-8
+    // sketch evicts constantly and no candidate count can beat the
+    // n/(capacity+1) bound — the operator must refuse
+    val docs = Seq.tabulate(500)(i => (i.toLong, s"w$i")).toDF("doc_id", "text")
+    val e = intercept[IllegalStateException] {
+      HeavyHitters.topTokens(docs, 5, capacity = 8)
+    }
+    assert(e.getMessage.contains("Raise capacity"))
+  }
+
+  test("an empty corpus returns an empty frame, not an error") {
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(HeavyHitters.topTokens(docs, 5, capacity = 8).count() == 0L)
+  }
+
+  test("eviction pressure with genuine heavy hitters stays exact") {
+    // 3 hot words (counts 400/300/200) drowned in 600 singletons: a
+    // capacity-64 sketch evicts, but the hot counts clear the bound
+    val rows =
+      Seq.fill(400)("hot1") ++ Seq.fill(300)("hot2") ++ Seq.fill(200)("hot3") ++
+        Seq.tabulate(600)(i => s"u$i")
+    val docs = rows.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val got = HeavyHitters.topTokens(docs, 3, capacity = 64)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1, "hot1", 400L), (2, "hot2", 300L), (3, "hot3", 200L)))
+  }
+
+  test("MG merge law: merged summaries retain every item above n/(c+1)") {
+    val mg = new HeavyHitters.MisraGries(4)
+    val xs = Seq.fill(30)("a") ++ Seq.tabulate(10)(i => s"l$i")
+    val ys = Seq.fill(25)("b") ++ Seq.tabulate(10)(i => s"r$i")
+    val bx = xs.foldLeft(mg.zero)(mg.reduce)
+    val by = ys.foldLeft(mg.zero)(mg.reduce)
+    val m = mg.merge(bx, by)
+    // n = 75, bound = 75/5 = 15 — "a" (30) and "b" (25) must survive
+    assert(m._1.contains("a") && m._1.contains("b"))
+    assert(m._1.size <= 4)
+    assert(m._2) // evictions definitely fired
+  }
+}
