@@ -69,6 +69,8 @@ object GrowthProbe {
     probe("quality_flags")(d => TextAnalysis.qualityFlags(d).count())
     probe("char_entropy")(d => TextAnalysis.charEntropy(d).count())
     probe("heavy_hitters")(d => HeavyHitters.topTokens(d, 20, 4096).count())
+    probe("cms_estimate")(d => CountMin.estimates(d,
+      Seq("join", "hash", "vector", "data", "merge", "absent")).count())
     probe("pack_windows")(d => Packing.packWindows(d, 512, 64).count())
     probe("token_budget")(d => Sampling.tokenBudgetSummary(d,
       Map("src0" -> 8000L), 10000L, numShards = 64).count())

@@ -435,6 +435,14 @@ object SparkEntry {
     // CHECKED (k-th count vs the n/(capacity+1) undercount bound)
     "heavy_hitters" -> ((s, dir) =>
       operators.HeavyHitters.topTokens(tbl(s, dir, "documents"), 20, 1024)),
+    // Count-Min point-frequency estimates for an arbitrary term list
+    // (md5 hashing replayed verbatim by the oracle — the sketch is the
+    // deterministic artifact, so estimates hash-compare exactly);
+    // "absent" pins the missing-term → 0 lane
+    "cms_estimate" -> ((s, dir) =>
+      operators.CountMin.estimates(tbl(s, dir, "documents"),
+        Seq("join", "hash", "vector", "data", "merge", "absent"),
+        depth = 4, width = 1024)),
     "tfidf_top_terms" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(tbl(s, dir, "documents"), 3)),
     "doc_chunks" -> ((s, dir) =>
@@ -2977,6 +2985,22 @@ object SparkEntry {
          |SELECT CAST(row_number() OVER (ORDER BY n DESC, word) AS INT) AS rank,
          |  word, n
          |FROM c ORDER BY n DESC, word LIMIT 20""".stripMargin,
+    // the oracle replays the IDENTICAL md5("d:term") % width hashing,
+    // so the deterministic sketch estimates hash-compare exactly
+    "cms_estimate" ->
+      s"""WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         |           FROM documents),
+         |b AS (SELECT d, CAST('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || w), 1, 12)
+         |               AS BIGINT) % 1024 AS bucket
+         |      FROM t, range(4) r(d)),
+         |c AS (SELECT d, bucket, count(*) AS n FROM b GROUP BY d, bucket),
+         |q AS (SELECT unnest(['join','hash','vector','data','merge','absent']) AS term),
+         |e AS (SELECT term, d, CAST('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || term), 1, 12)
+         |               AS BIGINT) % 1024 AS bucket
+         |      FROM q, range(4) r(d))
+         |SELECT term, CAST(min(coalesce(c.n, 0)) AS BIGINT) AS n_est
+         |FROM e LEFT JOIN c USING (d, bucket)
+         |GROUP BY term ORDER BY term""".stripMargin,
     "doc_chunks" ->
       s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
          |c AS (SELECT doc_id, ws,

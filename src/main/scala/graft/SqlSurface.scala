@@ -1522,6 +1522,26 @@ object SqlSurface {
          |  word, n
          |FROM c ORDER BY n DESC, word LIMIT 20""".stripMargin,
 
+    // Count-Min point estimates — the same md5("d:term") % width
+    // hashing as the engine path, so the deterministic sketch readout
+    // is row-identical (and the counter CTE shows the bounded d*width
+    // aggregate a SQL user would reuse for their own term lists)
+    "cms_estimate" ->
+      s"""WITH t AS (SELECT explode(split(trim(text), '\\\\s+')) AS w FROM documents),
+         |b AS (SELECT d,
+         |        pmod(CAST(conv(substr(md5(concat(CAST(d AS STRING), ':', w)), 1, 12),
+         |                       16, 10) AS BIGINT), 1024) AS bucket
+         |      FROM t LATERAL VIEW explode(sequence(0, 3)) x AS d),
+         |c AS (SELECT d, bucket, count(1) AS n FROM b GROUP BY d, bucket),
+         |q AS (SELECT explode(array('join','hash','vector','data','merge','absent')) AS term),
+         |e AS (SELECT term, d,
+         |        pmod(CAST(conv(substr(md5(concat(CAST(d AS STRING), ':', term)), 1, 12),
+         |                       16, 10) AS BIGINT), 1024) AS bucket
+         |      FROM q LATERAL VIEW explode(sequence(0, 3)) x AS d)
+         |SELECT term, CAST(min(coalesce(c.n, 0)) AS BIGINT) AS n_est
+         |FROM e LEFT JOIN c USING (d, bucket)
+         |GROUP BY term ORDER BY term""".stripMargin,
+
     // The exact all-pairs top-N calibration baseline — quadratic by
     // definition (named and opt-in, like the operator).
     "dedup_embedding_exact_topn_baseline" ->
@@ -3702,6 +3722,7 @@ object SqlSurface {
       "dedup_embedding_pairs" -> SparkEntry.queries("dedup_embedding_pairs"),
       "dedup_embedding_exact_topn_baseline" ->
         SparkEntry.queries("dedup_embedding_exact_topn_baseline"),
-      "heavy_hitters" -> SparkEntry.queries("heavy_hitters"))
+      "heavy_hitters" -> SparkEntry.queries("heavy_hitters"),
+      "cms_estimate" -> SparkEntry.queries("cms_estimate"))
   }
 }
