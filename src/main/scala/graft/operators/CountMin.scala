@@ -45,6 +45,11 @@ object CountMin {
   /** The depth×width counter table (d, bucket, n) — at most
     * depth·width rows, LINEAR in the input (counters of a union equal
     * the cell-wise sum of the parts' counters). Absent cells mean 0.
+    *
+    * Streams as-is: on a `readStream` frame this plans as a streaming
+    * aggregation whose full-history state is bounded at depth·width
+    * keys BY CONSTRUCTION — no watermark needed, ever (StreamingSpec
+    * runs it on RocksDB and pins state ≤ depth·width + batch parity).
     */
   def counters(docs: DataFrame, depth: Int = 4, width: Int = 1024): DataFrame = {
     require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")

@@ -341,4 +341,40 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.table("rocks_stateful_out").count() == 2)
     }
   }
+
+  test("Count-Min counters stream incrementally on RocksDB, equal to batch") {
+    // the sketch's streaming aggregation state is bounded at
+    // depth*width keys BY CONSTRUCTION — the rare full-history corpus
+    // statistic that streams without a watermark forever (an exact
+    // per-word count's state would be the vocabulary); complete-mode
+    // output is the counter table itself
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val docsFixture = Seq((1L, "a a b c"), (2L, "b d d e"), (3L, "e e a f"))
+      val mem = MemoryStream[(Long, String)]
+      val q = operators.CountMin.counters(
+          mem.toDF().toDF("doc_id", "text"), depth = 4, width = 64)
+        .writeStream.format("memory").queryName("rocks_cms_out")
+        .outputMode("complete").start()
+      mem.addData(docsFixture.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(docsFixture.drop(2): _*)   // second batch: state merges
+      q.processAllAvailable()
+      val progress = q.lastProgress
+      q.stop()
+      assert(progress.stateOperators.nonEmpty, "expected a stateful operator")
+      assert(progress.stateOperators.head.numRowsTotal <= 4L * 64L,
+        "sketch state must stay bounded by depth*width")
+      assert(progress.json.contains("rocksdb"),
+        s"expected rocksdb state-store metrics in progress:\n${progress.json}")
+      import spark.implicits._
+      val streamed = spark.table("rocks_cms_out")
+        .orderBy("d", "bucket").collect().map(_.toSeq)
+      val batch = operators.CountMin.counters(
+          docsFixture.toDF("doc_id", "text"), depth = 4, width = 64)
+        .orderBy("d", "bucket").collect().map(_.toSeq)
+      assert(streamed.toSeq == batch.toSeq && streamed.nonEmpty,
+        "RocksDB-backed streaming counters must equal the batch counters")
+    }
+  }
 }
