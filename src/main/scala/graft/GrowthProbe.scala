@@ -71,6 +71,9 @@ object GrowthProbe {
     probe("heavy_hitters")(d => HeavyHitters.topTokens(d, 20, 4096).count())
     probe("cms_estimate")(d => CountMin.estimates(d,
       Seq("join", "hash", "vector", "data", "merge", "absent")).count())
+    probe("key_skew")(d => HeavyHitters.keySkew(d, "lang", 5).count())
+    probe("join_size_estimate")(d =>
+      CountMin.joinSizeEstimate(d, "source", d, "source").count())
     probe("pack_windows")(d => Packing.packWindows(d, 512, 64).count())
     probe("token_budget")(d => Sampling.tokenBudgetSummary(d,
       Map("src0" -> 8000L), 10000L, numShards = 64).count())

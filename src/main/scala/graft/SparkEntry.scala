@@ -443,6 +443,17 @@ object SparkEntry {
       operators.CountMin.estimates(tbl(s, dir, "documents"),
         Seq("join", "hash", "vector", "data", "merge", "absent"),
         depth = 4, width = 1024)),
+    // shuffle-key skew report via the generalized checked two-pass —
+    // the number that decides salting; event_type's domain is bounded
+    // at every SF so the sketch provably never evicts here
+    "key_skew" -> ((s, dir) =>
+      operators.HeavyHitters.keySkew(events(s, dir), "event_type", 5)),
+    // CMS inner product: the user_id self-join size (sum of squared
+    // key counts) predicted WITHOUT running the join — the planning
+    // statistic behind salting / pre-aggregation decisions
+    "join_size_estimate" -> ((s, dir) =>
+      operators.CountMin.joinSizeEstimate(
+        events(s, dir), "user_id", events(s, dir), "user_id")),
     "tfidf_top_terms" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(tbl(s, dir, "documents"), 3)),
     "doc_chunks" -> ((s, dir) =>
@@ -3001,6 +3012,27 @@ object SparkEntry {
          |SELECT term, CAST(min(coalesce(c.n, 0)) AS BIGINT) AS n_est
          |FROM e LEFT JOIN c USING (d, bucket)
          |GROUP BY term ORDER BY term""".stripMargin,
+    // ties break on the STRING form of the key (the engine reports
+    // key_value as string) — the oracle casts before ordering
+    "key_skew" ->
+      s"""WITH c AS (SELECT CAST(coalesce(CAST(event_type AS VARCHAR), '(null)') AS VARCHAR)
+         |             AS key_value, count(*) AS n
+         |           FROM events GROUP BY 1),
+         |t AS (SELECT sum(n) AS total FROM c)
+         |SELECT CAST(row_number() OVER (ORDER BY n DESC, key_value) AS INT) AS rank,
+         |  key_value, CAST(n AS BIGINT) AS n,
+         |  round(n * 100.0 / total, 6) AS share_pct
+         |FROM c, t ORDER BY n DESC, key_value LIMIT 5""".stripMargin,
+    // the oracle replays the identical md5 bucketing and inner product
+    "join_size_estimate" ->
+      s"""WITH k AS (SELECT CAST(user_id AS VARCHAR) AS w FROM events
+         |           WHERE user_id IS NOT NULL),
+         |b AS (SELECT d, CAST('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || w), 1, 12)
+         |               AS BIGINT) % 1024 AS bucket
+         |      FROM k, range(4) r(d)),
+         |c AS (SELECT d, bucket, count(*) AS n FROM b GROUP BY d, bucket),
+         |ip AS (SELECT d, sum(n * n) AS ip FROM c GROUP BY d)
+         |SELECT CAST(coalesce(min(ip), 0) AS DECIMAL(38,0)) AS n_est FROM ip""".stripMargin,
     "doc_chunks" ->
       s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
          |c AS (SELECT doc_id, ws,

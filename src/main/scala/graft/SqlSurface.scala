@@ -1542,6 +1542,30 @@ object SqlSurface {
          |FROM e LEFT JOIN c USING (d, bucket)
          |GROUP BY term ORDER BY term""".stripMargin,
 
+    // Shuffle-key skew report — the SQL readout the checked two-pass
+    // engine path must equal (ties break on the STRING key form)
+    "key_skew" ->
+      s"""WITH c AS (SELECT coalesce(CAST(event_type AS STRING), '(null)') AS key_value,
+         |             count(1) AS n
+         |           FROM events GROUP BY 1),
+         |t AS (SELECT sum(n) AS total FROM c)
+         |SELECT CAST(row_number() OVER (ORDER BY n DESC, key_value) AS INT) AS rank,
+         |  key_value, n,
+         |  round(n * CAST(100 AS DOUBLE) / total, 6) AS share_pct
+         |FROM c CROSS JOIN t ORDER BY n DESC, key_value LIMIT 5""".stripMargin,
+
+    // CMS inner-product join-size estimate — same hashing, same fold
+    "join_size_estimate" ->
+      s"""WITH k AS (SELECT CAST(user_id AS STRING) AS w FROM events
+         |           WHERE user_id IS NOT NULL),
+         |b AS (SELECT d,
+         |        pmod(CAST(conv(substr(md5(concat(CAST(d AS STRING), ':', w)), 1, 12),
+         |                       16, 10) AS BIGINT), 1024) AS bucket
+         |      FROM k LATERAL VIEW explode(sequence(0, 3)) x AS d),
+         |c AS (SELECT d, bucket, count(1) AS n FROM b GROUP BY d, bucket),
+         |ip AS (SELECT d, sum(CAST(n AS DECIMAL(38,0)) * n) AS ip FROM c GROUP BY d)
+         |SELECT CAST(coalesce(min(ip), 0) AS DECIMAL(38,0)) AS n_est FROM ip""".stripMargin,
+
     // The exact all-pairs top-N calibration baseline — quadratic by
     // definition (named and opt-in, like the operator).
     "dedup_embedding_exact_topn_baseline" ->
@@ -3723,6 +3747,8 @@ object SqlSurface {
       "dedup_embedding_exact_topn_baseline" ->
         SparkEntry.queries("dedup_embedding_exact_topn_baseline"),
       "heavy_hitters" -> SparkEntry.queries("heavy_hitters"),
-      "cms_estimate" -> SparkEntry.queries("cms_estimate"))
+      "cms_estimate" -> SparkEntry.queries("cms_estimate"),
+      "key_skew" -> SparkEntry.queries("key_skew"),
+      "join_size_estimate" -> SparkEntry.queries("join_size_estimate"))
   }
 }

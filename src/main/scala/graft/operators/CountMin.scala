@@ -42,6 +42,19 @@ object CountMin {
     Partitioning.spread(docs)
       .select(explode(TextAnalysis.words(col("text"))).as("w"))
 
+  /** Counter table over an arbitrary pre-projected single-string-column
+    * frame (column `w`) — the generic core [[counters]] (tokens) and
+    * [[joinSizeEstimate]] (join keys) share.
+    */
+  private def countersOf(vals: DataFrame, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    vals
+      .select(posexplode(array((0 until depth).map(d =>
+        bucket(col("w"), d, width)): _*)).as(Seq("d", "bucket")))
+      .groupBy(col("d"), col("bucket")).agg(count(lit(1)).as("n"))
+  }
+
   /** The depth×width counter table (d, bucket, n) — at most
     * depth·width rows, LINEAR in the input (counters of a union equal
     * the cell-wise sum of the parts' counters). Absent cells mean 0.
@@ -51,13 +64,36 @@ object CountMin {
     * keys BY CONSTRUCTION — no watermark needed, ever (StreamingSpec
     * runs it on RocksDB and pins state ≤ depth·width + batch parity).
     */
-  def counters(docs: DataFrame, depth: Int = 4, width: Int = 1024): DataFrame = {
-    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
-    require(width >= 2, s"width must be >= 2, got $width")
-    tokens(docs)
-      .select(posexplode(array((0 until depth).map(d =>
-        bucket(col("w"), d, width)): _*)).as(Seq("d", "bucket")))
-      .groupBy(col("d"), col("bucket")).agg(count(lit(1)).as("n"))
+  def counters(docs: DataFrame, depth: Int = 4, width: Int = 1024): DataFrame =
+    countersOf(tokens(docs), depth, width)
+
+  /** Equi-join output-size estimate WITHOUT performing the join — the
+    * CMS inner product (Cormode & Muthukrishnan 2005 §4.2): per hash
+    * row d, Σ_bucket nA·nB, then min over d. NEVER undercounts
+    * |A ⋈ B| (collisions only add), so it is a safe planning bound:
+    * "do not run this shuffle" decisions (salting, pre-aggregation,
+    * broadcast refusal) made on the estimate are conservative. Each
+    * side costs one bounded counter pass; the estimate itself is a
+    * join of two ≤ depth·width tables. Self-joins (a = b on the same
+    * key) estimate Σ n_k² — the shuffle-explosion number [[HeavyHitters.keySkew]]
+    * diagnoses per-key. NULL keys are skipped on BOTH sides (equi-join
+    * semantics: NULL never matches). Output: 1 row (n_est).
+    */
+  def joinSizeEstimate(a: DataFrame, aKey: String, b: DataFrame, bKey: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    def side(df: DataFrame, key: String) = countersOf(
+      Partitioning.spread(df).select(col(key).cast("string").as("w"))
+        .filter(col("w").isNotNull),
+      depth, width)
+    side(a, aKey).as("ca")
+      .join(side(b, bKey).as("cb"), Seq("d", "bucket"))
+      .groupBy(col("d"))
+      // decimal product: two 10^12-row sides put nA·nB past long range
+      .agg(sum(col("ca.n").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+        * col("cb.n")).as("ip"))
+      // an empty counter intersection means a provably-empty join
+      .agg(coalesce(min(col("ip")), lit(0)).cast(
+        org.apache.spark.sql.types.DecimalType(38, 0)).as("n_est"))
   }
 
   /** Point estimates for `terms`: each term's estimate is the MIN over

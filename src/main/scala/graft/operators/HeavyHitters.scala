@@ -112,22 +112,20 @@ object HeavyHitters {
     tokens(docs).agg(mg(col("w")).as("cand"), count(lit(1)).as("n_total"))
   }
 
-  /** Exact top-k whitespace tokens of `docs.text`: MG candidates →
-    * exact candidate recount → checked top-k. Output (rank, word, n),
-    * rank 1-based with (n desc, word asc) total order — identical to
-    * the exact `groupBy + orderBy + limit` the oracle states.
-    *
-    * Driver state is bounded by `capacity` (the candidate list and the
-    * ≤ k recounted head — the bounded-collect discipline of the
-    * k-means centroid dump).
+  /** The generic two-pass core over any single-string-column frame
+    * (column `w`): returns the checked exact top-k as (value, count)
+    * in (n desc, value asc) order, plus the total row count. Shared by
+    * [[topTokens]] (token frequencies) and [[keySkew]] (join/group key
+    * multiplicities — the direct input to a salting decision).
     */
-  def topTokens(docs: DataFrame, k: Int, capacity: Int = 4096): DataFrame = {
+  private def topOf(vals: DataFrame, k: Int,
+      capacity: Int): (IndexedSeq[(String, Long)], Long) = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(capacity >= k,
       s"capacity $capacity must be >= k $k (candidates must cover the top-k)")
-    val spark = docs.sparkSession
-    val tok = tokens(docs)
-    val row = sketchPass(docs, capacity).head()
+    val mg = udaf(new MisraGries(capacity),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[String]())
+    val row = vals.agg(mg(col("w")).as("cand"), count(lit(1)).as("n_total")).head()
     val sketch = row.getStruct(0)
     val cands = sketch.getMap[String, Long](0).keys.toSeq
     val evicted = sketch.getBoolean(1)
@@ -137,16 +135,15 @@ object HeavyHitters {
       // drop every counter on a diffuse vocabulary) — refuse; a truly
       // empty corpus (never evicted, nothing seen) is a real empty
       if (evicted) throw new IllegalStateException(
-        "HeavyHitters.topTokens: the summary evicted down to empty - " +
-          s"no token count can be proven (n=$nTotal, capacity=$capacity). " +
+        "HeavyHitters: the summary evicted down to empty - " +
+          s"no count can be proven (n=$nTotal, capacity=$capacity). " +
           "Raise capacity.")
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], outSchema)
+      return (IndexedSeq.empty, nTotal)
     }
     // pass 2: exact counts of the bounded candidate set only
-    val topK = tok.filter(col("w").isin(cands: _*))
-      .groupBy(col("w").as("word")).agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("word").asc)
+    val topK = vals.filter(col("w").isin(cands: _*))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w").asc)
       .limit(k)
       .collect()
     // exactness precondition, CHECKED: if the sketch never evicted the
@@ -158,16 +155,58 @@ object HeavyHitters {
     if (evicted &&
         (topK.length < k || topK.last.getLong(1).toDouble <= bound))
       throw new IllegalStateException(
-        "HeavyHitters.topTokens: the top-k is not provably exact - " +
+        "HeavyHitters: the top-k is not provably exact - " +
           s"k-th candidate count ${topK.lastOption.map(_.getLong(1))} vs the " +
           s"Misra-Gries undercount bound n/(capacity+1) = $bound " +
           s"(n=$nTotal, capacity=$capacity, candidates=${cands.size}). " +
           "Raise capacity.")
-    // the collect above already carries the (n desc, word asc) total
-    // order, so rank is just the position — no single-partition window
-    val ranked = topK.toIndexedSeq.zipWithIndex.map { case (r, i) =>
-      Row(i + 1, r.getString(0), r.getLong(1))
-    }
+    (topK.toIndexedSeq.map(r => (r.getString(0), r.getLong(1))), nTotal)
+  }
+
+  /** Exact top-k whitespace tokens of `docs.text`: MG candidates →
+    * exact candidate recount → checked top-k. Output (rank, word, n),
+    * rank 1-based with (n desc, word asc) total order — identical to
+    * the exact `groupBy + orderBy + limit` the oracle states.
+    *
+    * Driver state is bounded by `capacity` (the candidate list and the
+    * ≤ k recounted head — the bounded-collect discipline of the
+    * k-means centroid dump).
+    */
+  def topTokens(docs: DataFrame, k: Int, capacity: Int = 4096): DataFrame = {
+    val spark = docs.sparkSession
+    val (top, _) = topOf(tokens(docs), k, capacity)
+    // topOf's order already carries rank — no single-partition window
+    val ranked = top.zipWithIndex.map { case ((w, n), i) => Row(i + 1, w, n) }
     spark.createDataFrame(spark.sparkContext.parallelize(ranked, 1), outSchema)
+  }
+
+  /** Join/group-key skew report: the exact top-k heaviest values of
+    * `keyCol` with their multiplicity and share of all rows — the
+    * number that decides whether a shuffle on this key needs salting
+    * (a key with share ≫ 1/shufflePartitions is a straggler task).
+    * Same checked two-pass scheme, so it works on key domains far too
+    * large to groupBy-count outright (user ids, URLs). Output
+    * (rank, key_value, n, share_pct 6-dp), (n desc, key asc) order;
+    * NULL keys count under the literal "(null)" so a null-skew bomb
+    * (the classic outer-join hazard) is visible, not dropped.
+    */
+  def keySkew(df: DataFrame, keyCol: String, k: Int = 10,
+      capacity: Int = 4096): DataFrame = {
+    val spark = df.sparkSession
+    val vals = Partitioning.spread(df)
+      .select(coalesce(col(keyCol).cast("string"), lit("(null)")).as("w"))
+    val (top, nTotal) = topOf(vals, k, capacity)
+    // exact rational → 6-dp HALF_UP, identical to the oracle's
+    // round(n * 100 / total, 6) on the same exact inputs
+    val ranked = top.zipWithIndex.map { case ((v, n), i) =>
+      Row(i + 1, v, n, (BigDecimal(n) * 100 / BigDecimal(nTotal))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(ranked, 1),
+      StructType(Seq(
+        StructField("rank", IntegerType),
+        StructField("key_value", StringType),
+        StructField("n", LongType),
+        StructField("share_pct", org.apache.spark.sql.types.DoubleType))))
   }
 }

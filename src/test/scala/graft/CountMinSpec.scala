@@ -62,6 +62,36 @@ class CountMinSpec extends AnyFunSuite {
     assert(CountMin.counters(big, 3, 16).count() <= 3L * 16L)
   }
 
+  test("joinSizeEstimate never undercounts, exact at ample width, nulls skip") {
+    val a = Seq((1L, Some(10L)), (2L, Some(10L)), (3L, Some(20L)), (4L, None))
+      .toDF("id", "k")
+    val b = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, Some(20L)), (4L, Some(30L)),
+      (5L, None)).toDF("id", "k")
+    // exact |a join b on k|: key 10 -> 2*1, key 20 -> 1*2 = 4; NULLs never match
+    val exact = a.join(b, "k").count()
+    assert(exact == 4L)
+    val est = CountMin.joinSizeEstimate(a, "k", b, "k", depth = 4, width = 4096)
+      .head().getDecimal(0).longValueExact()
+    assert(est >= exact)
+    assert(est == 4L) // 3-key domain in a 4096 grid: collision-free, exact
+  }
+
+  test("joinSizeEstimate self-join gives the sum of squared key counts") {
+    val df = (Seq.fill(5)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L)).zipWithIndex
+      .map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+    val est = CountMin.joinSizeEstimate(df, "k", df, "k", depth = 4, width = 4096)
+      .head().getDecimal(0).longValueExact()
+    assert(est == 25L + 9L + 1L)
+  }
+
+  test("joinSizeEstimate: disjoint key sets may estimate 0 and never error") {
+    val a = Seq((1L, 1L)).toDF("id", "k")
+    val b = Seq.empty[(Long, Long)].toDF("id", "k")
+    val est = CountMin.joinSizeEstimate(a, "k", b, "k")
+      .head().getDecimal(0).longValueExact()
+    assert(est == 0L)
+  }
+
   test("parameter validation") {
     intercept[IllegalArgumentException](CountMin.counters(docs, 0, 64))
     intercept[IllegalArgumentException](CountMin.counters(docs, 4, 1))

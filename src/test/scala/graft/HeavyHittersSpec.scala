@@ -67,6 +67,28 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(got == Seq((1, "hot1", 400L), (2, "hot2", 300L), (3, "hot3", 200L)))
   }
 
+  test("keySkew: heavy key surfaces with its share; nulls count as (null)") {
+    // one user owns 60% of rows — the salting case; two null keys
+    val rows = Seq.fill(60)(Some(7L)) ++ (1 to 38).map(i => Some(100L + i)) ++
+      Seq(None, None)
+    val df = rows.zipWithIndex
+      .map { case (u, i) => (i.toLong, u) }.toDF("event_id", "user_id")
+    val got = HeavyHitters.keySkew(df, "user_id", 3, capacity = 256)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.head == (1, "7", 60L, 60.0))
+    assert(got(1) == (2, "(null)", 2L, 2.0))
+    assert(got.length == 3 && got(2)._3 == 1L)
+  }
+
+  test("keySkew under eviction pressure stays exact for a provable heavy key") {
+    val rows = Seq.fill(500)(1L) ++ (1 to 600).map(i => 1000L + i)
+    val df = rows.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("event_id", "user_id")
+    val got = HeavyHitters.keySkew(df, "user_id", 1, capacity = 64)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("1", 500L)))
+  }
+
   test("MG merge law: merged summaries retain every item above n/(c+1)") {
     val mg = new HeavyHitters.MisraGries(4)
     val xs = Seq.fill(30)("a") ++ Seq.tabulate(10)(i => s"l$i")
