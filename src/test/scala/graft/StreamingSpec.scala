@@ -377,4 +377,42 @@ class StreamingSpec extends AnyFunSuite {
         "RocksDB-backed streaming counters must equal the batch counters")
     }
   }
+
+  test("Misra-Gries sketch pass streams on RocksDB; retention law holds") {
+    // the MG summary's CONTENT is merge-order-dependent, so streaming
+    // equality with batch would over-pin; what the scheme guarantees —
+    // and what pass 2 relies on — is retention: any item with count >
+    // n/(capacity+1) is in the candidate set. Pin that law on the
+    // streamed summary, plus bounded 1-row state and bounded map size.
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val capacity = 8
+      // "hot" appears 30 times among 40 singletons: 30 > 70/9 ≈ 7.8
+      val docsFixture =
+        (Seq.fill(30)("hot") ++ Seq.tabulate(40)(i => s"u$i"))
+          .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      val mem = MemoryStream[(Long, String)]
+      val q = operators.HeavyHitters.sketchPass(
+          mem.toDF().toDF("doc_id", "text"), capacity)
+        .writeStream.format("memory").queryName("rocks_mg_out")
+        .outputMode("complete").start()
+      mem.addData(docsFixture.take(35): _*)
+      q.processAllAvailable()
+      mem.addData(docsFixture.drop(35): _*)
+      q.processAllAvailable()
+      val progress = q.lastProgress
+      q.stop()
+      assert(progress.stateOperators.nonEmpty, "expected a stateful operator")
+      assert(progress.stateOperators.head.numRowsTotal == 1L,
+        "the global sketch aggregate keeps exactly one state row")
+      assert(progress.json.contains("rocksdb"),
+        s"expected rocksdb state-store metrics in progress:\n${progress.json}")
+      val out = spark.table("rocks_mg_out").head()
+      val summary = out.getStruct(0).getMap[String, Long](0)
+      assert(summary.size <= capacity, "summary must respect capacity")
+      assert(out.getLong(1) == 70L, "n_total must count the whole stream")
+      assert(summary.contains("hot"),
+        s"retention law: count-30 item must survive in $summary")
+    }
+  }
 }
