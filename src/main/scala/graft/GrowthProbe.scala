@@ -74,6 +74,11 @@ object GrowthProbe {
     probe("key_skew")(d => HeavyHitters.keySkew(d, "lang", 5).count())
     probe("join_size_estimate")(d =>
       CountMin.joinSizeEstimate(d, "source", d, "source").count())
+    probe("bootstrap_ci")(d =>
+      Bootstrap.meanCi(d, "doc_id", "n_chars", reps = 50).count())
+    probe("bootstrap_diff_ci")(d =>
+      Bootstrap.diffCi(d, "doc_id", "n_chars", "lang", "en", "fr",
+        reps = 50).count())
     probe("pack_windows")(d => Packing.packWindows(d, 512, 64).count())
     probe("token_budget")(d => Sampling.tokenBudgetSummary(d,
       Map("src0" -> 8000L), 10000L, numShards = 64).count())

@@ -454,6 +454,18 @@ object SparkEntry {
     "join_size_estimate" -> ((s, dir) =>
       operators.CountMin.joinSizeEstimate(
         events(s, dir), "user_id", events(s, dir), "user_id")),
+    // Poisson-bootstrap CI for the mean document length: every
+    // replicate from ONE pass (per-row Poisson(1) weights, no
+    // resampling shuffle); md5 draws make the whole CI deterministic
+    "bootstrap_ci" -> ((s, dir) =>
+      operators.Bootstrap.meanCi(tbl(s, dir, "documents"),
+        "doc_id", "n_chars", reps = 200)),
+    // uplift CI: difference of mean document length, en - fr, with
+    // paired per-row draws (the same row keeps its weight in any
+    // group) — one rep-keyed aggregation, no per-replicate join
+    "bootstrap_diff_ci" -> ((s, dir) =>
+      operators.Bootstrap.diffCi(tbl(s, dir, "documents"),
+        "doc_id", "n_chars", "lang", "en", "fr", reps = 200)),
     "tfidf_top_terms" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(tbl(s, dir, "documents"), 3)),
     "doc_chunks" -> ((s, dir) =>
@@ -3033,6 +3045,75 @@ object SparkEntry {
          |c AS (SELECT d, bucket, count(*) AS n FROM b GROUP BY d, bucket),
          |ip AS (SELECT d, sum(n * n) AS ip FROM c GROUP BY d)
          |SELECT CAST(coalesce(min(ip), 0) AS DECIMAL(38,0)) AS n_est FROM ip""".stripMargin,
+    // identical md5 mantissa draw, Poisson(1) CDF literals, one
+    // double division per replicate, interpolated percentiles
+    "bootstrap_ci" ->
+      s"""WITH rws AS (SELECT CAST(doc_id AS VARCHAR) AS id, n_chars AS x
+         |             FROM documents WHERE n_chars IS NOT NULL),
+         |u AS (SELECT x, b,
+         |        (CAST(CAST('0x' || substr(md5(id || ':bs:' || CAST(b AS VARCHAR)), 1, 12)
+         |              AS BIGINT) AS DOUBLE) + 0.5) / power(16.0, 12) AS u
+         |      FROM rws, range(200) r(b)),
+         |wt AS (SELECT x, b,
+         |         CASE WHEN u < 0.36787944117144233 THEN 0
+         |              WHEN u < 0.7357588823428847 THEN 1
+         |              WHEN u < 0.9196986029286058 THEN 2
+         |              WHEN u < 0.9810118431238462 THEN 3
+         |              WHEN u < 0.9963401531726563 THEN 4
+         |              WHEN u < 0.9994058151824183 THEN 5
+         |              WHEN u < 0.9999167588507119 THEN 6
+         |              WHEN u < 0.9999897508033253 THEN 7
+         |              ELSE 8 END AS wgt
+         |       FROM u),
+         |m AS (SELECT b, round(CAST(sum(x * wgt) AS DOUBLE) / sum(wgt), 6) AS m
+         |      FROM wt GROUP BY b HAVING sum(wgt) > 0),
+         |ci AS (SELECT CAST(count(*) AS BIGINT) AS n_reps_used,
+         |         round(quantile_cont(m, 0.025), 6) AS ci_lo,
+         |         round(quantile_cont(m, 0.975), 6) AS ci_hi
+         |       FROM m),
+         |pt AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |         round(CAST(sum(x) AS DOUBLE) / count(*), 6) AS point_mean
+         |       FROM rws)
+         |SELECT n_rows, n_reps_used, point_mean, ci_lo, ci_hi FROM pt, ci""".stripMargin,
+    "bootstrap_diff_ci" ->
+      s"""WITH rws AS (SELECT CAST(doc_id AS VARCHAR) AS id, n_chars AS x, lang AS g
+         |             FROM documents
+         |             WHERE n_chars IS NOT NULL AND lang IN ('en','fr')),
+         |u AS (SELECT x, g, b,
+         |        (CAST(CAST('0x' || substr(md5(id || ':bs:' || CAST(b AS VARCHAR)), 1, 12)
+         |              AS BIGINT) AS DOUBLE) + 0.5) / power(16.0, 12) AS u
+         |      FROM rws, range(200) r(b)),
+         |wt AS (SELECT x, g, b,
+         |         CASE WHEN u < 0.36787944117144233 THEN 0
+         |              WHEN u < 0.7357588823428847 THEN 1
+         |              WHEN u < 0.9196986029286058 THEN 2
+         |              WHEN u < 0.9810118431238462 THEN 3
+         |              WHEN u < 0.9963401531726563 THEN 4
+         |              WHEN u < 0.9994058151824183 THEN 5
+         |              WHEN u < 0.9999167588507119 THEN 6
+         |              WHEN u < 0.9999897508033253 THEN 7
+         |              ELSE 8 END AS wgt
+         |       FROM u),
+         |m AS (SELECT b,
+         |        round(round(CAST(sum(CASE WHEN g = 'en' THEN x * wgt ELSE 0 END) AS DOUBLE)
+         |                / sum(CASE WHEN g = 'en' THEN wgt ELSE 0 END), 6)
+         |            - round(CAST(sum(CASE WHEN g = 'fr' THEN x * wgt ELSE 0 END) AS DOUBLE)
+         |                / sum(CASE WHEN g = 'fr' THEN wgt ELSE 0 END), 6), 6) AS m
+         |      FROM wt GROUP BY b
+         |      HAVING sum(CASE WHEN g = 'en' THEN wgt ELSE 0 END) > 0
+         |         AND sum(CASE WHEN g = 'fr' THEN wgt ELSE 0 END) > 0),
+         |ci AS (SELECT CAST(count(*) AS BIGINT) AS n_reps_used,
+         |         round(quantile_cont(m, 0.025), 6) AS ci_lo,
+         |         round(quantile_cont(m, 0.975), 6) AS ci_hi
+         |       FROM m),
+         |pt AS (SELECT CAST(sum(CASE WHEN g = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |         CAST(sum(CASE WHEN g = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |         round(round(CAST(sum(CASE WHEN g = 'en' THEN x ELSE 0 END) AS DOUBLE)
+         |                 / sum(CASE WHEN g = 'en' THEN 1 ELSE 0 END), 6)
+         |             - round(CAST(sum(CASE WHEN g = 'fr' THEN x ELSE 0 END) AS DOUBLE)
+         |                 / sum(CASE WHEN g = 'fr' THEN 1 ELSE 0 END), 6), 6) AS point_diff
+         |       FROM rws)
+         |SELECT n_a, n_b, n_reps_used, point_diff, ci_lo, ci_hi FROM pt, ci""".stripMargin,
     "doc_chunks" ->
       s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
          |c AS (SELECT doc_id, ws,

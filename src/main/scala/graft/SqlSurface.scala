@@ -314,6 +314,29 @@ object SqlSurface {
     }.mkString(" + ")
 
   // Morton interleave of the low 8 bits of (a, b) — zOrderKey verbatim
+  /** The shared Poisson-bootstrap weight chain: md5-mantissa uniform →
+    * Poisson(1) inverse-CDF literal CASE (the exact literals
+    * `operators.Bootstrap.cdf` compares against). `extra` carries
+    * pass-through columns ("" or "g, "). Expects an upstream `rws`
+    * CTE with (id, x, …); yields `u` then `wt` with (x, …, b, wgt).
+    */
+  private def poissonWtCte(extra: String): String =
+    s"""u AS (SELECT x, ${extra}b,
+       |        (CAST(conv(substr(md5(concat(id, ':bs:', CAST(b AS STRING))), 1, 12),
+       |                   16, 10) AS DOUBLE) + 0.5) / power(16.0, 12) AS u
+       |      FROM rws LATERAL VIEW explode(sequence(0, 199)) r AS b),
+       |wt AS (SELECT x, ${extra}b,
+       |         CASE WHEN u < 0.36787944117144233 THEN 0
+       |              WHEN u < 0.7357588823428847 THEN 1
+       |              WHEN u < 0.9196986029286058 THEN 2
+       |              WHEN u < 0.9810118431238462 THEN 3
+       |              WHEN u < 0.9963401531726563 THEN 4
+       |              WHEN u < 0.9994058151824183 THEN 5
+       |              WHEN u < 0.9999167588507119 THEN 6
+       |              WHEN u < 0.9999897508033253 THEN 7
+       |              ELSE 8 END AS wgt
+       |       FROM u)""".stripMargin
+
   private def zKeySql(a: String, b: String): String =
     (0 until 8).map(i =>
       s"(shiftright($a, $i) & 1L) * ${1L << (2 * i)}L" +
@@ -1565,6 +1588,54 @@ object SqlSurface {
          |c AS (SELECT d, bucket, count(1) AS n FROM b GROUP BY d, bucket),
          |ip AS (SELECT d, sum(CAST(n AS DECIMAL(38,0)) * n) AS ip FROM c GROUP BY d)
          |SELECT CAST(coalesce(min(ip), 0) AS DECIMAL(38,0)) AS n_est FROM ip""".stripMargin,
+
+    // Poisson-bootstrap CI — the identical draw/CDF/fold chain as the
+    // engine path, every literal shared (the u/wt chain below is one
+    // definition feeding both bootstrap readouts)
+    "bootstrap_ci" ->
+      s"""WITH rws AS (SELECT CAST(doc_id AS STRING) AS id, n_chars AS x
+         |             FROM documents WHERE n_chars IS NOT NULL),
+         |${poissonWtCte("")},
+         |m AS (SELECT b, round(CAST(sum(x * wgt) AS DOUBLE) / sum(wgt), 6) AS m
+         |      FROM wt GROUP BY b HAVING sum(wgt) > 0),
+         |ci AS (SELECT count(1) AS n_reps_used,
+         |         round(percentile(m, 0.025), 6) AS ci_lo,
+         |         round(percentile(m, 0.975), 6) AS ci_hi
+         |       FROM m),
+         |pt AS (SELECT count(1) AS n_rows,
+         |         round(CAST(sum(x) AS DOUBLE) / count(1), 6) AS point_mean
+         |       FROM rws)
+         |SELECT n_rows, n_reps_used, point_mean, ci_lo, ci_hi
+         |FROM pt CROSS JOIN ci""".stripMargin,
+
+    // Uplift CI (en − fr mean doc length): paired draws — the weight
+    // CTE is the SAME definition, the group only routes the sums
+    "bootstrap_diff_ci" ->
+      s"""WITH rws AS (SELECT CAST(doc_id AS STRING) AS id, n_chars AS x, lang AS g
+         |             FROM documents
+         |             WHERE n_chars IS NOT NULL AND lang IN ('en', 'fr')),
+         |${poissonWtCte("g, ")},
+         |m AS (SELECT b,
+         |        round(round(CAST(sum(CASE WHEN g = 'en' THEN x * wgt ELSE 0 END) AS DOUBLE)
+         |                / sum(CASE WHEN g = 'en' THEN wgt ELSE 0 END), 6)
+         |            - round(CAST(sum(CASE WHEN g = 'fr' THEN x * wgt ELSE 0 END) AS DOUBLE)
+         |                / sum(CASE WHEN g = 'fr' THEN wgt ELSE 0 END), 6), 6) AS m
+         |      FROM wt GROUP BY b
+         |      HAVING sum(CASE WHEN g = 'en' THEN wgt ELSE 0 END) > 0
+         |         AND sum(CASE WHEN g = 'fr' THEN wgt ELSE 0 END) > 0),
+         |ci AS (SELECT count(1) AS n_reps_used,
+         |         round(percentile(m, 0.025), 6) AS ci_lo,
+         |         round(percentile(m, 0.975), 6) AS ci_hi
+         |       FROM m),
+         |pt AS (SELECT sum(CASE WHEN g = 'en' THEN 1L ELSE 0L END) AS n_a,
+         |         sum(CASE WHEN g = 'fr' THEN 1L ELSE 0L END) AS n_b,
+         |         round(round(CAST(sum(CASE WHEN g = 'en' THEN x ELSE 0 END) AS DOUBLE)
+         |                 / sum(CASE WHEN g = 'en' THEN 1 ELSE 0 END), 6)
+         |             - round(CAST(sum(CASE WHEN g = 'fr' THEN x ELSE 0 END) AS DOUBLE)
+         |                 / sum(CASE WHEN g = 'fr' THEN 1 ELSE 0 END), 6), 6) AS point_diff
+         |       FROM rws)
+         |SELECT n_a, n_b, n_reps_used, point_diff, ci_lo, ci_hi
+         |FROM pt CROSS JOIN ci""".stripMargin,
 
     // The exact all-pairs top-N calibration baseline — quadratic by
     // definition (named and opt-in, like the operator).
@@ -3749,6 +3820,8 @@ object SqlSurface {
       "heavy_hitters" -> SparkEntry.queries("heavy_hitters"),
       "cms_estimate" -> SparkEntry.queries("cms_estimate"),
       "key_skew" -> SparkEntry.queries("key_skew"),
-      "join_size_estimate" -> SparkEntry.queries("join_size_estimate"))
+      "join_size_estimate" -> SparkEntry.queries("join_size_estimate"),
+      "bootstrap_ci" -> SparkEntry.queries("bootstrap_ci"),
+      "bootstrap_diff_ci" -> SparkEntry.queries("bootstrap_diff_ci"))
   }
 }
