@@ -79,6 +79,8 @@ object GrowthProbe {
     probe("bootstrap_diff_ci")(d =>
       Bootstrap.diffCi(d, "doc_id", "n_chars", "lang", "en", "fr",
         reps = 50).count())
+    probe("distinct_estimate")(d =>
+      Kmv.distinctValues(d, "doc_id", 256).count())
     probe("pack_windows")(d => Packing.packWindows(d, 512, 64).count())
     probe("token_budget")(d => Sampling.tokenBudgetSummary(d,
       Map("src0" -> 8000L), 10000L, numShards = 64).count())

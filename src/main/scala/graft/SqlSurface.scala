@@ -1637,6 +1637,23 @@ object SqlSurface {
          |SELECT n_a, n_b, n_reps_used, point_diff, ci_lo, ci_hi
          |FROM pt CROSS JOIN ci""".stripMargin,
 
+    // KMV distinct estimate — the SQL readout the bounded-state
+    // aggregator must equal (the SQL's DISTINCT is domain-sized; the
+    // engine path's whole point is that its state is k, not domain)
+    "distinct_estimate" ->
+      s"""WITH h AS (SELECT DISTINCT
+         |             CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 12),
+         |                       16, 10) AS BIGINT) AS h
+         |           FROM events WHERE user_id IS NOT NULL),
+         |sk AS (SELECT h FROM h ORDER BY h LIMIT 256),
+         |s AS (SELECT count(1) AS sketch_size, max(h) AS hk FROM sk)
+         |SELECT CAST(256 AS BIGINT) AS k, sketch_size,
+         |  CASE WHEN sketch_size < 256 THEN CAST(sketch_size AS DOUBLE)
+         |       ELSE round(CAST(255 AS DOUBLE)
+         |                    / ((CAST(hk AS DOUBLE) + 0.5) / power(16.0, 12)), 6)
+         |  END AS n_est
+         |FROM s""".stripMargin,
+
     // The exact all-pairs top-N calibration baseline — quadratic by
     // definition (named and opt-in, like the operator).
     "dedup_embedding_exact_topn_baseline" ->
@@ -3822,6 +3839,7 @@ object SqlSurface {
       "key_skew" -> SparkEntry.queries("key_skew"),
       "join_size_estimate" -> SparkEntry.queries("join_size_estimate"),
       "bootstrap_ci" -> SparkEntry.queries("bootstrap_ci"),
-      "bootstrap_diff_ci" -> SparkEntry.queries("bootstrap_diff_ci"))
+      "bootstrap_diff_ci" -> SparkEntry.queries("bootstrap_diff_ci"),
+      "distinct_estimate" -> SparkEntry.queries("distinct_estimate"))
   }
 }

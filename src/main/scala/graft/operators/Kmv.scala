@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+
+/** KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al.
+  * 2002; the theta-sketch core): keep the k smallest DISTINCT hash
+  * values of the stream; if fewer than k survive, the sketch IS the
+  * distinct set (exact); otherwise the k-th smallest uniform u_(k)
+  * estimates the distinct count as (k−1)/u_(k), with relative error
+  * ~1/√(k−2).
+  *
+  * Why not `countDistinct`: exact distinct over a web-scale token
+  * stream is itself a vocabulary-sized shuffle — the aggregation
+  * state is the vocabulary. The KMV aggregator's state is k longs per
+  * task, mergeable by union-then-truncate (the theta-sketch merge
+  * law, spec-pinned), so the 1-row exchange carries k values however
+  * large the vocabulary. Same bounded-state argument as
+  * [[HeavyHitters]] (top-k) and [[CountMin]] (point frequencies) —
+  * this completes the sketch family with distinct counting. Spark's
+  * own `approx_count_distinct` (HLL++) answers the same question;
+  * this one is ENGINE-PORTABLE: hashes are the md5-12 convention, so
+  * the DuckDB oracle replays sketch and estimate bit-for-bit.
+  */
+object Kmv {
+
+  /** Bounded bottom-k distinct aggregator over 48-bit hash longs. The
+    * buffer is a sorted, distinct Vector capped at k — O(k) per task,
+    * merge = merge-distinct-truncate.
+    */
+  class BottomK(k: Int) extends Aggregator[Long, Vector[Long], Vector[Long]] {
+    require(k >= 2, s"k must be >= 2, got $k")
+
+    def zero: Vector[Long] = Vector.empty
+
+    def reduce(b: Vector[Long], h: Long): Vector[Long] = {
+      if (b.length == k && h >= b.last) b
+      else {
+        val i = searchInsert(b, h)
+        if (i < b.length && b(i) == h) b
+        else {
+          val v = (b.take(i) :+ h) ++ b.drop(i)
+          if (v.length > k) v.take(k) else v
+        }
+      }
+    }
+
+    def merge(x: Vector[Long], y: Vector[Long]): Vector[Long] = {
+      // merge two sorted distinct runs, truncate at k
+      val out = Vector.newBuilder[Long]
+      var i = 0; var j = 0; var n = 0
+      while (n < k && (i < x.length || j < y.length)) {
+        val v =
+          if (j >= y.length || (i < x.length && x(i) <= y(j))) {
+            val v = x(i); if (j < y.length && y(j) == v) j += 1; i += 1; v
+          } else { val v = y(j); j += 1; v }
+        out += v; n += 1
+      }
+      out.result()
+    }
+
+    def finish(r: Vector[Long]): Vector[Long] = r
+
+    private def searchInsert(b: Vector[Long], h: Long): Int = {
+      var lo = 0; var hi = b.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (b(mid) < h) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+
+    def bufferEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Vector[Long]]()
+    def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Vector[Long]]()
+  }
+
+  /** md5-12 hash of a string column as a long in [0, 16^12) — the
+    * engine-portable convention every sketch here shares.
+    */
+  private def hash48(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+
+  private val outSchema = StructType(Seq(
+    StructField("k", LongType),
+    StructField("sketch_size", LongType),
+    StructField("n_est", DoubleType)))
+
+  /** Distinct-count estimate over any single-string-column frame
+    * (column `w`). Output 1 row (k, sketch_size, n_est): exact (the
+    * sketch held everything) when sketch_size < k, else (k−1)/u_(k)
+    * rounded to 6 dp — identical to the oracle's replay.
+    */
+  /** The corpus-sized pass as a standalone 1-row frame (sk = the
+    * sorted bottom-k distinct hashes) — the plan to audit: partial
+    * BottomK state below a SINGLE 1-row exchange, key-only scan.
+    */
+  def sketchPass(vals: DataFrame, k: Int): DataFrame = {
+    val agg = udaf(new BottomK(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
+    vals.select(hash48(col("w")).as("h")).agg(agg(col("h")).as("sk"))
+  }
+
+  def distinctEstimate(vals: DataFrame, k: Int = 1024): DataFrame = {
+    val spark = vals.sparkSession
+    val sk = sketchPass(vals, k).head().getSeq[Long](0)
+    val est =
+      if (sk.length < k) sk.length.toDouble
+      else {
+        // u_(k) = (h_(k) + 0.5) / 16^12, the md5-mantissa convention
+        val uk = (sk.last.toDouble + 0.5) / math.pow(16.0, 12)
+        BigDecimal((k - 1).toDouble / uk)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(k.toLong, sk.length.toLong, est)), 1), outSchema)
+  }
+
+  /** Distinct whitespace tokens of `docs.text`, estimated. */
+  def distinctTokens(docs: DataFrame, k: Int = 1024): DataFrame =
+    distinctEstimate(
+      Partitioning.spread(docs)
+        .select(explode(TextAnalysis.words(col("text"))).as("w")), k)
+
+  /** Distinct values of any column, estimated (NULLs skipped — the
+    * `countDistinct` convention).
+    */
+  def distinctValues(df: DataFrame, valueCol: String, k: Int = 1024): DataFrame =
+    distinctEstimate(
+      Partitioning.spread(df)
+        .select(col(valueCol).cast("string").as("w"))
+        .filter(col("w").isNotNull), k)
+}
