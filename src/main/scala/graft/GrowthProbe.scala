@@ -81,6 +81,9 @@ object GrowthProbe {
         reps = 50).count())
     probe("distinct_estimate")(d =>
       Kmv.distinctValues(d, "doc_id", 256).count())
+    probe("audience_overlap_estimate")(d =>
+      Kmv.overlapEstimate(d.filter(col("doc_id") % 3 === 0), "doc_id",
+        d.filter(col("doc_id") % 2 === 0), "doc_id", 256).count())
     probe("pack_windows")(d => Packing.packWindows(d, 512, 64).count())
     probe("token_budget")(d => Sampling.tokenBudgetSummary(d,
       Map("src0" -> 8000L), 10000L, numShards = 64).count())

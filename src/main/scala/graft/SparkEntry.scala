@@ -471,6 +471,15 @@ object SparkEntry {
     // user domain so the (k-1)/u_k estimator branch is the one graded
     "distinct_estimate" -> ((s, dir) =>
       operators.Kmv.distinctValues(events(s, dir), "user_id", 256)),
+    // theta-sketch set algebra: click-audience vs view-audience
+    // union / Jaccard / intersection from two bounded sketch passes —
+    // the exact version is source_overlap's distinct self-join
+    "audience_overlap_estimate" -> ((s, dir) => {
+      val ev = events(s, dir)
+      operators.Kmv.overlapEstimate(
+        ev.filter(col("event_type") === "click"), "user_id",
+        ev.filter(col("event_type") === "view"), "user_id", 256)
+    }),
     "tfidf_top_terms" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(tbl(s, dir, "documents"), 3)),
     "doc_chunks" -> ((s, dir) =>
@@ -3132,6 +3141,33 @@ object SparkEntry {
          |       ELSE round(255.0 / ((CAST(hk AS DOUBLE) + 0.5) / power(16.0, 12)), 6)
          |  END AS n_est
          |FROM s""".stripMargin,
+    // replay: two bottom-k sketches, truncated union, membership
+    // count; the rounded factors multiply (not the raw ones) exactly
+    // as the engine does
+    "audience_overlap_estimate" ->
+      s"""WITH ha AS (SELECT DISTINCT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+         |                AS BIGINT) AS h
+         |            FROM events WHERE event_type = 'click' AND user_id IS NOT NULL),
+         |ask AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+         |hb AS (SELECT DISTINCT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+         |                AS BIGINT) AS h
+         |            FROM events WHERE event_type = 'view' AND user_id IS NOT NULL),
+         |bsk AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+         |usk AS (SELECT h FROM (SELECT DISTINCT h FROM (SELECT h FROM ask UNION ALL SELECT h FROM bsk))
+         |        ORDER BY h LIMIT 256),
+         |s AS (SELECT count(*) AS n, max(h) AS hk FROM usk),
+         |ib AS (SELECT count(*) AS inboth FROM usk
+         |       WHERE h IN (SELECT h FROM ask) AND h IN (SELECT h FROM bsk)),
+         |r AS (SELECT
+         |        CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+         |             ELSE round(255.0 / ((CAST(hk AS DOUBLE) + 0.5) / power(16.0, 12)), 6)
+         |        END AS union_est,
+         |        round(CAST(inboth AS DOUBLE)
+         |                / (CASE WHEN n < 256 THEN n ELSE 256 END), 6) AS jaccard_est
+         |      FROM s, ib)
+         |SELECT CAST(256 AS BIGINT) AS k, union_est, jaccard_est,
+         |  round(jaccard_est * union_est, 6) AS intersect_est
+         |FROM r""".stripMargin,
     "doc_chunks" ->
       s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
          |c AS (SELECT doc_id, ws,

@@ -1654,6 +1654,36 @@ object SqlSurface {
          |  END AS n_est
          |FROM s""".stripMargin,
 
+    // Theta-sketch audience overlap — same truncated-union replay
+    "audience_overlap_estimate" ->
+      s"""WITH ha AS (SELECT DISTINCT
+         |              CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 12),
+         |                        16, 10) AS BIGINT) AS h
+         |            FROM events WHERE event_type = 'click' AND user_id IS NOT NULL),
+         |ask AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+         |hb AS (SELECT DISTINCT
+         |              CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 12),
+         |                        16, 10) AS BIGINT) AS h
+         |            FROM events WHERE event_type = 'view' AND user_id IS NOT NULL),
+         |bsk AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+         |usk AS (SELECT h FROM (SELECT DISTINCT h FROM
+         |          (SELECT h FROM ask UNION ALL SELECT h FROM bsk))
+         |        ORDER BY h LIMIT 256),
+         |s AS (SELECT count(1) AS n, max(h) AS hk FROM usk),
+         |ib AS (SELECT count(1) AS inboth FROM usk
+         |       WHERE h IN (SELECT h FROM ask) AND h IN (SELECT h FROM bsk)),
+         |r AS (SELECT
+         |        CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+         |             ELSE round(CAST(255 AS DOUBLE)
+         |                    / ((CAST(hk AS DOUBLE) + 0.5) / power(16.0, 12)), 6)
+         |        END AS union_est,
+         |        round(CAST(inboth AS DOUBLE)
+         |                / (CASE WHEN n < 256 THEN n ELSE 256 END), 6) AS jaccard_est
+         |      FROM s CROSS JOIN ib)
+         |SELECT CAST(256 AS BIGINT) AS k, union_est, jaccard_est,
+         |  round(jaccard_est * union_est, 6) AS intersect_est
+         |FROM r""".stripMargin,
+
     // The exact all-pairs top-N calibration baseline — quadratic by
     // definition (named and opt-in, like the operator).
     "dedup_embedding_exact_topn_baseline" ->
@@ -3840,6 +3870,8 @@ object SqlSurface {
       "join_size_estimate" -> SparkEntry.queries("join_size_estimate"),
       "bootstrap_ci" -> SparkEntry.queries("bootstrap_ci"),
       "bootstrap_diff_ci" -> SparkEntry.queries("bootstrap_diff_ci"),
-      "distinct_estimate" -> SparkEntry.queries("distinct_estimate"))
+      "distinct_estimate" -> SparkEntry.queries("distinct_estimate"),
+      "audience_overlap_estimate" ->
+        SparkEntry.queries("audience_overlap_estimate"))
   }
 }

@@ -10,11 +10,13 @@ import org.apache.spark.sql.types.DecimalType
   * 2012, "Estimating Uncertainty for Massive Data Streams" — the
   * big-data A/B standard) gives every row an independent Poisson(1)
   * weight per replicate instead, because Binomial(n, 1/n) → Poisson(1)
-  * as n grows. One corpus pass computes ALL replicates: the per-row
+  * as n grows. One weighted pass computes ALL replicates: the per-row
   * explode fans to B (rep, w·x, w) triples whose map-side partial
   * combine collapses each task to B rows before the one exchange —
   * replicate means, and the CI, then cost O(B) regardless of corpus
-  * size. No resampling shuffle exists anywhere.
+  * size. No resampling shuffle exists anywhere. (The point estimate
+  * adds one plain unweighted aggregate — two scans total, both
+  * shuffle-free below their 1-row folds.)
   *
   * Determinism: the per-(row, rep) uniform draw is the repo's
   * md5-mantissa convention (same as [[Sampling.uniformDraw]]'s

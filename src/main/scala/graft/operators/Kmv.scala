@@ -134,4 +134,54 @@ object Kmv {
       Partitioning.spread(df)
         .select(col(valueCol).cast("string").as("w"))
         .filter(col("w").isNotNull), k)
+
+  private def keyed(df: DataFrame, valueCol: String) =
+    Partitioning.spread(df)
+      .select(col(valueCol).cast("string").as("w"))
+      .filter(col("w").isNotNull)
+
+  /** Theta-sketch set operations between two keyed sets from their
+    * sketches alone (Dasgupta et al. 2016): the union sketch is the
+    * merge of the two bottom-ks; with θ = u_(k) of the union,
+    * |A∪B| ≈ (k−1)/θ, J(A,B) ≈ |{h ∈ union sketch : h ∈ A_sk ∧
+    * h ∈ B_sk}| / k, and |A∩B| = J · |A∪B|. Each input pays ONE
+    * bounded sketch pass; everything after runs on ≤ k driver-side
+    * longs. When the union fits below k the sketches ARE the sets and
+    * all three outputs are exact. Output 1 row (k, union_est,
+    * jaccard_est 6-dp, intersect_est) — intersect rounded HALF_UP to
+    * 6 dp like its factors, so the oracle's replay matches exactly.
+    */
+  def overlapEstimate(a: DataFrame, aCol: String,
+      b: DataFrame, bCol: String, k: Int = 1024): DataFrame = {
+    val spark = a.sparkSession
+    val agg = new BottomK(k)
+    val skA = sketchPass(keyed(a, aCol), k).head().getSeq[Long](0).toVector
+    val skB = sketchPass(keyed(b, bCol), k).head().getSeq[Long](0).toVector
+    val union = agg.merge(skA, skB)
+    val (setA, setB) = (skA.toSet, skB.toSet)
+    val exact = union.length < k
+    val unionEst =
+      if (exact) union.length.toDouble
+      else {
+        val theta = (union.last.toDouble + 0.5) / math.pow(16.0, 12)
+        BigDecimal((k - 1).toDouble / theta)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    val inBoth = union.count(h => setA(h) && setB(h))
+    val denom = if (exact) union.length else k
+    val jaccard =
+      if (denom == 0) 0.0
+      else BigDecimal(inBoth.toDouble / denom)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val intersect = BigDecimal(jaccard * unionEst)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(
+        k.toLong, unionEst, jaccard, intersect)), 1),
+      StructType(Seq(
+        StructField("k", LongType),
+        StructField("union_est", DoubleType),
+        StructField("jaccard_est", DoubleType),
+        StructField("intersect_est", DoubleType))))
+  }
 }

@@ -62,6 +62,33 @@ class KmvSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("overlapEstimate exact lane: small sets give exact union/jaccard/intersect") {
+    val a = (1 to 30).map(i => (i.toLong, s"u$i")).toDF("id", "k")
+    val b = (21 to 50).map(i => (i.toLong, s"u$i")).toDF("id", "k")
+    // |A|=30, |B|=30, A∩B = {21..30} = 10, A∪B = 50, J = 10/50 = 0.2
+    val r = Kmv.overlapEstimate(a, "k", b, "k", k = 256).head()
+    assert(r.getDouble(1) == 50.0)
+    assert(r.getDouble(2) == 0.2)
+    assert(r.getDouble(3) == 10.0)
+  }
+
+  test("overlapEstimate estimator lane: big overlap lands in the error band") {
+    val a = (1 to 6000).map(i => (i.toLong, s"u$i")).toDF("id", "k")
+    val b = (3001 to 9000).map(i => (i.toLong, s"u$i")).toDF("id", "k")
+    // true: union 9000, intersect 3000, J = 1/3
+    val r = Kmv.overlapEstimate(a, "k", b, "k", k = 512).head()
+    assert(math.abs(r.getDouble(1) - 9000.0) < 1300.0, s"union ${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2) - 1.0 / 3) < 0.08, s"jaccard ${r.getDouble(2)}")
+    assert(math.abs(r.getDouble(3) - 3000.0) < 700.0, s"intersect ${r.getDouble(3)}")
+  }
+
+  test("overlapEstimate: disjoint sets estimate zero overlap") {
+    val a = (1 to 2000).map(i => (i.toLong, s"a$i")).toDF("id", "k")
+    val b = (1 to 2000).map(i => (i.toLong, s"b$i")).toDF("id", "k")
+    val r = Kmv.overlapEstimate(a, "k", b, "k", k = 256).head()
+    assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 0.0)
+  }
+
   test("reduce keeps the buffer sorted, distinct and capped") {
     val agg = new Kmv.BottomK(4)
     val b = Seq(9L, 3L, 7L, 3L, 1L, 8L, 2L, 2L).foldLeft(agg.zero)(agg.reduce)

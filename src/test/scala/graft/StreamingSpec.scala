@@ -378,6 +378,39 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("KMV sketch streams on RocksDB with one state row; exact lane parity") {
+    // third member of the streaming sketch family: distinct counting
+    // with k-longs state; below k the streamed sketch must EQUAL the
+    // batch sketch exactly (sorted distinct bottom-k is merge-order-
+    // independent, unlike the MG summary — so full equality is fair)
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val keys = (1 to 40).map(i => (i.toLong, s"user${i % 25}"))
+      val mem = MemoryStream[(Long, String)]
+      val q = operators.Kmv.sketchPass(
+          mem.toDF().toDF("id", "w"), k = 64)
+        .writeStream.format("memory").queryName("rocks_kmv_out")
+        .outputMode("complete").start()
+      mem.addData(keys.take(20): _*)
+      q.processAllAvailable()
+      mem.addData(keys.drop(20): _*)
+      q.processAllAvailable()
+      val progress = q.lastProgress
+      q.stop()
+      assert(progress.stateOperators.nonEmpty, "expected a stateful operator")
+      assert(progress.stateOperators.head.numRowsTotal == 1L,
+        "the global sketch aggregate keeps exactly one state row")
+      assert(progress.json.contains("rocksdb"),
+        s"expected rocksdb state-store metrics in progress:\n${progress.json}")
+      import spark.implicits._
+      val streamed = spark.table("rocks_kmv_out").head().getSeq[Long](0)
+      val batch = operators.Kmv.sketchPass(
+          keys.toDF("id", "w"), k = 64).head().getSeq[Long](0)
+      assert(streamed == batch && streamed.length == 25,
+        "streamed bottom-k must equal the batch bottom-k (25 distinct users)")
+    }
+  }
+
   test("Misra-Gries sketch pass streams on RocksDB; retention law holds") {
     // the MG summary's CONTENT is merge-order-dependent, so streaming
     // equality with batch would over-pin; what the scheme guarantees —
