@@ -84,6 +84,8 @@ object GrowthProbe {
     probe("audience_overlap_estimate")(d =>
       Kmv.overlapEstimate(d.filter(col("doc_id") % 3 === 0), "doc_id",
         d.filter(col("doc_id") % 2 === 0), "doc_id", 256).count())
+    probe("mutual_information")(d =>
+      Monitor.mutualInformation(d, col("lang"), col("source")).count())
     probe("pack_windows")(d => Packing.packWindows(d, 512, 64).count())
     probe("token_budget")(d => Sampling.tokenBudgetSummary(d,
       Map("src0" -> 8000L), 10000L, numShards = 64).count())

@@ -480,6 +480,11 @@ object SparkEntry {
         ev.filter(col("event_type") === "click"), "user_id",
         ev.filter(col("event_type") === "view"), "user_id", 256)
     }),
+    // how many bits does knowing the language tell you about the
+    // source — the MEASURE next to events_chi2's TEST of dependence
+    "mutual_information" -> ((s, dir) =>
+      operators.Monitor.mutualInformation(
+        tbl(s, dir, "documents"), col("lang"), col("source"))),
     "tfidf_top_terms" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(tbl(s, dir, "documents"), 3)),
     "doc_chunks" -> ((s, dir) =>
@@ -3168,6 +3173,32 @@ object SparkEntry {
          |SELECT CAST(256 AS BIGINT) AS k, union_est, jaccard_est,
          |  round(jaccard_est * union_est, 6) AS intersect_est
          |FROM r""".stripMargin,
+    // identical 9-dp-quantized nat terms, decimal fold, shared ln 2
+    // literal, NMI from the ROUNDED entropies
+    "mutual_information" ->
+      s"""WITH cells AS (SELECT lang AS a, source AS b, count(*) AS c
+         |               FROM documents GROUP BY 1, 2),
+         |ma AS (SELECT a, sum(c) AS ca FROM cells GROUP BY a),
+         |mb AS (SELECT b, sum(c) AS cb FROM cells GROUP BY b),
+         |g AS (SELECT sum(c) AS n FROM cells),
+         |mit AS (SELECT round((CAST(c AS DOUBLE) / n)
+         |            * ln(CAST(c AS DOUBLE) * n / (CAST(ca AS DOUBLE) * cb)), 9) AS t9
+         |        FROM cells JOIN ma USING (a) JOIN mb USING (b), g),
+         |mi AS (SELECT round(CAST(sum(CAST(t9 AS DECIMAL(28,9))) AS DOUBLE)
+         |                 / 0.6931471805599453, 6) AS mi FROM mit),
+         |hat AS (SELECT round((CAST(ca AS DOUBLE) / n)
+         |            * ln(CAST(n AS DOUBLE) / ca), 9) AS t9 FROM ma, g),
+         |ha AS (SELECT round(CAST(sum(CAST(t9 AS DECIMAL(28,9))) AS DOUBLE)
+         |                 / 0.6931471805599453, 6) AS ha FROM hat),
+         |hbt AS (SELECT round((CAST(cb AS DOUBLE) / n)
+         |            * ln(CAST(n AS DOUBLE) / cb), 9) AS t9 FROM mb, g),
+         |hb AS (SELECT round(CAST(sum(CAST(t9 AS DECIMAL(28,9))) AS DOUBLE)
+         |                 / 0.6931471805599453, 6) AS hb FROM hbt)
+         |SELECT CAST(n AS BIGINT) AS n, mi AS mi_bits,
+         |  ha AS h_a_bits, hb AS h_b_bits,
+         |  CASE WHEN ha > 0 AND hb > 0 THEN round(mi / sqrt(ha * hb), 6)
+         |       ELSE 0.0 END AS nmi
+         |FROM g, mi, ha, hb""".stripMargin,
     "doc_chunks" ->
       s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
          |c AS (SELECT doc_id, ws,

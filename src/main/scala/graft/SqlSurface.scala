@@ -1684,6 +1684,31 @@ object SqlSurface {
          |  round(jaccard_est * union_est, 6) AS intersect_est
          |FROM r""".stripMargin,
 
+    // Mutual information lang↔source — same quantized folds
+    "mutual_information" ->
+      s"""WITH cells AS (SELECT lang AS a, source AS b, count(1) AS c
+         |               FROM documents GROUP BY 1, 2),
+         |ma AS (SELECT a, sum(c) AS ca FROM cells GROUP BY a),
+         |mb AS (SELECT b, sum(c) AS cb FROM cells GROUP BY b),
+         |g AS (SELECT sum(c) AS n FROM cells),
+         |mit AS (SELECT round((CAST(c AS DOUBLE) / n)
+         |            * ln(CAST(c AS DOUBLE) * n / (CAST(ca AS DOUBLE) * cb)), 9) AS t9
+         |        FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN g),
+         |mi AS (SELECT round(CAST(sum(CAST(t9 AS DECIMAL(28,9))) AS DOUBLE)
+         |                 / 0.6931471805599453, 6) AS mi FROM mit),
+         |hat AS (SELECT round((CAST(ca AS DOUBLE) / n)
+         |            * ln(CAST(n AS DOUBLE) / ca), 9) AS t9 FROM ma CROSS JOIN g),
+         |ha AS (SELECT round(CAST(sum(CAST(t9 AS DECIMAL(28,9))) AS DOUBLE)
+         |                 / 0.6931471805599453, 6) AS ha FROM hat),
+         |hbt AS (SELECT round((CAST(cb AS DOUBLE) / n)
+         |            * ln(CAST(n AS DOUBLE) / cb), 9) AS t9 FROM mb CROSS JOIN g),
+         |hb AS (SELECT round(CAST(sum(CAST(t9 AS DECIMAL(28,9))) AS DOUBLE)
+         |                 / 0.6931471805599453, 6) AS hb FROM hbt)
+         |SELECT n, mi AS mi_bits, ha AS h_a_bits, hb AS h_b_bits,
+         |  CASE WHEN ha > 0 AND hb > 0 THEN round(mi / sqrt(ha * hb), 6)
+         |       ELSE CAST(0.0 AS DOUBLE) END AS nmi
+         |FROM g CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb""".stripMargin,
+
     // The exact all-pairs top-N calibration baseline — quadratic by
     // definition (named and opt-in, like the operator).
     "dedup_embedding_exact_topn_baseline" ->
@@ -3872,6 +3897,7 @@ object SqlSurface {
       "bootstrap_diff_ci" -> SparkEntry.queries("bootstrap_diff_ci"),
       "distinct_estimate" -> SparkEntry.queries("distinct_estimate"),
       "audience_overlap_estimate" ->
-        SparkEntry.queries("audience_overlap_estimate"))
+        SparkEntry.queries("audience_overlap_estimate"),
+      "mutual_information" -> SparkEntry.queries("mutual_information"))
   }
 }

@@ -58,7 +58,9 @@ object Bootstrap {
     }
 
   /** Bootstrap CI for the mean of `valueCol` (an exact-summable
-    * integer/decimal column; `idCol` seeds the per-row draws):
+    * integer/decimal column; `idCol` seeds the per-row draws —
+    * duplicate ids share their draw, which correlates their weights
+    * and understates variance; hand in a genuinely unique id):
     * one row (n_rows, n_reps_used, point_mean, ci_lo, ci_hi), means
     * 6-dp. `level` 0.95 → the [2.5%, 97.5%] interpolated percentiles
     * of the replicate means.

@@ -256,4 +256,63 @@ object Monitor {
       .agg(count(lit(1)).as("n_classes"), sum(col("sz")).as("n_records"))
       .orderBy(col("l"))
   }
+
+  /** ln 2 as an explicit shared literal — both engines divide their
+    * nat-sums by THIS double, not by their own log(2) evaluation.
+    */
+  private val Ln2 = 0.6931471805599453
+
+  /** Mutual information (bits) between two bounded-domain categorical
+    * columns, with marginal entropies and the normalized
+    * MI / √(H(a)·H(b)) — the MEASURE of dependence next to
+    * [[graft.operators.Experiment.chiSquare]]'s test of it (χ² says
+    * "dependent?", MI says "how much — in bits you could exploit").
+    *
+    * Determinism (the [[TextAnalysis.sourceJsDivergence]] discipline):
+    * counts are exact; each cell/marginal term is one fixed double
+    * expression over those integers, quantized at 9 dp into DECIMAL
+    * and summed order-free; the nat→bit division uses the shared
+    * [[Ln2]] literal; the final readouts round at 6 dp. NMI's factors
+    * are the ROUNDED entropies, so the oracle multiplies the same
+    * numbers; degenerate marginals (either H = 0) define NMI = 0.
+    *
+    * Shape at 100 TB: ONE corpus-sized (a, b) count whose partial
+    * aggregation combines map-side; marginals and folds run on the
+    * bounded |A|×|B| grid. Output 1 row
+    * (n, mi_bits, h_a_bits, h_b_bits, nmi).
+    */
+  def mutualInformation(df: DataFrame, a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): DataFrame = {
+    val cells = df.select(a.as("a"), b.as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds both marginals and the joint fold
+    val ma = cells.groupBy(col("a")).agg(sum(col("c")).as("ca"))
+    val mb = cells.groupBy(col("b")).agg(sum(col("c")).as("cb"))
+    val grand = cells.agg(sum(col("c")).as("n"))
+    def entropyBits(marg: DataFrame, cnt: String) = marg
+      .crossJoin(broadcast(grand))
+      .select(round((col(cnt).cast("double") / col("n"))
+        * log(col("n").cast("double") / col(cnt)), 9)
+        .cast(DecimalType(28, 9)).as("t9"))
+      .agg(round(sum(col("t9")).cast("double") / lit(Ln2), 6).as("h"))
+    val mi = cells
+      .join(ma, "a").join(mb, "b")
+      .crossJoin(broadcast(grand))
+      // p_ab · ln(p_ab / (p_a·p_b)) = (c/n) · ln(c·n / (ca·cb)); a
+      // present cell always has c > 0, so no zero-guard lane exists
+      .select(round((col("c").cast("double") / col("n"))
+        * log(col("c").cast("double") * col("n")
+          / (col("ca").cast("double") * col("cb"))), 9)
+        .cast(DecimalType(28, 9)).as("t9"))
+      .agg(round(sum(col("t9")).cast("double") / lit(Ln2), 6).as("mi"))
+    grand
+      .crossJoin(mi)
+      .crossJoin(entropyBits(ma, "ca").withColumnRenamed("h", "ha"))
+      .crossJoin(entropyBits(mb, "cb").withColumnRenamed("h", "hb"))
+      .select(col("n"), col("mi").as("mi_bits"),
+        col("ha").as("h_a_bits"), col("hb").as("h_b_bits"),
+        when(col("ha") > 0.0 && col("hb") > 0.0,
+          round(col("mi") / sqrt(col("ha") * col("hb")), 6))
+          .otherwise(lit(0.0)).as("nmi"))
+  }
 }

@@ -191,4 +191,33 @@ class MonitorSpec extends AnyFunSuite {
     assert(out == Map(1L -> ((1L, 3L)), 2L -> ((1L, 2L))),
       s"l distribution wrong: $out")
   }
+
+  test("mutualInformation: perfect dependence gives MI = H = 1 bit, NMI = 1") {
+    import spark.implicits._
+    val df = (Seq.fill(40)(("x", "u")) ++ Seq.fill(40)(("y", "v")))
+      .zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("id", "a", "b")
+    val r = Monitor.mutualInformation(df, col("a"), col("b")).head()
+    assert(r.getLong(0) == 80L)
+    assert(r.getDouble(1) == 1.0 && r.getDouble(2) == 1.0 && r.getDouble(3) == 1.0)
+    assert(r.getDouble(4) == 1.0)
+  }
+
+  test("mutualInformation: exact independence gives MI = 0, NMI = 0") {
+    import spark.implicits._
+    val df = (for { a <- Seq("x", "y"); b <- Seq("u", "v"); _ <- 1 to 25 }
+      yield (a, b)).zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }.toDF("id", "a", "b")
+    val r = Monitor.mutualInformation(df, col("a"), col("b")).head()
+    assert(r.getDouble(1) == 0.0 && r.getDouble(4) == 0.0)
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 1.0)
+  }
+
+  test("mutualInformation: a constant column has H = 0 and defines NMI = 0") {
+    import spark.implicits._
+    val df = Seq.tabulate(30)(i => (i.toLong, "only", s"g${i % 3}"))
+      .toDF("id", "a", "b")
+    val r = Monitor.mutualInformation(df, col("a"), col("b")).head()
+    assert(r.getDouble(2) == 0.0 && r.getDouble(1) == 0.0 && r.getDouble(4) == 0.0)
+  }
 }
