@@ -118,6 +118,10 @@ object GrowthProbe {
         QualityModel.score(d, w).join(
           d.select(col("doc_id"), (col("doc_id") % 2 === 0).cast("long").as("label")),
           Seq("doc_id"))).count())
+      probe("classifier_ks")(d => QualityModel.ksStatistic(
+        QualityModel.score(d, w).join(
+          d.select(col("doc_id"), (col("doc_id") % 2 === 0).cast("long").as("label")),
+          Seq("doc_id"))).count())
     }
     probe("curriculum_order")(d => Sampling.curriculumOrder(
       d.withColumn("n_chars", length(col("text"))), limit = 200).count())

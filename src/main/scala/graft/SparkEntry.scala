@@ -1415,6 +1415,17 @@ object SparkEntry {
           d.select(col("doc_id"),
             (col("lang") === "en").cast("long").as("label")), Seq("doc_id")))
     }),
+    // KS separation of the same classifier: the max CDF gap names the
+    // single best filter threshold's power (AUC integrates all cuts)
+    "classifier_ks" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val w = operators.QualityModel.fitCached(d, dir)
+      operators.QualityModel.dumpWeights(s, w)
+      operators.QualityModel.ksStatistic(
+        operators.QualityModel.score(d, w).join(
+          d.select(col("doc_id"),
+            (col("lang") === "en").cast("long").as("label")), Seq("doc_id")))
+    }),
     // the reliability-diagram table: per score decile, count, mean
     // predicted quality (exact decimal fold), observed positive rate —
     // the check that filter scores work as sampling WEIGHTS
@@ -4813,6 +4824,28 @@ object SparkEntry {
          |  CAST(sum(n_pos) AS BIGINT) AS n_pos,
          |  CAST(sum(n_neg) AS BIGINT) AS n_neg
          |FROM c""".stripMargin,
+    // same scoring replay; inclusive cumulative CDFs per score, the
+    // exact |pos_cum·nn − neg_cum·np| numerator in DECIMAL(38,0)
+    "classifier_ks" ->
+      s"""WITH $qualityScoreCtes,
+         |l AS (SELECT sc.doc_id, sc.quality,
+         |        CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS label
+         |      FROM sc JOIN documents d ON sc.doc_id = d.doc_id),
+         |b AS (SELECT quality, CAST(sum(label) AS BIGINT) AS n_pos,
+         |        CAST(sum(1 - label) AS BIGINT) AS n_neg
+         |      FROM l GROUP BY quality),
+         |c AS (SELECT quality, n_pos, n_neg,
+         |        CAST(sum(n_pos) OVER (ORDER BY quality
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pos_cum,
+         |        CAST(sum(n_neg) OVER (ORDER BY quality
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS neg_cum
+         |      FROM b),
+         |t AS (SELECT sum(n_pos) AS np, sum(n_neg) AS nn FROM c)
+         |SELECT round(CAST(max(abs(CAST(pos_cum AS DECIMAL(38,0)) * nn
+         |          - CAST(neg_cum AS DECIMAL(38,0)) * np)) AS DOUBLE)
+         |      / (CAST(np AS DOUBLE) * nn), 6) AS ks,
+         |  CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg
+         |FROM c, t GROUP BY np, nn""".stripMargin,
     "calibration_bins" ->
       s"""WITH $qualityScoreCtes,
          |l AS (SELECT sc.doc_id, sc.quality,

@@ -188,6 +188,48 @@ object QualityModel {
         coalesce(col("nn"), lit(0L)).as("n_neg"))
   }
 
+  /** Kolmogorov–Smirnov separation of the classifier: the maximum
+    * |CDF_pos(s) − CDF_neg(s)| over score thresholds — "how far apart
+    * can one cut push the two classes", the number behind choosing a
+    * single filter threshold (AUC integrates over all cuts; KS names
+    * the best one's separation). Input/shape contract identical to
+    * [[rocAuc]]: (quality, label), per-score counts map-side combine,
+    * the cumulative window runs on the CHECKED 6-dp-quantized score
+    * domain, and the ratio folds exact integers —
+    * |pos_cum·nn − neg_cum·np| in DECIMAL(38,0) over the common
+    * denominator — so both engines round the same rational at 6 dp.
+    * Output 1 row (ks, n_pos, n_neg); ks is NULL on one-class input.
+    */
+  def ksStatistic(scored: DataFrame,
+      domainLimit: Long = Partitioning.DefaultDomainLimit): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val byScore = Partitioning.requireBoundedDomain(
+      scored.groupBy(col("quality"))
+        .agg(sum(col("label")).cast("long").as("n_pos"),
+          sum(lit(1L) - col("label")).cast("long").as("n_neg")),
+      "quality", "QualityModel.ksStatistic", domainLimit)
+    val totals = byScore.agg(sum(col("n_pos")).as("np"), sum(col("n_neg")).as("nn"))
+    val w = Window.orderBy(col("quality"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byScore
+      .withColumn("pos_cum", sum(col("n_pos")).over(w))
+      .withColumn("neg_cum", sum(col("n_neg")).over(w))
+      .crossJoin(broadcast(totals))
+      .agg(
+        // cast BEFORE the products: long·long overflows past ~3·10⁹
+        // rows per class (the chiSquare row_total lesson)
+        max(abs(col("pos_cum").cast(DecimalType(38, 0)) * col("nn")
+          - col("neg_cum").cast(DecimalType(38, 0)) * col("np"))).as("num"),
+        first(col("np")).as("np"), first(col("nn")).as("nn"))
+      .select(
+        when(col("np") > 0L && col("nn") > 0L,
+          round(col("num").cast("double")
+            / (col("np").cast("double") * col("nn")), 6)).as("ks"),
+        coalesce(col("np"), lit(0L)).as("n_pos"),
+        coalesce(col("nn"), lit(0L)).as("n_neg"))
+  }
+
   /** Percentile rank of every document's quality score — the
     * threshold-free form a mixing pipeline actually consumes ("keep
     * the top 30%" survives a model swap; "keep quality ≥ 0.7" does

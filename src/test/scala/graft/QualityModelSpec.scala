@@ -82,6 +82,29 @@ class QualityModelSpec extends AnyFunSuite {
     assert(tied === 0.875)
   }
 
+  test("ksStatistic equals the hand-computed max CDF gap") {
+    // pos at .9 .7; neg at .8 .6: at s=.6 |0-0.5|=.5; .7 |.5-.5|=0;
+    // .8 |.5-1|=.5; .9 |1-1|=0 → KS = 0.5
+    val r = QualityModel.ksStatistic(
+      Seq((0.9, 1L), (0.8, 0L), (0.7, 1L), (0.6, 0L)).toDF("quality", "label"))
+      .head()
+    assert(r.getDouble(0) === 0.5)
+    assert(r.getLong(1) == 2L && r.getLong(2) == 2L)
+    // perfect separation: KS = 1
+    val perfect = QualityModel.ksStatistic(
+      Seq((0.9, 1L), (0.8, 1L), (0.2, 0L), (0.1, 0L)).toDF("quality", "label"))
+      .head().getDouble(0)
+    assert(perfect === 1.0)
+    // identical distributions (fully tied): KS = 0
+    val tied = QualityModel.ksStatistic(
+      Seq((0.5, 1L), (0.5, 0L), (0.5, 1L), (0.5, 0L)).toDF("quality", "label"))
+      .head().getDouble(0)
+    assert(tied === 0.0)
+    // one class: undefined
+    assert(QualityModel.ksStatistic(
+      Seq((0.9, 1L), (0.8, 1L)).toDF("quality", "label")).head().isNullAt(0))
+  }
+
   test("rocAuc: all-tied 0.5, perfect 1.0, reversed 0.0, single-class null") {
     def auc(rows: Seq[(Double, Long)]): org.apache.spark.sql.Row =
       QualityModel.rocAuc(rows.toDF("quality", "label")).head()
