@@ -86,6 +86,9 @@ object GrowthProbe {
         d.filter(col("doc_id") % 2 === 0), "doc_id", 256).count())
     probe("mutual_information")(d =>
       Monitor.mutualInformation(d, col("lang"), col("source")).count())
+    probe("psi_drift")(d => Monitor.psi(
+      d.filter(col("doc_id") % 2 === 0),
+      d.filter(col("doc_id") % 2 === 1), "n_chars", bins = 10).count())
     probe("pack_windows")(d => Packing.packWindows(d, 512, 64).count())
     probe("token_budget")(d => Sampling.tokenBudgetSummary(d,
       Map("src0" -> 8000L), 10000L, numShards = 64).count())

@@ -485,6 +485,14 @@ object SparkEntry {
     "mutual_information" -> ((s, dir) =>
       operators.Monitor.mutualInformation(
         tbl(s, dir, "documents"), col("lang"), col("source"))),
+    // PSI drift gate between two deterministic corpus slices —
+    // reference-decile bins, Laplace smoothing, 9-dp decimal fold
+    "psi_drift" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      operators.Monitor.psi(
+        d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1), "n_chars", bins = 10)
+    }),
     "tfidf_top_terms" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(tbl(s, dir, "documents"), 3)),
     "doc_chunks" -> ((s, dir) =>
@@ -3210,6 +3218,37 @@ object SparkEntry {
          |  CASE WHEN ha > 0 AND hb > 0 THEN round(mi / sqrt(ha * hb), 6)
          |       ELSE 0.0 END AS nmi
          |FROM g, mi, ha, hb""".stripMargin,
+    // identical reference-decile edges (quantile_cont = percentile
+    // interpolation), strictly-above bin fold, smoothed shares
+    "psi_drift" ->
+      s"""WITH ref AS (SELECT n_chars AS v FROM documents
+         |             WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
+         |cur AS (SELECT n_chars AS v FROM documents
+         |        WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL),
+         |es AS (SELECT quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS es
+         |       FROM ref),
+         |rc AS (SELECT bin, count(*) AS c_ref FROM (
+         |         SELECT list_sum(list_transform(es.es,
+         |           e -> CASE WHEN CAST(v AS DOUBLE) > e THEN 1 ELSE 0 END)) AS bin
+         |         FROM ref, es) GROUP BY bin),
+         |cc AS (SELECT bin, count(*) AS c_cur FROM (
+         |         SELECT list_sum(list_transform(es.es,
+         |           e -> CASE WHEN CAST(v AS DOUBLE) > e THEN 1 ELSE 0 END)) AS bin
+         |         FROM cur, es) GROUP BY bin),
+         |g AS (SELECT b.bin, coalesce(rc.c_ref, 0) AS c_ref, coalesce(cc.c_cur, 0) AS c_cur
+         |      FROM range(10) b(bin)
+         |      LEFT JOIN rc ON rc.bin = b.bin LEFT JOIN cc ON cc.bin = b.bin),
+         |t AS (SELECT sum(c_ref) AS n_ref, sum(c_cur) AS n_cur FROM g),
+         |terms AS (SELECT n_ref, n_cur,
+         |            round(((CAST(c_cur AS DOUBLE) + 0.5) / (n_cur + 5.0)
+         |                 - (CAST(c_ref AS DOUBLE) + 0.5) / (n_ref + 5.0))
+         |              * ln(((CAST(c_cur AS DOUBLE) + 0.5) / (n_cur + 5.0))
+         |                 / ((CAST(c_ref AS DOUBLE) + 0.5) / (n_ref + 5.0))), 9) AS t9
+         |          FROM g, t)
+         |SELECT CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+         |  CAST(10 AS INT) AS bins,
+         |  round(CAST(sum(CAST(t9 AS DECIMAL(28,9))) AS DOUBLE), 6) AS psi
+         |FROM terms GROUP BY n_ref, n_cur""".stripMargin,
     "doc_chunks" ->
       s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
          |c AS (SELECT doc_id, ws,

@@ -1709,6 +1709,37 @@ object SqlSurface {
          |       ELSE CAST(0.0 AS DOUBLE) END AS nmi
          |FROM g CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb""".stripMargin,
 
+    // PSI drift gate — same reference-decile edges and smoothed fold
+    "psi_drift" ->
+      s"""WITH ref AS (SELECT n_chars AS v FROM documents
+         |             WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
+         |cur AS (SELECT n_chars AS v FROM documents
+         |        WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL),
+         |es AS (SELECT percentile(v, array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)) AS es
+         |       FROM ref),
+         |rc AS (SELECT bin, count(1) AS c_ref FROM (
+         |         SELECT aggregate(es.es, 0,
+         |           (acc, e) -> acc + IF(CAST(v AS DOUBLE) > e, 1, 0)) AS bin
+         |         FROM ref CROSS JOIN es) GROUP BY bin),
+         |cc AS (SELECT bin, count(1) AS c_cur FROM (
+         |         SELECT aggregate(es.es, 0,
+         |           (acc, e) -> acc + IF(CAST(v AS DOUBLE) > e, 1, 0)) AS bin
+         |         FROM cur CROSS JOIN es) GROUP BY bin),
+         |g AS (SELECT CAST(b.id AS INT) AS bin,
+         |        coalesce(rc.c_ref, 0L) AS c_ref, coalesce(cc.c_cur, 0L) AS c_cur
+         |      FROM range(10) b
+         |      LEFT JOIN rc ON rc.bin = b.id LEFT JOIN cc ON cc.bin = b.id),
+         |t AS (SELECT sum(c_ref) AS n_ref, sum(c_cur) AS n_cur FROM g),
+         |terms AS (SELECT n_ref, n_cur,
+         |            round(((CAST(c_cur AS DOUBLE) + 0.5) / (n_cur + 5.0)
+         |                 - (CAST(c_ref AS DOUBLE) + 0.5) / (n_ref + 5.0))
+         |              * ln(((CAST(c_cur AS DOUBLE) + 0.5) / (n_cur + 5.0))
+         |                 / ((CAST(c_ref AS DOUBLE) + 0.5) / (n_ref + 5.0))), 9) AS t9
+         |          FROM g CROSS JOIN t)
+         |SELECT n_ref, n_cur, CAST(10 AS INT) AS bins,
+         |  round(CAST(sum(CAST(t9 AS DECIMAL(28,9))) AS DOUBLE), 6) AS psi
+         |FROM terms GROUP BY n_ref, n_cur""".stripMargin,
+
     // The exact all-pairs top-N calibration baseline — quadratic by
     // definition (named and opt-in, like the operator).
     "dedup_embedding_exact_topn_baseline" ->
@@ -3898,6 +3929,7 @@ object SqlSurface {
       "distinct_estimate" -> SparkEntry.queries("distinct_estimate"),
       "audience_overlap_estimate" ->
         SparkEntry.queries("audience_overlap_estimate"),
-      "mutual_information" -> SparkEntry.queries("mutual_information"))
+      "mutual_information" -> SparkEntry.queries("mutual_information"),
+      "psi_drift" -> SparkEntry.queries("psi_drift"))
   }
 }

@@ -262,6 +262,66 @@ object Monitor {
     */
   private val Ln2 = 0.6931471805599453
 
+  /** Population Stability Index between a reference and a current
+    * slice of a numeric column — the industry drift gate (rule of
+    * thumb: < 0.1 stable, 0.1–0.25 watch, > 0.25 shifted). Bins are
+    * the REFERENCE's exact quantile edges (so the reference is ~
+    * uniform over bins by construction and the index reads as pure
+    * movement); both sides' shares are Laplace-smoothed
+    * (c + 0.5)/(n + bins/2) — an empty bin contributes a finite,
+    * deterministic term instead of ∞. PSI = Σ (q−p)·ln(q/p) with the
+    * [[TextAnalysis.sourceJsDivergence]] fold discipline (9-dp
+    * quantized terms, order-free decimal sum, 6-dp readout).
+    *
+    * Shape at 100 TB: one exact-percentile aggregate over the
+    * reference (single pass, mergeable percentile state), then ONE
+    * map-side-combined bin count per side — the bin assignment is a
+    * codegen fold over ≤ bins−1 edge literals, no join; everything
+    * after runs on the bins-row grid. Output 1 row
+    * (n_ref, n_cur, bins, psi).
+    */
+  def psi(ref: DataFrame, cur: DataFrame, valueCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins must be in [2,1000], got $bins")
+    val spark = ref.sparkSession
+    import spark.implicits._
+    // exact-decimal fraction strings: both engines parse "0.1", never
+    // a double-division artifact (the Bootstrap percentile lesson)
+    val fracs = (1 until bins)
+      .map(i => (BigDecimal(i) / BigDecimal(bins)).toString).mkString(", ")
+    val edges = ref.filter(col(valueCol).isNotNull)
+      .agg(expr(s"percentile($valueCol, array($fracs))").as("es"))
+      .head().getSeq[Double](0)
+    // bin(x) = #edges strictly below x — ties land in the lower bin
+    def binOf(c: org.apache.spark.sql.Column) =
+      edges.foldLeft(lit(0)) { (acc, e) => acc + (c > lit(e)).cast("int") }
+    def binCounts(df: DataFrame, as: String) = df
+      .filter(col(valueCol).isNotNull)
+      .select(binOf(col(valueCol).cast("double")).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as(as))
+    val grid = spark.range(bins).select(col("id").cast("int").as("bin"))
+      .join(binCounts(ref, "c_ref"), Seq("bin"), "left")
+      .join(binCounts(cur, "c_cur"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("c_ref"), lit(0L)).as("c_ref"),
+        coalesce(col("c_cur"), lit(0L)).as("c_cur"))
+    val totals = grid.agg(sum(col("c_ref")).as("n_ref"),
+      sum(col("c_cur")).as("n_cur"))
+    val half = bins.toDouble / 2
+    grid.crossJoin(broadcast(totals))
+      .select(col("n_ref"), col("n_cur"),
+        ((col("c_ref").cast("double") + 0.5) / (col("n_ref") + lit(half)))
+          .as("p"),
+        ((col("c_cur").cast("double") + 0.5) / (col("n_cur") + lit(half)))
+          .as("q"))
+      .select(col("n_ref"), col("n_cur"),
+        round((col("q") - col("p")) * log(col("q") / col("p")), 9)
+          .cast(DecimalType(28, 9)).as("t9"))
+      .groupBy(col("n_ref"), col("n_cur"))
+      .agg(round(sum(col("t9")).cast("double"), 6).as("psi"))
+      .select(col("n_ref"), col("n_cur"), lit(bins).as("bins"), col("psi"))
+  }
+
   /** Mutual information (bits) between two bounded-domain categorical
     * columns, with marginal entropies and the normalized
     * MI / √(H(a)·H(b)) — the MEASURE of dependence next to

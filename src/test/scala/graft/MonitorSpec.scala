@@ -192,6 +192,30 @@ class MonitorSpec extends AnyFunSuite {
       s"l distribution wrong: $out")
   }
 
+  test("psi: identical slices score exactly 0; a shifted slice alarms") {
+    import spark.implicits._
+    val base = Seq.tabulate(1000)(i => (i.toLong, (i % 100).toLong))
+      .toDF("id", "v")
+    val same = Monitor.psi(base, base, "v", bins = 10).head()
+    assert(same.getLong(0) == 1000L && same.getLong(1) == 1000L)
+    assert(same.getDouble(3) == 0.0)
+    // current shifted by +80: mass leaves the low bins → PSI >> 0.25
+    val shifted = base.select(col("id"), (col("v") + 80L).as("v"))
+    val drift = Monitor.psi(base, shifted, "v", bins = 10).head().getDouble(3)
+    assert(drift > 0.25, s"shifted PSI $drift should alarm")
+  }
+
+  test("psi: an empty current slice is finite and deterministic, not an error") {
+    import spark.implicits._
+    val base = Seq.tabulate(200)(i => (i.toLong, (i % 50).toLong)).toDF("id", "v")
+    val none = base.filter(col("v") < 0)
+    val r = Monitor.psi(base, none, "v", bins = 5).head()
+    assert(r.getLong(1) == 0L)
+    assert(!r.isNullAt(3) && !r.getDouble(3).isNaN && !r.getDouble(3).isInfinite)
+    val r2 = Monitor.psi(base, none, "v", bins = 5).head()
+    assert(r.getDouble(3) == r2.getDouble(3))
+  }
+
   test("mutualInformation: perfect dependence gives MI = H = 1 bit, NMI = 1") {
     import spark.implicits._
     val df = (Seq.fill(40)(("x", "u")) ++ Seq.fill(40)(("y", "v")))
