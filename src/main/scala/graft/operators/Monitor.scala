@@ -289,9 +289,15 @@ object Monitor {
     // a double-division artifact (the Bootstrap percentile lesson)
     val fracs = (1 until bins)
       .map(i => (BigDecimal(i) / BigDecimal(bins)).toString).mkString(", ")
-    val edges = ref.filter(col(valueCol).isNotNull)
+    val edgeRow = ref.filter(col(valueCol).isNotNull)
       .agg(expr(s"percentile($valueCol, array($fracs))").as("es"))
-      .head().getSeq[Double](0)
+      .head()
+    // an empty reference has no quantiles — refuse loudly instead of
+    // NPE-ing on the null percentile array
+    if (edgeRow.isNullAt(0)) throw new IllegalArgumentException(
+      s"Monitor.psi: the reference slice has no non-null '$valueCol' rows - " +
+        "PSI bins are undefined without a reference distribution")
+    val edges = edgeRow.getSeq[Double](0)
     // bin(x) = #edges strictly below x — ties land in the lower bin
     def binOf(c: org.apache.spark.sql.Column) =
       edges.foldLeft(lit(0)) { (acc, e) => acc + (c > lit(e)).cast("int") }

@@ -216,6 +216,15 @@ class MonitorSpec extends AnyFunSuite {
     assert(r.getDouble(3) == r2.getDouble(3))
   }
 
+  test("psi: an empty REFERENCE fails loudly (bins are undefined)") {
+    import spark.implicits._
+    val base = Seq.tabulate(50)(i => (i.toLong, i.toLong)).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Monitor.psi(base.filter(col("v") < 0), base, "v", bins = 5)
+    }
+    assert(e.getMessage.contains("reference"))
+  }
+
   test("mutualInformation: perfect dependence gives MI = H = 1 bit, NMI = 1") {
     import spark.implicits._
     val df = (Seq.fill(40)(("x", "u")) ++ Seq.fill(40)(("y", "v")))
