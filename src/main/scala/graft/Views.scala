@@ -52,6 +52,18 @@ object Views {
         s.udf.register(s"topk${k}_pairs",
           udaf(new graft.operators.Search.TopKAgg(k),
             ExpressionEncoder[(Long, Double)]()))
+      // the bounded-state sketch aggregators as SQL functions: the
+      // engine-path sketches (not just their pure-SQL readout
+      // replays) are reachable from raw spark.sql — same
+      // fixed-at-registration arity convention as topk
+      for (c <- Seq(64, 1024))
+        s.udf.register(s"mg_sketch_$c",
+          udaf(new graft.operators.HeavyHitters.MisraGries(c),
+            ExpressionEncoder[String]()))
+      for (k <- Seq(64, 256, 1024))
+        s.udf.register(s"kmv_sketch_$k",
+          udaf(new graft.operators.Kmv.BottomK(k),
+            ExpressionEncoder[Long]()))
       sources.Tables.embeddings(s, dir).createOrReplaceTempView("embeddings")
       sources.Tables.documents(s, dir).createOrReplaceTempView("documents")
       sources.Tables.events(s, dir).createOrReplaceTempView("events")

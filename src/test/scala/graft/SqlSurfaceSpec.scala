@@ -156,4 +156,30 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val e = intercept[Exception](spark.sql("SELECT nfc_normalize('a', 'b')").collect())
     assert(e.getMessage.toLowerCase.contains("nfc_normalize"))
   }
+
+  test("sketch UDAFs run from raw SQL and satisfy their laws") {
+    Views.register(spark, dir)
+    // Misra-Gries from SQL: the 31-word corpus vocabulary fits in 64
+    // counters, so the summary holds EXACT counts and never evicts
+    val mg = spark.sql(
+      """SELECT mg_sketch_64(w) AS sk FROM
+        |  (SELECT explode(split(trim(text), '\\s+')) AS w FROM documents)
+        |""".stripMargin).head().getStruct(0)
+    val summary = mg.getMap[String, Long](0)
+    val evicted = mg.getBoolean(1)
+    assert(!evicted && summary.size == 31)
+    val exact = spark.sql(
+      """SELECT w, count(1) AS n FROM
+        |  (SELECT explode(split(trim(text), '\\s+')) AS w FROM documents)
+        |GROUP BY w""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(summary.toMap == exact)
+    // KMV from SQL: below-k sketch IS the distinct hash set
+    val sk = spark.sql(
+      """SELECT kmv_sketch_256(
+        |  CAST(conv(substr(md5(w), 1, 12), 16, 10) AS BIGINT)) AS sk FROM
+        |  (SELECT explode(split(trim(text), '\\s+')) AS w FROM documents)
+        |""".stripMargin).head().getSeq[Long](0)
+    assert(sk.length == 31 && sk == sk.sorted && sk.distinct.length == 31)
+  }
 }
