@@ -89,6 +89,9 @@ object GrowthProbe {
     probe("psi_drift")(d => Monitor.psi(
       d.filter(col("doc_id") % 2 === 0),
       d.filter(col("doc_id") % 2 === 1), "n_chars", bins = 10).count())
+    probe("drift_ks")(d => QualityModel.ksStatistic(
+      d.select(col("n_chars").cast("double").as("quality"),
+        (col("doc_id") % 2 === 0).cast("long").as("label"))).count())
     probe("pack_windows")(d => Packing.packWindows(d, 512, 64).count())
     probe("token_budget")(d => Sampling.tokenBudgetSummary(d,
       Map("src0" -> 8000L), 10000L, numShards = 64).count())

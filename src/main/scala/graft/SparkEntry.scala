@@ -493,6 +493,14 @@ object SparkEntry {
         d.filter(col("doc_id") % 2 === 0),
         d.filter(col("doc_id") % 2 === 1), "n_chars", bins = 10)
     }),
+    // the same KS machinery as a TWO-SAMPLE drift test: slice
+    // membership is the "class", n_chars the score — max CDF gap
+    // between even- and odd-id documents (PSI's bin-free sibling)
+    "drift_ks" -> ((s, dir) =>
+      operators.QualityModel.ksStatistic(
+        tbl(s, dir, "documents").select(
+          col("n_chars").cast("double").as("quality"),
+          (col("doc_id") % 2 === 0).cast("long").as("label")))),
     "tfidf_top_terms" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(tbl(s, dir, "documents"), 3)),
     "doc_chunks" -> ((s, dir) =>
@@ -3249,6 +3257,27 @@ object SparkEntry {
          |  CAST(10 AS INT) AS bins,
          |  round(CAST(sum(CAST(t9 AS DECIMAL(28,9))) AS DOUBLE), 6) AS psi
          |FROM terms GROUP BY n_ref, n_cur""".stripMargin,
+    // the classifier_ks rational over (n_chars, even-slice) — no
+    // scoring chain, pure two-sample form
+    "drift_ks" ->
+      s"""WITH l AS (SELECT CAST(n_chars AS DOUBLE) AS quality,
+         |             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS label
+         |           FROM documents),
+         |b AS (SELECT quality, CAST(sum(label) AS BIGINT) AS n_pos,
+         |        CAST(sum(1 - label) AS BIGINT) AS n_neg
+         |      FROM l GROUP BY quality),
+         |c AS (SELECT quality, n_pos, n_neg,
+         |        CAST(sum(n_pos) OVER (ORDER BY quality
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pos_cum,
+         |        CAST(sum(n_neg) OVER (ORDER BY quality
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS neg_cum
+         |      FROM b),
+         |t AS (SELECT sum(n_pos) AS np, sum(n_neg) AS nn FROM c)
+         |SELECT round(CAST(max(abs(CAST(pos_cum AS DECIMAL(38,0)) * nn
+         |          - CAST(neg_cum AS DECIMAL(38,0)) * np)) AS DOUBLE)
+         |      / (CAST(np AS DOUBLE) * nn), 6) AS ks,
+         |  CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg
+         |FROM c, t GROUP BY np, nn""".stripMargin,
     "doc_chunks" ->
       s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
          |c AS (SELECT doc_id, ws,

@@ -1740,6 +1740,27 @@ object SqlSurface {
          |  round(CAST(sum(CAST(t9 AS DECIMAL(28,9))) AS DOUBLE), 6) AS psi
          |FROM terms GROUP BY n_ref, n_cur""".stripMargin,
 
+    // Two-sample KS drift — the classifier_ks rational, no scoring
+    "drift_ks" ->
+      s"""WITH l AS (SELECT CAST(n_chars AS DOUBLE) AS quality,
+         |             CASE WHEN doc_id % 2 = 0 THEN 1L ELSE 0L END AS label
+         |           FROM documents),
+         |b AS (SELECT quality, sum(label) AS n_pos,
+         |        sum(1L - label) AS n_neg
+         |      FROM l GROUP BY quality),
+         |c AS (SELECT quality, n_pos, n_neg,
+         |        sum(n_pos) OVER (ORDER BY quality
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pos_cum,
+         |        sum(n_neg) OVER (ORDER BY quality
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS neg_cum
+         |      FROM b),
+         |t AS (SELECT sum(n_pos) AS np, sum(n_neg) AS nn FROM c)
+         |SELECT round(CAST(max(abs(CAST(pos_cum AS DECIMAL(38,0)) * nn
+         |          - CAST(neg_cum AS DECIMAL(38,0)) * np)) AS DOUBLE)
+         |      / (CAST(np AS DOUBLE) * nn), 6) AS ks,
+         |  np AS n_pos, nn AS n_neg
+         |FROM c CROSS JOIN t GROUP BY np, nn""".stripMargin,
+
     // The exact all-pairs top-N calibration baseline — quadratic by
     // definition (named and opt-in, like the operator).
     "dedup_embedding_exact_topn_baseline" ->
@@ -3930,6 +3951,7 @@ object SqlSurface {
       "audience_overlap_estimate" ->
         SparkEntry.queries("audience_overlap_estimate"),
       "mutual_information" -> SparkEntry.queries("mutual_information"),
-      "psi_drift" -> SparkEntry.queries("psi_drift"))
+      "psi_drift" -> SparkEntry.queries("psi_drift"),
+      "drift_ks" -> SparkEntry.queries("drift_ks"))
   }
 }
