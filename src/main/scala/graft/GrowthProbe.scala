@@ -335,6 +335,7 @@ object GrowthProbe {
       probeEv("session_paths")(d => Funnel.sessionPaths(d, 1800L, 3, 20).count())
       probeEv("active_users_7d")(d => Funnel.rollingActiveUsers(d, 7).count())
       probeEv("event_funnel")(d => Funnel.funnel(d).count())
+      probeEv("funnel_wilson")(d => Funnel.funnelWilson(d).count())
       probeEv("events_anomaly")(d => Monitor.hourlyAnomaly(d).count())
       probeEv("dq_freshness")(d => DataQuality.freshness(d, col("event_type"),
         col("ts"), "2024-02-01 00:00:00", maxLagSeconds = 604800L).count())

@@ -1081,6 +1081,10 @@ object SparkEntry {
     // window over event history, no event×event self-join
     "event_funnel" -> ((s, dir) => operators.Funnel.funnel(events(s, dir))),
     "funnel_summary" -> ((s, dir) => operators.Funnel.funnelSummary(events(s, dir))),
+    // each funnel step's conversion WITH its Wilson 95% interval —
+    // the uncertainty the bare rates lack; same counts, fixed-order
+    // double formula shared with the oracle
+    "funnel_wilson" -> ((s, dir) => operators.Funnel.funnelWilson(events(s, dir))),
     // weekly cohort retention (epoch-anchored integer weeks — no
     // calendar/week-start convention for the engines to disagree on)
     "user_retention" -> ((s, dir) => operators.Funnel.retention(events(s, dir))),
@@ -4196,6 +4200,37 @@ object SparkEntry {
          |  CAST(count(s3.user_id) AS BIGINT) AS n_$st3
          |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
          |        LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin
+    },
+    // the same step counts; z^2 formed by the SAME double product,
+    // identical operation order in the Wilson formula
+    "funnel_wilson" -> {
+      val Seq(st1, st2, st3) = operators.Funnel.funnelStages
+      val z = operators.Funnel.WilsonZ
+      s"""WITH $funnelCtes,
+         |c AS (SELECT CAST(count(*) AS BIGINT) AS n1,
+         |        CAST(count(s2.user_id) AS BIGINT) AS n2,
+         |        CAST(count(s3.user_id) AS BIGINT) AS n3
+         |      FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+         |              LEFT JOIN s3 ON s1.user_id = s3.user_id),
+         |st AS (SELECT 1 AS step, '$st2' AS stage, n1 AS n_prev, n2 AS n_reached FROM c
+         |       UNION ALL
+         |       SELECT 2, '$st3', n2, n3 FROM c),
+         |w AS (SELECT step, stage, n_prev, n_reached,
+         |        CAST(n_prev AS DOUBLE) AS n,
+         |        CAST(n_reached AS DOUBLE) / CAST(n_prev AS DOUBLE) AS p,
+         |        $z * $z AS z2
+         |      FROM st)
+         |SELECT CAST(step AS INT) AS step, stage, n_prev, n_reached,
+         |  CASE WHEN n_prev > 0 THEN round(p, 6) END AS rate,
+         |  CASE WHEN n_prev > 0 THEN
+         |    round((p + z2 / (2.0 * n)) / (1.0 + z2 / n)
+         |      - $z * sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+         |        / (1.0 + z2 / n), 6) END AS ci_lo,
+         |  CASE WHEN n_prev > 0 THEN
+         |    round((p + z2 / (2.0 * n)) / (1.0 + z2 / n)
+         |      + $z * sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+         |        / (1.0 + z2 / n), 6) END AS ci_hi
+         |FROM w ORDER BY step""".stripMargin
     },
     // same epoch-anchored integer period arithmetic (floor division on
     // positive epoch micros), period interpolated from the constant

@@ -1956,6 +1956,35 @@ object SqlSurface {
          |  sum(CASE WHEN stages_completed >= 3 THEN 1L ELSE 0L END) AS n_purchase
          |FROM f""".stripMargin,
 
+    // Wilson intervals on the same step counts — shared stage chain,
+    // same z^2 product and operation order as the engine formula
+    "funnel_wilson" ->
+      s"""WITH $funnelStageCtes,
+         |c AS (SELECT count(1) AS n1, count(s2.user_id) AS n2, count(s3.user_id) AS n3
+         |      FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)),
+         |st AS (SELECT 1 AS step, 'click' AS stage, n1 AS n_prev, n2 AS n_reached FROM c
+         |       UNION ALL SELECT 2, 'purchase', n2, n3 FROM c),
+         |w AS (SELECT step, stage, n_prev, n_reached,
+         |        CAST(n_prev AS DOUBLE) AS n,
+         |        CAST(n_reached AS DOUBLE) / CAST(n_prev AS DOUBLE) AS p,
+         |        ${operators.Funnel.WilsonZ} * ${operators.Funnel.WilsonZ} AS z2
+         |      FROM st)
+         |SELECT CAST(step AS INT) AS step, stage, n_prev, n_reached,
+         |  CASE WHEN n_prev > 0 THEN round(p, 6) END AS rate,
+         |  CASE WHEN n_prev > 0 THEN
+         |    round((p + z2 / (CAST(2.0 AS DOUBLE) * n)) / (CAST(1.0 AS DOUBLE) + z2 / n)
+         |      - ${operators.Funnel.WilsonZ}
+         |        * sqrt(p * (CAST(1.0 AS DOUBLE) - p) / n
+         |               + z2 / (CAST(4.0 AS DOUBLE) * n * n))
+         |        / (CAST(1.0 AS DOUBLE) + z2 / n), 6) END AS ci_lo,
+         |  CASE WHEN n_prev > 0 THEN
+         |    round((p + z2 / (CAST(2.0 AS DOUBLE) * n)) / (CAST(1.0 AS DOUBLE) + z2 / n)
+         |      + ${operators.Funnel.WilsonZ}
+         |        * sqrt(p * (CAST(1.0 AS DOUBLE) - p) / n
+         |               + z2 / (CAST(4.0 AS DOUBLE) * n * n))
+         |        / (CAST(1.0 AS DOUBLE) + z2 / n), 6) END AS ci_hi
+         |FROM w ORDER BY step""".stripMargin,
+
     // k-NN join in SQL — the registered bounded top-k UDAF
     // (topk3_pairs, the Search.TopKAgg aggregator): per-query top-k
     // with MAP-SIDE partial aggregation, so the per-query shuffle
@@ -3843,6 +3872,7 @@ object SqlSurface {
       "lang_id" -> SparkEntry.queries("lang_id"),
       "dup_size_histogram" -> SparkEntry.queries("dup_size_histogram"),
       "funnel_summary" -> SparkEntry.queries("funnel_summary"),
+      "funnel_wilson" -> SparkEntry.queries("funnel_wilson"),
       "text_stats" -> SparkEntry.queries("text_stats"),
       "token_counts" -> SparkEntry.queries("token_counts"),
       "doc_digests" -> SparkEntry.queries("doc_digests"),

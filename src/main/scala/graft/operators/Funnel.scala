@@ -86,6 +86,50 @@ object Funnel {
     funnel(events, stages).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** 97.5th normal quantile — the 95% two-sided z, shared with the
+    * oracle as an explicit literal.
+    */
+  val WilsonZ: Double = 1.959963984540054
+
+  /** Wilson score intervals on each funnel step's conversion rate —
+    * the UNCERTAINTY the bare funnelSummary rates lack (a 2/3-users
+    * step and a 2000/3000 step both read "67%"; only one of them
+    * means it). Wilson beats the normal approximation exactly where
+    * funnels live: small counts and rates near 0 or 1, never leaving
+    * [0, 1]. All arithmetic is a fixed-order double formula over the
+    * exact step counts with [[WilsonZ]] (z² formed by the same
+    * product both sides), so the oracle reproduces every digit.
+    *
+    * Shape: rides [[funnelSummary]] (per-stage min-aggs, equi-joins
+    * on user_id); the CI math runs on the stages-row unpivot of its
+    * single output row. Output (step, stage, n_prev, n_reached,
+    * rate, ci_lo, ci_hi), 6-dp; a zero-`n_prev` step yields NULLs.
+    */
+  def funnelWilson(events: DataFrame,
+      stages: Seq[String] = funnelStages): DataFrame = {
+    require(stages.size >= 2, "funnelWilson needs at least two stages")
+    val pairs = stages.sliding(2).toSeq.zipWithIndex
+    val stackArgs = pairs.map { case (Seq(a, b), i) =>
+      s"${i + 1}, '$b', n_$a, n_$b"
+    }.mkString(", ")
+    val rows = funnelSummary(events, stages).select(expr(
+      s"stack(${pairs.size}, $stackArgs) AS (step, stage, n_prev, n_reached)"))
+    val n = col("n_prev").cast("double")
+    val k = col("n_reached").cast("double")
+    val p = k / n
+    val z2 = lit(WilsonZ * WilsonZ)
+    val denom = lit(1.0) + z2 / n
+    val center = (p + z2 / (lit(2.0) * n)) / denom
+    val half = lit(WilsonZ) *
+      sqrt(p * (lit(1.0) - p) / n + z2 / (lit(4.0) * n * n)) / denom
+    rows.select(col("step").cast("int").as("step"), col("stage"),
+        col("n_prev"), col("n_reached"),
+        when(col("n_prev") > 0L, round(p, 6)).as("rate"),
+        when(col("n_prev") > 0L, round(center - half, 6)).as("ci_lo"),
+        when(col("n_prev") > 0L, round(center + half, 6)).as("ci_hi"))
+      .orderBy(col("step"))
+  }
+
   /** The contract query's retention period: one DAY of epoch-anchored
     * micros — integer floor division, bit-identical in any engine (no
     * calendar, no timezone, no week-start convention to disagree on).

@@ -176,4 +176,29 @@ class FunnelSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("2023-11-14" -> 2L, "2023-11-15" -> 1L))
   }
+
+  test("funnelWilson: hand-checked interval, bounds, and the p=1 edge") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ev(u: Long, t: String, minute: Int) =
+      (u * 100 + minute, new Timestamp(1700000000000L + minute * 60000L), u, t, 1.0)
+    // 4 viewers; users 1,2 click after viewing; both clickers purchase
+    val rows =
+      (1L to 4L).map(u => ev(u, "view", 1)) ++
+        Seq(ev(1L, "click", 2), ev(2L, "click", 3)) ++
+        Seq(ev(1L, "purchase", 4), ev(2L, "purchase", 5))
+    val events = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Funnel.funnelWilson(events).collect()
+    assert(got.map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq == Seq((1, "click", 4L, 2L), (2, "purchase", 2L, 2L)))
+    val step1 = got(0)
+    assert(step1.getDouble(4) == 0.5)
+    // Wilson for k=2, n=4, z=1.959964: symmetric about 0.5, half ≈ 0.349963
+    assert(math.abs(step1.getDouble(5) - 0.150037) < 1e-4)
+    assert(math.abs(step1.getDouble(6) - 0.849963) < 1e-4)
+    // p = 1 on n = 2: the interval stays inside [0, 1] and excludes low rates
+    val step2 = got(1)
+    assert(step2.getDouble(4) == 1.0)
+    assert(step2.getDouble(5) > 0.29 && step2.getDouble(6) <= 1.0)
+  }
 }
