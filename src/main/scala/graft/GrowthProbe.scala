@@ -336,6 +336,11 @@ object GrowthProbe {
       probeEv("active_users_7d")(d => Funnel.rollingActiveUsers(d, 7).count())
       probeEv("event_funnel")(d => Funnel.funnel(d).count())
       probeEv("funnel_wilson")(d => Funnel.funnelWilson(d).count())
+      // day-domain series diagnostics: cost is the daily map-side
+      // count; everything downstream is calendar-bounded
+      probeEv("cusum_changepoint")(d => Timeseries.cusumChangepoint(d).count())
+      probeEv("forecast_eval")(d => Timeseries.seasonalNaiveEval(d, 7).count())
+      probeEv("rolling_anomaly")(d => Timeseries.rollingAnomaly(d).count())
       probeEv("events_anomaly")(d => Monitor.hourlyAnomaly(d).count())
       probeEv("dq_freshness")(d => DataQuality.freshness(d, col("event_type"),
         col("ts"), "2024-02-01 00:00:00", maxLagSeconds = 604800L).count())

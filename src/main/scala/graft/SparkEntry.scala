@@ -1085,6 +1085,20 @@ object SparkEntry {
     // the uncertainty the bare rates lack; same counts, fixed-order
     // double formula shared with the oracle
     "funnel_wilson" -> ((s, dir) => operators.Funnel.funnelWilson(events(s, dir))),
+    // CUSUM changepoint scan over daily ingest volume — cumulative
+    // deviation from the series mean, peak day(s) flagged; the "did
+    // the level shift, and when" monitor (day-domain windows only)
+    "cusum_changepoint" -> ((s, dir) =>
+      operators.Timeseries.cusumChangepoint(events(s, dir))),
+    // seasonal-naive forecast scorecard: predict each day with the
+    // count 7 days earlier; MAE / sMAPE / MASE (lag joins on the day
+    // key, so calendar gaps mean "no forecast", never a wrong lag)
+    "forecast_eval" -> ((s, dir) =>
+      operators.Timeseries.seasonalNaiveEval(events(s, dir), 7)),
+    // trailing-7-observed-days z-score per day, current day excluded
+    // from its own baseline — local spikes flag, level shifts don't
+    "rolling_anomaly" -> ((s, dir) =>
+      operators.Timeseries.rollingAnomaly(events(s, dir), 7, 3.0)),
     // weekly cohort retention (epoch-anchored integer weeks — no
     // calendar/week-start convention for the engines to disagree on)
     "user_retention" -> ((s, dir) => operators.Funnel.retention(events(s, dir))),
@@ -4232,6 +4246,82 @@ object SparkEntry {
          |        / (1.0 + z2 / n), 6) END AS ci_hi
          |FROM w ORDER BY step""".stripMargin
     },
+    // exact day-count CUSUM: S_i = cum_i − i·total/n_days with cum_i
+    // and i exact, one fixed-order double expression per row; the
+    // peak flag compares the ROUNDED curve
+    "cusum_changepoint" ->
+      s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+         |               FROM events GROUP BY 1),
+         |t AS (SELECT sum(n) AS total, count(*) AS n_days FROM daily),
+         |c AS (SELECT day, n,
+         |        row_number() OVER (ORDER BY day) AS i,
+         |        sum(n) OVER (ORDER BY day
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM daily),
+         |s AS (SELECT day, n,
+         |        round(CAST(cum AS DOUBLE) - CAST(i AS DOUBLE)
+         |          * CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS cusum
+         |      FROM c CROSS JOIN t),
+         |p AS (SELECT max(abs(cusum)) AS peak FROM s)
+         |SELECT strftime(day, '%Y-%m-%d') AS day, CAST(n AS BIGINT) AS n,
+         |  cusum,
+         |  CAST(CASE WHEN abs(cusum) = p.peak THEN 1 ELSE 0 END AS INT) AS is_peak
+         |FROM s CROSS JOIN p ORDER BY day""".stripMargin,
+    // lag joins on the day KEY (day − 7 / day − 1), so gaps mean "no
+    // forecast"; exact integer error sums, 9-dp decimal sMAPE fold,
+    // identical ratio-of-ratios order in MASE
+    "forecast_eval" ->
+      s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+         |               FROM events GROUP BY 1),
+         |e AS (SELECT d.n, p.n AS n_pred, abs(d.n - p.n) AS err,
+         |        round(2.0 * CAST(abs(d.n - p.n) AS DOUBLE)
+         |          / CAST(d.n + p.n AS DOUBLE), 9) AS sm9
+         |      FROM daily d JOIN daily p ON d.day = p.day + 7),
+         |ea AS (SELECT count(*) AS n_eval, sum(err) AS se,
+         |         sum(CAST(sm9 AS DECIMAL(20,9))) AS ssm FROM e),
+         |sc AS (SELECT count(*) AS n_scale, sum(abs(d.n - p.n)) AS ss
+         |       FROM daily d JOIN daily p ON d.day = p.day + 1),
+         |nd AS (SELECT count(*) AS n_days FROM daily)
+         |SELECT CAST(n_days AS BIGINT) AS n_days,
+         |  CAST(n_eval AS BIGINT) AS n_eval,
+         |  CASE WHEN n_eval > 0 THEN
+         |    round(CAST(se AS DOUBLE) / CAST(n_eval AS DOUBLE), 6) END AS mae,
+         |  CASE WHEN n_scale > 0 THEN
+         |    round(CAST(ss AS DOUBLE) / CAST(n_scale AS DOUBLE), 6) END AS scale_mae,
+         |  CASE WHEN n_eval > 0 AND n_scale > 0 AND ss > 0 THEN
+         |    round((CAST(se AS DOUBLE) / CAST(n_eval AS DOUBLE))
+         |        / (CAST(ss AS DOUBLE) / CAST(n_scale AS DOUBLE)), 6) END AS mase,
+         |  CASE WHEN n_eval > 0 THEN
+         |    round(CAST(ssm AS DOUBLE) / CAST(n_eval AS DOUBLE), 6) END AS smape
+         |FROM nd CROSS JOIN ea CROSS JOIN sc""".stripMargin,
+    // trailing 7-OBSERVED-days frame excluding the current row; exact
+    // 128-bit moment sums (the engine's decimal casts), radicand
+    // clamped at zero, flag compares the ROUNDED mean/std
+    "rolling_anomaly" ->
+      s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+         |               FROM events GROUP BY 1),
+         |s AS (SELECT day, n,
+         |        count(n) OVER w AS n_window,
+         |        sum(CAST(n AS HUGEINT)) OVER w AS sx,
+         |        sum(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) OVER w AS sx2
+         |      FROM daily
+         |      WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+         |m AS (SELECT day, n, n_window,
+         |        CASE WHEN n_window >= 2 THEN
+         |          round(CAST(sx AS DOUBLE) / CAST(n_window AS DOUBLE), 6)
+         |        END AS mean_prev,
+         |        CASE WHEN n_window >= 2 THEN
+         |          round(sqrt(greatest(
+         |            CAST(CAST(n_window AS HUGEINT) * sx2 - sx * sx AS DOUBLE)
+         |              / (CAST(n_window AS DOUBLE)
+         |                 * CAST(n_window - 1 AS DOUBLE)), 0.0)), 6)
+         |        END AS std_prev
+         |      FROM s)
+         |SELECT strftime(day, '%Y-%m-%d') AS day, CAST(n AS BIGINT) AS n,
+         |  CAST(n_window AS INT) AS n_window, mean_prev, std_prev,
+         |  coalesce(CAST(abs(CAST(n AS DOUBLE) - mean_prev)
+         |    > 3.0 * std_prev AS INT), 0) AS is_anomaly
+         |FROM m ORDER BY day""".stripMargin,
     // same epoch-anchored integer period arithmetic (floor division on
     // positive epoch micros), period interpolated from the constant
     "user_retention" -> {

@@ -1985,6 +1985,82 @@ object SqlSurface {
          |        / (CAST(1.0 AS DOUBLE) + z2 / n), 6) END AS ci_hi
          |FROM w ORDER BY step""".stripMargin,
 
+    // CUSUM changepoint over daily volume — day-domain windows only,
+    // the peak flag compares the ROUNDED curve (engine parity)
+    "cusum_changepoint" ->
+      s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(1) AS n
+         |               FROM events GROUP BY 1),
+         |t AS (SELECT sum(n) AS total, count(1) AS n_days FROM daily),
+         |c AS (SELECT day, n,
+         |        row_number() OVER (ORDER BY day) AS i,
+         |        sum(n) OVER (ORDER BY day
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM daily),
+         |s AS (SELECT day, n,
+         |        round(CAST(cum AS DOUBLE) - CAST(i AS DOUBLE)
+         |          * CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS cusum
+         |      FROM c CROSS JOIN t),
+         |p AS (SELECT max(abs(cusum)) AS peak FROM s)
+         |SELECT date_format(day, 'yyyy-MM-dd') AS day, n, cusum,
+         |  CAST(CASE WHEN abs(cusum) = p.peak THEN 1 ELSE 0 END AS INT) AS is_peak
+         |FROM s CROSS JOIN p ORDER BY day""".stripMargin,
+
+    // Seasonal-naive scorecard — lag joins on the day KEY (gaps mean
+    // "no forecast"), exact error sums, 9-dp decimal sMAPE fold
+    "forecast_eval" ->
+      s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(1) AS n
+         |               FROM events GROUP BY 1),
+         |e AS (SELECT d.n, p.n AS n_pred, abs(d.n - p.n) AS err,
+         |        CAST(round(2.0 * CAST(abs(d.n - p.n) AS DOUBLE)
+         |          / CAST(d.n + p.n AS DOUBLE), 9) AS DECIMAL(20,9)) AS sm9
+         |      FROM daily d JOIN daily p ON d.day = date_add(p.day, 7)),
+         |ea AS (SELECT count(1) AS n_eval, sum(err) AS se, sum(sm9) AS ssm FROM e),
+         |sc AS (SELECT count(1) AS n_scale, sum(abs(d.n - p.n)) AS ss
+         |       FROM daily d JOIN daily p ON d.day = date_add(p.day, 1)),
+         |nd AS (SELECT count(1) AS n_days FROM daily)
+         |SELECT n_days, n_eval,
+         |  CASE WHEN n_eval > 0 THEN
+         |    round(CAST(se AS DOUBLE) / CAST(n_eval AS DOUBLE), 6) END AS mae,
+         |  CASE WHEN n_scale > 0 THEN
+         |    round(CAST(ss AS DOUBLE) / CAST(n_scale AS DOUBLE), 6) END AS scale_mae,
+         |  CASE WHEN n_eval > 0 AND n_scale > 0 AND ss > 0 THEN
+         |    round((CAST(se AS DOUBLE) / CAST(n_eval AS DOUBLE))
+         |        / (CAST(ss AS DOUBLE) / CAST(n_scale AS DOUBLE)), 6) END AS mase,
+         |  CASE WHEN n_eval > 0 THEN
+         |    round(CAST(ssm AS DOUBLE) / CAST(n_eval AS DOUBLE), 6) END AS smape
+         |FROM nd CROSS JOIN ea CROSS JOIN sc""".stripMargin,
+
+    // Trailing-7-observed-days z-score — current row excluded from its
+    // own baseline; exact decimal moments, clamped radicand
+    "rolling_anomaly" ->
+      s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(1) AS n
+         |               FROM events GROUP BY 1),
+         |s AS (SELECT day, n,
+         |        count(n) OVER (ORDER BY day
+         |          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n_window,
+         |        sum(CAST(n AS DECIMAL(38,0))) OVER (ORDER BY day
+         |          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS sx,
+         |        sum(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)))
+         |          OVER (ORDER BY day
+         |            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS sx2
+         |      FROM daily),
+         |m AS (SELECT day, n, n_window,
+         |        CASE WHEN n_window >= 2 THEN
+         |          round(CAST(sx AS DOUBLE) / CAST(n_window AS DOUBLE), 6)
+         |        END AS mean_prev,
+         |        CASE WHEN n_window >= 2 THEN
+         |          round(sqrt(greatest(
+         |            CAST(CAST(n_window AS DECIMAL(38,0)) * sx2 - sx * sx AS DOUBLE)
+         |              / (CAST(n_window AS DOUBLE)
+         |                 * CAST(n_window - 1 AS DOUBLE)), 0.0D)), 6)
+         |        END AS std_prev
+         |      FROM s)
+         |SELECT date_format(day, 'yyyy-MM-dd') AS day, n,
+         |  CAST(n_window AS INT) AS n_window, mean_prev, std_prev,
+         |  coalesce(CAST(abs(CAST(n AS DOUBLE) - mean_prev)
+         |    > 3.0 * std_prev AS INT), 0) AS is_anomaly
+         |FROM m ORDER BY day""".stripMargin,
+
     // k-NN join in SQL — the registered bounded top-k UDAF
     // (topk3_pairs, the Search.TopKAgg aggregator): per-query top-k
     // with MAP-SIDE partial aggregation, so the per-query shuffle
@@ -3982,6 +4058,9 @@ object SqlSurface {
         SparkEntry.queries("audience_overlap_estimate"),
       "mutual_information" -> SparkEntry.queries("mutual_information"),
       "psi_drift" -> SparkEntry.queries("psi_drift"),
-      "drift_ks" -> SparkEntry.queries("drift_ks"))
+      "drift_ks" -> SparkEntry.queries("drift_ks"),
+      "cusum_changepoint" -> SparkEntry.queries("cusum_changepoint"),
+      "forecast_eval" -> SparkEntry.queries("forecast_eval"),
+      "rolling_anomaly" -> SparkEntry.queries("rolling_anomaly"))
   }
 }

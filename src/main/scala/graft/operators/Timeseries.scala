@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Daily-series diagnostics over the event stream — the monitoring
+  * questions a pipeline asks of its own volume curve: "did ingest
+  * volume shift, and when?" (CUSUM changepoint), "is today's count
+  * explainable by last week's?" (seasonal-naive forecast error), and
+  * "is today an outlier against its own trailing window?" (rolling
+  * z-score). These extend the reference's stats/monitoring surface
+  * (aeuc_vector_db/db.py stats(), reference only reports static
+  * counts) to the time axis a production ingest actually watches.
+  *
+  * Shape at 100 TB: every operator here aggregates the raw stream to
+  * ONE row per day first — a map-side-combinable count keyed on the
+  * calendar day, so the shuffle moves day-level partials, never
+  * events. Everything after that point (windows, self-joins on the
+  * day key, peak scans) runs on the bounded DAY DOMAIN — guarded by
+  * [[Partitioning.requireBoundedDomain]], the discipline every
+  * unpartitioned cumulative window in this repo follows. Calendar
+  * days are physically bounded (~37k rows per century), so the
+  * domain stage is driver-trivial at any corpus scale.
+  *
+  * Determinism discipline: the daily counts are exact longs; every
+  * derived statistic is formed from exact integer/decimal sums with a
+  * FIXED operation order shared character-for-character with the
+  * DuckDB oracle, then rounded at 6 dp. Where a variance radicand
+  * appears it is computed exactly in decimals and clamped at zero
+  * before sqrt (the Monitor.scala radicand lesson).
+  */
+object Timeseries {
+
+  /** One exact count per calendar day, the shared head of every
+    * operator in this file. Bounded-domain-guarded: the downstream
+    * global windows sort THIS frame, so its row count must stay in
+    * the domain class (it does — it is calendar days). */
+  private def dailyCounts(events: DataFrame, site: String): DataFrame =
+    Partitioning.requireBoundedDomain(
+      events.groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n")),
+      "day", site)
+
+  /** CUSUM changepoint scan over daily event counts: the cumulative
+    * deviation S_i = Σ_{j≤i}(x_j − μ) and the day where |S| peaks —
+    * the classic "the level shifted HERE" detector (Page 1954). A
+    * flat series random-walks near zero; a mean shift at day t makes
+    * |S| a tent with its apex at t. Reports the full curve (for
+    * plotting/alerting) with the peak day(s) flagged.
+    *
+    * Determinism: S_i = cum_i − i·total/n_days where cum_i and i are
+    * exact (running long sum, row_number), so each S_i is ONE double
+    * expression with a fixed order, rounded at 6 dp; the peak flag
+    * compares the ROUNDED values, so oracle equality is exact.
+    * Shape: day-domain window + two broadcast 1-row aggregates; the
+    * only sort is the guarded day-domain sort.
+    */
+  def cusumChangepoint(events: DataFrame): DataFrame = {
+    val daily = dailyCounts(events, "Timeseries.cusumChangepoint")
+    val tot = daily.agg(sum(col("n")).as("total"), count(lit(1)).as("n_days"))
+    val cumW = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val curve = daily.crossJoin(broadcast(tot))
+      .withColumn("i", row_number().over(Window.orderBy(col("day"))))
+      .withColumn("cum", sum(col("n")).over(cumW))
+      .select(col("day"), col("n"),
+        round(col("cum").cast("double") - col("i").cast("double")
+          * col("total").cast("double") / col("n_days").cast("double"),
+          6).as("cusum"))
+    val peak = curve.agg(max(abs(col("cusum"))).as("peak"))
+    curve.crossJoin(broadcast(peak))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
+        col("cusum"),
+        when(abs(col("cusum")) === col("peak"), lit(1)).otherwise(lit(0))
+          .cast("int").as("is_peak"))
+      .orderBy(col("day"))
+  }
+
+  /** Seasonal-naive forecast evaluation: predict each day's count
+    * with the count `season` days earlier, and score the prediction
+    * with MAE, sMAPE and MASE (Hyndman & Koehler 2006) — MASE scales
+    * the seasonal forecast's error by the one-step-naive in-sample
+    * error, so < 1 means "last week beats yesterday" and the measure
+    * is unit-free across series. The honest baseline every fancy
+    * volume forecast must beat before it ships.
+    *
+    * Gaps are semantic, not positional: the prediction joins on
+    * day − season (an equi-join on the day key), so a missing
+    * calendar day yields no forecast rather than silently borrowing
+    * the wrong lag — ROWS-frame lag over an irregular series would.
+    * Shape: the two lag joins are day-domain equi-joins with the
+    * (broadcast) shifted copy; summary statistics are exact long
+    * sums except the 9-dp-decimal sMAPE term fold. n_eval = 0 (or a
+    * zero scale error) yields NULL ratios, never a division blowup.
+    */
+  def seasonalNaiveEval(events: DataFrame, season: Int = 7): DataFrame = {
+    require(season >= 1, s"season must be >= 1, got $season")
+    val daily = dailyCounts(events, "Timeseries.seasonalNaiveEval")
+    val pred = daily.select(date_add(col("day"), season).as("day"),
+      col("n").as("n_pred"))
+    val prev = daily.select(date_add(col("day"), 1).as("day"),
+      col("n").as("n_prev"))
+    val eval = daily.join(broadcast(pred), Seq("day"))
+      .select(col("n"), col("n_pred"),
+        abs(col("n") - col("n_pred")).as("err"),
+        // sMAPE term: 2|x−p|/(x+p); counts are ≥ 1 so the denominator
+        // is never zero. 9-dp round → decimal fold (order-free).
+        round(lit(2.0) * abs(col("n") - col("n_pred")).cast("double")
+          / (col("n") + col("n_pred")).cast("double"), 9)
+          .cast(DecimalType(20, 9)).as("sm9"))
+      .agg(count(lit(1)).as("n_eval"), sum(col("err")).as("se"),
+        sum(col("sm9")).as("ssm"))
+    val scale = daily.join(broadcast(prev), Seq("day"))
+      .select(abs(col("n") - col("n_prev")).as("s"))
+      .agg(count(lit(1)).as("n_scale"), sum(col("s")).as("ss"))
+    val nd = daily.agg(count(lit(1)).as("n_days"))
+    val mae = col("se").cast("double") / col("n_eval").cast("double")
+    val scaleMae = col("ss").cast("double") / col("n_scale").cast("double")
+    nd.crossJoin(broadcast(eval)).crossJoin(broadcast(scale))
+      .select(col("n_days"), col("n_eval"),
+        when(col("n_eval") > 0, round(mae, 6)).as("mae"),
+        when(col("n_scale") > 0, round(scaleMae, 6)).as("scale_mae"),
+        when(col("n_eval") > 0 && col("n_scale") > 0 && col("ss") > 0,
+          round(mae / scaleMae, 6)).as("mase"),
+        when(col("n_eval") > 0,
+          round(col("ssm").cast("double") / col("n_eval").cast("double"), 6))
+          .as("smape"))
+  }
+
+  /** Rolling z-score anomaly flags: each day scored against the
+    * sample mean/stddev of its trailing `window` OBSERVED days
+    * (current day excluded — the day under test must not contaminate
+    * its own baseline). The per-day sibling of Monitor.hourlyAnomaly's
+    * global z-score: level shifts and ramps move the baseline with
+    * the series here, so only LOCAL spikes flag.
+    *
+    * "Observed days": the frame is ROWS-based over the day-domain
+    * table, so after a calendar gap the window is the last `window`
+    * days that HAVE data — documented semantics, not an accident
+    * (an irregular monitor wants "recent behaviour", not empty
+    * calendar slots as zeros).
+    *
+    * Determinism: trailing sum/sum-of-squares are exact decimals
+    * (counts cast to decimal BEFORE squaring — the chiSquare
+    * overflow lesson); variance numerator w·Σx² − (Σx)² is exact,
+    * clamped at zero (radicand guard), divided once, sqrt'd, rounded.
+    * The flag compares against the ROUNDED mean/std so the oracle
+    * replays it bit-for-bit.
+    */
+  def rollingAnomaly(events: DataFrame, window: Int = 7,
+      k: Double = 3.0): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(k > 0, s"k must be > 0, got $k")
+    val daily = dailyCounts(events, "Timeseries.rollingAnomaly")
+    val w = Window.orderBy(col("day")).rowsBetween(-window, -1)
+    val cnt = count(col("n")).over(w)
+    val s = sum(col("n").cast(DecimalType(38, 0))).over(w)
+    val s2 = sum(col("n").cast(DecimalType(19, 0))
+      * col("n").cast(DecimalType(19, 0))).over(w)
+    val stats = daily.select(col("day"), col("n"),
+      cnt.as("n_window"), s.as("s"), s2.as("s2"))
+    // parenthesized as ONE expression: a leading `-` on a continuation
+    // line is parsed as a new unary-minus statement by Scala's
+    // semicolon inference, silently dropping the s² term
+    val numer = (col("n_window").cast(DecimalType(38, 0)) * col("s2")
+      - col("s") * col("s"))
+    val meanRaw = col("s").cast("double") / col("n_window").cast("double")
+    val stdRaw = sqrt(greatest(numer.cast("double")
+      / (col("n_window").cast("double")
+        * (col("n_window") - 1).cast("double")), lit(0.0)))
+    stats
+      .withColumn("mean_prev",
+        when(col("n_window") >= 2, round(meanRaw, 6)))
+      .withColumn("std_prev",
+        when(col("n_window") >= 2, round(stdRaw, 6)))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n"),
+        col("n_window").cast("int").as("n_window"),
+        col("mean_prev"), col("std_prev"),
+        coalesce(
+          (abs(col("n").cast("double") - col("mean_prev"))
+            > lit(k) * col("std_prev")).cast("int"),
+          lit(0)).as("is_anomaly"))
+      .orderBy(col("day"))
+  }
+}
