@@ -344,6 +344,8 @@ object GrowthProbe {
       probeEv("events_anomaly")(d => Monitor.hourlyAnomaly(d).count())
       probeEv("dq_freshness")(d => DataQuality.freshness(d, col("event_type"),
         col("ts"), "2024-02-01 00:00:00", maxLagSeconds = 604800L).count())
+      probeEv("benford_digits")(d =>
+        DataQuality.benfordTest(d, col("value")).count())
       // subquery-decorrelation probes: 20× orders/lineitem replicated
       // on the ORDER axis (parts fixed), halved by orderkey parity so
       // both sides stay key-aligned. The decorrelated shapes must be

@@ -1169,6 +1169,12 @@ object SparkEntry {
     "dq_freshness" -> ((s, dir) =>
       operators.DataQuality.freshness(events(s, dir), col("event_type"),
         col("ts"), "2024-02-01 00:00:00", maxLagSeconds = 604800L)),
+    // Benford first-digit conformance of order amounts: digit via an
+    // exact BIGINT shift + string head (never floor(log10) on data),
+    // χ² vs the log law on the 9-row digit domain
+    "benford_digits" -> ((s, dir) =>
+      operators.DataQuality.benfordTest(tbl(s, dir, "orders"),
+        col("o_totalprice"))),
     // the ingest admission gate: predicate expectations fold into ONE
     // aggregate pass per table (a check is a column, not a scan),
     // uniqueness is one groupBy, referential integrity one anti join —
@@ -4359,6 +4365,37 @@ object SparkEntry {
          |      - epoch_us(max(ts)))::DOUBLE / 1000000) AS BIGINT) > 604800,
          |    TRUE) AS stale
          |FROM events GROUP BY event_type ORDER BY grp""".stripMargin,
+    // identical BIGINT-shift digit extraction (integer rendering is
+    // engine-identical; floor(log10) is not), 9-dp ln-ratio shares,
+    // explicit-product χ² terms, decimal total
+    "benford_digits" ->
+      s"""WITH pos AS (SELECT CAST(substr(CAST(CAST(round(
+         |        CAST(o_totalprice AS DOUBLE) * 1000000.0) AS BIGINT)
+         |        AS VARCHAR), 1, 1) AS INT) AS digit
+         |      FROM orders
+         |      WHERE o_totalprice IS NOT NULL AND o_totalprice > 0),
+         |cnt AS (SELECT digit, count(*) AS n_obs FROM pos
+         |        WHERE digit >= 1 GROUP BY digit),
+         |t AS (SELECT sum(n_obs) AS n FROM cnt),
+         |d AS (SELECT CAST(r + 1 AS INT) AS digit FROM range(9) t(r)),
+         |f AS (SELECT d.digit, coalesce(cnt.n_obs, 0) AS n_obs
+         |      FROM d LEFT JOIN cnt USING (digit)),
+         |e AS (SELECT f.digit, f.n_obs, t.n,
+         |        round(ln(1.0 + 1.0 / CAST(f.digit AS DOUBLE)) / ln(10.0), 9) AS p9
+         |      FROM f CROSS JOIN t),
+         |g AS (SELECT digit, n_obs, n, p9,
+         |        CAST(n AS DOUBLE) * p9 AS exp_n FROM e),
+         |h AS (SELECT digit, n_obs, n, p9,
+         |        round((CAST(n_obs AS DOUBLE) - exp_n)
+         |          * (CAST(n_obs AS DOUBLE) - exp_n) / exp_n, 9) AS term9
+         |      FROM g),
+         |tt AS (SELECT sum(CAST(term9 AS DECIMAL(20,9))) AS chi2 FROM h)
+         |SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+         |  round(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS obs_share,
+         |  round(p9, 6) AS exp_share,
+         |  round(term9, 6) AS chi2_term,
+         |  round(CAST(tt.chi2 AS DOUBLE), 6) AS chi2_total
+         |FROM h CROSS JOIN tt ORDER BY digit""".stripMargin,
     // identical closed-form variance from the same exact integer
     // moments (decimal sums), identical expression order in the z;
     // the guard tests the RADICAND (mirrors Monitor.hourlyAnomaly —

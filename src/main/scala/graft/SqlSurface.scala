@@ -2237,6 +2237,38 @@ object SqlSurface {
          |      > 604800, TRUE) AS stale
          |FROM events GROUP BY event_type ORDER BY grp""".stripMargin,
 
+    // Benford first-digit screen — exact BIGINT-shift digit, 9-dp
+    // ln-ratio shares, explicit-product χ² terms, decimal total
+    "benford_digits" ->
+      s"""WITH pos AS (SELECT CAST(substring(CAST(CAST(round(
+         |        CAST(o_totalprice AS DOUBLE) * 1000000.0) AS BIGINT)
+         |        AS STRING), 1, 1) AS INT) AS digit
+         |      FROM orders
+         |      WHERE o_totalprice IS NOT NULL AND o_totalprice > 0),
+         |cnt AS (SELECT digit, count(1) AS n_obs FROM pos
+         |        WHERE digit >= 1 GROUP BY digit),
+         |t AS (SELECT sum(n_obs) AS n FROM cnt),
+         |d AS (SELECT CAST(digit AS INT) AS digit
+         |      FROM (SELECT explode(sequence(1, 9)) AS digit)),
+         |f AS (SELECT d.digit, coalesce(cnt.n_obs, 0L) AS n_obs
+         |      FROM d LEFT JOIN cnt USING (digit)),
+         |e AS (SELECT f.digit, f.n_obs, t.n,
+         |        round(ln(1.0 + 1.0 / CAST(f.digit AS DOUBLE)) / ln(10.0), 9) AS p9
+         |      FROM f CROSS JOIN t),
+         |g AS (SELECT digit, n_obs, n, p9,
+         |        CAST(n AS DOUBLE) * p9 AS exp_n FROM e),
+         |h AS (SELECT digit, n_obs, n, p9,
+         |        round((CAST(n_obs AS DOUBLE) - exp_n)
+         |          * (CAST(n_obs AS DOUBLE) - exp_n) / exp_n, 9) AS term9
+         |      FROM g),
+         |tt AS (SELECT sum(CAST(term9 AS DECIMAL(20,9))) AS chi2 FROM h)
+         |SELECT digit, n_obs,
+         |  round(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS obs_share,
+         |  round(p9, 6) AS exp_share,
+         |  round(term9, 6) AS chi2_term,
+         |  round(CAST(tt.chi2 AS DOUBLE), 6) AS chi2_total
+         |FROM h CROSS JOIN tt ORDER BY digit""".stripMargin,
+
     // Per-document surface statistics as one HOF projection — the
     // TextAnalysis.textStats expressions verbatim.
     "text_stats" ->
@@ -3958,6 +3990,7 @@ object SqlSurface {
       "scd2_lookup" -> SparkEntry.queries("scd2_lookup"),
       "char_entropy" -> SparkEntry.queries("char_entropy"),
       "dq_freshness" -> SparkEntry.queries("dq_freshness"),
+      "benford_digits" -> SparkEntry.queries("benford_digits"),
       "knn_join_top3" -> SparkEntry.queries("knn_join_top3"),
       "pii_scrub" -> SparkEntry.queries("pii_scrub"),
       "decontaminate" -> SparkEntry.queries("decontaminate"),

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Declarative data-quality expectations — the admission gate a
   * 100 TB ingest runs before data reaches training: null/domain/range
@@ -111,5 +112,61 @@ object DataQuality {
         lagSecs.as("lag_seconds"),
         coalesce(lagSecs > maxLagSeconds, lit(true)).as("stale"))
       .orderBy(col("grp"))
+  }
+
+  /** Benford first-digit conformance test (Benford 1938; Nigrini's
+    * fraud screen): the observed first-significant-digit distribution
+    * of a positive amount column against the log-law expectation
+    * P(d) = log10(1 + 1/d), with the χ² statistic — fabricated or
+    * process-generated amounts (prices from a uniform RNG, padded
+    * invoices) miss the law; organic multiplicative amounts follow it.
+    * One row per digit 1-9 (absent digits reported as 0-count rows,
+    * they still contribute (0−E)²/E) plus the shared χ² total.
+    *
+    * Digit extraction never touches log10 on data: the value is
+    * shifted to an exact BIGINT (round(x·10⁶) — six significant
+    * decimals is far past any amount column's precision) and the
+    * first character of the INTEGER's decimal rendering is the digit.
+    * Integer-to-string is locale-free and engine-identical, where
+    * floor(log10(x)) straddles engines for x within an ulp of a power
+    * of ten. Values whose shift rounds to zero (< 5·10⁻⁷) leave the
+    * test's domain and are excluded with the non-positives.
+    *
+    * Shape at 100 TB: one filtered scan folding into a 9-key
+    * map-side-combinable count; everything downstream (expected
+    * shares, χ² terms, the total) runs on the 9-row digit domain.
+    * Determinism: expected shares are ln-ratio doubles rounded at
+    * 9 dp (the surprisal rule), χ² terms are fixed-order squares
+    * (explicit product, never pow) rounded at 9 dp and summed as
+    * decimals; readouts rounded at 6 dp.
+    */
+  def benfordTest(df: DataFrame, value: Column): DataFrame = {
+    val digits = df.sparkSession.range(1)
+      .select(explode(sequence(lit(1), lit(9))).as("digit"))
+      .select(col("digit").cast("int").as("digit"))
+    val counts = df.filter(value.isNotNull && value > 0)
+      .select(substring(round(value.cast("double") * lit(1000000.0))
+        .cast("bigint").cast("string"), 1, 1).cast("int").as("digit"))
+      .filter(col("digit") >= 1)
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val tot = counts.agg(sum(col("n_obs")).as("n"))
+    val full = digits.join(counts, Seq("digit"), "left")
+      .na.fill(0L, Seq("n_obs"))
+      .crossJoin(broadcast(tot))
+      .withColumn("p9", round(log(lit(1.0)
+        + lit(1.0) / col("digit").cast("double")) / log(lit(10.0)), 9))
+      .withColumn("exp_n", col("n").cast("double") * col("p9"))
+      .withColumn("term9", round((col("n_obs").cast("double") - col("exp_n"))
+        * (col("n_obs").cast("double") - col("exp_n")) / col("exp_n"), 9))
+    val chi2 = full
+      .agg(sum(col("term9").cast(DecimalType(20, 9))).as("chi2"))
+    full.crossJoin(broadcast(chi2))
+      .select(col("digit"), col("n_obs"),
+        round(col("n_obs").cast("double") / col("n").cast("double"), 6)
+          .as("obs_share"),
+        round(col("p9"), 6).as("exp_share"),
+        round(col("term9"), 6).as("chi2_term"),
+        round(col("chi2").cast("double"), 6).as("chi2_total"))
+      .orderBy(col("digit"))
   }
 }

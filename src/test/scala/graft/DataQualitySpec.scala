@@ -106,4 +106,37 @@ class DataQualitySpec extends AnyFunSuite {
         "yesterday", maxLagSeconds = 30L)
     }
   }
+
+  test("benfordTest: digit extraction, domain exclusions, absent digits still contribute") {
+    // digits by magnitude: 123.45→1, 0.056→5, 999.0→9, 1.0→1;
+    // excluded: null, 0, negative, and 1e-9 (shifts below one)
+    val df = Seq(Some(123.45), Some(0.056), Some(999.0), Some(1.0),
+      None, Some(0.0), Some(-50.0), Some(1e-9)).toDF("v")
+    val got = DataQuality.benfordTest(df, col("v")).collect()
+    assert(got.length == 9, "always one row per digit 1-9")
+    val byDigit = got.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byDigit(1) == 2 && byDigit(5) == 1 && byDigit(9) == 1)
+    assert((2 to 8).filterNot(_ == 5).forall(d => byDigit(d) == 0))
+    // the log-law shares are the textbook constants
+    val exp = got.map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(exp(1) == 0.30103 && exp(2) == 0.176091 && exp(9) == 0.045757)
+    // absent digits contribute (0−E)²/E = E, not zero
+    val term = got.map(r => r.getInt(0) -> r.getDouble(4)).toMap
+    assert(term(3) > 0, "a missing digit is evidence AGAINST conformance")
+    // one shared total, equal to the 9-term sum at 6 dp
+    val totals = got.map(_.getDouble(5)).distinct
+    assert(totals.length == 1)
+    assert(math.abs(totals.head - got.map(_.getDouble(4)).sum) < 5e-6)
+  }
+
+  test("benfordTest: a geometric ramp conforms far better than a flat shifted one") {
+    // 10^(k/50) for k=0..99 spans two decades log-uniformly — the
+    // textbook Benford generator; 900+d sequences all start with 9
+    val benford = (0 until 100).map(k => math.pow(10.0, k / 50.0)).toDF("v")
+    val skewed = (0 until 100).map(k => 900.0 + k).toDF("v")
+    val chiB = DataQuality.benfordTest(benford, col("v")).head().getDouble(5)
+    val chiS = DataQuality.benfordTest(skewed, col("v")).head().getDouble(5)
+    assert(chiB < 16.0, s"log-uniform data should conform, chi2=$chiB")
+    assert(chiS > 100.0, s"all-9s data must blow up the statistic, chi2=$chiS")
+  }
 }
