@@ -81,6 +81,9 @@ object GrowthProbe {
         reps = 50).count())
     probe("distinct_estimate")(d =>
       Kmv.distinctValues(d, "doc_id", 256).count())
+    probe("quantile_estimate")(d =>
+      Sampling.hashSampleQuantiles(d, "doc_id", "n_chars", 256,
+        maxExactRows = 10000000L).count())
     probe("audience_overlap_estimate")(d =>
       Kmv.overlapEstimate(d.filter(col("doc_id") % 3 === 0), "doc_id",
         d.filter(col("doc_id") % 2 === 0), "doc_id", 256).count())

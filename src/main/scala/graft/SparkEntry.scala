@@ -471,6 +471,14 @@ object SparkEntry {
     // user domain so the (k-1)/u_k estimator branch is the one graded
     "distinct_estimate" -> ((s, dir) =>
       operators.Kmv.distinctValues(events(s, dir), "user_id", 256)),
+    // quantile member of the bounded-state sketch family: exact
+    // percentiles over the k smallest md5-draw rows (a content-stable
+    // uniform row sample via TakeOrderedAndProject) vs the corpus
+    // exact — the sample side is the 100 TB path, the exact side the
+    // evaluator's capped comparison pass
+    "quantile_estimate" -> ((s, dir) =>
+      operators.Sampling.hashSampleQuantiles(
+        tbl(s, dir, "documents"), "doc_id", "n_chars", 1024)),
     // theta-sketch set algebra: click-audience vs view-audience
     // union / Jaccard / intersection from two bounded sketch passes —
     // the exact version is source_overlap's distinct self-join
@@ -3197,6 +3205,25 @@ object SparkEntry {
          |       ELSE round(255.0 / ((CAST(hk AS DOUBLE) + 0.5) / power(16.0, 12)), 6)
          |  END AS n_est
          |FROM s""".stripMargin,
+    // same md5-12 draw on the KEY, same (draw, value) sample order,
+    // interpolated percentiles over sample and corpus
+    "quantile_estimate" ->
+      s"""WITH base AS (SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+         |                  AS BIGINT) AS h,
+         |                CAST(n_chars AS DOUBLE) AS v
+         |              FROM documents WHERE n_chars IS NOT NULL),
+         |smp AS (SELECT v FROM base ORDER BY h, v LIMIT 1024),
+         |sa AS (SELECT count(*) AS n_sample,
+         |         quantile_cont(v, [0.5, 0.9, 0.99]) AS qe FROM smp),
+         |ex AS (SELECT count(*) AS n_rows,
+         |         quantile_cont(v, [0.5, 0.9, 0.99]) AS qx FROM base),
+         |p AS (SELECT * FROM (VALUES (1, 0.5), (2, 0.9), (3, 0.99)) AS t(i, p))
+         |SELECT CAST(p.p AS DOUBLE) AS p, round(sa.qe[p.i], 6) AS q_est,
+         |  round(ex.qx[p.i], 6) AS q_exact,
+         |  round(abs(sa.qe[p.i] - ex.qx[p.i]), 6) AS abs_error,
+         |  CAST(sa.n_sample AS BIGINT) AS n_sample,
+         |  CAST(ex.n_rows AS BIGINT) AS n_rows
+         |FROM p CROSS JOIN sa CROSS JOIN ex ORDER BY p.p""".stripMargin,
     // replay: two bottom-k sketches, truncated union, membership
     // count; the rounded factors multiply (not the raw ones) exactly
     // as the engine does

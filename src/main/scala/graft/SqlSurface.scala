@@ -1654,6 +1654,29 @@ object SqlSurface {
          |  END AS n_est
          |FROM s""".stripMargin,
 
+    // Quantile estimate from the bounded md5-draw row sample — the
+    // sample cut is ORDER BY (draw, value) LIMIT k
+    // (TakeOrderedAndProject), percentiles interpolate on both sides
+    "quantile_estimate" ->
+      s"""WITH base AS (SELECT
+         |        CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12),
+         |                  16, 10) AS BIGINT) AS h,
+         |        CAST(n_chars AS DOUBLE) AS v
+         |      FROM documents WHERE n_chars IS NOT NULL),
+         |smp AS (SELECT v FROM base ORDER BY h, v LIMIT 1024),
+         |sa AS (SELECT count(1) AS n_sample,
+         |         percentile(v, array(0.5D, 0.9D, 0.99D)) AS qe FROM smp),
+         |ex AS (SELECT count(1) AS n_rows,
+         |         percentile(v, array(0.5D, 0.9D, 0.99D)) AS qx FROM base),
+         |p AS (SELECT pos + 1 AS i, col AS p
+         |      FROM (SELECT posexplode(array(0.5D, 0.9D, 0.99D))))
+         |SELECT p.p, round(element_at(sa.qe, p.i), 6) AS q_est,
+         |  round(element_at(ex.qx, p.i), 6) AS q_exact,
+         |  round(abs(element_at(sa.qe, p.i) - element_at(ex.qx, p.i)), 6)
+         |    AS abs_error,
+         |  n_sample, n_rows
+         |FROM p CROSS JOIN sa CROSS JOIN ex ORDER BY p.p""".stripMargin,
+
     // Theta-sketch audience overlap — same truncated-union replay
     "audience_overlap_estimate" ->
       s"""WITH ha AS (SELECT DISTINCT
@@ -4087,6 +4110,7 @@ object SqlSurface {
       "bootstrap_ci" -> SparkEntry.queries("bootstrap_ci"),
       "bootstrap_diff_ci" -> SparkEntry.queries("bootstrap_diff_ci"),
       "distinct_estimate" -> SparkEntry.queries("distinct_estimate"),
+      "quantile_estimate" -> SparkEntry.queries("quantile_estimate"),
       "audience_overlap_estimate" ->
         SparkEntry.queries("audience_overlap_estimate"),
       "mutual_information" -> SparkEntry.queries("mutual_information"),

@@ -81,7 +81,7 @@ object Kmv {
   /** md5-12 hash of a string column as a long in [0, 16^12) — the
     * engine-portable convention every sketch here shares.
     */
-  private def hash48(c: org.apache.spark.sql.Column) =
+  private[operators] def hash48(c: org.apache.spark.sql.Column) =
     conv(substring(md5(c), 1, 12), 16, 10).cast("long")
 
   private val outSchema = StructType(Seq(

@@ -401,4 +401,64 @@ object Sampling {
         (splitOf(col("doc_id")) =!= splitOf(col("group_id"))).as("rescued"))
       .orderBy(col("doc_id"))
   }
+
+  /** Quantile estimation from a bounded hash sample — the quantile
+    * member of the bounded-state sketch family (top-k = Misra-Gries,
+    * frequency = Count-Min, distinct = KMV, quantile = THIS): the k
+    * rows with the smallest md5-12 draw on the row KEY form a
+    * content-stable uniform row sample, and exact interpolated
+    * percentiles over those k values estimate the corpus quantiles.
+    * Hashing the KEY (not the value) keeps the sample uniform over
+    * ROWS — a value-hashed sample would collapse duplicates and
+    * estimate the distinct-value distribution instead.
+    *
+    * Scale shape: the sample is a global bottom-k on (draw, value) —
+    * TakeOrderedAndProject, per-partition top-k partials merged once,
+    * never a full sort; its state is k rows wherever exact
+    * `percentile` state is the whole column. The EXACT side of the
+    * readout is the evaluator's deliberate corpus-state pass, so the
+    * whole operator is a sample-scale evaluator and sits behind
+    * [[Partitioning.requireSampleScale]] (`maxExactRows`) — at
+    * production scale you run the sample side alone and skip the
+    * comparison (`withExact = false` drops the exact pass and the cap,
+    * reporting NULL q_exact/abs_error).
+    *
+    * Determinism: the md5-mantissa draw is the [[Kmv]] convention;
+    * sample membership is the total order (draw, value); percentile
+    * interpolation is the closest-ranks rule both engines share.
+    */
+  def hashSampleQuantiles(df: DataFrame, keyCol: String, valueCol: String,
+      k: Int = 1024, ps: Seq[Double] = Seq(0.5, 0.9, 0.99),
+      withExact: Boolean = true, maxExactRows: Long = 10000000L): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p < 1),
+      s"percentiles must lie in (0,1), got $ps")
+    val psSql = ps.map(p => s"${p}D").mkString("array(", ", ", ")")
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(Kmv.hash48(col(keyCol).cast("string")).as("h"),
+        col(valueCol).cast("double").as("v"))
+    val sample = base.orderBy(col("h"), col("v")).limit(k)
+      .agg(count(lit(1)).as("n_sample"),
+        expr(s"percentile(v, $psSql)").as("q_est"))
+    val exactSide =
+      if (withExact)
+        Partitioning.requireSampleScale(base,
+          "Sampling.hashSampleQuantiles(withExact=true)", maxExactRows)
+          .agg(count(lit(1)).as("n_rows"),
+            expr(s"percentile(v, $psSql)").as("q_exact"))
+      else base.agg(count(lit(1)).as("n_rows"))
+        .select(col("n_rows"),
+          lit(null).cast("array<double>").as("q_exact"))
+    val pArr = array(ps.map(lit): _*)
+    def at(c: String) = element_at(col(c), col("pos") + 1)
+    sample.crossJoin(broadcast(exactSide))
+      .select(col("n_sample"), col("n_rows"), col("q_est"), col("q_exact"),
+        posexplode(pArr))
+      .select(col("col").as("p"),
+        round(at("q_est"), 6).as("q_est"),
+        round(at("q_exact"), 6).as("q_exact"),
+        round(abs(at("q_est") - at("q_exact")), 6).as("abs_error"),
+        col("n_sample"), col("n_rows"))
+      .orderBy(col("p"))
+  }
 }

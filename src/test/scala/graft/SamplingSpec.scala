@@ -304,4 +304,59 @@ class SamplingSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       s"A-ES must cut as a partial top-k, not a global sort:\n$plan")
   }
+
+  test("hashSampleQuantiles: sample == corpus when n <= k, so estimates are exact") {
+    val df = (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "x")
+    val got = Sampling.hashSampleQuantiles(df, "id", "x", k = 1024,
+      ps = Seq(0.5, 0.9)).collect()
+    assert(got.length == 2)
+    got.foreach { r =>
+      assert(r.getLong(4) == 100 && r.getLong(5) == 100)
+      assert(r.getDouble(3) == 0.0, "full sample must reproduce the exact quantile")
+    }
+    assert(got(0).getDouble(1) == 50.5, "interpolated p50 of 1..100")
+    assert(got(1).getDouble(1) == 90.1, "interpolated p90 of 1..100")
+  }
+
+  test("hashSampleQuantiles: a k-row sample tracks the corpus distribution") {
+    // 4000 rows, values 1..4000 — a 256-row hash sample's p50 should
+    // land well inside the middle half (deterministic given md5)
+    val df = (1L to 4000L).map(i => (i, i.toDouble)).toDF("id", "x")
+    val got = Sampling.hashSampleQuantiles(df, "id", "x", k = 256,
+      ps = Seq(0.5)).collect()(0)
+    assert(got.getLong(4) == 256, "sample is exactly k rows")
+    assert(got.getLong(5) == 4000)
+    assert(got.getDouble(1) > 1000 && got.getDouble(1) < 3000,
+      s"sample p50 ${got.getDouble(1)} should track the corpus median 2000.5")
+    assert(got.getDouble(3) == math.abs(got.getDouble(1) - got.getDouble(2)))
+  }
+
+  test("hashSampleQuantiles: withExact=false skips the corpus pass and the cap") {
+    val df = (1L to 50L).map(i => (i, i.toDouble)).toDF("id", "x")
+    val got = Sampling.hashSampleQuantiles(df, "id", "x", k = 16,
+      ps = Seq(0.5), withExact = false).collect()(0)
+    assert(!got.isNullAt(1), "sample estimate still reported")
+    assert(got.isNullAt(2) && got.isNullAt(3), "no exact side, no error")
+    // and the sample-scale cap does not apply on the sample-only path
+    val uncapped = Sampling.hashSampleQuantiles(df, "id", "x", k = 16,
+      ps = Seq(0.5), withExact = false, maxExactRows = 1L)
+    assert(uncapped.count() == 1)
+  }
+
+  test("hashSampleQuantiles: the exact side is a capped evaluator") {
+    val df = (1L to 50L).map(i => (i, i.toDouble)).toDF("id", "x")
+    val ex = intercept[Exception] {
+      Sampling.hashSampleQuantiles(df, "id", "x", k = 16,
+        ps = Seq(0.5), maxExactRows = 10L).collect()
+    }
+    def msg(e: Throwable): String = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg(ex).contains("sample-scale evaluator"))
+    intercept[IllegalArgumentException] {
+      Sampling.hashSampleQuantiles(df, "id", "x", k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.hashSampleQuantiles(df, "id", "x", ps = Seq(1.5))
+    }
+  }
 }
