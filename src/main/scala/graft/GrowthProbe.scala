@@ -65,6 +65,9 @@ object GrowthProbe {
       println(f"$tH%7.2f  $tF%7.2f  raw=${tF / tH}%5.2f  pairs: $pH%,d → $pF%,d (${pF.toDouble / pH}%4.2fx)  per-pair ratio=$norm%5.2f  ${if (norm > 1.5) "SLOW " else "ok   "}ngram_jaccard prefix-exact")
     }
     probe("span_dedup")(d => Dedup.spanDedup(d, 8).count())
+    probe("sorted_neighborhood")(d => Dedup.sortedNeighborhoodPairs(d,
+      t => element_at(split(trim(t), "\\s+"), 1), t => trim(t),
+      window = 6, threshold = 0.5).count())
     probe("novelty")(d => TextAnalysis.noveltyScores(d).count())
     probe("quality_flags")(d => TextAnalysis.qualityFlags(d).count())
     probe("char_entropy")(d => TextAnalysis.charEntropy(d).count())
@@ -232,6 +235,21 @@ object GrowthProbe {
           concat(lit("x"), substring(clean, 2, 100000))).otherwise(clean).as("name"))
       Joins.fuzzyMatch(dirty, catalog, "doc_id",
         n => element_at(split(n, " "), -1), maxDist = 1).count()
+    })
+    probe("fuzzy_match_jw")(d => {
+      // same production shape, JW-scored: fixed catalog, growing dirty
+      // stream, block-bounded candidates
+      val m = pmod(col("doc_id"), lit(10000L))
+      val clean = concat(lit("part"), m.cast("string"),
+        lit(" grp"), pmod(m, lit(499L)).cast("string"))
+      val catalog = d.sparkSession.range(10000)
+        .select(concat(lit("part"), col("id").cast("string"),
+          lit(" grp"), pmod(col("id"), lit(499L)).cast("string")).as("name"))
+      val dirty = d.select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("x"), substring(clean, 2, 100000))).otherwise(clean).as("name"))
+      Joins.fuzzyMatchJw(dirty, catalog, "doc_id",
+        n => element_at(split(n, " "), -1), minSim = 0.88).count()
     })
     // embedding-side probes (20k → 40k vectors). PQ reuses ONE model fit
     // on the full corpus for both sizes: fit cost is constant in n

@@ -120,6 +120,15 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), 0.5)),
     "dedup_groups" -> ((s, dir) =>
       Dedup.dupGroups(Dedup.minhashLshPairs(tbl(s, dir, "documents"), 0.5))),
+    // the third candidate-generation strategy beside LSH banding and
+    // prefix filtering: per-block sort-rank (first word blocks,
+    // trimmed text orders), neighbors within 6 positions, exact
+    // Jaccard verify — hard n·(w−1) candidate bound; the oracle
+    // replays rank, window and verify identically
+    "dedup_sorted_neighborhood" -> ((s, dir) =>
+      Dedup.sortedNeighborhoodPairs(tbl(s, dir, "documents"),
+        t => element_at(split(trim(t), "\\s+"), 1), t => trim(t),
+        window = 6, threshold = 0.5)),
     // triangle census over the dup graph (degree-ordered orientation —
     // each triangle found once at its unique two-out-edge vertex, join
     // fan-out bounded by oriented out-degree ≤ O(√E)): family-vs-chain
@@ -836,6 +845,17 @@ object SparkEntry {
     // dirty strings; levenshtein is exact+integer in both
     "fuzzy_match" -> ((s, dir) =>
       fuzzyMatched(s, dir).orderBy(col("p_partkey"))),
+    // the same linkage scored by the Jaro-Winkler codegen kernel
+    // instead of edit distance — same dirty strings, same last-token
+    // blocking, sound length-ratio prune, max(struct) winner; the
+    // oracle recomputes the similarity with DuckDB's own
+    // jaro_winkler_similarity (byte-identical semantics, empirically
+    // pinned in JoinsSpec)
+    "fuzzy_match_jw" -> ((s, dir) =>
+      operators.Joins.fuzzyMatchJw(fuzzyDirty(s, dir),
+          tbl(s, dir, "part").select(col("p_name").as("name")), "p_partkey",
+          n => element_at(split(n, " "), -1), minSim = 0.88)
+        .orderBy(col("p_partkey"))),
     // the linkage evaluated against its constructed ground truth — the
     // ER member of the evaluation family (P/R/F1 per lane); one extra
     // broadcast join + a 2-row aggregate on top of the match itself
@@ -1676,26 +1696,31 @@ object SparkEntry {
     * oracles — one corruption construction, so the linkage shipped and
     * the linkage evaluated can never drift apart.
     */
-  private def fuzzyMatched(s: SparkSession, dir: String): DataFrame = {
+  private def fuzzyDirty(s: SparkSession, dir: String): DataFrame = {
     val p = tbl(s, dir, "part")
     val name = col("p_name")
     val len1 = length(element_at(split(name, " "), 1))
     val pos = lit(2) + pmod(col("p_partkey"), (len1 - lit(1)).cast("bigint"))
-    val dirty = p.select(col("p_partkey"),
+    p.select(col("p_partkey"),
       when(col("p_partkey") % 2 === 0,
         concat(name.substr(lit(1), (pos - 1).cast("int")),
           name.substr((pos + 1).cast("int"), lit(1000))))
         .otherwise(name).as("name"))
-    operators.Joins.fuzzyMatch(dirty,
-      p.select(col("p_name").as("name")), "p_partkey",
-      n => element_at(split(n, " "), -1), maxDist = 1)
   }
+
+  private def fuzzyMatched(s: SparkSession, dir: String): DataFrame =
+    operators.Joins.fuzzyMatch(fuzzyDirty(s, dir),
+      tbl(s, dir, "part").select(col("p_name").as("name")), "p_partkey",
+      n => element_at(split(n, " "), -1), maxDist = 1)
 
   /** The fuzzy-linkage CTE chain (no leading WITH), ending in `dirty`
     * and `best` — shared by the fuzzy_match oracle and its P/R/F1
     * evaluation so the two replays cannot drift.
     */
-  private lazy val fuzzyCtes: String =
+  /** The shared dirty-name construction (no leading WITH), ending in
+    * `dirty` and `cat` — one definition for every linkage oracle.
+    */
+  private lazy val fuzzyBaseCtes: String =
     s"""pos AS (SELECT p_partkey, p_name,
        |    2 + p_partkey % (length(split_part(p_name, ' ', 1)) - 1) AS pos
        |  FROM part),
@@ -1704,7 +1729,10 @@ object SparkEntry {
        |      THEN substr(p_name, 1, CAST(pos - 1 AS INT)) || substr(p_name, CAST(pos + 1 AS INT))
        |      ELSE p_name END AS name
        |  FROM pos),
-       |cat AS (SELECT DISTINCT p_name AS cname FROM part),
+       |cat AS (SELECT DISTINCT p_name AS cname FROM part)""".stripMargin
+
+  private lazy val fuzzyCtes: String =
+    s"""$fuzzyBaseCtes,
        |cand AS (SELECT d.p_partkey, d.name, c.cname,
        |    levenshtein(d.name, c.cname) AS dist
        |  FROM dirty d JOIN cat c
@@ -2179,6 +2207,33 @@ object SparkEntry {
          |SELECT doc_a, doc_b, round(c::DOUBLE/(x.n + y.n - c), 6) AS jaccard
          |FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
          |WHERE round(c::DOUBLE/(x.n + y.n - c), 6) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // same rank (block = first word, order = trimmed text then
+    // doc_id), same w−1 neighbor window, same exact-Jaccard tail as
+    // the ngram oracle
+    "dedup_sorted_neighborhood" ->
+      s"""WITH $shingleCte,
+         |base AS (SELECT doc_id, trim(text) AS sk,
+         |           regexp_split_to_array(trim(text), '\\s+')[1] AS blk
+         |         FROM documents),
+         |r AS (SELECT doc_id, blk,
+         |        row_number() OVER (PARTITION BY blk ORDER BY sk, doc_id) AS rn
+         |      FROM base),
+         |cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+         |           greatest(a.doc_id, b.doc_id) AS doc_b
+         |         FROM r a JOIN r b
+         |           ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 5),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS c
+         |          FROM cand c
+         |          JOIN sh x ON x.doc_id = c.doc_a
+         |          JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+         |          GROUP BY 1, 2)
+         |SELECT i.doc_a, i.doc_b,
+         |  round(i.c::DOUBLE/(x.n + y.n - i.c), 6) AS jaccard
+         |FROM inter i JOIN sz x ON i.doc_a = x.doc_id
+         |  JOIN sz y ON i.doc_b = y.doc_id
+         |WHERE round(i.c::DOUBLE/(x.n + y.n - i.c), 6) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $minhashCtes
@@ -3921,6 +3976,27 @@ object SparkEntry {
     "fuzzy_match" ->
       s"""WITH $fuzzyCtes
          |SELECT d.p_partkey, d.name, b.cname AS matched_name, CAST(b.dist AS INT) AS dist
+         |FROM dirty d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (p_partkey)
+         |ORDER BY d.p_partkey""".stripMargin,
+    // the oracle recomputes the similarity with DuckDB's own
+    // jaro_winkler_similarity and deliberately OMITS the engine's
+    // length-ratio prune — the prune is claimed sound (a dropped
+    // candidate provably cannot reach the threshold), so an unpruned
+    // oracle VERIFIES that claim on every candidate in the data;
+    // winner = highest sim, tie broken by greatest cname (the engine's
+    // max(struct))
+    "fuzzy_match_jw" ->
+      s"""WITH $fuzzyBaseCtes,
+         |cand AS (SELECT d.p_partkey, d.name, c.cname,
+         |    jaro_winkler_similarity(d.name, c.cname) AS sim
+         |  FROM dirty d JOIN cat c
+         |    ON split_part(d.name, ' ', 2) = split_part(c.cname, ' ', 2)
+         |  WHERE jaro_winkler_similarity(d.name, c.cname) >= 0.88),
+         |best AS (SELECT p_partkey, cname, sim,
+         |    row_number() OVER (PARTITION BY p_partkey ORDER BY sim DESC, cname DESC) AS rn
+         |  FROM cand)
+         |SELECT d.p_partkey, d.name, b.cname AS matched_name,
+         |  round(b.sim, 6) AS sim
          |FROM dirty d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (p_partkey)
          |ORDER BY d.p_partkey""".stripMargin,
     // the same linkage replayed against ground truth (the corruption is

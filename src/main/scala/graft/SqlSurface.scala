@@ -180,7 +180,10 @@ object SqlSurface {
     * corpus as the contract query), ending in `dirty` and `best` —
     * shared by `fuzzy_match` and `fuzzy_match_eval`.
     */
-  private val fuzzySqlCtes: String =
+  /** Shared dirty-name construction + blocked catalog (ps, dirty,
+    * cat) — one definition for both linkage chains.
+    */
+  private val fuzzyDirtySqlCtes: String =
     s"""ps AS (SELECT p_partkey, p_name,
        |    2 + pmod(p_partkey, CAST(length(element_at(split(p_name, ' '), 1))
        |      - 1 AS BIGINT)) AS pos
@@ -193,7 +196,10 @@ object SqlSurface {
        |  FROM ps),
        |cat AS (SELECT cname, element_at(split(cname, ' '), -1) AS blk,
        |          length(cname) AS clen
-       |        FROM (SELECT DISTINCT p_name AS cname FROM part)),
+       |        FROM (SELECT DISTINCT p_name AS cname FROM part))""".stripMargin
+
+  private val fuzzySqlCtes: String =
+    s"""$fuzzyDirtySqlCtes,
        |cand AS (SELECT d.p_partkey, c.cname,
        |           levenshtein(d.name, c.cname) AS dist
        |         FROM (SELECT p_partkey, name,
@@ -3130,6 +3136,37 @@ object SqlSurface {
          |WHERE round(CAST(c AS DOUBLE) / (x.n + y.n - c), 6) >= 0.5D
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // Blocked sorted-neighborhood candidates (first-word block,
+    // trimmed-text sort, w−1 = 5 forward neighbors via a rank
+    // window + equi-join on (block, rank)) verified by the same
+    // exact-Jaccard tail as the ngram chain.
+    "dedup_sorted_neighborhood" ->
+      s"""WITH ${shingleCte("doc_id")},
+         |base AS (SELECT doc_id, trim(text) AS sk,
+         |           element_at(split(trim(text), '\\\\s+'), 1) AS blk
+         |         FROM documents),
+         |r AS (SELECT doc_id, blk,
+         |        row_number() OVER (PARTITION BY blk ORDER BY sk, doc_id) AS rn
+         |      FROM base),
+         |probe AS (SELECT doc_id AS id_lo, blk,
+         |            explode(sequence(rn + 1, rn + 5)) AS rn
+         |          FROM r),
+         |cand AS (SELECT DISTINCT least(p.id_lo, q.doc_id) AS doc_a,
+         |           greatest(p.id_lo, q.doc_id) AS doc_b
+         |         FROM probe p JOIN r q ON p.blk = q.blk AND p.rn = q.rn),
+         |sz AS (SELECT doc_id, count(1) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b, count(1) AS c
+         |          FROM cand c
+         |          JOIN sh x ON x.doc_id = c.doc_a
+         |          JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+         |          GROUP BY c.doc_a, c.doc_b)
+         |SELECT i.doc_a, i.doc_b,
+         |  round(CAST(c AS DOUBLE) / (x.n + y.n - c), 6) AS jaccard
+         |FROM inter i JOIN sz x ON i.doc_a = x.doc_id
+         |             JOIN sz y ON i.doc_b = y.doc_id
+         |WHERE round(CAST(c AS DOUBLE) / (x.n + y.n - c), 6) >= 0.5D
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     // Why-merged evidence per verified pair: set sizes, shared count,
     // first-5 shared shingles — the shared set collected once from the
     // inverted join (distinct shingles make collect = intersect).
@@ -3446,6 +3483,30 @@ object SqlSurface {
       s"""WITH $fuzzySqlCtes
          |SELECT d.p_partkey, d.name, b.m.cname AS matched_name,
          |  b.m.dist AS dist
+         |FROM dirty d LEFT JOIN best b ON d.p_partkey = b.p_partkey
+         |ORDER BY d.p_partkey""".stripMargin,
+
+    // The same linkage scored by the registered jaro_winkler codegen
+    // kernel: same blocking, the SOUND length-ratio prune
+    // (s/l >= 5τ−4; a dropped candidate provably cannot reach τ),
+    // max-struct winner. The similarity is computed once per
+    // candidate; the τ cut lives inside the aggregate.
+    "fuzzy_match_jw" ->
+      s"""WITH $fuzzyDirtySqlCtes,
+         |cand AS (SELECT d.p_partkey, c.cname,
+         |           jaro_winkler(d.name, c.cname) AS sim
+         |         FROM (SELECT p_partkey, name,
+         |                 element_at(split(name, ' '), -1) AS blk,
+         |                 length(name) AS dlen FROM dirty) d
+         |         JOIN cat c ON d.blk = c.blk
+         |         WHERE CAST(least(d.dlen, c.clen) AS DOUBLE)
+         |             / greatest(d.dlen, c.clen) >= 0.88D * 5 - 4),
+         |best AS (SELECT p_partkey,
+         |           max(CASE WHEN sim >= 0.88D
+         |             THEN named_struct('sim', sim, 'cname', cname) END) AS m
+         |         FROM cand GROUP BY p_partkey)
+         |SELECT d.p_partkey, d.name, b.m.cname AS matched_name,
+         |  round(b.m.sim, 6) AS sim
          |FROM dirty d LEFT JOIN best b ON d.p_partkey = b.p_partkey
          |ORDER BY d.p_partkey""".stripMargin,
 
@@ -4053,6 +4114,8 @@ object SqlSurface {
       "dedup_keep_canonical" -> SparkEntry.queries("dedup_keep_canonical"),
       "normalized_dedup" -> SparkEntry.queries("normalized_dedup"),
       "dedup_ngram_jaccard" -> SparkEntry.queries("dedup_ngram_jaccard"),
+      "dedup_sorted_neighborhood" ->
+        SparkEntry.queries("dedup_sorted_neighborhood"),
       "dup_evidence" -> SparkEntry.queries("dup_evidence"),
       "dedup_keep_best" -> SparkEntry.queries("dedup_keep_best"),
       "dup_triangles" -> SparkEntry.queries("dup_triangles"),
@@ -4069,6 +4132,7 @@ object SqlSurface {
       "leakage_safe_split" -> SparkEntry.queries("leakage_safe_split"),
       "doc_chunks" -> SparkEntry.queries("doc_chunks"),
       "fuzzy_match" -> SparkEntry.queries("fuzzy_match"),
+      "fuzzy_match_jw" -> SparkEntry.queries("fuzzy_match_jw"),
       "fuzzy_match_eval" -> SparkEntry.queries("fuzzy_match_eval"),
       "phi_bands" -> SparkEntry.queries("phi_bands"),
       "dq_expectations" -> SparkEntry.queries("dq_expectations"),

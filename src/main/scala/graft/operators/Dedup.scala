@@ -459,6 +459,54 @@ object Dedup {
       verifyPairs(candidates, docSh, threshold)
   }
 
+  /** Blocked sorted-neighborhood candidate generation (Hernández &
+    * Stolfo 1995) — the third candidate strategy beside LSH banding
+    * and prefix filtering: sort each block by a caller-supplied key,
+    * compare only rows within `window` positions of each other, then
+    * exact-Jaccard verify the candidates. Where LSH's recall is
+    * probabilistic and prefix filtering's cost tracks shingle df,
+    * SNM's recall is governed by a DESIGNED sort key (near-dups must
+    * sort adjacently) and its candidate count is a hard n·(window−1)
+    * bound — the right tool when the corpus has a natural clustering
+    * key (URL, title prefix, normalized lead sentence).
+    *
+    * Scale shape: the rank is `row_number` over (block, sortKey) — a
+    * window WITH a partition key, one shuffle on block, per-block
+    * sort only (a global sort-rank would collapse the corpus into one
+    * task; block design is the caller's skew control). Neighbor pairs
+    * come from an offset explode (each row probes its next window−1
+    * positions) + an EQUI-join on (block, rank) — bounded fan-out,
+    * no inequality join, no BroadcastNestedLoopJoin. Verification
+    * reuses the shared exact-Jaccard tail, so only candidate pairs
+    * ever ship shingle arrays.
+    */
+  def sortedNeighborhoodPairs(docs: DataFrame, blockKey: Column => Column,
+      sortKey: Column => Column, window: Int, threshold: Double,
+      n: Int = 3): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must lie in (0, 1], got $threshold")
+    val keyed = docs
+      .select(col("doc_id"), blockKey(col("text")).as("__block"),
+        sortKey(col("text")).as("__sort"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__block"))
+          .orderBy(col("__sort"), col("doc_id"))))
+      .select(col("doc_id"), col("__block"), col("__rn"))
+    val probes = keyed.select(col("doc_id").as("id_lo"), col("__block"),
+      explode(sequence(col("__rn") + 1, col("__rn") + lit(window - 1)))
+        .as("__rn"))
+    val cand = probes
+      .join(keyed.select(col("doc_id").as("id_hi"), col("__block"), col("__rn")),
+        Seq("__block", "__rn"))
+      .select(least(col("id_lo"), col("id_hi")).as("doc_a"),
+        greatest(col("id_lo"), col("id_hi")).as("doc_b"))
+      .distinct()
+    val docSets = docs.select(col("doc_id"), shingleArray(col("text"), n).as("sh"))
+      .filter(size(col("sh")) >= 1)
+    verifyPairs(cand, docSets, threshold)
+  }
+
   import graft.functions.HashUtil.md5Hex
 
   /** Per-document LSH band digests, computed in one pass over the

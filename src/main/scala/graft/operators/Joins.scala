@@ -222,6 +222,61 @@ object Joins {
       .select(col(idCol), col("name"), col("matched_name"), col("dist"))
   }
 
+  /** Blocked Jaro-Winkler entity resolution — the similarity-scored
+    * sibling of [[fuzzyMatch]]: edit distance counts every edit alike,
+    * Jaro-Winkler (native codegen expression, byte-level,
+    * DuckDB/rapidfuzz-pinned semantics — see
+    * [[org.apache.spark.sql.graftx.JaroWinklerKernel]]) weights
+    * head-of-string agreement and tolerates transpositions, the ER
+    * default for name data. Candidates are bounded by:
+    *
+    *  1. the caller's blocking key (equi-join, as in fuzzyMatch);
+    *  2. a SOUND length-ratio prune: with s = min(len), l = max(len),
+    *     m ≤ s gives jaro ≤ (2 + s/l)/3, and the ≤4-byte prefix boost
+    *     gives jw ≤ 0.6·jaro + 0.4 — so jw ≥ τ forces
+    *     s/l ≥ 5τ − 4. Applied only when the bound is active (τ > 0.8);
+    *     a candidate it drops provably cannot reach the threshold.
+    *
+    * The winner per dirty row is max over (sim, cname) — map-side
+    * combinable `max(struct)`, deterministic on ties, no window sort;
+    * the similarity is computed ONCE per surviving candidate in a
+    * projection the aggregate references twice (same round-7 lesson as
+    * fuzzyMatch). The τ cut lives inside the aggregate
+    * (`max(when(...))`), not a Filter that would re-inline the kernel.
+    * Unmatched rows survive with null match columns. `sim` is reported
+    * rounded to 6 dp; the threshold compares the UNROUNDED value.
+    */
+  def fuzzyMatchJw(dirty: DataFrame, catalog: DataFrame, idCol: String,
+                   blockKey: Column => Column, minSim: Double): DataFrame = {
+    require(minSim > 0.0 && minSim <= 1.0,
+      s"minSim must lie in (0, 1], got $minSim")
+    import org.apache.spark.sql.graftx.TextExpressions.jaroWinkler
+    val cat = catalog.select(col("name").as("cname")).distinct()
+      .select(col("cname"), blockKey(col("cname")).as("__block"),
+        length(col("cname")).as("__clen"))
+    val ratioFloor = 5.0 * minSim - 4.0
+    val cand0 = dirty
+      .select(col(idCol), col("name"), blockKey(col("name")).as("__block"),
+        length(col("name")).as("__dlen"))
+      .join(cat, "__block")
+    val cand =
+      if (ratioFloor > 0.0)
+        cand0.filter(least(col("__dlen"), col("__clen")).cast("double") /
+          greatest(col("__dlen"), col("__clen")) >= ratioFloor)
+      else cand0
+    val best = cand
+      .withColumn("__sim", jaroWinkler(col("name"), col("cname")))
+      .groupBy(col(idCol))
+      .agg(max(when(col("__sim") >= minSim,
+        struct(col("__sim").as("sim"), col("cname").as("cname")))).as("m"))
+      .select(col(idCol), col("m.cname").as("matched_name"),
+        col("m.sim").as("sim"))
+    dirty.select(col(idCol), col("name"))
+      .join(best, Seq(idCol), "left")
+      .select(col(idCol), col("name"), col("matched_name"),
+        round(col("sim"), 6).as("sim"))
+  }
+
   /** Key-frequency report — pick salt factors from data, not folklore. */
   def keySkew(df: DataFrame, key: String, topN: Int = 10): DataFrame =
     df.groupBy(col(key)).agg(count(lit(1)).as("n"))

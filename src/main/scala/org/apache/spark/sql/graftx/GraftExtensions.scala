@@ -23,11 +23,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftFunctions {
-  private def arity2(name: String, repeatsArgs: Boolean = false)(
+  private def arity2(name: String, repeatsArgs: Boolean = false,
+      argDesc: String = "vector, vector")(
       f: (Expression, Expression) => Expression): Seq[Expression] => Expression =
     args => {
       if (args.length != 2) throw new IllegalArgumentException(
-        s"$name expects 2 arguments (vector, vector), got ${args.length}")
+        s"$name expects 2 arguments ($argDesc), got ${args.length}")
       // Composed metrics place the same argument Expression at multiple
       // tree positions (cosine evaluates VecDot(a,b), VecDot(a,a) and
       // VecDot(b,b)). A non-deterministic argument (e.g. an array built
@@ -92,7 +93,10 @@ object GraftFunctions {
         if (args.length != 1) throw new IllegalArgumentException(
           s"nfc_normalize expects 1 argument (string), got ${args.length}")
         NfcNormalize(args.head)
-      }))
+      }),
+    ("jaro_winkler",
+      new ExpressionInfo(classOf[JaroWinklerSim].getName, "jaro_winkler"),
+      arity2("jaro_winkler", argDesc = "string, string")(JaroWinklerSim(_, _))))
 
   /** Per-session registration (no extensions config needed). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

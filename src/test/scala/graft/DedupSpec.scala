@@ -497,4 +497,70 @@ class DedupSpec extends AnyFunSuite {
     // evidence = lexicographically first TWO shared shingles
     assert(r.getString(6) == "alpha beta gamma|beta gamma delta")
   }
+
+  test("sortedNeighborhood: adjacent-in-sort near-dups pair; outside the window they don't") {
+    import org.apache.spark.sql.functions._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base),                      // sorts adjacent to 2 (same prefix)
+      (2L, base + " extra"),           // near-dup of 1, Jaccard high
+      (3L, "alpha zzz completely different words padding here now ok"), // same block, far in sort
+      (4L, "omega psi chi phi upsilon tau sigma rho pi omicron")        // different block
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.sortedNeighborhoodPairs(docs,
+      t => element_at(split(trim(t), "\\s+"), 1), t => trim(t),
+      window = 2, threshold = 0.5).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    // window 2 compares only adjacent ranks: in block 'alpha' the sort
+    // order is (1, 2, 3) — (1,2) and (2,3) are candidates, (1,3) never
+    // is; widening to 3 admits it as a CANDIDATE but the Jaccard
+    // verify still rejects it
+    val wide = graft.operators.Dedup.sortedNeighborhoodPairs(docs,
+      t => element_at(split(trim(t), "\\s+"), 1), t => trim(t),
+      window = 3, threshold = 0.5).collect()
+    assert(wide.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+  }
+
+  test("sortedNeighborhood: recall is sort-key-governed — a dup sorted far away is missed") {
+    import org.apache.spark.sql.functions._
+    // same words, rotated: high Jaccard on shingles? No — trigram
+    // shingles differ after rotation; use a shared-tail pair instead:
+    // both end identically but START differently, so a lead-word sort
+    // key separates them. THE design caveat of SNM, pinned.
+    val docs = Seq(
+      (1L, "aaa common tail words one two three four five six"),
+      (2L, "zzz common tail words one two three four five six"),
+      (3L, "mmm unrelated filler text goes here for the block")
+    ).toDF("doc_id", "text")
+    // one block, sort by full text: ranks are 1=aaa..., 3=mmm..., 2=zzz...
+    // window 2 compares (1,3) and (3,2) — never (1,2)
+    val out = graft.operators.Dedup.sortedNeighborhoodPairs(docs,
+      _ => lit(1), t => trim(t), window = 2, threshold = 0.5).collect()
+    assert(out.isEmpty, s"lead-word-separated dup must be missed at window 2: ${out.toSeq}")
+    // window 3 reaches it
+    val wide = graft.operators.Dedup.sortedNeighborhoodPairs(docs,
+      _ => lit(1), t => trim(t), window = 3, threshold = 0.5).collect()
+    assert(wide.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+  }
+
+  test("sortedNeighborhood: equi-join plan (no BNLJ/cartesian), window rank has a partition key") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val qe = graft.operators.Dedup.sortedNeighborhoodPairs(docs,
+      t => element_at(split(trim(t), "\\s+"), 1), t => trim(t),
+      window = 4, threshold = 0.3).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"neighbor pairing must be an equi-join:\n$plan")
+    assert(plan.contains("Window"), "per-block rank must be a window")
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.sortedNeighborhoodPairs(docs,
+        _ => lit(1), t => t, window = 1, threshold = 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.sortedNeighborhoodPairs(docs,
+        _ => lit(1), t => t, window = 2, threshold = 0.0)
+    }
+  }
 }

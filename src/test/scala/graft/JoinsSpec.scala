@@ -168,6 +168,86 @@ class JoinsSpec extends AnyFunSuite {
     }
   }
 
+  test("jaroWinkler kernel: oracle-pinned boundary values") {
+    import org.apache.spark.sql.graftx.JaroWinklerKernel.{jaroWinkler => jw}
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    // every expected value here was read off DuckDB's
+    // jaro_winkler_similarity — the oracle the contract query replays
+    assert(jw(u(""), u("")) == 0.0, "both empty -> 0 (NOT 1)")
+    assert(jw(u("a"), u("")) == 0.0)
+    assert(jw(u("abc"), u("abc")) == 1.0)
+    assert(jw(u("ab"), u("ba")) == 0.0, "len-2 window is 0: transposed pair scores 0")
+    assert(math.abs(jw(u("martha"), u("marhta")) - 0.9611111111111111) < 1e-15)
+    assert(math.abs(jw(u("dixon"), u("dicksonx")) - 0.8133333333333332) < 1e-15)
+    assert(math.abs(jw(u("duane"), u("dwayne")) - 0.8400000000000001) < 1e-15)
+    // boost threshold is STRICT jaro > 0.7: common prefix 4 but jaro
+    // exactly 0.6 -> no boost
+    assert(jw(u("abcdxxxxxx"), u("abcdyyyyyy")) == 0.6)
+    // byte-level: 'é' is 2 bytes, no match against 'e'
+    assert(jw(u("é"), u("e")) == 0.0)
+    // ODD mismatch count (3) floors to t=1 — the case that separates
+    // floor from true halving (DuckDB: 0.9449074...)
+    assert(math.abs(jw(u("blu gear"), u("blue gear")) - 0.9449074074074074) < 1e-15)
+  }
+
+  test("fuzzyMatchJw: resolves typos, thresholds, keeps null for no-candidate rows") {
+    val catalog = Seq("cold widget", "large widget", "blue rod").toDF("name")
+    val dirty = Seq(
+      (1L, "cld widget"),    // high JW vs "cold widget"
+      (2L, "large widget"),  // exact -> 1.0
+      (3L, "xq widget"),     // same block, but too dissimilar for 0.88
+      (4L, "zz gadget")      // block key matches nothing
+    ).toDF("p_partkey", "name")
+    val out = Joins.fuzzyMatchJw(dirty, catalog, "p_partkey",
+        n => element_at(split(n, " "), -1), minSim = 0.88)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getAs[String]("matched_name")), Option(r.get(3)))).toMap
+    assert(out(1L)._1 == Some("cold widget"))
+    assert(out(2L) == (Some("large widget"), Some(1.0)))
+    assert(out(3L) == (None, None))
+    assert(out(4L) == (None, None))
+    assert(out.size == 4)
+  }
+
+  test("fuzzyMatchJw: length-ratio prune is invisible to results (soundness)") {
+    // τ = 0.88 activates the s/l >= 5τ-4 = 0.4 prune; an unpruned run
+    // (τ = 0.5 threshold applied post-hoc cannot reconstruct winners, so
+    // compare against a manual no-prune recomputation instead)
+    import org.apache.spark.sql.graftx.TextExpressions.jaroWinkler
+    val catalog = Seq("anvil", "an", "anvilanvilanvil").toDF("name")
+    val dirty = Seq((1L, "anvil"), (2L, "anvilanvil")).toDF("p_partkey", "name")
+    val got = Joins.fuzzyMatchJw(dirty, catalog, "p_partkey",
+        _ => lit(1), minSim = 0.88)
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[String]("matched_name"))).toMap
+    val manual = dirty.crossJoin(catalog.select(col("name").as("cname")))
+      .withColumn("sim", jaroWinkler(col("name"), col("cname")))
+      .filter(col("sim") >= 0.88)
+      .groupBy("p_partkey")
+      .agg(max(struct(col("sim"), col("cname"))).as("m"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getStruct(1).getString(1))).toMap
+    for (k <- Seq(1L, 2L))
+      assert(got(k) == manual.getOrElse(k, None),
+        s"pruned and unpruned winners differ for key $k")
+  }
+
+  test("fuzzyMatchJw: one kernel call per candidate; codegen, not a UDF") {
+    val catalog = Seq("cold widget", "blue rod").toDF("name")
+    val dirty = Seq((1L, "cld widget")).toDF("p_partkey", "name")
+    val qe = Joins.fuzzyMatchJw(dirty, catalog, "p_partkey",
+      n => element_at(split(n, " "), -1), minSim = 0.88).queryExecution
+    for ((label, plan) <- Seq("optimized" -> qe.optimizedPlan.toString,
+                              "physical" -> qe.executedPlan.toString)) {
+      val n = "jarowinklersim".r.findAllIn(plan.toLowerCase).size
+      assert(n == 1, s"expected exactly 1 JW kernel in the $label plan, got $n")
+    }
+    assert(!qe.executedPlan.toString.contains("ScalaUDF"),
+      "the kernel must be a native expression, not a UDF")
+    intercept[IllegalArgumentException] {
+      Joins.fuzzyMatchJw(dirty, catalog, "p_partkey", _ => lit(1), minSim = 1.5)
+    }
+  }
+
   test("keySkew surfaces the hot key first") {
     val df = (1 to 100).map(i => (if (i <= 60) 5L else i.toLong, i)).toDF("k", "v")
     val top = Joins.keySkew(df, "k", 3).collect()
