@@ -71,6 +71,7 @@ object GrowthProbe {
     probe("novelty")(d => TextAnalysis.noveltyScores(d).count())
     probe("quality_flags")(d => TextAnalysis.qualityFlags(d).count())
     probe("char_entropy")(d => TextAnalysis.charEntropy(d).count())
+    probe("readability")(d => TextAnalysis.readability(d).count())
     probe("heavy_hitters")(d => HeavyHitters.topTokens(d, 20, 4096).count())
     probe("cms_estimate")(d => CountMin.estimates(d,
       Seq("join", "hash", "vector", "data", "merge", "absent")).count())
@@ -367,6 +368,8 @@ object GrowthProbe {
         col("ts"), "2024-02-01 00:00:00", maxLagSeconds = 604800L).count())
       probeEv("benford_digits")(d =>
         DataQuality.benfordTest(d, col("value")).count())
+      probeEv("value_winsorize")(d => DataQuality.winsorize(d,
+        col("event_type"), col("value")).count())
       // subquery-decorrelation probes: 20× orders/lineitem replicated
       // on the ORDER axis (parts fixed), halved by orderkey parity so
       // both sides stay key-aligned. The decorrelated shapes must be
@@ -576,6 +579,8 @@ object GrowthProbe {
         Joins.intervalOverlapJoin(v, c, "user_id",
           "v_st", "v_en", "c_st", "c_en", 86400L).count()
       })
+      probeEv("attribution_u_shaped")(d =>
+        Funnel.uShapedAttribution(d, 3600L).count())
       probeEv("attribution_last_touch")(d => {
         // the contract query's as-of attribution: one ordered-window
         // carry per user — growth is the user axis, like the funnel

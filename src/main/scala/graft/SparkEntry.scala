@@ -327,6 +327,11 @@ object SparkEntry {
     // near-maximal, single-char runs 0, natural text ~4±1
     "char_entropy" -> ((s, dir) =>
       TextAnalysis.charEntropy(tbl(s, dir, "documents"))),
+    // Flesch reading ease + FK grade from deterministic regex
+    // heuristics (sentence runs, vowel-group syllables floored at 1
+    // per word) — one narrow codegen projection, no shuffle
+    "readability" -> ((s, dir) =>
+      TextAnalysis.readability(tbl(s, dir, "documents"))),
     "doc_quality" -> ((s, dir) => TextAnalysis.qualityFlags(tbl(s, dir, "documents"))),
     // Gopher-style looping-text signal: fraction of trigram INSTANCES
     // belonging to a trigram that repeats within the doc
@@ -1194,6 +1199,28 @@ object SparkEntry {
     // timeliness beside the expectation suite: per-type last delivery
     // + lag against an EXPLICIT as-of instant (determinism: the
     // scheduler's tick is a parameter, never wall-clock in the plan)
+    // robust clamping before mean-based readouts: per-event-type exact
+    // p01/p99 edges, codegen least/greatest clamp, decimal-accumulated
+    // raw-vs-winsorized means — the clamp keeps n intact where a
+    // filter would bias it
+    "value_winsorize" -> ((s, dir) => {
+      val w = operators.DataQuality.winsorize(events(s, dir),
+        col("event_type"), col("value"), 0.01, 0.99)
+      w.groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("clamped_lo"), 1L).otherwise(0L)).as("n_clamped_lo"),
+          sum(when(col("clamped_hi"), 1L).otherwise(0L)).as("n_clamped_hi"),
+          round(min(col("lo")), 6).as("p_lo"),
+          round(min(col("hi")), 6).as("p_hi"),
+          round(sum(col("v").cast(DecimalType(18, 6))).cast("double")
+            / count(lit(1)), 6).as("mean_raw"),
+          round(sum(col("v_w").cast(DecimalType(18, 6))).cast("double")
+            / count(lit(1)), 6).as("mean_winsorized"))
+        .select(col("grp").as("event_type"), col("n"), col("n_clamped_lo"),
+          col("n_clamped_hi"), col("p_lo"), col("p_hi"),
+          col("mean_raw"), col("mean_winsorized"))
+        .orderBy(col("event_type"))
+    }),
     "dq_freshness" -> ((s, dir) =>
       operators.DataQuality.freshness(events(s, dir), col("event_type"),
         col("ts"), "2024-02-01 00:00:00", maxLagSeconds = 604800L)),
@@ -1372,6 +1399,16 @@ object SparkEntry {
             .as("attributed_value"))
         .orderBy(col("channel"))
     }),
+    // position-based (U-shaped) attribution — the third member of the
+    // credit family: first and last touch take 40% each, middles share
+    // the remaining 20% (1 touch → 100%, 2 → 50/50). Same bounded
+    // range-join touch set as linear; position is a row_number window
+    // PARTITIONED by purchase ordered on (click_ts, k) — a full tie
+    // implies the same k, hence the same channel, so per-channel sums
+    // stay deterministic even when the endpoint assignment among tied
+    // rows is not. Per-row rounding + decimal fold as in linear.
+    "attribution_u_shaped" -> ((s, dir) =>
+      operators.Funnel.uShapedAttribution(events(s, dir), 3600L)),
     // top 3-step event paths inside gap sessions (the flow-diagram
     // feed); deterministic in-session order on (ts, event_id)
     "session_paths" -> ((s, dir) =>
@@ -2805,6 +2842,31 @@ object SparkEntry {
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round(${cosSql("a.v", "b.v")}, 6) AS score
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |ORDER BY score DESC, vec_a, vec_b LIMIT 20""".stripMargin,
+    // same regex heuristics: [.!?]+ sentence runs floored at 1,
+    // per-word [aeiouy]+ vowel groups floored at 1, fixed-order folds
+    "readability" ->
+      s"""WITH b AS (SELECT doc_id, text,
+         |        regexp_split_to_array(trim(text), '\\s+') AS ws
+         |      FROM documents),
+         |c AS (SELECT doc_id,
+         |        CASE WHEN trim(text) = '' THEN 0 ELSE len(ws) END AS n_words,
+         |        greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+         |          AS n_sentences,
+         |        CASE WHEN trim(text) = '' THEN 0
+         |          ELSE list_sum(list_transform(ws, w ->
+         |            greatest(len(regexp_extract_all(lower(w), '[aeiouy]+')), 1)))
+         |        END AS n_syllables
+         |      FROM b)
+         |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         |  CAST(n_sentences AS BIGINT) AS n_sentences,
+         |  CAST(n_syllables AS BIGINT) AS n_syllables,
+         |  CASE WHEN n_words > 0 THEN
+         |    round(206.835 - 1.015 * (n_words::DOUBLE / n_sentences)
+         |      - 84.6 * (n_syllables::DOUBLE / n_words), 6) END AS flesch_ease,
+         |  CASE WHEN n_words > 0 THEN
+         |    round(0.39 * (n_words::DOUBLE / n_sentences)
+         |      + 11.8 * (n_syllables::DOUBLE / n_words) - 15.59, 6) END AS fk_grade
+         |FROM c ORDER BY doc_id""".stripMargin,
     // same explode → two-level aggregation over codepoints; −p·log₂p
     // at 9 dp into decimals, order-free fold, round 6
     "char_entropy" ->
@@ -4459,6 +4521,26 @@ object SparkEntry {
          |FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
          |GROUP BY d.day ORDER BY 1""".stripMargin,
     // exact micros difference + explicit floor division, like the engine
+    // same exact interpolated percentiles (quantile_cont), same clamp,
+    // same decimal-accumulated means
+    "value_winsorize" ->
+      s"""WITH base AS (SELECT event_type AS grp, CAST(value AS DOUBLE) AS v
+         |              FROM events WHERE value IS NOT NULL),
+         |e AS (SELECT grp, quantile_cont(v, 0.01) AS lo,
+         |        quantile_cont(v, 0.99) AS hi
+         |      FROM base GROUP BY grp),
+         |j AS (SELECT b.grp, v, least(greatest(v, lo), hi) AS vw,
+         |        (v < lo) AS clo, (v > hi) AS chi, lo, hi
+         |      FROM base b JOIN e USING (grp))
+         |SELECT grp AS event_type, count(*) AS n,
+         |  CAST(sum(CASE WHEN clo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo,
+         |  CAST(sum(CASE WHEN chi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi,
+         |  round(min(lo), 6) AS p_lo, round(min(hi), 6) AS p_hi,
+         |  round(CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+         |    AS mean_raw,
+         |  round(CAST(sum(CAST(vw AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+         |    AS mean_winsorized
+         |FROM j GROUP BY grp ORDER BY grp""".stripMargin,
     "dq_freshness" ->
       s"""SELECT event_type AS grp, count(ts) AS n_rows,
          |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen,
@@ -4992,6 +5074,35 @@ object SparkEntry {
          |      FROM t),
          |cr AS (SELECT 'campaign_' || CAST(k % 4 AS VARCHAR) AS channel,
          |         round(value / n_touches, 6) AS credit FROM n
+         |       UNION ALL
+         |       SELECT 'organic', round(value, 6) FROM p
+         |       WHERE event_id NOT IN (SELECT event_id FROM t))
+         |SELECT channel, count(*) AS n_credits,
+         |  CAST(sum(CAST(credit AS DECIMAL(18,6))) AS DOUBLE) AS attributed_value
+         |FROM cr GROUP BY channel ORDER BY channel""".stripMargin,
+    // same touch window, same (click_ts, k) position order, same
+    // 40/20/40 weight ladder
+    "attribution_u_shaped" ->
+      s"""WITH p AS (SELECT event_id, user_id, ts, value FROM events
+         |           WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, ts AS click_ts,
+         |        CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         |      FROM events WHERE event_type = 'click'),
+         |t AS (SELECT p.event_id, p.value, c.k, c.click_ts FROM p JOIN c
+         |      ON p.user_id = c.user_id
+         |      AND c.click_ts >= p.ts - INTERVAL 3600 SECOND
+         |      AND c.click_ts <= p.ts),
+         |n AS (SELECT *, count(*) OVER (PARTITION BY event_id) AS n_touches,
+         |        row_number() OVER (PARTITION BY event_id
+         |          ORDER BY click_ts, k) AS pos
+         |      FROM t),
+         |wgt AS (SELECT *, CASE WHEN n_touches = 1 THEN 1.0
+         |          WHEN n_touches = 2 THEN 0.5
+         |          WHEN pos = 1 OR pos = n_touches THEN 0.4
+         |          ELSE 0.2 / (n_touches - 2) END AS w
+         |        FROM n),
+         |cr AS (SELECT 'campaign_' || CAST(k % 4 AS VARCHAR) AS channel,
+         |         round(value * w, 6) AS credit FROM wgt
          |       UNION ALL
          |       SELECT 'organic', round(value, 6) FROM p
          |       WHERE event_id NOT IN (SELECT event_id FROM t))

@@ -2236,6 +2236,34 @@ object SqlSurface {
          |  round(percentile(lat, 0.99D), 6) AS p99_s
          |FROM l""".stripMargin,
 
+    // Flesch readability: per-row regex heuristics + a per-word
+    // aggregate() HOF syllable fold — one narrow projection, no
+    // shuffle before the contract sort.
+    "readability" ->
+      s"""WITH b AS (SELECT doc_id, text, split(trim(text), '\\\\s+') AS ws
+         |           FROM documents),
+         |c AS (SELECT doc_id,
+         |        CASE WHEN trim(text) = '' THEN 0L
+         |             ELSE CAST(size(ws) AS BIGINT) END AS n_words,
+         |        CAST(greatest(regexp_count(text, '[.!?]+'), 1) AS BIGINT)
+         |          AS n_sentences,
+         |        CASE WHEN trim(text) = '' THEN 0L
+         |          ELSE aggregate(ws, 0L, (acc, w) -> acc
+         |            + CAST(greatest(regexp_count(lower(w), '[aeiouy]+'), 1)
+         |                AS BIGINT))
+         |        END AS n_syllables
+         |      FROM b)
+         |SELECT doc_id, n_words, n_sentences, n_syllables,
+         |  CASE WHEN n_words > 0L THEN
+         |    round(206.835D - 1.015D * (CAST(n_words AS DOUBLE) / n_sentences)
+         |      - 84.6D * (CAST(n_syllables AS DOUBLE) / n_words), 6)
+         |  END AS flesch_ease,
+         |  CASE WHEN n_words > 0L THEN
+         |    round(0.39D * (CAST(n_words AS DOUBLE) / n_sentences)
+         |      + 11.8D * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59D, 6)
+         |  END AS fk_grade
+         |FROM c ORDER BY doc_id""".stripMargin,
+
     // Character Shannon entropy in SQL — explode to (doc, char), the
     // same two-level aggregation and 9-dp decimal term fold.
     "char_entropy" ->
@@ -2252,6 +2280,27 @@ object SqlSurface {
          |FROM cc JOIN t ON cc.doc_id = t.doc_id
          |GROUP BY cc.doc_id, t.n, t.nd
          |ORDER BY cc.doc_id""".stripMargin,
+
+    // Per-group winsorization summary: exact percentile edges, codegen
+    // clamp, decimal-accumulated means.
+    "value_winsorize" ->
+      s"""WITH base AS (SELECT event_type AS grp, CAST(value AS DOUBLE) AS v
+         |              FROM events WHERE value IS NOT NULL),
+         |e AS (SELECT grp, percentile(v, 0.01D) AS lo,
+         |        percentile(v, 0.99D) AS hi
+         |      FROM base GROUP BY grp),
+         |j AS (SELECT base.grp, v, least(greatest(v, lo), hi) AS vw,
+         |        (v < lo) AS clo, (v > hi) AS chi, lo, hi
+         |      FROM base JOIN e ON base.grp = e.grp)
+         |SELECT grp AS event_type, count(1) AS n,
+         |  sum(CASE WHEN clo THEN 1L ELSE 0L END) AS n_clamped_lo,
+         |  sum(CASE WHEN chi THEN 1L ELSE 0L END) AS n_clamped_hi,
+         |  round(min(lo), 6) AS p_lo, round(min(hi), 6) AS p_hi,
+         |  round(CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(1), 6)
+         |    AS mean_raw,
+         |  round(CAST(sum(CAST(vw AS DECIMAL(18,6))) AS DOUBLE) / count(1), 6)
+         |    AS mean_winsorized
+         |FROM j GROUP BY grp ORDER BY event_type""".stripMargin,
 
     // Freshness in SQL — one aggregate pass, exact micros lag against
     // the explicit as-of instant.
@@ -4073,7 +4122,9 @@ object SqlSurface {
       "vocab_coverage" -> SparkEntry.queries("vocab_coverage"),
       "scd2_lookup" -> SparkEntry.queries("scd2_lookup"),
       "char_entropy" -> SparkEntry.queries("char_entropy"),
+      "readability" -> SparkEntry.queries("readability"),
       "dq_freshness" -> SparkEntry.queries("dq_freshness"),
+      "value_winsorize" -> SparkEntry.queries("value_winsorize"),
       "benford_digits" -> SparkEntry.queries("benford_digits"),
       "knn_join_top3" -> SparkEntry.queries("knn_join_top3"),
       "pii_scrub" -> SparkEntry.queries("pii_scrub"),

@@ -169,4 +169,49 @@ object DataQuality {
         round(col("chi2").cast("double"), 6).as("chi2_total"))
       .orderBy(col("digit"))
   }
+
+  /** Per-group winsorization — the robust-cleaning step a metrics
+    * pipeline runs before any mean-based readout: clamp each value to
+    * its group's [pLo, pHi] exact interpolated percentiles, so a fat
+    * tail (a bot burst, a unit-error spike) stops dominating
+    * downstream aggregates without dropping the rows (the clamp keeps
+    * n intact where a filter would bias it).
+    *
+    * Shape at 100 TB: one exact-percentile aggregation per group (the
+    * group domain is the event-type/source/tenant axis — bounded by
+    * design, enforced via [[Partitioning.requireBoundedDomain]]), the
+    * edges frame joins back by group key (planner broadcasts it while
+    * it fits, degrades to a shuffled equi-join beyond — never hinted),
+    * and the clamp itself is a codegen `least/greatest` projection.
+    * Output rows carry (group, raw value, winsorized value, clamped
+    * flag); summary readouts aggregate from there with map-side
+    * combine.
+    *
+    * Determinism: exact `percentile` interpolation (the closest-ranks
+    * rule both engines share); the clamp is pure comparison — no new
+    * float folds; means downstream should decimal-accumulate (the
+    * contract query does).
+    */
+  def winsorize(df: DataFrame, group: Column, value: Column,
+      pLo: Double = 0.01, pHi: Double = 0.99,
+      domainLimit: Long = 100000L): DataFrame = {
+    require(pLo >= 0.0 && pLo < pHi && pHi <= 1.0,
+      s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    val base = df.filter(value.isNotNull)
+      .select(group.as("grp"), value.cast("double").as("v"))
+    // the join-back side must be a bounded DOMAIN frame — checked, not
+    // trusted (a continuous group key would ship a corpus-sized edges
+    // table into every join task)
+    val edges = Partitioning.requireBoundedDomain(
+      base.groupBy(col("grp"))
+        .agg(expr(s"percentile(v, ${pLo}D)").as("lo"),
+          expr(s"percentile(v, ${pHi}D)").as("hi")),
+      "grp", "DataQuality.winsorize", domainLimit)
+    base.join(edges, "grp")
+      .select(col("grp"), col("v"),
+        least(greatest(col("v"), col("lo")), col("hi")).as("v_w"),
+        (col("v") < col("lo")).as("clamped_lo"),
+        (col("v") > col("hi")).as("clamped_hi"),
+        col("lo"), col("hi"))
+  }
 }

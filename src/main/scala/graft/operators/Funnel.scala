@@ -309,4 +309,55 @@ object Funnel {
         sum(col("n")).over(rowTotal), 6))
       .orderBy(col("from_type"), col("to_type"))
   }
+
+  /** Position-based (U-shaped) multi-touch attribution — the third
+    * member of the credit family beside last-touch (as-of join) and
+    * linear (equal split): the FIRST and LAST touch before a purchase
+    * take 40% of the value each, middles share the remaining 20%;
+    * 1 touch → 100%, 2 touches → 50/50 (the standard position ladder).
+    *
+    * Touches come from the same bounded time-bucketed range join as
+    * linear attribution (never a per-user cross product); position is
+    * a `row_number` window PARTITIONED by purchase ordered on
+    * (click_ts, k) — a full tie implies the same k, hence the same
+    * channel, so per-channel sums stay deterministic even when the
+    * endpoint assignment among tied rows is not. Per-touch credits
+    * round at 6 dp per ROW and fold in exact decimals (order-free);
+    * untouched purchases keep full credit in the organic lane via a
+    * left anti join.
+    */
+  def uShapedAttribution(events: DataFrame,
+      gapSeconds: Long = 3600L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+    val touches = Joins.rangeJoinPrior(
+      purchases, clicks, "user_id", "ts", "click_ts", gapSeconds)
+    val w = Window.partitionBy(col("event_id"))
+    val credits = touches
+      .withColumn("n_touches", count(lit(1)).over(w))
+      .withColumn("pos", row_number().over(
+        w.orderBy(col("click_ts"), col("k"))))
+      .withColumn("wgt",
+        when(col("n_touches") === 1, lit(1.0))
+          .when(col("n_touches") === 2, lit(0.5))
+          .when(col("pos") === 1 || col("pos") === col("n_touches"), lit(0.4))
+          .otherwise(lit(0.2) / (col("n_touches") - lit(2)).cast("double")))
+      .select(concat(lit("campaign_"), col("k") % 4).as("channel"),
+        round(col("value") * col("wgt"), 6).as("credit"))
+    val organic = purchases
+      .join(touches.select(col("event_id")).distinct(),
+        Seq("event_id"), "left_anti")
+      .select(lit("organic").as("channel"), round(col("value"), 6).as("credit"))
+    credits.unionByName(organic)
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_credits"),
+        sum(col("credit").cast(DecimalType(18, 6))).cast("double")
+          .as("attributed_value"))
+      .orderBy(col("channel"))
+  }
 }

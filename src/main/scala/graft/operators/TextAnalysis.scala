@@ -52,6 +52,47 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Flesch readability — the classic reading-ease screen (Flesch
+    * 1948; Kincaid 1975 grade form) used as a quality facet beside
+    * stopword/length ratios: training-data recipes cut or
+    * down-weight documents whose reading-ease is implausible for
+    * running prose (word-soup spam scores low ease via long
+    * "sentences"; single-token lines score artificially high).
+    *
+    * Deterministic heuristics, replayable in any regex engine:
+    * sentences = count of [.!?] runs, floored at 1; words =
+    * whitespace tokens; syllables = per-word count of [aeiouy]+
+    * vowel GROUPS, floored at 1 per word (the standard cheap
+    * approximation — no dictionary, no hyphenation rules).
+    *
+    * Shape at 100 TB: one narrow per-row projection — regexp counts
+    * and a per-word HOF fold, all codegen; no shuffle before the
+    * contract-only output sort. Formulas fold in fixed literal order:
+    * ease = 206.835 − 1.015·(w/s) − 84.6·(syl/w); grade = 0.39·(w/s)
+    * + 11.8·(syl/w) − 15.59; both rounded at 6 dp. Empty documents
+    * report 0 words and NULL scores (no prose, no readability).
+    */
+  def readability(docs: DataFrame): DataFrame = {
+    val ws = split(trim(col("text")), "\\s+")
+    val nWords = when(trim(col("text")) === "", 0)
+      .otherwise(size(ws)).cast("long")
+    val nSent = greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+      .cast("long")
+    val syl = aggregate(ws, lit(0L), (acc, w) =>
+      acc + greatest(regexp_count(lower(w), lit("[aeiouy]+")), lit(1))
+        .cast("long"))
+    val nSyl = when(nWords === 0L, 0L).otherwise(syl)
+    val wps = nWords.cast("double") / nSent.cast("double")
+    val spw = nSyl.cast("double") / nWords.cast("double")
+    docs.select(col("doc_id"), nWords.as("n_words"), nSent.as("n_sentences"),
+        nSyl.as("n_syllables"),
+        when(nWords > 0L, round(lit(206.835) - lit(1.015) * wps
+          - lit(84.6) * spw, 6)).as("flesch_ease"),
+        when(nWords > 0L, round(lit(0.39) * wps + lit(11.8) * spw
+          - lit(15.59), 6)).as("fk_grade"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document CHARACTER Shannon entropy (bits/char) — the
     * gibberish/encoding-damage signal that catches what word-level
     * stats cannot: base64 blobs and binary spill score near-maximal

