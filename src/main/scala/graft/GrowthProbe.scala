@@ -370,6 +370,15 @@ object GrowthProbe {
         DataQuality.benfordTest(d, col("value")).count())
       probeEv("value_winsorize")(d => DataQuality.winsorize(d,
         col("event_type"), col("value")).count())
+      probeEv("equidepth_histogram")(d =>
+        Monitor.equidepthHistogram(d, "value", 10).count())
+      probeEv("bh_fdr")(d => {
+        val tests = Experiment.metricZTests(
+          d.filter(col("value").isNotNull),
+          col("event_type"), col("value"), col("user_id") % 2 === 0)
+        Experiment.bhAdjust(tests.select(col("metric"), col("p")),
+          "metric", "p", 0.05).count()
+      })
       // subquery-decorrelation probes: 20× orders/lineitem replicated
       // on the ORDER axis (parts fixed), halved by orderkey parity so
       // both sides stay key-aligned. The decorrelated shapes must be

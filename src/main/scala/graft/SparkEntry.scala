@@ -1328,6 +1328,24 @@ object SparkEntry {
     "ab_cuped" -> ((s, dir) =>
       operators.Experiment.cupedAbTest(events(s, dir), "exp1",
         "2024-01-16 00:00:00")),
+    // metric-sweep FDR: Welch z per event-type metric between user-
+    // parity arms (null by construction) PLUS one deliberately shifted
+    // synthetic metric, then Benjamini-Hochberg step-up — the shifted
+    // metric must survive correction, the null ones must not; p via
+    // the shared-literal A&S 26.2.17 normal-CDF fold
+    "bh_fdr" -> ((s, dir) => {
+      val base = events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_type").as("metric"),
+          (col("user_id") % 2 === 0).as("isa"),
+          col("value").cast("double").as("v"))
+      val aug = base.unionByName(base.select(
+        lit("synthetic_shift").as("metric"), col("isa"),
+        (col("v") + when(col("isa"), 0.0).otherwise(50.0)).as("v")))
+      val tests = operators.Experiment.metricZTests(aug,
+        col("metric"), col("v"), col("isa"))
+      operators.Experiment.bhAdjust(
+        tests.select(col("metric"), col("p")), "metric", "p", 0.05)
+    }),
     // experiment sizing from the OBSERVED base rate: per-variant n to
     // detect each absolute lift at α=0.05 / power 0.8
     "ab_power" -> ((s, dir) =>
@@ -1444,6 +1462,11 @@ object SparkEntry {
       operators.Monitor.embeddingDrift(emb(s, dir), col("vec_id") % 2 === 0)),
     "value_histogram" -> ((s, dir) =>
       operators.Monitor.valueHistogram(events(s, dir), "event_type", "value", histWidth)),
+    // the planner-stats histogram: quantile edges (every bin ~n/bins
+    // rows), observed counts reported so tie-skew SHOWS; one
+    // percentile pass + one codegen bin fold (the psi_drift shape)
+    "equidepth_histogram" -> ((s, dir) =>
+      operators.Monitor.equidepthHistogram(events(s, dir), "value", 10)),
     // privacy release gate: equivalence-class size distribution over
     // the (source, lang, length-bucket) quasi-identifier tuple — the
     // k-anonymity table the pii_scrub family's auditors read
@@ -4739,6 +4762,59 @@ object SparkEntry {
          |  round(po, 6) AS po, round(pe, 6) AS pe,
          |  CASE WHEN pe < 1.0 THEN round((po - pe) / (1.0 - pe), 6) END AS kappa
          |FROM p""".stripMargin,
+    // identical moment decimals (scale-12 exact for 2-dp values),
+    // identical Welch fold, identical A&S 26.2.17 p polynomial,
+    // identical rank + reverse-running-min step-up
+    "bh_fdr" ->
+      s"""WITH base AS (SELECT event_type AS metric, (user_id % 2 = 0) AS isa,
+         |        CAST(value AS DOUBLE) AS v
+         |      FROM events WHERE value IS NOT NULL),
+         |aug AS (SELECT metric, isa, v FROM base
+         |        UNION ALL
+         |        SELECT 'synthetic_shift', isa,
+         |          v + CASE WHEN isa THEN 0.0 ELSE 50.0 END FROM base),
+         |mo AS (SELECT metric, CASE WHEN isa THEN 'A' ELSE 'B' END AS arm,
+         |         count(*) AS n, sum(CAST(v AS DECIMAL(38,12))) AS s,
+         |         sum(CAST(v * v AS DECIMAL(38,12))) AS s2
+         |       FROM aug GROUP BY 1, 2),
+         |wide AS (SELECT metric,
+         |           coalesce(max(CASE WHEN arm = 'A' THEN n END), 0) AS n_a,
+         |           max(CASE WHEN arm = 'A' THEN s END) AS s_a,
+         |           max(CASE WHEN arm = 'A' THEN s2 END) AS s2_a,
+         |           coalesce(max(CASE WHEN arm = 'B' THEN n END), 0) AS n_b,
+         |           max(CASE WHEN arm = 'B' THEN s END) AS s_b,
+         |           max(CASE WHEN arm = 'B' THEN s2 END) AS s2_b
+         |         FROM mo GROUP BY metric),
+         |tz AS (SELECT metric,
+         |         CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+         |           CASE WHEN (s2_a::DOUBLE - s_a::DOUBLE * s_a::DOUBLE / n_a) / (n_a - 1) / n_a
+         |                   + (s2_b::DOUBLE - s_b::DOUBLE * s_b::DOUBLE / n_b) / (n_b - 1) / n_b > 0.0
+         |             THEN round((s_a::DOUBLE / n_a - s_b::DOUBLE / n_b)
+         |               / sqrt((s2_a::DOUBLE - s_a::DOUBLE * s_a::DOUBLE / n_a) / (n_a - 1) / n_a
+         |                    + (s2_b::DOUBLE - s_b::DOUBLE * s_b::DOUBLE / n_b) / (n_b - 1) / n_b), 6)
+         |           END
+         |         END AS z
+         |       FROM wide),
+         |tp AS (SELECT metric, z,
+         |         round(least(2.0 * (0.3989422804014327 * exp(-0.5 * abs(z) * abs(z)))
+         |           * ((1.0 / (1.0 + 0.2316419 * abs(z))) * (0.319381530
+         |             + (1.0 / (1.0 + 0.2316419 * abs(z))) * (-0.356563782
+         |             + (1.0 / (1.0 + 0.2316419 * abs(z))) * (1.781477937
+         |             + (1.0 / (1.0 + 0.2316419 * abs(z))) * (-1.821255978
+         |             + (1.0 / (1.0 + 0.2316419 * abs(z))) * 1.330274429))))), 1.0), 9) AS p
+         |       FROM tz),
+         |ranked AS (SELECT metric AS test, p,
+         |             row_number() OVER (ORDER BY p, metric) AS rank,
+         |             count(*) OVER () AS m
+         |           FROM tp WHERE p IS NOT NULL),
+         |adj AS (SELECT *, round(p * m / rank, 9) AS raw_adj FROM ranked),
+         |fin AS (SELECT test, p, rank, m,
+         |          least(1.0, min(raw_adj) OVER (ORDER BY rank DESC
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS p_adj
+         |        FROM adj)
+         |SELECT test, p, CAST(rank AS INT) AS rank, CAST(m AS BIGINT) AS m,
+         |  p_adj, (p_adj <= 0.05) AS significant
+         |FROM fin ORDER BY test""".stripMargin,
     // same z literals, same left-to-right power formula per MDE row
     "ab_power" ->
       s"""WITH pu AS (SELECT user_id,
@@ -4976,6 +5052,27 @@ object SparkEntry {
          |  count(*) AS n
          |FROM events WHERE value IS NOT NULL
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // same quantile edges (quantile_cont on exact-decimal fractions),
+    // same strictly-greater bin fold (ties to the lower bin), same
+    // min/max endpoints
+    "equidepth_histogram" ->
+      s"""WITH v AS (SELECT CAST(value AS DOUBLE) AS x FROM events
+         |           WHERE value IS NOT NULL),
+         |e AS (SELECT quantile_cont(x, [${(1 until 10).map(i =>
+             s"0.$i").mkString(", ")}]) AS es,
+         |        min(x) AS mn, max(x) AS mx, count(*) AS n_total FROM v),
+         |b AS (SELECT list_sum(list_transform(e.es,
+         |          t -> CASE WHEN v.x > t THEN 1 ELSE 0 END)) AS bin
+         |      FROM v CROSS JOIN e),
+         |c AS (SELECT bin, count(*) AS n_rows FROM b GROUP BY bin),
+         |g AS (SELECT unnest(range(10)) AS bin)
+         |SELECT CAST(g.bin AS INT) AS bin,
+         |  round(CASE WHEN g.bin = 0 THEN e.mn ELSE e.es[CAST(g.bin AS INT)] END, 6) AS lo,
+         |  round(CASE WHEN g.bin = 9 THEN e.mx ELSE e.es[CAST(g.bin AS INT) + 1] END, 6) AS hi,
+         |  CAST(coalesce(c.n_rows, 0) AS BIGINT) AS n_rows,
+         |  round(coalesce(c.n_rows, 0)::DOUBLE / e.n_total, 6) AS share
+         |FROM g CROSS JOIN e LEFT JOIN c ON g.bin = c.bin
+         |ORDER BY bin""".stripMargin,
     // same double-division bucket, same two-level class-size aggregate
     "k_anonymity" ->
       s"""WITH g AS (SELECT source, lang,

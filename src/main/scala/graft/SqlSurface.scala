@@ -2388,6 +2388,30 @@ object SqlSurface {
          |      FROM embeddings)
          |GROUP BY split ORDER BY split""".stripMargin,
 
+    // Equi-depth histogram: quantile edges in a 1-row CTE, bin
+    // assignment as an aggregate() HOF fold over the edges array.
+    "equidepth_histogram" ->
+      s"""WITH v AS (SELECT CAST(value AS DOUBLE) AS x FROM events
+         |           WHERE value IS NOT NULL),
+         |e AS (SELECT percentile(x, array(${(1 until 10).map(i =>
+             s"0.$i").mkString(", ")})) AS es,
+         |        min(x) AS mn, max(x) AS mx, count(1) AS n_total FROM v),
+         |b AS (SELECT aggregate(e.es, 0, (acc, t) ->
+         |          acc + CASE WHEN v.x > t THEN 1 ELSE 0 END) AS bin
+         |      FROM v CROSS JOIN e),
+         |c AS (SELECT bin, count(1) AS n_rows FROM b GROUP BY bin),
+         |g AS (SELECT explode(sequence(0, 9)) AS bin)
+         |SELECT CAST(g.bin AS INT) AS bin,
+         |  round(CASE WHEN g.bin = 0 THEN e.mn
+         |             ELSE element_at(e.es, g.bin) END, 6) AS lo,
+         |  round(CASE WHEN g.bin = 9 THEN e.mx
+         |             ELSE element_at(e.es, g.bin + 1) END, 6) AS hi,
+         |  coalesce(c.n_rows, 0L) AS n_rows,
+         |  round(CAST(coalesce(c.n_rows, 0L) AS DOUBLE) / e.n_total, 6)
+         |    AS share
+         |FROM g CROSS JOIN e LEFT JOIN c ON g.bin = c.bin
+         |ORDER BY bin""".stripMargin,
+
     // Fixed-width value histogram per event type.
     "value_histogram" ->
       s"""SELECT event_type, bin, round(bin * 25.0, 6) AS bin_lo, n
@@ -2509,6 +2533,62 @@ object SqlSurface {
          |              * (1.0D / n_a + 1.0D / n_b)), 6)
          |  END AS z
          |FROM p""".stripMargin,
+
+    // Metric-sweep FDR: Welch z per metric from exact scale-12 moment
+    // decimals, p via the shared-literal A&S 26.2.17 fold, BH step-up
+    // as a rank window + reverse running min over the bounded metric
+    // domain.
+    "bh_fdr" ->
+      s"""WITH base AS (SELECT event_type AS metric, (user_id % 2 = 0) AS isa,
+         |        CAST(value AS DOUBLE) AS v
+         |      FROM events WHERE value IS NOT NULL),
+         |aug AS (SELECT metric, isa, v FROM base
+         |        UNION ALL
+         |        SELECT 'synthetic_shift', isa,
+         |          v + CASE WHEN isa THEN 0.0D ELSE 50.0D END FROM base),
+         |mo AS (SELECT metric, CASE WHEN isa THEN 'A' ELSE 'B' END AS arm,
+         |         count(1) AS n, sum(CAST(v AS DECIMAL(38,12))) AS s,
+         |         sum(CAST(v * v AS DECIMAL(38,12))) AS s2
+         |       FROM aug GROUP BY metric, arm),
+         |wide AS (SELECT metric,
+         |           coalesce(max(CASE WHEN arm = 'A' THEN n END), 0L) AS n_a,
+         |           max(CASE WHEN arm = 'A' THEN s END) AS s_a,
+         |           max(CASE WHEN arm = 'A' THEN s2 END) AS s2_a,
+         |           coalesce(max(CASE WHEN arm = 'B' THEN n END), 0L) AS n_b,
+         |           max(CASE WHEN arm = 'B' THEN s END) AS s_b,
+         |           max(CASE WHEN arm = 'B' THEN s2 END) AS s2_b
+         |         FROM mo GROUP BY metric),
+         |tz AS (SELECT metric,
+         |         CASE WHEN n_a >= 2L AND n_b >= 2L THEN
+         |           CASE WHEN (CAST(s2_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / n_a) / (n_a - 1L) / n_a
+         |                   + (CAST(s2_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / n_b) / (n_b - 1L) / n_b > 0.0D
+         |             THEN round((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+         |               / sqrt((CAST(s2_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / n_a) / (n_a - 1L) / n_a
+         |                    + (CAST(s2_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / n_b) / (n_b - 1L) / n_b), 6)
+         |           END
+         |         END AS z
+         |       FROM wide),
+         |tp AS (SELECT metric, z,
+         |         CASE WHEN z IS NOT NULL THEN
+         |           round(least(2.0D * (0.3989422804014327D * exp(-0.5D * abs(z) * abs(z)))
+         |             * ((1.0D / (1.0D + 0.2316419D * abs(z))) * (0.319381530D
+         |               + (1.0D / (1.0D + 0.2316419D * abs(z))) * (-0.356563782D
+         |               + (1.0D / (1.0D + 0.2316419D * abs(z))) * (1.781477937D
+         |               + (1.0D / (1.0D + 0.2316419D * abs(z))) * (-1.821255978D
+         |               + (1.0D / (1.0D + 0.2316419D * abs(z))) * 1.330274429D))))), 1.0D), 9)
+         |         END AS p
+         |       FROM tz),
+         |ranked AS (SELECT metric AS test, p,
+         |             row_number() OVER (ORDER BY p, metric) AS rank,
+         |             count(1) OVER () AS m
+         |           FROM tp WHERE p IS NOT NULL),
+         |adj AS (SELECT *, round(p * m / rank, 9) AS raw_adj FROM ranked),
+         |fin AS (SELECT test, p, rank, m,
+         |          least(1.0D, min(raw_adj) OVER (ORDER BY rank DESC
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS p_adj
+         |        FROM adj)
+         |SELECT test, p, rank, m, p_adj, (p_adj <= 0.05D) AS significant
+         |FROM fin ORDER BY test""".stripMargin,
 
     // Experiment sizing from the observed base rate: normal-
     // approximation n per variant at α=0.05 / power 0.8 over a fixed
@@ -4119,6 +4199,7 @@ object SqlSurface {
       "doc_digests" -> SparkEntry.queries("doc_digests"),
       "sample_split" -> SparkEntry.queries("sample_split"),
       "value_histogram" -> SparkEntry.queries("value_histogram"),
+      "equidepth_histogram" -> SparkEntry.queries("equidepth_histogram"),
       "vocab_coverage" -> SparkEntry.queries("vocab_coverage"),
       "scd2_lookup" -> SparkEntry.queries("scd2_lookup"),
       "char_entropy" -> SparkEntry.queries("char_entropy"),
@@ -4135,6 +4216,7 @@ object SqlSurface {
       "time_to_convert" -> SparkEntry.queries("time_to_convert"),
       "ab_test" -> SparkEntry.queries("ab_test"),
       "ab_power" -> SparkEntry.queries("ab_power"),
+      "bh_fdr" -> SparkEntry.queries("bh_fdr"),
       "ab_cuped" -> SparkEntry.queries("ab_cuped"),
       "rater_agreement" -> SparkEntry.queries("rater_agreement"),
       "events_anomaly" -> SparkEntry.queries("events_anomaly"),

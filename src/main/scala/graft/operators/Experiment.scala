@@ -281,4 +281,114 @@ object Experiment {
               (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6))
           .as("z"))
   }
+
+  /** 1/√(2π) as a shared literal — neither engine computes sqrt(2π). */
+  private val InvSqrt2Pi = 0.3989422804014327
+
+  /** Two-sided p-value of a z statistic via the Abramowitz–Stegun
+    * 26.2.17 polynomial (|error| < 7.5e-8): both engines fold the SAME
+    * literal coefficients from the same z double, so parity is by
+    * shared formula, not by math-library agreement; the result
+    * quantizes at 9 dp (the surprisal discipline) before anything
+    * compares or ranks it.
+    */
+  private def pTwoSided(z: Column): Column = {
+    val x = abs(z)
+    val k = lit(1.0) / (lit(1.0) + lit(0.2316419) * x)
+    val poly = k * (lit(0.319381530) + k * (lit(-0.356563782)
+      + k * (lit(1.781477937) + k * (lit(-1.821255978)
+        + k * lit(1.330274429)))))
+    val phi = lit(InvSqrt2Pi) * exp(lit(-0.5) * x * x)
+    // least() IGNORES nulls (least(NULL, 1.0) = 1.0), so an explicit
+    // null gate keeps an untestable z from masquerading as p = 1
+    when(z.isNotNull, round(least(lit(2.0) * phi * poly, lit(1.0)), 9))
+  }
+
+  /** Welch z-test of mean(value) between two arms, ONE test per
+    * metric — the sweep an experimentation platform runs over its
+    * whole metric catalog before multiple-testing correction
+    * ([[bhAdjust]]). Moments are exact decimal sums (the chiSquare
+    * overflow lesson: cast BEFORE the product); the z and p fold in
+    * fixed literal order. Metrics with under 2 rows per arm or zero
+    * pooled variance report NULL z/p (no test, never ±Inf).
+    *
+    * Shape at 100 TB: one map-side-combinable (metric, arm) moment
+    * aggregation over the stream; the test arithmetic runs on the
+    * 2·|metrics| grid.
+    */
+  def metricZTests(df: DataFrame, metric: Column, value: Column,
+      armA: Column): DataFrame = {
+    val base = df.filter(value.isNotNull)
+      .select(metric.as("metric"),
+        when(armA, "A").otherwise("B").as("arm"),
+        value.cast("double").as("v"))
+    // scale 12 holds the product of two ≤6-dp inputs EXACTLY — the
+    // decimal cast never rounds, so HALF_UP-vs-HALF_EVEN cannot bite
+    val m = base.groupBy(col("metric"), col("arm"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast(DecimalType(38, 12))).as("s"),
+        sum((col("v") * col("v")).cast(DecimalType(38, 12))).as("s2"))
+    def side(a: String, c: String) =
+      max(when(col("arm") === a, col(c)))
+    val wide = m.groupBy(col("metric"))
+      .agg(coalesce(side("A", "n"), lit(0L)).as("n_a"),
+        side("A", "s").as("s_a"), side("A", "s2").as("s2_a"),
+        coalesce(side("B", "n"), lit(0L)).as("n_b"),
+        side("B", "s").as("s_b"), side("B", "s2").as("s2_b"))
+    def mean(s: String, n: String) = col(s).cast("double") / col(n)
+    // sample variance from exact moments: (s2 − s²/n) / (n−1)
+    def vr(s: String, s2: String, n: String) =
+      (col(s2).cast("double") - col(s).cast("double")
+        * col(s).cast("double") / col(n)) / (col(n) - lit(1L))
+    val se2 = (vr("s_a", "s2_a", "n_a") / col("n_a")) +
+      (vr("s_b", "s2_b", "n_b") / col("n_b"))
+    val z = when(col("n_a") >= 2L && col("n_b") >= 2L,
+      when(se2 > 0.0, round((mean("s_a", "n_a") - mean("s_b", "n_b"))
+        / sqrt(se2), 6)))
+    wide.select(col("metric"), col("n_a"), col("n_b"),
+        round(mean("s_a", "n_a"), 6).as("mean_a"),
+        round(mean("s_b", "n_b"), 6).as("mean_b"),
+        z.as("z"))
+      .withColumn("p", pTwoSided(col("z")))
+      .orderBy(col("metric"))
+  }
+
+  /** Benjamini–Hochberg step-up FDR adjustment (BH 1995) — the
+    * correction between a metric sweep and a launch decision: testing
+    * 50 metrics at α=0.05 expects 2-3 false alarms; BH caps the
+    * EXPECTED FALSE-DISCOVERY RATE at α instead of the per-test error.
+    * p_adj(i) = min over j ≥ i of min(1, p(j)·m/j) on the p-ascending
+    * ranking; reject iff p_adj ≤ α (the step-up equivalence).
+    *
+    * The tests frame is one row per metric — a bounded DOMAIN, checked
+    * via [[Partitioning.requireBoundedDomain]] before the global rank
+    * window (the skyline/KM discipline: trust, then verify). NULL
+    * p-values (untestable metrics) pass through unranked and
+    * unrejected. Ties rank deterministically on (p, test id).
+    */
+  def bhAdjust(tests: DataFrame, testCol: String, pCol: String,
+      alpha: Double = 0.05, domainLimit: Long = 2000000L): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must lie in (0,1), got $alpha")
+    import org.apache.spark.sql.expressions.Window
+    val testable = Partitioning.requireBoundedDomain(
+      tests.filter(col(pCol).isNotNull)
+        .select(col(testCol).as("test"), col(pCol).cast("double").as("p")),
+      testCol, "Experiment.bhAdjust", domainLimit)
+    val mTot = testable.agg(count(lit(1)).as("m"))
+    val ranked = testable.crossJoin(broadcast(mTot))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("p"), col("test"))))
+      .withColumn("raw_adj", round(col("p") * col("m") / col("rank"), 9))
+    val stepUp = ranked.withColumn("p_adj",
+        least(lit(1.0), min(col("raw_adj")).over(
+          Window.orderBy(col("rank").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+      .select(col("test"), col("p"), col("rank"), col("m"),
+        col("p_adj"), (col("p_adj") <= alpha).as("significant"))
+    val untestable = tests.filter(col(pCol).isNull)
+      .select(col(testCol).as("test"), col(pCol).cast("double").as("p"),
+        lit(null).cast("int").as("rank"), lit(null).cast("long").as("m"),
+        lit(null).cast("double").as("p_adj"), lit(false).as("significant"))
+    stepUp.unionByName(untestable).orderBy(col("test"))
+  }
 }

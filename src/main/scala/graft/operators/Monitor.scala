@@ -328,6 +328,59 @@ object Monitor {
       .select(col("n_ref"), col("n_cur"), lit(bins).as("bins"), col("psi"))
   }
 
+  /** Equi-depth (equi-height) histogram — the planner-stats structure
+    * beside [[valueHistogram]]'s equi-width bins: bin EDGES are the
+    * column's exact quantiles, so every bin holds ~n/bins rows and the
+    * histogram resolves the dense region a fixed-width grid smears
+    * into one bar. This is the selectivity-estimation structure
+    * (Spark CBO, Postgres, DuckDB all keep equi-depth histograms):
+    * range-predicate selectivity reads off as (bins touched)/bins.
+    * The observed per-bin counts are reported rather than assumed —
+    * heavy ties pile into one bin and the skew SHOWS (the bin's share
+    * exceeds 1/bins), which is exactly what a planner wants to know.
+    *
+    * Shape at 100 TB: one exact-percentile + min/max aggregation pass
+    * (edges become plan literals), then one map-side-combinable
+    * bin-count pass over a codegen fold — the psi_drift shape; the
+    * grid/edges arithmetic runs on `bins` rows. Ties land in the
+    * LOWER bin (strictly-greater fold), matching the oracle.
+    */
+  def equidepthHistogram(df: DataFrame, valueCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins must be in [2,1000], got $bins")
+    val spark = df.sparkSession
+    val fracs = (1 until bins)
+      .map(i => (BigDecimal(i) / BigDecimal(bins)).toString).mkString(", ")
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("x"))
+    val statRow = base.agg(
+      expr(s"percentile(x, array($fracs))").as("es"),
+      min(col("x")).as("mn"), max(col("x")).as("mx")).head()
+    if (statRow.isNullAt(0)) throw new IllegalArgumentException(
+      s"Monitor.equidepthHistogram: no non-null '$valueCol' rows - " +
+        "an empty column has no quantile edges")
+    val edges = statRow.getSeq[Double](0)
+    val mn = statRow.getDouble(1)
+    val mx = statRow.getDouble(2)
+    def binOf(c: org.apache.spark.sql.Column) =
+      edges.foldLeft(lit(0)) { (acc, e) => acc + (c > lit(e)).cast("int") }
+    val counts = base.select(binOf(col("x")).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_rows"))
+    val lows = mn +: edges
+    val highs = edges :+ mx
+    val grid = spark.range(bins).select(col("id").cast("int").as("bin"),
+      element_at(array(lows.map(lit): _*), col("id").cast("int") + 1).as("lo"),
+      element_at(array(highs.map(lit): _*), col("id").cast("int") + 1).as("hi"))
+    val total = counts.agg(sum(col("n_rows")).as("n_total"))
+    grid.join(counts, Seq("bin"), "left")
+      .na.fill(0L, Seq("n_rows"))
+      .crossJoin(broadcast(total))
+      .select(col("bin"), round(col("lo"), 6).as("lo"),
+        round(col("hi"), 6).as("hi"), col("n_rows"),
+        round(col("n_rows").cast("double") / col("n_total"), 6).as("share"))
+      .orderBy(col("bin"))
+  }
+
   /** Mutual information (bits) between two bounded-domain categorical
     * columns, with marginal entropies and the normalized
     * MI / √(H(a)·H(b)) — the MEASURE of dependence next to

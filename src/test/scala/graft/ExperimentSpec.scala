@@ -160,4 +160,58 @@ class ExperimentSpec extends AnyFunSuite {
     // exactly one user (user 1) reaches 2 purchases
     assert(out.getLong(1) + out.getLong(3) == 1L)
   }
+
+  test("bhAdjust: the textbook step-up — k*=2 at these five p-values") {
+    import org.apache.spark.sql.functions._
+    val tests = Seq(("t1", 0.01), ("t2", 0.02), ("t3", 0.165),
+      ("t4", 0.205), ("t5", 0.396)).toDF("test", "p")
+    val out = graft.operators.Experiment.bhAdjust(tests, "test", "p", 0.05)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(out("t1") == ((0.05, true)) && out("t2") == ((0.05, true)))
+    // step-up: t3's raw 0.275 is overridden by t4's smaller 0.25625
+    assert(out("t3") == ((0.25625, false)))
+    assert(out("t4") == ((0.25625, false)))
+    assert(out("t5") == ((0.396, false)))
+  }
+
+  test("bhAdjust: NULL p passes through unranked; bounded-domain guard raises") {
+    import org.apache.spark.sql.functions._
+    val tests = Seq(("a", Some(0.01)), ("b", None)).toDF("test", "p")
+    val out = graft.operators.Experiment.bhAdjust(tests, "test", "p", 0.05)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("b").isNullAt(4) && !out("b").getBoolean(5))
+    assert(out("a").getLong(3) == 1L, "m counts only testable rows")
+    val many = spark.range(100).select(col("id").cast("string").as("test"),
+      (col("id").cast("double") / 1000).as("p"))
+    val ex = intercept[Exception] {
+      graft.operators.Experiment.bhAdjust(many, "test", "p",
+        alpha = 0.05, domainLimit = 10L).collect()
+    }
+    val msg = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("Experiment.bhAdjust"))
+    intercept[IllegalArgumentException] {
+      graft.operators.Experiment.bhAdjust(tests, "test", "p", alpha = 0.0)
+    }
+  }
+
+  test("metricZTests: a real shift tests significant; degenerate lanes go NULL") {
+    import org.apache.spark.sql.functions._
+    val rows =
+      (1 to 50).map(i => ("shifted", i % 2 == 0, if (i % 2 == 0) 10.0 + (i % 5) else 50.0 + (i % 5))) ++
+      (1 to 50).map(i => ("nullish", i % 2 == 0, (i % 7).toDouble)) ++
+      Seq(("tiny", true, 1.0), ("tiny", false, 2.0)) ++          // n<2 per arm
+      (1 to 10).map(_ => ("constant", true, 5.0)) ++             // zero variance
+      (1 to 10).map(_ => ("constant", false, 5.0))
+    val df = rows.toDF("metric", "isa", "v")
+    val out = graft.operators.Experiment.metricZTests(df,
+      col("metric"), col("v"), col("isa"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("shifted").getDouble(5) < -20.0, "a 40-point shift is a huge |z|")
+    assert(out("shifted").getDouble(6) == 0.0, "p rounds to 0 at 9 dp")
+    assert(math.abs(out("nullish").getDouble(5)) < 2.0)
+    assert(out("tiny").isNullAt(5) && out("tiny").isNullAt(6))
+    assert(out("constant").isNullAt(5), "zero pooled variance -> NULL, never Inf")
+  }
 }

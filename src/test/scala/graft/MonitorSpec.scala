@@ -253,4 +253,31 @@ class MonitorSpec extends AnyFunSuite {
     val r = Monitor.mutualInformation(df, col("a"), col("b")).head()
     assert(r.getDouble(2) == 0.0 && r.getDouble(1) == 0.0 && r.getDouble(4) == 0.0)
   }
+
+  test("equidepthHistogram: quantile edges balance counts; ties pile up visibly") {
+    import org.apache.spark.sql.functions._
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val out = graft.operators.Monitor.equidepthHistogram(df, "v", bins = 4)
+      .collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))
+    // edges p25/p50/p75 of 1..100 = 25.75 / 50.5 / 75.25 (interpolated)
+    assert(out(0).getDouble(1) == 1.0 && out(0).getDouble(2) == 25.75)
+    assert(out(3).getDouble(1) == 75.25 && out(3).getDouble(2) == 100.0)
+    assert(out.map(_.getLong(3)).toSeq == Seq(25L, 25L, 25L, 25L),
+      "equi-depth on a uniform column balances exactly")
+    // heavy ties: ninety 5s + ten 100s at 2 bins — the tie bin's share
+    // (0.9) exceeds 1/bins, the skew a planner needs to SEE
+    val skew = (Seq.fill(90)(5.0) ++ Seq.fill(10)(100.0)).toDF("v")
+    val s = graft.operators.Monitor.equidepthHistogram(skew, "v", bins = 2)
+      .collect()
+    assert(s(0).getLong(3) == 90L && s(0).getDouble(4) == 0.9)
+    assert(s(1).getLong(3) == 10L)
+    intercept[IllegalArgumentException] {
+      graft.operators.Monitor.equidepthHistogram(
+        df.filter(col("v") < 0), "v", bins = 4)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Monitor.equidepthHistogram(df, "v", bins = 1)
+    }
+  }
 }
