@@ -88,6 +88,9 @@ object GrowthProbe {
     probe("quantile_estimate")(d =>
       Sampling.hashSampleQuantiles(d, "doc_id", "n_chars", 256,
         maxExactRows = 10000000L).count())
+    probe("group_quantile_estimate")(d =>
+      Sampling.groupHashSampleQuantiles(d, "source", "doc_id", "n_chars",
+        64, maxExactRows = 10000000L).count())
     probe("audience_overlap_estimate")(d =>
       Kmv.overlapEstimate(d.filter(col("doc_id") % 3 === 0), "doc_id",
         d.filter(col("doc_id") % 2 === 0), "doc_id", 256).count())
@@ -372,6 +375,9 @@ object GrowthProbe {
         col("event_type"), col("value")).count())
       probeEv("equidepth_histogram")(d =>
         Monitor.equidepthHistogram(d, "value", 10).count())
+      probeEv("calendar_gaps")(d => DataQuality.calendarGaps(
+        d.filter(dayofmonth(col("ts")) % 7 =!= 3),
+        col("event_type"), col("ts")).count())
       probeEv("bh_fdr")(d => {
         val tests = Experiment.metricZTests(
           d.filter(col("value").isNotNull),

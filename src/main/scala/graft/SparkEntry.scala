@@ -493,6 +493,11 @@ object SparkEntry {
     "quantile_estimate" -> ((s, dir) =>
       operators.Sampling.hashSampleQuantiles(
         tbl(s, dir, "documents"), "doc_id", "n_chars", 1024)),
+    // grouped form: per-source length quantiles from k-row per-group
+    // samples (WindowGroupLimit map-side cut) vs the capped exact pass
+    "group_quantile_estimate" -> ((s, dir) =>
+      operators.Sampling.groupHashSampleQuantiles(
+        tbl(s, dir, "documents"), "source", "doc_id", "n_chars", 64)),
     // theta-sketch set algebra: click-audience vs view-audience
     // union / Jaccard / intersection from two bounded sketch passes —
     // the exact version is source_overlap's distinct self-join
@@ -1220,6 +1225,15 @@ object SparkEntry {
           col("n_clamped_hi"), col("p_lo"), col("p_hi"),
           col("mean_raw"), col("mean_winsorized"))
         .orderBy(col("event_type"))
+    }),
+    // missing-day report over a corpus with PLANTED holes: drop every
+    // day-of-month ≡ 3 (mod 7) deterministically in both engines, the
+    // report must find exactly those days inside each type's observed
+    // range — gap detection verified against known gaps, not assumed
+    "calendar_gaps" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .filter(dayofmonth(col("ts")) % 7 =!= 3)
+      operators.DataQuality.calendarGaps(ev, col("event_type"), col("ts"))
     }),
     "dq_freshness" -> ((s, dir) =>
       operators.DataQuality.freshness(events(s, dir), col("event_type"),
@@ -3364,6 +3378,31 @@ object SparkEntry {
          |  CAST(sa.n_sample AS BIGINT) AS n_sample,
          |  CAST(ex.n_rows AS BIGINT) AS n_rows
          |FROM p CROSS JOIN sa CROSS JOIN ex ORDER BY p.p""".stripMargin,
+    // same per-group (draw, value) rank cut at k, interpolated
+    // percentiles per group on both sides
+    "group_quantile_estimate" ->
+      s"""WITH base AS (SELECT source AS grp,
+         |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+         |          AS BIGINT) AS h,
+         |        CAST(n_chars AS DOUBLE) AS v
+         |      FROM documents WHERE n_chars IS NOT NULL),
+         |r AS (SELECT grp, v, row_number() OVER (PARTITION BY grp
+         |        ORDER BY h, v) AS rn FROM base),
+         |sa AS (SELECT grp, count(*) AS n_sample,
+         |         quantile_cont(v, [0.5, 0.9]) AS qe
+         |       FROM r WHERE rn <= 64 GROUP BY grp),
+         |ex AS (SELECT grp, count(*) AS n_rows,
+         |         quantile_cont(v, [0.5, 0.9]) AS qx
+         |       FROM base GROUP BY grp),
+         |p AS (SELECT * FROM (VALUES (1, 0.5), (2, 0.9)) AS t(i, p))
+         |SELECT sa.grp, CAST(p.p AS DOUBLE) AS p,
+         |  round(sa.qe[p.i], 6) AS q_est,
+         |  round(ex.qx[p.i], 6) AS q_exact,
+         |  round(abs(sa.qe[p.i] - ex.qx[p.i]), 6) AS abs_error,
+         |  CAST(sa.n_sample AS BIGINT) AS n_sample,
+         |  CAST(ex.n_rows AS BIGINT) AS n_rows
+         |FROM sa JOIN ex ON sa.grp = ex.grp CROSS JOIN p
+         |ORDER BY sa.grp, p.p""".stripMargin,
     // replay: two bottom-k sketches, truncated union, membership
     // count; the rounded factors multiply (not the raw ones) exactly
     // as the engine does
@@ -4544,6 +4583,23 @@ object SparkEntry {
          |FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
          |GROUP BY d.day ORDER BY 1""".stripMargin,
     // exact micros difference + explicit floor division, like the engine
+    // same planted holes, same per-group observed range, same
+    // generate_series expected calendar, same anti-join
+    "calendar_gaps" ->
+      s"""WITH ev AS (SELECT event_type, ts FROM events
+         |           WHERE day(ts) % 7 <> 3),
+         |obs AS (SELECT DISTINCT event_type AS grp, CAST(ts AS DATE) AS day
+         |        FROM ev WHERE ts IS NOT NULL),
+         |bounds AS (SELECT grp, min(day) AS d0, max(day) AS d1
+         |           FROM obs GROUP BY grp),
+         |expected AS (SELECT grp,
+         |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+         |  FROM bounds)
+         |SELECT e.grp, e.day AS missing_day
+         |FROM expected e LEFT JOIN obs o
+         |  ON e.grp = o.grp AND e.day = o.day
+         |WHERE o.grp IS NULL
+         |ORDER BY e.grp, missing_day""".stripMargin,
     // same exact interpolated percentiles (quantile_cont), same clamp,
     // same decimal-accumulated means
     "value_winsorize" ->

@@ -1683,6 +1683,33 @@ object SqlSurface {
          |  n_sample, n_rows
          |FROM p CROSS JOIN sa CROSS JOIN ex ORDER BY p.p""".stripMargin,
 
+    // Grouped quantile estimate: per-group rank cut at k (plans as
+    // WindowGroupLimit), percentiles per group on both sides.
+    "group_quantile_estimate" ->
+      s"""WITH base AS (SELECT source AS grp,
+         |        CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12),
+         |                  16, 10) AS BIGINT) AS h,
+         |        CAST(n_chars AS DOUBLE) AS v
+         |      FROM documents WHERE n_chars IS NOT NULL),
+         |r AS (SELECT grp, v, row_number() OVER (PARTITION BY grp
+         |        ORDER BY h, v) AS rn FROM base),
+         |sa AS (SELECT grp, count(1) AS n_sample,
+         |         percentile(v, array(0.5D, 0.9D)) AS qe
+         |       FROM r WHERE rn <= 64 GROUP BY grp),
+         |ex AS (SELECT grp, count(1) AS n_rows,
+         |         percentile(v, array(0.5D, 0.9D)) AS qx
+         |       FROM base GROUP BY grp),
+         |p AS (SELECT pos + 1 AS i, col AS p
+         |      FROM (SELECT posexplode(array(0.5D, 0.9D))))
+         |SELECT sa.grp, p.p,
+         |  round(element_at(sa.qe, p.i), 6) AS q_est,
+         |  round(element_at(ex.qx, p.i), 6) AS q_exact,
+         |  round(abs(element_at(sa.qe, p.i) - element_at(ex.qx, p.i)), 6)
+         |    AS abs_error,
+         |  n_sample, n_rows
+         |FROM sa JOIN ex ON sa.grp = ex.grp CROSS JOIN p
+         |ORDER BY sa.grp, p.p""".stripMargin,
+
     // Theta-sketch audience overlap — same truncated-union replay
     "audience_overlap_estimate" ->
       s"""WITH ha AS (SELECT DISTINCT
@@ -2280,6 +2307,22 @@ object SqlSurface {
          |FROM cc JOIN t ON cc.doc_id = t.doc_id
          |GROUP BY cc.doc_id, t.n, t.nd
          |ORDER BY cc.doc_id""".stripMargin,
+
+    // Missing-day report over the planted-hole corpus: calendar-
+    // bounded expected side, one anti join.
+    "calendar_gaps" ->
+      s"""WITH ev AS (SELECT event_type, ts FROM events
+         |           WHERE dayofmonth(ts) % 7 != 3),
+         |obs AS (SELECT DISTINCT event_type AS grp, to_date(ts) AS day
+         |        FROM ev WHERE ts IS NOT NULL),
+         |bounds AS (SELECT grp, min(day) AS d0, max(day) AS d1
+         |           FROM obs GROUP BY grp),
+         |expected AS (SELECT grp, explode(sequence(d0, d1)) AS day
+         |             FROM bounds)
+         |SELECT e.grp, e.day AS missing_day
+         |FROM expected e LEFT ANTI JOIN obs o
+         |  ON e.grp = o.grp AND e.day = o.day
+         |ORDER BY grp, missing_day""".stripMargin,
 
     // Per-group winsorization summary: exact percentile edges, codegen
     // clamp, decimal-accumulated means.
@@ -4206,6 +4249,7 @@ object SqlSurface {
       "readability" -> SparkEntry.queries("readability"),
       "dq_freshness" -> SparkEntry.queries("dq_freshness"),
       "value_winsorize" -> SparkEntry.queries("value_winsorize"),
+      "calendar_gaps" -> SparkEntry.queries("calendar_gaps"),
       "benford_digits" -> SparkEntry.queries("benford_digits"),
       "knn_join_top3" -> SparkEntry.queries("knn_join_top3"),
       "pii_scrub" -> SparkEntry.queries("pii_scrub"),
@@ -4308,6 +4352,8 @@ object SqlSurface {
       "bootstrap_diff_ci" -> SparkEntry.queries("bootstrap_diff_ci"),
       "distinct_estimate" -> SparkEntry.queries("distinct_estimate"),
       "quantile_estimate" -> SparkEntry.queries("quantile_estimate"),
+      "group_quantile_estimate" ->
+        SparkEntry.queries("group_quantile_estimate"),
       "audience_overlap_estimate" ->
         SparkEntry.queries("audience_overlap_estimate"),
       "mutual_information" -> SparkEntry.queries("mutual_information"),

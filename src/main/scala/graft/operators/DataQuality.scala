@@ -170,6 +170,33 @@ object DataQuality {
       .orderBy(col("digit"))
   }
 
+  /** Missing-calendar-day report — [[freshness]]'s historical sibling:
+    * freshness asks "is the newest data recent?", this asks "did any
+    * PAST day silently never arrive?" (the partition-level hole an
+    * upstream backfill or a dropped ingest job leaves; a daily
+    * pipeline that joins on date silently produces nothing for the
+    * hole). One row per (group, missing day) between the group's own
+    * first and last observed days.
+    *
+    * Shape at 100 TB: the observed side is a distinct (group, day)
+    * projection — map-side combinable, bounded by groups × calendar;
+    * the expected side explodes `sequence(min_day, max_day)` from a
+    * per-group 1-row aggregate (calendar-bounded by construction);
+    * the report is one left-anti join between two calendar-bounded
+    * frames. The corpus is touched once.
+    */
+  def calendarGaps(df: DataFrame, group: Column, ts: Column): DataFrame = {
+    val obs = df.filter(ts.isNotNull)
+      .select(group.as("grp"), to_date(ts).as("day"))
+      .distinct()
+    val expected = obs.groupBy(col("grp"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("grp"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    expected.join(obs, Seq("grp", "day"), "left_anti")
+      .select(col("grp"), col("day").as("missing_day"))
+      .orderBy(col("grp"), col("missing_day"))
+  }
+
   /** Per-group winsorization — the robust-cleaning step a metrics
     * pipeline runs before any mean-based readout: clamp each value to
     * its group's [pLo, pHi] exact interpolated percentiles, so a fat

@@ -461,4 +461,61 @@ object Sampling {
         col("n_sample"), col("n_rows"))
       .orderBy(col("p"))
   }
+
+  /** Per-GROUP quantile estimation from bounded hash samples — the
+    * grouped form of [[hashSampleQuantiles]]: each group keeps only
+    * its k smallest-draw rows, so per-group sample state is k rows
+    * however large the group (exact grouped `percentile` state is the
+    * whole group). The cut is a rank filter over a window WITH a
+    * partition key — Spark plans it as WindowGroupLimit, a map-side
+    * per-partition top-k BEFORE the exchange (spec-pinned), so the
+    * shuffle carries at most k rows per group per input partition,
+    * never the group's raw rows.
+    *
+    * The exact side is the evaluator's capped comparison pass
+    * ([[Partitioning.requireSampleScale]]); `withExact = false` is
+    * the production path (NULL q_exact/abs_error).
+    */
+  def groupHashSampleQuantiles(df: DataFrame, groupCol: String,
+      keyCol: String, valueCol: String, k: Int = 256,
+      ps: Seq[Double] = Seq(0.5, 0.9),
+      withExact: Boolean = true, maxExactRows: Long = 10000000L): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p < 1),
+      s"percentiles must lie in (0,1), got $ps")
+    import org.apache.spark.sql.expressions.Window
+    val psSql = ps.map(p => s"${p}D").mkString("array(", ", ", ")")
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        Kmv.hash48(col(keyCol).cast("string")).as("h"),
+        col(valueCol).cast("double").as("v"))
+    val sample = base
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("h"), col("v"))))
+      .filter(col("__rn") <= k)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_sample"),
+        expr(s"percentile(v, $psSql)").as("q_est"))
+    val exactSide =
+      if (withExact)
+        Partitioning.requireSampleScale(base,
+          "Sampling.groupHashSampleQuantiles(withExact=true)", maxExactRows)
+          .groupBy(col("grp"))
+          .agg(count(lit(1)).as("n_rows"),
+            expr(s"percentile(v, $psSql)").as("q_exact"))
+      else base.groupBy(col("grp")).agg(count(lit(1)).as("n_rows"))
+        .select(col("grp"), col("n_rows"),
+          lit(null).cast("array<double>").as("q_exact"))
+    val pArr = array(ps.map(lit): _*)
+    def at(c: String) = element_at(col(c), col("pos") + 1)
+    sample.join(exactSide, "grp")
+      .select(col("grp"), col("n_sample"), col("n_rows"),
+        col("q_est"), col("q_exact"), posexplode(pArr))
+      .select(col("grp"), col("col").as("p"),
+        round(at("q_est"), 6).as("q_est"),
+        round(at("q_exact"), 6).as("q_exact"),
+        round(abs(at("q_est") - at("q_exact")), 6).as("abs_error"),
+        col("n_sample"), col("n_rows"))
+      .orderBy(col("grp"), col("p"))
+  }
 }

@@ -140,6 +140,26 @@ class DataQualitySpec extends AnyFunSuite {
     assert(chiS > 100.0, s"all-9s data must blow up the statistic, chi2=$chiS")
   }
 
+  test("calendarGaps: finds exactly the hole, per-group ranges, dense group clean") {
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      ("a", "2024-01-01"), ("a", "2024-01-02"), ("a", "2024-01-04"), // 01-03 missing
+      ("b", "2024-02-10"), ("b", "2024-02-11"), ("b", "2024-02-12"), // dense
+      ("c", "2024-03-01")                                            // single day
+    ).toDF("g", "d").withColumn("ts", to_timestamp(col("d")))
+    val out = DataQuality.calendarGaps(rows, col("g"), col("ts")).collect()
+    assert(out.length == 1, s"exactly one hole: ${out.toSeq}")
+    assert(out.head.getString(0) == "a" &&
+      out.head.getDate(1).toString == "2024-01-03")
+    // group b's February days must NOT count as gaps for group a
+    // (ranges are per-group); null ts rows are ignored
+    val withNull = rows.unionByName(
+      Seq(("a", "x")).toDF("g", "d")
+        .withColumn("ts", lit(null).cast("timestamp")))
+    assert(DataQuality.calendarGaps(withNull, col("g"), col("ts"))
+      .count() == 1)
+  }
+
   test("winsorize: clamps to exact interpolated percentiles, keeps n, flags lanes") {
     import org.apache.spark.sql.functions._
     // group 'a': 1..100 plus one 1000 outlier; p01/p99 of 101 values

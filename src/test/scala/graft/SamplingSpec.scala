@@ -359,4 +359,44 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.hashSampleQuantiles(df, "id", "x", ps = Seq(1.5))
     }
   }
+
+  test("groupHashSampleQuantiles: per-group exactness below k, group isolation") {
+    // group a: 1..50 (n < k -> sample == group, abs_error 0);
+    // group b: shifted 1000-fold so any cross-group leak is glaring
+    val df = ((1 to 50).map(i => ("a", i.toLong, i.toDouble)) ++
+      (1 to 40).map(i => ("b", 1000L + i, i * 1000.0)))
+      .toDF("g", "id", "x")
+    val out = Sampling.groupHashSampleQuantiles(df, "g", "id", "x",
+      k = 64, ps = Seq(0.5)).collect()
+    assert(out.length == 2)
+    val byG = out.map(r => r.getString(0) -> r).toMap
+    assert(byG("a").getDouble(2) == 25.5 && byG("a").getDouble(4) == 0.0)
+    assert(byG("b").getDouble(2) == 20500.0 && byG("b").getDouble(4) == 0.0)
+    assert(byG("a").getLong(5) == 50 && byG("b").getLong(5) == 40)
+  }
+
+  test("groupHashSampleQuantiles: WindowGroupLimit map-side cut; caps and params") {
+    val df = (1 to 500).map(i => (s"g${i % 4}", i.toLong, i.toDouble))
+      .toDF("g", "id", "x")
+    val qe = Sampling.groupHashSampleQuantiles(df, "g", "id", "x", k = 16)
+      .queryExecution
+    assert(qe.executedPlan.toString.contains("WindowGroupLimit"),
+      "the per-group rank cut must push map-side, not sort whole groups:\n" +
+        qe.executedPlan.toString.take(2000))
+    // sample is exactly k per group once groups exceed k
+    val got = Sampling.groupHashSampleQuantiles(df, "g", "id", "x",
+      k = 16, ps = Seq(0.5)).collect()
+    assert(got.forall(_.getLong(5) == 16L))
+    // sample-only path skips the exact pass; the cap binds the exact side
+    val prodOnly = Sampling.groupHashSampleQuantiles(df, "g", "id", "x",
+      k = 16, ps = Seq(0.5), withExact = false).collect()
+    assert(prodOnly.forall(r => r.isNullAt(3) && r.isNullAt(4)))
+    val ex = intercept[Exception] {
+      Sampling.groupHashSampleQuantiles(df, "g", "id", "x",
+        k = 16, ps = Seq(0.5), maxExactRows = 10L).collect()
+    }
+    def msg(e: Throwable): String = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg(ex).contains("sample-scale evaluator"))
+  }
 }
