@@ -224,6 +224,8 @@ object GrowthProbe {
     // must track the distinct pass, not the histogram
     probe("l_diversity")(d => Monitor.lDiversity(d, Seq("source", "lang"),
       floor(col("n_chars") / lit(100)).cast("long")).count())
+    probe("t_closeness")(d => Monitor.tCloseness(d, Seq("source", "lang"),
+      floor(col("n_chars") / lit(100)).cast("long")).count())
     probe("fuzzy_match")(d => {
       // production shape: FIXED 10k-name catalog, dirty stream grows
       // with n — cost must stay linear in the stream (block-bounded
@@ -364,6 +366,7 @@ object GrowthProbe {
       // day-domain series diagnostics: cost is the daily map-side
       // count; everything downstream is calendar-bounded
       probeEv("cusum_changepoint")(d => Timeseries.cusumChangepoint(d).count())
+      probeEv("theilsen_trend")(d => Timeseries.theilSenTrend(d).count())
       probeEv("forecast_eval")(d => Timeseries.seasonalNaiveEval(d, 7).count())
       probeEv("rolling_anomaly")(d => Timeseries.rollingAnomaly(d).count())
       probeEv("events_anomaly")(d => Monitor.hourlyAnomaly(d).count())
@@ -375,6 +378,8 @@ object GrowthProbe {
         col("event_type"), col("value")).count())
       probeEv("equidepth_histogram")(d =>
         Monitor.equidepthHistogram(d, "value", 10).count())
+      probeEv("markov_accuracy")(d =>
+        Funnel.markovAccuracy(d, 1800L).count())
       probeEv("calendar_gaps")(d => DataQuality.calendarGaps(
         d.filter(dayofmonth(col("ts")) % 7 =!= 3),
         col("event_type"), col("ts")).count())

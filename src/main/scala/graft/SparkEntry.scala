@@ -1441,6 +1441,17 @@ object SparkEntry {
     // rows is not. Per-row rounding + decimal fold as in linear.
     "attribution_u_shaped" -> ((s, dir) =>
       operators.Funnel.uShapedAttribution(events(s, dir), 3600L)),
+    // robust daily trend: median pairwise slope over the (guarded,
+    // pre-squaring-bounded) day domain + median intercept — the
+    // breakdown-resistant "is volume actually growing" number
+    "theilsen_trend" -> ((s, dir) =>
+      operators.Timeseries.theilSenTrend(events(s, dir))),
+    // the transition matrix EVALUATED as an order-1 model: argmax
+    // next-type per from-state (min(struct(-n, to)) — highest n,
+    // first name on ties), accuracy = n(from, argmax)/n(from); the
+    // "how predictable is this stream" baseline
+    "markov_accuracy" -> ((s, dir) =>
+      operators.Funnel.markovAccuracy(events(s, dir), 1800L)),
     // top 3-step event paths inside gap sessions (the flow-diagram
     // feed); deterministic in-session order on (ts, event_id)
     "session_paths" -> ((s, dir) =>
@@ -1495,6 +1506,14 @@ object SparkEntry {
     // distribution (release gate = min l)
     "l_diversity" -> ((s, dir) =>
       operators.Monitor.lDiversity(
+        tbl(s, dir, "documents"),
+        Seq("source", "lang"),
+        floor(col("n_chars") / lit(100)).cast("long"))),
+    // the privacy trio's third gate: even an l-diverse class leaks if
+    // its sensitive DISTRIBUTION skews from the table's — per-class
+    // ordered EMD (cumulative |p−q| over the observed value domain)
+    "t_closeness" -> ((s, dir) =>
+      operators.Monitor.tCloseness(
         tbl(s, dir, "documents"),
         Seq("source", "lang"),
         floor(col("n_chars") / lit(100)).cast("long"))),
@@ -4736,6 +4755,48 @@ object SparkEntry {
          |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
          |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 6) AS p
          |FROM c ORDER BY from_type, to_type""".stripMargin,
+    // same day collapse, same pairwise slopes (exact int x from the
+    // same date_diff), same interpolated medians
+    "theilsen_trend" ->
+      s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+         |               FROM events GROUP BY 1),
+         |d0 AS (SELECT min(day) AS day0, count(*) AS n_days FROM daily),
+         |xy AS (SELECT date_diff('day', day0, day) AS x,
+         |         CAST(n AS DOUBLE) AS y, n_days
+         |       FROM daily CROSS JOIN d0),
+         |pairs AS (SELECT (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) AS slope
+         |          FROM xy a JOIN xy b ON a.x < b.x),
+         |sl AS (SELECT count(*) AS n_pairs,
+         |         quantile_cont(slope, 0.5) AS slope_med FROM pairs),
+         |b0 AS (SELECT n_days, n_pairs, slope_med,
+         |         quantile_cont(y - slope_med * x, 0.5) AS intercept_med
+         |       FROM xy CROSS JOIN sl GROUP BY 1, 2, 3)
+         |SELECT CAST(n_days AS BIGINT) AS n_days,
+         |  CAST(n_pairs AS BIGINT) AS n_pairs,
+         |  round(slope_med, 6) AS slope_per_day,
+         |  round(intercept_med, 6) AS intercept
+         |FROM b0""".stripMargin,
+    // same transition chain; argmax = row 1 of (n DESC, to_type ASC)
+    // — identical to the engine's min(struct(-n, to)) tie-break
+    "markov_accuracy" ->
+      s"""WITH l AS (SELECT user_id, ts, event_id, event_type,
+         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS prev_type
+         |  FROM events),
+         |t AS (SELECT prev_type AS from_type, event_type AS to_type FROM l
+         |      WHERE prev_ts IS NOT NULL
+         |        AND epoch_us(ts) - epoch_us(prev_ts) < 1800000000),
+         |c AS (SELECT from_type, to_type, count(*) AS n FROM t GROUP BY 1, 2),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY from_type
+         |        ORDER BY n DESC, to_type ASC) AS rk,
+         |        sum(n) OVER (PARTITION BY from_type) AS n_transitions
+         |      FROM c)
+         |SELECT from_type, to_type AS predicted,
+         |  CAST(n_transitions AS BIGINT) AS n_transitions,
+         |  CAST(n AS BIGINT) AS n_correct,
+         |  round(CAST(n AS DOUBLE) / n_transitions, 6) AS accuracy
+         |FROM r WHERE rk = 1 ORDER BY from_type""".stripMargin,
     // same KM mechanics: deaths-before-censorings convention, 9-dp
     // decimal log terms, survival = exp of the cumulative sum
     "survival_churn" ->
@@ -5147,6 +5208,32 @@ object SparkEntry {
          |SELECT CAST(l AS BIGINT) AS l, count(*) AS n_classes,
          |  CAST(sum(sz) AS BIGINT) AS n_records
          |FROM g GROUP BY l ORDER BY l""".stripMargin,
+    // same dense class×value grid (absent cells are real zeros), same
+    // sv-ordered cumulative |p−q| window, same 9-dp decimal fold and
+    // cast-before-divide
+    "t_closeness" ->
+      s"""WITH base AS (SELECT source || '|' || lang AS cls,
+         |        CAST(floor(n_chars / 100.0) AS BIGINT) AS sv
+         |      FROM documents WHERE n_chars IS NOT NULL),
+         |cc AS (SELECT cls, sv, count(*) AS c FROM base GROUP BY 1, 2),
+         |cl AS (SELECT cls, sum(c) AS n_cls FROM cc GROUP BY cls),
+         |va AS (SELECT sv, sum(c) AS n_val FROM cc GROUP BY sv),
+         |tot AS (SELECT sum(n_val) AS n, count(*) AS m FROM va),
+         |grid AS (SELECT cl.cls, va.sv, cl.n_cls, tot.m,
+         |           coalesce(cc.c, 0)::DOUBLE / cl.n_cls AS p,
+         |           va.n_val::DOUBLE / tot.n AS q
+         |         FROM cl CROSS JOIN va
+         |         LEFT JOIN cc ON cl.cls = cc.cls AND va.sv = cc.sv
+         |         CROSS JOIN tot),
+         |cum AS (SELECT cls, n_cls, m,
+         |          CAST(round(abs(sum(p - q) OVER (PARTITION BY cls ORDER BY sv
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 9)
+         |            AS DECIMAL(28,9)) AS t9
+         |        FROM grid)
+         |SELECT cls, CAST(n_cls AS BIGINT) AS class_size,
+         |  CASE WHEN m > 1 THEN round(CAST(sum(t9) AS DOUBLE) / (m - 1), 6)
+         |       ELSE 0.0 END AS t
+         |FROM cum GROUP BY cls, n_cls, m ORDER BY cls""".stripMargin,
     // exact interpolated percentiles for location AND scale; the flag
     // compares the rounded z so the boundary cannot flip
     "doclen_outliers" ->

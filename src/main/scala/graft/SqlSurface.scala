@@ -1927,6 +1927,32 @@ object SqlSurface {
          |SELECT l, count(1) AS n_classes, sum(sz) AS n_records
          |FROM g GROUP BY l ORDER BY l""".stripMargin,
 
+    // t-closeness: dense class×value grid, sv-ordered cumulative
+    // |p−q| window partitioned by class, 9-dp decimal fold.
+    "t_closeness" ->
+      s"""WITH base AS (SELECT concat_ws('|', source, lang) AS cls,
+         |        CAST(floor(n_chars / 100) AS BIGINT) AS sv
+         |      FROM documents WHERE n_chars IS NOT NULL),
+         |cc AS (SELECT cls, sv, count(1) AS c FROM base GROUP BY cls, sv),
+         |cl AS (SELECT cls, sum(c) AS n_cls FROM cc GROUP BY cls),
+         |va AS (SELECT sv, sum(c) AS n_val FROM cc GROUP BY sv),
+         |tot AS (SELECT sum(n_val) AS n, count(1) AS m FROM va),
+         |grid AS (SELECT cl.cls, va.sv, cl.n_cls, tot.m,
+         |           CAST(coalesce(cc.c, 0L) AS DOUBLE) / cl.n_cls AS p,
+         |           CAST(va.n_val AS DOUBLE) / tot.n AS q
+         |         FROM cl CROSS JOIN va
+         |         LEFT JOIN cc ON cl.cls = cc.cls AND va.sv = cc.sv
+         |         CROSS JOIN tot),
+         |cum AS (SELECT cls, n_cls, m,
+         |          CAST(round(abs(sum(p - q) OVER (PARTITION BY cls ORDER BY sv
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 9)
+         |            AS DECIMAL(28,9)) AS t9
+         |        FROM grid)
+         |SELECT cls, n_cls AS class_size,
+         |  CASE WHEN m > 1L THEN round(CAST(sum(t9) AS DOUBLE) / (m - 1L), 6)
+         |       ELSE 0.0D END AS t
+         |FROM cum GROUP BY cls, n_cls, m ORDER BY cls""".stripMargin,
+
     // Cohort retention in SQL — first-touch per user, day-floored
     // cohort/offset cells, distinct users per cell, rates against the
     // broadcast offset-0 cohort sizes (Funnel.retention's exact chain).
@@ -2040,6 +2066,26 @@ object SqlSurface {
          |               + z2 / (CAST(4.0 AS DOUBLE) * n * n))
          |        / (CAST(1.0 AS DOUBLE) + z2 / n), 6) END AS ci_hi
          |FROM w ORDER BY step""".stripMargin,
+
+    // Theil-Sen robust trend: pairwise slopes over the day domain
+    // (bounded pre-squaring), interpolated medians.
+    "theilsen_trend" ->
+      s"""WITH daily AS (SELECT to_date(ts) AS day, count(1) AS n
+         |               FROM events GROUP BY to_date(ts)),
+         |d0 AS (SELECT min(day) AS day0, count(1) AS n_days FROM daily),
+         |xy AS (SELECT CAST(datediff(day, day0) AS LONG) AS x,
+         |         CAST(n AS DOUBLE) AS y, n_days
+         |       FROM daily CROSS JOIN d0),
+         |pairs AS (SELECT (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) AS slope
+         |          FROM xy a JOIN xy b ON a.x < b.x),
+         |sl AS (SELECT count(1) AS n_pairs,
+         |         percentile(slope, 0.5D) AS slope_med FROM pairs),
+         |b0 AS (SELECT n_days, n_pairs, slope_med,
+         |         percentile(y - slope_med * x, 0.5D) AS intercept_med
+         |       FROM xy CROSS JOIN sl GROUP BY n_days, n_pairs, slope_med)
+         |SELECT n_days, n_pairs, round(slope_med, 6) AS slope_per_day,
+         |  round(intercept_med, 6) AS intercept
+         |FROM b0""".stripMargin,
 
     // CUSUM changepoint over daily volume — day-domain windows only,
     // the peak flag compares the ROUNDED curve (engine parity)
@@ -2839,6 +2885,33 @@ object SqlSurface {
          |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 6)
          |    AS p
          |FROM m ORDER BY from_type, to_type""".stripMargin,
+
+    // Markov next-event accuracy: the same transition chain, argmax
+    // as row 1 of (n DESC, to_type ASC) over the bounded type grid.
+    "markov_accuracy" ->
+      s"""WITH t AS (SELECT event_type,
+         |    lag(ts) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS prev_ts,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS prev_type,
+         |    ts
+         |  FROM events),
+         |tr AS (SELECT
+         |    CASE WHEN prev_ts IS NOT NULL
+         |           AND unix_micros(ts) - unix_micros(prev_ts) < 1800000000L
+         |         THEN prev_type END AS from_type,
+         |    event_type AS to_type
+         |  FROM t),
+         |m AS (SELECT from_type, to_type, count(1) AS n FROM tr
+         |      WHERE from_type IS NOT NULL GROUP BY from_type, to_type),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY from_type
+         |        ORDER BY n DESC, to_type ASC) AS rk,
+         |        sum(n) OVER (PARTITION BY from_type) AS n_transitions
+         |      FROM m)
+         |SELECT from_type, to_type AS predicted, n_transitions,
+         |  n AS n_correct,
+         |  round(CAST(n AS DOUBLE) / n_transitions, 6) AS accuracy
+         |FROM r WHERE rk = 1 ORDER BY from_type""".stripMargin,
 
     // Kaplan–Meier churn with right-censoring: subjects collapse to the
     // bounded duration domain; the cumulative product is exp(Σ ln(1 −
@@ -4230,6 +4303,7 @@ object SqlSurface {
       "event_funnel" -> SparkEntry.queries("event_funnel"),
       "k_anonymity" -> SparkEntry.queries("k_anonymity"),
       "l_diversity" -> SparkEntry.queries("l_diversity"),
+      "t_closeness" -> SparkEntry.queries("t_closeness"),
       "user_retention" -> SparkEntry.queries("user_retention"),
       "dedup_exact_summary" -> SparkEntry.queries("dedup_exact_summary"),
       "events_sessions" -> SparkEntry.queries("events_sessions"),
@@ -4266,6 +4340,7 @@ object SqlSurface {
       "events_anomaly" -> SparkEntry.queries("events_anomaly"),
       "active_users_7d" -> SparkEntry.queries("active_users_7d"),
       "session_transitions" -> SparkEntry.queries("session_transitions"),
+      "markov_accuracy" -> SparkEntry.queries("markov_accuracy"),
       "survival_churn" -> SparkEntry.queries("survival_churn"),
       "pareto_frontier" -> SparkEntry.queries("pareto_frontier"),
       "attribution_last_touch" -> SparkEntry.queries("attribution_last_touch"),
@@ -4360,6 +4435,7 @@ object SqlSurface {
       "psi_drift" -> SparkEntry.queries("psi_drift"),
       "drift_ks" -> SparkEntry.queries("drift_ks"),
       "cusum_changepoint" -> SparkEntry.queries("cusum_changepoint"),
+      "theilsen_trend" -> SparkEntry.queries("theilsen_trend"),
       "forecast_eval" -> SparkEntry.queries("forecast_eval"),
       "rolling_anomaly" -> SparkEntry.queries("rolling_anomaly"))
   }

@@ -288,13 +288,18 @@ object Funnel {
     * combinable into the bounded |types|² matrix, and the row-total
     * window runs over that bounded matrix, not the stream.
     */
-  def transitionMatrix(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
+  /** In-session (from, to, n) transition counts — the shared chain
+    * under [[transitionMatrix]] and [[markovAccuracy]]: session break
+    * and predecessor from the SAME user-partitioned window (a row
+    * that opens a session has no from_type, so no second exchange on
+    * a (user, session) key ever happens), then one map-side-combinable
+    * count on the bounded type×type grid.
+    */
+  private def transitionCounts(events: DataFrame,
+      gapSeconds: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    // session break and predecessor from the SAME window — a row that
-    // opens a session has no from_type (null), so no second exchange
-    // on a (user, session) key ever happens
-    val trans = events
+    events
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
       .withColumn("from_type", when(col("prev_ts").isNotNull &&
@@ -303,11 +308,47 @@ object Funnel {
       .filter(col("from_type").isNotNull)
       .groupBy(col("from_type"), col("event_type").as("to_type"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  def transitionMatrix(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val rowTotal = Window.partitionBy(col("from_type"))
-    trans
+    transitionCounts(events, gapSeconds)
       .withColumn("p", round(col("n").cast("double") /
         sum(col("n")).over(rowTotal), 6))
       .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** First-order Markov next-event prediction accuracy — the
+    * EVALUATION of [[transitionMatrix]] as a model: predict each
+    * session step's next type as the argmax transition from its
+    * predecessor, score against what actually happened. In-sample by
+    * design (train = eval = the same stream) — the readout is "how
+    * predictable is this event stream at order 1", the baseline any
+    * sequence model must beat, not a generalization claim.
+    *
+    * Everything derives from the bounded (from, to, n) count grid:
+    * the argmax is a map-side-combinable `min(struct(-n, to))`
+    * (deterministic on ties: highest n, then first type name), and
+    * accuracy per from-state is n(from, argmax) / n(from) — no second
+    * pass over the stream.
+    */
+  def markovAccuracy(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
+    val counts = transitionCounts(events, gapSeconds)
+    val pred = counts.groupBy(col("from_type"))
+      .agg(min(struct((-col("n")).as("nn"), col("to_type").as("t"))).as("m"),
+        sum(col("n")).as("n_transitions"))
+      .select(col("from_type"), col("m.t").as("predicted"),
+        col("n_transitions"))
+    pred.join(counts
+        .select(col("from_type"), col("to_type"), col("n").as("n_correct")),
+        Seq("from_type"))
+      .filter(col("to_type") === col("predicted"))
+      .select(col("from_type"), col("predicted"), col("n_transitions"),
+        col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_transitions"), 6)
+          .as("accuracy"))
+      .orderBy(col("from_type"))
   }
 
   /** Position-based (U-shaped) multi-touch attribution — the third

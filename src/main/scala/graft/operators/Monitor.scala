@@ -257,6 +257,70 @@ object Monitor {
       .orderBy(col("l"))
   }
 
+  /** t-closeness (Li, Li & Venkatasubramanian 2007) — the third
+    * privacy gate beside [[kAnonymity]] (class sizes) and
+    * [[lDiversity]] (distinct sensitive values): even an l-diverse
+    * class leaks if its sensitive DISTRIBUTION differs from the
+    * table's (a class that is 90% "length-bucket 0" tells an attacker
+    * plenty, whatever its l). t per class = Earth Mover's Distance
+    * between the class's and the global sensitive distribution; for
+    * an ORDERED attribute with unit ground distances,
+    * EMD = Σᵢ |Σ_{j≤i}(p_j − q_j)| / (m − 1) over the m observed
+    * sensitive values — the ordered-EMD closed form from the paper.
+    * Release gate: max(t) ≤ threshold.
+    *
+    * Shape at 100 TB: one map-side-combinable (class, value) count
+    * over the corpus; the dense class×value grid (absent cells are
+    * REAL zeros — p_j = 0 contributes to the EMD, so the grid join is
+    * load-bearing, not cosmetic) and the cumulative windows run on
+    * bounded domains — the class frame is guarded by
+    * [[Partitioning.requireBoundedDomain]], the cumsum window is
+    * PARTITIONED by class. Determinism: exact counts, one fixed
+    * double division per share, |cumsum| terms quantized at 9 dp into
+    * decimals, 6-dp readout.
+    */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+      sensitive: org.apache.spark.sql.Column,
+      domainLimit: Long = 2000000L): DataFrame = {
+    require(quasiCols.nonEmpty, "t-closeness needs at least one quasi-identifier")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(sensitive.isNotNull)
+      .select(concat_ws("|", quasiCols.map(col): _*).as("cls"),
+        sensitive.as("sv"))
+    val cellCounts = base.groupBy(col("cls"), col("sv"))
+      .agg(count(lit(1)).as("c"))
+    val classes = Partitioning.requireBoundedDomain(
+      cellCounts.groupBy(col("cls")).agg(sum(col("c")).as("n_cls")),
+      "cls", "Monitor.tCloseness", domainLimit)
+    val values = cellCounts.groupBy(col("sv")).agg(sum(col("c")).as("n_val"))
+    val totals = values.agg(sum(col("n_val")).as("n"),
+      count(lit(1)).as("m"))
+    // dense grid: absent (class, value) cells are real zeros
+    val grid = classes.crossJoin(values)
+      .join(cellCounts, Seq("cls", "sv"), "left")
+      .na.fill(0L, Seq("c"))
+      .crossJoin(broadcast(totals))
+      .select(col("cls"), col("sv"), col("n_cls"), col("m"),
+        (col("c").cast("double") / col("n_cls")).as("p"),
+        (col("n_val").cast("double") / col("n")).as("q"))
+    val wCum = Window.partitionBy(col("cls")).orderBy(col("sv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("cum", sum(col("p") - col("q")).over(wCum))
+      .select(col("cls"), col("n_cls"), col("m"),
+        round(abs(col("cum")), 9).cast(DecimalType(28, 9)).as("t9"))
+      .groupBy(col("cls"), col("n_cls"), col("m"))
+      // cast the decimal sum to double BEFORE the division (decimal
+      // division scale rules differ between engines); m = 1 means one
+      // sensitive value everywhere — every distribution is identical,
+      // t = 0 by definition, never 0/0
+      .agg(when(col("m") > 1L,
+        round(sum(col("t9")).cast("double") / (col("m") - lit(1L)), 6))
+        .otherwise(lit(0.0)).as("t"))
+      .select(col("cls"), col("n_cls").as("class_size"), col("t"))
+      .orderBy(col("cls"))
+  }
+
   /** ln 2 as an explicit shared literal — both engines divide their
     * nat-sums by THIS double, not by their own log(2) evaluation.
     */

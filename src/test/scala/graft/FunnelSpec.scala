@@ -202,6 +202,35 @@ class FunnelSpec extends AnyFunSuite {
     assert(step2.getDouble(5) > 0.29 && step2.getDouble(6) <= 1.0)
   }
 
+  test("markovAccuracy: argmax prediction, deterministic tie-break, session gaps cut") {
+    import org.apache.spark.sql.functions._
+    // user 1 session: a->b, b->a, a->b  (a: b wins 2-0; b: a wins 1-0)
+    // user 2: a->c once, then a GAP, then c->a (new session opener
+    // c is not a transition target of the pre-gap a)
+    // ties: user 3 contributes a->c so a has b:2, c:2 -> tie breaks
+    // to the FIRST type name alphabetically ('b')
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", "a"), (1L, "2024-01-01 10:01:00", "b"),
+      (1L, "2024-01-01 10:02:00", "a"), (1L, "2024-01-01 10:03:00", "b"),
+      (2L, "2024-01-01 10:00:00", "a"), (2L, "2024-01-01 10:01:00", "c"),
+      (2L, "2024-01-01 14:00:00", "c"), (2L, "2024-01-01 14:01:00", "a"),
+      (3L, "2024-01-01 10:00:00", "a"), (3L, "2024-01-01 10:01:00", "c")
+    ).zipWithIndex.map { case ((u, ts, t), i) => (i.toLong, u, ts, t) }
+      .toDF("event_id", "user_id", "ts_s", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = graft.operators.Funnel.markovAccuracy(rows, 1800L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // from a: b x2, c x2 -> tie -> 'b'; accuracy 2/4
+    assert(out("a") == (("b", 4L, 2L, 0.5)), s"got ${out("a")}")
+    // from b: a x1 (the 10:02 step) -> 1/1
+    assert(out("b") == (("a", 1L, 1L, 1.0)))
+    // from c: a x1 (user 2's post-gap pair) -> the gap cut means the
+    // 14:00 'c' is a session OPENER, not a target of 10:01's c
+    assert(out("c") == (("a", 1L, 1L, 1.0)))
+    assert(out.size == 3)
+  }
+
   test("uShapedAttribution: 40/20/40 ladder, 1- and 2-touch lanes, gap cut, organic") {
     import org.apache.spark.sql.functions._
     def ev(id: Long, user: Long, ts: String, tpe: String, value: Double, k: Long) =

@@ -254,6 +254,42 @@ class MonitorSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 0.0 && r.getDouble(1) == 0.0 && r.getDouble(4) == 0.0)
   }
 
+  test("tCloseness: hand-computed ordered EMD, dense-grid zeros, degenerate m=1") {
+    import org.apache.spark.sql.functions._
+    // A: (0,0,0,1), B: (0,1,1,1) -> global q=(.5,.5), m=2
+    // t_A = |0.75-0.5|/(2-1) = 0.25; t_B symmetric
+    val df = (Seq.fill(3)(("a", "x", 0L)) ++ Seq(("a", "x", 1L)) ++
+      Seq(("b", "x", 0L)) ++ Seq.fill(3)(("b", "x", 1L)))
+      .toDF("src", "lng", "sv")
+    val out = graft.operators.Monitor.tCloseness(df, Seq("src", "lng"),
+      col("sv")).collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out("a|x") == 0.25 && out("b|x") == 0.25)
+    // absent cells are REAL zeros: A has only sv=0, B only sv=1 ->
+    // p_A=(1,0) vs q=(.5,.5) -> t = (0.5 + 0)/1 = 0.5
+    val disjoint = (Seq.fill(2)(("a", "x", 0L)) ++ Seq.fill(2)(("b", "x", 1L)))
+      .toDF("src", "lng", "sv")
+    val d = graft.operators.Monitor.tCloseness(disjoint, Seq("src", "lng"),
+      col("sv")).collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(d("a|x") == 0.5 && d("b|x") == 0.5,
+      s"absent grid cells must contribute p=0 terms: $d")
+    // one sensitive value everywhere: every class matches the global
+    // distribution trivially -> t = 0, never 0/0
+    val mono = Seq(("a", "x", 7L), ("b", "x", 7L)).toDF("src", "lng", "sv")
+    val m1 = graft.operators.Monitor.tCloseness(mono, Seq("src", "lng"),
+      col("sv")).collect()
+    assert(m1.forall(_.getDouble(2) == 0.0))
+    // class-domain guard
+    val many = spark.range(100).select(col("id").cast("string").as("src"),
+      lit("x").as("lng"), (col("id") % 3).as("sv"))
+    val ex = intercept[Exception] {
+      graft.operators.Monitor.tCloseness(many, Seq("src", "lng"),
+        col("sv"), domainLimit = 10L).collect()
+    }
+    val msg = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("Monitor.tCloseness"))
+  }
+
   test("equidepthHistogram: quantile edges balance counts; ties pile up visibly") {
     import org.apache.spark.sql.functions._
     val df = (1 to 100).map(_.toDouble).toDF("v")

@@ -97,4 +97,19 @@ class TimeseriesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Timeseries.rollingAnomaly(e, 1))
     intercept[IllegalArgumentException](Timeseries.rollingAnomaly(e, 7, 0.0))
   }
+
+  test("theilSenTrend: the outlier day cannot drag the median slope") {
+    // y = (10, 12, 100, 16) on days 0..3: pairwise slopes
+    // {2, 45, 2, 88, 2, -84} -> median 2 (OLS would report ~8.8);
+    // intercepts y - 2x = (10, 10, 96, 10) -> median 10
+    val out = Timeseries.theilSenTrend(ev((0, 10), (1, 12), (2, 100), (3, 16)))
+      .head()
+    assert(out.getLong(0) == 4L && out.getLong(1) == 6L)
+    assert(out.getDouble(2) == 2.0, s"median slope, got ${out.getDouble(2)}")
+    assert(out.getDouble(3) == 10.0, s"median intercept, got ${out.getDouble(3)}")
+    // a clean linear ramp recovers its exact slope/intercept
+    val lin = Timeseries.theilSenTrend(ev((0, 5), (1, 8), (2, 11), (3, 14)))
+      .head()
+    assert(lin.getDouble(2) == 3.0 && lin.getDouble(3) == 5.0)
+  }
 }
