@@ -380,6 +380,10 @@ object GrowthProbe {
         Monitor.equidepthHistogram(d, "value", 10).count())
       probeEv("markov_accuracy")(d =>
         Funnel.markovAccuracy(d, 1800L).count())
+      probeEv("join_advisor")(d => Joins.joinAdvisor(d, "user_id",
+        d.sparkSession.range(1000)
+          .select(col("id").as("user_id"), lit("x").as("nm")),
+        "user_id").count())
       probeEv("calendar_gaps")(d => DataQuality.calendarGaps(
         d.filter(dayofmonth(col("ts")) % 7 =!= 3),
         col("event_type"), col("ts")).count())

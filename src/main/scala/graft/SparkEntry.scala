@@ -1441,6 +1441,14 @@ object SparkEntry {
     // rows is not. Per-row rounding + decimal fold as in linear.
     "attribution_u_shaped" -> ((s, dir) =>
       operators.Funnel.uShapedAttribution(events(s, dir), 3600L)),
+    // the planning family composed into its decision: counts + CMS
+    // join-size estimate + exact top-key share → a deterministic,
+    // oracle-replayable strategy recommendation (the join itself is
+    // never executed)
+    "join_advisor" -> ((s, dir) =>
+      operators.Joins.joinAdvisor(
+        tbl(s, dir, "lineitem"), "l_suppkey",
+        tbl(s, dir, "supplier"), "s_suppkey")),
     // robust daily trend: median pairwise slope over the (guarded,
     // pre-squaring-bounded) day domain + median intercept — the
     // breakdown-resistant "is volume actually growing" number
@@ -4755,6 +4763,41 @@ object SparkEntry {
          |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
          |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 6) AS p
          |FROM c ORDER BY from_type, to_type""".stripMargin,
+    // same exact counts, same md5 CMS inner product, same exact top-1
+    // share (n DESC, key ASC tie-break), same CASE thresholds
+    "join_advisor" ->
+      s"""WITH kl AS (SELECT CAST(l_suppkey AS VARCHAR) AS w FROM lineitem
+         |            WHERE l_suppkey IS NOT NULL),
+         |kr AS (SELECT CAST(s_suppkey AS VARCHAR) AS w FROM supplier
+         |       WHERE s_suppkey IS NOT NULL),
+         |cl AS (SELECT d, CAST('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || w), 1, 12)
+         |              AS BIGINT) % 1024 AS bucket, count(*) AS n
+         |       FROM kl, range(4) r(d) GROUP BY 1, 2),
+         |cr AS (SELECT d, CAST('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || w), 1, 12)
+         |              AS BIGINT) % 1024 AS bucket, count(*) AS n
+         |       FROM kr, range(4) r(d) GROUP BY 1, 2),
+         |ip AS (SELECT cl.d, sum(cl.n * cr.n) AS ip
+         |       FROM cl JOIN cr ON cl.d = cr.d AND cl.bucket = cr.bucket
+         |       GROUP BY cl.d),
+         |est AS (SELECT CAST(coalesce(min(ip), 0) AS DECIMAL(38,0)) AS n_est
+         |        FROM ip),
+         |nl AS (SELECT count(*) AS n_left FROM kl),
+         |nr AS (SELECT count(*) AS n_right FROM kr),
+         |tp AS (SELECT w AS top_key, count(*) AS n FROM kl GROUP BY w
+         |       ORDER BY n DESC, top_key LIMIT 1),
+         |ts AS (SELECT tp.top_key,
+         |         round(tp.n * 100.0 / nl.n_left, 6) AS share
+         |       FROM tp, nl)
+         |SELECT CAST(nl.n_left AS BIGINT) AS n_left,
+         |  CAST(nr.n_right AS BIGINT) AS n_right,
+         |  est.n_est AS est_join_rows,
+         |  ts.top_key AS top_left_key,
+         |  ts.share AS top_left_share_pct,
+         |  CASE WHEN least(nl.n_left, nr.n_right) <= 1000000
+         |         THEN 'broadcast_smaller_side'
+         |       WHEN ts.share >= 10.0 THEN 'salted_shuffle'
+         |       ELSE 'shuffle_join' END AS recommendation
+         |FROM nl, nr, est, ts""".stripMargin,
     // same day collapse, same pairwise slopes (exact int x from the
     // same date_diff), same interpolated medians
     "theilsen_trend" ->

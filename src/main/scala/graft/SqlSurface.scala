@@ -2067,6 +2067,45 @@ object SqlSurface {
          |        / (CAST(1.0 AS DOUBLE) + z2 / n), 6) END AS ci_hi
          |FROM w ORDER BY step""".stripMargin,
 
+    // Join-strategy advisor: exact counts + CMS inner product + exact
+    // top-key share -> a CASE recommendation; the advised join never
+    // runs. (100.0D, not 100.0 — Spark parses the bare literal as
+    // DECIMAL, the key_skew lesson.)
+    "join_advisor" ->
+      s"""WITH kl AS (SELECT CAST(l_suppkey AS STRING) AS w FROM lineitem
+         |            WHERE l_suppkey IS NOT NULL),
+         |kr AS (SELECT CAST(s_suppkey AS STRING) AS w FROM supplier
+         |       WHERE s_suppkey IS NOT NULL),
+         |ds AS (SELECT explode(sequence(0, 3)) AS d),
+         |cl AS (SELECT d, CAST(conv(substring(md5(concat(CAST(d AS STRING),
+         |           ':', w)), 1, 12), 16, 10) AS BIGINT) % 1024 AS bucket,
+         |         count(1) AS n
+         |       FROM kl CROSS JOIN ds GROUP BY d, bucket),
+         |cr AS (SELECT d, CAST(conv(substring(md5(concat(CAST(d AS STRING),
+         |           ':', w)), 1, 12), 16, 10) AS BIGINT) % 1024 AS bucket,
+         |         count(1) AS n
+         |       FROM kr CROSS JOIN ds GROUP BY d, bucket),
+         |ip AS (SELECT cl.d,
+         |         sum(CAST(cl.n AS DECIMAL(38,0)) * cr.n) AS ip
+         |       FROM cl JOIN cr ON cl.d = cr.d AND cl.bucket = cr.bucket
+         |       GROUP BY cl.d),
+         |est AS (SELECT CAST(coalesce(min(ip), 0) AS DECIMAL(38,0)) AS n_est
+         |        FROM ip),
+         |nl AS (SELECT count(1) AS n_left FROM kl),
+         |nr AS (SELECT count(1) AS n_right FROM kr),
+         |tp AS (SELECT w AS top_key, count(1) AS n FROM kl GROUP BY w
+         |       ORDER BY n DESC, top_key LIMIT 1),
+         |ts AS (SELECT tp.top_key,
+         |         round(tp.n * 100.0D / nl.n_left, 6) AS share
+         |       FROM tp CROSS JOIN nl)
+         |SELECT nl.n_left, nr.n_right, est.n_est AS est_join_rows,
+         |  ts.top_key AS top_left_key, ts.share AS top_left_share_pct,
+         |  CASE WHEN least(nl.n_left, nr.n_right) <= 1000000L
+         |         THEN 'broadcast_smaller_side'
+         |       WHEN ts.share >= 10.0D THEN 'salted_shuffle'
+         |       ELSE 'shuffle_join' END AS recommendation
+         |FROM nl CROSS JOIN nr CROSS JOIN est CROSS JOIN ts""".stripMargin,
+
     // Theil-Sen robust trend: pairwise slopes over the day domain
     // (bounded pre-squaring), interpolated medians.
     "theilsen_trend" ->
@@ -4436,6 +4475,7 @@ object SqlSurface {
       "drift_ks" -> SparkEntry.queries("drift_ks"),
       "cusum_changepoint" -> SparkEntry.queries("cusum_changepoint"),
       "theilsen_trend" -> SparkEntry.queries("theilsen_trend"),
+      "join_advisor" -> SparkEntry.queries("join_advisor"),
       "forecast_eval" -> SparkEntry.queries("forecast_eval"),
       "rolling_anomaly" -> SparkEntry.queries("rolling_anomaly"))
   }

@@ -282,4 +282,65 @@ object Joins {
     df.groupBy(col(key)).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col(key).asc)
       .limit(topN)
+
+  /** Join-strategy advisor — the planning-stats family composed into
+    * the decision it exists for: BEFORE running an equi-join, spend a
+    * few bounded passes ([[HeavyHitters.keySkew]]'s exact top key,
+    * [[CountMin.joinSizeEstimate]]'s never-undercounting inner
+    * product, two exact counts) and read off the strategy a planner
+    * without table stats cannot know: broadcast the smaller side when
+    * it fits, salt when one key owns the shuffle, plain shuffle
+    * otherwise. Every number in the row is deterministic and
+    * oracle-replayable — the recommendation is a pure CASE over them,
+    * so the advisor itself is testable, not folklore.
+    *
+    * Cost shape: each input is scanned a bounded number of times
+    * (count, CMS counters, the skew sketch's two passes) — all
+    * map-side-combinable aggregations with no join between the
+    * inputs; the join being advised on is never executed. Driver
+    * state is a handful of scalars.
+    */
+  def joinAdvisor(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String,
+      broadcastRows: Long = 1000000L, skewSharePct: Double = 10.0,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(broadcastRows > 0, s"broadcastRows must be > 0, got $broadcastRows")
+    require(skewSharePct > 0.0 && skewSharePct <= 100.0,
+      s"skewSharePct must lie in (0, 100], got $skewSharePct")
+    val spark = left.sparkSession
+    val nLeft = left.filter(col(leftKey).isNotNull).count()
+    val nRight = right.filter(col(rightKey).isNotNull).count()
+    val est = CountMin.joinSizeEstimate(left, leftKey, right, rightKey,
+      depth, width).head().getDecimal(0)
+    // keySkew REFUSES when the top key is not provably exact — but for
+    // the advisor that refusal is itself the answer: Misra-Gries
+    // retains anything with count > n/(capacity+1), so an unprovable
+    // top-1 has share ≤ 100/(capacity+1) % (≈ 0.024% at 4096) — the
+    // key is provably NOT skewed and the salt lane cannot fire. Report
+    // the bound as the share and a null key.
+    val (topKey, topShare) =
+      try {
+        val top = HeavyHitters.keySkew(left, leftKey, 1).head()
+        (top.getString(1), top.getDouble(3))
+      } catch {
+        case _: IllegalStateException =>
+          (null: String, 100.0 / 4097.0)
+      }
+    val rec =
+      if (math.min(nLeft, nRight) <= broadcastRows) "broadcast_smaller_side"
+      else if (topShare >= skewSharePct) "salted_shuffle"
+      else "shuffle_join"
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(
+        nLeft, nRight, est, topKey, topShare, rec)), 1),
+      StructType(Seq(
+        StructField("n_left", LongType),
+        StructField("n_right", LongType),
+        StructField("est_join_rows", DecimalType(38, 0)),
+        StructField("top_left_key", StringType),
+        StructField("top_left_share_pct", DoubleType),
+        StructField("recommendation", StringType))))
+  }
 }

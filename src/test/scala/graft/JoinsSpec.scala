@@ -248,6 +248,51 @@ class JoinsSpec extends AnyFunSuite {
     }
   }
 
+  test("joinAdvisor: all three lanes fire at their thresholds; estimate never undercounts") {
+    val skewed = ((1 to 80).map(_ => (1L, "hot")) ++
+      (1 to 20).map(i => (i.toLong + 1, "cold"))).toDF("k", "pay")
+    val dim = (1 to 50).map(i => (i.toLong, s"d$i")).toDF("k", "name")
+    // broadcast lane: the 50-row dim fits under the row threshold
+    val bc = Joins.joinAdvisor(skewed, "k", dim, "k",
+      broadcastRows = 100L).head()
+    assert(bc.getString(5) == "broadcast_smaller_side")
+    assert(bc.getLong(0) == 100L && bc.getLong(1) == 50L)
+    val trueJoin = skewed.join(dim, "k").count()
+    assert(BigDecimal(bc.getDecimal(2)) >= BigDecimal(trueJoin),
+      "CMS inner product never undercounts the true join size")
+    // salt lane: dim too big to broadcast (threshold 10), hot key owns
+    // 80% of the left
+    val salt = Joins.joinAdvisor(skewed, "k", dim, "k",
+      broadcastRows = 10L, skewSharePct = 50.0).head()
+    assert(salt.getString(5) == "salted_shuffle")
+    assert(salt.getString(3) == "1" && salt.getDouble(4) == 80.0)
+    // shuffle lane: no broadcast fit, no skew over the bar
+    val sh = Joins.joinAdvisor(skewed, "k", dim, "k",
+      broadcastRows = 10L, skewSharePct = 90.0).head()
+    assert(sh.getString(5) == "shuffle_join")
+    intercept[IllegalArgumentException] {
+      Joins.joinAdvisor(skewed, "k", dim, "k", broadcastRows = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Joins.joinAdvisor(skewed, "k", dim, "k", skewSharePct = 101.0)
+    }
+  }
+
+  test("joinAdvisor: an unprovable top key means provably-no-skew, not a refusal") {
+    // 20k distinct uniform keys evict the MG sketch and make top-1
+    // unprovable — which BOUNDS the share at 100/(capacity+1)%: the
+    // advisor reports the bound and keeps advising instead of raising
+    val uniform = spark.range(20000)
+      .select(col("id").as("k"), lit("p").as("pay"))
+    val dim = spark.range(20000).select(col("id").as("k"), lit("d").as("nm"))
+    val out = Joins.joinAdvisor(uniform, "k", dim, "k",
+      broadcastRows = 10L, skewSharePct = 10.0).head()
+    assert(out.getString(5) == "shuffle_join",
+      s"uniform keys, no broadcast fit -> plain shuffle: $out")
+    assert(out.isNullAt(3), "no provable top key -> null")
+    assert(out.getDouble(4) < 0.05, "share reported as the MG bound")
+  }
+
   test("keySkew surfaces the hot key first") {
     val df = (1 to 100).map(i => (if (i <= 60) 5L else i.toLong, i)).toDF("k", "v")
     val top = Joins.keySkew(df, "k", 3).collect()
