@@ -367,6 +367,8 @@ object GrowthProbe {
       // count; everything downstream is calendar-bounded
       probeEv("cusum_changepoint")(d => Timeseries.cusumChangepoint(d).count())
       probeEv("theilsen_trend")(d => Timeseries.theilSenTrend(d).count())
+      probeEv("seasonality_strength")(d =>
+        Timeseries.seasonalityStrength(d).count())
       probeEv("forecast_eval")(d => Timeseries.seasonalNaiveEval(d, 7).count())
       probeEv("rolling_anomaly")(d => Timeseries.rollingAnomaly(d).count())
       probeEv("events_anomaly")(d => Monitor.hourlyAnomaly(d).count())

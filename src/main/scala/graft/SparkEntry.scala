@@ -1449,6 +1449,11 @@ object SparkEntry {
       operators.Joins.joinAdvisor(
         tbl(s, dir, "lineitem"), "l_suppkey",
         tbl(s, dir, "supplier"), "s_suppkey")),
+    // weekly-cycle variance share: 1 − SS_within/SS_total over dow
+    // means — "is this series mostly weekly rhythm?" next to the
+    // lag-7 forecast eval
+    "seasonality_strength" -> ((s, dir) =>
+      operators.Timeseries.seasonalityStrength(events(s, dir))),
     // robust daily trend: median pairwise slope over the (guarded,
     // pre-squaring-bounded) day domain + median intercept — the
     // breakdown-resistant "is volume actually growing" number
@@ -4763,6 +4768,28 @@ object SparkEntry {
          |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
          |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 6) AS p
          |FROM c ORDER BY from_type, to_type""".stripMargin,
+    // same Monday-anchored dow (datediff mod 7, never an engine's
+    // dayofweek convention), same 9-dp decimal squared-deviation fold
+    "seasonality_strength" ->
+      s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+         |               FROM events GROUP BY 1),
+         |d AS (SELECT date_diff('day', DATE '1970-01-05', day) % 7 AS dow,
+         |        CAST(n AS DOUBLE) AS y FROM daily),
+         |o AS (SELECT count(*) AS n_days, sum(y) / count(*) AS mu FROM d),
+         |dm AS (SELECT dow, sum(y) / count(*) AS mu_dow FROM d GROUP BY dow),
+         |t AS (SELECT o.n_days,
+         |        CAST(round((y - mu) * (y - mu), 9) AS DECIMAL(28,9)) AS t_tot,
+         |        CAST(round((y - mu_dow) * (y - mu_dow), 9) AS DECIMAL(28,9))
+         |          AS t_win
+         |      FROM d JOIN dm USING (dow) CROSS JOIN o)
+         |SELECT CAST(n_days AS BIGINT) AS n_days,
+         |  round(CAST(sum(t_tot) AS DOUBLE), 6) AS ss_total,
+         |  round(CAST(sum(t_win) AS DOUBLE), 6) AS ss_within,
+         |  CASE WHEN CAST(sum(t_tot) AS DOUBLE) > 0.0
+         |    THEN round(1.0 - CAST(sum(t_win) AS DOUBLE)
+         |      / CAST(sum(t_tot) AS DOUBLE), 6)
+         |    ELSE 0.0 END AS strength
+         |FROM t GROUP BY n_days""".stripMargin,
     // same exact counts, same md5 CMS inner product, same exact top-1
     // share (n DESC, key ASC tie-break), same CASE thresholds
     "join_advisor" ->

@@ -2106,6 +2106,29 @@ object SqlSurface {
          |       ELSE 'shuffle_join' END AS recommendation
          |FROM nl CROSS JOIN nr CROSS JOIN est CROSS JOIN ts""".stripMargin,
 
+    // Weekly seasonality strength: Monday-anchored dow, 9-dp decimal
+    // squared-deviation folds, broadcast dow-means join.
+    "seasonality_strength" ->
+      s"""WITH daily AS (SELECT to_date(ts) AS day, count(1) AS n
+         |               FROM events GROUP BY to_date(ts)),
+         |d AS (SELECT pmod(datediff(day, DATE '1970-01-05'), 7) AS dow,
+         |        CAST(n AS DOUBLE) AS y FROM daily),
+         |o AS (SELECT count(1) AS n_days, sum(y) / count(1) AS mu FROM d),
+         |dm AS (SELECT dow, sum(y) / count(1) AS mu_dow FROM d GROUP BY dow),
+         |t AS (SELECT o.n_days,
+         |        CAST(round((y - mu) * (y - mu), 9) AS DECIMAL(28,9)) AS t_tot,
+         |        CAST(round((y - mu_dow) * (y - mu_dow), 9) AS DECIMAL(28,9))
+         |          AS t_win
+         |      FROM d JOIN dm USING (dow) CROSS JOIN o)
+         |SELECT n_days,
+         |  round(CAST(sum(t_tot) AS DOUBLE), 6) AS ss_total,
+         |  round(CAST(sum(t_win) AS DOUBLE), 6) AS ss_within,
+         |  CASE WHEN CAST(sum(t_tot) AS DOUBLE) > 0.0D
+         |    THEN round(1.0D - CAST(sum(t_win) AS DOUBLE)
+         |      / CAST(sum(t_tot) AS DOUBLE), 6)
+         |    ELSE 0.0D END AS strength
+         |FROM t GROUP BY n_days""".stripMargin,
+
     // Theil-Sen robust trend: pairwise slopes over the day domain
     // (bounded pre-squaring), interpolated medians.
     "theilsen_trend" ->
@@ -4476,6 +4499,7 @@ object SqlSurface {
       "cusum_changepoint" -> SparkEntry.queries("cusum_changepoint"),
       "theilsen_trend" -> SparkEntry.queries("theilsen_trend"),
       "join_advisor" -> SparkEntry.queries("join_advisor"),
+      "seasonality_strength" -> SparkEntry.queries("seasonality_strength"),
       "forecast_eval" -> SparkEntry.queries("forecast_eval"),
       "rolling_anomaly" -> SparkEntry.queries("rolling_anomaly"))
   }

@@ -200,6 +200,49 @@ object Timeseries {
     * datediff), so each slope is one fixed double division; medians
     * are exact interpolated percentiles; readouts round at 6 dp.
     */
+  /** Day-of-week seasonality strength — the variance share the weekly
+    * cycle explains: 1 − SS_within/SS_total where SS_within removes
+    * per-dow means (the R² of the dow-means model). Near 1 ⇒ the
+    * series is mostly weekly rhythm (forecast with
+    * [[seasonalNaiveEval]]'s lag-7), near 0 ⇒ the weekly shape is
+    * noise. dow is computed as days-since-a-known-Monday mod 7 —
+    * never an engine's dayofweek(), whose 0/1-based Sunday/Monday
+    * conventions differ.
+    *
+    * Shape: the day-domain collapse, one 7-row dow-mean aggregate
+    * joined back broadcast, squared deviations quantized at 9 dp into
+    * decimals (order-free sums). SS_total = 0 (a constant series) has
+    * no variance to explain — strength is DEFINED 0, never 0/0.
+    */
+  def seasonalityStrength(events: DataFrame): DataFrame = {
+    val daily = dailyCounts(events, "Timeseries.seasonalityStrength")
+      .select(col("day"),
+        pmod(datediff(col("day"), to_date(lit("1970-01-05"))), lit(7))
+          .as("dow"),
+        col("n").cast("double").as("y"))
+    val overall = daily.agg(count(lit(1)).as("n_days"),
+      (sum(col("y")) / count(lit(1))).as("mu"))
+    val dowMeans = daily.groupBy(col("dow"))
+      .agg((sum(col("y")) / count(lit(1))).as("mu_dow"))
+    val terms = daily
+      .join(broadcast(dowMeans), "dow")
+      .crossJoin(broadcast(overall))
+      .select(col("n_days"),
+        round((col("y") - col("mu")) * (col("y") - col("mu")), 9)
+          .cast(DecimalType(28, 9)).as("t_tot"),
+        round((col("y") - col("mu_dow")) * (col("y") - col("mu_dow")), 9)
+          .cast(DecimalType(28, 9)).as("t_win"))
+    terms.groupBy(col("n_days"))
+      .agg(sum(col("t_tot")).cast("double").as("ss_total"),
+        sum(col("t_win")).cast("double").as("ss_within"))
+      .select(col("n_days"),
+        round(col("ss_total"), 6).as("ss_total"),
+        round(col("ss_within"), 6).as("ss_within"),
+        when(col("ss_total") > 0.0,
+          round(lit(1.0) - col("ss_within") / col("ss_total"), 6))
+          .otherwise(lit(0.0)).as("strength"))
+  }
+
   def theilSenTrend(events: DataFrame): DataFrame = {
     // tighter guard than the family default: this operator SQUARES the
     // day domain, so the bound must hold pre-squaring (10k days = 27

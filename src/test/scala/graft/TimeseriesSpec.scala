@@ -98,6 +98,25 @@ class TimeseriesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Timeseries.rollingAnomaly(e, 7, 0.0))
   }
 
+  test("seasonalityStrength: perfect weekly cycle -> 1, constant -> 0, mixed in between") {
+    // two exact repeats of a 7-day pattern: dow means absorb ALL
+    // variance -> strength exactly 1
+    val pattern = Seq(3, 8, 5, 9, 4, 7, 6)
+    val perfect = ev((0 until 14).map(d => (d, pattern(d % 7))): _*)
+    val p = Timeseries.seasonalityStrength(perfect).head()
+    assert(p.getLong(0) == 14L && p.getDouble(3) == 1.0 &&
+      p.getDouble(2) == 0.0)
+    // constant series: no variance to explain -> defined 0, not 0/0
+    val const = ev((0 until 14).map(d => (d, 5)): _*)
+    val c = Timeseries.seasonalityStrength(const).head()
+    assert(c.getDouble(1) == 0.0 && c.getDouble(3) == 0.0)
+    // within-dow variance leaves strength strictly between 0 and 1
+    val mixed = ev((0 until 14).map(d =>
+      (d, pattern(d % 7) + (if (d < 7) 0 else d % 3))): _*)
+    val m = Timeseries.seasonalityStrength(mixed).head().getDouble(3)
+    assert(m > 0.0 && m < 1.0, s"mixed strength $m")
+  }
+
   test("theilSenTrend: the outlier day cannot drag the median slope") {
     // y = (10, 12, 100, 16) on days 0..3: pairwise slopes
     // {2, 45, 2, 88, 2, -84} -> median 2 (OLS would report ~8.8);
