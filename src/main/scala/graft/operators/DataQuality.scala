@@ -218,6 +218,11 @@ object DataQuality {
     * rule both engines share); the clamp is pure comparison — no new
     * float folds; means downstream should decimal-accumulate (the
     * contract query does).
+    *
+    * Rows with a NULL group key are EXCLUDED (a null group has no
+    * edges to clamp against, and the equi-join back would drop them
+    * silently anyway — this makes the drop a stated contract);
+    * coalesce the group upstream to keep them.
     */
   def winsorize(df: DataFrame, group: Column, value: Column,
       pLo: Double = 0.01, pHi: Double = 0.99,
@@ -226,6 +231,7 @@ object DataQuality {
       s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
     val base = df.filter(value.isNotNull)
       .select(group.as("grp"), value.cast("double").as("v"))
+      .filter(col("grp").isNotNull)
     // the join-back side must be a bounded DOMAIN frame — checked, not
     // trusted (a continuous group key would ship a corpus-sized edges
     // table into every join task)

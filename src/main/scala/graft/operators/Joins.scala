@@ -319,7 +319,8 @@ object Joins {
     // key is provably NOT skewed and the salt lane cannot fire. Report
     // the bound as the share and a null key.
     val (topKey, topShare) =
-      try {
+      if (nLeft == 0L) (null: String, 0.0) // empty left: no keys, no skew
+      else try {
         val top = HeavyHitters.keySkew(left, leftKey, 1).head()
         (top.getString(1), top.getDouble(3))
       } catch {

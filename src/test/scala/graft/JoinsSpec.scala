@@ -278,6 +278,16 @@ class JoinsSpec extends AnyFunSuite {
     }
   }
 
+  test("joinAdvisor: an empty left side advises broadcast, never crashes on head()") {
+    val empty = Seq.empty[(Long, String)].toDF("k", "pay")
+    val dim = Seq((1L, "d")).toDF("k", "nm")
+    val out = Joins.joinAdvisor(empty, "k", dim, "k").head()
+    assert(out.getLong(0) == 0L && out.getString(5) == "broadcast_smaller_side")
+    assert(out.isNullAt(3) && out.getDouble(4) == 0.0)
+    assert(BigDecimal(out.getDecimal(2)) == BigDecimal(0),
+      "empty side -> provably empty join")
+  }
+
   test("joinAdvisor: an unprovable top key means provably-no-skew, not a refusal") {
     // 20k distinct uniform keys evict the MG sketch and make top-1
     // unprovable — which BOUNDS the share at 100/(capacity+1)%: the
