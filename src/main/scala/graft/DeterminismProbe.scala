@@ -1,0 +1,92 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Layout-determinism probe: runs a target set of contract queries
+  * under local[2], local[8] and local[32] (×3 reps each — 9 runs per
+  * query) and diffs the CANONICAL RESULT ROWS, not timings. Exit code
+  * 1 and a full value diff on any divergence.
+  *
+  * Why this exists: CORRECTNESS_r09's two red rows (`join_advisor`,
+  * `join_size_estimate`) passed 4/4 judge-local re-runs at local[4] —
+  * a red that cannot be reproduced at one parallelism level needs an
+  * instrument that varies the one thing the driver environment
+  * changes: task layout (partition count, shuffle fetch order, merge
+  * order of partial aggregates). Every query probed here claims
+  * bit-determinism; this probe is the claim's executable form.
+  *
+  * Default target set = the planning/sketch family (the operators
+  * whose partial-aggregate merge order varies with layout) plus the
+  * md5-randomized family; `args` may name any subset of
+  * [[SparkEntry.queries]] instead (plus an optional `sf:<dir>`).
+  *
+  * Not part of the driver contract.
+  */
+object DeterminismProbe {
+  val defaultTargets: Seq[String] = Seq(
+    "join_advisor", "join_size_estimate", "key_skew", "heavy_hitters",
+    "cms_estimate", "distinct_estimate", "audience_overlap_estimate",
+    "quantile_estimate", "group_quantile_estimate", "bootstrap_ci",
+    "bootstrap_diff_ci", "stats_summary")
+
+  /** Rows rendered to one sorted canonical string: null-safe, stable
+    * across runs iff the values are. Doubles print via toString (exact
+    * shortest repr — any bit flip shows). */
+  private def canon(df: org.apache.spark.sql.DataFrame): String = {
+    val cols = df.columns.sorted
+    df.selectExpr(cols.map(c => s"`$c`"): _*).collect()
+      .map(_.toSeq.map(v => if (v == null) "NULL" else v.toString)
+        .mkString("\t"))
+      .sorted.mkString("\n")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.find(_.startsWith("sf:")).map(_.drop(3))
+      .getOrElse("/root/testdata/sf0.01")
+    val named = args.filterNot(_.startsWith("sf:"))
+    val targets =
+      (if (named.nonEmpty) named.toSeq else defaultTargets)
+        .filter { n =>
+          val known = SparkEntry.queries.contains(n)
+          if (!known) println(s"[determinism] SKIP unknown query $n")
+          known
+        }
+    var bad = 0
+    // (cores, reps): 3 parallelism levels bracket the driver's range
+    val levels = Seq(2, 8, 32)
+    val runs: Map[String, Seq[(String, String)]] = levels.flatMap { cores =>
+      val spark = SparkSession.builder().master(s"local[$cores]")
+        .config("spark.sql.shuffle.partitions", cores.toString)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val out =
+        for (rep <- 1 to 3; name <- targets) yield {
+          val s = canon(SparkEntry.queries(name)(spark, sfDir))
+          (name, (s"local[$cores] rep$rep", s))
+        }
+      spark.stop()
+      // a fresh session per level: SparkSession.builder reuses an
+      // active session, so the stop() is what makes local[N] real
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      out
+    }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    targets.foreach { name =>
+      val variants = runs(name).groupBy(_._2)
+      if (variants.size == 1)
+        println(s"OK   $name: ${runs(name).size} runs identical")
+      else {
+        bad += 1
+        println(s"FAIL $name: ${variants.size} distinct results across " +
+          s"${runs(name).size} runs")
+        variants.foreach { case (v, who) =>
+          println(s"  --- seen by ${who.map(_._1).mkString(", ")} ---")
+          println(v.linesIterator.take(12).mkString("\n"))
+        }
+      }
+    }
+    println(s"== determinism: ${targets.size - bad}/${targets.size} stable")
+    if (bad > 0) sys.exit(1)
+  }
+}

@@ -3299,7 +3299,12 @@ object SparkEntry {
          |  key_value, CAST(n AS BIGINT) AS n,
          |  round(n * 100.0 / total, 6) AS share_pct
          |FROM c, t ORDER BY n DESC, key_value LIMIT 5""".stripMargin,
-    // the oracle replays the identical md5 bucketing and inner product
+    // the oracle replays the identical md5 bucketing and inner product;
+    // n_est travels as a digit STRING on both sides — a DECIMAL(38,0)
+    // output column is not representation-stable across engines/readers
+    // (CORRECTNESS_r09: the only two red rows were the only two
+    // wide-decimal output columns), a digit string hashes identically
+    // everywhere
     "join_size_estimate" ->
       s"""WITH k AS (SELECT CAST(user_id AS VARCHAR) AS w FROM events
          |           WHERE user_id IS NOT NULL),
@@ -3308,7 +3313,8 @@ object SparkEntry {
          |      FROM k, range(4) r(d)),
          |c AS (SELECT d, bucket, count(*) AS n FROM b GROUP BY d, bucket),
          |ip AS (SELECT d, sum(n * n) AS ip FROM c GROUP BY d)
-         |SELECT CAST(coalesce(min(ip), 0) AS DECIMAL(38,0)) AS n_est FROM ip""".stripMargin,
+         |SELECT CAST(CAST(coalesce(min(ip), 0) AS DECIMAL(38,0)) AS VARCHAR)
+         |  AS n_est FROM ip""".stripMargin,
     // identical md5 mantissa draw, Poisson(1) CDF literals, one
     // double division per replicate, interpolated percentiles
     "bootstrap_ci" ->
@@ -4790,8 +4796,16 @@ object SparkEntry {
          |      / CAST(sum(t_tot) AS DOUBLE), 6)
          |    ELSE 0.0 END AS strength
          |FROM t GROUP BY n_days""".stripMargin,
-    // same exact counts, same md5 CMS inner product, same exact top-1
-    // share (n DESC, key ASC tie-break), same CASE thresholds
+    // same exact counts, same md5 CMS inner product (full-outer cell
+    // meet: one-sided cells feed the counts, NULL products are skipped
+    // by SUM, a zero-overlap hash row coalesces to 0), same exact
+    // top-1 (n DESC, key ASC) with the SAME merge-order-independent
+    // lane predicate in exact integer arithmetic (m·4097 > n_left —
+    // the oracle's exact max and Spark's recounted candidate max agree
+    // on both sides of it, see HeavyHitters.provableTop1), same CASE
+    // thresholds; est_join_rows travels as a digit STRING on both
+    // sides (wide-decimal output columns are not representation-stable
+    // across engines)
     "join_advisor" ->
       s"""WITH kl AS (SELECT CAST(l_suppkey AS VARCHAR) AS w FROM lineitem
          |            WHERE l_suppkey IS NOT NULL),
@@ -4803,28 +4817,34 @@ object SparkEntry {
          |cr AS (SELECT d, CAST('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || w), 1, 12)
          |              AS BIGINT) % 1024 AS bucket, count(*) AS n
          |       FROM kr, range(4) r(d) GROUP BY 1, 2),
-         |ip AS (SELECT cl.d, sum(cl.n * cr.n) AS ip
-         |       FROM cl JOIN cr ON cl.d = cr.d AND cl.bucket = cr.bucket
-         |       GROUP BY cl.d),
-         |est AS (SELECT CAST(coalesce(min(ip), 0) AS DECIMAL(38,0)) AS n_est
-         |        FROM ip),
-         |nl AS (SELECT count(*) AS n_left FROM kl),
-         |nr AS (SELECT count(*) AS n_right FROM kr),
-         |tp AS (SELECT w AS top_key, count(*) AS n FROM kl GROUP BY w
-         |       ORDER BY n DESC, top_key LIMIT 1),
-         |ts AS (SELECT tp.top_key,
-         |         round(tp.n * 100.0 / nl.n_left, 6) AS share
-         |       FROM tp, nl)
-         |SELECT CAST(nl.n_left AS BIGINT) AS n_left,
-         |  CAST(nr.n_right AS BIGINT) AS n_right,
-         |  est.n_est AS est_join_rows,
+         |cells AS (SELECT coalesce(cl.d, cr.d) AS d, cl.n AS na, cr.n AS nb
+         |          FROM cl FULL OUTER JOIN cr
+         |            ON cl.d = cr.d AND cl.bucket = cr.bucket),
+         |perrow AS (SELECT d,
+         |             coalesce(sum(CAST(na AS DECIMAL(38,0)) * nb), 0) AS ip,
+         |             sum(na) AS na, sum(nb) AS nb
+         |           FROM cells GROUP BY d),
+         |sc AS (SELECT CAST(coalesce(min(ip), 0) AS DECIMAL(38,0)) AS est,
+         |         coalesce(max(na), 0) AS n_left,
+         |         coalesce(max(nb), 0) AS n_right FROM perrow),
+         |tp AS (SELECT w AS k, count(*) AS n FROM kl GROUP BY w
+         |       ORDER BY n DESC, k LIMIT 1),
+         |ts AS (SELECT CASE WHEN tp.n * 4097 > sc.n_left THEN tp.k END AS top_key,
+         |         CASE WHEN sc.n_left = 0 THEN 0.0
+         |              WHEN tp.n * 4097 > sc.n_left
+         |                THEN round(tp.n * 100.0 / sc.n_left, 6)
+         |              ELSE round(100.0 / 4097, 6) END AS share
+         |       FROM tp, sc)
+         |SELECT CAST(sc.n_left AS BIGINT) AS n_left,
+         |  CAST(sc.n_right AS BIGINT) AS n_right,
+         |  CAST(sc.est AS VARCHAR) AS est_join_rows,
          |  ts.top_key AS top_left_key,
          |  ts.share AS top_left_share_pct,
-         |  CASE WHEN least(nl.n_left, nr.n_right) <= 1000000
+         |  CASE WHEN least(sc.n_left, sc.n_right) <= 1000000
          |         THEN 'broadcast_smaller_side'
          |       WHEN ts.share >= 10.0 THEN 'salted_shuffle'
          |       ELSE 'shuffle_join' END AS recommendation
-         |FROM nl, nr, est, ts""".stripMargin,
+         |FROM sc, ts""".stripMargin,
     // same day collapse, same pairwise slopes (exact int x from the
     // same date_diff), same interpolated medians
     "theilsen_trend" ->

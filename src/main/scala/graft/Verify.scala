@@ -19,15 +19,33 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Per-query canonical value dump (flat file, NOT inside the
+    // per-query parquet dir, so globbing readers never see it):
+    // columns sorted by name, rows rendered null-safe and sorted —
+    // the same canonical form a hash compare consumes. A driver-side
+    // hash mismatch is then diagnosable from the dumped values alone
+    // (CORRECTNESS_r09's two unreproducible reds motivated this).
+    // Bounded at 40 rows + a count line per query.
+    val dump = new StringBuilder
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        val back = spark.read.parquet(s"$outDir/$name")
+        val cols = back.columns.sorted
+        val rows = back.selectExpr(cols.map(c => s"`$c`"): _*).collect()
+          .map(_.toSeq.map(v => if (v == null) "NULL" else v.toString)
+            .mkString("\t")).sorted
+        dump ++= s"== $name rows=${rows.length} cols=${cols.mkString(",")}\n"
+        rows.take(40).foreach(r => dump ++= s"$r\n")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    Files.writeString(Paths.get(s"$outDir/values_dump.txt"), dump.toString)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -46,7 +46,8 @@ object CountMin {
     * frame (column `w`) — the generic core [[counters]] (tokens) and
     * [[joinSizeEstimate]] (join keys) share.
     */
-  private def countersOf(vals: DataFrame, depth: Int, width: Int): DataFrame = {
+  private[operators] def countersOf(vals: DataFrame, depth: Int,
+      width: Int): DataFrame = {
     require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
     require(width >= 2, s"width must be >= 2, got $width")
     vals
@@ -77,7 +78,23 @@ object CountMin {
     * join of two ≤ depth·width tables. Self-joins (a = b on the same
     * key) estimate Σ n_k² — the shuffle-explosion number [[HeavyHitters.keySkew]]
     * diagnoses per-key. NULL keys are skipped on BOTH sides (equi-join
-    * semantics: NULL never matches). Output: 1 row (n_est).
+    * semantics: NULL never matches). Output: 1 row (n_est STRING — the
+    * exact integer serialized as its digit string; consumers parse
+    * with BigDecimal).
+    *
+    * Why a string and not DECIMAL(38,0): the value itself needs wide
+    * decimal arithmetic (two 10^12-row sides put Σ nA·nB past long
+    * range), but a DECIMAL(38,0) *output column* is the one type in
+    * this contract whose concrete value representation differs across
+    * parquet readers and SQL engines (fixed-point vs int128 vs
+    * arbitrary-precision object), so a bit-stable correctness gate
+    * that hashes rendered values cannot rely on it. A digit string is
+    * identical everywhere. (CORRECTNESS_r09 forensics: the only two
+    * red rows on the board were exactly the only two queries with a
+    * DECIMAL(38,0) output column — this one and the advisor's
+    * est_join_rows — green under a DuckDB-reads-both-sides compare,
+    * red under the driver's reader; every internally-decimal,
+    * double-rendered query was green under both.)
     */
   def joinSizeEstimate(a: DataFrame, aKey: String, b: DataFrame, bKey: String,
       depth: Int = 4, width: Int = 1024): DataFrame = {
@@ -93,7 +110,8 @@ object CountMin {
         * col("cb.n")).as("ip"))
       // an empty counter intersection means a provably-empty join
       .agg(coalesce(min(col("ip")), lit(0)).cast(
-        org.apache.spark.sql.types.DecimalType(38, 0)).as("n_est"))
+        org.apache.spark.sql.types.DecimalType(38, 0))
+        .cast("string").as("n_est"))
   }
 
   /** Point estimates for `terms`: each term's estimate is the MIN over

@@ -163,6 +163,53 @@ object HeavyHitters {
     (topK.toIndexedSeq.map(r => (r.getString(0), r.getLong(1))), nTotal)
   }
 
+  /** Deterministic exact-or-refuse top-1 over a single-string-column
+    * frame (column `w`, NULLs already excluded by the caller) — the
+    * skew lane [[graft.operators.Joins.joinAdvisor]] builds on.
+    * Returns `(Some((key, n)), nTotal)` when the exact global top-1 is
+    * provable from the sketch, `(None, nTotal)` otherwise.
+    *
+    * Unlike [[topOf]] (which THROWS on an unprovable top-k, the right
+    * contract for a report), this is a total function with a lane
+    * predicate that is PROVABLY independent of Misra–Gries merge
+    * order — the advisor's exact-vs-bound branch must not flip
+    * run-to-run with shuffle fetch order. Proof: let M be the true
+    * max key count and B = n/(capacity+1) the MG retention bound
+    * (any key with count > B is retained under EVERY merge order —
+    * Agarwal et al. 2012, Mergeable Summaries). Let m be the recounted
+    * max over the (merge-order-dependent) candidate set.
+    *   - If M > B: every argmax key is retained, so m = M > B and the
+    *     recount's (n desc, key asc) tie-break sees ALL keys of count
+    *     M — the returned (key, n) is the exact global top-1, the
+    *     same under every merge order.
+    *   - If M ≤ B: m ≤ M ≤ B for every merge order (an empty evicted
+    *     candidate set lands here too).
+    * Hence the branch `m > B` equals `M > B`, a property of the DATA
+    * alone; the candidate-set variability lives entirely inside the
+    * refused lane, where no candidate content is reported. The
+    * comparison is done in exact integer arithmetic
+    * (m·(capacity+1) > n) so no floating-point rounding sits on the
+    * boundary.
+    */
+  def provableTop1(vals: DataFrame, capacity: Int = 4096)
+      : (Option[(String, Long)], Long) = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    val mg = udaf(new MisraGries(capacity),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[String]())
+    val row = vals.agg(mg(col("w")).as("cand"), count(lit(1)).as("n_total")).head()
+    val cands = row.getStruct(0).getMap[String, Long](0).keys.toSeq
+    val nTotal = row.getLong(1)
+    if (nTotal == 0L || cands.isEmpty) return (None, nTotal)
+    val top = vals.filter(col("w").isin(cands: _*))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w").asc)
+      .limit(1).head()
+    val m = top.getLong(1)
+    if (BigInt(m) * (capacity + 1) > BigInt(nTotal))
+      (Some((top.getString(0), m)), nTotal)
+    else (None, nTotal)
+  }
+
   /** Exact top-k whitespace tokens of `docs.text`: MG candidates →
     * exact candidate recount → checked top-k. Output (rank, word, n),
     * rank 1-based with (n desc, word asc) total order — identical to

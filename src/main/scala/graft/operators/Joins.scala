@@ -231,11 +231,17 @@ object Joins {
     * default for name data. Candidates are bounded by:
     *
     *  1. the caller's blocking key (equi-join, as in fuzzyMatch);
-    *  2. a SOUND length-ratio prune: with s = min(len), l = max(len),
-    *     m ≤ s gives jaro ≤ (2 + s/l)/3, and the ≤4-byte prefix boost
-    *     gives jw ≤ 0.6·jaro + 0.4 — so jw ≥ τ forces
-    *     s/l ≥ 5τ − 4. Applied only when the bound is active (τ > 0.8);
-    *     a candidate it drops provably cannot reach the threshold.
+    *  2. a SOUND length-ratio prune IN BYTES: with s = min(octet_len),
+    *     l = max(octet_len), m ≤ s gives jaro ≤ (2 + s/l)/3, and the
+    *     ≤4-byte prefix boost gives jw ≤ 0.6·jaro + 0.4 — so jw ≥ τ
+    *     forces s/l ≥ 5τ − 4. Applied only when the bound is active
+    *     (τ > 0.8); a candidate it drops provably cannot reach the
+    *     threshold. The lengths MUST be octet_length, not length: the
+    *     kernel is byte-level, so the proof's s and l are byte counts —
+    *     char lengths understate multibyte strings asymmetrically and
+    *     would wrongly prune reachable candidates (e.g. "éé" vs "ééxy":
+    *     byte jw = 0.9333 but the char ratio 2/4 fails the τ = 0.93
+    *     floor 0.65 that the byte ratio 4/6 passes).
     *
     * The winner per dirty row is max over (sim, cname) — map-side
     * combinable `max(struct)`, deterministic on ties, no window sort;
@@ -253,11 +259,11 @@ object Joins {
     import org.apache.spark.sql.graftx.TextExpressions.jaroWinkler
     val cat = catalog.select(col("name").as("cname")).distinct()
       .select(col("cname"), blockKey(col("cname")).as("__block"),
-        length(col("cname")).as("__clen"))
+        octet_length(col("cname")).as("__clen"))
     val ratioFloor = 5.0 * minSim - 4.0
     val cand0 = dirty
       .select(col(idCol), col("name"), blockKey(col("name")).as("__block"),
-        length(col("name")).as("__dlen"))
+        octet_length(col("name")).as("__dlen"))
       .join(cat, "__block")
     val cand =
       if (ratioFloor > 0.0)
@@ -285,63 +291,106 @@ object Joins {
 
   /** Join-strategy advisor — the planning-stats family composed into
     * the decision it exists for: BEFORE running an equi-join, spend a
-    * few bounded passes ([[HeavyHitters.keySkew]]'s exact top key,
-    * [[CountMin.joinSizeEstimate]]'s never-undercounting inner
-    * product, two exact counts) and read off the strategy a planner
-    * without table stats cannot know: broadcast the smaller side when
-    * it fits, salt when one key owns the shuffle, plain shuffle
-    * otherwise. Every number in the row is deterministic and
+    * few bounded passes (an exact-or-refuse top-key probe, the CMS
+    * inner product, the two side counts) and read off the strategy a
+    * planner without table stats cannot know: broadcast the smaller
+    * side when it fits, salt when one key owns the shuffle, plain
+    * shuffle otherwise. Every number in the row is deterministic and
     * oracle-replayable — the recommendation is a pure CASE over them,
     * so the advisor itself is testable, not folklore.
     *
-    * Cost shape: each input is scanned a bounded number of times
-    * (count, CMS counters, the skew sketch's two passes) — all
-    * map-side-combinable aggregations with no join between the
-    * inputs; the join being advised on is never executed. Driver
-    * state is a handful of scalars.
+    * The whole advisor is ONE lazy DataFrame program (no driver
+    * actions in here — compose it into a pipeline, union several
+    * key-column candidates, or `.head()` it for the scalars):
+    *   - both side counts fall out of the CMS counter tables for free
+    *     (each hash row d partitions all keys, so Σ_bucket n at d = 0
+    *     is the side's non-NULL key count — no separate count scan);
+    *   - the counter tables meet in a FULL OUTER join so one-sided
+    *     cells still feed the counts, while the inner product only
+    *     sums cells present on both sides (a NULL product is skipped
+    *     by SUM); a hash row with zero bucket overlap proves the join
+    *     empty (shared keys collide at EVERY row), so its per-row
+    *     coalesce-to-0 makes min over d exactly 0 there;
+    *   - the skew lane recounts the Misra-Gries candidates via a
+    *     broadcast semi-style join against the ≤ capacity exploded
+    *     candidate keys (no driver isin round-trip), and the
+    *     exact-vs-refused branch is the merge-order-INDEPENDENT
+    *     predicate of [[HeavyHitters.provableTop1]]: recounted max m
+    *     satisfies m·(capacity+1) > n_left iff the true max does, in
+    *     exact integer arithmetic. The share denominator is n_left
+    *     (NULL keys excluded — equi-join semantics), matching the
+    *     side counts; an unprovable top key reports a null key and
+    *     the provable share bound 100/(capacity+1) %, under which the
+    *     salt lane cannot fire.
+    *
+    * `est_join_rows` is the exact CMS bound serialized as a digit
+    * STRING, not DECIMAL(38,0) — see [[CountMin.joinSizeEstimate]]
+    * for why wide-decimal output columns are not representation-
+    * stable across engines. Parse with BigDecimal.
+    *
+    * Cost shape: left is scanned three times (MG sketch, candidate
+    * recount, counters), right once — all map-side-combinable
+    * aggregations; every join in the plan is a broadcast of a
+    * bounded (≤ depth·width or ≤ capacity rows) side or a 1-row
+    * cross of global aggregates; the join being advised on is never
+    * executed.
     */
   def joinAdvisor(left: DataFrame, leftKey: String,
       right: DataFrame, rightKey: String,
       broadcastRows: Long = 1000000L, skewSharePct: Double = 10.0,
-      depth: Int = 4, width: Int = 1024): DataFrame = {
+      depth: Int = 4, width: Int = 1024,
+      skewCapacity: Int = 4096): DataFrame = {
     require(broadcastRows > 0, s"broadcastRows must be > 0, got $broadcastRows")
     require(skewSharePct > 0.0 && skewSharePct <= 100.0,
       s"skewSharePct must lie in (0, 100], got $skewSharePct")
-    val spark = left.sparkSession
-    val nLeft = left.filter(col(leftKey).isNotNull).count()
-    val nRight = right.filter(col(rightKey).isNotNull).count()
-    val est = CountMin.joinSizeEstimate(left, leftKey, right, rightKey,
-      depth, width).head().getDecimal(0)
-    // keySkew REFUSES when the top key is not provably exact — but for
-    // the advisor that refusal is itself the answer: Misra-Gries
-    // retains anything with count > n/(capacity+1), so an unprovable
-    // top-1 has share ≤ 100/(capacity+1) % (≈ 0.024% at 4096) — the
-    // key is provably NOT skewed and the salt lane cannot fire. Report
-    // the bound as the share and a null key.
-    val (topKey, topShare) =
-      if (nLeft == 0L) (null: String, 0.0) // empty left: no keys, no skew
-      else try {
-        val top = HeavyHitters.keySkew(left, leftKey, 1).head()
-        (top.getString(1), top.getDouble(3))
-      } catch {
-        case _: IllegalStateException =>
-          (null: String, 100.0 / 4097.0)
-      }
-    val rec =
-      if (math.min(nLeft, nRight) <= broadcastRows) "broadcast_smaller_side"
-      else if (topShare >= skewSharePct) "salted_shuffle"
-      else "shuffle_join"
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(Seq(Row(
-        nLeft, nRight, est, topKey, topShare, rec)), 1),
-      StructType(Seq(
-        StructField("n_left", LongType),
-        StructField("n_right", LongType),
-        StructField("est_join_rows", DecimalType(38, 0)),
-        StructField("top_left_key", StringType),
-        StructField("top_left_share_pct", DoubleType),
-        StructField("recommendation", StringType))))
+    require(skewCapacity >= 1, s"skewCapacity must be >= 1, got $skewCapacity")
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val lk = Partitioning.spread(left)
+      .select(col(leftKey).cast("string").as("w")).filter(col("w").isNotNull)
+    val rk = Partitioning.spread(right)
+      .select(col(rightKey).cast("string").as("w")).filter(col("w").isNotNull)
+    // counts + CMS inner product from one counter-table program
+    val cells = CountMin.countersOf(lk, depth, width).as("ca")
+      .join(CountMin.countersOf(rk, depth, width).as("cb"),
+        Seq("d", "bucket"), "full_outer")
+    val perRow = cells.groupBy(col("d")).agg(
+      coalesce(sum(col("ca.n").cast(dec) * col("cb.n")), lit(0).cast(dec))
+        .as("ip"),
+      sum(col("ca.n")).as("na"), sum(col("cb.n")).as("nb"))
+    val scalars = perRow.agg(
+      coalesce(min(col("ip")), lit(0).cast(dec)).as("est"),
+      // na/nb are identical at every hash row d; max just selects one
+      coalesce(max(col("na")), lit(0L)).as("n_left"),
+      coalesce(max(col("nb")), lit(0L)).as("n_right"))
+    // skew lane: MG candidates exploded in-plan, recounted exactly
+    val mg = udaf(new HeavyHitters.MisraGries(skewCapacity),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[String]())
+    val cands = lk.agg(mg(col("w")).as("cand"))
+      .select(explode(map_keys(col("cand._1"))).as("w"))
+    val top = lk.join(broadcast(cands), Seq("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      // (n desc, key asc) winner as a 1-row global agg (stays 1 row
+      // on an empty candidate set, where a limit(1) would vanish)
+      .agg(min(struct((-col("n")).as("nn"), col("w").as("k"))).as("t"))
+    // the refused lane's provable share bound, 6-dp like the share
+    val bound6 = (BigDecimal(100).setScale(18) / BigDecimal(skewCapacity + 1))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+    val m = (-col("t.nn")).cast(dec)
+    val provable = col("t").isNotNull &&
+      m * lit(skewCapacity + 1) > col("n_left")
+    val share =
+      when(col("n_left") === 0L, lit(0.0))
+        .when(provable, round((-col("t.nn")) * lit(100.0) / col("n_left"), 6))
+        .otherwise(lit(bound6))
+    scalars.crossJoin(top).select(
+      col("n_left"), col("n_right"),
+      col("est").cast("string").as("est_join_rows"),
+      when(provable, col("t.k")).as("top_left_key"),
+      share.as("top_left_share_pct"),
+      when(least(col("n_left"), col("n_right")) <= broadcastRows,
+        "broadcast_smaller_side")
+        .when(share >= skewSharePct, "salted_shuffle")
+        .otherwise("shuffle_join").as("recommendation"))
   }
 }

@@ -71,7 +71,7 @@ class CountMinSpec extends AnyFunSuite {
     val exact = a.join(b, "k").count()
     assert(exact == 4L)
     val est = CountMin.joinSizeEstimate(a, "k", b, "k", depth = 4, width = 4096)
-      .head().getDecimal(0).longValueExact()
+      .head().getString(0).toLong
     assert(est >= exact)
     assert(est == 4L) // 3-key domain in a 4096 grid: collision-free, exact
   }
@@ -80,7 +80,7 @@ class CountMinSpec extends AnyFunSuite {
     val df = (Seq.fill(5)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L)).zipWithIndex
       .map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
     val est = CountMin.joinSizeEstimate(df, "k", df, "k", depth = 4, width = 4096)
-      .head().getDecimal(0).longValueExact()
+      .head().getString(0).toLong
     assert(est == 25L + 9L + 1L)
   }
 
@@ -88,7 +88,7 @@ class CountMinSpec extends AnyFunSuite {
     val a = Seq((1L, 1L)).toDF("id", "k")
     val b = Seq.empty[(Long, Long)].toDF("id", "k")
     val est = CountMin.joinSizeEstimate(a, "k", b, "k")
-      .head().getDecimal(0).longValueExact()
+      .head().getString(0).toLong
     assert(est == 0L)
   }
 

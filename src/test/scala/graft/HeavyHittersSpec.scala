@@ -101,4 +101,50 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(m._1.size <= 4)
     assert(m._2) // evictions definitely fired
   }
+
+  test("provableTop1: exact lane is layout-independent under eviction") {
+    import spark.implicits._
+    // 6400 singletons + one key at 101: n = 6501, capacity 64 →
+    // bound = 6501/65 = 100.02; 101·65 = 6565 > 6501 → provable, and
+    // MUST return the same exact (key, n) under every partition layout
+    val rows = (Seq.fill(101)("hot") ++ (1 to 6400).map(i => s"u$i"))
+    Seq(1, 3, 16, 32).foreach { parts =>
+      val vals = rows.toDF("w").repartition(parts)
+      val (top, n) = HeavyHitters.provableTop1(vals, capacity = 64)
+      assert(n == 6501L)
+      assert(top.contains(("hot", 101L)), s"parts=$parts got $top")
+    }
+  }
+
+  test("provableTop1: the boundary count m·(c+1) == n refuses, every layout") {
+    import spark.implicits._
+    // hot = 100, n = 6500, capacity 64 → 100·65 = 6500, NOT > n —
+    // the exact lane must refuse identically under every layout (this
+    // is the run-to-run flip hazard the advisor had: a key sitting ON
+    // n/(capacity+1) may or may not survive the sketch, so no lane
+    // may depend on whether it did)
+    val rows = (Seq.fill(100)("hot") ++ (1 to 6400).map(i => s"u$i"))
+    Seq(1, 3, 16, 32).foreach { parts =>
+      val vals = rows.toDF("w").repartition(parts)
+      val (top, n) = HeavyHitters.provableTop1(vals, capacity = 64)
+      assert(n == 6500L)
+      assert(top.isEmpty, s"parts=$parts must refuse, got $top")
+    }
+  }
+
+  test("provableTop1: empty input and no-eviction smalls") {
+    import spark.implicits._
+    val (t0, n0) = HeavyHitters.provableTop1(
+      Seq.empty[String].toDF("w"), capacity = 8)
+    assert(t0.isEmpty && n0 == 0L)
+    // tiny domain, no eviction: max ≥ n/#keys > n/(cap+1) always holds,
+    // so a non-empty input under capacity is ALWAYS provable
+    val (t1, n1) = HeavyHitters.provableTop1(
+      Seq("a", "b", "b", "c").toDF("w"), capacity = 8)
+    assert(n1 == 4L && t1.contains(("b", 2L)))
+    // total tie: (n desc, key asc) picks the smallest key
+    val (t2, _) = HeavyHitters.provableTop1(
+      Seq("z", "a").toDF("w"), capacity = 8)
+    assert(t2.contains(("a", 1L)))
+  }
 }
