@@ -3794,8 +3794,10 @@ object SqlSurface {
          |ORDER BY d.p_partkey""".stripMargin,
 
     // The same linkage scored by the registered jaro_winkler codegen
-    // kernel: same blocking, the SOUND length-ratio prune
-    // (s/l >= 5τ−4; a dropped candidate provably cannot reach τ),
+    // kernel: same blocking, the SOUND length-ratio prune in BYTES
+    // (s/l >= 5τ−4 with s, l octet lengths — the kernel is byte-level,
+    // so char lengths would wrongly prune multibyte candidates; the
+    // shared cat.clen stays char-typed for the Levenshtein chain),
     // max-struct winner. The similarity is computed once per
     // candidate; the τ cut lives inside the aggregate.
     "fuzzy_match_jw" ->
@@ -3804,10 +3806,10 @@ object SqlSurface {
          |           jaro_winkler(d.name, c.cname) AS sim
          |         FROM (SELECT p_partkey, name,
          |                 element_at(split(name, ' '), -1) AS blk,
-         |                 length(name) AS dlen FROM dirty) d
+         |                 octet_length(name) AS dlen FROM dirty) d
          |         JOIN cat c ON d.blk = c.blk
-         |         WHERE CAST(least(d.dlen, c.clen) AS DOUBLE)
-         |             / greatest(d.dlen, c.clen) >= 0.88D * 5 - 4),
+         |         WHERE CAST(least(d.dlen, octet_length(c.cname)) AS DOUBLE)
+         |             / greatest(d.dlen, octet_length(c.cname)) >= 0.88D * 5 - 4),
          |best AS (SELECT p_partkey,
          |           max(CASE WHEN sim >= 0.88D
          |             THEN named_struct('sim', sim, 'cname', cname) END) AS m

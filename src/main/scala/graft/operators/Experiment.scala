@@ -307,10 +307,12 @@ object Experiment {
   /** Welch z-test of mean(value) between two arms, ONE test per
     * metric — the sweep an experimentation platform runs over its
     * whole metric catalog before multiple-testing correction
-    * ([[bhAdjust]]). Moments are exact decimal sums (the chiSquare
-    * overflow lesson: cast BEFORE the product); the z and p fold in
-    * fixed literal order. Metrics with under 2 rows per arm or zero
-    * pooled variance report NULL z/p (no test, never ±Inf).
+    * ([[bhAdjust]]). Moments fold as decimal sums of per-row double
+    * products — the decimal makes the SUM merge-order-independent
+    * (the per-row square itself is IEEE double, replayed identically
+    * by the oracle); the z and p fold in fixed literal order. Metrics
+    * with under 2 rows per arm or zero pooled variance report NULL
+    * z/p (no test, never ±Inf).
     *
     * Shape at 100 TB: one map-side-combinable (metric, arm) moment
     * aggregation over the stream; the test arithmetic runs on the
@@ -322,8 +324,12 @@ object Experiment {
       .select(metric.as("metric"),
         when(armA, "A").otherwise("B").as("arm"),
         value.cast("double").as("v"))
-    // scale 12 holds the product of two ≤6-dp inputs EXACTLY — the
-    // decimal cast never rounds, so HALF_UP-vs-HALF_EVEN cannot bite
+    // v*v is an IEEE DOUBLE product (possibly rounded for inputs past
+    // ~6 significant dp) cast to decimal AFTERWARDS — the decimal's
+    // job here is not to make the square exact but to make the SUM of
+    // those per-row doubles order-independent; parity holds because
+    // the oracle replays the identical double product per row before
+    // its own decimal fold
     val m = base.groupBy(col("metric"), col("arm"))
       .agg(count(lit(1)).as("n"),
         sum(col("v").cast(DecimalType(38, 12))).as("s"),

@@ -292,7 +292,15 @@ object Monitor {
     val classes = Partitioning.requireBoundedDomain(
       cellCounts.groupBy(col("cls")).agg(sum(col("c")).as("n_cls")),
       "cls", "Monitor.tCloseness", domainLimit)
-    val values = cellCounts.groupBy(col("sv")).agg(sum(col("c")).as("n_val"))
+    // the sensitive-value domain multiplies into the |classes|×|values|
+    // grid AND orders the per-class cumsum window, so a near-continuous
+    // sensitive column (raw salaries, timestamps) must refuse loudly
+    // here too — pre-bucket the column, don't feed the raw domain.
+    // 65536 values × the class limit already bounds the grid at ~10^11
+    // cells worst-case; real gates run on ≤ dozens of buckets.
+    val values = Partitioning.requireBoundedDomain(
+      cellCounts.groupBy(col("sv")).agg(sum(col("c")).as("n_val")),
+      "sv", "Monitor.tCloseness(sensitive)", math.min(domainLimit, 65536L))
     val totals = values.agg(sum(col("n_val")).as("n"),
       count(lit(1)).as("m"))
     // dense grid: absent (class, value) cells are real zeros

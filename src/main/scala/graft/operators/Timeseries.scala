@@ -185,21 +185,6 @@ object Timeseries {
       .orderBy(col("day"))
   }
 
-  /** Theil-Sen robust trend over the daily series — the slope
-    * estimate an anomaly can't drag (Theil 1950, Sen 1968): the
-    * MEDIAN of all pairwise slopes (y_j − y_i)/(x_j − x_i), with the
-    * companion median intercept. OLS on daily counts moves with one
-    * bot-burst day; the pairwise-median slope has a 29.3% breakdown
-    * point — the "is volume actually growing" number a monitoring
-    * dashboard wants next to [[cusumChangepoint]]'s level-shift scan.
-    *
-    * The pairwise self-join is O(days²) BY DESIGN and safe for the
-    * same reason every operator in this file is: the stream collapses
-    * to the guarded day domain first (a year is 365 rows → 66k pairs),
-    * never pairing raw events. x is days-since-first (exact int from
-    * datediff), so each slope is one fixed double division; medians
-    * are exact interpolated percentiles; readouts round at 6 dp.
-    */
   /** Day-of-week seasonality strength — the variance share the weekly
     * cycle explains: 1 − SS_within/SS_total where SS_within removes
     * per-dow means (the R² of the dow-means model). Near 1 ⇒ the
@@ -243,6 +228,21 @@ object Timeseries {
           .otherwise(lit(0.0)).as("strength"))
   }
 
+  /** Theil-Sen robust trend over the daily series — the slope
+    * estimate an anomaly can't drag (Theil 1950, Sen 1968): the
+    * MEDIAN of all pairwise slopes (y_j − y_i)/(x_j − x_i), with the
+    * companion median intercept. OLS on daily counts moves with one
+    * bot-burst day; the pairwise-median slope has a 29.3% breakdown
+    * point — the "is volume actually growing" number a monitoring
+    * dashboard wants next to [[cusumChangepoint]]'s level-shift scan.
+    *
+    * The pairwise self-join is O(days²) BY DESIGN and safe for the
+    * same reason every operator in this file is: the stream collapses
+    * to the guarded day domain first (a year is 365 rows → 66k pairs),
+    * never pairing raw events. x is days-since-first (exact int from
+    * datediff), so each slope is one fixed double division; medians
+    * are exact interpolated percentiles; readouts round at 6 dp.
+    */
   def theilSenTrend(events: DataFrame): DataFrame = {
     // tighter guard than the family default: this operator SQUARES the
     // day domain, so the bound must hold pre-squaring (10k days = 27

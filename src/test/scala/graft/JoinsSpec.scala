@@ -231,6 +231,24 @@ class JoinsSpec extends AnyFunSuite {
         s"pruned and unpruned winners differ for key $k")
   }
 
+  test("fuzzyMatchJw: prune measures BYTES — multibyte names stay reachable") {
+    // the kernel is byte-level, so the s/l >= 5τ-4 proof is in octet
+    // lengths. "éé" (4 bytes) vs "ééxy" (6 bytes): byte jw = 0.93333
+    // passes τ = 0.93 and the byte ratio 4/6 = 0.667 passes the 0.65
+    // floor — but the CHAR ratio 2/4 = 0.5 would have wrongly pruned
+    // the only true match. A char-length prune fails this test.
+    import org.apache.spark.sql.graftx.TextExpressions.jaroWinkler
+    val catalog = Seq("ééxy").toDF("name")
+    val dirty = Seq((1L, "éé")).toDF("p_partkey", "name")
+    val kernel = dirty.crossJoin(catalog.select(col("name").as("cname")))
+      .select(jaroWinkler(col("name"), col("cname"))).head().getDouble(0)
+    assert(kernel >= 0.93, s"premise: byte-level jw $kernel must reach τ")
+    val out = Joins.fuzzyMatchJw(dirty, catalog, "p_partkey",
+      _ => lit(1), minSim = 0.93).head()
+    assert(out.getAs[String]("matched_name") == "ééxy",
+      s"byte-reachable multibyte candidate was pruned: $out")
+  }
+
   test("fuzzyMatchJw: one kernel call per candidate; codegen, not a UDF") {
     val catalog = Seq("cold widget", "blue rod").toDF("name")
     val dirty = Seq((1L, "cld widget")).toDF("p_partkey", "name")
@@ -258,7 +276,7 @@ class JoinsSpec extends AnyFunSuite {
     assert(bc.getString(5) == "broadcast_smaller_side")
     assert(bc.getLong(0) == 100L && bc.getLong(1) == 50L)
     val trueJoin = skewed.join(dim, "k").count()
-    assert(BigDecimal(bc.getDecimal(2)) >= BigDecimal(trueJoin),
+    assert(BigDecimal(bc.getString(2)) >= BigDecimal(trueJoin),
       "CMS inner product never undercounts the true join size")
     // salt lane: dim too big to broadcast (threshold 10), hot key owns
     // 80% of the left
@@ -284,8 +302,38 @@ class JoinsSpec extends AnyFunSuite {
     val out = Joins.joinAdvisor(empty, "k", dim, "k").head()
     assert(out.getLong(0) == 0L && out.getString(5) == "broadcast_smaller_side")
     assert(out.isNullAt(3) && out.getDouble(4) == 0.0)
-    assert(BigDecimal(out.getDecimal(2)) == BigDecimal(0),
+    assert(BigDecimal(out.getString(2)) == BigDecimal(0),
       "empty side -> provably empty join")
+  }
+
+  test("joinAdvisor: one lazy plan, bit-identical across layouts on the lane boundary") {
+    // the CORRECTNESS_r09 forensic scenario: a top key sitting exactly
+    // ON n/(capacity+1) under eviction, where the old try/catch lane
+    // could flip with Misra-Gries merge order. 100·65 == 6500 == n →
+    // the refused lane must win under EVERY partition layout and
+    // shuffle width, and every emitted value must be bit-identical.
+    val leftRows = (Seq.fill(100)("hot") ++ (1 to 6400).map(i => s"u$i"))
+      .zipWithIndex.map { case (k, i) => (k, i) }
+    val dim = (1 to 500).map(i => (s"u$i", i)).toDF("k", "v")
+    val sp = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val outs = for {
+        parts <- Seq(1, 7, 32); shuf <- Seq("2", "32")
+      } yield {
+        spark.conf.set("spark.sql.shuffle.partitions", shuf)
+        val left = leftRows.toDF("k", "pay").repartition(parts)
+        Joins.joinAdvisor(left, "k", dim, "k", broadcastRows = 10L,
+          skewSharePct = 1.0, skewCapacity = 64)
+          .head().toSeq.map(String.valueOf).mkString("|")
+      }
+      assert(outs.distinct.size == 1, s"layout-dependent advisor: $outs")
+      val row = outs.head.split('|')
+      assert(row(3) == "null", "boundary count must land in the refused lane")
+      assert(row(4) == (BigDecimal(100).setScale(18) / BigDecimal(65))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue.toString,
+        "refused lane reports the capacity-derived share bound")
+      assert(row(5) == "salted_shuffle" || row(5) == "shuffle_join")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", sp)
   }
 
   test("joinAdvisor: an unprovable top key means provably-no-skew, not a refusal") {
