@@ -360,6 +360,85 @@ object SqlSurface {
   // report needs the DataFrame form's explicit cache() — exactly the
   // capability plain CTE SQL lacks.
 
+  /** The CHECKED complement of [[sql]]: every contract query that is
+    * deliberately NOT on the SQL surface, each with the reason. The
+    * partition `SparkEntry.queries.keySet == sql.keySet ∪ keySet`
+    * (disjoint) is pinned by SqlSurfaceSpec, so this residue cannot
+    * silently grow — a new contract query must either get a SQL entry
+    * or name its reason here (previously the list lived only in
+    * ROUND9.md prose).
+    */
+  val nonSqlQueries: Map[String, String] = {
+    val annLifecycle = "persisted-index lifecycle: fit + committed " +
+      "writes + atomic-swap compaction are store mutations, not a query"
+    val mllibFit = "iterative MLlib fit (KMeans/PCA): the model is " +
+      "trained state, not a SQL expression"
+    val fittedModel = "depends on a fitted model/vocabulary broadcast " +
+      "(fit-then-score lifecycle); the scoring alone would not be the " +
+      "operator"
+    val codec = "binary codec work through per-partition readers " +
+      "(mapInPandas-shaped batch plumbing); SQL has no binary-decode " +
+      "surface"
+    val store = "managed VectorFieldDB store: validated mutations, " +
+      "audit chain and snapshot lifecycle, not a query"
+    Map(
+      "ann_ivf_topk" -> annLifecycle,
+      "ann_ivf_persisted" -> annLifecycle,
+      "ann_ivf_compacted" -> annLifecycle,
+      "ann_batch_topk" -> annLifecycle,
+      "ann_ivfpq_topk" -> annLifecycle,
+      "ann_kmeans_ivf" -> mllibFit,
+      "search_centroids_topk" -> ("two-phase probe over the store's " +
+        "pglyph centroids (search_pglyphs): centroid state comes from " +
+        "the managed store, the raw-SQL parity for the scan phase is " +
+        "pinned separately"),
+      "ann_recall" -> ("evaluator over the " + annLifecycle),
+      "ann_recall_curve" -> ("evaluator over the " + annLifecycle),
+      "bm25_persisted" -> annLifecycle,
+      "bm25_incremental" -> annLifecycle,
+      "bm25_compacted" -> annLifecycle,
+      "dedup_incremental_compacted" -> annLifecycle,
+      "dedup_incremental_bloom" -> ("bloom-filter prefilter state over " +
+        "the committed dedup history; the filter is fitted state"),
+      "pq_encode" -> mllibFit,
+      "pq_adc_topk" -> mllibFit,
+      "embedding_pca" -> mllibFit,
+      "cluster_silhouette" -> mllibFit,
+      "semdedup" -> mllibFit,
+      "quality_classifier" -> fittedModel,
+      "classifier_auc" -> fittedModel,
+      "classifier_ks" -> fittedModel,
+      "calibration_bins" -> fittedModel,
+      "quality_percentiles" -> fittedModel,
+      "bpe_tokenize" -> fittedModel,
+      "dup_pagerank" -> ("iterative computation (pointer-jumping " +
+        "convergence loop); SQL is single-pass"),
+      "multimodal_decode" -> codec,
+      "multimodal_resize" -> codec,
+      "multimodal_frames" -> codec,
+      "multimodal_features" -> codec,
+      "multimodal_audio" -> codec,
+      "multimodal_quarantine" -> codec,
+      "multimodal_meta" -> codec,
+      "multimodal_chunks" -> codec,
+      "pipeline_media" -> codec,
+      "vfdb_pipeline" -> store,
+      "pipeline_clean_corpus" -> ("negative result, recorded above: " +
+        "Spark inlines multiply-referenced CTEs, so the composed " +
+        "pipeline re-executes its upstream stages exponentially — the " +
+        "DataFrame form's explicit cache() is the point"),
+      "bucketed_join" -> ("physical-layout demonstration (bucketing " +
+        "DDL + exchange-free plan assertion), not result semantics"),
+      "skew_salted_join" -> ("physical-layout demonstration (explicit " +
+        "salt scatter/replicate), not result semantics"),
+      "attribution_linear" -> ("window-carry + per-conversion credit " +
+        "explode chain shared with the U-shaped variant; the SQL form " +
+        "re-executes the shared CTE per credit lane"),
+      "attribution_u_shaped" -> ("window-carry + per-conversion credit " +
+        "explode chain; the SQL form re-executes the shared CTE per " +
+        "credit lane"))
+  }
+
   val sql: Map[String, String] = Map(
     "search_cosine_topk" ->
       searchSql("vec_cosine_sim(e.embedding, q.q_embedding)"),
