@@ -101,11 +101,63 @@ object PlanDump {
       "t_closeness" -> "t-closeness: ONE map-side-combinable (class, value) count over the corpus; the dense class-by-value grid builds from two domain-bounded aggregates (the class frame guarded), the cumulative-EMD window is PARTITIONED by class, and the decimal fold is order-free — nothing after the scan touches corpus-sized data.",
       "theilsen_trend" -> "Theil-Sen trend: the stream collapses to the guarded day domain BEFORE the pairwise join — the quadratic join (a BroadcastNestedLoopJoin by nature: inequality-only condition) pairs day rows, never events; both medians are single interpolated-percentile aggregates over bounded frames.",
       "calendar_gaps" -> "Calendar gaps: the observed side is a distinct (group, day) projection with partial aggregation below its exchange; the expected side explodes sequence(min, max) from a per-group 1-row aggregate; the report is one LEFT ANTI equi-join between two calendar-bounded frames — the corpus is scanned once.")
+    // Nested-loop tripwire (round-9 verdict #7): the dump FAILS if a
+    // plan contains CartesianProduct or BroadcastNestedLoopJoin unless
+    // the query is allowlisted here with the reason its nested loop is
+    // bounded (1-row/domain-bounded broadcast sides, or a deliberately
+    // guarded quadratic). An unlisted BNLJ is a scale bug by default.
+    val bnljAllowed: Map[String, String] = Map(
+      "theilsen_trend" -> ("the pairwise join is inequality-only BY " +
+        "NATURE and runs over the guarded ≤10k-day domain, never events"),
+      "join_advisor" -> ("1-row global-aggregate crosses (scalars × " +
+        "top) — both sides are single-row frames by construction"),
+      "bootstrap_diff_ci" -> "1-row replicate-stat frames crossed",
+      "bootstrap_ci" -> "1-row totals frame crossed into the CI readout",
+      "psi_drift" -> "broadcast 1-row totals frame",
+      "t_closeness" -> ("domain-bounded grid cross (guarded classes × " +
+        "guarded values) + broadcast 1-row totals"),
+      "mutual_information" -> "broadcast 1-row grand-total cross",
+      "equidepth_histogram" -> "broadcast 1-row total cross",
+      "bh_fdr" -> "broadcast 1-row m-total cross",
+      "seasonality_strength" -> "broadcast 1-row overall-mean cross",
+      "cusum_changepoint" -> "broadcast 1-row series-mean cross",
+      "survival_churn" -> "broadcast 1-row subject-total cross",
+      "forecast_eval" -> "broadcast 1-row scale-error cross",
+      "collocations_pmi" -> "broadcast 1-row token-total cross",
+      "source_divergence" -> "sources×vocab grid from two tiny aggregates",
+      "stats_summary" -> "broadcast 1-row aggregate",
+      "quantile_estimate" -> "broadcast 1-row exact-comparison frame",
+      "benford_digits" -> "broadcast 1-row total cross",
+      "rolling_anomaly" -> "broadcast 1-row day-domain frame",
+      "search_cosine_topk" -> "broadcast 1-row query-vector frame",
+      "search_phi_topk" -> "broadcast 1-row query-vector frame",
+      "search_filtered_topk" -> "broadcast 1-row query-vector frame",
+      "ann_ivf_topk" -> ("broadcast 1-row query frame + nProbe-row " +
+        "probe list"),
+      "ann_batch_topk" -> ("broadcast bounded probe ranking (queries × " +
+        "nProbe rows)"),
+      "ann_recall_curve" -> ("rank-inequality join against the " +
+        "broadcast 5-row probe list — row duplication for the sweep " +
+        "arms, no re-scoring"),
+      "bm25_search" -> "broadcast 1-row corpus stats (N, avgdl)",
+      "bm25_persisted" -> "broadcast 1-row corpus stats (N, avgdl)",
+      "bm25_ndcg" -> ("broadcast 1-row corpus stats + the ≤|q|+1-row " +
+        "grade histogram"),
+      "dsir_weights" -> "broadcast 1-row corpus/target totals",
+      "hard_negatives" -> ("broadcast bounded (queries × k) neighbor " +
+        "frame"),
+      "dq_expectations" -> ("the report unions broadcast 1-row " +
+        "per-table check frames"),
+      "ab_cuped" -> "broadcast 1-row moment (θ) frame",
+      "basket_lift" -> "broadcast 1-row basket-total frame")
+    val nested = scala.collection.mutable.LinkedHashMap[String, String]()
     val sb = new StringBuilder
     sb.append("# Physical plans — flagship queries\n\n")
     sb.append("Generated by `graft.PlanDump` (sf0.01, local[8], AQE on). The\n")
     sb.append("commentary states what each plan must show for the 100 TB design\n")
-    sb.append("to hold; regenerate after planner-affecting changes.\n")
+    sb.append("to hold; regenerate after planner-affecting changes. The dump\n")
+    sb.append("FAILS on any CartesianProduct/BroadcastNestedLoopJoin outside\n")
+    sb.append("the named allowlist of bounded 1-row/domain crosses.\n")
     for ((name, note) <- picks) {
       sb.append(s"\n## $name\n\n$note\n\n```\n")
       // the persisted layout is a union — keep enough of the plan to show
@@ -134,8 +186,19 @@ object PlanDump {
           sources.Tables.table(spark, dir, "documents"), 1024)
       } else SparkEntry.queries(name)(spark, dir)
       val plan = frame.queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct") ||
+          plan.contains("BroadcastNestedLoopJoin")) {
+        if (!bnljAllowed.contains(name)) nested += name -> "NOT ALLOWLISTED"
+        else sb.append(s"(nested-loop allowlisted: ${bnljAllowed(name)})\n\n")
+      }
       sb.append(plan.take(cap)).append(if (plan.length > cap) "\n… (truncated)\n" else "\n")
       sb.append("```\n")
+    }
+    if (nested.nonEmpty) {
+      nested.foreach { case (n, why) =>
+        System.err.println(s"[plandump] FAIL $n: nested-loop join $why") }
+      spark.stop()
+      sys.exit(1)
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"), sb.toString)
     println("wrote PLANS.md")
