@@ -100,7 +100,8 @@ object PlanDump {
       "group_quantile_estimate" -> "Grouped quantile sketch: the per-group rank cut MUST show WindowGroupLimit (map-side per-partition top-k before the exchange) — the shuffle carries at most k rows per group per input partition, never the group's raw rows; the capped exact side joins back by group key.",
       "t_closeness" -> "t-closeness: ONE map-side-combinable (class, value) count over the corpus; the dense class-by-value grid builds from two domain-bounded aggregates (the class frame guarded), the cumulative-EMD window is PARTITIONED by class, and the decimal fold is order-free — nothing after the scan touches corpus-sized data.",
       "theilsen_trend" -> "Theil-Sen trend: the stream collapses to the guarded day domain BEFORE the pairwise join — the quadratic join (a BroadcastNestedLoopJoin by nature: inequality-only condition) pairs day rows, never events; both medians are single interpolated-percentile aggregates over bounded frames.",
-      "calendar_gaps" -> "Calendar gaps: the observed side is a distinct (group, day) projection with partial aggregation below its exchange; the expected side explodes sequence(min, max) from a per-group 1-row aggregate; the report is one LEFT ANTI equi-join between two calendar-bounded frames — the corpus is scanned once.")
+      "calendar_gaps" -> "Calendar gaps: the observed side is a distinct (group, day) projection with partial aggregation below its exchange; the expected side explodes sequence(min, max) from a per-group 1-row aggregate; the report is one LEFT ANTI equi-join between two calendar-bounded frames — the corpus is scanned once.",
+      "join_advisor" -> "Join-strategy advisor as ONE lazy program (round-9 verdict #4): left is scanned three times (MG sketch partial below a 1-row exchange, candidate recount behind a broadcast of the ≤capacity exploded candidate keys, CMS counters), right once; both side counts ride the counter tables (no separate count scans); the counter tables meet in a full-outer equi-join on (d, bucket); everything above is 1-row global-aggregate crosses — the advised join appears NOWHERE, and .head() is the only action.")
     // Nested-loop tripwire (round-9 verdict #7): the dump FAILS if a
     // plan contains CartesianProduct or BroadcastNestedLoopJoin unless
     // the query is allowlisted here with the reason its nested loop is
