@@ -26,7 +26,8 @@ object DeterminismProbe {
     "join_advisor", "join_size_estimate", "key_skew", "heavy_hitters",
     "cms_estimate", "distinct_estimate", "audience_overlap_estimate",
     "quantile_estimate", "group_quantile_estimate", "bootstrap_ci",
-    "bootstrap_diff_ci", "stats_summary")
+    "bootstrap_diff_ci", "stats_summary", "source_jaccard_kmv",
+    "dedup_idf_cosine")
 
   /** Rows rendered to one sorted canonical string: null-safe, stable
     * across runs iff the values are. Doubles print via toString (exact

@@ -118,6 +118,11 @@ object SparkEntry {
     "dedup_exact_summary" -> ((s, dir) => Dedup.exactSummary(tbl(s, dir, "documents"))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), 0.5)),
+    // the GRADED sibling of the Jaccard pair reports: idf-weighted
+    // shingle-set cosine, so rare shared content outranks shared
+    // boilerplate — same inverted-index pair space, df-capped
+    "dedup_idf_cosine" -> ((s, dir) =>
+      Dedup.idfCosinePairs(tbl(s, dir, "documents"), 50)),
     "dedup_groups" -> ((s, dir) =>
       Dedup.dupGroups(Dedup.minhashLshPairs(tbl(s, dir, "documents"), 0.5))),
     // the third candidate-generation strategy beside LSH banding and
@@ -507,6 +512,16 @@ object SparkEntry {
         ev.filter(col("event_type") === "click"), "user_id",
         ev.filter(col("event_type") === "view"), "user_id", 256)
     }),
+    // the per-group form: every source-pair's vocabulary Jaccard from
+    // ONE grouped sketch pass (the exact sibling is source_overlap's
+    // distinct self-join) — the "which crawls duplicate each other"
+    // planning table
+    "source_jaccard_kmv" -> ((s, dir) =>
+      operators.Kmv.groupedJaccard(
+        tbl(s, dir, "documents")
+          .select(col("source"),
+            explode(operators.TextAnalysis.words(col("text"))).as("w")),
+        "source", "w", 256)),
     // how many bits does knowing the language tell you about the
     // source — the MEASURE next to events_chi2's TEST of dependence
     "mutual_information" -> ((s, dir) =>
@@ -2314,6 +2329,36 @@ object SparkEntry {
          |FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
          |WHERE round(c::DOUBLE/(x.n + y.n - c), 6) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // identical 9-dp idf quantization (ln of the same double
+    // division), 9-dp product re-quantization into DECIMAL(28,9)
+    // order-free folds, one double division, 6-dp readout, the same
+    // (cosine desc, doc_a, doc_b) total order at the cut; documents
+    // with zero norm (every surviving shingle at df = N) are excluded
+    // on both sides rather than dividing by zero
+    "dedup_idf_cosine" ->
+      s"""WITH $shingleCte,
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |dfq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
+         |        HAVING count(*) <= 10000),
+         |wt AS (SELECT sh.doc_id, sh.shingle,
+         |         round(ln(CAST(nd.n_docs AS DOUBLE) / dfq.df), 9) AS wt
+         |       FROM sh JOIN dfq USING (shingle), nd),
+         |nrm AS (SELECT doc_id,
+         |          sqrt(CAST(sum(CAST(round(wt*wt, 9) AS DECIMAL(28,9)))
+         |            AS DOUBLE)) AS nrm
+         |        FROM wt GROUP BY doc_id),
+         |nrmp AS (SELECT doc_id, nrm FROM nrm WHERE nrm > 0.0),
+         |dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |           CAST(sum(CAST(round(a.wt*b.wt, 9) AS DECIMAL(28,9)))
+         |             AS DOUBLE) AS dot
+         |         FROM wt a JOIN wt b
+         |           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |         GROUP BY 1, 2)
+         |SELECT d.doc_a, d.doc_b,
+         |  round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+         |FROM dots d JOIN nrmp na ON d.doc_a = na.doc_id
+         |  JOIN nrmp nb ON d.doc_b = nb.doc_id
+         |ORDER BY cosine DESC, doc_a, doc_b LIMIT 50""".stripMargin,
     // same rank (block = first word, order = trimmed text then
     // doc_id), same w−1 neighbor window, same exact-Jaccard tail as
     // the ngram oracle
@@ -3468,6 +3513,45 @@ object SparkEntry {
          |SELECT CAST(256 AS BIGINT) AS k, union_est, jaccard_est,
          |  round(jaccard_est * union_est, 6) AS intersect_est
          |FROM r""".stripMargin,
+    // replay: per-source bottom-k DISTINCT md5-12 hashes, pairwise
+    // truncated unions, the same exact-below-k / (k−1)/θ lanes and
+    // rounded-factor products as the single-pair oracle above
+    "source_jaccard_kmv" ->
+      s"""WITH t AS (SELECT source AS g,
+         |             unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         |           FROM documents),
+         |h AS (SELECT DISTINCT g,
+         |        CAST('0x' || substr(md5(w), 1, 12) AS BIGINT) AS h FROM t),
+         |r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h)
+         |        AS rn FROM h),
+         |sk AS (SELECT g, h FROM r WHERE rn <= 256),
+         |pr AS (SELECT a.g AS ga, b.g AS gb
+         |       FROM (SELECT DISTINCT g FROM sk) a
+         |       JOIN (SELECT DISTINCT g FROM sk) b ON a.g < b.g),
+         |u1 AS (SELECT DISTINCT p.ga, p.gb, s.h
+         |       FROM pr p JOIN sk s ON s.g = p.ga OR s.g = p.gb),
+         |ur AS (SELECT ga, gb, h,
+         |         row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+         |       FROM u1),
+         |usk AS (SELECT ga, gb, h FROM ur WHERE rn <= 256),
+         |s2 AS (SELECT ga, gb, count(*) AS n, max(h) AS hk FROM usk
+         |       GROUP BY ga, gb),
+         |ib AS (SELECT u.ga, u.gb, count(*) AS inboth FROM usk u
+         |       WHERE EXISTS (SELECT 1 FROM sk WHERE g = u.ga AND h = u.h)
+         |         AND EXISTS (SELECT 1 FROM sk WHERE g = u.gb AND h = u.h)
+         |       GROUP BY u.ga, u.gb),
+         |rr AS (SELECT s2.ga, s2.gb, s2.n,
+         |         CASE WHEN s2.n < 256 THEN CAST(s2.n AS DOUBLE)
+         |              ELSE round(255.0 / ((CAST(s2.hk AS DOUBLE) + 0.5)
+         |                / power(16.0, 12)), 6) END AS union_est,
+         |         round(CAST(coalesce(ib.inboth, 0) AS DOUBLE)
+         |           / (CASE WHEN s2.n < 256 THEN s2.n ELSE 256 END), 6)
+         |           AS jaccard_est
+         |       FROM s2 LEFT JOIN ib ON s2.ga = ib.ga AND s2.gb = ib.gb)
+         |SELECT ga AS group_a, gb AS group_b, CAST(256 AS BIGINT) AS k,
+         |  union_est, jaccard_est,
+         |  round(jaccard_est * union_est, 6) AS intersect_est
+         |FROM rr ORDER BY group_a, group_b""".stripMargin,
     // identical 9-dp-quantized nat terms, decimal fold, shared ln 2
     // literal, NMI from the ROUNDED entropies
     "mutual_information" ->

@@ -400,6 +400,11 @@ object SqlSurface {
       "dedup_incremental_compacted" -> annLifecycle,
       "dedup_incremental_bloom" -> ("bloom-filter prefilter state over " +
         "the committed dedup history; the filter is fitted state"),
+      "source_jaccard_kmv" -> ("pairwise theta-sketch set algebra over " +
+        "per-group BottomK sketches merged driver-side (bounded " +
+        "groups × k longs); the single-pair SQL-reachable form is " +
+        "audience_overlap_estimate via the registered kmv_sketch_* " +
+        "functions"),
       "pq_encode" -> mllibFit,
       "pq_adc_topk" -> mllibFit,
       "embedding_pca" -> mllibFit,
@@ -3505,6 +3510,35 @@ object SqlSurface {
          |  min(doc_id) AS keeper_doc
          |FROM h GROUP BY norm_sha ORDER BY norm_sha""".stripMargin,
 
+    // IDF-weighted shingle-set cosine top-50 — the graded sibling of
+    // the Jaccard pair report: same inverted shingle join, 9-dp idf
+    // quantization, DECIMAL(28,9) order-free folds, 6-dp readout,
+    // (cosine desc, doc_a, doc_b) total order at the cut.
+    "dedup_idf_cosine" ->
+      s"""WITH ${shingleCte("doc_id")},
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |dfq AS (SELECT shingle, count(1) AS df FROM sh GROUP BY shingle
+         |        HAVING count(1) <= 10000),
+         |wt AS (SELECT sh.doc_id, sh.shingle,
+         |         round(ln(CAST(nd.n_docs AS DOUBLE) / dfq.df), 9) AS wt
+         |       FROM sh JOIN dfq USING (shingle) CROSS JOIN nd),
+         |nrm AS (SELECT doc_id,
+         |          sqrt(CAST(sum(CAST(round(wt*wt, 9) AS DECIMAL(28,9)))
+         |            AS DOUBLE)) AS nrm
+         |        FROM wt GROUP BY doc_id),
+         |nrmp AS (SELECT doc_id, nrm FROM nrm WHERE nrm > 0.0D),
+         |dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |           CAST(sum(CAST(round(a.wt*b.wt, 9) AS DECIMAL(28,9)))
+         |             AS DOUBLE) AS dot
+         |         FROM wt a JOIN wt b
+         |           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |         GROUP BY a.doc_id, b.doc_id)
+         |SELECT d.doc_a, d.doc_b,
+         |  round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+         |FROM dots d JOIN nrmp na ON d.doc_a = na.doc_id
+         |  JOIN nrmp nb ON d.doc_b = nb.doc_id
+         |ORDER BY cosine DESC, doc_a, doc_b LIMIT 50""".stripMargin,
+
     // Exact n-gram Jaccard pairs over the inverted shingle join — the
     // verified-pair readout the dup-group chain starts from.
     "dedup_ngram_jaccard" ->
@@ -4509,6 +4543,7 @@ object SqlSurface {
       "dedup_keep_canonical" -> SparkEntry.queries("dedup_keep_canonical"),
       "normalized_dedup" -> SparkEntry.queries("normalized_dedup"),
       "dedup_ngram_jaccard" -> SparkEntry.queries("dedup_ngram_jaccard"),
+      "dedup_idf_cosine" -> SparkEntry.queries("dedup_idf_cosine"),
       "dedup_sorted_neighborhood" ->
         SparkEntry.queries("dedup_sorted_neighborhood"),
       "dup_evidence" -> SparkEntry.queries("dup_evidence"),

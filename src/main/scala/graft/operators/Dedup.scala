@@ -1238,4 +1238,58 @@ object Dedup {
       .orderBy(col("score").desc, col("vec_a").asc, col("vec_b").asc)
       .limit(topN)
   }
+
+  /** IDF-weighted cosine top-N similar pairs — the GRADED sibling of
+    * the exact-Jaccard pair reports: Jaccard treats a shared
+    * boilerplate shingle and a shared rare shingle alike; weighting
+    * each distinct shingle by round(ln(N/df), 9) makes rare shared
+    * content dominate the score, which is what a curation reviewer
+    * ranks by. Vectors are idf-weighted shingle SETS (binary tf), so
+    * cosine = Σ_shared idf² / (‖a‖·‖b‖).
+    *
+    * Scale shape: the pair space comes from the same inverted-index
+    * equi-join on shingle as [[ngramJaccardPairs]], with multiplicity
+    * per shingle bounded by df ≤ maxDf (boilerplate shingles above the
+    * cap drop from BOTH the dot products and the norms, so the cap is
+    * a semantic parameter, not a silent truncation — the excluded mass
+    * is near-zero idf anyway at df ≈ N); df and norms are map-side-
+    * combinable aggregates; the final cut is orderBy+limit →
+    * TakeOrderedAndProject, never a global sort. Determinism: idf is
+    * quantized at 9 dp, every product re-quantizes at 9 dp into
+    * DECIMAL(28,9) (order-free folds), one double division, 6-dp
+    * readout, (cosine desc, doc_a, doc_b) total order at the cut.
+    * Documents whose every surviving shingle has idf 0 (df = N) carry
+    * zero norm and are excluded rather than dividing by zero.
+    */
+  def idfCosinePairs(docs: DataFrame, topN: Int, n: Int = 3,
+      maxDf: Long = 10000L): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    require(maxDf >= 2, s"maxDf must be >= 2 (df=1 shingles cannot pair), got $maxDf")
+    import org.apache.spark.sql.types.DecimalType
+    val sh = shingles(docs, n)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val wt = sh.join(dfreq, "shingle").crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("shingle"),
+        round(log(col("n_docs").cast("double") / col("df")), 9).as("wt"))
+    val norms = wt.groupBy(col("doc_id"))
+      .agg(sqrt(sum(round(col("wt") * col("wt"), 9)
+        .cast(DecimalType(28, 9))).cast("double")).as("nrm"))
+      .filter(col("nrm") > 0.0)
+    val dots = wt.as("a").join(wt.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(round(col("a.wt") * col("b.wt"), 9)
+        .cast(DecimalType(28, 9))).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("na")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("dot").cast("double") / (col("na") * col("nb")), 6)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(topN)
+  }
 }

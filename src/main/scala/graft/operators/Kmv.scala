@@ -184,4 +184,67 @@ object Kmv {
         StructField("jaccard_est", DoubleType),
         StructField("intersect_est", DoubleType))))
   }
+
+  /** Pairwise Jaccard / union / intersection estimates between EVERY
+    * pair of groups from ONE bounded sketch pass — the per-group form
+    * of [[overlapEstimate]] (which answers one pair from two passes).
+    * The corpus-sized work is a single groupBy(group) BottomK
+    * aggregation (partial state k longs per task per group); the
+    * sketches collect to the driver (bounded: ≤ maxGroups × k longs —
+    * the centroid-dump discipline, CHECKED) and the ≤ C(groups, 2)
+    * pair readouts run on k-long vectors with the same theta-sketch
+    * math, rounding and exact-below-k semantics as overlapEstimate.
+    * Output (group_a < group_b, ordered): k, union_est, jaccard_est,
+    * intersect_est — all 6-dp, oracle-replayable (md5-12 hashes).
+    */
+  def groupedJaccard(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 256, maxGroups: Int = 1024): DataFrame = {
+    require(maxGroups >= 2, s"maxGroups must be >= 2, got $maxGroups")
+    val spark = df.sparkSession
+    val agg = udaf(new BottomK(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
+    val rows = Partitioning.spread(df)
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        hash48(col(valueCol).cast("string")).as("h"))
+      .groupBy(col("g")).agg(agg(col("h")).as("sk"))
+      .collect()
+    require(rows.length <= maxGroups,
+      s"groupedJaccard: ${rows.length} groups exceed maxGroups=$maxGroups " +
+        "- the sketch table must stay driver-bounded; raise the cap " +
+        "knowingly or pre-bucket the group column")
+    val sketches = rows.map(r => r.getString(0) -> r.getSeq[Long](1).toVector)
+      .sortBy(_._1)
+    val merger = new BottomK(k)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = for {
+      i <- sketches.indices
+      j <- (i + 1) until sketches.length
+    } yield {
+      val (ga, sa) = sketches(i)
+      val (gb, sb) = sketches(j)
+      val union = merger.merge(sa, sb)
+      val exact = union.length < k
+      val unionEst =
+        if (exact) union.length.toDouble
+        else r6((k - 1).toDouble /
+          ((union.last.toDouble + 0.5) / math.pow(16.0, 12)))
+      val (setA, setB) = (sa.toSet, sb.toSet)
+      val inBoth = union.count(h => setA(h) && setB(h))
+      val denom = if (exact) union.length else k
+      val jaccard = if (denom == 0) 0.0 else r6(inBoth.toDouble / denom)
+      val intersect = r6(jaccard * unionEst)
+      Row(ga, gb, k.toLong, unionEst, jaccard, intersect)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1),
+      StructType(Seq(
+        StructField("group_a", org.apache.spark.sql.types.StringType),
+        StructField("group_b", org.apache.spark.sql.types.StringType),
+        StructField("k", LongType),
+        StructField("union_est", DoubleType),
+        StructField("jaccard_est", DoubleType),
+        StructField("intersect_est", DoubleType))))
+  }
 }

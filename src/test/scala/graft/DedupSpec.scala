@@ -563,4 +563,53 @@ class DedupSpec extends AnyFunSuite {
         _ => lit(1), t => t, window = 2, threshold = 0.0)
     }
   }
+
+  test("idfCosinePairs: identical docs hit 1.0; rare shared content outranks boilerplate") {
+    import spark.implicits._
+    // docs 1/2 identical; 3 shares only the COMMON shingle with 1;
+    // 5/6 share a RARE shingle. Jaccard would score (1,3) and (5,6)
+    // alike at 1/3 — idf weighting must rank the rare-share pair higher.
+    val docs = Seq(
+      (1L, "a b c d"),          // shingles: "a b c"(df3), "b c d"(df2)
+      (2L, "a b c d"),
+      (3L, "a b c x"),          // "a b c", "b c x"(df1)
+      (5L, "p q r s"),          // "p q r"(df2), "q r s"(df1)
+      (6L, "p q r t")           // "p q r", "q r t"(df1)
+    ).toDF("doc_id", "text")
+    val got = Dedup.idfCosinePairs(docs, topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((1L, 2L)) == 1.0, s"identical docs must score 1.0: $got")
+    assert(got.contains(1L -> 3L) && got.contains(5L -> 6L))
+    assert(got((5L, 6L)) > got((1L, 3L)),
+      s"rare shared shingle must outrank shared boilerplate: $got")
+    // no cross pair between the disjoint families
+    assert(!got.keys.exists { case (a, b) => a <= 3L && b >= 5L })
+  }
+
+  test("idfCosinePairs: the df cap drops boilerplate from dots AND norms") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c d"), (3L, "a b c z"), (4L, "a b c w")
+    ).toDF("doc_id", "text")
+    // "a b c" has df 4 — capped out at maxDf = 2; docs 3 and 4 then
+    // have only df-1 shingles left (no pairs), docs 1/2 still pair at
+    // 1.0 through "b c d" alone
+    val got = Dedup.idfCosinePairs(docs, topN = 10, maxDf = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got == Map((1L, 2L) -> 1.0), s"got $got")
+  }
+
+  test("idfCosinePairs: df = N shingles carry zero idf and cannot divide by zero") {
+    import spark.implicits._
+    // every doc contains "a b c": idf = ln(1) = 0 exactly — docs whose
+    // ONLY surviving shingle is that one have zero norm and must be
+    // EXCLUDED, not produce NaN
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "a b c d")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.idfCosinePairs(docs, topN = 10).collect()
+    assert(rows.forall(r => !r.getDouble(2).isNaN))
+    assert(rows.isEmpty,
+      s"zero-norm docs must drop and doc 3 has no surviving partner: ${rows.toSeq}")
+  }
 }

@@ -94,4 +94,34 @@ class KmvSpec extends AnyFunSuite {
     val b = Seq(9L, 3L, 7L, 3L, 1L, 8L, 2L, 2L).foldLeft(agg.zero)(agg.reduce)
     assert(b == Vector(1L, 2L, 3L, 7L))
   }
+
+  test("groupedJaccard: identical groups J=1, disjoint J=0, matches the pair form") {
+    import spark.implicits._
+    val rows =
+      (1 to 100).map(i => ("ga", s"v$i")) ++
+      (1 to 100).map(i => ("gb", s"v$i")) ++
+      (201 to 300).map(i => ("gc", s"v$i"))
+    val df = rows.toDF("g", "v")
+    val got = Kmv.groupedJaccard(df, "g", "v", k = 256)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got.keySet == Set("ga" -> "gb", "ga" -> "gc", "gb" -> "gc"))
+    // unions fit under k = 256: all three readouts are EXACT
+    assert(got("ga" -> "gb") == ((100.0, 1.0, 100.0)), s"$got")
+    assert(got("ga" -> "gc")._2 == 0.0 && got("ga" -> "gc")._1 == 200.0)
+    // the per-group form must equal the single-pair operator on (ga, gb)
+    val pair = Kmv.overlapEstimate(
+      df.filter($"g" === "ga"), "v", df.filter($"g" === "gb"), "v", 256)
+      .head()
+    assert((pair.getDouble(1), pair.getDouble(2), pair.getDouble(3)) ==
+      got("ga" -> "gb"))
+  }
+
+  test("groupedJaccard: the driver-bound group cap is checked, not trusted") {
+    import spark.implicits._
+    val df = (1 to 40).map(i => (s"g$i", "x")).toDF("g", "v")
+    intercept[IllegalArgumentException] {
+      Kmv.groupedJaccard(df, "g", "v", k = 16, maxGroups = 8)
+    }
+  }
 }
