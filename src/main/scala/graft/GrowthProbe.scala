@@ -76,6 +76,11 @@ object GrowthProbe {
     probe("cms_estimate")(d => CountMin.estimates(d,
       Seq("join", "hash", "vector", "data", "merge", "absent")).count())
     probe("key_skew")(d => HeavyHitters.keySkew(d, "lang", 5).count())
+    probe("idf_cosine_pairs")(d => Dedup.idfCosinePairs(d, 50).count())
+    probe("grouped_jaccard")(d =>
+      Kmv.groupedJaccard(
+        d.select(col("source"), explode(TextAnalysis.words(col("text"))).as("w")),
+        "source", "w", 256).count())
     probe("join_size_estimate")(d =>
       CountMin.joinSizeEstimate(d, "source", d, "source").count())
     probe("bootstrap_ci")(d =>
