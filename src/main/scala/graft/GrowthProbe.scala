@@ -76,7 +76,30 @@ object GrowthProbe {
     probe("cms_estimate")(d => CountMin.estimates(d,
       Seq("join", "hash", "vector", "data", "merge", "absent")).count())
     probe("key_skew")(d => HeavyHitters.keySkew(d, "lang", 5).count())
-    probe("idf_cosine_pairs")(d => Dedup.idfCosinePairs(d, 50).count())
+    // self-generating idf-cosine: the work driver is the co-occurrence
+    // mass Σ_shingle C(df,2) (no threshold to prefix-prune against —
+    // see the operator's scaladoc), and the probe corpus quadruples
+    // that mass per doubling by design (dup-group copies double), so
+    // the honest measurement is time per unit of mass — the corpus-
+    // scale path is lshCandidates |> idfCosineRank, probed below
+    if (!skipProbe("idf_cosine_pairs")) locally {
+      def mass(d: org.apache.spark.sql.DataFrame): Long =
+        Dedup.shingles(d).groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df"))
+          .agg(sum(col("df") * (col("df") - 1) / 2)).head().getLong(0)
+      val mH = mass(half); val mF = mass(full)
+      val tH = bestOf2(Dedup.idfCosinePairs(half, 50).count())
+      val tF = bestOf2(Dedup.idfCosinePairs(full, 50).count())
+      val norm = (tF / mF) / (tH / mH)
+      println(f"$tH%7.2f  $tF%7.2f  raw=${tF / tH}%5.2f  mass: $mH%,d → $mF%,d (${mF.toDouble / mH}%4.2fx)  per-mass ratio=$norm%5.2f  ${if (norm > 1.5) "SLOW " else "ok   "}idf_cosine_pairs (co-occurrence-mass normalized)")
+    }
+    if (!skipProbe("idf_cosine_rank")) locally {
+      var pH = 0L; var pF = 0L
+      val tH = bestOf2 { pH = Dedup.idfCosineRank(half, Dedup.lshCandidates(half)).count(); pH }
+      val tF = bestOf2 { pF = Dedup.idfCosineRank(full, Dedup.lshCandidates(full)).count(); pF }
+      val norm = (tF / pF) / (tH / pH)
+      println(f"$tH%7.2f  $tF%7.2f  raw=${tF / tH}%5.2f  cands: $pH%,d → $pF%,d (${pF.toDouble / pH}%4.2fx)  per-candidate ratio=$norm%5.2f  ${if (norm > 1.5) "SLOW " else "ok   "}idf_cosine_rank (LSH-proposed)")
+    }
     probe("grouped_jaccard")(d =>
       Kmv.groupedJaccard(
         d.select(col("source"), explode(TextAnalysis.words(col("text"))).as("w")),

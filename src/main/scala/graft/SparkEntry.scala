@@ -123,6 +123,13 @@ object SparkEntry {
     // boilerplate — same inverted-index pair space, df-capped
     "dedup_idf_cosine" -> ((s, dir) =>
       Dedup.idfCosinePairs(tbl(s, dir, "documents"), 50)),
+    // the corpus-scale composition: LSH banding proposes candidates,
+    // idf-weighted cosine ranks them — work bounded by the candidate
+    // list, never the corpus-wide co-occurrence mass
+    "dedup_idf_rank" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      Dedup.idfCosineRank(d, Dedup.lshCandidates(d))
+    }),
     "dedup_groups" -> ((s, dir) =>
       Dedup.dupGroups(Dedup.minhashLshPairs(tbl(s, dir, "documents"), 0.5))),
     // the third candidate-generation strategy beside LSH banding and
@@ -2359,6 +2366,37 @@ object SparkEntry {
          |FROM dots d JOIN nrmp na ON d.doc_a = na.doc_id
          |  JOIN nrmp nb ON d.doc_b = nb.doc_id
          |ORDER BY cosine DESC, doc_a, doc_b LIMIT 50""".stripMargin,
+    // the SAME banding chain as dedup_minhash_lsh proposes the
+    // candidates (cand CTE), the SAME idf scoring as dedup_idf_cosine
+    // ranks them; a candidate with no shared surviving shingle scores
+    // 0.0, zero-norm docs drop
+    "dedup_idf_rank" ->
+      s"""WITH $minhashCtes,
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |dfq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
+         |        HAVING count(*) <= 10000),
+         |wt AS (SELECT sh.doc_id, sh.shingle,
+         |         round(ln(CAST(nd.n_docs AS DOUBLE) / dfq.df), 9) AS wt
+         |       FROM sh JOIN dfq USING (shingle), nd),
+         |nrm AS (SELECT doc_id,
+         |          sqrt(CAST(sum(CAST(round(wt*wt, 9) AS DECIMAL(28,9)))
+         |            AS DOUBLE)) AS nrm
+         |        FROM wt GROUP BY doc_id),
+         |nrmp AS (SELECT doc_id, nrm FROM nrm WHERE nrm > 0.0),
+         |dots AS (SELECT c.doc_a, c.doc_b,
+         |           CAST(sum(CAST(round(a.wt*b.wt, 9) AS DECIMAL(28,9)))
+         |             AS DOUBLE) AS dot
+         |         FROM cand c
+         |         JOIN wt a ON a.doc_id = c.doc_a
+         |         JOIN wt b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |         GROUP BY 1, 2)
+         |SELECT c.doc_a, c.doc_b,
+         |  round(coalesce(d.dot, 0.0) / (na.nrm * nb.nrm), 6) AS cosine
+         |FROM cand c
+         |JOIN nrmp na ON c.doc_a = na.doc_id
+         |JOIN nrmp nb ON c.doc_b = nb.doc_id
+         |LEFT JOIN dots d ON c.doc_a = d.doc_a AND c.doc_b = d.doc_b
+         |ORDER BY cosine DESC, c.doc_a, c.doc_b""".stripMargin,
     // same rank (block = first word, order = trimmed text then
     // doc_id), same w−1 neighbor window, same exact-Jaccard tail as
     // the ngram oracle

@@ -3539,6 +3539,37 @@ object SqlSurface {
          |  JOIN nrmp nb ON d.doc_b = nb.doc_id
          |ORDER BY cosine DESC, doc_a, doc_b LIMIT 50""".stripMargin,
 
+    // Banding proposes (the shared minhash cand chain), idf-weighted
+    // cosine ranks — the corpus-scale composition of the two entries
+    // above it on this surface.
+    "dedup_idf_rank" ->
+      s"""WITH $minhashCtes,
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |dfq AS (SELECT shingle, count(1) AS df FROM sh GROUP BY shingle
+         |        HAVING count(1) <= 10000),
+         |wt AS (SELECT sh.doc_id, sh.shingle,
+         |         round(ln(CAST(nd.n_docs AS DOUBLE) / dfq.df), 9) AS wt
+         |       FROM sh JOIN dfq USING (shingle) CROSS JOIN nd),
+         |nrm AS (SELECT doc_id,
+         |          sqrt(CAST(sum(CAST(round(wt*wt, 9) AS DECIMAL(28,9)))
+         |            AS DOUBLE)) AS nrm
+         |        FROM wt GROUP BY doc_id),
+         |nrmp AS (SELECT doc_id, nrm FROM nrm WHERE nrm > 0.0D),
+         |dots AS (SELECT c.doc_a, c.doc_b,
+         |           CAST(sum(CAST(round(a.wt*b.wt, 9) AS DECIMAL(28,9)))
+         |             AS DOUBLE) AS dot
+         |         FROM cand c
+         |         JOIN wt a ON a.doc_id = c.doc_a
+         |         JOIN wt b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |         GROUP BY c.doc_a, c.doc_b)
+         |SELECT c.doc_a, c.doc_b,
+         |  round(coalesce(d.dot, 0.0D) / (na.nrm * nb.nrm), 6) AS cosine
+         |FROM cand c
+         |JOIN nrmp na ON c.doc_a = na.doc_id
+         |JOIN nrmp nb ON c.doc_b = nb.doc_id
+         |LEFT JOIN dots d ON c.doc_a = d.doc_a AND c.doc_b = d.doc_b
+         |ORDER BY cosine DESC, doc_a, doc_b""".stripMargin,
+
     // Exact n-gram Jaccard pairs over the inverted shingle join — the
     // verified-pair readout the dup-group chain starts from.
     "dedup_ngram_jaccard" ->
@@ -4544,6 +4575,7 @@ object SqlSurface {
       "normalized_dedup" -> SparkEntry.queries("normalized_dedup"),
       "dedup_ngram_jaccard" -> SparkEntry.queries("dedup_ngram_jaccard"),
       "dedup_idf_cosine" -> SparkEntry.queries("dedup_idf_cosine"),
+      "dedup_idf_rank" -> SparkEntry.queries("dedup_idf_rank"),
       "dedup_sorted_neighborhood" ->
         SparkEntry.queries("dedup_sorted_neighborhood"),
       "dup_evidence" -> SparkEntry.queries("dup_evidence"),

@@ -1239,32 +1239,17 @@ object Dedup {
       .limit(topN)
   }
 
-  /** IDF-weighted cosine top-N similar pairs — the GRADED sibling of
-    * the exact-Jaccard pair reports: Jaccard treats a shared
-    * boilerplate shingle and a shared rare shingle alike; weighting
-    * each distinct shingle by round(ln(N/df), 9) makes rare shared
-    * content dominate the score, which is what a curation reviewer
-    * ranks by. Vectors are idf-weighted shingle SETS (binary tf), so
-    * cosine = Σ_shared idf² / (‖a‖·‖b‖).
-    *
-    * Scale shape: the pair space comes from the same inverted-index
-    * equi-join on shingle as [[ngramJaccardPairs]], with multiplicity
-    * per shingle bounded by df ≤ maxDf (boilerplate shingles above the
-    * cap drop from BOTH the dot products and the norms, so the cap is
-    * a semantic parameter, not a silent truncation — the excluded mass
-    * is near-zero idf anyway at df ≈ N); df and norms are map-side-
-    * combinable aggregates; the final cut is orderBy+limit →
-    * TakeOrderedAndProject, never a global sort. Determinism: idf is
-    * quantized at 9 dp, every product re-quantizes at 9 dp into
-    * DECIMAL(28,9) (order-free folds), one double division, 6-dp
-    * readout, (cosine desc, doc_a, doc_b) total order at the cut.
-    * Documents whose every surviving shingle has idf 0 (df = N) carry
-    * zero norm and are excluded rather than dividing by zero.
+  /** Shared idf machinery: (weights, norms). Weights are
+    * round(ln(N/df), 9) per surviving (doc, shingle) — binary tf, the
+    * df ≤ maxDf cap drops boilerplate from dots AND norms alike (a
+    * semantic parameter, not a silent truncation: the excluded mass is
+    * near-zero idf anyway at df ≈ N). Norms are sqrt of the 9-dp-
+    * quantized DECIMAL(28,9) square fold; zero-norm docs (every
+    * surviving shingle at df = N, idf exactly 0) are EXCLUDED so no
+    * consumer can divide by zero.
     */
-  def idfCosinePairs(docs: DataFrame, topN: Int, n: Int = 3,
-      maxDf: Long = 10000L): DataFrame = {
-    require(topN >= 1, s"topN must be >= 1, got $topN")
-    require(maxDf >= 2, s"maxDf must be >= 2 (df=1 shingles cannot pair), got $maxDf")
+  private def idfWeights(docs: DataFrame, n: Int, maxDf: Long)
+      : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.types.DecimalType
     val sh = shingles(docs, n)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
@@ -1277,6 +1262,39 @@ object Dedup {
       .agg(sqrt(sum(round(col("wt") * col("wt"), 9)
         .cast(DecimalType(28, 9))).cast("double")).as("nrm"))
       .filter(col("nrm") > 0.0)
+    (wt, norms)
+  }
+
+  /** IDF-weighted cosine top-N similar pairs — the GRADED sibling of
+    * the exact-Jaccard pair reports: Jaccard treats a shared
+    * boilerplate shingle and a shared rare shingle alike; weighting
+    * each distinct shingle by round(ln(N/df), 9) makes rare shared
+    * content dominate the score, which is what a curation reviewer
+    * ranks by. Vectors are idf-weighted shingle SETS (binary tf), so
+    * cosine = Σ_shared idf² / (‖a‖·‖b‖).
+    *
+    * Scale shape — SELF-GENERATING form: the pair space is the plain
+    * inverted-index equi-join on shingle, so the intermediate work is
+    * the co-occurrence mass Σ_shingle C(df, 2), bounded by
+    * maxDf · postings but NOT prefix-prunable (a top-N cosine has no
+    * threshold to prune against — growth-probed at ~1.4× per unit of
+    * co-occurrence mass). This is the exact small/medium-corpus form
+    * and the calibration reference; at corpus scale generate
+    * candidates first (banding) and rank them with [[idfCosineRank]],
+    * whose work is bounded by the CANDIDATE list instead. df and
+    * norms are map-side-combinable aggregates; the final cut is
+    * orderBy+limit → TakeOrderedAndProject, never a global sort.
+    * Determinism: idf quantized at 9 dp, every product re-quantized
+    * at 9 dp into DECIMAL(28,9) (order-free folds), one double
+    * division, 6-dp readout, (cosine desc, doc_a, doc_b) total order
+    * at the cut.
+    */
+  def idfCosinePairs(docs: DataFrame, topN: Int, n: Int = 3,
+      maxDf: Long = 10000L): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    require(maxDf >= 2, s"maxDf must be >= 2 (df=1 shingles cannot pair), got $maxDf")
+    import org.apache.spark.sql.types.DecimalType
+    val (wt, norms) = idfWeights(docs, n, maxDf)
     val dots = wt.as("a").join(wt.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -1291,5 +1309,60 @@ object Dedup {
           .as("cosine"))
       .orderBy(col("cosine").desc, col("doc_a").asc, col("doc_b").asc)
       .limit(topN)
+  }
+
+  /** LSH candidate pairs (16 hashes, 4 bands — the [[minhashLshPairs]]
+    * banding) WITHOUT verification: the bounded candidate generator
+    * for rankers that apply their own scoring, e.g.
+    * [[idfCosineRank]]. Canonical doc_a < doc_b, distinct.
+    */
+  def lshCandidates(docs: DataFrame): DataFrame = {
+    val docSh = Partitioning.spread(docs)
+      .select(col("doc_id"), shingleArray(col("text")).as("sh"))
+      .filter(size(col("sh")) >= 1)
+    val banded = bandKeysOf(docSh, "doc_id", 16, 4)
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** IDF-weighted cosine over a GIVEN candidate pair list — the
+    * corpus-scale composition: banding (or any blocker) proposes,
+    * this ranks. Work is bounded by |candidates| × document shingle
+    * count (each pair joins its two weight vectors through one
+    * (doc, shingle) equi-join chain), never the corpus-wide
+    * co-occurrence mass the self-generating [[idfCosinePairs]] pays.
+    * Candidates must be canonical (doc_a < doc_b); duplicates are
+    * collapsed. Pairs with no shared SURVIVING shingle score 0.0
+    * (the df cap can orphan a banded pair); pairs touching a
+    * zero-norm document drop, as in the pairs form. Same 9-dp/
+    * DECIMAL(28,9)/6-dp determinism contract; output ordered
+    * (cosine desc, doc_a, doc_b), one row per surviving candidate.
+    */
+  def idfCosineRank(docs: DataFrame, candidates: DataFrame, n: Int = 3,
+      maxDf: Long = 10000L): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    import org.apache.spark.sql.types.DecimalType
+    val (wt, norms) = idfWeights(docs, n, maxDf)
+    val cand = candidates.select(col("doc_a"), col("doc_b")).distinct()
+    val dots = cand
+      .join(wt.select(col("doc_id").as("doc_a"), col("shingle"),
+        col("wt").as("wa")), "doc_a")
+      .join(wt.select(col("doc_id").as("doc_b"), col("shingle"),
+        col("wt").as("wb")), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(round(col("wa") * col("wb"), 9)
+        .cast(DecimalType(28, 9))).as("dot"))
+    cand
+      .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("na")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), "doc_b")
+      .join(dots, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        round(coalesce(col("dot").cast("double"), lit(0.0))
+          / (col("na") * col("nb")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_a").asc, col("doc_b").asc)
   }
 }

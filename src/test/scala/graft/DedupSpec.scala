@@ -612,4 +612,34 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.isEmpty,
       s"zero-norm docs must drop and doc 3 has no surviving partner: ${rows.toSeq}")
   }
+
+  test("idfCosineRank: scores the GIVEN candidates, agrees with the pairs form") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c d"), (3L, "a b c x"), (4L, "q r s t")
+    ).toDF("doc_id", "text")
+    // candidates include a genuinely disjoint pair (1,4): it must
+    // surface with cosine 0.0, not drop and not NaN
+    val cand = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val got = Dedup.idfCosineRank(docs, cand)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == Set(1L -> 2L, 1L -> 3L, 1L -> 4L))
+    assert(got(1L -> 2L) == 1.0 && got(1L -> 4L) == 0.0)
+    val pairsForm = Dedup.idfCosinePairs(docs, topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got(1L -> 3L) == pairsForm(1L -> 3L),
+      "rank and pairs forms must score a shared candidate identically")
+  }
+
+  test("lshCandidates: exact duplicates are always candidates; output is canonical") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y z w v u"), (2L, "x y z w v u"), (3L, "completely different words here now")
+    ).toDF("doc_id", "text")
+    val cand = Dedup.lshCandidates(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(cand.contains((1L, 2L)), s"identical docs must band together: ${cand.toSeq}")
+    assert(cand.forall { case (a, b) => a < b }, "canonical doc_a < doc_b")
+    assert(cand.distinct.length == cand.length, "distinct pairs")
+  }
 }
