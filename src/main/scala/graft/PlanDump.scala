@@ -102,6 +102,7 @@ object PlanDump {
       "theilsen_trend" -> "Theil-Sen trend: the stream collapses to the guarded day domain BEFORE the pairwise join — the quadratic join (a BroadcastNestedLoopJoin by nature: inequality-only condition) pairs day rows, never events; both medians are single interpolated-percentile aggregates over bounded frames.",
       "calendar_gaps" -> "Calendar gaps: the observed side is a distinct (group, day) projection with partial aggregation below its exchange; the expected side explodes sequence(min, max) from a per-group 1-row aggregate; the report is one LEFT ANTI equi-join between two calendar-bounded frames — the corpus is scanned once.",
       "dedup_idf_cosine" -> "IDF-weighted cosine pairs: the pair space is the SAME inverted shingle equi-join as the Jaccard reports (multiplicity bounded by the df cap — the cap filter sits on the df aggregate BEFORE the weight join); df, norms and dots all partial-aggregate below their exchanges with doc-bearing keys; the cut is TakeOrderedAndProject on the 6-dp cosine — no global sort, no BNLJ.",
+      "dedup_idf_rank" -> "LSH-proposed idf-cosine ranking: the banding chain proposes candidates (the dedup_minhash_lsh shape — tiny (doc, band, key) self-join, no nested loop); scoring joins each candidate through ONE (doc, shingle) equi-join chain against the weight table — work bounded by the candidate list, never the corpus co-occurrence mass; dot/norm folds are map-side-combined DECIMAL(28,9) partials.",
       "join_advisor" -> "Join-strategy advisor as ONE lazy program (round-9 verdict #4): left is scanned three times (MG sketch partial below a 1-row exchange, candidate recount behind a broadcast of the ≤capacity exploded candidate keys, CMS counters), right once; both side counts ride the counter tables (no separate count scans); the counter tables meet in a full-outer equi-join on (d, bucket); everything above is 1-row global-aggregate crosses — the advised join appears NOWHERE, and .head() is the only action.")
     // Nested-loop tripwire (round-9 verdict #7): the dump FAILS if a
     // plan contains CartesianProduct or BroadcastNestedLoopJoin unless
@@ -152,7 +153,8 @@ object PlanDump {
         "per-table check frames"),
       "ab_cuped" -> "broadcast 1-row moment (θ) frame",
       "basket_lift" -> "broadcast 1-row basket-total frame",
-      "dedup_idf_cosine" -> "broadcast 1-row n_docs frame into the idf projection")
+      "dedup_idf_cosine" -> "broadcast 1-row n_docs frame into the idf projection",
+      "dedup_idf_rank" -> "broadcast 1-row n_docs frame into the idf projection")
     val nested = scala.collection.mutable.LinkedHashMap[String, String]()
     val sb = new StringBuilder
     sb.append("# Physical plans — flagship queries\n\n")
