@@ -1159,6 +1159,11 @@ object SparkEntry {
     // from its own baseline — local spikes flag, level shifts don't
     "rolling_anomaly" -> ((s, dir) =>
       operators.Timeseries.rollingAnomaly(events(s, dir), 7, 3.0)),
+    // the seasonality-aware sibling: each day judged against its own
+    // WEEKDAY's trailing baseline, so the weekly rhythm does not
+    // masquerade as anomaly
+    "dow_adjusted_anomaly" -> ((s, dir) =>
+      operators.Timeseries.dowAdjustedAnomaly(events(s, dir), 4, 3.0)),
     // weekly cohort retention (epoch-anchored integer weeks — no
     // calendar/week-start convention for the engines to disagree on)
     "user_retention" -> ((s, dir) => operators.Funnel.retention(events(s, dir))),
@@ -4711,6 +4716,37 @@ object SparkEntry {
          |        END AS std_prev
          |      FROM s)
          |SELECT strftime(day, '%Y-%m-%d') AS day, CAST(n AS BIGINT) AS n,
+         |  CAST(n_window AS INT) AS n_window, mean_prev, std_prev,
+         |  coalesce(CAST(abs(CAST(n AS DOUBLE) - mean_prev)
+         |    > 3.0 * std_prev AS INT), 0) AS is_anomaly
+         |FROM m ORDER BY day""".stripMargin,
+    // the same moment machinery PARTITIONED by the shared
+    // days-since-Monday dow convention; window = 4 same-dow baselines
+    "dow_adjusted_anomaly" ->
+      s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+         |               FROM events GROUP BY 1),
+         |dd AS (SELECT day, date_diff('day', DATE '1970-01-05', day) % 7
+         |         AS dow, n FROM daily),
+         |s AS (SELECT day, dow, n,
+         |        count(n) OVER w AS n_window,
+         |        sum(CAST(n AS HUGEINT)) OVER w AS sx,
+         |        sum(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) OVER w AS sx2
+         |      FROM dd
+         |      WINDOW w AS (PARTITION BY dow ORDER BY day
+         |                   ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)),
+         |m AS (SELECT day, dow, n, n_window,
+         |        CASE WHEN n_window >= 2 THEN
+         |          round(CAST(sx AS DOUBLE) / CAST(n_window AS DOUBLE), 6)
+         |        END AS mean_prev,
+         |        CASE WHEN n_window >= 2 THEN
+         |          round(sqrt(greatest(
+         |            CAST(CAST(n_window AS HUGEINT) * sx2 - sx * sx AS DOUBLE)
+         |              / (CAST(n_window AS DOUBLE)
+         |                 * CAST(n_window - 1 AS DOUBLE)), 0.0)), 6)
+         |        END AS std_prev
+         |      FROM s)
+         |SELECT strftime(day, '%Y-%m-%d') AS day, CAST(dow AS INT) AS dow,
+         |  CAST(n AS BIGINT) AS n,
          |  CAST(n_window AS INT) AS n_window, mean_prev, std_prev,
          |  coalesce(CAST(abs(CAST(n AS DOUBLE) - mean_prev)
          |    > 3.0 * std_prev AS INT), 0) AS is_anomaly

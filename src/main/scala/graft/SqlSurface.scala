@@ -2309,6 +2309,38 @@ object SqlSurface {
          |    > 3.0 * std_prev AS INT), 0) AS is_anomaly
          |FROM m ORDER BY day""".stripMargin,
 
+    // The seasonality-adjusted sibling: identical moment machinery,
+    // window PARTITIONED by the shared days-since-Monday dow.
+    "dow_adjusted_anomaly" ->
+      s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(1) AS n
+         |               FROM events GROUP BY 1),
+         |dd AS (SELECT day, pmod(datediff(day, DATE '1970-01-05'), 7) AS dow,
+         |         n FROM daily),
+         |s AS (SELECT day, dow, n,
+         |        count(n) OVER w AS n_window,
+         |        sum(CAST(n AS DECIMAL(38,0))) OVER w AS sx,
+         |        sum(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)))
+         |          OVER w AS sx2
+         |      FROM dd
+         |      WINDOW w AS (PARTITION BY dow ORDER BY day
+         |                   ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)),
+         |m AS (SELECT day, dow, n, n_window,
+         |        CASE WHEN n_window >= 2 THEN
+         |          round(CAST(sx AS DOUBLE) / CAST(n_window AS DOUBLE), 6)
+         |        END AS mean_prev,
+         |        CASE WHEN n_window >= 2 THEN
+         |          round(sqrt(greatest(
+         |            CAST(CAST(n_window AS DECIMAL(38,0)) * sx2 - sx * sx AS DOUBLE)
+         |              / (CAST(n_window AS DOUBLE)
+         |                 * CAST(n_window - 1 AS DOUBLE)), 0.0D)), 6)
+         |        END AS std_prev
+         |      FROM s)
+         |SELECT date_format(day, 'yyyy-MM-dd') AS day, CAST(dow AS INT) AS dow,
+         |  n, CAST(n_window AS INT) AS n_window, mean_prev, std_prev,
+         |  coalesce(CAST(abs(CAST(n AS DOUBLE) - mean_prev)
+         |    > 3.0D * std_prev AS INT), 0) AS is_anomaly
+         |FROM m ORDER BY day""".stripMargin,
+
     // k-NN join in SQL — the registered bounded top-k UDAF
     // (topk3_pairs, the Search.TopKAgg aggregator): per-query top-k
     // with MAP-SIDE partial aggregation, so the per-query shuffle
@@ -4649,6 +4681,7 @@ object SqlSurface {
       "join_advisor" -> SparkEntry.queries("join_advisor"),
       "seasonality_strength" -> SparkEntry.queries("seasonality_strength"),
       "forecast_eval" -> SparkEntry.queries("forecast_eval"),
-      "rolling_anomaly" -> SparkEntry.queries("rolling_anomaly"))
+      "rolling_anomaly" -> SparkEntry.queries("rolling_anomaly"),
+      "dow_adjusted_anomaly" -> SparkEntry.queries("dow_adjusted_anomaly"))
   }
 }

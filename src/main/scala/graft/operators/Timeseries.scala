@@ -185,6 +185,59 @@ object Timeseries {
       .orderBy(col("day"))
   }
 
+  /** Day-of-week-ADJUSTED anomaly flags: each day's count z-scores
+    * against the trailing `window` SAME-weekday observations (current
+    * day excluded) — a Monday is judged against prior Mondays, so the
+    * weekly rhythm [[seasonalityStrength]] measures cannot masquerade
+    * as anomaly the way it can in the unadjusted [[rollingAnomaly]]
+    * (where every quiet Sunday flags against a busy-weekday
+    * baseline). dow is days-since-a-known-Monday mod 7 — the
+    * seasonality convention, never an engine's dayofweek(). Same
+    * exact-decimal-moment / clamped-radicand / rounded-readout
+    * contract as rollingAnomaly; days with under 2 same-dow baseline
+    * observations report NULL stats and flag 0.
+    *
+    * Shape: the guarded day-domain collapse, then windows PARTITIONED
+    * by dow — 7 bounded sub-series, each sorted within its partition;
+    * nothing global, nothing corpus-sized past the first aggregate.
+    */
+  def dowAdjustedAnomaly(events: DataFrame, window: Int = 4,
+      k: Double = 3.0): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(k > 0, s"k must be > 0, got $k")
+    val daily = dailyCounts(events, "Timeseries.dowAdjustedAnomaly")
+      .withColumn("dow",
+        pmod(datediff(col("day"), to_date(lit("1970-01-05"))), lit(7)))
+    val w = Window.partitionBy(col("dow")).orderBy(col("day"))
+      .rowsBetween(-window, -1)
+    val cnt = count(col("n")).over(w)
+    val s = sum(col("n").cast(DecimalType(38, 0))).over(w)
+    val s2 = sum(col("n").cast(DecimalType(19, 0))
+      * col("n").cast(DecimalType(19, 0))).over(w)
+    val stats = daily.select(col("day"), col("dow"), col("n"),
+      cnt.as("n_window"), s.as("s"), s2.as("s2"))
+    val numer = (col("n_window").cast(DecimalType(38, 0)) * col("s2")
+      - col("s") * col("s"))
+    val meanRaw = col("s").cast("double") / col("n_window").cast("double")
+    val stdRaw = sqrt(greatest(numer.cast("double")
+      / (col("n_window").cast("double")
+        * (col("n_window") - 1).cast("double")), lit(0.0)))
+    stats
+      .withColumn("mean_prev",
+        when(col("n_window") >= 2, round(meanRaw, 6)))
+      .withColumn("std_prev",
+        when(col("n_window") >= 2, round(stdRaw, 6)))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dow").cast("int").as("dow"), col("n"),
+        col("n_window").cast("int").as("n_window"),
+        col("mean_prev"), col("std_prev"),
+        coalesce(
+          (abs(col("n").cast("double") - col("mean_prev"))
+            > lit(k) * col("std_prev")).cast("int"),
+          lit(0)).as("is_anomaly"))
+      .orderBy(col("day"))
+  }
+
   /** Day-of-week seasonality strength — the variance share the weekly
     * cycle explains: 1 − SS_within/SS_total where SS_within removes
     * per-dow means (the R² of the dow-means model). Near 1 ⇒ the

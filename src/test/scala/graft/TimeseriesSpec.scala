@@ -131,4 +131,35 @@ class TimeseriesSpec extends AnyFunSuite {
       .head()
     assert(lin.getDouble(2) == 3.0 && lin.getDouble(3) == 5.0)
   }
+
+  test("dowAdjustedAnomaly: weekly rhythm does not flag; a same-dow spike does") {
+    // 6 weeks: weekdays 20 events, sundays 2 — a quiet Sunday is
+    // NORMAL against its own weekday lane. Week 6's Wednesday spikes
+    // to 60: constant same-dow baseline (std 0) must flag it.
+    val days = (0 until 42).map { d =>
+      val dow = d % 7 // day 0 chosen as a Monday-equivalent lane; the
+                      // operator's own dow labeling is independent
+      val n = if (d == 37) 60 else if (dow == 6) 2 else 20
+      (d, n)
+    }
+    val got = Timeseries.dowAdjustedAnomaly(ev(days: _*), window = 4, k = 3.0)
+      .collect()
+    assert(got.length == 42)
+    val byIdx = got.sortBy(_.getString(0)).zipWithIndex.map(_.swap).toMap
+    // sundays after the warmup have 4 same-dow baselines of 2 → no flag
+    val lateSundays = (0 until 42).filter(d => d % 7 == 6 && d >= 28)
+    lateSundays.foreach { d =>
+      assert(byIdx(d).getInt(6) == 0, s"quiet Sunday day $d wrongly flagged") }
+    assert(byIdx(37).getInt(6) == 1, "same-dow spike must flag")
+    assert(byIdx(37).getDouble(4) == 20.0 && byIdx(37).getDouble(5) == 0.0,
+      "spike day's baseline is the four prior same-dow 20s")
+    // warmup days (fewer than 2 same-dow baselines) report NULL stats, flag 0
+    assert(byIdx(0).isNullAt(4) && byIdx(0).getInt(6) == 0)
+    // contrast pin: the UNADJUSTED rolling form flags at least one
+    // late quiet Sunday at the same k where the adjusted form is clean
+    val rolled = Timeseries.rollingAnomaly(ev(days: _*), 7, 2.0).collect()
+      .sortBy(_.getString(0)).zipWithIndex.map(_.swap).toMap
+    assert(lateSundays.exists(d => rolled(d).getInt(5) == 1),
+      "premise: the weekly rhythm trips the unadjusted detector")
+  }
 }
