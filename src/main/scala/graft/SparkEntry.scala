@@ -123,6 +123,16 @@ object SparkEntry {
     // boilerplate — same inverted-index pair space, df-capped
     "dedup_idf_cosine" -> ((s, dir) =>
       Dedup.idfCosinePairs(tbl(s, dir, "documents"), 50)),
+    // pair-level train-vs-eval contamination: cross-side band
+    // collisions only, exact-Jaccard verified — WHICH eval doc a
+    // training doc near-duplicates (contaminationFlags' count alone
+    // cannot drive a per-pair quarantine decision)
+    "cross_corpus_pairs" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      Dedup.crossCorpusPairs(
+        d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1), 0.5)
+    }),
     // the corpus-scale composition: LSH banding proposes candidates,
     // idf-weighted cosine ranks them — work bounded by the candidate
     // list, never the corpus-wide co-occurrence mass
@@ -2371,6 +2381,44 @@ object SparkEntry {
          |FROM dots d JOIN nrmp na ON d.doc_a = na.doc_id
          |  JOIN nrmp nb ON d.doc_b = nb.doc_id
          |ORDER BY cosine DESC, doc_a, doc_b LIMIT 50""".stripMargin,
+    // per-side replay of the banding chain (even ids = corpus, odd =
+    // benchmark), cross-side candidates only, the shared exact-Jaccard
+    // rounding/threshold semantics
+    "cross_corpus_pairs" ->
+      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+         |           FROM documents),
+         |shx AS (SELECT doc_id, unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+         |                                             for i in range(1, len(ws)-1)])) AS shingle
+         |        FROM w WHERE len(ws) >= 3),
+         |cs AS (SELECT * FROM shx WHERE doc_id % 2 = 0),
+         |bs AS (SELECT * FROM shx WHERE doc_id % 2 = 1),
+         |seeds AS (SELECT unnest(range(16)) AS seed),
+         |sigc AS (SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minhash
+         |         FROM cs CROSS JOIN seeds GROUP BY doc_id, seed),
+         |bandc AS (SELECT doc_id, CAST(floor(seed/4.0) AS INT) AS band,
+         |  md5(string_agg(seed || '=' || minhash, '|' ORDER BY seed || '=' || minhash)) AS band_key
+         |  FROM sigc GROUP BY doc_id, CAST(floor(seed/4.0) AS INT)),
+         |sigb AS (SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minhash
+         |         FROM bs CROSS JOIN seeds GROUP BY doc_id, seed),
+         |bandb AS (SELECT doc_id, CAST(floor(seed/4.0) AS INT) AS band,
+         |  md5(string_agg(seed || '=' || minhash, '|' ORDER BY seed || '=' || minhash)) AS band_key
+         |  FROM sigb GROUP BY doc_id, CAST(floor(seed/4.0) AS INT)),
+         |cand AS (SELECT DISTINCT x.doc_id AS corpus_doc, y.doc_id AS bench_doc
+         |         FROM bandc x JOIN bandb y
+         |           ON x.band = y.band AND x.band_key = y.band_key),
+         |szc AS (SELECT doc_id, count(*) AS n FROM cs GROUP BY doc_id),
+         |szb AS (SELECT doc_id, count(*) AS n FROM bs GROUP BY doc_id),
+         |ins AS (SELECT c.corpus_doc, c.bench_doc, count(*) AS c
+         |        FROM cand c JOIN cs a ON a.doc_id = c.corpus_doc
+         |                    JOIN bs b ON b.doc_id = c.bench_doc
+         |                             AND a.shingle = b.shingle
+         |        GROUP BY 1, 2)
+         |SELECT i.corpus_doc, i.bench_doc,
+         |  round(i.c::DOUBLE/(x.n + y.n - i.c), 6) AS jaccard
+         |FROM ins i JOIN szc x ON i.corpus_doc = x.doc_id
+         |  JOIN szb y ON i.bench_doc = y.doc_id
+         |WHERE round(i.c::DOUBLE/(x.n + y.n - i.c), 6) >= 0.5
+         |ORDER BY i.corpus_doc, i.bench_doc""".stripMargin,
     // the SAME banding chain as dedup_minhash_lsh proposes the
     // candidates (cand CTE), the SAME idf scoring as dedup_idf_cosine
     // ranks them; a candidate with no shared surviving shingle scores

@@ -3571,6 +3571,48 @@ object SqlSurface {
          |  JOIN nrmp nb ON d.doc_b = nb.doc_id
          |ORDER BY cosine DESC, doc_a, doc_b LIMIT 50""".stripMargin,
 
+    // Per-side banding (even ids = corpus, odd = benchmark),
+    // cross-side candidates only, shared exact-Jaccard semantics.
+    "cross_corpus_pairs" ->
+      s"""WITH w AS (SELECT doc_id, split(trim(text), '\\\\s+') AS ws FROM documents),
+         |shx AS (SELECT doc_id, explode(array_distinct(transform(
+         |          sequence(0, size(ws) - 3),
+         |          i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) AS shingle
+         |        FROM w WHERE size(ws) >= 3),
+         |cs AS (SELECT * FROM shx WHERE doc_id % 2 = 0),
+         |bs AS (SELECT * FROM shx WHERE doc_id % 2 = 1),
+         |mhc AS (SELECT doc_id, j, min(md5(concat(j, ':', shingle))) AS mn
+         |        FROM cs LATERAL VIEW explode(sequence(0, 15)) t AS j
+         |        GROUP BY doc_id, j),
+         |bkc AS (SELECT doc_id, CAST(floor(j / 4) AS INT) AS band,
+         |          md5(concat_ws('|',
+         |            sort_array(collect_list(concat(j, '=', mn))))) AS band_key
+         |        FROM mhc GROUP BY doc_id, floor(j / 4)),
+         |mhb AS (SELECT doc_id, j, min(md5(concat(j, ':', shingle))) AS mn
+         |        FROM bs LATERAL VIEW explode(sequence(0, 15)) t AS j
+         |        GROUP BY doc_id, j),
+         |bkb AS (SELECT doc_id, CAST(floor(j / 4) AS INT) AS band,
+         |          md5(concat_ws('|',
+         |            sort_array(collect_list(concat(j, '=', mn))))) AS band_key
+         |        FROM mhb GROUP BY doc_id, floor(j / 4)),
+         |cand AS (SELECT x.doc_id AS corpus_doc, y.doc_id AS bench_doc
+         |         FROM bkc x JOIN bkb y
+         |           ON x.band = y.band AND x.band_key = y.band_key
+         |         GROUP BY x.doc_id, y.doc_id),
+         |szc AS (SELECT doc_id, count(1) AS n FROM cs GROUP BY doc_id),
+         |szb AS (SELECT doc_id, count(1) AS n FROM bs GROUP BY doc_id),
+         |ins AS (SELECT c.corpus_doc, c.bench_doc, count(1) AS c
+         |        FROM cand c JOIN cs a ON a.doc_id = c.corpus_doc
+         |                    JOIN bs b ON b.doc_id = c.bench_doc
+         |                             AND a.shingle = b.shingle
+         |        GROUP BY c.corpus_doc, c.bench_doc)
+         |SELECT i.corpus_doc, i.bench_doc,
+         |  round(CAST(i.c AS DOUBLE) / (x.n + y.n - i.c), 6) AS jaccard
+         |FROM ins i JOIN szc x ON i.corpus_doc = x.doc_id
+         |  JOIN szb y ON i.bench_doc = y.doc_id
+         |WHERE round(CAST(i.c AS DOUBLE) / (x.n + y.n - i.c), 6) >= 0.5D
+         |ORDER BY i.corpus_doc, i.bench_doc""".stripMargin,
+
     // Banding proposes (the shared minhash cand chain), idf-weighted
     // cosine ranks — the corpus-scale composition of the two entries
     // above it on this surface.
@@ -4608,6 +4650,7 @@ object SqlSurface {
       "dedup_ngram_jaccard" -> SparkEntry.queries("dedup_ngram_jaccard"),
       "dedup_idf_cosine" -> SparkEntry.queries("dedup_idf_cosine"),
       "dedup_idf_rank" -> SparkEntry.queries("dedup_idf_rank"),
+      "cross_corpus_pairs" -> SparkEntry.queries("cross_corpus_pairs"),
       "dedup_sorted_neighborhood" ->
         SparkEntry.queries("dedup_sorted_neighborhood"),
       "dup_evidence" -> SparkEntry.queries("dup_evidence"),

@@ -1311,6 +1311,55 @@ object Dedup {
       .limit(topN)
   }
 
+  /** Cross-corpus contamination PAIRS — which benchmark/eval document
+    * does each training document near-duplicate? The pair-level
+    * complement of [[contaminationFlags]] (which reports only a
+    * per-training-doc shared-shingle count): banding runs on EACH side
+    * and candidates come from cross-side band-bucket collisions only —
+    * never a within-side pair, never an all-pairs product — then the
+    * exact-Jaccard verification joins each side's own shingle sets.
+    * The decision an LLM pipeline takes from this is per-PAIR
+    * (quarantine the training doc, or drop the eval item from
+    * reporting), which the count alone cannot support.
+    *
+    * Shape at 100 TB: eval suites are tiny next to the corpus, so the
+    * benchmark band index broadcasts; candidates are bounded by
+    * band-bucket co-membership exactly as in [[minhashLshPairs]];
+    * each side is shingled ONCE (localCheckpoint) feeding its band
+    * keys and its verification arrays. Output
+    * (corpus_doc, bench_doc, jaccard 6-dp) with the shared rounding /
+    * threshold semantics of verifyPairs, ordered.
+    */
+  def crossCorpusPairs(corpus: DataFrame, benchmark: DataFrame,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must lie in (0, 1], got $threshold")
+    val cSh = Partitioning.spread(corpus)
+      .select(col("doc_id"), shingleArray(col("text")).as("sh"))
+      .filter(size(col("sh")) >= 1)
+      .localCheckpoint()
+    val bSh = Partitioning.spread(benchmark)
+      .select(col("doc_id"), shingleArray(col("text")).as("sh"))
+      .filter(size(col("sh")) >= 1)
+      .localCheckpoint()
+    val cand = bandKeysOf(cSh, "doc_id", 16, 4).as("x")
+      .join(bandKeysOf(bSh, "doc_id", 16, 4).as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key"))
+      .select(col("x.doc_id").as("corpus_doc"),
+        col("y.doc_id").as("bench_doc"))
+      .distinct()
+    cand
+      .join(cSh.select(col("doc_id").as("corpus_doc"), col("sh").as("sha")),
+        "corpus_doc")
+      .join(bSh.select(col("doc_id").as("bench_doc"), col("sh").as("shb")),
+        "bench_doc")
+      .withColumn("jaccard", round(jaccardUdf(col("sha"), col("shb")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("corpus_doc"), col("bench_doc"), col("jaccard"))
+      .orderBy(col("corpus_doc"), col("bench_doc"))
+  }
+
   /** LSH candidate pairs (16 hashes, 4 bands — the [[minhashLshPairs]]
     * banding) WITHOUT verification: the bounded candidate generator
     * for rankers that apply their own scoring, e.g.

@@ -642,4 +642,25 @@ class DedupSpec extends AnyFunSuite {
     assert(cand.forall { case (a, b) => a < b }, "canonical doc_a < doc_b")
     assert(cand.distinct.length == cand.length, "distinct pairs")
   }
+
+  test("crossCorpusPairs: cross-side near-dups only; within-side pairs never report") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      (2L, base),                       // contaminates bench doc 1
+      (4L, base),                       // within-corpus dup of 2 — NOT a pair here
+      (6L, "totally unrelated words that match nothing else at all")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (1L, base),
+      (3L, "another clean benchmark item with its own content entirely")
+    ).toDF("doc_id", "text")
+    val got = Dedup.crossCorpusPairs(corpus, bench, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == Set(2L -> 1L, 4L -> 1L), s"got $got")
+    assert(got.values.forall(_ == 1.0))
+    intercept[IllegalArgumentException] {
+      Dedup.crossCorpusPairs(corpus, bench, 0.0)
+    }
+  }
 }
