@@ -123,6 +123,18 @@ object SparkEntry {
     // boilerplate — same inverted-index pair space, df-capped
     "dedup_idf_cosine" -> ((s, dir) =>
       Dedup.idfCosinePairs(tbl(s, dir, "documents"), 50)),
+    // schema/statistics drift between two snapshots: per column, null
+    // rates, size-scaled distinct shift, and added/dropped columns —
+    // the cur slice deliberately drops `lang` to exercise the
+    // schema-change lane
+    "profile_drift" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      operators.Monitor.profileDrift(
+        d.filter(col("doc_id") % 3 =!= 0)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+        d.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("source"), col("n_chars")))
+    }),
     // pair-level train-vs-eval contamination: cross-side band
     // collisions only, exact-Jaccard verified — WHICH eval doc a
     // training doc near-duplicates (contaminationFlags' count alone
@@ -2381,6 +2393,66 @@ object SparkEntry {
          |FROM dots d JOIN nrmp na ON d.doc_a = na.doc_id
          |  JOIN nrmp nb ON d.doc_b = nb.doc_id
          |ORDER BY cosine DESC, doc_a, doc_b LIMIT 50""".stripMargin,
+    // per-column aggregates per side, full-outer on the column name,
+    // the same fixed-order rate/shift arithmetic and 6-dp readouts
+    "profile_drift" ->
+      s"""WITH ref AS (SELECT doc_id, lang, source, n_chars FROM documents
+         |             WHERE doc_id % 3 <> 0),
+         |cur AS (SELECT doc_id, source, n_chars FROM documents
+         |        WHERE doc_id % 3 = 0),
+         |pr AS (
+         |  SELECT 'doc_id' AS col_name, count(*) AS n_ref,
+         |    sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS null_ref,
+         |    count(DISTINCT doc_id) AS dist_ref FROM ref
+         |  UNION ALL SELECT 'lang', count(*),
+         |    sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+         |    count(DISTINCT lang) FROM ref
+         |  UNION ALL SELECT 'source', count(*),
+         |    sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+         |    count(DISTINCT source) FROM ref
+         |  UNION ALL SELECT 'n_chars', count(*),
+         |    sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+         |    count(DISTINCT n_chars) FROM ref),
+         |pc AS (
+         |  SELECT 'doc_id' AS col_name, count(*) AS n_cur,
+         |    sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS null_cur,
+         |    count(DISTINCT doc_id) AS dist_cur FROM cur
+         |  UNION ALL SELECT 'source', count(*),
+         |    sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+         |    count(DISTINCT source) FROM cur
+         |  UNION ALL SELECT 'n_chars', count(*),
+         |    sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+         |    count(DISTINCT n_chars) FROM cur),
+         |j AS (SELECT coalesce(pr.col_name, pc.col_name) AS col_name,
+         |        pr.n_ref, pr.null_ref, pr.dist_ref,
+         |        pc.n_cur, pc.null_cur, pc.dist_cur,
+         |        CAST(pr.null_ref AS DOUBLE) / pr.n_ref AS nrr,
+         |        CAST(pc.null_cur AS DOUBLE) / pc.n_cur AS nrc,
+         |        CAST(pr.dist_ref AS DOUBLE) / pr.n_ref AS dnr,
+         |        CAST(pc.dist_cur AS DOUBLE) / pc.n_cur AS dnc,
+         |        CASE WHEN pr.dist_ref > 0 THEN
+         |          CAST(abs(pc.dist_cur - pr.dist_ref) AS DOUBLE) / pr.dist_ref
+         |        END AS cshift
+         |      FROM pr FULL OUTER JOIN pc ON pr.col_name = pc.col_name)
+         |SELECT col_name,
+         |  CASE WHEN n_ref IS NULL THEN 'added'
+         |       WHEN n_cur IS NULL THEN 'dropped'
+         |       ELSE 'common' END AS status,
+         |  CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+         |  round(nrr, 6) AS null_rate_ref,
+         |  round(nrc, 6) AS null_rate_cur,
+         |  round(nrc - nrr, 6) AS null_rate_delta,
+         |  CAST(dist_ref AS BIGINT) AS dist_ref,
+         |  CAST(dist_cur AS BIGINT) AS dist_cur,
+         |  round(dnr, 6) AS distinctness_ref,
+         |  round(dnc, 6) AS distinctness_cur,
+         |  round(cshift, 6) AS cardinality_shift,
+         |  CAST((n_ref IS NULL OR n_cur IS NULL
+         |    OR abs(round(nrc - nrr, 6)) > 0.05
+         |    OR coalesce(round(cshift, 6) > 0.5
+         |         AND round(abs(dnc - dnr), 6) > round(0.5 * dnr, 6),
+         |       false)) AS INT) AS drifted
+         |FROM j ORDER BY col_name""".stripMargin,
     // per-side replay of the banding chain (even ids = corpus, odd =
     // benchmark), cross-side candidates only, the shared exact-Jaccard
     // rounding/threshold semantics

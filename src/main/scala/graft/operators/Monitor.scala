@@ -150,6 +150,73 @@ object Monitor {
       .orderBy(col("col_name"))
   }
 
+  /** Profile drift between a reference slice and a current slice —
+    * the schema/statistics companion to [[psi]]'s value-distribution
+    * gate: per column, row counts, null RATES, exact distinct counts
+    * and distinctness (distinct/rows) on both sides, and a drift flag.
+    * Columns missing from a side — a schema change between snapshots —
+    * surface as status `added`/`dropped` rows with NULL stats for the
+    * absent side, never a silent drop.
+    *
+    * The distinct signal fires only when BOTH cardinality moved
+    * (|Δdistinct|/dist_ref > tol) AND distinctness moved
+    * (|dc/nc − dr/nr| > tol·dr/nr): cardinality alone false-alarms on
+    * ID-like columns under a size change (half the rows ⇒ half the
+    * ids — but distinctness stays 1.0), distinctness alone
+    * false-alarms on categorical columns (20 values over half the
+    * rows doubles the density — but cardinality stays 20). An
+    * all-null drifted column is caught by the null-rate arm
+    * (|Δ null rate| > nullRateTol), so a dist_ref = 0 reference
+    * (no cardinality baseline) does not need a distinct verdict.
+    *
+    * Shape at 100 TB: ONE [[profile]] pass per side (a single
+    * multi-aggregate scan each — never per-column rescans), then all
+    * arithmetic on the two |columns|-row frames joined full-outer on
+    * the column name. Determinism: exact integer counts, fixed-order
+    * double arithmetic, every flag compares ROUNDED 6-dp values so a
+    * boundary cannot flip between engines, (col_name) order.
+    */
+  def profileDrift(ref: DataFrame, cur: DataFrame,
+      nullRateTol: Double = 0.05, distinctRatioTol: Double = 0.5)
+      : DataFrame = {
+    require(nullRateTol > 0.0, s"nullRateTol must be > 0, got $nullRateTol")
+    require(distinctRatioTol > 0.0,
+      s"distinctRatioTol must be > 0, got $distinctRatioTol")
+    val pr = profile(ref, ref.columns.toSeq)
+      .select(col("col_name"), col("n_rows").as("n_ref"),
+        col("n_null").as("null_ref"), col("n_distinct").as("dist_ref"))
+    val pc = profile(cur, cur.columns.toSeq)
+      .select(col("col_name"), col("n_rows").as("n_cur"),
+        col("n_null").as("null_cur"), col("n_distinct").as("dist_cur"))
+    val nrr = col("null_ref").cast("double") / col("n_ref")
+    val nrc = col("null_cur").cast("double") / col("n_cur")
+    val dnr = col("dist_ref").cast("double") / col("n_ref")
+    val dnc = col("dist_cur").cast("double") / col("n_cur")
+    val cardShift = when(col("dist_ref") > 0,
+      abs(col("dist_cur") - col("dist_ref")).cast("double") / col("dist_ref"))
+    val distFlag = coalesce(
+      round(cardShift, 6) > distinctRatioTol &&
+        round(abs(dnc - dnr), 6) > round(lit(distinctRatioTol) * dnr, 6),
+      lit(false))
+    pr.join(pc, Seq("col_name"), "full_outer")
+      .select(col("col_name"),
+        when(col("n_ref").isNull, "added")
+          .when(col("n_cur").isNull, "dropped")
+          .otherwise("common").as("status"),
+        col("n_ref"), col("n_cur"),
+        round(nrr, 6).as("null_rate_ref"),
+        round(nrc, 6).as("null_rate_cur"),
+        round(nrc - nrr, 6).as("null_rate_delta"),
+        col("dist_ref"), col("dist_cur"),
+        round(dnr, 6).as("distinctness_ref"),
+        round(dnc, 6).as("distinctness_cur"),
+        round(cardShift, 6).as("cardinality_shift"),
+        (col("n_ref").isNull || col("n_cur").isNull ||
+          (abs(round(nrc - nrr, 6)) > nullRateTol) || distFlag)
+          .cast("int").as("drifted"))
+      .orderBy(col("col_name"))
+  }
+
   /** Robust outlier scores via the median absolute deviation — the
     * length-cut a curation pipeline should use instead of mean/stddev
     * z-scores, which the outliers themselves corrupt (one 10M-token

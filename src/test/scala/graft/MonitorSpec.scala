@@ -316,4 +316,44 @@ class MonitorSpec extends AnyFunSuite {
       graft.operators.Monitor.equidepthHistogram(df, "v", bins = 1)
     }
   }
+
+  test("profileDrift: null-rate jump and real collapse flag; size scaling does not") {
+    import spark.implicits._
+    val ref = Seq(
+      (1L, Some("a"), "x"), (2L, Some("b"), "y"),
+      (3L, Some("c"), "x"), (4L, Some("d"), "y")
+    ).toDF("id", "v", "keep")
+    // half-size slice: `id` keeps distinctness 1.0 (NOT drift), `keep`
+    // keeps cardinality 2 (NOT drift — distinctness doubling alone
+    // must not fire), `v` goes all-null (null-rate arm), `extra` is a
+    // schema addition
+    val cur = Seq(
+      (5L, None: Option[String], "x", 1),
+      (6L, None, "y", 2)
+    ).toDF("id", "v", "keep", "extra")
+    val got = graft.operators.Monitor.profileDrift(
+      ref, cur, nullRateTol = 0.05, distinctRatioTol = 0.5)
+      .collect().map(r => r.getString(0) -> r).toMap
+    def drifted(c: String) = got(c).getAs[Int]("drifted")
+    assert(got("v").getString(1) == "common" && drifted("v") == 1,
+      "all-null current column must flag via the null-rate arm")
+    assert(got("v").getAs[Double]("null_rate_delta") == 1.0)
+    assert(drifted("id") == 0,
+      s"ID column under a size change is NOT drift: ${got("id")}")
+    assert(drifted("keep") == 0,
+      s"stable categorical under a size change is NOT drift: ${got("keep")}")
+    assert(got("extra").getString(1) == "added" && drifted("extra") == 1)
+    // a genuine cardinality collapse: the id column degenerates to one
+    // repeated value — both the cardinality and distinctness arms move
+    val collapsed = Seq((9L, "z"), (9L, "z"), (9L, "z")).toDF("id", "keep")
+    val got2 = graft.operators.Monitor.profileDrift(
+      ref.select("id", "keep"), collapsed)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got2("id").getAs[Int]("drifted") == 1,
+      s"collapse to one value must flag: ${got2("id")}")
+    // dropped column lane
+    val got3 = graft.operators.Monitor.profileDrift(ref, cur.drop("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got3("v").getString(1) == "dropped" && got3("v").getAs[Int]("drifted") == 1)
+  }
 }
