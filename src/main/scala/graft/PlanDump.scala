@@ -103,6 +103,8 @@ object PlanDump {
       "calendar_gaps" -> "Calendar gaps: the observed side is a distinct (group, day) projection with partial aggregation below its exchange; the expected side explodes sequence(min, max) from a per-group 1-row aggregate; the report is one LEFT ANTI equi-join between two calendar-bounded frames — the corpus is scanned once.",
       "dedup_idf_cosine" -> "IDF-weighted cosine pairs: the pair space is the SAME inverted shingle equi-join as the Jaccard reports (multiplicity bounded by the df cap — the cap filter sits on the df aggregate BEFORE the weight join); df, norms and dots all partial-aggregate below their exchanges with doc-bearing keys; the cut is TakeOrderedAndProject on the 6-dp cosine — no global sort, no BNLJ.",
       "dedup_idf_rank" -> "LSH-proposed idf-cosine ranking: the banding chain proposes candidates (the dedup_minhash_lsh shape — tiny (doc, band, key) self-join, no nested loop); scoring joins each candidate through ONE (doc, shingle) equi-join chain against the weight table — work bounded by the candidate list, never the corpus co-occurrence mass; dot/norm folds are map-side-combined DECIMAL(28,9) partials.",
+      "cross_corpus_pairs" -> "Cross-corpus contamination: banding runs per SIDE and the candidate join is cross-side band-bucket equality only (equi-join, no within-side pairs, no BNLJ); verification joins each side's own shingle arrays; at scale the benchmark band index is the broadcast side.",
+      "profile_drift" -> "Profile drift: ONE multi-aggregate scan per side (the Expand multi-count-distinct plan — no per-column rescans), the per-column unpivot of each 1-row result, and a full-outer join of two |columns|-row frames; nothing after the two scans is corpus-sized.",
       "join_advisor" -> "Join-strategy advisor as ONE lazy program (round-9 verdict #4): left is scanned three times (MG sketch partial below a 1-row exchange, candidate recount behind a broadcast of the ≤capacity exploded candidate keys, CMS counters), right once; both side counts ride the counter tables (no separate count scans); the counter tables meet in a full-outer equi-join on (d, bucket); everything above is 1-row global-aggregate crosses — the advised join appears NOWHERE, and .head() is the only action.")
     // Nested-loop tripwire (round-9 verdict #7): the dump FAILS if a
     // plan contains CartesianProduct or BroadcastNestedLoopJoin unless
