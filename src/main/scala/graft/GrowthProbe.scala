@@ -104,6 +104,23 @@ object GrowthProbe {
       Kmv.groupedJaccard(
         d.select(col("source"), explode(TextAnalysis.words(col("text"))).as("w")),
         "source", "w", 256).count())
+    probe("profile_drift")(d =>
+      Monitor.profileDrift(
+        d.filter(col("doc_id") % 3 =!= 0), d.filter(col("doc_id") % 3 === 0))
+        .count())
+    if (!skipProbe("cross_corpus_pairs")) locally {
+      var pH = 0L; var pF = 0L
+      // split on doc_id % 4 halves, NOT % 2: the probe's `half` frame
+      // is already the even-id slice, so a % 2 split would leave the
+      // benchmark side empty and probe nothing
+      def run(d: org.apache.spark.sql.DataFrame) = Dedup.crossCorpusPairs(
+        d.filter(col("doc_id") % 4 < 2),
+        d.filter(col("doc_id") % 4 >= 2), 0.5).count()
+      val tH = bestOf2 { pH = run(half); pH }
+      val tF = bestOf2 { pF = run(full); pF }
+      val norm = (tF / pF.max(1L)) / (tH / pH.max(1L))
+      println(f"$tH%7.2f  $tF%7.2f  raw=${tF / tH}%5.2f  pairs: $pH%,d → $pF%,d  per-pair ratio=$norm%5.2f  ${if (norm > 1.5) "SLOW " else "ok   "}cross_corpus_pairs (pair output quadruples by corpus design)")
+    }
     probe("join_size_estimate")(d =>
       CountMin.joinSizeEstimate(d, "source", d, "source").count())
     probe("bootstrap_ci")(d =>
