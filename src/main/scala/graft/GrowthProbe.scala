@@ -61,7 +61,7 @@ object GrowthProbe {
       var pH = 0L; var pF = 0L
       val tH = bestOf2 { pH = Dedup.ngramJaccardPairs(half, 0.9).count(); pH }
       val tF = bestOf2 { pF = Dedup.ngramJaccardPairs(full, 0.9).count(); pF }
-      val norm = (tF / pF) / (tH / pH)
+      val norm = (tF / pF.max(1L)) / (tH / pH.max(1L))
       println(f"$tH%7.2f  $tF%7.2f  raw=${tF / tH}%5.2f  pairs: $pH%,d → $pF%,d (${pF.toDouble / pH}%4.2fx)  per-pair ratio=$norm%5.2f  ${if (norm > 1.5) "SLOW " else "ok   "}ngram_jaccard prefix-exact")
     }
     probe("span_dedup")(d => Dedup.spanDedup(d, 8).count())
@@ -83,13 +83,19 @@ object GrowthProbe {
     // the honest measurement is time per unit of mass — the corpus-
     // scale path is lshCandidates |> idfCosineRank, probed below
     if (!skipProbe("idf_cosine_pairs")) locally {
+      // integral `div` keeps the sum a LongType fold — Spark's `/` on
+      // longs is Double division and getLong would ClassCastException
       def mass(d: org.apache.spark.sql.DataFrame): Long =
         Dedup.shingles(d).groupBy(col("shingle"))
           .agg(count(lit(1)).as("df"))
-          .agg(sum(col("df") * (col("df") - 1) / 2)).head().getLong(0)
+          .agg(sum(expr("df * (df - 1) div 2"))).head().getLong(0)
       val mH = mass(half); val mF = mass(full)
-      val tH = bestOf2(Dedup.idfCosinePairs(half, 50).count())
-      val tF = bestOf2(Dedup.idfCosinePairs(full, 50).count())
+      // the dup-adversarial corpus sits deliberately ABOVE the default
+      // maxPairMass gate (5.6e8 at 100k docs vs the 1e8 default) — the
+      // probe raises the cap knowingly, which is the gate's documented
+      // calibration escape hatch
+      val tH = bestOf2(Dedup.idfCosinePairs(half, 50, maxPairMass = 4000000000L).count())
+      val tF = bestOf2(Dedup.idfCosinePairs(full, 50, maxPairMass = 4000000000L).count())
       val norm = (tF / mF) / (tH / mH)
       println(f"$tH%7.2f  $tF%7.2f  raw=${tF / tH}%5.2f  mass: $mH%,d → $mF%,d (${mF.toDouble / mH}%4.2fx)  per-mass ratio=$norm%5.2f  ${if (norm > 1.5) "SLOW " else "ok   "}idf_cosine_pairs (co-occurrence-mass normalized)")
     }
@@ -97,7 +103,9 @@ object GrowthProbe {
       var pH = 0L; var pF = 0L
       val tH = bestOf2 { pH = Dedup.idfCosineRank(half, Dedup.lshCandidates(half)).count(); pH }
       val tF = bestOf2 { pF = Dedup.idfCosineRank(full, Dedup.lshCandidates(full)).count(); pF }
-      val norm = (tF / pF) / (tH / pH)
+      // max(1L): zero LSH candidates at either size would make the
+      // per-candidate normalization NaN/Inf and poison the verdict
+      val norm = (tF / pF.max(1L)) / (tH / pH.max(1L))
       println(f"$tH%7.2f  $tF%7.2f  raw=${tF / tH}%5.2f  cands: $pH%,d → $pF%,d (${pF.toDouble / pH}%4.2fx)  per-candidate ratio=$norm%5.2f  ${if (norm > 1.5) "SLOW " else "ok   "}idf_cosine_rank (LSH-proposed)")
     }
     probe("grouped_jaccard")(d =>

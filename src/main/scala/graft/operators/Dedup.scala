@@ -1248,13 +1248,26 @@ object Dedup {
     * surviving shingle at df = N, idf exactly 0) are EXCLUDED so no
     * consumer can divide by zero.
     */
-  private def idfWeights(docs: DataFrame, n: Int, maxDf: Long)
-      : (DataFrame, DataFrame) = {
+  private def idfWeights(docs: DataFrame, n: Int, maxDf: Long,
+      pairMassCap: Option[Long] = None): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.types.DecimalType
     val sh = shingles(docs, n)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val dfreq0 = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
+    // The pairs form's work driver is the co-occurrence mass
+    // Σ_shingle C(df, 2) — computable from this df table for the cost
+    // of one reused exchange, so the refusal is IN-PLAN (lazy sentinel
+    // union, zero driver actions) and fires before any pair forms.
+    // The rank form passes None: its work is candidate-bounded, so
+    // mass is not its cost model.
+    val dfreq = pairMassCap.fold(dfreq0)(cap =>
+      Partitioning.requireBoundedMass(dfreq0,
+        expr("df * (df - 1) div 2"), "idfCosinePairs", cap,
+        "the self-generating pair form pays the corpus co-occurrence " +
+          "mass with no threshold to prune against; at this scale " +
+          "generate candidates with lshCandidates and rank them with " +
+          "idfCosineRank, or raise maxPairMass knowingly"))
     val wt = sh.join(dfreq, "shingle").crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("shingle"),
         round(log(col("n_docs").cast("double") / col("df")), 9).as("wt"))
@@ -1281,7 +1294,12 @@ object Dedup {
     * co-occurrence mass). This is the exact small/medium-corpus form
     * and the calibration reference; at corpus scale generate
     * candidates first (banding) and rank them with [[idfCosineRank]],
-    * whose work is bounded by the CANDIDATE list instead. df and
+    * whose work is bounded by the CANDIDATE list instead. That
+    * boundary is ENFORCED, not advisory: the plan computes
+    * Σ df·(df−1)/2 from the df table it already builds and refuses
+    * (in-plan raise, [[Partitioning.requireBoundedMass]]) above
+    * `maxPairMass` with a pointer to the candidate-bounded pair —
+    * the requireSampleScale discipline applied to mass. df and
     * norms are map-side-combinable aggregates; the final cut is
     * orderBy+limit → TakeOrderedAndProject, never a global sort.
     * Determinism: idf quantized at 9 dp, every product re-quantized
@@ -1290,11 +1308,11 @@ object Dedup {
     * at the cut.
     */
   def idfCosinePairs(docs: DataFrame, topN: Int, n: Int = 3,
-      maxDf: Long = 10000L): DataFrame = {
+      maxDf: Long = 10000L, maxPairMass: Long = 100000000L): DataFrame = {
     require(topN >= 1, s"topN must be >= 1, got $topN")
     require(maxDf >= 2, s"maxDf must be >= 2 (df=1 shingles cannot pair), got $maxDf")
     import org.apache.spark.sql.types.DecimalType
-    val (wt, norms) = idfWeights(docs, n, maxDf)
+    val (wt, norms) = idfWeights(docs, n, maxDf, Some(maxPairMass))
     val dots = wt.as("a").join(wt.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id"))

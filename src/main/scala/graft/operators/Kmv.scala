@@ -191,26 +191,45 @@ object Kmv {
     * The corpus-sized work is a single groupBy(group) BottomK
     * aggregation (partial state k longs per task per group); the
     * sketches collect to the driver (bounded: ≤ maxGroups × k longs —
-    * the centroid-dump discipline, CHECKED) and the ≤ C(groups, 2)
+    * the centroid-dump discipline, enforced IN-PLAN by a
+    * limit(maxGroups + 1) on the transfer, so an over-cap group
+    * column fails loudly without shipping its domain) and the
+    * ≤ C(groups, 2)
     * pair readouts run on k-long vectors with the same theta-sketch
     * math, rounding and exact-below-k semantics as overlapEstimate.
     * Output (group_a < group_b, ordered): k, union_est, jaccard_est,
     * intersect_est — all 6-dp, oracle-replayable (md5-12 hashes).
     */
-  def groupedJaccard(df: DataFrame, groupCol: String, valueCol: String,
-      k: Int = 256, maxGroups: Int = 1024): DataFrame = {
-    require(maxGroups >= 2, s"maxGroups must be >= 2, got $maxGroups")
-    val spark = df.sparkSession
+  /** The bounded transfer frame behind [[groupedJaccard]] — exposed so
+    * the cap ORDERING is spec-pinnable. The maxGroups bound must hold
+    * BEFORE the driver transfer, not be audited after it:
+    * limit(maxGroups + 1) caps the collect at the PLAN level
+    * (CollectLimit), so a high-cardinality group column (user_id, URL
+    * host) ships at most one sketch row over the cap instead of the
+    * whole domain — the executors still compute every group's partial
+    * state, but the driver never materializes more than the bound.
+    * Within the cap, limit returns ALL groups (order irrelevant: the
+    * readout sorts), so the green path is unchanged.
+    */
+  private[graft] def groupSketches(df: DataFrame, groupCol: String,
+      valueCol: String, k: Int, maxGroups: Int): DataFrame = {
     val agg = udaf(new BottomK(k),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
-    val rows = Partitioning.spread(df)
+    Partitioning.spread(df)
       .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
       .select(col(groupCol).cast("string").as("g"),
         hash48(col(valueCol).cast("string")).as("h"))
       .groupBy(col("g")).agg(agg(col("h")).as("sk"))
-      .collect()
+      .limit(maxGroups + 1)
+  }
+
+  def groupedJaccard(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 256, maxGroups: Int = 1024): DataFrame = {
+    require(maxGroups >= 2, s"maxGroups must be >= 2, got $maxGroups")
+    val spark = df.sparkSession
+    val rows = groupSketches(df, groupCol, valueCol, k, maxGroups).collect()
     require(rows.length <= maxGroups,
-      s"groupedJaccard: ${rows.length} groups exceed maxGroups=$maxGroups " +
+      s"groupedJaccard: over $maxGroups groups (maxGroups) " +
         "- the sketch table must stay driver-bounded; raise the cap " +
         "knowingly or pre-bucket the group column")
     val sketches = rows.map(r => r.getString(0) -> r.getSeq[Long](1).toVector)

@@ -85,7 +85,25 @@ object Partitioning {
         "deliberately exhaustively. Sample/slice the input first, or raise " +
         "the cap knowingly."))
 
+  /** The mass sibling of [[requireBoundedDomain]]: guards frames whose
+    * downstream cost is a SUM over the frame (co-occurrence mass
+    * Σ df·(df−1)/2 of an inverted-index self-join), not its row count.
+    * Same lazy sentinel-union mechanism — the plan raises in-flight
+    * when the aggregate exceeds `limit`, with zero driver actions and
+    * no extra join node; `remedy` names the scale-path alternative the
+    * error message points the user to.
+    */
+  def requireBoundedMass(df: DataFrame, mass: Column, site: String,
+      limit: Long, remedy: String): DataFrame =
+    guardedByAgg(df, coalesce(sum(mass), lit(0L)).cast("long"), limit,
+      lit(s"$site: aggregate mass "),
+      lit(s" exceeds the cap $limit — $remedy"))
+
   private def guardedBySize(df: DataFrame, limit: Long,
+      msgHead: Column, msgTail: Column): DataFrame =
+    guardedByAgg(df, count(lit(1)), limit, msgHead, msgTail)
+
+  private def guardedByAgg(df: DataFrame, agg: Column, limit: Long,
       msgHead: Column, msgTail: Column): DataFrame = {
     require(limit >= 1, s"size limit must be >= 1, got $limit")
     // The check rides a SENTINEL UNION, not a join: a 0-row branch
@@ -114,7 +132,7 @@ object Partitioning {
     val err = raise_error(concat(msgHead, col("__guard_n"), msgTail))
     val tripwire = when(col("__guard_n") > limit, err.cast("boolean"))
       .otherwise(lit(false))
-    val sentinel = df.agg(count(lit(1)).as("__guard_n"))
+    val sentinel = df.agg(agg.as("__guard_n"))
       .filter(tripwire)
       .select(df.schema.fields.toIndexedSeq.map(f => err.cast(f.dataType).as(f.name)): _*)
     df.unionByName(sentinel)

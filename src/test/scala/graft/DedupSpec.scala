@@ -312,6 +312,28 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.embeddingTopPairs(e, 5, maxRows = 20L).count() == 5L)
   }
 
+  test("idfCosinePairs: the co-occurrence-mass gate refuses, pointing at the rank form") {
+    import org.apache.spark.sql.functions._
+    // two 10-copy dup groups + 10 unique docs: surviving-shingle mass
+    // Σ df·(df−1)/2 = C(20,2) + 2·C(10,2) = 280 (the "aa bb cc"
+    // 3-shingle is shared across both groups at df=20; unique docs
+    // contribute df=1 ⇒ 0). The gate must refuse at a 100 cap without
+    // the pair join ever running, and the message must route the user
+    // to the candidate-bounded composition.
+    val docs = ((1L to 10L).map(i => (i, "aa bb cc dd")) ++
+      (11L to 20L).map(i => (i, "aa bb cc ee")) ++
+      (21L to 30L).map(i => (i, s"u$i v$i w$i x$i"))).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      Dedup.idfCosinePairs(docs, 5, maxPairMass = 100L).collect()
+    }
+    val msg = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("idfCosinePairs") && msg.contains("idfCosineRank"),
+      s"expected the mass-gate raise naming the scale path: $msg")
+    // under the cap the same corpus scores normally
+    assert(Dedup.idfCosinePairs(docs, 5, maxPairMass = 300L).count() == 5L)
+  }
+
   test("embeddingTopPairs covers mixed-sign ids (pmod block assignment)") {
     // Spark % keeps the dividend's sign: with plain % a negative id's
     // block key would never meet the non-negative side's task grid and

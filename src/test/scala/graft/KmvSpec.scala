@@ -124,4 +124,30 @@ class KmvSpec extends AnyFunSuite {
       Kmv.groupedJaccard(df, "g", "v", k = 16, maxGroups = 8)
     }
   }
+
+  test("groupedJaccard: the cap binds IN-PLAN, before the driver transfer") {
+    import spark.implicits._
+    // 10× the cap: 80 groups vs maxGroups = 8. The round-10 bug class
+    // was a require AFTER .collect() — the driver had already
+    // materialized every group's sketch when the check fired. The
+    // transfer frame must carry a plan-level limit (CollectLimit /
+    // GlobalLimit) and ship at most maxGroups + 1 rows.
+    val df = (1 to 80).flatMap(i => Seq((s"g$i", "x"), (s"g$i", "y")))
+      .toDF("g", "v")
+    val transfer = Kmv.groupSketches(df, "g", "v", k = 16, maxGroups = 8)
+    val plan = transfer.queryExecution.executedPlan.toString
+    assert(plan.contains("CollectLimit") || plan.contains("GlobalLimit"),
+      s"transfer plan has no limit node — the cap is post-hoc again:\n$plan")
+    val rows = transfer.collect()
+    assert(rows.length == 9,
+      s"driver received ${rows.length} sketch rows; the bound is maxGroups+1 = 9")
+    // and the public operator still fails loudly on the same input
+    val ex = intercept[IllegalArgumentException] {
+      Kmv.groupedJaccard(df, "g", "v", k = 16, maxGroups = 8)
+    }
+    assert(ex.getMessage.contains("maxGroups"))
+    // green path unchanged: under the cap every group still pairs
+    assert(Kmv.groupedJaccard(df.filter($"g".isin("g1", "g2", "g3")),
+      "g", "v", k = 16, maxGroups = 8).count() == 3L)
+  }
 }

@@ -27,7 +27,15 @@ class SketchStateSpec extends AnyFunSuite {
     * wraps finished stages in QueryStageExec whose plan is NOT a
     * TreeNode child, so the walk descends into stages explicitly. */
   private def partialAggRows(df: DataFrame): (Long, Int) = {
-    df.write.format("noop").mode("overwrite").save()
+    // Execute through the SAME QueryExecution whose plan is walked
+    // below: a noop write plans (and runs) a SEPARATE QueryExecution,
+    // leaving df.queryExecution's metrics at 0 and every bound
+    // assertion vacuously true. collect() runs
+    // df.queryExecution.executedPlan itself (outputs here are
+    // sketch-sized), so the metrics read afterwards are the executed
+    // ones — and the callers assert rows >= 1 so a zero-metric
+    // regression fails loudly instead of passing silently.
+    df.collect()
     import org.apache.spark.sql.execution.adaptive.QueryStageExec
     import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
     import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Partial}
@@ -68,6 +76,7 @@ class SketchStateSpec extends AnyFunSuite {
     val (rows, nodes) = partialAggRows(
       CountMin.counters(wideDocs, depth, width))
     assert(nodes >= 1, "expected a partial aggregate in the plan")
+    assert(rows >= 1, "zero executed partial rows — the metrics read is vacuous")
     val boundPerTask = depth.toLong * width
     assert(rows <= 32L * boundPerTask,
       s"partial emitted $rows rows — vocabulary-shaped, not sketch-shaped " +
@@ -79,6 +88,7 @@ class SketchStateSpec extends AnyFunSuite {
     val (rows, nodes) = partialAggRows(
       HeavyHitters.sketchPass(wideDocs, capacity = 64))
     assert(nodes >= 1)
+    assert(rows >= 1, "zero executed partial rows — the metrics read is vacuous")
     // a global ObjectHashAggregate partial emits ONE buffer row per
     // task; 64 is a generous ceiling for 8 input partitions under AQE
     // coalescing — the failure mode guarded against is ~16k rows
@@ -100,6 +110,7 @@ class SketchStateSpec extends AnyFunSuite {
     val est = CountMin.joinSizeEstimate(a, "k", b, "k", depth = 4, width = 32)
     val (rows, nodes) = partialAggRows(est)
     assert(nodes >= 2, "expected a partial aggregate per side")
+    assert(rows >= 1, "zero executed partial rows — the metrics read is vacuous")
     // 2 sides × tasks × 128 cells, plus the tiny per-d/global folds
     assert(rows <= 2L * 32L * 128L + 1024L,
       s"counter partials emitted $rows rows — key-domain-shaped")
