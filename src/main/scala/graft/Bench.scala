@@ -2,8 +2,11 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main — driver contract: one JSON line on stdout with the
-  * total and per-query seconds at $SPARK_GRAFT_SF_DIR.
+/** Benchmark main — driver contract: one JSON line on stdout at
+  * $SPARK_GRAFT_SF_DIR. Stdout carries totals + a headline-query dict
+  * (short enough to survive the driver's ~2 kB stdout tail window);
+  * the COMPLETE per-query median/min/max record is written by Bench
+  * itself to $SPARK_GRAFT_BENCH_OUT (default BENCH_local_latest.json).
   *
   * Queries are fully materialized through the noop sink (count() lets
   * Spark skip projected columns; noop executes the complete plan). One
@@ -80,7 +83,16 @@ object Bench {
         val times = (1 to reps).map(_ => runOnce(name, fn, sfDir))
         (name, median(times), times.min, times.max)
       }
+    // isolated re-runs (noise adjudication): SPARK_GRAFT_BENCH_ONLY is
+    // a comma-separated query-name list; the run times just those,
+    // marks the output line `"only":true`, and leaves the full-run
+    // artifact untouched so a partial run can never masquerade as a
+    // round total
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.forall(_.contains(q._1)))
     val results = timeAll(all.filterNot(q =>
       calibrationSet(q._1) || lifecycleSet(q._1)))
     val calib = timeAll(all.filter(q => calibrationSet(q._1)))
@@ -104,22 +116,28 @@ object Bench {
     // re-run (e.g. r7's pq_adc_topk: min 0.7 s, max 13.8 s)
     val noisy = results.filter(r => r._4 > 3.0 * math.max(r._3, 1e-9))
       .map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    // Key order matters: the driver keeps only the LAST ~2000 chars of
-    // stdout, so with ~180 queries the big per-query dicts overflow the
-    // window and whatever leads the line is lost (r8's driver artifact
-    // had parsed=null and no totals for exactly this reason). The big
-    // dicts go FIRST and every summary scalar LAST, so the surviving
-    // tail always carries total/total_min/total_max/noisy/errors.
-    // queries_med is an explicit alias of queries (the medians) so a
-    // reader never has to guess which statistic the primary dict holds.
-    val line = s"""{"metric":"total","unit":"sec","queries":$qs,"queries_med":$qs,"queries_min":$qmins,"queries_max":$qmaxs,"calibration":${obj(calib.map(r => r._1 -> r._2))},"lifecycle":${obj(lifecycle.map(r => r._1 -> r._2))},"sf":"$sfDir","reps":$reps,"value":$total,"total_min":$totalMin,"total_max":$totalMax,"lifecycle_total":${lifecycle.map(_._2).sum},"noisy":$noisy,"errors":$errs}"""
-    println(line)
-    // the full line also lands in a repo file (the driver's 2000-char
-    // tail cannot hold ~180 medians), so cross-round per-query
-    // comparisons stop depending on a manually-saved local artifact
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local_latest.json")
+    // The full record — every per-query median/min/max — goes to a
+    // stable repo file Bench itself writes; cross-round per-query
+    // comparisons read the artifact, never stdout.
+    val fullLine = s"""{"metric":"total","unit":"sec","queries":$qs,"queries_med":$qs,"queries_min":$qmins,"queries_max":$qmaxs,"calibration":${obj(calib.map(r => r._1 -> r._2))},"lifecycle":${obj(lifecycle.map(r => r._1 -> r._2))},"sf":"$sfDir","reps":$reps,"value":$total,"total_min":$totalMin,"total_max":$totalMax,"lifecycle_total":${lifecycle.map(_._2).sum},"noisy":$noisy,"errors":$errs${if (only.isDefined) ",\"only\":true" else ""}}"""
+    // STDOUT is totals-only: the driver keeps just the LAST ~2 kB of
+    // stdout, and ~200 per-query medians are ~8 kB — every round
+    // through r10 the driver archived a truncated, unparseable line
+    // (BENCH_r10 parsed=null) even with scalars-at-end ordering. A
+    // short line survives any tail window. A small headline dict keeps
+    // the contract's `queries` key populated; `queries_file` names the
+    // artifact carrying the complete map.
+    val headlineNames = Seq("search_cosine_topk", "search_dot_topk",
+      "q1_pricing_summary", "q3_shipping_priority", "dedup_minhash_lsh",
+      "ann_ivf_topk", "pipeline_clean_corpus", "events_funnel")
+    val headline = obj(results.filter(r => headlineNames.contains(r._1))
+      .map(r => r._1 -> r._2))
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined) "BENCH_local_only.json" else "BENCH_local_latest.json")
+    val noisyCount = results.count(r => r._4 > 3.0 * math.max(r._3, 1e-9))
+    println(s"""{"metric":"total","unit":"sec","value":$total,"queries":$headline,"queries_file":"$outPath","n_queries":${results.size},"sf":"$sfDir","reps":$reps,"total_min":$totalMin,"total_max":$totalMax,"lifecycle_total":${lifecycle.map(_._2).sum},"noisy_count":$noisyCount,"errors":$errs${if (only.isDefined) ",\"only\":true" else ""}}""")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (line + "\n").getBytes("UTF-8"))
+      (fullLine + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     spark.stop()

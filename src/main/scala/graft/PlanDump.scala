@@ -105,7 +105,10 @@ object PlanDump {
       "dedup_idf_rank" -> "LSH-proposed idf-cosine ranking: the banding chain proposes candidates (the dedup_minhash_lsh shape — tiny (doc, band, key) self-join, no nested loop); scoring joins each candidate through ONE (doc, shingle) equi-join chain against the weight table — work bounded by the candidate list, never the corpus co-occurrence mass; dot/norm folds are map-side-combined DECIMAL(28,9) partials.",
       "cross_corpus_pairs" -> "Cross-corpus contamination: banding runs per SIDE and the candidate join is cross-side band-bucket equality only (equi-join, no within-side pairs, no BNLJ); verification joins each side's own shingle arrays; at scale the benchmark band index is the broadcast side.",
       "profile_drift" -> "Profile drift: ONE multi-aggregate scan per side (the Expand multi-count-distinct plan — no per-column rescans), the per-column unpivot of each 1-row result, and a full-outer join of two |columns|-row frames; nothing after the two scans is corpus-sized.",
-      "join_advisor" -> "Join-strategy advisor as ONE lazy program (round-9 verdict #4): left is scanned three times (MG sketch partial below a 1-row exchange, candidate recount behind a broadcast of the ≤capacity exploded candidate keys, CMS counters), right once; both side counts ride the counter tables (no separate count scans); the counter tables meet in a full-outer equi-join on (d, bucket); everything above is 1-row global-aggregate crosses — the advised join appears NOWHERE, and .head() is the only action.")
+      "join_advisor" -> "Join-strategy advisor as ONE lazy program (round-9 verdict #4): left is scanned three times (MG sketch partial below a 1-row exchange, candidate recount behind a broadcast of the ≤capacity exploded candidate keys, CMS counters), right once; both side counts ride the counter tables (no separate count scans); the counter tables meet in a full-outer equi-join on (d, bucket); everything above is 1-row global-aggregate crosses — the advised join appears NOWHERE, and .head() is the only action.",
+      "source_jaccard_kmv" -> "Per-group sketch Jaccard, corpus pass (shown via Kmv.groupSketches — the contract query's readout runs on the collected ≤ maxGroups × k longs): ONE groupBy(group) BottomK aggregation, ObjectHashAggregate with a PARTIAL side below the group exchange (per-task state k longs per group), and the driver transfer is plan-capped by CollectLimit/GlobalLimit at maxGroups + 1 rows — the round-10 guard-ordering fix made the cap bind BEFORE the collect.",
+      "dow_adjusted_anomaly" -> "Day-of-week-adjusted anomaly: the event stream collapses to the bounded day domain FIRST (one map-side-combinable (day) count); the trailing-baseline windows are PARTITIONED by dow — seven bounded sub-series, never a global sort — and the moment folds are order-free decimals; nothing after the day collapse is corpus-sized.",
+      "pipeline_decontaminate" -> "Composed decontamination release: the cross_corpus_pairs chain proposes + verifies pairs (cross-side band equi-join, no BNLJ); the quarantine set is a tiny distinct projection of the pair table consumed by ONE left-anti equi-join on doc_id; the snapshotDiff audit reduces both sides to digest rows before its single full-outer join — text crosses an exchange only inside the shingle pass.")
     // Nested-loop tripwire (round-9 verdict #7): the dump FAILS if a
     // plan contains CartesianProduct or BroadcastNestedLoopJoin unless
     // the query is allowlisted here with the reason its nested loop is
@@ -191,6 +194,17 @@ object PlanDump {
         // plan worth auditing is the corpus-sized sketch pass
         operators.HeavyHitters.sketchPass(
           sources.Tables.table(spark, dir, "documents"), 1024)
+      } else if (name == "source_jaccard_kmv") {
+        // same shape: the contract query collects the bounded sketch
+        // table and parallelizes pair readouts; the corpus-sized plan
+        // is the grouped BottomK pass with its CollectLimit cap
+        operators.Kmv.groupSketches(
+          sources.Tables.table(spark, dir, "documents")
+            .select(org.apache.spark.sql.functions.col("source"),
+              org.apache.spark.sql.functions.explode(
+                operators.TextAnalysis.words(
+                  org.apache.spark.sql.functions.col("text"))).as("w")),
+          "source", "w", 256, 1024)
       } else SparkEntry.queries(name)(spark, dir)
       val plan = frame.queryExecution.executedPlan.toString
       if (plan.contains("CartesianProduct") ||

@@ -145,6 +145,15 @@ object SparkEntry {
         d.filter(col("doc_id") % 2 === 0),
         d.filter(col("doc_id") % 2 === 1), 0.5)
     }),
+    // the composed decontamination release: cross-corpus pairs →
+    // per-training-doc quarantine → snapshotDiff audit of the corpus
+    // vs its decontaminated survivor set (round-10 verdict #8)
+    "pipeline_decontaminate" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      operators.CorpusPipeline.decontaminate(
+        d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1), 0.5)
+    }),
     // the corpus-scale composition: LSH banding proposes candidates,
     // idf-weighted cosine ranks them — work bounded by the candidate
     // list, never the corpus-wide co-occurrence mass
@@ -2118,6 +2127,45 @@ object SparkEntry {
        |                      JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
        |          GROUP BY 1, 2)""".stripMargin
 
+  // Cross-side banding chain ending in CTE `ccp(corpus_doc, bench_doc,
+  // jaccard)` — the verified contamination pairs over the %2 corpus /
+  // benchmark split. Shared by cross_corpus_pairs (the pair table) and
+  // pipeline_decontaminate (the quarantine + release-diff rollup).
+  private val crossCorpusCtes =
+    s"""w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+       |           FROM documents),
+       |shx AS (SELECT doc_id, unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |                                             for i in range(1, len(ws)-1)])) AS shingle
+       |        FROM w WHERE len(ws) >= 3),
+       |cs AS (SELECT * FROM shx WHERE doc_id % 2 = 0),
+       |bs AS (SELECT * FROM shx WHERE doc_id % 2 = 1),
+       |seeds AS (SELECT unnest(range(16)) AS seed),
+       |sigc AS (SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minhash
+       |         FROM cs CROSS JOIN seeds GROUP BY doc_id, seed),
+       |bandc AS (SELECT doc_id, CAST(floor(seed/4.0) AS INT) AS band,
+       |  md5(string_agg(seed || '=' || minhash, '|' ORDER BY seed || '=' || minhash)) AS band_key
+       |  FROM sigc GROUP BY doc_id, CAST(floor(seed/4.0) AS INT)),
+       |sigb AS (SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minhash
+       |         FROM bs CROSS JOIN seeds GROUP BY doc_id, seed),
+       |bandb AS (SELECT doc_id, CAST(floor(seed/4.0) AS INT) AS band,
+       |  md5(string_agg(seed || '=' || minhash, '|' ORDER BY seed || '=' || minhash)) AS band_key
+       |  FROM sigb GROUP BY doc_id, CAST(floor(seed/4.0) AS INT)),
+       |cand AS (SELECT DISTINCT x.doc_id AS corpus_doc, y.doc_id AS bench_doc
+       |         FROM bandc x JOIN bandb y
+       |           ON x.band = y.band AND x.band_key = y.band_key),
+       |szc AS (SELECT doc_id, count(*) AS n FROM cs GROUP BY doc_id),
+       |szb AS (SELECT doc_id, count(*) AS n FROM bs GROUP BY doc_id),
+       |ins AS (SELECT c.corpus_doc, c.bench_doc, count(*) AS c
+       |        FROM cand c JOIN cs a ON a.doc_id = c.corpus_doc
+       |                    JOIN bs b ON b.doc_id = c.bench_doc
+       |                             AND a.shingle = b.shingle
+       |        GROUP BY 1, 2),
+       |ccp AS (SELECT i.corpus_doc, i.bench_doc,
+       |          round(i.c::DOUBLE/(x.n + y.n - i.c), 6) AS jaccard
+       |        FROM ins i JOIN szc x ON i.corpus_doc = x.doc_id
+       |          JOIN szb y ON i.bench_doc = y.doc_id
+       |        WHERE round(i.c::DOUBLE/(x.n + y.n - i.c), 6) >= 0.5)""".stripMargin
+
   // DuckDB replay of QualityModel scoring from the dumped weights:
   // identical feature doubles, the same left-to-right dot fold, the
   // same sigmoid, rounded at 6 dp — ends in CTE `sc(doc_id, quality)`.
@@ -2457,40 +2505,22 @@ object SparkEntry {
     // benchmark), cross-side candidates only, the shared exact-Jaccard
     // rounding/threshold semantics
     "cross_corpus_pairs" ->
-      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
-         |           FROM documents),
-         |shx AS (SELECT doc_id, unnest(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-         |                                             for i in range(1, len(ws)-1)])) AS shingle
-         |        FROM w WHERE len(ws) >= 3),
-         |cs AS (SELECT * FROM shx WHERE doc_id % 2 = 0),
-         |bs AS (SELECT * FROM shx WHERE doc_id % 2 = 1),
-         |seeds AS (SELECT unnest(range(16)) AS seed),
-         |sigc AS (SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minhash
-         |         FROM cs CROSS JOIN seeds GROUP BY doc_id, seed),
-         |bandc AS (SELECT doc_id, CAST(floor(seed/4.0) AS INT) AS band,
-         |  md5(string_agg(seed || '=' || minhash, '|' ORDER BY seed || '=' || minhash)) AS band_key
-         |  FROM sigc GROUP BY doc_id, CAST(floor(seed/4.0) AS INT)),
-         |sigb AS (SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minhash
-         |         FROM bs CROSS JOIN seeds GROUP BY doc_id, seed),
-         |bandb AS (SELECT doc_id, CAST(floor(seed/4.0) AS INT) AS band,
-         |  md5(string_agg(seed || '=' || minhash, '|' ORDER BY seed || '=' || minhash)) AS band_key
-         |  FROM sigb GROUP BY doc_id, CAST(floor(seed/4.0) AS INT)),
-         |cand AS (SELECT DISTINCT x.doc_id AS corpus_doc, y.doc_id AS bench_doc
-         |         FROM bandc x JOIN bandb y
-         |           ON x.band = y.band AND x.band_key = y.band_key),
-         |szc AS (SELECT doc_id, count(*) AS n FROM cs GROUP BY doc_id),
-         |szb AS (SELECT doc_id, count(*) AS n FROM bs GROUP BY doc_id),
-         |ins AS (SELECT c.corpus_doc, c.bench_doc, count(*) AS c
-         |        FROM cand c JOIN cs a ON a.doc_id = c.corpus_doc
-         |                    JOIN bs b ON b.doc_id = c.bench_doc
-         |                             AND a.shingle = b.shingle
-         |        GROUP BY 1, 2)
-         |SELECT i.corpus_doc, i.bench_doc,
-         |  round(i.c::DOUBLE/(x.n + y.n - i.c), 6) AS jaccard
-         |FROM ins i JOIN szc x ON i.corpus_doc = x.doc_id
-         |  JOIN szb y ON i.bench_doc = y.doc_id
-         |WHERE round(i.c::DOUBLE/(x.n + y.n - i.c), 6) >= 0.5
-         |ORDER BY i.corpus_doc, i.bench_doc""".stripMargin,
+      s"""WITH $crossCorpusCtes
+         |SELECT corpus_doc, bench_doc, jaccard FROM ccp
+         |ORDER BY corpus_doc, bench_doc""".stripMargin,
+    // quarantine verdict = any verified pair; the release audit is the
+    // corpus_diff digest classification between the training corpus
+    // and its decontaminated survivor set — cleaned ⊂ corpus with
+    // identical text, so only removed/unchanged can appear
+    "pipeline_decontaminate" ->
+      s"""WITH $crossCorpusCtes,
+         |q AS (SELECT DISTINCT corpus_doc FROM ccp),
+         |t AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0)
+         |SELECT CASE WHEN q.corpus_doc IS NOT NULL THEN 'removed'
+         |            ELSE 'unchanged' END AS status,
+         |  count(*) AS n_docs
+         |FROM t LEFT JOIN q ON t.doc_id = q.corpus_doc
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the SAME banding chain as dedup_minhash_lsh proposes the
     // candidates (cand CTE), the SAME idf scoring as dedup_idf_cosine
     // ranks them; a candidate with no shared surviving shingle scores

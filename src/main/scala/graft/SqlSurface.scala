@@ -279,6 +279,51 @@ object SqlSurface {
        |          AND x.doc_id < y.doc_id
        |         GROUP BY x.doc_id, y.doc_id)""".stripMargin
 
+  /** The cross-corpus contamination chain in SQL (per-side banding on
+    * the %2 corpus/benchmark split, cross-side candidates only, the
+    * shared exact-Jaccard verification) — ends in
+    * `ccp(corpus_doc, bench_doc, jaccard)`. Shared by
+    * `cross_corpus_pairs` and `pipeline_decontaminate`.
+    */
+  private val crossCorpusSqlCtes: String =
+    s"""w AS (SELECT doc_id, split(trim(text), '\\\\s+') AS ws FROM documents),
+       |shx AS (SELECT doc_id, explode(array_distinct(transform(
+       |          sequence(0, size(ws) - 3),
+       |          i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) AS shingle
+       |        FROM w WHERE size(ws) >= 3),
+       |cs AS (SELECT * FROM shx WHERE doc_id % 2 = 0),
+       |bs AS (SELECT * FROM shx WHERE doc_id % 2 = 1),
+       |mhc AS (SELECT doc_id, j, min(md5(concat(j, ':', shingle))) AS mn
+       |        FROM cs LATERAL VIEW explode(sequence(0, 15)) t AS j
+       |        GROUP BY doc_id, j),
+       |bkc AS (SELECT doc_id, CAST(floor(j / 4) AS INT) AS band,
+       |          md5(concat_ws('|',
+       |            sort_array(collect_list(concat(j, '=', mn))))) AS band_key
+       |        FROM mhc GROUP BY doc_id, floor(j / 4)),
+       |mhb AS (SELECT doc_id, j, min(md5(concat(j, ':', shingle))) AS mn
+       |        FROM bs LATERAL VIEW explode(sequence(0, 15)) t AS j
+       |        GROUP BY doc_id, j),
+       |bkb AS (SELECT doc_id, CAST(floor(j / 4) AS INT) AS band,
+       |          md5(concat_ws('|',
+       |            sort_array(collect_list(concat(j, '=', mn))))) AS band_key
+       |        FROM mhb GROUP BY doc_id, floor(j / 4)),
+       |cand AS (SELECT x.doc_id AS corpus_doc, y.doc_id AS bench_doc
+       |         FROM bkc x JOIN bkb y
+       |           ON x.band = y.band AND x.band_key = y.band_key
+       |         GROUP BY x.doc_id, y.doc_id),
+       |szc AS (SELECT doc_id, count(1) AS n FROM cs GROUP BY doc_id),
+       |szb AS (SELECT doc_id, count(1) AS n FROM bs GROUP BY doc_id),
+       |ins AS (SELECT c.corpus_doc, c.bench_doc, count(1) AS c
+       |        FROM cand c JOIN cs a ON a.doc_id = c.corpus_doc
+       |                    JOIN bs b ON b.doc_id = c.bench_doc
+       |                             AND a.shingle = b.shingle
+       |        GROUP BY c.corpus_doc, c.bench_doc),
+       |ccp AS (SELECT i.corpus_doc, i.bench_doc,
+       |          round(CAST(i.c AS DOUBLE) / (x.n + y.n - i.c), 6) AS jaccard
+       |        FROM ins i JOIN szc x ON i.corpus_doc = x.doc_id
+       |          JOIN szb y ON i.bench_doc = y.doc_id
+       |        WHERE round(CAST(i.c AS DOUBLE) / (x.n + y.n - i.c), 6) >= 0.5D)""".stripMargin
+
   /** The 62-bit SimHash in SQL: bit j of md5(word) MSB-first weights
     * ±count(word); h bit j set iff the weight is positive — the
     * simhashUdf arithmetic over hex nibbles. Ends in `hv`.
@@ -3637,44 +3682,23 @@ object SqlSurface {
     // Per-side banding (even ids = corpus, odd = benchmark),
     // cross-side candidates only, shared exact-Jaccard semantics.
     "cross_corpus_pairs" ->
-      s"""WITH w AS (SELECT doc_id, split(trim(text), '\\\\s+') AS ws FROM documents),
-         |shx AS (SELECT doc_id, explode(array_distinct(transform(
-         |          sequence(0, size(ws) - 3),
-         |          i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) AS shingle
-         |        FROM w WHERE size(ws) >= 3),
-         |cs AS (SELECT * FROM shx WHERE doc_id % 2 = 0),
-         |bs AS (SELECT * FROM shx WHERE doc_id % 2 = 1),
-         |mhc AS (SELECT doc_id, j, min(md5(concat(j, ':', shingle))) AS mn
-         |        FROM cs LATERAL VIEW explode(sequence(0, 15)) t AS j
-         |        GROUP BY doc_id, j),
-         |bkc AS (SELECT doc_id, CAST(floor(j / 4) AS INT) AS band,
-         |          md5(concat_ws('|',
-         |            sort_array(collect_list(concat(j, '=', mn))))) AS band_key
-         |        FROM mhc GROUP BY doc_id, floor(j / 4)),
-         |mhb AS (SELECT doc_id, j, min(md5(concat(j, ':', shingle))) AS mn
-         |        FROM bs LATERAL VIEW explode(sequence(0, 15)) t AS j
-         |        GROUP BY doc_id, j),
-         |bkb AS (SELECT doc_id, CAST(floor(j / 4) AS INT) AS band,
-         |          md5(concat_ws('|',
-         |            sort_array(collect_list(concat(j, '=', mn))))) AS band_key
-         |        FROM mhb GROUP BY doc_id, floor(j / 4)),
-         |cand AS (SELECT x.doc_id AS corpus_doc, y.doc_id AS bench_doc
-         |         FROM bkc x JOIN bkb y
-         |           ON x.band = y.band AND x.band_key = y.band_key
-         |         GROUP BY x.doc_id, y.doc_id),
-         |szc AS (SELECT doc_id, count(1) AS n FROM cs GROUP BY doc_id),
-         |szb AS (SELECT doc_id, count(1) AS n FROM bs GROUP BY doc_id),
-         |ins AS (SELECT c.corpus_doc, c.bench_doc, count(1) AS c
-         |        FROM cand c JOIN cs a ON a.doc_id = c.corpus_doc
-         |                    JOIN bs b ON b.doc_id = c.bench_doc
-         |                             AND a.shingle = b.shingle
-         |        GROUP BY c.corpus_doc, c.bench_doc)
-         |SELECT i.corpus_doc, i.bench_doc,
-         |  round(CAST(i.c AS DOUBLE) / (x.n + y.n - i.c), 6) AS jaccard
-         |FROM ins i JOIN szc x ON i.corpus_doc = x.doc_id
-         |  JOIN szb y ON i.bench_doc = y.doc_id
-         |WHERE round(CAST(i.c AS DOUBLE) / (x.n + y.n - i.c), 6) >= 0.5D
-         |ORDER BY i.corpus_doc, i.bench_doc""".stripMargin,
+      s"""WITH $crossCorpusSqlCtes
+         |SELECT corpus_doc, bench_doc, jaccard FROM ccp
+         |ORDER BY corpus_doc, bench_doc""".stripMargin,
+
+    // The composed decontamination release: the ccp pair chain above,
+    // rolled up to the quarantine verdict and the release's
+    // snapshot-diff digest classification (cleaned ⊂ corpus with
+    // identical text ⇒ only removed/unchanged can appear).
+    "pipeline_decontaminate" ->
+      s"""WITH $crossCorpusSqlCtes,
+         |q AS (SELECT DISTINCT corpus_doc FROM ccp),
+         |t AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0)
+         |SELECT CASE WHEN q.corpus_doc IS NOT NULL THEN 'removed'
+         |            ELSE 'unchanged' END AS status,
+         |  count(1) AS n_docs
+         |FROM t LEFT JOIN q ON t.doc_id = q.corpus_doc
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Banding proposes (the shared minhash cand chain), idf-weighted
     // cosine ranks — the corpus-scale composition of the two entries
@@ -4714,6 +4738,7 @@ object SqlSurface {
       "dedup_idf_cosine" -> SparkEntry.queries("dedup_idf_cosine"),
       "dedup_idf_rank" -> SparkEntry.queries("dedup_idf_rank"),
       "cross_corpus_pairs" -> SparkEntry.queries("cross_corpus_pairs"),
+      "pipeline_decontaminate" -> SparkEntry.queries("pipeline_decontaminate"),
       "profile_drift" -> SparkEntry.queries("profile_drift"),
       "dedup_sorted_neighborhood" ->
         SparkEntry.queries("dedup_sorted_neighborhood"),

@@ -144,6 +144,34 @@ object CorpusPipeline {
     * classification that aggregates map-side into four rows. Text
     * never crosses the exchange.
     */
+  /** End-to-end benchmark decontamination — the one query a curation
+    * team actually runs before a training release, composed entirely
+    * from existing operators: [[Dedup.crossCorpusPairs]] proposes and
+    * exact-verifies (training doc, eval doc) near-duplicate pairs at
+    * `threshold`; every training doc appearing in ANY verified pair is
+    * quarantined (the per-pair table is what justifies each removal to
+    * an auditor); the release audit is [[snapshotDiff]] between the
+    * corpus and its decontaminated survivor set — the same
+    * added/removed/changed/unchanged digest classification every other
+    * release publishes, so decontamination reads like any other corpus
+    * version bump.
+    *
+    * Shape at 100 TB: pair generation is the crossCorpusPairs plan
+    * (benchmark band index broadcasts, candidates bounded by cross-side
+    * band collisions); the quarantine set is a distinct projection of
+    * the pair table (pair-table-sized, tiny) consumed by one LEFT ANTI
+    * equi-join on doc_id; snapshotDiff reduces both sides to 40-byte
+    * digest rows before its single full-outer join. Text crosses an
+    * exchange only inside the shingle pass.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      threshold: Double): DataFrame = {
+    val pairs = Dedup.crossCorpusPairs(corpus, benchmark, threshold)
+    val quarantined = pairs.select(col("corpus_doc").as("doc_id")).distinct()
+    val cleaned = corpus.join(quarantined, Seq("doc_id"), "left_anti")
+    snapshotDiff(corpus, cleaned)
+  }
+
   def snapshotDiff(old: DataFrame, nw: DataFrame): DataFrame = {
     val o = old.select(col("doc_id"), sha2(col("text"), 256).as("h_old"))
     val n = nw.select(col("doc_id"), sha2(col("text"), 256).as("h_new"))

@@ -80,4 +80,26 @@ class CorpusPipelineSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(same == Map("unchanged" -> 3L))
   }
+
+  test("decontaminate: a contaminated training doc reads as `removed` in the release diff") {
+    // training doc 2 is a verbatim copy of eval doc 101 (Jaccard 1.0 at
+    // any threshold); docs 4 and 6 share nothing with the eval set
+    val train = Seq(
+      (2L, base),
+      (4L, "completely different words about ships and harbors at dawn"),
+      (6L, "yet another unrelated training document mentioning winter"))
+      .toDF("doc_id", "text")
+    val eval_ = Seq(
+      (101L, base),
+      (103L, "an eval item no training doc resembles in any way"))
+      .toDF("doc_id", "text")
+    val got = CorpusPipeline.decontaminate(train, eval_, 0.5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("removed" -> 1L, "unchanged" -> 2L), s"$got")
+    // a clean corpus releases untouched — no spurious quarantines
+    val clean = CorpusPipeline.decontaminate(
+      train.filter($"doc_id" =!= 2L), eval_, 0.5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(clean == Map("unchanged" -> 2L), s"$clean")
+  }
 }
