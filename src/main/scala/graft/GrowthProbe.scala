@@ -688,11 +688,46 @@ object GrowthProbe {
     // means candidate generation tracks the pair graph, not n².
     ScaleProbe.ensureDouble(spark, dir)
     val x2 = spark.read.parquet(s"$dir/documents_x2.parquet")
-    var p1 = 0L; var p2 = 0L
-    val t1 = bestOf2 { p1 = Dedup.ngramJaccardPairs(full, 0.9).count(); p1 }
-    val t2 = bestOf2 { p2 = Dedup.ngramJaccardPairs(x2, 0.9).count(); p2 }
-    val norm = (t2 / p2) / (t1 / p1)
-    println(f"$t1%7.2f  $t2%7.2f  raw=${t2 / t1}%5.2f  pairs: $p1%,d → $p2%,d (${p2.toDouble / p1}%4.2fx)  per-pair ratio=$norm%5.2f  ${if (norm > 1.5) "SLOW " else "ok   "}ngram_jaccard prefix-exact (n=100k, 2n=200k)")
+    locally {
+      var p1 = 0L; var p2 = 0L
+      val t1 = bestOf2 { p1 = Dedup.ngramJaccardPairs(full, 0.9).count(); p1 }
+      val t2 = bestOf2 { p2 = Dedup.ngramJaccardPairs(x2, 0.9).count(); p2 }
+      val norm = (t2 / p2.max(1L)) / (t1 / p1.max(1L))
+      println(f"$t1%7.2f  $t2%7.2f  raw=${t2 / t1}%5.2f  pairs: $p1%,d → $p2%,d (${p2.toDouble / p1}%4.2fx)  per-pair ratio=$norm%5.2f  ${if (norm > 1.5) "SLOW " else "ok   "}ngram_jaccard prefix-exact (n=100k, 2n=200k)")
+    }
+    // the same 100k→200k lane for the round-10 pair families (r10
+    // verdict #6): per-unit denominators as in the 50k→100k section
+    locally {
+      var c1 = 0L; var c2 = 0L
+      val t1 = bestOf2 { c1 = Dedup.idfCosineRank(full, Dedup.lshCandidates(full)).count(); c1 }
+      val t2 = bestOf2 { c2 = Dedup.idfCosineRank(x2, Dedup.lshCandidates(x2)).count(); c2 }
+      val norm = (t2 / c2.max(1L)) / (t1 / c1.max(1L))
+      println(f"$t1%7.2f  $t2%7.2f  raw=${t2 / t1}%5.2f  cands: $c1%,d → $c2%,d (${c2.toDouble / c1.max(1L)}%4.2fx)  per-candidate ratio=$norm%5.2f  ${if (norm > 1.5) "SLOW " else "ok   "}idf_cosine_rank (n=100k, 2n=200k)")
+    }
+    locally {
+      // %4 split: both corpora interleave train/eval halves (rep spans
+      // 0..19 at n, 0..39 at 2n, so % 4 buckets stay balanced)
+      def run(d: org.apache.spark.sql.DataFrame) = Dedup.crossCorpusPairs(
+        d.filter(col("doc_id") % 4 < 2),
+        d.filter(col("doc_id") % 4 >= 2), 0.5).count()
+      var p1 = 0L; var p2 = 0L
+      val t1 = bestOf2 { p1 = run(full); p1 }
+      val t2 = bestOf2 { p2 = run(x2); p2 }
+      val norm = (t2 / p2.max(1L)) / (t1 / p1.max(1L))
+      println(f"$t1%7.2f  $t2%7.2f  raw=${t2 / t1}%5.2f  pairs: $p1%,d → $p2%,d (${p2.toDouble / p1.max(1L)}%4.2fx)  per-pair ratio=$norm%5.2f  ${if (norm > 1.5) "SLOW " else "ok   "}cross_corpus_pairs (n=100k, 2n=200k)")
+    }
+    locally {
+      // the group DOMAIN (source) is constant across the doubling, so
+      // the sketch pass must be linear in the exploded word rows — the
+      // raw ratio is the honest number here (expect ≈2x)
+      def run(d: org.apache.spark.sql.DataFrame) = Kmv.groupedJaccard(
+        d.select(col("source"), explode(TextAnalysis.words(col("text"))).as("w")),
+        "source", "w", 256).count()
+      val t1 = bestOf2(run(full))
+      val t2 = bestOf2(run(x2))
+      val r = t2 / t1
+      println(f"$t1%7.2f  $t2%7.2f  ratio=$r%5.2f  ${if (r > 3.0) "SLOW " else "ok   "}grouped_jaccard (n=100k, 2n=200k; constant group domain)")
+    }
     spark.stop()
   }
 }

@@ -235,6 +235,24 @@ object SparkEntry {
       Dedup.contaminationFlags(docs, docs.filter(col("doc_id") % 50 === 0),
         n = 8, minShared = 3)
     }),
+    // the eval-side complement: per benchmark item, what fraction of
+    // its 8-grams the training corpus already contains — the
+    // drop-this-eval-item report contaminationFlags cannot produce
+    "eval_contamination" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      Dedup.evalContamination(docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), n = 8, dirtyFrac = 0.2)
+    }),
+    // token-denominated dedup accounting: what the canonical keep buys
+    // back in TOKENS per source (dup groups skew long, so doc counts
+    // understate it) — feeds straight into token_budget planning
+    "dedup_token_savings" -> ((s, dir) =>
+      Dedup.dedupTokenSavings(tbl(s, dir, "documents"))),
+    // per-source n-gram distribution health: type-token ratio +
+    // Shannon entropy over bigrams — the template-flood alarm read
+    // next to source_overlap's cross-source duplication report
+    "ngram_diversity" -> ((s, dir) =>
+      operators.TextAnalysis.ngramDiversity(tbl(s, dir, "documents"), 2)),
     // incremental ingest: every third doc arrives as the new batch and
     // is checked against the other two thirds as shipped history
     "dedup_incremental" -> ((s, dir) => {
@@ -2745,6 +2763,64 @@ object SparkEntry {
          |  coalesce(s.n_shared, 0) >= 3 AS contaminated
          |FROM documents LEFT JOIN s USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // eval-side fraction over the same 8-gram chain: train vocabulary
+    // is the distinct non-benchmark shingle set; dirty at the ROUNDED
+    // 6-dp fraction, matching the engine's threshold-on-readout
+    "eval_contamination" ->
+      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+         |sh8 AS (SELECT doc_id, unnest(list_distinct(
+         |          [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+         |           ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7]
+         |           for i in range(1, len(ws)-6)])) AS shingle
+         |        FROM w WHERE len(ws) >= 8),
+         |b AS (SELECT doc_id, shingle FROM sh8 WHERE doc_id % 50 = 0),
+         |tv AS (SELECT DISTINCT shingle FROM sh8 WHERE doc_id % 50 <> 0),
+         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+         |        FROM b GROUP BY doc_id),
+         |shd AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |        FROM b JOIN tv USING (shingle) GROUP BY b.doc_id)
+         |SELECT t.doc_id AS bench_doc, t.n_grams,
+         |  coalesce(s.n_shared, 0) AS n_shared,
+         |  round(coalesce(s.n_shared, 0)::DOUBLE / t.n_grams, 6) AS overlap_frac,
+         |  round(coalesce(s.n_shared, 0)::DOUBLE / t.n_grams, 6) >= 0.2 AS dirty
+         |FROM tot t LEFT JOIN shd s USING (doc_id)
+         |ORDER BY bench_doc""".stripMargin,
+    // same global canonical keep as the doc-count report, with the
+    // whitespace token count riding the hashed projection
+    "dedup_token_savings" ->
+      s"""WITH h AS (SELECT doc_id, source, sha256(text) AS dg,
+         |             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS toks
+         |           FROM documents),
+         |k AS (SELECT dg, min(doc_id) AS keep_id FROM h GROUP BY dg)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(toks) AS BIGINT) AS tokens_total,
+         |  CAST(sum(CASE WHEN doc_id = keep_id THEN toks ELSE 0 END) AS BIGINT) AS tokens_kept,
+         |  round(CAST(1.0 AS DOUBLE)
+         |    - sum(CASE WHEN doc_id = keep_id THEN toks ELSE 0 END)::DOUBLE
+         |      / sum(toks), 6) AS token_savings_frac
+         |FROM h JOIN k USING (dg) GROUP BY source ORDER BY source""".stripMargin,
+    // bigram multiplicities, 9-dp decimal entropy terms (order-free
+    // fold), 6-dp readouts — the charEntropy discipline per source
+    "ngram_diversity" ->
+      s"""WITH w AS (SELECT source, regexp_split_to_array(trim(text), '\\s+') AS ws
+         |           FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+         |g AS (SELECT source, unnest([ws[i] || ' ' || ws[i+1]
+         |                             for i in range(1, len(ws))]) AS gram
+         |      FROM w WHERE len(ws) >= 2),
+         |c AS (SELECT source, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+         |t AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_ngrams,
+         |        CAST(count(*) AS BIGINT) AS n_distinct
+         |      FROM c GROUP BY 1),
+         |e AS (SELECT c.source,
+         |        sum(CAST(round(-(c.cnt::DOUBLE / t.n_ngrams)
+         |              * log2(c.cnt::DOUBLE / t.n_ngrams), 9)
+         |            AS DECIMAL(28,9))) AS ent
+         |      FROM c JOIN t USING (source) GROUP BY 1)
+         |SELECT t.source, t.n_ngrams, t.n_distinct,
+         |  round(t.n_distinct::DOUBLE / t.n_ngrams, 6) AS ttr,
+         |  round(CAST(e.ent AS DOUBLE), 6) AS entropy
+         |FROM t JOIN e USING (source) ORDER BY source""".stripMargin,
     "dedup_incremental" -> dedupIncrementalOracleSql,
     // compaction is invisible to dedup semantics: same two-set replay
     "dedup_incremental_compacted" -> dedupIncrementalOracleSql,

@@ -3686,6 +3686,66 @@ object SqlSurface {
          |SELECT corpus_doc, bench_doc, jaccard FROM ccp
          |ORDER BY corpus_doc, bench_doc""".stripMargin,
 
+    // Eval-side contamination fraction: the train vocabulary prunes to
+    // the benchmark's own shingles before the distinct (the broadcast
+    // semi-join shape in the DataFrame form), and dirty thresholds on
+    // the ROUNDED 6-dp fraction exactly like the engine.
+    "eval_contamination" ->
+      s"""WITH w AS (SELECT doc_id, split(trim(text), '\\\\s+') AS ws FROM documents),
+         |sh8 AS (SELECT doc_id, explode(array_distinct(transform(
+         |          sequence(0, size(ws) - 8),
+         |          i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3],
+         |                         ws[i+4], ws[i+5], ws[i+6], ws[i+7])))) AS shingle
+         |        FROM w WHERE size(ws) >= 8),
+         |b AS (SELECT doc_id, shingle FROM sh8 WHERE doc_id % 50 = 0),
+         |tv AS (SELECT DISTINCT shingle FROM sh8 WHERE doc_id % 50 <> 0),
+         |tot AS (SELECT doc_id, count(1) AS n_grams FROM b GROUP BY doc_id),
+         |shd AS (SELECT b.doc_id, count(1) AS n_shared
+         |        FROM b JOIN tv USING (shingle) GROUP BY b.doc_id)
+         |SELECT t.doc_id AS bench_doc, t.n_grams,
+         |  coalesce(s.n_shared, 0L) AS n_shared,
+         |  round(CAST(coalesce(s.n_shared, 0L) AS DOUBLE) / t.n_grams, 6) AS overlap_frac,
+         |  round(CAST(coalesce(s.n_shared, 0L) AS DOUBLE) / t.n_grams, 6) >= 0.2D AS dirty
+         |FROM tot t LEFT JOIN shd s ON t.doc_id = s.doc_id
+         |ORDER BY bench_doc""".stripMargin,
+
+    // Token-denominated canonical-keep accounting — the keepCanonical
+    // digest groupBy with the token count riding the hashed projection.
+    "dedup_token_savings" ->
+      s"""WITH h AS (SELECT doc_id, source, sha2(text, 256) AS dg,
+         |             CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS toks
+         |           FROM documents),
+         |k AS (SELECT dg, min(doc_id) AS keep_id FROM h GROUP BY dg)
+         |SELECT source, count(1) AS n_docs,
+         |  sum(CASE WHEN doc_id = keep_id THEN 1L ELSE 0L END) AS n_kept,
+         |  sum(toks) AS tokens_total,
+         |  sum(CASE WHEN doc_id = keep_id THEN toks ELSE 0L END) AS tokens_kept,
+         |  round(CAST(1.0 AS DOUBLE)
+         |    - CAST(sum(CASE WHEN doc_id = keep_id THEN toks ELSE 0L END) AS DOUBLE)
+         |      / sum(toks), 6) AS token_savings_frac
+         |FROM h JOIN k USING (dg) GROUP BY source ORDER BY source""".stripMargin,
+
+    // Per-source bigram diversity: multiplicities from one
+    // (source, gram) count, 9-dp decimal entropy terms, 6-dp readouts.
+    "ngram_diversity" ->
+      s"""WITH w AS (SELECT source, split(trim(text), '\\\\s+') AS ws FROM documents
+         |           WHERE text IS NOT NULL AND source IS NOT NULL),
+         |g AS (SELECT source, explode(transform(sequence(0, size(ws) - 2),
+         |        i -> concat_ws(' ', ws[i], ws[i+1]))) AS gram
+         |      FROM w WHERE size(ws) >= 2),
+         |c AS (SELECT source, gram, count(1) AS cnt FROM g GROUP BY source, gram),
+         |t AS (SELECT source, sum(cnt) AS n_ngrams, count(1) AS n_distinct
+         |      FROM c GROUP BY source),
+         |e AS (SELECT c.source,
+         |        sum(CAST(round(-(CAST(c.cnt AS DOUBLE) / t.n_ngrams)
+         |              * log2(CAST(c.cnt AS DOUBLE) / t.n_ngrams), 9)
+         |            AS DECIMAL(28,9))) AS ent
+         |      FROM c JOIN t USING (source) GROUP BY c.source)
+         |SELECT t.source, t.n_ngrams, t.n_distinct,
+         |  round(CAST(t.n_distinct AS DOUBLE) / t.n_ngrams, 6) AS ttr,
+         |  round(CAST(e.ent AS DOUBLE), 6) AS entropy
+         |FROM t JOIN e USING (source) ORDER BY source""".stripMargin,
+
     // The composed decontamination release: the ccp pair chain above,
     // rolled up to the quarantine verdict and the release's
     // snapshot-diff digest classification (cleaned ⊂ corpus with
@@ -4739,6 +4799,9 @@ object SqlSurface {
       "dedup_idf_rank" -> SparkEntry.queries("dedup_idf_rank"),
       "cross_corpus_pairs" -> SparkEntry.queries("cross_corpus_pairs"),
       "pipeline_decontaminate" -> SparkEntry.queries("pipeline_decontaminate"),
+      "eval_contamination" -> SparkEntry.queries("eval_contamination"),
+      "dedup_token_savings" -> SparkEntry.queries("dedup_token_savings"),
+      "ngram_diversity" -> SparkEntry.queries("ngram_diversity"),
       "profile_drift" -> SparkEntry.queries("profile_drift"),
       "dedup_sorted_neighborhood" ->
         SparkEntry.queries("dedup_sorted_neighborhood"),

@@ -86,6 +86,40 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** TOKEN-denominated dedup accounting — [[keepCanonical]] counts
+    * documents, but training budgets are spent in tokens, and dup
+    * groups skew long (boilerplate pages), so the doc-count savings
+    * systematically understate what dedup buys back. Per source:
+    * docs/tokens before and after the canonical keep, and the token
+    * savings fraction — the number a pipeline owner plugs straight
+    * into the token-budget plan ([[Sampling.tokenBudget]]).
+    *
+    * Shape at 100 TB: the same two shuffles as keepCanonical (digest
+    * groupBy + the keep join — the token column rides the hashed
+    * projection for free); the rollup is a map-side-combinable
+    * per-source aggregate. Canonical keep is GLOBAL min doc_id per
+    * digest, so cross-source dup groups attribute savings to the
+    * source whose copies drop, exactly like the doc-count report.
+    */
+  def dedupTokenSavings(docs: DataFrame): DataFrame = {
+    val hashed = Partitioning.spread(docs)
+      .select(col("doc_id"), col("source"), sha2(col("text"), 256).as("h"),
+        size(words(col("text"))).cast("long").as("toks"))
+    val canonical = hashed.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+    hashed.join(canonical, "h")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") === col("keep_id"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("toks")).as("tokens_total"),
+        sum(when(col("doc_id") === col("keep_id"), col("toks"))
+          .otherwise(0L)).as("tokens_kept"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        col("tokens_total"), col("tokens_kept"),
+        round(lit(1.0) - col("tokens_kept").cast("double") /
+          col("tokens_total"), 6).as("token_savings_frac"))
+      .orderBy(col("source"))
+  }
+
   /** Why-merged evidence for every verified near-dup pair: each side's
     * distinct-shingle size, the shared count, and the first `k` shared
     * shingles in lexicographic order — the appeal/curation view behind
@@ -290,6 +324,47 @@ object Dedup {
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         (coalesce(col("n_shared"), lit(0L)) >= minShared).as("contaminated"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The EVAL-side contamination report — the complement of
+    * [[contaminationFlags]] (which flags training docs): for each
+    * benchmark/eval document, what fraction of its distinct word
+    * n-grams appears ANYWHERE in the training corpus. This is the
+    * table an eval owner reads to decide whether a benchmark item is
+    * too leaked to keep reporting (the per-item "dirty" verdict in
+    * GPT-3/PaLM-style contamination appendices) — the train-side flag
+    * cannot answer it, because one heavily-copied eval item can be
+    * the cause of thousands of individually-mild train flags.
+    *
+    * Shape at 100 TB: the benchmark's distinct shingle set is tiny
+    * (eval suites) and BROADCASTS; the corpus-sized work is ONE
+    * map-side broadcast semi-join pruning train shingles to those the
+    * benchmark mentions — nothing corpus-sized ever crosses an
+    * exchange, and the distinct that follows runs on the pruned
+    * (benchmark-vocabulary-bounded) survivors only. Output per eval
+    * doc: n_grams, n_shared, overlap_frac (6 dp), dirty.
+    */
+  def evalContamination(corpus: DataFrame, benchmark: DataFrame,
+      n: Int = 8, dirtyFrac: Double = 0.5): DataFrame = {
+    require(dirtyFrac > 0 && dirtyFrac <= 1,
+      s"dirtyFrac must lie in (0, 1], got $dirtyFrac")
+    val b = shingles(benchmark, n)
+    val bVocab = b.select(col("shingle")).distinct()
+    // corpus-sized pass: broadcast the eval vocabulary, prune train
+    // shingles map-side, then distinct the (tiny) survivor set
+    val sharedVocab = shingles(corpus, n)
+      .join(broadcast(bVocab), Seq("shingle"), "left_semi")
+      .select(col("shingle")).distinct()
+    val tot = b.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val shared = b.join(sharedVocab, Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    tot.join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id").as("bench_doc"), col("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(coalesce(col("n_shared"), lit(0L)).cast("double") /
+          col("n_grams"), 6).as("overlap_frac"))
+      .withColumn("dirty", col("overlap_frac") >= dirtyFrac)
+      .orderBy(col("bench_doc"))
   }
 
   /** Resolve near-dup PAIRS into duplicate GROUPS: connected components

@@ -126,6 +126,49 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source n-gram diversity — the corpus-level health metric next
+    * to the per-document signals: how repetitive is each source's
+    * n-gram DISTRIBUTION? Low type-token ratio or low entropy marks a
+    * source dominated by templates/boilerplate (the thing an LLM data
+    * buyer deduplicates or downweights first), and the trend of this
+    * table across snapshots is the earliest template-flood alarm.
+    * Output per source: n_ngrams (with multiplicity), n_distinct, ttr
+    * (6 dp) and Shannon entropy in bits (6 dp).
+    *
+    * Shape at 100 TB: ONE groupBy(source, gram) count (map-side
+    * combinable — duplicates collapse in the partial), a per-source
+    * rollup of that table, and the entropy fold joins counts to the
+    * tiny per-source totals by broadcast. Per-term contributions are
+    * 9-dp-quantized decimals, so the sum is order-free; nothing after
+    * the first aggregate is corpus-sized.
+    */
+  def ngramDiversity(docs: DataFrame, n: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val ws = Partitioning.spread(docs)
+      .filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("source"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= n)
+    val grams = ws.select(col("source"), explode(transform(
+        sequence(lit(0), size(col("ws")) - n),
+        i => concat_ws(" ", (0 until n).map(j => col("ws")(i + j)): _*)))
+      .as("gram"))
+    val counts = grams.groupBy(col("source"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_ngrams"), count(lit(1)).as("n_distinct"))
+    counts.join(broadcast(totals), "source")
+      .withColumn("t9", round(
+        -(col("cnt").cast("double") / col("n_ngrams"))
+          * log2(col("cnt").cast("double") / col("n_ngrams")), 9)
+        .cast(DecimalType(28, 9)))
+      .groupBy(col("source"), col("n_ngrams"), col("n_distinct"))
+      .agg(round(sum(col("t9")).cast("double"), 6).as("entropy"))
+      .select(col("source"), col("n_ngrams"), col("n_distinct"),
+        round(col("n_distinct").cast("double") / col("n_ngrams"), 6).as("ttr"),
+        col("entropy"))
+      .orderBy(col("source"))
+  }
+
   /** Per-document quality stats: token counts, type-token ratio, average
     * word length, share of "long" words. Integer-derived ratios rounded
     * once → hash-stable.

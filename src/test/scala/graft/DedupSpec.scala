@@ -334,6 +334,42 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.idfCosinePairs(docs, 5, maxPairMass = 300L).count() == 5L)
   }
 
+  test("evalContamination: per-eval-doc overlap fraction with dirty threshold") {
+    val train = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "completely different training content with many words here"))
+      .toDF("doc_id", "text")
+    val eval_ = Seq(
+      (100L, "a b c d e f g h i j"),      // identical → frac 1.0
+      (101L, "z1 z2 z3 z4 z5 z6 z7 z8"),  // disjoint → frac 0.0
+      (102L, "only seven words in this one here"), // <8 words → no row
+      (103L, "a b c d e f g h X Y"))      // shares 1 of its 3 8-grams
+      .toDF("doc_id", "text")
+    val got = Dedup.evalContamination(train, eval_, n = 8, dirtyFrac = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(got.keySet == Set(100L, 101L, 103L), s"$got")
+    assert(got(100L) == ((3L, 3L, 1.0, true)))
+    assert(got(101L) == ((1L, 0L, 0.0, false)))
+    assert(got(103L) == ((3L, 1L, 0.333333, false)))
+  }
+
+  test("dedupTokenSavings: token-denominated canonical keep, cross-source groups") {
+    val docs = Seq(
+      (1L, "x y z", "src_a"),
+      (2L, "x y z", "src_a"),                 // dup of 1, drops in src_a
+      (3L, "unique words here now", "src_a"),
+      (4L, "x y z", "src_b"),                 // dup of 1 — savings land in src_b
+      (5L, "other text", "src_b"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.dedupTokenSavings(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    assert(got("src_a") == ((3L, 2L, 10L, 7L, 0.3)), s"$got")
+    assert(got("src_b") == ((2L, 1L, 5L, 2L, 0.6)), s"$got")
+  }
+
   test("embeddingTopPairs covers mixed-sign ids (pmod block assignment)") {
     // Spark % keeps the dividend's sign: with plain % a negative id's
     // block key would never meet the non-negative side's task grid and

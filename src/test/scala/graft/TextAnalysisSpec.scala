@@ -506,4 +506,20 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
     assert(h(2L) > h(1L), s"noise must out-entropy natural text: $h")
   }
+
+  test("ngramDiversity: bigram counts, ttr and entropy per source") {
+    val docs = Seq(
+      (1L, "a b a b", "src_a"),   // bigrams: "a b"×2, "b a"×1
+      (2L, "c d", "src_b"),       // one bigram → entropy 0
+      (3L, "solo", "src_b"),      // <2 words → contributes nothing
+      (4L, null.asInstanceOf[String], "src_b"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.ngramDiversity(docs, 2).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // src_a: H = round9(2/3·log2(3/2)) + round9(1/3·log2(3))
+    //          = 0.389975000 + 0.528320834 → 0.918296 at 6 dp
+    assert(got("src_a") == ((3L, 2L, 0.666667, 0.918296)), s"$got")
+    assert(got("src_b") == ((1L, 1L, 1.0, 0.0)), s"$got")
+  }
 }
