@@ -1040,6 +1040,14 @@ object SparkEntry {
           sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
         .orderBy(col("event_type"))
     }),
+    // ingest-time contamination gate: one stateless broadcast-vocab
+    // projection, identical under readStream (parity pinned in
+    // StreamingIngestSpec); %3 slice plays today's crawl
+    "stream_contamination_gate" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      Dedup.contaminationGate(d.filter(col("doc_id") % 3 === 0),
+        d.filter(col("doc_id") % 50 === 0), n = 8, minShared = 3)
+    }),
     "stream_click_error" -> ((s, dir) =>
       streaming.Streaming.clickErrorJoin(events(s, dir), 600)
         .select(col("user_id"), col("error_id"),
@@ -2763,6 +2771,24 @@ object SparkEntry {
          |  coalesce(s.n_shared, 0) >= 3 AS contaminated
          |FROM documents LEFT JOIN s USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // the gate's verdict table: incoming %3 slice vs the %50==0
+    // benchmark vocabulary — every incoming doc gets a row, short
+    // docs gate at 0 shared
+    "stream_contamination_gate" ->
+      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+         |sh8 AS (SELECT doc_id, unnest(list_distinct(
+         |          [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+         |           ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7]
+         |           for i in range(1, len(ws)-6)])) AS shingle
+         |        FROM w WHERE len(ws) >= 8),
+         |b AS (SELECT DISTINCT shingle FROM sh8 WHERE doc_id % 50 = 0),
+         |inc AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+         |s AS (SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |      FROM sh8 d JOIN b USING (shingle)
+         |      WHERE d.doc_id % 3 = 0 GROUP BY d.doc_id)
+         |SELECT i.doc_id, coalesce(s.n_shared, 0) AS n_shared,
+         |  coalesce(s.n_shared, 0) >= 3 AS contaminated
+         |FROM inc i LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
     // eval-side fraction over the same 8-gram chain: train vocabulary
     // is the distinct non-benchmark shingle set; dirty at the ROUNDED
     // 6-dp fraction, matching the engine's threshold-on-readout

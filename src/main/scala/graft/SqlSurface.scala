@@ -445,6 +445,10 @@ object SqlSurface {
       "dedup_incremental_compacted" -> annLifecycle,
       "dedup_incremental_bloom" -> ("bloom-filter prefilter state over " +
         "the committed dedup history; the filter is fitted state"),
+      "stream_contamination_gate" -> ("streaming-safe stateless gate " +
+        "over a driver-built broadcast vocabulary set (the " +
+        "fit-then-score lifecycle applied to an eval suite); the " +
+        "equivalent join-form SQL is the decontaminate entry's chain"),
       "source_jaccard_kmv" -> ("pairwise theta-sketch set algebra over " +
         "per-group BottomK sketches merged driver-side (bounded " +
         "groups × k longs); the single-pair SQL-reachable form is " +

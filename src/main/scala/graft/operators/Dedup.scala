@@ -326,6 +326,48 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** STREAMING-safe contamination gate — the ingest-time form of
+    * [[contaminationFlags]]: every arriving document gets an immediate
+    * verdict against a FIXED benchmark vocabulary (eval suites change
+    * per release, not per micro-batch). The whole gate is ONE
+    * STATELESS projection — per-row shingling + a membership count
+    * against the broadcast vocabulary — so it runs identically under
+    * `readStream` (no watermark, no state store, no aggregation) and
+    * in batch, and stream/batch parity is by-construction (pinned in
+    * StreamingIngestSpec). Exact string membership, not a Bloom
+    * filter: the vocabulary is eval-suite-sized, and exactness is
+    * what lets the DuckDB oracle replay the verdict bit-for-bit.
+    *
+    * Shape at 100 TB: the corpus-sized side never aggregates — each
+    * task consumes the broadcast set (~60 MB at 10⁶ 8-grams; swap in
+    * a 48-bit-hash set to shrink 8× if an eval battery ever outgrows
+    * it). The vocabulary build is one distinct over the benchmark's
+    * shingles with the driver transfer plan-capped at maxVocab + 1
+    * rows (the [[Kmv.groupSketches]] discipline — the cap binds
+    * BEFORE the collect). Short/NULL texts gate as n_shared = 0:
+    * an ingest gate must emit a verdict for every row it admits.
+    */
+  def contaminationGate(incoming: DataFrame, benchmark: DataFrame,
+      n: Int = 8, minShared: Int = 3, maxVocab: Int = 5000000): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
+    val vocabRows = shingles(benchmark, n)
+      .select(col("shingle")).distinct()
+      .limit(maxVocab + 1).collect()
+    require(vocabRows.length <= maxVocab,
+      s"contaminationGate: over $maxVocab distinct benchmark shingles " +
+        "(maxVocab) - the gate broadcasts the eval vocabulary; shrink " +
+        "the benchmark side or raise the cap knowingly")
+    val vocab = vocabRows.map(_.getString(0)).toSet
+    val bc = incoming.sparkSession.sparkContext.broadcast(vocab)
+    val sharedUdf = udf { sh: Seq[String] =>
+      sh.count(bc.value.contains).toLong }
+    val out = incoming.select(col("doc_id"),
+      sharedUdf(shingleArray(col("text"), n)).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") >= minShared)
+    if (incoming.isStreaming) out else out.orderBy(col("doc_id"))
+  }
+
   /** The EVAL-side contamination report — the complement of
     * [[contaminationFlags]] (which flags training docs): for each
     * benchmark/eval document, what fraction of its distinct word

@@ -187,4 +187,51 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
     assert(got.map(_._1).toSet == Set(1L, 2L))
   }
+
+  test("contaminationGate: stream and batch verdicts are identical (stateless gate)") {
+    import graft.operators.Dedup
+    implicit val sc = spark.sqlContext
+    val bench = Seq((100L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "a b c d e f g h i j"),              // 3 shared 8-grams → flagged
+      (2L, "a b c d e f g h X Y"),              // 1 shared → below minShared=3
+      (3L, "nothing in common with the bench at all here"),
+      (4L, "short doc"),                        // <8 words → 0 shared
+      (5L, null.asInstanceOf[String]))          // null text → 0 shared
+    // the gate is ONE stateless projection, so it must run under
+    // readStream with no watermark/state and agree with the batch
+    // form row-for-row
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(incoming: _*)
+    val streamed = Dedup.contaminationGate(
+      mem.toDS().toDF("doc_id", "text"), bench, n = 8, minShared = 3)
+    assert(streamed.isStreaming, "the gate must stay streaming-safe")
+    val q = streamed.writeStream.format("memory")
+      .queryName("contam_gate").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val viaStream = spark.table("contam_gate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    val viaBatch = Dedup.contaminationGate(
+        incoming.toDF("doc_id", "text"), bench, n = 8, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(viaStream.toSeq == viaBatch.toSeq,
+      s"stream/batch divergence: ${viaStream.toSeq} vs ${viaBatch.toSeq}")
+    assert(viaBatch.toSeq == Seq((1L, 3L, true), (2L, 1L, false),
+      (3L, 0L, false), (4L, 0L, false), (5L, 0L, false)), s"${viaBatch.toSeq}")
+  }
+
+  test("contaminationGate: the vocabulary transfer cap binds in-plan") {
+    import graft.operators.Dedup
+    // 40 distinct 8-grams vs maxVocab = 8 → loud refusal, and the
+    // plan-capped transfer means the driver never held the domain
+    val bench = (1 to 8).map(i =>
+      (i.toLong, s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f w${i}g w${i}h w${i}i w${i}j w${i}k w${i}l"))
+      .toDF("doc_id", "text")
+    val inc = Seq((1L, "x y")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.contaminationGate(inc, bench, n = 8, minShared = 1, maxVocab = 8)
+    }
+    assert(ex.getMessage.contains("maxVocab"))
+  }
 }
