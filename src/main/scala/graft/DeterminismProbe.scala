@@ -27,7 +27,11 @@ object DeterminismProbe {
     "cms_estimate", "distinct_estimate", "audience_overlap_estimate",
     "quantile_estimate", "group_quantile_estimate", "bootstrap_ci",
     "bootstrap_diff_ci", "stats_summary", "source_jaccard_kmv",
-    "dedup_idf_cosine", "dedup_idf_rank", "cross_corpus_pairs")
+    "dedup_idf_cosine", "dedup_idf_rank", "cross_corpus_pairs",
+    // round-11 additions: the decontamination composition, both
+    // entropy/fraction readouts and the broadcast-vocab gate
+    "pipeline_decontaminate", "eval_contamination", "ngram_diversity",
+    "dedup_token_savings", "stream_contamination_gate")
 
   /** Rows rendered to one sorted canonical string: null-safe, stable
     * across runs iff the values are. Doubles print via toString (exact
