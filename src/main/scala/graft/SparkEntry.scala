@@ -1580,6 +1580,11 @@ object SparkEntry {
     "stream_trending" -> ((s, dir) =>
       streaming.Streaming.trendingTypes(events(s, dir),
         trendingWindowSeconds, trendingTopK)),
+    // all-pairs mean cosine per label from ONE linear pass (the
+    // ||Σx||² identity on unit vectors) — the n² diversity statistic
+    // without a pair join anywhere
+    "embedding_dispersion" -> ((s, dir) =>
+      operators.Clustering.embeddingDispersion(emb(s, dir), "label")),
     "embedding_drift" -> ((s, dir) =>
       operators.Monitor.embeddingDrift(emb(s, dir), col("vec_id") % 2 === 0)),
     "value_histogram" -> ((s, dir) =>
@@ -5649,6 +5654,28 @@ object SparkEntry {
          |  END AS z
          |FROM hourly h JOIN st USING (event_type)
          |ORDER BY event_type, hour""".stripMargin,
+    // the pairwise-mean identity replayed verbatim: 9-dp decimal
+    // component sums, 9-dp re-quantized squared-norm terms, one double
+    // division, both readouts rounded from the same raw ratio
+    "embedding_dispersion" ->
+      s"""WITH ex AS (SELECT label, generate_subscripts(embedding, 1) AS k,
+         |              unnest(embedding) AS v
+         |            FROM embeddings
+         |            WHERE label IS NOT NULL AND embedding IS NOT NULL),
+         |s AS (SELECT label, k,
+         |        sum(CAST(round(CAST(v AS DOUBLE), 9) AS DECIMAL(28,9))) AS sv
+         |      FROM ex GROUP BY 1, 2),
+         |s2 AS (SELECT label,
+         |         sum(CAST(round(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE), 9)
+         |             AS DECIMAL(38,9))) AS s2
+         |       FROM s GROUP BY 1),
+         |n AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings
+         |      WHERE label IS NOT NULL AND embedding IS NOT NULL GROUP BY 1)
+         |SELECT n.label, n.n,
+         |  round((CAST(s2.s2 AS DOUBLE) - n.n) / (n.n * (n.n - 1)), 6) AS mean_cos,
+         |  round(CAST(1.0 AS DOUBLE)
+         |    - (CAST(s2.s2 AS DOUBLE) - n.n) / (n.n * (n.n - 1)), 6) AS dispersion
+         |FROM n JOIN s2 USING (label) WHERE n.n >= 2 ORDER BY label""".stripMargin,
     // per-dim means rounded at 6 (the centroid contract), squared
     // diffs quantized at 9 dp into decimals, order-free decimal sum
     "embedding_drift" ->

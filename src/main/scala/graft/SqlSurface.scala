@@ -3690,6 +3690,28 @@ object SqlSurface {
          |SELECT corpus_doc, bench_doc, jaccard FROM ccp
          |ORDER BY corpus_doc, bench_doc""".stripMargin,
 
+    // All-pairs mean cosine per label WITHOUT a pair join — the
+    // ||Σx||² identity as SQL: 9-dp decimal component sums, 9-dp
+    // squared-norm terms, both readouts from the same raw ratio.
+    "embedding_dispersion" ->
+      s"""WITH ex AS (SELECT label, k, v FROM embeddings
+         |            LATERAL VIEW posexplode(embedding) t AS k, v
+         |            WHERE label IS NOT NULL AND embedding IS NOT NULL),
+         |s AS (SELECT label, k,
+         |        sum(CAST(round(CAST(v AS DOUBLE), 9) AS DECIMAL(28,9))) AS sv
+         |      FROM ex GROUP BY label, k),
+         |s2 AS (SELECT label,
+         |         sum(CAST(round(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE), 9)
+         |             AS DECIMAL(38,9))) AS s2
+         |       FROM s GROUP BY label),
+         |n AS (SELECT label, count(1) AS n FROM embeddings
+         |      WHERE label IS NOT NULL AND embedding IS NOT NULL GROUP BY label)
+         |SELECT n.label, n.n,
+         |  round((CAST(s2.s2 AS DOUBLE) - n.n) / (n.n * (n.n - 1)), 6) AS mean_cos,
+         |  round(CAST(1.0 AS DOUBLE)
+         |    - (CAST(s2.s2 AS DOUBLE) - n.n) / (n.n * (n.n - 1)), 6) AS dispersion
+         |FROM n JOIN s2 USING (label) WHERE n.n >= 2 ORDER BY label""".stripMargin,
+
     // Eval-side contamination fraction: the train vocabulary prunes to
     // the benchmark's own shingles before the distinct (the broadcast
     // semi-join shape in the DataFrame form), and dirty thresholds on
@@ -4804,6 +4826,7 @@ object SqlSurface {
       "cross_corpus_pairs" -> SparkEntry.queries("cross_corpus_pairs"),
       "pipeline_decontaminate" -> SparkEntry.queries("pipeline_decontaminate"),
       "eval_contamination" -> SparkEntry.queries("eval_contamination"),
+      "embedding_dispersion" -> SparkEntry.queries("embedding_dispersion"),
       "dedup_token_savings" -> SparkEntry.queries("dedup_token_savings"),
       "ngram_diversity" -> SparkEntry.queries("ngram_diversity"),
       "profile_drift" -> SparkEntry.queries("profile_drift"),

@@ -192,4 +192,45 @@ object Clustering {
           .cast("double") / count(lit(1)), 6).as("mean_silhouette"))
       .orderBy(col("cell"))
   }
+
+  /** Per-group embedding dispersion — ALL-PAIRS mean cosine from ONE
+    * linear pass, no pair ever materialized: for L2-normalized vectors
+    * the pairwise-mean identity
+    * `mean_{i≠j} cos(xᵢ, xⱼ) = (‖Σxᵢ‖² − n) / (n(n−1))` turns the
+    * Ω(n²) diversity statistic into an element-wise sum — the most
+    * 100 TB-shaped query on the board: map-side-combinable
+    * (group, dim) partials, then a dim-bounded per-group fold.
+    * `dispersion = 1 − mean_cos` reads as "how spread is this group's
+    * embedding mass": ~0 = near-duplicates/template collapse (what
+    * SemDeDup removes), ~1 = orthogonal coverage. The table a data
+    * buyer reads per source/label before paying for more of it.
+    *
+    * Normalization is a PRECONDITION (the store enforces ≈unit norms;
+    * `phi_partition` banding lives in the same float noise): the
+    * operator's contract is the identity formula itself, which the
+    * oracle replays bit-for-bit — components 9-dp-quantized into
+    * decimal partial sums (order-free), squared-norm terms re-quantized
+    * at 9 dp, one double division, 6-dp readouts. Groups with n < 2
+    * have no pairs and drop.
+    */
+  def embeddingDispersion(emb: DataFrame, groupCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ex = Partitioning.spread(emb)
+      .filter(col(groupCol).isNotNull && col("embedding").isNotNull)
+      .select(col(groupCol).as("g"), posexplode(col("embedding")).as(Seq("k", "v")))
+    val sums = ex.groupBy(col("g"), col("k"))
+      .agg(sum(round(col("v").cast("double"), 9).cast(DecimalType(28, 9))).as("sv"))
+    val s2 = sums.groupBy(col("g"))
+      .agg(sum(round(col("sv").cast("double") * col("sv").cast("double"), 9)
+        .cast(DecimalType(38, 9))).as("s2"))
+    val n = emb.filter(col(groupCol).isNotNull && col("embedding").isNotNull)
+      .groupBy(col(groupCol).as("g")).agg(count(lit(1)).as("n"))
+    n.filter(col("n") >= 2).join(s2, "g")
+      .withColumn("mc", (col("s2").cast("double") - col("n")) /
+        (col("n") * (col("n") - lit(1L))))
+      .select(col("g").as(groupCol), col("n"),
+        round(col("mc"), 6).as("mean_cos"),
+        round(lit(1.0) - col("mc"), 6).as("dispersion"))
+      .orderBy(col(groupCol))
+  }
 }

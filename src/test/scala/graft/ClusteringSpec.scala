@@ -129,4 +129,22 @@ class ClusteringSpec extends AnyFunSuite {
     val pairs = Ann.lshCosinePairs(e, 0.4).collect()
     assert(pairs.forall(_.getDouble(2) >= 0.4))
   }
+
+  test("embeddingDispersion: the linear pass equals the all-pairs mean") {
+    val e = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(1f, 0f), 0),   // identical pair
+      (3L, Array(1f, 0f), 1), (4L, Array(0f, 1f), 1),   // orthogonal pair
+      (5L, Array(1f, 0f), 2),                           // n=1 → drops
+      (6L, Array(1f, 0f), 3), (7L, Array(0f, 1f), 3), (8L, Array(1f, 0f), 3))
+      .toDF("vec_id", "embedding", "label")
+    val got = Clustering.embeddingDispersion(e, "label").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet == Set(0, 1, 3), s"$got")
+    assert(got(0) == ((2L, 1.0, 0.0)))     // duplicates: mean cos 1
+    assert(got(1) == ((2L, 0.0, 1.0)))     // orthogonal: mean cos 0
+    // label 3: pairs (6,7)=0, (6,8)=1, (7,8)=0 → mean 1/3; the identity
+    // gives (‖(2,1)‖² − 3)/(3·2) = (5 − 3)/6 — same number, ZERO pairs formed
+    assert(got(3) == ((3L, 0.333333, 0.666667)), s"$got")
+  }
 }

@@ -62,6 +62,13 @@ class EmptyInputSpec extends AnyFunSuite {
     zeroRows("dupGroups")(Dedup.dupGroups(
       Dedup.minhashLshPairs(docs, 0.5)))
     zeroRows("contaminationFlags")(Dedup.contaminationFlags(docs, docs, 8, 3))
+    zeroRows("evalContamination")(Dedup.evalContamination(docs, docs, 8, 0.5))
+    zeroRows("dedupTokenSavings")(Dedup.dedupTokenSavings(docs))
+    zeroRows("contaminationGate")(Dedup.contaminationGate(docs, docs, 8, 3))
+    zeroRows("ngramDiversity")(TextAnalysis.ngramDiversity(docs, 2))
+    // empty on BOTH sides of the composed release: everything unchanged
+    zeroRows("decontaminate")(CorpusPipeline.decontaminate(docs, docs, 0.5))
+    zeroRows("idfCosineRank")(Dedup.idfCosineRank(docs, Dedup.lshCandidates(docs)))
     zeroRows("incrementalFlags")(Dedup.incrementalFlags(docs, docs, 0.5))
     zeroRows("embeddingNearDup")(Dedup.embeddingNearDup(emb, 0.9))
     zeroRows("semDedup")(Dedup.semDedup(
