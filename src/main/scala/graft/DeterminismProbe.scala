@@ -31,7 +31,8 @@ object DeterminismProbe {
     // round-11 additions: the decontamination composition, both
     // entropy/fraction readouts and the broadcast-vocab gate
     "pipeline_decontaminate", "eval_contamination", "ngram_diversity",
-    "dedup_token_savings", "stream_contamination_gate")
+    "dedup_token_savings", "stream_contamination_gate",
+    "embedding_dispersion")
 
   /** Rows rendered to one sorted canonical string: null-safe, stable
     * across runs iff the values are. Doubles print via toString (exact

@@ -108,7 +108,12 @@ object PlanDump {
       "join_advisor" -> "Join-strategy advisor as ONE lazy program (round-9 verdict #4): left is scanned three times (MG sketch partial below a 1-row exchange, candidate recount behind a broadcast of the ≤capacity exploded candidate keys, CMS counters), right once; both side counts ride the counter tables (no separate count scans); the counter tables meet in a full-outer equi-join on (d, bucket); everything above is 1-row global-aggregate crosses — the advised join appears NOWHERE, and .head() is the only action.",
       "source_jaccard_kmv" -> "Per-group sketch Jaccard, corpus pass (shown via Kmv.groupSketches — the contract query's readout runs on the collected ≤ maxGroups × k longs): ONE groupBy(group) BottomK aggregation, ObjectHashAggregate with a PARTIAL side below the group exchange (per-task state k longs per group), and the driver transfer is plan-capped by CollectLimit/GlobalLimit at maxGroups + 1 rows — the round-10 guard-ordering fix made the cap bind BEFORE the collect.",
       "dow_adjusted_anomaly" -> "Day-of-week-adjusted anomaly: the event stream collapses to the bounded day domain FIRST (one map-side-combinable (day) count); the trailing-baseline windows are PARTITIONED by dow — seven bounded sub-series, never a global sort — and the moment folds are order-free decimals; nothing after the day collapse is corpus-sized.",
-      "pipeline_decontaminate" -> "Composed decontamination release: the cross_corpus_pairs chain proposes + verifies pairs (cross-side band equi-join, no BNLJ); the quarantine set is a tiny distinct projection of the pair table consumed by ONE left-anti equi-join on doc_id; the snapshotDiff audit reduces both sides to digest rows before its single full-outer join — text crosses an exchange only inside the shingle pass.")
+      "pipeline_decontaminate" -> "Composed decontamination release: the cross_corpus_pairs chain proposes + verifies pairs (cross-side band equi-join, no BNLJ); the quarantine set is a tiny distinct projection of the pair table consumed by ONE left-anti equi-join on doc_id; the snapshotDiff audit reduces both sides to digest rows before its single full-outer join — text crosses an exchange only inside the shingle pass.",
+      "eval_contamination" -> "Eval-side contamination fraction: the eval vocabulary BROADCASTS into a left-semi join that prunes train shingles MAP-SIDE (BroadcastHashJoin LeftSemi — the corpus-sized pass has no exchange of its own); the distinct and both per-doc counts run on benchmark-bounded frames only.",
+      "dedup_token_savings" -> "Token-denominated canonical keep: the same digest groupBy + keep equi-join as the doc-count report with the token column riding the hashed projection for free; the per-source rollup partial-aggregates map-side — two shuffles total, text never crosses an exchange (only 32-byte digests and longs).",
+      "ngram_diversity" -> "Per-source bigram diversity: ONE (source, gram) count with partial aggregation below its exchange (duplicate grams collapse map-side), a source-domain rollup, and the entropy fold joins counts to the tiny per-source totals by BROADCAST — nothing after the first aggregate is corpus-sized.",
+      "stream_contamination_gate" -> "Streaming contamination gate: the verdict is ONE stateless projection (per-row shingle UDF + broadcast set membership) — no aggregate, no join, no exchange anywhere in the incoming side's plan, which is exactly what makes it legal under readStream with no watermark or state store.",
+      "embedding_dispersion" -> "All-pairs mean cosine with NO pair join: posexplode to (label, dim, v), ONE map-side-combinable decimal sum per (label, dim), a dim-bounded per-label fold, and the identity readout — the n² statistic's plan contains two small aggregates and a broadcast-sized join, nothing else.")
     // Nested-loop tripwire (round-9 verdict #7): the dump FAILS if a
     // plan contains CartesianProduct or BroadcastNestedLoopJoin unless
     // the query is allowlisted here with the reason its nested loop is
