@@ -163,6 +163,11 @@ object SparkEntry {
     }),
     "dedup_groups" -> ((s, dir) =>
       Dedup.dupGroups(Dedup.minhashLshPairs(tbl(s, dir, "documents"), 0.5))),
+    // the asymmetric geometry both Jaccard and LSH miss: a short doc
+    // quoted whole inside a long one (containment ≈ 1, Jaccard ≈ 0);
+    // exact via the smaller-side prefix filter against the full index
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(tbl(s, dir, "documents"), 0.8)),
     // the third candidate-generation strategy beside LSH banding and
     // prefix filtering: per-block sort-rank (first word blocks,
     // trimmed text orders), neighbors within 6 positions, exact
@@ -2442,6 +2447,21 @@ object SparkEntry {
          |FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
          |WHERE round(c::DOUBLE/(x.n + y.n - c), 6) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // the engine's prefix filter is LOSSLESS for containment ≥ t, so
+    // the oracle is the brute-force definition itself
+    "dedup_containment" ->
+      s"""WITH $shingleCte,
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |it AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2)
+         |SELECT i.doc_a, i.doc_b, x.n AS n_a, y.n AS n_b,
+         |  CAST(i.c AS BIGINT) AS n_shared,
+         |  round(i.c::DOUBLE / least(x.n, y.n), 6) AS containment
+         |FROM it i JOIN sz x ON i.doc_a = x.doc_id
+         |          JOIN sz y ON i.doc_b = y.doc_id
+         |WHERE round(i.c::DOUBLE / least(x.n, y.n), 6) >= 0.8
+         |ORDER BY i.doc_a, i.doc_b""".stripMargin,
     // identical 9-dp idf quantization (ln of the same double
     // division), 9-dp product re-quantization into DECIMAL(28,9)
     // order-free folds, one double division, 6-dp readout, the same

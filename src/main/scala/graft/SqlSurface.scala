@@ -3834,6 +3834,23 @@ object SqlSurface {
          |WHERE round(CAST(c AS DOUBLE) / (x.n + y.n - c), 6) >= 0.5D
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // Asymmetric containment over the same shingle chain; the engine's
+    // smaller-side prefix filter is lossless, so the SQL form is the
+    // brute-force definition.
+    "dedup_containment" ->
+      s"""WITH ${shingleCte("doc_id")},
+         |sz AS (SELECT doc_id, count(1) AS n FROM sh GROUP BY doc_id),
+         |it AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(1) AS c
+         |       FROM sh a JOIN sh b
+         |         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |       GROUP BY a.doc_id, b.doc_id)
+         |SELECT i.doc_a, i.doc_b, x.n AS n_a, y.n AS n_b, c AS n_shared,
+         |  round(CAST(c AS DOUBLE) / least(x.n, y.n), 6) AS containment
+         |FROM it i JOIN sz x ON i.doc_a = x.doc_id
+         |          JOIN sz y ON i.doc_b = y.doc_id
+         |WHERE round(CAST(c AS DOUBLE) / least(x.n, y.n), 6) >= 0.8D
+         |ORDER BY i.doc_a, i.doc_b""".stripMargin,
+
     // Blocked sorted-neighborhood candidates (first-word block,
     // trimmed-text sort, w−1 = 5 forward neighbors via a rank
     // window + equi-join on (block, rank)) verified by the same
@@ -4821,6 +4838,7 @@ object SqlSurface {
       "dedup_keep_canonical" -> SparkEntry.queries("dedup_keep_canonical"),
       "normalized_dedup" -> SparkEntry.queries("normalized_dedup"),
       "dedup_ngram_jaccard" -> SparkEntry.queries("dedup_ngram_jaccard"),
+      "dedup_containment" -> SparkEntry.queries("dedup_containment"),
       "dedup_idf_cosine" -> SparkEntry.queries("dedup_idf_cosine"),
       "dedup_idf_rank" -> SparkEntry.queries("dedup_idf_rank"),
       "cross_corpus_pairs" -> SparkEntry.queries("cross_corpus_pairs"),

@@ -326,6 +326,70 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Asymmetric CONTAINMENT pairs — the near-dup geometry both Jaccard
+    * and MinHash-LSH structurally miss: a short document quoted whole
+    * inside a long one has containment |A∩B|/min(|A|,|B|) ≈ 1 while
+    * Jaccard ≈ |A|/|B| ≈ 0 (and minhash collision probability IS
+    * Jaccard, so banding never proposes the pair). Wrapper pages,
+    * quote-expansions and scraped-with-chrome copies are exactly this
+    * shape, and they leak eval items into training corpora while
+    * passing every symmetric dedup gate.
+    *
+    * EXACT sub-quadratic path, adapted from the Jaccard prefix filter
+    * (losslessness): for any pair, let S be the smaller shingle set;
+    * containment ≥ t needs c ≥ ⌈t·|S|⌉ shared shingles, so S's prefix
+    * of its |S| − ⌈t·|S|⌉ + 1 globally-rarest shingles must contain a
+    * shared one — otherwise every shared shingle sits in the
+    * ⌈t·|S|⌉ − 1 suffix positions, fewer than c. Hence prefix(S)
+    * joined against the FULL inverted index proposes every qualifying
+    * pair (each doc plays the potential smaller side; the size prune
+    * of the symmetric filter does NOT apply — size asymmetry is the
+    * point). Join mass is Σ prefix-occurrences × df, kept small by
+    * the same rarest-first ordering that keeps boilerplate shingles
+    * OUT of prefixes; the verify tail re-checks exactly, so the
+    * result equals the brute-force definition (which is what the
+    * oracle computes). Same ThresholdEps float-guard discipline as
+    * the Jaccard path.
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double, n: Int = 3)
+      : DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must lie in (0, 1], got $threshold")
+    val inv = shingles(docs, n).cache()
+    val dfAgg = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val sorted = inv.join(dfAgg, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("ds"))
+      .select(col("doc_id"),
+        transform(col("ds"), e => e.getField("shingle")).as("sh"),
+        size(col("ds")).as("n_sh"))
+      .withColumn("p",
+        (col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(ThresholdEps)) + 1)
+          .cast("int"))
+      .cache()
+    val prefix = sorted.select(col("doc_id"),
+      explode(slice(col("sh"), lit(1), col("p"))).as("shingle"))
+    val candidates = prefix.as("a").join(inv.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    val sh = sorted.select(col("doc_id"), col("sh"), col("n_sh"))
+    candidates
+      .join(sh.toDF("doc_a", "sha", "na"), "doc_a")
+      .join(sh.toDF("doc_b", "shb", "nb"), "doc_b")
+      .withColumn("n_shared",
+        size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("containment", round(col("n_shared").cast("double") /
+        least(col("na"), col("nb")).cast("double"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        col("n_shared"), col("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** STREAMING-safe contamination gate — the ingest-time form of
     * [[contaminationFlags]]: every arriving document gets an immediate
     * verdict against a FIXED benchmark vocabulary (eval suites change

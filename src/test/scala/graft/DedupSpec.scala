@@ -334,6 +334,47 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.idfCosinePairs(docs, 5, maxPairMass = 300L).count() == 5L)
   }
 
+  test("containmentPairs: catches small-inside-big pairs Jaccard misses, lossless vs brute force") {
+    import org.apache.spark.sql.functions._
+    val quote = "alpha beta gamma delta epsilon"                 // 3 shingles
+    val wrapper = s"intro words here $quote closing words after" // contains all 3
+    val docs = Seq(
+      (1L, quote),
+      (2L, wrapper),
+      (3L, "totally unrelated content about rivers and stones ok"),
+      (4L, "alpha beta gamma delta epsilon"),                    // exact dup of 1
+      (5L, "alpha beta gamma something else entirely now"))      // partial overlap
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, 0.9)
+    val rows = got.collect().map(r =>
+      (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    // the quote is wholly inside the wrapper: containment 1.0 — while
+    // Jaccard = 3/8 keeps the symmetric report silent at 0.9
+    assert(rows.get((1L, 2L)).contains(1.0), s"$rows")
+    assert(rows.get((2L, 4L)).contains(1.0), s"$rows")
+    assert(rows.get((1L, 4L)).contains(1.0), s"$rows") // exact dup too
+    assert(Dedup.ngramJaccardPairs(docs, 0.9).collect()
+      .forall(r => (r.getLong(0), r.getLong(1)) != ((1L, 2L))),
+      "Jaccard at 0.9 must NOT report the quote-in-wrapper pair")
+    // losslessness: equals the brute-force definition at a lower
+    // threshold where partial-overlap pairs enter
+    def shingleSets = docs.collect().map { r =>
+      val ws = r.getString(1).trim.split("\\s+")
+      r.getLong(0) -> ws.sliding(3).map(_.mkString(" ")).toSet
+    }.toMap
+    val ss = shingleSets
+    val brute = (for {
+      a <- ss.keys; b <- ss.keys if a < b
+      c = (ss(a) intersect ss(b)).size
+      cont = BigDecimal(c.toDouble / math.min(ss(a).size, ss(b).size))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if c > 0 && cont >= 0.6
+    } yield (a, b) -> cont).toMap
+    val engine = Dedup.containmentPairs(docs, 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    assert(engine == brute, s"engine $engine vs brute $brute")
+  }
+
   test("evalContamination: per-eval-doc overlap fraction with dirty threshold") {
     val train = Seq(
       (1L, "a b c d e f g h i j"),
