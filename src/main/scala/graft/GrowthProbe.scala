@@ -64,6 +64,17 @@ object GrowthProbe {
       val norm = (tF / pF.max(1L)) / (tH / pH.max(1L))
       println(f"$tH%7.2f  $tF%7.2f  raw=${tF / tH}%5.2f  pairs: $pH%,d → $pF%,d (${pF.toDouble / pH}%4.2fx)  per-pair ratio=$norm%5.2f  ${if (norm > 1.5) "SLOW " else "ok   "}ngram_jaccard prefix-exact")
     }
+    // containment: the dup-group copies contain each other near-fully,
+    // so pair output quadruples like the other pair probes — per-pair
+    // is the honest number; the risk probed is the prefix × FULL-index
+    // candidate join (heavier than Jaccard's prefix × prefix)
+    if (!skipProbe("containment")) locally {
+      var pH = 0L; var pF = 0L
+      val tH = bestOf2 { pH = Dedup.containmentPairs(half, 0.8).count(); pH }
+      val tF = bestOf2 { pF = Dedup.containmentPairs(full, 0.8).count(); pF }
+      val norm = (tF / pF.max(1L)) / (tH / pH.max(1L))
+      println(f"$tH%7.2f  $tF%7.2f  raw=${tF / tH}%5.2f  pairs: $pH%,d → $pF%,d (${pF.toDouble / pH.max(1L)}%4.2fx)  per-pair ratio=$norm%5.2f  ${if (norm > 1.5) "SLOW " else "ok   "}containment prefix-exact")
+    }
     probe("span_dedup")(d => Dedup.spanDedup(d, 8).count())
     probe("sorted_neighborhood")(d => Dedup.sortedNeighborhoodPairs(d,
       t => element_at(split(trim(t), "\\s+"), 1), t => trim(t),

@@ -167,7 +167,7 @@ object SparkEntry {
     // quoted whole inside a long one (containment ≈ 1, Jaccard ≈ 0);
     // exact via the smaller-side prefix filter against the full index
     "dedup_containment" -> ((s, dir) =>
-      Dedup.containmentPairs(tbl(s, dir, "documents"), 0.8)),
+      Dedup.containmentPairs(tbl(s, dir, "documents"), 0.9)),
     // the third candidate-generation strategy beside LSH banding and
     // prefix filtering: per-block sort-rank (first word blocks,
     // trimmed text orders), neighbors within 6 positions, exact
@@ -2460,7 +2460,7 @@ object SparkEntry {
          |  round(i.c::DOUBLE / least(x.n, y.n), 6) AS containment
          |FROM it i JOIN sz x ON i.doc_a = x.doc_id
          |          JOIN sz y ON i.doc_b = y.doc_id
-         |WHERE round(i.c::DOUBLE / least(x.n, y.n), 6) >= 0.8
+         |WHERE round(i.c::DOUBLE / least(x.n, y.n), 6) >= 0.9
          |ORDER BY i.doc_a, i.doc_b""".stripMargin,
     // identical 9-dp idf quantization (ln of the same double
     // division), 9-dp product re-quantization into DECIMAL(28,9)

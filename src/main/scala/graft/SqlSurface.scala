@@ -3848,7 +3848,7 @@ object SqlSurface {
          |  round(CAST(c AS DOUBLE) / least(x.n, y.n), 6) AS containment
          |FROM it i JOIN sz x ON i.doc_a = x.doc_id
          |          JOIN sz y ON i.doc_b = y.doc_id
-         |WHERE round(CAST(c AS DOUBLE) / least(x.n, y.n), 6) >= 0.8D
+         |WHERE round(CAST(c AS DOUBLE) / least(x.n, y.n), 6) >= 0.9D
          |ORDER BY i.doc_a, i.doc_b""".stripMargin,
 
     // Blocked sorted-neighborhood candidates (first-word block,
