@@ -32,7 +32,7 @@ object DeterminismProbe {
     // entropy/fraction readouts and the broadcast-vocab gate
     "pipeline_decontaminate", "eval_contamination", "ngram_diversity",
     "dedup_token_savings", "stream_contamination_gate",
-    "embedding_dispersion", "dedup_containment")
+    "embedding_dispersion", "dedup_containment", "zipf_alpha")
 
   /** Rows rendered to one sorted canonical string: null-safe, stable
     * across runs iff the values are. Doubles print via toString (exact

@@ -114,7 +114,8 @@ object PlanDump {
       "ngram_diversity" -> "Per-source bigram diversity: ONE (source, gram) count with partial aggregation below its exchange (duplicate grams collapse map-side), a source-domain rollup, and the entropy fold joins counts to the tiny per-source totals by BROADCAST — nothing after the first aggregate is corpus-sized.",
       "stream_contamination_gate" -> "Streaming contamination gate: the verdict is ONE stateless projection (per-row shingle UDF + broadcast set membership) — no aggregate, no join, no exchange anywhere in the incoming side's plan, which is exactly what makes it legal under readStream with no watermark or state store.",
       "embedding_dispersion" -> "All-pairs mean cosine with NO pair join: posexplode to (label, dim, v), ONE map-side-combinable decimal sum per (label, dim), a dim-bounded per-label fold, and the identity readout — the n² statistic's plan contains two small aggregates and a broadcast-sized join, nothing else.",
-      "dedup_containment" -> "Asymmetric containment pairs: the smaller-side PREFIX (rarest-first global order) equi-joins the full inverted index — lossless for containment ≥ t, never all-pairs, no BNLJ; size-asymmetric pairs survive because the symmetric size-ratio prune is deliberately absent; exact verification over the candidates' cached sorted arrays.")
+      "dedup_containment" -> "Asymmetric containment pairs: the smaller-side PREFIX (rarest-first global order) equi-joins the full inverted index — lossless for containment ≥ t, never all-pairs, no BNLJ; size-asymmetric pairs survive because the symmetric size-ratio prune is deliberately absent; exact verification over the candidates' cached sorted arrays.",
+      "zipf_alpha" -> "Zipf exponent per source: the rank ≤ topK filter over the row_number window MUST plan as WindowGroupLimit — map-side per-partition top-K BEFORE the source exchange, so the shuffle never carries a source's vocabulary; regression terms are order-free 9-dp decimal folds over ≤ topK rows per source.")
     // Nested-loop tripwire (round-9 verdict #7): the dump FAILS if a
     // plan contains CartesianProduct or BroadcastNestedLoopJoin unless
     // the query is allowlisted here with the reason its nested loop is

@@ -258,6 +258,11 @@ object SparkEntry {
     // next to source_overlap's cross-source duplication report
     "ngram_diversity" -> ((s, dir) =>
       operators.TextAnalysis.ngramDiversity(tbl(s, dir, "documents"), 2)),
+    // Zipf exponent per source (ln-ln least squares over the top-500
+    // tokens, WindowGroupLimit rank) — natural text sits near α ≈ 1;
+    // the α trend across snapshots is the synthetic-flood alarm
+    "zipf_alpha" -> ((s, dir) =>
+      operators.TextAnalysis.zipfAlpha(tbl(s, dir, "documents"), 500)),
     // incremental ingest: every third doc arrives as the new batch and
     // is checked against the other two thirds as shipped history
     "dedup_incremental" -> ((s, dir) => {
@@ -2851,6 +2856,30 @@ object SparkEntry {
          |    - sum(CASE WHEN doc_id = keep_id THEN toks ELSE 0 END)::DOUBLE
          |      / sum(toks), 6) AS token_savings_frac
          |FROM h JOIN k USING (dg) GROUP BY source ORDER BY source""".stripMargin,
+    // identical rank order (count desc, token asc), identical 9-dp
+    // ln/product quantization, decimal folds, one double readout
+    "zipf_alpha" ->
+      s"""WITH t AS (SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         |           FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+         |c AS (SELECT source, w, count(*) AS cnt FROM t WHERE w <> '' GROUP BY 1, 2),
+         |r AS (SELECT source, w, cnt,
+         |        row_number() OVER (PARTITION BY source ORDER BY cnt DESC, w) AS rk
+         |      FROM c),
+         |k AS (SELECT source,
+         |        CAST(round(ln(rk::DOUBLE), 9) AS DECIMAL(28,9)) AS x,
+         |        CAST(round(ln(cnt::DOUBLE), 9) AS DECIMAL(28,9)) AS y
+         |      FROM r WHERE rk <= 500),
+         |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |        sum(x) AS sx, sum(y) AS sy,
+         |        sum(CAST(round(CAST(x AS DOUBLE)*CAST(y AS DOUBLE), 9) AS DECIMAL(28,9))) AS sxy,
+         |        sum(CAST(round(CAST(x AS DOUBLE)*CAST(x AS DOUBLE), 9) AS DECIMAL(28,9))) AS sxx
+         |      FROM k GROUP BY 1)
+         |SELECT source, n,
+         |  round(-(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |    / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS alpha
+         |FROM a WHERE n >= 2
+         |  AND (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+         |ORDER BY source""".stripMargin,
     // bigram multiplicities, 9-dp decimal entropy terms (order-free
     // fold), 6-dp readouts — the charEntropy discipline per source
     "ngram_diversity" ->

@@ -3751,6 +3751,31 @@ object SqlSurface {
          |      / sum(toks), 6) AS token_savings_frac
          |FROM h JOIN k USING (dg) GROUP BY source ORDER BY source""".stripMargin,
 
+    // Zipf exponent per source: WindowGroupLimit rank, 9-dp ln/product
+    // quantization, decimal regression folds, one 6-dp double readout.
+    "zipf_alpha" ->
+      s"""WITH t AS (SELECT source, explode(split(trim(text), '\\\\s+')) AS w
+         |           FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+         |c AS (SELECT source, w, count(1) AS cnt FROM t WHERE w <> ''
+         |      GROUP BY source, w),
+         |r AS (SELECT source, w, cnt,
+         |        row_number() OVER (PARTITION BY source ORDER BY cnt DESC, w) AS rk
+         |      FROM c),
+         |k AS (SELECT source,
+         |        CAST(round(ln(CAST(rk AS DOUBLE)), 9) AS DECIMAL(28,9)) AS x,
+         |        CAST(round(ln(CAST(cnt AS DOUBLE)), 9) AS DECIMAL(28,9)) AS y
+         |      FROM r WHERE rk <= 500),
+         |a AS (SELECT source, count(1) AS n, sum(x) AS sx, sum(y) AS sy,
+         |        sum(CAST(round(CAST(x AS DOUBLE)*CAST(y AS DOUBLE), 9) AS DECIMAL(28,9))) AS sxy,
+         |        sum(CAST(round(CAST(x AS DOUBLE)*CAST(x AS DOUBLE), 9) AS DECIMAL(28,9))) AS sxx
+         |      FROM k GROUP BY source)
+         |SELECT source, n,
+         |  round(-(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |    / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS alpha
+         |FROM a WHERE n >= 2
+         |  AND (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > CAST(0.0 AS DOUBLE)
+         |ORDER BY source""".stripMargin,
+
     // Per-source bigram diversity: multiplicities from one
     // (source, gram) count, 9-dp decimal entropy terms, 6-dp readouts.
     "ngram_diversity" ->
@@ -4847,6 +4872,7 @@ object SqlSurface {
       "embedding_dispersion" -> SparkEntry.queries("embedding_dispersion"),
       "dedup_token_savings" -> SparkEntry.queries("dedup_token_savings"),
       "ngram_diversity" -> SparkEntry.queries("ngram_diversity"),
+      "zipf_alpha" -> SparkEntry.queries("zipf_alpha"),
       "profile_drift" -> SparkEntry.queries("profile_drift"),
       "dedup_sorted_neighborhood" ->
         SparkEntry.queries("dedup_sorted_neighborhood"),

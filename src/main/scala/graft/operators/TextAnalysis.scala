@@ -169,6 +169,59 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Per-source Zipf exponent — the third corpus-distribution health
+    * lane beside [[ngramDiversity]] (lexical spread) and the embedding
+    * dispersion (semantic spread): natural language sits near
+    * freq ∝ rank^(−1); machine-generated/templated text bends the
+    * curve (α drifts high = a few tokens dominate, or low = unnaturally
+    * flat), so the per-source α TREND across snapshots is a cheap
+    * synthetic-flood alarm. α is the least-squares slope of
+    * ln freq on ln rank over each source's top-`topK` tokens
+    * (count-desc, token-asc total order — deterministic ranks).
+    *
+    * Shape at 100 TB: one map-side-combinable (source, token) count;
+    * the per-source top-K rank plans as WindowGroupLimit (map-side
+    * top-K BEFORE the exchange — the group_quantile discipline, so the
+    * shuffle carries ≤ topK rows per source per input partition, never
+    * a source's vocabulary); the regression is five decimal folds of
+    * 9-dp-quantized terms (order-free) over ≤ topK rows per source and
+    * one double readout at 6 dp. Sources with < 2 ranked tokens have
+    * no slope and drop.
+    */
+  def zipfAlpha(docs: DataFrame, topK: Int = 500): DataFrame = {
+    require(topK >= 2, s"topK must be >= 2, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val cnts = Partitioning.spread(docs)
+      .filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("source"), explode(words(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+    val ranked = cnts
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("cnt").desc, col("w").asc)))
+      .filter(col("rk") <= topK)
+    def d9(c: Column) = round(c, 9).cast(DecimalType(28, 9))
+    val terms = ranked.select(col("source"),
+      d9(log(col("rk").cast("double"))).as("x"),
+      d9(log(col("cnt").cast("double"))).as("y"))
+    terms.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(d9(col("x").cast("double") * col("y").cast("double"))).as("sxy"),
+        sum(d9(col("x").cast("double") * col("x").cast("double"))).as("sxx"))
+      .filter(col("n") >= 2)
+      .withColumn("den",
+        col("n") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double"))
+      .filter(col("den") > 0.0) // n>=2 with distinct ranks ⇒ positive; belt+braces
+      .select(col("source"), col("n"),
+        round(-(col("n") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) / col("den"), 6)
+          .as("alpha"))
+      .orderBy(col("source"))
+  }
+
   /** Per-document quality stats: token counts, type-token ratio, average
     * word length, share of "long" words. Integer-derived ratios rounded
     * once → hash-stable.

@@ -507,6 +507,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(h(2L) > h(1L), s"noise must out-entropy natural text: $h")
   }
 
+  test("zipfAlpha: exact two-point slope, planted power law, degenerate drop") {
+    // src_a: token "a"×8, "b"×4 → points (ln1, ln8), (ln2, ln4); the
+    // two-point slope is exactly −1 ⇒ α = 1.0 at 6 dp
+    val a = (1L, Array.fill(8)("a") ++ Array.fill(4)("b"), "src_a")
+    // src_b: a planted freq = round(64·r^−1.5) law over 6 ranks —
+    // the fit must land near 1.5 despite integer rounding of counts
+    val freqs = (1 to 6).map(r => math.round(64.0 * math.pow(r, -1.5)).toInt)
+    val b = (2L, freqs.zipWithIndex.flatMap { case (f, i) =>
+      Array.fill(f)(s"t$i") }.toArray, "src_b")
+    // src_c: a single distinct token → n = 1 → no slope → dropped
+    val c = (3L, Array.fill(5)("only"), "src_c")
+    val docs = Seq(a, b, c)
+      .map { case (id, ws, src) => (id, ws.mkString(" "), src) }
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.zipfAlpha(docs, 500).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set("src_a", "src_b"), s"$got")
+    assert(got("src_a") == ((2L, 1.0)), s"$got")
+    assert(got("src_b")._1 == 6L)
+    assert(math.abs(got("src_b")._2 - 1.5) < 0.06,
+      s"planted alpha=1.5 law fit as ${got("src_b")._2}")
+  }
+
   test("ngramDiversity: bigram counts, ttr and entropy per source") {
     val docs = Seq(
       (1L, "a b a b", "src_a"),   // bigrams: "a b"×2, "b a"×1
