@@ -170,6 +170,8 @@ object GrowthProbe {
     probe("token_budget")(d => Sampling.tokenBudgetSummary(d,
       Map("src0" -> 8000L), 10000L, numShards = 64).count())
     probe("doc_repetition")(d => TextAnalysis.repetitionSignals(d).count())
+    probe("ngram_diversity")(d => TextAnalysis.ngramDiversity(d, 2).count())
+    probe("zipf_alpha")(d => TextAnalysis.zipfAlpha(d, 500).count())
     probe("source_overlap")(d => TextAnalysis.sourceOverlap(d).count())
     probe("boilerplate_removal")(d => TextAnalysis.removeBoilerplate(d).count())
     probe("dsir_weights")(d => Sampling.dsirWeights(d).count())
@@ -336,6 +338,8 @@ object GrowthProbe {
         val r = tF / tH
         println(f"$tH%7.2f  $tF%7.2f  ratio=$r%5.2f  ${if (r > 3.0) "SLOW " else "ok   "}$name")
       }
+      probeEmb("embedding_dispersion")(d =>
+        Clustering.embeddingDispersion(d, "label").count())
       val pqModel = Pq.fit(embFull, dim = 64)
       val q = embFull.filter(col("vec_id") === 0).select(col("embedding"))
         .head().getSeq[Float](0).map(_.toDouble).toArray
