@@ -32,7 +32,9 @@ object DeterminismProbe {
     // entropy/fraction readouts and the broadcast-vocab gate
     "pipeline_decontaminate", "eval_contamination", "ngram_diversity",
     "dedup_token_savings", "stream_contamination_gate",
-    "embedding_dispersion", "dedup_containment", "zipf_alpha")
+    "embedding_dispersion", "dedup_containment", "zipf_alpha",
+    // round-12 addition: the release-over-release drift composition
+    "contamination_drift")
 
   /** Rows rendered to one sorted canonical string: null-safe, stable
     * across runs iff the values are. Doubles print via toString (exact

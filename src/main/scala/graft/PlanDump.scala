@@ -2,6 +2,91 @@ package graft
 import org.apache.spark.sql.SparkSession
 /** Regenerates PLANS.md — formatted physical plans for flagship queries. */
 object PlanDump {
+  /** Nested-loop tripwire allowlist (round-9 verdict #7), shared by
+    * the PLANS.md dump and the full-board PlanAuditSpec: a plan
+    * containing CartesianProduct or BroadcastNestedLoopJoin FAILS both
+    * unless its query is named here with the reason its nested loop is
+    * bounded (1-row/domain-bounded broadcast sides, or a deliberately
+    * guarded quadratic). An unlisted BNLJ is a scale bug by default.
+    */
+  val bnljAllowed: Map[String, String] = Map(
+    "theilsen_trend" -> ("the pairwise join is inequality-only BY " +
+    "NATURE and runs over the guarded ≤10k-day domain, never events"),
+    "join_advisor" -> ("1-row global-aggregate crosses (scalars × " +
+    "top) — both sides are single-row frames by construction"),
+    "bootstrap_diff_ci" -> "1-row replicate-stat frames crossed",
+    "bootstrap_ci" -> "1-row totals frame crossed into the CI readout",
+    "psi_drift" -> "broadcast 1-row totals frame",
+    "t_closeness" -> ("domain-bounded grid cross (guarded classes × " +
+    "guarded values) + broadcast 1-row totals"),
+    "mutual_information" -> "broadcast 1-row grand-total cross",
+    "equidepth_histogram" -> "broadcast 1-row total cross",
+    "bh_fdr" -> "broadcast 1-row m-total cross",
+    "seasonality_strength" -> "broadcast 1-row overall-mean cross",
+    "cusum_changepoint" -> "broadcast 1-row series-mean cross",
+    "survival_churn" -> "broadcast 1-row subject-total cross",
+    "forecast_eval" -> "broadcast 1-row scale-error cross",
+    "collocations_pmi" -> "broadcast 1-row token-total cross",
+    "source_divergence" -> "sources×vocab grid from two tiny aggregates",
+    "quantile_estimate" -> "broadcast 1-row exact-comparison frame",
+    "benford_digits" -> "broadcast 1-row total cross",
+    "search_cosine_topk" -> "broadcast 1-row query-vector frame",
+    "search_phi_topk" -> "broadcast 1-row query-vector frame",
+    "search_filtered_topk" -> "broadcast 1-row query-vector frame",
+    "ann_ivf_topk" -> ("broadcast 1-row query frame + nProbe-row " +
+    "probe list"),
+    "ann_batch_topk" -> ("broadcast bounded probe ranking (queries × " +
+    "nProbe rows)"),
+    "ann_recall_curve" -> ("rank-inequality join against the " +
+    "broadcast 5-row probe list — row duplication for the sweep " +
+    "arms, no re-scoring"),
+    "bm25_search" -> "broadcast 1-row corpus stats (N, avgdl)",
+    "bm25_persisted" -> "broadcast 1-row corpus stats (N, avgdl)",
+    "bm25_ndcg" -> ("broadcast 1-row corpus stats + the ≤|q|+1-row " +
+    "grade histogram"),
+    "dsir_weights" -> "broadcast 1-row corpus/target totals",
+    "hard_negatives" -> ("broadcast bounded (queries × k) neighbor " +
+    "frame"),
+    "dq_expectations" -> ("the report unions broadcast 1-row " +
+    "per-table check frames"),
+    "ab_cuped" -> "broadcast 1-row moment (θ) frame",
+    "basket_lift" -> "broadcast 1-row basket-total frame",
+    "dedup_idf_cosine" -> "broadcast 1-row n_docs frame into the idf projection",
+    "dedup_idf_rank" -> "broadcast 1-row n_docs frame into the idf projection",
+    // full-board audit triage (round-12, PlanAuditSpec): every entry
+    // below was read off its executed plan — all are 1-row aggregate
+    // crosses or bounded query-set × corpus scoring (the brute-force
+    // definition of the operator), never corpus × corpus
+    "ab_power" -> "broadcast 1-row (n, rate) frame crossed into the MDE arm grid",
+    "ann_recall" -> ("bounded query set (5 rows) × broadcast centroid " +
+      "frame for probe ranking — the IVF arm; ground truth is the same " +
+      "bounded query cross"),
+    "bm25_compacted" -> "broadcast 1-row corpus stats (N, avgdl)",
+    "bm25_incremental" -> "broadcast 1-row corpus stats (N, avgdl)",
+    "classifier_ks" -> "broadcast 1-row (n_pos, n_neg) totals cross",
+    "doc_surprisal" -> "broadcast 1-row corpus token-total cross",
+    "doclen_outliers" -> "broadcast 1-row median + 1-row MAD crosses",
+    "drift_ks" -> "broadcast 1-row (n_pos, n_neg) totals cross",
+    "events_chi2" -> ("broadcast 1-row grand-total / chi² / dof frames " +
+      "crossed into the readout"),
+    "events_decayed" -> "broadcast 1-row max-timestamp (decay anchor) cross",
+    "hybrid_search_rrf" -> ("broadcast 1-row corpus stats (BM25 arm) + " +
+      "1-row query vector (vector arm)"),
+    "knn_join_top3" -> ("bounded query-set × corpus scoring — the " +
+      "brute-force kNN-join definition, work = |queries| × corpus, " +
+      "bounded by the query set like ann_batch_topk"),
+    "mrl_truncation_recall" -> ("bounded query set crossed against the " +
+      "full-dim and truncated scoring arms (recall evaluator)"),
+    "phi_bands" -> "broadcast 1-row (min_norm, max_norm) span cross",
+    "quality_buckets" -> "broadcast 1-row quartile-thresholds cross",
+    "quality_percentiles" -> "broadcast 1-row n_total cross",
+    "search_centroids_topk" -> "broadcast 1-row query-vector frame",
+    "search_dot_topk" -> "broadcast 1-row query-vector frame",
+    "search_euclidean_topk" -> "broadcast 1-row query-vector frame",
+    "tfidf_top_terms" -> "broadcast 1-row n_docs frame into the idf projection",
+    "triplet_mining" -> ("bounded query-set × corpus scoring (hard " +
+      "positive/negative mining over the anchor set, like hard_negatives)"),
+    "vocab_coverage" -> "broadcast 1-row token-total cross onto the top-K frame")
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -115,58 +200,9 @@ object PlanDump {
       "stream_contamination_gate" -> "Streaming contamination gate: the verdict is ONE stateless projection (per-row shingle UDF + broadcast set membership) — no aggregate, no join, no exchange anywhere in the incoming side's plan, which is exactly what makes it legal under readStream with no watermark or state store.",
       "embedding_dispersion" -> "All-pairs mean cosine with NO pair join: posexplode to (label, dim, v), ONE map-side-combinable decimal sum per (label, dim), a dim-bounded per-label fold, and the identity readout — the n² statistic's plan contains two small aggregates and a broadcast-sized join, nothing else.",
       "dedup_containment" -> "Asymmetric containment pairs: the smaller-side PREFIX (rarest-first global order) equi-joins the full inverted index — lossless for containment ≥ t, never all-pairs, no BNLJ; size-asymmetric pairs survive because the symmetric size-ratio prune is deliberately absent; exact verification over the candidates' cached sorted arrays.",
-      "zipf_alpha" -> "Zipf exponent per source: the rank ≤ topK filter over the row_number window MUST plan as WindowGroupLimit — map-side per-partition top-K BEFORE the source exchange, so the shuffle never carries a source's vocabulary; regression terms are order-free 9-dp decimal folds over ≤ topK rows per source.")
-    // Nested-loop tripwire (round-9 verdict #7): the dump FAILS if a
-    // plan contains CartesianProduct or BroadcastNestedLoopJoin unless
-    // the query is allowlisted here with the reason its nested loop is
-    // bounded (1-row/domain-bounded broadcast sides, or a deliberately
-    // guarded quadratic). An unlisted BNLJ is a scale bug by default.
-    val bnljAllowed: Map[String, String] = Map(
-      "theilsen_trend" -> ("the pairwise join is inequality-only BY " +
-        "NATURE and runs over the guarded ≤10k-day domain, never events"),
-      "join_advisor" -> ("1-row global-aggregate crosses (scalars × " +
-        "top) — both sides are single-row frames by construction"),
-      "bootstrap_diff_ci" -> "1-row replicate-stat frames crossed",
-      "bootstrap_ci" -> "1-row totals frame crossed into the CI readout",
-      "psi_drift" -> "broadcast 1-row totals frame",
-      "t_closeness" -> ("domain-bounded grid cross (guarded classes × " +
-        "guarded values) + broadcast 1-row totals"),
-      "mutual_information" -> "broadcast 1-row grand-total cross",
-      "equidepth_histogram" -> "broadcast 1-row total cross",
-      "bh_fdr" -> "broadcast 1-row m-total cross",
-      "seasonality_strength" -> "broadcast 1-row overall-mean cross",
-      "cusum_changepoint" -> "broadcast 1-row series-mean cross",
-      "survival_churn" -> "broadcast 1-row subject-total cross",
-      "forecast_eval" -> "broadcast 1-row scale-error cross",
-      "collocations_pmi" -> "broadcast 1-row token-total cross",
-      "source_divergence" -> "sources×vocab grid from two tiny aggregates",
-      "stats_summary" -> "broadcast 1-row aggregate",
-      "quantile_estimate" -> "broadcast 1-row exact-comparison frame",
-      "benford_digits" -> "broadcast 1-row total cross",
-      "rolling_anomaly" -> "broadcast 1-row day-domain frame",
-      "search_cosine_topk" -> "broadcast 1-row query-vector frame",
-      "search_phi_topk" -> "broadcast 1-row query-vector frame",
-      "search_filtered_topk" -> "broadcast 1-row query-vector frame",
-      "ann_ivf_topk" -> ("broadcast 1-row query frame + nProbe-row " +
-        "probe list"),
-      "ann_batch_topk" -> ("broadcast bounded probe ranking (queries × " +
-        "nProbe rows)"),
-      "ann_recall_curve" -> ("rank-inequality join against the " +
-        "broadcast 5-row probe list — row duplication for the sweep " +
-        "arms, no re-scoring"),
-      "bm25_search" -> "broadcast 1-row corpus stats (N, avgdl)",
-      "bm25_persisted" -> "broadcast 1-row corpus stats (N, avgdl)",
-      "bm25_ndcg" -> ("broadcast 1-row corpus stats + the ≤|q|+1-row " +
-        "grade histogram"),
-      "dsir_weights" -> "broadcast 1-row corpus/target totals",
-      "hard_negatives" -> ("broadcast bounded (queries × k) neighbor " +
-        "frame"),
-      "dq_expectations" -> ("the report unions broadcast 1-row " +
-        "per-table check frames"),
-      "ab_cuped" -> "broadcast 1-row moment (θ) frame",
-      "basket_lift" -> "broadcast 1-row basket-total frame",
-      "dedup_idf_cosine" -> "broadcast 1-row n_docs frame into the idf projection",
-      "dedup_idf_rank" -> "broadcast 1-row n_docs frame into the idf projection")
+      "zipf_alpha" -> "Zipf exponent per source: the rank ≤ topK filter over the row_number window MUST plan as WindowGroupLimit — map-side per-partition top-K BEFORE the source exchange, so the shuffle never carries a source's vocabulary; regression terms are order-free 9-dp decimal folds over ≤ topK rows per source.",
+      "contamination_drift" -> "Release-over-release contamination drift: TWO eval_contamination passes (each a broadcast left-semi prune of its corpus — the corpus-sized side has no exchange of its own) meeting in ONE inner equi-join on bench_doc over benchmark-sized frames; the delta and threshold flags are a narrow projection. Nothing corpus-sized crosses an exchange in either release's pass.")
+    val bnljAllowed = PlanDump.bnljAllowed
     val nested = scala.collection.mutable.LinkedHashMap[String, String]()
     val sb = new StringBuilder
     sb.append("# Physical plans — flagship queries\n\n")

@@ -248,6 +248,17 @@ object SparkEntry {
       Dedup.evalContamination(docs.filter(col("doc_id") % 50 =!= 0),
         docs.filter(col("doc_id") % 50 === 0), n = 8, dirtyFrac = 0.2)
     }),
+    // the release-over-release drift of that report: the "old" corpus
+    // is the even half of the training side, the "new" corpus the
+    // whole of it — per eval item, how much dirtier this release made
+    // it and whether it newly crossed the dirty threshold
+    "contamination_drift" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 50 =!= 0)
+      Dedup.contaminationDrift(train.filter(col("doc_id") % 2 === 0),
+        train, docs.filter(col("doc_id") % 50 === 0),
+        n = 8, dirtyFrac = 0.2)
+    }),
     // token-denominated dedup accounting: what the canonical keep buys
     // back in TOKENS per source (dup groups skew long, so doc counts
     // understate it) — feeds straight into token_budget planning
@@ -2821,7 +2832,10 @@ object SparkEntry {
          |FROM inc i LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
     // eval-side fraction over the same 8-gram chain: train vocabulary
     // is the distinct non-benchmark shingle set; dirty at the ROUNDED
-    // 6-dp fraction, matching the engine's threshold-on-readout
+    // 6-dp fraction, matching the engine's threshold-on-readout.
+    // EVERY benchmark doc_id gets a row — sub-8-word docs report an
+    // explicit zero-gram verdict (n_grams = 0, overlap_frac = 0.0),
+    // never a silently-missing row
     "eval_contamination" ->
       s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
          |sh8 AS (SELECT doc_id, unnest(list_distinct(
@@ -2829,18 +2843,66 @@ object SparkEntry {
          |           ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7]
          |           for i in range(1, len(ws)-6)])) AS shingle
          |        FROM w WHERE len(ws) >= 8),
+         |allb AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 50 = 0),
          |b AS (SELECT doc_id, shingle FROM sh8 WHERE doc_id % 50 = 0),
          |tv AS (SELECT DISTINCT shingle FROM sh8 WHERE doc_id % 50 <> 0),
          |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
          |        FROM b GROUP BY doc_id),
          |shd AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_shared
          |        FROM b JOIN tv USING (shingle) GROUP BY b.doc_id)
-         |SELECT t.doc_id AS bench_doc, t.n_grams,
+         |SELECT a.doc_id AS bench_doc,
+         |  coalesce(t.n_grams, 0) AS n_grams,
          |  coalesce(s.n_shared, 0) AS n_shared,
-         |  round(coalesce(s.n_shared, 0)::DOUBLE / t.n_grams, 6) AS overlap_frac,
-         |  round(coalesce(s.n_shared, 0)::DOUBLE / t.n_grams, 6) >= 0.2 AS dirty
-         |FROM tot t LEFT JOIN shd s USING (doc_id)
+         |  CASE WHEN coalesce(t.n_grams, 0) = 0 THEN 0.0
+         |       ELSE round(coalesce(s.n_shared, 0)::DOUBLE / t.n_grams, 6)
+         |  END AS overlap_frac,
+         |  CASE WHEN coalesce(t.n_grams, 0) = 0 THEN 0.0
+         |       ELSE round(coalesce(s.n_shared, 0)::DOUBLE / t.n_grams, 6)
+         |  END >= 0.2 AS dirty
+         |FROM allb a LEFT JOIN tot t USING (doc_id)
+         |            LEFT JOIN shd s USING (doc_id)
          |ORDER BY bench_doc""".stripMargin,
+    // release-over-release drift: the same eval-side fraction computed
+    // against the even-train-half ("old") and full-train ("new")
+    // vocabularies, differenced at 6 dp per benchmark item
+    "contamination_drift" ->
+      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+         |sh8 AS (SELECT doc_id, unnest(list_distinct(
+         |          [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+         |           ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7]
+         |           for i in range(1, len(ws)-6)])) AS shingle
+         |        FROM w WHERE len(ws) >= 8),
+         |allb AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 50 = 0),
+         |b AS (SELECT doc_id, shingle FROM sh8 WHERE doc_id % 50 = 0),
+         |tvo AS (SELECT DISTINCT shingle FROM sh8
+         |        WHERE doc_id % 50 <> 0 AND doc_id % 2 = 0),
+         |tvn AS (SELECT DISTINCT shingle FROM sh8 WHERE doc_id % 50 <> 0),
+         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+         |        FROM b GROUP BY doc_id),
+         |so AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |       FROM b JOIN tvo USING (shingle) GROUP BY b.doc_id),
+         |sn AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |       FROM b JOIN tvn USING (shingle) GROUP BY b.doc_id),
+         |r AS (SELECT a.doc_id AS bench_doc,
+         |        coalesce(t.n_grams, 0) AS n_grams,
+         |        coalesce(o.n_shared, 0) AS n_shared_old,
+         |        coalesce(n.n_shared, 0) AS n_shared_new,
+         |        CASE WHEN coalesce(t.n_grams, 0) = 0 THEN 0.0
+         |             ELSE round(coalesce(o.n_shared, 0)::DOUBLE / t.n_grams, 6)
+         |        END AS overlap_old,
+         |        CASE WHEN coalesce(t.n_grams, 0) = 0 THEN 0.0
+         |             ELSE round(coalesce(n.n_shared, 0)::DOUBLE / t.n_grams, 6)
+         |        END AS overlap_new
+         |      FROM allb a LEFT JOIN tot t USING (doc_id)
+         |                  LEFT JOIN so o USING (doc_id)
+         |                  LEFT JOIN sn n USING (doc_id))
+         |SELECT bench_doc, n_grams, n_shared_old, n_shared_new,
+         |  overlap_old, overlap_new,
+         |  round(overlap_new - overlap_old, 6) AS overlap_delta,
+         |  overlap_old >= 0.2 AS dirty_old,
+         |  overlap_new >= 0.2 AS dirty_new,
+         |  overlap_new >= 0.2 AND NOT (overlap_old >= 0.2) AS newly_dirty
+         |FROM r ORDER BY bench_doc""".stripMargin,
     // same global canonical keep as the doc-count report, with the
     // whitespace token count riding the hashed projection
     "dedup_token_savings" ->

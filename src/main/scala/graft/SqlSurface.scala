@@ -3723,17 +3723,65 @@ object SqlSurface {
          |          i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3],
          |                         ws[i+4], ws[i+5], ws[i+6], ws[i+7])))) AS shingle
          |        FROM w WHERE size(ws) >= 8),
+         |allb AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 50 = 0),
          |b AS (SELECT doc_id, shingle FROM sh8 WHERE doc_id % 50 = 0),
          |tv AS (SELECT DISTINCT shingle FROM sh8 WHERE doc_id % 50 <> 0),
          |tot AS (SELECT doc_id, count(1) AS n_grams FROM b GROUP BY doc_id),
          |shd AS (SELECT b.doc_id, count(1) AS n_shared
          |        FROM b JOIN tv USING (shingle) GROUP BY b.doc_id)
-         |SELECT t.doc_id AS bench_doc, t.n_grams,
+         |SELECT a.doc_id AS bench_doc,
+         |  coalesce(t.n_grams, 0L) AS n_grams,
          |  coalesce(s.n_shared, 0L) AS n_shared,
-         |  round(CAST(coalesce(s.n_shared, 0L) AS DOUBLE) / t.n_grams, 6) AS overlap_frac,
-         |  round(CAST(coalesce(s.n_shared, 0L) AS DOUBLE) / t.n_grams, 6) >= 0.2D AS dirty
-         |FROM tot t LEFT JOIN shd s ON t.doc_id = s.doc_id
+         |  CASE WHEN coalesce(t.n_grams, 0L) = 0L THEN 0.0D
+         |       ELSE round(CAST(coalesce(s.n_shared, 0L) AS DOUBLE) / t.n_grams, 6)
+         |  END AS overlap_frac,
+         |  CASE WHEN coalesce(t.n_grams, 0L) = 0L THEN 0.0D
+         |       ELSE round(CAST(coalesce(s.n_shared, 0L) AS DOUBLE) / t.n_grams, 6)
+         |  END >= 0.2D AS dirty
+         |FROM allb a LEFT JOIN tot t ON a.doc_id = t.doc_id
+         |            LEFT JOIN shd s ON a.doc_id = s.doc_id
          |ORDER BY bench_doc""".stripMargin,
+
+    // Release-over-release contamination drift: two train vocabularies
+    // (even half = old release, full = new), the same per-eval-item
+    // fraction computed against each, differenced at 6 dp.
+    "contamination_drift" ->
+      s"""WITH w AS (SELECT doc_id, split(trim(text), '\\\\s+') AS ws FROM documents),
+         |sh8 AS (SELECT doc_id, explode(array_distinct(transform(
+         |          sequence(0, size(ws) - 8),
+         |          i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3],
+         |                         ws[i+4], ws[i+5], ws[i+6], ws[i+7])))) AS shingle
+         |        FROM w WHERE size(ws) >= 8),
+         |allb AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 50 = 0),
+         |b AS (SELECT doc_id, shingle FROM sh8 WHERE doc_id % 50 = 0),
+         |tvo AS (SELECT DISTINCT shingle FROM sh8
+         |        WHERE doc_id % 50 <> 0 AND doc_id % 2 = 0),
+         |tvn AS (SELECT DISTINCT shingle FROM sh8 WHERE doc_id % 50 <> 0),
+         |tot AS (SELECT doc_id, count(1) AS n_grams FROM b GROUP BY doc_id),
+         |so AS (SELECT b.doc_id, count(1) AS n_shared
+         |       FROM b JOIN tvo USING (shingle) GROUP BY b.doc_id),
+         |sn AS (SELECT b.doc_id, count(1) AS n_shared
+         |       FROM b JOIN tvn USING (shingle) GROUP BY b.doc_id),
+         |r AS (SELECT a.doc_id AS bench_doc,
+         |        coalesce(t.n_grams, 0L) AS n_grams,
+         |        coalesce(o.n_shared, 0L) AS n_shared_old,
+         |        coalesce(n.n_shared, 0L) AS n_shared_new,
+         |        CASE WHEN coalesce(t.n_grams, 0L) = 0L THEN 0.0D
+         |             ELSE round(CAST(coalesce(o.n_shared, 0L) AS DOUBLE) / t.n_grams, 6)
+         |        END AS overlap_old,
+         |        CASE WHEN coalesce(t.n_grams, 0L) = 0L THEN 0.0D
+         |             ELSE round(CAST(coalesce(n.n_shared, 0L) AS DOUBLE) / t.n_grams, 6)
+         |        END AS overlap_new
+         |      FROM allb a LEFT JOIN tot t ON a.doc_id = t.doc_id
+         |                  LEFT JOIN so o ON a.doc_id = o.doc_id
+         |                  LEFT JOIN sn n ON a.doc_id = n.doc_id)
+         |SELECT bench_doc, n_grams, n_shared_old, n_shared_new,
+         |  overlap_old, overlap_new,
+         |  round(overlap_new - overlap_old, 6) AS overlap_delta,
+         |  overlap_old >= 0.2D AS dirty_old,
+         |  overlap_new >= 0.2D AS dirty_new,
+         |  overlap_new >= 0.2D AND NOT (overlap_old >= 0.2D) AS newly_dirty
+         |FROM r ORDER BY bench_doc""".stripMargin,
 
     // Token-denominated canonical-keep accounting — the keepCanonical
     // digest groupBy with the token count riding the hashed projection.
@@ -4869,6 +4917,7 @@ object SqlSurface {
       "cross_corpus_pairs" -> SparkEntry.queries("cross_corpus_pairs"),
       "pipeline_decontaminate" -> SparkEntry.queries("pipeline_decontaminate"),
       "eval_contamination" -> SparkEntry.queries("eval_contamination"),
+      "contamination_drift" -> SparkEntry.queries("contamination_drift"),
       "embedding_dispersion" -> SparkEntry.queries("embedding_dispersion"),
       "dedup_token_savings" -> SparkEntry.queries("dedup_token_savings"),
       "ngram_diversity" -> SparkEntry.queries("ngram_diversity"),

@@ -173,12 +173,20 @@ object CorpusPipeline {
   }
 
   def snapshotDiff(old: DataFrame, nw: DataFrame): DataFrame = {
-    val o = old.select(col("doc_id"), sha2(col("text"), 256).as("h_old"))
-    val n = nw.select(col("doc_id"), sha2(col("text"), 256).as("h_new"))
+    // Presence is tracked by explicit marker columns, NOT by hash
+    // nullness: sha2(NULL text) is NULL, so a NULL-text doc present in
+    // BOTH snapshots would read as "added" under a hash-null test.
+    // added/removed are reserved for genuinely one-sided doc_ids;
+    // unchanged/changed compare hashes null-safely (<=>), so two
+    // NULL-text versions of a doc are "unchanged".
+    val o = old.select(col("doc_id"), sha2(col("text"), 256).as("h_old"),
+      lit(true).as("in_old"))
+    val n = nw.select(col("doc_id"), sha2(col("text"), 256).as("h_new"),
+      lit(true).as("in_new"))
     o.join(n, Seq("doc_id"), "full_outer")
-      .select(when(col("h_old").isNull, lit("added"))
-        .when(col("h_new").isNull, lit("removed"))
-        .when(col("h_old") === col("h_new"), lit("unchanged"))
+      .select(when(col("in_old").isNull, lit("added"))
+        .when(col("in_new").isNull, lit("removed"))
+        .when(col("h_old") <=> col("h_new"), lit("unchanged"))
         .otherwise(lit("changed")).as("status"))
       .groupBy(col("status")).agg(count(lit(1)).as("n_docs"))
       .orderBy(col("status"))

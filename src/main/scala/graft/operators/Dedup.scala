@@ -350,12 +350,27 @@ object Dedup {
     * result equals the brute-force definition (which is what the
     * oracle computes). Same ThresholdEps float-guard discipline as
     * the Jaccard path.
+    *
+    * The mass bound is ENFORCED, not advisory (the idfCosinePairs
+    * discipline): the candidate join's work Σ_prefix-occurrence df is
+    * computable from the df table the plan already builds for the
+    * rarest-first ordering, so the prefix frame carries an in-plan
+    * [[Partitioning.requireBoundedMass]] sentinel that refuses above
+    * `maxJoinMass` BEFORE any candidate row forms. A boilerplate-heavy
+    * corpus (one near-universal shingle landing in a short doc's
+    * prefix) is exactly the shape that blows this join up — the
+    * refusal names the mitigations (pre-filter high-df shingles, or
+    * raise the cap knowingly).
     */
-  def containmentPairs(docs: DataFrame, threshold: Double, n: Int = 3)
-      : DataFrame = {
+  def containmentPairs(docs: DataFrame, threshold: Double, n: Int = 3,
+      maxJoinMass: Long = 100000000L): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must lie in (0, 1], got $threshold")
-    val inv = shingles(docs, n).cache()
+    // localCheckpoint (eager), not cache(): both frames feed several
+    // consumers in THIS plan only — blocks must die with the frame
+    // instead of parking in the LRU across bench reps (the bigramLm
+    // discipline, see dupEvidence)
+    val inv = shingles(docs, n).localCheckpoint()
     val dfAgg = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val sorted = inv.join(dfAgg, "shingle")
       .groupBy(col("doc_id"))
@@ -366,9 +381,19 @@ object Dedup {
       .withColumn("p",
         (col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(ThresholdEps)) + 1)
           .cast("int"))
-      .cache()
-    val prefix = sorted.select(col("doc_id"),
-      explode(slice(col("sh"), lit(1), col("p"))).as("shingle"))
+      .localCheckpoint()
+    // each prefix occurrence of a shingle with document frequency df
+    // contributes df candidate rows — Σ df over this frame IS the join
+    // mass; the sentinel rides the frame the candidate join consumes
+    val prefix = Partitioning.requireBoundedMass(
+      sorted.select(col("doc_id"),
+          explode(slice(col("sh"), lit(1), col("p"))).as("shingle"))
+        .join(dfAgg, "shingle"),
+      col("df"), "containmentPairs", maxJoinMass,
+      "the prefix × full-inverted-index candidate join pays " +
+        "Σ prefix-occurrences × df; pre-filter high-df (boilerplate) " +
+        "shingles before pairing, or raise maxJoinMass knowingly")
+      .select(col("doc_id"), col("shingle"))
     val candidates = prefix.as("a").join(inv.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") =!= col("b.doc_id"))
@@ -408,11 +433,16 @@ object Dedup {
     * it). The vocabulary build is one distinct over the benchmark's
     * shingles with the driver transfer plan-capped at maxVocab + 1
     * rows (the [[Kmv.groupSketches]] discipline — the cap binds
-    * BEFORE the collect). Short/NULL texts gate as n_shared = 0:
-    * an ingest gate must emit a verdict for every row it admits.
+    * BEFORE the collect). The default cap is the 10⁶ the sizing above
+    * is computed FOR — the cap exists to protect the driver and the
+    * executors' broadcast memory, so it must match the stated
+    * envelope, not sit 5× above it; callers with a bigger eval
+    * battery raise it knowingly against their own heap budget.
+    * Short/NULL texts gate as n_shared = 0: an ingest gate must emit
+    * a verdict for every row it admits.
     */
   def contaminationGate(incoming: DataFrame, benchmark: DataFrame,
-      n: Int = 8, minShared: Int = 3, maxVocab: Int = 5000000): DataFrame = {
+      n: Int = 8, minShared: Int = 3, maxVocab: Int = 1000000): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
     val vocabRows = shingles(benchmark, n)
@@ -449,9 +479,26 @@ object Dedup {
     * exchange, and the distinct that follows runs on the pruned
     * (benchmark-vocabulary-bounded) survivors only. Output per eval
     * doc: n_grams, n_shared, overlap_frac (6 dp), dirty.
+    *
+    * EVERY benchmark doc gets a row — including docs too short to
+    * yield a single n-gram (n_grams = 0, overlap_frac = 0.0,
+    * dirty = false). A report eval owners act on must not conflate
+    * "not contaminated" with "not measured": a silently-missing row
+    * reads as clean, so sub-n docs are surfaced with an explicit
+    * zero-gram verdict instead (the contaminationGate discipline —
+    * a verdict for every row admitted).
     */
   def evalContamination(corpus: DataFrame, benchmark: DataFrame,
-      n: Int = 8, dirtyFrac: Double = 0.5): DataFrame = {
+      n: Int = 8, dirtyFrac: Double = 0.5): DataFrame =
+    evalContaminationCore(corpus, benchmark, n, dirtyFrac)
+      .orderBy(col("bench_doc"))
+
+  /** [[evalContamination]] without the readout sort — the composition
+    * form [[contaminationDrift]] joins two of these, so the total
+    * order belongs once at the composed readout, not under the join.
+    */
+  private def evalContaminationCore(corpus: DataFrame, benchmark: DataFrame,
+      n: Int, dirtyFrac: Double): DataFrame = {
     require(dirtyFrac > 0 && dirtyFrac <= 1,
       s"dirtyFrac must lie in (0, 1], got $dirtyFrac")
     val b = shingles(benchmark, n)
@@ -461,15 +508,57 @@ object Dedup {
     val sharedVocab = shingles(corpus, n)
       .join(broadcast(bVocab), Seq("shingle"), "left_semi")
       .select(col("shingle")).distinct()
+    val allBench = benchmark.select(col("doc_id")).distinct()
     val tot = b.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     val shared = b.join(sharedVocab, Seq("shingle"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
-    tot.join(shared, Seq("doc_id"), "left")
-      .select(col("doc_id").as("bench_doc"), col("n_grams"),
+    allBench.join(tot, Seq("doc_id"), "left")
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id").as("bench_doc"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-        round(coalesce(col("n_shared"), lit(0L)).cast("double") /
-          col("n_grams"), 6).as("overlap_frac"))
+        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(coalesce(col("n_shared"), lit(0L)).cast("double") /
+            col("n_grams"), 6)).as("overlap_frac"))
       .withColumn("dirty", col("overlap_frac") >= dirtyFrac)
+  }
+
+  /** Cross-snapshot contamination DRIFT — [[evalContamination]] run
+    * against two corpus releases and differenced per benchmark item:
+    * "which eval items got dirtier in this release" is the trend an
+    * eval owner actually watches (a static overlap table cannot
+    * distinguish long-standing leakage from leakage the NEWLY INGESTED
+    * data introduced — the latter is actionable at ingest review, the
+    * former needs an eval-suite rotation). One row per benchmark doc:
+    * both snapshots' shared-gram counts and 6-dp overlap fractions,
+    * the 6-dp overlap delta, and `newly_dirty` — crossed the dirty
+    * threshold in the new snapshot having been clean in the old.
+    *
+    * Shape at 100 TB: two independent [[evalContamination]] passes
+    * (each one broadcast semi-join pruning its corpus map-side —
+    * nothing corpus-sized crosses an exchange) meeting in ONE inner
+    * equi-join on bench_doc, total by construction because BOTH sides
+    * emit every benchmark doc_id (the zero-gram-verdict contract). The
+    * join frame is benchmark-sized, i.e. tiny.
+    */
+  def contaminationDrift(oldCorpus: DataFrame, newCorpus: DataFrame,
+      benchmark: DataFrame, n: Int = 8, dirtyFrac: Double = 0.5): DataFrame = {
+    val old = evalContaminationCore(oldCorpus, benchmark, n, dirtyFrac)
+      .select(col("bench_doc"), col("n_grams"),
+        col("n_shared").as("n_shared_old"),
+        col("overlap_frac").as("overlap_old"), col("dirty").as("dirty_old"))
+    val nw = evalContaminationCore(newCorpus, benchmark, n, dirtyFrac)
+      .select(col("bench_doc"), col("n_shared").as("n_shared_new"),
+        col("overlap_frac").as("overlap_new"), col("dirty").as("dirty_new"))
+    old.join(nw, "bench_doc")
+      .withColumn("overlap_delta",
+        round(col("overlap_new") - col("overlap_old"), 6))
+      .withColumn("newly_dirty", col("dirty_new") && !col("dirty_old"))
+      .select(col("bench_doc"), col("n_grams"),
+        col("n_shared_old"), col("n_shared_new"),
+        col("overlap_old"), col("overlap_new"),
+        col("overlap_delta"), col("dirty_old"), col("dirty_new"),
+        col("newly_dirty"))
       .orderBy(col("bench_doc"))
   }
 

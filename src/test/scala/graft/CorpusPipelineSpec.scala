@@ -81,6 +81,21 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(same == Map("unchanged" -> 3L))
   }
 
+  test("snapshotDiff: NULL-text docs classify by doc_id presence, not hash nullness") {
+    // sha2(NULL) is NULL — a nullness-based classifier would call a
+    // NULL-text doc present in BOTH snapshots "added". Presence must
+    // come from membership markers; hash comparison must be null-safe
+    // (two NULL-text versions are "unchanged", NULL→text is "changed").
+    val old = Seq((1L, null: String), (2L, "b"), (3L, null: String))
+      .toDF("doc_id", "text")
+    val nw = Seq((1L, null: String), (2L, "b"), (3L, "now has text"),
+      (4L, null: String)).toDF("doc_id", "text")
+    val got = CorpusPipeline.snapshotDiff(old, nw).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("added" -> 1L, "changed" -> 1L, "unchanged" -> 2L),
+      s"$got")
+  }
+
   test("decontaminate: a contaminated training doc reads as `removed` in the release diff") {
     // training doc 2 is a verbatim copy of eval doc 101 (Jaccard 1.0 at
     // any threshold); docs 4 and 6 share nothing with the eval set

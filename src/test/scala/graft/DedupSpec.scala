@@ -375,6 +375,29 @@ class DedupSpec extends AnyFunSuite {
     assert(engine == brute, s"engine $engine vs brute $brute")
   }
 
+  test("containmentPairs: the prefix-join mass gate refuses an over-mass (boilerplate) corpus") {
+    import org.apache.spark.sql.functions._
+    // boilerplate-flood shape: 30 identical SHORT docs — one shingle
+    // each, so the rarest-first ordering cannot keep it out of the
+    // prefix (the whole set IS the prefix) and that shingle's df is
+    // the corpus size. Candidate join mass Σ prefix-occurrences × df
+    // = 30 × 30 = 900: quadratic in the flood size, the exact corpus
+    // the gate exists for. It must refuse at a 100 cap BEFORE any
+    // candidate forms, and the message must name the escape hatch.
+    val docs = (1L to 30L).map(i => (i, "aa bb cc")).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      Dedup.containmentPairs(docs, 0.9, maxJoinMass = 100L).collect()
+    }
+    val msg = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("containmentPairs") && msg.contains("maxJoinMass"),
+      s"expected the mass-gate raise naming the escape hatch: $msg")
+    // above the mass the same corpus pairs normally: every pair is an
+    // exact copy (containment 1.0) → C(30, 2) rows
+    assert(Dedup.containmentPairs(docs, 0.9, maxJoinMass = 10000L)
+      .count() == 435L)
+  }
+
   test("evalContamination: per-eval-doc overlap fraction with dirty threshold") {
     val train = Seq(
       (1L, "a b c d e f g h i j"),
@@ -383,16 +406,52 @@ class DedupSpec extends AnyFunSuite {
     val eval_ = Seq(
       (100L, "a b c d e f g h i j"),      // identical → frac 1.0
       (101L, "z1 z2 z3 z4 z5 z6 z7 z8"),  // disjoint → frac 0.0
-      (102L, "only seven words in this one here"), // <8 words → no row
+      (102L, "only seven words in this one here"), // <8 words → 0-gram row
       (103L, "a b c d e f g h X Y"))      // shares 1 of its 3 8-grams
       .toDF("doc_id", "text")
     val got = Dedup.evalContamination(train, eval_, n = 8, dirtyFrac = 0.5)
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
-    assert(got.keySet == Set(100L, 101L, 103L), s"$got")
+    // EVERY eval doc reports — 102 is too short to shingle, so it
+    // carries an explicit zero-gram verdict instead of a silently
+    // missing row (a missing verdict would read as "clean")
+    assert(got.keySet == Set(100L, 101L, 102L, 103L), s"$got")
     assert(got(100L) == ((3L, 3L, 1.0, true)))
     assert(got(101L) == ((1L, 0L, 0.0, false)))
+    assert(got(102L) == ((0L, 0L, 0.0, false)))
     assert(got(103L) == ((3L, 1L, 0.333333, false)))
+  }
+
+  test("contaminationDrift: per-eval-item release delta, newly_dirty on threshold crossings") {
+    // old release: only doc 1; new release adds doc 2, a verbatim copy
+    // of eval item 100 — 100 goes 0.0 → 1.0 (newly dirty), 101 holds
+    // its long-standing partial overlap (dirty in BOTH → not newly),
+    // 102 is sub-n and reports the zero-gram verdict in both columns
+    val oldC = Seq((1L, "p q r s t u v w x y")).toDF("doc_id", "text")
+    val newC = Seq(
+      (1L, "p q r s t u v w x y"),
+      (2L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (100L, "a b c d e f g h i j"),
+      (101L, "p q r s t u v w x YY"),
+      (102L, "too short to shingle at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.contaminationDrift(oldC, newC, eval_, n = 8,
+      dirtyFrac = 0.5).collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)),
+         (r.getDouble(4), r.getDouble(5), r.getDouble(6)),
+         (r.getBoolean(7), r.getBoolean(8), r.getBoolean(9)))).toMap
+    assert(got.keySet == Set(100L, 101L, 102L), s"$got")
+    // 100: 3 grams, none shared with old, all 3 with new
+    assert(got(100L) == (((3L, 0L, 3L), (0.0, 1.0, 1.0),
+      (false, true, true))), s"$got")
+    // 101: 3 grams, 2 shared in both releases (its first two 8-grams
+    // avoid the YY tail) — dirty both sides, so NOT newly dirty
+    assert(got(101L) == (((3L, 2L, 2L), (0.666667, 0.666667, 0.0),
+      (true, true, false))), s"$got")
+    // 102: zero-gram verdict rides through the drift join
+    assert(got(102L) == (((0L, 0L, 0L), (0.0, 0.0, 0.0),
+      (false, false, false))), s"$got")
   }
 
   test("dedupTokenSavings: token-denominated canonical keep, cross-source groups") {
