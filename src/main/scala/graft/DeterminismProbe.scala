@@ -33,8 +33,10 @@ object DeterminismProbe {
     "pipeline_decontaminate", "eval_contamination", "ngram_diversity",
     "dedup_token_savings", "stream_contamination_gate",
     "embedding_dispersion", "dedup_containment", "zipf_alpha",
-    // round-12 addition: the release-over-release drift composition
-    "contamination_drift")
+    // round-12 additions: the release-over-release drift composition,
+    // the provenance rollup and the directional sketch readout
+    "contamination_drift", "contamination_by_source",
+    "source_containment_kmv")
 
   /** Rows rendered to one sorted canonical string: null-safe, stable
     * across runs iff the values are. Doubles print via toString (exact

@@ -259,6 +259,24 @@ object SparkEntry {
         train, docs.filter(col("doc_id") % 50 === 0),
         n = 8, dirtyFrac = 0.2)
     }),
+    // provenance rollup of the train-side flags: which SOURCE the
+    // leakage keeps arriving from — the actionable unit is a feed,
+    // not a document
+    "contamination_by_source" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      Dedup.contaminationBySource(docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), n = 8, minShared = 3)
+    }),
+    // the DIRECTIONAL sibling of source_jaccard_kmv from the same one
+    // sketch pass: containment(A→B) = |A∩B|/|A| — a source whose
+    // vocabulary sits inside another's is redundant even when Jaccard
+    // looks small
+    "source_containment_kmv" -> ((s, dir) =>
+      operators.Kmv.groupedContainment(
+        tbl(s, dir, "documents")
+          .select(col("source"),
+            explode(operators.TextAnalysis.words(col("text"))).as("w")),
+        "source", "w", 256)),
     // token-denominated dedup accounting: what the canonical keep buys
     // back in TOKENS per source (dup groups skew long, so doc counts
     // understate it) — feeds straight into token_budget planning
@@ -2903,6 +2921,79 @@ object SparkEntry {
          |  overlap_new >= 0.2 AS dirty_new,
          |  overlap_new >= 0.2 AND NOT (overlap_old >= 0.2) AS newly_dirty
          |FROM r ORDER BY bench_doc""".stripMargin,
+    // provenance rollup: the same per-doc flag chain aggregated on the
+    // source key — counts BIGINT-cast (DuckDB sums widen to HUGEINT)
+    "contamination_by_source" ->
+      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+         |sh8 AS (SELECT doc_id, unnest(list_distinct(
+         |          [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+         |           ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7]
+         |           for i in range(1, len(ws)-6)])) AS shingle
+         |        FROM w WHERE len(ws) >= 8),
+         |b AS (SELECT DISTINCT shingle FROM sh8 WHERE doc_id % 50 = 0),
+         |tr AS (SELECT doc_id, source FROM documents WHERE doc_id % 50 <> 0),
+         |s AS (SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |      FROM sh8 d JOIN b USING (shingle)
+         |      WHERE d.doc_id % 50 <> 0 GROUP BY d.doc_id),
+         |f AS (SELECT t.source, coalesce(s.n_shared, 0) AS n_shared,
+         |        coalesce(s.n_shared, 0) >= 3 AS contaminated
+         |      FROM tr t LEFT JOIN s USING (doc_id))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_contaminated,
+         |  round(sum(CASE WHEN contaminated THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*), 6) AS contamination_rate,
+         |  CAST(sum(n_shared) AS BIGINT) AS shared_grams
+         |FROM f GROUP BY source ORDER BY source""".stripMargin,
+    // directional containment from the SAME bottom-k replay as the
+    // jaccard form: per-group cardinality from each group's own sketch
+    // (exact below k / (k−1)/θ), every factor rounded before the next
+    // division exactly as the engine
+    "source_containment_kmv" ->
+      s"""WITH t AS (SELECT source AS g,
+         |             unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         |           FROM documents),
+         |h AS (SELECT DISTINCT g,
+         |        CAST('0x' || substr(md5(w), 1, 12) AS BIGINT) AS h FROM t),
+         |r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h)
+         |        AS rn FROM h),
+         |sk AS (SELECT g, h FROM r WHERE rn <= 256),
+         |gs AS (SELECT g, count(*) AS n, max(h) AS hk FROM sk GROUP BY g),
+         |ge AS (SELECT g, CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+         |         ELSE round(255.0 / ((CAST(hk AS DOUBLE) + 0.5)
+         |           / power(16.0, 12)), 6) END AS est FROM gs),
+         |pr AS (SELECT a.g AS ga, b.g AS gb
+         |       FROM (SELECT DISTINCT g FROM sk) a
+         |       JOIN (SELECT DISTINCT g FROM sk) b ON a.g < b.g),
+         |u1 AS (SELECT DISTINCT p.ga, p.gb, s.h
+         |       FROM pr p JOIN sk s ON s.g = p.ga OR s.g = p.gb),
+         |ur AS (SELECT ga, gb, h,
+         |         row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+         |       FROM u1),
+         |usk AS (SELECT ga, gb, h FROM ur WHERE rn <= 256),
+         |s2 AS (SELECT ga, gb, count(*) AS n, max(h) AS hk FROM usk
+         |       GROUP BY ga, gb),
+         |ib AS (SELECT u.ga, u.gb, count(*) AS inboth FROM usk u
+         |       WHERE EXISTS (SELECT 1 FROM sk WHERE g = u.ga AND h = u.h)
+         |         AND EXISTS (SELECT 1 FROM sk WHERE g = u.gb AND h = u.h)
+         |       GROUP BY u.ga, u.gb),
+         |rr AS (SELECT s2.ga, s2.gb,
+         |         CASE WHEN s2.n < 256 THEN CAST(s2.n AS DOUBLE)
+         |              ELSE round(255.0 / ((CAST(s2.hk AS DOUBLE) + 0.5)
+         |                / power(16.0, 12)), 6) END AS union_est,
+         |         round(CAST(coalesce(ib.inboth, 0) AS DOUBLE)
+         |           / (CASE WHEN s2.n < 256 THEN s2.n ELSE 256 END), 6)
+         |           AS jaccard_est
+         |       FROM s2 LEFT JOIN ib ON s2.ga = ib.ga AND s2.gb = ib.gb)
+         |SELECT rr.ga AS group_a, rr.gb AS group_b, CAST(256 AS BIGINT) AS k,
+         |  ea.est AS a_est, eb.est AS b_est,
+         |  round(jaccard_est * union_est, 6) AS intersect_est,
+         |  round(round(jaccard_est * union_est, 6) / ea.est, 6)
+         |    AS contain_a_in_b,
+         |  round(round(jaccard_est * union_est, 6) / eb.est, 6)
+         |    AS contain_b_in_a
+         |FROM rr JOIN ge ea ON rr.ga = ea.g JOIN ge eb ON rr.gb = eb.g
+         |ORDER BY group_a, group_b""".stripMargin,
     // same global canonical keep as the doc-count report, with the
     // whitespace token count riding the hashed projection
     "dedup_token_savings" ->

@@ -454,6 +454,9 @@ object SqlSurface {
         "groups × k longs); the single-pair SQL-reachable form is " +
         "audience_overlap_estimate via the registered kmv_sketch_* " +
         "functions"),
+      "source_containment_kmv" -> ("same per-group BottomK sketch pass " +
+        "as source_jaccard_kmv with a directional driver-side readout; " +
+        "not SQL-reachable for the same reason"),
       "pq_encode" -> mllibFit,
       "pq_adc_topk" -> mllibFit,
       "embedding_pca" -> mllibFit,
@@ -3783,6 +3786,30 @@ object SqlSurface {
          |  overlap_new >= 0.2D AND NOT (overlap_old >= 0.2D) AS newly_dirty
          |FROM r ORDER BY bench_doc""".stripMargin,
 
+    // Provenance rollup of the train-side contamination flags — the
+    // per-doc chain aggregated on the source key.
+    "contamination_by_source" ->
+      s"""WITH w AS (SELECT doc_id, split(trim(text), '\\\\s+') AS ws FROM documents),
+         |sh8 AS (SELECT doc_id, explode(array_distinct(transform(
+         |          sequence(0, size(ws) - 8),
+         |          i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3],
+         |                         ws[i+4], ws[i+5], ws[i+6], ws[i+7])))) AS shingle
+         |        FROM w WHERE size(ws) >= 8),
+         |b AS (SELECT DISTINCT shingle FROM sh8 WHERE doc_id % 50 = 0),
+         |tr AS (SELECT doc_id, source FROM documents WHERE doc_id % 50 <> 0),
+         |s AS (SELECT d.doc_id, count(1) AS n_shared
+         |      FROM sh8 d JOIN b USING (shingle)
+         |      WHERE d.doc_id % 50 <> 0 GROUP BY d.doc_id),
+         |f AS (SELECT t.source, coalesce(s.n_shared, 0L) AS n_shared,
+         |        coalesce(s.n_shared, 0L) >= 3L AS contaminated
+         |      FROM tr t LEFT JOIN s ON t.doc_id = s.doc_id)
+         |SELECT source, count(1) AS n_docs,
+         |  sum(CASE WHEN contaminated THEN 1L ELSE 0L END) AS n_contaminated,
+         |  round(CAST(sum(CASE WHEN contaminated THEN 1L ELSE 0L END) AS DOUBLE)
+         |    / count(1), 6) AS contamination_rate,
+         |  sum(n_shared) AS shared_grams
+         |FROM f GROUP BY source ORDER BY source""".stripMargin,
+
     // Token-denominated canonical-keep accounting — the keepCanonical
     // digest groupBy with the token count riding the hashed projection.
     "dedup_token_savings" ->
@@ -4918,6 +4945,7 @@ object SqlSurface {
       "pipeline_decontaminate" -> SparkEntry.queries("pipeline_decontaminate"),
       "eval_contamination" -> SparkEntry.queries("eval_contamination"),
       "contamination_drift" -> SparkEntry.queries("contamination_drift"),
+      "contamination_by_source" -> SparkEntry.queries("contamination_by_source"),
       "embedding_dispersion" -> SparkEntry.queries("embedding_dispersion"),
       "dedup_token_savings" -> SparkEntry.queries("dedup_token_savings"),
       "ngram_diversity" -> SparkEntry.queries("ngram_diversity"),

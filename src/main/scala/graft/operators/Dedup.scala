@@ -326,6 +326,35 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-SOURCE contamination rollup — [[contaminationFlags]] grouped
+    * by provenance: which source (crawl, dump, feed) carries the
+    * benchmark leakage. The per-doc flag table says WHAT to quarantine;
+    * this says WHERE it keeps coming from — the actionable review is
+    * usually "stop ingesting that source" or "add the gate to that
+    * feed", not doc-by-doc surgery. Output per source: doc count,
+    * contaminated count, 6-dp contamination rate, and total shared
+    * grams (severity mass, not just incidence).
+    *
+    * Shape at 100 TB: the flags plan unchanged (benchmark vocabulary
+    * join + per-doc count), then ONE map-side-combinable rollup on the
+    * tiny source key — the source column rides the doc_id projection
+    * into the final aggregate; nothing new crosses an exchange.
+    */
+  def contaminationBySource(docs: DataFrame, benchmark: DataFrame,
+      n: Int = 8, minShared: Int = 3): DataFrame = {
+    val flags = contaminationFlags(docs, benchmark, n, minShared)
+    docs.select(col("doc_id"), col("source")).join(flags, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"),
+        sum(col("n_shared")).as("shared_grams"))
+      .select(col("source"), col("n_docs"), col("n_contaminated"),
+        round(col("n_contaminated").cast("double") / col("n_docs"), 6)
+          .as("contamination_rate"),
+        col("shared_grams"))
+      .orderBy(col("source"))
+  }
+
   /** Asymmetric CONTAINMENT pairs — the near-dup geometry both Jaccard
     * and MinHash-LSH structurally miss: a short document quoted whole
     * inside a long one has containment |A∩B|/min(|A|,|B|) ≈ 1 while

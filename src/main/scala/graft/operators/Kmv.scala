@@ -266,4 +266,78 @@ object Kmv {
         StructField("jaccard_est", DoubleType),
         StructField("intersect_est", DoubleType))))
   }
+
+  /** DIRECTIONAL containment between every pair of groups from the
+    * same ONE bounded sketch pass as [[groupedJaccard]]:
+    * C(A→B) = |A∩B| / |A| — the asymmetric statistic Jaccard hides.
+    * A source whose vocabulary sits nearly wholly inside another's
+    * (a re-crawl, a filtered mirror, a subset dump) shows Jaccard
+    * ≈ |A|/|B| (small when B is big) but containment(A→B) ≈ 1 — the
+    * "this source is redundant, drop it" planning signal, the GROUP
+    * form of the per-document geometry [[Dedup.containmentPairs]]
+    * catches. Estimates: per-group cardinality from each group's own
+    * sketch (exact below k, else the (k−1)/θ theta-sketch lane),
+    * intersection = jaccard_est × union_est exactly as the sibling,
+    * containments = intersect_est / own_est — every factor 6-dp-
+    * rounded before the next product/division, so the DuckDB oracle
+    * replays bit-for-bit. Output per ordered pair: k, a_est, b_est,
+    * intersect_est, contain_a_in_b, contain_b_in_a (estimates may
+    * exceed 1 by estimator noise — left raw, an estimator should not
+    * silently clamp its own error).
+    *
+    * Shape at 100 TB: identical to [[groupedJaccard]] — the corpus
+    * crosses one groupBy(group) BottomK exchange, the driver transfer
+    * is plan-capped at maxGroups + 1 sketch rows, the pair readout is
+    * driver-local on ≤ C(groups, 2) k-long vectors.
+    */
+  def groupedContainment(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 256, maxGroups: Int = 1024): DataFrame = {
+    require(maxGroups >= 2, s"maxGroups must be >= 2, got $maxGroups")
+    val spark = df.sparkSession
+    val rows = groupSketches(df, groupCol, valueCol, k, maxGroups).collect()
+    require(rows.length <= maxGroups,
+      s"groupedContainment: over $maxGroups groups (maxGroups) " +
+        "- the sketch table must stay driver-bounded; raise the cap " +
+        "knowingly or pre-bucket the group column")
+    val sketches = rows.map(r => r.getString(0) -> r.getSeq[Long](1).toVector)
+      .sortBy(_._1)
+    val merger = new BottomK(k)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cardEst(s: Vector[Long]): Double =
+      if (s.length < k) s.length.toDouble
+      else r6((k - 1).toDouble / ((s.last.toDouble + 0.5) / math.pow(16.0, 12)))
+    val out = for {
+      i <- sketches.indices
+      j <- (i + 1) until sketches.length
+    } yield {
+      val (ga, sa) = sketches(i)
+      val (gb, sb) = sketches(j)
+      val union = merger.merge(sa, sb)
+      val exact = union.length < k
+      val unionEst =
+        if (exact) union.length.toDouble
+        else r6((k - 1).toDouble /
+          ((union.last.toDouble + 0.5) / math.pow(16.0, 12)))
+      val (setA, setB) = (sa.toSet, sb.toSet)
+      val inBoth = union.count(h => setA(h) && setB(h))
+      val denom = if (exact) union.length else k
+      val jaccard = if (denom == 0) 0.0 else r6(inBoth.toDouble / denom)
+      val intersect = r6(jaccard * unionEst)
+      val (aEst, bEst) = (cardEst(sa), cardEst(sb))
+      Row(ga, gb, k.toLong, aEst, bEst, intersect,
+        r6(intersect / aEst), r6(intersect / bEst))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1),
+      StructType(Seq(
+        StructField("group_a", org.apache.spark.sql.types.StringType),
+        StructField("group_b", org.apache.spark.sql.types.StringType),
+        StructField("k", LongType),
+        StructField("a_est", DoubleType),
+        StructField("b_est", DoubleType),
+        StructField("intersect_est", DoubleType),
+        StructField("contain_a_in_b", DoubleType),
+        StructField("contain_b_in_a", DoubleType))))
+  }
 }

@@ -422,6 +422,27 @@ class DedupSpec extends AnyFunSuite {
     assert(got(103L) == ((3L, 1L, 0.333333, false)))
   }
 
+  test("contaminationBySource: leakage attributed to the feed it arrives from") {
+    val bench = Seq((100L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val docs = Seq(
+      // "bad" feed: two verbatim copies of the eval item → 3 shared
+      // 8-grams each, both over minShared = 3
+      (1L, "a b c d e f g h i j", "bad"),
+      (2L, "a b c d e f g h i j", "bad"),
+      // "good" feed: clean, plus one doc too short to shingle (still
+      // counted in the denominator — an unmeasurable doc is not a
+      // clean doc, but it cannot be flagged either)
+      (3L, "totally unrelated words about rivers and stones in autumn", "good"),
+      (4L, "short text", "good"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.contaminationBySource(docs, bench, n = 8, minShared = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(got == Map(
+      "bad" -> ((2L, 2L, 1.0, 6L)),
+      "good" -> ((2L, 0L, 0.0, 0L))), s"$got")
+  }
+
   test("contaminationDrift: per-eval-item release delta, newly_dirty on threshold crossings") {
     // old release: only doc 1; new release adds doc 2, a verbatim copy
     // of eval item 100 — 100 goes 0.0 → 1.0 (newly dirty), 101 holds

@@ -150,4 +150,38 @@ class KmvSpec extends AnyFunSuite {
     assert(Kmv.groupedJaccard(df.filter($"g".isin("g1", "g2", "g3")),
       "g", "v", k = 16, maxGroups = 8).count() == 3L)
   }
+
+  test("groupedContainment: subset shows C(A→B)=1 where Jaccard hides it; exact lanes by hand") {
+    import spark.implicits._
+    // ga ⊂ gb (40 of gb's 160 values): Jaccard = 40/160 = 0.25 reads
+    // "mostly different", containment(ga→gb) = 1.0 reads "ga is
+    // redundant" — the directional signal is the operator's point.
+    // All sketches sit below k = 256 → every lane is EXACT.
+    val rows =
+      (1 to 40).map(i => ("ga", s"v$i")) ++
+      (1 to 160).map(i => ("gb", s"v$i")) ++
+      (501 to 520).map(i => ("gc", s"v$i"))
+    val df = rows.toDF("g", "v")
+    val got = Kmv.groupedContainment(df, "g", "v", k = 256)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5),
+         r.getDouble(6), r.getDouble(7))).toMap
+    assert(got.keySet == Set("ga" -> "gb", "ga" -> "gc", "gb" -> "gc"))
+    // (a_est, b_est, intersect, contain_a_in_b, contain_b_in_a)
+    assert(got("ga" -> "gb") == ((40.0, 160.0, 40.0, 1.0, 0.25)), s"$got")
+    assert(got("ga" -> "gc") == ((40.0, 20.0, 0.0, 0.0, 0.0)), s"$got")
+    assert(got("gb" -> "gc") == ((160.0, 20.0, 0.0, 0.0, 0.0)), s"$got")
+    // its intersect column must equal the jaccard form's on every pair
+    // (same sketches, same readout math)
+    val jac = Kmv.groupedJaccard(df, "g", "v", k = 256)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5))
+      .toMap
+    got.foreach { case (pair, v) => assert(jac(pair) == v._3, s"$pair") }
+    // driver-bound cap is the shared groupSketches discipline
+    val wide = (1 to 40).map(i => (s"g$i", "x")).toDF("g", "v")
+    val ex = intercept[IllegalArgumentException] {
+      Kmv.groupedContainment(wide, "g", "v", k = 16, maxGroups = 8)
+    }
+    assert(ex.getMessage.contains("maxGroups"))
+  }
 }
