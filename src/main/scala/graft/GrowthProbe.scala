@@ -72,11 +72,17 @@ object GrowthProbe {
       // the dup-adversarial corpus deliberately floods prefixes with
       // shared dup-group shingles — the probe raises the join-mass gate
       // knowingly (its documented calibration escape hatch) to measure
-      // the candidate join the gate protects production runs from
+      // the candidate join the gate protects production runs from.
+      // Threshold 0.9 = the graded query's. 0.8 was measured once and
+      // retired: on THIS corpus it puts 1.3e8 (100k) / 5.3e8 (200k)
+      // candidate rows through the join — the production gate refuses
+      // both at its 1e8 default, and the 200k run exhausted a 252 GB
+      // disk in spills; a lane the operator's own guard classifies as
+      // misuse measures the misuse, not the operator
       var pH = 0L; var pF = 0L
-      val tH = bestOf2 { pH = Dedup.containmentPairs(half, 0.8,
+      val tH = bestOf2 { pH = Dedup.containmentPairs(half, 0.9,
         maxJoinMass = 4000000000L).count(); pH }
-      val tF = bestOf2 { pF = Dedup.containmentPairs(full, 0.8,
+      val tF = bestOf2 { pF = Dedup.containmentPairs(full, 0.9,
         maxJoinMass = 4000000000L).count(); pF }
       val norm = (tF / pF.max(1L)) / (tH / pH.max(1L))
       println(f"$tH%7.2f  $tF%7.2f  raw=${tF / tH}%5.2f  pairs: $pH%,d → $pF%,d (${pF.toDouble / pH.max(1L)}%4.2fx)  per-pair ratio=$norm%5.2f  ${if (norm > 1.5) "SLOW " else "ok   "}containment prefix-exact")
@@ -721,10 +727,12 @@ object GrowthProbe {
     // so it gets the same two-doubling record as every other pair
     // family; mass gate raised knowingly as in the 50k→100k lane
     locally {
+      // threshold 0.9 (the graded query's) — see the 50k→100k lane's
+      // note for why 0.8 is retired on this corpus
       var p1 = 0L; var p2 = 0L
-      val t1 = bestOf2 { p1 = Dedup.containmentPairs(full, 0.8,
+      val t1 = bestOf2 { p1 = Dedup.containmentPairs(full, 0.9,
         maxJoinMass = 4000000000L).count(); p1 }
-      val t2 = bestOf2 { p2 = Dedup.containmentPairs(x2, 0.8,
+      val t2 = bestOf2 { p2 = Dedup.containmentPairs(x2, 0.9,
         maxJoinMass = 4000000000L).count(); p2 }
       val norm = (t2 / p2.max(1L)) / (t1 / p1.max(1L))
       println(f"$t1%7.2f  $t2%7.2f  raw=${t2 / t1}%5.2f  pairs: $p1%,d → $p2%,d (${p2.toDouble / p1.max(1L)}%4.2fx)  per-pair ratio=$norm%5.2f  ${if (norm > 1.5) "SLOW " else "ok   "}containment prefix-exact (n=100k, 2n=200k)")

@@ -395,11 +395,22 @@ object Dedup {
       maxJoinMass: Long = 100000000L): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must lie in (0, 1], got $threshold")
-    // localCheckpoint (eager), not cache(): both frames feed several
-    // consumers in THIS plan only — blocks must die with the frame
-    // instead of parking in the LRU across bench reps (the bigramLm
-    // discipline, see dupEvidence)
-    val inv = shingles(docs, n).localCheckpoint()
+    // Persistence policy (measured, round-12): `inv` is the EXPLODED
+    // (doc, shingle) stream — corpus × doc-length rows — and it is NOT
+    // persisted at all: shingles() is a narrow codegen projection, so
+    // its three consumers (df aggregate, rarest-first sort, candidate
+    // join probe side) re-derive it from the scan for less than the
+    // cost of materializing it once. localCheckpoint here is actively
+    // WRONG at scale: checkpoint blocks are non-evictable, and pinning
+    // a corpus-sized frame starved concurrent join tasks into
+    // executor heap-space OOM on the 200k growth-probe lane (the
+    // bigramLm/dupEvidence checkpoint discipline is for BOUNDED
+    // frames — model tables, one-row-per-doc aggregates — never an
+    // exploded token stream). `sorted` below is the expensive
+    // aggregate with three consumers: cache() — EVICTABLE under
+    // memory pressure, and the bench/probe clearCache hygiene already
+    // prevents blocks parking across reps.
+    val inv = shingles(docs, n)
     val dfAgg = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val sorted = inv.join(dfAgg, "shingle")
       .groupBy(col("doc_id"))
@@ -410,7 +421,7 @@ object Dedup {
       .withColumn("p",
         (col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(ThresholdEps)) + 1)
           .cast("int"))
-      .localCheckpoint()
+      .cache()
     // each prefix occurrence of a shingle with document frequency df
     // contributes df candidate rows — Σ df over this frame IS the join
     // mass; the sentinel rides the frame the candidate join consumes
@@ -420,8 +431,9 @@ object Dedup {
         .join(dfAgg, "shingle"),
       col("df"), "containmentPairs", maxJoinMass,
       "the prefix × full-inverted-index candidate join pays " +
-        "Σ prefix-occurrences × df; pre-filter high-df (boilerplate) " +
-        "shingles before pairing, or raise maxJoinMass knowingly")
+        "Σ prefix-occurrences × df; exact-dedup first (keepCanonical " +
+        "collapses the copy floods that inflate df), pre-filter " +
+        "high-df boilerplate shingles, or raise maxJoinMass knowingly")
       .select(col("doc_id"), col("shingle"))
     val candidates = prefix.as("a").join(inv.as("b"),
         col("a.shingle") === col("b.shingle") &&
