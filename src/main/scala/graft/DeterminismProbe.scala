@@ -36,7 +36,7 @@ object DeterminismProbe {
     // round-12 additions: the release-over-release drift composition,
     // the provenance rollup and the directional sketch readout
     "contamination_drift", "contamination_by_source",
-    "source_containment_kmv")
+    "source_containment_kmv", "lsh_recall")
 
   /** Rows rendered to one sorted canonical string: null-safe, stable
     * across runs iff the values are. Doubles print via toString (exact

@@ -277,6 +277,11 @@ object SparkEntry {
           .select(col("source"),
             explode(operators.TextAnalysis.words(col("text"))).as("w")),
         "source", "w", 256)),
+    // candidate-generation calibration: what pair-level recall the
+    // configured LSH banding ACTUALLY delivered on this corpus vs the
+    // exact prefix-filtered ground truth at the same threshold
+    "lsh_recall" -> ((s, dir) =>
+      Dedup.lshRecall(tbl(s, dir, "documents"), 0.5)),
     // token-denominated dedup accounting: what the canonical keep buys
     // back in TOKENS per source (dup groups skew long, so doc counts
     // understate it) — feeds straight into token_budget planning
@@ -2670,6 +2675,35 @@ object SparkEntry {
          |FROM inter i JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
          |WHERE round(i.c::DOUBLE/(x.n + y.n - i.c), 6) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // LSH candidate-generation recall vs the brute-force exact pair
+    // set at the same threshold — the banding chain is the
+    // dedup_minhash_lsh replay, the ground truth the dedup_ngram
+    // brute-force definition
+    "lsh_recall" ->
+      s"""WITH $minhashCtes,
+         |lsh AS (SELECT i.doc_a, i.doc_b
+         |        FROM inter i JOIN sz x ON i.doc_a = x.doc_id
+         |                     JOIN sz y ON i.doc_b = y.doc_id
+         |        WHERE round(i.c::DOUBLE/(x.n + y.n - i.c), 6) >= 0.5),
+         |ei AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |ex AS (SELECT e.doc_a, e.doc_b
+         |       FROM ei e JOIN sz x ON e.doc_a = x.doc_id
+         |                 JOIN sz y ON e.doc_b = y.doc_id
+         |       WHERE round(e.c::DOUBLE/(x.n + y.n - e.c), 6) >= 0.5),
+         |u AS (SELECT doc_a, doc_b, 1 AS e, 0 AS l FROM ex
+         |      UNION ALL SELECT doc_a, doc_b, 0, 1 FROM lsh),
+         |g AS (SELECT doc_a, doc_b, max(e) AS e, max(l) AS l FROM u GROUP BY 1, 2)
+         |SELECT CAST(0.5 AS DOUBLE) AS threshold,
+         |  CAST(coalesce(sum(e), 0) AS BIGINT) AS n_exact,
+         |  CAST(coalesce(sum(l), 0) AS BIGINT) AS n_lsh,
+         |  CAST(coalesce(sum(e * l), 0) AS BIGINT) AS n_hit,
+         |  CASE WHEN coalesce(sum(e), 0) > 0
+         |       THEN round(sum(e * l)::DOUBLE / sum(e), 6) ELSE 0.0 END AS recall,
+         |  CASE WHEN coalesce(sum(l), 0) > 0
+         |       THEN round(sum(e * l)::DOUBLE / sum(l), 6) ELSE 0.0 END AS "precision"
+         |FROM g""".stripMargin,
     "mixture_sample" -> {
       val cases = mixtureWeights.toSeq.sortBy(_._1)
         .map { case (s, w) => s"WHEN source = '$s' THEN $w" }.mkString(" ")

@@ -1330,6 +1330,40 @@ object SqlSurface {
          |SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.5D
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // Candidate-generation calibration: pair-level LSH recall vs the
+    // exact all-pairs ground truth at the same threshold.
+    "lsh_recall" ->
+      s"""WITH $minhashCtes,
+         |lsh AS (SELECT c.doc_a, c.doc_b
+         |        FROM cand c
+         |        JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+         |        JOIN sz x ON c.doc_a = x.doc_id
+         |        JOIN sz y ON c.doc_b = y.doc_id
+         |        WHERE round(CAST(i.c AS DOUBLE) / (x.n + y.n - i.c), 6) >= 0.5D),
+         |ei AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(1) AS c
+         |       FROM sh a JOIN sh b
+         |         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |ex AS (SELECT e.doc_a, e.doc_b
+         |       FROM ei e JOIN sz x ON e.doc_a = x.doc_id
+         |                 JOIN sz y ON e.doc_b = y.doc_id
+         |       WHERE round(CAST(e.c AS DOUBLE) / (x.n + y.n - e.c), 6) >= 0.5D),
+         |u AS (SELECT doc_a, doc_b, 1L AS e, 0L AS l FROM ex
+         |      UNION ALL SELECT doc_a, doc_b, 0L, 1L FROM lsh),
+         |g AS (SELECT doc_a, doc_b, max(e) AS e, max(l) AS l FROM u
+         |      GROUP BY 1, 2)
+         |SELECT CAST(0.5 AS DOUBLE) AS threshold,
+         |  coalesce(sum(e), 0L) AS n_exact,
+         |  coalesce(sum(l), 0L) AS n_lsh,
+         |  coalesce(sum(e * l), 0L) AS n_hit,
+         |  CASE WHEN coalesce(sum(e), 0L) > 0L
+         |       THEN round(CAST(sum(e * l) AS DOUBLE) / sum(e), 6)
+         |       ELSE 0.0D END AS recall,
+         |  CASE WHEN coalesce(sum(l), 0L) > 0L
+         |       THEN round(CAST(sum(e * l) AS DOUBLE) / sum(l), 6)
+         |       ELSE 0.0D END AS precision
+         |FROM g""".stripMargin,
+
     // Sketch calibration: Broder estimate (matching signature rows /
     // 16) vs exact Jaccard per LSH candidate — unthresholded by design.
     "minhash_estimate_error" ->
@@ -4987,6 +5021,7 @@ object SqlSurface {
       "hard_negatives" -> SparkEntry.queries("hard_negatives"),
       "triplet_mining" -> SparkEntry.queries("triplet_mining"),
       "dedup_minhash_lsh" -> SparkEntry.queries("dedup_minhash_lsh"),
+      "lsh_recall" -> SparkEntry.queries("lsh_recall"),
       "minhash_estimate_error" -> SparkEntry.queries("minhash_estimate_error"),
       "dedup_simhash" -> SparkEntry.queries("dedup_simhash"),
       "dedup_simhash_pairs" -> SparkEntry.queries("dedup_simhash_pairs"),

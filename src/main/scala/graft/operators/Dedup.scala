@@ -945,6 +945,48 @@ object Dedup {
     verifyPairs(candidates, docSh, threshold)
   }
 
+  /** Pair-level recall/precision of the MinHash-LSH path against the
+    * EXACT prefix-filtered Jaccard ground truth at the same threshold
+    * — the "measure, don't guess" companion to
+    * [[minhashEstimateError]] (which calibrates the ESTIMATE; this
+    * calibrates the CANDIDATE GENERATION). LSH banding is
+    * probabilistic by design: a true pair whose signature never
+    * collides in any band is silently absent, and the textbook
+    * 1−(1−J^b)^r collision curve is an average, not a guarantee —
+    * this evaluator reports what the configured (k, bands) actually
+    * delivered on THIS corpus, which is the number a curation owner
+    * needs before trusting the LSH path over the exact one at scale.
+    * Precision is measured too rather than assumed: the LSH tail
+    * verifies exact Jaccard, so precision < 1.0 would flag a
+    * verification bug, not banding noise.
+    *
+    * Shape at 100 TB: both sides are the production sub-quadratic
+    * plans (prefix-filtered exact, banded LSH); the comparison is one
+    * pair-keyed union + groupBy over two pair-table-sized frames and
+    * a single global fold — no new corpus-sized work, no nested loop.
+    */
+  def lshRecall(docs: DataFrame, threshold: Double,
+      k: Int = 16, bands: Int = 4): DataFrame = {
+    val exact = ngramJaccardPairs(docs, threshold)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("e"), lit(0L).as("l"))
+    val lsh = minhashLshPairs(docs, threshold, k, bands)
+      .select(col("doc_a"), col("doc_b"), lit(0L).as("e"), lit(1L).as("l"))
+    exact.unionByName(lsh)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("e")).as("e"), max(col("l")).as("l"))
+      .agg(coalesce(sum(col("e")), lit(0L)).as("n_exact"),
+        coalesce(sum(col("l")), lit(0L)).as("n_lsh"),
+        coalesce(sum(col("e") * col("l")), lit(0L)).as("n_hit"))
+      .select(lit(threshold).as("threshold"),
+        col("n_exact"), col("n_lsh"), col("n_hit"),
+        when(col("n_exact") > 0,
+          round(col("n_hit").cast("double") / col("n_exact"), 6))
+          .otherwise(lit(0.0)).as("recall"),
+        when(col("n_lsh") > 0,
+          round(col("n_hit").cast("double") / col("n_lsh"), 6))
+          .otherwise(lit(0.0)).as("precision"))
+  }
+
   /** Incremental dedup: flag an incoming batch against corpus HISTORY —
     * the shape of a daily crawl ingest, where the corpus that already
     * shipped must never be rescanned per batch. Each incoming document

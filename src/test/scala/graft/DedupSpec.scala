@@ -422,6 +422,40 @@ class DedupSpec extends AnyFunSuite {
     assert(got(103L) == ((3L, 1L, 0.333333, false)))
   }
 
+  test("lshRecall: exact dups always collide (recall 1.0); counts reconcile with both operators") {
+    // three identical docs + one unrelated: exact dups share every
+    // band key, so LSH proposes all C(3,2) pairs — recall 1.0, and the
+    // verified tail makes precision 1.0 by construction
+    val dups = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "completely different text about rivers and stones"))
+      .toDF("doc_id", "text")
+    val r = Dedup.lshRecall(dups, 0.5).head()
+    assert((r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4), r.getDouble(5)) == ((0.5, 3L, 3L, 3L, 1.0, 1.0)), s"$r")
+    // arithmetic reconciles with the two underlying operators on a
+    // mixed corpus (partial overlaps + dups) — the evaluator may never
+    // disagree with what it evaluates
+    val mixed = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "a b c d e f X Y"), (4L, "p q r s t u v w"),
+      (5L, "p q r s t u v w"), (6L, "unrelated words here now ok"))
+      .toDF("doc_id", "text")
+    val nExact = Dedup.ngramJaccardPairs(mixed, 0.5).count()
+    val nLsh = Dedup.minhashLshPairs(mixed, 0.5).count()
+    val m = Dedup.lshRecall(mixed, 0.5).head()
+    assert(m.getLong(1) == nExact && m.getLong(2) == nLsh, s"$m")
+    assert(m.getLong(3) <= math.min(nExact, nLsh))
+    // a corpus with no qualifying pairs still reports one zero row
+    // (0/0 reads as 0.0, never null/NaN)
+    val none = Seq((1L, "a b c"), (2L, "x y z")).toDF("doc_id", "text")
+    val z = Dedup.lshRecall(none, 0.5).head()
+    assert((z.getLong(1), z.getLong(2), z.getLong(3),
+      z.getDouble(4), z.getDouble(5)) == ((0L, 0L, 0L, 0.0, 0.0)), s"$z")
+  }
+
   test("contaminationBySource: leakage attributed to the feed it arrives from") {
     val bench = Seq((100L, "a b c d e f g h i j")).toDF("doc_id", "text")
     val docs = Seq(
