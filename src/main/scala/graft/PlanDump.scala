@@ -201,7 +201,8 @@ object PlanDump {
       "embedding_dispersion" -> "All-pairs mean cosine with NO pair join: posexplode to (label, dim, v), ONE map-side-combinable decimal sum per (label, dim), a dim-bounded per-label fold, and the identity readout — the n² statistic's plan contains two small aggregates and a broadcast-sized join, nothing else.",
       "dedup_containment" -> "Asymmetric containment pairs: the smaller-side PREFIX (rarest-first global order) equi-joins the full inverted index — lossless for containment ≥ t, never all-pairs, no BNLJ; size-asymmetric pairs survive because the symmetric size-ratio prune is deliberately absent; exact verification over the candidates' cached sorted arrays.",
       "zipf_alpha" -> "Zipf exponent per source: the rank ≤ topK filter over the row_number window MUST plan as WindowGroupLimit — map-side per-partition top-K BEFORE the source exchange, so the shuffle never carries a source's vocabulary; regression terms are order-free 9-dp decimal folds over ≤ topK rows per source.",
-      "contamination_drift" -> "Release-over-release contamination drift: TWO eval_contamination passes (each a broadcast left-semi prune of its corpus — the corpus-sized side has no exchange of its own) meeting in ONE inner equi-join on bench_doc over benchmark-sized frames; the delta and threshold flags are a narrow projection. Nothing corpus-sized crosses an exchange in either release's pass.")
+      "contamination_drift" -> "Release-over-release contamination drift: TWO eval_contamination passes (each a broadcast left-semi prune of its corpus — the corpus-sized side has no exchange of its own) meeting in ONE inner equi-join on bench_doc over benchmark-sized frames; the delta and threshold flags are a narrow projection. Nothing corpus-sized crosses an exchange in either release's pass.",
+      "lsh_recall" -> "LSH candidate-generation calibration: both sides are the production sub-quadratic plans (prefix-filtered exact pairs, banded LSH pairs); the comparison is a pair-keyed union + HashAggregate over two pair-table-sized frames and one global fold — no nested loop, no corpus-sized work beyond the two operator plans themselves.")
     val bnljAllowed = PlanDump.bnljAllowed
     val nested = scala.collection.mutable.LinkedHashMap[String, String]()
     val sb = new StringBuilder
