@@ -36,7 +36,10 @@ object DeterminismProbe {
     // round-12 additions: the release-over-release drift composition,
     // the provenance rollup and the directional sketch readout
     "contamination_drift", "contamination_by_source",
-    "source_containment_kmv", "lsh_recall")
+    "source_containment_kmv", "lsh_recall",
+    // round-13 additions: the incremental containment gate and the
+    // release-over-release savings drift
+    "containment_incremental", "dedup_savings_drift")
 
   /** Rows rendered to one sorted canonical string: null-safe, stable
     * across runs iff the values are. Doubles print via toString (exact

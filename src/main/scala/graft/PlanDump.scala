@@ -202,7 +202,9 @@ object PlanDump {
       "dedup_containment" -> "Asymmetric containment pairs: the smaller-side PREFIX (rarest-first global order) equi-joins the full inverted index — lossless for containment ≥ t, never all-pairs, no BNLJ; size-asymmetric pairs survive because the symmetric size-ratio prune is deliberately absent; exact verification over the candidates' cached sorted arrays.",
       "zipf_alpha" -> "Zipf exponent per source: the rank ≤ topK filter over the row_number window MUST plan as WindowGroupLimit — map-side per-partition top-K BEFORE the source exchange, so the shuffle never carries a source's vocabulary; regression terms are order-free 9-dp decimal folds over ≤ topK rows per source.",
       "contamination_drift" -> "Release-over-release contamination drift: TWO eval_contamination passes (each a broadcast left-semi prune of its corpus — the corpus-sized side has no exchange of its own) meeting in ONE inner equi-join on bench_doc over benchmark-sized frames; the delta and threshold flags are a narrow projection. Nothing corpus-sized crosses an exchange in either release's pass.",
-      "lsh_recall" -> "LSH candidate-generation calibration: both sides are the production sub-quadratic plans (prefix-filtered exact pairs, banded LSH pairs); the comparison is a pair-keyed union + HashAggregate over two pair-table-sized frames and one global fold — no nested loop, no corpus-sized work beyond the two operator plans themselves.")
+      "lsh_recall" -> "LSH candidate-generation calibration: both sides are the production sub-quadratic plans (prefix-filtered exact pairs, banded LSH pairs) consumed as UNSORTED cores sharing ONE cached docShingles frame — no Sort/rangepartitioning may appear under the Union (the groupBy above would destroy it; round-13 verdict #1), and the corpus is shingled once, not per side; the comparison is a pair-keyed union + HashAggregate and one global fold.",
+      "containment_incremental" -> "Incremental containment gate: BOTH prefix directions are equi-joins (batch prefix x history index, history prefix x batch index) under in-plan mass sentinels — no BNLJ, no all-pairs; the history-side artifacts (df table, sorted prefix index, inverted index) depend only on history, so a production ingest persists them once and the per-batch plan is batch-sized except for the one history-prefix scan; the verdict rollup is total (left joins onto the batch spine).",
+      "dedup_savings_drift" -> "Release-over-release savings drift: two dedupTokenSavings cores (digest groupBy + keep equi-join each, text never crossing an exchange) meeting in ONE full-outer equi-join on the tiny source key; the delta is a narrow projection with the readout sort paid once at the composed exit.")
     val bnljAllowed = PlanDump.bnljAllowed
     val nested = scala.collection.mutable.LinkedHashMap[String, String]()
     val sb = new StringBuilder

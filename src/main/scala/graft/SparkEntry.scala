@@ -267,6 +267,22 @@ object SparkEntry {
       Dedup.contaminationBySource(docs.filter(col("doc_id") % 50 =!= 0),
         docs.filter(col("doc_id") % 50 === 0), n = 8, minShared = 3)
     }),
+    // the containment geometry in the incremental ingest shape: every
+    // incoming doc (the %10 slice) gets a TOTAL verdict against the
+    // already-shipped history — hit count, max containment, flag —
+    // without a full-corpus pair pass per batch
+    "containment_incremental" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      Dedup.containmentGateIncremental(docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0), 0.9)
+    }),
+    // release-over-release drift of the token-denominated dedup
+    // savings: old = the even half, new = the full corpus — which
+    // source got more duplicated in this release
+    "dedup_savings_drift" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      Dedup.dedupSavingsDrift(docs.filter(col("doc_id") % 2 === 0), docs)
+    }),
     // the DIRECTIONAL sibling of source_jaccard_kmv from the same one
     // sketch pass: containment(A→B) = |A∩B|/|A| — a source whose
     // vocabulary sits inside another's is redundant even when Jaccard
@@ -2501,6 +2517,32 @@ object SparkEntry {
          |          JOIN sz y ON i.doc_b = y.doc_id
          |WHERE round(i.c::DOUBLE / least(x.n, y.n), 6) >= 0.9
          |ORDER BY i.doc_a, i.doc_b""".stripMargin,
+    // the engine's cross-table prefix filter is lossless under any
+    // shared total order, so the oracle is the brute-force cross join
+    // rolled up per incoming doc (total verdict: every %10 doc a row)
+    "containment_incremental" ->
+      s"""WITH $shingleCte,
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |it AS (SELECT a.doc_id AS doc_id, b.doc_id AS hist_id, count(*) AS c
+         |       FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |       WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+         |       GROUP BY 1, 2),
+         |v AS (SELECT i.doc_id,
+         |        round(i.c::DOUBLE / least(x.n, y.n), 6) AS containment
+         |      FROM it i JOIN sz x ON i.doc_id = x.doc_id
+         |                JOIN sz y ON i.hist_id = y.doc_id
+         |      WHERE round(i.c::DOUBLE / least(x.n, y.n), 6) >= 0.9),
+         |hh AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+         |         max(containment) AS max_containment
+         |       FROM v GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(z.n, 0) AS BIGINT) AS n_sh,
+         |  coalesce(hh.n_hits, 0) AS n_hits,
+         |  coalesce(hh.max_containment, 0.0) AS max_containment,
+         |  coalesce(hh.n_hits, 0) > 0 AS contained
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+         |LEFT JOIN sz z ON d.doc_id = z.doc_id
+         |LEFT JOIN hh ON d.doc_id = hh.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // identical 9-dp idf quantization (ln of the same double
     // division), 9-dp product re-quantization into DECIMAL(28,9)
     // order-free folds, one double division, 6-dp readout, the same
@@ -3043,6 +3085,38 @@ object SparkEntry {
          |    - sum(CASE WHEN doc_id = keep_id THEN toks ELSE 0 END)::DOUBLE
          |      / sum(toks), 6) AS token_savings_frac
          |FROM h JOIN k USING (dg) GROUP BY source ORDER BY source""".stripMargin,
+    // the same canonical-keep arithmetic per release side, full-outer
+    // on source, absent sides zero-filled (the drift convention)
+    "dedup_savings_drift" ->
+      s"""WITH h AS (SELECT doc_id, source, sha256(text) AS dg,
+         |             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS toks
+         |           FROM documents),
+         |ho AS (SELECT * FROM h WHERE doc_id % 2 = 0),
+         |ko AS (SELECT dg, min(doc_id) AS keep_id FROM ho GROUP BY dg),
+         |so AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(toks) AS BIGINT) AS tokens_total,
+         |         round(CAST(1.0 AS DOUBLE)
+         |           - sum(CASE WHEN doc_id = keep_id THEN toks ELSE 0 END)::DOUBLE
+         |             / sum(toks), 6) AS savings
+         |       FROM ho JOIN ko USING (dg) GROUP BY source),
+         |kn AS (SELECT dg, min(doc_id) AS keep_id FROM h GROUP BY dg),
+         |sn AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(toks) AS BIGINT) AS tokens_total,
+         |         round(CAST(1.0 AS DOUBLE)
+         |           - sum(CASE WHEN doc_id = keep_id THEN toks ELSE 0 END)::DOUBLE
+         |             / sum(toks), 6) AS savings
+         |       FROM h JOIN kn USING (dg) GROUP BY source)
+         |SELECT coalesce(o.source, n.source) AS source,
+         |  coalesce(o.n_docs, 0) AS n_docs_old,
+         |  coalesce(n.n_docs, 0) AS n_docs_new,
+         |  coalesce(o.tokens_total, 0) AS tokens_old,
+         |  coalesce(n.tokens_total, 0) AS tokens_new,
+         |  coalesce(o.savings, 0.0) AS savings_old,
+         |  coalesce(n.savings, 0.0) AS savings_new,
+         |  round(coalesce(n.savings, 0.0) - coalesce(o.savings, 0.0), 6)
+         |    AS savings_delta
+         |FROM so o FULL OUTER JOIN sn n ON o.source = n.source
+         |ORDER BY source""".stripMargin,
     // identical rank order (count desc, token asc), identical 9-dp
     // ln/product quantization, decimal folds, one double readout
     "zipf_alpha" ->

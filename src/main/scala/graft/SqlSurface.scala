@@ -1340,13 +1340,9 @@ object SqlSurface {
          |        JOIN sz x ON c.doc_a = x.doc_id
          |        JOIN sz y ON c.doc_b = y.doc_id
          |        WHERE round(CAST(i.c AS DOUBLE) / (x.n + y.n - i.c), 6) >= 0.5D),
-         |ei AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(1) AS c
-         |       FROM sh a JOIN sh b
-         |         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |       GROUP BY 1, 2),
          |ex AS (SELECT e.doc_a, e.doc_b
-         |       FROM ei e JOIN sz x ON e.doc_a = x.doc_id
-         |                 JOIN sz y ON e.doc_b = y.doc_id
+         |       FROM inter e JOIN sz x ON e.doc_a = x.doc_id
+         |                    JOIN sz y ON e.doc_b = y.doc_id
          |       WHERE round(CAST(e.c AS DOUBLE) / (x.n + y.n - e.c), 6) >= 0.5D),
          |u AS (SELECT doc_a, doc_b, 1L AS e, 0L AS l FROM ex
          |      UNION ALL SELECT doc_a, doc_b, 0L, 1L FROM lsh),
@@ -3860,6 +3856,38 @@ object SqlSurface {
          |      / sum(toks), 6) AS token_savings_frac
          |FROM h JOIN k USING (dg) GROUP BY source ORDER BY source""".stripMargin,
 
+    // Release-over-release dedup-savings drift: the token-savings
+    // arithmetic per side, full-outer on source, absent sides
+    // zero-filled.
+    "dedup_savings_drift" ->
+      s"""WITH h AS (SELECT doc_id, source, sha2(text, 256) AS dg,
+         |             CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS toks
+         |           FROM documents),
+         |ho AS (SELECT * FROM h WHERE doc_id % 2 = 0),
+         |ko AS (SELECT dg, min(doc_id) AS keep_id FROM ho GROUP BY dg),
+         |so AS (SELECT source, count(1) AS n_docs, sum(toks) AS tokens_total,
+         |         round(CAST(1.0 AS DOUBLE)
+         |           - CAST(sum(CASE WHEN doc_id = keep_id THEN toks ELSE 0L END)
+         |               AS DOUBLE) / sum(toks), 6) AS savings
+         |       FROM ho JOIN ko USING (dg) GROUP BY source),
+         |kn AS (SELECT dg, min(doc_id) AS keep_id FROM h GROUP BY dg),
+         |sn AS (SELECT source, count(1) AS n_docs, sum(toks) AS tokens_total,
+         |         round(CAST(1.0 AS DOUBLE)
+         |           - CAST(sum(CASE WHEN doc_id = keep_id THEN toks ELSE 0L END)
+         |               AS DOUBLE) / sum(toks), 6) AS savings
+         |       FROM h JOIN kn USING (dg) GROUP BY source)
+         |SELECT coalesce(o.source, n.source) AS source,
+         |  coalesce(o.n_docs, 0L) AS n_docs_old,
+         |  coalesce(n.n_docs, 0L) AS n_docs_new,
+         |  coalesce(o.tokens_total, 0L) AS tokens_old,
+         |  coalesce(n.tokens_total, 0L) AS tokens_new,
+         |  coalesce(o.savings, 0.0D) AS savings_old,
+         |  coalesce(n.savings, 0.0D) AS savings_new,
+         |  round(coalesce(n.savings, 0.0D) - coalesce(o.savings, 0.0D), 6)
+         |    AS savings_delta
+         |FROM so o FULL OUTER JOIN sn n ON o.source = n.source
+         |ORDER BY source""".stripMargin,
+
     // Zipf exponent per source: WindowGroupLimit rank, 9-dp ln/product
     // quantization, decimal regression folds, one 6-dp double readout.
     "zipf_alpha" ->
@@ -3984,6 +4012,36 @@ object SqlSurface {
          |          JOIN sz y ON i.doc_b = y.doc_id
          |WHERE round(CAST(c AS DOUBLE) / least(x.n, y.n), 6) >= 0.9D
          |ORDER BY i.doc_a, i.doc_b""".stripMargin,
+
+    // The incremental (batch-vs-history) containment gate: the engine's
+    // cross-table prefix filter is lossless, so the SQL form is the
+    // brute-force cross-side intersection rolled up per incoming doc.
+    "containment_incremental" ->
+      s"""WITH ${shingleCte("doc_id")},
+         |sz AS (SELECT doc_id, count(1) AS n FROM sh GROUP BY doc_id),
+         |it AS (SELECT a.doc_id AS doc_id, b.doc_id AS hist_id,
+         |         count(1) AS c
+         |       FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |       WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 != 0
+         |       GROUP BY a.doc_id, b.doc_id),
+         |v AS (SELECT i.doc_id,
+         |        round(CAST(i.c AS DOUBLE) / least(x.n, y.n), 6)
+         |          AS containment
+         |      FROM it i JOIN sz x ON i.doc_id = x.doc_id
+         |                JOIN sz y ON i.hist_id = y.doc_id
+         |      WHERE round(CAST(i.c AS DOUBLE) / least(x.n, y.n), 6)
+         |        >= 0.9D),
+         |hh AS (SELECT doc_id, count(1) AS n_hits,
+         |         max(containment) AS max_containment
+         |       FROM v GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(z.n, 0) AS BIGINT) AS n_sh,
+         |  coalesce(hh.n_hits, 0L) AS n_hits,
+         |  coalesce(hh.max_containment, 0.0D) AS max_containment,
+         |  coalesce(hh.n_hits, 0L) > 0L AS contained
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+         |LEFT JOIN sz z ON d.doc_id = z.doc_id
+         |LEFT JOIN hh ON d.doc_id = hh.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // Blocked sorted-neighborhood candidates (first-word block,
     // trimmed-text sort, w−1 = 5 forward neighbors via a rank
@@ -4982,6 +5040,9 @@ object SqlSurface {
       "contamination_by_source" -> SparkEntry.queries("contamination_by_source"),
       "embedding_dispersion" -> SparkEntry.queries("embedding_dispersion"),
       "dedup_token_savings" -> SparkEntry.queries("dedup_token_savings"),
+      "dedup_savings_drift" -> SparkEntry.queries("dedup_savings_drift"),
+      "containment_incremental" ->
+        SparkEntry.queries("containment_incremental"),
       "ngram_diversity" -> SparkEntry.queries("ngram_diversity"),
       "zipf_alpha" -> SparkEntry.queries("zipf_alpha"),
       "profile_drift" -> SparkEntry.queries("profile_drift"),

@@ -101,7 +101,15 @@ object Dedup {
     * digest, so cross-source dup groups attribute savings to the
     * source whose copies drop, exactly like the doc-count report.
     */
-  def dedupTokenSavings(docs: DataFrame): DataFrame = {
+  def dedupTokenSavings(docs: DataFrame): DataFrame =
+    dedupTokenSavingsCore(docs).orderBy(col("source"))
+
+  /** [[dedupTokenSavings]] without the readout sort — the composition
+    * form [[dedupSavingsDrift]] joins two of these, so the total order
+    * belongs once at the composed readout (the evalContaminationCore
+    * discipline).
+    */
+  private def dedupTokenSavingsCore(docs: DataFrame): DataFrame = {
     val hashed = Partitioning.spread(docs)
       .select(col("doc_id"), col("source"), sha2(col("text"), 256).as("h"),
         size(words(col("text"))).cast("long").as("toks"))
@@ -117,6 +125,45 @@ object Dedup {
         col("tokens_total"), col("tokens_kept"),
         round(lit(1.0) - col("tokens_kept").cast("double") /
           col("tokens_total"), 6).as("token_savings_frac"))
+  }
+
+  /** Release-over-release DEDUP-SAVINGS drift — [[dedupTokenSavings]]
+    * run against two corpus releases and differenced per source: "which
+    * feed got more duplicated in this release" is the trend a pipeline
+    * owner watches between snapshots (a static savings table cannot
+    * distinguish long-standing boilerplate from duplication the NEWLY
+    * INGESTED batch introduced — the latter is actionable at ingest
+    * review). One row per source seen in EITHER release (full outer —
+    * a feed that appeared or disappeared is itself the signal): docs /
+    * tokens-total / savings fraction per side, and the 6-dp savings
+    * delta. A side where the source is absent reports zero counts and
+    * savings 0.0 (nothing ingested ⇒ nothing saved) — the
+    * zero-gram-verdict convention of [[contaminationDrift]].
+    *
+    * Shape at 100 TB: two independent [[dedupTokenSavings]] passes
+    * (each two digest-key shuffles + a map-side-combinable source
+    * rollup) meeting in ONE source-keyed full-outer join over
+    * source-cardinality-sized frames, i.e. tiny.
+    */
+  def dedupSavingsDrift(oldCorpus: DataFrame, newCorpus: DataFrame): DataFrame = {
+    val o = dedupTokenSavingsCore(oldCorpus)
+      .select(col("source"), col("n_docs").as("n_docs_old"),
+        col("tokens_total").as("tokens_old"),
+        col("token_savings_frac").as("savings_old"))
+    val nw = dedupTokenSavingsCore(newCorpus)
+      .select(col("source"), col("n_docs").as("n_docs_new"),
+        col("tokens_total").as("tokens_new"),
+        col("token_savings_frac").as("savings_new"))
+    o.join(nw, Seq("source"), "full_outer")
+      .select(col("source"),
+        coalesce(col("n_docs_old"), lit(0L)).as("n_docs_old"),
+        coalesce(col("n_docs_new"), lit(0L)).as("n_docs_new"),
+        coalesce(col("tokens_old"), lit(0L)).as("tokens_old"),
+        coalesce(col("tokens_new"), lit(0L)).as("tokens_new"),
+        coalesce(col("savings_old"), lit(0.0)).as("savings_old"),
+        coalesce(col("savings_new"), lit(0.0)).as("savings_new"))
+      .withColumn("savings_delta",
+        round(col("savings_new") - col("savings_old"), 6))
       .orderBy(col("source"))
   }
 
@@ -456,6 +503,131 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** INCREMENTAL containment gate — [[containmentPairs]]' geometry in
+    * the batch-vs-history shape of [[incrementalFlags]]: production
+    * ingest is incremental, and a full-corpus containment pass per
+    * batch would rescan everything already shipped. Every incoming
+    * document gets a TOTAL verdict row (the contaminationGate
+    * discipline — a missing verdict reads as clean): its distinct
+    * shingle count, how many HISTORY documents it hits at containment
+    * ≥ t (containment = |A∩B| / min(|A|,|B|), the same measure as the
+    * full-corpus pass), the max containment seen, and the composed
+    * `contained` flag. Catches both leak directions — an incoming doc
+    * quoted whole inside history (eval item re-ingested) AND an
+    * incoming wrapper page around an existing doc.
+    *
+    * EXACT sub-quadratic path, cross-table adaptation of the
+    * containmentPairs prefix filter: any qualifying pair must share a
+    * shingle inside the SMALLER side's |S| − ⌈t·|S|⌉ + 1 prefix under
+    * a total order BOTH sides use (else all shared shingles would sit
+    * in the ⌈t·|S|⌉ − 1 suffix, fewer than the ⌈t·|S|⌉ required) — and
+    * losslessness holds under ANY shared total order, so the order can
+    * be chosen for COST alone: (history df, shingle). That choice is
+    * what keeps the layout incremental — the history side's df table,
+    * sorted-prefix index and inverted index depend only on history, so
+    * an ingest pipeline persists them once (the [[persistDedupIndex]]
+    * posture) and every batch just looks its own shingles up in the
+    * persisted df table (batch-novel shingles get df 0 = rarest, and
+    * contribute ZERO candidate rows against history's index). Both
+    * candidate directions run: prefix(batch) × history's full inverted
+    * index (covers |A| ≤ |B|) and prefix(history) × the BATCH's full
+    * inverted index (covers |B| ≤ |A| — history-side prefix rows
+    * surviving only where the batch vocabulary matches, a broadcast-
+    * sized prune at real batch:corpus ratios). The verify tail
+    * re-checks exactly, so the result equals the brute-force
+    * definition the oracle computes.
+    *
+    * Both candidate joins inherit the ENFORCED mass discipline: each
+    * prefix frame carries an in-plan [[Partitioning.requireBoundedMass]]
+    * sentinel on Σ prefix-occurrences × other-side df, refusing above
+    * `maxJoinMass` BEFORE any candidate row forms, with the same
+    * named mitigations as the full-corpus pass.
+    */
+  def containmentGateIncremental(incoming: DataFrame, history: DataFrame,
+      threshold: Double, n: Int = 3,
+      maxJoinMass: Long = 100000000L): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must lie in (0, 1], got $threshold")
+    val incInv = shingles(incoming, n)
+    val histInv = shingles(history, n)
+      .select(col("doc_id").as("hist_id"), col("shingle"))
+    // the shared total order: history df (the persisted artifact);
+    // batch-novel shingles coalesce to df 0 = rarest-first
+    val dfHist = histInv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    def sortedOf(inv: DataFrame, idCol: String): DataFrame = inv
+      .join(dfHist, Seq("shingle"), "left")
+      .select(col(idCol), struct(coalesce(col("df"), lit(0L)).as("df"),
+        col("shingle").as("shingle")).as("e"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(col("e"))).as("ds"))
+      .select(col(idCol),
+        transform(col("ds"), e => e.getField("shingle")).as("sh"),
+        size(col("ds")).as("n_sh"))
+      .withColumn("p",
+        (col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(ThresholdEps)) + 1)
+          .cast("int"))
+    // batch-sized: feeds its prefix, the verify join and the rollup
+    val incSorted = sortedOf(incInv, "doc_id").cache()
+    // corpus-sized but bounded (one row per history doc); two
+    // consumers (its prefix + the verify join) — cache(), evictable,
+    // the containmentPairs `sorted` policy
+    val histSorted = sortedOf(histInv, "hist_id").cache()
+    def prefixOf(sorted: DataFrame, idCol: String): DataFrame =
+      sorted.select(col(idCol),
+        explode(slice(col("sh"), lit(1), col("p"))).as("shingle"))
+    // batch df for the history-prefix direction's mass (tiny frame)
+    val dfInc = incInv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val remedy = "the prefix × full-inverted-index candidate join pays " +
+      "Σ prefix-occurrences × df; exact-dedup the batch first " +
+      "(keepCanonical), pre-filter high-df boilerplate shingles, or " +
+      "raise maxJoinMass knowingly"
+    // direction 1: incoming doc is the smaller side — its prefix
+    // probes history's full inverted index
+    val incPrefix = Partitioning.requireBoundedMass(
+      prefixOf(incSorted, "doc_id")
+        .join(dfHist, Seq("shingle"), "left")
+        .select(col("doc_id"), col("shingle"),
+          coalesce(col("df"), lit(0L)).as("df")),
+      col("df"), "containmentGateIncremental(batch prefix)", maxJoinMass,
+      remedy).select(col("doc_id"), col("shingle"))
+    val cand1 = incPrefix.join(histInv, "shingle")
+      .select(col("doc_id"), col("hist_id"))
+    // direction 2: the history doc is the smaller side — its prefix
+    // probes the BATCH's inverted index (batch-vocabulary-bounded)
+    val histPrefix = Partitioning.requireBoundedMass(
+      prefixOf(histSorted, "hist_id")
+        .join(dfInc, Seq("shingle"), "left")
+        .select(col("hist_id"), col("shingle"),
+          coalesce(col("df"), lit(0L)).as("df")),
+      col("df"), "containmentGateIncremental(history prefix)", maxJoinMass,
+      remedy).select(col("hist_id"), col("shingle"))
+    val cand2 = histPrefix.join(incInv, "shingle")
+      .select(col("doc_id"), col("hist_id"))
+    val candidates = cand1.unionByName(cand2).distinct()
+    val verified = candidates
+      .join(incSorted.select(col("doc_id"), col("sh").as("sha"),
+        col("n_sh").as("na")), "doc_id")
+      .join(histSorted.select(col("hist_id"), col("sh").as("shb"),
+        col("n_sh").as("nb")), "hist_id")
+      .withColumn("n_shared",
+        size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("containment", round(col("n_shared").cast("double") /
+        least(col("na"), col("nb")).cast("double"), 6))
+      .filter(col("containment") >= threshold)
+    val hits = verified.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        max(col("containment")).as("max_containment"))
+    incoming.select(col("doc_id"))
+      .join(incSorted.select(col("doc_id"), col("n_sh")), Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_sh"), lit(0)).cast("long").as("n_sh"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("max_containment"), lit(0.0)).as("max_containment"))
+      .withColumn("contained", col("n_hits") > 0)
+      .orderBy(col("doc_id"))
+  }
+
   /** STREAMING-safe contamination gate — the ingest-time form of
     * [[contaminationFlags]]: every arriving document gets an immediate
     * verdict against a FIXED benchmark vocabulary (eval suites change
@@ -550,11 +722,19 @@ object Dedup {
       .join(broadcast(bVocab), Seq("shingle"), "left_semi")
       .select(col("shingle")).distinct()
     val allBench = benchmark.select(col("doc_id")).distinct()
-    val tot = b.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-    val shared = b.join(sharedVocab, Seq("shingle"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
-    allBench.join(tot, Seq("doc_id"), "left")
-      .join(shared, Seq("doc_id"), "left")
+    // one aggregate pass over the benchmark shingles computes BOTH
+    // per-doc counts: a broadcast left join against the (distinct,
+    // benchmark-vocabulary-bounded) survivor set marks each shingle as
+    // shared or not, and the groupBy folds total + shared together —
+    // one join onto the allBench spine instead of two, and b is
+    // scanned once instead of once per count.
+    val perDoc = b
+      .join(broadcast(sharedVocab.withColumn("__hit", lit(1))),
+        Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("__hit")), lit(0)).cast("long").as("n_shared"))
+    allBench.join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id").as("bench_doc"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
@@ -699,66 +879,94 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  private def verifyPairs(candidates: DataFrame, docSets: DataFrame,
-                          threshold: Double): DataFrame =
+  /** [[verifyPairs]] without the readout sort — the pair-family
+    * composition core. Every PUBLIC pair operator sorts once at its
+    * own exit; an evaluator composing two pair plans under a groupBy
+    * ([[lshRecall]]) consumes this form so no range exchange + sort is
+    * paid just to be destroyed by the aggregate above it.
+    */
+  private def verifyPairsCore(candidates: DataFrame, docSets: DataFrame,
+                              threshold: Double): DataFrame =
     candidates
       .join(docSets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
       .join(docSets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
       .withColumn("jaccard", round(jaccardUdf(col("sha"), col("shb")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
+  private def verifyPairs(candidates: DataFrame, docSets: DataFrame,
+                          threshold: Double): DataFrame =
+    verifyPairsCore(candidates, docSets, threshold)
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** The shared per-document distinct-shingle frame every pair family
+    * starts from: (doc_id, sh) with empty-shingle docs dropped.
+    * Spread first — single-file local sources arrive as one partition
+    * and the UDF-heavy shingling would otherwise start single-threaded.
+    * Callers own the cache decision: each public operator caches ONE
+    * of these; [[lshRecall]] caches one and shares it across BOTH of
+    * its sides instead of letting each side scan the corpus again.
+    */
+  private def docShingles(docs: DataFrame, n: Int): DataFrame =
+    Partitioning.spread(docs)
+      .select(col("doc_id"), shingleArray(col("text"), n).as("sh"))
+      .filter(size(col("sh")) >= 1)
+
+  /** Prefix-filtered exact-Jaccard pair core over a prepared (and
+    * normally cached) [[docShingles]] frame, UNSORTED — see
+    * [[ngramJaccardPairs]] for semantics and the scale argument.
+    */
+  private def ngramJaccardCore(docSh: DataFrame, threshold: Double): DataFrame = {
+    // exact via prefix filtering: rarest-first order, prefix-only index.
+    // inv is re-derived per consumer — a narrow explode over the cached
+    // per-doc arrays, cheaper to recompute twice (df aggregation + the
+    // ordering join) than to pin the exploded stream.
+    val inv = docSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val dfAgg = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // one row per doc: shingles sorted by the global (df, shingle)
+    // order + prefix length; cached — it feeds the prefix index and
+    // both sides of the verify join (materialized columns are exactly
+    // what all three consumers read, so nothing is over-computed)
+    val sorted = inv.join(dfAgg, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("ds"))
+      .select(col("doc_id"),
+        transform(col("ds"), e => e.getField("shingle")).as("sh"),
+        size(col("ds")).as("n_sh"))
+      .withColumn("p",
+        (col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(ThresholdEps)) + 1)
+          .cast("int"))
+      .cache()
+    val prefix = sorted.select(col("doc_id"),
+      explode(slice(col("sh"), lit(1), col("p"))).as("shingle"))
+    val candidates = prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // lossless size-ratio prune before the array-shipping verify:
+    // J ≥ t ⟹ t·|A| ≤ |B| ≤ |A|/t, checked with two cheap int joins
+    // (the columnar cache serves just (doc_id, n_sh) here)
+    val sizes = sorted.select(col("doc_id"), col("n_sh"))
+    val sized = candidates
+      .join(sizes.toDF("doc_a", "na"), "doc_a")
+      .join(sizes.toDF("doc_b", "nb"), "doc_b")
+      .filter(col("nb") >= lit(threshold) * col("na") - lit(ThresholdEps) &&
+        col("na") >= lit(threshold) * col("nb") - lit(ThresholdEps))
+      .select(col("doc_a"), col("doc_b"))
+    verifyPairsCore(sized, sorted.select(col("doc_id"), col("sh")), threshold)
+  }
 
   def ngramJaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
                         maxDf: Option[Int] = None): DataFrame = maxDf match {
     case None =>
-      // exact via prefix filtering: rarest-first order, prefix-only index.
-      // inv feeds both the df aggregation and the ordering join — the
-      // branches cannot share an exchange (one has a partial aggregate
-      // below it), so without the cache the shingle UDF pass over the
-      // corpus would run twice.
-      val inv = shingles(docs, n).cache()
-      val dfAgg = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      // one row per doc: shingles sorted by the global (df, shingle)
-      // order + prefix length; cached — it feeds the prefix index and
-      // both sides of the verify join (materialized columns are exactly
-      // what all three consumers read, so nothing is over-computed)
-      val sorted = inv.join(dfAgg, "shingle")
-        .groupBy(col("doc_id"))
-        .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("ds"))
-        .select(col("doc_id"),
-          transform(col("ds"), e => e.getField("shingle")).as("sh"),
-          size(col("ds")).as("n_sh"))
-        .withColumn("p",
-          (col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(ThresholdEps)) + 1)
-            .cast("int"))
-        .cache()
-      val prefix = sorted.select(col("doc_id"),
-        explode(slice(col("sh"), lit(1), col("p"))).as("shingle"))
-      val candidates = prefix.as("a").join(prefix.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      // lossless size-ratio prune before the array-shipping verify:
-      // J ≥ t ⟹ t·|A| ≤ |B| ≤ |A|/t, checked with two cheap int joins
-      // (the columnar cache serves just (doc_id, n_sh) here)
-      val sizes = sorted.select(col("doc_id"), col("n_sh"))
-      val sized = candidates
-        .join(sizes.toDF("doc_a", "na"), "doc_a")
-        .join(sizes.toDF("doc_b", "nb"), "doc_b")
-        .filter(col("nb") >= lit(threshold) * col("na") - lit(ThresholdEps) &&
-          col("na") >= lit(threshold) * col("nb") - lit(ThresholdEps))
-        .select(col("doc_a"), col("doc_b"))
-      verifyPairs(sized, sorted.select(col("doc_id"), col("sh")), threshold)
+      ngramJaccardCore(docShingles(docs, n).cache(), threshold)
+        .orderBy(col("doc_a"), col("doc_b"))
     case Some(dfCut) =>
       // heavy-hitter-guarded: candidates only from shingles with df ≤
       // cut (a boilerplate shingle would contribute df² join rows), then
       // exact Jaccard over the candidates' full shingle arrays — recall
       // is lost only for pairs whose every shared shingle is boilerplate
-      val docSh = Partitioning.spread(docs)
-        .select(col("doc_id"), shingleArray(col("text"), n).as("sh"))
-        .filter(size(col("sh")) >= 1)
-        .cache()
+      val docSh = docShingles(docs, n).cache()
       val inv = docSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
       val rare = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= dfCut).select("shingle")
@@ -894,10 +1102,7 @@ object Dedup {
     */
   def minhashEstimateError(docs: DataFrame, k: Int = 16,
       bands: Int = 4): DataFrame = {
-    val docSh = Partitioning.spread(docs)
-      .select(col("doc_id"), shingleArray(col("text")).as("sh"))
-      .filter(size(col("sh")) >= 1)
-      .cache()
+    val docSh = docShingles(docs, 3).cache()
     val banded = bandKeysOf(docSh, "doc_id", k, bands)
     val candidates = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
@@ -929,20 +1134,24 @@ object Dedup {
     * the candidate join and the verification join.
     */
   def minhashLshPairs(docs: DataFrame, threshold: Double,
-                      k: Int = 16, bands: Int = 4): DataFrame = {
-    // small single-file inputs arrive as one partition — spread the
-    // hash-heavy signature computation across cores first
-    val docSh = Partitioning.spread(docs)
-      .select(col("doc_id"), shingleArray(col("text")).as("sh"))
-      .filter(size(col("sh")) >= 1)
-      .cache()
+                      k: Int = 16, bands: Int = 4): DataFrame =
+    // small single-file inputs arrive as one partition — docShingles
+    // spreads the hash-heavy signature computation across cores first
+    minhashLshCore(docShingles(docs, 3).cache(), threshold, k, bands)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Banded-LSH pair core over a prepared (and normally cached)
+    * [[docShingles]] frame, UNSORTED — see [[minhashLshPairs]].
+    */
+  private def minhashLshCore(docSh: DataFrame, threshold: Double,
+                             k: Int, bands: Int): DataFrame = {
     val banded = bandKeysOf(docSh, "doc_id", k, bands)
     val candidates = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    verifyPairs(candidates, docSh, threshold)
+    verifyPairsCore(candidates, docSh, threshold)
   }
 
   /** Pair-level recall/precision of the MinHash-LSH path against the
@@ -961,15 +1170,20 @@ object Dedup {
     * verification bug, not banding noise.
     *
     * Shape at 100 TB: both sides are the production sub-quadratic
-    * plans (prefix-filtered exact, banded LSH); the comparison is one
-    * pair-keyed union + groupBy over two pair-table-sized frames and
-    * a single global fold — no new corpus-sized work, no nested loop.
+    * plans (prefix-filtered exact, banded LSH) consumed in their
+    * UNSORTED core form — the groupBy above would destroy a pair-table
+    * sort, so none is paid — and both sides share ONE cached
+    * [[docShingles]] frame: the corpus is scanned and shingled once,
+    * not once per side. The comparison itself is one pair-keyed union
+    * + groupBy over two pair-table-sized frames and a single global
+    * fold — no new corpus-sized work, no nested loop.
     */
   def lshRecall(docs: DataFrame, threshold: Double,
       k: Int = 16, bands: Int = 4): DataFrame = {
-    val exact = ngramJaccardPairs(docs, threshold)
+    val docSh = docShingles(docs, 3).cache()
+    val exact = ngramJaccardCore(docSh, threshold)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("e"), lit(0L).as("l"))
-    val lsh = minhashLshPairs(docs, threshold, k, bands)
+    val lsh = minhashLshCore(docSh, threshold, k, bands)
       .select(col("doc_a"), col("doc_b"), lit(0L).as("e"), lit(1L).as("l"))
     exact.unionByName(lsh)
       .groupBy(col("doc_a"), col("doc_b"))

@@ -398,6 +398,82 @@ class DedupSpec extends AnyFunSuite {
       .count() == 435L)
   }
 
+  test("containmentGateIncremental: total batch verdicts, both directions, lossless vs brute force") {
+    val quote = "alpha beta gamma delta epsilon" // 3 shingles
+    val history = Seq(
+      (1L, s"intro words here $quote closing words after"), // wrapper
+      (2L, "totally unrelated content about rivers and stones ok"),
+      (4L, quote)) // small history doc — the incoming-wrapper direction
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (100L, quote),                             // whole inside hist 1 and 4
+      (101L, "nothing in common with anything"), // no hits
+      (102L, "xy"),                              // < 3 words → zero-shingle verdict
+      (103L, s"$quote and some trailing padding words here too"))
+      .toDF("doc_id", "text")                    // wraps hist 4 (direction 2)
+    val got = Dedup.containmentGateIncremental(incoming, history, 0.9)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    // EVERY incoming doc reports — 102 cannot shingle, so it carries an
+    // explicit zero-shingle verdict instead of a silently missing row
+    assert(got.keySet == Set(100L, 101L, 102L, 103L), s"$got")
+    assert(got(100L) == ((3L, 2L, 1.0, true)), s"$got")  // inside 1 AND = 4
+    assert(got(101L) == ((3L, 0L, 0.0, false)), s"$got")
+    assert(got(102L) == ((0L, 0L, 0.0, false)), s"$got")
+    // 103 wraps the SMALL history doc 4 whole: the history-prefix
+    // direction must catch it (min side is history's)
+    assert(got(103L) == ((10L, 1L, 1.0, true)), s"$got")
+    // losslessness at a looser threshold where partial overlaps enter:
+    // the rollup equals the brute-force cross-table definition
+    def sets(rows: Array[(Long, String)]): Map[Long, Set[String]] =
+      rows.map { case (id, t) =>
+        id -> t.trim.split("\\s+").sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet
+      }.toMap
+    val incS = sets(incoming.collect().map(r => (r.getLong(0), r.getString(1))))
+    val hisS = sets(history.collect().map(r => (r.getLong(0), r.getString(1))))
+    val brute = incS.map { case (a, sa) =>
+      val conts = for {
+        (_, sb) <- hisS.toSeq
+        c = (sa intersect sb).size
+        if sa.nonEmpty && sb.nonEmpty && c > 0
+        cont = BigDecimal(c.toDouble / math.min(sa.size, sb.size))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if cont >= 0.6
+      } yield cont
+      a -> ((sa.size.toLong, conts.size.toLong,
+        if (conts.isEmpty) 0.0 else conts.max, conts.nonEmpty))
+    }
+    val engine = Dedup.containmentGateIncremental(incoming, history, 0.6)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(engine == brute, s"engine $engine vs brute $brute")
+  }
+
+  test("containmentGateIncremental: the prefix-join mass gate refuses a boilerplate flood") {
+    // the same flood shape as the full-corpus gate test: one-shingle
+    // docs on BOTH sides, so the batch prefix × history index mass is
+    // |batch| × df_hist = 30 × 30 = 900 — over a 100 cap it must
+    // refuse BEFORE any candidate forms
+    val incoming = (1L to 30L).map(i => (i, "aa bb cc")).toDF("doc_id", "text")
+    val history = (101L to 130L).map(i => (i, "aa bb cc")).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      Dedup.containmentGateIncremental(incoming, history, 0.9,
+        maxJoinMass = 100L).collect()
+    }
+    val msg = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("containmentGateIncremental") &&
+      msg.contains("maxJoinMass"),
+      s"expected the mass-gate raise naming the escape hatch: $msg")
+    // above the mass: every incoming doc is contained in all 30
+    // history copies
+    val ok = Dedup.containmentGateIncremental(incoming, history, 0.9,
+      maxJoinMass = 10000L).collect()
+    assert(ok.length == 30 &&
+      ok.forall(r => r.getLong(2) == 30L && r.getDouble(3) == 1.0))
+  }
+
   test("evalContamination: per-eval-doc overlap fraction with dirty threshold") {
     val train = Seq(
       (1L, "a b c d e f g h i j"),
@@ -523,6 +599,28 @@ class DedupSpec extends AnyFunSuite {
       .toMap
     assert(got("src_a") == ((3L, 2L, 10L, 7L, 0.3)), s"$got")
     assert(got("src_b") == ((2L, 1L, 5L, 2L, 0.6)), s"$got")
+  }
+
+  test("dedupSavingsDrift: per-source savings delta, absent sides zero-filled") {
+    val oldC = Seq(
+      (1L, "src_a", "x y z"),
+      (2L, "src_a", "x y z"),               // dup pair → savings 0.5
+      (3L, "src_b", "unique content here")) // no dups → 0.0
+      .toDF("doc_id", "source", "text")
+    val newC = oldC.unionByName(Seq(
+      (4L, "src_a", "x y z"),               // third copy → savings 2/3
+      (5L, "src_c", "brand new feed"))      // source absent in old
+      .toDF("doc_id", "source", "text"))
+    val got = Dedup.dedupSavingsDrift(oldC, newC).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))).toMap
+    assert(got.keySet == Set("src_a", "src_b", "src_c"), s"$got")
+    // src_a: 2 → 3 copies of the same text; tokens 6 → 9, kept 3 both
+    // sides → savings 0.5 → 0.666667, delta 0.166667
+    assert(got("src_a") == ((2L, 3L, 6L, 9L, 0.5, 0.666667, 0.166667)), s"$got")
+    assert(got("src_b") == ((1L, 1L, 3L, 3L, 0.0, 0.0, 0.0)), s"$got")
+    // a feed that APPEARED this release: old side zero-filled
+    assert(got("src_c") == ((0L, 1L, 0L, 3L, 0.0, 0.0, 0.0)), s"$got")
   }
 
   test("embeddingTopPairs covers mixed-sign ids (pmod block assignment)") {

@@ -28,17 +28,34 @@ class PlanAuditSpec extends AnyFunSuite {
     plan.contains("CartesianProduct") ||
       plan.contains("BroadcastNestedLoopJoin")
 
-  test("no CartesianProduct/BNLJ outside the named allowlist, across ALL contract queries") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+  private def offendersAt(sfDir: String): Seq[String] =
+    SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
         if (nestedLoop(plan) && !PlanDump.bnljAllowed.contains(name))
           Some(name)
         else None
     }
+
+  test("no CartesianProduct/BNLJ outside the named allowlist, across ALL contract queries") {
+    val offenders = offendersAt(dir)
     assert(offenders.isEmpty,
       "nested-loop joins outside PlanDump.bnljAllowed (either re-plan " +
         "as an equi-join or argue the bound into the allowlist):\n  " +
+        offenders.mkString("\n  "))
+  }
+
+  test("the tripwire holds at sf0.01 too (stats-sensitive join flips)") {
+    // round-12 verdict #7: join-strategy choices are statistics- and
+    // AQE-sensitive — a BNLJ that appears only once a build side
+    // outgrows the broadcast threshold would slip a single tiny-scale
+    // sweep. Same sweep, 10x the data. The stale-entry check stays
+    // sf0.001-only by design: an allowlisted loop legitimately
+    // disappearing at another SF (a side crossing a size threshold)
+    // is not staleness.
+    val offenders = offendersAt("/root/testdata/sf0.01")
+    assert(offenders.isEmpty,
+      "nested-loop joins outside PlanDump.bnljAllowed at sf0.01:\n  " +
         offenders.mkString("\n  "))
   }
 
