@@ -715,7 +715,7 @@ object GrowthProbe {
     // means candidate generation tracks the pair graph, not n².
     ScaleProbe.ensureDouble(spark, dir)
     val x2 = spark.read.parquet(s"$dir/documents_x2.parquet")
-    locally {
+    if (!skipProbe("ngram_jaccard_2x")) locally {
       var p1 = 0L; var p2 = 0L
       val t1 = bestOf2 { p1 = Dedup.ngramJaccardPairs(full, 0.9).count(); p1 }
       val t2 = bestOf2 { p2 = Dedup.ngramJaccardPairs(x2, 0.9).count(); p2 }
@@ -726,7 +726,7 @@ object GrowthProbe {
     // FULL-index join is the heaviest candidate generator on the board,
     // so it gets the same two-doubling record as every other pair
     // family; mass gate raised knowingly as in the 50k→100k lane
-    locally {
+    if (!skipProbe("containment_2x")) locally {
       // threshold 0.9 (the graded query's) — see the 50k→100k lane's
       // note for why 0.8 is retired on this corpus
       var p1 = 0L; var p2 = 0L
@@ -739,14 +739,14 @@ object GrowthProbe {
     }
     // the same 100k→200k lane for the round-10 pair families (r10
     // verdict #6): per-unit denominators as in the 50k→100k section
-    locally {
+    if (!skipProbe("idf_cosine_rank_2x")) locally {
       var c1 = 0L; var c2 = 0L
       val t1 = bestOf2 { c1 = Dedup.idfCosineRank(full, Dedup.lshCandidates(full)).count(); c1 }
       val t2 = bestOf2 { c2 = Dedup.idfCosineRank(x2, Dedup.lshCandidates(x2)).count(); c2 }
       val norm = (t2 / c2.max(1L)) / (t1 / c1.max(1L))
       println(f"$t1%7.2f  $t2%7.2f  raw=${t2 / t1}%5.2f  cands: $c1%,d → $c2%,d (${c2.toDouble / c1.max(1L)}%4.2fx)  per-candidate ratio=$norm%5.2f  ${if (norm > 1.5) "SLOW " else "ok   "}idf_cosine_rank (n=100k, 2n=200k)")
     }
-    locally {
+    if (!skipProbe("cross_corpus_2x")) locally {
       // %4 split: both corpora interleave train/eval halves (rep spans
       // 0..19 at n, 0..39 at 2n, so % 4 buckets stay balanced)
       def run(d: org.apache.spark.sql.DataFrame) = Dedup.crossCorpusPairs(
@@ -767,7 +767,7 @@ object GrowthProbe {
     // as in the exact-side lane (0.5 prefixes are half of each doc —
     // a different, far heavier operating point than the graded sf0.1
     // query's corpus presents).
-    locally {
+    if (!skipProbe("lsh_recall_2x")) locally {
       var p1 = 0L; var p2 = 0L
       val t1 = bestOf2 {
         p1 = Dedup.lshRecall(full, 0.9).head().getAs[Long]("n_exact"); p1 }
@@ -780,7 +780,7 @@ object GrowthProbe {
     // (the axis a production ingest cares about), the batch stays
     // fixed at ~2.5k docs — the verdict-per-batch-doc cost must track
     // the history-side candidate pairs, not history size
-    locally {
+    if (!skipProbe("containment_incremental_2x")) locally {
       def run(hist: org.apache.spark.sql.DataFrame): Long = {
         val batch = full.filter(col("doc_id") % 40 === 0)
           .select(col("doc_id") + 10000000L as "doc_id", col("text"))
@@ -795,7 +795,7 @@ object GrowthProbe {
       val norm = (t2 / h2.max(1L)) / (t1 / h1.max(1L))
       println(f"$t1%7.2f  $t2%7.2f  raw=${t2 / t1}%5.2f  hits: $h1%,d → $h2%,d (${h2.toDouble / h1.max(1L)}%4.2fx)  per-hit ratio=$norm%5.2f  ${if (norm > 1.5) "SLOW " else "ok   "}containment_incremental (hist=100k→200k, fixed batch)")
     }
-    locally {
+    if (!skipProbe("grouped_jaccard_2x")) locally {
       // the group DOMAIN (source) is constant across the doubling, so
       // the sketch pass must be linear in the exploded word rows — the
       // raw ratio is the honest number here (expect ≈2x)

@@ -916,12 +916,22 @@ object Dedup {
     * normally cached) [[docShingles]] frame, UNSORTED — see
     * [[ngramJaccardPairs]] for semantics and the scale argument.
     */
-  private def ngramJaccardCore(docSh: DataFrame, threshold: Double): DataFrame = {
+  private def ngramJaccardCore(docSh: DataFrame, threshold: Double,
+      cacheInv: Boolean = true): DataFrame = {
     // exact via prefix filtering: rarest-first order, prefix-only index.
-    // inv is re-derived per consumer — a narrow explode over the cached
-    // per-doc arrays, cheaper to recompute twice (df aggregation + the
-    // ordering join) than to pin the exploded stream.
-    val inv = docSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    // inv feeds the df aggregation and the ordering join — the branches
+    // cannot share an exchange (one has a partial aggregate below it).
+    // Persistence is CALLER-SHAPED, measured on the 200k growth lane
+    // (round-13 A/Bs on identical disk state): standalone, caching the
+    // exploded stream beats re-deriving it per branch (1.12 vs 1.84 per
+    // pair) — but under lshRecall, which already pins the shared docSh
+    // frame AND runs the whole LSH side, adding the inv cache tips the
+    // memory balance the other way (1.30 vs 1.01 per pair), so the
+    // composition passes cacheInv = false and re-derives the explode
+    // from its cached docSh. Evictable cache() either way, never
+    // localCheckpoint (the round-12 OOM lesson).
+    val inv0 = docSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val inv = if (cacheInv) inv0.cache() else inv0
     val dfAgg = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     // one row per doc: shingles sorted by the global (df, shingle)
     // order + prefix length; cached — it feeds the prefix index and
@@ -959,7 +969,10 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
                         maxDf: Option[Int] = None): DataFrame = maxDf match {
     case None =>
-      ngramJaccardCore(docShingles(docs, n).cache(), threshold)
+      // docSh is NOT cached here: the core's cached inv is its only
+      // consumer (the verify reads `sorted`), so a cache would be one
+      // wasted materialization; lshRecall caches the frame it SHARES
+      ngramJaccardCore(docShingles(docs, n), threshold)
         .orderBy(col("doc_a"), col("doc_b"))
     case Some(dfCut) =>
       // heavy-hitter-guarded: candidates only from shingles with df ≤
@@ -1181,7 +1194,7 @@ object Dedup {
   def lshRecall(docs: DataFrame, threshold: Double,
       k: Int = 16, bands: Int = 4): DataFrame = {
     val docSh = docShingles(docs, 3).cache()
-    val exact = ngramJaccardCore(docSh, threshold)
+    val exact = ngramJaccardCore(docSh, threshold, cacheInv = false)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("e"), lit(0L).as("l"))
     val lsh = minhashLshCore(docSh, threshold, k, bands)
       .select(col("doc_a"), col("doc_b"), lit(0L).as("e"), lit(1L).as("l"))
