@@ -37,9 +37,12 @@ object DeterminismProbe {
     // the provenance rollup and the directional sketch readout
     "contamination_drift", "contamination_by_source",
     "source_containment_kmv", "lsh_recall",
-    // round-13 additions: the incremental containment gate and the
-    // release-over-release savings drift
-    "containment_incremental", "dedup_savings_drift")
+    // round-13 additions: the incremental containment gate, the
+    // release-over-release savings drift and the ICWS weighted-Jaccard
+    // readout (md5-seeded draws + argmin — exactly the layout-merge
+    // family this probe exists for)
+    "containment_incremental", "dedup_savings_drift",
+    "source_weighted_jaccard_icws")
 
   /** Rows rendered to one sorted canonical string: null-safe, stable
     * across runs iff the values are. Doubles print via toString (exact

@@ -293,6 +293,19 @@ object SparkEntry {
           .select(col("source"),
             explode(operators.TextAnalysis.words(col("text"))).as("w")),
         "source", "w", 256)),
+    // the WEIGHTED-Jaccard sibling of source_jaccard_kmv (ICWS, Ioffe
+    // 2010): collision probability IS the generalized Jaccard
+    // Σmin/Σmax over tf weights — feeds that share vocabulary but not
+    // its usage separate here; estimate reported next to the exact
+    "source_weighted_jaccard_icws" -> ((s, dir) =>
+      operators.Icws.weightedJaccardIcws(
+        tbl(s, dir, "documents")
+          .filter(col("text").isNotNull && col("source").isNotNull)
+          .select(col("source"),
+            explode(operators.TextAnalysis.words(col("text"))).as("w"))
+          .filter(col("w") =!= "")
+          .withColumn("one", lit(1L)),
+        "source", "w", "one", k = 32)),
     // candidate-generation calibration: what pair-level recall the
     // configured LSH banding ACTUALLY delivered on this corpus vs the
     // exact prefix-filtered ground truth at the same threshold
@@ -3070,6 +3083,65 @@ object SparkEntry {
          |    AS contain_b_in_a
          |FROM rr JOIN ge ea ON rr.ga = ea.g JOIN ge eb ON rr.gb = eb.g
          |ORDER BY group_a, group_b""".stripMargin,
+    // ICWS weighted-Jaccard replay: identical md5-mantissa uniforms,
+    // every ln 9-dp-quantized immediately (+, x, /, floor on identical
+    // doubles are exactly rounded in both engines), argmin ties broken
+    // on (lna, elem, t), the same 6-dp readouts
+    "source_weighted_jaccard_icws" ->
+      s"""WITH t AS (SELECT source AS g,
+         |             unnest(regexp_split_to_array(trim(text), '\\s+')) AS e
+         |           FROM documents
+         |           WHERE text IS NOT NULL AND source IS NOT NULL),
+         |wts AS (SELECT g, e, CAST(count(*) AS DOUBLE) AS w FROM t
+         |        WHERE e <> '' GROUP BY g, e),
+         |tot AS (SELECT g, sum(w) AS tot FROM wts GROUP BY g),
+         |ex AS (SELECT g, e, w, i FROM wts
+         |       CROSS JOIN (SELECT unnest(range(32)) AS i)),
+         |d AS (SELECT g, e, w, i,
+         |  (CAST('0x' || substr(md5('icws:r1:' || i || ':' || e), 1, 12) AS BIGINT) + 0.5) / power(16.0, 12) AS ur1,
+         |  (CAST('0x' || substr(md5('icws:r2:' || i || ':' || e), 1, 12) AS BIGINT) + 0.5) / power(16.0, 12) AS ur2,
+         |  (CAST('0x' || substr(md5('icws:c1:' || i || ':' || e), 1, 12) AS BIGINT) + 0.5) / power(16.0, 12) AS uc1,
+         |  (CAST('0x' || substr(md5('icws:c2:' || i || ':' || e), 1, 12) AS BIGINT) + 0.5) / power(16.0, 12) AS uc2,
+         |  (CAST('0x' || substr(md5('icws:b:' || i || ':' || e), 1, 12) AS BIGINT) + 0.5) / power(16.0, 12) AS ub
+         |      FROM ex),
+         |sc AS (SELECT g, e, i, ub,
+         |         round(-ln(ur1 * ur2), 9) AS lr,
+         |         round(ln(-round(ln(uc1 * uc2), 9)), 9) AS lnc,
+         |         round(ln(w), 9) AS lnw
+         |       FROM d),
+         |s2 AS (SELECT g, e, i, lr, lnc, ub,
+         |         floor(lnw / lr + ub) AS t
+         |       FROM sc),
+         |s3 AS (SELECT g, e, i, t,
+         |         round(lnc - lr * (t + 1.0 - ub), 9) AS lna
+         |       FROM s2),
+         |sk AS (SELECT g, i, e AS se, t AS st FROM (
+         |         SELECT g, e, i, t, lna,
+         |           row_number() OVER (PARTITION BY g, i
+         |             ORDER BY lna, e, t) AS rn
+         |         FROM s3) WHERE rn = 1),
+         |est AS (SELECT a.g AS group_a, b.g AS group_b,
+         |          CAST(sum(CASE WHEN a.se = b.se AND a.st = b.st
+         |            THEN 1 ELSE 0 END) AS BIGINT) AS matches
+         |        FROM sk a JOIN sk b ON a.i = b.i AND a.g < b.g
+         |        GROUP BY 1, 2),
+         |sh AS (SELECT x.g AS group_a, y.g AS group_b,
+         |         sum(least(x.w, y.w)) AS sm
+         |       FROM wts x JOIN wts y ON x.e = y.e AND x.g < y.g
+         |       GROUP BY 1, 2)
+         |SELECT e.group_a, e.group_b, CAST(32 AS BIGINT) AS k,
+         |  round(e.matches::DOUBLE / 32.0, 6) AS est_weighted_jaccard,
+         |  round(coalesce(s.sm, 0.0)
+         |    / (ta.tot + tb.tot - coalesce(s.sm, 0.0)), 6)
+         |    AS exact_weighted_jaccard,
+         |  round(abs(round(e.matches::DOUBLE / 32.0, 6)
+         |    - round(coalesce(s.sm, 0.0)
+         |        / (ta.tot + tb.tot - coalesce(s.sm, 0.0)), 6)), 6)
+         |    AS abs_err
+         |FROM est e JOIN tot ta ON e.group_a = ta.g
+         |           JOIN tot tb ON e.group_b = tb.g
+         |LEFT JOIN sh s ON e.group_a = s.group_a AND e.group_b = s.group_b
+         |ORDER BY e.group_a, e.group_b""".stripMargin,
     // same global canonical keep as the doc-count report, with the
     // whitespace token count riding the hashed projection
     "dedup_token_savings" ->

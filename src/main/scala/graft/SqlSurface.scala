@@ -3888,6 +3888,65 @@ object SqlSurface {
          |FROM so o FULL OUTER JOIN sn n ON o.source = n.source
          |ORDER BY source""".stripMargin,
 
+    // ICWS weighted-Jaccard per source pair: the same md5-mantissa
+    // draws, 9-dp-quantized ln chain, (lna, e, t) argmin and 6-dp
+    // readouts as the DataFrame form.
+    "source_weighted_jaccard_icws" ->
+      s"""WITH t AS (SELECT source AS g,
+         |             explode(split(trim(text), '\\\\s+')) AS e
+         |           FROM documents
+         |           WHERE text IS NOT NULL AND source IS NOT NULL),
+         |wts AS (SELECT g, e, CAST(count(1) AS DOUBLE) AS w FROM t
+         |        WHERE e != '' GROUP BY g, e),
+         |tot AS (SELECT g, sum(w) AS tot FROM wts GROUP BY g),
+         |ex AS (SELECT g, e, w, explode(sequence(0, 31)) AS i FROM wts),
+         |d AS (SELECT g, e, w, i,
+         |  (CAST(conv(substring(md5(concat('icws:r1:', CAST(i AS STRING), ':', e)), 1, 12), 16, 10) AS BIGINT) + 0.5D) / power(16.0D, 12) AS ur1,
+         |  (CAST(conv(substring(md5(concat('icws:r2:', CAST(i AS STRING), ':', e)), 1, 12), 16, 10) AS BIGINT) + 0.5D) / power(16.0D, 12) AS ur2,
+         |  (CAST(conv(substring(md5(concat('icws:c1:', CAST(i AS STRING), ':', e)), 1, 12), 16, 10) AS BIGINT) + 0.5D) / power(16.0D, 12) AS uc1,
+         |  (CAST(conv(substring(md5(concat('icws:c2:', CAST(i AS STRING), ':', e)), 1, 12), 16, 10) AS BIGINT) + 0.5D) / power(16.0D, 12) AS uc2,
+         |  (CAST(conv(substring(md5(concat('icws:b:', CAST(i AS STRING), ':', e)), 1, 12), 16, 10) AS BIGINT) + 0.5D) / power(16.0D, 12) AS ub
+         |      FROM ex),
+         |sc AS (SELECT g, e, i, ub,
+         |         round(-ln(ur1 * ur2), 9) AS lr,
+         |         round(ln(-round(ln(uc1 * uc2), 9)), 9) AS lnc,
+         |         round(ln(w), 9) AS lnw
+         |       FROM d),
+         |s2 AS (SELECT g, e, i, lr, lnc, ub,
+         |         floor(lnw / lr + ub) AS t
+         |       FROM sc),
+         |s3 AS (SELECT g, e, i, t,
+         |         round(lnc - lr * (t + 1.0D - ub), 9) AS lna
+         |       FROM s2),
+         |sk AS (SELECT g, i, se, st FROM (
+         |         SELECT g, e AS se, i, t AS st, lna,
+         |           row_number() OVER (PARTITION BY g, i
+         |             ORDER BY lna, e, t) AS rn
+         |         FROM s3) WHERE rn = 1),
+         |est AS (SELECT a.g AS group_a, b.g AS group_b,
+         |          sum(CASE WHEN a.se = b.se AND a.st = b.st
+         |            THEN 1L ELSE 0L END) AS matches
+         |        FROM sk a JOIN sk b ON a.i = b.i AND a.g < b.g
+         |        GROUP BY a.g, b.g),
+         |sh AS (SELECT x.g AS group_a, y.g AS group_b,
+         |         sum(least(x.w, y.w)) AS sm
+         |       FROM wts x JOIN wts y ON x.e = y.e AND x.g < y.g
+         |       GROUP BY x.g, y.g)
+         |SELECT e.group_a, e.group_b, 32L AS k,
+         |  round(CAST(e.matches AS DOUBLE) / 32.0D, 6)
+         |    AS est_weighted_jaccard,
+         |  round(coalesce(s.sm, 0.0D)
+         |    / (ta.tot + tb.tot - coalesce(s.sm, 0.0D)), 6)
+         |    AS exact_weighted_jaccard,
+         |  round(abs(round(CAST(e.matches AS DOUBLE) / 32.0D, 6)
+         |    - round(coalesce(s.sm, 0.0D)
+         |        / (ta.tot + tb.tot - coalesce(s.sm, 0.0D)), 6)), 6)
+         |    AS abs_err
+         |FROM est e JOIN tot ta ON e.group_a = ta.g
+         |           JOIN tot tb ON e.group_b = tb.g
+         |LEFT JOIN sh s ON e.group_a = s.group_a AND e.group_b = s.group_b
+         |ORDER BY group_a, group_b""".stripMargin,
+
     // Zipf exponent per source: WindowGroupLimit rank, 9-dp ln/product
     // quantization, decimal regression folds, one 6-dp double readout.
     "zipf_alpha" ->
@@ -5041,6 +5100,8 @@ object SqlSurface {
       "embedding_dispersion" -> SparkEntry.queries("embedding_dispersion"),
       "dedup_token_savings" -> SparkEntry.queries("dedup_token_savings"),
       "dedup_savings_drift" -> SparkEntry.queries("dedup_savings_drift"),
+      "source_weighted_jaccard_icws" ->
+        SparkEntry.queries("source_weighted_jaccard_icws"),
       "containment_incremental" ->
         SparkEntry.queries("containment_incremental"),
       "ngram_diversity" -> SparkEntry.queries("ngram_diversity"),

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Improved Consistent Weighted Sampling (Ioffe 2010) — the WEIGHTED
+  * generalization of the MinHash family: for weighted sets A, B (e.g.
+  * tf-weighted vocabularies), each ICWS sample collides with
+  * probability exactly the generalized Jaccard
+  * J_w = Σ_e min(a_e, b_e) / Σ_e max(a_e, b_e), so k independent
+  * samples estimate J_w unbiasedly at variance J(1−J)/k — the
+  * dedup-family answer to "these two feeds share vocabulary, but do
+  * they share its USAGE?" (plain set Jaccard treats a term mentioned
+  * once and a thousand times identically; [[Kmv.groupedJaccard]] is
+  * the unweighted sibling from the same seat).
+  *
+  * Sampling scheme (Ioffe's ICWS, per element e with weight w and
+  * sample index i): with r, c ~ Gamma(2, 1) and β ~ U(0, 1) all drawn
+  * from md5-seeded uniforms keyed on (salt, i, tag, e) — deliberately
+  * NOT on the group, so the same element draws identically in every
+  * group, which is what makes collisions meaningful —
+  *
+  *   t   = ⌊ln w / r + β⌋
+  *   ln a = ln c − r·(t + 1 − β)
+  *
+  * and the sample is the (e, t) of the minimal a. Every transcendental
+  * (each ln) is 9-dp-quantized IMMEDIATELY so the chain replays
+  * bit-for-bit in any engine with md5 and IEEE doubles (the
+  * bootstrap_ci / zipf_alpha discipline: +, ×, /, floor on identical
+  * doubles are exactly rounded everywhere; only ln/exp differ by ulps
+  * across libms). Argmin ties break on (element, t) — a total order.
+  *
+  * The readout reports the sketch ESTIMATE next to the EXACT weighted
+  * Jaccard per group pair (the minhash_estimate_error calibration
+  * pattern): exact J_w needs only the SHARED-element min mass because
+  * Σ max = tot_A + tot_B − Σ_shared min — one elem-keyed equi-join,
+  * never a dense grid.
+  *
+  * Shape at 100 TB: the corpus-sized pass is the (group, elem) weight
+  * aggregate (map-side combinable); the k-expansion and its 5 md5
+  * draws run over the AGGREGATED vocabulary domain, not raw rows; the
+  * sketch table is ≤ maxGroups × k rows and pairs via an i-keyed
+  * equi-join (per-key multiplicity = group count, gated in-plan by
+  * [[Partitioning.requireBoundedDomain]]); the exact side's join
+  * multiplicity per element is likewise group-bounded. Nothing
+  * collects to the driver.
+  */
+object Icws {
+
+  /** md5-mantissa uniform in [0, 1): first 12 hex digits of
+    * md5(salt:tag:i:elem) + 0.5 over 16^12 — an exact dyadic double,
+    * identical in any md5-capable engine.
+    */
+  private def draw(tag: String, i: Column, elem: Column, salt: String): Column =
+    (conv(substring(md5(concat(lit(s"$salt:$tag:"), i.cast("string"),
+      lit(":"), elem)), 1, 12), 16, 10).cast("long").cast("double")
+      + lit(0.5)) / lit(math.pow(16.0, 12))
+
+  private def r9(c: Column): Column = round(c, 9)
+
+  /** Per-group-pair weighted-Jaccard: ICWS estimate vs exact, with the
+    * absolute error — one row per unordered group pair. `rows` carries
+    * (groupCol, elemCol, weightCol); duplicate (group, elem) rows sum
+    * their weights; non-positive summed weights drop (ln undefined —
+    * a weight of zero IS absence).
+    */
+  def weightedJaccardIcws(rows: DataFrame, groupCol: String, elemCol: String,
+      weightCol: String, k: Int = 32, maxGroups: Int = 1024,
+      salt: String = "icws"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxGroups >= 2, s"maxGroups must be >= 2, got $maxGroups")
+    val g = col(groupCol).as("g")
+    val wts = rows
+      .groupBy(g, col(elemCol).as("e"))
+      .agg(sum(col(weightCol)).cast("double").as("w"))
+      .filter(col("w") > 0)
+    // in-plan group-domain gate: the i-keyed sketch join below has
+    // per-key multiplicity = |groups| and the pair output is
+    // |groups|² — the same bound every grouped-sketch operator wears
+    val tot = Partitioning.requireBoundedDomain(
+      wts.groupBy(col("g")).agg(sum(col("w")).as("tot")),
+      groupCol, "weightedJaccardIcws", maxGroups)
+    // ---- sketch side: k ICWS samples per (group, elem) over the
+    // AGGREGATED vocabulary (5 md5 draws each, ln's 9-dp-quantized)
+    val expanded = wts
+      .select(col("g"), col("e"), col("w"),
+        explode(sequence(lit(0), lit(k - 1))).as("i"))
+    val ur = draw("r1", col("i"), col("e"), salt) *
+      draw("r2", col("i"), col("e"), salt)
+    val uc = draw("c1", col("i"), col("e"), salt) *
+      draw("c2", col("i"), col("e"), salt)
+    val ub = draw("b", col("i"), col("e"), salt)
+    val scored = expanded
+      .withColumn("lr", r9(-log(ur)))                  // r ~ Gamma(2,1)
+      .withColumn("lnc", r9(log(-r9(log(uc)))))        // ln of Gamma(2,1)
+      .withColumn("ub", ub)
+      .withColumn("t", floor(r9(log(col("w"))) / col("lr") + col("ub")))
+      .withColumn("lna",
+        r9(col("lnc") - col("lr") * (col("t") + lit(1.0) - col("ub"))))
+    val sk = scored.groupBy(col("g"), col("i"))
+      .agg(min(struct(col("lna"), col("e"), col("t"))).as("s"))
+      .select(col("g"), col("i"),
+        col("s.e").as("se"), col("s.t").as("st"))
+    val est = sk.as("a").join(sk.as("b"),
+        col("a.i") === col("b.i") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("group_a"), col("b.g").as("group_b"))
+      .agg(sum(when(col("a.se") === col("b.se") &&
+        col("a.st") === col("b.st"), 1L).otherwise(0L)).as("matches"))
+    // ---- exact side: Σ min over SHARED elements; Σ max falls out of
+    // the totals identity (min(a,0) = 0 for one-sided elements)
+    val shared = wts.as("x").join(wts.as("y"),
+        col("x.e") === col("y.e") && col("x.g") < col("y.g"))
+      .groupBy(col("x.g").as("group_a"), col("y.g").as("group_b"))
+      .agg(sum(least(col("x.w"), col("y.w"))).as("sm"))
+    est
+      .join(tot.select(col("g").as("group_a"), col("tot").as("ta")), "group_a")
+      .join(tot.select(col("g").as("group_b"), col("tot").as("tb")), "group_b")
+      .join(shared, Seq("group_a", "group_b"), "left")
+      .select(col("group_a"), col("group_b"), lit(k.toLong).as("k"),
+        round(col("matches").cast("double") / lit(k.toDouble), 6)
+          .as("est_weighted_jaccard"),
+        round(coalesce(col("sm"), lit(0.0)) /
+          (col("ta") + col("tb") - coalesce(col("sm"), lit(0.0))), 6)
+          .as("exact_weighted_jaccard"))
+      .withColumn("abs_err", round(abs(col("est_weighted_jaccard") -
+        col("exact_weighted_jaccard")), 6))
+      .orderBy(col("group_a"), col("group_b"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Icws
+
+/** ICWS weighted-Jaccard: collision probability equals the generalized
+  * Jaccard, so identical weighted sets must match on EVERY sample
+  * (est 1.0 exactly), disjoint sets on none (0.0), and the exact
+  * column must reproduce the hand-computed Σmin/Σmax.
+  */
+class IcwsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def rowsOf(data: (String, String, Long)*) =
+    data.toDF("g", "e", "w")
+
+  test("identical weighted sets estimate exactly 1.0; disjoint exactly 0.0") {
+    val rows = rowsOf(
+      ("a", "x", 3L), ("a", "y", 1L),
+      ("b", "x", 3L), ("b", "y", 1L),      // identical to a
+      ("c", "p", 2L), ("c", "q", 5L))      // disjoint from both
+    val got = Icws.weightedJaccardIcws(rows, "g", "e", "w", k = 16)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(3), r.getDouble(4))).toMap
+    // same (elem, weight) profile → same draws → same argmin per i:
+    // every sample collides, estimator exactly 16/16
+    assert(got(("a", "b")) == ((1.0, 1.0)), s"$got")
+    // disjoint vocabularies cannot share a sample element
+    assert(got(("a", "c")) == ((0.0, 0.0)), s"$got")
+    assert(got(("b", "c")) == ((0.0, 0.0)), s"$got")
+  }
+
+  test("exact column is the hand-computed sum-min over sum-max; estimate within the k=32 band") {
+    // A = {x:4, y:2}, B = {x:1, y:2, z:3}:
+    // Σmin = 1 + 2 = 3; Σmax = 4 + 2 + 3 = 9; J_w = 1/3
+    val rows = rowsOf(
+      ("a", "x", 4L), ("a", "y", 2L),
+      ("b", "x", 1L), ("b", "y", 2L), ("b", "z", 3L))
+    val r = Icws.weightedJaccardIcws(rows, "g", "e", "w", k = 32).head()
+    assert(r.getString(0) == "a" && r.getString(1) == "b")
+    assert(r.getDouble(4) == 0.333333, s"exact ${r.getDouble(4)}")
+    val est = r.getDouble(3)
+    // Var = J(1-J)/k → sd ≈ 0.083; 4 sd ≈ 0.33 — a loose, stable band
+    assert(est >= 0.0 && est <= 1.0 && math.abs(est - 1.0 / 3) <= 0.34,
+      s"estimate $est implausibly far from J_w = 1/3")
+    assert(r.getDouble(5) ==
+      BigDecimal(math.abs(est - 0.333333)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("duplicate (group, elem) rows sum their weights; weight scale shifts the estimate") {
+    // duplicates fold: {x:2+2} ≡ {x:4}
+    val dup = rowsOf(("a", "x", 2L), ("a", "x", 2L), ("b", "x", 4L))
+    val r = Icws.weightedJaccardIcws(dup, "g", "e", "w", k = 8).head()
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 1.0, s"$r")
+    // same SETS, different weights: J_w = min/max = 1/5 — the weighted
+    // estimator must see the difference a set-Jaccard cannot
+    val skew = rowsOf(("a", "x", 1L), ("b", "x", 5L))
+    val s = Icws.weightedJaccardIcws(skew, "g", "e", "w", k = 32).head()
+    assert(s.getDouble(4) == 0.2, s"$s")
+    assert(s.getDouble(3) < 1.0,
+      s"weight-skewed singletons must not collide on every sample: $s")
+  }
+
+  test("the group-domain gate refuses over maxGroups in-plan") {
+    val rows = (1 to 10).map(i => (s"g$i", "x", 1L)).toDF("g", "e", "w")
+    val ex = intercept[Exception] {
+      Icws.weightedJaccardIcws(rows, "g", "e", "w", k = 4, maxGroups = 4)
+        .collect()
+    }
+    val msg = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("weightedJaccardIcws"),
+      s"expected the domain-gate raise naming the site: $msg")
+  }
+}
