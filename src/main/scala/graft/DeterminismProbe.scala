@@ -42,7 +42,7 @@ object DeterminismProbe {
     // readout (md5-seeded draws + argmin — exactly the layout-merge
     // family this probe exists for)
     "containment_incremental", "dedup_savings_drift",
-    "source_weighted_jaccard_icws")
+    "source_weighted_jaccard_icws", "lsh_recall_curve")
 
   /** Rows rendered to one sorted canonical string: null-safe, stable
     * across runs iff the values are. Doubles print via toString (exact

@@ -205,7 +205,8 @@ object PlanDump {
       "lsh_recall" -> "LSH candidate-generation calibration: both sides are the production sub-quadratic plans (prefix-filtered exact pairs, banded LSH pairs) consumed as UNSORTED cores sharing ONE cached docShingles frame — no Sort/rangepartitioning may appear under the Union (the groupBy above would destroy it; round-13 verdict #1), and the corpus is shingled once, not per side; the comparison is a pair-keyed union + HashAggregate and one global fold.",
       "containment_incremental" -> "Incremental containment gate: BOTH prefix directions are equi-joins (batch prefix x history index, history prefix x batch index) under in-plan mass sentinels — no BNLJ, no all-pairs; the history-side artifacts (df table, sorted prefix index, inverted index) depend only on history, so a production ingest persists them once and the per-batch plan is batch-sized except for the one history-prefix scan; the verdict rollup is total (left joins onto the batch spine).",
       "dedup_savings_drift" -> "Release-over-release savings drift: two dedupTokenSavings cores (digest groupBy + keep equi-join each, text never crossing an exchange) meeting in ONE full-outer equi-join on the tiny source key; the delta is a narrow projection with the readout sort paid once at the composed exit.",
-      "source_weighted_jaccard_icws" -> "ICWS weighted Jaccard: the corpus-sized pass is the (group, elem) weight aggregate (map-side combined); the k-sample expansion and its five md5 draws run over the AGGREGATED vocabulary domain, never raw rows; the sketch table is groups x k and pairs via an i-keyed equi-join under the in-plan group-domain gate; the exact side is one elem-keyed equi-join (per-key multiplicity = group count) plus the totals identity - no dense group x vocab grid, nothing collected to the driver.")
+      "source_weighted_jaccard_icws" -> "ICWS weighted Jaccard: the corpus-sized pass is the (group, elem) weight aggregate (map-side combined); the k-sample expansion and its five md5 draws run over the AGGREGATED vocabulary domain, never raw rows; the sketch table is groups x k and pairs via an i-keyed equi-join under the in-plan group-domain gate; the exact side is one elem-keyed equi-join (per-key multiplicity = group count) plus the totals identity - no dense group x vocab grid, nothing collected to the driver.",
+      "lsh_recall_curve" -> "LSH operating-point sweep: ONE shared docShingles frame, ONE exact ground-truth pass (unsorted core) and ONE 16-row signature pass feed all three band-layout arms - per-arm digests derive from the cached signature arrays, so the k x md5-per-shingle work is never repeated; each arm adds only its banded candidate equi-join + exact verify (pair-table-sized), folding into a 1-row aggregate; no Sort under any union, no nested loop.")
     val bnljAllowed = PlanDump.bnljAllowed
     val nested = scala.collection.mutable.LinkedHashMap[String, String]()
     val sb = new StringBuilder

@@ -311,6 +311,13 @@ object SparkEntry {
     // exact prefix-filtered ground truth at the same threshold
     "lsh_recall" -> ((s, dir) =>
       Dedup.lshRecall(tbl(s, dir, "documents"), 0.5)),
+    // the operating-point SWEEP behind that number: recall/precision
+    // of three band layouts (2/4/8 bands over the same k=16
+    // signature) against one shared exact ground truth — the dial a
+    // curation owner reads before picking the banding, measured on
+    // THIS corpus rather than the textbook collision curve
+    "lsh_recall_curve" -> ((s, dir) =>
+      Dedup.lshRecallCurve(tbl(s, dir, "documents"), 0.5)),
     // token-denominated dedup accounting: what the canonical keep buys
     // back in TOKENS per source (dup groups skew long, so doc counts
     // understate it) — feeds straight into token_budget planning
@@ -2759,6 +2766,59 @@ object SparkEntry {
          |  CASE WHEN coalesce(sum(l), 0) > 0
          |       THEN round(sum(e * l)::DOUBLE / sum(l), 6) ELSE 0.0 END AS "precision"
          |FROM g""".stripMargin,
+    // the sweep: one shared signature (16 seeds) + one exact side,
+    // three band layouts replayed arm by arm — the banding CTE is the
+    // dedup_minhash_lsh chain's, parametrized on rows-per-band
+    "lsh_recall_curve" -> {
+      def armSql(b: Int): String = {
+        val r = 16 / b
+        s"""band$b AS (SELECT doc_id, CAST(floor(seed/$r.0) AS INT) AS band,
+           |  md5(string_agg(seed || '=' || minhash, '|' ORDER BY seed || '=' || minhash)) AS band_key
+           |  FROM sig GROUP BY doc_id, CAST(floor(seed/$r.0) AS INT)),
+           |cand$b AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |           FROM band$b x JOIN band$b y
+           |             ON x.band = y.band AND x.band_key = y.band_key
+           |            AND x.doc_id < y.doc_id),
+           |int$b AS (SELECT c.doc_a, c.doc_b, count(*) AS c
+           |          FROM cand$b c JOIN sh a ON a.doc_id = c.doc_a
+           |                        JOIN sh b ON b.doc_id = c.doc_b
+           |                                 AND a.shingle = b.shingle
+           |          GROUP BY 1, 2),
+           |lsh$b AS (SELECT i.doc_a, i.doc_b
+           |          FROM int$b i JOIN sz x ON i.doc_a = x.doc_id
+           |                       JOIN sz y ON i.doc_b = y.doc_id
+           |          WHERE round(i.c::DOUBLE/(x.n + y.n - i.c), 6) >= 0.5),
+           |g$b AS (SELECT doc_a, doc_b, max(e) AS e, max(l) AS l FROM (
+           |          SELECT doc_a, doc_b, 1 AS e, 0 AS l FROM ex
+           |          UNION ALL SELECT doc_a, doc_b, 0, 1 FROM lsh$b) t
+           |        GROUP BY 1, 2),
+           |arm$b AS (SELECT CAST(16 AS BIGINT) AS k,
+           |  CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+           |  CAST(coalesce(sum(e), 0) AS BIGINT) AS n_exact,
+           |  CAST(coalesce(sum(l), 0) AS BIGINT) AS n_lsh,
+           |  CAST(coalesce(sum(e * l), 0) AS BIGINT) AS n_hit,
+           |  CASE WHEN coalesce(sum(e), 0) > 0
+           |       THEN round(sum(e * l)::DOUBLE / sum(e), 6) ELSE 0.0 END AS recall,
+           |  CASE WHEN coalesce(sum(l), 0) > 0
+           |       THEN round(sum(e * l)::DOUBLE / sum(l), 6) ELSE 0.0 END AS "precision"
+           |  FROM g$b)""".stripMargin
+      }
+      s"""WITH $shingleCte,
+         |seeds AS (SELECT unnest(range(16)) AS seed),
+         |sig AS (SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minhash
+         |        FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |ei AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |ex AS (SELECT e.doc_a, e.doc_b
+         |       FROM ei e JOIN sz x ON e.doc_a = x.doc_id
+         |                 JOIN sz y ON e.doc_b = y.doc_id
+         |       WHERE round(e.c::DOUBLE/(x.n + y.n - e.c), 6) >= 0.5),
+         |${Seq(2, 4, 8).map(armSql).mkString(",\n")}
+         |SELECT * FROM arm2 UNION ALL SELECT * FROM arm4
+         |UNION ALL SELECT * FROM arm8 ORDER BY bands""".stripMargin
+    },
     "mixture_sample" -> {
       val cases = mixtureWeights.toSeq.sortBy(_._1)
         .map { case (s, w) => s"WHEN source = '$s' THEN $w" }.mkString(" ")

@@ -1360,6 +1360,58 @@ object SqlSurface {
          |       ELSE 0.0D END AS precision
          |FROM g""".stripMargin,
 
+    // The operating-point sweep: one shared 16-seed signature chain,
+    // one exact side (from the full `inter`), three band layouts
+    // replayed arm by arm (rows-per-band parametrizes the banding CTE).
+    "lsh_recall_curve" -> {
+      def armSql(b: Int): String = {
+        val r = 16 / b
+        s"""band$b AS (SELECT doc_id, CAST(floor(j / $r) AS INT) AS band,
+           |  md5(concat_ws('|', sort_array(collect_list(concat(j, '=', mn)))))
+           |    AS band_key
+           |  FROM mh GROUP BY doc_id, floor(j / $r)),
+           |cand$b AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |           FROM band$b x JOIN band$b y
+           |             ON x.band = y.band AND x.band_key = y.band_key
+           |            AND x.doc_id < y.doc_id
+           |           GROUP BY x.doc_id, y.doc_id),
+           |int$b AS (SELECT c.doc_a, c.doc_b, count(1) AS c
+           |          FROM cand$b c JOIN sh a ON a.doc_id = c.doc_a
+           |                        JOIN sh b ON b.doc_id = c.doc_b
+           |                                 AND a.shingle = b.shingle
+           |          GROUP BY c.doc_a, c.doc_b),
+           |lsh$b AS (SELECT i.doc_a, i.doc_b
+           |          FROM int$b i JOIN sz x ON i.doc_a = x.doc_id
+           |                       JOIN sz y ON i.doc_b = y.doc_id
+           |          WHERE round(CAST(i.c AS DOUBLE) / (x.n + y.n - i.c), 6)
+           |            >= 0.5D),
+           |g$b AS (SELECT doc_a, doc_b, max(e) AS e, max(l) AS l FROM (
+           |          SELECT doc_a, doc_b, 1L AS e, 0L AS l FROM ex
+           |          UNION ALL SELECT doc_a, doc_b, 0L, 1L FROM lsh$b) t
+           |        GROUP BY doc_a, doc_b),
+           |arm$b AS (SELECT 16L AS k, ${b}L AS bands, ${r}L AS rows_per_band,
+           |  coalesce(sum(e), 0L) AS n_exact,
+           |  coalesce(sum(l), 0L) AS n_lsh,
+           |  coalesce(sum(e * l), 0L) AS n_hit,
+           |  CASE WHEN coalesce(sum(e), 0L) > 0L
+           |       THEN round(CAST(sum(e * l) AS DOUBLE) / sum(e), 6)
+           |       ELSE 0.0D END AS recall,
+           |  CASE WHEN coalesce(sum(l), 0L) > 0L
+           |       THEN round(CAST(sum(e * l) AS DOUBLE) / sum(l), 6)
+           |       ELSE 0.0D END AS precision
+           |  FROM g$b)""".stripMargin
+      }
+      s"""WITH $minhashCtes,
+         |ex AS (SELECT e.doc_a, e.doc_b
+         |       FROM inter e JOIN sz x ON e.doc_a = x.doc_id
+         |                    JOIN sz y ON e.doc_b = y.doc_id
+         |       WHERE round(CAST(e.c AS DOUBLE) / (x.n + y.n - e.c), 6)
+         |         >= 0.5D),
+         |${Seq(2, 4, 8).map(armSql).mkString(",\n")}
+         |SELECT * FROM arm2 UNION ALL SELECT * FROM arm4
+         |UNION ALL SELECT * FROM arm8 ORDER BY bands""".stripMargin
+    },
+
     // Sketch calibration: Broder estimate (matching signature rows /
     // 16) vs exact Jaccard per LSH candidate — unthresholded by design.
     "minhash_estimate_error" ->
@@ -5143,6 +5195,7 @@ object SqlSurface {
       "hard_negatives" -> SparkEntry.queries("hard_negatives"),
       "triplet_mining" -> SparkEntry.queries("triplet_mining"),
       "dedup_minhash_lsh" -> SparkEntry.queries("dedup_minhash_lsh"),
+      "lsh_recall_curve" -> SparkEntry.queries("lsh_recall_curve"),
       "lsh_recall" -> SparkEntry.queries("lsh_recall"),
       "minhash_estimate_error" -> SparkEntry.queries("minhash_estimate_error"),
       "dedup_simhash" -> SparkEntry.queries("dedup_simhash"),

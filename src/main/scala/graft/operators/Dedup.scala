@@ -1214,6 +1214,85 @@ object Dedup {
           .otherwise(lit(0.0)).as("precision"))
   }
 
+  /** Band digests derived from an ALREADY-COMPUTED k-row minhash
+    * signature — [[bandKeysUdf]]'s banding stage alone, byte-identical
+    * formatting, so one signature pass can feed several band layouts
+    * (the [[lshRecallCurve]] arms). `sig.length` must divide by bands.
+    */
+  private def bandKeysFromSigUdf(bands: Int) = udf { sig: Seq[String] =>
+    val md = graft.functions.HashUtil.md5Digest
+    val rows = sig.length / bands
+    (0 until bands).map { b =>
+      val keys = (b * rows until (b + 1) * rows).map(j => s"$j=${sig(j)}").sorted
+      (b, md5Hex(md, keys.mkString("|")))
+    }
+  }
+
+  /** The OPERATING-POINT sweep behind [[lshRecall]] — recall/precision
+    * of SEVERAL band layouts over the same k-row signature against the
+    * same exact ground truth, one row per layout (the
+    * [[KMeansIndex.recallCurve]] pattern applied to candidate
+    * generation): banding is the cost/recall dial (per-band collision
+    * probability is J^(k/bands), so more bands of fewer rows = more
+    * candidates = higher recall, costlier verification), and the dial
+    * should be set from a measured curve on THIS corpus, not the
+    * textbook average. [[lshRecall]] measures the configured point;
+    * this measures the alternatives without re-hashing anything.
+    *
+    * Shape at 100 TB: ONE shared [[docShingles]] frame, ONE exact
+    * ground-truth pass (the production prefix-filtered plan, unsorted
+    * core), ONE k-row signature pass (the per-arm digests are derived
+    * from the cached signature arrays — the expensive k×md5-per-
+    * shingle work is never repeated); each arm adds only its banded
+    * candidate join + exact verification, all pair-table-sized. The
+    * three caches (docSh, exact pairs, signatures) are all bounded
+    * and evictable.
+    */
+  def lshRecallCurve(docs: DataFrame, threshold: Double, k: Int = 16,
+      bandArms: Seq[Int] = Seq(2, 4, 8)): DataFrame = {
+    require(bandArms.nonEmpty, "bandArms must name at least one layout")
+    require(bandArms.forall(b => b >= 1 && b <= k && k % b == 0),
+      s"every bandArms entry must divide k=$k, got $bandArms")
+    val docSh = docShingles(docs, 3).cache()
+    val exact = ngramJaccardCore(docSh, threshold, cacheInv = false)
+      .select(col("doc_a"), col("doc_b")).cache()
+    val sigs = docSh
+      .select(col("doc_id"), minhashSigUdf(k)(col("sh")).as("sig"))
+      .cache()
+    val arms = bandArms.map { bands =>
+      val banded = sigs
+        .select(col("doc_id"), explode(bandKeysFromSigUdf(bands)(col("sig"))).as("bk"))
+        .select(col("doc_id"), col("bk._1").as("band"), col("bk._2").as("band_key"))
+      val candidates = banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") &&
+            col("x.band_key") === col("y.band_key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val lsh = verifyPairsCore(candidates, docSh, threshold)
+        .select(col("doc_a"), col("doc_b"))
+      exact.select(col("doc_a"), col("doc_b"),
+          lit(1L).as("e"), lit(0L).as("l"))
+        .unionByName(lsh.select(col("doc_a"), col("doc_b"),
+          lit(0L).as("e"), lit(1L).as("l")))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(max(col("e")).as("e"), max(col("l")).as("l"))
+        .agg(coalesce(sum(col("e")), lit(0L)).as("n_exact"),
+          coalesce(sum(col("l")), lit(0L)).as("n_lsh"),
+          coalesce(sum(col("e") * col("l")), lit(0L)).as("n_hit"))
+        .select(lit(k.toLong).as("k"), lit(bands.toLong).as("bands"),
+          lit((k / bands).toLong).as("rows_per_band"),
+          col("n_exact"), col("n_lsh"), col("n_hit"),
+          when(col("n_exact") > 0,
+            round(col("n_hit").cast("double") / col("n_exact"), 6))
+            .otherwise(lit(0.0)).as("recall"),
+          when(col("n_lsh") > 0,
+            round(col("n_hit").cast("double") / col("n_lsh"), 6))
+            .otherwise(lit(0.0)).as("precision"))
+    }
+    arms.reduce(_ unionByName _).orderBy(col("bands"))
+  }
+
   /** Incremental dedup: flag an incoming batch against corpus HISTORY —
     * the shape of a daily crawl ingest, where the corpus that already
     * shipped must never be rescanned per batch. Each incoming document

@@ -450,6 +450,42 @@ class DedupSpec extends AnyFunSuite {
     assert(engine == brute, s"engine $engine vs brute $brute")
   }
 
+  test("lshRecallCurve: nested layouts are monotone; the bands=4 arm equals lshRecall") {
+    // a mixed corpus: one exact-dup pair (collides at every layout),
+    // one near-dup pair, several unrelated docs
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (4L, "totally different content about rivers and stones here"),
+      (5L, "another unrelated document mentioning mountains and lakes"),
+      (6L, "yet more text that shares nothing with the others at all"))
+      .toDF("doc_id", "text")
+    val curve = Dedup.lshRecallCurve(docs, 0.5).collect()
+    assert(curve.length == 3)
+    assert(curve.map(_.getLong(1)).toSeq == Seq(2L, 4L, 8L))     // bands
+    assert(curve.map(_.getLong(2)).toSeq == Seq(8L, 4L, 2L))     // rows
+    // nested halving layouts: a collision on an r-row band implies
+    // collisions on both r/2-row sub-bands, so candidates (hence
+    // verified pairs and hits) are monotone in bands
+    val nLsh = curve.map(_.getLong(4)).toSeq
+    val recall = curve.map(_.getDouble(6)).toSeq
+    assert(nLsh == nLsh.sorted, s"n_lsh not monotone: $nLsh")
+    assert(recall == recall.sorted, s"recall not monotone: $recall")
+    // the same n_exact ground truth on every row
+    assert(curve.map(_.getLong(3)).distinct.length == 1)
+    // exact dups share every band key at every layout → the dup pair
+    // is found even at the coarsest arm
+    assert(curve.head.getLong(4) >= 1L)
+    // the bands=4 arm IS the production operating point: its counts
+    // must equal lshRecall's verbatim
+    val point = Dedup.lshRecall(docs, 0.5).head()
+    val arm4 = curve.find(_.getLong(1) == 4L).get
+    assert((arm4.getLong(3), arm4.getLong(4), arm4.getLong(5)) ==
+      ((point.getAs[Long]("n_exact"), point.getAs[Long]("n_lsh"),
+        point.getAs[Long]("n_hit"))), s"curve $arm4 vs point $point")
+  }
+
   test("containmentGateIncremental: the prefix-join mass gate refuses a boilerplate flood") {
     // the same flood shape as the full-corpus gate test: one-shingle
     // docs on BOTH sides, so the batch prefix × history index mass is
