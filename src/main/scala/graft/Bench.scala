@@ -77,7 +77,10 @@ object Bench {
       "ann_ivf_persisted", "ann_ivf_compacted",
       "bm25_persisted", "bm25_incremental", "bm25_compacted",
       "dedup_incremental", "dedup_incremental_bloom",
-      "dedup_incremental_compacted")
+      "dedup_incremental_compacted",
+      // round-14: per-rep Bloom build over history's vocabulary /
+      // per-rep sketch-layout persist — maintenance, not query latency
+      "containment_incremental_bloom", "icws_persisted")
     def timeAll(entries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =
       entries.map { case (name, fn) =>
         val times = (1 to reps).map(_ => runOnce(name, fn, sfDir))

@@ -42,7 +42,12 @@ object DeterminismProbe {
     // readout (md5-seeded draws + argmin — exactly the layout-merge
     // family this probe exists for)
     "containment_incremental", "dedup_savings_drift",
-    "source_weighted_jaccard_icws", "lsh_recall_curve")
+    "source_weighted_jaccard_icws", "lsh_recall_curve",
+    // round-14 additions: the gate's single-direction cost dial, its
+    // Bloom-pruned variant (must stay bit-identical under any layout)
+    // and the persisted ICWS probe (parquet round-trip + argmin)
+    "containment_incremental_batch", "containment_incremental_bloom",
+    "icws_persisted")
 
   /** Rows rendered to one sorted canonical string: null-safe, stable
     * across runs iff the values are. Doubles print via toString (exact

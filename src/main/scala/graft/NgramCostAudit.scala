@@ -17,6 +17,9 @@ import graft.operators.{Dedup, Partitioning}
   */
 object NgramCostAudit {
   private val ThresholdEps = 1e-7
+  // mirrors Dedup.RoundHalfWidth: the filters stay lossless down to the
+  // 6-dp round-up window the exact verify admits
+  private val RoundHalfWidth = 5e-7
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -53,8 +56,8 @@ object NgramCostAudit {
           transform(col("ds"), e => e.getField("shingle")).as("sh"),
           size(col("ds")).as("n_sh"))
         .withColumn("p",
-          (col("n_sh") - ceil(lit(t) * col("n_sh") - lit(ThresholdEps)) + 1)
-            .cast("int"))
+          (col("n_sh") - ceil(lit(t - RoundHalfWidth) * col("n_sh")
+            - lit(ThresholdEps)) + 1).cast("int"))
     }
     def candidatesOf(sorted: DataFrame): DataFrame = {
       val prefix = sorted.select(col("doc_id"),
@@ -70,8 +73,10 @@ object NgramCostAudit {
       candidates
         .join(sizes.toDF("doc_a", "na"), "doc_a")
         .join(sizes.toDF("doc_b", "nb"), "doc_b")
-        .filter(col("nb") >= lit(t) * col("na") - lit(ThresholdEps) &&
-          col("na") >= lit(t) * col("nb") - lit(ThresholdEps))
+        .filter(col("nb") >= lit(t - RoundHalfWidth) * col("na")
+            - lit(ThresholdEps) &&
+          col("na") >= lit(t - RoundHalfWidth) * col("nb")
+            - lit(ThresholdEps))
         .select(col("doc_a"), col("doc_b"))
     }
 
@@ -96,6 +101,27 @@ object NgramCostAudit {
     println(f"+ size-ratio prune   $tSized%7.2f s  (stage ${tSized - tCand}%+.2f, $nSized%,d rows)")
     println(f"+ exact verify       $tFull%7.2f s  (stage ${tFull - tSized}%+.2f, $nPairs%,d pairs)")
     println(f"+ readout sort       $tFullSorted%7.2f s  (stage ${tFullSorted - tFull}%+.2f)")
+    // count-parity assert (the scaladoc's drift pin, round-13 advice):
+    // the exact verify over the REPLICA's pruned candidates must yield
+    // exactly the public operator's pair count — any drift between the
+    // instrumented stages and Dedup.ngramJaccardCore fails loudly here
+    val replicaPairs = {
+      spark.sharedState.cacheManager.clearCache()
+      val d = docShF.cache(); val s = sortedOf(d).cache()
+      val sets = s.select(col("doc_id"), col("sh"))
+      sizedOf(candidatesOf(s), s)
+        .join(sets.toDF("doc_a", "sha"), "doc_a")
+        .join(sets.toDF("doc_b", "shb"), "doc_b")
+        .filter(round(
+          size(array_intersect(col("sha"), col("shb"))).cast("double") /
+            size(array_union(col("sha"), col("shb"))).cast("double"), 6)
+          >= t)
+        .count()
+    }
+    require(replicaPairs == nPairs,
+      s"stage replica drifted from Dedup.ngramJaccardPairs: " +
+        s"replica verified $replicaPairs pairs, public operator $nPairs")
+    println(s"count-parity assert: replica == public operator ($nPairs pairs)")
     spark.stop()
   }
 }

@@ -230,6 +230,20 @@ object PlanDump {
           docs.filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 0),
           docs.filter(org.apache.spark.sql.functions.col("doc_id") % 3 =!= 0),
           0.5, eager = false)
+      } else if (name == "lsh_recall") {
+        // same eager-materialization story as dedup_incremental: show
+        // the distributed plan, not the checkpoint scan
+        operators.Dedup.lshRecall(
+          sources.Tables.table(spark, dir, "documents"), 0.5, eager = false)
+      } else if (name == "lsh_recall_curve") {
+        operators.Dedup.lshRecallCurve(
+          sources.Tables.table(spark, dir, "documents"), 0.5, eager = false)
+      } else if (name == "containment_incremental") {
+        val docs = sources.Tables.table(spark, dir, "documents")
+        operators.Dedup.containmentGateIncremental(
+          docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0),
+          docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0),
+          0.9, eager = false)
       } else if (name == "distinct_estimate") {
         // the contract query returns a bounded parallelized row; the
         // plan worth auditing is the corpus-sized sketch pass

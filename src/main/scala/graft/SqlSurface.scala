@@ -445,6 +445,13 @@ object SqlSurface {
       "dedup_incremental_compacted" -> annLifecycle,
       "dedup_incremental_bloom" -> ("bloom-filter prefilter state over " +
         "the committed dedup history; the filter is fitted state"),
+      "containment_incremental_bloom" -> ("bloom-filter prefilter state " +
+        "over history's shingle vocabulary; the filter is fitted state " +
+        "— the join-form SQL parity is containment_incremental's " +
+        "(verdicts bit-identical, spec-pinned)"),
+      "icws_persisted" -> (annLifecycle +
+        "; the probe's SQL parity is source_weighted_jaccard_icws's " +
+        "(row-for-row identical, spec-pinned)"),
       "stream_contamination_gate" -> ("streaming-safe stateless gate " +
         "over a driver-built broadcast vocabulary set (the " +
         "fit-then-score lifecycle applied to an eval suite); the " +
@@ -3960,8 +3967,9 @@ object SqlSurface {
          |  (CAST(conv(substring(md5(concat('icws:b:', CAST(i AS STRING), ':', e)), 1, 12), 16, 10) AS BIGINT) + 0.5D) / power(16.0D, 12) AS ub
          |      FROM ex),
          |sc AS (SELECT g, e, i, ub,
-         |         round(-ln(ur1 * ur2), 9) AS lr,
-         |         round(ln(-round(ln(uc1 * uc2), 9)), 9) AS lnc,
+         |         greatest(round(-ln(ur1 * ur2), 9), 1e-9D) AS lr,
+         |         round(ln(greatest(-round(ln(uc1 * uc2), 9), 1e-9D)), 9)
+         |           AS lnc,
          |         round(ln(w), 9) AS lnw
          |       FROM d),
          |s2 AS (SELECT g, e, i, lr, lnc, ub,
@@ -4141,6 +4149,36 @@ object SqlSurface {
          |      FROM it i JOIN sz x ON i.doc_id = x.doc_id
          |                JOIN sz y ON i.hist_id = y.doc_id
          |      WHERE round(CAST(i.c AS DOUBLE) / least(x.n, y.n), 6)
+         |        >= 0.9D),
+         |hh AS (SELECT doc_id, count(1) AS n_hits,
+         |         max(containment) AS max_containment
+         |       FROM v GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(z.n, 0) AS BIGINT) AS n_sh,
+         |  coalesce(hh.n_hits, 0L) AS n_hits,
+         |  coalesce(hh.max_containment, 0.0D) AS max_containment,
+         |  coalesce(hh.n_hits, 0L) > 0L AS contained
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+         |LEFT JOIN sz z ON d.doc_id = z.doc_id
+         |LEFT JOIN hh ON d.doc_id = hh.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // The "batch" directions dial: the same definition restricted to
+    // pairs where the incoming doc is the smaller-or-equal side.
+    "containment_incremental_batch" ->
+      s"""WITH ${shingleCte("doc_id")},
+         |sz AS (SELECT doc_id, count(1) AS n FROM sh GROUP BY doc_id),
+         |it AS (SELECT a.doc_id AS doc_id, b.doc_id AS hist_id,
+         |         count(1) AS c
+         |       FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |       WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 != 0
+         |       GROUP BY a.doc_id, b.doc_id),
+         |v AS (SELECT i.doc_id,
+         |        round(CAST(i.c AS DOUBLE) / least(x.n, y.n), 6)
+         |          AS containment
+         |      FROM it i JOIN sz x ON i.doc_id = x.doc_id
+         |                JOIN sz y ON i.hist_id = y.doc_id
+         |      WHERE x.n <= y.n
+         |        AND round(CAST(i.c AS DOUBLE) / least(x.n, y.n), 6)
          |        >= 0.9D),
          |hh AS (SELECT doc_id, count(1) AS n_hits,
          |         max(containment) AS max_containment
@@ -5156,6 +5194,8 @@ object SqlSurface {
         SparkEntry.queries("source_weighted_jaccard_icws"),
       "containment_incremental" ->
         SparkEntry.queries("containment_incremental"),
+      "containment_incremental_batch" ->
+        SparkEntry.queries("containment_incremental_batch"),
       "ngram_diversity" -> SparkEntry.queries("ngram_diversity"),
       "zipf_alpha" -> SparkEntry.queries("zipf_alpha"),
       "profile_drift" -> SparkEntry.queries("profile_drift"),

@@ -343,6 +343,20 @@ object Dedup {
     */
   private val ThresholdEps = 1e-7
 
+  /** Half-width of the 6-dp VERIFY rounding window (round-13 advice):
+    * every pair verify in this family compares `round(sim, 6) >= t`,
+    * which accepts true similarity as low as t − 5e-7 — so each
+    * candidate filter (prefix length, size-ratio prune) must stay
+    * lossless down to t − 5e-7, not just to t. The prefix/prune bounds
+    * therefore use `t − RoundHalfWidth` in place of t; because the
+    * slack scales the set size inside ⌈t·n⌉, this widens a prefix by
+    * at most one position per million shingles (and the size prune by
+    * the same hair), and the extra candidates die in the exact verify
+    * — outputs are unchanged, the losslessness guarantee now covers
+    * the round-up window the verify actually admits.
+    */
+  private val RoundHalfWidth = 5e-7
+
   /** Shared verification tail: join each candidate pair to its full
     * shingle arrays, exact Jaccard, threshold filter, canonical output.
     * Single definition so rounding scale, threshold semantics and
@@ -466,8 +480,8 @@ object Dedup {
         transform(col("ds"), e => e.getField("shingle")).as("sh"),
         size(col("ds")).as("n_sh"))
       .withColumn("p",
-        (col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(ThresholdEps)) + 1)
-          .cast("int"))
+        (col("n_sh") - ceil(lit(threshold - RoundHalfWidth) * col("n_sh")
+          - lit(ThresholdEps)) + 1).cast("int"))
       .cache()
     // each prefix occurrence of a shingle with document frequency df
     // contributes df candidate rows — Σ df over this frame IS the join
@@ -542,12 +556,98 @@ object Dedup {
     * sentinel on Σ prefix-occurrences × other-side df, refusing above
     * `maxJoinMass` BEFORE any candidate row forms, with the same
     * named mitigations as the full-corpus pass.
+    *
+    * `directions` is the COST dial (round-13 handoff): at a real
+    * ingest ratio (batch ≪ history) the history-prefix pass dominates
+    * the gate's cost while its leak direction — an incoming WRAPPER
+    * page around an existing doc — is one many pipelines knowingly
+    * exclude (wrappers are caught by the full-corpus pass at release
+    * time). `"both"` (default) is the safe semantics above;
+    * `"batch"` restricts the verdict to pairs where the INCOMING doc
+    * is the smaller-or-equal side (containment = c/|A|, |A| ≤ |B| —
+    * "is this incoming doc quoted inside history?") and skips the
+    * history-prefix pass entirely; `"history"` is the mirror (|B| ≤
+    * |A| — wrapper detection only), skipping the batch-prefix pass.
+    * Each single-direction mode is still EXACT for its restricted
+    * predicate: the restriction makes the surviving side's prefix the
+    * smaller side's prefix, which is precisely what the lemma needs,
+    * so the brute-force oracle over the same size-restricted predicate
+    * matches row-for-row.
+    *
+    * Cache lifecycle (round-13 verdict): the default `eager = true`
+    * materializes the batch-sized verdict frame (lineage severed) and
+    * drops both per-call caches (the batch projection AND the
+    * corpus-sized history projection) before returning — a
+    * foreachBatch ingest loop accumulates nothing. `eager = false`
+    * returns the raw distributed plan for `.explain`/plan audits; the
+    * caller then owns the two leaked caches.
     */
   def containmentGateIncremental(incoming: DataFrame, history: DataFrame,
       threshold: Double, n: Int = 3,
-      maxJoinMass: Long = 100000000L): DataFrame = {
+      maxJoinMass: Long = 100000000L,
+      directions: String = "both",
+      eager: Boolean = true): DataFrame =
+    containmentGateCore(incoming, history, threshold, n, maxJoinMass,
+      directions, eager, histVocab = None)
+
+  /** Broadcast Bloom over HISTORY's shingle vocabulary — the
+    * containment gate's [[historyBlooms]] analogue, built ONCE per
+    * layout and reused every batch. On a mostly-novel ingest (the
+    * normal case) almost every batch-prefix row carries a shingle
+    * history has never seen; the persisted df table already scores
+    * those df 0 so they produce no candidates, but they still ride the
+    * candidate join's shuffle — the Bloom prunes them on the map side
+    * BEFORE any exchange. `expectedItems` sizes for history's DISTINCT
+    * shingle count (a multiset insert is membership-equivalent, so no
+    * distinct pass is paid here).
+    */
+  def containmentHistoryVocabBloom(history: DataFrame, expectedItems: Long,
+      fpp: Double = 0.01, n: Int = 3):
+      org.apache.spark.util.sketch.BloomFilter = {
+    require(expectedItems >= 1, s"expectedItems must be >= 1, got $expectedItems")
+    require(fpp > 0 && fpp < 1, s"fpp in (0,1), got $fpp")
+    shingles(history, n).stat.bloomFilter("shingle", expectedItems, fpp)
+  }
+
+  /** [[containmentGateIncremental]] with the
+    * [[containmentHistoryVocabBloom]] prefilter — verdicts
+    * bit-identical to the unfiltered gate (a Bloom has no false
+    * negatives, so no candidate the verify would accept is pruned;
+    * false positives merely pass rows the equi-joins discard), with
+    * the batch side pruned BEFORE both candidate shuffles: the
+    * batch-prefix rows (direction 1's probe) and the batch inverted
+    * index (direction 2's build side) both drop every history-novel
+    * shingle map-side.
+    */
+  def containmentGateIncrementalBloomed(incoming: DataFrame,
+      history: DataFrame, threshold: Double,
+      histVocab: org.apache.spark.util.sketch.BloomFilter,
+      n: Int = 3, maxJoinMass: Long = 100000000L,
+      directions: String = "both",
+      eager: Boolean = true): DataFrame =
+    containmentGateCore(incoming, history, threshold, n, maxJoinMass,
+      directions, eager, histVocab = Some(histVocab))
+
+  private def containmentGateCore(incoming: DataFrame, history: DataFrame,
+      threshold: Double, n: Int,
+      maxJoinMass: Long,
+      directions: String,
+      eager: Boolean,
+      histVocab: Option[org.apache.spark.util.sketch.BloomFilter]): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must lie in (0, 1], got $threshold")
+    require(Set("both", "batch", "history")(directions),
+      s"""directions must be "both", "batch" or "history", got $directions""")
+    // the history-vocab prune both batch-sized join inputs share: rows
+    // whose shingle history cannot contain never reach an exchange
+    val pruneByVocab: DataFrame => DataFrame = histVocab match {
+      case None => identity
+      case Some(bf) =>
+        val bc = incoming.sparkSession.sparkContext.broadcast(bf)
+        val might = udf((s: String) =>
+          s != null && bc.value.mightContainString(s))
+        df => df.filter(might(col("shingle")))
+    }
     val incInv = shingles(incoming, n)
     val histInv = shingles(history, n)
       .select(col("doc_id").as("hist_id"), col("shingle"))
@@ -564,8 +664,8 @@ object Dedup {
         transform(col("ds"), e => e.getField("shingle")).as("sh"),
         size(col("ds")).as("n_sh"))
       .withColumn("p",
-        (col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(ThresholdEps)) + 1)
-          .cast("int"))
+        (col("n_sh") - ceil(lit(threshold - RoundHalfWidth) * col("n_sh")
+          - lit(ThresholdEps)) + 1).cast("int"))
     // batch-sized: feeds its prefix, the verify join and the rollup
     val incSorted = sortedOf(incInv, "doc_id").cache()
     // corpus-sized but bounded (one row per history doc); two
@@ -582,33 +682,48 @@ object Dedup {
       "(keepCanonical), pre-filter high-df boilerplate shingles, or " +
       "raise maxJoinMass knowingly"
     // direction 1: incoming doc is the smaller side — its prefix
-    // probes history's full inverted index
-    val incPrefix = Partitioning.requireBoundedMass(
-      prefixOf(incSorted, "doc_id")
-        .join(dfHist, Seq("shingle"), "left")
-        .select(col("doc_id"), col("shingle"),
-          coalesce(col("df"), lit(0L)).as("df")),
-      col("df"), "containmentGateIncremental(batch prefix)", maxJoinMass,
-      remedy).select(col("doc_id"), col("shingle"))
-    val cand1 = incPrefix.join(histInv, "shingle")
-      .select(col("doc_id"), col("hist_id"))
+    // probes history's full inverted index (skipped entirely in
+    // "history" mode: its leak direction is excluded by definition)
+    val cand1 = if (directions == "history") None else Some {
+      val incPrefix = Partitioning.requireBoundedMass(
+        pruneByVocab(prefixOf(incSorted, "doc_id"))
+          .join(dfHist, Seq("shingle"), "left")
+          .select(col("doc_id"), col("shingle"),
+            coalesce(col("df"), lit(0L)).as("df")),
+        col("df"), "containmentGateIncremental(batch prefix)", maxJoinMass,
+        remedy).select(col("doc_id"), col("shingle"))
+      incPrefix.join(histInv, "shingle")
+        .select(col("doc_id"), col("hist_id"))
+    }
     // direction 2: the history doc is the smaller side — its prefix
-    // probes the BATCH's inverted index (batch-vocabulary-bounded)
-    val histPrefix = Partitioning.requireBoundedMass(
-      prefixOf(histSorted, "hist_id")
-        .join(dfInc, Seq("shingle"), "left")
-        .select(col("hist_id"), col("shingle"),
-          coalesce(col("df"), lit(0L)).as("df")),
-      col("df"), "containmentGateIncremental(history prefix)", maxJoinMass,
-      remedy).select(col("hist_id"), col("shingle"))
-    val cand2 = histPrefix.join(incInv, "shingle")
-      .select(col("doc_id"), col("hist_id"))
-    val candidates = cand1.unionByName(cand2).distinct()
+    // probes the BATCH's inverted index (batch-vocabulary-bounded);
+    // skipped entirely in "batch" mode — the cost dial's whole point
+    val cand2 = if (directions == "batch") None else Some {
+      val histPrefix = Partitioning.requireBoundedMass(
+        prefixOf(histSorted, "hist_id")
+          .join(dfInc, Seq("shingle"), "left")
+          .select(col("hist_id"), col("shingle"),
+            coalesce(col("df"), lit(0L)).as("df")),
+        col("df"), "containmentGateIncremental(history prefix)", maxJoinMass,
+        remedy).select(col("hist_id"), col("shingle"))
+      histPrefix.join(pruneByVocab(incInv), "shingle")
+        .select(col("doc_id"), col("hist_id"))
+    }
+    val candidates = (cand1.toSeq ++ cand2.toSeq)
+      .reduce(_ unionByName _).distinct()
+    // single-direction modes verify their size-restricted predicate —
+    // exactly the region their surviving prefix pass is lossless for
+    val sizeGuard: Column = directions match {
+      case "batch"   => col("na") <= col("nb")
+      case "history" => col("nb") <= col("na")
+      case _         => lit(true)
+    }
     val verified = candidates
       .join(incSorted.select(col("doc_id"), col("sh").as("sha"),
         col("n_sh").as("na")), "doc_id")
       .join(histSorted.select(col("hist_id"), col("sh").as("shb"),
         col("n_sh").as("nb")), "hist_id")
+      .filter(sizeGuard)
       .withColumn("n_shared",
         size(array_intersect(col("sha"), col("shb"))).cast("long"))
       .withColumn("containment", round(col("n_shared").cast("double") /
@@ -617,7 +732,7 @@ object Dedup {
     val hits = verified.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"),
         max(col("containment")).as("max_containment"))
-    incoming.select(col("doc_id"))
+    val flags = incoming.select(col("doc_id"))
       .join(incSorted.select(col("doc_id"), col("n_sh")), Seq("doc_id"), "left")
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -626,6 +741,17 @@ object Dedup {
         coalesce(col("max_containment"), lit(0.0)).as("max_containment"))
       .withColumn("contained", col("n_hits") > 0)
       .orderBy(col("doc_id"))
+    if (!eager) flags
+    else {
+      // batch-sized verdict frame: materialize eagerly, then drop the
+      // per-call caches (histSorted is CORPUS-sized — leaving it pinned
+      // per foreachBatch micro-batch is exactly the accumulation the
+      // incrementalFlags discipline exists to prevent)
+      val out = flags.localCheckpoint(true)
+      incSorted.unpersist()
+      histSorted.unpersist()
+      out
+    }
   }
 
   /** STREAMING-safe contamination gate — the ingest-time form of
@@ -915,9 +1041,14 @@ object Dedup {
   /** Prefix-filtered exact-Jaccard pair core over a prepared (and
     * normally cached) [[docShingles]] frame, UNSORTED — see
     * [[ngramJaccardPairs]] for semantics and the scale argument.
+    * `register` receives every frame the core caches internally so a
+    * composing evaluator can unpersist them once its own result is
+    * materialized (the round-13 lifecycle item); the default no-op
+    * keeps standalone callers unchanged.
     */
   private def ngramJaccardCore(docSh: DataFrame, threshold: Double,
-      cacheInv: Boolean = true): DataFrame = {
+      cacheInv: Boolean = true,
+      register: DataFrame => Unit = _ => ()): DataFrame = {
     // exact via prefix filtering: rarest-first order, prefix-only index.
     // inv feeds the df aggregation and the ordering join — the branches
     // cannot share an exchange (one has a partial aggregate below it).
@@ -931,7 +1062,7 @@ object Dedup {
     // from its cached docSh. Evictable cache() either way, never
     // localCheckpoint (the round-12 OOM lesson).
     val inv0 = docSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val inv = if (cacheInv) inv0.cache() else inv0
+    val inv = if (cacheInv) { val c = inv0.cache(); register(c); c } else inv0
     val dfAgg = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     // one row per doc: shingles sorted by the global (df, shingle)
     // order + prefix length; cached — it feeds the prefix index and
@@ -944,9 +1075,10 @@ object Dedup {
         transform(col("ds"), e => e.getField("shingle")).as("sh"),
         size(col("ds")).as("n_sh"))
       .withColumn("p",
-        (col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(ThresholdEps)) + 1)
-          .cast("int"))
+        (col("n_sh") - ceil(lit(threshold - RoundHalfWidth) * col("n_sh")
+          - lit(ThresholdEps)) + 1).cast("int"))
       .cache()
+    register(sorted)
     val prefix = sorted.select(col("doc_id"),
       explode(slice(col("sh"), lit(1), col("p"))).as("shingle"))
     val candidates = prefix.as("a").join(prefix.as("b"),
@@ -960,8 +1092,10 @@ object Dedup {
     val sized = candidates
       .join(sizes.toDF("doc_a", "na"), "doc_a")
       .join(sizes.toDF("doc_b", "nb"), "doc_b")
-      .filter(col("nb") >= lit(threshold) * col("na") - lit(ThresholdEps) &&
-        col("na") >= lit(threshold) * col("nb") - lit(ThresholdEps))
+      .filter(col("nb") >= lit(threshold - RoundHalfWidth) * col("na")
+          - lit(ThresholdEps) &&
+        col("na") >= lit(threshold - RoundHalfWidth) * col("nb")
+          - lit(ThresholdEps))
       .select(col("doc_a"), col("doc_b"))
     verifyPairsCore(sized, sorted.select(col("doc_id"), col("sh")), threshold)
   }
@@ -1190,15 +1324,25 @@ object Dedup {
     * not once per side. The comparison itself is one pair-keyed union
     * + groupBy over two pair-table-sized frames and a single global
     * fold — no new corpus-sized work, no nested loop.
+    *
+    * Cache lifecycle (round-13 verdict): the result is ONE row, so the
+    * default `eager = true` materializes it and drops the shared
+    * docShingles cache (and the core's internal `sorted` cache) before
+    * returning — a long-lived session sweeping several (k, bands)
+    * configurations accumulates no pinned corpus-sized frames.
+    * `eager = false` returns the raw distributed plan for
+    * `.explain`/plan audits; the caller then owns the caches.
     */
   def lshRecall(docs: DataFrame, threshold: Double,
-      k: Int = 16, bands: Int = 4): DataFrame = {
+      k: Int = 16, bands: Int = 4, eager: Boolean = true): DataFrame = {
     val docSh = docShingles(docs, 3).cache()
-    val exact = ngramJaccardCore(docSh, threshold, cacheInv = false)
+    val cached = scala.collection.mutable.ArrayBuffer[DataFrame](docSh)
+    val exact = ngramJaccardCore(docSh, threshold, cacheInv = false,
+        register = cached += _)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("e"), lit(0L).as("l"))
     val lsh = minhashLshCore(docSh, threshold, k, bands)
       .select(col("doc_a"), col("doc_b"), lit(0L).as("e"), lit(1L).as("l"))
-    exact.unionByName(lsh)
+    val out = exact.unionByName(lsh)
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(max(col("e")).as("e"), max(col("l")).as("l"))
       .agg(coalesce(sum(col("e")), lit(0L)).as("n_exact"),
@@ -1212,6 +1356,14 @@ object Dedup {
         when(col("n_lsh") > 0,
           round(col("n_hit").cast("double") / col("n_lsh"), 6))
           .otherwise(lit(0.0)).as("precision"))
+    if (!eager) out
+    else {
+      // one-row result: materialize, then release every cache this
+      // evaluation pinned (docSh + the exact core's sorted frame)
+      val r = out.localCheckpoint(true)
+      cached.foreach(_.unpersist())
+      r
+    }
   }
 
   /** Band digests derived from an ALREADY-COMPUTED k-row minhash
@@ -1246,19 +1398,27 @@ object Dedup {
     * shingle work is never repeated); each arm adds only its banded
     * candidate join + exact verification, all pair-table-sized. The
     * three caches (docSh, exact pairs, signatures) are all bounded
-    * and evictable.
+    * and evictable — and with the default `eager = true` the bounded
+    * (layout-count-row) result is materialized and EVERY pinned frame
+    * released before returning (round-13 verdict's lifecycle item);
+    * `eager = false` returns the raw plan for audits, caller owns the
+    * caches.
     */
   def lshRecallCurve(docs: DataFrame, threshold: Double, k: Int = 16,
-      bandArms: Seq[Int] = Seq(2, 4, 8)): DataFrame = {
+      bandArms: Seq[Int] = Seq(2, 4, 8), eager: Boolean = true): DataFrame = {
     require(bandArms.nonEmpty, "bandArms must name at least one layout")
     require(bandArms.forall(b => b >= 1 && b <= k && k % b == 0),
       s"every bandArms entry must divide k=$k, got $bandArms")
     val docSh = docShingles(docs, 3).cache()
-    val exact = ngramJaccardCore(docSh, threshold, cacheInv = false)
+    val cached = scala.collection.mutable.ArrayBuffer[DataFrame](docSh)
+    val exact = ngramJaccardCore(docSh, threshold, cacheInv = false,
+        register = cached += _)
       .select(col("doc_a"), col("doc_b")).cache()
     val sigs = docSh
       .select(col("doc_id"), minhashSigUdf(k)(col("sh")).as("sig"))
       .cache()
+    cached += exact
+    cached += sigs
     val arms = bandArms.map { bands =>
       val banded = sigs
         .select(col("doc_id"), explode(bandKeysFromSigUdf(bands)(col("sig"))).as("bk"))
@@ -1290,7 +1450,15 @@ object Dedup {
             round(col("n_hit").cast("double") / col("n_lsh"), 6))
             .otherwise(lit(0.0)).as("precision"))
     }
-    arms.reduce(_ unionByName _).orderBy(col("bands"))
+    val out = arms.reduce(_ unionByName _).orderBy(col("bands"))
+    if (!eager) out
+    else {
+      // one row per layout: materialize, then release all four pinned
+      // frames (docSh, the exact core's sorted, exact pairs, sigs)
+      val r = out.localCheckpoint(true)
+      cached.foreach(_.unpersist())
+      r
+    }
   }
 
   /** Incremental dedup: flag an incoming batch against corpus HISTORY —

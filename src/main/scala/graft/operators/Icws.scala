@@ -64,24 +64,21 @@ object Icws {
     * their weights; non-positive summed weights drop (ln undefined —
     * a weight of zero IS absence).
     */
-  def weightedJaccardIcws(rows: DataFrame, groupCol: String, elemCol: String,
-      weightCol: String, k: Int = 32, maxGroups: Int = 1024,
-      salt: String = "icws"): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    require(maxGroups >= 2, s"maxGroups must be >= 2, got $maxGroups")
-    val g = col(groupCol).as("g")
-    val wts = rows
-      .groupBy(g, col(elemCol).as("e"))
+  /** The summed positive (g, e, w) weight table every ICWS consumer
+    * derives from — one definition so the build path and the persisted
+    * layout can never disagree on the weighting scheme.
+    */
+  private def weightsOf(rows: DataFrame, groupCol: String, elemCol: String,
+      weightCol: String): DataFrame =
+    rows.groupBy(col(groupCol).as("g"), col(elemCol).as("e"))
       .agg(sum(col(weightCol)).cast("double").as("w"))
       .filter(col("w") > 0)
-    // in-plan group-domain gate: the i-keyed sketch join below has
-    // per-key multiplicity = |groups| and the pair output is
-    // |groups|² — the same bound every grouped-sketch operator wears
-    val tot = Partitioning.requireBoundedDomain(
-      wts.groupBy(col("g")).agg(sum(col("w")).as("tot")),
-      groupCol, "weightedJaccardIcws", maxGroups)
-    // ---- sketch side: k ICWS samples per (group, elem) over the
-    // AGGREGATED vocabulary (5 md5 draws each, ln's 9-dp-quantized)
+
+  /** The k-sample ICWS sketch table (g, i, se, st) over a prepared
+    * weight table — the Ioffe chain from the object scaladoc, every ln
+    * 9-dp-quantized immediately.
+    */
+  private def sketchOf(wts: DataFrame, k: Int, salt: String): DataFrame = {
     val expanded = wts
       .select(col("g"), col("e"), col("w"),
         explode(sequence(lit(0), lit(k - 1))).as("i"))
@@ -90,17 +87,34 @@ object Icws {
     val uc = draw("c1", col("i"), col("e"), salt) *
       draw("c2", col("i"), col("e"), salt)
     val ub = draw("b", col("i"), col("e"), salt)
+    // degenerate-draw clamp (round-13 advice): a uniform product within
+    // ~5e-10 of 1.0 has its ln 9-dp-quantize to exactly 0, which would
+    // divide t by zero (and Spark's LONG floor vs DuckDB's DOUBLE floor
+    // disagree on the ±Inf that follows) — clamping to 1e-9, the
+    // smallest positive 9-dp value, keeps the chain finite and IDENTICAL
+    // in every replaying engine; the same greatest() guards the Gamma
+    // draw feeding lnc (ln(0) is NULL in Spark but -inf elsewhere)
     val scored = expanded
-      .withColumn("lr", r9(-log(ur)))                  // r ~ Gamma(2,1)
-      .withColumn("lnc", r9(log(-r9(log(uc)))))        // ln of Gamma(2,1)
+      .withColumn("lr",
+        greatest(r9(-log(ur)), lit(1e-9)))             // r ~ Gamma(2,1)
+      .withColumn("lnc",
+        r9(log(greatest(-r9(log(uc)), lit(1e-9)))))    // ln of Gamma(2,1)
       .withColumn("ub", ub)
       .withColumn("t", floor(r9(log(col("w"))) / col("lr") + col("ub")))
       .withColumn("lna",
         r9(col("lnc") - col("lr") * (col("t") + lit(1.0) - col("ub"))))
-    val sk = scored.groupBy(col("g"), col("i"))
+    scored.groupBy(col("g"), col("i"))
       .agg(min(struct(col("lna"), col("e"), col("t"))).as("s"))
       .select(col("g"), col("i"),
         col("s.e").as("se"), col("s.t").as("st"))
+  }
+
+  /** The pair readout over prepared (sketch, weights, gated totals)
+    * frames — shared verbatim by the from-rows path and the persisted
+    * probe so the two can never drift.
+    */
+  private def readout(sk: DataFrame, wts: DataFrame, tot: DataFrame,
+      k: Int): DataFrame = {
     val est = sk.as("a").join(sk.as("b"),
         col("a.i") === col("b.i") && col("a.g") < col("b.g"))
       .groupBy(col("a.g").as("group_a"), col("b.g").as("group_b"))
@@ -125,5 +139,92 @@ object Icws {
       .withColumn("abs_err", round(abs(col("est_weighted_jaccard") -
         col("exact_weighted_jaccard")), 6))
       .orderBy(col("group_a"), col("group_b"))
+  }
+
+  def weightedJaccardIcws(rows: DataFrame, groupCol: String, elemCol: String,
+      weightCol: String, k: Int = 32, maxGroups: Int = 1024,
+      salt: String = "icws"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxGroups >= 2, s"maxGroups must be >= 2, got $maxGroups")
+    val wts = weightsOf(rows, groupCol, elemCol, weightCol)
+    // in-plan group-domain gate: the i-keyed sketch join below has
+    // per-key multiplicity = |groups| and the pair output is
+    // |groups|² — the same bound every grouped-sketch operator wears
+    val tot = Partitioning.requireBoundedDomain(
+      wts.groupBy(col("g")).agg(sum(col("w")).as("tot")),
+      groupCol, "weightedJaccardIcws", maxGroups)
+    // ---- sketch side: k ICWS samples per (group, elem) over the
+    // AGGREGATED vocabulary (5 md5 draws each, ln's 9-dp-quantized)
+    readout(sketchOf(wts, k, salt), wts, tot, k)
+  }
+
+  /** Layout root for the persisted-sketch contract query (the
+    * [[graft.operators.Dedup.indexDumpPath]] convention).
+    */
+  val sketchDumpPath: String =
+    sys.props.getOrElse("graft.icws.sketch.dump",
+      "/tmp/graft_oracle_icws_sketch")
+
+  /** Materialize the ICWS layout under `path`: `sketches/` (g, i, se,
+    * st — groups × k rows, the compact probe artifact), `totals/`
+    * (g, tot) and `weights/` (g, e, w — the exact side's index, the
+    * [[Dedup.persistDedupIndex]] shingle-table analogue) parquet
+    * tables, plus a `manifest.json` recording k — the sample count is
+    * part of the LAYOUT (a probe over a different k would compare
+    * nothing), so every read derives it from the manifest. Build once
+    * per release, then any number of pair probes run without
+    * re-aggregating the corpus or re-drawing a single md5 sample —
+    * the sketch build is the only corpus-sized pass.
+    */
+  def persistSketches(rows: DataFrame, groupCol: String, elemCol: String,
+      weightCol: String, path: String, k: Int = 32, maxGroups: Int = 1024,
+      salt: String = "icws"): Unit = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val wts = weightsOf(rows, groupCol, elemCol, weightCol).cache()
+    try {
+      // the gate rides the build: a layout that would blow the pair
+      // probe up refuses to materialize at all
+      Partitioning.requireBoundedDomain(
+        wts.groupBy(col("g")).agg(sum(col("w")).as("tot")),
+        groupCol, "persistSketches", maxGroups)
+        .write.mode("overwrite").parquet(s"$path/totals")
+      sketchOf(wts, k, salt)
+        .write.mode("overwrite").parquet(s"$path/sketches")
+      wts.write.mode("overwrite").parquet(s"$path/weights")
+    } finally wts.unpersist()
+    val conf = rows.sparkSession.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path, "manifest.json")
+    val out = p.getFileSystem(conf).create(p, true)
+    try out.write(s"""{"k": $k}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Pair probe over a [[persistSketches]] layout — row-for-row
+    * identical to [[weightedJaccardIcws]] on the rows the layout was
+    * built from (the readout is shared verbatim; parquet round-trips
+    * doubles exactly), with NO corpus-sized work: the probe reads the
+    * three bounded tables and pays only the i-keyed sketch join, the
+    * elem-keyed exact join and the pair readout.
+    */
+  def weightedJaccardIcwsPersisted(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxGroups: Int = 1024): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path, "manifest.json")
+    val fs = p.getFileSystem(conf)
+    require(fs.exists(p),
+      s"no ICWS-sketch manifest at $p — not a persistSketches layout")
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val m = """"k"\s*:\s*(\d+)""".r.findFirstMatchIn(text)
+    require(m.isDefined, s"manifest at $p missing field k: $text")
+    val k = m.get.group(1).toInt
+    // re-gate on read: the pair join is |groups|² no matter where the
+    // layout came from
+    val tot = Partitioning.requireBoundedDomain(
+      spark.read.parquet(s"$path/totals"), "g",
+      "weightedJaccardIcwsPersisted", maxGroups)
+    readout(spark.read.parquet(s"$path/sketches"),
+      spark.read.parquet(s"$path/weights"), tot, k)
   }
 }

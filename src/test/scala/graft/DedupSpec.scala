@@ -450,6 +450,93 @@ class DedupSpec extends AnyFunSuite {
     assert(engine == brute, s"engine $engine vs brute $brute")
   }
 
+  test("containmentGateIncremental directions dial: each single-direction mode equals its size-restricted brute force") {
+    val quote = "alpha beta gamma delta epsilon"
+    val history = Seq(
+      (1L, s"intro words here $quote closing words after"),
+      (2L, "totally unrelated content about rivers and stones ok"),
+      (4L, quote)).toDF("doc_id", "text")
+    val incoming = Seq(
+      (100L, quote),                             // contained in hist 1, = 4
+      (101L, "nothing in common with anything"),
+      (102L, "xy"),
+      (103L, s"$quote and some trailing padding words here too"))
+      .toDF("doc_id", "text")                    // WRAPS hist 4
+    def run(mode: String) =
+      Dedup.containmentGateIncremental(incoming, history, 0.9,
+          directions = mode)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    def sets(rows: Array[(Long, String)]): Map[Long, Set[String]] =
+      rows.map { case (id, t) =>
+        id -> t.trim.split("\\s+").sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet
+      }.toMap
+    val incS = sets(incoming.collect().map(r => (r.getLong(0), r.getString(1))))
+    val hisS = sets(history.collect().map(r => (r.getLong(0), r.getString(1))))
+    def brute(restrict: (Int, Int) => Boolean) = incS.map { case (a, sa) =>
+      val conts = for {
+        (_, sb) <- hisS.toSeq
+        if sa.nonEmpty && sb.nonEmpty && restrict(sa.size, sb.size)
+        c = (sa intersect sb).size
+        if c > 0
+        cont = BigDecimal(c.toDouble / math.min(sa.size, sb.size))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if cont >= 0.9
+      } yield cont
+      a -> ((sa.size.toLong, conts.size.toLong,
+        if (conts.isEmpty) 0.0 else conts.max, conts.nonEmpty))
+    }
+    // "batch": incoming is the smaller-or-equal side — catches 100
+    // (quoted whole) but NOT the wrapper 103
+    val batch = run("batch")
+    assert(batch == brute((na, nb) => na <= nb), s"batch $batch")
+    assert(batch(100L)._4 && !batch(103L)._4, s"batch $batch")
+    // "history": the mirror — catches the wrapper 103, not 100's
+    // larger-history hit on doc 1 (though 100 = hist 4 ties, caught)
+    val hist = run("history")
+    assert(hist == brute((na, nb) => nb <= na), s"history $hist")
+    assert(hist(103L)._4, s"history $hist")
+    // the union of single-direction HITS reconstructs "both" flags
+    val both = run("both")
+    assert(both.keySet.forall(k =>
+      both(k)._4 == (batch(k)._4 || hist(k)._4)), s"$both")
+    // unknown mode refuses loudly
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.containmentGateIncremental(incoming, history, 0.9,
+        directions = "sideways")
+    }
+    assert(ex.getMessage.contains("directions"))
+  }
+
+  test("containmentGateIncrementalBloomed: verdicts bit-identical to the unbloomed gate") {
+    val quote = "alpha beta gamma delta epsilon"
+    val history = Seq(
+      (1L, s"intro words here $quote closing words after"),
+      (2L, "totally unrelated content about rivers and stones ok"),
+      (4L, quote)).toDF("doc_id", "text")
+    // mostly-NOVEL batch — the prune's target shape: every shingle of
+    // 104/105 is absent from history and must die map-side without
+    // changing a single verdict
+    val incoming = Seq(
+      (100L, quote),
+      (103L, s"$quote and some trailing padding words here too"),
+      (104L, "entirely novel vocabulary one two three four five six"),
+      (105L, "more unseen words seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    val bloom = Dedup.containmentHistoryVocabBloom(history,
+      expectedItems = 100L)
+    for (mode <- Seq("both", "batch", "history")) {
+      val plain = Dedup.containmentGateIncremental(
+        incoming, history, 0.6, directions = mode)
+        .collect().map(_.toSeq).toSeq
+      val bloomed = Dedup.containmentGateIncrementalBloomed(
+        incoming, history, 0.6, bloom, directions = mode)
+        .collect().map(_.toSeq).toSeq
+      assert(bloomed == plain, s"$mode: bloomed $bloomed vs plain $plain")
+    }
+  }
+
   test("lshRecallCurve: nested layouts are monotone; the bands=4 arm equals lshRecall") {
     // a mixed corpus: one exact-dup pair (collides at every layout),
     // one near-dup pair, several unrelated docs

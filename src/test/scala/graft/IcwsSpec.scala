@@ -75,4 +75,26 @@ class IcwsSpec extends AnyFunSuite {
     assert(msg.contains("weightedJaccardIcws"),
       s"expected the domain-gate raise naming the site: $msg")
   }
+
+  test("persisted layout probe is row-for-row the from-rows operator; a bare path refuses") {
+    val rows = rowsOf(
+      ("a", "x", 4L), ("a", "y", 2L), ("a", "z", 7L),
+      ("b", "x", 1L), ("b", "y", 2L), ("b", "z", 3L),
+      ("c", "q", 5L), ("c", "x", 4L),
+      ("d", "q", 5L), ("d", "x", 4L))
+    val path = java.nio.file.Files
+      .createTempDirectory("icws_sketch_spec").toString
+    Icws.persistSketches(rows, "g", "e", "w", path, k = 16)
+    val direct = Icws.weightedJaccardIcws(rows, "g", "e", "w", k = 16)
+      .collect().map(_.toSeq).toSeq
+    val probed = Icws.weightedJaccardIcwsPersisted(spark, path)
+      .collect().map(_.toSeq).toSeq
+    assert(probed == direct, s"probed $probed vs direct $direct")
+    // the manifest carries k: a probe never guesses the sample count
+    val ex = intercept[IllegalArgumentException] {
+      Icws.weightedJaccardIcwsPersisted(spark,
+        java.nio.file.Files.createTempDirectory("icws_empty").toString)
+    }
+    assert(ex.getMessage.contains("manifest"))
+  }
 }
