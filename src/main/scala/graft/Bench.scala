@@ -80,7 +80,8 @@ object Bench {
       "dedup_incremental_compacted",
       // round-14: per-rep Bloom build over history's vocabulary /
       // per-rep sketch-layout persist — maintenance, not query latency
-      "containment_incremental_bloom", "icws_persisted")
+      "containment_incremental_bloom", "icws_persisted",
+      "containment_incremental_persisted")
     def timeAll(entries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =
       entries.map { case (name, fn) =>
         val times = (1 to reps).map(_ => runOnce(name, fn, sfDir))

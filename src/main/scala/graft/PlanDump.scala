@@ -206,7 +206,11 @@ object PlanDump {
       "containment_incremental" -> "Incremental containment gate: BOTH prefix directions are equi-joins (batch prefix x history index, history prefix x batch index) under in-plan mass sentinels — no BNLJ, no all-pairs; the history-side artifacts (df table, sorted prefix index, inverted index) depend only on history, so a production ingest persists them once and the per-batch plan is batch-sized except for the one history-prefix scan; the verdict rollup is total (left joins onto the batch spine).",
       "dedup_savings_drift" -> "Release-over-release savings drift: two dedupTokenSavings cores (digest groupBy + keep equi-join each, text never crossing an exchange) meeting in ONE full-outer equi-join on the tiny source key; the delta is a narrow projection with the readout sort paid once at the composed exit.",
       "source_weighted_jaccard_icws" -> "ICWS weighted Jaccard: the corpus-sized pass is the (group, elem) weight aggregate (map-side combined); the k-sample expansion and its five md5 draws run over the AGGREGATED vocabulary domain, never raw rows; the sketch table is groups x k and pairs via an i-keyed equi-join under the in-plan group-domain gate; the exact side is one elem-keyed equi-join (per-key multiplicity = group count) plus the totals identity - no dense group x vocab grid, nothing collected to the driver.",
-      "lsh_recall_curve" -> "LSH operating-point sweep: ONE shared docShingles frame, ONE exact ground-truth pass (unsorted core) and ONE 16-row signature pass feed all three band-layout arms - per-arm digests derive from the cached signature arrays, so the k x md5-per-shingle work is never repeated; each arm adds only its banded candidate equi-join + exact verify (pair-table-sized), folding into a 1-row aggregate; no Sort under any union, no nested loop.")
+      "lsh_recall_curve" -> "LSH operating-point sweep: ONE shared docShingles frame, ONE exact ground-truth pass (unsorted core) and ONE 16-row signature pass feed all three band-layout arms - per-arm digests derive from the cached signature arrays, so the k x md5-per-shingle work is never repeated; each arm adds only its banded candidate equi-join + exact verify (pair-table-sized), folding into a 1-row aggregate; no Sort under any union, no nested loop.",
+      "containment_incremental_batch" -> "The directions cost dial: the plan contains EXACTLY ONE prefix direction (batch prefix x history inverted index, one mass sentinel) - no history-prefix explode anywhere; the verify carries the na <= nb size guard that makes the single pass lossless for its restricted predicate.",
+      "containment_incremental_bloom" -> "Bloomed incremental gate: both batch-side candidate inputs pass the broadcast Bloom's might-contain filter BEFORE any exchange, so history-novel shingles die map-side; otherwise the plan is containment_incremental's and the verdicts are bit-identical (spec-pinned).",
+      "icws_persisted" -> "Persisted ICWS probe: every scan reads the bounded parquet layout (sketches = groups x k rows, totals, weights) - no documents scan, no tokenization anywhere in the probe; the pair work is the i-keyed sketch join and the elem-keyed exact join under the re-applied in-plan group-domain gate.",
+      "containment_incremental_persisted" -> "Persisted containment probe: the history side is TWO parquet scans (df order table, sorted arrays) - no history text scan, no history shingle UDF, no history-side aggregate anywhere; only the batch is shingled, and the candidate/verify joins are the from-text gate's (verdicts spec-pinned identical).")
     val bnljAllowed = PlanDump.bnljAllowed
     val nested = scala.collection.mutable.LinkedHashMap[String, String]()
     val sb = new StringBuilder
@@ -244,6 +248,31 @@ object PlanDump {
           docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0),
           docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0),
           0.9, eager = false)
+      } else if (name == "containment_incremental_batch") {
+        val docs = sources.Tables.table(spark, dir, "documents")
+        operators.Dedup.containmentGateIncremental(
+          docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0),
+          docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0),
+          0.9, directions = "batch", eager = false)
+      } else if (name == "containment_incremental_bloom") {
+        val docs = sources.Tables.table(spark, dir, "documents")
+        val hist = docs.filter(
+          org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0)
+        operators.Dedup.containmentGateIncrementalBloomed(
+          docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0),
+          hist, 0.9,
+          operators.Dedup.containmentHistoryVocabBloom(hist,
+            expectedItems = 2000000L),
+          eager = false)
+      } else if (name == "containment_incremental_persisted") {
+        val docs = sources.Tables.table(spark, dir, "documents")
+        val path = operators.Dedup.containmentIndexDumpPath
+        operators.Dedup.persistContainmentIndex(
+          docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0),
+          path)
+        operators.Dedup.containmentGateIncrementalPersisted(
+          docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0),
+          path, 0.9, eager = false)
       } else if (name == "distinct_estimate") {
         // the contract query returns a bounded parallelized row; the
         // plan worth auditing is the corpus-sized sketch pass

@@ -300,6 +300,19 @@ object SparkEntry {
       Dedup.containmentGateIncrementalBloomed(
         docs.filter(col("doc_id") % 10 === 0), hist, 0.9, bloom)
     }),
+    // the gate's persist-once posture made real (graded under
+    // `lifecycle`: each rep rebuilds the layout): history's df order
+    // and sorted arrays land as parquet once per release, every batch
+    // probes them without scanning history text — verdicts identical
+    // to containment_incremental, so the oracle is its replay verbatim
+    "containment_incremental_persisted" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val path = Dedup.containmentIndexDumpPath
+      Dedup.persistContainmentIndex(
+        docs.filter(col("doc_id") % 10 =!= 0), path)
+      Dedup.containmentGateIncrementalPersisted(
+        docs.filter(col("doc_id") % 10 === 0), path, 0.9)
+    }),
     // build-once-probe-often for the ICWS sketches (the
     // persistDedupIndex posture, graded under `lifecycle`): the
     // corpus-sized weight aggregate and the 5-md5 sample draws land as
@@ -2674,6 +2687,8 @@ object SparkEntry {
     "containment_incremental" -> containmentIncrementalOracle,
     // bit-identical to the unbloomed gate — same replay verbatim
     "containment_incremental_bloom" -> containmentIncrementalOracle,
+    // the persisted layout's probe is verdict-identical too
+    "containment_incremental_persisted" -> containmentIncrementalOracle,
     // the "batch" directions dial: the same brute-force definition
     // restricted to pairs where the INCOMING doc is the
     // smaller-or-equal side (x.n <= y.n) — the predicate the single

@@ -452,6 +452,9 @@ object SqlSurface {
       "icws_persisted" -> (annLifecycle +
         "; the probe's SQL parity is source_weighted_jaccard_icws's " +
         "(row-for-row identical, spec-pinned)"),
+      "containment_incremental_persisted" -> (annLifecycle +
+        "; the probe's SQL parity is containment_incremental's " +
+        "(verdict-identical, spec-pinned)"),
       "stream_contamination_gate" -> ("streaming-safe stateless gate " +
         "over a driver-built broadcast vocabulary set (the " +
         "fit-then-score lifecycle applied to an eval suite); the " +

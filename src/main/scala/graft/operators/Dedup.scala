@@ -634,6 +634,45 @@ object Dedup {
       directions: String,
       eager: Boolean,
       histVocab: Option[org.apache.spark.util.sketch.BloomFilter]): DataFrame = {
+    val histInv = shingles(history, n)
+      .select(col("doc_id").as("hist_id"), col("shingle"))
+    // the shared total order: history df (the persisted artifact);
+    // batch-novel shingles coalesce to df 0 = rarest-first
+    val dfHist = histInv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    containmentGateOverArtifacts(incoming,
+      dfHist, containmentSortedBase(histInv, "hist_id", dfHist), histInv,
+      threshold, n, maxJoinMass, directions, eager, histVocab)
+  }
+
+  /** One (id, sh, n_sh) row per document, shingles in the shared
+    * (df, shingle) rarest-first order — the gate's sortable base WITHOUT
+    * the threshold-dependent prefix length, which is what a persisted
+    * layout stores (one layout serves any probe threshold).
+    */
+  private def containmentSortedBase(inv: DataFrame, idCol: String,
+      dfHist: DataFrame): DataFrame = inv
+    .join(dfHist, Seq("shingle"), "left")
+    .select(col(idCol), struct(coalesce(col("df"), lit(0L)).as("df"),
+      col("shingle").as("shingle")).as("e"))
+    .groupBy(col(idCol))
+    .agg(array_sort(collect_list(col("e"))).as("ds"))
+    .select(col(idCol),
+      transform(col("ds"), e => e.getField("shingle")).as("sh"),
+      size(col("ds")).as("n_sh"))
+
+  /** The gate over PREPARED history artifacts: the df order table, the
+    * sorted base, and the (hist_id, shingle) inverted index — the
+    * from-text path passes its shingle stream (narrow, re-derivable),
+    * the persisted path a one-explode view of the stored sorted table,
+    * so neither pays an aggregate it doesn't need.
+    */
+  private def containmentGateOverArtifacts(incoming: DataFrame,
+      dfHist: DataFrame, histBase: DataFrame, histInv: DataFrame,
+      threshold: Double, n: Int,
+      maxJoinMass: Long,
+      directions: String,
+      eager: Boolean,
+      histVocab: Option[org.apache.spark.util.sketch.BloomFilter]): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must lie in (0, 1], got $threshold")
     require(Set("both", "batch", "history")(directions),
@@ -649,29 +688,17 @@ object Dedup {
         df => df.filter(might(col("shingle")))
     }
     val incInv = shingles(incoming, n)
-    val histInv = shingles(history, n)
-      .select(col("doc_id").as("hist_id"), col("shingle"))
-    // the shared total order: history df (the persisted artifact);
-    // batch-novel shingles coalesce to df 0 = rarest-first
-    val dfHist = histInv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    def sortedOf(inv: DataFrame, idCol: String): DataFrame = inv
-      .join(dfHist, Seq("shingle"), "left")
-      .select(col(idCol), struct(coalesce(col("df"), lit(0L)).as("df"),
-        col("shingle").as("shingle")).as("e"))
-      .groupBy(col(idCol))
-      .agg(array_sort(collect_list(col("e"))).as("ds"))
-      .select(col(idCol),
-        transform(col("ds"), e => e.getField("shingle")).as("sh"),
-        size(col("ds")).as("n_sh"))
+    def withP(df: DataFrame): DataFrame = df
       .withColumn("p",
         (col("n_sh") - ceil(lit(threshold - RoundHalfWidth) * col("n_sh")
           - lit(ThresholdEps)) + 1).cast("int"))
     // batch-sized: feeds its prefix, the verify join and the rollup
-    val incSorted = sortedOf(incInv, "doc_id").cache()
+    val incSorted =
+      withP(containmentSortedBase(incInv, "doc_id", dfHist)).cache()
     // corpus-sized but bounded (one row per history doc); two
     // consumers (its prefix + the verify join) — cache(), evictable,
     // the containmentPairs `sorted` policy
-    val histSorted = sortedOf(histInv, "hist_id").cache()
+    val histSorted = withP(histBase).cache()
     def prefixOf(sorted: DataFrame, idCol: String): DataFrame =
       sorted.select(col(idCol),
         explode(slice(col("sh"), lit(1), col("p"))).as("shingle"))
@@ -752,6 +779,83 @@ object Dedup {
       histSorted.unpersist()
       out
     }
+  }
+
+  /** Layout root for the persisted containment-index contract query
+    * (the [[indexDumpPath]] convention).
+    */
+  val containmentIndexDumpPath: String =
+    sys.props.getOrElse("graft.containment.index.dump",
+      "/tmp/graft_oracle_containment_index")
+
+  /** Materialize the containment gate's history artifacts under
+    * `path` — the persist-once posture the gate's scaladoc promises,
+    * made real: `df/` (shingle, df — the shared total order) and
+    * `sorted/` (hist_id, sh, n_sh — each history doc's shingles in
+    * that order) parquet tables plus a `manifest.json` recording the
+    * shingle width n (part of the LAYOUT: a probe shingling at a
+    * different n would match nothing). The prefix length is NOT
+    * stored — it is threshold-dependent and derived per probe, so one
+    * layout serves any threshold.
+    *
+    * REBUILD-ONLY, deliberately: unlike [[appendDedupIndex]]'s digest/
+    * band tables, these artifacts embed the GLOBAL df order — an
+    * appended batch changes df counts, which reorders prefixes for
+    * documents the append never touched, so there is no sound
+    * incremental append; re-run the build per history release (the
+    * build is one shingle pass + one aggregate over history).
+    */
+  def persistContainmentIndex(history: DataFrame, path: String,
+      n: Int = 3): Unit = {
+    val histInv = shingles(history, n)
+      .select(col("doc_id").as("hist_id"), col("shingle"))
+    val dfHist = histInv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .cache()
+    try {
+      dfHist.write.mode("overwrite").parquet(s"$path/df")
+      containmentSortedBase(histInv, "hist_id", dfHist)
+        .write.mode("overwrite").parquet(s"$path/sorted")
+    } finally dfHist.unpersist()
+    val conf = history.sparkSession.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path, "manifest.json")
+    val out = p.getFileSystem(conf).create(p, true)
+    try out.write(s"""{"n": $n}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** [[containmentGateIncremental]] against a [[persistContainmentIndex]]
+    * layout — verdict-identical to the from-text gate over the same
+    * history (the artifacts ARE the gate's internal frames; spec-pinned
+    * in every `directions` mode), with NO history text scanned per
+    * batch: the probe reads the two bounded tables, shingles only the
+    * batch, and pays the same candidate/verify joins. This is the shape
+    * a production ingest loop runs every batch.
+    */
+  def containmentGateIncrementalPersisted(incoming: DataFrame,
+      path: String, threshold: Double,
+      maxJoinMass: Long = 100000000L,
+      directions: String = "both",
+      eager: Boolean = true): DataFrame = {
+    val spark = incoming.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path, "manifest.json")
+    val fs = p.getFileSystem(conf)
+    require(fs.exists(p),
+      s"no containment-index manifest at $p — not a persistContainmentIndex layout")
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val m = """"n"\s*:\s*(\d+)""".r.findFirstMatchIn(text)
+    require(m.isDefined, s"manifest at $p missing field n: $text")
+    val sortedBase = spark.read.parquet(s"$path/sorted")
+    containmentGateOverArtifacts(incoming,
+      spark.read.parquet(s"$path/df"), sortedBase,
+      // the inverted index is one narrow explode of the stored arrays
+      // (set-identical to shingling history) — the layout never stores
+      // the same rows twice
+      sortedBase.select(col("hist_id"), explode(col("sh")).as("shingle")),
+      threshold, m.get.group(1).toInt, maxJoinMass, directions, eager,
+      histVocab = None)
   }
 
   /** STREAMING-safe contamination gate — the ingest-time form of

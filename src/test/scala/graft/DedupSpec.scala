@@ -509,6 +509,39 @@ class DedupSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("directions"))
   }
 
+  test("containmentGateIncrementalPersisted: verdict-identical to the from-text gate; bare path refuses") {
+    val quote = "alpha beta gamma delta epsilon"
+    val history = Seq(
+      (1L, s"intro words here $quote closing words after"),
+      (2L, "totally unrelated content about rivers and stones ok"),
+      (4L, quote)).toDF("doc_id", "text")
+    val incoming = Seq(
+      (100L, quote),
+      (101L, "nothing in common with anything"),
+      (102L, "xy"),
+      (103L, s"$quote and some trailing padding words here too"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("containment_index_spec").toString
+    Dedup.persistContainmentIndex(history, path)
+    for (mode <- Seq("both", "batch", "history")) {
+      val fromText = Dedup.containmentGateIncremental(
+        incoming, history, 0.6, directions = mode)
+        .collect().map(_.toSeq).toSeq
+      val probed = Dedup.containmentGateIncrementalPersisted(
+        incoming, path, 0.6, directions = mode)
+        .collect().map(_.toSeq).toSeq
+      assert(probed == fromText, s"$mode: probed $probed vs $fromText")
+    }
+    // the manifest carries the shingle width: a probe never guesses n
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.containmentGateIncrementalPersisted(incoming,
+        java.nio.file.Files.createTempDirectory("containment_empty")
+          .toString, 0.6)
+    }
+    assert(ex.getMessage.contains("manifest"))
+  }
+
   test("containmentGateIncrementalBloomed: verdicts bit-identical to the unbloomed gate") {
     val quote = "alpha beta gamma delta epsilon"
     val history = Seq(
