@@ -27,6 +27,19 @@ object SparkEntry {
 
   private def emb(s: SparkSession, dir: String) = sources.Tables.embeddings(s, dir)
 
+  /** The (source, token, 1L) rows both ICWS queries weight — ONE
+    * definition, because `icws_persisted`'s row-for-row-identical
+    * contract with `source_weighted_jaccard_icws` (and their shared
+    * oracle) rests on the two preparations never drifting.
+    */
+  private def icwsSourceTokenRows(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("source"),
+        explode(operators.TextAnalysis.words(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .withColumn("one", lit(1L))
+
   private def events(s: SparkSession, dir: String) = sources.Tables.events(s, dir)
 
   // φ-band break factors 1 − φ^{−k}, interpolated into the oracle SQL so
@@ -320,12 +333,7 @@ object SparkEntry {
     // — output identical to source_weighted_jaccard_icws, so the
     // oracle is its replay verbatim
     "icws_persisted" -> ((s, dir) => {
-      val rows = tbl(s, dir, "documents")
-        .filter(col("text").isNotNull && col("source").isNotNull)
-        .select(col("source"),
-          explode(operators.TextAnalysis.words(col("text"))).as("w"))
-        .filter(col("w") =!= "")
-        .withColumn("one", lit(1L))
+      val rows = icwsSourceTokenRows(s, dir)
       val path = operators.Icws.sketchDumpPath
       operators.Icws.persistSketches(rows, "source", "w", "one", path,
         k = 32)
@@ -353,13 +361,7 @@ object SparkEntry {
     // Σmin/Σmax over tf weights — feeds that share vocabulary but not
     // its usage separate here; estimate reported next to the exact
     "source_weighted_jaccard_icws" -> ((s, dir) =>
-      operators.Icws.weightedJaccardIcws(
-        tbl(s, dir, "documents")
-          .filter(col("text").isNotNull && col("source").isNotNull)
-          .select(col("source"),
-            explode(operators.TextAnalysis.words(col("text"))).as("w"))
-          .filter(col("w") =!= "")
-          .withColumn("one", lit(1L)),
+      operators.Icws.weightedJaccardIcws(icwsSourceTokenRows(s, dir),
         "source", "w", "one", k = 32)),
     // candidate-generation calibration: what pair-level recall the
     // configured LSH banding ACTUALLY delivered on this corpus vs the

@@ -590,6 +590,16 @@ object Dedup {
     containmentGateCore(incoming, history, threshold, n, maxJoinMass,
       directions, eager, histVocab = None)
 
+  /** A history-vocabulary Bloom BUNDLED with the shingle width it was
+    * built at: the width is part of the filter's identity (a Bloom of
+    * 3-shingles contains essentially no 4-shingle), so the gate can
+    * refuse a mismatched pairing instead of silently pruning every
+    * true candidate — the same reason the persisted layouts carry
+    * their parameters in a manifest.
+    */
+  final case class ContainmentVocabBloom(
+      filter: org.apache.spark.util.sketch.BloomFilter, n: Int)
+
   /** Broadcast Bloom over HISTORY's shingle vocabulary — the
     * containment gate's [[historyBlooms]] analogue, built ONCE per
     * layout and reused every batch. On a mostly-novel ingest (the
@@ -602,11 +612,11 @@ object Dedup {
     * distinct pass is paid here).
     */
   def containmentHistoryVocabBloom(history: DataFrame, expectedItems: Long,
-      fpp: Double = 0.01, n: Int = 3):
-      org.apache.spark.util.sketch.BloomFilter = {
+      fpp: Double = 0.01, n: Int = 3): ContainmentVocabBloom = {
     require(expectedItems >= 1, s"expectedItems must be >= 1, got $expectedItems")
     require(fpp > 0 && fpp < 1, s"fpp in (0,1), got $fpp")
-    shingles(history, n).stat.bloomFilter("shingle", expectedItems, fpp)
+    ContainmentVocabBloom(
+      shingles(history, n).stat.bloomFilter("shingle", expectedItems, fpp), n)
   }
 
   /** [[containmentGateIncremental]] with the
@@ -621,12 +631,20 @@ object Dedup {
     */
   def containmentGateIncrementalBloomed(incoming: DataFrame,
       history: DataFrame, threshold: Double,
-      histVocab: org.apache.spark.util.sketch.BloomFilter,
+      histVocab: ContainmentVocabBloom,
       n: Int = 3, maxJoinMass: Long = 100000000L,
       directions: String = "both",
-      eager: Boolean = true): DataFrame =
+      eager: Boolean = true): DataFrame = {
+    // width mismatch would make every genuine n-shingle read as absent
+    // and prune ALL true candidates — refuse instead of flagging the
+    // whole batch clean
+    require(histVocab.n == n,
+      s"the vocabulary Bloom was built at n=${histVocab.n} but the gate " +
+        s"shingles at n=$n — a mismatched pairing silently prunes every " +
+        "true candidate; rebuild the Bloom at the gate's width")
     containmentGateCore(incoming, history, threshold, n, maxJoinMass,
-      directions, eager, histVocab = Some(histVocab))
+      directions, eager, histVocab = Some(histVocab.filter))
+  }
 
   private def containmentGateCore(incoming: DataFrame, history: DataFrame,
       threshold: Double, n: Int,
@@ -807,6 +825,14 @@ object Dedup {
     */
   def persistContainmentIndex(history: DataFrame, path: String,
       n: Int = 3): Unit = {
+    val conf = history.sparkSession.sparkContext.hadoopConfiguration
+    // manifest-as-commit-marker ([[LayoutManifest]]): dropped BEFORE
+    // any table overwrite, written LAST — a rebuild that dies between
+    // the two table writes leaves a manifest-less layout the probe
+    // refuses, never a batch sorted by the NEW df order verified
+    // against the OLD arrays (which would break the shared-total-order
+    // premise silently)
+    LayoutManifest.uncommit(conf, path)
     val histInv = shingles(history, n)
       .select(col("doc_id").as("hist_id"), col("shingle"))
     val dfHist = histInv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
@@ -816,11 +842,7 @@ object Dedup {
       containmentSortedBase(histInv, "hist_id", dfHist)
         .write.mode("overwrite").parquet(s"$path/sorted")
     } finally dfHist.unpersist()
-    val conf = history.sparkSession.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(path, "manifest.json")
-    val out = p.getFileSystem(conf).create(p, true)
-    try out.write(s"""{"n": $n}""".getBytes("UTF-8"))
-    finally out.close()
+    LayoutManifest.commit(conf, path, "n" -> n)
   }
 
   /** [[containmentGateIncremental]] against a [[persistContainmentIndex]]
@@ -837,16 +859,9 @@ object Dedup {
       directions: String = "both",
       eager: Boolean = true): DataFrame = {
     val spark = incoming.sparkSession
-    val conf = spark.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(path, "manifest.json")
-    val fs = p.getFileSystem(conf)
-    require(fs.exists(p),
-      s"no containment-index manifest at $p — not a persistContainmentIndex layout")
-    val in = fs.open(p)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    val m = """"n"\s*:\s*(\d+)""".r.findFirstMatchIn(text)
-    require(m.isDefined, s"manifest at $p missing field n: $text")
+    val n = LayoutManifest.readField(
+      spark.sparkContext.hadoopConfiguration, path, "n",
+      "containment-index", "persistContainmentIndex")
     val sortedBase = spark.read.parquet(s"$path/sorted")
     containmentGateOverArtifacts(incoming,
       spark.read.parquet(s"$path/df"), sortedBase,
@@ -854,7 +869,7 @@ object Dedup {
       // (set-identical to shingling history) — the layout never stores
       // the same rows twice
       sortedBase.select(col("hist_id"), explode(col("sh")).as("shingle")),
-      threshold, m.get.group(1).toInt, maxJoinMass, directions, eager,
+      threshold, n, maxJoinMass, directions, eager,
       histVocab = None)
   }
 
@@ -1778,6 +1793,12 @@ object Dedup {
 
   def persistDedupIndex(history: DataFrame, path: String,
       k: Int = 16, bands: Int = 4): Unit = {
+    val conf = history.sparkSession.sparkContext.hadoopConfiguration
+    // manifest-as-commit-marker ([[LayoutManifest]], round-14): a
+    // rebuild dying between the three overwrites leaves a layout the
+    // probe refuses, not mixed-generation tables under a stale-valid
+    // manifest; readers still quiesce across rebuilds (scaladoc above)
+    LayoutManifest.uncommit(conf, path)
     val hist = histProjection(history).cache()
     hist.select(col("h")).distinct()
       .write.mode("overwrite").parquet(s"$path/digests")
@@ -1786,7 +1807,6 @@ object Dedup {
     hist.select(col("hist_id"), col("sh"))
       .write.mode("overwrite").parquet(s"$path/shingles")
     hist.unpersist()
-    val conf = history.sparkSession.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(s"$path/batches")
     root.getFileSystem(conf).delete(root, true)
     writeManifest(conf, path, k, bands)
@@ -1799,25 +1819,13 @@ object Dedup {
     * derives its parameters from it.
     */
   private def writeManifest(conf: org.apache.hadoop.conf.Configuration,
-      path: String, k: Int, bands: Int): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path, "manifest.json")
-    val out = p.getFileSystem(conf).create(p, true)
-    try out.write(s"""{"k": $k, "bands": $bands}""".getBytes("UTF-8"))
-    finally out.close()
-  }
+      path: String, k: Int, bands: Int): Unit =
+    LayoutManifest.commit(conf, path, "k" -> k, "bands" -> bands)
 
   private def readManifest(conf: org.apache.hadoop.conf.Configuration,
       path: String): (Int, Int) = {
-    val p = new org.apache.hadoop.fs.Path(path, "manifest.json")
-    val fs = p.getFileSystem(conf)
-    require(fs.exists(p), s"no dedup-index manifest at $p — not a persistDedupIndex layout")
-    val in = fs.open(p)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    def field(name: String): Int = {
-      val m = s""""$name"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(text)
-      require(m.isDefined, s"manifest at $p missing field $name: $text")
-      m.get.group(1).toInt
-    }
+    def field(name: String): Int = LayoutManifest.readField(
+      conf, path, name, "dedup-index", "persistDedupIndex")
     (field("k"), field("bands"))
   }
 

@@ -180,6 +180,12 @@ object Icws {
       weightCol: String, path: String, k: Int = 32, maxGroups: Int = 1024,
       salt: String = "icws"): Unit = {
     require(k >= 1, s"k must be >= 1, got $k")
+    val conf = rows.sparkSession.sparkContext.hadoopConfiguration
+    // manifest-as-commit-marker ([[LayoutManifest]]): dropped before
+    // the three table overwrites, written last — a rebuild dying
+    // mid-way leaves a layout the probe refuses instead of NEW
+    // sketches silently joined against OLD weights
+    LayoutManifest.uncommit(conf, path)
     val wts = weightsOf(rows, groupCol, elemCol, weightCol).cache()
     try {
       // the gate rides the build: a layout that would blow the pair
@@ -192,11 +198,7 @@ object Icws {
         .write.mode("overwrite").parquet(s"$path/sketches")
       wts.write.mode("overwrite").parquet(s"$path/weights")
     } finally wts.unpersist()
-    val conf = rows.sparkSession.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(path, "manifest.json")
-    val out = p.getFileSystem(conf).create(p, true)
-    try out.write(s"""{"k": $k}""".getBytes("UTF-8"))
-    finally out.close()
+    LayoutManifest.commit(conf, path, "k" -> k)
   }
 
   /** Pair probe over a [[persistSketches]] layout — row-for-row
@@ -208,17 +210,9 @@ object Icws {
     */
   def weightedJaccardIcwsPersisted(spark: org.apache.spark.sql.SparkSession,
       path: String, maxGroups: Int = 1024): DataFrame = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(path, "manifest.json")
-    val fs = p.getFileSystem(conf)
-    require(fs.exists(p),
-      s"no ICWS-sketch manifest at $p — not a persistSketches layout")
-    val in = fs.open(p)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    val m = """"k"\s*:\s*(\d+)""".r.findFirstMatchIn(text)
-    require(m.isDefined, s"manifest at $p missing field k: $text")
-    val k = m.get.group(1).toInt
+    val k = LayoutManifest.readField(
+      spark.sparkContext.hadoopConfiguration, path, "k",
+      "ICWS-sketch", "persistSketches")
     // re-gate on read: the pair join is |groups|² no matter where the
     // layout came from
     val tot = Partitioning.requireBoundedDomain(

@@ -568,6 +568,14 @@ class DedupSpec extends AnyFunSuite {
         .collect().map(_.toSeq).toSeq
       assert(bloomed == plain, s"$mode: bloomed $bloomed vs plain $plain")
     }
+    // a Bloom built at a different shingle width contains essentially
+    // no gate-width shingle — the pairing must refuse, not flag the
+    // whole batch clean
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.containmentGateIncrementalBloomed(
+        incoming, history, 0.6, bloom, n = 4)
+    }
+    assert(ex.getMessage.contains("n=3") && ex.getMessage.contains("n=4"))
   }
 
   test("lshRecallCurve: nested layouts are monotone; the bands=4 arm equals lshRecall") {
