@@ -47,7 +47,8 @@ object DeterminismProbe {
     // Bloom-pruned variant (must stay bit-identical under any layout)
     // and the persisted ICWS probe (parquet round-trip + argmin)
     "containment_incremental_batch", "containment_incremental_bloom",
-    "icws_persisted", "containment_incremental_persisted")
+    "icws_persisted", "containment_incremental_persisted",
+    "source_weighted_containment")
 
   /** Rows rendered to one sorted canonical string: null-safe, stable
     * across runs iff the values are. Doubles print via toString (exact

@@ -28,6 +28,12 @@ object PlanDump {
     "forecast_eval" -> "broadcast 1-row scale-error cross",
     "collocations_pmi" -> "broadcast 1-row token-total cross",
     "source_divergence" -> "sources×vocab grid from two tiny aggregates",
+    "source_weighted_containment" -> ("the pair DOMAIN is an " +
+    "inequality-only self-join BY NATURE (a.g < b.g, no equi key — it " +
+    "exists to emit explicit 0.0 rows for disjoint pairs) over the " +
+    "totals frame, which requireBoundedDomain gates to ≤ maxGroups " +
+    "rows in-plan on BOTH sides; the corpus-sized work (weight " +
+    "aggregate, shared-mass equi-join) is all equi-keyed"),
     "quantile_estimate" -> "broadcast 1-row exact-comparison frame",
     "benford_digits" -> "broadcast 1-row total cross",
     "search_cosine_topk" -> "broadcast 1-row query-vector frame",

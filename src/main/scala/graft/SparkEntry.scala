@@ -363,6 +363,13 @@ object SparkEntry {
     "source_weighted_jaccard_icws" -> ((s, dir) =>
       operators.Icws.weightedJaccardIcws(icwsSourceTokenRows(s, dir),
         "source", "w", "one", k = 32)),
+    // the DIRECTIONAL complement on the weighted axis — C(A→B) =
+    // Σmin/Σ_A, exact (no sketch, 9-dp decimal folds): a feed whose
+    // tf-weighted usage sits INSIDE another's is redundant even when
+    // the symmetric weighted Jaccard looks small
+    "source_weighted_containment" -> ((s, dir) =>
+      operators.Icws.weightedContainment(icwsSourceTokenRows(s, dir),
+        "source", "w", "one")),
     // candidate-generation calibration: what pair-level recall the
     // configured LSH banding ACTUALLY delivered on this corpus vs the
     // exact prefix-filtered ground truth at the same threshold
@@ -3307,6 +3314,32 @@ object SparkEntry {
     // the persisted-layout probe is row-for-row the from-rows operator
     // (shared readout, exact parquet round-trip) — same replay verbatim
     "icws_persisted" -> icwsWeightedJaccardOracle,
+    // exact weighted directional containment: same decimal-ladder
+    // discipline (9-dp rounds into DECIMAL(28,9) order-free folds,
+    // one double division, 6-dp readout), full pair domain with
+    // explicit 0.0 rows for disjoint pairs
+    "source_weighted_containment" ->
+      s"""WITH t AS (SELECT source AS g,
+         |             unnest(regexp_split_to_array(trim(text), '\\s+')) AS e
+         |           FROM documents
+         |           WHERE text IS NOT NULL AND source IS NOT NULL),
+         |wts AS (SELECT g, e,
+         |          sum(CAST(round(CAST(1 AS DOUBLE), 9)
+         |            AS DECIMAL(28,9))) AS w
+         |        FROM t WHERE e <> '' GROUP BY g, e),
+         |tot AS (SELECT g, sum(w) AS tot FROM wts GROUP BY g),
+         |sh AS (SELECT x.g AS group_a, y.g AS group_b,
+         |         sum(least(x.w, y.w)) AS sm
+         |       FROM wts x JOIN wts y ON x.e = y.e AND x.g < y.g
+         |       GROUP BY 1, 2)
+         |SELECT a.g AS group_a, b.g AS group_b,
+         |  round(CAST(coalesce(s.sm, 0) AS DOUBLE)
+         |    / CAST(a.tot AS DOUBLE), 6) AS contain_a_in_b,
+         |  round(CAST(coalesce(s.sm, 0) AS DOUBLE)
+         |    / CAST(b.tot AS DOUBLE), 6) AS contain_b_in_a
+         |FROM tot a JOIN tot b ON a.g < b.g
+         |LEFT JOIN sh s ON a.g = s.group_a AND b.g = s.group_b
+         |ORDER BY group_a, group_b""".stripMargin,
     // same global canonical keep as the doc-count report, with the
     // whitespace token count riding the hashed projection
     "dedup_token_savings" ->

@@ -4010,6 +4010,31 @@ object SqlSurface {
          |LEFT JOIN sh s ON e.group_a = s.group_a AND e.group_b = s.group_b
          |ORDER BY group_a, group_b""".stripMargin,
 
+    // Exact weighted directional containment: decimal-ladder folds,
+    // full pair domain, explicit 0.0 rows for disjoint pairs.
+    "source_weighted_containment" ->
+      s"""WITH t AS (SELECT source AS g,
+         |             explode(split(trim(text), '\\\\s+')) AS e
+         |           FROM documents
+         |           WHERE text IS NOT NULL AND source IS NOT NULL),
+         |wts AS (SELECT g, e,
+         |          sum(CAST(round(CAST(1L AS DOUBLE), 9)
+         |            AS DECIMAL(28,9))) AS w
+         |        FROM t WHERE e != '' GROUP BY g, e),
+         |tot AS (SELECT g, sum(w) AS tot FROM wts GROUP BY g),
+         |sh AS (SELECT x.g AS group_a, y.g AS group_b,
+         |         sum(least(x.w, y.w)) AS sm
+         |       FROM wts x JOIN wts y ON x.e = y.e AND x.g < y.g
+         |       GROUP BY x.g, y.g)
+         |SELECT a.g AS group_a, b.g AS group_b,
+         |  round(CAST(coalesce(s.sm, 0) AS DOUBLE)
+         |    / CAST(a.tot AS DOUBLE), 6) AS contain_a_in_b,
+         |  round(CAST(coalesce(s.sm, 0) AS DOUBLE)
+         |    / CAST(b.tot AS DOUBLE), 6) AS contain_b_in_a
+         |FROM tot a JOIN tot b ON a.g < b.g
+         |LEFT JOIN sh s ON a.g = s.group_a AND b.g = s.group_b
+         |ORDER BY group_a, group_b""".stripMargin,
+
     // Zipf exponent per source: WindowGroupLimit rank, 9-dp ln/product
     // quantization, decimal regression folds, one 6-dp double readout.
     "zipf_alpha" ->
@@ -5195,6 +5220,8 @@ object SqlSurface {
       "dedup_savings_drift" -> SparkEntry.queries("dedup_savings_drift"),
       "source_weighted_jaccard_icws" ->
         SparkEntry.queries("source_weighted_jaccard_icws"),
+      "source_weighted_containment" ->
+        SparkEntry.queries("source_weighted_containment"),
       "containment_incremental" ->
         SparkEntry.queries("containment_incremental"),
       "containment_incremental_batch" ->

@@ -158,6 +158,54 @@ object Icws {
     readout(sketchOf(wts, k, salt), wts, tot, k)
   }
 
+  /** EXACT weighted directional containment per unordered group pair —
+    * C(A→B) = Σ_e min(a_e, b_e) / Σ_e a_e, how much of A's weighted
+    * mass sits inside B. The weighted sibling of
+    * [[Kmv.groupedContainment]] (set-valued, sketched) and the
+    * directional complement of [[weightedJaccardIcws]]'s symmetric
+    * Σmin/Σmax: a feed whose tf-weighted USAGE lies inside another's
+    * is redundant even when the symmetric measure looks small — the
+    * "drop this source" signal on the weighted axis.
+    *
+    * No sketch and no estimate: the measure is exact from one
+    * (group, elem) weight aggregate plus the same elem-keyed equi-join
+    * the ICWS readout's exact side pays (per-key multiplicity = group
+    * count); the pair domain is the gated totals self-join (|groups|²
+    * rows, bounded in-plan by [[Partitioning.requireBoundedDomain]]).
+    * Weights fold as 9-dp DECIMAL(28,9) sums at EVERY aggregate
+    * (order-free in any task layout — the bootstrap_ci discipline), so
+    * the 6-dp readout replays bit-for-bit in any engine. Pairs sharing
+    * no element report explicit 0.0 rows rather than going missing —
+    * the TOTAL-verdict convention.
+    */
+  def weightedContainment(rows: DataFrame, groupCol: String,
+      elemCol: String, weightCol: String,
+      maxGroups: Int = 1024): DataFrame = {
+    require(maxGroups >= 2, s"maxGroups must be >= 2, got $maxGroups")
+    val wts = rows
+      .groupBy(col(groupCol).as("g"), col(elemCol).as("e"))
+      .agg(sum(round(col(weightCol).cast("double"), 9)
+        .cast("decimal(28,9)")).as("w"))
+      .filter(col("w") > 0)
+    val tot = Partitioning.requireBoundedDomain(
+      wts.groupBy(col("g")).agg(sum(col("w")).as("tot")),
+      groupCol, "weightedContainment", maxGroups)
+    val shared = wts.as("x").join(wts.as("y"),
+        col("x.e") === col("y.e") && col("x.g") < col("y.g"))
+      .groupBy(col("x.g").as("group_a"), col("y.g").as("group_b"))
+      .agg(sum(least(col("x.w"), col("y.w"))).as("sm"))
+    tot.as("a").join(tot.as("b"), col("a.g") < col("b.g"))
+      .select(col("a.g").as("group_a"), col("b.g").as("group_b"),
+        col("a.tot").as("ta"), col("b.tot").as("tb"))
+      .join(shared, Seq("group_a", "group_b"), "left")
+      .select(col("group_a"), col("group_b"),
+        round(coalesce(col("sm"), lit(0)).cast("double") /
+          col("ta").cast("double"), 6).as("contain_a_in_b"),
+        round(coalesce(col("sm"), lit(0)).cast("double") /
+          col("tb").cast("double"), 6).as("contain_b_in_a"))
+      .orderBy(col("group_a"), col("group_b"))
+  }
+
   /** Layout root for the persisted-sketch contract query (the
     * [[graft.operators.Dedup.indexDumpPath]] convention).
     */

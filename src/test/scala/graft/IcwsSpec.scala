@@ -76,6 +76,36 @@ class IcwsSpec extends AnyFunSuite {
       s"expected the domain-gate raise naming the site: $msg")
   }
 
+  test("weightedContainment: hand-computed directional masses; subset reads 1.0; disjoint pairs report explicit zeros") {
+    // A = {x:4, y:2} (tot 6), B = {x:1, y:2, z:3} (tot 6): Σmin = 3
+    // → C(A→B) = C(B→A) = 0.5; C = {q:7} disjoint from both
+    val rows = rowsOf(
+      ("a", "x", 4L), ("a", "y", 2L),
+      ("b", "x", 1L), ("b", "y", 2L), ("b", "z", 3L),
+      ("c", "q", 7L))
+    val got = Icws.weightedContainment(rows, "g", "e", "w")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    // the pair domain is TOTAL: disjoint pairs carry explicit zeros
+    assert(got.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")), s"$got")
+    assert(got(("a", "b")) == ((0.5, 0.5)), s"$got")
+    assert(got(("a", "c")) == ((0.0, 0.0)), s"$got")
+    assert(got(("b", "c")) == ((0.0, 0.0)), s"$got")
+    // a weighted SUBSET is fully contained even at small symmetric
+    // Jaccard: A = {x:2} inside B = {x:5, y:1} (J_w = 2/6)
+    val sub = rowsOf(("a", "x", 2L), ("b", "x", 5L), ("b", "y", 1L))
+    val s2 = Icws.weightedContainment(sub, "g", "e", "w").head()
+    assert(s2.getDouble(2) == 1.0 && s2.getDouble(3) == 0.333333, s"$s2")
+    // the group-domain gate rides the plan, same as the ICWS readout
+    val many = (1 to 10).map(i => (s"g$i", "x", 1L)).toDF("g", "e", "w")
+    val ex = intercept[Exception] {
+      Icws.weightedContainment(many, "g", "e", "w", maxGroups = 4).collect()
+    }
+    val msg = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("weightedContainment"), s"$msg")
+  }
+
   test("persisted layout probe is row-for-row the from-rows operator; a bare path refuses") {
     val rows = rowsOf(
       ("a", "x", 4L), ("a", "y", 2L), ("a", "z", 7L),
