@@ -78,10 +78,16 @@ object Bench {
       "bm25_persisted", "bm25_incremental", "bm25_compacted",
       "dedup_incremental", "dedup_incremental_bloom",
       "dedup_incremental_compacted",
-      // round-14: per-rep Bloom build over history's vocabulary /
-      // per-rep sketch-layout persist — maintenance, not query latency
-      "containment_incremental_bloom", "icws_persisted",
-      "containment_incremental_persisted")
+      // round-14/15: per-rep sketch-layout persist / containment-layout
+      // rebuild+append(+compact) / uncached Bloom build — maintenance,
+      // not query latency. containment_incremental_bloom itself moved
+      // to the MAIN set in round 15: its Bloom now comes from the
+      // process memo (built once per history release in production),
+      // so its lane grades probe cost; the build stays visible here
+      // via containment_bloom_build (round-14 verdict #4)
+      "icws_persisted", "containment_bloom_build",
+      "containment_incremental_persisted",
+      "containment_incremental_compacted")
     def timeAll(entries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =
       entries.map { case (name, fn) =>
         val times = (1 to reps).map(_ => runOnce(name, fn, sfDir))

@@ -48,7 +48,11 @@ object DeterminismProbe {
     // and the persisted ICWS probe (parquet round-trip + argmin)
     "containment_incremental_batch", "containment_incremental_bloom",
     "icws_persisted", "containment_incremental_persisted",
-    "source_weighted_containment")
+    "source_weighted_containment",
+    // round-15 additions: the containment layout's append + compaction
+    // lanes (parquet round-trips + the re-sort fold must replay
+    // identically under any task layout)
+    "containment_incremental_compacted")
 
   /** Rows rendered to one sorted canonical string: null-safe, stable
     * across runs iff the values are. Doubles print via toString (exact
@@ -61,10 +65,24 @@ object DeterminismProbe {
       .sorted.mkString("\n")
   }
 
+  /** md5 of a canonical result block — what the JSON artifact records
+    * per (query, level, rep) so a sweep's "37/37 stable" claim
+    * reproduces from the committed file (round-14 verdict #3: sweep
+    * outputs were prose; the artifact is the bench_ab pattern applied
+    * here).
+    */
+  private def hashOf(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.find(_.startsWith("sf:")).map(_.drop(3))
       .getOrElse("/root/testdata/sf0.01")
-    val named = args.filterNot(_.startsWith("sf:"))
+    val outPath = args.find(_.startsWith("out:")).map(_.drop(4))
+      .getOrElse("determinism_latest.json")
+    val named = args.filterNot(a =>
+      a.startsWith("sf:") || a.startsWith("out:"))
     val targets =
       (if (named.nonEmpty) named.toSeq else defaultTargets)
         .filter { n =>
@@ -94,7 +112,7 @@ object DeterminismProbe {
       SparkSession.clearDefaultSession()
       out
     }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
-    targets.foreach { name =>
+    val entries = targets.map { name =>
       val variants = runs(name).groupBy(_._2)
       if (variants.size == 1)
         println(s"OK   $name: ${runs(name).size} runs identical")
@@ -107,8 +125,24 @@ object DeterminismProbe {
           println(v.linesIterator.take(12).mkString("\n"))
         }
       }
+      val perRun = runs(name)
+        .map { case (lbl, s) => "\"" + lbl + "\":\"" + hashOf(s) + "\"" }
+        .mkString("{", ",", "}")
+      "\"" + name + "\":{\"stable\":" + (variants.size == 1) +
+        ",\"distinct\":" + variants.size +
+        ",\"runs\":" + runs(name).size + ",\"hashes\":" + perRun + "}"
     }
     println(s"== determinism: ${targets.size - bad}/${targets.size} stable")
+    // the committed-artifact form of the line above: per-target
+    // per-(level, rep) result hashes, so the claim greps from the repo
+    val json = "{\"sf\":\"" + sfDir + "\",\"levels\":" +
+      levels.mkString("[", ",", "]") + ",\"reps\":3,\"stable\":" +
+      (targets.size - bad) + ",\"targets\":" + targets.size +
+      ",\"queries\":" + entries.mkString("{", ",", "}") + "}"
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[determinism] could not write $outPath: ${e.getMessage}") }
     if (bad > 0) sys.exit(1)
   }
 }

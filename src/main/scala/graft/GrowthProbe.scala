@@ -807,6 +807,102 @@ object GrowthProbe {
       val r = t2 / t1
       println(f"$t1%7.2f  $t2%7.2f  ratio=$r%5.2f  ${if (r > 3.0) "SLOW " else "ok   "}grouped_jaccard (n=100k, 2n=200k; constant group domain)")
     }
+    // ---- round-15: doubling lanes for the round-14 newcomers (the
+    // r13 precedent: every new pair-family operator gets a 100k→200k
+    // lane the round after it lands)
+    def icwsRows(d: org.apache.spark.sql.DataFrame) = d
+      .filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("source"), explode(TextAnalysis.words(col("text"))).as("w"))
+      .filter(col("w") =!= "").withColumn("one", lit(1L))
+    // exact weighted containment: constant group domain (source), so
+    // the corpus-sized weight aggregate must be linear in token rows —
+    // raw ratio ≈2x expected, like grouped_jaccard
+    if (!skipProbe("weighted_containment_2x")) locally {
+      def run(d: org.apache.spark.sql.DataFrame) =
+        Icws.weightedContainment(icwsRows(d), "source", "w", "one").count()
+      val t1 = bestOf2(run(full))
+      val t2 = bestOf2(run(x2))
+      val r = t2 / t1
+      println(f"$t1%7.2f  $t2%7.2f  ratio=$r%5.2f  ${if (r > 3.0) "SLOW " else "ok   "}weighted_containment (n=100k, 2n=200k; constant group domain)")
+    }
+    // persisted ICWS: the PROBE reads the layout's bounded tables only
+    // (sketches = groups × k; weights/totals vocabulary-bounded per
+    // source), so probe time must grow SLOWER than the corpus — the
+    // one-time build carries the corpus-sized pass
+    if (!skipProbe("icws_persisted_2x")) locally {
+      def buildAndProbe(d: org.apache.spark.sql.DataFrame, path: String) = {
+        val tB = bestOf2 {
+          Icws.persistSketches(icwsRows(d), "source", "w", "one", path, k = 32); 1L }
+        val tP = bestOf2 {
+          Icws.weightedJaccardIcwsPersisted(spark, path).count() }
+        (tB, tP)
+      }
+      val (b1, p1) = buildAndProbe(full, "/tmp/growth_icws_100k")
+      val (b2, p2) = buildAndProbe(x2, "/tmp/growth_icws_200k")
+      println(f"$p1%7.2f  $p2%7.2f  probe ratio=${p2 / p1}%5.2f  (build $b1%.2f → $b2%.2f, ${b2 / b1}%4.2fx)  ${if (p2 / p1 > 3.0) "SLOW " else "ok   "}icws_persisted probe (layout over n=100k vs 2n=200k)")
+    }
+    // bloomed incremental gate with a PRE-BUILT Bloom (the production
+    // steady state and the graded shape since r15): history doubles,
+    // batch fixed — per-hit cost must track candidate pairs
+    if (!skipProbe("containment_bloom_2x")) locally {
+      def run(hist: org.apache.spark.sql.DataFrame, items: Long): (Double, Long) = {
+        val h = hist.filter(col("doc_id") % 40 =!= 0)
+        val bloom = Dedup.containmentHistoryVocabBloom(h, expectedItems = items)
+        val batch = full.filter(col("doc_id") % 40 === 0)
+          .select(col("doc_id") + 10000000L as "doc_id", col("text"))
+        var hits = 0L
+        val t = bestOf2 {
+          hits = Dedup.containmentGateIncrementalBloomed(batch, h, 0.9,
+            bloom, maxJoinMass = 4000000000L)
+            .agg(sum(col("n_hits"))).head().getLong(0); hits }
+        (t, hits)
+      }
+      val (t1, h1) = run(full, 4000000L)
+      val (t2, h2) = run(x2, 8000000L)
+      val norm = (t2 / h2.max(1L)) / (t1 / h1.max(1L))
+      println(f"$t1%7.2f  $t2%7.2f  raw=${t2 / t1}%5.2f  hits: $h1%,d → $h2%,d  per-hit ratio=$norm%5.2f  ${if (norm > 1.5) "SLOW " else "ok   "}containment_incremental_bloom prebuilt (hist=100k→200k, fixed batch)")
+    }
+    // persisted containment gate: layout built+appended ONCE per
+    // history size (untimed), then the fixed batch probes it — the
+    // per-batch cost a daily ingest actually pays; history text is
+    // never rescanned, so growth must track the candidate pairs
+    if (!skipProbe("containment_persisted_2x")) locally {
+      def run(hist: org.apache.spark.sql.DataFrame, path: String): (Double, Long) = {
+        val h = hist.filter(col("doc_id") % 40 =!= 0)
+        // build on ~95%, append the rest — the lane exercises the
+        // committed view the way production does
+        Dedup.persistContainmentIndex(h.filter(col("doc_id") % 20 =!= 1), path)
+        Dedup.appendContainmentIndex(h.filter(col("doc_id") % 20 === 1), path)
+        val batch = full.filter(col("doc_id") % 40 === 0)
+          .select(col("doc_id") + 10000000L as "doc_id", col("text"))
+        var hits = 0L
+        val t = bestOf2 {
+          hits = Dedup.containmentGateIncrementalPersisted(batch, path, 0.9,
+            maxJoinMass = 4000000000L)
+            .agg(sum(col("n_hits"))).head().getLong(0); hits }
+        (t, hits)
+      }
+      val (t1, h1) = run(full, "/tmp/growth_containment_100k")
+      val (t2, h2) = run(x2, "/tmp/growth_containment_200k")
+      val norm = (t2 / h2.max(1L)) / (t1 / h1.max(1L))
+      println(f"$t1%7.2f  $t2%7.2f  raw=${t2 / t1}%5.2f  hits: $h1%,d → $h2%,d  per-hit ratio=$norm%5.2f  ${if (norm > 1.5) "SLOW " else "ok   "}containment_persisted probe (hist=100k→200k, fixed batch)")
+    }
+    // the append lane's own economics (round-15): appending a fixed
+    // batch to an existing layout must cost ~the batch, not the
+    // corpus — vs the full rebuild, which rightly doubles with history
+    if (!skipProbe("containment_append_2x")) locally {
+      def run(hist: org.apache.spark.sql.DataFrame, path: String): (Double, Double) = {
+        val h = hist.filter(col("doc_id") % 40 =!= 0)
+        val batch = full.filter(col("doc_id") % 40 === 0)
+          .select(col("doc_id") + 20000000L as "doc_id", col("text"))
+        val tRebuild = bestOf2 { Dedup.persistContainmentIndex(h, path); 1L }
+        val tAppend = bestOf2 { Dedup.appendContainmentIndex(batch, path); 1L }
+        (tRebuild, tAppend)
+      }
+      val (r1, a1) = run(full, "/tmp/growth_capp_100k")
+      val (r2, a2) = run(x2, "/tmp/growth_capp_200k")
+      println(f"$a1%7.2f  $a2%7.2f  append ratio=${a2 / a1}%5.2f  (rebuild $r1%.2f → $r2%.2f, ${r2 / r1}%4.2fx)  ${if (a2 / a1 > 3.0) "SLOW " else "ok   "}containment_append fixed batch (hist=100k→200k)")
+    }
     spark.stop()
   }
 }

@@ -84,6 +84,11 @@ object PlanDump {
     "mrl_truncation_recall" -> ("bounded query set crossed against the " +
       "full-dim and truncated scoring arms (recall evaluator)"),
     "phi_bands" -> "broadcast 1-row (min_norm, max_norm) span cross",
+    "vfdb_pipeline" -> ("the same broadcast 1-row (min_norm, max_norm) " +
+      "span cross as phi_bands, via autoClusterPhiBatch's withPhiBand — " +
+      "visible since round 15 because the banded frame is an evictable " +
+      "cache() instead of a lineage-severing localCheckpoint (the " +
+      "non-evictable-block OOM fix)"),
     "quality_buckets" -> "broadcast 1-row quartile-thresholds cross",
     "quality_percentiles" -> "broadcast 1-row n_total cross",
     "search_centroids_topk" -> "broadcast 1-row query-vector frame",
@@ -216,7 +221,8 @@ object PlanDump {
       "containment_incremental_batch" -> "The directions cost dial: the plan contains EXACTLY ONE prefix direction (batch prefix x history inverted index, one mass sentinel) - no history-prefix explode anywhere; the verify carries the na <= nb size guard that makes the single pass lossless for its restricted predicate.",
       "containment_incremental_bloom" -> "Bloomed incremental gate: both batch-side candidate inputs pass the broadcast Bloom's might-contain filter BEFORE any exchange, so history-novel shingles die map-side; otherwise the plan is containment_incremental's and the verdicts are bit-identical (spec-pinned).",
       "icws_persisted" -> "Persisted ICWS probe: every scan reads the bounded parquet layout (sketches = groups x k rows, totals, weights) - no documents scan, no tokenization anywhere in the probe; the pair work is the i-keyed sketch join and the elem-keyed exact join under the re-applied in-plan group-domain gate.",
-      "containment_incremental_persisted" -> "Persisted containment probe: the history side is TWO parquet scans (df order table, sorted arrays) - no history text scan, no history shingle UDF, no history-side aggregate anywhere; only the batch is shingled, and the candidate/verify joins are the from-text gate's (verdicts spec-pinned identical).")
+      "containment_incremental_persisted" -> "Persisted containment probe over base + one COMMITTED append batch: the history side is parquet scans of the layout's committed view (base df + batch df re-aggregated per shingle - the exact additive fold - and the base+batch sorted arrays unioned) - no history text scan, no history shingle UDF anywhere; only the batch is shingled, and the candidate/verify joins are the from-text gate's (verdicts spec-pinned identical to the full-history gate, append lane included).",
+      "source_weighted_containment" -> "Exact weighted directional containment: the corpus-sized work is ONE (group, elem) decimal weight aggregate (map-side combined) plus the elem-keyed shared-mass equi-join (per-key multiplicity = group count); the pair DOMAIN is the gated totals self-join - inequality-only BY NATURE (a.g < b.g exists to emit explicit 0.0 rows for disjoint pairs), <= maxGroups rows on BOTH sides via the in-plan requireBoundedDomain sentinels, hence the allowlisted BNLJ; every fold is DECIMAL(28,9), order-free under any task layout.")
     val bnljAllowed = PlanDump.bnljAllowed
     val nested = scala.collection.mutable.LinkedHashMap[String, String]()
     val sb = new StringBuilder
@@ -273,12 +279,12 @@ object PlanDump {
       } else if (name == "containment_incremental_persisted") {
         val docs = sources.Tables.table(spark, dir, "documents")
         val path = operators.Dedup.containmentIndexDumpPath
+        val dten = org.apache.spark.sql.functions.col("doc_id") % 10
         operators.Dedup.persistContainmentIndex(
-          docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0),
-          path)
+          docs.filter(dten =!= 0 && dten =!= 9), path)
+        operators.Dedup.appendContainmentIndex(docs.filter(dten === 9), path)
         operators.Dedup.containmentGateIncrementalPersisted(
-          docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0),
-          path, 0.9, eager = false)
+          docs.filter(dten === 0), path, 0.9, eager = false)
       } else if (name == "distinct_estimate") {
         // the contract query returns a bounded parallelized row; the
         // plan worth auditing is the corpus-sized sketch pass

@@ -300,12 +300,26 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 =!= 0), 0.9, directions = "batch")
     }),
     // the 100 TB ingest shape for the containment gate: a broadcast
-    // Bloom over history's shingle vocabulary (built once per layout,
-    // rebuilt per rep here — hence graded under `lifecycle`) prunes
-    // history-novel shingles from BOTH batch-side join inputs map-side
-    // before any exchange; verdicts bit-identical to
-    // containment_incremental, so the oracle is its replay verbatim
+    // Bloom over history's shingle vocabulary prunes history-novel
+    // shingles from BOTH batch-side join inputs map-side before any
+    // exchange; verdicts bit-identical to containment_incremental, so
+    // the oracle is its replay verbatim. The Bloom comes from the
+    // process-level memo — in production it is built once per history
+    // release and reused every batch, so this lane grades PROBE cost
+    // (round-14 verdict #4); the one-time build is timed separately
+    // under containment_bloom_build in the bench's lifecycle total
     "containment_incremental_bloom" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val hist = docs.filter(col("doc_id") % 10 =!= 0)
+      val bloom = Dedup.containmentHistoryVocabBloomCached(hist,
+        corpusKey = dir + "#hist90", expectedItems = 2000000L)
+      Dedup.containmentGateIncrementalBloomed(
+        docs.filter(col("doc_id") % 10 === 0), hist, 0.9, bloom)
+    }),
+    // the UNCACHED build + gate — the maintenance lifecycle the memo
+    // above amortizes away, kept visible under the bench's `lifecycle`
+    // total; verdicts are the same replay, so the same oracle pins it
+    "containment_bloom_build" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
       val hist = docs.filter(col("doc_id") % 10 =!= 0)
       val bloom = Dedup.containmentHistoryVocabBloom(hist,
@@ -313,16 +327,45 @@ object SparkEntry {
       Dedup.containmentGateIncrementalBloomed(
         docs.filter(col("doc_id") % 10 === 0), hist, 0.9, bloom)
     }),
-    // the gate's persist-once posture made real (graded under
-    // `lifecycle`: each rep rebuilds the layout): history's df order
-    // and sorted arrays land as parquet once per release, every batch
-    // probes them without scanning history text — verdicts identical
-    // to containment_incremental, so the oracle is its replay verbatim
+    // the gate's persist-once posture made real, now with the append
+    // lane (round-15: the last persisted layout to gain one): base
+    // builds on deciles 1-8, decile 9 arrives through the _COMMITTED
+    // batch protocol, and the probe reads the committed view — exact
+    // under appends because the candidate passes are prefix x
+    // FULL-index (order-lossless) and df is additive, so the oracle
+    // is still containment_incremental's replay over the FULL history
+    // verbatim; a mis-sorted append or a batch invisible to the
+    // committed view breaks the hash (graded under `lifecycle`: each
+    // rep rebuilds + appends)
     "containment_incremental_persisted" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
       val path = Dedup.containmentIndexDumpPath
       Dedup.persistContainmentIndex(
-        docs.filter(col("doc_id") % 10 =!= 0), path)
+        docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 9),
+        path)
+      Dedup.appendContainmentIndex(
+        docs.filter(col("doc_id") % 10 === 9), path)
+      Dedup.containmentGateIncrementalPersisted(
+        docs.filter(col("doc_id") % 10 === 0), path, 0.9)
+    }),
+    // index MAINTENANCE under the gate (completing the compaction trio
+    // for the containment layout): two committed append batches folded
+    // back into the base by compactContainmentIndex — df re-aggregated
+    // additively, sorted arrays REBUILT in the folded df order from
+    // the stored arrays (no raw-text rescan) — then the same probe;
+    // the oracle is the full-history replay verbatim, so a fold that
+    // lost a doc's array or mis-folded one df count breaks the hash
+    "containment_incremental_compacted" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val path = Dedup.containmentIndexDumpPath + "_compacted"
+      Dedup.persistContainmentIndex(
+        docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 < 8),
+        path)
+      Dedup.appendContainmentIndex(
+        docs.filter(col("doc_id") % 10 === 8), path)
+      Dedup.appendContainmentIndex(
+        docs.filter(col("doc_id") % 10 === 9), path)
+      Dedup.compactContainmentIndex(s, path)
       Dedup.containmentGateIncrementalPersisted(
         docs.filter(col("doc_id") % 10 === 0), path, 0.9)
     }),
@@ -2696,8 +2739,15 @@ object SparkEntry {
     "containment_incremental" -> containmentIncrementalOracle,
     // bit-identical to the unbloomed gate — same replay verbatim
     "containment_incremental_bloom" -> containmentIncrementalOracle,
-    // the persisted layout's probe is verdict-identical too
+    // the uncached-build lifecycle lane runs the identical gate
+    "containment_bloom_build" -> containmentIncrementalOracle,
+    // the persisted layout's probe is verdict-identical too — and the
+    // build+append split reassembles EXACTLY the %10<>0 history, so
+    // the same full-history replay pins the append lane's exactness
     "containment_incremental_persisted" -> containmentIncrementalOracle,
+    // base + two appends + compaction still reassemble the same
+    // history; a lossy fold breaks this hash
+    "containment_incremental_compacted" -> containmentIncrementalOracle,
     // the "batch" directions dial: the same brute-force definition
     // restricted to pairs where the INCOMING doc is the
     // smaller-or-equal side (x.n <= y.n) — the predicate the single

@@ -455,6 +455,13 @@ object SqlSurface {
       "containment_incremental_persisted" -> (annLifecycle +
         "; the probe's SQL parity is containment_incremental's " +
         "(verdict-identical, spec-pinned)"),
+      "containment_incremental_compacted" -> (annLifecycle +
+        "; base + committed appends folded by compactContainmentIndex, " +
+        "then the same probe — SQL parity is containment_incremental's " +
+        "(verdict-identical, spec-pinned)"),
+      "containment_bloom_build" -> ("the UNCACHED bloom-build lifecycle " +
+        "lane of containment_incremental_bloom (same fitted-state " +
+        "residue; verdicts bit-identical to containment_incremental)"),
       "stream_contamination_gate" -> ("streaming-safe stateless gate " +
         "over a driver-built broadcast vocabulary set (the " +
         "fit-then-score lifecycle applied to an eval suite); the " +

@@ -541,7 +541,14 @@ class VectorFieldDB(val spark: SparkSession, val dim: Int) {
     Validation.requireGlyphId(anchorGlyphId)
     val inCtx = iglyphsDF.filter($"outer_context_id" === ctx)
     if (inCtx.isEmpty) return Seq.empty
-    val banded = Clustering.withPhiBand(inCtx, levels).localCheckpoint(true)
+    // cache(), NOT localCheckpoint: this frame carries the ctx slice's
+    // EMBEDDINGS (withInertia reads them twice), and checkpoint blocks
+    // are non-evictable — at 100× a ctx slice is ~10% of the corpus
+    // pinned in executor storage, the round-12 OOM mechanism
+    // (Dedup.containmentPairs cache-policy note). A cache is evictable
+    // and recomputable; the narrow (iglyph_id, band) checkpoint in
+    // autoClusterPhi stays as-is because it drops the embeddings first.
+    val banded = Clustering.withPhiBand(inCtx, levels).cache()
     // bounded driver collect: ≤ levels rows, dim-length centroids —
     // withMembers=false keeps the member-list aggregate out of the
     // cached centroid table (pruning can't reach through the cache)

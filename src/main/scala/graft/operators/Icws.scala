@@ -177,6 +177,15 @@ object Icws {
     * the 6-dp readout replays bit-for-bit in any engine. Pairs sharing
     * no element report explicit 0.0 rows rather than going missing —
     * the TOTAL-verdict convention.
+    *
+    * WEIGHTING-SCHEME NOTE (round-14 advice): this decimal ladder
+    * quantizes each input weight to 9 dp BEFORE summing, while the
+    * ICWS siblings' shared [[weightsOf]] sums raw doubles — for
+    * NON-INTEGER input weights the two can disagree on the weight
+    * table itself below the 9th decimal (and double-sum results are
+    * additionally task-layout-dependent, which is WHY this exact
+    * operator pays the decimal ladder). Over integer weights — tf
+    * counts, the contract shape — the schemes coincide exactly.
     */
   def weightedContainment(rows: DataFrame, groupCol: String,
       elemCol: String, weightCol: String,
@@ -207,7 +216,9 @@ object Icws {
   }
 
   /** Layout root for the persisted-sketch contract query (the
-    * [[graft.operators.Dedup.indexDumpPath]] convention).
+    * [[graft.operators.Dedup.indexDumpPath]] convention; single-process
+    * assumption — see [[Dedup.containmentIndexDumpPath]]: concurrent
+    * harness mains must override the sys-prop per process).
     */
   val sketchDumpPath: String =
     sys.props.getOrElse("graft.icws.sketch.dump",

@@ -38,12 +38,16 @@ private[graft] object LayoutManifest {
     finally out.close()
   }
 
-  /** One integer field of a committed layout's manifest; `kind` and
-    * `builder` name the layout family in the refusal message (e.g.
-    * "no dedup-index manifest at … — not a persistDedupIndex layout").
+  /** All requested integer fields of a committed layout's manifest in
+    * ONE open+scan (multi-field readers used to reopen and re-scan the
+    * file per field); `kind` and `builder` name the layout family in
+    * the refusal message (e.g. "no dedup-index manifest at … — not a
+    * persistDedupIndex layout"). Integer-only by design (the schema
+    * [[commit]] writes); a present-but-non-integer value fails naming
+    * that restriction, not a bare "missing field".
     */
-  def readField(conf: Configuration, path: String, name: String,
-      kind: String, builder: String): Int = {
+  def readFields(conf: Configuration, path: String, kind: String,
+      builder: String, names: String*): Seq[Int] = {
     val p = new Path(path, "manifest.json")
     val fs = p.getFileSystem(conf)
     require(fs.exists(p),
@@ -51,8 +55,21 @@ private[graft] object LayoutManifest {
     val in = fs.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    val m = (s""""$name"\\s*:\\s*(\\d+)""").r.findFirstMatchIn(text)
-    require(m.isDefined, s"manifest at $p missing field $name: $text")
-    m.get.group(1).toInt
+    names.map { name =>
+      (s""""$name"\\s*:\\s*(\\d+)""").r.findFirstMatchIn(text) match {
+        case Some(m) => m.group(1).toInt
+        case None =>
+          require(!(s""""$name"\\s*:""").r.findFirstIn(text).isDefined,
+            s"manifest at $p field $name is not an integer (this " +
+              s"manifest format is integer-only): $text")
+          throw new IllegalArgumentException(
+            s"requirement failed: manifest at $p missing field $name: $text")
+      }
+    }
   }
+
+  /** One integer field — [[readFields]] for the single-field layouts. */
+  def readField(conf: Configuration, path: String, name: String,
+      kind: String, builder: String): Int =
+    readFields(conf, path, kind, builder, name).head
 }

@@ -578,6 +578,122 @@ class DedupSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("n=3") && ex.getMessage.contains("n=4"))
   }
 
+  test("appendContainmentIndex: probe over base+appends == from-text gate over full history; torn append invisible") {
+    val quote = "alpha beta gamma delta epsilon"
+    // base history, then an APPENDED batch that (a) adds a new
+    // containment target (doc 5 = the quote verbatim) and (b) shifts
+    // df counts for the base docs' shingles — the exactness claim is
+    // that neither the stale base order nor the shifted df changes a
+    // verdict vs the from-text gate over the full history
+    val base = Seq(
+      (1L, s"intro words here $quote closing words after"),
+      (2L, "totally unrelated content about rivers and stones ok"))
+      .toDF("doc_id", "text")
+    val appended = Seq(
+      (4L, quote),
+      (5L, s"$quote repeated filler $quote plus more filler words"))
+      .toDF("doc_id", "text")
+    val full = base.unionByName(appended)
+    val incoming = Seq(
+      (100L, quote),
+      (101L, "nothing in common with anything"),
+      (102L, "xy"),
+      (103L, s"$quote and some trailing padding words here too"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("containment_append_spec").toString
+    Dedup.persistContainmentIndex(base, path)
+    Dedup.appendContainmentIndex(appended, path)
+    for (mode <- Seq("both", "batch", "history")) {
+      val fromText = Dedup.containmentGateIncremental(
+        incoming, full, 0.6, directions = mode)
+        .collect().map(_.toSeq).toSeq
+      val probed = Dedup.containmentGateIncrementalPersisted(
+        incoming, path, 0.6, directions = mode)
+        .collect().map(_.toSeq).toSeq
+      assert(probed == fromText, s"$mode: probed $probed vs $fromText")
+    }
+    // TORN APPEND: a batch directory without its _COMMITTED marker is
+    // invisible — the probe's verdicts equal the committed view's
+    // (base + the first append), never a half-landed batch's
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tornDir = s"$path/batches/batch-torn"
+    graft.operators.Dedup.shingles(
+        Seq((9L, s"$quote torn batch text")).toDF("doc_id", "text"))
+      .select(col("doc_id").as("hist_id"), col("shingle"))
+      .groupBy(col("shingle"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("df"))
+      .write.parquet(s"$tornDir/df")
+    // (no sorted table, no marker — the torn shape the protocol exists for)
+    val afterTorn = Dedup.containmentGateIncrementalPersisted(
+      incoming, path, 0.6).collect().map(_.toSeq).toSeq
+    val committedOnly = Dedup.containmentGateIncremental(
+      incoming, full, 0.6).collect().map(_.toSeq).toSeq
+    assert(afterTorn == committedOnly, s"torn batch leaked: $afterTorn")
+    // an append to a manifest-less path refuses by name — it cannot
+    // guess the layout's shingle width
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.appendContainmentIndex(appended,
+        java.nio.file.Files.createTempDirectory("containment_nomanifest")
+          .toString)
+    }
+    assert(ex.getMessage.contains("manifest"))
+  }
+
+  test("compactContainmentIndex: folded tables row-identical to a fresh rebuild; verdicts unchanged") {
+    val quote = "alpha beta gamma delta epsilon"
+    val base = Seq(
+      (1L, s"intro words here $quote closing words after"),
+      (2L, "totally unrelated content about rivers and stones ok"))
+      .toDF("doc_id", "text")
+    val batch1 = Seq((4L, quote)).toDF("doc_id", "text")
+    val batch2 = Seq(
+      (5L, s"$quote repeated filler $quote plus more filler words"),
+      (6L, "fresh vocabulary nothing shared with any other document"))
+      .toDF("doc_id", "text")
+    val full = base.unionByName(batch1).unionByName(batch2)
+    val incoming = Seq(
+      (100L, quote),
+      (103L, s"$quote and some trailing padding words here too"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("containment_compact_spec").toString
+    Dedup.persistContainmentIndex(base, path)
+    Dedup.appendContainmentIndex(batch1, path)
+    Dedup.appendContainmentIndex(batch2, path)
+    val before = Dedup.containmentGateIncrementalPersisted(
+      incoming, path, 0.6).collect().map(_.toSeq).toSeq
+    Dedup.compactContainmentIndex(spark, path)
+    // batches folded away; manifest (shingle width) untouched
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchRoot = new org.apache.hadoop.fs.Path(s"$path/batches")
+    assert(!fs.exists(batchRoot) || fs.listStatus(batchRoot).isEmpty)
+    val after = Dedup.containmentGateIncrementalPersisted(
+      incoming, path, 0.6).collect().map(_.toSeq).toSeq
+    assert(after == before, s"compaction changed verdicts: $after vs $before")
+    // the compacted tables are ROW-IDENTICAL to a fresh rebuild over
+    // the same corpus: compaction's additive df fold equals the
+    // rebuild's count, and the re-sort runs the build's own
+    // (df, shingle) order — this is the "restores the rarest-first
+    // heuristic corpus-wide" claim in executable form
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("containment_rebuilt_spec").toString
+    Dedup.persistContainmentIndex(full, rebuilt)
+    for (table <- Seq("df", "sorted")) {
+      val a = spark.read.parquet(s"$path/$table")
+        .collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+      val b = spark.read.parquet(s"$rebuilt/$table")
+        .collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+      assert(a.toSeq == b.toSeq, s"$table diverges from a fresh rebuild")
+    }
+    // idempotent: compacting with no committed batches is a no-op
+    Dedup.compactContainmentIndex(spark, path)
+    assert(Dedup.containmentGateIncrementalPersisted(
+      incoming, path, 0.6).collect().map(_.toSeq).toSeq == before)
+  }
+
   test("lshRecallCurve: nested layouts are monotone; the bands=4 arm equals lshRecall") {
     // a mixed corpus: one exact-dup pair (collides at every layout),
     // one near-dup pair, several unrelated docs
