@@ -85,7 +85,7 @@ object Bench {
       // process memo (built once per history release in production),
       // so its lane grades probe cost; the build stays visible here
       // via containment_bloom_build (round-14 verdict #4)
-      "icws_persisted", "containment_bloom_build",
+      "icws_persisted", "icws_compacted", "containment_bloom_build",
       "containment_incremental_persisted",
       "containment_incremental_compacted")
     def timeAll(entries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =

@@ -51,8 +51,10 @@ object DeterminismProbe {
     "source_weighted_containment",
     // round-15 additions: the containment layout's append + compaction
     // lanes (parquet round-trips + the re-sort fold must replay
-    // identically under any task layout)
-    "containment_incremental_compacted")
+    // identically under any task layout), and the ICWS layout's
+    // append + compaction lane (touched-group re-sketch + the
+    // latest-wins fold)
+    "containment_incremental_compacted", "icws_compacted")
 
   /** Rows rendered to one sorted canonical string: null-safe, stable
     * across runs iff the values are. Doubles print via toString (exact

@@ -841,6 +841,26 @@ object GrowthProbe {
       val (b2, p2) = buildAndProbe(x2, "/tmp/growth_icws_200k")
       println(f"$p1%7.2f  $p2%7.2f  probe ratio=${p2 / p1}%5.2f  (build $b1%.2f → $b2%.2f, ${b2 / b1}%4.2fx)  ${if (p2 / p1 > 3.0) "SLOW " else "ok   "}icws_persisted probe (layout over n=100k vs 2n=200k)")
     }
+    // ICWS append economics (round-15, the lane's own doubling check):
+    // appending a fixed batch re-aggregates the batch plus the TOUCHED
+    // groups' vocabulary-bounded weight view and re-sketches only those
+    // groups — with a constant source domain the touched-vocab work is
+    // corpus-vocabulary-bounded, so append time must grow far slower
+    // than the rebuild, which rightly re-scans the doubled corpus
+    if (!skipProbe("icws_append_2x")) locally {
+      def run(hist: org.apache.spark.sql.DataFrame, path: String): (Double, Double) = {
+        val h = icwsRows(hist.filter(col("doc_id") % 40 =!= 0))
+        val batch = icwsRows(full.filter(col("doc_id") % 40 === 0))
+        val tRebuild = bestOf2 {
+          Icws.persistSketches(h, "source", "w", "one", path, k = 32); 1L }
+        val tAppend = bestOf2 {
+          Icws.appendSketches(batch, "source", "w", "one", path); 1L }
+        (tRebuild, tAppend)
+      }
+      val (r1, a1) = run(full, "/tmp/growth_icws_app_100k")
+      val (r2, a2) = run(x2, "/tmp/growth_icws_app_200k")
+      println(f"$a1%7.2f  $a2%7.2f  append ratio=${a2 / a1}%5.2f  (rebuild $r1%.2f → $r2%.2f, ${r2 / r1}%4.2fx)  ${if (a2 / a1 > 3.0) "SLOW " else "ok   "}icws_append fixed batch (hist=100k→200k)")
+    }
     // bloomed incremental gate with a PRE-BUILT Bloom (the production
     // steady state and the graded shape since r15): history doubles,
     // batch fixed — per-hit cost must track candidate pairs

@@ -32,9 +32,11 @@ object SparkEntry {
     * contract with `source_weighted_jaccard_icws` (and their shared
     * oracle) rests on the two preparations never drifting.
     */
-  private def icwsSourceTokenRows(s: SparkSession, dir: String): DataFrame =
+  private def icwsSourceTokenRows(s: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column = lit(true)): DataFrame =
     tbl(s, dir, "documents")
       .filter(col("text").isNotNull && col("source").isNotNull)
+      .filter(pred)
       .select(col("source"),
         explode(operators.TextAnalysis.words(col("text"))).as("w"))
       .filter(col("w") =!= "")
@@ -376,10 +378,37 @@ object SparkEntry {
     // — output identical to source_weighted_jaccard_icws, so the
     // oracle is its replay verbatim
     "icws_persisted" -> ((s, dir) => {
-      val rows = icwsSourceTokenRows(s, dir)
+      // build → committed append → probe (round 15: the append lane
+      // that closed the family's last rebuild-only layout); the final
+      // merged view covers the full corpus, so the oracle is
+      // source_weighted_jaccard_icws's replay verbatim
       val path = operators.Icws.sketchDumpPath
-      operators.Icws.persistSketches(rows, "source", "w", "one", path,
-        k = 32)
+      operators.Icws.persistSketches(
+        icwsSourceTokenRows(s, dir, col("doc_id") % 10 =!= 0),
+        "source", "w", "one", path, k = 32)
+      operators.Icws.appendSketches(
+        icwsSourceTokenRows(s, dir, col("doc_id") % 10 === 0),
+        "source", "w", "one", path)
+      operators.Icws.weightedJaccardIcwsPersisted(s, path)
+    }),
+    // index MAINTENANCE under the ICWS layout (the compaction-trio
+    // shape): two committed append batches — the second re-touching
+    // groups the first touched, exercising latest-batch-wins — folded
+    // back into the base by compactSketches (weights re-aggregated
+    // additively, sketches/totals resolved; no corpus rescan, no md5
+    // redraw), then the same probe; a fold that lost a weight row or
+    // resolved a stale sketch breaks the full-corpus oracle hash
+    "icws_compacted" -> ((s, dir) => {
+      val path = operators.Icws.sketchDumpPath + "_compacted"
+      val dten = col("doc_id") % 10
+      operators.Icws.persistSketches(
+        icwsSourceTokenRows(s, dir, dten =!= 0 && dten =!= 9),
+        "source", "w", "one", path, k = 32)
+      operators.Icws.appendSketches(
+        icwsSourceTokenRows(s, dir, dten === 9), "source", "w", "one", path)
+      operators.Icws.appendSketches(
+        icwsSourceTokenRows(s, dir, dten === 0), "source", "w", "one", path)
+      operators.Icws.compactSketches(s, path)
       operators.Icws.weightedJaccardIcwsPersisted(s, path)
     }),
     // release-over-release drift of the token-denominated dedup
@@ -3364,6 +3393,9 @@ object SparkEntry {
     // the persisted-layout probe is row-for-row the from-rows operator
     // (shared readout, exact parquet round-trip) — same replay verbatim
     "icws_persisted" -> icwsWeightedJaccardOracle,
+    // base + two appends + compaction still reassemble the same
+    // weighted corpus view; a lossy fold breaks this hash
+    "icws_compacted" -> icwsWeightedJaccardOracle,
     // exact weighted directional containment: same decimal-ladder
     // discipline (9-dp rounds into DECIMAL(28,9) order-free folds,
     // one double division, 6-dp readout), full pair domain with

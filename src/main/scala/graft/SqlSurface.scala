@@ -452,6 +452,10 @@ object SqlSurface {
       "icws_persisted" -> (annLifecycle +
         "; the probe's SQL parity is source_weighted_jaccard_icws's " +
         "(row-for-row identical, spec-pinned)"),
+      "icws_compacted" -> (annLifecycle +
+        "; base + committed appends folded by compactSketches, then " +
+        "the same probe — SQL parity is source_weighted_jaccard_icws's " +
+        "(row-for-row identical, spec-pinned)"),
       "containment_incremental_persisted" -> (annLifecycle +
         "; the probe's SQL parity is containment_incremental's " +
         "(verdict-identical, spec-pinned)"),

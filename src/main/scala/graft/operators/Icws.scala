@@ -228,12 +228,17 @@ object Icws {
     * st — groups × k rows, the compact probe artifact), `totals/`
     * (g, tot) and `weights/` (g, e, w — the exact side's index, the
     * [[Dedup.persistDedupIndex]] shingle-table analogue) parquet
-    * tables, plus a `manifest.json` recording k — the sample count is
-    * part of the LAYOUT (a probe over a different k would compare
-    * nothing), so every read derives it from the manifest. Build once
+    * tables, plus a `manifest.json` recording k and a `salt` file —
+    * BOTH are part of the LAYOUT (a probe over a different k would
+    * compare nothing; an append re-sketching under a different salt
+    * would draw samples that can never collide with the base sketches,
+    * silently zeroing every cross-era estimate), so every read derives
+    * them from the layout, never from caller arguments. Build once
     * per release, then any number of pair probes run without
     * re-aggregating the corpus or re-drawing a single md5 sample —
-    * the sketch build is the only corpus-sized pass.
+    * the sketch build is the only corpus-sized pass. A rebuild drops
+    * committed [[appendSketches]] batches (re-derivable from the
+    * corpus the rebuild scanned).
     */
   def persistSketches(rows: DataFrame, groupCol: String, elemCol: String,
       weightCol: String, path: String, k: Int = 32, maxGroups: Int = 1024,
@@ -257,27 +262,242 @@ object Icws {
         .write.mode("overwrite").parquet(s"$path/sketches")
       wts.write.mode("overwrite").parquet(s"$path/weights")
     } finally wts.unpersist()
+    val batchRoot = new org.apache.hadoop.fs.Path(s"$path/batches")
+    batchRoot.getFileSystem(conf).delete(batchRoot, true)
+    writeSalt(conf, path, salt)
     LayoutManifest.commit(conf, path, "k" -> k)
+  }
+
+  /** The sampling salt is layout state ([[persistSketches]] scaladoc);
+    * stored as its own UTF-8 file because [[LayoutManifest]]'s schema
+    * is integer-only by design. Written BEFORE the manifest commit
+    * marker, so a committed layout always carries it.
+    */
+  private def writeSalt(conf: org.apache.hadoop.conf.Configuration,
+      path: String, salt: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, "salt")
+    val out = p.getFileSystem(conf).create(p, true)
+    try out.write(salt.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readSalt(conf: org.apache.hadoop.conf.Configuration,
+      path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path, "salt")
+    val fs = p.getFileSystem(conf)
+    require(fs.exists(p),
+      s"no ICWS salt file at $p — not a persistSketches layout")
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** Committed append-batch directories under an ICWS layout — the
+    * [[Dedup.appendDedupIndex]] batch-level `_COMMITTED` protocol
+    * (Dedup's helpers are private to it; the four lines replicate
+    * rather than couple the families).
+    */
+  private def committedBatchDirs(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/batches")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root))
+      fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+        .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_COMMITTED")))
+        .map(_.toString).sorted.toSeq
+    else Seq.empty[String]
+  }
+
+  /** One layout table over base + the given batch dirs. `withSeq`
+    * tags base rows seq 0 (batch tables store their own seq column) —
+    * the latest-wins resolution key for the REPLACED tables (sketches,
+    * totals); the additive weights table reads without it.
+    */
+  private def tableView(spark: org.apache.spark.sql.SparkSession,
+      path: String, table: String, dirs: Seq[String],
+      withSeq: Boolean): DataFrame = {
+    val base0 = spark.read.parquet(s"$path/$table")
+    val base = if (withSeq) base0.withColumn("seq", lit(0L)) else base0
+    (base +: dirs.map(d => spark.read.parquet(s"$d/$table")))
+      .reduce(_.unionByName(_))
+  }
+
+  /** Latest-batch-wins per group over a seq-tagged table view: the
+    * group's rows from its highest committed seq (0 = base). A
+    * groups-bounded aggregate + equi-join — never corpus-sized.
+    */
+  private def resolveLatest(df: DataFrame): DataFrame =
+    df.join(df.groupBy(col("g")).agg(max(col("seq")).as("seq")),
+      Seq("g", "seq")).drop("seq")
+
+  /** [[resolveLatest]] over one replaced table, with the batch-less
+    * fast path: no committed batches → the base table IS the view
+    * (no seq tagging, no resolution join — the build-only probe keeps
+    * its original plan).
+    */
+  private def resolvedView(spark: org.apache.spark.sql.SparkSession,
+      path: String, table: String, dirs: Seq[String]): DataFrame =
+    if (dirs.isEmpty) spark.read.parquet(s"$path/$table")
+    else resolveLatest(tableView(spark, path, table, dirs, withSeq = true))
+
+  /** The committed ADDITIVE weight view: base + batch contributions
+    * re-aggregated per (g, e), positivity filter applied ONCE at the
+    * view — exactly [[weightsOf]] over the union of every era's rows
+    * (for the non-negative weights the tf-count contract ships; see
+    * [[appendSketches]]). Batch-less fast path: the base table is
+    * already per-(g, e) unique and positive, so it reads as-is.
+    */
+  private def weightsView(spark: org.apache.spark.sql.SparkSession,
+      path: String, dirs: Seq[String]): DataFrame =
+    if (dirs.isEmpty) spark.read.parquet(s"$path/weights")
+    else tableView(spark, path, "weights", dirs, withSeq = false)
+      .groupBy(col("g"), col("e")).agg(sum(col("w")).as("w"))
+      .filter(col("w") > 0)
+
+  /** Append a weighted-rows batch to a [[persistSketches]] layout —
+    * the lane that closes the persisted-index family's last lifecycle
+    * asymmetry (dedup, BM25, IVF and the containment layout all take
+    * committed appends; ICWS was rebuild-only). COMMIT PROTOCOL
+    * ([[Dedup.appendDedupIndex]]): the batch's three tables land in
+    * their own `batches/batch-<uuid>/` directory and become visible
+    * only once the batch-level `_COMMITTED` marker exists, written
+    * after all three table writes succeed. k and the salt come from
+    * the layout, never from the caller — an append can neither sample
+    * at a different k nor draw under a different salt.
+    *
+    * WHY THIS IS EXACT (for non-negative weights — the tf-count
+    * contract; a negative weight could cancel a (g, e) row the build's
+    * positivity filter already dropped, and the layout would have
+    * nothing to cancel it against):
+    *  - weights are ADDITIVE: the batch stores its raw per-(g, e) sums
+    *    unfiltered, and the committed view re-aggregates base + batch
+    *    rows then filters once — exactly [[weightsOf]] over the merged
+    *    rows.
+    *  - sketches are NOT additive, but ICWS draws key on
+    *    (salt, i, tag, e) and never on the group, so a TOUCHED group's
+    *    sketch recomputes exactly from its merged weight rows alone —
+    *    no other group's state enters. The append re-sketches only the
+    *    groups the batch touches (touched-vocabulary-sized work, never
+    *    corpus-sized) and the probe resolves latest-batch-wins per
+    *    group; untouched groups keep their base sketches, which remain
+    *    exact because their weights did not change.
+    *  - totals replace like sketches: the batch stores the FULL
+    *    post-append totals frame (touched groups re-summed from the
+    *    merged weights, untouched groups carried from the resolved
+    *    pre-view — value-identical either way, and the frame is
+    *    ≤ maxGroups rows by the gate, so "full" is bounded, not
+    *    corpus-sized).
+    * The in-plan group-domain gate rides the totals write over the
+    * FULL post-append domain: an append that would push the layout
+    * past `maxGroups` refuses to commit, the same refusal the build
+    * gives an oversize corpus.
+    */
+  def appendSketches(rows: DataFrame, groupCol: String, elemCol: String,
+      weightCol: String, path: String, maxGroups: Int = 1024): Unit = {
+    val spark = rows.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val k = LayoutManifest.readField(conf, path, "k",
+      "ICWS-sketch", "persistSketches")
+    val salt = readSalt(conf, path)
+    val prior = committedBatchDirs(spark, path)
+    val seq = prior.size + 1L
+    // raw batch contribution: per-(g, e) sums UNFILTERED — the
+    // committed view filters once after re-aggregation, so a zero
+    // contribution stays a no-op instead of resurrecting a dropped row
+    val batchWts = rows
+      .groupBy(col(groupCol).as("g"), col(elemCol).as("e"))
+      .agg(sum(col(weightCol)).cast("double").as("w"))
+    val dir = s"$path/batches/batch-${java.util.UUID.randomUUID()}"
+    batchWts.write.parquet(s"$dir/weights")
+    val written = spark.read.parquet(s"$dir/weights")
+    // merged weights of the TOUCHED groups: committed view ∪ this
+    // batch, re-aggregated — the re-sketch input
+    val merged = weightsView(spark, path, prior).unionByName(written)
+      .join(written.select(col("g")).distinct(), Seq("g"), "left_semi")
+      .groupBy(col("g"), col("e")).agg(sum(col("w")).as("w"))
+      .filter(col("w") > 0)
+      .cache()
+    try {
+      val newTot = merged.groupBy(col("g")).agg(sum(col("w")).as("tot"))
+      val untouched = resolvedView(spark, path, "totals", prior)
+        .join(written.select(col("g")).distinct(), Seq("g"), "left_anti")
+      // the batch's totals table IS the full post-append totals frame,
+      // so the domain gate rides exactly the written frame — the
+      // persistSketches pattern, giving appends the build's refusal
+      Partitioning.requireBoundedDomain(
+        untouched.unionByName(newTot), groupCol,
+        "appendSketches", maxGroups)
+        .withColumn("seq", lit(seq))
+        .write.parquet(s"$dir/totals")
+      sketchOf(merged, k, salt).withColumn("seq", lit(seq))
+        .write.parquet(s"$dir/sketches")
+    } finally merged.unpersist()
+    val marker = new org.apache.hadoop.fs.Path(dir, "_COMMITTED")
+    marker.getFileSystem(conf).createNewFile(marker)
+    ()
+  }
+
+  /** Compact a [[persistSketches]] layout: fold every batch committed
+    * at the snapshot into the three base tables — weights by exact
+    * additive re-aggregation, sketches and totals by the same
+    * latest-batch-wins resolution the probe applies (so the fold
+    * materializes exactly what the probe was already reading; no
+    * corpus rescan, no md5 redraw anywhere). The compacted tables are
+    * row-identical to a fresh rebuild over the merged rows (pinned in
+    * IcwsSpec): whichever batch last touched a group sketched it over
+    * that group's FULL merged weights, and no later batch changed
+    * them. Staging writes + per-table dir renames, snapshot-scoped
+    * batch deletion — a concurrently committed batch survives
+    * untouched; the manifest (k) and salt are layout metadata and
+    * never change in a fold.
+    */
+  def compactSketches(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val snapshot = committedBatchDirs(spark, path)
+    if (snapshot.isEmpty) return
+    val token = java.util.UUID.randomUUID().toString
+    weightsView(spark, path, snapshot)
+      .write.parquet(s"$path/.weights_compact_$token")
+    resolveLatest(tableView(spark, path, "totals", snapshot, withSeq = true))
+      .write.parquet(s"$path/.totals_compact_$token")
+    resolveLatest(tableView(spark, path, "sketches", snapshot, withSeq = true))
+      .write.parquet(s"$path/.sketches_compact_$token")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    for (table <- Seq("weights", "totals", "sketches")) {
+      val old = s"$path/.${table}_old_$token"
+      require(fs.rename(p(s"$path/$table"), p(old)),
+        s"compact: $table swap-out failed")
+      require(fs.rename(p(s"$path/.${table}_compact_$token"),
+        p(s"$path/$table")), s"compact: $table swap-in failed")
+      fs.delete(p(old), true)
+    }
+    snapshot.foreach(d => fs.delete(p(d), true))
   }
 
   /** Pair probe over a [[persistSketches]] layout — row-for-row
     * identical to [[weightedJaccardIcws]] on the rows the layout was
-    * built from (the readout is shared verbatim; parquet round-trips
-    * doubles exactly), with NO corpus-sized work: the probe reads the
-    * three bounded tables and pays only the i-keyed sketch join, the
-    * elem-keyed exact join and the pair readout.
+    * built from plus every COMMITTED [[appendSketches]] batch (the
+    * readout is shared verbatim; parquet round-trips doubles exactly;
+    * an append batch without its `_COMMITTED` marker is invisible),
+    * with NO corpus-sized work: the probe reads the committed view of
+    * the three bounded tables — weights re-aggregated additively,
+    * sketches and totals resolved latest-batch-wins per group — and
+    * pays only the i-keyed sketch join, the elem-keyed exact join and
+    * the pair readout.
     */
   def weightedJaccardIcwsPersisted(spark: org.apache.spark.sql.SparkSession,
       path: String, maxGroups: Int = 1024): DataFrame = {
     val k = LayoutManifest.readField(
       spark.sparkContext.hadoopConfiguration, path, "k",
       "ICWS-sketch", "persistSketches")
+    val dirs = committedBatchDirs(spark, path)
     // re-gate on read: the pair join is |groups|² no matter where the
     // layout came from
     val tot = Partitioning.requireBoundedDomain(
-      spark.read.parquet(s"$path/totals"), "g",
-      "weightedJaccardIcwsPersisted", maxGroups)
-    readout(spark.read.parquet(s"$path/sketches"),
-      spark.read.parquet(s"$path/weights"), tot, k)
+      resolvedView(spark, path, "totals", dirs),
+      "g", "weightedJaccardIcwsPersisted", maxGroups)
+    readout(resolvedView(spark, path, "sketches", dirs),
+      weightsView(spark, path, dirs), tot, k)
   }
 }

@@ -127,4 +127,94 @@ class IcwsSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("manifest"))
   }
+
+  test("appended layout probe equals a fresh rebuild over the merged rows; a torn batch is invisible") {
+    val base = rowsOf(
+      ("a", "x", 4L), ("a", "y", 2L),
+      ("b", "x", 1L), ("b", "y", 2L), ("b", "z", 3L),
+      ("c", "q", 5L))
+    // batch 1 touches existing a and new d; batch 2 re-touches a (the
+    // latest-wins override) and touches c
+    val batch1 = rowsOf(("a", "z", 3L), ("d", "x", 4L), ("d", "q", 1L))
+    val batch2 = rowsOf(("a", "x", 2L), ("c", "x", 4L))
+    val all = base.unionByName(batch1).unionByName(batch2)
+    val path = java.nio.file.Files
+      .createTempDirectory("icws_append_spec").toString
+    Icws.persistSketches(base, "g", "e", "w", path, k = 16)
+    Icws.appendSketches(batch1, "g", "e", "w", path)
+    Icws.appendSketches(batch2, "g", "e", "w", path)
+    val direct = Icws.weightedJaccardIcws(all, "g", "e", "w", k = 16)
+      .collect().map(_.toSeq).toSeq
+    val probed = Icws.weightedJaccardIcwsPersisted(spark, path)
+      .collect().map(_.toSeq).toSeq
+    assert(probed == direct, s"probed $probed vs direct $direct")
+    // torn append: a batch directory without its _COMMITTED marker
+    // must not change a single row of the probe
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(path, "batches", "batch-torn"))
+    val afterTorn = Icws.weightedJaccardIcwsPersisted(spark, path)
+      .collect().map(_.toSeq).toSeq
+    assert(afterTorn == direct, "uncommitted batch leaked into the probe")
+  }
+
+  test("compacted tables are row-identical to a fresh rebuild; batches are folded away") {
+    val base = rowsOf(
+      ("a", "x", 4L), ("a", "y", 2L),
+      ("b", "x", 1L), ("b", "z", 3L))
+    val batch1 = rowsOf(("a", "z", 3L), ("c", "q", 5L), ("c", "x", 2L))
+    val batch2 = rowsOf(("b", "y", 7L), ("c", "q", 1L))
+    val all = base.unionByName(batch1).unionByName(batch2)
+    val path = java.nio.file.Files
+      .createTempDirectory("icws_compact_spec").toString
+    val fresh = java.nio.file.Files
+      .createTempDirectory("icws_compact_fresh").toString
+    Icws.persistSketches(base, "g", "e", "w", path, k = 16)
+    Icws.appendSketches(batch1, "g", "e", "w", path)
+    Icws.appendSketches(batch2, "g", "e", "w", path)
+    Icws.compactSketches(spark, path)
+    Icws.persistSketches(all, "g", "e", "w", fresh, k = 16)
+    for (table <- Seq("weights", "totals", "sketches")) {
+      def rows(p: String) = spark.read.parquet(s"$p/$table")
+        .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+      assert(rows(path) == rows(fresh), s"$table diverged from rebuild")
+    }
+    val batchRoot = new java.io.File(s"$path/batches")
+    assert(!batchRoot.exists || batchRoot.list().isEmpty,
+      "compaction left committed batches behind")
+    val probed = Icws.weightedJaccardIcwsPersisted(spark, path)
+      .collect().map(_.toSeq).toSeq
+    val direct = Icws.weightedJaccardIcws(all, "g", "e", "w", k = 16)
+      .collect().map(_.toSeq).toSeq
+    assert(probed == direct, s"post-compact probe drifted: $probed vs $direct")
+  }
+
+  test("appends re-sketch under the LAYOUT's salt, and an oversize append refuses in-plan") {
+    val base = rowsOf(("a", "x", 4L), ("b", "x", 1L), ("b", "y", 2L))
+    val batch = rowsOf(("a", "y", 3L))
+    val path = java.nio.file.Files
+      .createTempDirectory("icws_salt_spec").toString
+    Icws.persistSketches(base, "g", "e", "w", path, k = 16, salt = "era7")
+    Icws.appendSketches(batch, "g", "e", "w", path)
+    // identical up to the estimate column only if the append drew
+    // under salt "era7" — a default-salt redraw would zero the
+    // cross-era collisions and shift est_weighted_jaccard
+    val probed = Icws.weightedJaccardIcwsPersisted(spark, path)
+      .collect().map(_.toSeq).toSeq
+    val direct = Icws.weightedJaccardIcws(base.unionByName(batch),
+      "g", "e", "w", k = 16, salt = "era7").collect().map(_.toSeq).toSeq
+    assert(probed == direct, s"probed $probed vs direct $direct")
+    // the group-domain gate rides the append: refusal names the site
+    val many = (1 to 9).map(i => (s"n$i", "x", 1L)).toDF("g", "e", "w")
+    val ex = intercept[Exception] {
+      Icws.appendSketches(many, "g", "e", "w", path, maxGroups = 4)
+    }
+    val msg = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("appendSketches"), s"$msg")
+    // the refused batch never committed: the probe still reads the
+    // pre-append view
+    val after = Icws.weightedJaccardIcwsPersisted(spark, path)
+      .collect().map(_.toSeq).toSeq
+    assert(after == direct, "a refused append leaked into the layout")
+  }
 }
