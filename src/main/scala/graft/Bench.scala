@@ -26,6 +26,18 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE's coalescer merges post-shuffle partitions up to at least
+      // minPartitionSize (default 1 MiB) — at bench scale whole
+      // aggregated frames are under 1 MiB, so CPU-dense post-shuffle
+      // operators (collect_list + array_sort, verify UDFs) were
+      // serialized onto ONE task (round-15 profile). 32 KiB keeps
+      // those stages parallel while still coalescing trivial shuffles.
+      // Env-overridable: a production cluster at real data sizes keeps
+      // the default (partitions there are GBs, the coalescer never
+      // binds at 1 MiB), so this is a local-scale floor, not a tuned
+      // constant the cluster inherits.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "32k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -177,7 +177,7 @@ object SparkEntry {
       Dedup.idfCosineRank(d, Dedup.lshCandidates(d))
     }),
     "dedup_groups" -> ((s, dir) =>
-      Dedup.dupGroups(Dedup.minhashLshPairs(tbl(s, dir, "documents"), 0.5))),
+      Dedup.dupGroups(Dedup.minhashLshPairsCore(tbl(s, dir, "documents"), 0.5))),
     // the asymmetric geometry both Jaccard and LSH miss: a short doc
     // quoted whole inside a long one (containment ≈ 1, Jaccard ≈ 0);
     // exact via the smaller-side prefix filter against the full index
@@ -198,14 +198,14 @@ object SparkEntry {
     // structure the component size alone can't see
     "dup_triangles" -> ((s, dir) =>
       operators.Graph.triangles(
-        Dedup.minhashLshPairs(tbl(s, dir, "documents"), 0.5))),
+        Dedup.minhashLshPairsCore(tbl(s, dir, "documents"), 0.5))),
     // quality-aware canonical selection: per near-dup component keep
     // the LONGEST doc (min-id only as tie-break) — "keep the best
     // copy", not "keep the first"; argmax is a map-side-combinable
     // min(struct(-len, id)) per group, never a per-group sort window
     "dedup_keep_best" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
-      Dedup.keepBest(docs, Dedup.dupGroups(Dedup.minhashLshPairs(docs, 0.5)),
+      Dedup.keepBest(docs, Dedup.dupGroups(Dedup.minhashLshPairsCore(docs, 0.5)),
           col("n_chars"))
         .orderBy(col("doc_id"))
     }),
@@ -218,7 +218,7 @@ object SparkEntry {
     // two map-side-combinable groupBys over the already-resolved
     // components, output bounded by the largest cluster size
     "dup_size_histogram" -> ((s, dir) =>
-      Dedup.dupGroups(Dedup.minhashLshPairs(tbl(s, dir, "documents"), 0.5))
+      Dedup.dupGroups(Dedup.minhashLshPairsCore(tbl(s, dir, "documents"), 0.5))
         .groupBy(col("group_id")).agg(count(lit(1)).as("sz"))
         .groupBy(col("sz").as("group_size"))
         .agg(count(lit(1)).as("n_groups"))
@@ -248,7 +248,7 @@ object SparkEntry {
     "leakage_safe_split" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
       operators.Sampling.leakageSafeSplit(docs,
-        Dedup.dupGroups(Dedup.minhashLshPairs(docs, 0.5)))
+        Dedup.dupGroups(Dedup.minhashLshPairsCore(docs, 0.5)))
     }),
     "decontaminate" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
@@ -1858,7 +1858,7 @@ object SparkEntry {
     // arithmetic; GraphSpec pins centrality ORDERING on asymmetric
     // graphs (stars, paths) where ranks genuinely differ
     "dup_pagerank" -> ((s, dir) =>
-      operators.Graph.pageRank(Dedup.minhashLshPairs(tbl(s, dir, "documents"), 0.5))),
+      operators.Graph.pageRank(Dedup.minhashLshPairsCore(tbl(s, dir, "documents"), 0.5))),
     // distributed BPE: merges learned over the vocabulary-bounded
     // word-frequency table (m aggregation rounds, one driver row each),
     // dumped, then applied as chained codegen'd literal replaces; the

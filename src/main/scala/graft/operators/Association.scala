@@ -53,7 +53,7 @@ object Association {
       dropOversized: Boolean = false): DataFrame = {
     require(maxBasketSize >= 2,
       s"maxBasketSize must be >= 2 (pairs need two items), got $maxBasketSize")
-    val raw = df.select(basket.as("b"), item.as("i"))
+    val raw = Partitioning.spread(df.select(basket.as("b"), item.as("i")))
       .filter(col("b").isNotNull && col("i").isNotNull)
       .distinct()
     // the cap acts BEFORE the self-join — the |items|² expansion

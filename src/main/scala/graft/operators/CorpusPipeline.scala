@@ -64,7 +64,7 @@ object CorpusPipeline {
 
     // stage 3: near-dup removal — resolve pairs into components, keep
     // only each component's minimum id
-    val dropIds = Dedup.dupGroups(Dedup.minhashLshPairs(afterExact, threshold))
+    val dropIds = Dedup.dupGroups(Dedup.minhashLshPairsCore(afterExact, threshold))
       .filter(col("doc_id") =!= col("group_id"))
       .select(col("doc_id"))
     val afterNearDup = afterExact.join(dropIds, Seq("doc_id"), "left_anti")

@@ -188,13 +188,10 @@ object Dedup {
       .select(col("doc_id"), shingleArray(col("text")).as("sh"))
       .filter(size(col("sh")) >= 1)
       .localCheckpoint()
-    val banded = bandKeysOf(docSh, "doc_id", 16, 4)
-    val candidates = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    val pairs = verifyPairs(candidates, docSh, threshold)
+    val candidates = bandedCandidates(bandKeysOf(docSh, "doc_id", 16, 4))
+    // unsorted verify core: the evidence joins + the contract sort sit
+    // above, so an intermediate pair sort would only be destroyed
+    val pairs = verifyPairsCore(candidates, docSh, threshold)
     val sets = docSh.select(col("doc_id"), array_distinct(col("sh")).as("sh"))
     pairs
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
@@ -1419,7 +1416,7 @@ object Dedup {
     require(window >= 2, s"window must be >= 2, got $window")
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must lie in (0, 1], got $threshold")
-    val keyed = docs
+    val keyed = Partitioning.spread(docs)
       .select(col("doc_id"), blockKey(col("text")).as("__block"),
         sortKey(col("text")).as("__sort"))
       .withColumn("__rn", row_number().over(
@@ -1435,7 +1432,10 @@ object Dedup {
       .select(least(col("id_lo"), col("id_hi")).as("doc_a"),
         greatest(col("id_lo"), col("id_hi")).as("doc_b"))
       .distinct()
-    val docSets = docs.select(col("doc_id"), shingleArray(col("text"), n).as("sh"))
+    // spread: the shingling for the verify tail is the heavy per-row
+    // work and a single-file source would run it on one task
+    val docSets = Partitioning.spread(docs)
+      .select(col("doc_id"), shingleArray(col("text"), n).as("sh"))
       .filter(size(col("sh")) >= 1)
     verifyPairs(cand, docSets, threshold)
   }
@@ -1517,12 +1517,7 @@ object Dedup {
   def minhashEstimateError(docs: DataFrame, k: Int = 16,
       bands: Int = 4): DataFrame = {
     val docSh = docShingles(docs, 3).cache()
-    val banded = bandKeysOf(docSh, "doc_id", k, bands)
-    val candidates = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val candidates = bandedCandidates(bandKeysOf(docSh, "doc_id", k, bands))
     val sigs = docSh.select(col("doc_id"), minhashSigUdf(k)(col("sh")).as("sig"))
     val est = aggregate(
       zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
@@ -1549,24 +1544,55 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, threshold: Double,
                       k: Int = 16, bands: Int = 4): DataFrame =
+    minhashLshPairsCore(docs, threshold, k, bands)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[minhashLshPairs]] without the readout sort — the pair-family
+    * composition core (same discipline as [[verifyPairsCore]]): a
+    * consumer that groups, joins or iterates over the pairs
+    * (components, PageRank, triangles, histograms) destroys any order,
+    * so feeding it the sorted public form pays a range exchange + sort
+    * — and a range-partitioner SAMPLING pass over the whole verify
+    * chain — for nothing. Row set is identical to [[minhashLshPairs]].
+    */
+  def minhashLshPairsCore(docs: DataFrame, threshold: Double,
+                          k: Int = 16, bands: Int = 4): DataFrame =
     // small single-file inputs arrive as one partition — docShingles
     // spreads the hash-heavy signature computation across cores first
     minhashLshCore(docShingles(docs, 3).cache(), threshold, k, bands)
-      .orderBy(col("doc_a"), col("doc_b"))
 
-  /** Banded-LSH pair core over a prepared (and normally cached)
-    * [[docShingles]] frame, UNSORTED — see [[minhashLshPairs]].
+  /** Within-corpus candidate pairs from a band index self-join. The
+    * band index is CACHED first: a self-join evaluates its subtree
+    * once per side, and with an InMemoryRelation anywhere below the
+    * join AQE's exchange reuse never fires (measured round 15 —
+    * canonical plans stop matching), so without this cache the k×md5
+    * banding UDF pass ran TWICE in every dup_* query and was their
+    * dominant task-time. Cached, the UDF runs once into an evictable
+    * ~4-rows/doc (long, int, hex32) frame both sides read; the join
+    * strategy stays planner-chosen, so at 100 TB (band index far over
+    * the broadcast threshold) the same code plans the shuffle join
+    * with AQE skew handling. `register` receives the cached frame so
+    * composing evaluators ([[lshRecall]]) can release it with their
+    * own caches; standalone pair operators keep the per-query cache
+    * exactly like the shingle frame they already cache.
     */
-  private def minhashLshCore(docSh: DataFrame, threshold: Double,
-                             k: Int, bands: Int): DataFrame = {
-    val banded = bandKeysOf(docSh, "doc_id", k, bands)
-    val candidates = banded.as("x").join(banded.as("y"),
+  private def bandedCandidates(banded0: DataFrame,
+      register: DataFrame => Unit = _ => ()): DataFrame = {
+    val banded = banded0.cache()
+    register(banded)
+    banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    verifyPairsCore(candidates, docSh, threshold)
   }
+
+  private def minhashLshCore(docSh: DataFrame, threshold: Double,
+      k: Int, bands: Int,
+      register: DataFrame => Unit = _ => ()): DataFrame =
+    verifyPairsCore(
+      bandedCandidates(bandKeysOf(docSh, "doc_id", k, bands), register),
+      docSh, threshold)
 
   /** Pair-level recall/precision of the MinHash-LSH path against the
     * EXACT prefix-filtered Jaccard ground truth at the same threshold
@@ -1607,7 +1633,7 @@ object Dedup {
     val exact = ngramJaccardCore(docSh, threshold, cacheInv = false,
         register = cached += _)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("e"), lit(0L).as("l"))
-    val lsh = minhashLshCore(docSh, threshold, k, bands)
+    val lsh = minhashLshCore(docSh, threshold, k, bands, cached += _)
       .select(col("doc_a"), col("doc_b"), lit(0L).as("e"), lit(1L).as("l"))
     val out = exact.unionByName(lsh)
       .groupBy(col("doc_a"), col("doc_b"))
@@ -1690,12 +1716,7 @@ object Dedup {
       val banded = sigs
         .select(col("doc_id"), explode(bandKeysFromSigUdf(bands)(col("sig"))).as("bk"))
         .select(col("doc_id"), col("bk._1").as("band"), col("bk._2").as("band_key"))
-      val candidates = banded.as("x").join(banded.as("y"),
-          col("x.band") === col("y.band") &&
-            col("x.band_key") === col("y.band_key") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
+      val candidates = bandedCandidates(banded, cached += _)
       val lsh = verifyPairsCore(candidates, docSh, threshold)
         .select(col("doc_a"), col("doc_b"))
       exact.select(col("doc_a"), col("doc_b"),
@@ -2474,13 +2495,7 @@ object Dedup {
     val docSh = Partitioning.spread(docs)
       .select(col("doc_id"), shingleArray(col("text")).as("sh"))
       .filter(size(col("sh")) >= 1)
-    val banded = bandKeysOf(docSh, "doc_id", 16, 4)
-    banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.band_key") === col("y.band_key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    bandedCandidates(bandKeysOf(docSh, "doc_id", 16, 4))
   }
 
   /** IDF-weighted cosine over a GIVEN candidate pair list — the

@@ -188,7 +188,11 @@ object KMeansIndex {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= nProbe)
       .select(col("query_id"), col("q_embedding"), col("cell"))
-    val scored = index.assigned.join(broadcast(probes), Seq("cell"))
+    // spread (a no-op on already-wide inputs, i.e. at scale): a
+    // single-file local source would run the whole per-row scoring —
+    // the entire cost of the query — on one task
+    val scored = Partitioning.spread(index.assigned)
+      .join(broadcast(probes), Seq("cell"))
       .select(col("query_id"), col("vec_id"),
         round(VectorOps.cosineSimilarity(col("embedding"), col("q_embedding")), 6)
           .as("score"))
@@ -393,7 +397,9 @@ object KMeansIndex {
         VectorOps.cosineSimilarity(col("centroid"), col("q_embedding")))
       .withColumn("rn", row_number().over(w))
       .select(col("query_id"), col("q_embedding"), col("cell"), col("rn"))
-    val scoredOnce = index.assigned.join(broadcast(ranked), Seq("cell"))
+    // spread as in searchMany: score in parallel on narrow local inputs
+    val scoredOnce = Partitioning.spread(index.assigned)
+      .join(broadcast(ranked), Seq("cell"))
       .select(col("query_id"), col("rn"), col("vec_id"),
         round(VectorOps.cosineSimilarity(col("embedding"), col("q_embedding")), 6)
           .as("score"))

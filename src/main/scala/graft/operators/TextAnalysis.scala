@@ -45,7 +45,11 @@ object TextAnalysis {
       regexp_count(col("text"), lit(re)).cast("long").as(s"n_$name") }
     val cleaned = piiPatterns.foldLeft(col("text")) {
       case (c, (_, re, tok)) => regexp_replace(c, re, tok) }
-    docs.select(
+    // spread first: the regex passes are the whole cost and a
+    // single-file source would run them (twice — range-sort sampling)
+    // on one task
+    Partitioning.spread(docs)
+      .select(
         Seq(col("doc_id")) ++ counts ++ Seq(
           length(cleaned).cast("long").as("clean_len"),
           sha2(cleaned, 256).as("clean_sha")): _*)
@@ -78,13 +82,27 @@ object TextAnalysis {
       .otherwise(size(ws)).cast("long")
     val nSent = greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
       .cast("long")
-    val syl = aggregate(ws, lit(0L), (acc, w) =>
-      acc + greatest(regexp_count(lower(w), lit("[aeiouy]+")), lit(1))
-        .cast("long"))
+    // Σ_w max(groups(w), 1) restated as two WHOLE-TEXT regexp_counts
+    // (round-15 optimization): vowel groups never span whitespace, so
+    // the per-word group counts sum to one count over the full text;
+    // the per-word floor-at-1 adds one per VOWELLESS word, i.e.
+    // nWords − (number of \S+ tokens containing a vowel — the greedy
+    // \S*[vowel]\S* match consumes exactly one whole token per hit).
+    // Identical value to the old per-word `aggregate` fold, but pure
+    // codegen: higher-order-function lambdas evaluate interpreted
+    // per element, which made this THE per-row hot spot (guide §1.2:
+    // per-task work, after the plan shape is right).
+    val lowered = lower(col("text"))
+    val syl = regexp_count(lowered, lit("[aeiouy]+")).cast("long") +
+      (nWords - regexp_count(lowered, lit("\\S*[aeiouy]\\S*")).cast("long"))
     val nSyl = when(nWords === 0L, 0L).otherwise(syl)
     val wps = nWords.cast("double") / nSent.cast("double")
     val spw = nSyl.cast("double") / nWords.cast("double")
-    docs.select(col("doc_id"), nWords.as("n_words"), nSent.as("n_sentences"),
+    // spread first: single-file inputs arrive as ONE scan partition,
+    // and without the repartition the whole per-row regex pass (plus
+    // the range-sort sampling pass over it) ran single-threaded
+    Partitioning.spread(docs)
+      .select(col("doc_id"), nWords.as("n_words"), nSent.as("n_sentences"),
         nSyl.as("n_syllables"),
         when(nWords > 0L, round(lit(206.835) - lit(1.015) * wps
           - lit(84.6) * spw, 6)).as("flesch_ease"),
