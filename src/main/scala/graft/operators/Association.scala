@@ -53,7 +53,13 @@ object Association {
       dropOversized: Boolean = false): DataFrame = {
     require(maxBasketSize >= 2,
       s"maxBasketSize must be >= 2 (pairs need two items), got $maxBasketSize")
-    val raw = Partitioning.spread(df.select(basket.as("b"), item.as("i")))
+    // NOT spread: the distinct's map-side partial aggregation collapses
+    // the stream to the small (basket, item) domain on the scan side —
+    // a repartition here would shuffle the full input (plus its
+    // sort-before-repartition) just to parallelize work the partial
+    // aggregate makes cheap (A/B-measured round 15: spread was 1.5×
+    // WORSE at bench scale)
+    val raw = df.select(basket.as("b"), item.as("i"))
       .filter(col("b").isNotNull && col("i").isNotNull)
       .distinct()
     // the cap acts BEFORE the self-join — the |items|² expansion

@@ -192,7 +192,10 @@ object Dedup {
     // unsorted verify core: the evidence joins + the contract sort sit
     // above, so an intermediate pair sort would only be destroyed
     val pairs = verifyPairsCore(candidates, docSh, threshold)
-    val sets = docSh.select(col("doc_id"), array_distinct(col("sh")).as("sh"))
+    // shingleArray output is already distinct (hash-set dedupe in the
+    // UDF) — the former array_distinct here was an O(len²)-per-row
+    // identity (round-15)
+    val sets = docSh.select(col("doc_id"), col("sh"))
     pairs
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
@@ -1470,11 +1473,23 @@ object Dedup {
     }
   }
 
-  /** Exact Jaccard over two distinct-shingle arrays. */
+  /** Exact Jaccard over two distinct-shingle arrays. Deliberately a
+    * UDF, not a `size(array_intersect)/…` expression: the verify
+    * filter gets pushed into the join CONDITION while the output
+    * projection keeps its own copy, and join conditions get no
+    * subexpression elimination — the expression form evaluated
+    * array_intersect FOUR times per joined row (twice in the
+    * condition, twice in the projection; measured round 15:
+    * dedup_ngram_jaccard 2.67 → 3.04 s) where the opaque UDF call
+    * evaluates once per site. Internals tuned instead: hash the
+    * SMALLER side into a java.util.HashSet (no scala Set boxing).
+    */
   private val jaccardUdf = udf { (a: Seq[String], b: Seq[String]) =>
-    val sa = a.toSet
+    val (small, large) = if (a.size <= b.size) (a, b) else (b, a)
+    val hs = new java.util.HashSet[String](small.size * 2)
+    small.foreach(hs.add)
     var inter = 0
-    b.foreach(s => if (sa.contains(s)) inter += 1)
+    large.foreach(s => if (hs.contains(s)) inter += 1)
     inter.toDouble / (a.size + b.size - inter)
   }
 
@@ -1712,33 +1727,67 @@ object Dedup {
       .cache()
     cached += exact
     cached += sigs
-    val arms = bandArms.map { bands =>
-      val banded = sigs
-        .select(col("doc_id"), explode(bandKeysFromSigUdf(bands)(col("sig"))).as("bk"))
-        .select(col("doc_id"), col("bk._1").as("band"), col("bk._2").as("band_key"))
-      val candidates = bandedCandidates(banded, cached += _)
-      val lsh = verifyPairsCore(candidates, docSh, threshold)
-        .select(col("doc_a"), col("doc_b"))
-      exact.select(col("doc_a"), col("doc_b"),
-          lit(1L).as("e"), lit(0L).as("l"))
-        .unionByName(lsh.select(col("doc_a"), col("doc_b"),
-          lit(0L).as("e"), lit(1L).as("l")))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(max(col("e")).as("e"), max(col("l")).as("l"))
-        .agg(coalesce(sum(col("e")), lit(0L)).as("n_exact"),
-          coalesce(sum(col("l")), lit(0L)).as("n_lsh"),
-          coalesce(sum(col("e") * col("l")), lit(0L)).as("n_hit"))
-        .select(lit(k.toLong).as("k"), lit(bands.toLong).as("bands"),
-          lit((k / bands).toLong).as("rows_per_band"),
-          col("n_exact"), col("n_lsh"), col("n_hit"),
-          when(col("n_exact") > 0,
-            round(col("n_hit").cast("double") / col("n_exact"), 6))
-            .otherwise(lit(0.0)).as("recall"),
-          when(col("n_lsh") > 0,
-            round(col("n_hit").cast("double") / col("n_lsh"), 6))
-            .otherwise(lit(0.0)).as("precision"))
-    }
-    val out = arms.reduce(_ unionByName _).orderBy(col("bands"))
+    // ONE arm-keyed pipeline instead of one join pipeline per arm
+    // (round-15 restructuring): every arm's band digests stack into a
+    // single (bands, doc_id, band, band_key) frame, so candidate
+    // generation is ONE self-join keyed on (bands, band, band_key),
+    // verification ONE jaccard join, and the rollup ONE two-level
+    // aggregate keyed by arm — identical rows per arm, about a third
+    // of the stages/jobs of the per-arm loop (the scheduling floor
+    // dominated this query at bench scale). Same total shuffle bytes:
+    // the stacked index is exactly the three per-arm indexes.
+    val armBanded = bandArms.map { bands =>
+      sigs.select(lit(bands).as("bands"), col("doc_id"),
+          explode(bandKeysFromSigUdf(bands)(col("sig"))).as("bk"))
+        .select(col("bands"), col("doc_id"),
+          col("bk._1").as("band"), col("bk._2").as("band_key"))
+    }.reduce(_ unionByName _).cache()
+    cached += armBanded
+    val candidates = armBanded.as("x").join(armBanded.as("y"),
+        col("x.bands") === col("y.bands") &&
+          col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.bands").as("bands"), col("x.doc_id").as("doc_a"),
+        col("y.doc_id").as("doc_b"))
+      .distinct()
+    val lsh = candidates
+      .join(docSh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(docSh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .filter(round(jaccardUdf(col("sha"), col("shb")), 6) >= threshold)
+      .select(col("bands"), col("doc_a"), col("doc_b"))
+    val exactArms = bandArms.map(bands =>
+        exact.select(lit(bands).as("bands"), col("doc_a"), col("doc_b"),
+          lit(1L).as("e"), lit(0L).as("l")))
+      .reduce(_ unionByName _)
+    val perArm = exactArms
+      .unionByName(lsh.select(col("bands"), col("doc_a"), col("doc_b"),
+        lit(0L).as("e"), lit(1L).as("l")))
+      .groupBy(col("bands"), col("doc_a"), col("doc_b"))
+      .agg(max(col("e")).as("e"), max(col("l")).as("l"))
+      .groupBy(col("bands"))
+      .agg(coalesce(sum(col("e")), lit(0L)).as("n_exact"),
+        coalesce(sum(col("l")), lit(0L)).as("n_lsh"),
+        coalesce(sum(col("e") * col("l")), lit(0L)).as("n_hit"))
+    // left join from the literal arm table: an arm with zero exact AND
+    // zero LSH pairs still reports its zero row (the old per-arm
+    // global aggregate emitted exactly one row even over empty input)
+    val spark0 = docs.sparkSession
+    import spark0.implicits._
+    val out = bandArms.toDF("bands")
+      .join(perArm, Seq("bands"), "left")
+      .select(lit(k.toLong).as("k"), col("bands").cast("long").as("bands"),
+        (lit(k) / col("bands")).cast("long").as("rows_per_band"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_lsh"), lit(0L)).as("n_lsh"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        when(coalesce(col("n_exact"), lit(0L)) > 0,
+          round(col("n_hit").cast("double") / col("n_exact"), 6))
+          .otherwise(lit(0.0)).as("recall"),
+        when(coalesce(col("n_lsh"), lit(0L)) > 0,
+          round(col("n_hit").cast("double") / col("n_lsh"), 6))
+          .otherwise(lit(0.0)).as("precision"))
+      .orderBy(col("bands"))
     if (!eager) out
     else {
       // one row per layout: materialize, then release all four pinned
