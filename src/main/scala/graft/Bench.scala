@@ -30,14 +30,18 @@ object Bench {
       // minPartitionSize (default 1 MiB) — at bench scale whole
       // aggregated frames are under 1 MiB, so CPU-dense post-shuffle
       // operators (collect_list + array_sort, verify UDFs) were
-      // serialized onto ONE task (round-15 profile). 32 KiB keeps
-      // those stages parallel while still coalescing trivial shuffles.
+      // serialized onto ONE task (round-15 profile). 128 KiB keeps
+      // those stages parallel while still coalescing trivial shuffles;
+      // a 3-way interleaved A/B (32k / 128k / 1m over the affected
+      // families) showed 32k over-splits small aggregates (doc_quality
+      // 1.6× worse) while 1m serializes the containment family
+      // (dedup_containment 1.7× worse) — 128k was best overall.
       // Env-overridable: a production cluster at real data sizes keeps
       // the default (partitions there are GBs, the coalescer never
       // binds at 1 MiB), so this is a local-scale floor, not a tuned
       // constant the cluster inherits.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "32k"))
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "128k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

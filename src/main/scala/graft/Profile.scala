@@ -26,7 +26,7 @@ object Profile {
       .config("spark.sql.shuffle.partitions", cpus)
       // keep measurement parity with Bench's session (see Bench.scala)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "32k"))
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "128k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
